@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: read each query's
+parquet dump from Verify, run its oracle SQL in DuckDB against the same
+testdata tables, compare row counts + sorted-row hashes.
+
+Usage: python3 scripts/local_verify.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_rows(rows, cols):
+    # sort columns by name, round floats defensively, then sort rows
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 4)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(repr(v))
+        out.append("|".join(vals))
+    out.sort()
+    return out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_cols = [d[0] for d in con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").description]
+            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+            want_rel = con.execute(sql)
+            want_cols = [d[0] for d in want_rel.description]
+            want = want_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            fail += 1
+            continue
+        if sorted(got_cols) != sorted(want_cols):
+            print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(want_cols)}")
+            fail += 1
+            continue
+        g = norm_rows(got, got_cols)
+        w = norm_rows(want, want_cols)
+        if g == w:
+            print(f"ok   {name} ({len(g)} rows)")
+            ok += 1
+        else:
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            gs, ws = set(g), set(w)
+            for x in list(gs - ws)[:3]:
+                print(f"   spark-only: {x}")
+            for x in list(ws - gs)[:3]:
+                print(f"   duck-only:  {x}")
+            fail += 1
+    # rows-only checks for queries without oracle
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        if name in oracle or not os.path.isdir(f"{out_dir}/{name}"):
+            continue
+        try:
+            n = con.execute(f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
+            print(f"rows {name}: {n}")
+        except Exception as e:
+            print(f"FAIL {name} (rows-only): {e}")
+            fail += 1
+    print(f"\n{ok} ok, {fail} fail")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

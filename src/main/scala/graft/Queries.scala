@@ -1,0 +1,310 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.SeriesFrame
+import graft.engine.Eval
+import graft.pipeline.{Dedup, Similarity, TextStats}
+import graft.store.EventSeriesStore
+
+/**
+ * The driver-verified query catalog: each entry runs a library operator over
+ * the driver testdata and has (where SQL-expressible) a DuckDB oracle in
+ * [[Queries.oracleSql]] computing the identical result. Graphite operators
+ * run end-to-end through parser → compiler → store → ops; pipeline operators
+ * run on documents/embeddings.
+ *
+ * Output conventions (driver hashes after sorting columns by name):
+ *  - series results → (name STRING, ts BIGINT, value DOUBLE round 4), NaN
+ *    points dropped (SQL NULLs dropped on the oracle side);
+ *  - doubles rounded to 4 digits on BOTH sides to absorb fp association
+ *    differences between engines.
+ */
+object Queries {
+
+  /** Hourly per-event-type series derived from events.parquet — the shared
+    * fixture base (FIXTURES.md §4). */
+  private def store(sfDir: String) = new EventSeriesStore(sfDir)
+
+  /** Round like DuckDB does for DOUBLE (`std::round(x*10^n)/10^n`) so both
+    * engines produce bit-identical doubles at the comparison boundary —
+    * Spark's decimal-exact `round(c, n)` differs on x.xxxx5-straddling
+    * binary values. */
+  private def dround(c: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val scale = math.pow(10, n)
+    round(c * scale) / scale
+  }
+
+  /** Evaluate a Graphite target and emit the canonical comparison shape. */
+  private def g(target: String)(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = Eval.evalTarget(spark, store(sfDir), target)
+    SeriesFrame.toPoints(df)
+      .select(col("name"), col("ts"), dround(col("value"), 4).as("value"))
+      .orderBy("name", "ts")
+  }
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // ----------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Graphite operator pipeline (parser → compiler → ops), events series
+    "g01_sum_series" -> g("sumSeries(events.*)"),
+    "g02_avg_series" -> g("averageSeries(events.*)"),
+    "g03_max_series" -> g("maxSeries(events.*)"),
+    "g04_min_series" -> g("minSeries(events.*)"),
+    "g05_count_series" -> g("countSeries(events.*)"),
+    "g06_range_series" -> g("rangeOfSeries(events.*)"),
+    "g07_stddev_series" -> g("stddevSeries(events.*)"),
+    "g08_percentile_series" -> g("percentileOfSeries(events.*,50)"),
+    "g09_absolute" -> g("absolute(offset(events.*,-50))"),
+    "g10_derivative" -> g("derivative(events.*)"),
+    "g11_integral" -> g("integral(events.*)"),
+    "g12_scale" -> g("scale(events.*,2.5)"),
+    "g13_keeplast" -> g("keepLastValue(events.*)"),
+    "g14_moving_avg" -> g("movingAverage(events.*,6)"),
+    "g15_moving_max" -> g("movingMax(events.*,12)"),
+    "g16_summarize_day" -> g("summarize(events.*,'1d','sum')"),
+    "g17_aspercent" -> g("asPercent(events.*)"),
+    "g18_groupbynode" -> g("groupByNode(events.*,1,'sum')"),
+    "g19_highest_avg" -> g("highestAverage(events.*,2)"),
+    "g20_aliasbynode" -> g("aliasByNode(events.*,-1)"),
+    "g21_nonneg_derivative" -> g("nonNegativeDerivative(events.*)"),
+    "g22_persecond" -> g("perSecond(events.*)"),
+    "g23_offsettozero" -> g("offsetToZero(events.*)"),
+    "g24_transformnull" -> g("transformNull(events.*,0)"),
+    "g25_divideseries" -> g("divideSeries(events.click,sumSeries(events.*))"),
+    "g26_moving_sum_interval" -> g("movingSum(events.*,'6h')"),
+    "g27_averageabove" -> g("averageAbove(events.*,100)"),
+    "g28_sigmoid_scale" -> g("sigmoid(scale(events.*,0.001))"),
+    "g29_interpolate" -> g("interpolate(events.*)"),
+    "g30_hitcount_day" -> g("hitcount(events.*,'1d')"),
+
+    // ---- TPC-H-style relational anchors (bench headliners)
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dround(sum(col("l_quantity")), 2).as("sum_qty"),
+          dround(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          dround(avg(col("l_quantity")), 4).as("avg_qty"),
+          dround(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // ---- training-data pipeline operators
+    "p01_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir)).orderBy("content_hash")),
+    "p02_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens")).orderBy("doc_id")),
+    "p03_quality_metrics" -> ((s, dir) =>
+      TextStats.qualityMetrics(docs(s, dir))
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          dround(col("punct_ratio"), 4).as("punct_ratio"),
+          dround(col("digit_ratio"), 4).as("digit_ratio"),
+          dround(col("stopword_ratio"), 4).as("stopword_ratio"))
+        .orderBy("doc_id")),
+    "p04_language_id" -> ((s, dir) =>
+      TextStats.languageId(docs(s, dir)).select(col("doc_id"), col("lang_pred")).orderBy("doc_id")),
+    "p05_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), k = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"), dround(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("doc_a", "doc_b")),
+    "p06_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxHammingDistance = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_a", "doc_b")),
+    "p07_cosine_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          dround(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+    "p08_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+    "p09_ivf_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val cents = Similarity.trainCentroids(emb, nlist = 8, iters = 3, sampleN = 2000)
+      val withCells = Similarity.assignCells(emb, cents)
+      Similarity.ivfTopK(withCells, emb.where(col("vec_id") < 10), cents, k = 5, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          dround(col("cosine"), 4).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+    "p10_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroidSimilarity(embeddings(s, dir))
+        .select(col("label_a").cast("long").as("label_a"), col("label_b").cast("long").as("label_b"),
+          dround(col("cosine"), 4).as("cosine"))
+        .orderBy("label_a", "label_b"))
+  )
+
+  // -------------------------------------------------------------- oracle SQL
+
+  /** Shared DuckDB preamble: hourly per-type sums from events, dense grid
+    * with NULL = our NaN. Matches EventSeriesStore.build exactly. */
+  private val S =
+    """WITH pts AS (
+      |  SELECT 'events.' || event_type AS name,
+      |         CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS ts,
+      |         sum(value) AS v
+      |  FROM events GROUP BY 1, 2
+      |), b AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM pts),
+      |names AS (SELECT DISTINCT name FROM pts),
+      |grid AS (SELECT n.name, g.ts FROM names n CROSS JOIN b CROSS JOIN LATERAL (SELECT unnest(generate_series(b.t0, b.t1, 3600)) AS ts) g),
+      |s AS (SELECT grid.name, grid.ts, pts.v FROM grid LEFT JOIN pts ON pts.name = grid.name AND pts.ts = grid.ts)
+      |""".stripMargin
+
+  private def agg1(outName: String, aggExpr: String): String =
+    S + s"SELECT '$outName' AS name, ts, round($aggExpr, 4) AS value FROM s GROUP BY ts HAVING count(v) > 0 ORDER BY ts"
+
+  private val lagS = "SELECT name, ts, v, lag(v IGNORE NULLS) OVER (PARTITION BY name ORDER BY ts) AS pv FROM s"
+  // raw previous point (NaN poisons): nonNegativeDerivative/perSecond semantics
+  private val rawLagS = "SELECT name, ts, v, lag(v) OVER (PARTITION BY name ORDER BY ts) AS pv FROM s"
+
+  val oracleSql: Map[String, String] = Map(
+    "g01_sum_series" -> agg1("sumSeries(events.*)", "sum(v)"),
+    "g02_avg_series" -> agg1("averageSeries(events.*)", "avg(v)"),
+    "g03_max_series" -> agg1("maxSeries(events.*)", "max(v)"),
+    "g04_min_series" -> agg1("minSeries(events.*)", "min(v)"),
+    "g05_count_series" -> agg1("countSeries(events.*)", "CAST(count(v) AS DOUBLE)"),
+    "g06_range_series" -> agg1("rangeOfSeries(events.*)", "max(v) - min(v)"),
+    "g07_stddev_series" -> agg1("stddevSeries(events.*)", "stddev_pop(v)"),
+    "g08_percentile_series" -> agg1("percentileOfSeries(events.*,50)", "quantile_cont(v, 0.5)"),
+    "g09_absolute" ->
+      (S + "SELECT 'absolute(offset(' || name || ',-50))' AS name, ts, round(abs(v - 50), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g10_derivative" ->
+      (S + s"SELECT 'derivative(' || name || ')' AS name, ts, round(v - pv, 4) AS value FROM ($lagS) WHERE v IS NOT NULL AND pv IS NOT NULL ORDER BY name, ts"),
+    "g11_integral" ->
+      (S + "SELECT 'integral(' || name || ')' AS name, ts, round(sum(v) OVER (PARTITION BY name ORDER BY ts ROWS UNBOUNDED PRECEDING), 4) AS value FROM s QUALIFY v IS NOT NULL ORDER BY name, ts"),
+    "g12_scale" ->
+      (S + "SELECT 'scale(' || name || ',2.5)' AS name, ts, round(v * 2.5, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g13_keeplast" ->
+      (S + s"SELECT 'keepLastValue(' || name || ')' AS name, ts, round(coalesce(v, pv), 4) AS value FROM ($lagS) WHERE coalesce(v, pv) IS NOT NULL ORDER BY name, ts"),
+    "g14_moving_avg" ->
+      (S + """SELECT 'movingAverage(' || name || ',6)' AS name, ts, round(wavg, 4) AS value FROM (
+        |  SELECT name, ts, avg(v) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS wavg FROM s)
+        |WHERE ts >= (SELECT t0 FROM b) + 6*3600 AND wavg IS NOT NULL ORDER BY name, ts""".stripMargin),
+    "g15_moving_max" ->
+      (S + """SELECT 'movingMax(' || name || ',12)' AS name, ts, round(wmax, 4) AS value FROM (
+        |  SELECT name, ts, max(v) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS wmax FROM s)
+        |WHERE ts >= (SELECT t0 FROM b) + 12*3600 AND wmax IS NOT NULL ORDER BY name, ts""".stripMargin),
+    "g16_summarize_day" ->
+      (S + """SELECT 'summarize(' || name || ',"86400s","sum")' AS name,
+        |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts, round(sum(v), 4) AS value
+        |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
+    "g17_aspercent" ->
+      (S + "SELECT 'asPercent(' || name || ')' AS name, ts, round(v / sum(v) OVER (PARTITION BY ts) * 100, 4) AS value FROM s QUALIFY v IS NOT NULL ORDER BY name, ts"),
+    "g18_groupbynode" ->
+      (S + "SELECT split_part(name, '.', 2) AS name, ts, round(sum(v), 4) AS value FROM s GROUP BY 1, ts HAVING count(v) > 0 ORDER BY name, ts"),
+    "g19_highest_avg" ->
+      (S + """, ranked AS (SELECT name, avg(v) AS a FROM s GROUP BY name ORDER BY a DESC LIMIT 2)
+        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN ranked ON s.name = ranked.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
+    "g20_aliasbynode" ->
+      (S + "SELECT split_part(name, '.', 2) AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g21_nonneg_derivative" ->
+      (S + s"SELECT 'nonNegativeDerivative(' || name || ')' AS name, ts, round(v - pv, 4) AS value FROM ($rawLagS) WHERE v IS NOT NULL AND pv IS NOT NULL AND v - pv >= 0 ORDER BY name, ts"),
+    "g22_persecond" ->
+      (S + s"SELECT 'perSecond(' || name || ')' AS name, ts, round((v - pv) / 3600, 4) AS value FROM ($rawLagS) WHERE v IS NOT NULL AND pv IS NOT NULL AND v - pv >= 0 ORDER BY name, ts"),
+    "g23_offsettozero" ->
+      (S + "SELECT 'offsetToZero(' || name || ')' AS name, ts, round(v - min(v) OVER (PARTITION BY name), 4) AS value FROM s QUALIFY v IS NOT NULL ORDER BY name, ts"),
+    "g24_transformnull" ->
+      (S + "SELECT 'transformNull(' || name || ',0)' AS name, ts, round(coalesce(v, 0), 4) AS value FROM s ORDER BY name, ts"),
+    "g25_divideseries" ->
+      (S + """, tot AS (SELECT ts, sum(v) AS t FROM s GROUP BY ts HAVING count(v) > 0)
+        |SELECT 'divideSeries(' || s.name || ',sumSeries(events.*))' AS name, s.ts, round(s.v / tot.t, 4) AS value
+        |FROM s JOIN tot ON s.ts = tot.ts WHERE s.name = 'events.click' AND s.v IS NOT NULL AND tot.t != 0 ORDER BY s.ts""".stripMargin),
+    "g26_moving_sum_interval" ->
+      (S + """SELECT 'movingSum(' || name || ',6)' AS name, ts, round(wsum, 4) AS value FROM (
+        |  SELECT name, ts, CASE WHEN count(v) OVER w > 0 THEN sum(v) OVER w END AS wsum FROM s
+        |  WINDOW w AS (PARTITION BY name ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |WHERE ts >= (SELECT t0 FROM b) + 6*3600 AND wsum IS NOT NULL ORDER BY name, ts""".stripMargin),
+    "g27_averageabove" ->
+      (S + """, keep AS (SELECT name FROM s GROUP BY name HAVING avg(v) > 100)
+        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep ON s.name = keep.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
+    "g28_sigmoid_scale" ->
+      (S + "SELECT 'sigmoid(scale(' || name || ',0.001))' AS name, ts, round(1 / (1 + exp(-(v * 0.001))), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g29_interpolate" ->
+      (S + """SELECT 'interpolate(' || name || ')' AS name, ts, round(filled, 4) AS value FROM (
+        |  SELECT name, ts, coalesce(v,
+        |    pval + (nval - pval) * (CAST(ts - pts AS DOUBLE) / (nts - pts))) AS filled
+        |  FROM (SELECT name, ts, v,
+        |          lag(v IGNORE NULLS) OVER w AS pval,
+        |          lead(v IGNORE NULLS) OVER w AS nval,
+        |          CASE WHEN v IS NULL THEN max(CASE WHEN v IS NOT NULL THEN ts END) OVER wp END AS pts,
+        |          CASE WHEN v IS NULL THEN min(CASE WHEN v IS NOT NULL THEN ts END) OVER wf END AS nts
+        |        FROM s
+        |        WINDOW w AS (PARTITION BY name ORDER BY ts),
+        |               wp AS (PARTITION BY name ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               wf AS (PARTITION BY name ORDER BY ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)))
+        |WHERE filled IS NOT NULL ORDER BY name, ts""".stripMargin),
+    "g30_hitcount_day" ->
+      (S + """SELECT 'hitcount(' || name || ',"86400s","sum")' AS name,
+        |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts, round(sum(v * 3600), 4) AS value
+        |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_by_nation" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "p01_dedup_exact" ->
+      "SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS dup_count FROM documents GROUP BY 1 ORDER BY 1",
+    "p02_token_count" ->
+      """SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens FROM documents ORDER BY doc_id""",
+    "p03_quality_metrics" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
+        |  round(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / greatest(len(text), 1), 4) AS punct_ratio,
+        |  round(len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(len(text), 1), 4) AS digit_ratio,
+        |  round(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+        |        x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','from','that','this'], x))) * 1.0
+        |    / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), 1), 4) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "p07_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, list_cosine_similarity(q.qv, e.embedding) AS cos
+        |           FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "p10_label_centroids" ->
+      """WITH c AS (SELECT label, i, avg(embedding[i]) AS v FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g GROUP BY label, i)
+        |SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
+        |  round(sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 4) AS cosine
+        |FROM c a JOIN c b ON a.i = b.i AND a.label <= b.label GROUP BY a.label, b.label ORDER BY label_a, label_b""".stripMargin
+    // p04/p05/p06/p08/p09: heuristic- or hash-dependent (xxhash64/IVF) —
+    // no DuckDB equivalent; driver records the weaker rows-only check.
+  )
+}

@@ -1,0 +1,49 @@
+package graft.core
+
+/**
+ * Graphite metric-path glob → Java regex.
+ *
+ * Grammar (ref pkg/parser/parser.go:701-715,864-959): `*` matches any run of
+ * characters within one dot-separated node, `?` a single character, `[a-z]`
+ * character classes, `{a,b}` alternation (may nest commas but not braces).
+ * The produced regex is fully anchored.
+ */
+object Glob {
+
+  /** True if the string contains any glob metacharacter. */
+  def isGlob(s: String): Boolean = s.exists(c => c == '*' || c == '?' || c == '[' || c == '{')
+
+  def toRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' => sb.append("[^.]*")
+        case '?' => sb.append("[^.]")
+        case '[' =>
+          val close = glob.indexOf(']', i)
+          if (close < 0) { sb.append("\\["); }
+          else { sb.append(glob.substring(i, close + 1)); i = close }
+        case '{' =>
+          val close = glob.indexOf('}', i)
+          if (close < 0) { sb.append("\\{") }
+          else {
+            val alts = glob.substring(i + 1, close).split(",", -1).map(java.util.regex.Pattern.quote)
+            sb.append(alts.mkString("(?:", "|", ")"))
+            i = close
+          }
+        case '.' => sb.append("\\.")
+        case c if "\\^$()+|".indexOf(c.toInt) >= 0 => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append("$").toString
+  }
+
+  /** Compile once, reusable matcher. */
+  def matcher(glob: String): String => Boolean = {
+    val p = java.util.regex.Pattern.compile(toRegex(glob))
+    s => p.matcher(s).matches()
+  }
+}

@@ -1,0 +1,374 @@
+package graft.core
+
+/**
+ * Sequential per-series vector transforms. Each operates on one series'
+ * dense `Array[Double]` (NaN = missing) and returns a new array of the same
+ * length unless noted. Running these inside a UDF keeps the recurrence local
+ * to one row — no shuffle, no window function, scales linearly with series
+ * count regardless of cluster size.
+ *
+ * Semantics ported behaviorally from the reference function packages
+ * (file:line cited per function).
+ */
+object VecOps {
+  import Kernels.isNaN
+
+  /** v(i) - prev where prev is the last non-NaN value seen; NaN before any.
+    * (ref expr/functions/derivative/function.go:31-44) */
+  def derivative(v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](v.length)
+    var prev = Double.NaN
+    var i = 0
+    while (i < v.length) {
+      val x = v(i)
+      out(i) = x - prev
+      if (!isNaN(x)) prev = x
+      i += 1
+    }
+    out
+  }
+
+  /** Like derivative but vs the RAW previous point (a NaN poisons both
+    * neighbors); negative deltas → NaN (counter reset) unless maxValue wrap /
+    * minValue floor applies.
+    * (ref expr/functions/nonNegativeDerivative/function.go:96-115) */
+  def nonNegativeDerivative(v: Array[Double], maxValue: Double = Double.NaN, minValue0: Double = Double.NaN): Array[Double] = {
+    val hasMax = !isNaN(maxValue)
+    val hasMin = !isNaN(minValue0)
+    val minValue = if (hasMax && !hasMin) 0.0 else minValue0
+    val out = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) {
+      val x = v(i)
+      if (i == 0 || isNaN(x) || isNaN(v(i - 1))) {
+        out(i) = Double.NaN
+      } else {
+        val diff = x - v(i - 1)
+        if (diff >= 0) out(i) = diff
+        else if (hasMax && maxValue >= x) out(i) = (maxValue - v(i - 1)) + (x - minValue) + 1
+        else if (hasMin && minValue <= x) out(i) = x - minValue
+        else out(i) = Double.NaN
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** nonNegativeDerivative scaled to per-second rate. (ref perSecond/function.go) */
+  def perSecond(v: Array[Double], step: Long, maxValue: Double = Double.NaN): Array[Double] = {
+    val d = nonNegativeDerivative(v, maxValue)
+    var i = 0
+    while (i < d.length) { d(i) = d(i) / step; i += 1 }
+    d
+  }
+
+  /** Running sum; NaN points emit NaN but do not reset the accumulator.
+    * (ref expr/functions/integral/function.go:30-45) */
+  def integral(v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](v.length)
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) {
+      val x = v(i)
+      if (isNaN(x)) out(i) = Double.NaN else { acc += x; out(i) = acc }
+      i += 1
+    }
+    out
+  }
+
+  /** Running sum resetting at each interval boundary (ts-aligned buckets).
+    * (ref integralByInterval/function.go) */
+  def integralByInterval(v: Array[Double], start: Long, step: Long, interval: Long): Array[Double] = {
+    val out = new Array[Double](v.length)
+    var acc = 0.0
+    var curBucket = Long.MinValue
+    var i = 0
+    while (i < v.length) {
+      val ts = start + i * step
+      val bucket = math.floorDiv(ts, interval)
+      if (bucket != curBucket) { acc = 0.0; curBucket = bucket }
+      val x = v(i)
+      if (isNaN(x)) out(i) = Double.NaN else { acc += x; out(i) = acc }
+      i += 1
+    }
+    out
+  }
+
+  /** Forward-fill NaN gaps of length <= limit (Inf = unlimited).
+    * (ref expr/functions/keepLastValue/function.go) */
+  def keepLastValue(v: Array[Double], limit: Double = Double.PositiveInfinity): Array[Double] = {
+    val out = v.clone()
+    var lastVal = Double.NaN
+    var gapStart = -1
+    var i = 0
+    while (i < out.length) {
+      if (isNaN(out(i))) {
+        if (gapStart < 0) gapStart = i
+      } else {
+        if (gapStart >= 0 && !isNaN(lastVal) && (i - gapStart) <= limit) {
+          var j = gapStart
+          while (j < i) { out(j) = lastVal; j += 1 }
+        }
+        gapStart = -1
+        lastVal = out(i)
+      }
+      i += 1
+    }
+    // trailing gap: graphite fills it too when within limit
+    if (gapStart >= 0 && !isNaN(lastVal) && (out.length - gapStart) <= limit) {
+      var j = gapStart
+      while (j < out.length) { out(j) = lastVal; j += 1 }
+    }
+    out
+  }
+
+  /** Linear interpolation across NaN gaps of length <= limit; leading/trailing
+    * gaps left as NaN. (ref expr/functions/interpolate/function.go) */
+  def interpolate(v: Array[Double], limit: Double = Double.PositiveInfinity): Array[Double] = {
+    val out = v.clone()
+    var lastIdx = -1
+    var i = 0
+    while (i < out.length) {
+      if (!isNaN(out(i))) {
+        if (lastIdx >= 0 && i - lastIdx > 1 && (i - lastIdx - 1) <= limit) {
+          val lo = out(lastIdx); val hi = out(i)
+          val span = (i - lastIdx).toDouble
+          var j = lastIdx + 1
+          // ratio-first association matches SQL `lo + (hi-lo)*((j-l)/(span))`
+          while (j < i) { out(j) = lo + (hi - lo) * ((j - lastIdx).toDouble / span); j += 1 }
+        }
+        lastIdx = i
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** 1 where value differs from previous non-NaN-tracked value else 0.
+    * (ref expr/functions/changed/function.go) */
+  def changed(v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](v.length)
+    var prev = Double.NaN
+    var i = 0
+    while (i < v.length) {
+      val x = v(i)
+      if (!isNaN(prev) && !isNaN(x) && x != prev) out(i) = 1.0 else out(i) = 0.0
+      if (!isNaN(x)) prev = x
+      i += 1
+    }
+    out
+  }
+
+  /** Shift values right (steps>0) or left (steps<0), NaN-padding. (ref delay/function.go) */
+  def delay(v: Array[Double], steps: Int): Array[Double] = {
+    val out = Array.fill(v.length)(Double.NaN)
+    var i = 0
+    while (i < v.length) {
+      val j = i + steps
+      if (j >= 0 && j < v.length) out(j) = v(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Trailing moving window of `n` points (current inclusive), aggregated with
+    * `func`. Output index i covers input [i-n+1, i]; the first `n` output
+    * points (relative to the widened fetch) are dropped by the caller via
+    * re-stamping — see SeriesOps.movingWindow.
+    * (ref expr/functions/moving/function.go:200-250 — window pushed per point,
+    * emitted at ridx=i-windowPoints, first input value skipped.) */
+  def movingWindow(v: Array[Double], n: Int, func: String, xff: Double): Array[Double] = {
+    val size = math.max(v.length - n, 0)
+    val out = new Array[Double](size)
+    val agg = Kernels.byName(func)
+    var i = 1
+    val buf = new Array[Double](n)
+    java.util.Arrays.fill(buf, Double.NaN)
+    var pushed = 0
+    while (i < v.length) {
+      buf(pushed % n) = v(i)
+      pushed += 1
+      val ridx = i - n
+      if (ridx >= 0) {
+        // window currently holds v[i-n+1..i]
+        var nonNull = 0
+        var k = 0
+        while (k < n) { if (!isNaN(buf(k))) nonNull += 1; k += 1 }
+        if (nonNull > 0 && Kernels.xffOk(nonNull, n, xff)) {
+          // copy in chronological order for order-sensitive aggs (last/median)
+          val win = new Array[Double](n)
+          var m = 0
+          while (m < n) { win(m) = v(i - n + 1 + m); m += 1 }
+          out(ridx) = agg(win)
+        } else out(ridx) = Double.NaN
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Exponential moving average, alpha = 2/(n+1), seeded with the mean of the
+    * first window. (ref exponentialMovingAverage/function.go) */
+  def ema(v: Array[Double], window: Int): Array[Double] = {
+    val alpha = 2.0 / (window + 1)
+    emaAlpha(v, alpha, seedWindow = window)
+  }
+
+  /** EMA with explicit alpha; seed = first value (seedWindow=1) or mean of the
+    * first seedWindow points. (ref ewma/function.go) */
+  def emaAlpha(v: Array[Double], alpha: Double, seedWindow: Int = 1): Array[Double] = {
+    val out = Array.fill(v.length)(Double.NaN)
+    if (v.isEmpty) return out
+    val seedN = math.min(seedWindow, v.length)
+    var e = Kernels.mean(v.take(seedN))
+    var i = 0
+    while (i < v.length) {
+      val x = v(i)
+      if (!isNaN(x)) {
+        e = alpha * x + (1 - alpha) * e
+        out(i) = e
+      } else out(i) = Double.NaN
+      i += 1
+    }
+    out
+  }
+
+  /** Re-bucket a series into fixed `bucketPoints`-sized groups aggregated with
+    * `func` (summarize core). */
+  def rebucket(v: Array[Double], bucketPoints: Int, func: String, xff: Float): Array[Double] = {
+    val nOut = (v.length + bucketPoints - 1) / bucketPoints
+    val out = new Array[Double](nOut)
+    var b = 0
+    while (b < nOut) {
+      val lo = b * bucketPoints
+      val hi = math.min(lo + bucketPoints, v.length)
+      out(b) = Kernels.summarizeValues(func, java.util.Arrays.copyOfRange(v, lo, hi), xff)
+      b += 1
+    }
+    out
+  }
+
+  /** Least-squares linear fit over (index, value) pairs, NaN-skipped; returns
+    * (slope-per-step, intercept-at-index-0) or NaN pair. (ref linearRegression/function.go) */
+  def linFit(v: Array[Double]): (Double, Double) = {
+    var n = 0; var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0
+    var i = 0
+    while (i < v.length) {
+      val y = v(i)
+      if (!isNaN(y)) { val x = i.toDouble; n += 1; sx += x; sy += y; sxx += x * x; sxy += x * y }
+      i += 1
+    }
+    if (n < 2) return (Double.NaN, Double.NaN)
+    val denom = n * sxx - sx * sx
+    if (denom == 0) return (Double.NaN, Double.NaN)
+    val slope = (n * sxy - sx * sy) / denom
+    val intercept = (sy - slope * sx) / n
+    (slope, intercept)
+  }
+
+  /** Holt-Winters triple exponential smoothing forecast with Graphite's fixed
+    * parameters alpha=0.1, beta=0.0035, gamma=0.1 and 1-day seasonality in
+    * steps. Returns (forecast, deviation) arrays.
+    * (ref expr/holtwinters/hw.go:36-127) */
+  def holtWinters(v: Array[Double], step: Long, seasonality: Long = 86400L): (Array[Double], Array[Double]) = {
+    val alpha = 0.1; val beta = 0.0035; val gamma = 0.1
+    val seasonLen = math.max((seasonality / step).toInt, 1)
+    val n = v.length
+    val forecast = new Array[Double](n)
+    val deviation = new Array[Double](n)
+    var intercept = 0.0; var slope = 0.0
+    val seasonal = new Array[Double](n)
+    val dev = new Array[Double](n)
+    def seasonalIdx(i: Int): Double = { val j = i - seasonLen; if (j >= 0) seasonal(j) else 0.0 }
+    def devIdx(i: Int): Double = { val j = i - seasonLen; if (j >= 0) dev(j) else 0.0 }
+    var i = 0
+    var lastSeen = 0.0
+    while (i < n) {
+      val raw = v(i)
+      val x = if (isNaN(raw)) lastSeen else { lastSeen = raw; raw }
+      if (i == 0) {
+        intercept = x
+        forecast(i) = x
+      } else {
+        val lastIntercept = intercept
+        val lastSlope = slope
+        val pred = lastIntercept + lastSlope + seasonalIdx(i)
+        forecast(i) = pred
+        intercept = alpha * (x - seasonalIdx(i)) + (1 - alpha) * (lastIntercept + lastSlope)
+        slope = beta * (intercept - lastIntercept) + (1 - beta) * lastSlope
+        seasonal(i) = gamma * (x - intercept) + (1 - gamma) * seasonalIdx(i)
+        dev(i) = gamma * math.abs(x - pred) + (1 - gamma) * devIdx(i)
+      }
+      deviation(i) = dev(i)
+      i += 1
+    }
+    (forecast, deviation)
+  }
+
+  /** Mask points whose predicate on value fails → NaN. */
+  def maskWhere(v: Array[Double], pred: Double => Boolean): Array[Double] = {
+    val out = v.clone()
+    var i = 0
+    while (i < out.length) { if (!isNaN(out(i)) && pred(out(i))) out(i) = Double.NaN; i += 1 }
+    out
+  }
+
+  /** Pearson correlation between two equal-length vectors, pairwise NaN-skip. */
+  def pearson(a: Array[Double], b: Array[Double]): Double = {
+    var n = 0; var sa = 0.0; var sb = 0.0; var saa = 0.0; var sbb = 0.0; var sab = 0.0
+    val len = math.min(a.length, b.length)
+    var i = 0
+    while (i < len) {
+      val x = a(i); val y = b(i)
+      if (!isNaN(x) && !isNaN(y)) { n += 1; sa += x; sb += y; saa += x * x; sbb += y * y; sab += x * y }
+      i += 1
+    }
+    if (n < 2) return Double.NaN
+    val cov = sab - sa * sb / n
+    val va = saa - sa * sa / n
+    val vb = sbb - sb * sb / n
+    if (va <= 0 || vb <= 0) return Double.NaN
+    cov / math.sqrt(va * vb)
+  }
+
+  /** In-place radix-2 Cooley-Tukey FFT (re, im modified). Length must be a
+    * power of two; callers zero-pad. Public-textbook algorithm. */
+  def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require((n & (n - 1)) == 0, "fft length must be a power of 2")
+    // bit reversal
+    var j = 0
+    var i = 0
+    while (i < n) {
+      if (i < j) { val tr = re(i); re(i) = re(j); re(j) = tr; val ti = im(i); im(i) = im(j); im(j) = ti }
+      var m = n >> 1
+      while (m >= 1 && j >= m) { j -= m; m >>= 1 }
+      j += m
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var s = 0
+      while (s < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val er = re(s + k); val ei = im(s + k)
+          val or_ = re(s + k + len / 2); val oi = im(s + k + len / 2)
+          val tr = or_ * cr - oi * ci
+          val ti = or_ * ci + oi * cr
+          re(s + k) = er + tr; im(s + k) = ei + ti
+          re(s + k + len / 2) = er - tr; im(s + k + len / 2) = ei - ti
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        s += len
+      }
+      len <<= 1
+    }
+  }
+}

@@ -1,0 +1,295 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Kernels
+import graft.parser.{Ast, BoolLit, FuncCall, Interval, NameExpr, Num, Parser, Str}
+import graft.store.SeriesStore
+
+/**
+ * The expression→DataFrame compiler: walks the parsed target bottom-up and
+ * emits transformations over the series store scan. This replaces the
+ * reference's tree-walking interpreter (ref expr/expr.go:163-214) — here the
+ * "evaluation" only BUILDS a logical plan; Catalyst optimizes it and the one
+ * Spark action per request executes it.
+ *
+ * Fetch-range widening (the reference's `expr.Metrics()` pre-pass,
+ * ref pkg/parser/parser.go:155-330) is handled in-line: window functions
+ * evaluate their series argument against a widened [from,until) before
+ * re-stamping output to the requested range.
+ */
+object Eval {
+
+  case class Ctx(spark: SparkSession, store: SeriesStore, from: Long, until: Long) {
+    def widen(by: Long): Ctx = copy(from = from - by)
+  }
+
+  def evalTarget(spark: SparkSession, store: SeriesStore, target: String,
+                 from: Long = Long.MinValue / 4, until: Long = Long.MaxValue / 4): DataFrame =
+    eval(Parser.parse(target), Ctx(spark, store, from, until))
+
+  def eval(ast: Ast, ctx: Ctx): DataFrame = ast match {
+    case NameExpr(t) => ctx.store.fetch(ctx.spark, t, ctx.from, ctx.until)
+    case fc: FuncCall =>
+      registry.getOrElse(fc.name,
+        throw new IllegalArgumentException(s"unsupported function: ${fc.name}")).apply(ctx, fc)
+    case other => throw new IllegalArgumentException(s"cannot evaluate $other as a series")
+  }
+
+  // ------------------------------------------------------ argument helpers
+
+  private def arg(fc: FuncCall, i: Int, name: String = ""): Option[Ast] =
+    if (name.nonEmpty && fc.named.contains(name)) fc.named.get(name)
+    else if (i < fc.args.length) Some(fc.args(i))
+    else None
+
+  private def seriesArg(ctx: Ctx, fc: FuncCall, i: Int = 0): DataFrame =
+    eval(arg(fc, i).getOrElse(throw new IllegalArgumentException(s"${fc.name}: missing series arg $i")), ctx)
+
+  private def numArg(fc: FuncCall, i: Int, name: String = "", default: Option[Double] = None): Double =
+    arg(fc, i, name) match {
+      case Some(Num(v)) => v
+      case Some(Str(s)) => s.toDouble
+      case None => default.getOrElse(throw new IllegalArgumentException(s"${fc.name}: missing numeric arg $i"))
+      case Some(other) => throw new IllegalArgumentException(s"${fc.name}: bad numeric arg $other")
+    }
+
+  private def intArg(fc: FuncCall, i: Int, name: String = "", default: Option[Int] = None): Int =
+    numArg(fc, i, name, default.map(_.toDouble)).toInt
+
+  private def strArg(fc: FuncCall, i: Int, name: String = "", default: Option[String] = None): String =
+    arg(fc, i, name) match {
+      case Some(Str(s)) => s
+      case Some(NameExpr(s)) => s
+      case Some(Num(v)) => if (v == math.rint(v)) v.toLong.toString else v.toString
+      case None => default.getOrElse(throw new IllegalArgumentException(s"${fc.name}: missing string arg $i"))
+      case Some(other) => throw new IllegalArgumentException(s"${fc.name}: bad string arg $other")
+    }
+
+  private def boolArg(fc: FuncCall, i: Int, name: String = "", default: Boolean = false): Boolean =
+    arg(fc, i, name) match {
+      case Some(BoolLit(b)) => b
+      case Some(Str(s)) => s.equalsIgnoreCase("true")
+      case None => default
+      case Some(other) => throw new IllegalArgumentException(s"${fc.name}: bad bool arg $other")
+    }
+
+  private def intervalArg(fc: FuncCall, i: Int, name: String = "", defaultSign: Int = 1): Long =
+    arg(fc, i, name) match {
+      case Some(Str(s)) => Interval.parse(s, defaultSign)
+      case Some(Num(v)) => v.toLong
+      case x => throw new IllegalArgumentException(s"${fc.name}: bad interval arg $x")
+    }
+
+  private def intsFrom(fc: FuncCall, startIdx: Int): Seq[Int] =
+    fc.args.drop(startIdx).map { case Num(v) => v.toInt; case other => throw new IllegalArgumentException(s"bad node $other") }
+
+  /** Window size arg: Right(points) for ints, Left(seconds) for interval strings. */
+  private def windowArg(fc: FuncCall, i: Int): Either[Long, Int] = fc.args(i) match {
+    case Num(v) => Right(v.toInt)
+    case Str(s) => Left(math.abs(Interval.parse(s)))
+    case other => throw new IllegalArgumentException(s"${fc.name}: bad window $other")
+  }
+
+  // ----------------------------------------------------------- the registry
+
+  type Impl = (Ctx, FuncCall) => DataFrame
+
+  private def aggFamily(func: String): Impl = (ctx, fc) =>
+    SeriesOps.aggregateNamed(seriesArg(ctx, fc), func, fc.rawArgs)
+
+  private def movingFamily(func: String, fnName: String): Impl = (ctx, fc) => {
+    windowArg(fc, 1) match {
+      case Right(n) =>
+        val step = ctx.store.stepHint.getOrElse(60L)
+        val widened = eval(fc.args.head, ctx.widen(n.toLong * step))
+        SeriesOps.movingWindow(widened, n, func, numArg(fc, 2, "xFilesFactor", Some(0.0)), fnName)
+      case Left(seconds) =>
+        val widened = eval(fc.args.head, ctx.widen(seconds))
+        val step = ctx.store.stepHint.getOrElse(60L)
+        SeriesOps.movingWindow(widened, math.max((seconds / step).toInt, 1), func, 0.0, fnName)
+    }
+  }
+
+  private def highestFamily(func: String): Impl = (ctx, fc) =>
+    SeriesOps.highest(seriesArg(ctx, fc), intArg(fc, 1, default = Some(1)), func)
+  private def lowestFamily(func: String): Impl = (ctx, fc) =>
+    SeriesOps.lowest(seriesArg(ctx, fc), intArg(fc, 1, default = Some(1)), func)
+
+  val registry: Map[String, Impl] = Map(
+    // ---- combine / aggregate (ref expr/functions/aggregate)
+    "aggregate" -> ((ctx, fc) => SeriesOps.aggregateNamed(
+      seriesArg(ctx, fc), strArg(fc, 1), fc.rawArgs.split(",").head,
+      numArg(fc, 2, "xFilesFactor", Some(0.0)))),
+    "sumSeries" -> aggFamily("sum"), "sum" -> aggFamily("sum"),
+    "averageSeries" -> aggFamily("average"), "avg" -> aggFamily("average"), "average" -> aggFamily("average"),
+    "maxSeries" -> aggFamily("max"), "max" -> aggFamily("max"),
+    "minSeries" -> aggFamily("min"), "min" -> aggFamily("min"),
+    "stddevSeries" -> aggFamily("stddev"), "stddev" -> aggFamily("stddev"),
+    "countSeries" -> aggFamily("count"), "count" -> aggFamily("count"),
+    "diffSeries" -> aggFamily("diff"), "diff" -> aggFamily("diff"),
+    "multiplySeries" -> aggFamily("multiply"), "multiply" -> aggFamily("multiply"),
+    "medianSeries" -> aggFamily("median"), "median" -> aggFamily("median"),
+    "rangeOfSeries" -> aggFamily("rangeOf"), "range" -> aggFamily("rangeOf"),
+    "avg_zero" -> aggFamily("avg_zero"),
+    "first" -> aggFamily("first"), "last" -> aggFamily("last"), "current" -> aggFamily("last"),
+    "total" -> aggFamily("sum"),
+    "percentileOfSeries" -> ((ctx, fc) => {
+      val n = numArg(fc, 1)
+      SeriesOps.aggregateSeries(seriesArg(ctx, fc), s"p$n",
+        nameFor = _ => lit(s"percentileOfSeries(${fc.rawArgs})"))
+    }),
+    "group" -> ((ctx, fc) => fc.args.map(a => eval(a, ctx)).reduce(_ unionByName _)),
+    "unique" -> ((ctx, fc) => SeriesOps.unique(fc.args.map(a => eval(a, ctx)).reduce(_ unionByName _))),
+    "asPercent" -> ((ctx, fc) =>
+      if (fc.args.length <= 1) SeriesOps.asPercentOfTotal(seriesArg(ctx, fc))
+      else SeriesOps.divideSeries(seriesArg(ctx, fc),
+        SeriesOps.aggregateSeries(seriesArg(ctx, fc, 1), "sum"))),
+    "divideSeries" -> ((ctx, fc) => SeriesOps.divideSeries(seriesArg(ctx, fc), seriesArg(ctx, fc, 1))),
+
+    // ---- grouping
+    "groupByNode" -> ((ctx, fc) => SeriesOps.groupByNodes(
+      seriesArg(ctx, fc), strArg(fc, 2, "callback", Some("average")), Seq(intArg(fc, 1)))),
+    "groupByNodes" -> ((ctx, fc) => SeriesOps.groupByNodes(
+      seriesArg(ctx, fc), strArg(fc, 1), intsFrom(fc, 2))),
+    "groupByTags" -> ((ctx, fc) => SeriesOps.groupByTags(
+      seriesArg(ctx, fc), strArg(fc, 1), fc.args.drop(2).map { case Str(s) => s; case NameExpr(s) => s; case o => o.print })),
+    "aggregateWithWildcards" -> ((ctx, fc) => SeriesOps.groupByNodes(
+      seriesArg(ctx, fc), strArg(fc, 1), Seq.empty, dropNodes = intsFrom(fc, 2))),
+    "sumSeriesWithWildcards" -> ((ctx, fc) => SeriesOps.groupByNodes(
+      seriesArg(ctx, fc), "sum", Seq.empty, dropNodes = intsFrom(fc, 1))),
+    "averageSeriesWithWildcards" -> ((ctx, fc) => SeriesOps.groupByNodes(
+      seriesArg(ctx, fc), "average", Seq.empty, dropNodes = intsFrom(fc, 1))),
+    "multiplySeriesWithWildcards" -> ((ctx, fc) => SeriesOps.groupByNodes(
+      seriesArg(ctx, fc), "multiply", Seq.empty, dropNodes = intsFrom(fc, 1))),
+
+    // ---- point-wise transforms
+    "absolute" -> ((ctx, fc) => SeriesOps.absolute(seriesArg(ctx, fc))),
+    "offset" -> ((ctx, fc) => SeriesOps.offset(seriesArg(ctx, fc), numArg(fc, 1))),
+    "add" -> ((ctx, fc) => SeriesOps.offset(seriesArg(ctx, fc), numArg(fc, 1))),
+    "offsetToZero" -> ((ctx, fc) => SeriesOps.offsetToZero(seriesArg(ctx, fc))),
+    "scale" -> ((ctx, fc) => SeriesOps.scale(seriesArg(ctx, fc), numArg(fc, 1))),
+    "scaleToSeconds" -> ((ctx, fc) => SeriesOps.scaleToSeconds(seriesArg(ctx, fc), numArg(fc, 1).toLong)),
+    "invert" -> ((ctx, fc) => SeriesOps.invert(seriesArg(ctx, fc))),
+    "pow" -> ((ctx, fc) => SeriesOps.powS(seriesArg(ctx, fc), numArg(fc, 1))),
+    "squareRoot" -> ((ctx, fc) => SeriesOps.squareRoot(seriesArg(ctx, fc))),
+    "exp" -> ((ctx, fc) => SeriesOps.expS(seriesArg(ctx, fc))),
+    "log" -> ((ctx, fc) => SeriesOps.logarithm(seriesArg(ctx, fc), numArg(fc, 1, "base", Some(10)))),
+    "logarithm" -> ((ctx, fc) => SeriesOps.logarithm(seriesArg(ctx, fc), numArg(fc, 1, "base", Some(10)))),
+    "logit" -> ((ctx, fc) => SeriesOps.logit(seriesArg(ctx, fc))),
+    "sigmoid" -> ((ctx, fc) => SeriesOps.sigmoid(seriesArg(ctx, fc))),
+    "round" -> ((ctx, fc) => SeriesOps.roundS(seriesArg(ctx, fc), intArg(fc, 1, "precision", Some(0)))),
+    "minMax" -> ((ctx, fc) => SeriesOps.minMax(seriesArg(ctx, fc))),
+    "isNonNull" -> ((ctx, fc) => SeriesOps.isNonNull(seriesArg(ctx, fc))),
+    "isNotNull" -> ((ctx, fc) => SeriesOps.isNonNull(seriesArg(ctx, fc))),
+    "transformNull" -> ((ctx, fc) => SeriesOps.transformNull(seriesArg(ctx, fc), numArg(fc, 1, "default", Some(0)))),
+    "removeBelowValue" -> ((ctx, fc) => SeriesOps.removeBelowValue(seriesArg(ctx, fc), numArg(fc, 1))),
+    "removeAboveValue" -> ((ctx, fc) => SeriesOps.removeAboveValue(seriesArg(ctx, fc), numArg(fc, 1))),
+    "removeBelowPercentile" -> ((ctx, fc) => SeriesOps.removeBelowPercentile(seriesArg(ctx, fc), numArg(fc, 1))),
+    "removeAbovePercentile" -> ((ctx, fc) => SeriesOps.removeAbovePercentile(seriesArg(ctx, fc), numArg(fc, 1))),
+    "timeSlice" -> ((ctx, fc) => SeriesOps.timeSlice(seriesArg(ctx, fc),
+      intervalArg(fc, 1, defaultSign = -1), intervalArg(fc, 2, defaultSign = -1))),
+
+    // ---- sequential
+    "derivative" -> ((ctx, fc) => SeriesOps.derivative(seriesArg(ctx, fc))),
+    "nonNegativeDerivative" -> ((ctx, fc) => SeriesOps.nonNegativeDerivative(
+      seriesArg(ctx, fc), numArg(fc, 1, "maxValue", Some(Double.NaN)))),
+    "perSecond" -> ((ctx, fc) => SeriesOps.perSecond(seriesArg(ctx, fc))),
+    "integral" -> ((ctx, fc) => SeriesOps.integral(seriesArg(ctx, fc))),
+    "integralByInterval" -> ((ctx, fc) => SeriesOps.integralByInterval(seriesArg(ctx, fc), intervalArg(fc, 1))),
+    "keepLastValue" -> ((ctx, fc) => SeriesOps.keepLastValue(
+      seriesArg(ctx, fc), numArg(fc, 1, "limit", Some(Double.PositiveInfinity)))),
+    "interpolate" -> ((ctx, fc) => SeriesOps.interpolateS(
+      seriesArg(ctx, fc), numArg(fc, 1, "limit", Some(Double.PositiveInfinity)))),
+    "changed" -> ((ctx, fc) => SeriesOps.changed(seriesArg(ctx, fc))),
+    "delay" -> ((ctx, fc) => SeriesOps.delay(seriesArg(ctx, fc), intArg(fc, 1))),
+
+    // ---- windowed
+    "movingAverage" -> movingFamily("average", "movingAverage"),
+    "movingSum" -> movingFamily("sum", "movingSum"),
+    "movingMin" -> movingFamily("min", "movingMin"),
+    "movingMax" -> movingFamily("max", "movingMax"),
+    "movingMedian" -> movingFamily("median", "movingMedian"),
+    "movingWindow" -> ((ctx, fc) => {
+      val func = strArg(fc, 2, "func", Some("average"))
+      movingFamily(func, "movingWindow")(ctx, fc)
+    }),
+    "exponentialMovingAverage" -> ((ctx, fc) => SeriesOps.ema(seriesArg(ctx, fc), intArg(fc, 1))),
+    "ewma" -> ((ctx, fc) => SeriesOps.ewma(seriesArg(ctx, fc), numArg(fc, 1))),
+    "exponentialWeightedMovingAverage" -> ((ctx, fc) => SeriesOps.ewma(seriesArg(ctx, fc), numArg(fc, 1))),
+    "summarize" -> ((ctx, fc) => SeriesOps.summarize(seriesArg(ctx, fc),
+      intervalArg(fc, 1), strArg(fc, 2, "func", Some("sum")), boolArg(fc, 3, "alignToFrom"))),
+    "hitcount" -> ((ctx, fc) => SeriesOps.hitcount(seriesArg(ctx, fc), intervalArg(fc, 1))),
+    "linearRegression" -> ((ctx, fc) => SeriesOps.linearRegression(seriesArg(ctx, fc))),
+
+    // ---- series filters
+    "filterSeries" -> ((ctx, fc) => SeriesOps.filterSeries(
+      seriesArg(ctx, fc), strArg(fc, 1), strArg(fc, 2), numArg(fc, 3))),
+    "averageAbove" -> ((ctx, fc) => SeriesOps.averageAbove(seriesArg(ctx, fc), numArg(fc, 1))),
+    "averageBelow" -> ((ctx, fc) => SeriesOps.averageBelow(seriesArg(ctx, fc), numArg(fc, 1))),
+    "maximumAbove" -> ((ctx, fc) => SeriesOps.maximumAbove(seriesArg(ctx, fc), numArg(fc, 1))),
+    "maximumBelow" -> ((ctx, fc) => SeriesOps.maximumBelow(seriesArg(ctx, fc), numArg(fc, 1))),
+    "minimumAbove" -> ((ctx, fc) => SeriesOps.minimumAbove(seriesArg(ctx, fc), numArg(fc, 1))),
+    "minimumBelow" -> ((ctx, fc) => SeriesOps.minimumBelow(seriesArg(ctx, fc), numArg(fc, 1))),
+    "currentAbove" -> ((ctx, fc) => SeriesOps.currentAbove(seriesArg(ctx, fc), numArg(fc, 1))),
+    "currentBelow" -> ((ctx, fc) => SeriesOps.currentBelow(seriesArg(ctx, fc), numArg(fc, 1))),
+    "highest" -> ((ctx, fc) => SeriesOps.highest(seriesArg(ctx, fc),
+      intArg(fc, 1, default = Some(1)), strArg(fc, 2, "func", Some("average")))),
+    "lowest" -> ((ctx, fc) => SeriesOps.lowest(seriesArg(ctx, fc),
+      intArg(fc, 1, default = Some(1)), strArg(fc, 2, "func", Some("average")))),
+    "highestAverage" -> highestFamily("average"), "lowestAverage" -> lowestFamily("average"),
+    "highestMax" -> highestFamily("max"),
+    "highestCurrent" -> highestFamily("last"), "lowestCurrent" -> lowestFamily("last"),
+    "mostDeviant" -> ((ctx, fc) => SeriesOps.mostDeviant(seriesArg(ctx, fc), intArg(fc, 1, default = Some(1)))),
+    "removeEmptySeries" -> ((ctx, fc) => SeriesOps.removeEmptySeries(
+      seriesArg(ctx, fc), numArg(fc, 1, "xFilesFactor", Some(0.0)))),
+    "removeZeroSeries" -> ((ctx, fc) => SeriesOps.removeZeroSeries(seriesArg(ctx, fc))),
+    "exclude" -> ((ctx, fc) => SeriesOps.excludeS(seriesArg(ctx, fc), strArg(fc, 1))),
+    "grep" -> ((ctx, fc) => SeriesOps.grepS(seriesArg(ctx, fc), strArg(fc, 1))),
+    "limit" -> ((ctx, fc) => SeriesOps.limitS(seriesArg(ctx, fc), intArg(fc, 1))),
+
+    // ---- sort / naming
+    "sortBy" -> ((ctx, fc) => SeriesOps.sortBy(seriesArg(ctx, fc),
+      strArg(fc, 1, "func", Some("average")), boolArg(fc, 2, "reverse"))),
+    "sortByName" -> ((ctx, fc) => SeriesOps.sortByName(seriesArg(ctx, fc), boolArg(fc, 2, "reverse"))),
+    "sortByTotal" -> ((ctx, fc) => SeriesOps.sortByTotal(seriesArg(ctx, fc))),
+    "sortByMaxima" -> ((ctx, fc) => SeriesOps.sortByMaxima(seriesArg(ctx, fc))),
+    "sortByMinima" -> ((ctx, fc) => SeriesOps.sortByMinima(seriesArg(ctx, fc))),
+    "alias" -> ((ctx, fc) => SeriesOps.alias(seriesArg(ctx, fc), strArg(fc, 1))),
+    "aliasByMetric" -> ((ctx, fc) => SeriesOps.aliasByMetric(seriesArg(ctx, fc))),
+    "aliasByNode" -> ((ctx, fc) => SeriesOps.aliasByNode(seriesArg(ctx, fc), intsFrom(fc, 1))),
+    "aliasSub" -> ((ctx, fc) => SeriesOps.aliasSub(seriesArg(ctx, fc), strArg(fc, 1), strArg(fc, 2))),
+    "toLowerCase" -> ((ctx, fc) => SeriesOps.toLowerCaseS(seriesArg(ctx, fc))),
+    "toUpperCase" -> ((ctx, fc) => SeriesOps.toUpperCaseS(seriesArg(ctx, fc))),
+    "lower" -> ((ctx, fc) => SeriesOps.toLowerCaseS(seriesArg(ctx, fc))),
+    "upper" -> ((ctx, fc) => SeriesOps.toUpperCaseS(seriesArg(ctx, fc))),
+
+    // ---- generators
+    "constantLine" -> ((ctx, fc) => constantLine(ctx, numArg(fc, 0))),
+    "timeFunction" -> ((ctx, fc) => timeFunction(ctx, strArg(fc, 0), intArg(fc, 1, "step", Some(60)))),
+    "time" -> ((ctx, fc) => timeFunction(ctx, strArg(fc, 0), intArg(fc, 1, "step", Some(60))))
+  )
+
+  /** constantLine: 3-point flat series over the request range.
+    * (ref constantLine/function.go) */
+  private def constantLine(ctx: Ctx, value: Double): DataFrame = {
+    val sp = ctx.spark
+    import sp.implicits._
+    val name = SeriesOps.fmtNum(value)
+    val (from, until) =
+      if (ctx.from > Long.MinValue / 8) (ctx.from, ctx.until) else (0L, 7200L)
+    val step = math.max((until - from) / 2, 1L)
+    Seq(graft.core.Series(name, Map("name" -> name), from, step, Array(value, value, value))).toDF()
+  }
+
+  /** time(name, step): value = its own timestamp. (ref timeFunction/function.go) */
+  private def timeFunction(ctx: Ctx, name: String, step: Int): DataFrame = {
+    val sp = ctx.spark
+    import sp.implicits._
+    val (from, until) =
+      if (ctx.from > Long.MinValue / 8) (ctx.from, ctx.until) else (0L, 3600L)
+    val n = math.max(((until - from) / step).toInt, 1)
+    Seq(graft.core.Series(name, Map("name" -> name), from, step.toLong,
+      Array.tabulate(n)(i => (from + i.toLong * step).toDouble))).toDF()
+  }
+}

@@ -1,0 +1,426 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import graft.core.{Glob, Kernels, SeriesFrame, VecOps}
+
+/**
+ * The Graphite operator library over the canonical series frame
+ * (name, tags, start, step, values ARRAY<DOUBLE>).
+ *
+ * Design rules (scale-first):
+ *  - point-wise ops are `transform` higher-order functions → whole-stage
+ *    codegen, zero shuffle;
+ *  - sequential recurrences are vector UDFs — one series per row keeps the
+ *    state local, zero shuffle;
+ *  - cross-series aggregation folds whole vectors via [[VectorAggregator]]
+ *    (map-side partial aggregation; shuffle = one array per series-group),
+ *    falling back to an exploded point shuffle only for holistic
+ *    consolidations (median/percentile/diff ordering);
+ *  - series filters/top-k compile to `WHERE`/`ORDER BY+LIMIT` so Catalyst
+ *    plans TakeOrderedAndProject instead of a global sort.
+ */
+object SeriesOps {
+  import SeriesFrame.{mapVec, rewrap, vecScalar}
+
+  private implicit val vecAggInEnc: org.apache.spark.sql.Encoder[VecAggInput] = Encoders.product[VecAggInput]
+
+  // ---------------------------------------------------------------- combine
+
+  /**
+   * Point-wise aggregation of all series (optionally per group key) into one
+   * series per group. (ref expr/functions/aggregate/function.go:25-97,
+   * helper.AggregateSeries expr/helper/helper.go:151-188)
+   *
+   * @param groupKey optional grouping column (e.g. node key); None = all→1
+   */
+  def aggregateSeries(df: DataFrame, func: String, xff: Double = 0.0,
+                      nameFor: Column => Column = identity,
+                      groupKey: Option[Column] = None): DataFrame = {
+    val key = groupKey.getOrElse(lit(""))
+    val grouped =
+      if (VectorAggregator.decomposable(func)) {
+        val agg = udaf(new VectorAggregator(func, xff))
+        df.groupBy(key.as("gk"))
+          .agg(agg(col("start"), col("step"), col("values")).as("r"))
+          .select(col("gk"), col("r.start").as("start"), col("r.step").as("step"), col("r.values").as("values"))
+      } else {
+        // Holistic funcs need the full per-point distribution, in series order
+        // (diff/first/last are order-sensitive): explode, shuffle points by
+        // (group, ts), aggregate with the exact reference kernel.
+        val ordered = df.withColumn("gk", key)
+        val pts = ordered.select(col("gk"), col("name"), col("start"), col("step"),
+            posexplode(col("values")).as(Seq("pos", "value")))
+          .withColumn("ts", col("start") + col("pos") * col("step"))
+        val kernel = udf((vals: Seq[org.apache.spark.sql.Row]) => {
+          val sorted = vals.sortBy(_.getString(0)).map(_.getDouble(1)).toArray
+          Kernels.summarizeValues(func, sorted, xff.toFloat)
+        })
+        val perTs = pts.groupBy(col("gk"), col("ts"), col("step"))
+          .agg(kernel(collect_list(struct(col("name"), col("value")))).as("value"))
+        val bounds = perTs.groupBy(col("gk"), col("step"))
+          .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        perTs.join(bounds, Seq("gk", "step"))
+          .groupBy(col("gk"), col("step"), col("t0"), col("t1"))
+          .agg(map_from_entries(collect_list(struct(col("ts"), col("value")))).as("m"))
+          .select(col("gk"), col("t0").as("start"), col("step"),
+            transform(sequence(col("t0"), col("t1"), col("step")),
+              t => coalesce(element_at(col("m"), t), lit(Double.NaN))).as("values"))
+      }
+    grouped.select(
+      nameFor(col("gk")).as("name"),
+      map(lit("name"), nameFor(col("gk")), lit("aggregatedBy"), lit(func)).as("tags"),
+      col("start"), col("step"), col("values"))
+  }
+
+  /** sumSeries / averageSeries / … canonical naming: `fnSeries(rawArgs)`. */
+  def aggregateNamed(df: DataFrame, func: String, rawArgs: String, xff: Double = 0.0): DataFrame =
+    aggregateSeries(df, func, xff, nameFor = _ => lit(s"${canonAgg(func)}Series($rawArgs)"))
+
+  private def canonAgg(f: String): String = f match {
+    case "avg" | "average" => "average"
+    case "total" => "sum"
+    case x => x
+  }
+
+  /** groupByNode(s): aggregate per dot-node key; `dropNodes` instead keeps
+    * all nodes EXCEPT the listed positions (the WithWildcards family, ref
+    * aggregateWithWildcards/function.go). (ref groupByNode/function.go:30-140) */
+  def groupByNodes(df: DataFrame, func: String, nodes: Seq[Int], dropNodes: Seq[Int] = Nil): DataFrame = {
+    val key =
+      if (dropNodes.nonEmpty) {
+        val u = udf((n: String, drop: Seq[Int]) => {
+          val parts = n.split('.')
+          val dropSet = drop.map(i => if (i < 0) parts.length + i else i).toSet
+          parts.zipWithIndex.collect { case (p, i) if !dropSet(i) => p }.mkString(".")
+        })
+        u(col("name"), typedlit(dropNodes))
+      } else nodeKey(col("name"), nodes)
+    aggregateSeries(df, func, groupKey = Some(key), nameFor = identity)
+  }
+
+  /** groupByTags: aggregate per tag-values key. (ref groupByTags/function.go) */
+  def groupByTags(df: DataFrame, func: String, tagKeys: Seq[String]): DataFrame = {
+    val key = concat_ws(";", tagKeys.map(t => coalesce(element_at(col("tags"), t), lit(""))): _*)
+    aggregateSeries(df, func, groupKey = Some(key), nameFor = identity)
+  }
+
+  /** Dot-node key extraction with negative indices (ref helper.AggKey,
+    * expr/helper/helper.go:85-109). */
+  def nodeKey(name: Column, nodes: Seq[Int]): Column = {
+    val u = udf((n: String, idx: Seq[Int]) => {
+      val parts = n.split('.')
+      idx.flatMap { i =>
+        val j = if (i < 0) parts.length + i else i
+        if (j >= 0 && j < parts.length) Some(parts(j)) else None
+      }.mkString(".")
+    })
+    u(name, typedlit(nodes))
+  }
+
+  /** asPercent with no total: each point as % of the per-ts sum over all
+    * series. The total is ONE aggregated row → broadcast join back, zero
+    * extra shuffle of the big side. (ref asPercent/function.go:40-250 mode 1) */
+  def asPercentOfTotal(df: DataFrame): DataFrame = {
+    val total = aggregateSeries(df, "sum")
+      .select(col("values").as("totValues"), col("start").as("totStart"))
+    df.crossJoin(broadcast(total))
+      .withColumn("values",
+        zip_with(col("values"), col("totValues"), (v, t) => v / t * lit(100.0)))
+      .drop("totValues", "totStart")
+      .transform(d => rewrap(d, "asPercent"))
+  }
+
+  /** divideSeries: every dividend ÷ the single divisor series; 0/NaN divisor →
+    * NaN. (ref divideSeries/function.go) */
+  def divideSeries(dividends: DataFrame, divisor: DataFrame): DataFrame = {
+    val d1 = divisor.select(col("name").as("divName"), col("values").as("divValues"))
+    dividends.crossJoin(broadcast(d1))
+      .withColumn("values",
+        zip_with(col("values"), col("divValues"),
+          (v, d) => when(isnan(d) || d === 0.0, lit(Double.NaN)).otherwise(v / d)))
+      .withColumn("name", concat(lit("divideSeries("), col("name"), lit(","), col("divName"), lit(")")))
+      .drop("divName", "divValues")
+  }
+
+  // ------------------------------------------------------------- point-wise
+  // All are codegen'd `transform` HOFs: no UDF boundary, no shuffle.
+
+  def mapPointwise(df: DataFrame, f: Column => Column): DataFrame =
+    df.withColumn("values", transform(col("values"), f))
+
+  def absolute(df: DataFrame): DataFrame = rewrap(mapPointwise(df, abs(_)), "absolute")
+  def offset(df: DataFrame, c: Double): DataFrame =
+    rewrap(mapPointwise(df, _ + lit(c)), "offset", Seq(fmtNum(c)))
+  def scale(df: DataFrame, c: Double): DataFrame =
+    rewrap(mapPointwise(df, _ * lit(c)), "scale", Seq(fmtNum(c)))
+  def invert(df: DataFrame): DataFrame = rewrap(mapPointwise(df, lit(1.0) / _), "invert")
+  def powS(df: DataFrame, c: Double): DataFrame = rewrap(mapPointwise(df, pow(_, lit(c))), "pow", Seq(fmtNum(c)))
+  def squareRoot(df: DataFrame): DataFrame = rewrap(mapPointwise(df, sqrt(_)), "squareRoot")
+  def expS(df: DataFrame): DataFrame = rewrap(mapPointwise(df, exp(_)), "exp")
+  def logarithm(df: DataFrame, base: Double = 10): DataFrame =
+    rewrap(mapPointwise(df, v => log(base, v)), "log", Seq(fmtNum(base)))
+  def logit(df: DataFrame): DataFrame = rewrap(mapPointwise(df, v => log(v / (lit(1.0) - v))), "logit")
+  def sigmoid(df: DataFrame): DataFrame =
+    rewrap(mapPointwise(df, v => lit(1.0) / (lit(1.0) + exp(-v))), "sigmoid")
+  def squareS(df: DataFrame): DataFrame = rewrap(mapPointwise(df, v => v * v), "pow", Seq("2"))
+
+  /** scaleToSeconds: v * seconds/step. (ref scaleToSeconds/function.go) */
+  def scaleToSeconds(df: DataFrame, seconds: Long): DataFrame =
+    rewrap(df.withColumn("values",
+      transform(col("values"), v => v * lit(seconds.toDouble) / col("step"))),
+      "scaleToSeconds", Seq(seconds.toString))
+
+  /** offsetToZero: v - min(series). (ref offsetToZero/function.go) */
+  def offsetToZero(df: DataFrame): DataFrame = {
+    val minC = vecScalar(Kernels.min)(col("values"))
+    rewrap(df.withColumn("_m", minC)
+      .withColumn("values", transform(col("values"), v => v - col("_m")))
+      .drop("_m"), "offsetToZero")
+  }
+
+  /** minMax: (v-min)/(max-min) per series; degenerate range → 0. (ref minMax/function.go) */
+  def minMax(df: DataFrame): DataFrame = {
+    val minC = vecScalar(Kernels.min)(col("values"))
+    val maxC = vecScalar(Kernels.max)(col("values"))
+    rewrap(df.withColumn("_lo", minC).withColumn("_hi", maxC)
+      .withColumn("values", transform(col("values"),
+        v => when(col("_hi") === col("_lo"), when(isnan(v), v).otherwise(lit(0.0)))
+          .otherwise((v - col("_lo")) / (col("_hi") - col("_lo")))))
+      .drop("_lo", "_hi"), "minMax")
+  }
+
+  def isNonNull(df: DataFrame): DataFrame =
+    rewrap(mapPointwise(df, v => when(isnan(v), lit(0.0)).otherwise(lit(1.0))), "isNonNull")
+
+  def transformNull(df: DataFrame, default: Double): DataFrame =
+    rewrap(mapPointwise(df, v => when(isnan(v), lit(default)).otherwise(v)),
+      "transformNull", Seq(fmtNum(default)))
+
+  def removeBelowValue(df: DataFrame, n: Double): DataFrame =
+    rewrap(mapPointwise(df, v => when(v < lit(n), lit(Double.NaN)).otherwise(v)),
+      "removeBelowValue", Seq(fmtNum(n)))
+  def removeAboveValue(df: DataFrame, n: Double): DataFrame =
+    rewrap(mapPointwise(df, v => when(v > lit(n), lit(Double.NaN)).otherwise(v)),
+      "removeAboveValue", Seq(fmtNum(n)))
+
+  def removeBelowPercentile(df: DataFrame, n: Double): DataFrame = {
+    val pc = vecScalar(v => Kernels.percentile(v, n, interpolate = false))(col("values"))
+    rewrap(df.withColumn("_p", pc)
+      .withColumn("values", transform(col("values"), v => when(v < col("_p"), lit(Double.NaN)).otherwise(v)))
+      .drop("_p"), "removeBelowPercentile", Seq(fmtNum(n)))
+  }
+  def removeAbovePercentile(df: DataFrame, n: Double): DataFrame = {
+    val pc = vecScalar(v => Kernels.percentile(v, n, interpolate = false))(col("values"))
+    rewrap(df.withColumn("_p", pc)
+      .withColumn("values", transform(col("values"), v => when(v > col("_p"), lit(Double.NaN)).otherwise(v)))
+      .drop("_p"), "removeAbovePercentile", Seq(fmtNum(n)))
+  }
+
+  /** round to precision with banker's rounding (ref helper.SafeRound). */
+  def roundS(df: DataFrame, precision: Int): DataFrame = {
+    val u = udf((v: Seq[Double]) => v.map(Kernels.safeRound(_, precision)))
+    rewrap(df.withColumn("values", u(col("values"))), "round", Seq(precision.toString))
+  }
+
+  /** timeSlice: NaN outside [startTs, endTs]. (ref timeSlice/function.go) */
+  def timeSlice(df: DataFrame, startTs: Long, endTs: Long): DataFrame =
+    rewrap(df.withColumn("values",
+      transform(col("values"), (v, i) => {
+        val ts = col("start") + i.cast("long") * col("step")
+        when(ts < lit(startTs) || ts > lit(endTs), lit(Double.NaN)).otherwise(v)
+      })), "timeSlice")
+
+  // ------------------------------------------------------------- sequential
+
+  def derivative(df: DataFrame): DataFrame = rewrap(mapVec(df, VecOps.derivative), "derivative")
+  def nonNegativeDerivative(df: DataFrame, maxValue: Double = Double.NaN): DataFrame =
+    rewrap(mapVec(df, VecOps.nonNegativeDerivative(_, maxValue)), "nonNegativeDerivative")
+  def perSecond(df: DataFrame): DataFrame = {
+    val u = udf((v: Seq[Double], step: Long) => VecOps.perSecond(v.toArray, step))
+    rewrap(df.withColumn("values", u(col("values"), col("step"))), "perSecond")
+  }
+  def integral(df: DataFrame): DataFrame = rewrap(mapVec(df, VecOps.integral), "integral")
+  def integralByInterval(df: DataFrame, interval: Long): DataFrame = {
+    val u = udf((v: Seq[Double], start: Long, step: Long) =>
+      VecOps.integralByInterval(v.toArray, start, step, interval))
+    rewrap(df.withColumn("values", u(col("values"), col("start"), col("step"))),
+      "integralByInterval", Seq(s"'${interval}s'"))
+  }
+  def keepLastValue(df: DataFrame, limit: Double = Double.PositiveInfinity): DataFrame =
+    rewrap(mapVec(df, VecOps.keepLastValue(_, limit)), "keepLastValue")
+  def interpolateS(df: DataFrame, limit: Double = Double.PositiveInfinity): DataFrame =
+    rewrap(mapVec(df, VecOps.interpolate(_, limit)), "interpolate")
+  def changed(df: DataFrame): DataFrame = rewrap(mapVec(df, VecOps.changed), "changed")
+  def delay(df: DataFrame, steps: Int): DataFrame =
+    rewrap(mapVec(df, VecOps.delay(_, steps)), "delay", Seq(steps.toString))
+
+  // --------------------------------------------------------------- windowed
+
+  /**
+   * moving{Average,Sum,Min,Max,Median,Window}: trailing n-point window.
+   * The input is expected to be fetched with `start` widened by n*step
+   * (planner concern — ref pkg/parser/parser.go:255-268); output is
+   * re-stamped to start+n*step with len-n points
+   * (ref moving/function.go:186-250).
+   */
+  def movingWindow(df: DataFrame, n: Int, func: String, xff: Double = 0.0, fnName: String = "movingWindow"): DataFrame = {
+    val u = udf((v: Seq[Double]) => VecOps.movingWindow(v.toArray, n, func, xff))
+    rewrap(df.withColumn("values", u(col("values")))
+      .withColumn("start", col("start") + lit(n.toLong) * col("step")),
+      fnName, Seq(n.toString))
+  }
+
+  /** summarize: re-bucket into `interval`-second buckets.
+    * (ref summarize/function.go:43-150; bucket alignment helper.AlignToBucketSize) */
+  def summarize(df: DataFrame, interval: Long, func: String = "sum", alignToFrom: Boolean = false): DataFrame = {
+    val u = udf((v: Seq[Double], start: Long, step: Long) => {
+      val vals = v.toArray
+      val newStart = if (alignToFrom) start else math.floorDiv(start, interval) * interval
+      val stop = start + vals.length * step
+      val nOut = math.ceil((stop - newStart).toDouble / interval).toInt
+      val out = new Array[Double](math.max(nOut, 0))
+      var b = 0
+      while (b < nOut) {
+        val bLo = newStart + b * interval
+        val bHi = bLo + interval
+        val iLo = math.max(((bLo - start + step - 1) / step).toInt, 0)
+        val iHi = math.min(math.ceil((bHi - start).toDouble / step).toInt, vals.length)
+        val bucket = if (iHi > iLo) java.util.Arrays.copyOfRange(vals, iLo, iHi) else Array.empty[Double]
+        out(b) = Kernels.summarizeValues(func, bucket, 0f)
+        b += 1
+      }
+      (newStart, out)
+    })
+    val argStr = s"""'${interval}s',"'$func'""""
+    df.withColumn("_r", u(col("values"), col("start"), col("step")))
+      .withColumn("start", col("_r._1"))
+      .withColumn("values", col("_r._2"))
+      .withColumn("step", lit(interval))
+      .drop("_r")
+      .transform(d => rewrap(d, "summarize", Seq(s"\"${interval}s\"", s"\"$func\"")))
+  }
+
+  /** hitcount: per-bucket sum of value*step. (ref hitcount/function.go) */
+  def hitcount(df: DataFrame, interval: Long): DataFrame = {
+    val scaled = df.withColumn("values",
+      transform(col("values"), v => v * col("step").cast("double")))
+    summarize(scaled, interval, "sum")
+      .withColumn("name", regexp_replace(col("name"), "^summarize\\(", "hitcount("))
+  }
+
+  def ema(df: DataFrame, window: Int): DataFrame =
+    rewrap(mapVec(df, VecOps.ema(_, window)), "exponentialMovingAverage", Seq(window.toString))
+
+  def ewma(df: DataFrame, alpha: Double): DataFrame =
+    rewrap(mapVec(df, VecOps.emaAlpha(_, alpha)), "ewma", Seq(fmtNum(alpha)))
+
+  /** linearRegression: replace each series by its least-squares line. */
+  def linearRegression(df: DataFrame): DataFrame = {
+    val u = udf((v: Seq[Double]) => {
+      val (slope, icept) = VecOps.linFit(v.toArray)
+      v.indices.map(i => icept + slope * i).toArray
+    })
+    rewrap(df.withColumn("values", u(col("values"))), "linearRegression")
+  }
+
+  // ---------------------------------------------------------------- filters
+
+  def scalarOf(func: String): Column = vecScalar(Kernels.byName(func))(col("values"))
+
+  def filterSeries(df: DataFrame, func: String, op: String, threshold: Double): DataFrame = {
+    val s = scalarOf(func)
+    val cond = op match {
+      case "="  => s === lit(threshold)
+      case "!=" => s =!= lit(threshold)
+      case ">"  => s > lit(threshold)
+      case ">=" => s >= lit(threshold)
+      case "<"  => s < lit(threshold)
+      case "<=" => s <= lit(threshold)
+      case other => throw new IllegalArgumentException(s"filterSeries: bad op $other")
+    }
+    df.where(cond)
+  }
+
+  def averageAbove(df: DataFrame, n: Double): DataFrame = filterSeries(df, "average", ">", n)
+  def averageBelow(df: DataFrame, n: Double): DataFrame = filterSeries(df, "average", "<", n)
+  def maximumAbove(df: DataFrame, n: Double): DataFrame = filterSeries(df, "max", ">", n)
+  def maximumBelow(df: DataFrame, n: Double): DataFrame = filterSeries(df, "max", "<", n)
+  def minimumAbove(df: DataFrame, n: Double): DataFrame = filterSeries(df, "min", ">", n)
+  def minimumBelow(df: DataFrame, n: Double): DataFrame = filterSeries(df, "min", "<", n)
+  def currentAbove(df: DataFrame, n: Double): DataFrame = filterSeries(df, "last", ">", n)
+  def currentBelow(df: DataFrame, n: Double): DataFrame = filterSeries(df, "last", "<", n)
+
+  /** top/bottom-k by per-series scalar → Catalyst TakeOrderedAndProject.
+    * (ref highestLowest/function.go:45-150 — heap-based top-k) */
+  def highest(df: DataFrame, n: Int, func: String = "average"): DataFrame = {
+    val s = when(isnan(scalarOf(func)), lit(Double.NegativeInfinity)).otherwise(scalarOf(func))
+    df.orderBy(s.desc, col("name")).limit(n)
+  }
+  def lowest(df: DataFrame, n: Int, func: String = "average"): DataFrame = {
+    val s = when(isnan(scalarOf(func)), lit(Double.PositiveInfinity)).otherwise(scalarOf(func))
+    df.orderBy(s.asc, col("name")).limit(n)
+  }
+  def mostDeviant(df: DataFrame, n: Int): DataFrame = highest(df, n, "stddev")
+
+  def removeEmptySeries(df: DataFrame, xff: Double = 0.0): DataFrame = {
+    if (xff <= 0) df.where(exists(col("values"), v => !isnan(v)))
+    else {
+      val frac = vecScalar(v => { val nn = v.count(x => !Kernels.isNaN(x)); if (v.isEmpty) 0.0 else nn.toDouble / v.length })(col("values"))
+      df.where(frac >= lit(xff))
+    }
+  }
+  def removeZeroSeries(df: DataFrame): DataFrame =
+    df.where(exists(col("values"), v => !isnan(v) && v =!= 0.0))
+
+  def excludeS(df: DataFrame, pattern: String): DataFrame = df.where(!col("name").rlike(pattern))
+  def grepS(df: DataFrame, pattern: String): DataFrame = df.where(col("name").rlike(pattern))
+  def limitS(df: DataFrame, n: Int): DataFrame = df.orderBy(col("name")).limit(n)
+
+  def unique(df: DataFrame): DataFrame = df.dropDuplicates("name")
+
+  // ------------------------------------------------------------ sort / name
+
+  def sortByName(df: DataFrame, reverse: Boolean = false): DataFrame =
+    df.orderBy(if (reverse) col("name").desc else col("name").asc)
+
+  /** sortBy: order by per-series summarized scalar; NaN sorts lowest. */
+  def sortBy(df: DataFrame, func: String = "average", reverse: Boolean = false): DataFrame = {
+    val raw = vecScalar(v => Kernels.summarizeValues(func, v))(col("values"))
+    val s = when(isnan(raw), lit(Double.NegativeInfinity)).otherwise(raw)
+    df.orderBy(if (reverse) s.desc else s.asc, col("name"))
+  }
+  def sortByTotal(df: DataFrame): DataFrame = sortBy(df, "sum", reverse = true)
+  def sortByMaxima(df: DataFrame): DataFrame = sortBy(df, "max", reverse = true)
+  def sortByMinima(df: DataFrame): DataFrame = sortBy(df, "min")
+
+  def alias(df: DataFrame, newName: String): DataFrame =
+    df.withColumn("name", lit(newName))
+      .withColumn("tags", map_concat(map_filter(col("tags"), (k, _) => k =!= "name"), map(lit("name"), lit(newName))))
+
+  def aliasByMetric(df: DataFrame): DataFrame =
+    df.withColumn("name", element_at(split(col("name"), "\\."), -1))
+
+  def aliasByNode(df: DataFrame, nodes: Seq[Int]): DataFrame =
+    df.withColumn("name", nodeKey(col("name"), nodes))
+
+  /** aliasSub: regex rename, Go backrefs `\1` → Java `$1`. (ref aliasSub/function.go) */
+  def aliasSub(df: DataFrame, search: String, replace: String): DataFrame = {
+    val javaRepl = replace.replaceAll("""\\(\d+)""", "\\$$$1")
+    df.withColumn("name", regexp_replace(col("name"), search, javaRepl))
+  }
+
+  def toLowerCaseS(df: DataFrame): DataFrame = df.withColumn("name", lower(col("name")))
+  def toUpperCaseS(df: DataFrame): DataFrame = df.withColumn("name", upper(col("name")))
+
+  // ------------------------------------------------------------------ util
+
+  /** Graphite formats float args without trailing .0 for integral values. */
+  def fmtNum(d: Double): String =
+    if (d == math.rint(d) && !d.isInfinite) d.toLong.toString else d.toString
+
+  /** Filter a series frame by a Graphite name glob. */
+  def whereGlob(df: DataFrame, glob: String): DataFrame =
+    if (Glob.isGlob(glob)) df.where(col("name").rlike(Glob.toRegex(glob)))
+    else df.where(col("name") === glob)
+}

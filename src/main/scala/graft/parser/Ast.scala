@@ -1,0 +1,38 @@
+package graft.parser
+
+/**
+ * Graphite target-expression IR, mirroring the reference's `expr` struct
+ * (ref pkg/parser/parser.go:20-28: etype Name|Func|Const|String|Bool).
+ */
+sealed trait Ast {
+  /** Canonical source form — used for result naming (`sumSeries(rawArgs)`). */
+  def print: String
+}
+
+/** Metric path / glob leaf (possibly a seriesByTag(...) opaque target). */
+final case class NameExpr(target: String) extends Ast {
+  def print: String = target
+}
+
+final case class Num(v: Double) extends Ast {
+  def print: String =
+    if (v == math.rint(v) && !v.isInfinite && math.abs(v) < 1e15) v.toLong.toString else v.toString
+}
+
+final case class Str(v: String) extends Ast {
+  def print: String = "'" + v + "'"
+}
+
+final case class BoolLit(v: Boolean) extends Ast {
+  def print: String = v.toString
+}
+
+final case class FuncCall(name: String, args: Seq[Ast], named: Map[String, Ast]) extends Ast {
+  def print: String = {
+    val pos = args.map(_.print)
+    val kw = named.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${v.print}" }
+    s"$name(${(pos ++ kw).mkString(",")})"
+  }
+  /** Raw printed argument list (naming discipline input). */
+  def rawArgs: String = print.stripPrefix(name + "(").stripSuffix(")")
+}

@@ -1,0 +1,188 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Large-scale document deduplication operators over a `documents` table
+ * (doc_id BIGINT, text STRING, ...).
+ *
+ * Scale design: every method is a pure DataFrame pipeline — hashing and
+ * shingling run map-side (codegen'd built-ins or tight UDFs), the only
+ * shuffles are the groupBy on hash/band keys, and candidate verification
+ * joins are band-bucket joins (never an all-pairs cross join). At 100 TB the
+ * band join's key cardinality scales with corpus size, keeping partitions
+ * bounded; skewed buckets (boilerplate text) are handled by AQE skew-join.
+ */
+object Dedup {
+
+  /** Exact dedup on md5(text): one row per distinct content, keeper =
+    * min(doc_id), plus the duplicate count. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup: keep the lowest doc_id per distinct text. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val keep = exactGroups(docs).select(col("keeper_doc_id").as("doc_id"))
+    docs.join(keep, "doc_id", "left_semi")
+  }
+
+  // ------------------------------------------------------------- shingling
+
+  /** Normalized word k-shingles as a distinct array column. */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+")
+    val clean = filter(words, w => length(w) > 0)
+    array_distinct(
+      filter(
+        transform(clean, (_, i) => concat_ws(" ", slice(clean, i + lit(1), lit(k)))),
+        s => size(split(s, " ")) === k))
+  }
+
+  /** 64-bit stable hash of a string column (xxhash64 — codegen'd built-in). */
+  private def h64(c: Column, seed: Int): Column = xxhash64(c, lit(seed))
+
+  /** splitmix64 finalizer — cheap independent re-mix of a base hash per
+    * seed (public-domain bit mixer). */
+  private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /**
+   * MinHash signatures: `numHashes` permutations over the shingle set;
+   * signature(i) = min over shingles of mix(hash(shingle), i).
+   *
+   * Split in two stages on purpose: shingle strings are hashed ONCE by a
+   * codegen'd `xxhash64` HOF, then a vector UDF does the numHashes×shingles
+   * min-fold on primitive longs. (A pure-HOF formulation re-inlines the
+   * whole shingling expression once per seed — 64× codegen blowup measured
+   * at ~80 s for 500 docs.)
+   */
+  def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 64): Column = {
+    val baseHashes = transform(shingles(text, k), s => xxhash64(s))
+    val sigUdf = udf((hs: Seq[Long]) => {
+      val out = new Array[Long](numHashes)
+      var i = 0
+      while (i < numHashes) {
+        var m = Long.MaxValue
+        val it = hs.iterator
+        while (it.hasNext) {
+          val h = splitmix64(it.next() + i * 0x9E3779B97F4A7C15L)
+          if (h < m) m = h
+        }
+        out(i) = m
+        i += 1
+      }
+      out
+    })
+    sigUdf(baseHashes)
+  }
+
+  /**
+   * MinHash + LSH near-duplicate pairs: signatures are banded
+   * (`bands` × `rowsPerBand`), docs sharing any band bucket become
+   * candidates, candidates are verified by estimated Jaccard =
+   * fraction of matching signature positions >= threshold.
+   *
+   * The join is bucket-equality on (band, bandHash) — candidate count scales
+   * with true duplicate density, not corpus².
+   */
+  def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = docs.select(col("doc_id"), minhashSignature(col("text"), k, numHashes).as("sig"))
+    val banded = sigs.select(
+        col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))).as(Seq("band", "bandHash")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sigA"), col("b.sig").as("sigB"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sigA"), col("sigB"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))
+      .where(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /**
+   * SimHash: 64-bit locality-sensitive fingerprint — sign of the per-bit
+   * sum of token hashes. Near-dup candidates = fingerprints within
+   * `maxHammingDistance` (verified pairwise on band-partitioned buckets).
+   */
+  def simhash(text: Column): Column = {
+    val words = filter(split(lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+"), w => length(w) > 0)
+    // hash tokens once (codegen'd), then fold the 64 bit-votes in a vector
+    // UDF on primitive longs — same two-stage split as minhashSignature.
+    val hashes = transform(words, w => xxhash64(w))
+    val fpUdf = udf((hs: Seq[Long]) => {
+      val votes = new Array[Int](64)
+      val it = hs.iterator
+      while (it.hasNext) {
+        val h = it.next()
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+      fp
+    })
+    fpUdf(hashes)
+  }
+
+  /** SimHash near-dup pairs within a Hamming radius, blocked on 4 16-bit
+    * bands (any exact band match → candidate; radius<=3 guarantees recall). */
+  def simhashPairs(docs: DataFrame, maxHammingDistance: Int = 3): DataFrame = {
+    val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
+    val banded = fp.select(col("doc_id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("fp"), b * lit(16)).bitwiseAND(lit(0xFFFFL)))).as(Seq("band", "key")))
+    val popcount = udf((x: Long) => java.lang.Long.bitCount(x))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        popcount(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .where(col("hamming") <= maxHammingDistance)
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity for candidate pairs: explode distinct
+   * shingle hashes, self-join on shingle (inverted index), count
+   * intersections per pair, divide by union. Shuffle key = shingle hash;
+   * hot shingles are bounded by `df` filtering (drop shingles appearing in
+   * more than `maxDocFreq` docs — standard inverted-index pruning).
+   */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+                        maxDocFreq: Long = 1000): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("setSize"))
+    val filtered = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq && col("df") >= 2),
+      "sh", "left_semi")
+    val inter = filtered.as("a").join(filtered.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("setSize", "sizeA"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("setSize", "sizeB"), "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") / (col("sizeA") + col("sizeB") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal (image/audio/video) pipeline plumbing: opaque `BINARY` payload
+ * columns plus typed metadata, processed per-partition in fixed-size batches.
+ *
+ * The decode kernels themselves are STUBBED (this container ships no
+ * image/audio codecs — see `decodeImageStub`): they produce deterministic
+ * fake features derived from the payload bytes. Everything Spark-side is
+ * real and tested: the schema contract, the `mapPartitions` batch shape
+ * (mirroring `mapInPandas`-style arrow batches), partition sizing, and the
+ * downstream feature columns.
+ */
+object Multimodal {
+
+  /** Canonical multimodal asset schema: payload + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("modality", StringType),          // image | audio | video
+    StructField("mime", StringType),
+    StructField("payload", BinaryType),           // opaque encoded bytes
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Build a deterministic synthetic asset table from `documents` (payload =
+    * UTF-8 bytes of the text — a stand-in opaque blob). */
+  def syntheticAssets(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      when(col("doc_id") % 3 === 0, "image").when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("modality"),
+      lit("application/octet-stream").as("mime"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("doc_id") % 640 + 32).cast("int").as("width"),
+      (col("doc_id") % 480 + 32).cast("int").as("height"),
+      (col("n_chars") * 10).cast("long").as("duration_ms"))
+
+  /**
+   * STUB decode kernel: a real deployment swaps this for an image decoder
+   * (e.g. arrow-batched JNI or `mapInPandas`+PIL on PySpark). Deterministic:
+   * "features" are byte-histogram moments of the payload.
+   */
+  def decodeImageStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val hist = new Array[Long](256)
+    payload.foreach(b => hist(b & 0xff) += 1)
+    val n = math.max(payload.length, 1)
+    Array.tabulate(dim) { i =>
+      val lo = i * 256 / dim; val hi = (i + 1) * 256 / dim
+      var s = 0L; var j = lo
+      while (j < hi) { s += hist(j); j += 1 }
+      s.toFloat / n
+    }
+  }
+
+  /**
+   * Feature extraction over asset batches. `mapPartitions` with an explicit
+   * batch buffer mirrors the arrow-batch execution shape of `mapInPandas`:
+   * the decode kernel sees `batchSize` payloads at a time (amortizing model
+   * / codec init), and the iterator never materializes the whole partition.
+   */
+  def extractFeatures(assets: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("modality", StringType),
+      StructField("features", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val projected = assets.select(col("asset_id"), col("modality"), col("payload"))
+    projected.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch "codec init" happens here in a real kernel
+        batch.map { r =>
+          val feats = decodeImageStub(r.getAs[Array[Byte]]("payload"), dim)
+          Row(r.getLong(0), r.getString(1), feats.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame sampling plan for video assets: every `everyMs`
+    * milliseconds, capped at `maxFrames` — pure column math, no decode. */
+  def frameSamplePlan(assets: DataFrame, everyMs: Long = 1000L, maxFrames: Int = 32): DataFrame =
+    assets.where(col("modality") === "video")
+      .select(col("asset_id"), col("duration_ms"),
+        sequence(lit(0L), least(col("duration_ms"), lit(everyMs * (maxFrames - 1))), lit(everyMs)).as("frame_ts_ms"))
+      .select(col("asset_id"), posexplode(col("frame_ts_ms")).as(Seq("frame_idx", "ts_ms")))
+}

@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`embeddings(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)`).
+ *
+ * Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+ * against the (huge) corpus, dot products via codegen'd `aggregate`/`zip_with`
+ * HOFs, ranked with a per-query window → TakeOrdered. Corpus side only ever
+ * streams; no corpus×corpus shuffle.
+ *
+ * Scale path: IVF — k-means-style coarse quantization to `nlist` centroids
+ * (trained on a sample), probe `nprobe` nearest cells per query so each query
+ * only scans ~nprobe/nlist of the corpus. Cell assignment is a broadcast join
+ * against the centroid table.
+ */
+object Similarity {
+
+  /** Codegen'd dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force cosine top-k: for each query vector, the k nearest corpus
+   * vectors (excluding itself). Queries are broadcast; ranking is a window
+   * per query id (k small → rank+filter ≈ top-k heap under AQE).
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /**
+   * Lloyd's k-means on a driver-collected sample (centroid count and sample
+   * are small; the expensive part — assignment over the full corpus — stays
+   * distributed as a broadcast join).
+   */
+  def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5, sampleN: Int = 10000): Array[(Int, Array[Double])] = {
+    val sample = corpus.select(col("embedding")).limit(sampleN)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    // deterministic init: evenly strided sample points
+    var cents = Array.tabulate(nlist)(i => sample((i.toLong * sample.length / nlist).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val cnts = new Array[Long](nlist)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        cnts(best) += 1
+      }
+      cents = Array.tabulate(nlist)(c =>
+        if (cnts(c) == 0) cents(c)
+        else sums(c).map(_ / cnts(c)))
+      it += 1
+    }
+    cents.zipWithIndex.map { case (v, i) => (i, v) }
+  }
+
+  /** Assign every corpus vector to its nearest centroid (broadcast join +
+    * argmin over the centroid array — map-side only). */
+  def assignCells(corpus: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.map { case (i, v) => (i, v.toSeq) }.toSeq.toDF("cell", "centroid"))
+    val scored = corpus.crossJoin(cents)
+      .withColumn("dist2",
+        aggregate(zip_with(col("embedding"), col("centroid"), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("cell"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(corpus.columns.map(col) :+ col("cell"): _*)
+  }
+
+  /**
+   * IVF top-k: probe the `nprobe` nearest cells per query; only vectors in
+   * probed cells are scored. Query→cell fanout is a broadcast; the corpus
+   * side is partition-pruned by the cell equality join.
+   */
+  def ivfTopK(corpusWithCells: DataFrame, queries: DataFrame,
+              centroids: Array[(Int, Array[Double])], k: Int, nprobe: Int): DataFrame = {
+    val spark = corpusWithCells.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.map { case (i, v) => (i, v.toSeq) }.toSeq.toDF("cell", "centroid"))
+    val qCells = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(cents)
+      .withColumn("dist2",
+        aggregate(zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, v) => acc + v))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id")).orderBy(col("dist2").asc, col("cell"))))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = corpusWithCells
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cell"))
+      .join(broadcast(qCells), "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Pairwise label-centroid cosine similarity matrix (embeddings quality
+    * diagnostic): tiny output, one shuffle on label. */
+  def labelCentroidSimilarity(corpus: DataFrame): DataFrame = {
+    val cents = corpus.groupBy(col("label"))
+      .agg(collect_list(col("embedding")).as("vs"), count(lit(1)).as("n"))
+      .select(col("label"),
+        transform(
+          aggregate(col("vs"), array_repeat(lit(0.0d), size(element_at(col("vs"), 1))),
+            (acc, v) => zip_with(acc, v, (a, b) => a + b)),
+          s => s / col("n")).as("centroid"))
+    cents.as("a").crossJoin(cents.as("b"))
+      .where(col("a.label") <= col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        cosine(col("a.centroid"), col("b.centroid")).as("cosine"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-quality operators for training-data curation over `documents`.
+ * All column expressions are codegen'd built-ins (no Python, no shuffle):
+ * they run at scan speed and pipeline into downstream filters.
+ */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count estimate: word-boundary regex split like the GPT-2
+    * pre-tokenizer (letters / digits / punctuation runs), no merges. */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=\\s)|(?<=\\s)(?=\\S)|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})|(?<=[\\p{L}\\p{N}])(?=\\p{P})|(?<=\\p{P})(?=[\\p{L}\\p{N}])"),
+      t => length(trim(t)) > 0))
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "are", "was", "for", "on", "with", "as", "by", "at", "from", "that", "this")
+
+  /** Quality metrics: length, token count, mean word length, punctuation
+    * ratio, digit ratio, stopword ratio, uppercase ratio. */
+  def qualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = filter(split(lower(t), "\\s+"), x => length(x) > 0)
+    val nTok = size(toks)
+    val nChar = length(t)
+    docs
+      .withColumn("n_chars_m", nChar)
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_word_len",
+        when(nTok > 0, (nChar.cast("double") - (nTok - 1)) / nTok).otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        length(regexp_replace(t, "[^\\p{Punct}]", "")).cast("double") / greatest(nChar, lit(1)))
+      .withColumn("digit_ratio",
+        length(regexp_replace(t, "[^0-9]", "")).cast("double") / greatest(nChar, lit(1)))
+      .withColumn("upper_ratio",
+        length(regexp_replace(t, "[^A-Z]", "")).cast("double") / greatest(nChar, lit(1)))
+      .withColumn("stopword_ratio",
+        size(filter(toks, x => x.isin(stopwords: _*))).cast("double") / greatest(nTok, lit(1)))
+  }
+
+  /** Composite quality score in [0,1]: heuristic mix of the metric columns. */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame =
+    qualityMetrics(docs, textCol).withColumn("quality_score",
+      greatest(lit(0.0), least(lit(1.0),
+        lit(0.4) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+          + lit(0.3) * col("stopword_ratio") * 3.0
+          + lit(0.3) * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))))))
+
+  /**
+   * N-gram heuristic language ID: score text against per-language marker
+   * word/character profiles; argmax wins. Deterministic, executor-local.
+   * (Real model weights would ship as a broadcast lookup; the scoring
+   * pipeline — tokenize, profile-join, argmax — is the scale-relevant part.)
+   */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "für", "nicht"),
+    "es" -> Seq("el", "la", "los", "las", "es", "con", "para", "por"),
+    "fr" -> Seq("le", "la", "les", "est", "avec", "pour", "dans", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
+
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(filter(toks, x => x.isin(markers: _*))).cast("double").as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang) → argmax with deterministic lang tiebreak
+    docs.withColumn("lang_pred",
+      when(size(toks) === 0, lit("und"))
+        .otherwise(array_max(array(scored: _*)).getField("lang")))
+  }
+
+  /** 64-bit content fingerprint via polynomial rolling hash of normalized
+    * tokens (stable across partitions/runs — pure column math). */
+  def fingerprint(text: Column): Column = {
+    val toks = filter(split(lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+"), x => length(x) > 0)
+    aggregate(toks, lit(1469598103934665603L),
+      (acc, t) => acc.bitwiseXOR(xxhash64(t)) * lit(1099511628211L))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Glob, SeriesFrame}
+
+/**
+ * Storage abstraction replacing the reference's zipper/backend fan-out
+ * (ref zipper/protocols): a fetch returns the canonical series frame for a
+ * name glob and a [from, until) range. In production this is a Parquet store
+ * partitioned by time window (partition pruning = the reference's TLD routing
+ * cache analog, SURVEY §4); name-glob predicates reach the scan as `rlike`
+ * row-group filters.
+ */
+trait SeriesStore {
+  def fetch(spark: SparkSession, pathExpr: String, from: Long, until: Long): DataFrame
+  /** Native step of this store if uniform — used by the planner to convert
+    * point-count windows into scan-range widening before data is read. */
+  def stepHint: Option[Long] = None
+}
+
+/** Reads a Parquet dataset already in canonical series layout. */
+class ParquetSeriesStore(path: String) extends SeriesStore {
+  override def fetch(spark: SparkSession, pathExpr: String, from: Long, until: Long): DataFrame = {
+    val df = spark.read.parquet(path)
+    val named =
+      if (Glob.isGlob(pathExpr)) df.where(col("name").rlike(Glob.toRegex(pathExpr)))
+      else df.where(col("name") === pathExpr)
+    // overlap filter prunes whole series rows (and, with time-partitioned
+    // layout, whole partitions) outside the request range
+    named
+      .where(col("start") + size(col("values")) * col("step") > from && col("start") < until)
+      .withColumn("pathExpression", lit(pathExpr))
+  }
+}
+
+/**
+ * Series derived on the fly from the driver testdata `events` table:
+ * one series per event_type, hourly buckets of sum(value), dense NaN-padded
+ * arrays on the global [min,max] hour grid. Deterministic — this is the
+ * fixture source for the DuckDB-oracle correctness gate (FIXTURES.md §4).
+ */
+class EventSeriesStore(sfDir: String, step: Long = 3600L) extends SeriesStore {
+
+  override def stepHint: Option[Long] = Some(step)
+
+  /** Build the full canonical frame (all event types). Cached per (spark, dir). */
+  def allSeries(spark: SparkSession): DataFrame = EventSeriesStore.cached(spark, sfDir, step)
+
+  override def fetch(spark: SparkSession, pathExpr: String, from: Long, until: Long): DataFrame = {
+    val base = allSeries(spark)
+    val named =
+      if (Glob.isGlob(pathExpr)) base.where(col("name").rlike(Glob.toRegex(pathExpr)))
+      else base.where(col("name") === pathExpr)
+    named.withColumn("pathExpression", lit(pathExpr))
+  }
+}
+
+object EventSeriesStore {
+  private val cache = scala.collection.concurrent.TrieMap.empty[(String, Long), DataFrame]
+
+  def cached(spark: SparkSession, sfDir: String, step: Long): DataFrame =
+    cache.getOrElseUpdate((sfDir + "@" + spark.hashCode, step), build(spark, sfDir, step))
+
+  def build(spark: SparkSession, sfDir: String, step: Long): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    // ts arrives as TIMESTAMP, or as LongType nanos under
+    // spark.sql.legacy.parquet.nanosAsLong (TIMESTAMP(NANOS) input) —
+    // integer DIV keeps bucket math exact in the nanos case.
+    val epochSec = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000000")
+      case _ => unix_timestamp(col("ts"))
+    }
+    val pts = ev
+      .select(
+        concat(lit("events."), col("event_type")).as("name"),
+        (floor(epochSec / step) * step).cast("long").as("ts"),
+        col("value"))
+      .groupBy(col("name"), col("ts"))
+      .agg(sum(col("value")).as("value"))
+    // grid bounds: one tiny agg (2 longs to the driver) — cheap at any scale
+    val row = pts.agg(min(col("ts")), max(col("ts"))).head()
+    val t0 = row.getLong(0); val t1 = row.getLong(1)
+    SeriesFrame.fromPoints(pts, t0, t1 + step, step).cache()
+  }
+}
