@@ -78,10 +78,27 @@ object Queries {
     "g24_transformnull" -> g("transformNull(events.*,0)"),
     "g25_divideseries" -> g("divideSeries(events.click,sumSeries(events.*))"),
     "g26_moving_sum_interval" -> g("movingSum(events.*,'6h')"),
-    "g27_averageabove" -> g("averageAbove(events.*,100)"),
+    "g27_averageabove" -> g("averageAbove(events.*,57)"),
     "g28_sigmoid_scale" -> g("sigmoid(scale(events.*,0.001))"),
     "g29_interpolate" -> g("interpolate(events.*)"),
     "g30_hitcount_day" -> g("hitcount(events.*,'1d')"),
+    "g31_weightedavg" -> g("weightedAverage(events.*,events.*,1)"),
+    "g32_difflists" -> g("diffSeriesLists(events.{click,error},events.{purchase,signup})"),
+    "g33_timeshift" -> g("timeShift(events.*,'1d')"),
+    "g34_smartsummarize" -> g("smartSummarize(events.*,'1d','max','days')"),
+    "g35_stdev" -> g("stdev(events.*,5)"),
+    "g36_tukey_above" -> g("tukeyAbove(events.*,0.5,2)"),
+    "g37_slo_day" -> g("slo(events.*,'1d','above',100)"),
+    "g38_substr" -> g("substr(events.*,1)"),
+    "g39_pearson_closest" -> g("pearsonClosest(events.click,events.*,2,'abs')"),
+    "g40_join_sub" -> g("join(events.*,events.click,'SUB')"),
+    "g41_countvalues" -> g("countValues(isNonNull(events.*))"),
+    // deterministic but not SQL-expressible → rows-only checks
+    "g42_hw_forecast" -> g("holtWintersForecast(events.click)"),
+    "g43_fft" -> g("fft(events.click)"),
+    "g44_polyfit" -> g("polyfit(events.*,2)"),
+    "g45_ema" -> g("exponentialMovingAverage(events.*,10)"),
+    "g46_timestack" -> g("timeStack(events.click,'1d',0,3)"),
 
     // ---- TPC-H-style relational anchors (bench headliners)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -240,7 +257,7 @@ object Queries {
         |  WINDOW w AS (PARTITION BY name ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
         |WHERE ts >= (SELECT t0 FROM b) + 6*3600 AND wsum IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g27_averageabove" ->
-      (S + """, keep AS (SELECT name FROM s GROUP BY name HAVING avg(v) > 100)
+      (S + """, keep AS (SELECT name FROM s GROUP BY name HAVING avg(v) > 57)
         |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep ON s.name = keep.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
     "g28_sigmoid_scale" ->
       (S + "SELECT 'sigmoid(scale(' || name || ',0.001))' AS name, ts, round(1 / (1 + exp(-(v * 0.001))), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
@@ -262,6 +279,53 @@ object Queries {
       (S + """SELECT 'hitcount(' || name || ',"86400s","sum")' AS name,
         |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts, round(sum(v * 3600), 4) AS value
         |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
+
+    "g31_weightedavg" ->
+      (S + """SELECT 'weightedAverage(events.*,events.*,1)' AS name, ts, round(sum(v*v) / sum(v), 4) AS value
+        |FROM s GROUP BY ts HAVING count(v) > 0 AND sum(v) != 0 ORDER BY ts""".stripMargin),
+    "g32_difflists" ->
+      (S + """SELECT * FROM (
+        |  SELECT 'diffSeries(events.click,events.purchase)' AS name, a.ts, round(a.v - b.v, 4) AS value
+        |  FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.click' AND b.name = 'events.purchase'
+        |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'diffSeries(events.error,events.signup)' AS name, a.ts, round(a.v - b.v, 4) AS value
+        |  FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.error' AND b.name = 'events.signup'
+        |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL) ORDER BY name, ts""".stripMargin),
+    "g33_timeshift" ->
+      (S + "SELECT 'timeShift(' || name || ',''1d'')' AS name, ts + 86400 AS ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g34_smartsummarize" ->
+      (S + """SELECT 'smartSummarize(' || name || ',"86400s","max")' AS name,
+        |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts, round(max(v), 4) AS value
+        |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
+    "g35_stdev" ->
+      (S + """SELECT 'stdev(' || name || ',5)' AS name, ts, round(sd, 4) AS value FROM (
+        |  SELECT name, ts, stddev_pop(v) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sd FROM s)
+        |WHERE sd IS NOT NULL ORDER BY name, ts""".stripMargin),
+    "g36_tukey_above" ->
+      (S + """, sc AS (SELECT name, avg(v) AS a FROM s GROUP BY name),
+        |fences AS (SELECT quantile_cont(a, 0.25) AS q1, quantile_cont(a, 0.75) AS q3 FROM sc),
+        |keep AS (SELECT sc.name FROM sc, fences WHERE sc.a > fences.q3 + 0.5 * (fences.q3 - fences.q1) ORDER BY sc.a DESC, sc.name LIMIT 2)
+        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep ON s.name = keep.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
+    "g37_slo_day" ->
+      (S + """SELECT 'slo(' || name || ',"86400s","avg")' AS name,
+        |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts,
+        |  round(avg(CASE WHEN v > 100 THEN 1.0 WHEN v IS NULL THEN NULL ELSE 0.0 END), 4) AS value
+        |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
+    "g38_substr" ->
+      (S + "SELECT split_part(name, '.', 2) AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g39_pearson_closest" ->
+      (S + """, pairs AS (SELECT a.name, corr(a.v, r.v) AS r FROM s a JOIN s r ON a.ts = r.ts AND r.name = 'events.click' GROUP BY a.name),
+        |keep AS (SELECT name FROM pairs WHERE r IS NOT NULL ORDER BY abs(r) DESC, name LIMIT 2)
+        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep ON s.name = keep.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
+    "g40_join_sub" ->
+      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name != 'events.click' AND v IS NOT NULL ORDER BY name, ts"),
+    "g41_countvalues" ->
+      (S + """SELECT * FROM (
+        |  SELECT '1.0' AS name, ts, CAST(count(v) AS DOUBLE) AS value FROM s GROUP BY ts HAVING count(v) > 0
+        |  UNION ALL
+        |  SELECT '0.0' AS name, ts, CAST(count(CASE WHEN v IS NULL THEN 1 END) AS DOUBLE) AS value FROM s GROUP BY ts HAVING count(CASE WHEN v IS NULL THEN 1 END) > 0
+        |) ORDER BY name, ts""".stripMargin),
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

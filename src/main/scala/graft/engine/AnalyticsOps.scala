@@ -1,0 +1,352 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{Kernels, SeriesFrame, VecOps}
+
+/**
+ * Advanced analytics operators (SURVEY §2.7): Holt-Winters, polynomial fit,
+ * windowed stddev/pearson, Tukey outliers, SLO buckets, FFT family.
+ *
+ * Sequential recurrences run as vector UDFs (state local to one series row —
+ * zero shuffle); cross-series statistics (tukey fences, outside-percentile)
+ * use Spark's exact `percentile` aggregate over the per-series scalar column,
+ * which reduces #series rows, not points.
+ */
+object AnalyticsOps {
+  import SeriesFrame.{mapVec, rewrap, vecScalar}
+
+  // ------------------------------------------------------------ holtWinters
+
+  /** Slice off points before `fromTs` (drop the bootstrap prefix) and
+    * re-stamp. */
+  def sliceFrom(df: DataFrame, fromTs: Long): DataFrame = {
+    val u = udf((v: Seq[Double], start: Long, step: Long) => {
+      // clamp in Long space BEFORE narrowing: the open-range sentinel
+      // (|fromTs| ~ 2^61) would wrap to a positive Int and drop everything
+      val drop = math.min(math.max((fromTs - start) / step, 0L), v.length.toLong).toInt
+      (start + drop.toLong * step, v.drop(drop).toArray)
+    })
+    df.withColumn("_r", u(col("values"), col("start"), col("step")))
+      .withColumn("start", col("_r._1"))
+      .withColumn("values", col("_r._2"))
+      .drop("_r")
+  }
+
+  /** holtWintersForecast: triple-exponential forecast; input must be fetched
+    * with a bootstrapInterval-widened start (planner), output sliced back to
+    * the request range. (ref expr/holtwinters/hw.go:36-127) */
+  def holtWintersForecast(df: DataFrame, fromTs: Long, seasonality: Long = 86400L): DataFrame = {
+    val u = udf((v: Seq[Double], step: Long) => VecOps.holtWinters(v.toArray, step, seasonality)._1)
+    sliceFrom(
+      df.withColumn("values", u(col("values"), col("step"))), fromTs)
+      .transform(d => rewrap(d, "holtWintersForecast"))
+  }
+
+  /** Confidence bands = forecast ± delta * deviation; returns upper and lower
+    * series per input. (ref hw.go:130-190) */
+  def holtWintersConfidenceBands(df: DataFrame, fromTs: Long, delta: Double, seasonality: Long = 86400L): DataFrame = {
+    val u = udf((v: Seq[Double], step: Long, sign: Double) => {
+      val (f, d) = VecOps.holtWinters(v.toArray, step, seasonality)
+      f.indices.map(i => f(i) + sign * delta * d(i)).toArray
+    })
+    val upper = sliceFrom(df.withColumn("values", u(col("values"), col("step"), lit(1.0))), fromTs)
+      .withColumn("name", concat(lit("holtWintersConfidenceUpper("), col("name"), lit(")")))
+    val lower = sliceFrom(df.withColumn("values", u(col("values"), col("step"), lit(-1.0))), fromTs)
+      .withColumn("name", concat(lit("holtWintersConfidenceLower("), col("name"), lit(")")))
+    lower.unionByName(upper)
+  }
+
+  /** Aberration: excess of measured data beyond the confidence bands.
+    * (ref holtWintersAberration in holtWintersForecast/function.go) */
+  def holtWintersAberration(df: DataFrame, fromTs: Long, delta: Double, seasonality: Long = 86400L): DataFrame = {
+    val u = udf((v: Seq[Double], step: Long) => {
+      val arr = v.toArray
+      val (f, d) = VecOps.holtWinters(arr, step, seasonality)
+      arr.indices.map { i =>
+        val up = f(i) + delta * d(i)
+        val lo = f(i) - delta * d(i)
+        val x = arr(i)
+        if (Kernels.isNaN(x)) 0.0
+        else if (x > up) x - up
+        else if (x < lo) x - lo
+        else 0.0
+      }.toArray
+    })
+    sliceFrom(df.withColumn("values", u(col("values"), col("step"))), fromTs)
+      .transform(d => rewrap(d, "holtWintersAberration"))
+  }
+
+  // ---------------------------------------------------------------- fitting
+
+  /** polyfit: least-squares polynomial of `degree` via normal equations +
+    * Gaussian elimination (no external linear algebra dep); series replaced
+    * by the fitted curve. (ref polyfit/function.go, consolidations.Vandermonde) */
+  def polyfit(df: DataFrame, degree: Int): DataFrame = {
+    val u = udf((v: Seq[Double]) => {
+      val ys = v.toArray
+      val n = degree + 1
+      // normal equations: A^T A c = A^T y over non-NaN points
+      val ata = Array.ofDim[Double](n, n)
+      val aty = new Array[Double](n)
+      var i = 0
+      while (i < ys.length) {
+        val y = ys(i)
+        if (!Kernels.isNaN(y)) {
+          val powers = new Array[Double](2 * n - 1)
+          powers(0) = 1.0
+          var p = 1
+          while (p < powers.length) { powers(p) = powers(p - 1) * i; p += 1 }
+          var r = 0
+          while (r < n) {
+            var c = 0
+            while (c < n) { ata(r)(c) += powers(r + c); c += 1 }
+            aty(r) += powers(r) * y
+            r += 1
+          }
+        }
+        i += 1
+      }
+      // gaussian elimination with partial pivoting
+      val coef = {
+        val m = Array.tabulate(n)(r => ata(r) :+ aty(r))
+        var cIdx = 0
+        var singular = false
+        while (cIdx < n && !singular) {
+          var piv = cIdx
+          var r = cIdx + 1
+          while (r < n) { if (math.abs(m(r)(cIdx)) > math.abs(m(piv)(cIdx))) piv = r; r += 1 }
+          if (math.abs(m(piv)(cIdx)) < 1e-12) singular = true
+          else {
+            val t = m(cIdx); m(cIdx) = m(piv); m(piv) = t
+            r = 0
+            while (r < n) {
+              if (r != cIdx) {
+                val f = m(r)(cIdx) / m(cIdx)(cIdx)
+                var c = cIdx
+                while (c <= n) { m(r)(c) -= f * m(cIdx)(c); c += 1 }
+              }
+              r += 1
+            }
+          }
+          cIdx += 1
+        }
+        if (singular) null else Array.tabulate(n)(r => m(r)(n) / m(r)(r))
+      }
+      if (coef == null) ys.map(_ => Double.NaN)
+      else ys.indices.map { x =>
+        var acc = 0.0
+        var p = n - 1
+        while (p >= 0) { acc = acc * x + coef(p); p -= 1 }
+        acc
+      }.toArray
+    })
+    rewrap(df.withColumn("values", u(col("values"))), "polyfit", Seq(degree.toString))
+  }
+
+  // ------------------------------------------------------ windowed statistics
+
+  /** stdev(points): sliding stddev over the trailing `points` window
+    * (partial windows allowed, gated by windowTolerance = min non-null
+    * fraction). (ref stdev/function.go) */
+  def stdev(df: DataFrame, points: Int, windowTolerance: Double = 0.1): DataFrame = {
+    val u = udf((v: Seq[Double]) => {
+      val arr = v.toArray
+      arr.indices.map { i =>
+        val lo = math.max(i - points + 1, 0)
+        val win = java.util.Arrays.copyOfRange(arr, lo, i + 1)
+        val nonNull = win.count(x => !Kernels.isNaN(x))
+        if (nonNull > 0 && nonNull.toDouble / win.length >= windowTolerance)
+          Kernels.stddev(win)
+        else Double.NaN
+      }.toArray
+    })
+    rewrap(df.withColumn("values", u(col("values"))), "stdev", Seq(points.toString))
+  }
+
+  /** pearson(a, b, windowSize): trailing-window correlation of the first
+    * series of each argument. (ref pearson/function.go) */
+  def pearsonWindow(a: DataFrame, b: DataFrame, windowSize: Int): DataFrame = {
+    val bi = b.limit(1).select(col("values").as("valuesB"))
+    val u = udf((x: Seq[Double], y: Seq[Double]) => {
+      val xa = x.toArray; val ya = y.toArray
+      xa.indices.map { i =>
+        val lo = math.max(i - windowSize + 1, 0)
+        VecOps.pearson(
+          java.util.Arrays.copyOfRange(xa, lo, i + 1),
+          java.util.Arrays.copyOfRange(ya, lo, math.min(i + 1, ya.length)))
+      }.toArray
+    })
+    a.crossJoin(broadcast(bi))
+      .withColumn("values", u(col("values"), col("valuesB")))
+      .drop("valuesB")
+      .transform(d => rewrap(d, "pearson", Seq(windowSize.toString)))
+  }
+
+  /** pearsonClosest: top-n series by |r| (or signed r) vs a reference
+    * series. The reference is ONE series (broadcast); ranking is
+    * orderBy+limit → TakeOrderedAndProject. (ref pearsonClosest/function.go) */
+  def pearsonClosest(df: DataFrame, ref: DataFrame, n: Int, direction: String = "abs"): DataFrame = {
+    val r1 = ref.limit(1).select(col("values").as("refValues"))
+    val u = udf((a: Seq[Double], b: Seq[Double]) => VecOps.pearson(a.toArray, b.toArray))
+    val scored = df.crossJoin(broadcast(r1))
+      .withColumn("_r", u(col("values"), col("refValues")))
+      .drop("refValues")
+    val key = direction match {
+      case "abs" => abs(col("_r"))
+      case "pos" => col("_r")
+      case "neg" => -col("_r")
+      case other => throw new IllegalArgumentException(s"pearsonClosest: bad direction $other")
+    }
+    scored.where(!isnan(col("_r")))
+      .orderBy(key.desc, col("name")).limit(n).drop("_r")
+  }
+
+  // ------------------------------------------------------------- selections
+
+  /** tukeyAbove/Below: top-n outliers by Tukey fences (basis-summarized
+    * scalar vs IQR over all series). The IQR runs as Spark's exact
+    * `percentile` aggregate over one scalar per series. (ref tukey/function.go) */
+  def tukey(df: DataFrame, basis: Double, n: Int, above: Boolean): DataFrame = {
+    val scalar = vecScalar(v => Kernels.summarizeValues("avg", v))(col("values"))
+    val withS = df.withColumn("_s", scalar)
+    val fences = withS.agg(
+      expr("percentile(_s, 0.25)").as("q1"),
+      expr("percentile(_s, 0.75)").as("q3"))
+    val joined = withS.crossJoin(broadcast(fences))
+      .withColumn("_iqr", col("q3") - col("q1"))
+    val kept =
+      if (above) joined.where(col("_s") > col("q3") + lit(basis) * col("_iqr"))
+        .orderBy(col("_s").desc, col("name"))
+      else joined.where(col("_s") < col("q1") - lit(basis) * col("_iqr"))
+        .orderBy(col("_s").asc, col("name"))
+    kept.limit(n).drop("_s", "q1", "q3", "_iqr")
+  }
+
+  /** averageOutsidePercentile: keep series whose average falls outside the
+    * [n, 100-n] percentile band of all averages. (ref averageOutsidePercentile/function.go) */
+  def averageOutsidePercentile(df: DataFrame, n0: Double): DataFrame = {
+    val n = if (n0 > 50) 100 - n0 else n0
+    val avgC = vecScalar(Kernels.mean)(col("values"))
+    val withA = df.withColumn("_a", avgC)
+    val bands = withA.agg(
+      expr(s"percentile(_a, ${n / 100.0})").as("lo"),
+      expr(s"percentile(_a, ${(100 - n) / 100.0})").as("hi"))
+    withA.crossJoin(broadcast(bands))
+      .where(col("_a") < col("lo") || col("_a") > col("hi"))
+      .drop("_a", "lo", "hi")
+  }
+
+  /** removeBetweenPercentile: keep series with at least one point outside the
+    * cross-series [n, 100-n] point-wise percentile band.
+    * (ref removeBetweenPercentile/function.go) */
+  def removeBetweenPercentile(df: DataFrame, n0: Double): DataFrame = {
+    val n = if (n0 > 50) 100 - n0 else n0
+    val lowAgg = SeriesOps.aggregateSeries(df, s"p$n")
+      .select(col("values").as("loV"))
+    val highAgg = SeriesOps.aggregateSeries(df, s"p${100 - n}")
+      .select(col("values").as("hiV"))
+    df.crossJoin(broadcast(lowAgg)).crossJoin(broadcast(highAgg))
+      .where(exists(
+        zip_with(col("values"), zip_with(col("loV"), col("hiV"), (l, h) => struct(l.as("l"), h.as("h"))),
+          (v, lh) => !isnan(v) && (v < lh.getField("l") || v > lh.getField("h"))),
+        x => x))
+      .drop("loV", "hiV")
+  }
+
+  // ------------------------------------------------------------------- slo
+
+  /** slo(list, interval, method, value): per-bucket fraction of points
+    * meeting the predicate. (ref slo/function.go) */
+  def slo(df: DataFrame, interval: Long, method: String, value: Double): DataFrame = {
+    val pred: Double => Boolean = method match {
+      case "above"        => _ > value
+      case "aboveOrEqual" => _ >= value
+      case "below"        => _ < value
+      case "belowOrEqual" => _ <= value
+      case other => throw new IllegalArgumentException(s"slo: bad method $other")
+    }
+    val indicator = mapVec(df, v => v.map(x =>
+      if (Kernels.isNaN(x)) Double.NaN else if (pred(x)) 1.0 else 0.0))
+    SeriesOps.summarize(indicator, interval, "avg")
+      .withColumn("name", regexp_replace(col("name"), "^summarize\\(", "slo("))
+  }
+
+  /** sloErrorBudget: slo fraction minus objective. */
+  def sloErrorBudget(df: DataFrame, interval: Long, method: String, value: Double, objective: Double): DataFrame =
+    slo(df, interval, method, value)
+      .withColumn("values", transform(col("values"), v => v - lit(objective)))
+      .withColumn("name", regexp_replace(col("name"), "^slo\\(", "sloErrorBudget("))
+
+  // ------------------------------------------------------------------- fft
+
+  private def padPow2(v: Array[Double]): (Array[Double], Array[Double]) = {
+    var n = 1
+    while (n < v.length) n <<= 1
+    val re = new Array[Double](n); val im = new Array[Double](n)
+    var i = 0
+    while (i < v.length) { re(i) = if (Kernels.isNaN(v(i))) 0.0 else v(i); i += 1 }
+    (re, im)
+  }
+
+  /** fft: magnitude spectrum (zero-padded radix-2). (ref fft/function.go) */
+  def fft(df: DataFrame): DataFrame = {
+    val u = udf((v: Seq[Double]) => {
+      val (re, im) = padPow2(v.toArray)
+      VecOps.fftInPlace(re, im)
+      re.indices.take(v.length).map(i => math.sqrt(re(i) * re(i) + im(i) * im(i))).toArray
+    })
+    rewrap(df.withColumn("values", u(col("values"))), "fft")
+  }
+
+  /** lowPass: keep the lowest cutPercent% of FFT coefficients, inverse
+    * transform back. (ref lowPass/function.go) */
+  def lowPass(df: DataFrame, cutPercent: Double): DataFrame = {
+    val u = udf((v: Seq[Double]) => {
+      val orig = v.toArray
+      val (re, im) = padPow2(orig)
+      val n = re.length
+      VecOps.fftInPlace(re, im)
+      val keep = math.max((n * cutPercent / 100 / 2).toInt, 1)
+      var i = 0
+      while (i < n) {
+        val mirrored = math.min(i, n - i)
+        if (mirrored >= keep) { re(i) = 0.0; im(i) = 0.0 }
+        i += 1
+      }
+      // inverse via conjugate trick
+      i = 0
+      while (i < n) { im(i) = -im(i); i += 1 }
+      VecOps.fftInPlace(re, im)
+      re.take(orig.length).map(_ / n)
+    })
+    rewrap(df.withColumn("values", u(col("values"))), "lowPass", Seq(SeriesOps.fmtNum(cutPercent)))
+  }
+
+  /** kolmogorovSmirnovTest2: 2-sample KS statistic over the trailing
+    * windowSize points of the two series. (ref kolmogorovSmirnovTest2/function.go) */
+  def ksTest2(a: DataFrame, b: DataFrame, windowSize: Int): DataFrame = {
+    val bi = b.limit(1).select(col("values").as("valuesB"), col("name").as("nameB"))
+    val u = udf((x: Seq[Double], y: Seq[Double]) => {
+      val xa = x.toArray.filter(d => !Kernels.isNaN(d)).takeRight(windowSize).sorted
+      val ya = y.toArray.filter(d => !Kernels.isNaN(d)).takeRight(windowSize).sorted
+      if (xa.isEmpty || ya.isEmpty) Double.NaN
+      else {
+        // max ECDF distance via sort-merge
+        var i = 0; var j = 0; var d = 0.0
+        while (i < xa.length && j < ya.length) {
+          if (xa(i) <= ya(j)) i += 1 else j += 1
+          val diff = math.abs(i.toDouble / xa.length - j.toDouble / ya.length)
+          if (diff > d) d = diff
+        }
+        d
+      }
+    })
+    a.crossJoin(broadcast(bi))
+      .select(
+        concat(lit("kolmogorovSmirnovTest2("), col("name"), lit(","), col("nameB"), lit(")")).as("name"),
+        col("tags"), col("start"), col("step"),
+        array(u(col("values"), col("valuesB"))).as("values"))
+      .withColumn("step", lit(1L))
+  }
+}

@@ -264,10 +264,116 @@ object Eval {
     "lower" -> ((ctx, fc) => SeriesOps.toLowerCaseS(seriesArg(ctx, fc))),
     "upper" -> ((ctx, fc) => SeriesOps.toUpperCaseS(seriesArg(ctx, fc))),
 
+    // ---- pairwise list family (ref aggregateSeriesLists/seriesList)
+    "aggregateSeriesLists" -> ((ctx, fc) => PairOps.seriesLists(
+      seriesArg(ctx, fc), seriesArg(ctx, fc, 1), strArg(fc, 2), strArg(fc, 2) + "SeriesLists")),
+    "sumSeriesLists" -> ((ctx, fc) => PairOps.seriesLists(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), "sum", "sumSeries")),
+    "diffSeriesLists" -> ((ctx, fc) => PairOps.seriesLists(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), "diff", "diffSeries")),
+    "multiplySeriesLists" -> ((ctx, fc) => PairOps.seriesLists(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), "multiply", "multiplySeries")),
+    "powSeriesLists" -> ((ctx, fc) => PairOps.seriesLists(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), "pow", "powSeries")),
+    "divideSeriesLists" -> ((ctx, fc) => PairOps.seriesLists(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), "divide", "divideSeries")),
+    "weightedAverage" -> ((ctx, fc) => PairOps.weightedAverage(
+      seriesArg(ctx, fc), seriesArg(ctx, fc, 1), intsFrom(fc, 2), fc.rawArgs)),
+    "join" -> ((ctx, fc) => PairOps.joinNames(
+      seriesArg(ctx, fc), seriesArg(ctx, fc, 1), strArg(fc, 2, "type", Some("AND")))),
+    "countValues" -> ((ctx, fc) => PairOps.countValues(seriesArg(ctx, fc))),
+
+    // ---- time manipulation (fetch-time shifts)
+    "timeShift" -> ((ctx, fc) => {
+      val offset = intervalArg(fc, 1, defaultSign = -1)
+      TimeOps.timeShift(eval(fc.args.head, ctx.copy(from = ctx.from + offset, until = ctx.until + offset)),
+        offset, strArg(fc, 1))
+    }),
+    "timeStack" -> ((ctx, fc) => {
+      val unit = intervalArg(fc, 1, defaultSign = -1)
+      val startI = intArg(fc, 2, "timeShiftStart", Some(0))
+      val endI = intArg(fc, 3, "timeShiftEnd", Some(7))
+      TimeOps.timeStack((startI until endI).map { i =>
+        val off = unit * i
+        (off, s"${i}${strArg(fc, 1).replaceAll("[0-9+-]", "")}",
+          eval(fc.args.head, ctx.copy(from = ctx.from + off, until = ctx.until + off)))
+      })
+    }),
+    "smartSummarize" -> ((ctx, fc) => TimeOps.smartSummarize(seriesArg(ctx, fc),
+      intervalArg(fc, 1), strArg(fc, 2, "func", Some("sum")), strArg(fc, 3, "alignTo", Some("")))),
+    "fallbackSeries" -> ((ctx, fc) => TimeOps.fallbackSeries(seriesArg(ctx, fc), seriesArg(ctx, fc, 1))),
+
+    // ---- presentation / metadata
+    "substr" -> ((ctx, fc) => TimeOps.substr(seriesArg(ctx, fc),
+      intArg(fc, 1, "start", Some(0)), intArg(fc, 2, "stop", Some(0)))),
+    "aliasByTags" -> ((ctx, fc) => TimeOps.aliasByTags(seriesArg(ctx, fc),
+      fc.args.drop(1).map { case Str(s) => s; case NameExpr(s) => s; case Num(v) => v.toInt.toString; case o => o.print })),
+    "legendValue" -> ((ctx, fc) => TimeOps.legendValue(seriesArg(ctx, fc),
+      fc.args.drop(1).map { case Str(s) => s; case NameExpr(s) => s; case o => o.print })),
+    "cactiStyle" -> ((ctx, fc) => TimeOps.cactiStyle(seriesArg(ctx, fc), strArg(fc, 1, "units", Some("")))),
+    "consolidateBy" -> ((ctx, fc) => TimeOps.consolidateBy(seriesArg(ctx, fc), strArg(fc, 1))),
+    "cumulative" -> ((ctx, fc) => TimeOps.consolidateBy(seriesArg(ctx, fc), "sum")),
+    "setXFilesFactor" -> ((ctx, fc) => TimeOps.setXFilesFactor(seriesArg(ctx, fc), numArg(fc, 1))),
+    "xFilesFactor" -> ((ctx, fc) => TimeOps.setXFilesFactor(seriesArg(ctx, fc), numArg(fc, 1))),
+
+    // ---- advanced analytics
+    "holtWintersForecast" -> ((ctx, fc) => {
+      val bootstrap = arg(fc, 2, "bootstrapInterval").map(_ => intervalArg(fc, 2, "bootstrapInterval")).getOrElse(604800L)
+      val season = arg(fc, 3, "seasonality").map(_ => intervalArg(fc, 3, "seasonality")).getOrElse(86400L)
+      AnalyticsOps.holtWintersForecast(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, season)
+    }),
+    "holtWintersConfidenceBands" -> ((ctx, fc) => {
+      val delta = numArg(fc, 1, "delta", Some(3))
+      val bootstrap = arg(fc, 2, "bootstrapInterval").map(_ => intervalArg(fc, 2, "bootstrapInterval")).getOrElse(604800L)
+      AnalyticsOps.holtWintersConfidenceBands(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, delta)
+    }),
+    "holtWintersAberration" -> ((ctx, fc) => {
+      val delta = numArg(fc, 1, "delta", Some(3))
+      val bootstrap = arg(fc, 2, "bootstrapInterval").map(_ => intervalArg(fc, 2, "bootstrapInterval")).getOrElse(604800L)
+      AnalyticsOps.holtWintersAberration(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, delta)
+    }),
+    "polyfit" -> ((ctx, fc) => AnalyticsOps.polyfit(seriesArg(ctx, fc), intArg(fc, 1, "degree", Some(1)))),
+    "stdev" -> ((ctx, fc) => AnalyticsOps.stdev(seriesArg(ctx, fc),
+      intArg(fc, 1), numArg(fc, 2, "windowTolerance", Some(0.1)))),
+    "pearson" -> ((ctx, fc) => AnalyticsOps.pearsonWindow(
+      seriesArg(ctx, fc), seriesArg(ctx, fc, 1), intArg(fc, 2))),
+    "pearsonClosest" -> ((ctx, fc) => AnalyticsOps.pearsonClosest(
+      seriesArg(ctx, fc, 1), seriesArg(ctx, fc), intArg(fc, 2),
+      strArg(fc, 3, "direction", Some("abs")))),
+    "tukeyAbove" -> ((ctx, fc) => AnalyticsOps.tukey(seriesArg(ctx, fc),
+      numArg(fc, 1), intArg(fc, 2), above = true)),
+    "tukeyBelow" -> ((ctx, fc) => AnalyticsOps.tukey(seriesArg(ctx, fc),
+      numArg(fc, 1), intArg(fc, 2), above = false)),
+    "averageOutsidePercentile" -> ((ctx, fc) => AnalyticsOps.averageOutsidePercentile(seriesArg(ctx, fc), numArg(fc, 1))),
+    "removeBetweenPercentile" -> ((ctx, fc) => AnalyticsOps.removeBetweenPercentile(seriesArg(ctx, fc), numArg(fc, 1))),
+    "slo" -> ((ctx, fc) => AnalyticsOps.slo(seriesArg(ctx, fc),
+      intervalArg(fc, 1), strArg(fc, 2), numArg(fc, 3))),
+    "sloErrorBudget" -> ((ctx, fc) => AnalyticsOps.sloErrorBudget(seriesArg(ctx, fc),
+      intervalArg(fc, 1), strArg(fc, 2), numArg(fc, 3), numArg(fc, 4))),
+    "fft" -> ((ctx, fc) => AnalyticsOps.fft(seriesArg(ctx, fc))),
+    "lowPass" -> ((ctx, fc) => AnalyticsOps.lowPass(seriesArg(ctx, fc), numArg(fc, 1))),
+    "lpf" -> ((ctx, fc) => AnalyticsOps.lowPass(seriesArg(ctx, fc), numArg(fc, 1))),
+    "kolmogorovSmirnovTest2" -> ((ctx, fc) => AnalyticsOps.ksTest2(
+      seriesArg(ctx, fc), seriesArg(ctx, fc, 1), intArg(fc, 2, "windowSize", Some(60)))),
+    "ksTest2" -> ((ctx, fc) => AnalyticsOps.ksTest2(
+      seriesArg(ctx, fc), seriesArg(ctx, fc, 1), intArg(fc, 2, "windowSize", Some(60)))),
+
     // ---- generators
     "constantLine" -> ((ctx, fc) => constantLine(ctx, numArg(fc, 0))),
+    "threshold" -> ((ctx, fc) => {
+      val base = constantLine(ctx, numArg(fc, 0))
+      arg(fc, 1, "label") match {
+        case Some(Str(l)) => SeriesOps.alias(base, l)
+        case _ => base
+      }
+    }),
     "timeFunction" -> ((ctx, fc) => timeFunction(ctx, strArg(fc, 0), intArg(fc, 1, "step", Some(60)))),
-    "time" -> ((ctx, fc) => timeFunction(ctx, strArg(fc, 0), intArg(fc, 1, "step", Some(60))))
+    "time" -> ((ctx, fc) => timeFunction(ctx, strArg(fc, 0), intArg(fc, 1, "step", Some(60)))),
+    "identity" -> ((ctx, fc) => {
+      val n = strArg(fc, 0)
+      SeriesOps.alias(timeFunction(ctx, n, 60), s"identity($n)")
+    }),
+    "sin" -> ((ctx, fc) => sinFunction(ctx, strArg(fc, 0),
+      numArg(fc, 1, "amplitude", Some(1)), intArg(fc, 2, "step", Some(60)))),
+    "sinFunction" -> ((ctx, fc) => sinFunction(ctx, strArg(fc, 0),
+      numArg(fc, 1, "amplitude", Some(1)), intArg(fc, 2, "step", Some(60)))),
+    "randomWalk" -> ((ctx, fc) => randomWalk(ctx, strArg(fc, 0), intArg(fc, 1, "step", Some(60)))),
+    "randomWalkFunction" -> ((ctx, fc) => randomWalk(ctx, strArg(fc, 0), intArg(fc, 1, "step", Some(60))))
   )
 
   /** constantLine: 3-point flat series over the request range.
@@ -280,6 +386,33 @@ object Eval {
       if (ctx.from > Long.MinValue / 8) (ctx.from, ctx.until) else (0L, 7200L)
     val step = math.max((until - from) / 2, 1L)
     Seq(graft.core.Series(name, Map("name" -> name), from, step, Array(value, value, value))).toDF()
+  }
+
+  private def genRange(ctx: Ctx): (Long, Long) =
+    if (ctx.from > Long.MinValue / 8) (ctx.from, ctx.until) else (0L, 3600L)
+
+  /** sin(name, amplitude, step): amplitude * sin(ts). (ref sinFunction/function.go:56-58) */
+  private def sinFunction(ctx: Ctx, name: String, amplitude: Double, step: Int): DataFrame = {
+    val sp = ctx.spark
+    import sp.implicits._
+    val (from, until) = genRange(ctx)
+    val n = math.max(((until - from) / step).toInt, 1)
+    Seq(graft.core.Series(name, Map("name" -> name), from, step.toLong,
+      Array.tabulate(n)(i => math.sin((from + i.toLong * step).toDouble) * amplitude))).toDF()
+  }
+
+  /** randomWalk: x(0)=0, x(t)=x(t-1)+U(-0.5,0.5); deterministic seed so runs
+    * are reproducible. (ref randomWalk/function.go:56-58) */
+  private def randomWalk(ctx: Ctx, name: String, step: Int): DataFrame = {
+    val sp = ctx.spark
+    import sp.implicits._
+    val (from, until) = genRange(ctx)
+    val n = math.max(((until - from) / step).toInt, 1)
+    val rnd = new scala.util.Random(42)
+    val vals = new Array[Double](n)
+    var i = 1
+    while (i < n) { vals(i) = vals(i - 1) + (rnd.nextDouble() - 0.5); i += 1 }
+    Seq(graft.core.Series(name, Map("name" -> name), from, step.toLong, vals)).toDF()
   }
 
   /** time(name, step): value = its own timestamp. (ref timeFunction/function.go) */

@@ -1,0 +1,104 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Kernels
+
+/**
+ * Pairwise / list-combining operators: the `aggregateSeriesLists` family
+ * (element i of list A with element i of list B), divide/asPercent joins,
+ * weightedAverage, and name-set joins.
+ *
+ * Positional pairing is inherently order-dependent (list order = glob-sorted
+ * names, ref expr/sort.go:121-137); the row_number window that realizes it
+ * runs over series rows (one row per SERIES, not per point), so the
+ * single-partition sort is bounded by series count per list — acceptable
+ * where the reference's own semantics force a global order.
+ */
+object PairOps {
+
+  private def indexByName(df: DataFrame): DataFrame =
+    df.withColumn("_i", row_number().over(Window.orderBy(col("name"))))
+
+  /** aggregateSeriesLists: zip lists positionally, apply a binary point-wise
+    * op. (ref aggregateSeriesLists/function.go, seriesList/function.go) */
+  def seriesLists(a: DataFrame, b: DataFrame, func: String, fnName: String): DataFrame = {
+    val op: (Column, Column) => Column = func match {
+      case "sum" | "add"      => (x, y) => x + y
+      case "diff" | "subtract" => (x, y) => x - y
+      case "multiply"         => (x, y) => x * y
+      case "divide"           => (x, y) => when(y === 0.0, lit(Double.NaN)).otherwise(x / y)
+      case "pow"              => (x, y) => pow(x, y)
+      case "max"              => (x, y) => when(x >= y, x).otherwise(y)
+      case "min"              => (x, y) => when(x <= y, x).otherwise(y)
+      case other => throw new IllegalArgumentException(s"seriesLists: bad func $other")
+    }
+    val ai = indexByName(a).select(col("_i"), col("name").as("nameA"), col("tags"),
+      col("start"), col("step"), col("values").as("valuesA"))
+    val bi = indexByName(b).select(col("_i"), col("name").as("nameB"), col("values").as("valuesB"))
+    ai.join(bi, "_i")
+      .select(
+        concat(lit(fnName + "("), col("nameA"), lit(","), col("nameB"), lit(")")).as("name"),
+        col("tags"), col("start"), col("step"),
+        zip_with(col("valuesA"), col("valuesB"), op).as("values"))
+  }
+
+  /** weightedAverage(avgList, weightList, *nodes): join by node key, result =
+    * sum(avg*weight) / sum(weight) point-wise. (ref weightedAverage/function.go) */
+  def weightedAverage(avgs: DataFrame, weights: DataFrame, nodes: Seq[Int], rawArgs: String): DataFrame = {
+    val key = SeriesOps.nodeKey(col("name"), nodes)
+    val a = avgs.select(key.as("k"), col("start"), col("step"), col("values").as("av"))
+    val w = weights.select(key.as("k"), col("values").as("wv"))
+    val joined = a.join(w, "k")
+      .select(col("start"), col("step"),
+        zip_with(col("av"), col("wv"), (x, y) => x * y).as("prodV"),
+        col("wv"))
+    val vecSum = udaf(new VectorAggregator("sum", 0.0))
+    val sumAgg = vecSum(col("start"), col("step"), col("prodV"))
+    val sumW = vecSum(col("start"), col("step"), col("wv"))
+    val outName = s"weightedAverage($rawArgs)"
+    joined.agg(sumAgg.as("num"), sumW.as("den"))
+      .select(
+        lit(outName).as("name"),
+        map(lit("name"), lit(outName)).as("tags"),
+        col("num.start").as("start"), col("num.step").as("step"),
+        zip_with(col("num.values"), col("den.values"),
+          (n, d) => when(isnan(d) || d === 0.0, lit(Double.NaN)).otherwise(n / d)).as("values"))
+  }
+
+  /** join(listA, listB, type): set operation on series NAMES.
+    * (ref join/function.go:77-180) */
+  def joinNames(a: DataFrame, b: DataFrame, joinType: String): DataFrame = {
+    val bn = b.select(col("name")).distinct()
+    joinType.toUpperCase match {
+      case "AND" => a.join(bn, Seq("name"), "left_semi")
+      case "OR"  =>
+        // all of A plus B-series whose names are not in A
+        a.unionByName(b.join(a.select(col("name")).distinct(), Seq("name"), "left_anti"))
+      case "XOR" =>
+        a.join(bn, Seq("name"), "left_anti")
+          .unionByName(b.join(a.select(col("name")).distinct(), Seq("name"), "left_anti"))
+      case "SUB" => a.join(bn, Seq("name"), "left_anti")
+      case other => throw new IllegalArgumentException(s"join: bad type $other")
+    }
+  }
+
+  /** countValues: one output series per distinct value observed, counting
+    * occurrences across the input list at each ts.
+    * (ref countValues/function.go) */
+  def countValues(df: DataFrame): DataFrame = {
+    val pts = graft.core.SeriesFrame.toPoints(df)
+    val counted = pts.groupBy(col("value"), col("ts"), col("step"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val grid = counted.groupBy(col("value"), col("step"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"),
+        map_from_entries(collect_list(struct(col("ts"), col("cnt")))).as("m"))
+    grid.select(
+      col("value").cast("string").as("name"),
+      map(lit("name"), col("value").cast("string")).as("tags"),
+      col("t0").as("start"), col("step"),
+      transform(sequence(col("t0"), col("t1"), col("step")),
+        t => coalesce(element_at(col("m"), t), lit(Double.NaN))).as("values"))
+  }
+}

@@ -1,0 +1,157 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{Kernels, SeriesFrame}
+
+/**
+ * Time-manipulation and naming/presentation operators (SURVEY §2.6, §2.8).
+ *
+ * timeShift/timeStack are FETCH-TIME operators: the compiler evaluates the
+ * series argument against a shifted [from,until) (the reference's
+ * `Metrics()` adjustment, ref pkg/parser/parser.go:181-219) and this module
+ * only re-stamps timestamps — no data movement beyond the shifted scan.
+ */
+object TimeOps {
+
+  /** Re-stamp a fetched-shifted frame back onto the request range:
+    * data was read from [from+offset, until+offset), displayed at ts-offset.
+    * (ref timeShift/function.go) */
+  def timeShift(df: DataFrame, offsetSec: Long, interval: String): DataFrame =
+    df.withColumn("start", col("start") - offsetSec)
+      .transform(d => SeriesFrame.rewrap(d, "timeShift", Seq(s"'$interval'")))
+
+  /** timeStack: one shifted copy per unit step in [start,end]; caller
+    * provides the per-shift evaluated frames. (ref timeStack/function.go) */
+  def timeStack(shifted: Seq[(Long, String, DataFrame)]): DataFrame =
+    shifted.map { case (offsetSec, label, df) =>
+      df.withColumn("start", col("start") - offsetSec)
+        .transform(d => SeriesFrame.rewrap(d, "timeShift", Seq(s"'$label'")))
+    }.reduce(_ unionByName _)
+
+  /** smartSummarize: summarize with buckets aligned to a calendar unit
+    * (year/month/week/day/hour/minute) instead of epoch-multiples.
+    * (ref smartSummarize/function.go, parser.go:983-1021) */
+  def smartSummarize(df: DataFrame, interval: Long, func: String, alignTo: String): DataFrame = {
+    val u = udf((v: Seq[Double], start: Long, step: Long) => {
+      val vals = v.toArray
+      val newStart = alignStart(start, alignTo)
+      val stop = start + vals.length * step
+      val nOut = math.max(math.ceil((stop - newStart).toDouble / interval).toInt, 0)
+      val out = new Array[Double](nOut)
+      var b = 0
+      while (b < nOut) {
+        val bLo = newStart + b * interval
+        val bHi = bLo + interval
+        val iLo = math.max(((bLo - start + step - 1) / step).toInt, 0)
+        val iHi = math.min(math.ceil((bHi - start).toDouble / step).toInt, vals.length)
+        val bucket = if (iHi > iLo) java.util.Arrays.copyOfRange(vals, iLo, iHi) else Array.empty[Double]
+        out(b) = Kernels.summarizeValues(func, bucket, 0f)
+        b += 1
+      }
+      (newStart, out)
+    })
+    df.withColumn("_r", u(col("values"), col("start"), col("step")))
+      .withColumn("start", col("_r._1"))
+      .withColumn("values", col("_r._2"))
+      .withColumn("step", lit(interval))
+      .drop("_r")
+      .transform(d => SeriesFrame.rewrap(d, "smartSummarize", Seq(s"\"${interval}s\"", s"\"$func\"")))
+  }
+
+  /** Truncate an epoch-seconds start down to a calendar boundary (UTC). */
+  private[engine] def alignStart(start: Long, alignTo: String): Long = {
+    if (alignTo == null || alignTo.isEmpty) return start
+    val zdt = java.time.Instant.ofEpochSecond(start).atZone(java.time.ZoneOffset.UTC)
+    val t = alignTo.toLowerCase match {
+      case s if s.startsWith("y")   => zdt.withDayOfYear(1).toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+      case s if s.startsWith("mon") => zdt.withDayOfMonth(1).toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+      case s if s.startsWith("w")   => zdt.minusDays(zdt.getDayOfWeek.getValue % 7).toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+      case s if s.startsWith("d")   => zdt.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+      case s if s.startsWith("h")   => zdt.withMinute(0).withSecond(0)
+      case s if s.startsWith("min") => zdt.withSecond(0)
+      case _                        => zdt
+    }
+    t.toEpochSecond
+  }
+
+  // ------------------------------------------------------------ presentation
+
+  /** substr: slice dot-nodes [start, stop) of the name. (ref substr/function.go) */
+  def substr(df: DataFrame, startN: Int, stopN: Int): DataFrame = {
+    val u = udf((n: String) => {
+      // strip any function wrapping first, like the reference does
+      val inner = {
+        val lp = n.lastIndexOf('(')
+        if (lp >= 0) {
+          val rp = n.indexOf(')', lp)
+          if (rp > lp) n.substring(lp + 1, rp) else n.substring(lp + 1)
+        } else n
+      }
+      val parts = inner.split(',').head.split('.')
+      val s = if (startN < 0) math.max(parts.length + startN, 0) else math.min(startN, parts.length)
+      val e = if (stopN == 0) parts.length else if (stopN < 0) parts.length + stopN else math.min(stopN, parts.length)
+      parts.slice(s, e).mkString(".")
+    })
+    df.withColumn("name", u(col("name")))
+  }
+
+  /** aliasByTags: rename to selected tag values (node-or-tag addressing).
+    * (ref aliasByNode/function.go — shares the implementation) */
+  def aliasByTags(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = keys.map {
+      case k if k.forall(c => c.isDigit || c == '-') =>
+        SeriesOps.nodeKey(col("name"), Seq(k.toInt))
+      case tag => coalesce(element_at(col("tags"), tag), lit(""))
+    }
+    df.withColumn("name", concat_ws(".", cols: _*))
+  }
+
+  /** legendValue: append `(func: value)` per requested function to the name.
+    * (ref legendValue/function.go) */
+  def legendValue(df: DataFrame, funcs: Seq[String]): DataFrame = {
+    val parts: Seq[Column] = funcs.map { f =>
+      val s = SeriesFrame.vecScalar(v => Kernels.summarizeValues(f, v))(col("values"))
+      concat(lit(s" ($f: "), s.cast("string"), lit(")"))
+    }
+    df.withColumn("name", concat(col("name") +: parts: _*))
+  }
+
+  /** cactiStyle: "name Current: x Max: y Min: z" legend formatting with
+    * fixed-width alignment dropped (per-row formatting only; the global
+    * padding pass happens at render time). (ref cactiStyle/function.go) */
+  def cactiStyle(df: DataFrame, units: String = ""): DataFrame = {
+    val cur = SeriesFrame.vecScalar(Kernels.last)(col("values"))
+    val mx = SeriesFrame.vecScalar(Kernels.max)(col("values"))
+    val mn = SeriesFrame.vecScalar(Kernels.min)(col("values"))
+    val fmt = (c: Column) => when(isnan(c), lit("nan")).otherwise(format_number(c, 2))
+    val u = if (units.nonEmpty) units else ""
+    df.withColumn("name", concat(
+      col("name"),
+      lit(" Current:"), fmt(cur), lit(u),
+      lit(" Max:"), fmt(mx), lit(u),
+      lit(" Min:"), fmt(mn), lit(u)))
+  }
+
+  // -------------------------------------------------------------- metadata
+
+  /** consolidateBy: record the output-consolidation function (used by
+    * maxDataPoints rendering; ref consolidateBy/function.go). */
+  def consolidateBy(df: DataFrame, func: String): DataFrame =
+    df.withColumn("tags", map_concat(
+        map_filter(col("tags"), (k, _) => k =!= "consolidateBy"),
+        map(lit("consolidateBy"), lit(func))))
+      .transform(d => SeriesFrame.rewrap(d, "consolidateBy", Seq(s"'$func'"), Some(s"'$func'")))
+
+  /** setXFilesFactor: record xFilesFactor metadata. (ref setXFilesFactor/function.go) */
+  def setXFilesFactor(df: DataFrame, xff: Double): DataFrame =
+    df.withColumn("tags", map_concat(
+      map_filter(col("tags"), (k, _) => k =!= "xFilesFactor"),
+      map(lit("xFilesFactor"), lit(xff.toString))))
+
+  /** fallbackSeries: primary if non-empty else fallback. Emptiness is a
+    * plan-time action (the reference inspects the fetched list the same way,
+    * ref fallbackSeries/function.go). */
+  def fallbackSeries(primary: DataFrame, fallback: DataFrame): DataFrame =
+    if (primary.isEmpty) fallback else primary
+}
