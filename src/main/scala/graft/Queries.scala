@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.SeriesFrame
 import graft.engine.Eval
-import graft.pipeline.{Dedup, Similarity, TextStats}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
 import graft.store.EventSeriesStore
 
 /**
@@ -59,7 +59,7 @@ object Queries {
     "g05_count_series" -> g("countSeries(events.*)"),
     "g06_range_series" -> g("rangeOfSeries(events.*)"),
     "g07_stddev_series" -> g("stddevSeries(events.*)"),
-    "g08_percentile_series" -> g("percentileOfSeries(events.*,50)"),
+    "g08_percentile_series" -> g("percentileOfSeries(events.*,50,true)"),
     "g09_absolute" -> g("absolute(offset(events.*,-50))"),
     "g10_derivative" -> g("derivative(events.*)"),
     "g11_integral" -> g("integral(events.*)"),
@@ -99,6 +99,14 @@ object Queries {
     "g44_polyfit" -> g("polyfit(events.*,2)"),
     "g45_ema" -> g("exponentialMovingAverage(events.*,10)"),
     "g46_timestack" -> g("timeStack(events.click,'1d',0,3)"),
+    "g47_integral_reset" -> g("integralWithReset(events.*,isNonNull(events.click))"),
+    "g48_seriesbytag" -> g("seriesByTag('name=~events.(click|view)')"),
+    "g49_aggregateline" -> g("aggregateLine(events.*,'avg',true)"),
+    "g50_heatmap" -> g("heatMap(events.*)"),
+    "g51_reduce" -> g("reduceSeries(mapSeries(events.*,0),'asPercent',1,'click','view')"),
+    "g52_applybynode" -> g("applyByNode(events.*,0,'sumSeries(%.*)')"),
+    "g53_useseriesabove" -> g("useSeriesAbove(events.click,0,'click','view')"),
+    "g54_baseline" -> g("baseline(events.*,'1d',1,4)"),
 
     // ---- TPC-H-style relational anchors (bench headliners)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -173,7 +181,30 @@ object Queries {
       Similarity.labelCentroidSimilarity(embeddings(s, dir))
         .select(col("label_a").cast("long").as("label_a"), col("label_b").cast("long").as("label_b"),
           dround(col("cosine"), 4).as("cosine"))
-        .orderBy("label_a", "label_b"))
+        .orderBy("label_a", "label_b")),
+    "p11_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), k = 3, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), dround(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+    "p12_embed_neardup" -> ((s, dir) =>
+      Similarity.labelBlockedNearDup(embeddings(s, dir), threshold = 0.3)
+        .select(col("vec_a"), col("vec_b"), col("label").cast("long").as("label"),
+          dround(col("cosine"), 4).as("cosine"))
+        .orderBy("vec_a", "vec_b")),
+
+    // ---- multimodal plumbing (decode kernel stubbed; Spark-side real)
+    "m01_mm_features" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(docs(s, dir)), dim = 8)
+      feats.select(col("asset_id"), col("modality"),
+          dround(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+          dround(element_at(col("features"), 8).cast("double"), 4).as("f7"))
+        .orderBy("asset_id")
+    }),
+    "m02_frame_plan" -> ((s, dir) =>
+      Multimodal.frameSamplePlan(Multimodal.syntheticAssets(docs(s, dir)))
+        .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("ts_ms").cast("long").as("ts_ms"))
+        .orderBy("asset_id", "frame_idx"))
   )
 
   // -------------------------------------------------------------- oracle SQL
@@ -207,7 +238,7 @@ object Queries {
     "g05_count_series" -> agg1("countSeries(events.*)", "CAST(count(v) AS DOUBLE)"),
     "g06_range_series" -> agg1("rangeOfSeries(events.*)", "max(v) - min(v)"),
     "g07_stddev_series" -> agg1("stddevSeries(events.*)", "stddev_pop(v)"),
-    "g08_percentile_series" -> agg1("percentileOfSeries(events.*,50)", "quantile_cont(v, 0.5)"),
+    "g08_percentile_series" -> agg1("percentileOfSeries(events.*,50,true)", "quantile_cont(v, 0.5)"),
     "g09_absolute" ->
       (S + "SELECT 'absolute(offset(' || name || ',-50))' AS name, ts, round(abs(v - 50), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g10_derivative" ->
@@ -326,6 +357,39 @@ object Queries {
         |  UNION ALL
         |  SELECT '0.0' AS name, ts, CAST(count(CASE WHEN v IS NULL THEN 1 END) AS DOUBLE) AS value FROM s GROUP BY ts HAVING count(CASE WHEN v IS NULL THEN 1 END) > 0
         |) ORDER BY name, ts""".stripMargin),
+    "g47_integral_reset" ->
+      (S + """, r AS (SELECT ts, CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS rst FROM s WHERE name = 'events.click'),
+        |j AS (SELECT s.name, s.ts, s.v, sum(r.rst) OVER (PARTITION BY s.name ORDER BY s.ts) AS grp FROM s JOIN r ON s.ts = r.ts)
+        |SELECT 'integralWithReset(' || name || ',isNonNull(events.click))' AS name, ts,
+        |  round(sum(v) OVER (PARTITION BY name, grp ORDER BY ts ROWS UNBOUNDED PRECEDING), 4) AS value
+        |FROM j QUALIFY v IS NOT NULL ORDER BY name, ts""".stripMargin),
+    "g48_seriesbytag" ->
+      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE regexp_matches(name, 'events.(click|view)') AND v IS NOT NULL ORDER BY name, ts"),
+    "g49_aggregateline" ->
+      (S + """, a AS (SELECT name, avg(v) AS av FROM s GROUP BY name)
+        |SELECT 'aggregateLine(' || s.name || ', ''avg'')' AS name, s.ts, round(a.av, 4) AS value
+        |FROM s JOIN a ON s.name = a.name WHERE a.av IS NOT NULL ORDER BY name, ts""".stripMargin),
+    "g50_heatmap" ->
+      (S + """, o AS (SELECT name, row_number() OVER (ORDER BY name) AS rn FROM (SELECT DISTINCT name FROM s))
+        |SELECT 'heatMap(' || c.name || ',' || p.name || ')' AS name, sc.ts, round(sc.v - sp.v, 4) AS value
+        |FROM o c JOIN o p ON c.rn = p.rn + 1
+        |JOIN s sc ON sc.name = c.name JOIN s sp ON sp.name = p.name AND sp.ts = sc.ts
+        |WHERE sc.v IS NOT NULL AND sp.v IS NOT NULL ORDER BY 1, 2""".stripMargin),
+    "g51_reduce" ->
+      (S + """SELECT 'events.asPercent' AS name, a.ts, round(a.v / b.v * 100, 4) AS value
+        |FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.click' AND b.name = 'events.view'
+        |WHERE a.v IS NOT NULL AND b.v IS NOT NULL AND b.v != 0 ORDER BY a.ts""".stripMargin),
+    "g52_applybynode" -> agg1("sumSeries(events.*)", "sum(v)"),
+    "g53_useseriesabove" ->
+      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name = 'events.view' AND v IS NOT NULL ORDER BY ts"),
+    "g54_baseline" ->
+      (S + """, shifted AS (
+        |  SELECT name, ts + 86400 AS ts, v FROM s UNION ALL
+        |  SELECT name, ts + 172800 AS ts, v FROM s UNION ALL
+        |  SELECT name, ts + 259200 AS ts, v FROM s),
+        |med AS (SELECT name, ts, quantile_cont(v, 0.5) AS m, count(v) AS c FROM shifted, b
+        |        WHERE ts >= b.t0 + 259200 AND ts <= b.t1 + 86400 GROUP BY name, ts)
+        |SELECT 'baseline(' || name || ')' AS name, ts, round(m, 4) AS value FROM med WHERE c > 0 ORDER BY name, ts""".stripMargin),
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -367,8 +431,32 @@ object Queries {
       """WITH c AS (SELECT label, i, avg(embedding[i]) AS v FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g GROUP BY label, i)
         |SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
         |  round(sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 4) AS cosine
-        |FROM c a JOIN c b ON a.i = b.i AND a.label <= b.label GROUP BY a.label, b.label ORDER BY label_a, label_b""".stripMargin
-    // p04/p05/p06/p08/p09: heuristic- or hash-dependent (xxhash64/IVF) —
-    // no DuckDB equivalent; driver records the weaker rows-only check.
+        |FROM c a JOIN c b ON a.i = b.i AND a.label <= b.label GROUP BY a.label, b.label ORDER BY label_a, label_b""".stripMargin,
+    "p11_ngram_jaccard" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |    FROM words WHERE len(w) >= 3)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "p12_embed_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(a.label AS BIGINT) AS label,
+        |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    "m02_frame_plan" ->
+      """SELECT doc_id AS asset_id, CAST(ts_ms / 1000 AS BIGINT) AS frame_idx, CAST(ts_ms AS BIGINT) AS ts_ms
+        |FROM (SELECT doc_id, unnest(generate_series(0, least(n_chars * 10, 31000), 1000)) AS ts_ms
+        |      FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY asset_id, frame_idx""".stripMargin
+    // p04/p05/p06/p08/p09/m01: heuristic- or hash-dependent (xxhash64/IVF/
+    // byte-histogram stub) — no DuckDB equivalent; rows-only check.
   )
 }

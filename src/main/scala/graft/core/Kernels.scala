@@ -155,8 +155,11 @@ object Kernels {
       case "count"            => notNans.toDouble
       case "stddev"           => stddev(values)
       case "first"            => values(0)
+      // "pN" interpolates; "pN!" takes the upper sample (the reference's
+      // percentileOfSeries default, interpolate=false)
       case pN if pN.startsWith("p") =>
-        try percentile(values, pN.drop(1).toDouble, interpolate = true)
+        val interp = !pN.endsWith("!")
+        try percentile(values, pN.drop(1).stripSuffix("!").toDouble, interpolate = interp)
         catch { case _: NumberFormatException => return Double.NaN }
       case _ => return Double.NaN
     }
@@ -180,7 +183,8 @@ object Kernels {
     case "stddev"           => v => summarizeValues("stddev", v)
     case "first"            => first _
     case "last" | "current" => last _
-    case pN if pN.matches("p([0-9]*[.])?[0-9]+") => v => percentile(v, pN.drop(1).toDouble, interpolate = true)
+    case pN if pN.matches("p([0-9]*[.])?[0-9]+!?") =>
+      v => percentile(v, pN.drop(1).stripSuffix("!").toDouble, interpolate = !pN.endsWith("!"))
     case other => throw new IllegalArgumentException(s"unsupported consolidation function: $other")
   }
 

@@ -28,7 +28,13 @@ object Eval {
                  from: Long = Long.MinValue / 4, until: Long = Long.MaxValue / 4): DataFrame =
     eval(Parser.parse(target), Ctx(spark, store, from, until))
 
+  /** Empty canonical frame (for rewrites that match nothing). */
+  def emptyFrame(spark: SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      graft.core.SeriesFrame.schema)
+
   def eval(ast: Ast, ctx: Ctx): DataFrame = ast match {
+    case NameExpr(t) if t.startsWith("seriesByTag(") => RewriteOps.seriesByTag(ctx, t)
     case NameExpr(t) => ctx.store.fetch(ctx.spark, t, ctx.from, ctx.until)
     case fc: FuncCall =>
       registry.getOrElse(fc.name,
@@ -136,7 +142,8 @@ object Eval {
     "total" -> aggFamily("sum"),
     "percentileOfSeries" -> ((ctx, fc) => {
       val n = numArg(fc, 1)
-      SeriesOps.aggregateSeries(seriesArg(ctx, fc), s"p$n",
+      val interp = boolArg(fc, 2, "interpolate")
+      SeriesOps.aggregateSeries(seriesArg(ctx, fc), s"p${SeriesOps.fmtNum(n)}" + (if (interp) "" else "!"),
         nameFor = _ => lit(s"percentileOfSeries(${fc.rawArgs})"))
     }),
     "group" -> ((ctx, fc) => fc.args.map(a => eval(a, ctx)).reduce(_ unionByName _)),
@@ -203,6 +210,10 @@ object Eval {
       seriesArg(ctx, fc), numArg(fc, 1, "limit", Some(Double.PositiveInfinity)))),
     "changed" -> ((ctx, fc) => SeriesOps.changed(seriesArg(ctx, fc))),
     "delay" -> ((ctx, fc) => SeriesOps.delay(seriesArg(ctx, fc), intArg(fc, 1))),
+    "integralWithReset" -> ((ctx, fc) => ExtOps.integralWithReset(seriesArg(ctx, fc), seriesArg(ctx, fc, 1))),
+    "compressPeriodicGaps" -> ((ctx, fc) => ExtOps.compressPeriodicGaps(seriesArg(ctx, fc))),
+    "scaleAfterTimestamp" -> ((ctx, fc) => ExtOps.scaleAfterTimestamp(
+      seriesArg(ctx, fc), numArg(fc, 1), intervalArg(fc, 2))),
 
     // ---- windowed
     "movingAverage" -> movingFamily("average", "movingAverage"),
@@ -251,7 +262,12 @@ object Eval {
     // ---- sort / naming
     "sortBy" -> ((ctx, fc) => SeriesOps.sortBy(seriesArg(ctx, fc),
       strArg(fc, 1, "func", Some("average")), boolArg(fc, 2, "reverse"))),
-    "sortByName" -> ((ctx, fc) => SeriesOps.sortByName(seriesArg(ctx, fc), boolArg(fc, 2, "reverse"))),
+    "sortByName" -> ((ctx, fc) => {
+      val natural = boolArg(fc, 1, "natural")
+      val reverse = boolArg(fc, 2, "reverse")
+      if (natural) ExtOps.sortByNameNatural(seriesArg(ctx, fc), reverse)
+      else SeriesOps.sortByName(seriesArg(ctx, fc), reverse)
+    }),
     "sortByTotal" -> ((ctx, fc) => SeriesOps.sortByTotal(seriesArg(ctx, fc))),
     "sortByMaxima" -> ((ctx, fc) => SeriesOps.sortByMaxima(seriesArg(ctx, fc))),
     "sortByMinima" -> ((ctx, fc) => SeriesOps.sortByMinima(seriesArg(ctx, fc))),
@@ -352,9 +368,52 @@ object Eval {
       seriesArg(ctx, fc), seriesArg(ctx, fc, 1), intArg(fc, 2, "windowSize", Some(60)))),
     "ksTest2" -> ((ctx, fc) => AnalyticsOps.ksTest2(
       seriesArg(ctx, fc), seriesArg(ctx, fc, 1), intArg(fc, 2, "windowSize", Some(60)))),
+    "heatMap" -> ((ctx, fc) => ExtOps.heatMap(seriesArg(ctx, fc))),
+    "ifft" -> ((ctx, fc) => ExtOps.ifft(seriesArg(ctx, fc))),
+    "aggregateLine" -> ((ctx, fc) => ExtOps.aggregateLine(seriesArg(ctx, fc),
+      strArg(fc, 1, "func", Some("average")), boolArg(fc, 2, "keepStep"))),
+
+    // ---- map/reduce + rewrite family (second-fetch semantics)
+    "mapSeries" -> ((ctx, fc) => ExtOps.mapSeries(seriesArg(ctx, fc), intsFrom(fc, 1))),
+    "map" -> ((ctx, fc) => ExtOps.mapSeries(seriesArg(ctx, fc), intsFrom(fc, 1))),
+    "reduceSeries" -> ((ctx, fc) => ExtOps.reduceSeries(seriesArg(ctx, fc),
+      strArg(fc, 1), intArg(fc, 2), fc.args.drop(3).map { case Str(s) => s; case NameExpr(s) => s; case o => o.print })),
+    "reduce" -> ((ctx, fc) => ExtOps.reduceSeries(seriesArg(ctx, fc),
+      strArg(fc, 1), intArg(fc, 2), fc.args.drop(3).map { case Str(s) => s; case NameExpr(s) => s; case o => o.print })),
+    "applyByNode" -> ((ctx, fc) => RewriteOps.applyByNode(ctx, fc.args.head,
+      intArg(fc, 1), strArg(fc, 2), arg(fc, 3, "newName").map { case Str(s) => s; case o => o.print })),
+    "useSeriesAbove" -> ((ctx, fc) => RewriteOps.useSeriesAbove(ctx, fc.args.head,
+      numArg(fc, 1), strArg(fc, 2), strArg(fc, 3))),
+    "aboveSeries" -> ((ctx, fc) => RewriteOps.useSeriesAbove(ctx, fc.args.head,
+      numArg(fc, 1), strArg(fc, 2), strArg(fc, 3))),
+    "aliasQuery" -> ((ctx, fc) => RewriteOps.aliasQuery(ctx, fc.args.head,
+      strArg(fc, 1), strArg(fc, 2), strArg(fc, 3))),
+    "baseline" -> ((ctx, fc) => RewriteOps.baselines(ctx, fc.args.head,
+      intervalArg(fc, 1, defaultSign = -1), intArg(fc, 2), intArg(fc, 3), isAberration = false,
+      numArg(fc, 4, "maxAbsentPercent", Some(Double.NaN)), numArg(fc, 5, "minAvg", Some(Double.NaN)))),
+    "baselineAberration" -> ((ctx, fc) => RewriteOps.baselines(ctx, fc.args.head,
+      intervalArg(fc, 1, defaultSign = -1), intArg(fc, 2), intArg(fc, 3), isAberration = true,
+      numArg(fc, 4, "maxAbsentPercent", Some(Double.NaN)), numArg(fc, 5, "minAvg", Some(Double.NaN)))),
+    "timeShiftByMetric" -> ((ctx, fc) => RewriteOps.timeShiftByMetric(
+      seriesArg(ctx, fc), seriesArg(ctx, fc, 1), intArg(fc, 2))),
+
+    // ---- graph-option setters (render metadata; ref cairo/function.go:21-30)
+    "drawAsInfinite" -> ((ctx, fc) => ExtOps.setOption(seriesArg(ctx, fc), "drawAsInfinite", "1", renameAs = Some("drawAsInfinite"))),
+    "color" -> ((ctx, fc) => ExtOps.setOption(seriesArg(ctx, fc), "color", strArg(fc, 1))),
+    "alpha" -> ((ctx, fc) => ExtOps.setOption(seriesArg(ctx, fc), "alpha", SeriesOps.fmtNum(numArg(fc, 1)))),
+    "dashed" -> ((ctx, fc) => ExtOps.setOption(seriesArg(ctx, fc), "dashed",
+      SeriesOps.fmtNum(numArg(fc, 1, "dashLength", Some(5))), renameAs = Some("dashed"))),
+    "lineWidth" -> ((ctx, fc) => ExtOps.setOption(seriesArg(ctx, fc), "lineWidth", SeriesOps.fmtNum(numArg(fc, 1)))),
+    "stacked" -> ((ctx, fc) => ExtOps.setOption(seriesArg(ctx, fc), "stacked", "1")),
+    "secondYAxis" -> ((ctx, fc) => ExtOps.setOption(seriesArg(ctx, fc), "secondYAxis", "1", renameAs = Some("secondYAxis"))),
+    "areaBetween" -> ((ctx, fc) => ExtOps.setOption(seriesArg(ctx, fc), "areaBetween", "1", renameAs = Some("areaBetween"))),
+    "aliasByBase64" -> ((ctx, fc) => ExtOps.aliasByBase64(seriesArg(ctx, fc),
+      arg(fc, 1).map { case Num(v) => v.toInt; case o => throw new IllegalArgumentException(s"bad node $o") })),
 
     // ---- generators
     "constantLine" -> ((ctx, fc) => constantLine(ctx, numArg(fc, 0))),
+    "verticalLine" -> ((ctx, fc) => ExtOps.verticalLine(ctx.spark,
+      intervalArg(fc, 0), strArg(fc, 1, "label", Some("vertical line")))),
     "threshold" -> ((ctx, fc) => {
       val base = constantLine(ctx, numArg(fc, 0))
       arg(fc, 1, "label") match {

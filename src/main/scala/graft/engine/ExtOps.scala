@@ -1,0 +1,245 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Kernels, SeriesFrame, VecOps}
+
+/**
+ * Remaining series operators from SURVEY §2: reset-aware integrals, gap
+ * compaction, per-series constant lines, heat maps, inverse FFT, marker
+ * series, base64 renames, post-timestamp scaling, graph-option metadata
+ * setters, and the map/reduce series family.
+ *
+ * Same scale rules as [[SeriesOps]]: per-series sequential logic stays a
+ * local vector loop (one series per row, zero shuffle); cross-series pairing
+ * uses bounded series-level windows, never point-level shuffles.
+ */
+object ExtOps {
+  import SeriesFrame.{mapVec, rewrap, vecScalar}
+
+  // ----------------------------------------------------------- sequential
+
+  /** integralWithReset: running sum that restarts wherever the resetter
+    * series is non-zero/non-NaN. (ref integralWithReset/function.go) */
+  def integralWithReset(df: DataFrame, resetter: DataFrame): DataFrame = {
+    val r1 = resetter.limit(1).select(col("name").as("resetName"), col("values").as("resetValues"))
+    val u = udf((v: Seq[Double], resets: Seq[Double]) => {
+      val out = new Array[Double](v.length)
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) {
+        val rv = if (i < resets.length) resets(i) else Double.NaN
+        if (!Kernels.isNaN(rv) && rv != 0.0) acc = 0.0
+        val x = v(i)
+        if (Kernels.isNaN(x)) out(i) = Double.NaN
+        else { acc += x; out(i) = acc }
+        i += 1
+      }
+      out
+    })
+    df.crossJoin(broadcast(r1))
+      .withColumn("values", u(col("values"), col("resetValues")))
+      .withColumn("name", concat(lit("integralWithReset("), col("name"), lit(","), col("resetName"), lit(")")))
+      .drop("resetName", "resetValues")
+  }
+
+  /** compressPeriodicGaps: detect the dominant period of non-NaN samples and
+    * re-emit the series at that coarser step, dropping the periodic NaN
+    * padding. (ref compressPeriodicGaps/function.go) */
+  def compressPeriodicGaps(df: DataFrame): DataFrame = {
+    val u = udf((v: Seq[Double], start: Long, step: Long) => {
+      val idx = v.indices.filter(i => !Kernels.isNaN(v(i)))
+      if (idx.length < 2) (start, step, v.toArray)
+      else {
+        val gaps = idx.sliding(2).map(p => p(1) - p(0)).toSeq
+        val period = gaps.groupBy(identity).maxBy(_._2.size)._1
+        if (period <= 1) (start, step, v.toArray)
+        else {
+          val first = idx.head
+          val out = Iterator.iterate(first)(_ + period).takeWhile(_ < v.length).map(v(_)).toArray
+          (start + first.toLong * step, step * period, out)
+        }
+      }
+    })
+    df.withColumn("_r", u(col("values"), col("start"), col("step")))
+      .withColumn("start", col("_r._1"))
+      .withColumn("step", col("_r._2"))
+      .withColumn("values", col("_r._3"))
+      .drop("_r")
+      .transform(d => rewrap(d, "compressPeriodicGaps"))
+  }
+
+  /** scaleAfterTimestamp: multiply only points at/after the pivot ts.
+    * (ref scale/function.go — scaleAfterTimestamp variant) */
+  def scaleAfterTimestamp(df: DataFrame, factor: Double, pivotTs: Long): DataFrame =
+    rewrap(df.withColumn("values",
+      transform(col("values"), (v, i) => {
+        val ts = col("start") + i.cast("long") * col("step")
+        when(ts >= lit(pivotTs), v * lit(factor)).otherwise(v)
+      })), "scaleAfterTimestamp", Seq(SeriesOps.fmtNum(factor), pivotTs.toString))
+
+  // -------------------------------------------------------------- constant
+
+  /** aggregateLine: replace each series by a flat line at its summarized
+    * scalar. keepStep keeps the original grid; else 3 points span the range.
+    * (ref aggregateLine/function.go) */
+  def aggregateLine(df: DataFrame, func: String = "average", keepStep: Boolean = false): DataFrame = {
+    val s = vecScalar(v => Kernels.summarizeValues(func, v))(col("values"))
+    val flat =
+      if (keepStep) df.withColumn("_s", s)
+        .withColumn("values", transform(col("values"), _ => col("_s")))
+      else df.withColumn("_s", s)
+        .withColumn("step", greatest((size(col("values")).cast("long") * col("step")) / lit(2L), lit(1L)))
+        .withColumn("values", array(col("_s"), col("_s"), col("_s")))
+    flat.withColumn("name",
+        concat(lit("aggregateLine("), col("name"), lit(s", '$func')")))
+      .drop("_s")
+  }
+
+  /** verticalLine(ts, label): single marker point at the given timestamp.
+    * (ref verticalLine/function.go) */
+  def verticalLine(spark: org.apache.spark.sql.SparkSession, ts: Long, label: String): DataFrame = {
+    import spark.implicits._
+    Seq(graft.core.Series(label, Map("name" -> label), ts, 1L, Array(1.0, 1.0))).toDF()
+  }
+
+  // --------------------------------------------------------------- heatMap
+
+  /** heatMap: diff of each consecutive pair of series in name order —
+    * series-level lag window (rows = series count, bounded). (ref heatMap/function.go) */
+  def heatMap(df: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("name"))
+    val withPrev = df
+      .withColumn("prevName", lag(col("name"), 1).over(w))
+      .withColumn("prevValues", lag(col("values"), 1).over(w))
+    withPrev.where(col("prevName").isNotNull)
+      .select(
+        concat(lit("heatMap("), col("name"), lit(","), col("prevName"), lit(")")).as("name"),
+        col("tags"), col("start"), col("step"),
+        zip_with(col("values"), col("prevValues"), (a, b) => a - b).as("values"))
+  }
+
+  // ------------------------------------------------------------------- fft
+
+  /** ifft: inverse transform of a magnitude spectrum (phase assumed 0 when
+    * no phase list given, matching the reference's single-arg mode).
+    * (ref ifft/function.go) */
+  def ifft(df: DataFrame): DataFrame = {
+    val u = udf((v: Seq[Double]) => {
+      val orig = v.toArray
+      var n = 1
+      while (n < orig.length) n <<= 1
+      val re = new Array[Double](n); val im = new Array[Double](n)
+      var i = 0
+      while (i < orig.length) { re(i) = if (Kernels.isNaN(orig(i))) 0.0 else orig(i); i += 1 }
+      // inverse via conjugate trick (phase 0 → conjugate is identity pre-pass)
+      VecOps.fftInPlace(re, im)
+      i = 0
+      val out = new Array[Double](orig.length)
+      while (i < orig.length) { out(i) = re(if (i == 0) 0 else n - i) / n; i += 1 }
+      out
+    })
+    rewrap(df.withColumn("values", u(col("values"))), "ifft")
+  }
+
+  // ------------------------------------------------------------ name games
+
+  /** aliasByBase64: base64-decode the whole name (or one node).
+    * (ref aliasByBase64/function.go) */
+  def aliasByBase64(df: DataFrame, node: Option[Int]): DataFrame = node match {
+    case None =>
+      val u = udf((n: String) => decode64(n).getOrElse(n))
+      df.withColumn("name", u(col("name")))
+    case Some(i) =>
+      val u = udf((n: String, idx: Int) => {
+        val parts = n.split('.')
+        val j = if (idx < 0) parts.length + idx else idx
+        if (j >= 0 && j < parts.length) decode64(parts(j)).foreach(parts(j) = _)
+        parts.mkString(".")
+      })
+      df.withColumn("name", u(col("name"), lit(i)))
+  }
+
+  private def decode64(s: String): Option[String] =
+    try {
+      val d = new String(java.util.Base64.getDecoder.decode(s), java.nio.charset.StandardCharsets.UTF_8)
+      if (d.nonEmpty) Some(d) else None
+    } catch { case _: IllegalArgumentException => None }
+
+  // -------------------------------------------------- graph-option setters
+  // GraphOptions in the reference live outside query semantics (consumed by
+  // the png/svg renderer, ref cairo/function.go:21-30). We record them as
+  // tags so the render layer can honor them; names change only where the
+  // reference renames (drawAsInfinite).
+
+  def setOption(df: DataFrame, key: String, value: String, renameAs: Option[String] = None): DataFrame = {
+    val tagged = df.withColumn("tags", map_concat(
+      map_filter(col("tags"), (k, _) => k =!= key),
+      map(lit(key), lit(value))))
+    renameAs.fold(tagged)(fn => rewrap(tagged, fn))
+  }
+
+  // -------------------------------------------------------- map / reduce
+
+  /** mapSeries: tag each series with its node key — the groups that a
+    * following reduceSeries consumes. (ref mapSeries/function.go) */
+  def mapSeries(df: DataFrame, nodes: Seq[Int]): DataFrame =
+    df.withColumn("tags", map_concat(
+      map_filter(col("tags"), (k, _) => k =!= "_mapKey"),
+      map(lit("_mapKey"), SeriesOps.nodeKey(col("name"), nodes))))
+
+  /**
+   * reduceSeries: within each mapSeries group, match series whose node at
+   * `reduceNode` equals each matcher, then apply the binary reduce function
+   * to (matcher1, matcher2) per group. Supported reducers: diff / divide /
+   * asPercent / sum / multiply — the set the reference ships.
+   * (ref reduce/function.go)
+   */
+  def reduceSeries(df: DataFrame, reduceFn: String, reduceNode: Int, matchers: Seq[String]): DataFrame = {
+    require(matchers.length >= 2, "reduceSeries needs at least two matchers")
+    val nodeAt = SeriesOps.nodeKey(col("name"), Seq(reduceNode))
+    val key = coalesce(element_at(col("tags"), "_mapKey"), lit(""))
+    val a = df.where(nodeAt === matchers.head)
+      .select(key.as("k"), col("start"), col("step"), col("values").as("va"))
+    val b = df.where(nodeAt === matchers(1))
+      .select(key.as("k"), col("values").as("vb"))
+    val op: (Column, Column) => Column = reduceFn match {
+      case "diffSeries" | "diff"         => (x, y) => x - y
+      case "divideSeries" | "divide"     => (x, y) => when(isnan(y) || y === 0.0, lit(Double.NaN)).otherwise(x / y)
+      case "asPercent"                   => (x, y) => when(isnan(y) || y === 0.0, lit(Double.NaN)).otherwise(x / y * lit(100.0))
+      case "sumSeries" | "sum"           => (x, y) => x + y
+      case "multiplySeries" | "multiply" => (x, y) => x * y
+      case other => throw new IllegalArgumentException(s"reduceSeries: unsupported reducer $other")
+    }
+    a.join(b, "k").select(
+      concat(col("k"), lit(s".$reduceFn")).as("name"),
+      map(lit("name"), col("k")).as("tags"),
+      col("start"), col("step"),
+      zip_with(col("va"), col("vb"), op).as("values"))
+  }
+
+  // --------------------------------------------------------- transformNull
+  // referenceSeries variant: default only where the reference series has a
+  // value (ref transformNull/function.go, Metrics() extra fetch).
+
+  def transformNullRef(df: DataFrame, default: Double, ref: DataFrame): DataFrame = {
+    val r1 = ref.limit(1).select(col("values").as("refValues"))
+    df.crossJoin(broadcast(r1))
+      .withColumn("values", zip_with(col("values"), col("refValues"),
+        (v, r) => when(isnan(v) && !isnan(r), lit(default)).otherwise(v)))
+      .drop("refValues")
+      .transform(d => rewrap(d, "transformNull", Seq(SeriesOps.fmtNum(default))))
+  }
+
+  /** sortByName natural=true: digit runs compare numerically ("a2" < "a10").
+    * (ref sortByName/function.go — maruel/natural) */
+  def sortByNameNatural(df: DataFrame, reverse: Boolean): DataFrame = {
+    // pad every digit run to fixed width → lexicographic == natural
+    val u = udf((n: String) => "\\d+".r.replaceAllIn(n, m => f"${BigInt(m.matched)}%020d"))
+    val k = u(col("name"))
+    df.withColumn("_nk", k)
+      .orderBy(if (reverse) col("_nk").desc else col("_nk").asc)
+      .drop("_nk")
+  }
+}

@@ -1,0 +1,233 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Kernels, SeriesFrame}
+import graft.parser.{Ast, Parser}
+
+/**
+ * Rewrite / second-fetch operators: functions whose semantics require a
+ * names-only pass over a first fetch, followed by re-planned scans
+ * (the reference's RewriteFunctions dispatch, ref expr/expr.go:128-151).
+ *
+ * The driver-side collect in each is a NAMES-ONLY projection (series count
+ * rows, few bytes each) — the same cardinality the reference materializes —
+ * never point data. The re-planned scans stay distributed.
+ */
+object RewriteOps {
+
+  /** applyByNode: one rewritten target per distinct node prefix, `%`
+    * substituted. (ref expr/rewrite/applyByNode/function.go:31-77) */
+  def applyByNode(ctx: Eval.Ctx, listExpr: Ast, nodeNum: Int, template: String,
+                  newName: Option[String]): DataFrame = {
+    val prefixes = Eval.eval(listExpr, ctx)
+      .select(col("name")).distinct().collect().map(_.getString(0))
+      .map(n => n.split('.').take(nodeNum + 1).mkString("."))
+      .distinct.sorted
+    require(prefixes.nonEmpty, "applyByNode: no series matched")
+    prefixes.map { p =>
+      val t0 = template.replace("%", p)
+      val t = newName.fold(t0)(nn => s"""alias($t0,'${nn.replace("%", p)}')""")
+      Eval.eval(Parser.parse(t), ctx)
+    }.reduce(_ unionByName _)
+  }
+
+  /** useSeriesAbove / aboveSeries: keep names whose max > value, regex-rename,
+    * re-fetch the renamed metrics. (ref expr/rewrite/aboveSeries/function.go:26-120) */
+  def useSeriesAbove(ctx: Eval.Ctx, listExpr: Ast, value: Double, search: String,
+                     replace: String): DataFrame = {
+    val src = Eval.eval(listExpr, ctx)
+    val maxC = SeriesFrame.vecScalar(Kernels.max)(col("values"))
+    val names = src.where(maxC > lit(value))
+      .select(col("name")).distinct().collect().map(_.getString(0))
+    val re = search.r
+    val renamed = names.map(n => re.replaceAllIn(n, replace.replaceAll("""\\(\d+)""", "\\$$$1"))).distinct
+    if (renamed.isEmpty) Eval.emptyFrame(ctx.spark)
+    else renamed.map(n => ctx.store.fetch(ctx.spark, n, ctx.from, ctx.until)).reduce(_ unionByName _)
+  }
+
+  /** aliasQuery: regex-derive a lookup target per series, template its last
+    * value into the new name. (ref aliasQuery/function.go) */
+  def aliasQuery(ctx: Eval.Ctx, listExpr: Ast, search: String, replace: String,
+                 newName: String): DataFrame = {
+    val src = Eval.eval(listExpr, ctx)
+    val names = src.select(col("name")).distinct().collect().map(_.getString(0))
+    val re = search.r
+    val javaRepl = replace.replaceAll("""\\(\d+)""", "\\$$$1")
+    val renames = names.map { n =>
+      val target = re.replaceAllIn(n, javaRepl)
+      val lastV = Eval.eval(Parser.parse(target), ctx)
+        .select(SeriesFrame.vecScalar(Kernels.last)(col("values")).as("v"))
+        .collect().headOption.map(_.getDouble(0)).getOrElse(Double.NaN)
+      n -> fmtTemplate(newName, lastV)
+    }.toMap
+    val u = udf((n: String) => renames.getOrElse(n, n))
+    src.withColumn("name", u(col("name")))
+  }
+
+  /** printf-style %d / %.Nf / %f substitution of one numeric value. */
+  private def fmtTemplate(tpl: String, v: Double): String =
+    "%(\\.\\d+)?[dfg]".r.replaceAllIn(tpl, m => {
+      val spec = m.matched
+      val out =
+        if (spec.endsWith("d")) (if (Kernels.isNaN(v)) "nan" else v.toLong.toString)
+        else String.format(java.util.Locale.ROOT, spec.replace("g", "f"),
+          java.lang.Double.valueOf(v))
+      java.util.regex.Matcher.quoteReplacement(out)
+    })
+
+  /**
+   * baseline / baselineAberration: interpolated median across N time-shifted
+   * copies of each series; aberration divides current by the baseline.
+   * Shifted scans union → one groupBy(name) with a small element-wise
+   * median over ≤N arrays. (ref baselines/function.go)
+   */
+  def baselines(ctx: Eval.Ctx, listExpr: Ast, unit: Long, startI: Int, endI: Int,
+                isAberration: Boolean, maxAbsentPercent: Double = Double.NaN,
+                minAvgLimit: Double = Double.NaN): DataFrame = {
+    val shifted = (startI until endI).filter(_ != 0).map { i =>
+      val offs = unit * i
+      Eval.eval(listExpr, ctx.copy(from = ctx.from + offs, until = ctx.until + offs))
+        .withColumn("start", col("start") - offs)
+    }
+    require(shifted.nonEmpty, "baseline: empty shift range")
+    val grouped = shifted.reduce(_ unionByName _)
+      .groupBy(col("name"))
+      .agg(first(col("tags")).as("tags"), first(col("step")).as("step"),
+        collect_list(struct(col("start"), col("values"))).as("copies"))
+    // element-wise interpolated median over the copies' common (intersection)
+    // grid — copies may carry different grids when the store over-fetches
+    val medU = udf((copies: Seq[org.apache.spark.sql.Row], step: Long) => {
+      val parsed = copies.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val lo = parsed.map(_._1).max
+      val hi = parsed.map { case (s, v) => s + v.length * step }.min
+      val n = math.max(((hi - lo) / step).toInt, 0)
+      val out = Array.tabulate(n) { i =>
+        val ts = lo + i.toLong * step
+        val vals = parsed.flatMap { case (s, v) =>
+          val j = ((ts - s) / step).toInt
+          if (j >= 0 && j < v.length) Some(v(j)) else None
+        }.filter(v => !Kernels.isNaN(v)).toArray
+        if (vals.isEmpty) Double.NaN else Kernels.percentile(vals, 50, interpolate = true)
+      }
+      (lo, out)
+    })
+    val base = grouped.withColumn("_r", medU(col("copies"), col("step")))
+      .withColumn("start", col("_r._1"))
+      .withColumn("values", col("_r._2"))
+      .drop("copies", "_r")
+    val fn = if (isAberration) "baselineAberration" else "baseline"
+    val result =
+      if (!isAberration) base
+      else {
+        val cur = Eval.eval(listExpr, ctx)
+          .select(col("name"), col("start").as("curStart"), col("values").as("curValues"))
+        // current series is on its own grid — index it by ts, not position
+        val abU = udf((b: Seq[Double], start: Long, step: Long, cv: Seq[Double], cs: Long) =>
+          b.indices.map { i =>
+            val j = ((start + i.toLong * step - cs) / step).toInt
+            val c = if (j >= 0 && j < cv.length) cv(j) else Double.NaN
+            if (Kernels.isNaN(c)) Double.NaN
+            else if (b(i) != 0.0 && !Kernels.isNaN(b(i))) c / b(i)
+            else b(i)
+          }.toArray)
+        base.join(cur, "name")
+          .withColumn("values", abU(col("values"), col("start"), col("step"), col("curValues"), col("curStart")))
+          .drop("curValues", "curStart")
+      }
+    val gated =
+      if (Kernels.isNaN(maxAbsentPercent) && Kernels.isNaN(minAvgLimit)) result
+      else {
+        val absent = SeriesFrame.vecScalar(v =>
+          if (v.isEmpty) 100.0 else 100.0 * v.count(Kernels.isNaN) / v.length)(col("values"))
+        val avgC = SeriesFrame.vecScalar(Kernels.mean)(col("values"))
+        val r1 = if (Kernels.isNaN(maxAbsentPercent)) result else result.where(absent <= lit(maxAbsentPercent))
+        if (Kernels.isNaN(minAvgLimit)) r1 else r1.where(avgC >= lit(minAvgLimit))
+      }
+    SeriesFrame.rewrap(gated, fn)
+  }
+
+  /**
+   * timeShiftByMetric: shift each series so its version (dot-node at
+   * versionRank) aligns with the latest version seen in the marker metrics.
+   * Marker versions look like "major_minor"; offset = (latest mark's last
+   * data position − this version's) × step. (ref timeShiftByMetric/function.go)
+   */
+  def timeShiftByMetric(metrics: DataFrame, marks: DataFrame, versionRank: Int): DataFrame = {
+    case class Mark(version: String, major: Int, minor: Int, position: Int)
+    val markRe = """(\d+)_(\d+)""".r
+    val collected = marks.select(col("name"), col("values"), col("step")).collect()
+    val step = collected.headOption.map(_.getLong(2)).getOrElse(60L)
+    val versions = collected.flatMap { r =>
+      val version = r.getString(0).split('.').last
+      markRe.findFirstMatchIn(version).flatMap { m =>
+        val vals = r.getSeq[Double](1)
+        val pos = vals.lastIndexWhere(v => !Kernels.isNaN(v))
+        if (pos < 0) None
+        else Some(Mark(version, m.group(1).toInt, m.group(2).toInt, pos))
+      }
+    }
+    // latest mark per major version, ordered newest-first
+    val latest = versions.groupBy(_.major).values
+      .map(_.maxBy(_.minor)).toSeq.sortBy(m => (-m.major, -m.minor))
+    require(latest.nonEmpty, "timeShiftByMetric: no versioned marks found")
+    val topPos = latest.head.position
+    val offsets = latest.map(m => m.version -> (topPos - m.position).toLong * step).toMap
+    val u = udf((n: String) => {
+      val parts = n.split('.')
+      if (versionRank >= parts.length) null
+      else {
+        val ver = parts(versionRank)
+        offsets.get(ver)
+          .orElse(offsets.collectFirst { case (k, v) if k.startsWith(ver) => v })
+          .map(java.lang.Long.valueOf(_))
+          .orNull
+      }
+    })
+    metrics.withColumn("_off", u(col("name")))
+      .where(col("_off").isNotNull)
+      .withColumn("start", col("start") + col("_off"))
+      .drop("_off")
+      .transform(d => SeriesFrame.rewrap(d, "timeShiftByMetric"))
+  }
+
+  // ------------------------------------------------------------ seriesByTag
+
+  /** Parse `seriesByTag('k=v','k2=~re',...)` into (key, op, value) specs.
+    * (ref expr/tags/helper.go:58-148) */
+  def parseTagSpecs(target: String): Seq[(String, String, String)] = {
+    val inner = target.stripPrefix("seriesByTag(").stripSuffix(")")
+    val arg = """['"]([^'"]*)['"]""".r
+    arg.findAllMatchIn(inner).map(_.group(1)).map { spec =>
+      val opIdx = spec.indexOf('=')
+      require(opIdx > 0, s"seriesByTag: bad spec $spec")
+      val (rawK, rawV) = (spec.substring(0, opIdx), spec.substring(opIdx + 1))
+      val (k, neg) = if (rawK.endsWith("!")) (rawK.dropRight(1), true) else (rawK, false)
+      val (v, regex) = if (rawV.startsWith("~")) (rawV.drop(1), true) else (rawV, false)
+      val op = (neg, regex) match {
+        case (false, false) => "="
+        case (false, true)  => "=~"
+        case (true, false)  => "!="
+        case (true, true)   => "!=~"
+      }
+      (k, op, v)
+    }.toSeq
+  }
+
+  /** Evaluate seriesByTag against the store: tag predicates compile to map
+    * lookups (+rlike) pushed into the scan filter. */
+  def seriesByTag(ctx: Eval.Ctx, target: String): DataFrame = {
+    val specs = parseTagSpecs(target)
+    require(specs.nonEmpty, s"seriesByTag: no tag specs in $target")
+    val all = ctx.store.fetchAll(ctx.spark, ctx.from, ctx.until)
+    specs.foldLeft(all) { case (df, (k, op, v)) =>
+      val tagVal = coalesce(element_at(col("tags"), k), lit(""))
+      op match {
+        case "="   => df.where(tagVal === v)
+        case "!="  => df.where(tagVal =!= v)
+        case "=~"  => df.where(tagVal.rlike(v))
+        case "!=~" => df.where(!tagVal.rlike(v))
+      }
+    }.withColumn("pathExpression", lit(target))
+  }
+}

@@ -47,6 +47,21 @@ object Similarity {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs, blocked on a partition key (here
+   * `label`; in production a coarse-quantizer cell id): the self-join runs
+   * per block, so candidate count scales with Σ block² rather than corpus².
+   */
+  def labelBlockedNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosine(col("ea"), col("eb")))
+      .where(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
+  }
+
+  /**
    * Lloyd's k-means on a driver-collected sample (centroid count and sample
    * are small; the expensive part — assignment over the full corpus — stays
    * distributed as a broadcast join).

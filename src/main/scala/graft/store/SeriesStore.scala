@@ -14,6 +14,9 @@ import graft.core.{Glob, SeriesFrame}
  */
 trait SeriesStore {
   def fetch(spark: SparkSession, pathExpr: String, from: Long, until: Long): DataFrame
+  /** All series in range, unfiltered by name — the scan behind seriesByTag,
+    * where the predicate is on tags rather than the name glob. */
+  def fetchAll(spark: SparkSession, from: Long, until: Long): DataFrame
   /** Native step of this store if uniform — used by the planner to convert
     * point-count windows into scan-range widening before data is read. */
   def stepHint: Option[Long] = None
@@ -32,6 +35,11 @@ class ParquetSeriesStore(path: String) extends SeriesStore {
       .where(col("start") + size(col("values")) * col("step") > from && col("start") < until)
       .withColumn("pathExpression", lit(pathExpr))
   }
+
+  override def fetchAll(spark: SparkSession, from: Long, until: Long): DataFrame =
+    spark.read.parquet(path)
+      .where(col("start") + size(col("values")) * col("step") > from && col("start") < until)
+      .withColumn("pathExpression", lit("*"))
 }
 
 /**
@@ -54,6 +62,9 @@ class EventSeriesStore(sfDir: String, step: Long = 3600L) extends SeriesStore {
       else base.where(col("name") === pathExpr)
     named.withColumn("pathExpression", lit(pathExpr))
   }
+
+  override def fetchAll(spark: SparkSession, from: Long, until: Long): DataFrame =
+    allSeries(spark).withColumn("pathExpression", lit("*"))
 }
 
 object EventSeriesStore {
