@@ -30,15 +30,27 @@ object Dedup {
 
   // ------------------------------------------------------------- shingling
 
-  /** Normalized word k-shingles as a distinct array column. */
-  def shingles(text: Column, k: Int): Column = {
-    val words = split(lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+")
-    val clean = filter(words, w => length(w) > 0)
+  /** Normalized word array (lowercased, punctuation stripped). */
+  def wordsOf(text: Column): Column =
+    filter(split(lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+"),
+      w => length(w) > 0)
+
+  /**
+   * Distinct word k-shingles from a MATERIALIZED words-array column.
+   * The lambda below references the outer array (`slice(w, ...)`) — if that
+   * array were an unmaterialized expression, codegen would re-run the whole
+   * regex+split chain once per element (measured 7.7 s vs 0.3 s over 5k
+   * docs). Callers must project [[wordsOf]] into a column first.
+   */
+  def shinglesOf(w: Column, k: Int): Column =
     array_distinct(
       filter(
-        transform(clean, (_, i) => concat_ws(" ", slice(clean, i + lit(1), lit(k)))),
+        transform(w, (_, i) => concat_ws(" ", slice(w, i + lit(1), lit(k)))),
         s => size(split(s, " ")) === k))
-  }
+
+  /** Normalized word k-shingles straight from text — convenience for small
+    * inputs/tests; hot paths should materialize [[wordsOf]] first. */
+  def shingles(text: Column, k: Int): Column = shinglesOf(wordsOf(text), k)
 
   /** 64-bit stable hash of a string column (xxhash64 — codegen'd built-in). */
   private def h64(c: Column, seed: Int): Column = xxhash64(c, lit(seed))
@@ -62,8 +74,12 @@ object Dedup {
    * whole shingling expression once per seed — 64× codegen blowup measured
    * at ~80 s for 500 docs.)
    */
-  def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 64): Column = {
-    val baseHashes = transform(shingles(text, k), s => xxhash64(s))
+  def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 64): Column =
+    minhashFromWords(wordsOf(text), k, numHashes)
+
+  /** MinHash signature from a materialized words-array column (hot path). */
+  def minhashFromWords(w: Column, k: Int = 3, numHashes: Int = 64): Column = {
+    val baseHashes = transform(shinglesOf(w, k), s => xxhash64(s))
     val sigUdf = udf((hs: Seq[Long]) => {
       val out = new Array[Long](numHashes)
       var i = 0
@@ -94,7 +110,14 @@ object Dedup {
   def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
                    bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = docs.select(col("doc_id"), minhashSignature(col("text"), k, numHashes).as("sig"))
+    // materialize signatures once: they feed BOTH sides of the band join, and
+    // an unpersisted plan would re-shingle + re-hash the corpus per side
+    // (and double the codegen'd expression tree). One row per doc — tiny
+    // relative to the corpus text it replaces.
+    val sigs = docs
+      .select(col("doc_id"), wordsOf(col("text")).as("_w"))
+      .select(col("doc_id"), minhashFromWords(col("_w"), k, numHashes).as("sig"))
+      .persist()
     val banded = sigs.select(
         col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -168,9 +191,15 @@ object Dedup {
    */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Long = 1000): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("setSize"))
+    // hash shingles into one array per doc and materialize: the plan below
+    // reuses it four ways (sizes, doc-freq filter, both join sides) — without
+    // the persist each reuse re-runs the whole shingling expression
+    val hashed = docs
+      .select(col("doc_id"), wordsOf(col("text")).as("_w"))
+      .select(col("doc_id"), transform(shinglesOf(col("_w"), k), s => xxhash64(s)).as("shs"))
+      .persist()
+    val sh = hashed.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val sizes = hashed.select(col("doc_id"), size(col("shs")).as("setSize"))
     val filtered = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq && col("df") >= 2),
       "sh", "left_semi")

@@ -34,11 +34,14 @@ object Similarity {
    * per query id (k small → rank+filter ≈ top-k heap under AQE).
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    // per-ROW norms: corpus norms would otherwise be recomputed once per query
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cn"))
       .crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -52,11 +55,15 @@ object Similarity {
    * per block, so candidate count scales with Σ block² rather than corpus².
    */
   def labelBlockedNearDup(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = emb.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    // norms precomputed per ROW: inlining cosine() in the join recomputes
+    // each vector's norm once per candidate pair (block-size× the work)
+    val normed = emb.select(col("label"), col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val a = normed.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = normed.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .where(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", cosine(col("ea"), col("eb")))
+      .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .where(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
   }
@@ -132,10 +139,11 @@ object Similarity {
       .where(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
     val scored = corpusWithCells
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cell"))
-      .join(broadcast(qCells), "cell")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cn"), col("cell"))
+      .join(broadcast(qCells.withColumn("qn", norm(col("qv")))), "cell")
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
