@@ -1,0 +1,210 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.core.{Glob, Kernels}
+import graft.engine.Eval
+import graft.store.SeriesStore
+
+/** One collected series, post-evaluation (driver-side marshalling unit —
+  * same place the reference marshals, after its single-goroutine eval). */
+case class RenderedSeries(
+    name: String,
+    tags: Map[String, String],
+    pathExpression: String,
+    start: Long,
+    step: Long,
+    values: Array[Double]) {
+  def stop: Long = start + values.length * step
+}
+
+/**
+ * The /render surface: evaluate targets, collect, glob-order sort,
+ * maxDataPoints consolidation, and the reference's wire formats
+ * (json / csv / raw). One Spark action per request; everything after the
+ * collect is O(output), exactly like the reference's marshal layer.
+ */
+object Render {
+
+  /** Evaluate one or more targets over [from, until). */
+  def eval(spark: SparkSession, store: SeriesStore, targets: Seq[String],
+           from: Long, until: Long): Seq[RenderedSeries] =
+    targets.flatMap { t =>
+      val df = Eval.evalTarget(spark, store, t, from, until)
+      collect(df)
+    }
+
+  def collect(df: DataFrame): Seq[RenderedSeries] = {
+    val cols = df.columns
+    val hasPath = cols.contains("pathExpression")
+    val rows = df.collect().toSeq.map { r =>
+      RenderedSeries(
+        name = r.getAs[String]("name"),
+        tags = Option(r.getAs[Map[String, String]]("tags")).getOrElse(Map.empty),
+        pathExpression = if (hasPath) r.getAs[String]("pathExpression") else r.getAs[String]("name"),
+        start = r.getAs[Long]("start"),
+        step = r.getAs[Long]("step"),
+        values = r.getAs[scala.collection.Seq[Double]]("values").toArray)
+    }
+    sortByGlobOrder(rows)
+  }
+
+  /**
+   * Stable glob-order sort: series produced by the same path expression sort
+   * by the glob's per-segment match order (alphabetic within a `*`/`[]`
+   * segment, LISTED order within `{a,b}` braces), and the overall result
+   * keeps target order. (ref expr/sort.go:121-180)
+   */
+  def sortByGlobOrder(rows: Seq[RenderedSeries]): Seq[RenderedSeries] = {
+    rows.groupBy(_.pathExpression).toSeq match {
+      case single :: Nil => sortWithinGlob(single._2)
+      case _ =>
+        // preserve first-appearance order of path expressions
+        val order = rows.map(_.pathExpression).distinct.zipWithIndex.toMap
+        rows.groupBy(_.pathExpression).toSeq
+          .sortBy { case (pe, _) => order(pe) }
+          .flatMap { case (_, group) => sortWithinGlob(group) }
+    }
+  }
+
+  private def sortWithinGlob(group: Seq[RenderedSeries]): Seq[RenderedSeries] = {
+    val pe = group.headOption.map(_.pathExpression).getOrElse("")
+    if (!pe.contains('{')) return group.sortBy(_.name)
+    // brace-order: rank each name by the index of the brace alternative it
+    // matched, segment by segment; alphabetic inside non-brace segments
+    val peSegs = pe.split('.')
+    def key(name: String): Seq[String] = {
+      val nSegs = name.split('.')
+      nSegs.zipWithIndex.map { case (seg, i) =>
+        if (i < peSegs.length && peSegs(i).contains('{')) {
+          val body = peSegs(i)
+          val alts = body.substring(body.indexOf('{') + 1, body.indexOf('}')).split(',')
+          val idx = alts.indexWhere(a => seg == body.replaceAll("\\{.*\\}", a))
+          f"${if (idx < 0) alts.length else idx}%04d"
+        } else seg
+      }.toSeq
+    }
+    group.sortBy(s => key(s.name).mkString("."))(Ordering.String)
+  }
+
+  // ------------------------------------------------- maxDataPoints
+
+  /**
+   * maxDataPoints consolidation: if a series has more than maxDataPoints
+   * points over the shared time range, collapse each ceil(n/max) run with
+   * the series' consolidation function (tag `consolidateBy`, default
+   * average). (ref ConsolidateJSON expr/types/types.go:87-117 +
+   * AggregateValues types.go:410-436; nudge flags default-off)
+   */
+  def consolidate(rows: Seq[RenderedSeries], maxDataPoints: Long): Seq[RenderedSeries] = {
+    if (rows.isEmpty || maxDataPoints <= 0) return rows
+    val startTime = rows.map(_.start).min
+    val endTime = rows.map(_.stop).max
+    val timeRange = endTime - startTime
+    if (timeRange <= 0) return rows
+    rows.map { r =>
+      val nPoints = math.floor(timeRange.toDouble / r.step)
+      if (nPoints <= maxDataPoints) r
+      else {
+        val vpp = math.ceil(nPoints / maxDataPoints).toInt
+        val fn = Kernels.byName(
+          r.tags.get("consolidateBy").map(_.stripPrefix("'").stripSuffix("'")).getOrElse("average"))
+        val out = r.values.grouped(vpp).map(fn).toArray
+        r.copy(values = out, step = r.step * vpp)
+      }
+    }
+  }
+
+  // ------------------------------------------------------- formats
+
+  private def fmtDouble(v: Double): String =
+    if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Graphite JSON: [{"target":…,"datapoints":[[v|null,ts],…],"tags":{…}}].
+    * (ref MarshalJSON expr/types/types.go:120-198) */
+  def json(rows: Seq[RenderedSeries], noNullPoints: Boolean = false): String = {
+    val sb = new StringBuilder("[")
+    var first = true
+    rows.foreach { r =>
+      if (!first) sb += ','
+      first = false
+      sb ++= "{\"target\":" ++= q(r.name) ++= ",\"datapoints\":["
+      var inner = false
+      var t = r.start
+      r.values.foreach { v =>
+        if (noNullPoints && Kernels.isNaN(v)) t += r.step
+        else {
+          if (inner) sb += ','
+          inner = true
+          sb += '['
+          if (Kernels.isNaN(v) || v.isInfinite) sb ++= "null" else sb ++= fmtDouble(v)
+          sb += ',' ++= t.toString += ']'
+          t += r.step
+        }
+      }
+      sb ++= "],\"tags\":{"
+      sb ++= r.tags.toSeq.sortBy(_._1).map { case (k, v) => q(k) + ":" + q(v) }.mkString(",")
+      sb ++= "}}"
+    }
+    (sb += ']').toString
+  }
+
+  /** CSV: "name",YYYY-MM-DD HH:MM:SS,value (empty value for NaN).
+    * (ref MarshalCSV types.go:48-86) */
+  def csv(rows: Seq[RenderedSeries]): String = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      var t = r.start
+      r.values.foreach { v =>
+        sb += '"' ++= r.name ++= "\","
+        sb ++= fmt.format(java.time.Instant.ofEpochSecond(t)) += ','
+        if (!Kernels.isNaN(v)) sb ++= fmtDouble(v)
+        sb += '\n'
+        t += r.step
+      }
+    }
+    sb.toString
+  }
+
+  /** raw: name,start,stop,step|v1,v2,… (None for NaN).
+    * (ref MarshalRaw types.go:282-320) */
+  def raw(rows: Seq[RenderedSeries]): String = {
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      sb ++= r.name += ',' ++= r.start.toString += ',' ++= r.stop.toString += ',' ++= r.step.toString += '|'
+      sb ++= r.values.map(v => if (Kernels.isNaN(v)) "None" else fmtDouble(v)).mkString(",")
+      sb += '\n'
+    }
+    sb.toString
+  }
+
+  /**
+   * Full /render request: parse at-times, evaluate, consolidate, format.
+   * format ∈ json | csv | raw.
+   */
+  def render(spark: SparkSession, store: SeriesStore, targets: Seq[String],
+             from: String = "-24h", until: String = "now",
+             maxDataPoints: Long = 0, format: String = "json",
+             noNullPoints: Boolean = false,
+             tz: java.time.ZoneId = java.time.ZoneOffset.UTC,
+             now: () => java.time.Instant = () => java.time.Instant.now()): String = {
+    val nowEpoch = now().getEpochSecond
+    val f = AtTime.toEpoch(from, nowEpoch - 86400, tz, now)
+    val u = AtTime.toEpoch(until, nowEpoch, tz, now)
+    val rows = consolidate(eval(spark, store, targets, f, u), maxDataPoints)
+    format match {
+      case "json" => json(rows, noNullPoints)
+      case "csv"  => csv(rows)
+      case "raw"  => raw(rows)
+      case other  => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.time.{Instant, ZoneOffset}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{AtTime, Catalog, FindNode, Render, RenderedSeries}
+
+class ApiSpec extends AnyFunSuite {
+
+  private val utc = ZoneOffset.UTC
+  // 2024-06-15 12:34:56 UTC
+  private val fixedNow = () => Instant.ofEpochSecond(1718454896L)
+
+  test("at-time: now and relative offsets (ref date/date.go:88-93)") {
+    assert(AtTime.parse("now", utc, fixedNow).contains(1718454896L))
+    assert(AtTime.parse("-1d", utc, fixedNow).contains(1718454896L - 86400))
+    assert(AtTime.parse("+2h", utc, fixedNow).contains(1718454896L + 7200))
+  }
+
+  test("at-time: named references and ref±offset (ref date/date.go:96-119)") {
+    val midnight = 1718409600L // 2024-06-15 00:00 UTC
+    assert(AtTime.parse("midnight", utc, fixedNow).contains(midnight))
+    assert(AtTime.parse("noon", utc, fixedNow).contains(midnight + 12 * 3600))
+    assert(AtTime.parse("teatime", utc, fixedNow).contains(midnight + 16 * 3600))
+    assert(AtTime.parse("noon+3h", utc, fixedNow).contains(midnight + 15 * 3600))
+    assert(AtTime.parse("today-2d", utc, fixedNow).contains(midnight - 2 * 86400))
+  }
+
+  test("at-time: absolute dates, epoch passthrough, fallback (ref date/date.go:122-174)") {
+    assert(AtTime.parse("20240101", utc, fixedNow).contains(1704067200L))
+    assert(AtTime.parse("00:00_20140101", utc, fixedNow).contains(1388534400L))
+    assert(AtTime.parse("1718454896", utc, fixedNow).contains(1718454896L))
+    assert(AtTime.parse("garbage", utc, fixedNow).isEmpty)
+    assert(AtTime.toEpoch("garbage", 42L, utc, fixedNow) == 42L)
+  }
+
+  private def rs(name: String, values: Array[Double], start: Long = 100, step: Long = 10,
+                 tags: Map[String, String] = Map.empty, pe: String = "") =
+    RenderedSeries(name, tags + ("name" -> name), if (pe.isEmpty) name else pe, start, step, values)
+
+  test("json marshal: null for NaN, tag ordering (ref MarshalJSON types.go:120-198)") {
+    val out = Render.json(Seq(rs("a", Array(1.0, Double.NaN, 2.5))))
+    assert(out ==
+      """[{"target":"a","datapoints":[[1,100],[null,110],[2.5,120]],"tags":{"name":"a"}}]""")
+    val noNull = Render.json(Seq(rs("a", Array(1.0, Double.NaN, 2.5))), noNullPoints = true)
+    assert(noNull.contains("""[[1,100],[2.5,120]]"""))
+  }
+
+  test("csv and raw marshal (ref MarshalCSV types.go:48-86, MarshalRaw 282-320)") {
+    val csv = Render.csv(Seq(rs("m", Array(1.5, Double.NaN), start = 0)))
+    assert(csv == "\"m\",1970-01-01 00:00:00,1.5\n\"m\",1970-01-01 00:00:10,\n")
+    val raw = Render.raw(Seq(rs("m", Array(1.5, Double.NaN), start = 0)))
+    assert(raw == "m,0,20,10|1.5,None\n")
+  }
+
+  test("maxDataPoints consolidation honors consolidateBy (ref ConsolidateJSON types.go:87-117)") {
+    val vals = Array.tabulate(10)(_.toDouble)
+    val avg = Render.consolidate(Seq(rs("a", vals)), 5).head
+    assert(avg.step == 20 && avg.values.toSeq == Seq(0.5, 2.5, 4.5, 6.5, 8.5))
+    val mx = Render.consolidate(
+      Seq(rs("a", vals, tags = Map("consolidateBy" -> "max"))), 5).head
+    assert(mx.values.toSeq == Seq(1.0, 3.0, 5.0, 7.0, 9.0))
+    // within budget → untouched
+    assert(Render.consolidate(Seq(rs("a", vals)), 100).head.values.length == 10)
+  }
+
+  test("glob-order sort: braces keep listed order (ref expr/sort.go:121-180)") {
+    val pe = "events.{view,click}"
+    val sorted = Render.sortByGlobOrder(Seq(
+      rs("events.click", Array(1.0), pe = pe),
+      rs("events.view", Array(1.0), pe = pe)))
+    assert(sorted.map(_.name) == Seq("events.view", "events.click"))
+    // plain glob → alphabetic
+    val alpha = Render.sortByGlobOrder(Seq(
+      rs("events.view", Array(1.0), pe = "events.*"),
+      rs("events.click", Array(1.0), pe = "events.*")))
+    assert(alpha.map(_.name) == Seq("events.click", "events.view"))
+  }
+
+  test("treejson shape (ref find_handlers.go:41-103)") {
+    val out = Catalog.treeJson(Seq(FindNode("events.click", "click", leaf = true, allowChildren = false)))
+    assert(out == """[{"allowChildren":0,"expandable":0,"leaf":1,"id":"events.click","text":"click","context":{}}]""")
+  }
+
+  test("functions registry is populated") {
+    assert(Catalog.functions.size > 150)
+    assert(Catalog.functions.contains("sumSeries"))
+    assert(Catalog.functions.contains("holtWintersForecast"))
+  }
+}
