@@ -101,8 +101,12 @@ object Eval {
 
   type Impl = (Ctx, FuncCall) => DataFrame
 
+  /** Align (LCM rebucket) only when the store can't promise a uniform step —
+    * the pre-pass re-scans the input, which metadata should make unnecessary. */
+  private def needAlign(ctx: Ctx): Boolean = ctx.store.stepHint.isEmpty
+
   private def aggFamily(func: String): Impl = (ctx, fc) =>
-    SeriesOps.aggregateNamed(seriesArg(ctx, fc), func, fc.rawArgs)
+    SeriesOps.aggregateNamed(seriesArg(ctx, fc), func, fc.rawArgs, align = needAlign(ctx))
 
   private def movingFamily(func: String, fnName: String): Impl = (ctx, fc) => {
     windowArg(fc, 1) match {
@@ -126,7 +130,7 @@ object Eval {
     // ---- combine / aggregate (ref expr/functions/aggregate)
     "aggregate" -> ((ctx, fc) => SeriesOps.aggregateNamed(
       seriesArg(ctx, fc), strArg(fc, 1), fc.rawArgs.split(",").head,
-      numArg(fc, 2, "xFilesFactor", Some(0.0)))),
+      numArg(fc, 2, "xFilesFactor", Some(0.0)), align = needAlign(ctx))),
     "sumSeries" -> aggFamily("sum"), "sum" -> aggFamily("sum"),
     "averageSeries" -> aggFamily("average"), "avg" -> aggFamily("average"), "average" -> aggFamily("average"),
     "maxSeries" -> aggFamily("max"), "max" -> aggFamily("max"),
@@ -144,7 +148,7 @@ object Eval {
       val n = numArg(fc, 1)
       val interp = boolArg(fc, 2, "interpolate")
       SeriesOps.aggregateSeries(seriesArg(ctx, fc), s"p${SeriesOps.fmtNum(n)}" + (if (interp) "" else "!"),
-        nameFor = _ => lit(s"percentileOfSeries(${fc.rawArgs})"))
+        nameFor = _ => lit(s"percentileOfSeries(${fc.rawArgs})"), align = needAlign(ctx))
     }),
     "group" -> ((ctx, fc) => fc.args.map(a => eval(a, ctx)).reduce(_ unionByName _)),
     "unique" -> ((ctx, fc) => SeriesOps.unique(fc.args.map(a => eval(a, ctx)).reduce(_ unionByName _))),
@@ -156,19 +160,20 @@ object Eval {
 
     // ---- grouping
     "groupByNode" -> ((ctx, fc) => SeriesOps.groupByNodes(
-      seriesArg(ctx, fc), strArg(fc, 2, "callback", Some("average")), Seq(intArg(fc, 1)))),
+      seriesArg(ctx, fc), strArg(fc, 2, "callback", Some("average")), Seq(intArg(fc, 1)), align = needAlign(ctx))),
     "groupByNodes" -> ((ctx, fc) => SeriesOps.groupByNodes(
-      seriesArg(ctx, fc), strArg(fc, 1), intsFrom(fc, 2))),
+      seriesArg(ctx, fc), strArg(fc, 1), intsFrom(fc, 2), align = needAlign(ctx))),
     "groupByTags" -> ((ctx, fc) => SeriesOps.groupByTags(
-      seriesArg(ctx, fc), strArg(fc, 1), fc.args.drop(2).map { case Str(s) => s; case NameExpr(s) => s; case o => o.print })),
+      seriesArg(ctx, fc), strArg(fc, 1), fc.args.drop(2).map { case Str(s) => s; case NameExpr(s) => s; case o => o.print },
+      align = needAlign(ctx))),
     "aggregateWithWildcards" -> ((ctx, fc) => SeriesOps.groupByNodes(
-      seriesArg(ctx, fc), strArg(fc, 1), Seq.empty, dropNodes = intsFrom(fc, 2))),
+      seriesArg(ctx, fc), strArg(fc, 1), Seq.empty, dropNodes = intsFrom(fc, 2), align = needAlign(ctx))),
     "sumSeriesWithWildcards" -> ((ctx, fc) => SeriesOps.groupByNodes(
-      seriesArg(ctx, fc), "sum", Seq.empty, dropNodes = intsFrom(fc, 1))),
+      seriesArg(ctx, fc), "sum", Seq.empty, dropNodes = intsFrom(fc, 1), align = needAlign(ctx))),
     "averageSeriesWithWildcards" -> ((ctx, fc) => SeriesOps.groupByNodes(
-      seriesArg(ctx, fc), "average", Seq.empty, dropNodes = intsFrom(fc, 1))),
+      seriesArg(ctx, fc), "average", Seq.empty, dropNodes = intsFrom(fc, 1), align = needAlign(ctx))),
     "multiplySeriesWithWildcards" -> ((ctx, fc) => SeriesOps.groupByNodes(
-      seriesArg(ctx, fc), "multiply", Seq.empty, dropNodes = intsFrom(fc, 1))),
+      seriesArg(ctx, fc), "multiply", Seq.empty, dropNodes = intsFrom(fc, 1), align = needAlign(ctx))),
 
     // ---- point-wise transforms
     "absolute" -> ((ctx, fc) => SeriesOps.absolute(seriesArg(ctx, fc))),

@@ -34,9 +34,15 @@ object SeriesOps {
    *
    * @param groupKey optional grouping column (e.g. node key); None = all→1
    */
-  def aggregateSeries(df: DataFrame, func: String, xff: Double = 0.0,
+  def aggregateSeries(df0: DataFrame, func: String, xff: Double = 0.0,
                       nameFor: Column => Column = identity,
-                      groupKey: Option[Column] = None): DataFrame = {
+                      groupKey: Option[Column] = None,
+                      align: Boolean = false): DataFrame = {
+    // normalize mixed-step inputs onto the LCM grid before folding
+    // (ref helper.ScaleSeries). The pre-pass costs a second scan of the
+    // input, so the planner requests it ONLY when the store can't guarantee
+    // a uniform step (no stepHint) — metadata beats a 100TB re-scan.
+    val df = if (align) Align.scaleToCommonStep(df0) else df0
     val key = groupKey.getOrElse(lit(""))
     val grouped =
       if (VectorAggregator.decomposable(func)) {
@@ -74,8 +80,10 @@ object SeriesOps {
   }
 
   /** sumSeries / averageSeries / … canonical naming: `fnSeries(rawArgs)`. */
-  def aggregateNamed(df: DataFrame, func: String, rawArgs: String, xff: Double = 0.0): DataFrame =
-    aggregateSeries(df, func, xff, nameFor = _ => lit(s"${canonAgg(func)}Series($rawArgs)"))
+  def aggregateNamed(df: DataFrame, func: String, rawArgs: String, xff: Double = 0.0,
+                     align: Boolean = false): DataFrame =
+    aggregateSeries(df, func, xff, nameFor = _ => lit(s"${canonAgg(func)}Series($rawArgs)"),
+      align = align)
 
   private def canonAgg(f: String): String = f match {
     case "avg" | "average" => "average"
@@ -86,7 +94,8 @@ object SeriesOps {
   /** groupByNode(s): aggregate per dot-node key; `dropNodes` instead keeps
     * all nodes EXCEPT the listed positions (the WithWildcards family, ref
     * aggregateWithWildcards/function.go). (ref groupByNode/function.go:30-140) */
-  def groupByNodes(df: DataFrame, func: String, nodes: Seq[Int], dropNodes: Seq[Int] = Nil): DataFrame = {
+  def groupByNodes(df: DataFrame, func: String, nodes: Seq[Int], dropNodes: Seq[Int] = Nil,
+                   align: Boolean = false): DataFrame = {
     val key =
       if (dropNodes.nonEmpty) {
         val u = udf((n: String, drop: Seq[Int]) => {
@@ -96,13 +105,14 @@ object SeriesOps {
         })
         u(col("name"), typedlit(dropNodes))
       } else nodeKey(col("name"), nodes)
-    aggregateSeries(df, func, groupKey = Some(key), nameFor = identity)
+    aggregateSeries(df, func, groupKey = Some(key), nameFor = identity, align = align)
   }
 
   /** groupByTags: aggregate per tag-values key. (ref groupByTags/function.go) */
-  def groupByTags(df: DataFrame, func: String, tagKeys: Seq[String]): DataFrame = {
+  def groupByTags(df: DataFrame, func: String, tagKeys: Seq[String],
+                  align: Boolean = false): DataFrame = {
     val key = concat_ws(";", tagKeys.map(t => coalesce(element_at(col("tags"), t), lit(""))): _*)
-    aggregateSeries(df, func, groupKey = Some(key), nameFor = identity)
+    aggregateSeries(df, func, groupKey = Some(key), nameFor = identity, align = align)
   }
 
   /** Dot-node key extraction with negative indices (ref helper.AggKey,

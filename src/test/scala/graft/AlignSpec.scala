@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Series
+import graft.engine.{Align, SeriesOps}
+
+/** Mixed-step alignment + aggregation over a real (local) session — the
+  * one behavior the uniform-step fixture store can't exercise. */
+class AlignSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.core.GraftSession.builder("local[2]", 2).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def frame(series: Series*) = {
+    val sp = spark
+    import sp.implicits._
+    series.toSeq.toDF()
+  }
+
+  test("lcm") {
+    assert(Align.lcm(10, 60) == 60)
+    assert(Align.lcm(15, 10) == 30)
+  }
+
+  test("mixed steps rebucket to LCM with avg consolidation (ref align.go:76-156)") {
+    val fine = Series("a", Map("name" -> "a"), 0L, 10L, Array(1, 2, 3, 4, 5, 6).map(_.toDouble))
+    val coarse = Series("b", Map("name" -> "b"), 0L, 30L, Array(10.0, 20.0))
+    val out = Align.scaleToCommonStep(frame(fine, coarse))
+      .orderBy("name").collect()
+    assert(out.forall(_.getAs[Long]("step") == 30L))
+    val a = out(0).getAs[scala.collection.Seq[Double]]("values")
+    assert(a == Seq(2.0, 5.0)) // avg(1,2,3), avg(4,5,6)
+    val b = out(1).getAs[scala.collection.Seq[Double]]("values")
+    assert(b == Seq(10.0, 20.0))
+  }
+
+  test("misaligned starts NaN-pad onto the common grid (ref AlignSeries align.go:243-299)") {
+    val early = Series("a", Map("name" -> "a"), 0L, 10L, Array(1.0, 2.0))
+    val late = Series("b", Map("name" -> "b"), 20L, 10L, Array(9.0))
+    val out = Align.scaleToCommonStep(frame(early, late)).orderBy("name").collect()
+    assert(out.forall(r => r.getAs[Long]("start") == 0L))
+    val b = out(1).getAs[scala.collection.Seq[Double]]("values")
+    assert(b.length == 3 && b(0).isNaN && b(1).isNaN && b(2) == 9.0)
+  }
+
+  test("consolidateBy tag drives the rebucket function (ref aggregateBatch align.go:176-189)") {
+    val s = Series("a", Map("name" -> "a", "consolidateBy" -> "max"), 0L, 10L,
+      Array(1.0, 5.0, 3.0))
+    val other = Series("b", Map("name" -> "b"), 0L, 30L, Array(0.0))
+    val out = Align.scaleToCommonStep(frame(s, other)).orderBy("name").collect()
+    assert(out(0).getAs[scala.collection.Seq[Double]]("values") == Seq(5.0))
+  }
+
+  test("sumSeries over mixed steps folds on the aligned grid") {
+    val fine = Series("a", Map("name" -> "a"), 0L, 10L, Array(1, 2, 3, 4, 5, 6).map(_.toDouble))
+    val coarse = Series("b", Map("name" -> "b"), 0L, 30L, Array(10.0, 20.0))
+    val out = SeriesOps.aggregateNamed(frame(fine, coarse), "sum", "a,b", align = true).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[scala.collection.Seq[Double]]("values") == Seq(12.0, 25.0))
+  }
+}
