@@ -46,4 +46,12 @@ object Glob {
     val p = java.util.regex.Pattern.compile(toRegex(glob))
     s => p.matcher(s).matches()
   }
+
+  /** Literal prefix of a glob (chars before the first metacharacter).
+    * `rlike` cannot push into a Parquet scan, but `startsWith(prefix)` can
+    * (StringStartsWith → row-group pruning on name column statistics). */
+  def literalPrefix(glob: String): String = {
+    val cut = glob.indexWhere(c => c == '*' || c == '?' || c == '[' || c == '{')
+    if (cut < 0) glob else glob.substring(0, cut)
+  }
 }

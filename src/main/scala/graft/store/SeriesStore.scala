@@ -22,13 +22,24 @@ trait SeriesStore {
   def stepHint: Option[Long] = None
 }
 
-/** Reads a Parquet dataset already in canonical series layout. */
-class ParquetSeriesStore(path: String) extends SeriesStore {
+/** Reads a Parquet dataset already in canonical series layout.
+  * `uniformStep` declares that every series shares one step (the usual case
+  * for a single retention tier) — it lets the planner skip the LCM-alignment
+  * pre-scan entirely (see Eval.needAlign). */
+class ParquetSeriesStore(path: String, uniformStep: Option[Long] = None) extends SeriesStore {
+
+  override def stepHint: Option[Long] = uniformStep
+
   override def fetch(spark: SparkSession, pathExpr: String, from: Long, until: Long): DataFrame = {
     val df = spark.read.parquet(path)
     val named =
-      if (Glob.isGlob(pathExpr)) df.where(col("name").rlike(Glob.toRegex(pathExpr)))
-      else df.where(col("name") === pathExpr)
+      if (Glob.isGlob(pathExpr)) {
+        // rlike can't reach the Parquet reader; the glob's literal prefix
+        // pushes as StringStartsWith → row-group pruning on name stats
+        val prefix = Glob.literalPrefix(pathExpr)
+        val rx = df.where(col("name").rlike(Glob.toRegex(pathExpr)))
+        if (prefix.nonEmpty) rx.where(col("name").startsWith(prefix)) else rx
+      } else df.where(col("name") === pathExpr)
     // overlap filter prunes whole series rows (and, with time-partitioned
     // layout, whole partitions) outside the request range
     named

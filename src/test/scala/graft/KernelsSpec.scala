@@ -94,6 +94,13 @@ class KernelsSpec extends AnyFunSuite {
     assert(cls("host2.cpu") && !cls("host5.cpu"))
   }
 
+  test("glob literal prefix (pushdown key)") {
+    assert(Glob.literalPrefix("events.*") == "events.")
+    assert(Glob.literalPrefix("web.host-{1,2}.cpu") == "web.host-")
+    assert(Glob.literalPrefix("*.cpu") == "")
+    assert(Glob.literalPrefix("plain.name") == "plain.name")
+  }
+
   // ---- sequential ops (fixtures mirror reference function_test.go tables)
 
   test("derivative (ref derivative/function_test.go)") {
