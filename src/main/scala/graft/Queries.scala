@@ -107,6 +107,9 @@ object Queries {
     "g52_applybynode" -> g("applyByNode(events.*,0,'sumSeries(%.*)')"),
     "g53_useseriesabove" -> g("useSeriesAbove(events.click,0,'click','view')"),
     "g54_baseline" -> g("baseline(events.*,'1d',1,4)"),
+    "g55_aspercent_nodes" -> g("asPercent(aliasSub(aliasSub(events.*,'^events\\.(click|error)$','a.\\1'),'^events\\.(purchase|signup|view)$','b.\\1'),None,0)"),
+    "g56_aspercent_const" -> g("asPercent(events.*,240)"),
+    "g57_powseries" -> g("powSeries(transformNull(scale(events.*,0.01),1))"),
 
     // ---- TPC-H-style relational anchors (bench headliners)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -380,6 +383,26 @@ object Queries {
         |FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.click' AND b.name = 'events.view'
         |WHERE a.v IS NOT NULL AND b.v IS NOT NULL AND b.v != 0 ORDER BY a.ts""".stripMargin),
     "g52_applybynode" -> agg1("sumSeries(events.*)", "sum(v)"),
+    "g55_aspercent_nodes" ->
+      (S + """, renamed AS (SELECT CASE WHEN name IN ('events.click','events.error')
+        |         THEN 'a.' || split_part(name, '.', 2) ELSE 'b.' || split_part(name, '.', 2) END AS name, ts, v FROM s),
+        |tot AS (SELECT split_part(name, '.', 1) AS grp, ts, sum(v) AS t FROM renamed GROUP BY 1, 2)
+        |SELECT 'asPercent(' || r.name || ')' AS name, r.ts, round(r.v / tot.t * 100, 4) AS value
+        |FROM renamed r JOIN tot ON split_part(r.name, '.', 1) = tot.grp AND r.ts = tot.ts
+        |WHERE r.v IS NOT NULL AND tot.t IS NOT NULL ORDER BY 1, 2""".stripMargin),
+    "g56_aspercent_const" ->
+      (S + "SELECT 'asPercent(' || name || ',240)' AS name, ts, round(v / 240 * 100, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g57_powseries" ->
+      (S + """, piv AS (SELECT ts,
+        |  max(CASE WHEN name = 'events.click' THEN coalesce(v * 0.01, 1) ELSE NULL END) AS c,
+        |  max(CASE WHEN name = 'events.error' THEN coalesce(v * 0.01, 1) ELSE NULL END) AS e,
+        |  max(CASE WHEN name = 'events.purchase' THEN coalesce(v * 0.01, 1) ELSE NULL END) AS p,
+        |  max(CASE WHEN name = 'events.signup' THEN coalesce(v * 0.01, 1) ELSE NULL END) AS sg,
+        |  max(CASE WHEN name = 'events.view' THEN coalesce(v * 0.01, 1) ELSE NULL END) AS vw
+        |  FROM s GROUP BY ts)
+        |SELECT 'powSeries(transformNull(scale(events.*,0.01),1))' AS name, ts,
+        |  round(pow(pow(pow(pow(c, e), p), sg), vw), 4) AS value
+        |FROM piv ORDER BY ts""".stripMargin),
     "g53_useseriesabove" ->
       (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name = 'events.view' AND v IS NOT NULL ORDER BY ts"),
     "g54_baseline" ->

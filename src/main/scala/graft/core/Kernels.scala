@@ -153,6 +153,11 @@ object Kernels {
                                  while (i < values.length) { val x = values(i); if (!isNaN(x)) { r -= x; total += 1 }; i += 1 }
                                  r
       case "count"            => notNans.toDouble
+      // left-fold exponentiation across the series list in name order
+      // (ref powSeries/function.go — legacy running binary pow)
+      case "powChain"         => var r = values(0); var i = 1
+                                 while (i < values.length) { r = math.pow(r, values(i)); i += 1 }
+                                 r
       case "stddev"           => stddev(values)
       case "first"            => values(0)
       // "pN" interpolates; "pN!" takes the upper sample (the reference's

@@ -26,7 +26,7 @@ object Eval {
 
   def evalTarget(spark: SparkSession, store: SeriesStore, target: String,
                  from: Long = Long.MinValue / 4, until: Long = Long.MaxValue / 4): DataFrame =
-    eval(Parser.parse(target), Ctx(spark, store, from, until))
+    eval(graft.parser.Defines.expand(Parser.parse(target)), Ctx(spark, store, from, until))
 
   /** Empty canonical frame (for rewrites that match nothing). */
   def emptyFrame(spark: SparkSession): DataFrame =
@@ -152,10 +152,24 @@ object Eval {
     }),
     "group" -> ((ctx, fc) => fc.args.map(a => eval(a, ctx)).reduce(_ unionByName _)),
     "unique" -> ((ctx, fc) => SeriesOps.unique(fc.args.map(a => eval(a, ctx)).reduce(_ unionByName _))),
-    "asPercent" -> ((ctx, fc) =>
-      if (fc.args.length <= 1) SeriesOps.asPercentOfTotal(seriesArg(ctx, fc))
-      else SeriesOps.divideSeries(seriesArg(ctx, fc),
-        SeriesOps.aggregateSeries(seriesArg(ctx, fc, 1), "sum"))),
+    // asPercent's four modes (ref asPercent/function.go:40-250): vs the
+    // per-ts sum of self; vs a constant; vs a total series/list; per
+    // node-group vs the group's sum
+    "asPercent" -> ((ctx, fc) => {
+      val nodes = fc.args.drop(2).collect { case Num(v) => v.toInt }
+      arg(fc, 1, "total") match {
+        // the parser maps a bare `None` literal to Str("")
+        case None | Some(Str("")) | Some(NameExpr("None")) =>
+          if (nodes.nonEmpty) SeriesOps.asPercentByNodes(seriesArg(ctx, fc), nodes)
+          else SeriesOps.asPercentOfTotal(seriesArg(ctx, fc))
+        case Some(Num(v)) => SeriesOps.asPercentConst(seriesArg(ctx, fc), v)
+        case Some(_) =>
+          SeriesOps.divideSeries(seriesArg(ctx, fc),
+            SeriesOps.aggregateSeries(seriesArg(ctx, fc, 1), "sum"))
+            .withColumn("values", transform(col("values"), v => v * lit(100.0)))
+            .withColumn("name", regexp_replace(col("name"), "^divideSeries\\(", "asPercent("))
+      }
+    }),
     "divideSeries" -> ((ctx, fc) => SeriesOps.divideSeries(seriesArg(ctx, fc), seriesArg(ctx, fc, 1))),
 
     // ---- grouping
@@ -194,7 +208,13 @@ object Eval {
     "minMax" -> ((ctx, fc) => SeriesOps.minMax(seriesArg(ctx, fc))),
     "isNonNull" -> ((ctx, fc) => SeriesOps.isNonNull(seriesArg(ctx, fc))),
     "isNotNull" -> ((ctx, fc) => SeriesOps.isNonNull(seriesArg(ctx, fc))),
-    "transformNull" -> ((ctx, fc) => SeriesOps.transformNull(seriesArg(ctx, fc), numArg(fc, 1, "default", Some(0)))),
+    "transformNull" -> ((ctx, fc) => {
+      val dflt = numArg(fc, 1, "default", Some(0))
+      arg(fc, 2, "referenceSeries") match {
+        case Some(_) => ExtOps.transformNullRef(seriesArg(ctx, fc), dflt, seriesArg(ctx, fc, 2))
+        case None    => SeriesOps.transformNull(seriesArg(ctx, fc), dflt)
+      }
+    }),
     "removeBelowValue" -> ((ctx, fc) => SeriesOps.removeBelowValue(seriesArg(ctx, fc), numArg(fc, 1))),
     "removeAboveValue" -> ((ctx, fc) => SeriesOps.removeAboveValue(seriesArg(ctx, fc), numArg(fc, 1))),
     "removeBelowPercentile" -> ((ctx, fc) => SeriesOps.removeBelowPercentile(seriesArg(ctx, fc), numArg(fc, 1))),
@@ -292,6 +312,8 @@ object Eval {
     "diffSeriesLists" -> ((ctx, fc) => PairOps.seriesLists(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), "diff", "diffSeries")),
     "multiplySeriesLists" -> ((ctx, fc) => PairOps.seriesLists(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), "multiply", "multiplySeries")),
     "powSeriesLists" -> ((ctx, fc) => PairOps.seriesLists(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), "pow", "powSeries")),
+    "powSeries" -> ((ctx, fc) => SeriesOps.aggregateSeries(seriesArg(ctx, fc), "powChain",
+      nameFor = _ => lit(s"powSeries(${fc.rawArgs})"), align = needAlign(ctx))),
     "divideSeriesLists" -> ((ctx, fc) => PairOps.seriesLists(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), "divide", "divideSeries")),
     "weightedAverage" -> ((ctx, fc) => PairOps.weightedAverage(
       seriesArg(ctx, fc), seriesArg(ctx, fc, 1), intsFrom(fc, 2), fc.rawArgs)),
@@ -339,6 +361,12 @@ object Eval {
       AnalyticsOps.holtWintersForecast(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, season)
     }),
     "holtWintersConfidenceBands" -> ((ctx, fc) => {
+      val delta = numArg(fc, 1, "delta", Some(3))
+      val bootstrap = arg(fc, 2, "bootstrapInterval").map(_ => intervalArg(fc, 2, "bootstrapInterval")).getOrElse(604800L)
+      AnalyticsOps.holtWintersConfidenceBands(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, delta)
+    }),
+    "holtWintersConfidenceArea" -> ((ctx, fc) => {
+      // rendered as an area between the two bands — data identical to bands
       val delta = numArg(fc, 1, "delta", Some(3))
       val bootstrap = arg(fc, 2, "bootstrapInterval").map(_ => intervalArg(fc, 2, "bootstrapInterval")).getOrElse(604800L)
       AnalyticsOps.holtWintersConfidenceBands(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, delta)

@@ -41,7 +41,7 @@ object RewriteOps {
     val names = src.where(maxC > lit(value))
       .select(col("name")).distinct().collect().map(_.getString(0))
     val re = search.r
-    val renamed = names.map(n => re.replaceAllIn(n, replace.replaceAll("""\\(\d+)""", "\\$$$1"))).distinct
+    val renamed = names.map(n => re.replaceAllIn(n, SeriesOps.toJavaBackrefs(replace))).distinct
     if (renamed.isEmpty) Eval.emptyFrame(ctx.spark)
     else renamed.map(n => ctx.store.fetch(ctx.spark, n, ctx.from, ctx.until)).reduce(_ unionByName _)
   }
@@ -53,7 +53,7 @@ object RewriteOps {
     val src = Eval.eval(listExpr, ctx)
     val names = src.select(col("name")).distinct().collect().map(_.getString(0))
     val re = search.r
-    val javaRepl = replace.replaceAll("""\\(\d+)""", "\\$$$1")
+    val javaRepl = SeriesOps.toJavaBackrefs(replace)
     val renames = names.map { n =>
       val target = re.replaceAllIn(n, javaRepl)
       val lastV = Eval.eval(Parser.parse(target), ctx)

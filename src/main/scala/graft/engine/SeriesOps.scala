@@ -141,6 +141,25 @@ object SeriesOps {
       .transform(d => rewrap(d, "asPercent"))
   }
 
+  /** asPercent group mode: each series as % of its node-group's point-wise
+    * sum — the per-group totals are few (one per group) and broadcast back.
+    * (ref asPercent/function.go mode 4) */
+  def asPercentByNodes(df: DataFrame, nodes: Seq[Int]): DataFrame = {
+    val key = nodeKey(col("name"), nodes)
+    val totals = aggregateSeries(df, "sum", groupKey = Some(key))
+      .select(col("name").as("gk"), col("values").as("totValues"))
+    df.withColumn("gk", key)
+      .join(broadcast(totals), "gk")
+      .withColumn("values",
+        zip_with(col("values"), col("totValues"), (v, t) => v / t * lit(100.0)))
+      .drop("gk", "totValues")
+      .transform(d => rewrap(d, "asPercent"))
+  }
+
+  /** asPercent vs a constant. */
+  def asPercentConst(df: DataFrame, total: Double): DataFrame =
+    rewrap(mapPointwise(df, v => v / lit(total) * lit(100.0)), "asPercent", Seq(fmtNum(total)))
+
   /** divideSeries: every dividend ÷ the single divisor series; 0/NaN divisor →
     * NaN. (ref divideSeries/function.go) */
   def divideSeries(dividends: DataFrame, divisor: DataFrame): DataFrame = {
@@ -414,11 +433,14 @@ object SeriesOps {
   def aliasByNode(df: DataFrame, nodes: Seq[Int]): DataFrame =
     df.withColumn("name", nodeKey(col("name"), nodes))
 
-  /** aliasSub: regex rename, Go backrefs `\1` → Java `$1`. (ref aliasSub/function.go) */
-  def aliasSub(df: DataFrame, search: String, replace: String): DataFrame = {
-    val javaRepl = replace.replaceAll("""\\(\d+)""", "\\$$$1")
-    df.withColumn("name", regexp_replace(col("name"), search, javaRepl))
-  }
+  /** Graphite backrefs `\1` → Java replacement `$1`.
+    * (ref helper.Backref, expr/helper/helper.go:16) */
+  def toJavaBackrefs(replace: String): String =
+    replace.replaceAll("""\\(\d+)""", "\\$$1")
+
+  /** aliasSub: regex rename with backrefs. (ref aliasSub/function.go) */
+  def aliasSub(df: DataFrame, search: String, replace: String): DataFrame =
+    df.withColumn("name", regexp_replace(col("name"), search, toJavaBackrefs(replace)))
 
   def toLowerCaseS(df: DataFrame): DataFrame = df.withColumn("name", lower(col("name")))
   def toUpperCaseS(df: DataFrame): DataFrame = df.withColumn("name", upper(col("name")))

@@ -62,6 +62,22 @@ class ParserSpec extends AnyFunSuite {
     assert(f.rawArgs == "a.b,2.5")
   }
 
+  test("define macros expand at parse time (ref pkg/parser/define.go)") {
+    try {
+      Defines.define("perMinute", "scaleToSeconds({{.argString}},60)")
+      val e = Defines.expand(Parser.parse("perMinute(events.*)"))
+      assert(e.print == "scaleToSeconds(events.*,60)")
+      Defines.define("firstArg", "absolute({{index .args 0}})")
+      assert(Defines.expand(Parser.parse("firstArg(a.b,9)")).print == "absolute(a.b)")
+      Defines.define("kw", "offset({{.kwargs.series}},1)")
+      assert(Defines.expand(Parser.parse("kw(series=a.b)")).print == "offset(a.b,1)")
+      // nested inside other calls, and macro-in-macro
+      Defines.define("pm2", "perMinute({{.argString}})")
+      assert(Defines.expand(Parser.parse("sumSeries(pm2(x.y))")).print ==
+        "sumSeries(scaleToSeconds(x.y,60))")
+    } finally Defines.clear()
+  }
+
   test("interval parsing (ref pkg/parser/interval.go)") {
     assert(Interval.parse("1h") == 3600)
     assert(Interval.parse("-1d") == -86400)
