@@ -110,6 +110,7 @@ object Queries {
     "g55_aspercent_nodes" -> g("asPercent(aliasSub(aliasSub(events.*,'^events\\.(click|error)$','a.\\1'),'^events\\.(purchase|signup|view)$','b.\\1'),None,0)"),
     "g56_aspercent_const" -> g("asPercent(events.*,240)"),
     "g57_powseries" -> g("powSeries(transformNull(scale(events.*,0.01),1))"),
+    "g58_groupbynode_callback" -> g("groupByNode(events.*,1,'keepLastValue')"),
 
     // ---- TPC-H-style relational anchors (bench headliners)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -392,6 +393,8 @@ object Queries {
         |WHERE r.v IS NOT NULL AND tot.t IS NOT NULL ORDER BY 1, 2""".stripMargin),
     "g56_aspercent_const" ->
       (S + "SELECT 'asPercent(' || name || ',240)' AS name, ts, round(v / 240 * 100, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g58_groupbynode_callback" ->
+      (S + s"SELECT split_part(name, '.', 2) AS name, ts, round(coalesce(v, pv), 4) AS value FROM ($lagS) WHERE coalesce(v, pv) IS NOT NULL ORDER BY name, ts"),
     "g57_powseries" ->
       (S + """, piv AS (SELECT ts,
         |  max(CASE WHEN name = 'events.click' THEN coalesce(v * 0.01, 1) ELSE NULL END) AS c,

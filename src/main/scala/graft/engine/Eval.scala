@@ -34,6 +34,7 @@ object Eval {
       graft.core.SeriesFrame.schema)
 
   def eval(ast: Ast, ctx: Ctx): DataFrame = ast match {
+    case graft.parser.FrameExpr(df, _) => df
     case NameExpr(t) if t.startsWith("seriesByTag(") => RewriteOps.seriesByTag(ctx, t)
     case NameExpr(t) => ctx.store.fetch(ctx.spark, t, ctx.from, ctx.until)
     case fc: FuncCall =>
@@ -173,10 +174,10 @@ object Eval {
     "divideSeries" -> ((ctx, fc) => SeriesOps.divideSeries(seriesArg(ctx, fc), seriesArg(ctx, fc, 1))),
 
     // ---- grouping
-    "groupByNode" -> ((ctx, fc) => SeriesOps.groupByNodes(
-      seriesArg(ctx, fc), strArg(fc, 2, "callback", Some("average")), Seq(intArg(fc, 1)), align = needAlign(ctx))),
-    "groupByNodes" -> ((ctx, fc) => SeriesOps.groupByNodes(
-      seriesArg(ctx, fc), strArg(fc, 1), intsFrom(fc, 2), align = needAlign(ctx))),
+    "groupByNode" -> ((ctx, fc) => groupByNodeImpl(ctx,
+      seriesArg(ctx, fc), strArg(fc, 2, "callback", Some("average")), Seq(intArg(fc, 1)))),
+    "groupByNodes" -> ((ctx, fc) => groupByNodeImpl(ctx,
+      seriesArg(ctx, fc), strArg(fc, 1), intsFrom(fc, 2))),
     "groupByTags" -> ((ctx, fc) => SeriesOps.groupByTags(
       seriesArg(ctx, fc), strArg(fc, 1), fc.args.drop(2).map { case Str(s) => s; case NameExpr(s) => s; case o => o.print },
       align = needAlign(ctx))),
@@ -467,6 +468,29 @@ object Eval {
     "randomWalk" -> ((ctx, fc) => randomWalk(ctx, strArg(fc, 0), intArg(fc, 1, "step", Some(60)))),
     "randomWalkFunction" -> ((ctx, fc) => randomWalk(ctx, strArg(fc, 0), intArg(fc, 1, "step", Some(60))))
   )
+
+  /**
+   * groupByNode(s) with ANY registered function as callback: consolidation
+   * names take the distributed aggregate path; series-function callbacks
+   * (keepLastValue, derivative, …) re-enter the registry per group — a
+   * names-only key collect, then one plan per group unioned, mirroring the
+   * reference's re-parse-and-eval (ref groupByNode/function.go:30-140).
+   */
+  private def groupByNodeImpl(ctx: Ctx, df: DataFrame, callback: String, nodes: Seq[Int]): DataFrame = {
+    val isAgg = graft.core.Kernels.validConsolidations.contains(callback) ||
+      callback.matches("p([0-9]*[.])?[0-9]+")
+    if (isAgg) SeriesOps.groupByNodes(df, callback, nodes, align = needAlign(ctx))
+    else {
+      val keyCol = SeriesOps.nodeKey(col("name"), nodes)
+      val keys = df.select(keyCol.as("_gk")).distinct().collect().map(_.getString(0)).sorted
+      require(keys.nonEmpty, s"groupByNode: no series to group")
+      keys.map { k =>
+        val group = df.where(keyCol === k)
+        val res = eval(FuncCall(callback, Seq(graft.parser.FrameExpr(group, k)), Map.empty), ctx)
+        SeriesOps.alias(res.orderBy(col("name")).limit(1), k)
+      }.reduce(_ unionByName _)
+    }
+  }
 
   /** constantLine: 3-point flat series over the request range.
     * (ref constantLine/function.go) */

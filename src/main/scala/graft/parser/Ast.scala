@@ -27,6 +27,15 @@ final case class BoolLit(v: Boolean) extends Ast {
   def print: String = v.toString
 }
 
+/** Compiler-internal leaf: an already-built series frame. Never produced by
+  * the parser — the groupByNode callback machinery injects one so a group's
+  * frame can be fed to any registry function as its series argument
+  * (the reference's re-parse-and-eval of `callback(group)`,
+  * ref groupByNode/function.go:30-140). */
+final case class FrameExpr(df: org.apache.spark.sql.DataFrame, label: String = "<frame>") extends Ast {
+  def print: String = label
+}
+
 final case class FuncCall(name: String, args: Seq[Ast], named: Map[String, Ast]) extends Ast {
   def print: String = {
     val pos = args.map(_.print)
