@@ -111,6 +111,9 @@ object Queries {
     "g56_aspercent_const" -> g("asPercent(events.*,240)"),
     "g57_powseries" -> g("powSeries(transformNull(scale(events.*,0.01),1))"),
     "g58_groupbynode_callback" -> g("groupByNode(events.*,1,'keepLastValue')"),
+    "g59_groupbytags" -> g("groupByTags(events.*,'sum','kind')"),
+    "g60_seriesbytag_kind" -> g("seriesByTag('kind=conv')"),
+    "g61_aliasbytags" -> g("aliasByTags(events.*,'kind','type')"),
 
     // ---- TPC-H-style relational anchors (bench headliners)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -395,6 +398,15 @@ object Queries {
       (S + "SELECT 'asPercent(' || name || ',240)' AS name, ts, round(v / 240 * 100, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g58_groupbynode_callback" ->
       (S + s"SELECT split_part(name, '.', 2) AS name, ts, round(coalesce(v, pv), 4) AS value FROM ($lagS) WHERE coalesce(v, pv) IS NOT NULL ORDER BY name, ts"),
+    "g59_groupbytags" ->
+      (S + """SELECT CASE WHEN split_part(name, '.', 2) IN ('purchase','signup') THEN 'conv' ELSE 'eng' END AS name,
+        |  ts, round(sum(v), 4) AS value FROM s GROUP BY 1, ts HAVING count(v) > 0 ORDER BY name, ts""".stripMargin),
+    "g60_seriesbytag_kind" ->
+      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE split_part(name, '.', 2) IN ('purchase','signup') AND v IS NOT NULL ORDER BY name, ts"),
+    "g61_aliasbytags" ->
+      (S + """SELECT (CASE WHEN split_part(name, '.', 2) IN ('purchase','signup') THEN 'conv' ELSE 'eng' END)
+        |  || '.' || split_part(name, '.', 2) AS name, ts, round(v, 4) AS value
+        |FROM s WHERE v IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g57_powseries" ->
       (S + """, piv AS (SELECT ts,
         |  max(CASE WHEN name = 'events.click' THEN coalesce(v * 0.01, 1) ELSE NULL END) AS c,

@@ -103,6 +103,15 @@ object EventSeriesStore {
     // grid bounds: one tiny agg (2 longs to the driver) — cheap at any scale
     val row = pts.agg(min(col("ts")), max(col("ts"))).head()
     val t0 = row.getLong(0); val t1 = row.getLong(1)
-    SeriesFrame.fromPoints(pts, t0, t1 + step, step).cache()
+    // Graphite-style tags per series: the bare name, the event type, and a
+    // coarse "kind" (conversion vs engagement) so groupByTags/seriesByTag
+    // have real multi-series groups to work with
+    SeriesFrame.fromPoints(pts, t0, t1 + step, step)
+      .withColumn("tags", map(
+        lit("name"), col("name"),
+        lit("type"), element_at(split(col("name"), "\\."), -1),
+        lit("kind"), when(element_at(split(col("name"), "\\."), -1).isin("purchase", "signup"), "conv")
+          .otherwise("eng")))
+      .cache()
   }
 }
