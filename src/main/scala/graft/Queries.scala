@@ -114,6 +114,7 @@ object Queries {
     "g59_groupbytags" -> g("groupByTags(events.*,'sum','kind')"),
     "g60_seriesbytag_kind" -> g("seriesByTag('kind=conv')"),
     "g61_aliasbytags" -> g("aliasByTags(events.*,'kind','type')"),
+    "g62_aggregate_xff" -> g("aggregate(events.*,'average',0.5)"),
 
     // ---- TPC-H-style relational anchors (bench headliners)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -403,6 +404,9 @@ object Queries {
         |  ts, round(sum(v), 4) AS value FROM s GROUP BY 1, ts HAVING count(v) > 0 ORDER BY name, ts""".stripMargin),
     "g60_seriesbytag_kind" ->
       (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE split_part(name, '.', 2) IN ('purchase','signup') AND v IS NOT NULL ORDER BY name, ts"),
+    "g62_aggregate_xff" ->
+      (S + """SELECT 'averageSeries(events.*)' AS name, ts, round(avg(v), 4) AS value
+        |FROM s GROUP BY ts HAVING count(v) * 1.0 / count(*) >= 0.5 ORDER BY ts""".stripMargin),
     "g61_aliasbytags" ->
       (S + """SELECT (CASE WHEN split_part(name, '.', 2) IN ('purchase','signup') THEN 'conv' ELSE 'eng' END)
         |  || '.' || split_part(name, '.', 2) AS name, ts, round(v, 4) AS value
