@@ -161,9 +161,12 @@ object SeriesOps {
     rewrap(mapPointwise(df, v => v / lit(total) * lit(100.0)), "asPercent", Seq(fmtNum(total)))
 
   /** divideSeries: every dividend ÷ the single divisor series; 0/NaN divisor →
-    * NaN. (ref divideSeries/function.go) */
+    * NaN. The reference errors when the divisor list has ≠1 series — we keep
+    * the first in name order, which also guards the broadcast join against a
+    * multi-row cartesian blowup. (ref divideSeries/function.go) */
   def divideSeries(dividends: DataFrame, divisor: DataFrame): DataFrame = {
-    val d1 = divisor.select(col("name").as("divName"), col("values").as("divValues"))
+    val d1 = divisor.orderBy(col("name")).limit(1)
+      .select(col("name").as("divName"), col("values").as("divValues"))
     dividends.crossJoin(broadcast(d1))
       .withColumn("values",
         zip_with(col("values"), col("divValues"),
