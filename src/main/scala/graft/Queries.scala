@@ -115,6 +115,9 @@ object Queries {
     "g60_seriesbytag_kind" -> g("seriesByTag('kind=conv')"),
     "g61_aliasbytags" -> g("aliasByTags(events.*,'kind','type')"),
     "g62_aggregate_xff" -> g("aggregate(events.*,'average',0.5)"),
+    "g63_minmax" -> g("minMax(events.*)"),
+    "g64_linreg" -> g("linearRegression(events.click)"),
+    "g65_delay" -> g("delay(events.*,3)"),
 
     // ---- TPC-H-style relational anchors (bench headliners)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -407,6 +410,21 @@ object Queries {
     "g62_aggregate_xff" ->
       (S + """SELECT 'averageSeries(events.*)' AS name, ts, round(avg(v), 4) AS value
         |FROM s GROUP BY ts HAVING count(v) * 1.0 / count(*) >= 0.5 ORDER BY ts""".stripMargin),
+    "g63_minmax" ->
+      (S + """SELECT 'minMax(' || name || ')' AS name, ts,
+        |  round(CASE WHEN max(v) OVER w = min(v) OVER w THEN 0
+        |             ELSE (v - min(v) OVER w) / (max(v) OVER w - min(v) OVER w) END, 4) AS value
+        |FROM s WINDOW w AS (PARTITION BY name) QUALIFY v IS NOT NULL ORDER BY name, ts""".stripMargin),
+    "g64_linreg" ->
+      (S + """, f AS (SELECT regr_slope(v, (ts - b.t0) / 3600) AS sl, regr_intercept(v, (ts - b.t0) / 3600) AS ic
+        |       FROM s, b WHERE name = 'events.click')
+        |SELECT 'linearRegression(events.click)' AS name, s.ts,
+        |  round(f.ic + f.sl * ((s.ts - b.t0) / 3600), 4) AS value
+        |FROM s, b, f WHERE s.name = 'events.click' ORDER BY s.ts""".stripMargin),
+    "g65_delay" ->
+      (S + """SELECT 'delay(' || name || ',3)' AS name, ts, round(pv, 4) AS value FROM (
+        |  SELECT name, ts, lag(v, 3) OVER (PARTITION BY name ORDER BY ts) AS pv FROM s)
+        |WHERE pv IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g61_aliasbytags" ->
       (S + """SELECT (CASE WHEN split_part(name, '.', 2) IN ('purchase','signup') THEN 'conv' ELSE 'eng' END)
         |  || '.' || split_part(name, '.', 2) AS name, ts, round(v, 4) AS value
