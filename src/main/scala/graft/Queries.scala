@@ -118,6 +118,12 @@ object Queries {
     "g63_minmax" -> g("minMax(events.*)"),
     "g64_linreg" -> g("linearRegression(events.click)"),
     "g65_delay" -> g("delay(events.*,3)"),
+    "g66_npercentile" -> g("nPercentile(events.*,95)"),
+    "g67_lowest_max" -> g("lowestMax(events.*,2)"),
+    // argument-ORDER-sensitive multi-arg aggregate: view - click - error
+    "g68_diff_multiarg" -> g("diffSeries(transformNull(events.view,0),transformNull(events.click,0),transformNull(events.error,0))"),
+    // multi-series total → name-sorted positional pairing
+    "g69_aspercent_list" -> g("asPercent(events.{click,view},events.{error,signup})"),
 
     // ---- TPC-H-style relational anchors (bench headliners)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -294,7 +300,7 @@ object Queries {
         |SELECT 'divideSeries(' || s.name || ',sumSeries(events.*))' AS name, s.ts, round(s.v / tot.t, 4) AS value
         |FROM s JOIN tot ON s.ts = tot.ts WHERE s.name = 'events.click' AND s.v IS NOT NULL AND tot.t != 0 ORDER BY s.ts""".stripMargin),
     "g26_moving_sum_interval" ->
-      (S + """SELECT 'movingSum(' || name || ',6)' AS name, ts, round(wsum, 4) AS value FROM (
+      (S + """SELECT 'movingSum(' || name || ',''6h'')' AS name, ts, round(wsum, 4) AS value FROM (
         |  SELECT name, ts, CASE WHEN count(v) OVER w > 0 THEN sum(v) OVER w END AS wsum FROM s
         |  WINDOW w AS (PARTITION BY name ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
         |WHERE ts >= (SELECT t0 FROM b) + 6*3600 AND wsum IS NOT NULL ORDER BY name, ts""".stripMargin),
@@ -395,9 +401,9 @@ object Queries {
       (S + """, renamed AS (SELECT CASE WHEN name IN ('events.click','events.error')
         |         THEN 'a.' || split_part(name, '.', 2) ELSE 'b.' || split_part(name, '.', 2) END AS name, ts, v FROM s),
         |tot AS (SELECT split_part(name, '.', 1) AS grp, ts, sum(v) AS t FROM renamed GROUP BY 1, 2)
-        |SELECT 'asPercent(' || r.name || ')' AS name, r.ts, round(r.v / tot.t * 100, 4) AS value
+        |SELECT 'asPercent(' || r.name || ',None)' AS name, r.ts, round(r.v / tot.t * 100, 4) AS value
         |FROM renamed r JOIN tot ON split_part(r.name, '.', 1) = tot.grp AND r.ts = tot.ts
-        |WHERE r.v IS NOT NULL AND tot.t IS NOT NULL ORDER BY 1, 2""".stripMargin),
+        |WHERE r.v IS NOT NULL AND tot.t IS NOT NULL AND tot.t != 0 ORDER BY 1, 2""".stripMargin),
     "g56_aspercent_const" ->
       (S + "SELECT 'asPercent(' || name || ',240)' AS name, ts, round(v / 240 * 100, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g58_groupbynode_callback" ->
@@ -425,6 +431,32 @@ object Queries {
       (S + """SELECT 'delay(' || name || ',3)' AS name, ts, round(pv, 4) AS value FROM (
         |  SELECT name, ts, lag(v, 3) OVER (PARTITION BY name ORDER BY ts) AS pv FROM s)
         |WHERE pv IS NOT NULL ORDER BY name, ts""".stripMargin),
+    "g66_npercentile" ->
+      (S + """, p AS (SELECT name, quantile_cont(v, 0.95) AS pv FROM s WHERE v IS NOT NULL GROUP BY name)
+        |SELECT 'nPercentile(' || s.name || ',95)' AS name, s.ts, round(p.pv, 4) AS value
+        |FROM s JOIN p ON s.name = p.name WHERE p.pv IS NOT NULL ORDER BY name, ts""".stripMargin),
+    "g67_lowest_max" ->
+      (S + """, keep AS (SELECT name FROM s GROUP BY name ORDER BY max(v) ASC, name LIMIT 2)
+        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep ON s.name = keep.name
+        |WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
+    "g68_diff_multiarg" ->
+      (S + """SELECT 'diffSeries(transformNull(events.view,0),transformNull(events.click,0),transformNull(events.error,0))' AS name, ts,
+        |  round(coalesce(max(CASE WHEN name = 'events.view' THEN v END), 0)
+        |      - coalesce(max(CASE WHEN name = 'events.click' THEN v END), 0)
+        |      - coalesce(max(CASE WHEN name = 'events.error' THEN v END), 0), 4) AS value
+        |FROM s GROUP BY ts ORDER BY ts""".stripMargin),
+    "g69_aspercent_list" ->
+      (S + """SELECT * FROM (
+        |  SELECT 'asPercent(events.click,events.error)' AS name, a.ts,
+        |    round(CASE WHEN b.v = 0 THEN NULL ELSE a.v * 100 / b.v END, 4) AS value
+        |  FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.click' AND b.name = 'events.error'
+        |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'asPercent(events.view,events.signup)' AS name, a.ts,
+        |    round(CASE WHEN b.v = 0 THEN NULL ELSE a.v * 100 / b.v END, 4) AS value
+        |  FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.view' AND b.name = 'events.signup'
+        |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL)
+        |WHERE value IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g61_aliasbytags" ->
       (S + """SELECT (CASE WHEN split_part(name, '.', 2) IN ('purchase','signup') THEN 'conv' ELSE 'eng' END)
         |  || '.' || split_part(name, '.', 2) AS name, ts, round(v, 4) AS value

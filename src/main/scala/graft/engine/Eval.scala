@@ -106,19 +106,35 @@ object Eval {
     * the pre-pass re-scans the input, which metadata should make unnecessary. */
   private def needAlign(ctx: Ctx): Boolean = ctx.store.stepHint.isEmpty
 
+  /** Union every positional series argument, tagging each frame with its
+    * argument position so order-sensitive holistic kernels (diff/first/last)
+    * fold in list order — ref helper.GetSeriesArgs concatenates all args;
+    * sumSeries(a,b) must not silently drop `b`. */
+  private def seriesArgsFrom(ctx: Ctx, fc: FuncCall): DataFrame = {
+    require(fc.args.nonEmpty, s"${fc.name}: missing series args")
+    val frames = fc.args.map(a => eval(a, ctx))
+    if (frames.lengthCompare(1) == 0) frames.head
+    else frames.zipWithIndex
+      .map { case (f, i) => f.withColumn("_argOrd", lit(i)) }
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
   private def aggFamily(func: String): Impl = (ctx, fc) =>
-    SeriesOps.aggregateNamed(seriesArg(ctx, fc), func, fc.rawArgs, align = needAlign(ctx))
+    SeriesOps.aggregateNamed(seriesArgsFrom(ctx, fc), func, fc.rawArgs, align = needAlign(ctx))
 
   private def movingFamily(func: String, fnName: String): Impl = (ctx, fc) => {
+    // movingWindow(series, window, func, xff); the named forms take xff at 2
+    // (ref moving/function.go:142-161)
+    val xffIdx = if (fnName == "movingWindow") 3 else 2
+    val xff = numArg(fc, xffIdx, "xFilesFactor", Some(0.0))
     windowArg(fc, 1) match {
       case Right(n) =>
         val step = ctx.store.stepHint.getOrElse(60L)
         val widened = eval(fc.args.head, ctx.widen(n.toLong * step))
-        SeriesOps.movingWindow(widened, n, func, numArg(fc, 2, "xFilesFactor", Some(0.0)), fnName)
+        SeriesOps.movingWindow(widened, Right(n), func, xff, fnName, n.toString)
       case Left(seconds) =>
         val widened = eval(fc.args.head, ctx.widen(seconds))
-        val step = ctx.store.stepHint.getOrElse(60L)
-        SeriesOps.movingWindow(widened, math.max((seconds / step).toInt, 1), func, 0.0, fnName)
+        SeriesOps.movingWindow(widened, Left(seconds), func, xff, fnName, s"'${strArg(fc, 1)}'")
     }
   }
 
@@ -126,6 +142,20 @@ object Eval {
     SeriesOps.highest(seriesArg(ctx, fc), intArg(fc, 1, default = Some(1)), func)
   private def lowestFamily(func: String): Impl = (ctx, fc) =>
     SeriesOps.lowest(seriesArg(ctx, fc), intArg(fc, 1, default = Some(1)), func)
+
+  private val asPercentImpl: Impl = (ctx, fc) => {
+    val nodes = fc.args.drop(2).collect { case Num(v) => v.toInt }
+    arg(fc, 1, "total") match {
+      // the parser maps a bare `None` literal to Str("")
+      case None | Some(Str("")) | Some(NameExpr("None")) =>
+        if (nodes.nonEmpty) SeriesOps.asPercentByNodes(seriesArg(ctx, fc), nodes)
+        else SeriesOps.asPercentOfTotal(seriesArg(ctx, fc))
+      case Some(Num(v)) => SeriesOps.asPercentConst(seriesArg(ctx, fc), v)
+      case Some(_) if nodes.nonEmpty =>
+        SeriesOps.asPercentGroupTotal(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), nodes)
+      case Some(_) => SeriesOps.asPercentTotal(seriesArg(ctx, fc), seriesArg(ctx, fc, 1))
+    }
+  }
 
   val registry: Map[String, Impl] = Map(
     // ---- combine / aggregate (ref expr/functions/aggregate)
@@ -151,26 +181,15 @@ object Eval {
       SeriesOps.aggregateSeries(seriesArg(ctx, fc), s"p${SeriesOps.fmtNum(n)}" + (if (interp) "" else "!"),
         nameFor = _ => lit(s"percentileOfSeries(${fc.rawArgs})"), align = needAlign(ctx))
     }),
-    "group" -> ((ctx, fc) => fc.args.map(a => eval(a, ctx)).reduce(_ unionByName _)),
-    "unique" -> ((ctx, fc) => SeriesOps.unique(fc.args.map(a => eval(a, ctx)).reduce(_ unionByName _))),
-    // asPercent's four modes (ref asPercent/function.go:40-250): vs the
-    // per-ts sum of self; vs a constant; vs a total series/list; per
-    // node-group vs the group's sum
-    "asPercent" -> ((ctx, fc) => {
-      val nodes = fc.args.drop(2).collect { case Num(v) => v.toInt }
-      arg(fc, 1, "total") match {
-        // the parser maps a bare `None` literal to Str("")
-        case None | Some(Str("")) | Some(NameExpr("None")) =>
-          if (nodes.nonEmpty) SeriesOps.asPercentByNodes(seriesArg(ctx, fc), nodes)
-          else SeriesOps.asPercentOfTotal(seriesArg(ctx, fc))
-        case Some(Num(v)) => SeriesOps.asPercentConst(seriesArg(ctx, fc), v)
-        case Some(_) =>
-          SeriesOps.divideSeries(seriesArg(ctx, fc),
-            SeriesOps.aggregateSeries(seriesArg(ctx, fc, 1), "sum"))
-            .withColumn("values", transform(col("values"), v => v * lit(100.0)))
-            .withColumn("name", regexp_replace(col("name"), "^divideSeries\\(", "asPercent("))
-      }
-    }),
+    "group" -> ((ctx, fc) => fc.args.map(a => eval(a, ctx))
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))),
+    "unique" -> ((ctx, fc) => SeriesOps.unique(fc.args.map(a => eval(a, ctx))
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))),
+    // asPercent's modes (ref asPercent/function.go:40-250): vs the per-ts sum
+    // of self; vs a constant; vs a total series/list (count-dispatched,
+    // positional pairing when several); per node-group vs the group's sum or
+    // vs a grouped total list
+    "asPercent" -> asPercentImpl, "pct" -> asPercentImpl,
     "divideSeries" -> ((ctx, fc) => SeriesOps.divideSeries(seriesArg(ctx, fc), seriesArg(ctx, fc, 1))),
 
     // ---- grouping
@@ -275,8 +294,10 @@ object Eval {
     "lowest" -> ((ctx, fc) => SeriesOps.lowest(seriesArg(ctx, fc),
       intArg(fc, 1, default = Some(1)), strArg(fc, 2, "func", Some("average")))),
     "highestAverage" -> highestFamily("average"), "lowestAverage" -> lowestFamily("average"),
-    "highestMax" -> highestFamily("max"),
+    "highestMax" -> highestFamily("max"), "highestMin" -> highestFamily("min"),
+    "lowestMax" -> lowestFamily("max"), "lowestMin" -> lowestFamily("min"),
     "highestCurrent" -> highestFamily("last"), "lowestCurrent" -> lowestFamily("last"),
+    "nPercentile" -> ((ctx, fc) => SeriesOps.nPercentile(seriesArg(ctx, fc), numArg(fc, 1))),
     "mostDeviant" -> ((ctx, fc) => SeriesOps.mostDeviant(seriesArg(ctx, fc), intArg(fc, 1, default = Some(1)))),
     "removeEmptySeries" -> ((ctx, fc) => SeriesOps.removeEmptySeries(
       seriesArg(ctx, fc), numArg(fc, 1, "xFilesFactor", Some(0.0)))),
@@ -364,18 +385,21 @@ object Eval {
     "holtWintersConfidenceBands" -> ((ctx, fc) => {
       val delta = numArg(fc, 1, "delta", Some(3))
       val bootstrap = arg(fc, 2, "bootstrapInterval").map(_ => intervalArg(fc, 2, "bootstrapInterval")).getOrElse(604800L)
-      AnalyticsOps.holtWintersConfidenceBands(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, delta)
+      val season = arg(fc, 3, "seasonality").map(_ => intervalArg(fc, 3, "seasonality")).getOrElse(86400L)
+      AnalyticsOps.holtWintersConfidenceBands(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, delta, season)
     }),
     "holtWintersConfidenceArea" -> ((ctx, fc) => {
       // rendered as an area between the two bands — data identical to bands
       val delta = numArg(fc, 1, "delta", Some(3))
       val bootstrap = arg(fc, 2, "bootstrapInterval").map(_ => intervalArg(fc, 2, "bootstrapInterval")).getOrElse(604800L)
-      AnalyticsOps.holtWintersConfidenceBands(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, delta)
+      val season = arg(fc, 3, "seasonality").map(_ => intervalArg(fc, 3, "seasonality")).getOrElse(86400L)
+      AnalyticsOps.holtWintersConfidenceBands(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, delta, season)
     }),
     "holtWintersAberration" -> ((ctx, fc) => {
       val delta = numArg(fc, 1, "delta", Some(3))
       val bootstrap = arg(fc, 2, "bootstrapInterval").map(_ => intervalArg(fc, 2, "bootstrapInterval")).getOrElse(604800L)
-      AnalyticsOps.holtWintersAberration(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, delta)
+      val season = arg(fc, 3, "seasonality").map(_ => intervalArg(fc, 3, "seasonality")).getOrElse(86400L)
+      AnalyticsOps.holtWintersAberration(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, delta, season)
     }),
     "polyfit" -> ((ctx, fc) => AnalyticsOps.polyfit(seriesArg(ctx, fc), intArg(fc, 1, "degree", Some(1)))),
     "stdev" -> ((ctx, fc) => AnalyticsOps.stdev(seriesArg(ctx, fc),

@@ -51,19 +51,25 @@ object SeriesOps {
           .agg(agg(col("start"), col("step"), col("values")).as("r"))
           .select(col("gk"), col("r.start").as("start"), col("r.step").as("step"), col("r.values").as("values"))
       } else {
-        // Holistic funcs need the full per-point distribution, in series order
-        // (diff/first/last are order-sensitive): explode, shuffle points by
-        // (group, ts), aggregate with the exact reference kernel.
+        // Holistic funcs need the full per-point distribution, in series-list
+        // order (diff/first/last are order-sensitive): explode, shuffle points
+        // by (group, ts), aggregate with the exact reference kernel. List
+        // order = (argument position, name) — multi-arg forms like
+        // diffSeries(total,failed) carry their position in `_argOrd`
+        // (ref helper.GetSeriesArgs concatenates args in order; NaN-skipping
+        // kernels make dropped absent points equivalent to the reference's
+        // NaN padding).
         val ordered = df.withColumn("gk", key)
-        val pts = ordered.select(col("gk"), col("name"), col("start"), col("step"),
+        val ordCol = if (df.columns.contains("_argOrd")) col("_argOrd") else lit(0)
+        val pts = ordered.select(col("gk"), ordCol.as("_ord"), col("name"), col("start"), col("step"),
             posexplode(col("values")).as(Seq("pos", "value")))
           .withColumn("ts", col("start") + col("pos") * col("step"))
         val kernel = udf((vals: Seq[org.apache.spark.sql.Row]) => {
-          val sorted = vals.sortBy(_.getString(0)).map(_.getDouble(1)).toArray
+          val sorted = vals.sortBy(r => (r.getInt(0), r.getString(1))).map(_.getDouble(2)).toArray
           Kernels.summarizeValues(func, sorted, xff.toFloat)
         })
         val perTs = pts.groupBy(col("gk"), col("ts"), col("step"))
-          .agg(kernel(collect_list(struct(col("name"), col("value")))).as("value"))
+          .agg(kernel(collect_list(struct(col("_ord"), col("name"), col("value")))).as("value"))
         val bounds = perTs.groupBy(col("gk"), col("step"))
           .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
         perTs.join(bounds, Seq("gk", "step"))
@@ -136,14 +142,20 @@ object SeriesOps {
       .select(col("values").as("totValues"), col("start").as("totStart"))
     df.crossJoin(broadcast(total))
       .withColumn("values",
-        zip_with(col("values"), col("totValues"), (v, t) => v / t * lit(100.0)))
+        zip_with(col("values"), col("totValues"), pctOf))
       .drop("totValues", "totStart")
       .transform(d => rewrap(d, "asPercent"))
   }
 
+  /** NaN-guarded percentage kernel shared by every asPercent mode:
+    * NaN when either side is NaN or the total is 0 (ref asPercent/function.go
+    * calculatePercentage). */
+  private def pctOf(v: Column, t: Column): Column =
+    when(isnan(v) || isnan(t) || t === 0.0, lit(Double.NaN)).otherwise(v * lit(100.0) / t)
+
   /** asPercent group mode: each series as % of its node-group's point-wise
     * sum — the per-group totals are few (one per group) and broadcast back.
-    * (ref asPercent/function.go mode 4) */
+    * (ref asPercent/function.go seriesGroupAsPercent — names asPercent(x,None)) */
   def asPercentByNodes(df: DataFrame, nodes: Seq[Int]): DataFrame = {
     val key = nodeKey(col("name"), nodes)
     val totals = aggregateSeries(df, "sum", groupKey = Some(key))
@@ -151,22 +163,94 @@ object SeriesOps {
     df.withColumn("gk", key)
       .join(broadcast(totals), "gk")
       .withColumn("values",
-        zip_with(col("values"), col("totValues"), (v, t) => v / t * lit(100.0)))
+        zip_with(col("values"), col("totValues"), pctOf))
       .drop("gk", "totValues")
-      .transform(d => rewrap(d, "asPercent"))
+      .transform(d => rewrap(d, "asPercent", Seq("None")))
   }
 
   /** asPercent vs a constant. */
   def asPercentConst(df: DataFrame, total: Double): DataFrame =
-    rewrap(mapPointwise(df, v => v / lit(total) * lit(100.0)), "asPercent", Seq(fmtNum(total)))
+    rewrap(mapPointwise(df, v => pctOf(v, lit(total))), "asPercent", Seq(fmtNum(total)))
+
+  /** asPercent(seriesList, totalList): the reference branches on the total
+    * COUNT — 1 series divides everything, several pair positionally after a
+    * name sort (ref asPercent/function.go seriesAsPercent). The count is one
+    * tiny job over series rows (not points); both branches then stay
+    * plan-only. */
+  def asPercentTotal(df: DataFrame, totals: DataFrame): DataFrame = {
+    val n = totals.select(col("name")).limit(3).count()
+    if (n == 0)
+      rewrap(mapPointwise(df, _ => lit(Double.NaN)), "asPercent", Seq("MISSING"))
+    else if (n == 1) {
+      val t1 = totals.select(col("name").as("tName"), col("values").as("tValues"))
+      df.crossJoin(broadcast(t1))
+        .withColumn("values", zip_with(col("values"), col("tValues"), pctOf))
+        .withColumn("name", concat(lit("asPercent("), col("name"), lit(","), col("tName"), lit(")")))
+        .drop("tName", "tValues")
+    } else asPercentPairwise(df, totals)
+  }
+
+  /** Multi-series total: sort both lists by name, pair positionally; the
+    * unmatched tail of either side surfaces as asPercent(x,MISSING) /
+    * asPercent(MISSING,x) all-NaN series (ref seriesAsPercent, len>1 branch).
+    * The row_number window runs over series rows, bounded by list size. */
+  def asPercentPairwise(df: DataFrame, totals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ai = df.select(col("name").as("aName"), col("tags").as("aTags"),
+        col("start").as("aStart"), col("step").as("aStep"), col("values").as("aValues"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("aName"))))
+    val ti = totals.select(col("name").as("tName"), col("start").as("tStart"),
+        col("step").as("tStep"), col("values").as("tValues"))
+      .withColumn("_i", row_number().over(Window.orderBy(col("tName"))))
+    asPercentJoinOut(ai.join(ti, Seq("_i"), "full_outer"))
+  }
+
+  /** asPercent(seriesList, totalList, *nodes): group both sides by node key;
+    * a single-series total group divides its whole arg group, larger groups
+    * pair positionally, unmatched groups/rows become MISSING
+    * (ref asPercent/function.go seriesGroup2AsPercent). */
+  def asPercentGroupTotal(df: DataFrame, totals: DataFrame, nodes: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ai = df.select(col("name").as("aName"), col("tags").as("aTags"),
+        col("start").as("aStart"), col("step").as("aStep"), col("values").as("aValues"))
+      .withColumn("_ak", nodeKey(col("aName"), nodes))
+      .withColumn("_ai", row_number().over(Window.partitionBy(col("_ak")).orderBy(col("aName"))))
+    val ti = totals.select(col("name").as("tName"), col("start").as("tStart"),
+        col("step").as("tStep"), col("values").as("tValues"))
+      .withColumn("_tk", nodeKey(col("tName"), nodes))
+      .withColumn("_ti", row_number().over(Window.partitionBy(col("_tk")).orderBy(col("tName"))))
+      .withColumn("_tc", count(lit(1)).over(Window.partitionBy(col("_tk"))))
+    // non-equi full outer (single-total groups fan out) — a nested-loop join
+    // over SERIES rows, bounded by list sizes, same argument as PairOps
+    val cond = col("_ak") === col("_tk") && (col("_tc") === 1 || col("_ai") === col("_ti"))
+    asPercentJoinOut(ai.join(ti, cond, "full_outer").drop("_ak", "_ai", "_tk", "_ti", "_tc"))
+  }
+
+  private def asPercentJoinOut(joined: DataFrame): DataFrame = {
+    val outVals = when(col("aValues").isNull, transform(col("tValues"), _ => lit(Double.NaN)))
+      .when(col("tValues").isNull, transform(col("aValues"), _ => lit(Double.NaN)))
+      .otherwise(zip_with(col("aValues"), col("tValues"), pctOf))
+    joined.select(
+      concat(lit("asPercent("), coalesce(col("aName"), lit("MISSING")),
+        lit(","), coalesce(col("tName"), lit("MISSING")), lit(")")).as("name"),
+      coalesce(col("aTags"), map(lit("name"), lit("MISSING"))).as("tags"),
+      coalesce(col("aStart"), col("tStart")).as("start"),
+      coalesce(col("aStep"), col("tStep")).as("step"),
+      outVals.as("values"))
+  }
 
   /** divideSeries: every dividend ÷ the single divisor series; 0/NaN divisor →
-    * NaN. The reference errors when the divisor list has ≠1 series — we keep
-    * the first in name order, which also guards the broadcast join against a
-    * multi-row cartesian blowup. (ref divideSeries/function.go) */
+    * NaN. A multi-series divisor errors like the reference
+    * (ref divideSeries/function.go:70, ErrWildcardNotAllowed) — enforced
+    * inside the plan via raise_error, no extra driver action. */
   def divideSeries(dividends: DataFrame, divisor: DataFrame): DataFrame = {
-    val d1 = divisor.orderBy(col("name")).limit(1)
-      .select(col("name").as("divName"), col("values").as("divValues"))
+    val d1 = divisor.select(struct(col("name"), col("values")).as("s"))
+      .agg(min(col("s")).as("s"), count(lit(1)).as("n"))
+      .select(
+        when(col("n") =!= 1,
+          raise_error(concat(lit("divideSeries: divisor must reference exactly one series, got "), col("n"))))
+          .otherwise(col("s.name")).as("divName"),
+        col("s.values").as("divValues"))
     dividends.crossJoin(broadcast(d1))
       .withColumn("values",
         zip_with(col("values"), col("divValues"),
@@ -290,17 +374,45 @@ object SeriesOps {
   // --------------------------------------------------------------- windowed
 
   /**
-   * moving{Average,Sum,Min,Max,Median,Window}: trailing n-point window.
-   * The input is expected to be fetched with `start` widened by n*step
-   * (planner concern — ref pkg/parser/parser.go:255-268); output is
-   * re-stamped to start+n*step with len-n points
-   * (ref moving/function.go:186-250).
+   * moving{Average,Sum,Min,Max,Median,Window}: trailing window of
+   * Right(points) or Left(seconds). The input is expected to be fetched with
+   * `start` widened by the preview (planner concern — ref
+   * pkg/parser/parser.go:255-268); output is re-stamped to start+preview with
+   * len-windowPoints points (ref moving/function.go:186-250).
+   *
+   * Interval windows derive windowPoints from each series' OWN step (ref
+   * windowPoints = preview / a.StepTime); a step larger than the interval
+   * (windowPoints=0) yields the reference's all-NaN series. `argStr` is the
+   * user's original window argument, reproduced in the output name
+   * (`movingSum(x,'6h')`, not the derived point count).
    */
-  def movingWindow(df: DataFrame, n: Int, func: String, xff: Double = 0.0, fnName: String = "movingWindow"): DataFrame = {
-    val u = udf((v: Seq[Double]) => VecOps.movingWindow(v.toArray, n, func, xff))
-    rewrap(df.withColumn("values", u(col("values")))
-      .withColumn("start", col("start") + lit(n.toLong) * col("step")),
-      fnName, Seq(n.toString))
+  def movingWindow(df: DataFrame, window: Either[Long, Int], func: String, xff: Double,
+                   fnName: String, argStr: String): DataFrame = {
+    val u = udf((v: Seq[Double], step: Long) => {
+      val n = window match {
+        case Right(points) => points
+        case Left(seconds) => (seconds / math.max(step, 1L)).toInt
+      }
+      if (n <= 0) Array.fill(v.length)(Double.NaN)
+      else VecOps.movingWindow(v.toArray, n, func, xff)
+    })
+    val preview = window match {
+      case Right(points) => lit(points.toLong) * col("step")
+      case Left(seconds) => lit(seconds)
+    }
+    rewrap(df.withColumn("values", u(col("values"), col("step")))
+      .withColumn("start", col("start") + preview),
+      fnName, Seq(argStr), tagValue = Some(argStr))
+  }
+
+  /** nPercentile: flat line at each series' n-th percentile (NaN-filtered,
+    * interpolated). (ref nPercentile/function.go:30-60,
+    * consolidations.Percentile interpolate=true) */
+  def nPercentile(df: DataFrame, n: Double): DataFrame = {
+    val pc = vecScalar(v => Kernels.percentile(v.filter(x => !Kernels.isNaN(x)), n, interpolate = true))(col("values"))
+    rewrap(df.withColumn("_p", pc)
+      .withColumn("values", transform(col("values"), _ => col("_p")))
+      .drop("_p"), "nPercentile", Seq(fmtNum(n)), tagValue = Some(fmtNum(n)))
   }
 
   /** summarize: re-bucket into `interval`-second buckets.

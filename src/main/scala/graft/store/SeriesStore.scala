@@ -22,6 +22,35 @@ trait SeriesStore {
   def stepHint: Option[Long] = None
 }
 
+object SeriesStore {
+  /** True when the bound is a real request bound rather than the unbounded
+    * sentinel Eval uses for "whole store" evaluation. */
+  def bounded(t: Long): Boolean = math.abs(t) < Long.MaxValue / 8
+
+  /**
+   * Trim every series' values array to the grid positions inside [from,
+   * until), re-stamping `start` — a fetch must return the REQUESTED window,
+   * not whatever the stored row spans (ref carbonzipper fetch semantics;
+   * graphite-web slices at the store boundary too). Pure column math on the
+   * already-pruned rows: no shuffle, stays inside codegen.
+   */
+  def sliceToRange(df: DataFrame, from: Long, until: Long): DataFrame = {
+    if (!bounded(from) && !bounded(until)) return df
+    // first kept index: ceil((from-start)/step); one-past-last: ceil((until-start)/step)
+    val lo =
+      if (bounded(from)) greatest(lit(0L), -floor((col("start") - lit(from)) / col("step")).cast("long"))
+      else lit(0L)
+    val hi =
+      if (bounded(until)) least(size(col("values")).cast("long"), -floor((col("start") - lit(until)) / col("step")).cast("long"))
+      else size(col("values")).cast("long")
+    df.withColumn("_lo", lo).withColumn("_n", hi - col("_lo"))
+      .where(col("_n") > 0)
+      .withColumn("values", slice(col("values"), (col("_lo") + 1).cast("int"), col("_n").cast("int")))
+      .withColumn("start", col("start") + col("_lo") * col("step"))
+      .drop("_lo", "_n")
+  }
+}
+
 /** Reads a Parquet dataset already in canonical series layout.
   * `uniformStep` declares that every series shares one step (the usual case
   * for a single retention tier) — it lets the planner skip the LCM-alignment
@@ -42,14 +71,17 @@ class ParquetSeriesStore(path: String, uniformStep: Option[Long] = None) extends
       } else df.where(col("name") === pathExpr)
     // overlap filter prunes whole series rows (and, with time-partitioned
     // layout, whole partitions) outside the request range
-    named
-      .where(col("start") + size(col("values")) * col("step") > from && col("start") < until)
+    SeriesStore.sliceToRange(
+      named.where(col("start") + size(col("values")) * col("step") > from && col("start") < until),
+      from, until)
       .withColumn("pathExpression", lit(pathExpr))
   }
 
   override def fetchAll(spark: SparkSession, from: Long, until: Long): DataFrame =
-    spark.read.parquet(path)
-      .where(col("start") + size(col("values")) * col("step") > from && col("start") < until)
+    SeriesStore.sliceToRange(
+      spark.read.parquet(path)
+        .where(col("start") + size(col("values")) * col("step") > from && col("start") < until),
+      from, until)
       .withColumn("pathExpression", lit("*"))
 }
 
@@ -71,11 +103,11 @@ class EventSeriesStore(sfDir: String, step: Long = 3600L) extends SeriesStore {
     val named =
       if (Glob.isGlob(pathExpr)) base.where(col("name").rlike(Glob.toRegex(pathExpr)))
       else base.where(col("name") === pathExpr)
-    named.withColumn("pathExpression", lit(pathExpr))
+    SeriesStore.sliceToRange(named, from, until).withColumn("pathExpression", lit(pathExpr))
   }
 
   override def fetchAll(spark: SparkSession, from: Long, until: Long): DataFrame =
-    allSeries(spark).withColumn("pathExpression", lit("*"))
+    SeriesStore.sliceToRange(allSeries(spark), from, until).withColumn("pathExpression", lit("*"))
 }
 
 object EventSeriesStore {
