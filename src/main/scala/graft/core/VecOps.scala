@@ -233,6 +233,28 @@ object VecOps {
     out
   }
 
+  /** Reference-exact exponentialMovingAverage kernel: seed = mean of the
+    * first `points` values (0 when all-NaN), every emitted value
+    * SafeRound(6); NaN emits NaN and holds state; a window longer than the
+    * input collapses to one mean point.
+    * (ref exponentialMovingAverage/function.go:112-133) */
+  def emaRef(v: Array[Double], points: Int, alpha: Double): Array[Double] = {
+    if (points <= 0) return Array.fill(v.length)(Double.NaN)
+    if (points > v.length) return Array(Kernels.safeRound(Kernels.mean(v), 6))
+    val out = new Array[Double](v.length - points + 1)
+    var e = Kernels.mean(java.util.Arrays.copyOfRange(v, 0, points))
+    if (isNaN(e)) e = 0.0
+    out(0) = Kernels.safeRound(e, 6)
+    var i = points
+    while (i < v.length) {
+      val x = v(i)
+      if (isNaN(x)) out(i - points + 1) = Double.NaN
+      else { e = alpha * x + (1 - alpha) * e; out(i - points + 1) = Kernels.safeRound(e, 6) }
+      i += 1
+    }
+    out
+  }
+
   /** Re-bucket a series into fixed `bucketPoints`-sized groups aggregated with
     * `func` (summarize core). */
   def rebucket(v: Array[Double], bucketPoints: Int, func: String, xff: Float): Array[Double] = {

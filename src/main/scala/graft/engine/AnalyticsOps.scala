@@ -82,9 +82,10 @@ object AnalyticsOps {
   /** polyfit: least-squares polynomial of `degree` via normal equations +
     * Gaussian elimination (no external linear algebra dep); series replaced
     * by the fitted curve. (ref polyfit/function.go, consolidations.Vandermonde) */
-  def polyfit(df: DataFrame, degree: Int): DataFrame = {
-    val u = udf((v: Seq[Double]) => {
+  def polyfit(df: DataFrame, degree: Int, nameArgs: Seq[String] = Nil, offsetSec: Long = 0L): DataFrame = {
+    val u = udf((v: Seq[Double], step: Long) => {
       val ys = v.toArray
+      val extra = if (offsetSec > 0 && step > 0) (offsetSec / step).toInt else 0
       val n = degree + 1
       // normal equations: A^T A c = A^T y over non-NaN points
       val ata = Array.ofDim[Double](n, n)
@@ -133,15 +134,17 @@ object AnalyticsOps {
         }
         if (singular) null else Array.tabulate(n)(r => m(r)(n) / m(r)(r))
       }
-      if (coef == null) ys.map(_ => Double.NaN)
-      else ys.indices.map { x =>
+      if (coef == null) Array.fill(ys.length + extra)(Double.NaN)
+      else (0 until ys.length + extra).map { x =>
         var acc = 0.0
         var p = n - 1
         while (p >= 0) { acc = acc * x + coef(p); p -= 1 }
         acc
       }.toArray
     })
-    rewrap(df.withColumn("values", u(col("values"))), "polyfit", Seq(degree.toString))
+    // the offset arg extends the fitted curve past the input range
+    // (ref polyfit/function.go:70-72)
+    rewrap(df.withColumn("values", u(col("values"), col("step"))), "polyfit", nameArgs)
   }
 
   // ------------------------------------------------------ windowed statistics
@@ -165,22 +168,24 @@ object AnalyticsOps {
   }
 
   /** pearson(a, b, windowSize): trailing-window correlation of the first
-    * series of each argument. (ref pearson/function.go) */
+    * series of each argument; NaN until the window is full, named
+    * pearson(a,b,w). (ref pearson/function.go:54-73) */
   def pearsonWindow(a: DataFrame, b: DataFrame, windowSize: Int): DataFrame = {
-    val bi = b.limit(1).select(col("values").as("valuesB"))
+    val bi = b.limit(1).select(col("values").as("valuesB"), col("name").as("nameB"))
     val u = udf((x: Seq[Double], y: Seq[Double]) => {
       val xa = x.toArray; val ya = y.toArray
       xa.indices.map { i =>
-        val lo = math.max(i - windowSize + 1, 0)
-        VecOps.pearson(
-          java.util.Arrays.copyOfRange(xa, lo, i + 1),
-          java.util.Arrays.copyOfRange(ya, lo, math.min(i + 1, ya.length)))
+        if (i < windowSize - 1) Double.NaN
+        else VecOps.pearson(
+          java.util.Arrays.copyOfRange(xa, i - windowSize + 1, i + 1),
+          java.util.Arrays.copyOfRange(ya, math.min(i - windowSize + 1, ya.length), math.min(i + 1, ya.length)))
       }.toArray
     })
     a.crossJoin(broadcast(bi))
       .withColumn("values", u(col("values"), col("valuesB")))
-      .drop("valuesB")
-      .transform(d => rewrap(d, "pearson", Seq(windowSize.toString)))
+      .withColumn("name", concat(lit("pearson("), col("name"), lit(","), col("nameB"),
+        lit(s",$windowSize)")))
+      .drop("valuesB", "nameB")
   }
 
   /** pearsonClosest: top-n series by |r| (or signed r) vs a reference
@@ -252,6 +257,10 @@ object AnalyticsOps {
           (v, lh) => !isnan(v) && (v < lh.getField("l") || v > lh.getField("h"))),
         x => x))
       .drop("loV", "hiV")
+      // the reference renames with a space after the comma
+      // (ref removeBetweenPercentile/function.go:75)
+      .withColumn("name",
+        concat(lit("removeBetweenPercentile("), col("name"), lit(s", ${SeriesOps.fmtNum(n0)})")))
   }
 
   // ------------------------------------------------------------------- slo
@@ -344,7 +353,8 @@ object AnalyticsOps {
     })
     a.crossJoin(broadcast(bi))
       .select(
-        concat(lit("kolmogorovSmirnovTest2("), col("name"), lit(","), col("nameB"), lit(")")).as("name"),
+        concat(lit("kolmogorovSmirnovTest2("), col("name"), lit(","), col("nameB"),
+          lit(s",$windowSize)")).as("name"),
         col("tags"), col("start"), col("step"),
         array(u(col("values"), col("valuesB"))).as("values"))
       .withColumn("step", lit(1L))

@@ -159,8 +159,10 @@ object Eval {
 
   val registry: Map[String, Impl] = Map(
     // ---- combine / aggregate (ref expr/functions/aggregate)
+    // name = <func>Series(<first arg>); args.head.print survives nested
+    // commas where a naive rawArgs split would truncate
     "aggregate" -> ((ctx, fc) => SeriesOps.aggregateNamed(
-      seriesArg(ctx, fc), strArg(fc, 1), fc.rawArgs.split(",").head,
+      seriesArg(ctx, fc), strArg(fc, 1), fc.args.head.print,
       numArg(fc, 2, "xFilesFactor", Some(0.0)), align = needAlign(ctx))),
     "sumSeries" -> aggFamily("sum"), "sum" -> aggFamily("sum"),
     "averageSeries" -> aggFamily("average"), "avg" -> aggFamily("average"), "average" -> aggFamily("average"),
@@ -181,10 +183,8 @@ object Eval {
       SeriesOps.aggregateSeries(seriesArg(ctx, fc), s"p${SeriesOps.fmtNum(n)}" + (if (interp) "" else "!"),
         nameFor = _ => lit(s"percentileOfSeries(${fc.rawArgs})"), align = needAlign(ctx))
     }),
-    "group" -> ((ctx, fc) => fc.args.map(a => eval(a, ctx))
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))),
-    "unique" -> ((ctx, fc) => SeriesOps.unique(fc.args.map(a => eval(a, ctx))
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))),
+    "group" -> ((ctx, fc) => seriesArgsFrom(ctx, fc)),
+    "unique" -> ((ctx, fc) => SeriesOps.unique(seriesArgsFrom(ctx, fc))),
     // asPercent's modes (ref asPercent/function.go:40-250): vs the per-ts sum
     // of self; vs a constant; vs a total series/list (count-dispatched,
     // positional pairing when several); per node-group vs the group's sum or
@@ -220,11 +220,14 @@ object Eval {
     "pow" -> ((ctx, fc) => SeriesOps.powS(seriesArg(ctx, fc), numArg(fc, 1))),
     "squareRoot" -> ((ctx, fc) => SeriesOps.squareRoot(seriesArg(ctx, fc))),
     "exp" -> ((ctx, fc) => SeriesOps.expS(seriesArg(ctx, fc))),
-    "log" -> ((ctx, fc) => SeriesOps.logarithm(seriesArg(ctx, fc), numArg(fc, 1, "base", Some(10)))),
-    "logarithm" -> ((ctx, fc) => SeriesOps.logarithm(seriesArg(ctx, fc), numArg(fc, 1, "base", Some(10)))),
+    "log" -> ((ctx, fc) => SeriesOps.logarithm(seriesArg(ctx, fc),
+      numArg(fc, 1, "base", Some(10)), explicitBase = arg(fc, 1, "base").isDefined)),
+    "logarithm" -> ((ctx, fc) => SeriesOps.logarithm(seriesArg(ctx, fc),
+      numArg(fc, 1, "base", Some(10)), explicitBase = arg(fc, 1, "base").isDefined)),
     "logit" -> ((ctx, fc) => SeriesOps.logit(seriesArg(ctx, fc))),
     "sigmoid" -> ((ctx, fc) => SeriesOps.sigmoid(seriesArg(ctx, fc))),
-    "round" -> ((ctx, fc) => SeriesOps.roundS(seriesArg(ctx, fc), intArg(fc, 1, "precision", Some(0)))),
+    "round" -> ((ctx, fc) => SeriesOps.roundS(seriesArg(ctx, fc),
+      arg(fc, 1, "precision").map(_ => intArg(fc, 1, "precision")))),
     "minMax" -> ((ctx, fc) => SeriesOps.minMax(seriesArg(ctx, fc))),
     "isNonNull" -> ((ctx, fc) => SeriesOps.isNonNull(seriesArg(ctx, fc))),
     "isNotNull" -> ((ctx, fc) => SeriesOps.isNonNull(seriesArg(ctx, fc))),
@@ -248,7 +251,8 @@ object Eval {
       seriesArg(ctx, fc), numArg(fc, 1, "maxValue", Some(Double.NaN)))),
     "perSecond" -> ((ctx, fc) => SeriesOps.perSecond(seriesArg(ctx, fc))),
     "integral" -> ((ctx, fc) => SeriesOps.integral(seriesArg(ctx, fc))),
-    "integralByInterval" -> ((ctx, fc) => SeriesOps.integralByInterval(seriesArg(ctx, fc), intervalArg(fc, 1))),
+    "integralByInterval" -> ((ctx, fc) => SeriesOps.integralByInterval(
+      seriesArg(ctx, fc), intervalArg(fc, 1), strArg(fc, 1))),
     "keepLastValue" -> ((ctx, fc) => SeriesOps.keepLastValue(
       seriesArg(ctx, fc), numArg(fc, 1, "limit", Some(Double.PositiveInfinity)))),
     "interpolate" -> ((ctx, fc) => SeriesOps.interpolateS(
@@ -270,7 +274,17 @@ object Eval {
       val func = strArg(fc, 2, "func", Some("average"))
       movingFamily(func, "movingWindow")(ctx, fc)
     }),
-    "exponentialMovingAverage" -> ((ctx, fc) => SeriesOps.ema(seriesArg(ctx, fc), intArg(fc, 1))),
+    "exponentialMovingAverage" -> ((ctx, fc) => {
+      // widened like movingFamily; string windows quote the interval in the
+      // name (ref exponentialMovingAverage/function.go:74-81 strconv.Quote)
+      windowArg(fc, 1) match {
+        case Right(n) =>
+          val step = ctx.store.stepHint.getOrElse(60L)
+          SeriesOps.ema(eval(fc.args.head, ctx.widen(n.toLong * step)), Right(n), n.toString)
+        case Left(seconds) =>
+          SeriesOps.ema(eval(fc.args.head, ctx.widen(seconds)), Left(seconds), "\"" + strArg(fc, 1) + "\"")
+      }
+    }),
     "ewma" -> ((ctx, fc) => SeriesOps.ewma(seriesArg(ctx, fc), numArg(fc, 1))),
     "exponentialWeightedMovingAverage" -> ((ctx, fc) => SeriesOps.ewma(seriesArg(ctx, fc), numArg(fc, 1))),
     "summarize" -> ((ctx, fc) => SeriesOps.summarize(seriesArg(ctx, fc),
@@ -351,11 +365,12 @@ object Eval {
     }),
     "timeStack" -> ((ctx, fc) => {
       val unit = intervalArg(fc, 1, defaultSign = -1)
+      val unitStr = strArg(fc, 1)
       val startI = intArg(fc, 2, "timeShiftStart", Some(0))
       val endI = intArg(fc, 3, "timeShiftEnd", Some(7))
       TimeOps.timeStack((startI until endI).map { i =>
         val off = unit * i
-        (off, s"${i}${strArg(fc, 1).replaceAll("[0-9+-]", "")}",
+        (off, unitStr,
           eval(fc.args.head, ctx.copy(from = ctx.from + off, until = ctx.until + off)))
       })
     }),
@@ -401,7 +416,17 @@ object Eval {
       val season = arg(fc, 3, "seasonality").map(_ => intervalArg(fc, 3, "seasonality")).getOrElse(86400L)
       AnalyticsOps.holtWintersAberration(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, delta, season)
     }),
-    "polyfit" -> ((ctx, fc) => AnalyticsOps.polyfit(seriesArg(ctx, fc), intArg(fc, 1, "degree", Some(1)))),
+    "polyfit" -> ((ctx, fc) => {
+      val degree = intArg(fc, 1, "degree", Some(1))
+      val offsStr = arg(fc, 2, "offset").map(_ => strArg(fc, 2, "offset"))
+      val nameArgs: Seq[String] = offsStr match {
+        case Some(o) => Seq(degree.toString, s"'$o'")
+        case None if arg(fc, 1, "degree").isDefined => Seq(degree.toString)
+        case None => Nil
+      }
+      AnalyticsOps.polyfit(seriesArg(ctx, fc), degree, nameArgs,
+        offsStr.map(Interval.parse(_)).getOrElse(0L))
+    }),
     "stdev" -> ((ctx, fc) => AnalyticsOps.stdev(seriesArg(ctx, fc),
       intArg(fc, 1), numArg(fc, 2, "windowTolerance", Some(0.1)))),
     "pearson" -> ((ctx, fc) => AnalyticsOps.pearsonWindow(

@@ -270,12 +270,17 @@ object SeriesOps {
     rewrap(mapPointwise(df, _ + lit(c)), "offset", Seq(fmtNum(c)))
   def scale(df: DataFrame, c: Double): DataFrame =
     rewrap(mapPointwise(df, _ * lit(c)), "scale", Seq(fmtNum(c)))
-  def invert(df: DataFrame): DataFrame = rewrap(mapPointwise(df, lit(1.0) / _), "invert")
+  /** invert: 1/x with 0 → NaN (ref invert/function.go:33-38). */
+  def invert(df: DataFrame): DataFrame =
+    rewrap(mapPointwise(df, v => when(v === 0.0, lit(Double.NaN)).otherwise(lit(1.0) / v)), "invert")
   def powS(df: DataFrame, c: Double): DataFrame = rewrap(mapPointwise(df, pow(_, lit(c))), "pow", Seq(fmtNum(c)))
   def squareRoot(df: DataFrame): DataFrame = rewrap(mapPointwise(df, sqrt(_)), "squareRoot")
   def expS(df: DataFrame): DataFrame = rewrap(mapPointwise(df, exp(_)), "exp")
-  def logarithm(df: DataFrame, base: Double = 10): DataFrame =
-    rewrap(mapPointwise(df, v => log(base, v)), "log", Seq(fmtNum(base)))
+  /** logarithm/log: name carries the base only when the caller gave one
+    * (ref logarithm/function.go:52-54). */
+  def logarithm(df: DataFrame, base: Double = 10, explicitBase: Boolean = false): DataFrame =
+    rewrap(mapPointwise(df, v => log(base, v)), "logarithm",
+      if (explicitBase) Seq(fmtNum(base)) else Nil)
   def logit(df: DataFrame): DataFrame = rewrap(mapPointwise(df, v => log(v / (lit(1.0) - v))), "logit")
   def sigmoid(df: DataFrame): DataFrame =
     rewrap(mapPointwise(df, v => lit(1.0) / (lit(1.0) + exp(-v))), "sigmoid")
@@ -333,19 +338,22 @@ object SeriesOps {
       .drop("_p"), "removeAbovePercentile", Seq(fmtNum(n)))
   }
 
-  /** round to precision with banker's rounding (ref helper.SafeRound). */
-  def roundS(df: DataFrame, precision: Int): DataFrame = {
-    val u = udf((v: Seq[Double]) => v.map(Kernels.safeRound(_, precision)))
-    rewrap(df.withColumn("values", u(col("values"))), "round", Seq(precision.toString))
+  /** round to precision with banker's rounding; name carries the precision
+    * only when given (ref round/function.go:47-49, helper.SafeRound). */
+  def roundS(df: DataFrame, precision: Option[Int]): DataFrame = {
+    val p = precision.getOrElse(0)
+    val u = udf((v: Seq[Double]) => v.map(Kernels.safeRound(_, p)))
+    rewrap(df.withColumn("values", u(col("values"))), "round", precision.map(_.toString).toSeq)
   }
 
-  /** timeSlice: NaN outside [startTs, endTs]. (ref timeSlice/function.go) */
+  /** timeSlice: NaN outside [startTs, endTs]; name and tags carry the epoch
+    * bounds (ref timeSlice/function.go:67-82). */
   def timeSlice(df: DataFrame, startTs: Long, endTs: Long): DataFrame =
     rewrap(df.withColumn("values",
       transform(col("values"), (v, i) => {
         val ts = col("start") + i.cast("long") * col("step")
         when(ts < lit(startTs) || ts > lit(endTs), lit(Double.NaN)).otherwise(v)
-      })), "timeSlice")
+      })), "timeSlice", Seq(startTs.toString, endTs.toString))
 
   // ------------------------------------------------------------- sequential
 
@@ -357,11 +365,11 @@ object SeriesOps {
     rewrap(df.withColumn("values", u(col("values"), col("step"))), "perSecond")
   }
   def integral(df: DataFrame): DataFrame = rewrap(mapVec(df, VecOps.integral), "integral")
-  def integralByInterval(df: DataFrame, interval: Long): DataFrame = {
+  def integralByInterval(df: DataFrame, interval: Long, argStr: String): DataFrame = {
     val u = udf((v: Seq[Double], start: Long, step: Long) =>
       VecOps.integralByInterval(v.toArray, start, step, interval))
     rewrap(df.withColumn("values", u(col("values"), col("start"), col("step"))),
-      "integralByInterval", Seq(s"'${interval}s'"))
+      "integralByInterval", Seq(s"'$argStr'"), tagValue = Some(argStr))
   }
   def keepLastValue(df: DataFrame, limit: Double = Double.PositiveInfinity): DataFrame =
     rewrap(mapVec(df, VecOps.keepLastValue(_, limit)), "keepLastValue")
@@ -453,8 +461,30 @@ object SeriesOps {
       .withColumn("name", regexp_replace(col("name"), "^summarize\\(", "hitcount("))
   }
 
-  def ema(df: DataFrame, window: Int): DataFrame =
-    rewrap(mapVec(df, VecOps.ema(_, window)), "exponentialMovingAverage", Seq(window.toString))
+  /**
+   * exponentialMovingAverage over a preview-widened fetch: seed = mean of the
+   * first window (0 if all-NaN), SafeRound(6) per point, NaN passthrough with
+   * state held; output drops the seed window and re-stamps start+preview.
+   * String windows use alpha = 2/(seconds+1) — the reference's (quirky)
+   * constant — and derive window points from each series' own step.
+   * (ref exponentialMovingAverage/function.go:60-140)
+   */
+  def ema(df: DataFrame, window: Either[Long, Int], argStr: String): DataFrame = {
+    val u = udf((v: Seq[Double], step: Long) => {
+      val (points, alpha) = window match {
+        case Right(n) => (n, 2.0 / (n + 1))
+        case Left(seconds) => ((seconds / math.max(step, 1L)).toInt, 2.0 / (seconds + 1))
+      }
+      VecOps.emaRef(v.toArray, points, alpha)
+    })
+    val preview = window match {
+      case Right(n) => lit(n.toLong) * col("step")
+      case Left(seconds) => lit(seconds)
+    }
+    rewrap(df.withColumn("values", u(col("values"), col("step")))
+      .withColumn("start", col("start") + preview),
+      "exponentialMovingAverage", Seq(argStr), tagValue = Some(argStr))
+  }
 
   def ewma(df: DataFrame, alpha: Double): DataFrame =
     rewrap(mapVec(df, VecOps.emaAlpha(_, alpha)), "ewma", Seq(fmtNum(alpha)))

@@ -21,12 +21,18 @@ object TimeOps {
     df.withColumn("start", col("start") - offsetSec)
       .transform(d => SeriesFrame.rewrap(d, "timeShift", Seq(s"'$interval'")))
 
-  /** timeStack: one shifted copy per unit step in [start,end]; caller
-    * provides the per-shift evaluated frames. (ref timeStack/function.go) */
+  /** timeStack: one shifted copy per unit step in [start,end); each copy is
+    * named timeShift(m,unitStr,offsSeconds) with timeShift/timeShiftUnit tags
+    * (ref timeStack/function.go:49-67). Caller provides the per-shift
+    * evaluated frames. */
   def timeStack(shifted: Seq[(Long, String, DataFrame)]): DataFrame =
-    shifted.map { case (offsetSec, label, df) =>
+    shifted.map { case (offsetSec, unitStr, df) =>
       df.withColumn("start", col("start") - offsetSec)
-        .transform(d => SeriesFrame.rewrap(d, "timeShift", Seq(s"'$label'")))
+        .withColumn("name",
+          concat(lit("timeShift("), col("name"), lit(s",$unitStr,$offsetSec)")))
+        .withColumn("tags", map_concat(
+          map_filter(col("tags"), (k, _) => k =!= "timeShift" && k =!= "timeShiftUnit"),
+          map(lit("timeShift"), lit(offsetSec.toString), lit("timeShiftUnit"), lit(unitStr))))
     }.reduce(_ unionByName _)
 
   /** smartSummarize: summarize with buckets aligned to a calendar unit

@@ -1,0 +1,399 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Glob, Series}
+import graft.engine.Eval
+import graft.store.SeriesStore
+
+/**
+ * In-memory fixture store mirroring the reference's test helper
+ * (ref tests/helper.go:21-100 MakeMetricData): hand-built series, glob
+ * fetch, optional uniform-step hint.
+ */
+class MemStore(series: Seq[Series], step: Option[Long] = None) extends SeriesStore {
+  override def stepHint: Option[Long] = step
+
+  private def frame(spark: SparkSession, s: Seq[Series]): DataFrame = {
+    import spark.implicits._
+    if (s.isEmpty) Eval.emptyFrame(spark) else s.toDF()
+  }
+
+  override def fetch(spark: SparkSession, pathExpr: String, from: Long, until: Long): DataFrame = {
+    val matched =
+      if (Glob.isGlob(pathExpr)) { val rx = Glob.toRegex(pathExpr); series.filter(_.name.matches(rx)) }
+      else series.filter(_.name == pathExpr)
+    SeriesStore.sliceToRange(frame(spark, matched), from, until)
+      .withColumn("pathExpression", lit(pathExpr))
+  }
+
+  override def fetchAll(spark: SparkSession, from: Long, until: Long): DataFrame =
+    SeriesStore.sliceToRange(frame(spark, series), from, until)
+      .withColumn("pathExpression", lit("*"))
+}
+
+/**
+ * Golden-fixture harness over the reference's own function_test.go tables:
+ * evaluate a target against a MemStore, compare names, start, step and
+ * NaN-aware values — the full observable surface, so naming drift fails
+ * loudly, exactly like the reference's TestEvalExpr.
+ */
+class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.core.GraftSession.builder("local[2]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val NaN = Double.NaN
+
+  /** MakeMetricData analog. */
+  private def md(name: String, values: Seq[Double], step: Long = 60, start: Long = 0): Series =
+    Series(name, Map("name" -> name), start, step, values.toArray)
+
+  private val UNBOUNDED = Long.MinValue / 4
+
+  private def run(target: String, inputs: Seq[Series], from: Long = UNBOUNDED,
+                  until: Long = Long.MaxValue / 4, stepHint: Option[Long] = None): Seq[Series] =
+    Eval.evalTarget(spark, new MemStore(inputs, stepHint), target, from, until)
+      .select(col("name"), col("start"), col("step"), col("values")).collect()
+      .map(r => Series(r.getString(0), Map.empty, r.getLong(1), r.getLong(2),
+        r.getSeq[Double](3).toArray)).toSeq
+
+  /** NaN-aware comparison incl. output NAME, start, step; order-insensitive
+    * unless `ordered` (sort operators assert sequence). */
+  private def check(target: String, inputs: Seq[Series], expected: Seq[Series],
+                    from: Long = UNBOUNDED, until: Long = Long.MaxValue / 4,
+                    stepHint: Option[Long] = None, ordered: Boolean = false,
+                    tol: Double = 1e-6): Unit = {
+    val rows = run(target, inputs, from, until, stepHint)
+    val got = if (ordered) rows else rows.sortBy(_.name)
+    val want = if (ordered) expected else expected.sortBy(_.name)
+    assert(got.map(_.name) == want.map(_.name),
+      s"$target names: got ${got.map(_.name).mkString("[", ", ", "]")} want ${want.map(_.name).mkString("[", ", ", "]")}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.start == w.start, s"$target ${g.name}: start ${g.start} != ${w.start}")
+      assert(g.step == w.step, s"$target ${g.name}: step ${g.step} != ${w.step}")
+      assert(g.values.length == w.values.length,
+        s"$target ${g.name}: ${g.values.length} points, want ${w.values.length} (got ${g.values.mkString(",")})")
+      g.values.zip(w.values).zipWithIndex.foreach { case ((gv, wv), i) =>
+        val ok = (gv.isNaN && wv.isNaN) || math.abs(gv - wv) <= tol * math.max(1.0, math.abs(wv))
+        assert(ok, s"$target ${g.name}[$i]: $gv != $wv")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- point-wise
+
+  test("invert / pow / squareRoot / exp (point-wise names + values)") {
+    val in = Seq(md("metric1", Seq(1, 2, 4, NaN)))
+    check("invert(metric1)", in, Seq(md("invert(metric1)", Seq(1, 0.5, 0.25, NaN))))
+    check("invert(metric2)", Seq(md("metric2", Seq(0, 5))),
+      Seq(md("invert(metric2)", Seq(NaN, 0.2))))
+    check("pow(metric1,2)", in, Seq(md("pow(metric1,2)", Seq(1, 4, 16, NaN))))
+    check("squareRoot(metric1)", in, Seq(md("squareRoot(metric1)", Seq(1, 1.4142135, 2, NaN))))
+    check("exp(metric1)", in, Seq(md("exp(metric1)", Seq(math.E, math.exp(2), math.exp(4), NaN))))
+  }
+
+  test("logarithm names track the optional base (ref logarithm/function.go:52-54)") {
+    val in = Seq(md("metric1", Seq(1, 10, 100)))
+    check("logarithm(metric1)", in, Seq(md("logarithm(metric1)", Seq(0, 1, 2))))
+    check("log(metric1,2)", in,
+      Seq(md("logarithm(metric1,2)", Seq(0, math.log(10) / math.log(2), math.log(100) / math.log(2)))))
+  }
+
+  test("logit / sigmoid") {
+    check("logit(metric1)", Seq(md("metric1", Seq(0.5, 0.25))),
+      Seq(md("logit(metric1)", Seq(0, math.log(1.0 / 3)))))
+    check("sigmoid(metric1)", Seq(md("metric1", Seq(0.0))),
+      Seq(md("sigmoid(metric1)", Seq(0.5))))
+  }
+
+  test("scaleToSeconds multiplies by seconds/step (ref scaleToSeconds/function.go)") {
+    check("scaleToSeconds(metric1,60)", Seq(md("metric1", Seq(1, 2, 3), step = 30)),
+      Seq(md("scaleToSeconds(metric1,60)", Seq(2, 4, 6), step = 30)))
+  }
+
+  test("round: banker's semantics, name tracks optional precision (ref round/function.go:47-49)") {
+    val in = Seq(md("metric1", Seq(0.5, 1.5, 2.5, -1.5, 2.55)))
+    check("round(metric1)", in, Seq(md("round(metric1)", Seq(0, 2, 2, -2, 3))))
+    check("round(metric1,1)", in, Seq(md("round(metric1,1)", Seq(0.5, 1.5, 2.5, -1.5, 2.6))))
+  }
+
+  test("timeSlice NaNs outside the window and names the bounds (ref timeSlice/function.go:67-82)") {
+    check("timeSlice(metric1,120,240)", Seq(md("metric1", Seq(1, 2, 3, 4, 5), step = 60, start = 60)),
+      Seq(md("timeSlice(metric1,120,240)", Seq(NaN, 2, 3, 4, NaN), step = 60, start = 60)))
+  }
+
+  // ------------------------------------------------------------- sequential
+
+  test("changed (ref changed/function_test.go)") {
+    check("changed(metric1)",
+      Seq(md("metric1", Seq(NaN, NaN, NaN, NaN, 0, 0, 0, NaN, NaN, 1, 1, 2, 3, 4, 4, 5, 5, 5, 6, 7), step = 1)),
+      Seq(md("changed(metric1)", Seq(0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 1, 1, 1, 0, 1, 0, 0, 1, 1), step = 1)))
+  }
+
+  test("integralByInterval resets each bucket (ref integralByInterval/function_test.go)") {
+    check("integralByInterval(metric1,'10s')",
+      Seq(md("metric1", Seq(1, 0, 2, 3, 4, 5, 0, 7, 8, 9, 10), step = 2)),
+      Seq(md("integralByInterval(metric1,'10s')", Seq(1, 1, 3, 6, 10, 5, 5, 12, 20, 29, 10), step = 2)))
+  }
+
+  // --------------------------------------------------------------- windowed
+
+  test("exponentialMovingAverage: int window seeds with window mean (ref function_test.go case 1)") {
+    // 9 input points at step 10 starting from-30; window "30s" → 3 points
+    check("exponentialMovingAverage(metric1,'30s')",
+      Seq(md("metric1", Seq(2, 4, 6, 8, 12, 14, 16, 18, 20), step = 10, start = -30)),
+      Seq(md("exponentialMovingAverage(metric1,\"30s\")",
+        Seq(4, 4.258065, 4.757544, 5.353832, 6.040681, 6.81225, 7.663073), step = 10, start = 0)),
+      tol = 1e-5)
+  }
+
+  test("ewma keeps full length and holds state across NaN (ref ewma/function_test.go)") {
+    val in = Seq(md("metric1", Seq(0, 1, 1, 1, NaN, 1, 1), step = 1))
+    val want = Seq(md("ewma(metric1,0.9)", Seq(0, 0.9, 0.99, 0.999, NaN, 0.9999, 0.99999), step = 1))
+    check("ewma(metric1,0.9)", in, want)
+    check("exponentialWeightedMovingAverage(metric1,0.9)", in, want)
+  }
+
+  test("movingMedian names the point count (ref movingMedian path of moving/function.go)") {
+    // step-1 store, window 3: output drops the first 3 widened points
+    check("movingMedian(metric1,3)",
+      Seq(md("metric1", Seq(1, 1, 2, 3, 4, 5, 6), step = 1)),
+      Seq(md("movingMedian(metric1,3)", Seq(2, 3, 4, 5), step = 1, start = 3)),
+      stepHint = Some(1L))
+  }
+
+  test("moving interval windows derive points from each series' own step") {
+    // no stepHint; step=30 store, '1m' window → 2 points per window
+    check("movingSum(metric1,'1m')",
+      Seq(md("metric1", Seq(1, 2, 3, 4, 5, 6), step = 30)),
+      Seq(md("movingSum(metric1,'1m')", Seq(5, 7, 9, 11), step = 30, start = 60)))
+  }
+
+  test("pearson: NaN until window fills (ref pearson/function_test.go)") {
+    check("pearson(metric1,metric2,6)",
+      Seq(md("metric1", Seq(43, 21, 25, 42, 57, 59), step = 1),
+        md("metric2", Seq(99, 65, 79, 75, 87, 81), step = 1)),
+      Seq(md("pearson(metric1,metric2,6)",
+        Seq(NaN, NaN, NaN, NaN, NaN, 0.5298089018901744), step = 1)))
+  }
+
+  test("nPercentile flat line at the interpolated percentile (ref nPercentile/function_test.go)") {
+    check("nPercentile(metric1,50)",
+      Seq(md("metric1", Seq(2, 4, 6, 10, 14, 20, NaN), step = 1)),
+      Seq(md("nPercentile(metric1,50)", Seq(8, 8, 8, 8, 8, 8, 8), step = 1)))
+  }
+
+  test("polyfit: linear default, quadratic with NaN hole, golden vectors (ref polyfit/function_test.go)") {
+    check("polyfit(metric1)",
+      Seq(md("metric1", Seq(7.79, 7.7, 7.92, 5.25, 6.24, 7.25, 7.15, 8.56, 7.82, 8.52), step = 1)),
+      Seq(md("polyfit(metric1)",
+        Seq(6.94763636364, 7.05260606061, 7.15757575758, 7.26254545455, 7.36751515152,
+          7.47248484848, 7.57745454545, 7.68242424242, 7.78739393939, 7.89236363636), step = 1)),
+      tol = 1e-9)
+    check("polyfit(metric1,2)",
+      Seq(md("metric1", Seq(7.79, 7.7, 7.92, 5.25, 6.24, NaN, 7.15, 8.56, 7.82, 8.52), step = 1)),
+      Seq(md("polyfit(metric1,2)",
+        Seq(7.9733096590909085, 7.364842329545457, 6.933910511363642, 6.680514204545464,
+          6.604653409090922, 6.706328125000017, 6.985538352272748, 7.442284090909116,
+          8.07656534090912, 8.888382102272761), step = 1)),
+      tol = 1e-9)
+  }
+
+  test("stdev over trailing window (ref stdev/function.go)") {
+    check("stdev(metric1,2)",
+      Seq(md("metric1", Seq(1, 3, 5, 7), step = 1)),
+      Seq(md("stdev(metric1,2)", Seq(0, 1, 1, 1), step = 1)))
+  }
+
+  // ---------------------------------------------------------------- sorting
+
+  test("sortByTotal / sortByMaxima / sortByMinima / sortBy (ref sortBy/function_test.go)") {
+    val abc = Seq(
+      md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1),
+      md("metricB", Seq(5, 5, 5, 5, 5, 5), step = 1),
+      md("metricC", Seq(4, 4, 5, 5, 4, 4), step = 1))
+    check("sortByTotal(metric*)", abc, Seq(
+      md("metricB", Seq(5, 5, 5, 5, 5, 5), step = 1),
+      md("metricC", Seq(4, 4, 5, 5, 4, 4), step = 1),
+      md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1)), ordered = true)
+    val maxes = Seq(
+      md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1),
+      md("metricB", Seq(5, 5, 5, 5, 5, 5), step = 1),
+      md("metricC", Seq(2, 2, 10, 5, 2, 2), step = 1))
+    check("sortByMaxima(metric*)", maxes, Seq(
+      md("metricC", Seq(2, 2, 10, 5, 2, 2), step = 1),
+      md("metricB", Seq(5, 5, 5, 5, 5, 5), step = 1),
+      md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1)), ordered = true)
+    val mins = Seq(
+      md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1),
+      md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1),
+      md("metricC", Seq(4, 4, 5, 5, 6, 6), step = 1))
+    check("sortByMinima(metric*)", mins, mins, ordered = true)
+    val avgs = Seq(
+      md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1),
+      md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1),
+      md("metricC", Seq(1, 2, 3, 4, 5, 6), step = 1))
+    check("sortBy(metric*)", avgs, Seq(
+      md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1),
+      md("metricC", Seq(1, 2, 3, 4, 5, 6), step = 1),
+      md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1)), ordered = true)
+    check("sortBy(metric*,'max',true)", avgs, Seq(
+      md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1),
+      md("metricC", Seq(1, 2, 3, 4, 5, 6), step = 1),
+      md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1)), ordered = true)
+  }
+
+  test("sortByName plain and natural") {
+    val in = Seq(
+      md("server10", Seq(1.0), step = 1),
+      md("server2", Seq(1.0), step = 1),
+      md("server1", Seq(1.0), step = 1))
+    check("sortByName(server*)", in, Seq(
+      md("server1", Seq(1.0), step = 1),
+      md("server10", Seq(1.0), step = 1),
+      md("server2", Seq(1.0), step = 1)), ordered = true)
+    check("sortByName(server*,true)", in, Seq(
+      md("server1", Seq(1.0), step = 1),
+      md("server2", Seq(1.0), step = 1),
+      md("server10", Seq(1.0), step = 1)), ordered = true)
+  }
+
+  // ---------------------------------------------------------------- filters
+
+  test("filterSeries ops and removeBelow/Above families keep original names") {
+    val in = Seq(
+      md("a.low", Seq(1, 1, 1), step = 1),
+      md("a.high", Seq(10, 10, 10), step = 1))
+    check("filterSeries(a.*,'average','>',5)", in, Seq(md("a.high", Seq(10, 10, 10), step = 1)))
+    check("removeBelowValue(a.*,5)", in, Seq(
+      md("removeBelowValue(a.low,5)", Seq(NaN, NaN, NaN), step = 1),
+      md("removeBelowValue(a.high,5)", Seq(10, 10, 10), step = 1)))
+    check("removeAboveValue(a.*,5)", in, Seq(
+      md("removeAboveValue(a.low,5)", Seq(1, 1, 1), step = 1),
+      md("removeAboveValue(a.high,5)", Seq(NaN, NaN, NaN), step = 1)))
+  }
+
+  test("removeEmptySeries / removeZeroSeries / exclude / grep / limit / unique") {
+    val in = Seq(
+      md("a.empty", Seq(NaN, NaN), step = 1),
+      md("a.zero", Seq(0, 0), step = 1),
+      md("a.live", Seq(1, 2), step = 1))
+    check("removeEmptySeries(a.*)", in, Seq(
+      md("a.zero", Seq(0, 0), step = 1), md("a.live", Seq(1, 2), step = 1)))
+    check("removeZeroSeries(a.*)", in, Seq(md("a.live", Seq(1, 2), step = 1)))
+    check("exclude(a.*,'zero')", in, Seq(
+      md("a.empty", Seq(NaN, NaN), step = 1), md("a.live", Seq(1, 2), step = 1)))
+    check("grep(a.*,'live')", in, Seq(md("a.live", Seq(1, 2), step = 1)))
+    check("limit(a.*,2)", in, Seq(
+      md("a.empty", Seq(NaN, NaN), step = 1), md("a.live", Seq(1, 2), step = 1)))
+    check("unique(a.live,a.live)", Seq(md("a.live", Seq(1, 2), step = 1)),
+      Seq(md("a.live", Seq(1, 2), step = 1)))
+  }
+
+  test("mostDeviant and highest/lowest aliases") {
+    val in = Seq(
+      md("m.flat", Seq(5, 5, 5, 5), step = 1),
+      md("m.wild", Seq(0, 10, 0, 10), step = 1),
+      md("m.mid", Seq(4, 6, 4, 6), step = 1))
+    check("mostDeviant(m.*,1)", in, Seq(md("m.wild", Seq(0, 10, 0, 10), step = 1)))
+    check("highestMin(m.*,1)", in, Seq(md("m.flat", Seq(5, 5, 5, 5), step = 1)))
+    check("lowestMax(m.*,1)", in, Seq(md("m.flat", Seq(5, 5, 5, 5), step = 1)))
+    check("lowestMin(m.*,1)", in, Seq(md("m.wild", Seq(0, 10, 0, 10), step = 1)))
+  }
+
+  test("kolmogorovSmirnovTest2 names both series and the window") {
+    val got = run("ksTest2(m.a,m.b,4)", Seq(
+      md("m.a", Seq(1, 2, 3, 4), step = 1),
+      md("m.b", Seq(5, 6, 7, 8), step = 1)))
+    assert(got.map(_.name) == Seq("kolmogorovSmirnovTest2(m.a,m.b,4)"))
+    assert(got.head.values.toSeq == Seq(1.0)) // disjoint samples → D = 1
+  }
+
+  // ----------------------------------------------------- timeStack / naming
+
+  test("timeStack names shifted copies timeShift(m,unit,offs) (ref timeStack/function_test.go)") {
+    val in = Seq(md("metric1", Seq(NaN, NaN, NaN, 3, NaN, 5, 6, NaN, 7, NaN, NaN), step = 60, start = 86400))
+    check("timeStack(metric1,'10m',0,1)", in,
+      Seq(md("timeShift(metric1,10m,0)",
+        Seq(NaN, NaN, NaN, 3, NaN, 5, 6, NaN, 7, NaN, NaN), step = 60, start = 86400)))
+  }
+
+  test("compressPeriodicGaps infers period and phase (ref compressPeriodicGaps/function_test.go)") {
+    val in = Seq(
+      md("metric1", Seq(NaN, 1, NaN, NaN, 2, NaN, NaN, 3, NaN, NaN, 4, NaN, NaN, 5, NaN, NaN), step = 10, start = 100),
+      md("metric6", Seq(NaN, 1, NaN, 3, NaN, 5, NaN, 7, NaN, 9, NaN, 11, NaN, 13, NaN, 15), step = 10, start = 100),
+      md("metric5", Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15), step = 10, start = 100))
+    check("compressPeriodicGaps(metric1)", Seq(in.head),
+      Seq(md("compressPeriodicGaps(metric1)", Seq(1, 2, 3, 4, 5), step = 30, start = 110)))
+    check("compressPeriodicGaps(metric6)", Seq(in(1)),
+      Seq(md("compressPeriodicGaps(metric6)", Seq(1, 3, 5, 7, 9, 11, 13, 15), step = 20, start = 110)))
+    check("compressPeriodicGaps(metric5)", Seq(in(2)),
+      Seq(md("compressPeriodicGaps(metric5)", Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15), step = 10, start = 100)))
+  }
+
+  // ------------------------------------------------------------- generators
+
+  test("generators: constantLine, time, sin, identity, threshold") {
+    val got = run("constantLine(42.5)", Nil, from = 0, until = 7200)
+    assert(got.map(_.name) == Seq("42.5"))
+    assert(got.head.values.toSeq == Seq(42.5, 42.5, 42.5))
+
+    val t = run("time('tick',600)", Nil, from = 0, until = 3000)
+    assert(t.head.name == "tick")
+    assert(t.head.values.toSeq == Seq(0.0, 600.0, 1200.0, 1800.0, 2400.0))
+
+    val s = run("sin('wave',2,600)", Nil, from = 0, until = 1800)
+    assert(s.head.name == "wave")
+    assert(math.abs(s.head.values(1) - 2 * math.sin(600.0)) < 1e-9)
+
+    val id = run("identity('x')", Nil, from = 0, until = 300)
+    assert(id.head.name == "identity(x)")
+
+    val th = run("threshold(70,'Busy')", Nil, from = 0, until = 7200)
+    assert(th.map(_.name) == Seq("Busy"))
+  }
+
+  // -------------------------------------------------- multi-arg agg ordering
+
+  test("diffSeries(total,failed) subtracts in argument order, not name order") {
+    val in = Seq(
+      md("z.total", Seq(10, 20, 30), step = 1),
+      md("a.failed", Seq(1, 2, 3), step = 1))
+    check("diffSeries(z.total,a.failed)", in,
+      Seq(md("diffSeries(z.total,a.failed)", Seq(9, 18, 27), step = 1)))
+    // and first/last honor position too
+    check("aggregate(group(z.total,a.failed),'first')", in,
+      Seq(md("firstSeries(group(z.total,a.failed))", Seq(10, 20, 30), step = 1)))
+  }
+
+  test("asPercent with a multi-series total pairs by sorted name (ref seriesAsPercent)") {
+    val in = Seq(
+      md("a.s1", Seq(10.0), step = 1), md("a.s2", Seq(20.0), step = 1),
+      md("t.s1", Seq(20.0), step = 1), md("t.s2", Seq(80.0), step = 1))
+    check("asPercent(a.*,t.*)", in, Seq(
+      md("asPercent(a.s1,t.s1)", Seq(50.0), step = 1),
+      md("asPercent(a.s2,t.s2)", Seq(25.0), step = 1)))
+    // unmatched tail → MISSING all-NaN
+    check("asPercent(a.s1,t.*)", in, Seq(
+      md("asPercent(a.s1,t.s1)", Seq(50.0), step = 1),
+      md("asPercent(MISSING,t.s2)", Seq(NaN), step = 1)))
+  }
+
+  test("divideSeries rejects a multi-series divisor (ref ErrWildcardNotAllowed)") {
+    val in = Seq(
+      md("a.x", Seq(1.0), step = 1),
+      md("d.1", Seq(1.0), step = 1), md("d.2", Seq(2.0), step = 1))
+    val ex = intercept[Exception] {
+      run("divideSeries(a.x,d.*)", in)
+    }
+    assert(ex.getMessage != null)
+  }
+}
