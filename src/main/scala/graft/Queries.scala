@@ -474,6 +474,17 @@ object Queries {
         |FROM piv ORDER BY ts""".stripMargin),
     "g53_useseriesabove" ->
       (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name = 'events.view' AND v IS NOT NULL ORDER BY ts"),
+    "g46_timestack" ->
+      (S + """SELECT * FROM (
+        |  SELECT 'timeShift(events.click,1d,0)' AS name, ts, round(v, 4) AS value
+        |  FROM s WHERE name = 'events.click' AND v IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'timeShift(events.click,1d,-86400)' AS name, ts + 86400 AS ts, round(v, 4) AS value
+        |  FROM s WHERE name = 'events.click' AND v IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'timeShift(events.click,1d,-172800)' AS name, ts + 172800 AS ts, round(v, 4) AS value
+        |  FROM s WHERE name = 'events.click' AND v IS NOT NULL
+        |) ORDER BY name, ts""".stripMargin),
     "g54_baseline" ->
       (S + """, shifted AS (
         |  SELECT name, ts + 86400 AS ts, v FROM s UNION ALL

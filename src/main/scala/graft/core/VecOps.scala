@@ -353,6 +353,44 @@ object VecOps {
     cov / math.sqrt(va * vb)
   }
 
+  /**
+   * Complex DFT at the vector's NATURAL length: radix-2 when n is a power of
+   * two, direct O(n²) evaluation otherwise — a true n-point transform with no
+   * zero-padding distortion. Series vectors are retention-bounded (~1e3
+   * points per row), so the quadratic fallback is ~1e6 mults, executor-local.
+   * invert=true computes the inverse transform (scaled by 1/n).
+   */
+  def dft(re0: Array[Double], im0: Array[Double], invert: Boolean): (Array[Double], Array[Double]) = {
+    val n = re0.length
+    if (n == 0) return (re0.clone(), im0.clone())
+    if ((n & (n - 1)) == 0) {
+      // inverse via the conjugate identity: IDFT(x) = conj(DFT(conj(x)))/n
+      val re = re0.clone()
+      val im = if (invert) im0.map(-_) else im0.clone()
+      fftInPlace(re, im)
+      if (invert) { var i = 0; while (i < n) { re(i) /= n; im(i) = -im(i) / n; i += 1 } }
+      (re, im)
+    } else {
+      val sign = if (invert) 2 * math.Pi / n else -2 * math.Pi / n
+      val re = new Array[Double](n); val im = new Array[Double](n)
+      var k = 0
+      while (k < n) {
+        var sr = 0.0; var si = 0.0
+        var t = 0
+        while (t < n) {
+          val ang = sign * k * t
+          val c = math.cos(ang); val s = math.sin(ang)
+          sr += re0(t) * c - im0(t) * s
+          si += re0(t) * s + im0(t) * c
+          t += 1
+        }
+        if (invert) { re(k) = sr / n; im(k) = si / n } else { re(k) = sr; im(k) = si }
+        k += 1
+      }
+      (re, im)
+    }
+  }
+
   /** In-place radix-2 Cooley-Tukey FFT (re, im modified). Length must be a
     * power of two; callers zero-pad. Public-textbook algorithm. */
   def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {

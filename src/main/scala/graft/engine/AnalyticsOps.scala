@@ -299,37 +299,77 @@ object AnalyticsOps {
   }
 
   /** fft: magnitude spectrum (zero-padded radix-2). (ref fft/function.go) */
-  def fft(df: DataFrame): DataFrame = {
-    val u = udf((v: Seq[Double]) => {
-      val (re, im) = padPow2(v.toArray)
-      VecOps.fftInPlace(re, im)
-      re.indices.take(v.length).map(i => math.sqrt(re(i) * re(i) + im(i) * im(i))).toArray
-    })
-    rewrap(df.withColumn("values", u(col("values"))), "fft")
+  /** fft(seriesList, mode): true n-point DFT (no padding) emitting abs
+    * and/or phase component series named fft(m,abs)/fft(m,phase); default
+    * mode emits both (ref fft/function.go:30-69). NaN inputs are zeroed
+    * (deviation: the reference lets NaN poison the whole transform, which
+    * renders the output useless on any gappy series). */
+  def fft(df: DataFrame, mode: String = ""): DataFrame = {
+    def component(kind: String): DataFrame = {
+      val u = udf((v: Seq[Double]) => {
+        val re0 = v.toArray.map(x => if (Kernels.isNaN(x)) 0.0 else x)
+        val (re, im) = VecOps.dft(re0, new Array[Double](re0.length), invert = false)
+        if (kind == "abs") Array.tabulate(re.length)(i => math.hypot(re(i), im(i)))
+        else Array.tabulate(re.length)(i => math.atan2(im(i), re(i)))
+      })
+      df.withColumn("values", u(col("values")))
+        .withColumn("name", concat(lit("fft("), col("name"), lit(s",$kind)")))
+    }
+    mode match {
+      case "abs" => component("abs")
+      case "phase" => component("phase")
+      case _ => component("abs").unionByName(component("phase"))
+    }
   }
 
-  /** lowPass: keep the lowest cutPercent% of FFT coefficients, inverse
-    * transform back. (ref lowPass/function.go) */
+  /** ifft: inverse transform of a magnitude spectrum (optionally paired with
+    * a phase list, positionally by sorted name); output = |IDFT|.
+    * (ref ifft/function.go:30-70) */
+  def ifft(absDf: DataFrame, phaseDf: Option[DataFrame]): DataFrame = phaseDf match {
+    case None =>
+      val u = udf((v: Seq[Double]) => {
+        val re0 = v.toArray.map(x => if (Kernels.isNaN(x)) 0.0 else x)
+        val (re, im) = VecOps.dft(re0, new Array[Double](re0.length), invert = true)
+        Array.tabulate(re.length)(i => math.hypot(re(i), im(i)))
+      })
+      rewrap(absDf.withColumn("values", u(col("values"))), "ifft")
+    case Some(p) =>
+      import org.apache.spark.sql.expressions.Window
+      val ai = absDf.withColumn("_i", row_number().over(Window.orderBy(col("name"))))
+      val pi = p.select(col("name").as("pName"), col("values").as("pValues"))
+        .withColumn("_i", row_number().over(Window.orderBy(col("pName"))))
+      val u = udf((a: Seq[Double], ph: Seq[Double]) => {
+        val n = a.length
+        val re0 = new Array[Double](n); val im0 = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val mag = if (Kernels.isNaN(a(i))) 0.0 else a(i)
+          val an = if (i < ph.length && !Kernels.isNaN(ph(i))) ph(i) else 0.0
+          re0(i) = mag * math.cos(an); im0(i) = mag * math.sin(an)
+          i += 1
+        }
+        val (re, im) = VecOps.dft(re0, im0, invert = true)
+        Array.tabulate(n)(i2 => math.hypot(re(i2), im(i2)))
+      })
+      ai.join(pi, "_i")
+        .withColumn("values", u(col("values"), col("pValues")))
+        .withColumn("name", concat(lit("ifft("), col("name"), lit(","), col("pName"), lit(")")))
+        .drop("_i", "pName", "pValues")
+  }
+
+  /** lowPass: the reference operates on an ALREADY-TRANSFORMED spectrum —
+    * keep the first and last (cutPercent/200)*n bins, NaN the middle band;
+    * no transform of its own (ref lowPass/function.go:44-57). Pure codegen
+    * mask, zero shuffle. */
   def lowPass(df: DataFrame, cutPercent: Double): DataFrame = {
-    val u = udf((v: Seq[Double]) => {
-      val orig = v.toArray
-      val (re, im) = padPow2(orig)
-      val n = re.length
-      VecOps.fftInPlace(re, im)
-      val keep = math.max((n * cutPercent / 100 / 2).toInt, 1)
-      var i = 0
-      while (i < n) {
-        val mirrored = math.min(i, n - i)
-        if (mirrored >= keep) { re(i) = 0.0; im(i) = 0.0 }
-        i += 1
-      }
-      // inverse via conjugate trick
-      i = 0
-      while (i < n) { im(i) = -im(i); i += 1 }
-      VecOps.fftInPlace(re, im)
-      re.take(orig.length).map(_ / n)
-    })
-    rewrap(df.withColumn("values", u(col("values"))), "lowPass", Seq(SeriesOps.fmtNum(cutPercent)))
+    df.withColumn("values",
+      transform(col("values"), (v, i) => {
+        val n = size(col("values"))
+        val lowCut = floor(lit(cutPercent / 200.0) * n).cast("int")
+        when(i < lowCut || i >= n - lowCut, v).otherwise(lit(Double.NaN))
+      }))
+      .withColumn("name",
+        concat(lit("lowPass("), col("name"), lit(s",${SeriesOps.fmtNum(cutPercent)})")))
   }
 
   /** kolmogorovSmirnovTest2: 2-sample KS statistic over the trailing

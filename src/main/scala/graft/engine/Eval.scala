@@ -444,7 +444,7 @@ object Eval {
       intervalArg(fc, 1), strArg(fc, 2), numArg(fc, 3))),
     "sloErrorBudget" -> ((ctx, fc) => AnalyticsOps.sloErrorBudget(seriesArg(ctx, fc),
       intervalArg(fc, 1), strArg(fc, 2), numArg(fc, 3), numArg(fc, 4))),
-    "fft" -> ((ctx, fc) => AnalyticsOps.fft(seriesArg(ctx, fc))),
+    "fft" -> ((ctx, fc) => AnalyticsOps.fft(seriesArg(ctx, fc), strArg(fc, 1, "mode", Some("")))),
     "lowPass" -> ((ctx, fc) => AnalyticsOps.lowPass(seriesArg(ctx, fc), numArg(fc, 1))),
     "lpf" -> ((ctx, fc) => AnalyticsOps.lowPass(seriesArg(ctx, fc), numArg(fc, 1))),
     "kolmogorovSmirnovTest2" -> ((ctx, fc) => AnalyticsOps.ksTest2(
@@ -452,7 +452,8 @@ object Eval {
     "ksTest2" -> ((ctx, fc) => AnalyticsOps.ksTest2(
       seriesArg(ctx, fc), seriesArg(ctx, fc, 1), intArg(fc, 2, "windowSize", Some(60)))),
     "heatMap" -> ((ctx, fc) => ExtOps.heatMap(seriesArg(ctx, fc))),
-    "ifft" -> ((ctx, fc) => ExtOps.ifft(seriesArg(ctx, fc))),
+    "ifft" -> ((ctx, fc) => AnalyticsOps.ifft(seriesArg(ctx, fc),
+      arg(fc, 1).map(_ => seriesArg(ctx, fc, 1)))),
     "aggregateLine" -> ((ctx, fc) => ExtOps.aggregateLine(seriesArg(ctx, fc),
       strArg(fc, 1, "func", Some("average")), boolArg(fc, 2, "keepStep"))),
 
@@ -520,24 +521,42 @@ object Eval {
 
   /**
    * groupByNode(s) with ANY registered function as callback: consolidation
-   * names take the distributed aggregate path; series-function callbacks
-   * (keepLastValue, derivative, …) re-enter the registry per group — a
-   * names-only key collect, then one plan per group unioned, mirroring the
-   * reference's re-parse-and-eval (ref groupByNode/function.go:30-140).
+   * names (and their xSeries aliases) take the distributed aggregate path;
+   * series-function callbacks (keepLastValue, derivative, …) are applied to
+   * the WHOLE frame in ONE plan — the group key rides along as a `_gk`
+   * column and a per-key window keeps the first result, mirroring the
+   * reference's "only the first result is used" rule
+   * (ref groupByNode/function.go:115-131). No driver collect, one job for
+   * any number of groups.
    */
   private def groupByNodeImpl(ctx: Ctx, df: DataFrame, callback: String, nodes: Seq[Int]): DataFrame = {
-    val isAgg = graft.core.Kernels.validConsolidations.contains(callback) ||
-      callback.matches("p([0-9]*[.])?[0-9]+")
-    if (isAgg) SeriesOps.groupByNodes(df, callback, nodes, align = needAlign(ctx))
+    val aggName = if (callback.endsWith("Series")) callback.dropRight(6) else callback
+    val isAgg = graft.core.Kernels.validConsolidations.contains(aggName) ||
+      aggName.matches("p([0-9]*[.])?[0-9]+")
+    if (isAgg) SeriesOps.groupByNodes(df, aggName, nodes, align = needAlign(ctx))
     else {
       val keyCol = SeriesOps.nodeKey(col("name"), nodes)
-      val keys = df.select(keyCol.as("_gk")).distinct().collect().map(_.getString(0)).sorted
-      require(keys.nonEmpty, s"groupByNode: no series to group")
-      keys.map { k =>
-        val group = df.where(keyCol === k)
-        val res = eval(FuncCall(callback, Seq(graft.parser.FrameExpr(group, k)), Map.empty), ctx)
-        SeriesOps.alias(res.orderBy(col("name")).limit(1), k)
-      }.reduce(_ unionByName _)
+      val keyed = df.withColumn("_gk", keyCol)
+      val applied = eval(FuncCall(callback, Seq(graft.parser.FrameExpr(keyed, "group")), Map.empty), ctx)
+      if (applied.columns.contains("_gk")) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("_gk")).orderBy(col("name"))
+        applied.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+          .withColumn("name", col("_gk"))
+          .withColumn("tags", map_concat(
+            map_filter(col("tags"), (k, _) => k =!= "name"), map(lit("name"), col("_gk"))))
+          .drop("_rn", "_gk")
+      } else {
+        // callback aggregated the frame away (dropped _gk) — fall back to
+        // the reference's literal per-group re-eval
+        val keys = df.select(keyCol.as("_gk")).distinct().collect().map(_.getString(0)).sorted
+        require(keys.nonEmpty, s"groupByNode: no series to group")
+        keys.map { k =>
+          val group = df.where(keyCol === k)
+          val res = eval(FuncCall(callback, Seq(graft.parser.FrameExpr(group, k)), Map.empty), ctx)
+          SeriesOps.alias(res.orderBy(col("name")).limit(1), k)
+        }.reduce(_ unionByName _)
+      }
     }
   }
 

@@ -122,27 +122,6 @@ object ExtOps {
 
   // ------------------------------------------------------------------- fft
 
-  /** ifft: inverse transform of a magnitude spectrum (phase assumed 0 when
-    * no phase list given, matching the reference's single-arg mode).
-    * (ref ifft/function.go) */
-  def ifft(df: DataFrame): DataFrame = {
-    val u = udf((v: Seq[Double]) => {
-      val orig = v.toArray
-      var n = 1
-      while (n < orig.length) n <<= 1
-      val re = new Array[Double](n); val im = new Array[Double](n)
-      var i = 0
-      while (i < orig.length) { re(i) = if (Kernels.isNaN(orig(i))) 0.0 else orig(i); i += 1 }
-      // inverse via conjugate trick (phase 0 → conjugate is identity pre-pass)
-      VecOps.fftInPlace(re, im)
-      i = 0
-      val out = new Array[Double](orig.length)
-      while (i < orig.length) { out(i) = re(if (i == 0) 0 else n - i) / n; i += 1 }
-      out
-    })
-    rewrap(df.withColumn("values", u(col("values"))), "ifft")
-  }
-
   // ------------------------------------------------------------ name games
 
   /** aliasByBase64: base64-decode the whole name (or one node).

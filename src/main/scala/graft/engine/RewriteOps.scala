@@ -47,19 +47,35 @@ object RewriteOps {
   }
 
   /** aliasQuery: regex-derive a lookup target per series, template its last
-    * value into the new name. (ref aliasQuery/function.go) */
+    * value into the new name. All lookup targets are unioned into ONE frame
+    * and reduced in ONE action (first series per target by name, its last
+    * value) — N series cost one job, not N (ref aliasQuery/function.go). */
   def aliasQuery(ctx: Eval.Ctx, listExpr: Ast, search: String, replace: String,
                  newName: String): DataFrame = {
     val src = Eval.eval(listExpr, ctx)
+    // names-only collect: the regex rewrite that derives each lookup target
+    // runs on the driver because targets feed plan CONSTRUCTION
     val names = src.select(col("name")).distinct().collect().map(_.getString(0))
     val re = search.r
     val javaRepl = SeriesOps.toJavaBackrefs(replace)
+    val targetOf = names.map(n => n -> re.replaceAllIn(n, javaRepl)).toMap
+    val lookups = targetOf.values.toSeq.distinct
+    val lastByTarget: Map[String, Double] =
+      if (lookups.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.expressions.Window
+        lookups.map(t => Eval.eval(Parser.parse(t), ctx)
+            .select(org.apache.spark.sql.functions.lit(t).as("_q"), col("name"), col("values")))
+          .reduce(_ unionByName _)
+          .withColumn("_last", SeriesFrame.vecScalar(Kernels.last)(col("values")))
+          .withColumn("_rn", org.apache.spark.sql.functions.row_number()
+            .over(Window.partitionBy(col("_q")).orderBy(col("name"))))
+          .where(col("_rn") === 1)
+          .select(col("_q"), col("_last")).collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      }
     val renames = names.map { n =>
-      val target = re.replaceAllIn(n, javaRepl)
-      val lastV = Eval.eval(Parser.parse(target), ctx)
-        .select(SeriesFrame.vecScalar(Kernels.last)(col("values")).as("v"))
-        .collect().headOption.map(_.getDouble(0)).getOrElse(Double.NaN)
-      n -> fmtTemplate(newName, lastV)
+      n -> fmtTemplate(newName, lastByTarget.getOrElse(targetOf(n), Double.NaN))
     }.toMap
     val u = udf((n: String) => renames.getOrElse(n, n))
     src.withColumn("name", u(col("name")))

@@ -165,13 +165,28 @@ object Dedup {
     fpUdf(hashes)
   }
 
-  /** SimHash near-dup pairs within a Hamming radius, blocked on 4 16-bit
-    * bands (any exact band match → candidate; radius<=3 guarantees recall). */
+  /**
+   * SimHash near-dup pairs within a Hamming radius. Blocking: the 64-bit
+   * fingerprint splits into FIVE ~13-bit blocks; with radius ≤ 3, at most 3
+   * blocks are touched, so at least 2 are clean and at least one of the
+   * C(5,2)=10 block PAIRS is fully untouched — bucketing on ~26-bit pair
+   * keys keeps full recall while giving ~64M buckets instead of the 65536 a
+   * single-16-bit-block scheme allows. Expected bucket size at 10^9 docs is
+   * ~15 docs, so in-bucket candidate pairs stay sub-quadratic (the permuted-
+   * table idea of the public simhash near-dup literature). Cost: 10 keys/doc.
+   */
   def simhashPairs(docs: DataFrame, maxHammingDistance: Int = 3): DataFrame = {
+    require(maxHammingDistance <= 3,
+      s"simhashPairs: 5-block pair keys guarantee recall only for radius <= 3, got $maxHammingDistance")
     val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
+    val widths = Seq(13, 13, 13, 13, 12)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(b: Int) =
+      call_function("shiftright", col("fp"), lit(offsets(b))).bitwiseAND(lit((1L << widths(b)) - 1))
+    val pairKeys = for (i <- widths.indices; j <- i + 1 until widths.size)
+      yield block(i) * lit(1L << 13) + block(j)
     val banded = fp.select(col("doc_id"), col("fp"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("fp"), b * lit(16)).bitwiseAND(lit(0xFFFFL)))).as(Seq("band", "key")))
+      posexplode(array(pairKeys: _*)).as(Seq("band", "key")))
     val popcount = udf((x: Long) => java.lang.Long.bitCount(x))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

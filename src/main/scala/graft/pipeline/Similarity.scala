@@ -152,15 +152,19 @@ object Similarity {
   }
 
   /** Pairwise label-centroid cosine similarity matrix (embeddings quality
-    * diagnostic): tiny output, one shuffle on label. */
+    * diagnostic). Centroids average per (label, dimension) via posexplode —
+    * scalar partial aggregation, so a hot label never materializes all its
+    * vectors in one executor row (the r1 collect_list OOM risk); the
+    * reassembly collect_list is bounded by the embedding dimension. */
   def labelCentroidSimilarity(corpus: DataFrame): DataFrame = {
-    val cents = corpus.groupBy(col("label"))
-      .agg(collect_list(col("embedding")).as("vs"), count(lit(1)).as("n"))
+    val dims = corpus
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i")).agg(avg(col("v")).as("m"))
+    val cents = dims.groupBy(col("label"))
+      .agg(map_from_entries(collect_list(struct(col("i"), col("m")))).as("mm"),
+        max(col("i")).as("mx"))
       .select(col("label"),
-        transform(
-          aggregate(col("vs"), array_repeat(lit(0.0d), size(element_at(col("vs"), 1))),
-            (acc, v) => zip_with(acc, v, (a, b) => a + b)),
-          s => s / col("n")).as("centroid"))
+        transform(sequence(lit(0), col("mx")), i => element_at(col("mm"), i)).as("centroid"))
     cents.as("a").crossJoin(cents.as("b"))
       .where(col("a.label") <= col("b.label"))
       .select(col("a.label").as("label_a"), col("b.label").as("label_b"),

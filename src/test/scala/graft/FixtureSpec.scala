@@ -361,6 +361,85 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(th.map(_.name) == Seq("Busy"))
   }
 
+  // ------------------------------------------------------------ holtWinters
+
+  /** The reference's deterministic HW input: value = (ts/step) % 10.
+    * (ref holtWintersForecast/function_test.go generateHwRange) */
+  private def hwRange(x0: Long, y: Long, jump: Long): Seq[Double] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var x = x0
+    while (x < y) { buf += ((x / jump) % 10).toDouble; x += jump }
+    buf.toSeq
+  }
+
+  test("holtWintersForecast golden vectors incl. bootstrap arg (ref holtWintersForecast/function_test.go)") {
+    val startTime = 2678400L; val step = 600L; val points = 10L; val day = 86400L
+    check("holtWintersForecast(metric1)",
+      Seq(md("metric1", hwRange(0, (7 * day / step + points) * step, step), step, startTime - 7 * day)),
+      Seq(md("holtWintersForecast(metric1)",
+        Seq(4.354532587468384, 5.233762480879125, 5.470443699760628, 5.400062907182546,
+          4.654782553991797, 4.85560658189784, 3.639077513586465, 4.192121821282148,
+          4.072238207117917, 4.754208902522321), step, startTime)),
+      from = startTime, until = startTime + step * points, tol = 1e-9)
+    check("holtWintersForecast(metric1,'6d')",
+      Seq(md("metric1", hwRange(0, (6 * day / step + points) * step, step), step, startTime - 6 * day)),
+      Seq(md("holtWintersForecast(metric1)",
+        Seq(3.756495938587323, 4.246729557688366, 4.0724537420914375, 4.707653738003789,
+          4.526243518254055, 5.324901822037504, 5.491471359733914, 5.360475158485411,
+          4.56317918291436, 4.719755423132087), step, startTime)),
+      from = startTime, until = startTime + step * points, tol = 1e-9)
+  }
+
+  test("holtWintersConfidenceBands honor delta/bootstrap/seasonality (ref holtWintersConfidenceBands/function_test.go)") {
+    val startTime = 2678400L; val step = 600L; val points = 10L; val day = 86400L
+    check("holtWintersConfidenceBands(metric1)",
+      Seq(md("metric1", hwRange(0, (7 * day / step + points) * step, step), step, startTime - 7 * day)),
+      Seq(
+        md("holtWintersConfidenceLower(metric1)",
+          Seq(0.2841206166091448, 1.0581027098774411, 0.3338172102994683, 0.5116859493263242,
+            -0.18199175514936972, 0.2366173792019426, -1.2941554508809152, -0.513426806531049,
+            -0.7970905542723132, 0.09868900726536012), step, startTime),
+        md("holtWintersConfidenceUpper(metric1)",
+          Seq(8.424944558327624, 9.409422251880809, 10.607070189221787, 10.288439865038768,
+            9.491556863132963, 9.474595784593738, 8.572310478053845, 8.897670449095346,
+            8.941566968508148, 9.409728797779282), step, startTime)),
+      from = startTime, until = startTime + step * points, tol = 1e-9)
+    // non-default seasonality '2d' with a '1d' bootstrap
+    check("holtWintersConfidenceBands(metric1,4,'1d','2d')",
+      Seq(md("metric1", hwRange(0, (day / step + points) * step, step), step, startTime - day)),
+      Seq(
+        md("holtWintersConfidenceLower(metric1)",
+          Seq(4.106587168490873, 3.8357974803355406, 3.564589629688576, 3.421354957735917,
+            3.393696278743315, 3.470415673952413, 3.2748850646377368, 3.3539750816574316,
+            3.5243322056965765, 3.7771201010598134), step, startTime),
+        md("holtWintersConfidenceUpper(metric1)",
+          Seq(4.24870339314537, 4.501056063000946, 4.956252698437961, 5.466294981886822,
+            6.0258698337471355, 6.630178145979606, 7.6413984841547204, 6.492608523867341,
+            5.556775146625346, 4.813280235806231), step, startTime)),
+      from = startTime, until = startTime + step * points, tol = 1e-9)
+  }
+
+  // ------------------------------------------------------------- fft family
+
+  test("fft emits abs+phase components of the true n-point DFT (ref fft/function.go:30-69)") {
+    // n=3 (non-pow2): X = {6, -1.5+0.866i, -1.5-0.866i}
+    check("fft(metric1,'abs')", Seq(md("metric1", Seq(1, 2, 3), step = 1)),
+      Seq(md("fft(metric1,abs)", Seq(6, 1.7320508075688772, 1.7320508075688772), step = 1)))
+    check("fft(metric1,'phase')", Seq(md("metric1", Seq(1, 2, 3), step = 1)),
+      Seq(md("fft(metric1,phase)", Seq(0, 2.6179938779914944, -2.6179938779914944), step = 1)))
+    // default mode → both components
+    val both = run("fft(metric1)", Seq(md("metric1", Seq(1, 0, 0, 0), step = 1)))
+    assert(both.map(_.name).sorted == Seq("fft(metric1,abs)", "fft(metric1,phase)"))
+    assert(both.find(_.name.endsWith("abs)")).get.values.toSeq == Seq(1.0, 1.0, 1.0, 1.0))
+  }
+
+  test("ifft inverts a magnitude spectrum; lowPass masks the middle band (ref ifft/lowPass function.go)") {
+    check("ifft(metric1)", Seq(md("metric1", Seq(3, 0, 0), step = 1)),
+      Seq(md("ifft(metric1)", Seq(1, 1, 1), step = 1)))
+    check("lowPass(metric1,50)", Seq(md("metric1", Seq(1, 2, 3, 4, 5, 6, 7, 8), step = 1)),
+      Seq(md("lowPass(metric1,50)", Seq(1, 2, NaN, NaN, NaN, NaN, 7, 8), step = 1)))
+  }
+
   // -------------------------------------------------- multi-arg agg ordering
 
   test("diffSeries(total,failed) subtracts in argument order, not name order") {

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Dedup, Similarity, TextStats}
+
+/**
+ * Self-consistency gates for the hash-dependent pipeline operators that have
+ * no DuckDB oracle (p05 minhash, p06 simhash, p08 fingerprint, p09 IVF):
+ * each approximate result is checked against an exact computation on the
+ * same driver testdata, so the sketch math has a hard accuracy bound instead
+ * of a rows-only count.
+ */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = graft.core.GraftSession.builder("local[4]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("p05: minhash est_jaccard tracks exact jaccard on every emitted pair; high-sim recall is total") {
+    // exact jaccard on the SAME shingle definition (word 3-shingles)
+    val sh = docs.select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("sh")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val exact = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("szA")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szB")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("i") / (col("szA") + col("szB") - col("i"))).as("exact"))
+
+    val est = Dedup.minhashPairs(docs, k = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    val joined = est.join(exact, Seq("doc_a", "doc_b"), "left").collect()
+    assert(joined.nonEmpty, "minhash found no candidate pairs")
+    joined.foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      val x = if (r.isNullAt(r.fieldIndex("exact"))) 0.0 else r.getAs[Double]("exact")
+      // 64 hashes → std error ~ sqrt(x(1-x)/64) ≤ 0.0625; allow 4 sigma
+      assert(math.abs(e - x) <= 0.25, s"pair (${r.get(0)},${r.get(1)}): est $e vs exact $x")
+    }
+    // recall: every pair with exact jaccard ≥ 0.95 must surface as a candidate
+    val mustFind = exact.where(col("exact") >= 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = est.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mustFind.subsetOf(found),
+      s"missed near-exact duplicates: ${mustFind.diff(found).take(5)}")
+  }
+
+  test("p06: every simhash pair is within the Hamming budget of the full 64-bit fingerprints") {
+    val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+    val pairs = Dedup.simhashPairs(docs, maxHammingDistance = 3)
+      .join(fp.select(col("doc_id").as("doc_a"), col("sh").as("shA")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("sh").as("shB")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        bit_count(col("shA").bitwiseXOR(col("shB"))).as("recomputed"))
+      .collect()
+    assert(pairs.nonEmpty, "simhash found no pairs")
+    pairs.foreach { r =>
+      assert(r.getAs[Number]("hamming").intValue == r.getAs[Number]("recomputed").intValue,
+        s"pair (${r.get(0)},${r.get(1)}): reported ${r.get(2)} != recomputed ${r.get(3)}")
+      assert(r.getAs[Number]("hamming").intValue <= 3)
+    }
+    // FULL recall: the banded join must find exactly the brute-force set of
+    // pairs within the radius (the r1→r2 5-block redesign is recall-complete
+    // for radius 3 by pigeonhole; this catches any regression)
+    val all = fp.as("a").crossJoin(fp.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("h"))
+      .where(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val foundPairs = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(foundPairs == all,
+      s"banded simhash != brute force: missed ${all.diff(foundPairs).take(5)}, extra ${foundPairs.diff(all).take(5)}")
+  }
+
+  test("p08: fingerprints are deterministic and equal exactly for equal texts") {
+    val fp1 = docs.select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+    val fp2 = docs.select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp2"))
+    assert(fp1.join(fp2, "doc_id").where(col("fp") =!= col("fp2")).count() == 0)
+    // same text ⇒ same fingerprint; the corpus has planted exact duplicates
+    val byText = docs.select(col("text"), col("doc_id"))
+      .join(fp1, "doc_id")
+      .groupBy("text").agg(countDistinct(col("fp")).as("n"))
+    assert(byText.where(col("n") > 1).count() == 0, "equal texts produced different fingerprints")
+  }
+
+  test("p09: IVF top-k recall vs brute force is high at nprobe=3/8") {
+    val emb = embeddings
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.trainCentroids(emb, nlist = 8, iters = 3, sampleN = 2000)
+    val approx = Similarity.ivfTopK(Similarity.assignCells(emb, cents), queries, cents, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall below 0.5 — probe path broken")
+  }
+}
