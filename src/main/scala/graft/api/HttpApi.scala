@@ -27,7 +27,8 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext("/render", handle(render))
+    server.createContext("/render", handleBytes(render))
+    server.createContext("/info", handle(info))
     server.createContext("/metrics/find", handle(find))
     server.createContext("/metrics/expand", handle(expand))
     server.createContext("/tags/autoComplete/tags", handle(tagNames))
@@ -46,20 +47,25 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
 
   private type Params = Map[String, Seq[String]]
 
-  private def handle(f: Params => (String, String))(ex: HttpExchange): Unit = {
+  private def handle(f: Params => (String, String))(ex: HttpExchange): Unit =
+    handleBytes(p => { val (s, ct) = f(p); (s.getBytes(StandardCharsets.UTF_8), ct) })(ex)
+
+  private def handleBytes(f: Params => (Array[Byte], String))(ex: HttpExchange): Unit = {
     val out =
       try {
         val (body, ct) = f(params(ex))
-        ex.getResponseHeaders.set("Content-Type", ct + "; charset=utf-8")
+        val suffix = if (ct.startsWith("application/json") || ct.startsWith("text/")) "; charset=utf-8" else ""
+        ex.getResponseHeaders.set("Content-Type", ct + suffix)
         (200, body)
       } catch {
-        case e: IllegalArgumentException => (400, s"""{"error":${quote(e.getMessage)}}""")
-        case e: Throwable => (500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""")
+        case e: IllegalArgumentException =>
+          (400, s"""{"error":${quote(e.getMessage)}}""".getBytes(StandardCharsets.UTF_8))
+        case e: Throwable =>
+          (500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""".getBytes(StandardCharsets.UTF_8))
       }
-    val bytes = out._2.getBytes(StandardCharsets.UTF_8)
-    ex.sendResponseHeaders(out._1, bytes.length)
+    ex.sendResponseHeaders(out._1, out._2.length)
     val os = ex.getResponseBody
-    try os.write(bytes) finally os.close()
+    try os.write(out._2) finally os.close()
   }
 
   private def params(ex: HttpExchange): Params = {
@@ -81,17 +87,54 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
   private def quote(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  private def render(p: Params): (String, String) = {
+  // ---- /render with a short-TTL response cache (the reference's single
+  // biggest practical throughput lever: identical dashboard queries within
+  // the TTL skip re-evaluation entirely — ref render_handler.go:172-247,
+  // cache.go:22-60). Keyed by the full query shape; `noCache=true` bypasses.
+  private val cacheTtlSec: Long = sys.env.get("GRAFT_RESPONSE_CACHE_SEC").flatMap(_.toLongOption).getOrElse(60L)
+  private val respCache = new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Byte], String)]()
+
+  private def render(p: Params): (Array[Byte], String) = {
     val targets = p.getOrElse("target", Seq.empty)
     require(targets.nonEmpty, "missing target parameter")
     val format = one(p, "format", "json")
-    val body = Render.render(spark, store, targets,
-      from = one(p, "from", "-24h"),
-      until = one(p, "until", "now"),
-      maxDataPoints = one(p, "maxDataPoints", "0").toLong,
-      format = format,
-      noNullPoints = one(p, "noNullPoints") == "true")
-    (body, if (format == "json") "application/json" else "text/plain")
+    val from = one(p, "from", "-24h"); val until = one(p, "until", "now")
+    val mdp = one(p, "maxDataPoints", "0").toLong
+    val noNull = one(p, "noNullPoints") == "true"
+    val tzName = one(p, "tz")
+    val tz =
+      if (tzName.isEmpty) java.time.ZoneOffset.UTC
+      else try java.time.ZoneId.of(tzName)
+      catch { case _: Exception => throw new IllegalArgumentException(s"bad tz: $tzName") }
+    val useCache = cacheTtlSec > 0 && one(p, "noCache") != "true"
+    val key = s"from:$from until:$until targets:${targets.mkString(",")} format:$format mdp:$mdp nn:$noNull tz:$tzName"
+    val nowMs = System.currentTimeMillis()
+    if (useCache) {
+      val hit = respCache.get(key)
+      if (hit != null && hit._1 > nowMs) return (hit._2, hit._3)
+    }
+    val (body, ct) = Render.renderBytes(spark, store, targets,
+      from = from, until = until, maxDataPoints = mdp,
+      format = format, noNullPoints = noNull, tz = tz)
+    if (useCache) {
+      if (respCache.size > 4096) // lazy TTL sweep keeps the map bounded
+        respCache.entrySet.removeIf(e => e.getValue._1 <= nowMs)
+      respCache.put(key, (nowMs + cacheTtlSec * 1000, body, ct))
+    }
+    (body, ct)
+  }
+
+  /** /info: per-target storage metadata (ref info_handlers.go:19-90;
+    * shape mirrors ZipperInfoResponse with this engine as the one backend). */
+  private def info(p: Params): (String, String) = {
+    val targets = p.getOrElse("target", Seq.empty)
+    require(targets.nonEmpty, "no target specified")
+    val step = store.stepHint.getOrElse(60L)
+    val metrics = targets.flatMap(t => Catalog.expand(spark, store, t)).distinct.map { m =>
+      s"""{"name":${quote(m)},"consolidationFunc":"average","maxRetention":${step * 10080},""" +
+        s""""xFilesFactor":0,"retentions":[{"secondsPerPoint":$step,"numberOfPoints":10080}]}"""
+    }
+    (s"""{"graft":{"metrics":${metrics.mkString("[", ",", "]")}}}""", "application/json")
   }
 
   private def find(p: Params): (String, String) = {

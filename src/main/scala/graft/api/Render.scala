@@ -188,23 +188,41 @@ object Render {
 
   /**
    * Full /render request: parse at-times, evaluate, consolidate, format.
-   * format ∈ json | csv | raw.
+   * format ∈ json | csv | raw | pickle | protobuf (carbonapi_v3_pb) |
+   * carbonapi_v2_pb. Returns body bytes + content type (binary formats
+   * can't round-trip through String).
    */
+  def renderBytes(spark: SparkSession, store: SeriesStore, targets: Seq[String],
+                  from: String = "-24h", until: String = "now",
+                  maxDataPoints: Long = 0, format: String = "json",
+                  noNullPoints: Boolean = false,
+                  tz: java.time.ZoneId = java.time.ZoneOffset.UTC,
+                  now: () => java.time.Instant = () => java.time.Instant.now()): (Array[Byte], String) = {
+    val nowEpoch = now().getEpochSecond
+    val f = AtTime.toEpoch(from, nowEpoch - 86400, tz, now)
+    val u = AtTime.toEpoch(until, nowEpoch, tz, now)
+    val rows = consolidate(eval(spark, store, targets, f, u), maxDataPoints)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    format match {
+      case "json" => (json(rows, noNullPoints).getBytes(utf8), "application/json")
+      case "csv"  => (csv(rows).getBytes(utf8), "text/csv")
+      case "raw"  => (raw(rows).getBytes(utf8), "text/plain")
+      case "pickle" => (WireFormats.pickle(rows), "application/pickle")
+      case "protobuf" | "protobuf3" | "carbonapi_v3_pb" =>
+        (WireFormats.protobufV3(rows), "application/x-protobuf")
+      case "protobuf2" | "carbonapi_v2_pb" =>
+        (WireFormats.protobufV2(rows), "application/x-protobuf")
+      case other  => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+  }
+
+  /** Text-format convenience over [[renderBytes]]. */
   def render(spark: SparkSession, store: SeriesStore, targets: Seq[String],
              from: String = "-24h", until: String = "now",
              maxDataPoints: Long = 0, format: String = "json",
              noNullPoints: Boolean = false,
              tz: java.time.ZoneId = java.time.ZoneOffset.UTC,
-             now: () => java.time.Instant = () => java.time.Instant.now()): String = {
-    val nowEpoch = now().getEpochSecond
-    val f = AtTime.toEpoch(from, nowEpoch - 86400, tz, now)
-    val u = AtTime.toEpoch(until, nowEpoch, tz, now)
-    val rows = consolidate(eval(spark, store, targets, f, u), maxDataPoints)
-    format match {
-      case "json" => json(rows, noNullPoints)
-      case "csv"  => csv(rows)
-      case "raw"  => raw(rows)
-      case other  => throw new IllegalArgumentException(s"unsupported format: $other")
-    }
-  }
+             now: () => java.time.Instant = () => java.time.Instant.now()): String =
+    new String(renderBytes(spark, store, targets, from, until, maxDataPoints,
+      format, noNullPoints, tz, now)._1, java.nio.charset.StandardCharsets.UTF_8)
 }

@@ -290,7 +290,24 @@ object Eval {
     "summarize" -> ((ctx, fc) => SeriesOps.summarize(seriesArg(ctx, fc),
       intervalArg(fc, 1), strArg(fc, 2, "func", Some("sum")), boolArg(fc, 3, "alignToFrom"))),
     "hitcount" -> ((ctx, fc) => SeriesOps.hitcount(seriesArg(ctx, fc), intervalArg(fc, 1))),
-    "linearRegression" -> ((ctx, fc) => SeriesOps.linearRegression(seriesArg(ctx, fc))),
+    // startSourceAt/endSourceAt move the FETCH window the fit runs over —
+    // the reference's Metrics() pre-pass does the same range adjustment
+    // (ref linearRegression/function.go:32-50)
+    "linearRegression" -> ((ctx, fc) => {
+      val nameArgs = (1 until fc.args.length).map(i => s"'${strArg(fc, i)}'")
+      val srcCtx =
+        if (fc.args.length <= 1) ctx
+        else {
+          val utc = java.time.ZoneOffset.UTC
+          val now = () => java.time.Instant.now()
+          val f2 = graft.api.AtTime.toEpoch(strArg(fc, 1, "startSourceAt"), ctx.from, utc, now)
+          val u2 = if (fc.args.length > 2)
+            graft.api.AtTime.toEpoch(strArg(fc, 2, "endSourceAt"), ctx.until, utc, now)
+          else ctx.until
+          ctx.copy(from = f2, until = u2)
+        }
+      SeriesOps.linearRegression(eval(fc.args.head, srcCtx), nameArgs)
+    }),
 
     // ---- series filters
     "filterSeries" -> ((ctx, fc) => SeriesOps.filterSeries(

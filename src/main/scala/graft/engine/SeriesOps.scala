@@ -489,13 +489,15 @@ object SeriesOps {
   def ewma(df: DataFrame, alpha: Double): DataFrame =
     rewrap(mapVec(df, VecOps.emaAlpha(_, alpha)), "ewma", Seq(fmtNum(alpha)))
 
-  /** linearRegression: replace each series by its least-squares line. */
-  def linearRegression(df: DataFrame): DataFrame = {
+  /** linearRegression: replace each series by its least-squares line; name
+    * carries quoted source-range args when given
+    * (ref linearRegression/function.go:44-50). */
+  def linearRegression(df: DataFrame, nameArgs: Seq[String] = Nil): DataFrame = {
     val u = udf((v: Seq[Double]) => {
       val (slope, icept) = VecOps.linFit(v.toArray)
       v.indices.map(i => icept + slope * i).toArray
     })
-    rewrap(df.withColumn("values", u(col("values"))), "linearRegression")
+    rewrap(df.withColumn("values", u(col("values"))), "linearRegression", nameArgs)
   }
 
   // ---------------------------------------------------------------- filters

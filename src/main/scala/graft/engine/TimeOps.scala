@@ -113,12 +113,38 @@ object TimeOps {
     df.withColumn("name", concat_ws(".", cols: _*))
   }
 
-  /** legendValue: append `(func: value)` per requested function to the name.
-    * (ref legendValue/function.go) */
-  def legendValue(df: DataFrame, funcs: Seq[String]): DataFrame = {
+  private val unitSystems: Map[String, Seq[(String, Double)]] = Map(
+    "binary" -> Seq("Pi" -> math.pow(1024, 5), "Ti" -> math.pow(1024, 4),
+      "Gi" -> math.pow(1024, 3), "Mi" -> math.pow(1024, 2), "Ki" -> 1024.0),
+    "si" -> Seq("P" -> 1e15, "T" -> 1e12, "G" -> 1e9, "M" -> 1e6, "K" -> 1e3))
+
+  /** helper.FormatUnits + the legendValue number formatting
+    * (ref legendValue/function.go:70-88, helper.go:283-299). */
+  private def formatLegend(raw: Double, system: String): String = {
+    if (raw.isNaN) return "NaN"
+    if (system.isEmpty) return SeriesOps.fmtNum(raw)
+    val eps = 1e-11
+    val (v, prefix) = unitSystems(system)
+      .find { case (_, size) => math.abs(raw) >= size }
+      .map { case (p, size) =>
+        val v2 = raw / size
+        (if (v2 - math.floor(v2) < eps && raw > 1) math.floor(v2) else v2, p)
+      }
+      .getOrElse((if (raw - math.floor(raw) < eps && raw > 1) math.floor(raw) else raw, ""))
+    val pfx = if (prefix.nonEmpty) prefix + " " else ""
+    (if (math.abs(v) < 0.1) f"$v%.9g" else f"$v%.2f") + pfx
+  }
+
+  /** legendValue: append `(func: value)` per requested function to the name;
+    * an `si`/`binary` arg switches every value to unit-prefixed formatting.
+    * (ref legendValue/function.go:44-88) */
+  def legendValue(df: DataFrame, args: Seq[String]): DataFrame = {
+    val system = args.find(a => a == "si" || a == "binary").getOrElse("")
+    val funcs = args.filterNot(a => a == "si" || a == "binary")
     val parts: Seq[Column] = funcs.map { f =>
       val s = SeriesFrame.vecScalar(v => Kernels.summarizeValues(f, v))(col("values"))
-      concat(lit(s" ($f: "), s.cast("string"), lit(")"))
+      val fmtU = udf((raw: Double) => formatLegend(raw, system))
+      concat(lit(s" ($f: "), fmtU(s), lit(")"))
     }
     df.withColumn("name", concat(col("name") +: parts: _*))
   }

@@ -440,6 +440,24 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("lowPass(metric1,50)", Seq(1, 2, NaN, NaN, NaN, NaN, 7, 8), step = 1)))
   }
 
+  test("legendValue appends summaries; si/binary switch to unit prefixes (ref legendValue/function.go:44-88)") {
+    val in = Seq(md("metric1", Seq(1000, 3000), step = 1))
+    val plain = run("legendValue(metric1,'avg')", in)
+    assert(plain.map(_.name) == Seq("metric1 (avg: 2000)"))
+    val si = run("legendValue(metric1,'avg','si')", in)
+    assert(si.map(_.name) == Seq("metric1 (avg: 2.00K )"))
+    val bin = run("legendValue(metric2,'last','binary')", Seq(md("metric2", Seq(2048.0), step = 1)))
+    assert(bin.map(_.name) == Seq("metric2 (last: 2.00Ki )"))
+  }
+
+  test("linearRegression names quoted source-range args and fits over the source window") {
+    val in = Seq(md("metric1", Seq(1, 2, 3, 4, 100), step = 60, start = 0))
+    // source window excludes the outlier at t=240: fit is the exact 1..4 line
+    val got = run("linearRegression(metric1,'0','240')", in)
+    assert(got.map(_.name) == Seq("linearRegression(metric1,'0','240')"))
+    assert(got.head.values.toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
   // -------------------------------------------------- multi-arg agg ordering
 
   test("diffSeries(total,failed) subtracts in argument order, not name order") {

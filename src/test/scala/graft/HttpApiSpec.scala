@@ -78,4 +78,46 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/version")._1 == 200)
     assert(get("/lb_check")._2 == "Ok\n")
   }
+
+  private def getBytes(pathAndQuery: String): (Int, Array[Byte], String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$pathAndQuery")).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    (resp.statusCode(), resp.body(), resp.headers().firstValue("Content-Type").orElse(""))
+  }
+
+  test("/render pickle format is a protocol-2 stream") {
+    val (code, body, ct) = getBytes("/render?target=events.click&from=1704067200&until=1706660000&format=pickle")
+    assert(code == 200 && ct.startsWith("application/pickle"))
+    assert(body.length > 2 && body(0) == 0x80.toByte && body(1) == 2.toByte && body.last == '.'.toByte)
+    // the name string must appear as utf-8 bytes in the stream
+    assert(new String(body, java.nio.charset.StandardCharsets.ISO_8859_1).contains("events.click"))
+  }
+
+  test("/render protobuf v3 framing decodes") {
+    val (code, body, ct) = getBytes("/render?target=events.click&from=1704067200&until=1706660000&format=carbonapi_v3_pb")
+    assert(code == 200 && ct.startsWith("application/x-protobuf"))
+    // top-level: field 1 (metrics), wire type 2
+    assert(body.nonEmpty && (body(0) & 0xFF) == 0x0A)
+    assert(new String(body, java.nio.charset.StandardCharsets.ISO_8859_1).contains("events.click"))
+  }
+
+  test("/info returns per-target retention metadata") {
+    val (code, body) = get("/info?target=events.click")
+    assert(code == 200)
+    assert(body.contains("\"events.click\"") && body.contains("secondsPerPoint"))
+  }
+
+  test("/render tz parameter parses and bad tz is a 400") {
+    assert(get("/render?target=events.click&from=1704067200&until=1706660000&tz=America/New_York")._1 == 200)
+    assert(get("/render?target=events.click&from=1704067200&until=1706660000&tz=Not/AZone")._1 == 400)
+  }
+
+  test("response cache serves identical bytes for a repeated request; noCache bypasses") {
+    val q = "/render?target=sumSeries(events.*)&from=1704067200&until=1706660000"
+    val a = getBytes(q); val b = getBytes(q)
+    assert(a._1 == 200 && java.util.Arrays.equals(a._2, b._2))
+    val c = getBytes(q + "&noCache=true")
+    assert(c._1 == 200 && java.util.Arrays.equals(a._2, c._2)) // same content either way
+  }
 }
