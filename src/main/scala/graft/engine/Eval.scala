@@ -402,7 +402,8 @@ object Eval {
       fc.args.drop(1).map { case Str(s) => s; case NameExpr(s) => s; case Num(v) => v.toInt.toString; case o => o.print })),
     "legendValue" -> ((ctx, fc) => TimeOps.legendValue(seriesArg(ctx, fc),
       fc.args.drop(1).map { case Str(s) => s; case NameExpr(s) => s; case o => o.print })),
-    "cactiStyle" -> ((ctx, fc) => TimeOps.cactiStyle(seriesArg(ctx, fc), strArg(fc, 1, "units", Some("")))),
+    "cactiStyle" -> ((ctx, fc) => TimeOps.cactiStyle(seriesArg(ctx, fc),
+      strArg(fc, 1, "system", Some("")), strArg(fc, 2, "units", Some("")))),
     "consolidateBy" -> ((ctx, fc) => TimeOps.consolidateBy(seriesArg(ctx, fc), strArg(fc, 1))),
     "cumulative" -> ((ctx, fc) => TimeOps.consolidateBy(seriesArg(ctx, fc), "sum")),
     "setXFilesFactor" -> ((ctx, fc) => TimeOps.setXFilesFactor(seriesArg(ctx, fc), numArg(fc, 1))),
@@ -517,9 +518,13 @@ object Eval {
       intervalArg(fc, 0), strArg(fc, 1, "label", Some("vertical line")))),
     "threshold" -> ((ctx, fc) => {
       val base = constantLine(ctx, numArg(fc, 0))
-      arg(fc, 1, "label") match {
+      val labeled = arg(fc, 1, "label") match {
         case Some(Str(l)) => SeriesOps.alias(base, l)
         case _ => base
+      }
+      arg(fc, 2, "color") match {
+        case Some(Str(c)) => ExtOps.setOption(labeled, "color", c)
+        case _ => labeled
       }
     }),
     "timeFunction" -> ((ctx, fc) => timeFunction(ctx, strArg(fc, 0), intArg(fc, 1, "step", Some(60)))),

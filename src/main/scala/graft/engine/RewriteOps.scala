@@ -81,14 +81,18 @@ object RewriteOps {
     src.withColumn("name", u(col("name")))
   }
 
-  /** printf-style %d / %.Nf / %f substitution of one numeric value. */
+  /** printf-style %d / %.Nf / %.f / %f substitution of one numeric value
+    * (Go's precision-less "%.f" means zero decimals). */
   private def fmtTemplate(tpl: String, v: Double): String =
-    "%(\\.\\d+)?[dfg]".r.replaceAllIn(tpl, m => {
-      val spec = m.matched
+    "%(\\.\\d*)?[dfg]".r.replaceAllIn(tpl, m => {
+      val spec0 = m.matched
       val out =
-        if (spec.endsWith("d")) (if (Kernels.isNaN(v)) "nan" else v.toLong.toString)
-        else String.format(java.util.Locale.ROOT, spec.replace("g", "f"),
-          java.lang.Double.valueOf(v))
+        if (spec0.endsWith("d")) (if (Kernels.isNaN(v)) "nan" else v.toLong.toString)
+        else {
+          val spec = (if (spec0.contains(".") && !spec0.exists(_.isDigit)) spec0.replace(".", ".0") else spec0)
+            .replace("g", "f")
+          String.format(java.util.Locale.ROOT, spec, java.lang.Double.valueOf(v))
+        }
       java.util.regex.Matcher.quoteReplacement(out)
     })
 

@@ -149,20 +149,40 @@ object TimeOps {
     df.withColumn("name", concat(col("name") +: parts: _*))
   }
 
-  /** cactiStyle: "name Current: x Max: y Min: z" legend formatting with
-    * fixed-width alignment dropped (per-row formatting only; the global
-    * padding pass happens at render time). (ref cactiStyle/function.go) */
-  def cactiStyle(df: DataFrame, units: String = ""): DataFrame = {
-    val cur = SeriesFrame.vecScalar(Kernels.last)(col("values"))
-    val mx = SeriesFrame.vecScalar(Kernels.max)(col("values"))
-    val mn = SeriesFrame.vecScalar(Kernels.min)(col("values"))
-    val fmt = (c: Column) => when(isnan(c), lit("nan")).otherwise(format_number(c, 2))
-    val u = if (units.nonEmpty) units else ""
-    df.withColumn("name", concat(
-      col("name"),
-      lit(" Current:"), fmt(cur), lit(u),
-      lit(" Max:"), fmt(mx), lit(u),
-      lit(" Min:"), fmt(mn), lit(u)))
+  /** humanize.ComputeSI analog: scale into [1, 1000) with an SI prefix. */
+  private def computeSI(x: Double): (Double, String) = {
+    if (x == 0 || x.isNaN || x.isInfinite) return (x, "")
+    val pos = Seq("", "k", "M", "G", "T", "P", "E", "Z", "Y")
+    val neg = Seq("", "m", "µ", "n", "p", "f", "a", "z", "y")
+    var v = x; var e = 0
+    while (math.abs(v) >= 1000 && e < pos.length - 1) { v /= 1000; e += 1 }
+    if (e > 0) return (v, pos(e))
+    var d = 0
+    while (math.abs(v) < 1 && v != 0 && d < neg.length - 1) { v *= 1000; d += 1 }
+    (v, neg(d))
+  }
+
+  /** cactiStyle: "name Current:x Max:y Min:z" with the labels of EACH series
+    * left-padded to their common width; min/max/current skip NaN, current =
+    * last non-NaN; default %.0f formatting, system='si' switches to
+    * %.2f+prefix, an optional unit string is appended after a space.
+    * (ref cactiStyle/function.go:55-128) */
+  def cactiStyle(df: DataFrame, system: String = "", unit: String = ""): DataFrame = {
+    val u = udf((n: String, v: Seq[Double]) => {
+      var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity; var cur = Double.NegativeInfinity
+      v.foreach(x => if (!Kernels.isNaN(x)) { mn = math.min(mn, x); mx = math.max(mx, x); cur = x })
+      def fmt(x: Double): String =
+        if (system == "si") { val (sv, sp) = computeSI(x); f"$sv%.2f$sp" } else f"$x%.0f"
+      def withUnit(s: String) = if (unit.nonEmpty) s + " " + unit else s
+      val labels = Map(
+        "current" -> ("Current:" + withUnit(fmt(cur))),
+        "max" -> ("Max:" + withUnit(fmt(mx))),
+        "min" -> ("Min:" + withUnit(fmt(mn))))
+      val maxLen = labels.values.map(_.length).max
+      def pad(s: String) = " " * (maxLen - s.length) + s
+      n + " " + pad(labels("current")) + pad(labels("max")) + pad(labels("min"))
+    })
+    df.withColumn("name", u(col("name"), col("values")))
   }
 
   // -------------------------------------------------------------- metadata

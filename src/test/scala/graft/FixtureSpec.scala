@@ -484,6 +484,70 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       md("asPercent(MISSING,t.s2)", Seq(NaN), step = 1)))
   }
 
+  // ------------------------------------------------------------ rewrites etc
+
+  test("aliasQuery templates the looked-up last value (ref aliasQuery/function_test.go)") {
+    val in = Seq(
+      md("channel.power.1", Seq(1, 2, 3, 4, 5), step = 1),
+      md("channel.power.2", Seq(10, 20, 30, 40, 50), step = 1),
+      md("channel.frequency.1", Seq(0, 200), step = 1),
+      md("channel.frequency.2", Seq(400.0), step = 1))
+    val got = run(
+      "aliasQuery(channel.power.*,'channel\\.power\\.([0-9]+)','channel.frequency.\\1','Channel %.f MHz')", in)
+    assert(got.map(_.name).sorted == Seq("Channel 200 MHz", "Channel 400 MHz"))
+  }
+
+  test("fallbackSeries draws the fallback only when the wildcard is empty (ref fallbackSeries/function.go)") {
+    val in = Seq(md("real.metric", Seq(1, 2), step = 1), md("backup", Seq(9, 9), step = 1))
+    check("fallbackSeries(real.*,backup)", in, Seq(md("real.metric", Seq(1, 2), step = 1)))
+    check("fallbackSeries(absent.*,backup)", in, Seq(md("backup", Seq(9, 9), step = 1)))
+  }
+
+  test("aggregateWithWildcards drops the listed nodes before aggregating (ref aggregateWithWildcards/function.go)") {
+    val in = Seq(
+      md("host.cpu1.load", Seq(1, 2), step = 1),
+      md("host.cpu2.load", Seq(3, 4), step = 1))
+    check("aggregateWithWildcards(host.*.load,'sum',1)", in,
+      Seq(md("host.load", Seq(4, 6), step = 1)), stepHint = Some(1L))
+    check("sumSeriesWithWildcards(host.*.load,1)", in,
+      Seq(md("host.load", Seq(4, 6), step = 1)), stepHint = Some(1L))
+  }
+
+  test("transformNull with a referenceSeries only fills where the reference has data") {
+    val in = Seq(
+      md("m.a", Seq(NaN, NaN, 3), step = 1),
+      md("m.ref", Seq(1, NaN, 1), step = 1))
+    check("transformNull(m.a,0,m.ref)", in,
+      Seq(md("transformNull(m.a,0)", Seq(0, NaN, 3), step = 1)))
+  }
+
+  test("cactiStyle pads Current/Max/Min labels, si switches units (ref cactiStyle/function.go:55-128)") {
+    val got = run("cactiStyle(metric1)", Seq(md("metric1", Seq(1, 4, NaN, 3), step = 1)))
+    assert(got.map(_.name) == Seq("metric1 Current:3    Max:4    Min:1"))
+    val si = run("cactiStyle(metric2,'si')", Seq(md("metric2", Seq(1000.0, 2500.0), step = 1)))
+    assert(si.map(_.name) == Seq("metric2 Current:2.50k    Max:2.50k    Min:1.00k"))
+  }
+
+  test("aliasByBase64 decodes whole names or one node (ref aliasByBase64/function.go)") {
+    // 6-char payload → unpadded base64 ("=" is not a metric-name char)
+    val enc = java.util.Base64.getEncoder.encodeToString("hellos".getBytes)
+    val got = run(s"aliasByBase64(prefix.$enc,1)", Seq(md(s"prefix.$enc", Seq(1.0), step = 1)))
+    assert(got.map(_.name) == Seq("prefix.hellos"))
+  }
+
+  test("graph-option setters tag without losing data; drawAsInfinite renames") {
+    val in = Seq(md("m.x", Seq(1, 2), step = 1))
+    check("color(m.x,'red')", in, Seq(md("m.x", Seq(1, 2), step = 1)))
+    check("drawAsInfinite(m.x)", in, Seq(md("drawAsInfinite(m.x)", Seq(1, 2), step = 1)))
+    check("threshold(5,'limit','red')", Nil,
+      Seq(md("limit", Seq(5, 5, 5), step = 1800, start = 0)), from = 0, until = 3600)
+  }
+
+  test("scaleAfterTimestamp multiplies only at/after the pivot") {
+    check("scaleAfterTimestamp(m.x,2,60)", Seq(md("m.x", Seq(1, 2, 3), step = 60)),
+      Seq(md("scaleAfterTimestamp(m.x,2,60)", Seq(1, 4, 6), step = 60)))
+  }
+
   test("divideSeries rejects a multi-series divisor (ref ErrWildcardNotAllowed)") {
     val in = Seq(
       md("a.x", Seq(1.0), step = 1),
