@@ -95,7 +95,9 @@ object Render {
    * average). (ref ConsolidateJSON expr/types/types.go:87-117 +
    * AggregateValues types.go:410-436; nudge flags default-off)
    */
-  def consolidate(rows: Seq[RenderedSeries], maxDataPoints: Long): Seq[RenderedSeries] = {
+  def consolidate(rows: Seq[RenderedSeries], maxDataPoints: Long,
+                  nudgeStartTime: Boolean = false,
+                  useBucketHighestTs: Boolean = false): Seq[RenderedSeries] = {
     if (rows.isEmpty || maxDataPoints <= 0) return rows
     val startTime = rows.map(_.start).min
     val endTime = rows.map(_.stop).max
@@ -108,8 +110,21 @@ object Render {
         val vpp = math.ceil(nPoints / maxDataPoints).toInt
         val fn = Kernels.byName(
           r.tags.get("consolidateBy").map(_.stripPrefix("'").stripSuffix("'")).getOrElse("average"))
-        val out = r.values.grouped(vpp).map(fn).toArray
-        r.copy(values = out, step = r.step * vpp)
+        // NudgeStartTimeOnAggregation: discard leading points so aggregated
+        // buckets start on a (ts - step) % aggStep == 0 boundary — bucket
+        // assignment then stays stable as the request window slides
+        // (ref types.go:344-385; both flags default off like the reference)
+        val aggStep = r.step * vpp
+        val nudge =
+          if (!nudgeStartTime || r.values.length <= 2 * vpp) 0L
+          else {
+            val dist = aggStep - ((r.start - r.step) % aggStep)
+            if (dist < aggStep) dist / r.step else 0L
+          }
+        val out = r.values.drop(nudge.toInt).grouped(vpp).map(fn).toArray
+        val start0 = r.start + nudge * r.step
+        r.copy(values = out, step = aggStep,
+          start = if (useBucketHighestTs) start0 + aggStep - r.step else start0)
       }
     }
   }

@@ -63,6 +63,26 @@ class ApiSpec extends AnyFunSuite {
     assert(Render.consolidate(Seq(rs("a", vals)), 100).head.values.length == 10)
   }
 
+  test("maxDataPoints nudge flags shift bucket boundaries (ref types.go:344-385)") {
+    // start=130, step=10, 10 points, maxDataPoints=5 → vpp=2, aggStep=20;
+    // dist = 20 - ((130-10) % 20) = 20 → no nudge when already aligned
+    val aligned = Render.consolidate(
+      Seq(rs("a", Array.tabulate(10)(_.toDouble), start = 130, step = 10)), 5,
+      nudgeStartTime = true).head
+    assert(aligned.start == 130 && aligned.values.length == 5)
+    // start=140: dist = 20 - ((140-10) % 20) = 10 → drop 1 point, start 150
+    val nudged = Render.consolidate(
+      Seq(rs("a", Array.tabulate(10)(_.toDouble), start = 140, step = 10)), 5,
+      nudgeStartTime = true).head
+    assert(nudged.start == 150 && nudged.values.length == 5)
+    assert(nudged.values.head == 1.5) // avg of points 1,2 after the drop
+    // highest-timestamp stamping adds aggStep - step
+    val high = Render.consolidate(
+      Seq(rs("a", Array.tabulate(10)(_.toDouble), start = 130, step = 10)), 5,
+      useBucketHighestTs = true).head
+    assert(high.start == 130 + 20 - 10)
+  }
+
   test("glob-order sort: braces keep listed order (ref expr/sort.go:121-180)") {
     val pe = "events.{view,click}"
     val sorted = Render.sortByGlobOrder(Seq(
