@@ -209,6 +209,14 @@ object Queries {
           dround(col("cosine"), 4).as("cosine"))
         .orderBy("vec_a", "vec_b")),
 
+    "p13_repetition" -> ((s, dir) =>
+      TextStats.repetitionSignals(docs(s, dir))
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          dround(col("distinct_ratio"), 4).as("distinct_ratio"),
+          dround(col("top_word_frac"), 4).as("top_word_frac"),
+          dround(col("dup_bigram_frac"), 4).as("dup_bigram_frac"))
+        .orderBy("doc_id")),
+
     // ---- multimodal plumbing (decode kernel stubbed; Spark-side real)
     "m01_mm_features" -> ((s, dir) => {
       val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(docs(s, dir)), dim = 8)
@@ -554,6 +562,21 @@ object Queries {
         |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    "p13_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS words
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(words) AS word FROM w),
+        |wc AS (SELECT doc_id, word, count(*) AS c FROM ex GROUP BY 1, 2),
+        |cnt AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS topc FROM wc GROUP BY doc_id),
+        |bg AS (SELECT doc_id,
+        |  len(bigrams) AS nb, len(list_distinct(bigrams)) AS db
+        |  FROM (SELECT doc_id, list_transform(generate_series(1, len(words) - 1), i -> words[i] || ' ' || words[i+1]) AS bigrams FROM w))
+        |SELECT c.doc_id, CAST(n AS BIGINT) AS n_words,
+        |  round(d * 1.0 / n, 4) AS distinct_ratio,
+        |  round(topc * 1.0 / n, 4) AS top_word_frac,
+        |  round(CASE WHEN nb <= 0 THEN 0 ELSE 1 - db * 1.0 / nb END, 4) AS dup_bigram_frac
+        |FROM cnt c JOIN bg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "m02_frame_plan" ->
       """SELECT doc_id AS asset_id, CAST(ts_ms / 1000 AS BIGINT) AS frame_idx, CAST(ts_ms AS BIGINT) AS ts_ms
         |FROM (SELECT doc_id, unnest(generate_series(0, least(n_chars * 10, 31000), 1000)) AS ts_ms

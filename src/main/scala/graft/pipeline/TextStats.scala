@@ -87,4 +87,46 @@ object TextStats {
     aggregate(toks, lit(1469598103934665603L),
       (acc, t) => acc.bitwiseXOR(xxhash64(t)) * lit(1099511628211L))
   }
+
+  /**
+   * Word-repetition signals in the style of the public LLM-data-curation
+   * recipes (duplicate-n-gram and top-word fractions used to flag boilerplate
+   * and degenerate generations): per doc,
+   *
+   *   n_words        total normalized words
+   *   distinct_ratio distinct words / words
+   *   top_word_frac  occurrences of the most frequent word / words
+   *   dup_bigram_frac 1 - distinct word bigrams / bigrams
+   *
+   * Two-stage like the dedup family: normalization + split runs ONCE as a
+   * codegen'd expression, the counting pass is a per-row O(n) hash-map UDF
+   * (the codegen alternative is O(n²) per doc — wrong at long-doc scale).
+   * Map-side only: no shuffle, scan-speed over 100 TB.
+   */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = filter(split(lower(regexp_replace(col(textCol), "[^\\p{L}\\p{N}\\s]", " ")), "\\s+"),
+      x => length(x) > 0)
+    val u = udf((w: Seq[String]) => {
+      val n = w.length
+      if (n == 0) (0, 0.0, 0.0, 0.0)
+      else {
+        val counts = new java.util.HashMap[String, Int]()
+        w.foreach(x => counts.merge(x, 1, Integer.sum))
+        var top = 0
+        counts.values.forEach(c => if (c > top) top = c)
+        val bigrams = new java.util.HashSet[String]()
+        var i = 0
+        while (i < n - 1) { bigrams.add(w(i) + " " + w(i + 1)); i += 1 }
+        val nb = n - 1
+        (n, counts.size.toDouble / n, top.toDouble / n,
+          if (nb <= 0) 0.0 else 1.0 - bigrams.size.toDouble / nb)
+      }
+    })
+    docs.withColumn("_r", u(words))
+      .withColumn("n_words", col("_r._1"))
+      .withColumn("distinct_ratio", col("_r._2"))
+      .withColumn("top_word_frac", col("_r._3"))
+      .withColumn("dup_bigram_frac", col("_r._4"))
+      .drop("_r")
+  }
 }
