@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Series
+import graft.engine.Eval
+import graft.store.ParquetSeriesStore
+
+/**
+ * Physical-plan assertions — the 100 TB contract, checked structurally:
+ * filters reach the Parquet scan, point-wise chains stay shuffle-free inside
+ * whole-stage codegen, and cross-series aggregation shuffles exactly once
+ * with a map-side partial. A plan regression fails here before it shows up
+ * as a wall-clock regression at scale.
+ */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: String = _
+  private var store: ParquetSeriesStore = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.core.GraftSession.builder("local[2]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dir = java.nio.file.Files.createTempDirectory("planspec").toString + "/series"
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      Series("events.click", Map("name" -> "events.click"), 0L, 60L, Array.tabulate(10)(_.toDouble)),
+      Series("events.view", Map("name" -> "events.view"), 0L, 60L, Array.tabulate(10)(_ * 2.0)),
+      Series("other.metric", Map("name" -> "other.metric"), 0L, 60L, Array.fill(10)(1.0))
+    ).toDF().write.mode("overwrite").parquet(dir)
+    store = new ParquetSeriesStore(dir, uniformStep = Some(60L))
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def physical(target: String): String =
+    Eval.evalTarget(spark, store, target).queryExecution.executedPlan.toString
+
+  test("glob literal prefix pushes into the Parquet scan (row-group pruning key)") {
+    val plan = physical("events.c*")
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("StringStartsWith(name,events.c"), plan.take(2000))
+  }
+
+  test("point-wise transform chains are shuffle-free whole-stage codegen") {
+    val plan = physical("scale(absolute(offset(events.*,1)),2)")
+    assert(!plan.contains("Exchange"), "point-wise chain must not shuffle:\n" + plan.take(3000))
+    // codegen stages print as "*(n)" prefixes in the physical plan string
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan.take(2000))
+  }
+
+  test("sequential vector ops (derivative/keepLastValue) stay shuffle-free") {
+    val plan = physical("keepLastValue(derivative(events.*))")
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
+
+  test("decomposable aggregation shuffles once with a map-side partial") {
+    val plan = physical("sumSeries(events.*)")
+    val exchanges = "Exchange".r.findAllMatchIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n" + plan.take(3000))
+    // ObjectHashAggregate/SortAggregate appear twice: partial then final
+    val aggs = "Aggregate".r.findAllMatchIn(plan).size
+    assert(aggs >= 2, "expected partial + final aggregation:\n" + plan.take(3000))
+  }
+
+  test("asPercent total broadcasts the one-row total (no shuffle of the big side)") {
+    val plan = physical("asPercent(events.*)")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(3000))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = physical("highestAverage(events.*,1)")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+}
