@@ -562,6 +562,24 @@ object Queries {
         |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    // mirrors TextStats.langMarkers scoring incl. the array_max tiebreak
+    // (equal scores pick the LARGEST language code)
+    "p04_language_id" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t FROM documents),
+        |s AS (
+        |  SELECT doc_id, 'de' AS lang, len(list_filter(t, x -> list_contains(['der','die','das','und','ist','mit','für','nicht'], x))) AS score FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'en', len(list_filter(t, x -> list_contains(['the','and','of','to','is','with','that','for'], x))) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'es', len(list_filter(t, x -> list_contains(['el','la','los','las','es','con','para','por'], x))) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'fr', len(list_filter(t, x -> list_contains(['le','la','les','est','avec','pour','dans','une'], x))) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'zh', len(list_filter(t, x -> list_contains(['的','是','在','了','和','有','我','不'], x))) FROM toks)
+        |SELECT doc_id, lang AS lang_pred FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM s)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "p13_repetition" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS words
