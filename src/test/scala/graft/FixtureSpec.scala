@@ -497,6 +497,29 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_.name).sorted == Seq("Channel 200 MHz", "Channel 400 MHz"))
   }
 
+  test("timeShiftByMetric aligns versions to the leading mark (ref timeShiftByMetric/function_test.go case 1)") {
+    val in = Seq(
+      md("apps.1_3.metric", Seq(1.1, 1.2, 1.3, 1.4, 1.5, 1.6, 1.7, 1.8, 1.9, NaN, NaN), step = 1),
+      md("apps.2.metric", Seq(NaN, 2.1, 2.2, 2.3, 2.4, 2.5, 2.6, 2.7, 2.8, 2.9, NaN), step = 1),
+      md("apps.3.metric", Seq(NaN, NaN, 3.1, 3.2, 3.3, 3.4, 3.5, 3.6, 3.7, 3.8, 3.9), step = 1),
+      md("apps.mark.1_3", Seq(NaN, NaN, NaN, 1, NaN, NaN, NaN, NaN, NaN, NaN, NaN), step = 1),
+      md("apps.mark.2_2", Seq(NaN, NaN, NaN, NaN, NaN, NaN, 1, NaN, NaN, NaN, NaN), step = 1),
+      md("apps.mark.3_1", Seq(NaN, NaN, NaN, NaN, NaN, NaN, NaN, NaN, 1, NaN, NaN), step = 1),
+      md("apps.mark.1_0", Seq(1, NaN, NaN, NaN, NaN, NaN, NaN, NaN, NaN, NaN, NaN), step = 1),
+      md("apps.mark.1_1", Seq(NaN, 1, NaN, NaN, NaN, NaN, NaN, NaN, NaN, NaN, NaN), step = 1),
+      md("apps.mark.1_2", Seq(NaN, NaN, 1, NaN, NaN, NaN, NaN, NaN, NaN, NaN, NaN), step = 1),
+      md("apps.mark.2_0", Seq(NaN, NaN, NaN, NaN, 1, NaN, NaN, NaN, NaN, NaN, NaN), step = 1),
+      md("apps.mark.2_1", Seq(NaN, NaN, NaN, NaN, NaN, 1, NaN, NaN, NaN, NaN, NaN), step = 1),
+      md("apps.mark.3_0", Seq(NaN, NaN, NaN, NaN, NaN, NaN, NaN, 1, NaN, NaN, NaN), step = 1))
+    check("timeShiftByMetric(apps.*.metric,apps.mark.*,1)", in, Seq(
+      md("timeShiftByMetric(apps.1_3.metric)",
+        Seq(1.1, 1.2, 1.3, 1.4, 1.5, 1.6, 1.7, 1.8, 1.9, NaN, NaN), step = 1, start = 5),
+      md("timeShiftByMetric(apps.2.metric)",
+        Seq(NaN, 2.1, 2.2, 2.3, 2.4, 2.5, 2.6, 2.7, 2.8, 2.9, NaN), step = 1, start = 2),
+      md("timeShiftByMetric(apps.3.metric)",
+        Seq(NaN, NaN, 3.1, 3.2, 3.3, 3.4, 3.5, 3.6, 3.7, 3.8, 3.9), step = 1, start = 0)))
+  }
+
   test("fallbackSeries draws the fallback only when the wildcard is empty (ref fallbackSeries/function.go)") {
     val in = Seq(md("real.metric", Seq(1, 2), step = 1), md("backup", Seq(9, 9), step = 1))
     check("fallbackSeries(real.*,backup)", in, Seq(md("real.metric", Seq(1, 2), step = 1)))
