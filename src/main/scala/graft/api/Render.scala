@@ -40,7 +40,10 @@ object Render {
       RenderedSeries(
         name = r.getAs[String]("name"),
         tags = Option(r.getAs[Map[String, String]]("tags")).getOrElse(Map.empty),
-        pathExpression = if (hasPath) r.getAs[String]("pathExpression") else r.getAs[String]("name"),
+        // generators unioned into a fetch (group(metric, constantLine(5)))
+        // carry a NULL pathExpression — fall back to the name
+        pathExpression = Option(if (hasPath) r.getAs[String]("pathExpression") else null)
+          .getOrElse(r.getAs[String]("name")),
         start = r.getAs[Long]("start"),
         step = r.getAs[Long]("step"),
         values = r.getAs[scala.collection.Seq[Double]]("values").toArray)

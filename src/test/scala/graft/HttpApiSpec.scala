@@ -86,6 +86,12 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     (resp.statusCode(), resp.body(), resp.headers().firstValue("Content-Type").orElse(""))
   }
 
+  test("/render handles generators unioned with fetches (null pathExpression)") {
+    val (code, body) = get("/render?target=group(events.click,constantLine(5))&from=1704067200&until=1706660000")
+    assert(code == 200, body.take(300))
+    assert(body.contains("\"events.click\"") && body.contains("\"target\":\"5\""))
+  }
+
   test("/render pickle format is a protocol-2 stream") {
     val (code, body, ct) = getBytes("/render?target=events.click&from=1704067200&until=1706660000&format=pickle")
     assert(code == 200 && ct.startsWith("application/pickle"))
