@@ -332,7 +332,7 @@ object Queries {
         |               wf AS (PARTITION BY name ORDER BY ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)))
         |WHERE filled IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g30_hitcount_day" ->
-      (S + """SELECT 'hitcount(' || name || ',"86400s","sum")' AS name,
+      (S + """SELECT 'hitcount(' || name || ',''1d'')' AS name,
         |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts, round(sum(v * 3600), 4) AS value
         |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
 
@@ -349,7 +349,7 @@ object Queries {
         |  FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.error' AND b.name = 'events.signup'
         |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL) ORDER BY name, ts""".stripMargin),
     "g33_timeshift" ->
-      (S + "SELECT 'timeShift(' || name || ',''1d'')' AS name, ts + 86400 AS ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'timeShift(' || name || ',''-86400'',false)' AS name, ts + 86400 AS ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g34_smartsummarize" ->
       (S + """SELECT 'smartSummarize(' || name || ',"86400s","max")' AS name,
         |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts, round(max(v), 4) AS value

@@ -94,6 +94,49 @@ object VecOps {
     out
   }
 
+  /** hitcount: per-bucket total hits — each point contributes
+    * value × (seconds of overlap with the bucket), buckets anchored at the
+    * (align-extended) stop so the last bucket always ends at stop; empty
+    * buckets are NaN. Returns (newStart, buckets).
+    * (ref hitcount/function.go:64-153, helper/align.go:213-215) */
+  def hitcount(v: Array[Double], start: Long, step: Long, interval: Long,
+               alignToInterval: Boolean): (Long, Array[Double]) = {
+    val stop0 = start + v.length * step
+    val stop = if (alignToInterval) start + ((stop0 - start) / interval) * interval + interval else stop0
+    val bucketCount = math.ceil((stop - start).toDouble / interval).toInt
+    if (bucketCount <= 0) return (start, Array.empty[Double])
+    val newStart = stop - bucketCount.toLong * interval
+    val out = new Array[Double](bucketCount)
+    val has = new Array[Boolean](bucketCount)
+    var i = 0
+    while (i < v.length) {
+      val x = v(i)
+      if (!isNaN(x)) {
+        val st = start + i.toLong * step
+        val startBucket = math.floorDiv(st - newStart, interval).toInt
+        val startMod = math.floorMod(st - newStart, interval)
+        var endBucket = math.floorDiv(st + step - newStart, interval).toInt
+        var endMod = math.floorMod(st + step - newStart, interval)
+        if (endBucket >= bucketCount) { endBucket = bucketCount - 1; endMod = interval }
+        if (startBucket == endBucket) {
+          if (startBucket >= 0) { out(startBucket) += x * (endMod - startMod); has(startBucket) = true }
+        } else {
+          if (startBucket >= 0) { out(startBucket) += x * (interval - startMod); has(startBucket) = true }
+          var j = startBucket + 1
+          while (j < endBucket) {
+            if (j >= 0) { out(j) += x * interval; has(j) = true }
+            j += 1
+          }
+          if (endMod > 0) { out(endBucket) += x * endMod; has(endBucket) = true }
+        }
+      }
+      i += 1
+    }
+    i = 0
+    while (i < bucketCount) { if (!has(i)) out(i) = Double.NaN; i += 1 }
+    (newStart, out)
+  }
+
   /** Forward-fill NaN gaps of length <= limit (Inf = unlimited).
     * (ref expr/functions/keepLastValue/function.go) */
   def keepLastValue(v: Array[Double], limit: Double = Double.PositiveInfinity): Array[Double] = {

@@ -247,8 +247,19 @@ object Eval {
 
     // ---- sequential
     "derivative" -> ((ctx, fc) => SeriesOps.derivative(seriesArg(ctx, fc))),
-    "nonNegativeDerivative" -> ((ctx, fc) => SeriesOps.nonNegativeDerivative(
-      seriesArg(ctx, fc), numArg(fc, 1, "maxValue", Some(Double.NaN)))),
+    "nonNegativeDerivative" -> ((ctx, fc) => {
+      // name reflects which of maxValue/minValue were passed
+      // (ref nonNegativeDerivative/function.go:37-84)
+      val maxV = numArg(fc, 1, "maxValue", Some(Double.NaN))
+      val minV = numArg(fc, 2, "minValue", Some(Double.NaN))
+      require(maxV.isNaN || minV.isNaN || minV < maxV, "minValue must be lower than maxValue")
+      val nameArgs =
+        if (!maxV.isNaN && !minV.isNaN) Seq(SeriesOps.fmtNum(maxV), SeriesOps.fmtNum(minV))
+        else if (!minV.isNaN) Seq("minValue=" + SeriesOps.fmtNum(minV))
+        else if (!maxV.isNaN) Seq(SeriesOps.fmtNum(maxV))
+        else Nil
+      SeriesOps.nonNegativeDerivative(seriesArg(ctx, fc), maxV, minV, nameArgs)
+    }),
     "perSecond" -> ((ctx, fc) => SeriesOps.perSecond(seriesArg(ctx, fc))),
     "integral" -> ((ctx, fc) => SeriesOps.integral(seriesArg(ctx, fc))),
     "integralByInterval" -> ((ctx, fc) => SeriesOps.integralByInterval(
@@ -289,7 +300,18 @@ object Eval {
     "exponentialWeightedMovingAverage" -> ((ctx, fc) => SeriesOps.ewma(seriesArg(ctx, fc), numArg(fc, 1))),
     "summarize" -> ((ctx, fc) => SeriesOps.summarize(seriesArg(ctx, fc),
       intervalArg(fc, 1), strArg(fc, 2, "func", Some("sum")), boolArg(fc, 3, "alignToFrom"))),
-    "hitcount" -> ((ctx, fc) => SeriesOps.hitcount(seriesArg(ctx, fc), intervalArg(fc, 1))),
+    "hitcount" -> ((ctx, fc) => {
+      val interval = intervalArg(fc, 1)
+      val align = boolArg(fc, 2, "alignToInterval")
+      // alignToInterval moves the FETCH start back to the covering calendar
+      // unit (ref hitcount/function.go:45-50, helper/align.go:218-227)
+      val srcCtx =
+        if (align && ctx.from > Long.MinValue / 8) {
+          val unit = Seq(86400L, 3600L, 60L).find(interval >= _)
+          ctx.copy(from = unit.map(u => ctx.from - math.floorMod(ctx.from, u)).getOrElse(ctx.from))
+        } else ctx
+      SeriesOps.hitcount(eval(fc.args.head, srcCtx), interval, strArg(fc, 1), align)
+    }),
     // startSourceAt/endSourceAt move the FETCH window the fit runs over —
     // the reference's Metrics() pre-pass does the same range adjustment
     // (ref linearRegression/function.go:32-50)
@@ -353,10 +375,10 @@ object Eval {
     "aliasByMetric" -> ((ctx, fc) => SeriesOps.aliasByMetric(seriesArg(ctx, fc))),
     "aliasByNode" -> ((ctx, fc) => SeriesOps.aliasByNode(seriesArg(ctx, fc), intsFrom(fc, 1))),
     "aliasSub" -> ((ctx, fc) => SeriesOps.aliasSub(seriesArg(ctx, fc), strArg(fc, 1), strArg(fc, 2))),
-    "toLowerCase" -> ((ctx, fc) => SeriesOps.toLowerCaseS(seriesArg(ctx, fc))),
-    "toUpperCase" -> ((ctx, fc) => SeriesOps.toUpperCaseS(seriesArg(ctx, fc))),
-    "lower" -> ((ctx, fc) => SeriesOps.toLowerCaseS(seriesArg(ctx, fc))),
-    "upper" -> ((ctx, fc) => SeriesOps.toUpperCaseS(seriesArg(ctx, fc))),
+    "toLowerCase" -> ((ctx, fc) => SeriesOps.caseName(seriesArg(ctx, fc), intsFrom(fc, 1), toUpper = false)),
+    "toUpperCase" -> ((ctx, fc) => SeriesOps.caseName(seriesArg(ctx, fc), intsFrom(fc, 1), toUpper = true)),
+    "lower" -> ((ctx, fc) => SeriesOps.caseName(seriesArg(ctx, fc), intsFrom(fc, 1), toUpper = false)),
+    "upper" -> ((ctx, fc) => SeriesOps.caseName(seriesArg(ctx, fc), intsFrom(fc, 1), toUpper = true)),
 
     // ---- pairwise list family (ref aggregateSeriesLists/seriesList)
     "aggregateSeriesLists" -> ((ctx, fc) => PairOps.seriesLists(
@@ -377,8 +399,9 @@ object Eval {
     // ---- time manipulation (fetch-time shifts)
     "timeShift" -> ((ctx, fc) => {
       val offset = intervalArg(fc, 1, defaultSign = -1)
+      val resetEnd = boolArg(fc, 2, "resetEnd")
       TimeOps.timeShift(eval(fc.args.head, ctx.copy(from = ctx.from + offset, until = ctx.until + offset)),
-        offset, strArg(fc, 1))
+        offset, resetEnd, ctx.until)
     }),
     "timeStack" -> ((ctx, fc) => {
       val unit = intervalArg(fc, 1, defaultSign = -1)

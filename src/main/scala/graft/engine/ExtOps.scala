@@ -23,7 +23,10 @@ object ExtOps {
   /** integralWithReset: running sum that restarts wherever the resetter
     * series is non-zero/non-NaN. (ref integralWithReset/function.go) */
   def integralWithReset(df: DataFrame, resetter: DataFrame): DataFrame = {
-    val r1 = resetter.limit(1).select(col("name").as("resetName"), col("values").as("resetValues"))
+    // first series in name order — the reference takes the glob's first
+    // result; a bare limit(1) over >1 match would be nondeterministic
+    val r1 = resetter.orderBy(col("name")).limit(1)
+      .select(col("name").as("resetName"), col("values").as("resetValues"))
     val u = udf((v: Seq[Double], resets: Seq[Double]) => {
       val out = new Array[Double](v.length)
       var acc = 0.0
@@ -203,7 +206,7 @@ object ExtOps {
   // value (ref transformNull/function.go, Metrics() extra fetch).
 
   def transformNullRef(df: DataFrame, default: Double, ref: DataFrame): DataFrame = {
-    val r1 = ref.limit(1).select(col("values").as("refValues"))
+    val r1 = ref.orderBy(col("name")).limit(1).select(col("values").as("refValues"))
     df.crossJoin(broadcast(r1))
       .withColumn("values", zip_with(col("values"), col("refValues"),
         (v, r) => when(isnan(v) && !isnan(r), lit(default)).otherwise(v)))

@@ -358,8 +358,10 @@ object SeriesOps {
   // ------------------------------------------------------------- sequential
 
   def derivative(df: DataFrame): DataFrame = rewrap(mapVec(df, VecOps.derivative), "derivative")
-  def nonNegativeDerivative(df: DataFrame, maxValue: Double = Double.NaN): DataFrame =
-    rewrap(mapVec(df, VecOps.nonNegativeDerivative(_, maxValue)), "nonNegativeDerivative")
+  def nonNegativeDerivative(df: DataFrame, maxValue: Double = Double.NaN,
+                            minValue: Double = Double.NaN, nameArgs: Seq[String] = Nil): DataFrame =
+    rewrap(mapVec(df, VecOps.nonNegativeDerivative(_, maxValue, minValue)),
+      "nonNegativeDerivative", nameArgs)
   def perSecond(df: DataFrame): DataFrame = {
     val u = udf((v: Seq[Double], step: Long) => VecOps.perSecond(v.toArray, step))
     rewrap(df.withColumn("values", u(col("values"), col("step"))), "perSecond")
@@ -425,7 +427,10 @@ object SeriesOps {
 
   /** summarize: re-bucket into `interval`-second buckets.
     * (ref summarize/function.go:43-150; bucket alignment helper.AlignToBucketSize) */
-  def summarize(df: DataFrame, interval: Long, func: String = "sum", alignToFrom: Boolean = false): DataFrame = {
+  /** Core re-bucketing for summarize: interval-second buckets anchored at
+    * the epoch multiple (or the series start when alignToFrom). */
+  private def rebucket(df: DataFrame, interval: Long, func: String,
+                       alignToFrom: Boolean): DataFrame = {
     val u = udf((v: Seq[Double], start: Long, step: Long) => {
       val vals = v.toArray
       val newStart = if (alignToFrom) start else math.floorDiv(start, interval) * interval
@@ -444,21 +449,35 @@ object SeriesOps {
       }
       (newStart, out)
     })
-    val argStr = s"""'${interval}s',"'$func'""""
     df.withColumn("_r", u(col("values"), col("start"), col("step")))
       .withColumn("start", col("_r._1"))
       .withColumn("values", col("_r._2"))
       .withColumn("step", lit(interval))
       .drop("_r")
-      .transform(d => rewrap(d, "summarize", Seq(s"\"${interval}s\"", s"\"$func\"")))
   }
 
-  /** hitcount: per-bucket sum of value*step. (ref hitcount/function.go) */
-  def hitcount(df: DataFrame, interval: Long): DataFrame = {
-    val scaled = df.withColumn("values",
-      transform(col("values"), v => v * col("step").cast("double")))
-    summarize(scaled, interval, "sum")
-      .withColumn("name", regexp_replace(col("name"), "^summarize\\(", "hitcount("))
+  def summarize(df: DataFrame, interval: Long, func: String = "sum", alignToFrom: Boolean = false): DataFrame =
+    rebucket(df, interval, func, alignToFrom)
+      .transform(d => rewrap(d, "summarize", Seq(s"\"${interval}s\"", s"\"$func\"")))
+
+  /** hitcount: per-bucket total hits (value × overlap-seconds), stop-anchored
+    * buckets, proportional spreading across boundaries; alignToInterval
+    * (fetch start pre-aligned by the caller) extends stop to the next bucket
+    * edge and appends ",true" to the name. (ref hitcount/function.go:32-153) */
+  def hitcount(df: DataFrame, interval: Long, bucketStr: String,
+               alignToInterval: Boolean = false): DataFrame = {
+    val u = udf((v: Seq[Double], start: Long, step: Long) =>
+      VecOps.hitcount(v.toArray, start, step, interval, alignToInterval))
+    val suffix = if (alignToInterval) ",true" else ""
+    df.withColumn("_r", u(col("values"), col("start"), col("step")))
+      .withColumn("start", col("_r._1"))
+      .withColumn("values", col("_r._2"))
+      .withColumn("step", lit(interval))
+      .drop("_r")
+      .withColumn("name", concat(lit("hitcount("), col("name"), lit(s",'$bucketStr'$suffix)")))
+      .withColumn("tags", map_concat(
+        map_filter(col("tags"), (k, _) => k =!= "hitcount"),
+        map(lit("hitcount"), lit(interval.toString))))
   }
 
   /**
@@ -589,8 +608,22 @@ object SeriesOps {
   def aliasSub(df: DataFrame, search: String, replace: String): DataFrame =
     df.withColumn("name", regexp_replace(col("name"), search, toJavaBackrefs(replace)))
 
-  def toLowerCaseS(df: DataFrame): DataFrame = df.withColumn("name", lower(col("name")))
-  def toUpperCaseS(df: DataFrame): DataFrame = df.withColumn("name", upper(col("name")))
+  /** toLowerCase/toUpperCase: whole name, or only the given (possibly
+    * negative, 0-based) character positions; the name tag follows the new
+    * name (ref toLowerCase/function.go:29-63 and its toUpperCase twin). */
+  def caseName(df: DataFrame, positions: Seq[Int], toUpper: Boolean): DataFrame = {
+    val f: Column => Column = if (toUpper) upper else lower
+    val renamed =
+      if (positions.isEmpty) f(col("name"))
+      else positions.foldLeft(col("name")) { (c, p) =>
+        val i = if (p >= 0) lit(p) else length(col("name")) + p
+        concat(c.substr(lit(1), i), f(c.substr(i + 1, lit(1))), c.substr(i + 2, length(col("name"))))
+      }
+    df.withColumn("name", renamed)
+      .withColumn("tags", map_concat(
+        map_filter(col("tags"), (k, _) => k =!= "name"),
+        map(lit("name"), col("name"))))
+  }
 
   // ------------------------------------------------------------------ util
 

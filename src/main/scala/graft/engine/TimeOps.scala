@@ -17,9 +17,26 @@ object TimeOps {
   /** Re-stamp a fetched-shifted frame back onto the request range:
     * data was read from [from+offset, until+offset), displayed at ts-offset.
     * (ref timeShift/function.go) */
-  def timeShift(df: DataFrame, offsetSec: Long, interval: String): DataFrame =
-    df.withColumn("start", col("start") - offsetSec)
-      .transform(d => SeriesFrame.rewrap(d, "timeShift", Seq(s"'$interval'")))
+  /** timeShift: the caller fetched over [from+offs,until+offs); re-stamp
+    * start back and, when resetEnd, clamp the shifted tail to the request
+    * `until` (graphite-web defaults resetEnd=true, carbonapi false — we
+    * follow carbonapi). Name carries the offset seconds and the resetEnd
+    * flag (ref timeShift/function.go:73-113). */
+  def timeShift(df: DataFrame, offsetSec: Long, resetEnd: Boolean, until: Long): DataFrame = {
+    val shifted = df.withColumn("start", col("start") - offsetSec)
+    val clamped =
+      if (!resetEnd) shifted
+      else shifted.withColumn("values",
+        slice(col("values"), lit(1),
+          greatest(lit(0L), least(size(col("values")).cast("long"),
+            floor((lit(until) - col("start")) / col("step")).cast("long"))).cast("int")))
+    clamped
+      .withColumn("name", concat(lit("timeShift("), col("name"),
+        lit(s",'$offsetSec',$resetEnd)")))
+      .withColumn("tags", map_concat(
+        map_filter(col("tags"), (k, _) => k =!= "timeshift"),
+        map(lit("timeshift"), lit(offsetSec.toString))))
+  }
 
   /** timeStack: one shifted copy per unit step in [start,end); each copy is
     * named timeShift(m,unitStr,offsSeconds) with timeShift/timeShiftUnit tags

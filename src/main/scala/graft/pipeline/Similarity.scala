@@ -105,19 +105,27 @@ object Similarity {
     cents.zipWithIndex.map { case (v, i) => (i, v) }
   }
 
-  /** Assign every corpus vector to its nearest centroid (broadcast join +
-    * argmin over the centroid array — map-side only). */
+  /** Literal array of centroid vectors (tiny — nlist × dim doubles), baked
+    * into the plan so distance scoring needs no join at all. */
+  private def centroidArray(centroids: Array[(Int, Array[Double])]): Column =
+    array(centroids.map { case (_, v) => typedLit(v.toSeq) }: _*)
+
+  /** Squared L2 distance between a vector column and one centroid column. */
+  private def dist2(vec: Column, cent: Column): Column =
+    aggregate(zip_with(vec, cent, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** Assign every corpus vector to its nearest centroid — pure map-side
+    * argmin over a literal centroid array: zero shuffle, zero row expansion.
+    * (The r2 version crossJoined corpus×centroids and ranked with a window —
+    * an nlist× expansion plus a full shuffle of the corpus; at 100 TB that
+    * shuffle dominates the IVF build.) Ties break to the lowest cell index
+    * because array_position returns the first match. */
   def assignCells(corpus: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cents = broadcast(centroids.map { case (i, v) => (i, v.toSeq) }.toSeq.toDF("cell", "centroid"))
-    val scored = corpus.crossJoin(cents)
-      .withColumn("dist2",
-        aggregate(zip_with(col("embedding"), col("centroid"), (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (acc, v) => acc + v))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("cell"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(corpus.columns.map(col) :+ col("cell"): _*)
+    val cellIds = array(centroids.map { case (i, _) => lit(i) }: _*)
+    val dists = transform(centroidArray(centroids), c => dist2(col("embedding"), c))
+    corpus.withColumn("cell",
+      element_at(cellIds, array_position(dists, array_min(dists)).cast("int")))
   }
 
   /**
@@ -127,17 +135,16 @@ object Similarity {
    */
   def ivfTopK(corpusWithCells: DataFrame, queries: DataFrame,
               centroids: Array[(Int, Array[Double])], k: Int, nprobe: Int): DataFrame = {
-    val spark = corpusWithCells.sparkSession
-    import spark.implicits._
-    val cents = broadcast(centroids.map { case (i, v) => (i, v.toSeq) }.toSeq.toDF("cell", "centroid"))
-    val qCells = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      .crossJoin(cents)
-      .withColumn("dist2",
-        aggregate(zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (acc, v) => acc + v))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id")).orderBy(col("dist2").asc, col("cell"))))
-      .where(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    // Map-side probe selection: score all centroids per query row via a
+    // literal array, array_sort by (dist2, cell) — struct sort is
+    // lexicographic by field order — and explode the first nprobe. No
+    // query×centroid expansion, no window shuffle.
+    val scoredCells = array(centroids.map { case (i, v) =>
+      struct(dist2(col("embedding"), typedLit(v.toSeq)).as("d"), lit(i).as("cell"))
+    }: _*)
+    val qCells = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(slice(array_sort(scoredCells), 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
     val scored = corpusWithCells
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
         norm(col("embedding")).as("cn"), col("cell"))

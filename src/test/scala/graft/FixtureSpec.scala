@@ -580,4 +580,66 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage != null)
   }
+
+  // ------------------------------------ newly-wired reference args (round 3)
+
+  test("nonNegativeDerivative maxValue wrap and minValue floor (ref nonNegativeDerivative/function_test.go)") {
+    check("nonNegativeDerivative(metric1)",
+      Seq(md("metric1", Seq(2, 4, 6, 1, 4, NaN, 8), step = 1)),
+      Seq(md("nonNegativeDerivative(metric1)", Seq(NaN, 2, 2, NaN, 3, NaN, NaN), step = 1)))
+    check("nonNegativeDerivative(metric1,32)",
+      Seq(md("metric1", Seq(2, 4, 0, 10, 1, NaN, 8, 40, 37), step = 1)),
+      Seq(md("nonNegativeDerivative(metric1,32)", Seq(NaN, 2, 29, 10, 24, NaN, NaN, 32, NaN), step = 1)))
+    check("nonNegativeDerivative(metric1,minValue=1)",
+      Seq(md("metric1", Seq(2, 4, 2, 10, 1, NaN, 8, 40, 37), step = 1)),
+      Seq(md("nonNegativeDerivative(metric1,minValue=1)", Seq(NaN, 2, 1, 8, 0, NaN, NaN, 32, 36), step = 1)))
+  }
+
+  test("timeShift names carry offset seconds + resetEnd (ref timeShift/function_test.go)") {
+    val startTime = 1410345000L
+    check("timeShift(metric1,'1s',false)",
+      Seq(md("metric1", Seq(-1, 0, 1, 2, 3, 4), step = 1, start = startTime - 1)),
+      Seq(md("timeShift(metric1,'-1',false)", Seq(-1, 0, 1, 2, 3, 4), step = 1, start = startTime)),
+      from = startTime, until = startTime + 6)
+    check("timeShift(metric1,'1h',true)",
+      Seq(md("metric1", Seq(-1, 0, 1, 2, 3, 4), step = 1, start = startTime - 3600)),
+      Seq(md("timeShift(metric1,'-3600',true)", Seq(-1, 0, 1, 2, 3, 4), step = 1, start = startTime)),
+      from = startTime, until = startTime + 6)
+  }
+
+  test("hitcount spreads hits over stop-anchored buckets (ref hitcount/function_test.go)") {
+    val tenThirty = 1410345000L
+    check("hitcount(metric1,'30s')",
+      Seq(md("metric1", Seq(1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 4, 4, 4,
+        4, 4, 5, 5, 5, 5, NaN, NaN, NaN, NaN, NaN, NaN, 5), step = 5, start = tenThirty)),
+      Seq(md("hitcount(metric1,'30s')", Seq(5, 40, 75, 110, 120, 25), step = 30, start = 1410344975L)),
+      from = tenThirty, until = tenThirty + 31 * 5)
+    // interval smaller than the data step: hits spread proportionally
+    check("hitcount(metric1,'15s')",
+      Seq(md("metric1", Seq(11, 7, 19, 32, 23), step = 30, start = tenThirty)),
+      Seq(md("hitcount(metric1,'15s')",
+        Seq(165, 165, 105, 105, 285, 285, 480, 480, 345, 345), step = 15, start = tenThirty)),
+      from = tenThirty, until = tenThirty + 5 * 30)
+  }
+
+  test("hitcount alignToInterval aligns the fetch start and extends stop (ref hitcount/function_test.go)") {
+    val tenFiftyNine = 1410345000L + 29 * 60
+    check("hitcount(metric1,'1h',true)",
+      Seq(md("metric1", Seq(1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4,
+        5, 5, 5, 5, 5), step = 5, start = tenFiftyNine)),
+      Seq(md("hitcount(metric1,'1h',true)", Seq(375), step = 3600, start = tenFiftyNine)),
+      from = 1410343200L, until = 1410350340L)
+  }
+
+  test("toLowerCase/toUpperCase at positions, incl. negative (ref toLowerCase/function_test.go)") {
+    val vals = Seq(1.0, 2, 0, 7)
+    val in = Seq(md("METRIC.TEST.FOO", vals, step = 1))
+    check("lower(METRIC.TEST.FOO)", in, Seq(md("metric.test.foo", vals, step = 1)))
+    check("lower(METRIC.TEST.FOO,7)", in, Seq(md("METRIC.tEST.FOO", vals, step = 1)))
+    check("lower(METRIC.TEST.FOO,-3)", in, Seq(md("METRIC.TEST.fOO", vals, step = 1)))
+    check("lower(METRIC.TEST.FOO,0,7,12)", in, Seq(md("mETRIC.tEST.fOO", vals, step = 1)))
+    val up = Seq(md("metric.test.foo", vals, step = 1))
+    check("upper(metric.test.foo,0)", up, Seq(md("Metric.test.foo", vals, step = 1)))
+    check("toUpperCase(metric.test.foo)", up, Seq(md("METRIC.TEST.FOO", vals, step = 1)))
+  }
 }

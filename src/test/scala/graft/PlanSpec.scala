@@ -75,4 +75,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = physical("highestAverage(events.*,1)")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
+
+  test("IVF cell assignment is map-side (no shuffle, no join, no row expansion)") {
+    val sp = spark
+    import sp.implicits._
+    val emb = Seq((0L, Seq(0.0f, 0.0f), 0), (1L, Seq(4.0f, 4.0f), 1), (2L, Seq(0.1f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Array((0, Array(0.0, 0.0)), (1, Array(4.0, 4.0)))
+    val assigned = graft.pipeline.Similarity.assignCells(emb, cents)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "assignCells must not shuffle:\n" + plan.take(3000))
+    assert(!plan.contains("Join"), "assignCells must not join:\n" + plan.take(3000))
+    val rows = assigned.select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(rows == Map(0L -> 0, 1L -> 1, 2L -> 0))
+  }
 }
