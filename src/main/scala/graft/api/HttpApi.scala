@@ -31,11 +31,17 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
     server.createContext("/info", handle(info))
     server.createContext("/metrics/find", handle(find))
     server.createContext("/metrics/expand", handle(expand))
+    // JDK HttpServer picks the longest matching context, so the bare /tags
+    // route coexists with the autoComplete ones (ref init.go:35-36 routes
+    // both through tagHandler keyed on the path suffix)
+    server.createContext("/tags", tagsDispatch _)
     server.createContext("/tags/autoComplete/tags", handle(tagNames))
     server.createContext("/tags/autoComplete/values", handle(tagValues))
     server.createContext("/functions", handle(functions))
     server.createContext("/version", handle(_ => ("1.0.0-graft", "text/plain")))
     server.createContext("/lb_check", handle(_ => ("Ok\n", "text/plain")))
+    server.createContext("/_internal/capabilities", handle(capabilities))
+    server.createContext("/", handle(_ => (usageMsg, "text/plain")))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
     server.getAddress.getPort
@@ -107,7 +113,14 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
       else try java.time.ZoneId.of(tzName)
       catch { case _: Exception => throw new IllegalArgumentException(s"bad tz: $tzName") }
     val useCache = cacheTtlSec > 0 && one(p, "noCache") != "true"
-    val key = s"from:$from until:$until targets:${targets.mkString(",")} format:$format mdp:$mdp nn:$noNull tz:$tzName"
+    // image formats also vary by picture params — fold the template and any
+    // explicit graph params into the key (ref responseCacheComputeKey
+    // render_handler.go:422-448 appends template)
+    val gfx =
+      if (format == "png" || format == "svg")
+        p.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${v.mkString("|")}" }.mkString(" ")
+      else ""
+    val key = s"from:$from until:$until targets:${targets.mkString(",")} format:$format mdp:$mdp nn:$noNull tz:$tzName $gfx"
     val nowMs = System.currentTimeMillis()
     if (useCache) {
       val hit = respCache.get(key)
@@ -115,7 +128,7 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
     }
     val (body, ct) = Render.renderBytes(spark, store, targets,
       from = from, until = until, maxDataPoints = mdp,
-      format = format, noNullPoints = noNull, tz = tz)
+      format = format, noNullPoints = noNull, tz = tz, graphParams = p)
     if (useCache) {
       if (respCache.size > 4096) // lazy TTL sweep keeps the map bounded
         respCache.entrySet.removeIf(e => e.getValue._1 <= nowMs)
@@ -157,6 +170,51 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
     val results = Catalog.expand(spark, store, query).map(quote).mkString("[", ",", "]")
     (s"""{"results":$results}""", "application/json")
   }
+
+  /** Top-level /tags[/values]: graphite tag listing, keyed by path suffix
+    * like the reference's tagHandler (ref tags_handler.go:92-99). */
+  private def tagsDispatch(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    if (path.endsWith("values"))
+      handle(p => (Catalog.tagValues(spark, store, one(p, "tag"),
+        one(p, "valuePrefix", one(p, "filter")), limitOf(p))
+        .map(quote).mkString("[", ",", "]"), "application/json"))(ex)
+    else if (path.endsWith("tags"))
+      handle(p => (Catalog.tagNames(spark, store, one(p, "tagPrefix", one(p, "filter")), limitOf(p))
+        .map(quote).mkString("[", ",", "]"), "application/json"))(ex)
+    else {
+      val body = "Not Found".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(404, body.length)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    }
+  }
+
+  /** reference limit=-1 means unbounded; our catalog wants a positive cap */
+  private def limitOf(p: Params): Int =
+    one(p, "limit", "-1").toIntOption.filter(_ > 0).getOrElse(Int.MaxValue)
+
+  /** /_internal/capabilities: zipper protocol negotiation surface
+    * (ref capability.go:66-74). JSON only — the pb form of this endpoint is
+    * zipper-to-zipper and we have no zipper tier. */
+  private def capabilities(p: Params): (String, String) = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "(unknown)" }
+    (s"""{"supportedProtocols":["carbonapi_v3_pb","carbonapi_v2_pb","graphite-web-pickle","graphite-web-pickle-1.1","carbonapi_v2_json"],""" +
+      s""""name":${quote(host)},"highPrecisionTimestamps":false,"supportFilteringFunctions":false,""" +
+      s""""likeSplittedRequests":false,"supportStreaming":false}""", "application/json")
+  }
+
+  private val usageMsg: String =
+    """supported requests:
+      |    /functions/
+      |    /info/?target=
+      |    /lb_check/
+      |    /metrics/find/?query=
+      |    /render/?target=
+      |    /tags/autoComplete/tags/
+      |    /tags/autoComplete/values/
+      |    /version/
+      |""".stripMargin
 
   private def tagNames(p: Params): (String, String) =
     (Catalog.tagNames(spark, store, one(p, "tagPrefix"), one(p, "limit", "100").toInt)

@@ -215,7 +215,8 @@ object Render {
                   maxDataPoints: Long = 0, format: String = "json",
                   noNullPoints: Boolean = false,
                   tz: java.time.ZoneId = java.time.ZoneOffset.UTC,
-                  now: () => java.time.Instant = () => java.time.Instant.now()): (Array[Byte], String) = {
+                  now: () => java.time.Instant = () => java.time.Instant.now(),
+                  graphParams: Map[String, Seq[String]] = Map.empty): (Array[Byte], String) = {
     val nowEpoch = now().getEpochSecond
     val f = AtTime.toEpoch(from, nowEpoch - 86400, tz, now)
     val u = AtTime.toEpoch(until, nowEpoch, tz, now)
@@ -230,6 +231,10 @@ object Render {
         (WireFormats.protobufV3(rows), "application/x-protobuf")
       case "protobuf2" | "carbonapi_v2_pb" =>
         (WireFormats.protobufV2(rows), "application/x-protobuf")
+      case "png" =>
+        (Graph.png(rows, Graph.paramsFrom(graphParams, rows.size).copy(tz = tz)), "image/png")
+      case "svg" =>
+        (Graph.svg(rows, Graph.paramsFrom(graphParams, rows.size).copy(tz = tz)), "image/svg+xml")
       case other  => throw new IllegalArgumentException(s"unsupported format: $other")
     }
   }

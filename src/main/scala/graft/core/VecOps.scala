@@ -258,7 +258,10 @@ object VecOps {
   }
 
   /** EMA with explicit alpha; seed = first value (seedWindow=1) or mean of the
-    * first seedWindow points. (ref ewma/function.go) */
+    * first seedWindow points. A NaN seed (leading NaNs in the input) stays
+    * unset until the first non-NaN value, which then seeds the state — the
+    * reference only Push()es non-NaN values, so leading NaNs never poison
+    * the estimator. (ref ewma/function.go:58-67) */
   def emaAlpha(v: Array[Double], alpha: Double, seedWindow: Int = 1): Array[Double] = {
     val out = Array.fill(v.length)(Double.NaN)
     if (v.isEmpty) return out
@@ -268,7 +271,7 @@ object VecOps {
     while (i < v.length) {
       val x = v(i)
       if (!isNaN(x)) {
-        e = alpha * x + (1 - alpha) * e
+        e = if (isNaN(e)) x else alpha * x + (1 - alpha) * e
         out(i) = e
       } else out(i) = Double.NaN
       i += 1

@@ -162,6 +162,14 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("exponentialWeightedMovingAverage(metric1,0.9)", in, want)
   }
 
+  test("ewma: leading NaNs stay NaN and the first value seeds the state") {
+    // the reference Push()es only non-NaN values, so a NaN head never
+    // poisons the estimator (ref ewma/function.go:58-67)
+    check("ewma(metric1,0.5)",
+      Seq(md("metric1", Seq(NaN, NaN, 4, 2, NaN, 1), step = 1)),
+      Seq(md("ewma(metric1,0.5)", Seq(NaN, NaN, 4, 3, NaN, 2), step = 1)))
+  }
+
   test("movingMedian names the point count (ref movingMedian path of moving/function.go)") {
     // step-1 store, window 3: output drops the first 3 widened points
     check("movingMedian(metric1,3)",

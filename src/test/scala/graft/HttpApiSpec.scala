@@ -119,6 +119,48 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/render?target=events.click&from=1704067200&until=1706660000&tz=Not/AZone")._1 == 400)
   }
 
+  test("/render format=png returns a PNG image honoring template and width") {
+    val (code, body, ct) = getBytes("/render?target=sumSeries(events.*)&from=1704067200&until=1706660000&format=png&width=400&height=300")
+    assert(code == 200 && ct.startsWith("image/png"))
+    // PNG magic
+    assert((body(0) & 0xFF) == 0x89 && body(1) == 'P'.toByte && body(2) == 'N'.toByte && body(3) == 'G'.toByte)
+    // IHDR width=400 at offset 16 (big-endian)
+    val w = ((body(16) & 0xFF) << 24) | ((body(17) & 0xFF) << 16) | ((body(18) & 0xFF) << 8) | (body(19) & 0xFF)
+    assert(w == 400)
+    // template=plain must produce different bytes (white background)
+    val (c2, body2, _) = getBytes("/render?target=sumSeries(events.*)&from=1704067200&until=1706660000&format=png&width=400&height=300&template=plain")
+    assert(c2 == 200 && !java.util.Arrays.equals(body, body2))
+  }
+
+  test("/render format=svg draws series polylines and axis labels") {
+    val (code, body, ct) = getBytes("/render?target=events.%7Bclick,view%7D&from=1704067200&until=1706660000&format=svg&title=Events&width=800")
+    assert(code == 200 && ct.startsWith("image/svg+xml"))
+    val s = new String(body, java.nio.charset.StandardCharsets.UTF_8)
+    assert(s.startsWith("<?xml") && s.contains("<svg") && s.endsWith("</svg>\n"))
+    assert(s.contains("<polyline"))                  // at least one series line
+    assert(s.contains(">Events</text>"))             // title drawn
+    assert(s.contains("events.click"))               // legend entries
+    // default palette: first series blue #6464ff, second green #00c800
+    assert(s.contains("#6464ff") && s.contains("#00c800"))
+  }
+
+  test("/tags top-level route lists tag names and values (ref tags_handler.go)") {
+    val (code, body) = get("/tags")
+    assert(code == 200 && body.contains("\"name\""))
+    val (c2, vals) = get("/tags/values?tag=name&valuePrefix=events.v&limit=5")
+    assert(c2 == 200 && vals.contains("\"events.view\""))
+  }
+
+  test("/_internal/capabilities reports protocol support") {
+    val (code, body) = get("/_internal/capabilities")
+    assert(code == 200 && body.contains("carbonapi_v3_pb") && body.contains("\"supportStreaming\":false"))
+  }
+
+  test("/ serves the usage message") {
+    val (code, body) = get("/")
+    assert(code == 200 && body.contains("supported requests"))
+  }
+
   test("response cache serves identical bytes for a repeated request; noCache bypasses") {
     val q = "/render?target=sumSeries(events.*)&from=1704067200&until=1706660000"
     val a = getBytes(q); val b = getBytes(q)
