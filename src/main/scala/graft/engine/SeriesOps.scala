@@ -104,12 +104,13 @@ object SeriesOps {
                    align: Boolean = false): DataFrame = {
     val key =
       if (dropNodes.nonEmpty) {
-        val u = udf((n: String, drop: Seq[Int]) => {
-          val parts = n.split('.')
-          val dropSet = drop.map(i => if (i < 0) parts.length + i else i).toSet
-          parts.zipWithIndex.collect { case (p, i) if !dropSet(i) => p }.mkString(".")
-        })
-        u(col("name"), typedlit(dropNodes))
+        // keep every node EXCEPT the listed positions (negatives count from
+        // the end) — expression-only filter over the split array
+        val parts = split(col("name"), "\\.")
+        val kept = filter(parts, (_, idx) =>
+          !dropNodes.map(d => idx === (if (d >= 0) lit(d) else size(parts) + lit(d)))
+            .reduce(_ || _))
+        array_join(kept, ".")
       } else nodeKey(col("name"), nodes)
     aggregateSeries(df, func, groupKey = Some(key), nameFor = identity, align = align)
   }
@@ -122,16 +123,14 @@ object SeriesOps {
   }
 
   /** Dot-node key extraction with negative indices (ref helper.AggKey,
-    * expr/helper/helper.go:85-109). */
+    * expr/helper/helper.go:85-109). Pure-expression (codegen'd, no UDF):
+    * element_at's 1-based/negative indexing matches the reference's
+    * from-the-end rule and returns NULL out of range, which concat_ws
+    * skips — the same "drop invalid nodes" behavior as the reference's
+    * flatMap. Keeps the groupBy key inside whole-stage codegen. */
   def nodeKey(name: Column, nodes: Seq[Int]): Column = {
-    val u = udf((n: String, idx: Seq[Int]) => {
-      val parts = n.split('.')
-      idx.flatMap { i =>
-        val j = if (i < 0) parts.length + i else i
-        if (j >= 0 && j < parts.length) Some(parts(j)) else None
-      }.mkString(".")
-    })
-    u(name, typedlit(nodes))
+    val parts = split(name, "\\.")
+    concat_ws(".", nodes.map(i => element_at(parts, if (i >= 0) i + 1 else i)): _*)
   }
 
   /** asPercent with no total: each point as % of the per-ts sum over all
