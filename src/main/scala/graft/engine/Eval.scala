@@ -537,8 +537,15 @@ object Eval {
 
     // ---- generators
     "constantLine" -> ((ctx, fc) => constantLine(ctx, numArg(fc, 0))),
-    "verticalLine" -> ((ctx, fc) => ExtOps.verticalLine(ctx.spark,
-      intervalArg(fc, 0), strArg(fc, 1, "label", Some("vertical line")))),
+    // ts = until + offset (offset usually negative), hard error outside the
+    // request range (ref verticalLine/function_cairo.go:38-51)
+    "verticalLine" -> ((ctx, fc) => {
+      val ts = ctx.until + intervalArg(fc, 0, defaultSign = -1)
+      require(ts >= ctx.from, s"verticalLine: ts $ts is before start ${ctx.from}")
+      require(ts <= ctx.until, s"verticalLine: ts $ts is after end ${ctx.until}")
+      ExtOps.verticalLine(ctx.spark, ts, strArg(fc, 1, "label", Some("")),
+        strArg(fc, 2, "color", Some("")))
+    }),
     "threshold" -> ((ctx, fc) => {
       val base = constantLine(ctx, numArg(fc, 0))
       val labeled = arg(fc, 1, "label") match {

@@ -102,9 +102,15 @@ object ExtOps {
 
   /** verticalLine(ts, label): single marker point at the given timestamp.
     * (ref verticalLine/function.go) */
-  def verticalLine(spark: org.apache.spark.sql.SparkSession, ts: Long, label: String): DataFrame = {
+  /** Two-point marker series at ts with DrawAsInfinite set — the renderer
+    * turns it into a full-height line (ref verticalLine/function_cairo.go:
+    * 62-76: values [1,1], step 1, GraphOptions{DrawAsInfinite, Color}). */
+  def verticalLine(spark: org.apache.spark.sql.SparkSession, ts: Long, label: String,
+                   color: String = ""): DataFrame = {
     import spark.implicits._
-    Seq(graft.core.Series(label, Map("name" -> label), ts, 1L, Array(1.0, 1.0))).toDF()
+    val tags = Map("name" -> label, "drawAsInfinite" -> "1") ++
+      (if (color.nonEmpty) Map("color" -> color) else Map.empty)
+    Seq(graft.core.Series(label, tags, ts, 1L, Array(1.0, 1.0))).toDF()
   }
 
   // --------------------------------------------------------------- heatMap

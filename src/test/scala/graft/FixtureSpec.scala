@@ -162,6 +162,35 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("exponentialWeightedMovingAverage(metric1,0.9)", in, want)
   }
 
+  test("verticalLine anchors to until+offset, errors out of range (ref verticalLine/function_test.go)") {
+    // request [from=1000, until=2800]; "-5m" → ts = 2800 - 300 = 2500
+    check("verticalLine('-5m','mark')", Seq(md("foo", Seq(1, 2, 3), start = 1000)),
+      Seq(md("mark", Seq(1.0, 1.0), step = 1, start = 2500)),
+      from = 1000, until = 2800)
+    // default label is empty (ref function_test.go case 1)
+    check("verticalLine('-5m')", Seq(md("foo", Seq(1, 2, 3), start = 1000)),
+      Seq(md("", Seq(1.0, 1.0), step = 1, start = 2500)),
+      from = 1000, until = 2800)
+    // out of range both ways (ref TsOutOfRangeError)
+    intercept[Exception](run("verticalLine('-1h')", Seq(md("foo", Seq(1), start = 1000)),
+      from = 1000, until = 2800))
+    intercept[Exception](run("verticalLine('+5m')", Seq(md("foo", Seq(1), start = 1000)),
+      from = 1000, until = 2800))
+  }
+
+  test("randomWalk is seeded, bounded-step, and fills the request range") {
+    val out = run("randomWalk('walk',60)", Seq.empty, from = 0, until = 600)
+    assert(out.map(_.name) == Seq("walk"))
+    val s = out.head
+    assert(s.step == 60 && s.values.length == 10)
+    assert(s.values.head == 0.0)
+    // each delta is uniform in [-0.5, 0.5)
+    s.values.sliding(2).foreach { case Array(a, b) => assert(math.abs(b - a) <= 0.5) }
+    // deterministic seed: same target, same values
+    assert(run("randomWalk('walk',60)", Seq.empty, from = 0, until = 600).head.values
+      .sameElements(s.values))
+  }
+
   test("ewma: leading NaNs stay NaN and the first value seeds the state") {
     // the reference Push()es only non-NaN values, so a NaN head never
     // poisons the estimator (ref ewma/function.go:58-67)
