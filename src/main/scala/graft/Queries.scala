@@ -242,6 +242,17 @@ object Queries {
           dround(col("cosine"), 4).as("cosine"))
         .orderBy("vec_a", "vec_b")),
 
+    // SRP-LSH scale path for near-dup (no oracle — the band hash has no
+    // DuckDB twin; recall vs the exact p12 join is gated in PipelineSpec)
+    // the driver corpus has no true near-dups (max cosine ≈.5-.6), so the
+    // catalog entry runs at the highest threshold that still yields pairs;
+    // band width/count auto-tune from corpus size + recall target
+    "p14_srp_neardup" -> ((s, dir) =>
+      Similarity.srpNearDupPairs(embeddings(s, dir), threshold = 0.4)
+        .select(col("vec_a"), col("vec_b"), col("label").cast("long").as("label"),
+          dround(col("cosine"), 4).as("cosine"))
+        .orderBy("vec_a", "vec_b")),
+
     "p13_repetition" -> ((s, dir) =>
       TextStats.repetitionSignals(docs(s, dir))
         .select(col("doc_id"), col("n_words").cast("long").as("n_words"),

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Empirical scale-story validation: synthesize a 10× corpus from the largest
+ * driver SF (more series, more docs, more vectors — the axis a 100 TB
+ * deployment actually grows along), run the headline queries at 1× and 10×,
+ * and print per-query growth ratios.
+ *
+ * The copies are deterministic (no RNG) and perturbed so they do NOT form
+ * artificial near-duplicate groups — a naive 10× copy would multiply every
+ * doc's dup-pair count by C(10,2) and turn the sub-quadratic dedup claim
+ * into an unreadable measurement:
+ *   - events: event_type gets a per-copy suffix → 10× distinct series
+ *   - documents: per-copy vowel substitution rewrites most words → disjoint
+ *     shingle sets across copies
+ *   - embeddings: per-(copy, dim) sinusoidal offset → cosine < near-dup
+ *     threshold across copies
+ *
+ * Usage: runMain graft.ScaleBench [baseDir] [workDir]
+ * (defaults /root/testdata/sf0.1 → /tmp/graft_sf1; generation is idempotent)
+ */
+object ScaleBench {
+
+  private val Copies = 10
+
+  def generate(spark: SparkSession, baseDir: String, workDir: String): Unit = {
+    val done = new java.io.File(s"$workDir/_DONE")
+    if (done.exists()) return
+    val vowelMaps = // copy 0 is the identity; others rotate the vowel set
+      Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
+        "aeiuo", "eiuoa", "iuoae", "uoaei", "oaeiu")
+
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until Copies).map(i => f(df, i)).reduce(_ unionByName _)
+
+    val events = spark.read.parquet(s"$baseDir/events.parquet")
+    copies(events) { (df, i) =>
+      if (i == 0) df
+      else df
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 100_000_000L))
+        .withColumn("event_type", concat(col("event_type"), lit(s"_$i")))
+        .withColumn("value", col("value") * lit(1.0 + i * 0.01))
+    }.write.mode("overwrite").parquet(s"$workDir/events.parquet")
+
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    copies(docs) { (df, i) =>
+      if (i == 0) df
+      else df
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10_000_000L))
+        .withColumn("text", translate(col("text"), "aeiou", vowelMaps(i)))
+    }.write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    copies(emb) { (df, i) =>
+      if (i == 0) df
+      else df
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10_000_000L))
+        .withColumn("embedding",
+          zip_with(col("embedding"),
+            transform(sequence(lit(1), size(col("embedding"))),
+              j => sin(j.cast("double") * lit(i.toDouble))),
+            (x, s) => (x + lit(0.3f) * s.cast("float")).cast("float")))
+    }.write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
+
+    done.createNewFile()
+  }
+
+  /** Headline subset: the scan/agg/window graphite shapes plus every
+    * pipeline operator whose growth curve the scale claim rests on. */
+  private val Headline = Seq(
+    "g01_sum_series", "g02_avg_series", "g08_percentile_series",
+    "g14_moving_avg", "g16_summarize_day", "g18_groupbynode", "g41_countvalues",
+    "p01_dedup_exact", "p02_token_count", "p04_language_id",
+    "p05_minhash_pairs", "p06_simhash_pairs", "p11_ngram_jaccard",
+    "p12_embed_neardup", "p14_srp_neardup", "p07_cosine_topk", "p09_ivf_topk")
+
+  private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture
+    Headline.map { name =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, dir).count()
+      catch { case e: Throwable => System.err.println(s"[scale] $name failed: $e"); -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, baseDir, workDir)
+    val base = runAll(spark, baseDir)
+    val x10 = runAll(spark, workDir).toMap
+    def fmt(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val ratios = base.map { case (k, v) => k -> (if (v > 0) x10(k) / v else -1.0) }
+    println(s"""{"metric":"scaleup_x${Copies}","base":${fmt(base)},"x10":${fmt(x10.toSeq)},"ratio":${fmt(ratios)}}""")
+    spark.stop()
+  }
+}

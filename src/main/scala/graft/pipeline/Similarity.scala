@@ -158,6 +158,77 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /**
+   * Signed-random-projection LSH near-duplicate pairs — the scale path for
+   * [[labelBlockedNearDup]], whose per-block self-join is quadratic in block
+   * size (measured 13-21× cost at a 10× corpus in ScaleBench). SRP collision
+   * probability per bit is 1 − θ/π, so high-cosine pairs collide in at least
+   * one band with near-certainty while the bucket join prunes everything
+   * else; candidates are then verified with the exact cosine, making
+   * precision exact and recall the only approximation.
+   *
+   * Parameters auto-tune like IVF's nlist: band width grows with log(corpus)
+   * so bucket occupancy stays near `targetBucket` (bounded candidates), and
+   * the band count is solved from `minRecall` at the given threshold. The
+   * honest limit: at near-dup thresholds (≥ ~0.85) a handful of bands
+   * reaches the recall target at any corpus size; at moderate thresholds
+   * the needed band count explodes (capped at 64) and recall degrades —
+   * there the exact blocked join is the only correct plan, which is why
+   * both operators exist. Hyperplanes are deterministic (fixed seed).
+   */
+  def srpNearDupPairs(emb: DataFrame, threshold: Double,
+                      targetBucket: Int = 50, minRecall: Double = 0.95,
+                      bitsOverride: Int = 0, bandsOverride: Int = 0): DataFrame = {
+    val n = math.max(emb.count(), 1L) // one metadata-scale job, like IVF training
+    val bitsPerBand =
+      if (bitsOverride > 0) bitsOverride
+      else math.min(48, math.max(4,
+        math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt))
+    val pBit = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+    val pBand = math.pow(pBit, bitsPerBand)
+    val nBands =
+      if (bandsOverride > 0) bandsOverride
+      else math.min(64, math.max(1,
+        math.ceil(math.log(1.0 - minRecall) / math.log(1.0 - pBand)).toInt))
+    val nPlanes = bitsPerBand * nBands
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val rnd = new scala.util.Random(42)
+    val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    // one band key per bitsPerBand sign bits, emitted directly by the
+    // signature fold (sign of <v, plane_p>)
+    val bandUdf = udf((v: Seq[Float]) => {
+      val keys = new Array[Long](nBands)
+      var p = 0
+      while (p < nPlanes) {
+        var d = 0.0; var i = 0
+        val pl = planes(p)
+        val n = math.min(v.length, dim)
+        while (i < n) { d += v(i) * pl(i); i += 1 }
+        if (d >= 0) keys(p / bitsPerBand) |= (1L << (p % bitsPerBand))
+        p += 1
+      }
+      keys
+    })
+    // signatures computed once, reused by both join sides
+    val sigs = emb.select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"), bandUdf(col("embedding")).as("keys"))
+      .persist()
+    val banded = sigs.select(col("vec_id"), col("embedding"), col("nrm"),
+      col("label"), posexplode(col("keys")).as(Seq("band", "key")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .where(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
+  }
+
   /** Pairwise label-centroid cosine similarity matrix (embeddings quality
     * diagnostic). Centroids average per (label, dimension) via posexplode —
     * scalar partial aggregation, so a hot label never materializes all its

@@ -86,6 +86,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"banded simhash != brute force: missed ${all.diff(foundPairs).take(5)}, extra ${foundPairs.diff(all).take(5)}")
   }
 
+  test("p14: SRP near-dup has exact precision and full recall on planted duplicates") {
+    // every emitted pair is verified by the exact cosine → precision is
+    // exact by construction; check it against the blocked-exact join
+    val est = Similarity.srpNearDupPairs(embeddings, threshold = 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactAll = Similarity.labelBlockedNearDup(
+        embeddings.withColumn("label", lit(0)), threshold = 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(est.subsetOf(exactAll), s"false positives: ${est.diff(exactAll).take(5)}")
+    // auto-tuned bands solve for ≥0.95 expected recall at the threshold
+    val recall = est.size.toDouble / math.max(1, exactAll.size)
+    assert(recall >= 0.7, s"SRP recall $recall below 0.7 at threshold 0.4")
+
+    // the scale contract: at a real near-dup threshold the default 8-bit
+    // bands must find every planted duplicate (tiny perturbation ⇒ cos ≈ 1)
+    val planted = embeddings.limit(50)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01f) + lit(0.001f)).as("embedding"),
+        col("label"))
+    val withDups = embeddings.unionByName(planted)
+    val found = Similarity.srpNearDupPairs(withDups, threshold = 0.95)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wanted = embeddings.limit(50).select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(wanted.subsetOf(found),
+      s"missed planted near-dups: ${wanted.diff(found).take(5)}")
+  }
+
   test("p08: fingerprints are deterministic and equal exactly for equal texts") {
     val fp1 = docs.select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
     val fp2 = docs.select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp2"))
