@@ -73,15 +73,17 @@ object Graph {
     def bool(k: String, d: Boolean): Boolean =
       one(k).map(v => v == "true" || v == "1" || v == "yes").getOrElse(d)
     val t = templates.getOrElse(one("template").getOrElse("default"), templates("default"))
+    // pixelRatio scales the whole surface (ref pixel_ratio.go)
+    val pr = math.max(0.1, num("pixelRatio", 1.0))
     t.copy(
-      width = int("width", t.width),
-      height = int("height", t.height),
-      margin = int("margin", t.margin),
+      width = (int("width", t.width) * pr).toInt,
+      height = (int("height", t.height) * pr).toInt,
+      margin = (int("margin", t.margin) * pr).toInt,
       fgColor = one("fgcolor").getOrElse(t.fgColor),
       bgColor = one("bgcolor").getOrElse(t.bgColor),
       majorLine = one("majorLine").getOrElse(t.majorLine),
       minorLine = one("minorLine").getOrElse(t.minorLine),
-      fontSize = num("fontSize", t.fontSize),
+      fontSize = num("fontSize", t.fontSize) * pr,
       graphOnly = bool("graphOnly", t.graphOnly),
       hideLegend = bool("hideLegend", nSeries > 10),
       hideGrid = bool("hideGrid", t.hideGrid),
@@ -89,7 +91,7 @@ object Graph {
       hideYAxis = bool("hideYAxis", t.hideYAxis),
       hideXAxis = bool("hideXAxis", t.hideXAxis),
       title = one("title").getOrElse(t.title),
-      lineWidth = num("lineWidth", t.lineWidth),
+      lineWidth = num("lineWidth", t.lineWidth) * pr,
       lineMode = one("lineMode").getOrElse(t.lineMode),
       connectedLimit = int("connectedLimit", t.connectedLimit),
       colorList = one("colorList").map(_.split(',').map(_.trim).toSeq).getOrElse(t.colorList),

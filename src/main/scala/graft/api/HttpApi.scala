@@ -113,14 +113,11 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
       else try java.time.ZoneId.of(tzName)
       catch { case _: Exception => throw new IllegalArgumentException(s"bad tz: $tzName") }
     val useCache = cacheTtlSec > 0 && one(p, "noCache") != "true"
-    // image formats also vary by picture params — fold the template and any
-    // explicit graph params into the key (ref responseCacheComputeKey
-    // render_handler.go:422-448 appends template)
-    val gfx =
-      if (format == "png" || format == "svg")
-        p.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${v.mkString("|")}" }.mkString(" ")
-      else ""
-    val key = s"from:$from until:$until targets:${targets.mkString(",")} format:$format mdp:$mdp nn:$noNull tz:$tzName $gfx"
+    // the full sorted param map is the key: every render-affecting param
+    // (template, picture params, timestampFormat, jsonp, …) varies the body
+    // (ref responseCacheComputeKey render_handler.go:422-448)
+    val key = p.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=${v.mkString("|")}" }.mkString(" ")
     val nowMs = System.currentTimeMillis()
     if (useCache) {
       val hit = respCache.get(key)

@@ -145,8 +145,11 @@ object Render {
   } + "\""
 
   /** Graphite JSON: [{"target":…,"datapoints":[[v|null,ts],…],"tags":{…}}].
-    * (ref MarshalJSON expr/types/types.go:120-198) */
-  def json(rows: Seq[RenderedSeries], noNullPoints: Boolean = false): String = {
+    * `tsMul` scales timestamps for timestampFormat=ms/us/ns
+    * (ref MarshalJSON expr/types/types.go:120-198; multiplier
+    * render_handler.go:130-149). */
+  def json(rows: Seq[RenderedSeries], noNullPoints: Boolean = false,
+           tsMul: Long = 1): String = {
     val sb = new StringBuilder("[")
     var first = true
     rows.foreach { r =>
@@ -162,7 +165,7 @@ object Render {
           inner = true
           sb += '['
           if (Kernels.isNaN(v) || v.isInfinite) sb ++= "null" else sb ++= fmtDouble(v)
-          sb += ',' ++= t.toString += ']'
+          sb += ',' ++= (t * tsMul).toString += ']'
           t += r.step
         }
       }
@@ -222,8 +225,24 @@ object Render {
     val u = AtTime.toEpoch(until, nowEpoch, tz, now)
     val rows = consolidate(eval(spark, store, targets, f, u), maxDataPoints)
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def gp(k: String): Option[String] = graphParams.get(k).flatMap(_.headOption).filter(_.nonEmpty)
+    // timestampFormat: s | ms | us | ns (ref render_handler.go:130-149)
+    val tsMul = gp("timestampFormat").map(_.toLowerCase).getOrElse("s") match {
+      case "s" => 1L
+      case "ms" | "millisecond" | "milliseconds" => 1000L
+      case "us" | "microsecond" | "microseconds" => 1000000L
+      case "ns" | "nanosecond" | "nanoseconds" => 1000000000L
+      case other => throw new IllegalArgumentException(
+        s"unsupported timestamp format $other, supported: 's', 'ms', 'us', 'ns'")
+    }
     format match {
-      case "json" => (json(rows, noNullPoints).getBytes(utf8), "application/json")
+      case "json" =>
+        // jsonp wraps the body in callback(...) (ref render_handler.go:125-128,398)
+        gp("jsonp") match {
+          case Some(cb) =>
+            ((cb + "(" + json(rows, noNullPoints, tsMul) + ")").getBytes(utf8), "text/javascript")
+          case None => (json(rows, noNullPoints, tsMul).getBytes(utf8), "application/json")
+        }
       case "csv"  => (csv(rows).getBytes(utf8), "text/csv")
       case "raw"  => (raw(rows).getBytes(utf8), "text/plain")
       case "pickle" => (WireFormats.pickle(rows), "application/pickle")

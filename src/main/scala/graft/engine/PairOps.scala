@@ -70,16 +70,27 @@ object PairOps {
   /** join(listA, listB, type): set operation on series NAMES.
     * (ref join/function.go:77-180) */
   def joinNames(a: DataFrame, b: DataFrame, joinType: String): DataFrame = {
-    val bn = b.select(col("name")).distinct()
+    import org.apache.spark.sql.expressions.Window
+    // OR/XOR need both sides' name sets; expressing them as two anti-joins
+    // would re-execute each input plan (and its store fetch) twice. A tagged
+    // union + per-name window scans each side exactly once — the window
+    // shuffles series ROWS (bounded by series count), never points.
+    lazy val tagged = a.withColumn("_side", lit(0))
+      .unionByName(b.withColumn("_side", lit(1)))
+    lazy val w = Window.partitionBy(col("name"))
     joinType.toUpperCase match {
-      case "AND" => a.join(bn, Seq("name"), "left_semi")
-      case "OR"  =>
-        // all of A plus B-series whose names are not in A
-        a.unionByName(b.join(a.select(col("name")).distinct(), Seq("name"), "left_anti"))
+      case "AND" => a.join(b.select(col("name")).distinct(), Seq("name"), "left_semi")
+      case "OR" =>
+        // all of A plus B-series whose names are not in A = rows whose side
+        // equals the minimum side seen for that name
+        tagged.withColumn("_min", min(col("_side")).over(w))
+          .where(col("_side") === col("_min")).drop("_side", "_min")
       case "XOR" =>
-        a.join(bn, Seq("name"), "left_anti")
-          .unionByName(b.join(a.select(col("name")).distinct(), Seq("name"), "left_anti"))
-      case "SUB" => a.join(bn, Seq("name"), "left_anti")
+        // names present on exactly one side
+        tagged.withColumn("_min", min(col("_side")).over(w))
+          .withColumn("_max", max(col("_side")).over(w))
+          .where(col("_min") === col("_max")).drop("_side", "_min", "_max")
+      case "SUB" => a.join(b.select(col("name")).distinct(), Seq("name"), "left_anti")
       case other => throw new IllegalArgumentException(s"join: bad type $other")
     }
   }

@@ -144,6 +144,24 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("#6464ff") && s.contains("#00c800"))
   }
 
+  test("/render timestampFormat scales json timestamps; jsonp wraps; bad format is 400") {
+    val base = "/render?target=events.click&from=1704067200&until=1704070000"
+    val (c1, s) = get(base)
+    val (c2, ms) = get(base + "&timestampFormat=ms")
+    assert(c1 == 200 && c2 == 200)
+    assert(s.contains(",1704067200]") && ms.contains(",1704067200000]"))
+    assert(get(base + "&timestampFormat=fortnights")._1 == 400)
+    val (c3, js) = get(base + "&jsonp=myCb")
+    assert(c3 == 200 && js.startsWith("myCb([") && js.endsWith(")"))
+  }
+
+  test("/render pixelRatio scales the png surface (ref pixel_ratio.go)") {
+    val (code, body, _) = getBytes("/render?target=events.click&from=1704067200&until=1706660000&format=png&width=200&height=100&pixelRatio=2")
+    assert(code == 200)
+    val w = ((body(16) & 0xFF) << 24) | ((body(17) & 0xFF) << 16) | ((body(18) & 0xFF) << 8) | (body(19) & 0xFF)
+    assert(w == 400)
+  }
+
   test("/tags top-level route lists tag names and values (ref tags_handler.go)") {
     val (code, body) = get("/tags")
     assert(code == 200 && body.contains("\"name\""))
