@@ -76,7 +76,15 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
 
   private def params(ex: HttpExchange): Params = {
     val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-    q.split("&").filter(_.nonEmpty).toSeq
+    // POST bodies are urlencoded forms merged with the query string, like
+    // the reference's r.ParseForm() (Grafana POSTs /render)
+    val form =
+      if (ex.getRequestMethod == "POST" &&
+          Option(ex.getRequestHeaders.getFirst("Content-Type"))
+            .forall(_.startsWith("application/x-www-form-urlencoded")))
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      else ""
+    (q + "&" + form).split("&").filter(_.nonEmpty).toSeq
       .map { kv =>
         val i = kv.indexOf('=')
         if (i < 0) (dec(kv), "") else (dec(kv.take(i)), dec(kv.drop(i + 1)))

@@ -20,7 +20,15 @@ import graft.store.SeriesStore
  */
 object Eval {
 
-  case class Ctx(spark: SparkSession, store: SeriesStore, from: Long, until: Long) {
+  /** `fetchMemo` is per-request fetch dedup, mirroring the reference's
+    * MultiFetchRequest coalescing (ref expr/expr.go:72-92): the same
+    * glob+range appearing in several argument positions shares ONE
+    * DataFrame (one scan subtree). A constructor param so `copy` (incl.
+    * widen) shares the map; the range in the key keeps widened fetches
+    * distinct. */
+  case class Ctx(spark: SparkSession, store: SeriesStore, from: Long, until: Long,
+                 fetchMemo: scala.collection.mutable.Map[(String, Long, Long), DataFrame] =
+                   scala.collection.mutable.Map.empty) {
     def widen(by: Long): Ctx = copy(from = from - by)
   }
 
@@ -36,7 +44,8 @@ object Eval {
   def eval(ast: Ast, ctx: Ctx): DataFrame = ast match {
     case graft.parser.FrameExpr(df, _) => df
     case NameExpr(t) if t.startsWith("seriesByTag(") => RewriteOps.seriesByTag(ctx, t)
-    case NameExpr(t) => ctx.store.fetch(ctx.spark, t, ctx.from, ctx.until)
+    case NameExpr(t) => ctx.fetchMemo.getOrElseUpdate((t, ctx.from, ctx.until),
+      ctx.store.fetch(ctx.spark, t, ctx.from, ctx.until))
     case fc: FuncCall =>
       registry.getOrElse(fc.name,
         throw new IllegalArgumentException(s"unsupported function: ${fc.name}")).apply(ctx, fc)

@@ -162,6 +162,17 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w == 400)
   }
 
+  test("/render accepts POST form bodies (Grafana posts its render requests)") {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/render"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          "target=events.click&from=1704067200&until=1704070000&format=json"))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200 && resp.body().contains("\"target\":\"events.click\""))
+  }
+
   test("/tags top-level route lists tag names and values (ref tags_handler.go)") {
     val (code, body) = get("/tags")
     assert(code == 200 && body.contains("\"name\""))
