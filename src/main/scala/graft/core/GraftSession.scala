@@ -18,6 +18,9 @@ object GraftSession {
   def builder(master: String, cores: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // native sketch expressions (minhash_sig / simhash_fp) via the
+      // sanctioned injectFunction extension point
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")

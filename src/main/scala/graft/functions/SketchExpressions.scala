@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/**
+ * Native Catalyst expressions for the sketch hot loops, registered through
+ * the sanctioned `SparkSessionExtensions.injectFunction` extension point
+ * (wired in GraftSession.builder, also usable via `spark.sql.extensions`).
+ *
+ * The minhash/simhash signature folds run numHashes×shingles (resp.
+ * 64×tokens) primitive-long operations per document. As Scala UDFs the
+ * input arrives as a boxed `Seq[Long]` — every element allocates — and the
+ * call sits outside whole-stage codegen. These expressions generate the
+ * loop directly into the stage body over `ArrayData.getLong` (zero boxing,
+ * zero allocation beyond the output array) with an interpreted `eval`
+ * fallback: the (b)-tier extension — a scalar kernel Spark's built-ins
+ * can't express efficiently — not a new operator.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(h, Literal(n: Int, IntegerType)) => MinhashSig(h, n)
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig(array<bigint>, <int literal>), got $other")
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimhashFp].getName, "simhash_fp"),
+      (args: Seq[Expression]) => SimhashFp(args.head)))
+  }
+}
+
+object SketchExpressions {
+
+  /** splitmix64 finalizer over (h + i·GOLDEN) — must match the Java emitted
+    * by the codegen paths below bit for bit. */
+  @inline def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def minhashSig(baseHashes: Column, numHashes: Int): Column =
+    call_function("minhash_sig", baseHashes, lit(numHashes))
+
+  def simhashFp(tokenHashes: Column): Column =
+    call_function("simhash_fp", tokenHashes)
+
+  private[functions] def requireLongArray(e: Expression, fn: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects array<bigint>, got ${other.catalogString}")
+    }
+}
+
+/** signature(i) = min over base hashes h of splitmix64(h + i·GOLDEN),
+  * i ∈ [0, numHashes). Input array<long>, output array<long> (never null
+  * elements; an empty shingle set yields Long.MaxValue sentinels, same as
+  * the UDF it replaces). */
+case class MinhashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchExpressions.requireLongArray(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val h = SketchExpressions.splitmix64(hs.getLong(j) + i * 0x9E3779B97F4A7C15L)
+        if (h < m) m = h
+        j += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val z = ctx.freshName("z")
+      s"""
+         |long[] $out = new long[$numHashes];
+         |int $n = $c.numElements();
+         |for (int $i = 0; $i < $numHashes; $i++) {
+         |  long $m = Long.MAX_VALUE;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $z = $c.getLong($j) + (long) $i * 0x9E3779B97F4A7C15L + 0x9E3779B97F4A7C15L;
+         |    $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |    $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |    $z = $z ^ ($z >>> 31);
+         |    if ($z < $m) $m = $z;
+         |  }
+         |  $out[$i] = $m;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash fingerprint: per-bit majority vote over the token hashes
+  * (bit set when set-votes outnumber clear-votes). Input array<long>,
+  * output long. */
+case class SimhashFp(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchExpressions.requireLongArray(child, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_fp"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int[] $votes = new int[64];
+         |int $n = $c.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $c.getLong($j);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $fp |= (1L << $b);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -77,26 +77,13 @@ object Dedup {
   def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 64): Column =
     minhashFromWords(wordsOf(text), k, numHashes)
 
-  /** MinHash signature from a materialized words-array column (hot path). */
-  def minhashFromWords(w: Column, k: Int = 3, numHashes: Int = 64): Column = {
-    val baseHashes = transform(shinglesOf(w, k), s => xxhash64(s))
-    val sigUdf = udf((hs: Seq[Long]) => {
-      val out = new Array[Long](numHashes)
-      var i = 0
-      while (i < numHashes) {
-        var m = Long.MaxValue
-        val it = hs.iterator
-        while (it.hasNext) {
-          val h = splitmix64(it.next() + i * 0x9E3779B97F4A7C15L)
-          if (h < m) m = h
-        }
-        out(i) = m
-        i += 1
-      }
-      out
-    })
-    sigUdf(baseHashes)
-  }
+  /** MinHash signature from a materialized words-array column (hot path).
+    * The numHashes×shingles min-fold is a native codegen'd expression
+    * ([[graft.functions.MinhashSig]]) — the former Scala UDF boxed every
+    * base hash into a Seq[Long] and broke whole-stage codegen. */
+  def minhashFromWords(w: Column, k: Int = 3, numHashes: Int = 64): Column =
+    graft.functions.SketchExpressions.minhashSig(
+      transform(shinglesOf(w, k), s => xxhash64(s)), numHashes)
 
   /**
    * MinHash + LSH near-duplicate pairs: signatures are banded
@@ -143,26 +130,10 @@ object Dedup {
    */
   def simhash(text: Column): Column = {
     val words = filter(split(lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+"), w => length(w) > 0)
-    // hash tokens once (codegen'd), then fold the 64 bit-votes in a vector
-    // UDF on primitive longs — same two-stage split as minhashSignature.
-    val hashes = transform(words, w => xxhash64(w))
-    val fpUdf = udf((hs: Seq[Long]) => {
-      val votes = new Array[Int](64)
-      val it = hs.iterator
-      while (it.hasNext) {
-        val h = it.next()
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      var fp = 0L
-      var b = 0
-      while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
-      fp
-    })
-    fpUdf(hashes)
+    // hash tokens once (codegen'd), then fold the 64 bit-votes in a native
+    // codegen'd expression ([[graft.functions.SimhashFp]]) — same two-stage
+    // split as minhashSignature, now with zero boxing end to end.
+    graft.functions.SketchExpressions.simhashFp(transform(words, w => xxhash64(w)))
   }
 
   /**

@@ -188,7 +188,7 @@ object Similarity {
     val pBand = math.pow(pBit, bitsPerBand)
     val nBands =
       if (bandsOverride > 0) bandsOverride
-      else math.min(64, math.max(1,
+      else math.min(32, math.max(1,
         math.ceil(math.log(1.0 - minRecall) / math.log(1.0 - pBand)).toInt))
     val nPlanes = bitsPerBand * nBands
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
@@ -213,17 +213,21 @@ object Similarity {
     val sigs = emb.select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"), bandUdf(col("embedding")).as("keys"))
       .persist()
-    val banded = sigs.select(col("vec_id"), col("embedding"), col("nrm"),
-      col("label"), posexplode(col("keys")).as(Seq("band", "key")))
-    val cand = banded.as("a").join(banded.as("b"),
+    // band join on NARROW rows (ids + key only): a pair can collide in up to
+    // nBands bands, so carrying the vectors here would shuffle each one
+    // nBands× — dedup first, then re-attach embeddings once per surviving
+    // pair for the exact-cosine verification
+    val banded = sigs.select(col("vec_id"), posexplode(col("keys")).as(Seq("band", "key")))
+    val candIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"),
-        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
-    cand
+    candIds
+      .join(sigs.select(col("vec_id").as("vec_a"), col("label"),
+        col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(sigs.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
       .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .where(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
