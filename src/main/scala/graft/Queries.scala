@@ -327,7 +327,7 @@ object Queries {
         |  SELECT name, ts, max(v) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS wmax FROM s)
         |WHERE ts >= (SELECT t0 FROM b) + 12*3600 AND wmax IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g16_summarize_day" ->
-      (S + """SELECT 'summarize(' || name || ',"86400s","sum")' AS name,
+      (S + """SELECT 'summarize(' || name || ',''1d'',''sum'')' AS name,
         |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts, round(sum(v), 4) AS value
         |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
     "g17_aspercent" ->
@@ -395,7 +395,7 @@ object Queries {
     "g33_timeshift" ->
       (S + "SELECT 'timeShift(' || name || ',''-86400'',false)' AS name, ts + 86400 AS ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g34_smartsummarize" ->
-      (S + """SELECT 'smartSummarize(' || name || ',"86400s","max")' AS name,
+      (S + """SELECT 'smartSummarize(' || name || ',''1d'',''max'',''days'')' AS name,
         |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts, round(max(v), 4) AS value
         |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
     "g35_stdev" ->
@@ -408,7 +408,7 @@ object Queries {
         |keep AS (SELECT sc.name FROM sc, fences WHERE sc.a > fences.q3 + 0.5 * (fences.q3 - fences.q1) ORDER BY sc.a DESC, sc.name LIMIT 2)
         |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep ON s.name = keep.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
     "g37_slo_day" ->
-      (S + """SELECT 'slo(' || name || ',"86400s","avg")' AS name,
+      (S + """SELECT 'slo(' || name || ', 1d, above, 100)' AS name,
         |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts,
         |  round(avg(CASE WHEN v > 100 THEN 1.0 WHEN v IS NULL THEN NULL ELSE 0.0 END), 4) AS value
         |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
@@ -629,7 +629,7 @@ object Queries {
         |      - (SELECT count(*) FROM ya WHERE ya.v <= u.v) * 1.0 / (SELECT count(*) FROM ya))) AS ks FROM u)
         |SELECT 'kolmogorovSmirnovTest2(events.click,events.view,60)' AS name, (SELECT t0 FROM b) AS ts, round(ks, 4) AS value FROM d""".stripMargin),
     "g87_sloerrorbudget" ->
-      (S + """SELECT 'sloErrorBudget(' || name || ',"86400s","avg")' AS name,
+      (S + """SELECT 'sloErrorBudget(' || name || ', 1d, above, 100, 0.9)' AS name,
         |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts,
         |  round(avg(CASE WHEN v > 100 THEN 1.0 WHEN v IS NULL THEN NULL ELSE 0.0 END) - 0.9, 4) AS value
         |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),

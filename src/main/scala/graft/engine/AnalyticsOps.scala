@@ -266,8 +266,10 @@ object AnalyticsOps {
   // ------------------------------------------------------------------- slo
 
   /** slo(list, interval, method, value): per-bucket fraction of points
-    * meeting the predicate. (ref slo/function.go) */
-  def slo(df: DataFrame, interval: Long, method: String, value: Double): DataFrame = {
+    * meeting the predicate. Name: `slo(m, 1d, above, 100)` — spaces, raw
+    * unquoted values (ref slo/function.go:108-114). */
+  def slo(df: DataFrame, interval: Long, method: String, value: Double,
+          rawInterval: String = ""): DataFrame = {
     val pred: Double => Boolean = method match {
       case "above"        => _ > value
       case "aboveOrEqual" => _ >= value
@@ -275,17 +277,24 @@ object AnalyticsOps {
       case "belowOrEqual" => _ <= value
       case other => throw new IllegalArgumentException(s"slo: bad method $other")
     }
+    val raw = if (rawInterval.nonEmpty) rawInterval else s"${interval}s"
     val indicator = mapVec(df, v => v.map(x =>
       if (Kernels.isNaN(x)) Double.NaN else if (pred(x)) 1.0 else 0.0))
     SeriesOps.summarize(indicator, interval, "avg")
-      .withColumn("name", regexp_replace(col("name"), "^summarize\\(", "slo("))
+      .withColumn("name", concat(
+        lit("slo("), regexp_extract(col("name"), "^summarize\\((.*),'[^']*','avg'\\)$", 1),
+        lit(s", $raw, $method, ${SeriesOps.fmtNum(value)})")))
   }
 
-  /** sloErrorBudget: slo fraction minus objective. */
-  def sloErrorBudget(df: DataFrame, interval: Long, method: String, value: Double, objective: Double): DataFrame =
-    slo(df, interval, method, value)
+  /** sloErrorBudget: slo fraction minus objective; the objective joins the
+    * name args (ref slo/function.go:112). */
+  def sloErrorBudget(df: DataFrame, interval: Long, method: String, value: Double,
+                     objective: Double, rawInterval: String = ""): DataFrame =
+    slo(df, interval, method, value, rawInterval)
       .withColumn("values", transform(col("values"), v => v - lit(objective)))
-      .withColumn("name", regexp_replace(col("name"), "^slo\\(", "sloErrorBudget("))
+      .withColumn("name", concat(lit("sloErrorBudget("),
+        regexp_extract(col("name"), "^slo\\((.*)\\)$", 1),
+        lit(s", ${SeriesOps.fmtNum(objective)})")))
 
   // ------------------------------------------------------------------- fft
 

@@ -308,7 +308,12 @@ object Eval {
     "ewma" -> ((ctx, fc) => SeriesOps.ewma(seriesArg(ctx, fc), numArg(fc, 1))),
     "exponentialWeightedMovingAverage" -> ((ctx, fc) => SeriesOps.ewma(seriesArg(ctx, fc), numArg(fc, 1))),
     "summarize" -> ((ctx, fc) => SeriesOps.summarize(seriesArg(ctx, fc),
-      intervalArg(fc, 1), strArg(fc, 2, "func", Some("sum")), boolArg(fc, 3, "alignToFrom"))),
+      intervalArg(fc, 1), strArg(fc, 2, "func", Some("sum")), boolArg(fc, 3, "alignToFrom"),
+      rawInterval = strArg(fc, 1),
+      // name includes func/align only when the caller gave them
+      // (ref summarize/function.go:81-95)
+      funcOk = fc.named.contains("func") || fc.args.length > 2,
+      alignOk = fc.named.contains("alignToFrom") || fc.args.length > 3)),
     "hitcount" -> ((ctx, fc) => {
       val interval = intervalArg(fc, 1)
       val align = boolArg(fc, 2, "alignToInterval")
@@ -424,7 +429,8 @@ object Eval {
       })
     }),
     "smartSummarize" -> ((ctx, fc) => TimeOps.smartSummarize(seriesArg(ctx, fc),
-      intervalArg(fc, 1), strArg(fc, 2, "func", Some("sum")), strArg(fc, 3, "alignTo", Some("")))),
+      intervalArg(fc, 1), strArg(fc, 2, "func", Some("sum")), strArg(fc, 3, "alignTo", Some("")),
+      rawInterval = strArg(fc, 1))),
     "fallbackSeries" -> ((ctx, fc) => TimeOps.fallbackSeries(seriesArg(ctx, fc), seriesArg(ctx, fc, 1))),
 
     // ---- presentation / metadata
@@ -491,9 +497,10 @@ object Eval {
     "averageOutsidePercentile" -> ((ctx, fc) => AnalyticsOps.averageOutsidePercentile(seriesArg(ctx, fc), numArg(fc, 1))),
     "removeBetweenPercentile" -> ((ctx, fc) => AnalyticsOps.removeBetweenPercentile(seriesArg(ctx, fc), numArg(fc, 1))),
     "slo" -> ((ctx, fc) => AnalyticsOps.slo(seriesArg(ctx, fc),
-      intervalArg(fc, 1), strArg(fc, 2), numArg(fc, 3))),
+      intervalArg(fc, 1), strArg(fc, 2), numArg(fc, 3), rawInterval = strArg(fc, 1))),
     "sloErrorBudget" -> ((ctx, fc) => AnalyticsOps.sloErrorBudget(seriesArg(ctx, fc),
-      intervalArg(fc, 1), strArg(fc, 2), numArg(fc, 3), numArg(fc, 4))),
+      intervalArg(fc, 1), strArg(fc, 2), numArg(fc, 3), numArg(fc, 4),
+      rawInterval = strArg(fc, 1))),
     "fft" -> ((ctx, fc) => AnalyticsOps.fft(seriesArg(ctx, fc), strArg(fc, 1, "mode", Some("")))),
     "lowPass" -> ((ctx, fc) => AnalyticsOps.lowPass(seriesArg(ctx, fc), numArg(fc, 1))),
     "lpf" -> ((ctx, fc) => AnalyticsOps.lowPass(seriesArg(ctx, fc), numArg(fc, 1))),

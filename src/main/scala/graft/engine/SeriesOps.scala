@@ -434,7 +434,10 @@ object SeriesOps {
       val vals = v.toArray
       val newStart = if (alignToFrom) start else math.floorDiv(start, interval) * interval
       val stop = start + vals.length * step
-      val nOut = math.ceil((stop - newStart).toDouble / interval).toInt
+      // bucket-aligned mode appends one empty trailing bucket, mirroring
+      // newStop += bucketSize (ref summarize/function.go:72-75)
+      val nOut = math.ceil((stop - newStart).toDouble / interval).toInt +
+        (if (alignToFrom) 0 else 1)
       val out = new Array[Double](math.max(nOut, 0))
       var b = 0
       while (b < nOut) {
@@ -455,9 +458,22 @@ object SeriesOps {
       .drop("_r")
   }
 
-  def summarize(df: DataFrame, interval: Long, func: String = "sum", alignToFrom: Boolean = false): DataFrame =
+  /** summarize naming is reference-exact: the USER'S interval string (not
+    * normalized seconds), func only when explicitly given, align flag only
+    * when explicitly given (ref summarize/function.go:80-95). */
+  def summarize(df: DataFrame, interval: Long, func: String = "sum",
+                alignToFrom: Boolean = false, rawInterval: String = "",
+                funcOk: Boolean = true, alignOk: Boolean = false): DataFrame = {
+    val raw = if (rawInterval.nonEmpty) rawInterval else s"${interval}s"
+    val suffix = (if (funcOk || alignOk) s",'$func'" else "") +
+      (if (alignOk) s",$alignToFrom" else "")
     rebucket(df, interval, func, alignToFrom)
-      .transform(d => rewrap(d, "summarize", Seq(s"\"${interval}s\"", s"\"$func\"")))
+      .transform(d => d
+        .withColumn("name", concat(lit("summarize("), col("name"), lit(s",'$raw'$suffix)")))
+        .withColumn("tags", map_concat(
+          map_filter(col("tags"), (k, _) => k =!= "summarize" && k =!= "summarizeFunction"),
+          map(lit("summarize"), lit(raw), lit("summarizeFunction"), lit(func)))))
+  }
 
   /** hitcount: per-bucket total hits (value × overlap-seconds), stop-anchored
     * buckets, proportional spreading across boundaries; alignToInterval

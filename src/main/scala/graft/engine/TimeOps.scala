@@ -55,7 +55,8 @@ object TimeOps {
   /** smartSummarize: summarize with buckets aligned to a calendar unit
     * (year/month/week/day/hour/minute) instead of epoch-multiples.
     * (ref smartSummarize/function.go, parser.go:983-1021) */
-  def smartSummarize(df: DataFrame, interval: Long, func: String, alignTo: String): DataFrame = {
+  def smartSummarize(df: DataFrame, interval: Long, func: String, alignTo: String,
+                     rawInterval: String = ""): DataFrame = {
     val u = udf((v: Seq[Double], start: Long, step: Long) => {
       val vals = v.toArray
       val newStart = alignStart(start, alignTo)
@@ -79,7 +80,11 @@ object TimeOps {
       .withColumn("values", col("_r._2"))
       .withColumn("step", lit(interval))
       .drop("_r")
-      .transform(d => SeriesFrame.rewrap(d, "smartSummarize", Seq(s"\"${interval}s\"", s"\"$func\"")))
+      .transform(d => SeriesFrame.rewrap(d, "smartSummarize",
+        // reference naming: user's interval string + func, alignTo when given
+        // (ref smartSummarize/function.go:84-86)
+        Seq(s"'${if (rawInterval.nonEmpty) rawInterval else s"${interval}s"}'", s"'$func'") ++
+          (if (alignTo != null && alignTo.nonEmpty) Seq(s"'$alignTo'") else Nil)))
   }
 
   /** Truncate an epoch-seconds start down to a calendar boundary (UTC). */

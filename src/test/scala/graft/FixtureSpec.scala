@@ -162,6 +162,21 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("exponentialWeightedMovingAverage(metric1,0.9)", in, want)
   }
 
+  test("summarize keeps the user's interval string and optional func in the name (ref summarize/function_test.go)") {
+    // 35 step-1 points from an aligned start: 5s buckets sum to
+    // 5,10,15,20,25,14,NaN plus the trailing empty bucket from stop+=bucket
+    val in = Seq(md("metric1",
+      Seq[Double](1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4,
+        5, 5, 5, 5, 5, NaN, 2, 3, 4, 5, NaN, NaN, NaN, NaN, NaN), step = 1, start = 100))
+    check("summarize(metric1,'5s')", in,
+      Seq(md("summarize(metric1,'5s')", Seq(5, 10, 15, 20, 25, 14, NaN, NaN), step = 5, start = 100)),
+      from = 100, until = 135)
+    check("summarize(metric1,'5s','avg')", in,
+      Seq(md("summarize(metric1,'5s','avg')",
+        Seq(1, 2, 3, 4, 5, 3.5, NaN, NaN), step = 5, start = 100)),
+      from = 100, until = 135)
+  }
+
   test("verticalLine anchors to until+offset, errors out of range (ref verticalLine/function_test.go)") {
     // request [from=1000, until=2800]; "-5m" → ts = 2800 - 300 = 2500
     check("verticalLine('-5m','mark')", Seq(md("foo", Seq(1, 2, 3), start = 1000)),
