@@ -651,12 +651,12 @@ object Queries {
     "g93_removeabovepct" ->
       (S + """, pc AS (SELECT name, lst[CAST(ceil((len(lst) - 1) * 95 / 100.0) AS INT) + 1] AS pv
         |       FROM (SELECT name, list_sort(list(v) FILTER (WHERE v IS NOT NULL)) AS lst FROM s GROUP BY name))
-        |SELECT 'removeAbovePercentile(' || s.name || ',95)' AS name, s.ts, round(s.v, 4) AS value
+        |SELECT 'removeAbovePercentile(' || s.name || ', 95)' AS name, s.ts, round(s.v, 4) AS value
         |FROM s JOIN pc ON s.name = pc.name WHERE s.v IS NOT NULL AND s.v <= pc.pv ORDER BY 1, 2""".stripMargin),
     "g94_removebelowpct" ->
       (S + """, pc AS (SELECT name, lst[CAST(ceil((len(lst) - 1) * 25 / 100.0) AS INT) + 1] AS pv
         |       FROM (SELECT name, list_sort(list(v) FILTER (WHERE v IS NOT NULL)) AS lst FROM s GROUP BY name))
-        |SELECT 'removeBelowPercentile(' || s.name || ',25)' AS name, s.ts, round(s.v, 4) AS value
+        |SELECT 'removeBelowPercentile(' || s.name || ', 25)' AS name, s.ts, round(s.v, 4) AS value
         |FROM s JOIN pc ON s.name = pc.name WHERE s.v IS NOT NULL AND s.v >= pc.pv ORDER BY 1, 2""".stripMargin),
     "g95_avgoutsidepct" ->
       (S + """, a AS (SELECT name, avg(v) AS av FROM s GROUP BY name),

@@ -319,22 +319,22 @@ object SeriesOps {
 
   def removeBelowValue(df: DataFrame, n: Double): DataFrame =
     rewrap(mapPointwise(df, v => when(v < lit(n), lit(Double.NaN)).otherwise(v)),
-      "removeBelowValue", Seq(fmtNum(n)))
+      "removeBelowValue", Seq(" " + fmtNum(n)))
   def removeAboveValue(df: DataFrame, n: Double): DataFrame =
     rewrap(mapPointwise(df, v => when(v > lit(n), lit(Double.NaN)).otherwise(v)),
-      "removeAboveValue", Seq(fmtNum(n)))
+      "removeAboveValue", Seq(" " + fmtNum(n)))
 
   def removeBelowPercentile(df: DataFrame, n: Double): DataFrame = {
     val pc = vecScalar(v => Kernels.percentile(v, n, interpolate = false))(col("values"))
     rewrap(df.withColumn("_p", pc)
       .withColumn("values", transform(col("values"), v => when(v < col("_p"), lit(Double.NaN)).otherwise(v)))
-      .drop("_p"), "removeBelowPercentile", Seq(fmtNum(n)))
+      .drop("_p"), "removeBelowPercentile", Seq(" " + fmtNum(n)))
   }
   def removeAbovePercentile(df: DataFrame, n: Double): DataFrame = {
     val pc = vecScalar(v => Kernels.percentile(v, n, interpolate = false))(col("values"))
     rewrap(df.withColumn("_p", pc)
       .withColumn("values", transform(col("values"), v => when(v > col("_p"), lit(Double.NaN)).otherwise(v)))
-      .drop("_p"), "removeAbovePercentile", Seq(fmtNum(n)))
+      .drop("_p"), "removeAbovePercentile", Seq(" " + fmtNum(n)))
   }
 
   /** round to precision with banker's rounding; name carries the precision

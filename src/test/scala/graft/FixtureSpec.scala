@@ -325,12 +325,14 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       md("a.low", Seq(1, 1, 1), step = 1),
       md("a.high", Seq(10, 10, 10), step = 1))
     check("filterSeries(a.*,'average','>',5)", in, Seq(md("a.high", Seq(10, 10, 10), step = 1)))
+    // the reference names with a space after the comma
+    // (ref removeBelowSeries/function_test.go:30-58)
     check("removeBelowValue(a.*,5)", in, Seq(
-      md("removeBelowValue(a.low,5)", Seq(NaN, NaN, NaN), step = 1),
-      md("removeBelowValue(a.high,5)", Seq(10, 10, 10), step = 1)))
+      md("removeBelowValue(a.low, 5)", Seq(NaN, NaN, NaN), step = 1),
+      md("removeBelowValue(a.high, 5)", Seq(10, 10, 10), step = 1)))
     check("removeAboveValue(a.*,5)", in, Seq(
-      md("removeAboveValue(a.low,5)", Seq(1, 1, 1), step = 1),
-      md("removeAboveValue(a.high,5)", Seq(NaN, NaN, NaN), step = 1)))
+      md("removeAboveValue(a.low, 5)", Seq(1, 1, 1), step = 1),
+      md("removeAboveValue(a.high, 5)", Seq(NaN, NaN, NaN), step = 1)))
   }
 
   test("removeEmptySeries / removeZeroSeries / exclude / grep / limit / unique") {
