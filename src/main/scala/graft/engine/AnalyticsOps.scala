@@ -171,7 +171,9 @@ object AnalyticsOps {
     * series of each argument; NaN until the window is full, named
     * pearson(a,b,w). (ref pearson/function.go:54-73) */
   def pearsonWindow(a: DataFrame, b: DataFrame, windowSize: Int): DataFrame = {
-    val bi = b.limit(1).select(col("values").as("valuesB"), col("name").as("nameB"))
+    // first series in name order — a bare limit(1) over a >1-series glob
+    // would pick nondeterministically
+    val bi = b.orderBy(col("name")).limit(1).select(col("values").as("valuesB"), col("name").as("nameB"))
     val u = udf((x: Seq[Double], y: Seq[Double]) => {
       val xa = x.toArray; val ya = y.toArray
       xa.indices.map { i =>
@@ -192,7 +194,7 @@ object AnalyticsOps {
     * series. The reference is ONE series (broadcast); ranking is
     * orderBy+limit → TakeOrderedAndProject. (ref pearsonClosest/function.go) */
   def pearsonClosest(df: DataFrame, ref: DataFrame, n: Int, direction: String = "abs"): DataFrame = {
-    val r1 = ref.limit(1).select(col("values").as("refValues"))
+    val r1 = ref.orderBy(col("name")).limit(1).select(col("values").as("refValues"))
     val u = udf((a: Seq[Double], b: Seq[Double]) => VecOps.pearson(a.toArray, b.toArray))
     val scored = df.crossJoin(broadcast(r1))
       .withColumn("_r", u(col("values"), col("refValues")))
@@ -384,7 +386,7 @@ object AnalyticsOps {
   /** kolmogorovSmirnovTest2: 2-sample KS statistic over the trailing
     * windowSize points of the two series. (ref kolmogorovSmirnovTest2/function.go) */
   def ksTest2(a: DataFrame, b: DataFrame, windowSize: Int): DataFrame = {
-    val bi = b.limit(1).select(col("values").as("valuesB"), col("name").as("nameB"))
+    val bi = b.orderBy(col("name")).limit(1).select(col("values").as("valuesB"), col("name").as("nameB"))
     val u = udf((x: Seq[Double], y: Seq[Double]) => {
       val xa = x.toArray.filter(d => !Kernels.isNaN(d)).takeRight(windowSize).sorted
       val ya = y.toArray.filter(d => !Kernels.isNaN(d)).takeRight(windowSize).sorted

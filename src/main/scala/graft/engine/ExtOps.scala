@@ -133,27 +133,30 @@ object ExtOps {
 
   // ------------------------------------------------------------ name games
 
-  /** aliasByBase64: base64-decode the whole name (or one node).
-    * (ref aliasByBase64/function.go) */
+  /** aliasByBase64: base64-decode the whole name, or — with a 1-BASED node
+    * arg (ref does `field--`) — one node of the metric name from the name
+    * tag; undecodable input stays unchanged.
+    * (ref aliasByBase64/function.go:40-68) */
   def aliasByBase64(df: DataFrame, node: Option[Int]): DataFrame = node match {
     case None =>
       val u = udf((n: String) => decode64(n).getOrElse(n))
       df.withColumn("name", u(col("name")))
-    case Some(i) =>
-      val u = udf((n: String, idx: Int) => {
+    case Some(field1) =>
+      val u = udf((n: String) => {
         val parts = n.split('.')
-        val j = if (idx < 0) parts.length + idx else idx
+        val j = field1 - 1
         if (j >= 0 && j < parts.length) decode64(parts(j)).foreach(parts(j) = _)
         parts.mkString(".")
       })
-      df.withColumn("name", u(col("name"), lit(i)))
+      df.withColumn("name", u(coalesce(element_at(col("tags"), "name"), col("name"))))
   }
 
   private def decode64(s: String): Option[String] =
-    try {
-      val d = new String(java.util.Base64.getDecoder.decode(s), java.nio.charset.StandardCharsets.UTF_8)
-      if (d.nonEmpty) Some(d) else None
-    } catch { case _: IllegalArgumentException => None }
+    // Go's base64.StdEncoding is strict about padding (length % 4 == 0);
+    // Java's decoder would happily decode unpadded garbage like "prefix"
+    if (s.isEmpty || s.length % 4 != 0) None
+    else try Some(new String(java.util.Base64.getDecoder.decode(s), java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: IllegalArgumentException => None }
 
   // -------------------------------------------------- graph-option setters
   // GraphOptions in the reference live outside query semantics (consumed by

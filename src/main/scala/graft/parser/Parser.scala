@@ -111,7 +111,12 @@ object Parser {
         else if (c == '[') { brackets += 1; true }
         else if (c == ']') { if (brackets == 0) false else { brackets -= 1; true } }
         else if (c == ',') braces > 0 || brackets > 0
-        else if (c == '(' || c == ')' || c == '|' || c.isWhitespace || c == '=') false
+        else if (c == '=')
+          // trailing '=' padding is part of a name (base64 node names);
+          // only `key=value` makes it a separator
+          // (ref pkg/parser/parser.go:921-930)
+          pos + 1 >= s.length || { val n = s.charAt(pos + 1); n == '=' || n == ',' || n == ')' }
+        else if (c == '(' || c == ')' || c == '|' || c.isWhitespace) false
         else isNameChar(c)
       }) pos += 1
       val tok = s.substring(start, pos)
@@ -156,7 +161,10 @@ object Parser {
         val isNamed = {
           var i = pos
           while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
-          i > pos && i < s.length && s.charAt(i) == '=' && (i + 1 >= s.length || s.charAt(i + 1) != '=')
+          i > pos && i < s.length && s.charAt(i) == '=' &&
+            // `x=` followed by '=', ',' or ')' is a base64-padded NAME, not a
+            // named arg (ref pkg/parser/parser.go:921-930)
+            (i + 1 < s.length && { val n = s.charAt(i + 1); n != '=' && n != ',' && n != ')' })
         }
         if (isNamed) {
           val key = parseIdent()

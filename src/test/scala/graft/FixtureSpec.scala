@@ -606,9 +606,9 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("aliasByBase64 decodes whole names or one node (ref aliasByBase64/function.go)") {
-    // 6-char payload → unpadded base64 ("=" is not a metric-name char)
     val enc = java.util.Base64.getEncoder.encodeToString("hellos".getBytes)
-    val got = run(s"aliasByBase64(prefix.$enc,1)", Seq(md(s"prefix.$enc", Seq(1.0), step = 1)))
+    // node arg is 1-based: 2 = second node (ref function.go:37 field--)
+    val got = run(s"aliasByBase64(prefix.$enc,2)", Seq(md(s"prefix.$enc", Seq(1.0), step = 1)))
     assert(got.map(_.name) == Seq("prefix.hellos"))
   }
 
@@ -695,5 +695,31 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     val up = Seq(md("metric.test.foo", vals, step = 1))
     check("upper(metric.test.foo,0)", up, Seq(md("Metric.test.foo", vals, step = 1)))
     check("toUpperCase(metric.test.foo)", up, Seq(md("METRIC.TEST.FOO", vals, step = 1)))
+  }
+
+  test("aliasByBase64 decodes whole name or a 1-based node (ref aliasByBase64/function_test.go)") {
+    val vals = Seq(1.0, 2, 3, 4, 5)
+    check("aliasByBase64(bWV0cmljLm5hbWU=)", Seq(md("bWV0cmljLm5hbWU=", vals, step = 1)),
+      Seq(md("metric.name", vals, step = 1)))
+    // node arg is 1-BASED: 2 addresses the second node (ref does field--)
+    check("aliasByBase64(metric.bmFtZQ==,2)", Seq(md("metric.bmFtZQ==", vals, step = 1)),
+      Seq(md("metric.name", vals, step = 1)))
+    // undecodable node stays unchanged
+    check("aliasByBase64(metric.plain,2)", Seq(md("metric.plain", vals, step = 1)),
+      Seq(md("metric.plain", vals, step = 1)))
+  }
+
+  test("pearson/ksTest2 pick the FIRST series of a multi-series second arg by name") {
+    // b.* matches two series; the kept comparator must be b.a (name order),
+    // regardless of store row order — limit(1) without a sort would be
+    // nondeterministic
+    val in = Seq(
+      md("a1", Seq(1.0, 2, 3, 4), step = 1),
+      md("b.z", Seq(9.0, 9, 9, 9), step = 1),
+      md("b.a", Seq(1.0, 2, 3, 4), step = 1))
+    val names = run("pearson(a1,b.*,2)", in).map(_.name)
+    assert(names == Seq("pearson(a1,b.a,2)"), s"got $names")
+    val ks = run("ksTest2(a1,b.*,4)", in).map(_.name)
+    assert(ks == Seq("kolmogorovSmirnovTest2(a1,b.a,4)"), s"got $ks")
   }
 }
