@@ -205,6 +205,12 @@ object Queries {
       Dedup.minhashPairs(docs(s, dir), k = 3, numHashes = 64, bands = 16, threshold = 0.8)
         .select(col("doc_a"), col("doc_b"), dround(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy("doc_a", "doc_b")),
+    // one-permutation-hashing signature path (no oracle — xxhash64 has no
+    // DuckDB twin; est-vs-exact jaccard + recall gates in PipelineSpec)
+    "p15_minhash_oph" -> ((s, dir) =>
+      Dedup.minhashPairsOph(docs(s, dir), k = 3, numBins = 64, bands = 16, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"), dround(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("doc_a", "doc_b")),
     "p06_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHammingDistance = 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))

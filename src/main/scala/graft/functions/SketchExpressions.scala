@@ -35,6 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[SimhashFp].getName, "simhash_fp"),
       (args: Seq[Expression]) => SimhashFp(args.head)))
+    ext.injectFunction((FunctionIdentifier("oph_sig"),
+      new ExpressionInfo(classOf[OphSig].getName, "oph_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(h, Literal(n: Int, IntegerType)) => OphSig(h, n)
+        case other => throw new IllegalArgumentException(
+          s"oph_sig(array<bigint>, <int literal>), got $other")
+      }))
   }
 }
 
@@ -51,6 +58,9 @@ object SketchExpressions {
 
   def minhashSig(baseHashes: Column, numHashes: Int): Column =
     call_function("minhash_sig", baseHashes, lit(numHashes))
+
+  def ophSig(baseHashes: Column, numBins: Int): Column =
+    call_function("oph_sig", baseHashes, lit(numBins))
 
   def simhashFp(tokenHashes: Column): Column =
     call_function("simhash_fp", tokenHashes)
@@ -114,6 +124,93 @@ case class MinhashSig(child: Expression, numHashes: Int) extends UnaryExpression
          |    if ($z < $m) $m = $z;
          |  }
          |  $out[$i] = $m;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * One-permutation-hashing MinHash signature (Li/Owen/Zhang 2012) with
+ * rotation densification (Shrivastava/Li 2014): ONE splitmix64 mix per
+ * shingle hash routes it to a bin by its top bits and min-folds within the
+ * bin — O(shingles) total versus classic minhash's O(shingles × numBins).
+ * Empty bins borrow circularly from the next filled bin to the right,
+ * offset by distance × C so borrowed positions only match when the donor
+ * bins match at the same rotation — keeping position-match Jaccard
+ * estimation unbiased for the same signature width.
+ *
+ * This is the 100 TB signature path: hashing cost per document drops
+ * numBins-fold while banding/verification stay identical to [[MinhashSig]].
+ * numBins must be a power of two (bin = top log2(numBins) bits).
+ */
+case class OphSig(child: Expression, numBins: Int) extends UnaryExpression {
+  require(numBins >= 2 && (numBins & (numBins - 1)) == 0,
+    s"oph_sig: numBins must be a power of two >= 2, got $numBins")
+
+  private val shift = 64 - Integer.numberOfTrailingZeros(numBins)
+  // distance offset for rotation-densified bins; odd constant so collisions
+  // across different rotations are as unlikely as raw hash collisions
+  private val ROT = 0xC2B2AE3D27D4EB4FL
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchExpressions.requireLongArray(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "oph_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val out = Array.fill(numBins)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val z = SketchExpressions.splitmix64(hs.getLong(j))
+      val b = (z >>> shift).toInt
+      if (z < out(b)) out(b) = z
+      j += 1
+    }
+    var i = 0
+    while (i < numBins) {
+      if (out(i) == Long.MaxValue) {
+        var d = 1
+        while (d < numBins && out((i + d) & (numBins - 1)) == Long.MaxValue) d += 1
+        if (d < numBins) out(i) = out((i + d) & (numBins - 1)) + d * ROT
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val z = ctx.freshName("z")
+      val b = ctx.freshName("b")
+      val d = ctx.freshName("d")
+      s"""
+         |long[] $out = new long[$numBins];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |int $n = $c.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $z = $c.getLong($j) + 0x9E3779B97F4A7C15L;
+         |  $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |  $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |  $z = $z ^ ($z >>> 31);
+         |  int $b = (int) ($z >>> $shift);
+         |  if ($z < $out[$b]) $out[$b] = $z;
+         |}
+         |for (int $i = 0; $i < $numBins; $i++) {
+         |  if ($out[$i] == Long.MAX_VALUE) {
+         |    int $d = 1;
+         |    while ($d < $numBins && $out[($i + $d) & ${numBins - 1}] == Long.MAX_VALUE) $d++;
+         |    if ($d < $numBins) $out[$i] = $out[($i + $d) & ${numBins - 1}] + $d * ${ROT}L;
+         |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

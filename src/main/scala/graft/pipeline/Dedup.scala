@@ -96,7 +96,6 @@ object Dedup {
    */
   def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 64,
                    bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // materialize signatures once: they feed BOTH sides of the band join, and
     // an unpersisted plan would re-shingle + re-hash the corpus per side
     // (and double the codegen'd expression tree). One row per doc — tiny
@@ -105,6 +104,31 @@ object Dedup {
       .select(col("doc_id"), wordsOf(col("text")).as("_w"))
       .select(col("doc_id"), minhashFromWords(col("_w"), k, numHashes).as("sig"))
       .persist()
+    lshBandPairs(sigs, numHashes, bands, threshold)
+  }
+
+  /** One-permutation-hashing variant of [[minhashPairs]]: same signature
+    * width, banding and verification, but the signature fold is a single
+    * pass over the shingle hashes ([[graft.functions.OphSig]]) instead of
+    * numHashes passes — the per-document hashing cost at 100 TB drops
+    * numHashes-fold for the same candidate quality (empty bins are
+    * rotation-densified, so position-match estimation stays valid). */
+  def minhashPairsOph(docs: DataFrame, k: Int = 3, numBins: Int = 64,
+                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), wordsOf(col("text")).as("_w"))
+      .select(col("doc_id"),
+        graft.functions.SketchExpressions.ophSig(
+          transform(shinglesOf(col("_w"), k), s => xxhash64(s)), numBins).as("sig"))
+      .persist()
+    lshBandPairs(sigs, numBins, bands, threshold)
+  }
+
+  /** Shared LSH tail: band the (doc_id, sig) table, bucket-join for
+    * candidates, verify by position-match estimated Jaccard. */
+  private def lshBandPairs(sigs: DataFrame, numHashes: Int, bands: Int,
+                           threshold: Double): DataFrame = {
+    val rowsPerBand = numHashes / bands
     val banded = sigs.select(
         col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),

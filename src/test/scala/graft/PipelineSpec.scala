@@ -58,6 +58,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missed near-exact duplicates: ${mustFind.diff(found).take(5)}")
   }
 
+  test("p15: OPH minhash tracks exact jaccard and recalls near-exact duplicates like the classic path") {
+    // identical text ⇒ identical OPH signature (determinism across plans)
+    val s1 = docs.select(col("doc_id"),
+      graft.functions.SketchExpressions.ophSig(
+        transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)), 64).as("sig"))
+    val s2 = docs.select(col("doc_id"),
+      graft.functions.SketchExpressions.ophSig(
+        transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)), 64).as("sig2"))
+    assert(s1.join(s2, "doc_id").where(col("sig") =!= col("sig2")).count() == 0)
+
+    val sh = docs.select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("sh")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val exact = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("szA")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szB")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("i") / (col("szA") + col("szB") - col("i"))).as("exact"))
+
+    val est = Dedup.minhashPairsOph(docs, k = 3, numBins = 64, bands = 16, threshold = 0.8)
+    val joined = est.join(exact, Seq("doc_a", "doc_b"), "left").collect()
+    assert(joined.nonEmpty, "OPH minhash found no candidate pairs")
+    joined.foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      val x = if (r.isNullAt(r.fieldIndex("exact"))) 0.0 else r.getAs[Double]("exact")
+      // one sample per bin → same width as classic 64-hash minhash; allow the
+      // same 4-sigma band (densified bins add variance only on short docs)
+      assert(math.abs(e - x) <= 0.25, s"pair (${r.get(0)},${r.get(1)}): est $e vs exact $x")
+    }
+    val mustFind = exact.where(col("exact") >= 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = est.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mustFind.subsetOf(found),
+      s"missed near-exact duplicates: ${mustFind.diff(found).take(5)}")
+  }
+
   test("p06: every simhash pair is within the Hamming budget of the full 64-bit fingerprints") {
     val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
     val pairs = Dedup.simhashPairs(docs, maxHammingDistance = 3)

@@ -50,6 +50,38 @@ class SketchExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def refOph(hs: Seq[Long], bins: Int): Seq[Long] = {
+    val shift = 64 - Integer.numberOfTrailingZeros(bins)
+    val out = Array.fill(bins)(Long.MaxValue)
+    hs.foreach { h =>
+      val z = SketchExpressions.splitmix64(h)
+      val b = (z >>> shift).toInt
+      if (z < out(b)) out(b) = z
+    }
+    for (i <- 0 until bins if out(i) == Long.MaxValue) {
+      var d = 1
+      while (d < bins && out((i + d) & (bins - 1)) == Long.MaxValue) d += 1
+      if (d < bins) out(i) = out((i + d) & (bins - 1)) + d * 0xC2B2AE3D27D4EB4FL
+    }
+    out.toSeq
+  }
+
+  test("OphSig matches the Scala re-derivation (sparse input forces densification; empty input all-sentinel)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    // 3 hashes into 16 bins → most bins empty → densification path exercised
+    val rows = Seq.tabulate(20)(i => (i.toLong, Seq.fill(rnd.nextInt(6))(rnd.nextLong()))) :+
+      (99L, Seq.empty[Long])
+    val df = rows.toDF("id", "hs")
+    val got = df.select(col("id"), SketchExpressions.ophSig(col("hs"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (id, hs) =>
+      assert(got(id) == refOph(hs, 16), s"oph mismatch for id $id")
+    }
+    assert(got(99L).forall(_ == Long.MaxValue), "empty input must stay all-sentinel")
+  }
+
   test("sketch pipeline stages carry no Scala UDF (native codegen end to end)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = docs.select(Dedup.minhashSignature(col("text")).as("sig"),
