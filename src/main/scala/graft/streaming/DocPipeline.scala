@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** A document arriving on the ingest stream (the streaming twin of the
+  * batch `documents` table rows). */
+case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String, content_hash: String)
+
+/**
+ * Streaming side of the training-data pipeline: the batch operators in
+ * [[graft.pipeline]] are pure column expressions, so quality scoring and
+ * token counting run on a stream UNCHANGED — the only genuinely stateful
+ * piece is cross-batch deduplication, implemented here with
+ * `flatMapGroupsWithState` (the custom-state primitive; watermark-bounded
+ * state is the streaming analog of the batch hash-groupBy).
+ *
+ * Scale design: state is one Long per distinct content hash inside the
+ * dedup horizon, sharded by the groupBy key across executors exactly like
+ * the batch groupBy on content_hash; event-time timeouts evict state as the
+ * watermark advances, so state size is bounded by (unique docs within the
+ * horizon), never by stream length.
+ */
+object DocPipeline {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("text", StringType)))
+
+  /** File-based document stream (new Parquet files appear under `path`). */
+  def docStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(path)
+
+  /**
+   * Quality gate — identical expressions to the batch
+   * [[graft.pipeline.TextStats.qualityMetrics]], applied pre-dedup so
+   * junk never enters the state store. Stateless: runs map-side on the
+   * stream with zero extra shuffles.
+   */
+  def qualityGate(docs: DataFrame, minTokens: Int = 5,
+                  maxPunctRatio: Double = 0.3): DataFrame =
+    graft.pipeline.TextStats.qualityMetrics(docs)
+      .where(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunctRatio)
+      .select(docs.columns.map(col): _*)
+
+  /**
+   * Cross-batch exact dedup: the FIRST document seen for each content hash
+   * passes; every later copy — same micro-batch or any later one inside the
+   * dedup horizon — is dropped. First = lowest (event time, doc_id), the
+   * same keeper rule as the batch [[graft.pipeline.Dedup.exactDedup]].
+   *
+   * State: one Long (keeper doc_id) per hash, evicted `horizon` past the
+   * keeper's event time once the watermark passes it.
+   */
+  def firstSeenDedup(docs: DataFrame, watermark: String = "1 hour",
+                     horizon: String = "24 hours"): Dataset[DocEvent] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("content_hash", md5(col("text")))
+      .select("doc_id", "ts", "text", "content_hash")
+      .as[DocEvent]
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        dedupGroup(horizon))
+  }
+
+  private def dedupGroup(horizon: String)(
+      key: String, rows: Iterator[DocEvent],
+      state: GroupState[Long]): Iterator[DocEvent] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else if (state.exists) {
+      // hash already seen in an earlier batch — drain silently, keep the
+      // original eviction deadline (re-arming it would let a duplicate
+      // stream pin state forever)
+      Iterator.empty
+    } else if (!rows.hasNext) Iterator.empty
+    else {
+      val first = rows.reduceLeft((a, b) =>
+        if (a.ts.getTime < b.ts.getTime ||
+          (a.ts.getTime == b.ts.getTime && a.doc_id <= b.doc_id)) a else b)
+      state.update(first.doc_id)
+      state.setTimeoutTimestamp(first.ts.getTime, horizon)
+      Iterator.single(first)
+    }
+  }
+}

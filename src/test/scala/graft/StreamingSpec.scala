@@ -54,4 +54,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.except(batch).isEmpty, "streamed rows must match batch values")
     assert(finalized.except(streamed).isEmpty, "all watermark-finalized buckets must be emitted")
   }
+
+  test("streaming first-seen dedup drops copies across micro-batches; quality gate runs stateless") {
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("graft-docstream").toString
+    val srcDir = s"$tmp/docs"
+    val ckDir = s"$tmp/ck"
+    val sp = spark
+    import sp.implicits._
+
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "an entirely different document body with plenty of ordinary words"
+    val junk = "!!! ??? ***"
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // file 1 = batch 1: doc 1 and 2 share textA (in-batch dup), doc 9 is junk
+    Seq((1L, ts(0), textA), (2L, ts(1), textA), (9L, ts(1), junk))
+      .toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$srcDir/f1")
+    // file 2 = batch 2: doc 3 repeats textA (cross-batch dup), doc 4 is new
+    Seq((3L, ts(2), textA), (4L, ts(3), textB))
+      .toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$srcDir/f2")
+
+    val src = sp.readStream.schema(graft.streaming.DocPipeline.docSchema)
+      .option("maxFilesPerTrigger", 1) // force one micro-batch per file
+      .parquet(s"$srcDir/*")
+    val deduped = graft.streaming.DocPipeline.firstSeenDedup(
+      graft.streaming.DocPipeline.qualityGate(src), watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("doc_dedup")
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val out = sp.table("doc_dedup").select("doc_id").as[Long].collect().sorted.toSeq
+    // doc 1 wins textA (lowest ts); 2 drops in-batch, 3 drops CROSS-batch
+    // via flatMapGroupsWithState state; 9 never reaches the state store
+    // (quality gate); 4 passes as the first of textB
+    assert(out == Seq(1L, 4L), s"got $out")
+  }
 }
