@@ -74,7 +74,7 @@ object ScaleBench {
     "g01_sum_series", "g02_avg_series", "g08_percentile_series",
     "g14_moving_avg", "g16_summarize_day", "g18_groupbynode", "g41_countvalues",
     "p01_dedup_exact", "p02_token_count", "p04_language_id",
-    "p05_minhash_pairs", "p06_simhash_pairs", "p11_ngram_jaccard",
+    "p05_minhash_pairs", "p15_minhash_oph", "p06_simhash_pairs", "p11_ngram_jaccard",
     "p12_embed_neardup", "p14_srp_neardup", "p07_cosine_topk", "p09_ivf_topk")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {

@@ -43,7 +43,12 @@ object SeriesOps {
     // input, so the planner requests it ONLY when the store can't guarantee
     // a uniform step (no stepHint) — metadata beats a 100TB re-scan.
     val df = if (align) Align.scaleToCommonStep(df0) else df0
-    val key = groupKey.getOrElse(lit(""))
+    // a `_gk` column (groupByNode's riding group key) implicitly scopes ANY
+    // aggregation to its group and survives into the output — this is what
+    // lets frame-collapsing callbacks (percentileOfSeries & co) stay a
+    // single distributed plan instead of a per-group driver loop
+    val implicitGk = groupKey.isEmpty && df.columns.contains("_gk")
+    val key = groupKey.getOrElse(if (implicitGk) col("_gk") else lit(""))
     val grouped =
       if (VectorAggregator.decomposable(func)) {
         val agg = udaf(new VectorAggregator(func, xff))
@@ -79,10 +84,11 @@ object SeriesOps {
             transform(sequence(col("t0"), col("t1"), col("step")),
               t => coalesce(element_at(col("m"), t), lit(Double.NaN))).as("values"))
       }
-    grouped.select(
+    val base = Seq(
       nameFor(col("gk")).as("name"),
       map(lit("name"), nameFor(col("gk")), lit("aggregatedBy"), lit(func)).as("tags"),
       col("start"), col("step"), col("values"))
+    grouped.select((if (implicitGk) base :+ col("gk").as("_gk") else base): _*)
   }
 
   /** sumSeries / averageSeries / … canonical naming: `fnSeries(rawArgs)`. */
@@ -137,12 +143,21 @@ object SeriesOps {
     * series. The total is ONE aggregated row → broadcast join back, zero
     * extra shuffle of the big side. (ref asPercent/function.go:40-250 mode 1) */
   def asPercentOfTotal(df: DataFrame): DataFrame = {
-    val total = aggregateSeries(df, "sum")
-      .select(col("values").as("totValues"), col("start").as("totStart"))
-    df.crossJoin(broadcast(total))
+    // under groupByNode the `_gk` key scopes the total to each group
+    // (aggregateSeries groups implicitly and re-emits `_gk`); bare frames
+    // keep the single-row global total + broadcast crossJoin
+    val hasGk = df.columns.contains("_gk")
+    val totalRows = aggregateSeries(df, "sum")
+    val total =
+      if (hasGk) totalRows.select(col("values").as("totValues"), col("_gk"))
+      else totalRows.select(col("values").as("totValues"))
+    val joined =
+      if (hasGk) df.join(broadcast(total), "_gk")
+      else df.crossJoin(broadcast(total))
+    joined
       .withColumn("values",
         zip_with(col("values"), col("totValues"), pctOf))
-      .drop("totValues", "totStart")
+      .drop("totValues")
       .transform(d => rewrap(d, "asPercent"))
   }
 

@@ -709,6 +709,22 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("metric.plain", vals, step = 1)))
   }
 
+  test("groupByNode with frame-collapsing callbacks stays per-group (implicit _gk aggregation)") {
+    val in = Seq(
+      md("g1.a", Seq(1.0, 1), step = 1),
+      md("g1.b", Seq(3.0, 3), step = 1),
+      md("g2.a", Seq(2.0, 2), step = 1))
+    // powSeries folds a^b per group in name order: g1 = 1^3, g2 = 2
+    check("groupByNode(*.*,0,'powSeries')", in, Seq(
+      md("g1", Seq(1.0, 1), step = 1),
+      md("g2", Seq(2.0, 2), step = 1)), stepHint = Some(1))
+    // asPercent normalizes vs the GROUP total (not the global one); only the
+    // first series' result per group is kept, renamed to the key
+    check("groupByNode(*.*,0,'asPercent')", in, Seq(
+      md("g1", Seq(25.0, 25), step = 1),
+      md("g2", Seq(100.0, 100), step = 1)), stepHint = Some(1))
+  }
+
   test("pearson/ksTest2 pick the FIRST series of a multi-series second arg by name") {
     // b.* matches two series; the kept comparator must be b.a (name order),
     // regardless of store row order — limit(1) without a sort would be
