@@ -133,17 +133,19 @@ object Eval {
 
   private def movingFamily(func: String, fnName: String): Impl = (ctx, fc) => {
     // movingWindow(series, window, func, xff); the named forms take xff at 2
-    // (ref moving/function.go:142-161)
+    // (ref moving/function.go:142-161). With no explicit arg the default is
+    // the series' own xFilesFactor (ref GetFloatArgDefault(_, .XFilesFactor))
     val xffIdx = if (fnName == "movingWindow") 3 else 2
+    val xffGiven = arg(fc, xffIdx, "xFilesFactor").isDefined
     val xff = numArg(fc, xffIdx, "xFilesFactor", Some(0.0))
     windowArg(fc, 1) match {
       case Right(n) =>
         val step = ctx.store.stepHint.getOrElse(60L)
         val widened = eval(fc.args.head, ctx.widen(n.toLong * step))
-        SeriesOps.movingWindow(widened, Right(n), func, xff, fnName, n.toString)
+        SeriesOps.movingWindow(widened, Right(n), func, xff, fnName, n.toString, xffExplicit = xffGiven)
       case Left(seconds) =>
         val widened = eval(fc.args.head, ctx.widen(seconds))
-        SeriesOps.movingWindow(widened, Left(seconds), func, xff, fnName, s"'${strArg(fc, 1)}'")
+        SeriesOps.movingWindow(widened, Left(seconds), func, xff, fnName, s"'${strArg(fc, 1)}'", xffExplicit = xffGiven)
     }
   }
 

@@ -411,20 +411,28 @@ object SeriesOps {
    * (`movingSum(x,'6h')`, not the derived point count).
    */
   def movingWindow(df: DataFrame, window: Either[Long, Int], func: String, xff: Double,
-                   fnName: String, argStr: String): DataFrame = {
-    val u = udf((v: Seq[Double], step: Long) => {
+                   fnName: String, argStr: String, xffExplicit: Boolean = true): DataFrame = {
+    val u = udf((v: Seq[Double], step: Long, rowXff: Double) => {
       val n = window match {
         case Right(points) => points
         case Left(seconds) => (seconds / math.max(step, 1L)).toInt
       }
       if (n <= 0) Array.fill(v.length)(Double.NaN)
-      else VecOps.movingWindow(v.toArray, n, func, xff)
+      else VecOps.movingWindow(v.toArray, n, func, rowXff)
     })
+    // no explicit xff arg → each series' own xFilesFactor tag (set by
+    // setXFilesFactor upstream) is the default, like the reference's
+    // GetFloatArgDefault(_, args[0].XFilesFactor) (ref moving/function.go:149-156
+    // — the reference reads the FIRST series' value; per-series is identical
+    // for the uniform-xff frames setXFilesFactor produces)
+    val xffCol =
+      if (xffExplicit) lit(xff)
+      else coalesce(element_at(col("tags"), "xFilesFactor").cast("double"), lit(xff))
     val preview = window match {
       case Right(points) => lit(points.toLong) * col("step")
       case Left(seconds) => lit(seconds)
     }
-    rewrap(df.withColumn("values", u(col("values"), col("step")))
+    rewrap(df.withColumn("values", u(col("values"), col("step"), xffCol))
       .withColumn("start", col("start") + preview),
       fnName, Seq(argStr), tagValue = Some(argStr))
   }

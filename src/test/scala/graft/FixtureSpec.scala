@@ -709,6 +709,18 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("metric.plain", vals, step = 1)))
   }
 
+  test("moving windows default xFilesFactor to the series' own tag (ref moving/function.go:149-156)") {
+    val in = Seq(md("m", Seq(1.0, NaN, NaN, 3, 4), step = 1))
+    // setXFilesFactor(0.5) → [NaN,3] window (1/2 non-null) passes
+    check("movingAverage(setXFilesFactor(m,0.5),2)", in,
+      Seq(md("movingAverage(m,2)", Seq(NaN, 3, 3.5), step = 1, start = 2)),
+      stepHint = Some(1))
+    // explicit xff overrides the tag: 0.9 kills the half-empty window
+    check("movingAverage(setXFilesFactor(m,0.5),2,0.9)", in,
+      Seq(md("movingAverage(m,2)", Seq(NaN, NaN, 3.5), step = 1, start = 2)),
+      stepHint = Some(1))
+  }
+
   test("groupByNode with frame-collapsing callbacks stays per-group (implicit _gk aggregation)") {
     val in = Seq(
       md("g1.a", Seq(1.0, 1), step = 1),
