@@ -149,6 +149,13 @@ object Eval {
     }
   }
 
+  /** The *SeriesLists family shares one arg layout: (list, list,
+    * matching=bool at 2, default=float at 3) — ref seriesList/function.go:38,70. */
+  private def seriesListsFamily(func: String, fnName: String): Impl = (ctx, fc) =>
+    PairOps.seriesLists(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), func, fnName,
+      default = arg(fc, 3, "default").map(_ => numArg(fc, 3, "default")).getOrElse(Double.NaN),
+      matchingOpt = arg(fc, 2, "matching").map(_ => boolArg(fc, 2, "matching")))
+
   private def highestFamily(func: String): Impl = (ctx, fc) =>
     SeriesOps.highest(seriesArg(ctx, fc), intArg(fc, 1, default = Some(1)), func)
   private def lowestFamily(func: String): Impl = (ctx, fc) =>
@@ -397,15 +404,18 @@ object Eval {
     "upper" -> ((ctx, fc) => SeriesOps.caseName(seriesArg(ctx, fc), intsFrom(fc, 1), toUpper = true)),
 
     // ---- pairwise list family (ref aggregateSeriesLists/seriesList)
-    "aggregateSeriesLists" -> ((ctx, fc) => PairOps.seriesLists(
-      seriesArg(ctx, fc), seriesArg(ctx, fc, 1), strArg(fc, 2), strArg(fc, 2) + "SeriesLists")),
-    "sumSeriesLists" -> ((ctx, fc) => PairOps.seriesLists(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), "sum", "sumSeries")),
-    "diffSeriesLists" -> ((ctx, fc) => PairOps.seriesLists(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), "diff", "diffSeries")),
-    "multiplySeriesLists" -> ((ctx, fc) => PairOps.seriesLists(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), "multiply", "multiplySeries")),
-    "powSeriesLists" -> ((ctx, fc) => PairOps.seriesLists(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), "pow", "powSeries")),
+    // aggregateSeriesLists follows helper.AggregateSeries (NaN-skip + xff);
+    // the *SeriesLists family NaN-propagates with matching/default modes
+    "aggregateSeriesLists" -> ((ctx, fc) => PairOps.aggregateSeriesLists(
+      seriesArg(ctx, fc), seriesArg(ctx, fc, 1), strArg(fc, 2), fc.rawArgs,
+      arg(fc, 3, "xFilesFactor").map(_ => numArg(fc, 3, "xFilesFactor")))),
+    "sumSeriesLists" -> seriesListsFamily("sum", "sumSeries"),
+    "diffSeriesLists" -> seriesListsFamily("diff", "diffSeries"),
+    "multiplySeriesLists" -> seriesListsFamily("multiply", "multiplySeries"),
+    "powSeriesLists" -> seriesListsFamily("pow", "powSeries"),
     "powSeries" -> ((ctx, fc) => SeriesOps.aggregateSeries(seriesArg(ctx, fc), "powChain",
       nameFor = _ => lit(s"powSeries(${fc.rawArgs})"), align = needAlign(ctx))),
-    "divideSeriesLists" -> ((ctx, fc) => PairOps.seriesLists(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), "divide", "divideSeries")),
+    "divideSeriesLists" -> seriesListsFamily("divide", "divideSeries"),
     "weightedAverage" -> ((ctx, fc) => PairOps.weightedAverage(
       seriesArg(ctx, fc), seriesArg(ctx, fc, 1), intsFrom(fc, 2), fc.rawArgs)),
     "join" -> ((ctx, fc) => PairOps.joinNames(

@@ -21,27 +21,107 @@ object PairOps {
   private def indexByName(df: DataFrame): DataFrame =
     df.withColumn("_i", row_number().over(Window.orderBy(col("name"))))
 
-  /** aggregateSeriesLists: zip lists positionally, apply a binary point-wise
-    * op. (ref aggregateSeriesLists/function.go, seriesList/function.go) */
-  def seriesLists(a: DataFrame, b: DataFrame, func: String, fnName: String): DataFrame = {
-    val op: (Column, Column) => Column = func match {
-      case "sum" | "add"      => (x, y) => x + y
-      case "diff" | "subtract" => (x, y) => x - y
-      case "multiply"         => (x, y) => x * y
-      case "divide"           => (x, y) => when(y === 0.0, lit(Double.NaN)).otherwise(x / y)
-      case "pow"              => (x, y) => pow(x, y)
-      case "max"              => (x, y) => when(x >= y, x).otherwise(y)
-      case "min"              => (x, y) => when(x <= y, x).otherwise(y)
-      case other => throw new IllegalArgumentException(s"seriesLists: bad func $other")
+  private def binOp(func: String): (Column, Column) => Column = func match {
+    case "sum" | "add"      => (x, y) => x + y
+    case "diff" | "subtract" => (x, y) => x - y
+    case "multiply"         => (x, y) => x * y
+    case "divide"           => (x, y) => when(y === 0.0, lit(Double.NaN)).otherwise(x / y)
+    case "pow"              => (x, y) => pow(x, y)
+    case "max"              => (x, y) => when(x >= y, x).otherwise(y)
+    case "min"              => (x, y) => when(x <= y, x).otherwise(y)
+    case other => throw new IllegalArgumentException(s"seriesLists: bad func $other")
+  }
+
+  /** The *SeriesLists family (divide/diff/multiply/pow/sumSeriesLists):
+    * NaN-propagating binary zip of the two NAME-SORTED lists
+    * (ref seriesList/function.go:30-199). A single right-hand series
+    * broadcasts over every left series; a size mismatch flips into
+    * name-matching mode (also forced by `matching=true`), where unmatched
+    * left series pair with `default` when given and drop otherwise; an
+    * empty right list with `default` pairs every left series with the
+    * constant. The counts driving the mode choice cost two series-row
+    * jobs — same cardinality the reference materializes. */
+  def seriesLists(a: DataFrame, b: DataFrame, func: String, fnName: String,
+                  default: Double = Double.NaN, matchingOpt: Option[Boolean] = None): DataFrame = {
+    val op = binOp(func)
+    val hasDefault = !default.isNaN
+    val defStr = graft.engine.SeriesOps.fmtNum(default)
+    val na = a.limit(1).count()
+    val nb = b.select(col("name")).limit(3).count()
+    def constantMode(single: DataFrame, constLeft: Boolean): DataFrame = {
+      // ref :95-128 — the name quirk is reference-exact: both sides of the
+      // name are the surviving series' own name
+      val v = col("values")
+      val combined =
+        if (constLeft) transform(v, x => when(isnan(x), x)
+          .otherwise(if (func == "divide") when(x === 0.0, lit(Double.NaN)).otherwise(lit(default) / x)
+                     else op(lit(default), x)))
+        else transform(v, x => when(isnan(x) || lit(hasDefault && default == 0.0 && func == "divide"), lit(Double.NaN))
+          .otherwise(op(x, lit(default))))
+      single.select(
+        concat(lit(fnName + "("), col("name"), lit(","), col("name"), lit(")")).as("name"),
+        col("tags"), col("start"), col("step"), combined.as("values"))
     }
+    if (na == 0) return if (hasDefault) constantMode(b, constLeft = true)
+      else a.select(col("name"), col("tags"), col("start"), col("step"), col("values"))
+    if (nb == 0) return if (hasDefault) constantMode(a, constLeft = false)
+      else b.select(col("name"), col("tags"), col("start"), col("step"), col("values"))
+    val sizeMatch = nb == 1 || {
+      val naFull = a.count(); naFull == nb
+    }
+    val useMatching = matchingOpt.getOrElse(!sizeMatch)
     val ai = indexByName(a).select(col("_i"), col("name").as("nameA"), col("tags"),
       col("start"), col("step"), col("values").as("valuesA"))
     val bi = indexByName(b).select(col("_i"), col("name").as("nameB"), col("values").as("valuesB"))
+    val paired =
+      if (useMatching) {
+        val j = ai.drop("_i").join(bi.drop("_i"), col("nameA") === col("nameB"), "left")
+        if (hasDefault) j else j.where(col("nameB").isNotNull)
+      } else if (nb == 1) {
+        ai.drop("_i").crossJoin(broadcast(bi.drop("_i")))
+      } else ai.join(bi, "_i")
+    val combined = when(col("valuesB").isNull,
+        // unmatched + default: denominator is the constant
+        transform(col("valuesA"), x => when(isnan(x) || lit(func == "divide" && default == 0.0), lit(Double.NaN))
+          .otherwise(op(x, lit(default)))))
+      .otherwise(zip_with(col("valuesA"), col("valuesB"),
+        (x, y) => when(x.isNull || y.isNull || isnan(x) || isnan(y), lit(Double.NaN)).otherwise(op(x, y))))
+    paired.select(
+      concat(lit(fnName + "("), col("nameA"), lit(","),
+        coalesce(col("nameB"), lit(defStr)), lit(")")).as("name"),
+      col("tags"), col("start"), col("step"), combined.as("values"))
+  }
+
+  /** aggregateSeriesLists(l1, l2, func, xFilesFactor): pair positionally
+    * after a name sort, then consolidate each point PAIR with the NaN-
+    * SKIPPING aggregation kernel + xff gate — unlike the *SeriesLists
+    * family above this follows helper.AggregateSeries semantics, including
+    * its quirk of naming every output row `aggregateSeriesLists(rawArgs)`
+    * (ref aggregateSeriesLists/function.go:58-75, helper/helper.go:151-188).
+    * xff defaults to each left series' own xFilesFactor tag. */
+  def aggregateSeriesLists(a: DataFrame, b: DataFrame, func: String, rawArgs: String,
+                           xff: Option[Double]): DataFrame = {
+    val ai = indexByName(a).select(col("_i"), col("tags"),
+      col("start"), col("step"), col("values").as("valuesA"))
+    val bi = indexByName(b).select(col("_i"), col("values").as("valuesB"))
+    val xffCol = xff.map(lit).getOrElse(
+      coalesce(element_at(col("tags"), "xFilesFactor").cast("double"), lit(0.0)))
+    val u = udf((va: Seq[Double], vb: Seq[Double], xf: Double) =>
+      // output spans the longer side (ref ScaleSeries pads to a common grid)
+      Array.tabulate(math.max(va.length, vb.length)) { i =>
+        val pair = Array(
+          if (i < va.length) va(i) else Double.NaN,
+          if (i < vb.length) vb(i) else Double.NaN)
+        Kernels.summarizeValues(func, pair, xf.toFloat)
+      })
+    val name = s"aggregateSeriesLists($rawArgs)"
     ai.join(bi, "_i")
       .select(
-        concat(lit(fnName + "("), col("nameA"), lit(","), col("nameB"), lit(")")).as("name"),
-        col("tags"), col("start"), col("step"),
-        zip_with(col("valuesA"), col("valuesB"), op).as("values"))
+        lit(name).as("name"),
+        map_concat(map_filter(col("tags"), (k, _) => k =!= "name" && k =!= "aggregatedBy"),
+          map(lit("name"), lit(name), lit("aggregatedBy"), lit(func))).as("tags"),
+        col("start"), col("step"),
+        u(col("valuesA"), col("valuesB"), xffCol).as("values"))
   }
 
   /** weightedAverage(avgList, weightList, *nodes): join by node key, result =

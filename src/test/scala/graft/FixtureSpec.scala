@@ -709,6 +709,42 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("metric.plain", vals, step = 1)))
   }
 
+  test("seriesLists family NaN-propagates; broadcast, matching and default modes (ref seriesList/function_test.go:28-45)") {
+    val m1 = md("metric1", Seq(1, NaN, NaN, 3, 4, 12), step = 1)
+    val m2 = md("metric2", Seq(2, NaN, 3, NaN, 0, 6), step = 1)
+    check("diffSeriesLists(metric1,metric2)", Seq(m1, m2),
+      Seq(md("diffSeries(metric1,metric2)", Seq(-1, NaN, NaN, NaN, 4, 6), step = 1)))
+    check("sumSeriesLists(metric1,metric2)", Seq(m1, m2),
+      Seq(md("sumSeries(metric1,metric2)", Seq(3, NaN, NaN, NaN, 4, 18), step = 1)))
+    // single denominator broadcasts over every numerator; divide-by-0 → NaN
+    val in2 = Seq(md("n.a", Seq(4.0, 6), step = 1), md("n.b", Seq(8.0, 10), step = 1),
+      md("d", Seq(2.0, 0), step = 1))
+    check("divideSeriesLists(n.*,d)", in2, Seq(
+      md("divideSeries(n.a,d)", Seq(2.0, NaN), step = 1),
+      md("divideSeries(n.b,d)", Seq(4.0, NaN), step = 1)))
+    // size mismatch flips into name-matching: unmatched numerator drops
+    // without a default, pairs with the constant when one is given
+    val in3 = Seq(md("x.a", Seq(1.0), step = 1), md("x.b", Seq(2.0), step = 1),
+      md("x.c", Seq(3.0), step = 1))
+    check("sumSeriesLists(x.{a,b,c},x.{a,c})", in3,
+      Seq(md("sumSeries(x.a,x.a)", Seq(2.0), step = 1),
+        md("sumSeries(x.c,x.c)", Seq(6.0), step = 1)),
+      stepHint = Some(1)) // x.b has no same-named partner → dropped
+    val got = run("sumSeriesLists(x.{a,b,c},x.{a,c},default=5)", in3, stepHint = Some(1))
+    assert(got.map(_.name).sorted ==
+      Seq("sumSeries(x.a,x.a)", "sumSeries(x.b,5)", "sumSeries(x.c,x.c)"), s"got ${got.map(_.name)}")
+    assert(got.sortBy(_.name).map(_.values.head) == Seq(2.0, 7.0, 6.0))
+  }
+
+  test("aggregateSeriesLists consolidates pairs NaN-skipping under one rawArgs name (ref aggregateSeriesLists/function_test.go)") {
+    val m1 = md("metric1", Seq(1, NaN, NaN, 3, 4, 12), step = 1)
+    val m2 = md("metric2", Seq(2, NaN, 3), step = 1)
+    // NaN-skip: (NaN,3) → 3; unequal lengths span the longer side
+    check("aggregateSeriesLists(metric1,metric2,'sum')", Seq(m1, m2),
+      Seq(md("aggregateSeriesLists(metric1,metric2,'sum')",
+        Seq(3, NaN, 3, 3, 4, 12), step = 1)))
+  }
+
   test("moving windows default xFilesFactor to the series' own tag (ref moving/function.go:149-156)") {
     val in = Seq(md("m", Seq(1.0, NaN, NaN, 3, 4), step = 1))
     // setXFilesFactor(0.5) → [NaN,3] window (1/2 non-null) passes
