@@ -101,4 +101,9 @@ object SeriesFrame {
     val u = udf((v: Seq[Double]) => f(v.toArray))
     c => u(c)
   }
+
+  /** Each series' own xFilesFactor (the setXFilesFactor tag), 0 when unset —
+    * the reference's per-series `a.XFilesFactor` default. */
+  def xffTag: Column =
+    coalesce(element_at(col("tags"), "xFilesFactor").cast("double"), lit(0.0))
 }

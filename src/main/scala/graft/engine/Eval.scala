@@ -97,6 +97,18 @@ object Eval {
       case x => throw new IllegalArgumentException(s"${fc.name}: bad interval arg $x")
     }
 
+  /** Plan-time stand-in for the reference's `args[0].XFilesFactor` default:
+    * the only way a fetched series carries a non-zero xff is a
+    * setXFilesFactor/xFilesFactor call in the argument tree, so walk the
+    * series-arg chain for its literal instead of running a job to read the
+    * tag back (ref aggregate/function.go:70, removeEmptySeries/function.go:43). */
+  private def astXff(a: Ast): Option[Double] = a match {
+    case FuncCall(n, args, named) if n == "setXFilesFactor" || n == "xFilesFactor" =>
+      named.get("xFilesFactor").orElse(args.lift(1)).collect { case Num(v) => v }
+    case FuncCall(_, args, _) if args.nonEmpty => astXff(args.head)
+    case _ => None
+  }
+
   private def intsFrom(fc: FuncCall, startIdx: Int): Seq[Int] =
     fc.args.drop(startIdx).map { case Num(v) => v.toInt; case other => throw new IllegalArgumentException(s"bad node $other") }
 
@@ -181,7 +193,8 @@ object Eval {
     // commas where a naive rawArgs split would truncate
     "aggregate" -> ((ctx, fc) => SeriesOps.aggregateNamed(
       seriesArg(ctx, fc), strArg(fc, 1), fc.args.head.print,
-      numArg(fc, 2, "xFilesFactor", Some(0.0)), align = needAlign(ctx))),
+      numArg(fc, 2, "xFilesFactor", Some(astXff(fc.args.head).getOrElse(0.0))),
+      align = needAlign(ctx))),
     "sumSeries" -> aggFamily("sum"), "sum" -> aggFamily("sum"),
     "averageSeries" -> aggFamily("average"), "avg" -> aggFamily("average"), "average" -> aggFamily("average"),
     "maxSeries" -> aggFamily("max"), "max" -> aggFamily("max"),
@@ -376,7 +389,7 @@ object Eval {
     "nPercentile" -> ((ctx, fc) => SeriesOps.nPercentile(seriesArg(ctx, fc), numArg(fc, 1))),
     "mostDeviant" -> ((ctx, fc) => SeriesOps.mostDeviant(seriesArg(ctx, fc), intArg(fc, 1, default = Some(1)))),
     "removeEmptySeries" -> ((ctx, fc) => SeriesOps.removeEmptySeries(
-      seriesArg(ctx, fc), numArg(fc, 1, "xFilesFactor", Some(0.0)))),
+      seriesArg(ctx, fc), numArg(fc, 1, "xFilesFactor", Some(astXff(fc.args.head).getOrElse(0.0))))),
     "removeZeroSeries" -> ((ctx, fc) => SeriesOps.removeZeroSeries(seriesArg(ctx, fc))),
     "exclude" -> ((ctx, fc) => SeriesOps.excludeS(seriesArg(ctx, fc), strArg(fc, 1))),
     "grep" -> ((ctx, fc) => SeriesOps.grepS(seriesArg(ctx, fc), strArg(fc, 1))),

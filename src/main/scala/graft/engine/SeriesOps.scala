@@ -453,7 +453,7 @@ object SeriesOps {
     * the epoch multiple (or the series start when alignToFrom). */
   private def rebucket(df: DataFrame, interval: Long, func: String,
                        alignToFrom: Boolean): DataFrame = {
-    val u = udf((v: Seq[Double], start: Long, step: Long) => {
+    val u = udf((v: Seq[Double], start: Long, step: Long, xf: Double) => {
       val vals = v.toArray
       val newStart = if (alignToFrom) start else math.floorDiv(start, interval) * interval
       val stop = start + vals.length * step
@@ -469,12 +469,14 @@ object SeriesOps {
         val iLo = math.max(((bLo - start + step - 1) / step).toInt, 0)
         val iHi = math.min(math.ceil((bHi - start).toDouble / step).toInt, vals.length)
         val bucket = if (iHi > iLo) java.util.Arrays.copyOfRange(vals, iLo, iHi) else Array.empty[Double]
-        out(b) = Kernels.summarizeValues(func, bucket, 0f)
+        // per-series xff gate, like the reference's SummarizeValues(...,
+        // arg.XFilesFactor) (ref summarize/function.go:136)
+        out(b) = Kernels.summarizeValues(func, bucket, xf.toFloat)
         b += 1
       }
       (newStart, out)
     })
-    df.withColumn("_r", u(col("values"), col("start"), col("step")))
+    df.withColumn("_r", u(col("values"), col("start"), col("step"), SeriesFrame.xffTag))
       .withColumn("start", col("_r._1"))
       .withColumn("values", col("_r._2"))
       .withColumn("step", lit(interval))

@@ -57,7 +57,7 @@ object TimeOps {
     * (ref smartSummarize/function.go, parser.go:983-1021) */
   def smartSummarize(df: DataFrame, interval: Long, func: String, alignTo: String,
                      rawInterval: String = ""): DataFrame = {
-    val u = udf((v: Seq[Double], start: Long, step: Long) => {
+    val u = udf((v: Seq[Double], start: Long, step: Long, xf: Double) => {
       val vals = v.toArray
       val newStart = alignStart(start, alignTo)
       val stop = start + vals.length * step
@@ -70,12 +70,13 @@ object TimeOps {
         val iLo = math.max(((bLo - start + step - 1) / step).toInt, 0)
         val iHi = math.min(math.ceil((bHi - start).toDouble / step).toInt, vals.length)
         val bucket = if (iHi > iLo) java.util.Arrays.copyOfRange(vals, iLo, iHi) else Array.empty[Double]
-        out(b) = Kernels.summarizeValues(func, bucket, 0f)
+        // per-series xff gate (ref smartSummarize/function.go:112)
+        out(b) = Kernels.summarizeValues(func, bucket, xf.toFloat)
         b += 1
       }
       (newStart, out)
     })
-    df.withColumn("_r", u(col("values"), col("start"), col("step")))
+    df.withColumn("_r", u(col("values"), col("start"), col("step"), SeriesFrame.xffTag))
       .withColumn("start", col("_r._1"))
       .withColumn("values", col("_r._2"))
       .withColumn("step", lit(interval))
@@ -164,9 +165,11 @@ object TimeOps {
     val system = args.find(a => a == "si" || a == "binary").getOrElse("")
     val funcs = args.filterNot(a => a == "si" || a == "binary")
     val parts: Seq[Column] = funcs.map { f =>
-      val s = SeriesFrame.vecScalar(v => Kernels.summarizeValues(f, v))(col("values"))
+      // per-series xff gate (ref legendValue/function.go:67)
+      val su = udf((v: Seq[Double], xf: Double) =>
+        Kernels.summarizeValues(f, v.toArray, xf.toFloat))
       val fmtU = udf((raw: Double) => formatLegend(raw, system))
-      concat(lit(s" ($f: "), fmtU(s), lit(")"))
+      concat(lit(s" ($f: "), fmtU(su(col("values"), SeriesFrame.xffTag)), lit(")"))
     }
     df.withColumn("name", concat(col("name") +: parts: _*))
   }

@@ -709,6 +709,21 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("metric.plain", vals, step = 1)))
   }
 
+  test("summarize/aggregate default xFilesFactor to the series' setXFilesFactor value") {
+    // summarize 2-point buckets over [4, NaN, NaN, NaN]: bucket1 = [4,NaN]
+    // (1/2 non-null), bucket2 all-NaN. xff 0.5 keeps bucket1; 0.9 kills it
+    val in = Seq(md("m", Seq(4.0, NaN, NaN, NaN), step = 1))
+    check("summarize(setXFilesFactor(m,0.5),'2s','sum',true)", in,
+      Seq(md("summarize(m,'2s','sum',true)", Seq(4.0, NaN), step = 2)), stepHint = Some(1))
+    check("summarize(setXFilesFactor(m,0.9),'2s','sum',true)", in,
+      Seq(md("summarize(m,'2s','sum',true)", Seq(NaN, NaN), step = 2)), stepHint = Some(1))
+    // aggregate's xff default comes from the argument tree: 2 series, one
+    // NaN at ts1 → 1/2 non-null; xff 0.9 gates the point to NaN
+    val two = Seq(md("a.x", Seq(1.0, NaN), step = 1), md("a.y", Seq(2.0, 6.0), step = 1))
+    check("aggregate(setXFilesFactor(a.*,0.9),'sum')", two,
+      Seq(md("sumSeries(setXFilesFactor(a.*,0.9))", Seq(3.0, NaN), step = 1)), stepHint = Some(1))
+  }
+
   test("seriesLists family NaN-propagates; broadcast, matching and default modes (ref seriesList/function_test.go:28-45)") {
     val m1 = md("metric1", Seq(1, NaN, NaN, 3, 4, 12), step = 1)
     val m2 = md("metric2", Seq(2, NaN, 3, NaN, 0, 6), step = 1)
