@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
  * joins are band-bucket joins (never an all-pairs cross join). At 100 TB the
  * band join's key cardinality scales with corpus size, keeping partitions
  * bounded; skewed buckets (boilerplate text) are handled by AQE skew-join.
+ *
+ * Lifecycle note: the LSH methods `persist()` their signature table (it
+ * feeds both sides of the band self-join). The returned plan references the
+ * cache, so eviction is the CALLER's job — in a long-lived server, call
+ * `spark.catalog.clearCache()` (or unpersist via the storage API) after
+ * consuming the result, or the cached signatures accumulate.
  */
 object Dedup {
 

@@ -74,8 +74,12 @@ object Similarity {
    * distributed as a broadcast join).
    */
   def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5, sampleN: Int = 10000): Array[(Int, Array[Double])] = {
-    val sample = corpus.select(col("embedding")).limit(sampleN)
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // ordered take → TakeOrderedAndProject (no full sort) and the SAME
+    // sample on every run/cluster — a bare limit() picks whichever
+    // partitions answer first, making centroids nondeterministic
+    val sample = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(sampleN)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
     // deterministic init: evenly strided sample points
