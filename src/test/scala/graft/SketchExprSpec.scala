@@ -84,10 +84,13 @@ class SketchExprSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("sketch pipeline stages carry no Scala UDF (native codegen end to end)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = Dedup.wordsOf(col("text"))
     val plan = docs.select(Dedup.minhashSignature(col("text")).as("sig"),
-        Dedup.simhash(col("text")).as("fp"))
+        Dedup.simhash(col("text")).as("fp"),
+        SketchExpressions.ophSig(
+          transform(Dedup.shinglesOf(words, 3), s => xxhash64(s)), 64).as("oph"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("UDF"), s"UDF survived in: ${plan.take(500)}")
-    assert(plan.contains("minhash_sig") && plan.contains("simhash_fp"))
+    assert(plan.contains("minhash_sig") && plan.contains("simhash_fp") && plan.contains("oph_sig"))
   }
 }
