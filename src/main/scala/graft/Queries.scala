@@ -532,6 +532,28 @@ object Queries {
         |FROM piv ORDER BY ts""".stripMargin),
     "g53_useseriesabove" ->
       (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name = 'events.view' AND v IS NOT NULL ORDER BY ts"),
+    // degree-2 least squares in closed form: power sums S0..S4 / moment sums
+    // T0..T2 per series, 3x3 normal equations solved by Cramer's rule —
+    // same math as the Spark kernel's gaussian elimination
+    "g44_polyfit" ->
+      (S + """, x AS (SELECT s.name, s.ts, s.v, CAST((s.ts - b.t0) / 3600 AS DOUBLE) AS i FROM s, b),
+        |m AS (SELECT name,
+        |  CAST(count(v) AS DOUBLE) AS s0,
+        |  sum(i) FILTER (WHERE v IS NOT NULL) AS s1,
+        |  sum(i*i) FILTER (WHERE v IS NOT NULL) AS s2,
+        |  sum(i*i*i) FILTER (WHERE v IS NOT NULL) AS s3,
+        |  sum(i*i*i*i) FILTER (WHERE v IS NOT NULL) AS s4,
+        |  sum(v) AS p, sum(v*i) AS q, sum(v*i*i) AS r
+        |  FROM x GROUP BY name),
+        |c AS (SELECT name,
+        |  s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2) AS det,
+        |  p*(s2*s4 - s3*s3) - s1*(q*s4 - s3*r) + s2*(q*s3 - s2*r) AS d0,
+        |  s0*(q*s4 - s3*r) - p*(s1*s4 - s3*s2) + s2*(s1*r - q*s2) AS d1,
+        |  s0*(s2*r - q*s3) - s1*(s1*r - q*s2) + p*(s1*s3 - s2*s2) AS d2
+        |  FROM m)
+        |SELECT 'polyfit(' || x.name || ',2)' AS name, x.ts,
+        |  round(c.d0/c.det + (c.d1/c.det)*x.i + (c.d2/c.det)*x.i*x.i, 4) AS value
+        |FROM x JOIN c ON x.name = c.name ORDER BY name, ts""".stripMargin),
     "g46_timestack" ->
       (S + """SELECT * FROM (
         |  SELECT 'timeShift(events.click,1d,0)' AS name, ts, round(v, 4) AS value
