@@ -532,6 +532,22 @@ object Queries {
         |FROM piv ORDER BY ts""".stripMargin),
     "g53_useseriesabove" ->
       (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name = 'events.view' AND v IS NOT NULL ORDER BY ts"),
+    // direct O(N^2) DFT — the series length is not a power of two, so the
+    // Spark kernel takes the same naive-DFT path (VecOps.dft non-pow2
+    // branch); the angle term mirrors its exact float association
+    // ((-2*pi/n) * k * t). NaN inputs are zeroed like the kernel.
+    "g43_fft" ->
+      (S + """, src AS (SELECT ts, coalesce(v, 0) AS y, CAST((ts - b.t0)/3600 AS DOUBLE) AS t
+        |       FROM s, b WHERE name = 'events.click'),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM src),
+        |d AS (SELECT k.ts,
+        |  sum(src.y * cos((-2*pi()/nn.n) * k.t * src.t)) AS re,
+        |  sum(src.y * sin((-2*pi()/nn.n) * k.t * src.t)) AS im
+        |  FROM src k, src, nn GROUP BY k.ts)
+        |SELECT 'fft(events.click,abs)' AS name, ts, round(sqrt(re*re + im*im), 4) AS value FROM d
+        |UNION ALL
+        |SELECT 'fft(events.click,phase)' AS name, ts, round(atan2(im, re), 4) AS value FROM d
+        |ORDER BY name, ts""".stripMargin),
     // degree-2 least squares in closed form: power sums S0..S4 / moment sums
     // T0..T2 per series, 3x3 normal equations solved by Cramer's rule —
     // same math as the Spark kernel's gaussian elimination
