@@ -532,6 +532,25 @@ object Queries {
         |FROM piv ORDER BY ts""".stripMargin),
     "g53_useseriesabove" ->
       (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name = 'events.view' AND v IS NOT NULL ORDER BY ts"),
+    // the EMA recurrence replayed by a recursive CTE: seed = NaN-skipping
+    // mean of the first 10 points (0 when empty), then
+    // e' = a*x + (1-a)*e with a = 2/11, state held through NULL points,
+    // each output SafeRound(6)-ed like the kernel (VecOps.emaRef) before
+    // the 4-decimal compare rounding
+    "g45_ema" ->
+      (S.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, x AS (SELECT s.name, s.ts, s.v, CAST((s.ts - b.t0)/3600 AS INT) AS i FROM s, b),
+        |seed AS (SELECT name, coalesce(avg(v), 0) AS e FROM x WHERE i < 10 GROUP BY name),
+        |rec AS (
+        |  SELECT name, 9 AS i, e AS st, e AS outv FROM seed
+        |  UNION ALL
+        |  SELECT r.name, r.i + 1,
+        |    CASE WHEN x.v IS NULL THEN r.st ELSE 2.0/11.0*x.v + (1.0 - 2.0/11.0)*r.st END,
+        |    CASE WHEN x.v IS NULL THEN NULL ELSE 2.0/11.0*x.v + (1.0 - 2.0/11.0)*r.st END
+        |  FROM rec r JOIN x ON x.name = r.name AND x.i = r.i + 1)
+        |SELECT 'exponentialMovingAverage(' || rec.name || ',10)' AS name,
+        |  b.t0 + (rec.i + 1) * 3600 AS ts, round(round(rec.outv, 6), 4) AS value
+        |FROM rec, b WHERE rec.outv IS NOT NULL ORDER BY name, ts""".stripMargin),
     // direct O(N^2) DFT — the series length is not a power of two, so the
     // Spark kernel takes the same naive-DFT path (VecOps.dft non-pow2
     // branch); the angle term mirrors its exact float association
