@@ -838,8 +838,21 @@ object Queries {
       """SELECT doc_id AS asset_id, CAST(ts_ms / 1000 AS BIGINT) AS frame_idx, CAST(ts_ms AS BIGINT) AS ts_ms
         |FROM (SELECT doc_id, unnest(generate_series(0, least(n_chars * 10, 31000), 1000)) AS ts_ms
         |      FROM documents WHERE doc_id % 3 = 2)
-        |ORDER BY asset_id, frame_idx""".stripMargin
-    // p04/p05/p06/p08/p09/m01: heuristic- or hash-dependent (xxhash64/IVF/
-    // byte-histogram stub) — no DuckDB equivalent; rows-only check.
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+    // the stub "decode" is a byte histogram over the UTF-8 payload; the
+    // corpus is pure ASCII (verified), so codepoint counts == byte counts
+    // and the 32-wide bins of the dim=8 histogram are SQL-countable. f0 =
+    // bytes < 32 (control chars), f7 = bytes >= 224 (always 0 on ASCII).
+    "m01_mm_features" ->
+      """WITH ch AS (SELECT doc_id, list_transform(split(text, ''), x -> ord(x)) AS os,
+        |  greatest(octet_length(encode(text)), 1) AS n FROM documents)
+        |SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  round(CAST(CAST(len(list_filter(os, x -> x < 32)) AS REAL) / n AS DOUBLE), 4) AS f0,
+        |  round(CAST(CAST(len(list_filter(os, x -> x >= 224)) AS REAL) / n AS DOUBLE), 4) AS f7
+        |FROM ch ORDER BY asset_id""".stripMargin
+    // p04 landed as an exact DuckDB replica; p05/p06/p08/p09/p14/p15 remain
+    // hash-dependent (xxhash64/SRP/IVF) — no DuckDB twin; rows-only in the
+    // driver gate, self-consistency-gated in PipelineSpec.
   )
 }
