@@ -46,8 +46,10 @@ object PairOps {
     val op = binOp(func)
     val hasDefault = !default.isNaN
     val defStr = graft.engine.SeriesOps.fmtNum(default)
-    val na = a.limit(1).count()
-    val nb = b.select(col("name")).limit(3).count()
+    // two series-row count jobs total (series cardinality, not points):
+    // they drive emptiness, the single-right broadcast and size matching
+    val na = a.select(col("name")).count()
+    val nb = b.select(col("name")).count()
     def constantMode(single: DataFrame, constLeft: Boolean): DataFrame = {
       // ref :95-128 — the name quirk is reference-exact: both sides of the
       // name are the surviving series' own name
@@ -66,9 +68,7 @@ object PairOps {
       else a.select(col("name"), col("tags"), col("start"), col("step"), col("values"))
     if (nb == 0) return if (hasDefault) constantMode(a, constLeft = false)
       else b.select(col("name"), col("tags"), col("start"), col("step"), col("values"))
-    val sizeMatch = nb == 1 || {
-      val naFull = a.count(); naFull == nb
-    }
+    val sizeMatch = nb == 1 || na == nb
     val useMatching = matchingOpt.getOrElse(!sizeMatch)
     val ai = indexByName(a).select(col("_i"), col("name").as("nameA"), col("tags"),
       col("start"), col("step"), col("values").as("valuesA"))

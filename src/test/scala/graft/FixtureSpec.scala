@@ -749,6 +749,12 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_.name).sorted ==
       Seq("sumSeries(x.a,x.a)", "sumSeries(x.b,5)", "sumSeries(x.c,x.c)"), s"got ${got.map(_.name)}")
     assert(got.sortBy(_.name).map(_.values.head) == Seq(2.0, 7.0, 6.0))
+    // EQUAL sizes (> 3, disjoint names) stay positional — must NOT flip
+    // into name-matching and drop everything
+    val four = ('a' to 'd').flatMap(c => Seq(
+      md(s"n.$c", Seq(1.0), step = 1), md(s"m.$c", Seq(10.0), step = 1)))
+    check("sumSeriesLists(n.*,m.*)", four, ('a' to 'd').map(c =>
+      md(s"sumSeries(n.$c,m.$c)", Seq(11.0), step = 1)), stepHint = Some(1))
   }
 
   test("aggregateSeriesLists consolidates pairs NaN-skipping under one rawArgs name (ref aggregateSeriesLists/function_test.go)") {
