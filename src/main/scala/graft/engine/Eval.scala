@@ -112,6 +112,16 @@ object Eval {
   private def intsFrom(fc: FuncCall, startIdx: Int): Seq[Int] =
     fc.args.drop(startIdx).map { case Num(v) => v.toInt; case other => throw new IllegalArgumentException(s"bad node $other") }
 
+  /** Node-or-tag args (ref parser.GetNodeOrTagArgs): ints address dot
+    * nodes, strings are TAG names. */
+  private def nodeOrTagsFrom(fc: FuncCall, startIdx: Int): Seq[Either[String, Int]] =
+    fc.args.drop(startIdx).map {
+      case Num(v) => Right(v.toInt)
+      case Str(s) => Left(s)
+      case NameExpr(s) => Left(s)
+      case other => throw new IllegalArgumentException(s"bad node-or-tag $other")
+    }
+
   /** Window size arg: Right(points) for ints, Left(seconds) for interval strings. */
   private def windowArg(fc: FuncCall, i: Int): Either[Long, Int] = fc.args(i) match {
     case Num(v) => Right(v.toInt)
@@ -224,10 +234,12 @@ object Eval {
     "divideSeries" -> ((ctx, fc) => SeriesOps.divideSeries(seriesArg(ctx, fc), seriesArg(ctx, fc, 1))),
 
     // ---- grouping
+    // node args are node-OR-TAG (ref GetNodeOrTagArgs); the no-callback
+    // default is "avg" (ref groupByNode/function.go:50)
     "groupByNode" -> ((ctx, fc) => groupByNodeImpl(ctx,
-      seriesArg(ctx, fc), strArg(fc, 2, "callback", Some("average")), Seq(intArg(fc, 1)))),
+      seriesArg(ctx, fc), strArg(fc, 2, "callback", Some("avg")), nodeOrTagsFrom(fc, 1).take(1))),
     "groupByNodes" -> ((ctx, fc) => groupByNodeImpl(ctx,
-      seriesArg(ctx, fc), strArg(fc, 1), intsFrom(fc, 2))),
+      seriesArg(ctx, fc), strArg(fc, 1), nodeOrTagsFrom(fc, 2))),
     "groupByTags" -> ((ctx, fc) => SeriesOps.groupByTags(
       seriesArg(ctx, fc), strArg(fc, 1), fc.args.drop(2).map { case Str(s) => s; case NameExpr(s) => s; case o => o.print },
       align = needAlign(ctx))),
@@ -622,13 +634,14 @@ object Eval {
    * (ref groupByNode/function.go:115-131). No driver collect, one job for
    * any number of groups.
    */
-  private def groupByNodeImpl(ctx: Ctx, df: DataFrame, callback: String, nodes: Seq[Int]): DataFrame = {
+  private def groupByNodeImpl(ctx: Ctx, df: DataFrame, callback: String,
+                              nodes: Seq[Either[String, Int]]): DataFrame = {
     val aggName = if (callback.endsWith("Series")) callback.dropRight(6) else callback
     val isAgg = graft.core.Kernels.validConsolidations.contains(aggName) ||
       aggName.matches("p([0-9]*[.])?[0-9]+")
     if (isAgg) SeriesOps.groupByNodes(df, aggName, nodes, align = needAlign(ctx))
     else {
-      val keyCol = SeriesOps.nodeKey(col("name"), nodes)
+      val keyCol = SeriesOps.nodeOrTagKey(col("name"), col("tags"), nodes)
       val keyed = df.withColumn("_gk", keyCol)
       val applied = eval(FuncCall(callback, Seq(graft.parser.FrameExpr(keyed, "group")), Map.empty), ctx)
       if (applied.columns.contains("_gk")) {

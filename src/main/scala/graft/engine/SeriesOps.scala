@@ -106,8 +106,8 @@ object SeriesOps {
   /** groupByNode(s): aggregate per dot-node key; `dropNodes` instead keeps
     * all nodes EXCEPT the listed positions (the WithWildcards family, ref
     * aggregateWithWildcards/function.go). (ref groupByNode/function.go:30-140) */
-  def groupByNodes(df: DataFrame, func: String, nodes: Seq[Int], dropNodes: Seq[Int] = Nil,
-                   align: Boolean = false): DataFrame = {
+  def groupByNodes(df: DataFrame, func: String, nodes: Seq[Either[String, Int]],
+                   dropNodes: Seq[Int] = Nil, align: Boolean = false): DataFrame = {
     val key =
       if (dropNodes.nonEmpty) {
         // keep every node EXCEPT the listed positions (negatives count from
@@ -117,7 +117,7 @@ object SeriesOps {
           !dropNodes.map(d => idx === (if (d >= 0) lit(d) else size(parts) + lit(d)))
             .reduce(_ || _))
         array_join(kept, ".")
-      } else nodeKey(col("name"), nodes)
+      } else nodeOrTagKey(col("name"), col("tags"), nodes)
     aggregateSeries(df, func, groupKey = Some(key), nameFor = identity, align = align)
   }
 
@@ -137,6 +137,18 @@ object SeriesOps {
   def nodeKey(name: Column, nodes: Seq[Int]): Column = {
     val parts = split(name, "\\.")
     concat_ws(".", nodes.map(i => element_at(parts, if (i >= 0) i + 1 else i)): _*)
+  }
+
+  /** Mixed node-or-tag key (ref helper.AggKey:85-108): ints address dot
+    * nodes (out-of-range skipped), strings look up the series' tag value
+    * (missing tags contribute an EMPTY segment, exactly like the
+    * reference's `metricTags[tagStr]` zero value). */
+  def nodeOrTagKey(name: Column, tags: Column, nts: Seq[Either[String, Int]]): Column = {
+    val parts = split(name, "\\.")
+    concat_ws(".", nts.map {
+      case Right(i) => element_at(parts, if (i >= 0) i + 1 else i)
+      case Left(t)  => coalesce(element_at(tags, t), lit(""))
+    }: _*)
   }
 
   /** asPercent with no total: each point as % of the per-ts sum over all

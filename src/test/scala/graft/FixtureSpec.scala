@@ -778,6 +778,29 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       stepHint = Some(1))
   }
 
+  test("groupByNode node-or-tag keys, negative index and avg default (ref groupByNode/function_test.go:37-130)") {
+    val in = Seq(
+      md("metric1.foo.bar1.baz", Seq(1.0, 2, 3, 4, 5), step = 1),
+      md("metric1.foo.bar1.qux", Seq(6.0, 7, 8, 9, 10), step = 1),
+      md("metric1.foo.bar2.baz", Seq(11.0, 12, 13, 14, 15), step = 1),
+      md("metric1.foo.bar2.qux", Seq(7.0, 8, 9, 10, 11), step = 1))
+    check("groupByNode(metric1.foo.*.*,3,'sum')", in, Seq(
+      md("baz", Seq(12.0, 14, 16, 18, 20), step = 1),
+      md("qux", Seq(13.0, 15, 17, 19, 21), step = 1)), stepHint = Some(1))
+    check("groupByNode(metric1.foo.*.*,-2,'sum')", in, Seq(
+      md("bar1", Seq(7.0, 9, 11, 13, 15), step = 1),
+      md("bar2", Seq(18.0, 20, 22, 24, 26), step = 1)), stepHint = Some(1))
+    // no callback → avg
+    check("groupByNode(metric1.foo.*.*,2)", in, Seq(
+      md("bar1", Seq(3.5, 4.5, 5.5, 6.5, 7.5), step = 1),
+      md("bar2", Seq(9.0, 10, 11, 12, 13), step = 1)), stepHint = Some(1))
+    // a STRING node arg is a tag name: grouping by the name tag keeps every
+    // series its own group
+    check("groupByNode(metric1.foo.*.*,'name','sum')",
+      Seq(md("metric1.foo.bar1.baz", Seq(1.0, 2, 3, 4, 5), step = 1)),
+      Seq(md("metric1.foo.bar1.baz", Seq(1.0, 2, 3, 4, 5), step = 1)), stepHint = Some(1))
+  }
+
   test("groupByNode with frame-collapsing callbacks stays per-group (implicit _gk aggregation)") {
     val in = Seq(
       md("g1.a", Seq(1.0, 1), step = 1),
