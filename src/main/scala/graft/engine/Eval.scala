@@ -184,7 +184,8 @@ object Eval {
     SeriesOps.lowest(seriesArg(ctx, fc), intArg(fc, 1, default = Some(1)), func)
 
   private val asPercentImpl: Impl = (ctx, fc) => {
-    val nodes = fc.args.drop(2).collect { case Num(v) => v.toInt }
+    // nodes are node-or-tag like groupByNode (ref asPercent/function.go:403)
+    val nodes = nodeOrTagsFrom(fc, 2)
     arg(fc, 1, "total") match {
       // the parser maps a bare `None` literal to Str("")
       case None | Some(Str("")) | Some(NameExpr("None")) =>
@@ -421,7 +422,7 @@ object Eval {
     "sortByMinima" -> ((ctx, fc) => SeriesOps.sortByMinima(seriesArg(ctx, fc))),
     "alias" -> ((ctx, fc) => SeriesOps.alias(seriesArg(ctx, fc), strArg(fc, 1))),
     "aliasByMetric" -> ((ctx, fc) => SeriesOps.aliasByMetric(seriesArg(ctx, fc))),
-    "aliasByNode" -> ((ctx, fc) => SeriesOps.aliasByNode(seriesArg(ctx, fc), intsFrom(fc, 1))),
+    "aliasByNode" -> ((ctx, fc) => SeriesOps.aliasByNode(seriesArg(ctx, fc), nodeOrTagsFrom(fc, 1))),
     "aliasSub" -> ((ctx, fc) => SeriesOps.aliasSub(seriesArg(ctx, fc), strArg(fc, 1), strArg(fc, 2))),
     "toLowerCase" -> ((ctx, fc) => SeriesOps.caseName(seriesArg(ctx, fc), intsFrom(fc, 1), toUpper = false)),
     "toUpperCase" -> ((ctx, fc) => SeriesOps.caseName(seriesArg(ctx, fc), intsFrom(fc, 1), toUpper = true)),
@@ -442,7 +443,7 @@ object Eval {
       nameFor = _ => lit(s"powSeries(${fc.rawArgs})"), align = needAlign(ctx))),
     "divideSeriesLists" -> seriesListsFamily("divide", "divideSeries"),
     "weightedAverage" -> ((ctx, fc) => PairOps.weightedAverage(
-      seriesArg(ctx, fc), seriesArg(ctx, fc, 1), intsFrom(fc, 2), fc.rawArgs)),
+      seriesArg(ctx, fc), seriesArg(ctx, fc, 1), nodeOrTagsFrom(fc, 2), fc.rawArgs)),
     "join" -> ((ctx, fc) => PairOps.joinNames(
       seriesArg(ctx, fc), seriesArg(ctx, fc, 1), strArg(fc, 2, "type", Some("AND")))),
     "countValues" -> ((ctx, fc) => PairOps.countValues(seriesArg(ctx, fc))),

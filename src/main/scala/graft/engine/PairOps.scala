@@ -126,8 +126,9 @@ object PairOps {
 
   /** weightedAverage(avgList, weightList, *nodes): join by node key, result =
     * sum(avg*weight) / sum(weight) point-wise. (ref weightedAverage/function.go) */
-  def weightedAverage(avgs: DataFrame, weights: DataFrame, nodes: Seq[Int], rawArgs: String): DataFrame = {
-    val key = SeriesOps.nodeKey(col("name"), nodes)
+  def weightedAverage(avgs: DataFrame, weights: DataFrame, nodes: Seq[Either[String, Int]],
+                      rawArgs: String): DataFrame = {
+    val key = SeriesOps.nodeOrTagKey(col("name"), col("tags"), nodes)
     val a = avgs.select(key.as("k"), col("start"), col("step"), col("values").as("av"))
     val w = weights.select(key.as("k"), col("values").as("wv"))
     val joined = a.join(w, "k")

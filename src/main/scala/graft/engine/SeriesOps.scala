@@ -182,8 +182,8 @@ object SeriesOps {
   /** asPercent group mode: each series as % of its node-group's point-wise
     * sum — the per-group totals are few (one per group) and broadcast back.
     * (ref asPercent/function.go seriesGroupAsPercent — names asPercent(x,None)) */
-  def asPercentByNodes(df: DataFrame, nodes: Seq[Int]): DataFrame = {
-    val key = nodeKey(col("name"), nodes)
+  def asPercentByNodes(df: DataFrame, nodes: Seq[Either[String, Int]]): DataFrame = {
+    val key = nodeOrTagKey(col("name"), col("tags"), nodes)
     val totals = aggregateSeries(df, "sum", groupKey = Some(key))
       .select(col("name").as("gk"), col("values").as("totValues"))
     df.withColumn("gk", key)
@@ -235,15 +235,16 @@ object SeriesOps {
     * a single-series total group divides its whole arg group, larger groups
     * pair positionally, unmatched groups/rows become MISSING
     * (ref asPercent/function.go seriesGroup2AsPercent). */
-  def asPercentGroupTotal(df: DataFrame, totals: DataFrame, nodes: Seq[Int]): DataFrame = {
+  def asPercentGroupTotal(df: DataFrame, totals: DataFrame, nodes: Seq[Either[String, Int]]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ai = df.select(col("name").as("aName"), col("tags").as("aTags"),
         col("start").as("aStart"), col("step").as("aStep"), col("values").as("aValues"))
-      .withColumn("_ak", nodeKey(col("aName"), nodes))
+      .withColumn("_ak", nodeOrTagKey(col("aName"), col("aTags"), nodes))
       .withColumn("_ai", row_number().over(Window.partitionBy(col("_ak")).orderBy(col("aName"))))
-    val ti = totals.select(col("name").as("tName"), col("start").as("tStart"),
-        col("step").as("tStep"), col("values").as("tValues"))
-      .withColumn("_tk", nodeKey(col("tName"), nodes))
+    val ti = totals.select(col("name").as("tName"), col("tags").as("tTags"),
+        col("start").as("tStart"), col("step").as("tStep"), col("values").as("tValues"))
+      .withColumn("_tk", nodeOrTagKey(col("tName"), col("tTags"), nodes))
+      .drop("tTags")
       .withColumn("_ti", row_number().over(Window.partitionBy(col("_tk")).orderBy(col("tName"))))
       .withColumn("_tc", count(lit(1)).over(Window.partitionBy(col("_tk"))))
     // non-equi full outer (single-total groups fan out) — a nested-loop join
@@ -648,8 +649,8 @@ object SeriesOps {
   def aliasByMetric(df: DataFrame): DataFrame =
     df.withColumn("name", element_at(split(col("name"), "\\."), -1))
 
-  def aliasByNode(df: DataFrame, nodes: Seq[Int]): DataFrame =
-    df.withColumn("name", nodeKey(col("name"), nodes))
+  def aliasByNode(df: DataFrame, nodes: Seq[Either[String, Int]]): DataFrame =
+    df.withColumn("name", nodeOrTagKey(col("name"), col("tags"), nodes))
 
   /** Graphite backrefs `\1` → Java replacement `$1`.
     * (ref helper.Backref, expr/helper/helper.go:16) */

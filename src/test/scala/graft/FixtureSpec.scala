@@ -778,6 +778,16 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       stepHint = Some(1))
   }
 
+  test("aliasByNode mixes tag names and node indices (ref aliasByNode/function.go:37-50)") {
+    // md() seeds tags with name -> full series name; a ('name', 1) arg list
+    // emits "<name tag>.<node1>"
+    val in = Seq(md("dc1.server1.load5", Seq(1.0, 2), step = 1))
+    check("aliasByNode(dc1.server1.load5,'name',1)", in,
+      Seq(md("dc1.server1.load5.server1", Seq(1.0, 2), step = 1)))
+    check("aliasByNode(dc1.server1.load5,0,-1)", in,
+      Seq(md("dc1.load5", Seq(1.0, 2), step = 1)))
+  }
+
   test("groupByNode node-or-tag keys, negative index and avg default (ref groupByNode/function_test.go:37-130)") {
     val in = Seq(
       md("metric1.foo.bar1.baz", Seq(1.0, 2, 3, 4, 5), step = 1),
