@@ -241,9 +241,21 @@ object Eval {
       seriesArg(ctx, fc), strArg(fc, 2, "callback", Some("avg")), nodeOrTagsFrom(fc, 1).take(1))),
     "groupByNodes" -> ((ctx, fc) => groupByNodeImpl(ctx,
       seriesArg(ctx, fc), strArg(fc, 1), nodeOrTagsFrom(fc, 2))),
-    "groupByTags" -> ((ctx, fc) => SeriesOps.groupByTags(
-      seriesArg(ctx, fc), strArg(fc, 1), fc.args.drop(2).map { case Str(s) => s; case NameExpr(s) => s; case o => o.print },
-      align = needAlign(ctx))),
+    // groupByTags shares groupByNode's callback surface: consolidations
+    // aggregate per tag key; any other registered function rides the same
+    // single-plan `_gk` machinery (ref groupByTags/function.go:110-117
+    // evaluates `callback(stub)` per group)
+    "groupByTags" -> ((ctx, fc) => {
+      val callback = strArg(fc, 1)
+      val tagKeys = fc.args.drop(2).map { case Str(s) => s; case NameExpr(s) => s; case o => o.print }
+      val aggName = if (callback.endsWith("Series")) callback.dropRight(6) else callback
+      val isAgg = graft.core.Kernels.validConsolidations.contains(aggName) ||
+        aggName.matches("p([0-9]*[.])?[0-9]+")
+      val df = seriesArg(ctx, fc)
+      if (isAgg) SeriesOps.groupByTags(df, aggName, tagKeys, align = needAlign(ctx))
+      else groupByKeyImpl(ctx, df, callback,
+        concat_ws(";", tagKeys.map(t => coalesce(element_at(col("tags"), t), lit(""))): _*))
+    }),
     "aggregateWithWildcards" -> ((ctx, fc) => SeriesOps.groupByNodes(
       seriesArg(ctx, fc), strArg(fc, 1), Seq.empty, dropNodes = intsFrom(fc, 2), align = needAlign(ctx))),
     "sumSeriesWithWildcards" -> ((ctx, fc) => SeriesOps.groupByNodes(
@@ -641,29 +653,36 @@ object Eval {
     val isAgg = graft.core.Kernels.validConsolidations.contains(aggName) ||
       aggName.matches("p([0-9]*[.])?[0-9]+")
     if (isAgg) SeriesOps.groupByNodes(df, aggName, nodes, align = needAlign(ctx))
-    else {
-      val keyCol = SeriesOps.nodeOrTagKey(col("name"), col("tags"), nodes)
-      val keyed = df.withColumn("_gk", keyCol)
-      val applied = eval(FuncCall(callback, Seq(graft.parser.FrameExpr(keyed, "group")), Map.empty), ctx)
-      if (applied.columns.contains("_gk")) {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("_gk")).orderBy(col("name"))
-        applied.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-          .withColumn("name", col("_gk"))
-          .withColumn("tags", map_concat(
-            map_filter(col("tags"), (k, _) => k =!= "name"), map(lit("name"), col("_gk"))))
-          .drop("_rn", "_gk")
-      } else {
-        // callback aggregated the frame away (dropped _gk) — fall back to
-        // the reference's literal per-group re-eval
-        val keys = df.select(keyCol.as("_gk")).distinct().collect().map(_.getString(0)).sorted
-        require(keys.nonEmpty, s"groupByNode: no series to group")
-        keys.map { k =>
-          val group = df.where(keyCol === k)
-          val res = eval(FuncCall(callback, Seq(graft.parser.FrameExpr(group, k)), Map.empty), ctx)
-          SeriesOps.alias(res.orderBy(col("name")).limit(1), k)
-        }.reduce(_ unionByName _)
-      }
+    else groupByKeyImpl(ctx, df, callback,
+      SeriesOps.nodeOrTagKey(col("name"), col("tags"), nodes))
+  }
+
+  /** Series-function callback applied per group in ONE plan: the group key
+    * rides as `_gk` (aggregations group on it implicitly) and a per-key
+    * window keeps the first result, mirroring the reference's "only the
+    * first result is used" rule. Shared by groupByNode(s) and groupByTags. */
+  private def groupByKeyImpl(ctx: Ctx, df: DataFrame, callback: String,
+                             keyCol: org.apache.spark.sql.Column): DataFrame = {
+    val keyed = df.withColumn("_gk", keyCol)
+    val applied = eval(FuncCall(callback, Seq(graft.parser.FrameExpr(keyed, "group")), Map.empty), ctx)
+    if (applied.columns.contains("_gk")) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("_gk")).orderBy(col("name"))
+      applied.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .withColumn("name", col("_gk"))
+        .withColumn("tags", map_concat(
+          map_filter(col("tags"), (k, _) => k =!= "name"), map(lit("name"), col("_gk"))))
+        .drop("_rn", "_gk")
+    } else {
+      // callback aggregated the frame away (dropped _gk) — fall back to
+      // the reference's literal per-group re-eval
+      val keys = df.select(keyCol.as("_gk")).distinct().collect().map(_.getString(0)).sorted
+      require(keys.nonEmpty, "group callback: no series to group")
+      keys.map { k =>
+        val group = df.where(keyCol === k)
+        val res = eval(FuncCall(callback, Seq(graft.parser.FrameExpr(group, k)), Map.empty), ctx)
+        SeriesOps.alias(res.orderBy(col("name")).limit(1), k)
+      }.reduce(_ unionByName _)
     }
   }
 

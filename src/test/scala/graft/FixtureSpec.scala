@@ -778,6 +778,17 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       stepHint = Some(1))
   }
 
+  test("groupByTags accepts series-function callbacks via the shared group machinery") {
+    // two series share the name tag prefix via custom tags: group by 'dc'
+    val in = Seq(
+      Series("a.load", Map("name" -> "a.load", "dc" -> "east"), 0, 1, Array(1.0, Double.NaN, 3)),
+      Series("b.load", Map("name" -> "b.load", "dc" -> "west"), 0, 1, Array(5.0, Double.NaN, 7)))
+    val got = run("groupByTags(*.load,'keepLastValue','dc')", in, stepHint = Some(1))
+    assert(got.map(_.name).sorted == Seq("east", "west"), s"got ${got.map(_.name)}")
+    val east = got.find(_.name == "east").get
+    assert(east.values.toSeq == Seq(1.0, 1.0, 3.0), s"got ${east.values.toSeq}")
+  }
+
   test("aliasByNode mixes tag names and node indices (ref aliasByNode/function.go:37-50)") {
     // md() seeds tags with name -> full series name; a ('name', 1) arg list
     // emits "<name tag>.<node1>"
