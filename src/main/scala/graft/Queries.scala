@@ -532,6 +532,35 @@ object Queries {
         |FROM piv ORDER BY ts""".stripMargin),
     "g53_useseriesabove" ->
       (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name = 'events.view' AND v IS NOT NULL ORDER BY ts"),
+    // Graphite's triple-exponential Holt-Winters (alpha .1, beta .0035,
+    // gamma .1, 24-step season) replayed by a recursive CTE: scalar
+    // level/trend/last-seen state plus a rolling 24-slot seasonal window
+    // (sw[1] = seasonal(i-24), zeros before the first season — the kernel's
+    // array-default semantics, VecOps.holtWinters). Constants are written
+    // (1 - a) like the kernel so the float association matches exactly.
+    "g42_hw_forecast" ->
+      (S.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, x AS (SELECT s.ts, s.v, CAST((s.ts - b.t0)/3600 AS INT) AS i
+        |       FROM s, b WHERE name = 'events.click'),
+        |r AS (
+        |  SELECT 0 AS i, coalesce(x.v, 0) AS lastseen, coalesce(x.v, 0) AS ic,
+        |         CAST(0 AS DOUBLE) AS sl,
+        |         list_transform(range(24), j -> CAST(0 AS DOUBLE)) AS sw,
+        |         coalesce(x.v, 0) AS fc
+        |  FROM x WHERE x.i = 0
+        |  UNION ALL
+        |  SELECT i2, xv,
+        |    icn,
+        |    0.0035*(icn - ic) + (1 - 0.0035)*sl,
+        |    list_append(sw[2:], 0.1*(xv - icn) + (1 - 0.1)*sw[1]),
+        |    ic + sl + sw[1]
+        |  FROM (
+        |    SELECT q.*, 0.1*(xv - sw[1]) + (1 - 0.1)*(ic + sl) AS icn
+        |    FROM (SELECT x.i AS i2, coalesce(x.v, r.lastseen) AS xv,
+        |                 r.ic, r.sl, r.sw FROM r JOIN x ON x.i = r.i + 1) q))
+        |SELECT 'holtWintersForecast(events.click)' AS name,
+        |  b.t0 + r.i * 3600 AS ts, round(r.fc, 4) AS value
+        |FROM r, b ORDER BY ts""".stripMargin),
     // the EMA recurrence replayed by a recursive CTE: seed = NaN-skipping
     // mean of the first 10 points (0 when empty), then
     // e' = a*x + (1-a)*e with a = 2/11, state held through NULL points,
