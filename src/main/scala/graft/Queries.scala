@@ -157,6 +157,28 @@ object Queries {
     "g96_removebetweenpct" -> g("removeBetweenPercentile(events.*,30)"),
     "g97_mostdeviant" -> g("mostDeviant(events.*,2)"),
     "g98_limit" -> g("limit(events.*,2)"),
+    // ---- round-4 oracle expansion: golden-only §2 rows → driver oracle
+    "g99_sumwildcards" -> g("sumSeriesWithWildcards(events.*,1)"),
+    "g100_avgwildcards" -> g("averageSeriesWithWildcards(aliasSub(aliasSub(events.*,'^events\\.(click|error)$','a.\\1'),'^events\\.(purchase|signup|view)$','b.\\1'),1)"),
+    "g101_aggwildcards" -> g("aggregateWithWildcards(events.*,'max',1)"),
+    "g102_invert" -> g("invert(events.*)"),
+    "g103_pow" -> g("pow(events.*,2)"),
+    "g104_squareroot" -> g("squareRoot(events.*)"),
+    "g105_exp" -> g("exp(scale(events.*,0.01))"),
+    "g106_log" -> g("logarithm(events.*)"),
+    "g107_logit" -> g("logit(scale(events.*,0.001))"),
+    "g108_round" -> g("round(scale(events.*,0.333))"),
+    "g109_timeslice" -> g("timeSlice(events.*,1704326400,1704672000)"),
+    "g110_sortbymaxima" -> g("sortByMaxima(events.*)"),
+    "g111_sortbyminima" -> g("sortByMinima(events.*)"),
+    "g112_removeempty" -> g("transformNull(removeEmptySeries(removeBelowValue(events.*,700)),0)"),
+    "g113_movingmin" -> g("movingMin(events.*,12)"),
+    "g114_movingwindow" -> g("movingWindow(events.*,'6h','median')"),
+    "g115_fallback" -> g("fallbackSeries(events.nope.*,events.click)"),
+    "g116_baseline_aberration" -> g("baselineAberration(events.*,'1d',1,4)"),
+    "g117_hw_bands" -> g("holtWintersConfidenceBands(events.click)"),
+    "g118_lowpass" -> g("lowPass(fft(events.click,'abs'),30)"),
+    "g119_ifft" -> g("ifft(lowPass(fft(events.click,'abs'),30))"),
 
     // ---- TPC-H-style relational anchors (bench headliners)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -769,6 +791,137 @@ object Queries {
       (S + """, keep AS (SELECT DISTINCT name FROM s ORDER BY name LIMIT 2)
         |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep USING (name)
         |WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
+
+    // ---- round-4 oracle expansion
+    // dropping node 1 collapses events.<type> to the single key "events"
+    "g99_sumwildcards" -> agg1("events", "sum(v)"),
+    "g100_avgwildcards" ->
+      (S + """, renamed AS (SELECT CASE WHEN name IN ('events.click','events.error') THEN 'a' ELSE 'b' END AS name, ts, v FROM s)
+        |SELECT name, ts, round(avg(v), 4) AS value FROM renamed GROUP BY name, ts HAVING count(v) > 0 ORDER BY name, ts""".stripMargin),
+    "g101_aggwildcards" -> agg1("events", "max(v)"),
+    "g102_invert" ->
+      (S + "SELECT 'invert(' || name || ')' AS name, ts, round(1 / v, 4) AS value FROM s WHERE v IS NOT NULL AND v != 0 ORDER BY name, ts"),
+    "g103_pow" ->
+      (S + "SELECT 'pow(' || name || ',2)' AS name, ts, round(pow(v, 2), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g104_squareroot" ->
+      (S + "SELECT 'squareRoot(' || name || ')' AS name, ts, round(sqrt(v), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g105_exp" ->
+      (S + "SELECT 'exp(scale(' || name || ',0.01))' AS name, ts, round(exp(v * 0.01), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    // mirror Spark's log(base, x) = ln(x)/ln(base) association
+    "g106_log" ->
+      (S + "SELECT 'logarithm(' || name || ')' AS name, ts, round(ln(v) / ln(10), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g107_logit" ->
+      (S + "SELECT 'logit(scale(' || name || ',0.001))' AS name, ts, round(ln((v * 0.001) / (1 - v * 0.001)), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    // kernel SafeRound = round-half-to-even (math.rint)
+    "g108_round" ->
+      (S + "SELECT 'round(scale(' || name || ',0.333))' AS name, ts, round(round_even(v * 0.333, 0), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g109_timeslice" ->
+      (S + "SELECT 'timeSlice(' || name || ',1704326400,1704672000)' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL AND ts >= 1704326400 AND ts <= 1704672000 ORDER BY name, ts"),
+    // row ORDER is invisible to the driver hash (like g71/g72): these verify
+    // value pass-through; ordering is golden-gated in the sbt suites
+    "g110_sortbymaxima" ->
+      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g111_sortbyminima" ->
+      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    // removeBelowValue(700) leaves series with max<700 all-NaN; the trailing
+    // transformNull makes removeEmptySeries' drop observable in the points
+    "g112_removeempty" ->
+      (S + """, keep AS (SELECT name FROM s GROUP BY name HAVING max(v) >= 700)
+        |SELECT 'transformNull(removeBelowValue(' || s.name || ', 700),0)' AS name, ts,
+        |  round(CASE WHEN v IS NOT NULL AND v >= 700 THEN v ELSE 0 END, 4) AS value
+        |FROM s JOIN keep USING (name) ORDER BY 1, 2""".stripMargin),
+    "g113_movingmin" ->
+      (S + """SELECT 'movingMin(' || name || ',12)' AS name, ts, round(wmin, 4) AS value FROM (
+        |  SELECT name, ts, min(v) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS wmin FROM s)
+        |WHERE ts >= (SELECT t0 FROM b) + 12*3600 AND wmin IS NOT NULL ORDER BY name, ts""".stripMargin),
+    "g114_movingwindow" ->
+      (S + """SELECT 'movingWindow(' || name || ',''6h'')' AS name, ts, round(wmed, 4) AS value FROM (
+        |  SELECT name, ts, quantile_cont(v, 0.5) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS wmed FROM s)
+        |WHERE ts >= (SELECT t0 FROM b) + 6*3600 AND wmed IS NOT NULL ORDER BY name, ts""".stripMargin),
+    // primary glob matches nothing → fallback series passes through unrenamed
+    "g115_fallback" ->
+      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name = 'events.click' AND v IS NOT NULL ORDER BY ts"),
+    // baseline median (g54's grid) ratioed against the current fetch; NaN
+    // current or NaN median → dropped, zero median → 0 (kernel else-branch)
+    "g116_baseline_aberration" ->
+      (S + """, shifted AS (
+        |  SELECT name, ts + 86400 AS ts, v FROM s UNION ALL
+        |  SELECT name, ts + 172800 AS ts, v FROM s UNION ALL
+        |  SELECT name, ts + 259200 AS ts, v FROM s),
+        |med AS (SELECT name, ts, quantile_cont(v, 0.5) AS m, count(v) AS c FROM shifted, b
+        |        WHERE ts >= b.t0 + 259200 AND ts <= b.t1 + 86400 GROUP BY name, ts)
+        |SELECT 'baselineAberration(' || med.name || ')' AS name, med.ts,
+        |  round(CASE WHEN med.m = 0 THEN 0 ELSE s.v / med.m END, 4) AS value
+        |FROM med JOIN s ON s.name = med.name AND s.ts = med.ts
+        |WHERE med.c > 0 AND s.v IS NOT NULL ORDER BY 1, 2""".stripMargin),
+    // g42's recursive Holt-Winters CTE extended with the deviation window:
+    // dev(i) = 0.1*|x - forecast| + 0.9*dev(i-24) (dw mirrors sw's rolling
+    // 24-slot shape, zeros before the first season); bands = fc ± 3*dev with
+    // the kernel's exact float association (sign*delta)*d
+    "g117_hw_bands" ->
+      (S.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, x AS (SELECT s.ts, s.v, CAST((s.ts - b.t0)/3600 AS INT) AS i
+        |       FROM s, b WHERE name = 'events.click'),
+        |r AS (
+        |  SELECT 0 AS i, coalesce(x.v, 0) AS lastseen, coalesce(x.v, 0) AS ic,
+        |         CAST(0 AS DOUBLE) AS sl,
+        |         list_transform(range(24), j -> CAST(0 AS DOUBLE)) AS sw,
+        |         list_transform(range(24), j -> CAST(0 AS DOUBLE)) AS dw,
+        |         coalesce(x.v, 0) AS fc,
+        |         CAST(0 AS DOUBLE) AS dv
+        |  FROM x WHERE x.i = 0
+        |  UNION ALL
+        |  SELECT i2, xv,
+        |    icn,
+        |    0.0035*(icn - ic) + (1 - 0.0035)*sl,
+        |    list_append(sw[2:], 0.1*(xv - icn) + (1 - 0.1)*sw[1]),
+        |    list_append(dw[2:], dvn),
+        |    fcn,
+        |    dvn
+        |  FROM (
+        |    SELECT q.*, 0.1*(xv - sw[1]) + (1 - 0.1)*(ic + sl) AS icn,
+        |           0.1*abs(xv - fcn) + (1 - 0.1)*dw[1] AS dvn
+        |    FROM (SELECT x.i AS i2, coalesce(x.v, r.lastseen) AS xv,
+        |                 r.ic, r.sl, r.sw, r.dw, r.ic + r.sl + r.sw[1] AS fcn
+        |          FROM r JOIN x ON x.i = r.i + 1) q))
+        |SELECT 'holtWintersConfidenceUpper(events.click)' AS name,
+        |  b.t0 + r.i * 3600 AS ts, round(r.fc + 3*r.dv, 4) AS value FROM r, b
+        |UNION ALL
+        |SELECT 'holtWintersConfidenceLower(events.click)' AS name,
+        |  b.t0 + r.i * 3600 AS ts, round(r.fc - 3*r.dv, 4) AS value FROM r, b
+        |ORDER BY name, ts""".stripMargin),
+    // g43's direct DFT with the lowPass bin mask: keep the first and last
+    // floor(0.15*n) bins, NaN (→ dropped) the middle band
+    "g118_lowpass" ->
+      (S + """, src AS (SELECT ts, coalesce(v, 0) AS y, CAST((ts - b.t0)/3600 AS DOUBLE) AS t
+        |       FROM s, b WHERE name = 'events.click'),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM src),
+        |d AS (SELECT k.ts, k.t,
+        |  sum(src.y * cos((-2*pi()/nn.n) * k.t * src.t)) AS re,
+        |  sum(src.y * sin((-2*pi()/nn.n) * k.t * src.t)) AS im
+        |  FROM src k, src, nn GROUP BY k.ts, k.t)
+        |SELECT 'lowPass(fft(events.click,abs),30)' AS name, d.ts, round(sqrt(re*re + im*im), 4) AS value
+        |FROM d, nn WHERE d.t < floor(0.15 * nn.n) OR d.t >= nn.n - floor(0.15 * nn.n)
+        |ORDER BY ts""".stripMargin),
+    // forward DFT → low-pass mask (masked bins NaN→0 in the ifft kernel) →
+    // inverse DFT, output |IDFT| — mirrors VecOps.dft's non-pow2 direct path
+    "g119_ifft" ->
+      (S + """, src AS (SELECT ts, coalesce(v, 0) AS y, CAST((ts - b.t0)/3600 AS DOUBLE) AS t
+        |       FROM s, b WHERE name = 'events.click'),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM src),
+        |d AS (SELECT k.ts, k.t,
+        |  sum(src.y * cos((-2*pi()/nn.n) * k.t * src.t)) AS re,
+        |  sum(src.y * sin((-2*pi()/nn.n) * k.t * src.t)) AS im
+        |  FROM src k, src, nn GROUP BY k.ts, k.t),
+        |m AS (SELECT d.t, CASE WHEN d.t < floor(0.15 * nn.n) OR d.t >= nn.n - floor(0.15 * nn.n)
+        |        THEN sqrt(re*re + im*im) ELSE 0 END AS y FROM d, nn),
+        |inv AS (SELECT k.ts,
+        |  sum(m.y * cos((2*pi()/nn.n) * k.t * m.t)) AS sr,
+        |  sum(m.y * sin((2*pi()/nn.n) * k.t * m.t)) AS si
+        |  FROM src k, m, nn GROUP BY k.ts, k.t)
+        |SELECT 'ifft(lowPass(fft(events.click,abs),30))' AS name, inv.ts,
+        |  round(sqrt((sr/nn.n)*(sr/nn.n) + (si/nn.n)*(si/nn.n)), 4) AS value
+        |FROM inv, nn ORDER BY ts""".stripMargin),
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
