@@ -276,7 +276,7 @@ object Queries {
     // catalog entry runs at the highest threshold that still yields pairs;
     // band width/count auto-tune from corpus size + recall target
     "p14_srp_neardup" -> ((s, dir) =>
-      Similarity.srpNearDupPairs(embeddings(s, dir), threshold = 0.4)
+      Similarity.srpNearDupPairs(embeddings(s, dir), threshold = 0.4, dimOverride = 64)
         .select(col("vec_a"), col("vec_b"), col("label").cast("long").as("label"),
           dround(col("cosine"), 4).as("cosine"))
         .orderBy("vec_a", "vec_b")),

@@ -131,21 +131,30 @@ object Dedup {
   }
 
   /** Shared LSH tail: band the (doc_id, sig) table, bucket-join for
-    * candidates, verify by position-match estimated Jaccard. */
+    * candidates, verify by position-match estimated Jaccard.
+    *
+    * The band join runs on NARROW rows (doc_id, band, bandHash only): a pair
+    * can collide in up to `bands` bands, so carrying the numHashes-long
+    * signatures through the self-join would shuffle each one bands× (16× at
+    * the defaults — ~512 B/doc amplified through every exchange) and run the
+    * pair dedup on wide rows. Instead the id pairs dedup first and the
+    * signatures re-attach ONCE per surviving candidate for the est-Jaccard
+    * verification — the same shape as [[Similarity.srpNearDupPairs]]. */
   private def lshBandPairs(sigs: DataFrame, numHashes: Int, bands: Int,
                            threshold: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
     val banded = sigs.select(
-        col("doc_id"), col("sig"),
+        col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))).as(Seq("band", "bandHash")))
-    val cand = banded.as("a").join(banded.as("b"),
+    val candIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sigA"), col("b.sig").as("sigB"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
+    candIds
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sigA")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigB")), "doc_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sigA"), col("sigB"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))
@@ -188,12 +197,11 @@ object Dedup {
       yield block(i) * lit(1L << 13) + block(j)
     val banded = fp.select(col("doc_id"), col("fp"),
       posexplode(array(pairKeys: _*)).as(Seq("band", "key")))
-    val popcount = udf((x: Long) => java.lang.Long.bitCount(x))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        popcount(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("int").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .where(col("hamming") <= maxHammingDistance)
   }

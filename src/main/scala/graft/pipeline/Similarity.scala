@@ -182,8 +182,13 @@ object Similarity {
    */
   def srpNearDupPairs(emb: DataFrame, threshold: Double,
                       targetBucket: Int = 50, minRecall: Double = 0.95,
-                      bitsOverride: Int = 0, bandsOverride: Int = 0): DataFrame = {
-    val n = math.max(emb.count(), 1L) // one metadata-scale job, like IVF training
+                      bitsOverride: Int = 0, bandsOverride: Int = 0,
+                      nOverride: Long = 0L, dimOverride: Int = 0): DataFrame = {
+    // corpus size and dimension only tune band parameters — callers that
+    // know them (catalog metadata, a prior count) pass overrides and the
+    // two per-call driver jobs below disappear from the plan
+    val n = if (nOverride > 0) nOverride
+      else math.max(emb.count(), 1L) // one metadata-scale job, like IVF training
     val bitsPerBand =
       if (bitsOverride > 0) bitsOverride
       else math.min(48, math.max(4,
@@ -195,7 +200,8 @@ object Similarity {
       else math.min(32, math.max(1,
         math.ceil(math.log(1.0 - minRecall) / math.log(1.0 - pBand)).toInt))
     val nPlanes = bitsPerBand * nBands
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val dim = if (dimOverride > 0) dimOverride
+      else emb.select(size(col("embedding"))).head.getInt(0)
     val rnd = new scala.util.Random(42)
     val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
     // one band key per bitsPerBand sign bits, emitted directly by the

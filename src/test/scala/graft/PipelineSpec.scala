@@ -97,6 +97,43 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missed near-exact duplicates: ${mustFind.diff(found).take(5)}")
   }
 
+  test("minhash band join runs on narrow rows (no signature below the join) and matches the wide-row pair set") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val est = Dedup.minhashPairs(docs, k = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    // the band-bucket self-join must not carry the 64-long signatures: a
+    // pair can collide in up to 16 bands, so a sig below the join would
+    // shuffle every signature 16×
+    val plan = est.queryExecution.sparkPlan
+    val bandJoins = plan.collect {
+      case j: SortMergeJoinExec if j.leftKeys.exists(_.references.exists(_.name == "band")) => j.children
+      case j: ShuffledHashJoinExec if j.leftKeys.exists(_.references.exists(_.name == "band")) => j.children
+      case j: BroadcastHashJoinExec if j.leftKeys.exists(_.references.exists(_.name == "band")) => j.children
+    }
+    assert(bandJoins.nonEmpty, "no band-keyed join found in the minhash plan")
+    bandJoins.flatten.foreach { side =>
+      val wide = side.output.map(_.name).filter(_.startsWith("sig"))
+      assert(wide.isEmpty, s"band join side still carries signature columns: $wide")
+    }
+    // identical pair set as the straightforward wide-row formulation
+    val sigs = docs.select(col("doc_id"), Dedup.minhashSignature(col("text"), 3, 64).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(15)),
+        b => hash(slice(col("sig"), b * lit(4) + lit(1), lit(4))))).as(Seq("band", "bandHash")))
+    val wideRef = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sigA"), col("b.sig").as("sigB"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sigA"), col("sigB"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(64))
+      .where(col("est_jaccard") >= 0.8)
+    val got = est.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = wideRef.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"pair sets differ: only-narrow=${got.diff(want).take(5)} only-wide=${want.diff(got).take(5)}")
+  }
+
   test("p06: every simhash pair is within the Hamming budget of the full 64-bit fingerprints") {
     val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
     val pairs = Dedup.simhashPairs(docs, maxHammingDistance = 3)
