@@ -29,7 +29,7 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/render", handleBytes(render))
     server.createContext("/info", handle(info))
-    server.createContext("/metrics/find", handle(find))
+    server.createContext("/metrics/find", handleBytes(find))
     server.createContext("/metrics/expand", handle(expand))
     // JDK HttpServer picks the longest matching context, so the bare /tags
     // route coexists with the autoComplete ones (ref init.go:35-36 routes
@@ -155,17 +155,31 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
     (s"""{"graft":{"metrics":${metrics.mkString("[", ",", "]")}}}""", "application/json")
   }
 
-  private def find(p: Params): (String, String) = {
+  /** /metrics/find formats: treejson (default), completer, raw, pickle,
+    * protobuf v2/v3 — the reference serves all of them
+    * (ref find_handlers.go:243,301-372). */
+  private def find(p: Params): (Array[Byte], String) = {
     val query = one(p, "query")
     require(query.nonEmpty, "missing query parameter")
     val nodes = Catalog.find(spark, store, query)
+    val pairs = nodes.map(n => (n.id, n.leaf))
+    def utf8(s: String) = s.getBytes(StandardCharsets.UTF_8)
     one(p, "format", "treejson") match {
       case "completer" =>
         val items = nodes.map { n =>
           s"""{"path":${quote(if (n.leaf) n.id else n.id + ".")},"name":${quote(n.text)},"is_leaf":"${if (n.leaf) 1 else 0}"}"""
         }.mkString("[", ",", "]")
-        (s"""{"metrics":$items}""", "application/json")
-      case _ => (Catalog.treeJson(nodes), "application/json")
+        (utf8(s"""{"metrics":$items}"""), "application/json")
+      case "raw" =>
+        (WireFormats.findList(pairs), "text/plain")
+      case "pickle" =>
+        // "we have everything" up to now+60, like the reference
+        (WireFormats.findPickle(pairs, System.currentTimeMillis() / 1000 + 60), "application/pickle")
+      case "protobuf" | "protobuf3" | "carbonapi_v3_pb" =>
+        (WireFormats.findProtobufV3(query, pairs), "application/x-protobuf")
+      case "protobuf2" | "carbonapi_v2_pb" =>
+        (WireFormats.findProtobufV2(query, pairs), "application/x-protobuf")
+      case _ => (utf8(Catalog.treeJson(nodes)), "application/json")
     }
   }
 

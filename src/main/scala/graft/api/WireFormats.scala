@@ -38,6 +38,14 @@ object WireFormats {
     val BinFloat = 'G'.toByte
     val Long1 = 0x8a.toByte
     val Stop = '.'.toByte
+    val ShortBinString = 'U'.toByte
+    val Global = 'c'.toByte
+    val Obj = 'o'.toByte
+    val Tuple2 = 0x86.toByte
+    val Build = 'b'.toByte
+    val Append = 'a'.toByte
+    val NewTrue = 0x88.toByte
+    val NewFalse = 0x89.toByte
   }
 
   private def pickleString(out: ByteArrayOutputStream, s: String): Unit = {
@@ -102,6 +110,105 @@ object WireFormats {
     }
     out.write(Op.Appends)
     out.write(Op.Stop)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------- /metrics/find payloads
+
+  /** find format=raw: one path per line, non-leaves end in a dot; `_tag`
+    * internals are skipped (ref cmd/carbonapi/http/find_handlers.go:154-174
+    * findList). */
+  def findList(nodes: Seq[(String, Boolean)]): Array[Byte] = {
+    val sb = new StringBuilder
+    nodes.foreach { case (path, leaf) =>
+      if (!path.startsWith("_tag")) {
+        val dot = if (!leaf && !path.endsWith(".")) "." else ""
+        sb.append(path).append(dot).append('\n')
+      }
+    }
+    sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  private def shortBin(out: ByteArrayOutputStream, s: String): Unit = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    out.write(Op.ShortBinString); out.write(b.length); out.write(b)
+  }
+
+  private def pickleGlobal(out: ByteArrayOutputStream, module: String, name: String): Unit = {
+    out.write(Op.Global)
+    out.write(s"$module\n$name\n".getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** One `graphite.intervals.IntervalSet` holding a single Interval
+    * [start, end] — the fake "we have everything" interval graphite-web
+    * expects in find pickles; all bounds are BINFLOATs like the reference
+    * template (ref intervalset/intervalset.go:18-60). */
+  private def pickleIntervalSet(out: ByteArrayOutputStream, start: Long, end: Long): Unit = {
+    val st = start.toDouble; val en = end.toDouble; val size = (end - start).toDouble
+    out.write(Op.Mark); pickleGlobal(out, "graphite.intervals", "IntervalSet"); out.write(Op.Obj)
+    out.write(Op.EmptyDict); out.write(Op.Mark)
+    shortBin(out, "intervals")
+    out.write(Op.EmptyList); out.write(Op.Mark)
+    pickleGlobal(out, "graphite.intervals", "Interval"); out.write(Op.Obj)
+    out.write(Op.EmptyDict); out.write(Op.Mark)
+    shortBin(out, "start"); pickleDouble(out, st)
+    shortBin(out, "size"); pickleDouble(out, size)
+    shortBin(out, "end"); pickleDouble(out, en)
+    shortBin(out, "tuple"); pickleDouble(out, st); pickleDouble(out, en); out.write(Op.Tuple2)
+    out.write(Op.SetItems); out.write(Op.Build)
+    out.write(Op.Append)
+    shortBin(out, "size"); pickleDouble(out, size)
+    out.write(Op.SetItems); out.write(Op.Build)
+  }
+
+  /** find format=pickle: graphite-web-1.0 list of {path, is_leaf,
+    * intervals} dicts, intervals = IntervalSet(0, now+60)
+    * (ref find_handlers.go:331-366). */
+  def findPickle(nodes: Seq[(String, Boolean)], intervalEnd: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Op.Proto)
+    out.write(Op.EmptyList)
+    out.write(Op.Mark)
+    nodes.foreach { case (path, leaf) =>
+      if (!path.startsWith("_tag")) {
+        out.write(Op.EmptyDict)
+        out.write(Op.Mark)
+        pickleString(out, "path"); pickleString(out, path)
+        pickleString(out, "is_leaf"); out.write(if (leaf) Op.NewTrue else Op.NewFalse)
+        pickleString(out, "intervals"); pickleIntervalSet(out, 0L, intervalEnd)
+        out.write(Op.SetItems)
+      }
+    }
+    out.write(Op.Appends)
+    out.write(Op.Stop)
+    out.toByteArray
+  }
+
+  /** GlobResponse{name=1, matches=2:GlobMatch{path=1, isLeaf=2}} — field
+    * numbers shared by carbonapi_v2_pb.proto:20-28 and
+    * carbonapi_v3_pb.proto:73-82. */
+  private def globResponse(name: String, nodes: Seq[(String, Boolean)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    pbString(out, 1, name)
+    nodes.foreach { case (path, leaf) =>
+      val m = new ByteArrayOutputStream()
+      pbString(m, 1, path)
+      tag(m, 2, 0); m.write(if (leaf) 1 else 0)
+      pbMessage(out, 2, m.toByteArray)
+    }
+    out.toByteArray
+  }
+
+  /** find carbonapi_v2_pb body: a bare GlobResponse
+    * (ref find_handlers.go:316-330). */
+  def findProtobufV2(name: String, nodes: Seq[(String, Boolean)]): Array[Byte] =
+    globResponse(name, nodes)
+
+  /** find carbonapi_v3_pb body: MultiGlobResponse{metrics=1}
+    * (ref find_handlers.go:331-333, carbonapi_v3_pb.proto:84-86). */
+  def findProtobufV3(name: String, nodes: Seq[(String, Boolean)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    pbMessage(out, 1, globResponse(name, nodes))
     out.toByteArray
   }
 

@@ -59,6 +59,33 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(completer.contains("\"is_leaf\":\"1\""))
   }
 
+  test("/metrics/find raw, pickle and protobuf formats (ref find_handlers.go:243,301-372)") {
+    val (rc, raw, rct) = getBytes("/metrics/find?query=events.*&format=raw")
+    assert(rc == 200 && rct.startsWith("text/plain"))
+    val lines = new String(raw, java.nio.charset.StandardCharsets.UTF_8).split("\n")
+    assert(lines.contains("events.click") && lines.contains("events.view"))
+
+    val (pc, pkl, pct) = getBytes("/metrics/find?query=events.*&format=pickle")
+    assert(pc == 200 && pct.startsWith("application/pickle"))
+    assert(pkl.length > 2 && pkl(0) == 0x80.toByte && pkl(1) == 2.toByte && pkl.last == '.'.toByte)
+    val pklStr = new String(pkl, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(pklStr.contains("events.click") && pklStr.contains("is_leaf"))
+    // graphite-web-1.0 shape: the IntervalSet object rides along
+    assert(pklStr.contains("graphite.intervals\nIntervalSet\n"))
+
+    val (c3, pb3, ct3) = getBytes("/metrics/find?query=events.*&format=carbonapi_v3_pb")
+    assert(c3 == 200 && ct3.startsWith("application/x-protobuf"))
+    // MultiGlobResponse: field 1 (metrics), wire type 2
+    assert(pb3.nonEmpty && (pb3(0) & 0xFF) == 0x0A)
+    assert(new String(pb3, java.nio.charset.StandardCharsets.ISO_8859_1).contains("events.click"))
+
+    val (c2, pb2, ct2) = getBytes("/metrics/find?query=events.*&format=carbonapi_v2_pb")
+    assert(c2 == 200 && ct2.startsWith("application/x-protobuf"))
+    // bare GlobResponse: field 1 (name) = the query string itself
+    assert(pb2.nonEmpty && (pb2(0) & 0xFF) == 0x0A && (pb2(1) & 0xFF) == "events.*".length)
+    assert(new String(pb2, java.nio.charset.StandardCharsets.ISO_8859_1).contains("events.*"))
+  }
+
   test("/metrics/expand lists matching paths") {
     val (code, body) = get("/metrics/expand?query=events.*")
     assert(code == 200)
