@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
  * Multimodal (image/audio/video) pipeline plumbing: opaque `BINARY` payload
  * columns plus typed metadata, processed per-partition in fixed-size batches.
  *
- * The decode kernels themselves are STUBBED (this container ships no
- * image/audio codecs — see `decodeImageStub`): they produce deterministic
- * fake features derived from the payload bytes. Everything Spark-side is
- * real and tested: the schema contract, the `mapPartitions` batch shape
- * (mirroring `mapInPandas`-style arrow batches), partition sizing, and the
- * downstream feature columns.
+ * IMAGE decode is real (`decodeImage` — JDK `javax.imageio` handles
+ * PNG/JPEG/GIF/BMP with zero external codecs). Audio/video decode remains
+ * STUBBED (this container ships no codecs for them — see
+ * `decodeImageStub`): those produce deterministic fake features derived
+ * from the payload bytes. Everything Spark-side is real and tested: the
+ * schema contract, the `mapPartitions` batch shape (mirroring
+ * `mapInPandas`-style arrow batches), partition sizing, and the downstream
+ * feature columns.
  */
 object Multimodal {
 
@@ -57,25 +59,68 @@ object Multimodal {
   }
 
   /**
+   * REAL image decode for the formats the JDK ships codecs for (PNG, JPEG,
+   * GIF, BMP via `javax.imageio` — zero external deps): features are a
+   * `dim`-bin luminance histogram (rec.601 luma) over the decoded pixels,
+   * normalized by pixel count. Returns None when the payload is not a
+   * decodable image, so callers fall back to the byte stub — audio/video
+   * decode stays stubbed, as this container ships no codecs for them.
+   */
+  def decodeImage(payload: Array[Byte], dim: Int): Option[(Array[Float], Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val hist = new Array[Long](dim)
+        val w = img.getWidth; val h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            val luma = math.min((0.299 * r + 0.587 * g + 0.114 * b).toInt, 255)
+            hist(luma * dim / 256) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w.toLong * h, 1L)
+        Some((Array.tabulate(dim)(i => hist(i).toFloat / n), w, h))
+      }
+    } catch { case _: Exception => None }
+
+  /**
    * Feature extraction over asset batches. `mapPartitions` with an explicit
    * batch buffer mirrors the arrow-batch execution shape of `mapInPandas`:
    * the decode kernel sees `batchSize` payloads at a time (amortizing model
    * / codec init), and the iterator never materializes the whole partition.
+   *
+   * image assets run the REAL [[decodeImage]] kernel (JDK ImageIO) and fall
+   * back to the byte stub when the payload isn't a decodable image;
+   * `decoded_w`/`decoded_h` are null on the stub path.
    */
   def extractFeatures(assets: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame = {
     val spark = assets.sparkSession
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType),
       StructField("modality", StringType),
-      StructField("features", ArrayType(FloatType))))
+      StructField("features", ArrayType(FloatType)),
+      StructField("decoded_w", IntegerType),
+      StructField("decoded_h", IntegerType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val projected = assets.select(col("asset_id"), col("modality"), col("payload"))
     projected.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch "codec init" happens here in a real kernel
         batch.map { r =>
-          val feats = decodeImageStub(r.getAs[Array[Byte]]("payload"), dim)
-          Row(r.getLong(0), r.getString(1), feats.toSeq)
+          val payload = r.getAs[Array[Byte]]("payload")
+          val modality = r.getString(1)
+          val decoded = if (modality == "image") decodeImage(payload, dim) else None
+          decoded match {
+            case Some((feats, w, h)) => Row(r.getLong(0), modality, feats.toSeq, w, h)
+            case None => Row(r.getLong(0), modality, decodeImageStub(payload, dim).toSeq, null, null)
+          }
         }
       }
     }(enc)

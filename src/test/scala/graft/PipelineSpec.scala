@@ -134,6 +134,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"pair sets differ: only-narrow=${got.diff(want).take(5)} only-wide=${want.diff(got).take(5)}")
   }
 
+  test("multimodal image decode is real: PNG features come from decoded pixels; non-images fall back to the stub") {
+    import graft.pipeline.Multimodal
+    // 8x8 PNG, left half black, right half white → luminance histogram
+    // puts exactly half the pixels in the first bin and half in the last
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val textBytes = "not an image at all".getBytes("UTF-8")
+
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("modality", StringType),
+      StructField("payload", BinaryType)))
+    val assets = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "image", png),
+        Row(2L, "image", textBytes), // undecodable image payload → stub
+        Row(3L, "audio", png)        // non-image modality → stub even for real PNG bytes
+      ), schema)
+    val out = Multimodal.extractFeatures(assets, dim = 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val f1 = out(1L).getSeq[Float](2)
+    assert(math.abs(f1.head - 0.5f) < 1e-6 && math.abs(f1.last - 0.5f) < 1e-6,
+      s"decoded PNG histogram should be half black, half white: $f1")
+    assert(f1.slice(1, 7).forall(_ == 0.0f), s"middle luminance bins must be empty: $f1")
+    assert(out(1L).getInt(3) == 8 && out(1L).getInt(4) == 8, "decoded dimensions")
+
+    val f2 = out(2L).getSeq[Float](2)
+    assert(f2 == Multimodal.decodeImageStub(textBytes, 8).toSeq, "undecodable payload → byte stub")
+    assert(out(2L).isNullAt(3) && out(2L).isNullAt(4), "stub path reports no decoded dims")
+
+    val f3 = out(3L).getSeq[Float](2)
+    assert(f3 == Multimodal.decodeImageStub(png, 8).toSeq, "audio modality stays stubbed")
+  }
+
   test("p06: every simhash pair is within the Hamming budget of the full 64-bit fingerprints") {
     val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
     val pairs = Dedup.simhashPairs(docs, maxHammingDistance = 3)
