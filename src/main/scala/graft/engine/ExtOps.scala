@@ -47,25 +47,62 @@ object ExtOps {
       .drop("resetName", "resetValues")
   }
 
-  /** compressPeriodicGaps: detect the dominant period of non-NaN samples and
-    * re-emit the series at that coarser step, dropping the periodic NaN
-    * padding. (ref compressPeriodicGaps/function.go) */
+  /** compressPeriodicGaps: guess the sample period from the first two
+    * non-NaN points, verify it at the third expected slot (both neighbors
+    * must be NaN), then re-bucket at the coarser step with a "last"
+    * consolidation honoring the series' xFilesFactor — or pass the series
+    * through unchanged when the guess fails, exactly like the reference.
+    * (ref compressPeriodicGaps/function.go:31-117, SummarizeValues xff gate
+    * consolidations.go:265-272) */
   def compressPeriodicGaps(df: DataFrame): DataFrame = {
-    val u = udf((v: Seq[Double], start: Long, step: Long) => {
-      val idx = v.indices.filter(i => !Kernels.isNaN(v(i)))
-      if (idx.length < 2) (start, step, v.toArray)
+    val u = udf((v: Seq[Double], start: Long, step: Long, xff: Double) => {
+      var firstSeen = -1; var secondSeen = -1
+      var i = 0
+      while (i < v.length && secondSeen < 0) {
+        if (!Kernels.isNaN(v(i))) { if (firstSeen >= 0) secondSeen = i else firstSeen = i }
+        i += 1
+      }
+      val stepGuess = secondSeen - firstSeen
+      val thirdSeen = secondSeen + stepGuess
+      val periodic = secondSeen > 0 && stepGuess > 1 && thirdSeen <= v.length - 2 &&
+        !Kernels.isNaN(v(thirdSeen)) &&
+        Kernels.isNaN(v(thirdSeen - 1)) && Kernels.isNaN(v(thirdSeen + 1))
+      if (!periodic) (start, step, v.toArray)
       else {
-        val gaps = idx.sliding(2).map(p => p(1) - p(0)).toSeq
-        val period = gaps.groupBy(identity).maxBy(_._2.size)._1
-        if (period <= 1) (start, step, v.toArray)
-        else {
-          val first = idx.head
-          val out = Iterator.iterate(first)(_ + period).takeWhile(_ < v.length).map(v(_)).toArray
-          (start + first.toLong * step, step * period, out)
+        val interval = stepGuess.toLong * step
+        val stop = start + v.length.toLong * step
+        val newStart = start + firstSeen.toLong * step
+        val buckets = math.ceil((stop - newStart).toDouble / interval).toInt
+        val out = new Array[Double](buckets)
+        val cur = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var ridx = 0
+        var intervalItems = 0
+        var intervalEnd = newStart + interval
+        var t = start
+        var j = 0
+        var done = false
+        while (j < v.length && !done) {
+          intervalItems += 1
+          if (!Kernels.isNaN(v(j))) cur += v(j)
+          t += step
+          if (t >= stop) done = true
+          else if (t >= intervalEnd) {
+            out(ridx) = Kernels.summarizeValues("last", cur.toArray, xff.toFloat)
+            ridx += 1
+            intervalEnd += interval
+            intervalItems = 0
+            cur.clear()
+          }
+          j += 1
         }
+        // last partial bucket (ref function.go:106-109)
+        if (intervalItems > 0 && ridx < buckets)
+          out(ridx) = Kernels.summarizeValues("last", cur.toArray, xff.toFloat)
+        (newStart, interval, out)
       }
     })
-    df.withColumn("_r", u(col("values"), col("start"), col("step")))
+    val xffCol = coalesce(element_at(col("tags"), "xFilesFactor").cast("double"), lit(0.0))
+    df.withColumn("_r", u(col("values"), col("start"), col("step"), xffCol))
       .withColumn("start", col("_r._1"))
       .withColumn("step", col("_r._2"))
       .withColumn("values", col("_r._3"))

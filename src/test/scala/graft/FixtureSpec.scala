@@ -393,6 +393,28 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("compressPeriodicGaps(metric5)", Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15), step = 10, start = 100)))
   }
 
+  test("compressPeriodicGaps: last-consolidation buckets, failed guess passthrough, xff tag (ref compressPeriodicGaps/function.go:31-117)") {
+    // a bucket with two samples keeps the later one ("last" consolidation)
+    val jitter = md("metricJ",
+      Seq(NaN, 1, NaN, NaN, 2, NaN, NaN, 3, NaN, NaN, 4, NaN, 4.5, 5, NaN, NaN), step = 10, start = 100)
+    check("compressPeriodicGaps(metricJ)", Seq(jitter),
+      Seq(md("compressPeriodicGaps(metricJ)", Seq(1, 2, 3, 4.5, 5), step = 30, start = 110)))
+    // guess verification fails (thirdSeen-1 not NaN) → series passes through
+    val irregular = md("metricN",
+      Seq(NaN, 1, NaN, NaN, 2, NaN, 3, 3.5, NaN, NaN, 4, NaN, NaN, 5, NaN, NaN), step = 10, start = 100)
+    check("compressPeriodicGaps(metricN)", Seq(irregular),
+      Seq(md("compressPeriodicGaps(metricN)",
+        Seq(NaN, 1, NaN, NaN, 2, NaN, 3, 3.5, NaN, NaN, 4, NaN, NaN, 5, NaN, NaN), step = 10, start = 100)))
+    // per-series xFilesFactor rides through the consolidation call; buckets
+    // only ever see the collected non-NaN samples, so output is unchanged —
+    // same as the reference (SummarizeValues sees a NaN-free slice)
+    val tagged = md("metricX",
+      Seq(NaN, 1, NaN, NaN, 2, NaN, NaN, 3, NaN, NaN, 4, NaN, NaN, 5, NaN, NaN), step = 10, start = 100)
+        .copy(tags = Map("name" -> "metricX", "xFilesFactor" -> "0.9"))
+    check("compressPeriodicGaps(metricX)", Seq(tagged),
+      Seq(md("compressPeriodicGaps(metricX)", Seq(1, 2, 3, 4, 5), step = 30, start = 110)))
+  }
+
   // ------------------------------------------------------------- generators
 
   test("generators: constantLine, time, sin, identity, threshold") {
