@@ -49,6 +49,8 @@ object Graph {
       yMin: Double = Double.NaN,
       yMax: Double = Double.NaN,
       drawNullAsZero: Boolean = false,
+      areaMode: String = "none", // none | first | all | stacked
+      areaAlpha: Double = Double.NaN,
       tz: java.time.ZoneId = java.time.ZoneOffset.UTC)
 
   /** Default series color rotation (ref picture_params.go:15). */
@@ -97,7 +99,9 @@ object Graph {
       colorList = one("colorList").map(_.split(',').map(_.trim).toSeq).getOrElse(t.colorList),
       yMin = num("yMin", t.yMin),
       yMax = num("yMax", t.yMax),
-      drawNullAsZero = bool("drawNullAsZero", t.drawNullAsZero))
+      drawNullAsZero = bool("drawNullAsZero", t.drawNullAsZero),
+      areaMode = one("areaMode").getOrElse(t.areaMode),
+      areaAlpha = num("areaAlpha", t.areaAlpha))
   }
 
   // ---------------------------------------------------------------- colors
@@ -137,6 +141,8 @@ object Graph {
   case class Rect(x: Double, y: Double, w: Double, h: Double, rgb: Int, alpha: Int) extends Shape
   case class PolyLine(pts: Seq[(Double, Double)], rgb: Int, alpha: Int, width: Double,
                       dashed: Boolean) extends Shape
+  /** Closed filled region — stacked / area-mode series fills. */
+  case class Polygon(pts: Seq[(Double, Double)], rgb: Int, alpha: Int) extends Shape
   case class Text(x: Double, y: Double, s: String, rgb: Int, size: Double,
                   anchor: String) extends Shape // anchor: start | middle | end
 
@@ -194,9 +200,61 @@ object Graph {
       return Scene(p.width, p.height, shapes.result())
     }
 
+    // ---- stacking pre-pass (ref cairo.go:1182-1243): stacked series become
+    // cumulative within their stack; each remembers its base curve so the
+    // draw step can fill base→top. The `stacked` tag carries the stack name
+    // ("1" = legacy default), `invisible` consumes stack space drawing
+    // nothing (areaBetween / holtWintersConfidenceArea lower band).
+    val DefaultStack = "__DEFAULT__"
+    def tagStack(r: RenderedSeries): Option[String] =
+      r.tags.get("stacked").map(v => if (v == "1") DefaultStack else v)
+    def isInfinite(r: RenderedSeries): Boolean = r.tags.contains("drawAsInfinite")
+
+    var hasStack = rows.exists(r => tagStack(r).isDefined)
+    val assigned: Seq[Option[String]] = p.areaMode match {
+      case "stacked" => hasStack = true; rows.map(_ => Some("stack"))
+      case "first"   => rows.zipWithIndex.map { case (r, i) => if (i == 0) Some("") else tagStack(r) }
+      case "all"     => rows.map(_ => Some(""))
+      case _         => rows.map(tagStack)
+    }
+    case class PRow(r: RenderedSeries, stack: Option[String], invisible: Boolean,
+                    vals: Array[Double], base: Array[Double])
+    var prows = rows.zip(assigned).map { case (r, sn) =>
+      PRow(r, sn, r.tags.contains("invisible"), r.values.clone(),
+        new Array[Double](r.values.length))
+    }
+    if (hasStack) {
+      // stacked rows first, grouped by stack name; within a stack the
+      // invisible base accumulates first — the reference relies on stable
+      // list order (cairo.go:2726-2732 ByStacked) which Spark result rows
+      // don't have, so the tie-break is explicit
+      prows = prows.sortBy(pr => (pr.stack.isEmpty, pr.stack.getOrElse(""), !pr.invisible))
+      val total = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var cur = prows.head.stack.getOrElse("")
+      var ended = false
+      prows.foreach { pr =>
+        if (!ended && !isInfinite(pr.r)) {
+          if (pr.stack.isEmpty) ended = true
+          else {
+            if (pr.stack.get != cur) { total.clear(); cur = pr.stack.get }
+            var i = 0
+            while (i < pr.vals.length) {
+              if (total.length <= i) total += 0.0
+              pr.base(i) = total(i)
+              val v = pr.vals(i)
+              if (!Kernels.isNaN(v)) { pr.vals(i) = v + total(i); total(i) += v }
+              i += 1
+            }
+          }
+        }
+      }
+    }
+
     val tMin = rows.map(_.start).min.toDouble
     val tMax = rows.map(_.stop).max.toDouble
-    val finite = rows.flatMap(_.values.filterNot(v => Kernels.isNaN(v) || v.isInfinite))
+    // y-bounds from post-stacking values, like the reference (stacking
+    // rewrites r.Values before axis setup)
+    val finite = prows.flatMap(_.vals.filterNot(v => Kernels.isNaN(v) || v.isInfinite))
     val (dMin, dMax) = if (finite.isEmpty) (0.0, 1.0) else (finite.min, finite.max)
     val loRaw = if (p.yMin.isNaN) math.min(dMin, if (p.drawNullAsZero) 0.0 else dMin) else p.yMin
     val hiRaw = if (p.yMax.isNaN) dMax else p.yMax
@@ -239,11 +297,17 @@ object Graph {
     }
 
     // series
-    rows.zipWithIndex.foreach { case (r, i) =>
+    def clampY(y: Double): Double = math.min(math.max(y, y0), y1)
+    prows.zipWithIndex.foreach { case (pr, i) =>
+      val r = pr.r
       val cname = r.tags.getOrElse("color", p.colorList(i % p.colorList.size))
-      val (rgb, alpha) = color(cname)
+      val (rgb, alpha0) = color(cname)
+      // per-series alpha() setter overrides the color's alpha (ref HasAlpha)
+      val alpha = r.tags.get("alpha").flatMap(_.toDoubleOption)
+        .map(a => math.min(255, math.max(0, (a * 255).round.toInt))).getOrElse(alpha0)
       val dashed = r.tags.get("dashed").exists(_ != "0")
-      val infinite = r.tags.contains("drawAsInfinite")
+      val infinite = isInfinite(r)
+      val stacked = pr.stack.isDefined && !infinite
       if (infinite) {
         // non-zero points draw as full-height vertical lines
         // (ref cairo.go drawAsInfinite handling)
@@ -251,6 +315,35 @@ object Graph {
           if (!Kernels.isNaN(v) && v > 0) {
             val x = xPix(r.start + j * r.step.toDouble)
             shapes += PolyLine(Seq((x, y0), (x, y1)), rgb, alpha, p.lineWidth, dashed)
+          }
+        }
+      } else if (stacked) {
+        // filled area between the base curve (stack below) and this series'
+        // cumulative top, one polygon per non-NaN run; invisible rows only
+        // consumed stack space (ref cairo.go:2309,2400-2412 fillAreaAndClip)
+        if (!pr.invisible) {
+          val fillAlpha =
+            if (!p.areaAlpha.isNaN) math.min(255, math.max(0, (p.areaAlpha * 255).round.toInt))
+            else alpha
+          def at(j: Int): Double = {
+            val v = pr.vals(j)
+            if (p.drawNullAsZero && Kernels.isNaN(v)) pr.base(j) else v
+          }
+          var j = 0
+          while (j < pr.vals.length) {
+            if (Kernels.isNaN(at(j)) || at(j).isInfinite) j += 1
+            else {
+              var k = j
+              while (k < pr.vals.length && !Kernels.isNaN(at(k)) && !at(k).isInfinite) k += 1
+              if (k - j >= 2) {
+                val top = (j until k).map { m =>
+                  (xPix(r.start + m * r.step.toDouble), clampY(yPix(at(m)))) }
+                val bot = (j until k).reverse.map { m =>
+                  (xPix(r.start + m * r.step.toDouble), clampY(yPix(pr.base(m)))) }
+                shapes += Polygon(top ++ bot, rgb, fillAlpha)
+              }
+              j = k
+            }
           }
         }
       } else {
@@ -285,7 +378,7 @@ object Graph {
 
     // legend
     if (legendRows > 0) {
-      rows.zipWithIndex.foreach { case (r, i) =>
+      prows.map(_.r).zipWithIndex.foreach { case (r, i) =>
         val cname = r.tags.getOrElse("color", p.colorList(i % p.colorList.size))
         val (rgb, alpha) = color(cname)
         val row = i / legendPerRow; val colI = i % legendPerRow
@@ -316,6 +409,13 @@ object Graph {
         case Rect(x, y, w, h, rgb, a) =>
           g.setColor(new Color((a << 24) | (rgb & 0xffffff), true))
           g.fillRect(x.toInt, y.toInt, math.ceil(w).toInt, math.ceil(h).toInt)
+        case Polygon(pts, rgb, a) =>
+          g.setColor(new Color((a << 24) | (rgb & 0xffffff), true))
+          val path = new java.awt.geom.Path2D.Double()
+          pts.headOption.foreach { case (x, y) => path.moveTo(x, y) }
+          pts.drop(1).foreach { case (x, y) => path.lineTo(x, y) }
+          path.closePath()
+          g.fill(path)
         case PolyLine(pts, rgb, a, w, dashed) =>
           g.setColor(new Color((a << 24) | (rgb & 0xffffff), true))
           g.setStroke(if (dashed)
@@ -356,6 +456,9 @@ object Graph {
     sc.shapes.foreach {
       case Rect(x, y, w, h, rgb, a) =>
         sb ++= f"""<rect x="$x%.1f" y="$y%.1f" width="$w%.1f" height="$h%.1f" fill="${hex(rgb)}" fill-opacity="${a / 255.0}%.3f"/>\n"""
+      case Polygon(pts, rgb, a) =>
+        val d = pts.map { case (x, y) => f"$x%.1f,$y%.1f" }.mkString(" ")
+        sb ++= f"""<polygon points="$d" fill="${hex(rgb)}" fill-opacity="${a / 255.0}%.3f"/>\n"""
       case PolyLine(pts, rgb, a, w, dashed) =>
         val d = pts.map { case (x, y) => f"$x%.1f,$y%.1f" }.mkString(" ")
         val dash = if (dashed) """ stroke-dasharray="4,4"""" else ""

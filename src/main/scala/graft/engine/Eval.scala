@@ -510,11 +510,10 @@ object Eval {
       AnalyticsOps.holtWintersConfidenceBands(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, delta, season)
     }),
     "holtWintersConfidenceArea" -> ((ctx, fc) => {
-      // rendered as an area between the two bands — data identical to bands
       val delta = numArg(fc, 1, "delta", Some(3))
       val bootstrap = arg(fc, 2, "bootstrapInterval").map(_ => intervalArg(fc, 2, "bootstrapInterval")).getOrElse(604800L)
       val season = arg(fc, 3, "seasonality").map(_ => intervalArg(fc, 3, "seasonality")).getOrElse(86400L)
-      AnalyticsOps.holtWintersConfidenceBands(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, delta, season)
+      AnalyticsOps.holtWintersConfidenceArea(eval(fc.args.head, ctx.widen(bootstrap)), ctx.from, delta, season)
     }),
     "holtWintersAberration" -> ((ctx, fc) => {
       val delta = numArg(fc, 1, "delta", Some(3))
@@ -595,9 +594,11 @@ object Eval {
     "dashed" -> ((ctx, fc) => ExtOps.setOption(seriesArg(ctx, fc), "dashed",
       SeriesOps.fmtNum(numArg(fc, 1, "dashLength", Some(5))), renameAs = Some("dashed"))),
     "lineWidth" -> ((ctx, fc) => ExtOps.setOption(seriesArg(ctx, fc), "lineWidth", SeriesOps.fmtNum(numArg(fc, 1)))),
-    "stacked" -> ((ctx, fc) => ExtOps.setOption(seriesArg(ctx, fc), "stacked", "1")),
+    "stacked" -> ((ctx, fc) => ExtOps.setOption(seriesArg(ctx, fc), "stacked",
+      strArg(fc, 1, "stackname", Some("__DEFAULT__")))),
     "secondYAxis" -> ((ctx, fc) => ExtOps.setOption(seriesArg(ctx, fc), "secondYAxis", "1", renameAs = Some("secondYAxis"))),
-    "areaBetween" -> ((ctx, fc) => ExtOps.setOption(seriesArg(ctx, fc), "areaBetween", "1", renameAs = Some("areaBetween"))),
+    "areaBetween" -> ((ctx, fc) => ExtOps.areaBetween(seriesArg(ctx, fc),
+      s"areaBetween(${fc.rawArgs})")),
     "aliasByBase64" -> ((ctx, fc) => ExtOps.aliasByBase64(seriesArg(ctx, fc),
       arg(fc, 1).map { case Num(v) => v.toInt; case o => throw new IllegalArgumentException(s"bad node $o") })),
 

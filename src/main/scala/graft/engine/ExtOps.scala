@@ -208,6 +208,27 @@ object ExtOps {
     renameAs.fold(tagged)(fn => rewrap(tagged, fn))
   }
 
+  /** areaBetween: exactly two series — the first (by name; Spark rows carry
+    * no list order) becomes an invisible stack base and the second carries
+    * (second − first) stacked on it, both renamed areaBetween(rawArgs), so
+    * the renderer fills the region between the two curves.
+    * (ref cairo.go:728-757) */
+  def areaBetween(df: DataFrame, newName: String): DataFrame = {
+    val idx = df.withColumn("_rn", row_number().over(Window.orderBy("name")))
+    def mark(d: DataFrame, extra: Map[String, String]): DataFrame =
+      d.withColumn("tags", map_concat(
+        map_filter(col("tags"), (k, _) => !k.isin(extra.keys.toSeq: _*)),
+        typedLit(extra)))
+    val lower = mark(idx.where(col("_rn") === 1).drop("_rn"),
+      Map("stacked" -> "__DEFAULT__", "invisible" -> "1"))
+    val lowerVals = lower.select(col("values").as("_lv"))
+    val upper = mark(idx.where(col("_rn") === 2).drop("_rn"), Map("stacked" -> "__DEFAULT__"))
+      .crossJoin(broadcast(lowerVals))
+      .withColumn("values", zip_with(col("values"), col("_lv"), (a, b) => a - b))
+      .drop("_lv")
+    lower.unionByName(upper).withColumn("name", lit(newName))
+  }
+
   // -------------------------------------------------------- map / reduce
 
   /** mapSeries: tag each series with its node key — the groups that a

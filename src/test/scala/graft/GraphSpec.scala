@@ -72,6 +72,51 @@ class GraphSpec extends AnyFunSuite {
     assert(zero.shapes.collect { case l: Graph.PolyLine => l }.size == 1)
   }
 
+  test("confidence-area pair fills one polygon between the curves; invisible base draws nothing") {
+    // renderer input as holtWintersConfidenceArea/areaBetween produce it:
+    // invisible stacked lower + stacked (upper-lower) span — pass the span
+    // row FIRST to prove the stack orders the invisible base before it
+    val span = series("holtWintersConfidenceArea(m)", Seq(2, 2, 2),
+      tags = Map("stacked" -> "__DEFAULT__"))
+    val base = series("holtWintersConfidenceArea(m)", Seq(1, 1, 1),
+      tags = Map("stacked" -> "__DEFAULT__", "invisible" -> "1"))
+    val sc = Graph.scene(Seq(span, base),
+      Graph.Params(graphOnly = true, hideLegend = true, yMin = 0, yMax = 4))
+    val polys = sc.shapes.collect { case pg: Graph.Polygon => pg }
+    assert(polys.size == 1)
+    assert(sc.shapes.collect { case l: Graph.PolyLine => l }.isEmpty)
+    val pts = polys.head.pts
+    assert(pts.size == 6)
+    val (topY, botY) = (pts.take(3).map(_._2).distinct, pts.drop(3).map(_._2).distinct)
+    assert(topY.size == 1 && botY.size == 1)
+    assert(topY.head < botY.head) // top = lower+span = upper band, above the base curve
+  }
+
+  test("stacked series accumulate and fill; y-range covers the stack total") {
+    val rows = Seq(
+      series("a", Seq(1, 1), tags = Map("stacked" -> "1")),
+      series("b", Seq(2, 2), tags = Map("stacked" -> "1")))
+    val sc = Graph.scene(rows, Graph.Params(graphOnly = true, hideLegend = true))
+    val polys = sc.shapes.collect { case pg: Graph.Polygon => pg }
+    assert(polys.size == 2)
+    // the axis labels are hidden (graphOnly), so check geometry: b's top sits
+    // above a's top (cumulative 3 vs 1 → smaller pixel y)
+    val tops = polys.map(_.pts.take(2).map(_._2).min)
+    assert(tops.distinct.size == 2)
+  }
+
+  test("areaMode=stacked stacks untagged series; areaAlpha sets the fill alpha") {
+    val rows = Seq(series("a", Seq(1, 2)), series("b", Seq(2, 1)))
+    val sc = Graph.scene(rows,
+      Graph.Params(graphOnly = true, hideLegend = true, areaMode = "stacked", areaAlpha = 0.5))
+    val polys = sc.shapes.collect { case pg: Graph.Polygon => pg }
+    assert(polys.size == 2)
+    assert(polys.forall(_.alpha == 128))
+    // plain scene unchanged: no polygons
+    val plain = Graph.scene(rows, Graph.Params(graphOnly = true, hideLegend = true))
+    assert(plain.shapes.collect { case pg: Graph.Polygon => pg }.isEmpty)
+  }
+
   test("png bytes carry the magic and requested dimensions") {
     val bytes = Graph.png(Seq(series("m", Seq(1, 2, 3))), Graph.Params(width = 123, height = 77))
     assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte)
