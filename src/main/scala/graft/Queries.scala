@@ -43,6 +43,18 @@ object Queries {
       .orderBy("name", "ts")
   }
 
+  /** Like [[g]] but with an explicit request range — generator functions
+    * (constantLine/time/sin/verticalLine) anchor their grid to it. */
+  private def gr(target: String, from: Long, until: Long)(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = Eval.evalTarget(spark, store(sfDir), target, from, until)
+    SeriesFrame.toPoints(df)
+      .select(col("name"), col("ts"), dround(col("value"), 4).as("value"))
+      .orderBy("name", "ts")
+  }
+
+  /** 2024-01-01T00:00Z — the events table's first hour (TESTDATA.md). */
+  private val T0 = 1704067200L
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
   private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
@@ -179,6 +191,21 @@ object Queries {
     "g117_hw_bands" -> g("holtWintersConfidenceBands(events.click)"),
     "g118_lowpass" -> g("lowPass(fft(events.click,'abs'),30)"),
     "g119_ifft" -> g("ifft(lowPass(fft(events.click,'abs'),30))"),
+    // ---- round-4b: generators, render-metadata setters, stacking data
+    "g120_constantline" -> gr("constantLine(42.5)", T0, T0 + 7200),
+    "g121_threshold" -> gr("threshold(60,'limit')", T0, T0 + 7200),
+    "g122_identity" -> gr("identity('ident')", T0, T0 + 7200),
+    "g123_timefn" -> gr("time('clock',1800)", T0, T0 + 7200),
+    "g124_sinfn" -> gr("sin('wave',2,600)", T0, T0 + 7200),
+    "g125_consolidateby" -> g("consolidateBy(events.*,'max')"),
+    "g126_verticalline" -> gr("verticalLine('-1h','mark')", T0, T0 + 7200),
+    "g127_legendvalue" -> g("legendValue(events.*,'count')"),
+    "g128_cactistyle" -> g("cactiStyle(events.*)"),
+    "g129_aliasbybase64" -> g("aliasByBase64(alias(events.click,'ZXZlbnRzLmNsaWNr'))"),
+    "g130_areabetween" -> g("areaBetween(events.{click,view})"),
+    "g131_stacked" -> g("stacked(events.*,'s1')"),
+    "g132_hwarea" -> g("holtWintersConfidenceArea(events.click)"),
+    "g133_secondyaxis" -> g("secondYAxis(events.*)"),
 
     // ---- TPC-H-style relational anchors (bench headliners)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -322,6 +349,36 @@ object Queries {
 
   private def agg1(outName: String, aggExpr: String): String =
     S + s"SELECT '$outName' AS name, ts, round($aggExpr, 4) AS value FROM s GROUP BY ts HAVING count(v) > 0 ORDER BY ts"
+
+  /** The Holt-Winters recursion (g42/g117/g132): hourly season, the kernel's
+    * exact constants and float association, NaN carried as last-seen. */
+  private val hwRecS =
+    S.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, x AS (SELECT s.ts, s.v, CAST((s.ts - b.t0)/3600 AS INT) AS i
+      |       FROM s, b WHERE name = 'events.click'),
+      |r AS (
+      |  SELECT 0 AS i, coalesce(x.v, 0) AS lastseen, coalesce(x.v, 0) AS ic,
+      |         CAST(0 AS DOUBLE) AS sl,
+      |         list_transform(range(24), j -> CAST(0 AS DOUBLE)) AS sw,
+      |         list_transform(range(24), j -> CAST(0 AS DOUBLE)) AS dw,
+      |         coalesce(x.v, 0) AS fc,
+      |         CAST(0 AS DOUBLE) AS dv
+      |  FROM x WHERE x.i = 0
+      |  UNION ALL
+      |  SELECT i2, xv,
+      |    icn,
+      |    0.0035*(icn - ic) + (1 - 0.0035)*sl,
+      |    list_append(sw[2:], 0.1*(xv - icn) + (1 - 0.1)*sw[1]),
+      |    list_append(dw[2:], dvn),
+      |    fcn,
+      |    dvn
+      |  FROM (
+      |    SELECT q.*, 0.1*(xv - sw[1]) + (1 - 0.1)*(ic + sl) AS icn,
+      |           0.1*abs(xv - fcn) + (1 - 0.1)*dw[1] AS dvn
+      |    FROM (SELECT x.i AS i2, coalesce(x.v, r.lastseen) AS xv,
+      |                 r.ic, r.sl, r.sw, r.dw, r.ic + r.sl + r.sw[1] AS fcn
+      |          FROM r JOIN x ON x.i = r.i + 1) q))
+      |""".stripMargin
 
   private val lagS = "SELECT name, ts, v, lag(v IGNORE NULLS) OVER (PARTITION BY name ORDER BY ts) AS pv FROM s"
   // raw previous point (NaN poisons): nonNegativeDerivative/perSecond semantics
@@ -859,36 +916,21 @@ object Queries {
     // 24-slot shape, zeros before the first season); bands = fc ± 3*dev with
     // the kernel's exact float association (sign*delta)*d
     "g117_hw_bands" ->
-      (S.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, x AS (SELECT s.ts, s.v, CAST((s.ts - b.t0)/3600 AS INT) AS i
-        |       FROM s, b WHERE name = 'events.click'),
-        |r AS (
-        |  SELECT 0 AS i, coalesce(x.v, 0) AS lastseen, coalesce(x.v, 0) AS ic,
-        |         CAST(0 AS DOUBLE) AS sl,
-        |         list_transform(range(24), j -> CAST(0 AS DOUBLE)) AS sw,
-        |         list_transform(range(24), j -> CAST(0 AS DOUBLE)) AS dw,
-        |         coalesce(x.v, 0) AS fc,
-        |         CAST(0 AS DOUBLE) AS dv
-        |  FROM x WHERE x.i = 0
-        |  UNION ALL
-        |  SELECT i2, xv,
-        |    icn,
-        |    0.0035*(icn - ic) + (1 - 0.0035)*sl,
-        |    list_append(sw[2:], 0.1*(xv - icn) + (1 - 0.1)*sw[1]),
-        |    list_append(dw[2:], dvn),
-        |    fcn,
-        |    dvn
-        |  FROM (
-        |    SELECT q.*, 0.1*(xv - sw[1]) + (1 - 0.1)*(ic + sl) AS icn,
-        |           0.1*abs(xv - fcn) + (1 - 0.1)*dw[1] AS dvn
-        |    FROM (SELECT x.i AS i2, coalesce(x.v, r.lastseen) AS xv,
-        |                 r.ic, r.sl, r.sw, r.dw, r.ic + r.sl + r.sw[1] AS fcn
-        |          FROM r JOIN x ON x.i = r.i + 1) q))
-        |SELECT 'holtWintersConfidenceUpper(events.click)' AS name,
+      (hwRecS + """SELECT 'holtWintersConfidenceUpper(events.click)' AS name,
         |  b.t0 + r.i * 3600 AS ts, round(r.fc + 3*r.dv, 4) AS value FROM r, b
         |UNION ALL
         |SELECT 'holtWintersConfidenceLower(events.click)' AS name,
         |  b.t0 + r.i * 3600 AS ts, round(r.fc - 3*r.dv, 4) AS value FROM r, b
+        |ORDER BY name, ts""".stripMargin),
+    // same recursion; area = invisible lower band + stacked (upper−lower)
+    // span, both named holtWintersConfidenceArea(...) — the kernel computes
+    // (fc+3dv)-(fc-3dv), associating exactly like the SQL below
+    "g132_hwarea" ->
+      (hwRecS + """SELECT 'holtWintersConfidenceArea(events.click)' AS name,
+        |  b.t0 + r.i * 3600 AS ts, round(r.fc - 3*r.dv, 4) AS value FROM r, b
+        |UNION ALL
+        |SELECT 'holtWintersConfidenceArea(events.click)' AS name,
+        |  b.t0 + r.i * 3600 AS ts, round((r.fc + 3*r.dv) - (r.fc - 3*r.dv), 4) AS value FROM r, b
         |ORDER BY name, ts""".stripMargin),
     // g43's direct DFT with the lowPass bin mask: keep the first and last
     // floor(0.15*n) bins, NaN (→ dropped) the middle band
@@ -922,6 +964,57 @@ object Queries {
         |SELECT 'ifft(lowPass(fft(events.click,abs),30))' AS name, inv.ts,
         |  round(sqrt((sr/nn.n)*(sr/nn.n) + (si/nn.n)*(si/nn.n)), 4) AS value
         |FROM inv, nn ORDER BY ts""".stripMargin),
+
+    // ---- round-4b: generators pin to the explicit [T0, T0+7200] request
+    "g120_constantline" ->
+      "SELECT '42.5' AS name, CAST(ts AS BIGINT) AS ts, CAST(42.5 AS DOUBLE) AS value FROM generate_series(1704067200, 1704074400, 3600) t(ts) ORDER BY ts",
+    "g121_threshold" ->
+      "SELECT 'limit' AS name, CAST(ts AS BIGINT) AS ts, CAST(60 AS DOUBLE) AS value FROM generate_series(1704067200, 1704074400, 3600) t(ts) ORDER BY ts",
+    "g122_identity" ->
+      "SELECT 'identity(ident)' AS name, CAST(ts AS BIGINT) AS ts, CAST(ts AS DOUBLE) AS value FROM generate_series(1704067200, 1704074340, 60) t(ts) ORDER BY ts",
+    "g123_timefn" ->
+      "SELECT 'clock' AS name, CAST(ts AS BIGINT) AS ts, CAST(ts AS DOUBLE) AS value FROM generate_series(1704067200, 1704072600, 1800) t(ts) ORDER BY ts",
+    "g124_sinfn" ->
+      "SELECT 'wave' AS name, CAST(ts AS BIGINT) AS ts, round(2 * sin(CAST(ts AS DOUBLE)), 4) AS value FROM generate_series(1704067200, 1704073800, 600) t(ts) ORDER BY ts",
+    "g125_consolidateby" ->
+      (S + "SELECT 'consolidateBy(' || name || ',''max'')' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g126_verticalline" ->
+      "SELECT 'mark' AS name, CAST(ts AS BIGINT) AS ts, CAST(1.0 AS DOUBLE) AS value FROM (VALUES (1704070800), (1704070801)) t(ts) ORDER BY ts",
+    // legendValue('count'): count is integral so fmtNum prints a plain int
+    "g127_legendvalue" ->
+      (S + """, c AS (SELECT name, count(v) AS cnt FROM s GROUP BY name)
+        |SELECT s.name || ' (count: ' || c.cnt || ')' AS name, s.ts, round(s.v, 4) AS value
+        |FROM s JOIN c ON s.name = c.name WHERE s.v IS NOT NULL ORDER BY 1, s.ts""".stripMargin),
+    // cactiStyle: per-series %.0f labels left-padded to their common width;
+    // current = last non-NaN point
+    "g128_cactistyle" ->
+      (S + """, st AS (SELECT name,
+        |         arg_max(v, ts) FILTER (WHERE v IS NOT NULL) AS cur,
+        |         max(v) AS mx, min(v) AS mn FROM s GROUP BY name),
+        |lbl AS (SELECT name,
+        |         'Current:' || printf('%.0f', cur) AS cl,
+        |         'Max:' || printf('%.0f', mx) AS xl,
+        |         'Min:' || printf('%.0f', mn) AS nl FROM st),
+        |w AS (SELECT name, cl, xl, nl, greatest(length(cl), length(xl), length(nl)) AS ml FROM lbl)
+        |SELECT s.name || ' ' || lpad(w.cl, CAST(w.ml AS INTEGER), ' ') || lpad(w.xl, CAST(w.ml AS INTEGER), ' ') || lpad(w.nl, CAST(w.ml AS INTEGER), ' ') AS name,
+        |       s.ts, round(s.v, 4) AS value
+        |FROM s JOIN w ON s.name = w.name WHERE s.v IS NOT NULL ORDER BY 1, s.ts""".stripMargin),
+    "g129_aliasbybase64" ->
+      (S + "SELECT 'events.click' AS name, ts, round(v, 4) AS value FROM s WHERE name = 'events.click' AND v IS NOT NULL ORDER BY ts"),
+    // areaBetween: lower = first-by-name (click) unchanged, upper = view−click
+    "g130_areabetween" ->
+      (S + """SELECT 'areaBetween(events.{click,view})' AS name, ts, round(v, 4) AS value
+        |FROM s WHERE name = 'events.click' AND v IS NOT NULL
+        |UNION ALL
+        |SELECT 'areaBetween(events.{click,view})' AS name, a.ts, round(b.v - a.v, 4) AS value
+        |FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.click' AND b.name = 'events.view'
+        |WHERE a.v IS NOT NULL AND b.v IS NOT NULL
+        |ORDER BY name, ts""".stripMargin),
+    // stacked() is render metadata only — data and names pass through
+    "g131_stacked" ->
+      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g133_secondyaxis" ->
+      (S + "SELECT 'secondYAxis(' || name || ')' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
