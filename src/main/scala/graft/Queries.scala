@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.SeriesFrame
 import graft.engine.Eval
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextStats}
 import graft.store.EventSeriesStore
 
 /**
@@ -315,6 +315,36 @@ object Queries {
           dround(col("top_word_frac"), 4).as("top_word_frac"),
           dround(col("dup_bigram_frac"), 4).as("dup_bigram_frac"))
         .orderBy("doc_id")),
+
+    // benchmark-contamination scan: every 20th doc plays the eval set, the
+    // rest the training corpus; word-3-gram overlap + containment
+    "p16_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.contamination(d.where(col("doc_id") % 20 =!= 0), d.where(col("doc_id") % 20 === 0))
+        .select(col("doc_id"), col("bench_id"), col("overlap"),
+          dround(col("containment"), 4).as("containment"))
+        .orderBy("doc_id", "bench_id")
+    }),
+    "p17_tfidf_terms" -> ((s, dir) =>
+      Curation.tfidfTopTerms(docs(s, dir), k = 3, totalDocs = 0L)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          dround(col("tfidf"), 4).as("tfidf"), col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")),
+    "p18_kmeans_assign" -> ((s, dir) =>
+      Curation.kmeansAssign(embeddings(s, dir), k = 8, iters = 2)
+        .select(col("vec_id"), col("cluster"), dround(col("dist2"), 4).as("dist2"))
+        .orderBy("vec_id")),
+    "p19_pii_signals" -> ((s, dir) =>
+      Curation.piiSignals(docs(s, dir))
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_urls").cast("long").as("n_urls"),
+          col("n_ipv4").cast("long").as("n_ipv4"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("has_pii").cast("long").as("has_pii"))
+        .orderBy("doc_id")),
+    "p20_vocab" -> ((s, dir) =>
+      Curation.vocab(docs(s, dir), topN = 20)
+        .select(col("word"), col("cnt"), col("doc_freq"))),
 
     // ---- multimodal plumbing (decode kernel stubbed; Spark-side real)
     "m01_mm_features" -> ((s, dir) => {
@@ -1109,6 +1139,71 @@ object Queries {
         |  round(topc * 1.0 / n, 4) AS top_word_frac,
         |  round(CASE WHEN nb <= 0 THEN 0 ELSE 1 - db * 1.0 / nb END, 4) AS dup_bigram_frac
         |FROM cnt c JOIN bg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "p16_contamination" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |    FROM words WHERE len(w) >= 3)),
+        |bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 20 = 0),
+        |bsz AS (SELECT bench_id, count(*) AS bench_sz FROM bench GROUP BY 1),
+        |ov AS (SELECT c.doc_id, b.bench_id, count(*) AS overlap
+        |       FROM sh c JOIN bench b ON c.sh = b.sh WHERE c.doc_id % 20 != 0 GROUP BY 1, 2)
+        |SELECT doc_id, bench_id, overlap, round(overlap * 1.0 / bench_sz, 4) AS containment
+        |FROM ov JOIN bsz USING (bench_id) WHERE overlap >= 2 ORDER BY doc_id, bench_id""".stripMargin,
+    "p17_tfidf_terms" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df, tf * (ln((1.0 + n) / (1.0 + df)) + 1.0) AS tfidf,
+        |       row_number() OVER (PARTITION BY doc_id ORDER BY tf * (ln((1.0 + n) / (1.0 + df)) + 1.0) DESC, term) AS rank
+        |       FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf, rank FROM sc WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // mirrors Curation.kmeansAssign exactly: double vectors, init = the 8
+    // lowest vec_ids, two Lloyd iterations (assign/update), final assignment;
+    // ties break to the lowest cluster index in both engines
+    "p18_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
+        |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |u1 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |c1 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c0 c
+        |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u1 GROUP BY cluster) u USING (cluster)),
+        |a2 AS (SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
+        |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |u2 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |c2 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c1 c
+        |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u2 GROUP BY cluster) u USING (cluster))
+        |SELECT vec_id, cluster, round(d2, 4) AS dist2 FROM (
+        |    SELECT e.vec_id, c.cluster, pow(list_distance(e.v, c.v), 2) AS d2,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
+        |    FROM e CROSS JOIN c2 c) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "p19_pii_signals" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(text, '\+?[0-9][0-9() -]{6,}[0-9]')) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text, 'https?://[^\s]+'))
+        |     + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |     + len(regexp_extract_all(text, '\+?[0-9][0-9() -]{6,}[0-9]')) > 0 AS BIGINT) AS has_pii
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "p20_vocab" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0)) AS word
+        |  FROM documents)
+        |SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
+        |FROM ex GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
     "m02_frame_plan" ->
       """SELECT doc_id AS asset_id, CAST(ts_ms / 1000 AS BIGINT) AS frame_idx, CAST(ts_ms AS BIGINT) AS ts_ms
         |FROM (SELECT doc_id, unnest(generate_series(0, least(n_chars * 10, 31000), 1000)) AS ts_ms

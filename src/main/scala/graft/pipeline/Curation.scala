@@ -1,0 +1,175 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Corpus-curation operators a large-scale training-data pipeline needs
+ * beyond dedup/similarity: benchmark-contamination detection, TF-IDF term
+ * weighting, distributed k-means over embeddings, PII detection, and
+ * tokenizer-feeding vocabulary statistics.
+ *
+ * Scale notes (the designs assume ~100 TB of documents):
+ *  - contamination broadcasts the benchmark side (eval suites are MBs, the
+ *    corpus is not) so the corpus is scanned once, map-side, no self-join;
+ *  - tf-idf's only wide state is the document-frequency table, which is
+ *    vocabulary-sized (≪ corpus) and aggregated with map-side partials;
+ *  - k-means keeps the per-iteration work map-side (literal centroid array,
+ *    like Similarity.assignCells) and reduces k×dim doubles per iteration;
+ *  - PII scanning is pure codegen'd regexp column math, scan speed;
+ *  - vocab is a single word-count aggregation with partial combine + top-N
+ *    via TakeOrderedAndProject.
+ */
+object Curation {
+
+  /**
+   * Benchmark-contamination scan: for every (corpus doc, benchmark doc) pair
+   * sharing at least `minOverlap` distinct word `n`-grams, emit the overlap
+   * count and the fraction of the benchmark doc's n-grams found in the
+   * corpus doc (the decontamination signal used by public LLM data recipes —
+   * high containment means the eval example leaked into training data).
+   *
+   * The benchmark n-gram table is broadcast: the corpus side never shuffles,
+   * and each corpus doc's n-grams join map-side against the (small) bench
+   * set. Output is proportional to actual contamination, not corpus size.
+   */
+  def contamination(corpus: DataFrame, bench: DataFrame, n: Int = 3,
+                    minOverlap: Long = 2L): DataFrame = {
+    // words materialized before shingling (see Dedup.shinglesOf: an inline
+    // wordsOf would re-run the regex chain once per array element);
+    // shinglesOf is already distinct per doc
+    def grams(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs), Dedup.wordsOf(col("text")).as("w"))
+      .select(col(idAs), explode(Dedup.shinglesOf(col("w"), n)).as("gram"))
+    val bgrams = grams(bench, "bench_id")
+    val b = bgrams.join(
+      bgrams.groupBy("bench_id").agg(count(lit(1)).as("bench_sz")), "bench_id")
+    grams(corpus, "doc_id")
+      .join(broadcast(b), "gram")
+      .groupBy(col("doc_id"), col("bench_id"), col("bench_sz"))
+      .agg(count(lit(1)).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+      .select(col("doc_id"), col("bench_id"), col("overlap"),
+        (col("overlap").cast("double") / col("bench_sz")).as("containment"))
+  }
+
+  /**
+   * TF-IDF top terms per document: tf = in-doc term count, smooth idf =
+   * ln((1+N)/(1+df)) + 1, top `k` terms per doc by weight (term-lexicographic
+   * tiebreak keeps output deterministic).
+   *
+   * `totalDocs` is passed by callers that know it (catalog metadata) to keep
+   * the plan single-pass; 0 computes it with one metadata-scale count.
+   */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3, totalDocs: Long = 0L): DataFrame = {
+    val n = if (totalDocs > 0) totalDocs else docs.count()
+    val words = docs.select(col("doc_id"), explode(Dedup.wordsOf(col("text"))).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // document frequency: vocabulary-sized, map-side partial aggregation
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("tfidf", col("tf") * (log((lit(1.0) + n) / (lit(1.0) + col("df"))) + 1.0))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
+  /** Squared L2 distance between a double-array column and a literal centroid. */
+  private def dist2(vec: Column, cent: Column): Column =
+    aggregate(zip_with(vec, cent, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+
+  /**
+   * Distributed Lloyd's k-means over the full embedding corpus (unlike
+   * [[Similarity.trainCentroids]], which trains on a driver sample for IVF).
+   * Deterministic init: the embeddings of the `k` smallest vec_ids. Each
+   * iteration assigns map-side against a literal centroid array (zero
+   * shuffle, zero row expansion) and reduces k×dim partial sums — the only
+   * shuffled state is k×dim doubles, independent of corpus size.
+   *
+   * Arithmetic is double throughout (embeddings cast once) so results are
+   * reproducible against an exact SQL oracle.
+   *
+   * Returns (vec_id, cluster, dist2 to final centroid).
+   */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    var cents: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = assignTo(vecs, cents)
+      // k×dim partial sums: posexplode to scalar (cluster, dim) cells so a
+      // hot cluster never concentrates whole vectors on one reducer
+      val upd = assigned.select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cluster"), col("i")).agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+      it += 1
+    }
+    assignTo(vecs, cents)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("d").as("dist2"))
+  }
+
+  /** Map-side argmin assignment against a literal centroid array (same shape
+    * as Similarity.assignCells; ties break to the lowest cluster index). */
+  private def assignTo(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val centArr = array(cents.map(c => typedLit(c.toSeq)): _*)
+    vecs
+      .withColumn("dists", transform(centArr, c => dist2(col("v"), c)))
+      .withColumn("cluster", (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+      .withColumn("d", array_min(col("dists")))
+      .drop("dists")
+  }
+
+  // PII patterns kept to syntax shared by java.util.regex and RE2 so the
+  // DuckDB oracle can run the identical expressions
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe = "https?://[^\\s]+"
+  private val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val phoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /**
+   * PII signals per document: match counts for emails, URLs, IPv4 addresses
+   * and phone-like digit runs, plus a `has_pii` flag. Pure codegen'd regexp
+   * column math — map-side, scan speed, pipelines into curation filters.
+   */
+  def piiSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def cnt(re: String) = size(regexp_extract_all(t, lit(re), lit(0)))
+    docs
+      .withColumn("n_emails", cnt(emailRe))
+      .withColumn("n_urls", cnt(urlRe))
+      .withColumn("n_ipv4", cnt(ipv4Re))
+      .withColumn("n_phones", cnt(phoneRe))
+      .withColumn("has_pii",
+        (col("n_emails") + col("n_urls") + col("n_ipv4") + col("n_phones")) > 0)
+  }
+
+  /** Redact PII in place: each matched span is replaced with a type tag.
+    * Same regexes as [[piiSignals]]; chained codegen'd regexp_replace. */
+  def piiRedact(text: Column): Column = {
+    val steps = Seq(emailRe -> "<EMAIL>", urlRe -> "<URL>",
+      ipv4Re -> "<IP>", phoneRe -> "<PHONE>")
+    steps.foldLeft(text) { case (c, (re, tag)) => regexp_replace(c, re, tag) }
+  }
+
+  /**
+   * Corpus vocabulary statistics (the word-frequency table BPE/unigram
+   * tokenizer training starts from): per normalized word, total occurrences
+   * and document frequency, top `topN` by count. One aggregation with
+   * map-side partials; top-N compiles to TakeOrderedAndProject.
+   */
+  def vocab(docs: DataFrame, topN: Int = 100): DataFrame = {
+    docs.select(col("doc_id"), explode(Dedup.wordsOf(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(topN)
+  }
+}

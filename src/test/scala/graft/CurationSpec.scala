@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Curation
+
+/** Unit gates for the curation operators (p16-p20): planted fixtures with
+  * hand-computed expectations; the sf0.01 driver oracle covers the full
+  * corpus behavior. */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.core.GraftSession.builder("local[4]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsOf(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("contamination: a leaked benchmark doc is fully contained; unrelated docs emit nothing") {
+    val bench = docsOf(100L -> "the quick brown fox jumps over dogs")
+    val corpus = docsOf(
+      1L -> "padding words then the quick brown fox jumps over dogs and more padding",
+      2L -> "completely unrelated text about something else entirely here")
+    val out = Curation.contamination(corpus, bench, n = 3, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // bench doc has 5 distinct 3-grams, all present in doc 1
+    assert(out.toSeq == Seq((1L, 100L, 5L, 1.0)))
+  }
+
+  test("tfidf: rare terms outrank common ones; tf/df/weight match the closed form") {
+    val corpus = docsOf(
+      1L -> "apple banana apple",
+      2L -> "banana cherry",
+      3L -> "banana durian durian")
+    val rows = Curation.tfidfTopTerms(corpus, k = 2, totalDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))).sortBy(r => (r._1, r._6))
+    // banana df=3 (idf floor), apple/cherry/durian df=1
+    def w(tf: Long, df: Long) = tf * (math.log(4.0 / (1.0 + df)) + 1.0)
+    val top = rows.filter(_._6 == 1).map(r => r._1 -> r._2).toMap
+    assert(top == Map(1L -> "apple", 2L -> "cherry", 3L -> "durian"))
+    rows.foreach { case (_, term, tf, df, tfidf, _) =>
+      assert(math.abs(tfidf - w(tf, df)) < 1e-9, s"$term: $tfidf vs ${w(tf, df)}")
+      assert(df == (if (term == "banana") 3 else 1))
+    }
+  }
+
+  test("kmeans: two planted blobs separate in one iteration; assignment is deterministic") {
+    val s = spark
+    import s.implicits._
+    // ids 0,1 seed the two blobs (init = lowest-k ids), the rest cluster around them
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(0.5f, -0.5f)), (3L, Array(0.2f, 0.1f)),
+      (4L, Array(10.5f, 9.5f)), (5L, Array(9.8f, 10.2f)))
+    val emb = pts.toDF("vec_id", "embedding")
+    val out = Curation.kmeansAssign(emb, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(out(0L), out(2L), out(3L)).size == 1)
+    assert(Set(out(1L), out(4L), out(5L)).size == 1)
+    assert(out(0L) != out(1L))
+    val again = Curation.kmeansAssign(emb, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == again)
+  }
+
+  test("pii: counts and redaction hit emails, urls, ips and phones; clean text is untouched") {
+    val corpus = docsOf(
+      1L -> "contact me at jane.doe@example.com or +1 (555) 123-4567 ok",
+      2L -> "see https://example.com/path?q=1 from host 192.168.0.1 now",
+      3L -> "no sensitive content in this one at all")
+    val sig = Curation.piiSignals(corpus)
+      .select(col("doc_id"), col("n_emails"), col("n_urls"), col("n_ipv4"),
+        col("n_phones"), col("has_pii"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5))).toMap
+    assert(sig(1L) == ((1, 0, 0, 1, true)))
+    assert(sig(2L) == ((0, 1, 1, 0, true)))
+    assert(sig(3L) == ((0, 0, 0, 0, false)))
+    val red = corpus.select(col("doc_id"), Curation.piiRedact(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "contact me at <EMAIL> or <PHONE> ok")
+    assert(red(2L) == "see <URL> from host <IP> now")
+    assert(red(3L) == "no sensitive content in this one at all")
+  }
+
+  test("vocab: counts, doc frequency and the top-N cut are exact") {
+    val corpus = docsOf(
+      1L -> "apple banana apple",
+      2L -> "banana cherry",
+      3L -> "banana apple")
+    val rows = Curation.vocab(corpus, topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("apple", 3L, 2L), ("banana", 3L, 3L)))
+  }
+}
