@@ -238,4 +238,44 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /**
+   * Duplicate-cluster formation: connected components over a near-dup pair
+   * graph (from [[minhashPairs]]/[[simhashPairs]]/[[ngramJaccardPairs]]),
+   * labeling every document with the minimum doc_id reachable in its
+   * component — the keeper-selection step after candidate generation.
+   *
+   * Min-label propagation: each round every node takes the min of its own
+   * and its neighbors' labels; rounds = component diameter. Near-dup
+   * components are dense and tiny (duplicates of one source document), so
+   * diameter is small and this beats the alternating-star O(log n) scheme's
+   * constant factors; each round is one shuffle keyed by node id, state is
+   * one (id, label) row per node. `docs` supplies ids so singletons label
+   * themselves.
+   */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = und.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = und.join(labels, und("v") === labels("id"))
+        .groupBy(col("u")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .where(col("label") < col("old")).count() // materializes `next` too
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    und.unpersist()
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
 }

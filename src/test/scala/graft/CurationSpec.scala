@@ -93,6 +93,20 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(red(3L) == "no sensitive content in this one at all")
   }
 
+  test("dedup clusters: components label with min id, chains propagate, singletons self-label") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 13L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // triangle-ish {1,2,3}, pair {5,6}, 4-chain {10..13} (needs >1 round), rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("doc_a", "doc_b")
+    val out = graft.pipeline.Dedup.dedupClusters(d, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 8L, 9L -> 9L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L)
+    assert(out == want)
+  }
+
   test("vocab: counts, doc frequency and the top-N cut are exact") {
     val corpus = docsOf(
       1L -> "apple banana apple",
