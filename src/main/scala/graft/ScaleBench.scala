@@ -75,7 +75,9 @@ object ScaleBench {
     "g14_moving_avg", "g16_summarize_day", "g18_groupbynode", "g41_countvalues",
     "p01_dedup_exact", "p02_token_count", "p04_language_id",
     "p05_minhash_pairs", "p15_minhash_oph", "p06_simhash_pairs", "p11_ngram_jaccard",
-    "p12_embed_neardup", "p14_srp_neardup", "p07_cosine_topk", "p09_ivf_topk")
+    "p12_embed_neardup", "p14_srp_neardup", "p07_cosine_topk", "p09_ivf_topk",
+    "p16_contamination", "p17_tfidf_terms", "p18_kmeans_assign",
+    "p19_pii_signals", "p20_vocab", "p21_dedup_clusters")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

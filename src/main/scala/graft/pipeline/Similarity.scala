@@ -173,15 +173,20 @@ object Similarity {
    *
    * Parameters auto-tune like IVF's nlist: band width grows with log(corpus)
    * so bucket occupancy stays near `targetBucket` (bounded candidates), and
-   * the band count is solved from `minRecall` at the given threshold. The
-   * honest limit: at near-dup thresholds (≥ ~0.85) a handful of bands
-   * reaches the recall target at any corpus size; at moderate thresholds
-   * the needed band count explodes (capped at 64) and recall degrades —
+   * the band count is solved from `minRecall` at the given threshold.
+   * Occupancy defaults to 2: candidate work is ~bands × n × occupancy / 2,
+   * and every extra band the recall equation demands multiplies it — an
+   * occupancy of 50 measured 216 s at 50k vectors (38M candidate pairs)
+   * where occupancy 2 keeps the same corpus in the hundreds of thousands.
+   * The honest limit: at near-dup thresholds (≥ ~0.85) the solved band
+   * count stays under the 64-band cap and the recall target is met at any
+   * corpus size with candidate work ≈ 64 × occupancy per doc; at moderate
+   * thresholds the needed band count exceeds the cap and recall degrades —
    * there the exact blocked join is the only correct plan, which is why
    * both operators exist. Hyperplanes are deterministic (fixed seed).
    */
   def srpNearDupPairs(emb: DataFrame, threshold: Double,
-                      targetBucket: Int = 50, minRecall: Double = 0.95,
+                      targetBucket: Int = 2, minRecall: Double = 0.95,
                       bitsOverride: Int = 0, bandsOverride: Int = 0,
                       nOverride: Long = 0L, dimOverride: Int = 0): DataFrame = {
     // corpus size and dimension only tune band parameters — callers that
@@ -197,7 +202,7 @@ object Similarity {
     val pBand = math.pow(pBit, bitsPerBand)
     val nBands =
       if (bandsOverride > 0) bandsOverride
-      else math.min(32, math.max(1,
+      else math.min(64, math.max(1,
         math.ceil(math.log(1.0 - minRecall) / math.log(1.0 - pBand)).toInt))
     val nPlanes = bitsPerBand * nBands
     val dim = if (dimOverride > 0) dimOverride

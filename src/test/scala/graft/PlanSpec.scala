@@ -89,4 +89,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = assigned.select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(rows == Map(0L -> 0, 1L -> 1, 2L -> 0))
   }
+
+  test("contamination broadcasts the benchmark side; the corpus never shuffles pre-join") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq((1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c d")).toDF("doc_id", "text")
+    val plan = graft.pipeline.Curation.contamination(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "bench side must broadcast:\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus must not sort-merge against the bench set:\n" + plan.take(3000))
+  }
+
+  test("kmeans assignment is map-side against literal centroids (no shuffle, no join)") {
+    val sp = spark
+    import sp.implicits._
+    val emb = Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(4.0f, 4.0f))).toDF("vec_id", "embedding")
+    // peek at one iteration's assignment shape via iters=0 (pure final assign)
+    val out = graft.pipeline.Curation.kmeansAssign(emb, k = 2, iters = 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "assignment must not shuffle:\n" + plan.take(3000))
+    assert(!plan.contains("Join"), "assignment must not join:\n" + plan.take(3000))
+  }
+
+  test("vocab top-N compiles to TakeOrderedAndProject with partial aggregation") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = graft.pipeline.Curation.vocab(corpus, topN = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert("Aggregate".r.findAllMatchIn(plan).size >= 2,
+      "expected partial + final aggregation:\n" + plan.take(3000))
+  }
 }
