@@ -398,15 +398,19 @@ object AnalyticsOps {
 
   /** lowPass: the reference operates on an ALREADY-TRANSFORMED spectrum —
     * keep the first and last (cutPercent/200)*n bins, NaN the middle band;
-    * no transform of its own (ref lowPass/function.go:44-57). Pure codegen
-    * mask, zero shuffle. */
+    * no transform of its own (ref lowPass/function.go:44-57). Vector UDF so
+    * `values` is evaluated exactly once per row: the input is usually fft's
+    * DFT output, and the earlier HOF mask referenced `size(values)` inside
+    * the element lambda — Catalyst inlines the un-materialized upstream
+    * expression there, re-running the whole DFT per ELEMENT (g118 measured
+    * 35 s vs 0.7 s for the bare fft at sf0.1). */
   def lowPass(df: DataFrame, cutPercent: Double): DataFrame = {
-    df.withColumn("values",
-      transform(col("values"), (v, i) => {
-        val n = size(col("values"))
-        val lowCut = floor(lit(cutPercent / 200.0) * n).cast("int")
-        when(i < lowCut || i >= n - lowCut, v).otherwise(lit(Double.NaN))
-      }))
+    val u = udf((v: Seq[Double]) => {
+      val n = v.length
+      val lowCut = math.floor(cutPercent / 200.0 * n).toInt
+      Array.tabulate(n)(i => if (i < lowCut || i >= n - lowCut) v(i) else Double.NaN)
+    })
+    df.withColumn("values", u(col("values")))
       .withColumn("name",
         concat(lit("lowPass("), col("name"), lit(s",${SeriesOps.fmtNum(cutPercent)})")))
   }
