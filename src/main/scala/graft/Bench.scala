@@ -21,12 +21,20 @@ object Bench {
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     val catalog = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // several operators persist intermediates (signatures, shingle tables,
+    // CC labels); left cached they accumulate across the 158-query suite and
+    // evict each other, making in-suite numbers order-dependent (observed
+    // 10x inflation on late queries). Drop each query's NEW persists after
+    // timing it; the shared warm fixtures stay.
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
     val results = catalog.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -81,11 +81,17 @@ object ScaleBench {
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
     Headline.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir).count()
       catch { case e: Throwable => System.err.println(s"[scale] $name failed: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // per-query persists otherwise accumulate and evict each other,
+      // making in-suite numbers order-dependent (see Bench)
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+      name -> t
     }
   }
 
