@@ -352,6 +352,13 @@ object Queries {
       Dedup.dedupClusters(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
         .orderBy("doc_id")
     }),
+    // end-to-end curation capstone: language + length + PII gates composed
+    // with near-dup keeper selection — the pre-tokenization pass
+    "p22_curated_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.curatedCorpus(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
+        .orderBy("doc_id")
+    }),
 
     // ---- multimodal plumbing (decode kernel stubbed; Spark-side real)
     "m01_mm_features" -> ((s, dir) => {
@@ -1211,6 +1218,54 @@ object Queries {
         |  FROM documents)
         |SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
         |FROM ex GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    // p04's language scoring + p02's token count + p19's PII predicates +
+    // p21's connected-components keeper, composed
+    "p22_curated_corpus" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t FROM documents),
+        |sc AS (
+        |  SELECT doc_id, 'de' AS lang, len(list_filter(t, x -> list_contains(['der','die','das','und','ist','mit','für','nicht'], x))) AS score FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'en', len(list_filter(t, x -> list_contains(['the','and','of','to','is','with','that','for'], x))) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'es', len(list_filter(t, x -> list_contains(['el','la','los','las','es','con','para','por'], x))) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'fr', len(list_filter(t, x -> list_contains(['le','la','les','est','avec','pour','dans','une'], x))) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'zh', len(list_filter(t, x -> list_contains(['的','是','在','了','和','有','我','不'], x))) FROM toks),
+        |lang AS (SELECT doc_id, lang AS lang_pred FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc) WHERE rn = 1),
+        |tok AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+        |clean AS (SELECT doc_id FROM documents
+        |  WHERE len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
+        |    AND len(regexp_extract_all(text, 'https?://[^\s]+')) = 0
+        |    AND len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) = 0
+        |    AND len(regexp_extract_all(text, '\+?[0-9][0-9() -]{6,}[0-9]')) = 0),
+        |words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |    FROM words WHERE len(w) >= 3)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |          FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |          WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5),
+        |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v AS x FROM und
+        |  UNION
+        |  SELECT und.u, reach.x FROM und JOIN reach ON reach.u = und.v),
+        |cc AS (SELECT u AS doc_id, least(u, min(x)) AS cluster_id FROM reach GROUP BY u)
+        |SELECT d.doc_id, lang.lang_pred, tok.n_tokens
+        |FROM documents d JOIN lang USING (doc_id) JOIN tok USING (doc_id)
+        |JOIN clean USING (doc_id) LEFT JOIN cc USING (doc_id)
+        |WHERE lang.lang_pred = 'en' AND tok.n_tokens >= 10
+        |  AND coalesce(cc.cluster_id, d.doc_id) = d.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // p11's pair derivation + transitive min-reachable-id closure
     "p21_dedup_clusters" ->
       """WITH RECURSIVE words AS (

@@ -160,6 +160,25 @@ object Curation {
   }
 
   /**
+   * End-to-end curation pass — the composition a training-data run executes
+   * before tokenization: language filter, minimum-length gate, PII gate,
+   * and near-dup keeper selection (cluster representative = min doc_id).
+   * Every stage is one of this library's operators and all the gates are
+   * scan-speed column math; the only non-map-side work is the cluster join,
+   * whose right side is one (doc_id, cluster_id) row per document.
+   */
+  def curatedCorpus(docs: DataFrame, pairs: DataFrame, lang: String = "en",
+                    minTokens: Int = 10): DataFrame = {
+    val gated = piiSignals(TextStats.languageId(docs))
+      .withColumn("n_tokens", TextStats.tokenCount(col("text")))
+      .where(col("lang_pred") === lang && col("n_tokens") >= minTokens && !col("has_pii"))
+    gated
+      .join(Dedup.dedupClusters(docs, pairs), "doc_id")
+      .where(col("cluster_id") === col("doc_id")) // keeper = component min id
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens").cast("long").as("n_tokens"))
+  }
+
+  /**
    * Corpus vocabulary statistics (the word-frequency table BPE/unigram
    * tokenizer training starts from): per normalized word, total occurrences
    * and document frequency, top `topN` by count. One aggregation with

@@ -107,6 +107,22 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == want)
   }
 
+  test("curated corpus: language, length, PII and keeper gates each drop their doc") {
+    val s = spark
+    import s.implicits._
+    val corpus = docsOf(
+      1L -> "the quick brown fox jumps over the lazy dog and runs off with it",
+      2L -> "the quick brown fox jumps over the lazy dog and runs off with it", // dup of 1 → dropped (keeper is 1)
+      3L -> "der hund und die katze und das haus und der baum und nicht mehr", // german → dropped
+      4L -> "too short for the gate", // < 10 tokens → dropped
+      5L -> "write to the admin at root@example.com for all of the access and the keys", // PII → dropped
+      6L -> "a completely clean english document that is long enough to pass all of the gates")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val kept = Curation.curatedCorpus(corpus, pairs, lang = "en", minTokens = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 6L))
+  }
+
   test("vocab: counts, doc frequency and the top-N cut are exact") {
     val corpus = docsOf(
       1L -> "apple banana apple",
