@@ -123,6 +123,34 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(1L, 6L))
   }
 
+  test("dedup clusters: random graphs match brute-force union-find") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 6).foreach { _ =>
+      val n = 2 + rnd.nextInt(30)
+      val nEdges = rnd.nextInt(2 * n)
+      val edges = Seq.fill(nEdges) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      // brute-force union-find with min-id roots
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n.toInt).map(i => i.toLong -> find(i).toLong).toMap
+      val d = (0L until n).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val got =
+        if (edges.isEmpty) graft.pipeline.Dedup.dedupClusters(d, Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+        else graft.pipeline.Dedup.dedupClusters(d, edges.toDF("doc_a", "doc_b"))
+      val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotMap == want, s"n=$n edges=$edges")
+    }
+  }
+
   test("vocab: counts, doc frequency and the top-N cut are exact") {
     val corpus = docsOf(
       1L -> "apple banana apple",
