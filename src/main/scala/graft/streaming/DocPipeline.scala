@@ -46,6 +46,14 @@ object DocPipeline {
       .where(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunctRatio)
       .select(docs.columns.map(col): _*)
 
+  /** PII gate — the batch [[graft.pipeline.Curation.piiSignals]] regexes on
+    * the stream, unchanged (stateless column math, like [[qualityGate]]).
+    * Documents with any PII hit are dropped before dedup state. */
+  def piiGate(docs: DataFrame): DataFrame =
+    graft.pipeline.Curation.piiSignals(docs)
+      .where(!col("has_pii"))
+      .select(docs.columns.map(col): _*)
+
   /**
    * Cross-batch exact dedup: the FIRST document seen for each content hash
    * passes; every later copy — same micro-batch or any later one inside the

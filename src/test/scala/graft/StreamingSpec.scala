@@ -66,9 +66,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val textA = "the quick brown fox jumps over the lazy dog again and again"
     val textB = "an entirely different document body with plenty of ordinary words"
     val junk = "!!! ??? ***"
+    val leaky = "please write to the list admin at owner@example.com for details about it"
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
-    // file 1 = batch 1: doc 1 and 2 share textA (in-batch dup), doc 9 is junk
-    Seq((1L, ts(0), textA), (2L, ts(1), textA), (9L, ts(1), junk))
+    // file 1 = batch 1: doc 1 and 2 share textA (in-batch dup), doc 9 is
+    // junk, doc 8 carries PII
+    Seq((1L, ts(0), textA), (2L, ts(1), textA), (9L, ts(1), junk), (8L, ts(1), leaky))
       .toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$srcDir/f1")
     // file 2 = batch 2: doc 3 repeats textA (cross-batch dup), doc 4 is new
     Seq((3L, ts(2), textA), (4L, ts(3), textB))
@@ -78,7 +80,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("maxFilesPerTrigger", 1) // force one micro-batch per file
       .parquet(s"$srcDir/*")
     val deduped = graft.streaming.DocPipeline.firstSeenDedup(
-      graft.streaming.DocPipeline.qualityGate(src), watermark = "10 minutes")
+      graft.streaming.DocPipeline.piiGate(graft.streaming.DocPipeline.qualityGate(src)),
+      watermark = "10 minutes")
     val q = deduped.writeStream.format("memory").queryName("doc_dedup")
       .option("checkpointLocation", ckDir)
       .outputMode("append")
@@ -88,7 +91,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = sp.table("doc_dedup").select("doc_id").as[Long].collect().sorted.toSeq
     // doc 1 wins textA (lowest ts); 2 drops in-batch, 3 drops CROSS-batch
     // via flatMapGroupsWithState state; 9 never reaches the state store
-    // (quality gate); 4 passes as the first of textB
+    // (quality gate); 8 drops at the PII gate; 4 passes as the first of textB
     assert(out == Seq(1L, 4L), s"got $out")
   }
 }
