@@ -81,6 +81,12 @@ object ScaleBench {
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture
+    // untimed codegen/scan warm-up per dir (like Bench): without it the
+    // first timed query absorbs the whole-stage-codegen compile and the
+    // base-vs-10x ratios of cheap queries read as <1
+    SparkEntry.queries("g01_sum_series")(spark, dir).count()
+    spark.read.parquet(s"$dir/documents.parquet").count()
+    spark.read.parquet(s"$dir/embeddings.parquet").count()
     val keep = spark.sparkContext.getPersistentRDDs.keySet
     Headline.map { name =>
       val t0 = System.nanoTime()
