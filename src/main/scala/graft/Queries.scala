@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.SeriesFrame
 import graft.engine.Eval
-import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Assembly, Curation, Dedup, Multimodal, Similarity, TextStats}
 import graft.store.EventSeriesStore
 
 /**
@@ -359,6 +359,36 @@ object Queries {
       Curation.curatedCorpus(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
         .orderBy("doc_id")
     }),
+
+    // ---- corpus assembly: packing, chunking, sampling, mixing, LM scoring
+    // GPT-style concat-then-chunk packing via a two-phase distributed
+    // prefix sum (per-bucket sums + broadcast bases — no global window)
+    "p23_pack_plan" -> ((s, dir) =>
+      Assembly.packPlan(docs(s, dir), blockTokens = 256, bucketWidth = 64L)
+        .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+          col("block_first"), col("block_last"))
+        .orderBy("doc_id")),
+    "p24_chunk_plan" -> ((s, dir) =>
+      Assembly.chunkPlan(docs(s, dir), window = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("tok_start"), col("tok_end"))
+        .orderBy("doc_id", "chunk_idx")),
+    // deterministic multiplicative-hash stratified sampling w/ 1/rate weights
+    "p25_sample_stratified" -> ((s, dir) =>
+      Assembly.sampleStratified(docs(s, dir),
+        Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.25))
+        .select(col("doc_id"), col("lang"), dround(col("rate"), 4).as("rate"),
+          dround(col("weight"), 4).as("weight"))
+        .orderBy("doc_id")),
+    "p26_mix_weights" -> ((s, dir) =>
+      Assembly.mixWeights(docs(s, dir))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          dround(col("share"), 4).as("share"), dround(col("weight"), 4).as("weight"))
+        .orderBy("source")),
+    // add-one-smoothed unigram log-prob quality score from corpus statistics
+    "p27_unigram_lm" -> ((s, dir) =>
+      Assembly.unigramLmScore(docs(s, dir))
+        .select(col("doc_id"), col("n_words"), dround(col("avg_logp"), 4).as("avg_logp"))
+        .orderBy("doc_id")),
 
     // ---- multimodal plumbing (decode kernel stubbed; Spark-side real)
     "m01_mm_features" -> ((s, dir) => {
@@ -1305,7 +1335,53 @@ object Queries {
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
         |  round(CAST(CAST(len(list_filter(os, x -> x < 32)) AS REAL) / n AS DOUBLE), 4) AS f0,
         |  round(CAST(CAST(len(list_filter(os, x -> x >= 224)) AS REAL) / n AS DOUBLE), 4) AS f7
-        |FROM ch ORDER BY asset_id""".stripMargin
+        |FROM ch ORDER BY asset_id""".stripMargin,
+    // naive global-window cumsum — semantically identical to the two-phase
+    // distributed prefix sum the Spark side runs
+    "p23_pack_plan" ->
+      """WITH n AS (SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tok_start FROM n)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(tok_start AS BIGINT) AS tok_start,
+        |  CAST(floor(tok_start / 256) AS BIGINT) AS block_first,
+        |  CAST(CASE WHEN n_tokens = 0 THEN floor(tok_start / 256)
+        |            ELSE floor((tok_start + n_tokens - 1) / 256) END AS BIGINT) AS block_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "p24_chunk_plan" ->
+      """WITH n AS (SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens FROM documents),
+        |k AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens <= 64 THEN 1 ELSE CAST(ceil((n_tokens - 64) * 1.0 / 48) AS BIGINT) + 1 END AS n_chunks FROM n),
+        |e AS (SELECT doc_id, n_tokens, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM k)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx * 48 AS BIGINT) AS tok_start,
+        |  CAST(least(chunk_idx * 48 + 64, n_tokens) AS BIGINT) AS tok_end
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "p25_sample_stratified" ->
+      """WITH r AS (SELECT * FROM (VALUES ('en', 0.9), ('de', 0.5), ('fr', 0.5), ('es', 0.5), ('zh', 0.25)) AS t(lang, rate)),
+        |d AS (SELECT doc_id, lang,
+        |  ((doc_id % 1000003) * 2654435761) % 1000000007 % 10000 / 10000.0 AS u FROM documents)
+        |SELECT doc_id, d.lang, round(CAST(coalesce(r.rate, 0.0) AS DOUBLE), 4) AS rate,
+        |  round(CAST(1.0 / coalesce(r.rate, 0.0) AS DOUBLE), 4) AS weight
+        |FROM d LEFT JOIN r ON d.lang = r.lang
+        |WHERE u < coalesce(r.rate, 0.0) ORDER BY doc_id""".stripMargin,
+    "p26_mix_weights" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |  sum(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_tokens) AS total, count(*) AS ns FROM s)
+        |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(n_tokens * 1.0 / total, 4) AS share,
+        |  round((1.0 / ns) / (n_tokens * 1.0 / total), 4) AS weight
+        |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
+    "p27_unigram_lm" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
+        |vc AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
+        |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc)
+        |SELECT doc_id, count(*) AS n_words, round(avg(ln((c + 1.0) / (t + v))), 4) AS avg_logp
+        |FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id ORDER BY doc_id""".stripMargin
     // p04 landed as an exact DuckDB replica; p05/p06/p08/p09/p14/p15 remain
     // hash-dependent (xxhash64/SRP/IVF) — no DuckDB twin; rows-only in the
     // driver gate, self-consistency-gated in PipelineSpec.

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-assembly operators: the steps between a curated document set and a
+ * training run — sequence packing, chunking, deterministic sampling, domain
+ * mixing, and corpus-statistics LM scoring.
+ *
+ * Scale notes (100 TB): everything here is either map-side (chunking,
+ * sampling, LM scoring after a vocab-sized shuffle) or a two-phase
+ * distributed prefix sum (packing) — no global single-partition windows.
+ */
+object Assembly {
+
+  /** Whitespace token count — the same convention as TextStats.tokenCount. */
+  private def nTokens(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0)).cast("long")
+
+  // --------------------------------------------------------------- packing
+
+  /**
+   * GPT-style sequence-packing plan: documents are concatenated in doc_id
+   * order and cut into fixed `blockTokens` training blocks; each doc maps to
+   * its token offset and the [first,last] block it lands in.
+   *
+   * The global running offset is a distributed prefix sum, NOT a global
+   * window (a window without partitionBy collapses to one partition — a
+   * non-starter at 1e9 docs): stage 1 aggregates per-bucket token sums
+   * (buckets = contiguous doc_id ranges), the driver folds those into
+   * per-bucket base offsets (#buckets rows, bucketWidth sized so this stays
+   * thousands), stage 2 is a per-bucket window cumsum plus the broadcast
+   * base. Identical output to the naive global window.
+   */
+  def packPlan(docs: DataFrame, blockTokens: Int = 256, bucketWidth: Long = 128L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withN = docs.select(col("doc_id"), nTokens(col("text")).as("n_tokens"))
+      .withColumn("bucket", floor(col("doc_id") / bucketWidth))
+    val bucketSums = withN.groupBy("bucket").agg(sum("n_tokens").as("bsum"))
+      .orderBy("bucket").as[(Long, Long)].collect()
+    val bases = bucketSums.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, s)) => (b, acc + s)
+    }.sliding(2).collect { case Array((_, prev), (b, _)) => (b, prev) }.toSeq
+    val baseDf = broadcast(spark.createDataFrame(bases).toDF("bucket", "base"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    withN.join(baseDf, "bucket")
+      .withColumn("tok_start", col("base") + sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        floor(col("tok_start") / blockTokens).as("block_first"),
+        when(col("n_tokens") === 0, floor(col("tok_start") / blockTokens))
+          .otherwise(floor((col("tok_start") + col("n_tokens") - 1) / blockTokens))
+          .as("block_last"))
+  }
+
+  // -------------------------------------------------------------- chunking
+
+  /**
+   * Sliding-window chunking plan: each doc becomes ceil((n-window)/stride)+1
+   * overlapping [tok_start, tok_end) chunks (one chunk when n <= window).
+   * Pure map-side sequence explode — scales linearly in output chunks.
+   */
+  def chunkPlan(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && window >= stride, s"need 0 < stride <= window, got $window/$stride")
+    val n = nTokens(col("text"))
+    docs.select(col("doc_id"), n.as("n_tokens"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= window, lit(1L))
+          .otherwise(ceil((col("n_tokens") - window).cast("double") / stride).cast("long") + 1))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(col("chunk_idx") * stride + window, col("n_tokens")).as("tok_end"))
+  }
+
+  // -------------------------------------------------------------- sampling
+
+  /**
+   * Deterministic stratified sampling: a multiplicative hash of doc_id maps
+   * each doc to a uniform u in [0,1); a doc survives when u < rate(lang).
+   * Restartable (no RNG state), reproducible across engines — the hash stays
+   * inside BIGINT range so a SQL oracle computes the identical decision.
+   * Survivors carry weight = 1/rate for unbiased downstream statistics.
+   */
+  def sampleStratified(docs: DataFrame, rates: Map[String, Double],
+                       defaultRate: Double = 0.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateDf = broadcast(rates.toSeq.toDF("lang", "rate"))
+    val u = (((col("doc_id") % 1000003L) * 2654435761L) % 1000000007L % 10000L)
+      .cast("double") / 10000.0
+    docs.join(rateDf, Seq("lang"), "left")
+      .withColumn("rate", coalesce(col("rate"), lit(defaultRate)))
+      .where(u < col("rate"))
+      .select(col("doc_id"), col("lang"), col("rate"),
+        (lit(1.0) / col("rate")).as("weight"))
+  }
+
+  // -------------------------------------------------------- domain mixing
+
+  /**
+   * Domain-mixing weights: per-source token shares and the per-doc sampling
+   * weight that re-balances the corpus to equal share per source (the
+   * "uniform domain mixture" baseline). weight = target_share / actual_share.
+   */
+  def mixWeights(docs: DataFrame): DataFrame = {
+    val perSource = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(nTokens(col("text"))).as("n_tokens"))
+    val totals = perSource.agg(sum("n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens") / col("total_tokens")).as("share"),
+        ((lit(1.0) / col("n_sources")) /
+          (col("n_tokens") / col("total_tokens"))).as("weight"))
+  }
+
+  // ------------------------------------------------------ unigram LM score
+
+  /**
+   * Corpus-statistics quality score: average add-one-smoothed unigram
+   * log-probability per token. Common fluent text scores higher; gibberish
+   * and rare-token soup score lower — the classic cheap LM filter.
+   *
+   * Plan shape: one vocab aggregation (map-side partial then shuffle on
+   * word — Zipf-bounded), one shuffle join of exploded tokens against the
+   * vocab, one per-doc re-aggregation. No driver-side loops.
+   */
+  def unigramLmScore(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), Dedup.wordsOf(col("text")).as("w"))
+    val toks = words.select(col("doc_id"), explode(col("w")).as("word"))
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum("c").as("t"), count(lit(1)).as("v"))
+    toks.join(vocab, "word")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        avg(log((col("c") + 1.0) / (col("t") + col("v")))).as("avg_logp"))
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Assembly
+
+/**
+ * Invariant gates for the corpus-assembly operators (p23–p27). The DuckDB
+ * oracle pins exact values at sf0.01; these pin the structural contracts —
+ * packing contiguity, chunk coverage, sampling determinism/unbiasedness,
+ * mixing-weight algebra — on the sf0.001 corpus.
+ */
+class AssemblySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = graft.core.GraftSession.builder("local[4]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("packPlan: offsets are a gapless prefix sum and bucketWidth never changes the result") {
+    val plan = Assembly.packPlan(docs, blockTokens = 128, bucketWidth = 32L)
+      .orderBy("doc_id").collect()
+    // contiguity: each doc starts exactly where the previous one ended
+    plan.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("tok_start") ==
+        a.getAs[Long]("tok_start") + a.getAs[Long]("n_tokens"))
+      case _ => ()
+    }
+    assert(plan.head.getAs[Long]("tok_start") == 0L)
+    // block span matches the offsets
+    plan.foreach { r =>
+      val (s, n) = (r.getAs[Long]("tok_start"), r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("block_first") == s / 128)
+      assert(r.getAs[Long]("block_last") == (if (n == 0) s / 128 else (s + n - 1) / 128))
+    }
+    // the two-phase prefix sum is bucketWidth-invariant (and equals the
+    // naive single-partition global window)
+    val other = Assembly.packPlan(docs, blockTokens = 128, bucketWidth = 7L)
+      .orderBy("doc_id").collect()
+    assert(plan.map(_.toSeq.toList).toList == other.map(_.toSeq.toList).toList)
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long").as("n"))
+      .withColumn("tok_start", coalesce(sum("n").over(w), lit(0L)))
+      .orderBy("doc_id").select("doc_id", "tok_start").collect()
+    assert(plan.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_start"))).toSeq ==
+      naive.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("chunkPlan: windows cover every token, respect the stride, and never overrun") {
+    val window = 40
+    val stride = 30
+    val chunks = Assembly.chunkPlan(docs, window, stride)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .groupBy(_.getAs[Long]("doc_id")).toSeq
+    val nTok = docs.select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.map(_._1).toSet == nTok.keySet) // every doc chunked
+    chunks.foreach { case (id, cs) =>
+      val n = nTok(id)
+      cs.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("chunk_idx") == i.toLong)
+        assert(c.getAs[Long]("tok_start") == i.toLong * stride)
+        assert(c.getAs[Long]("tok_end") == math.min(i.toLong * stride + window, n))
+      }
+      // full coverage: last chunk reaches n, and consecutive chunks overlap
+      assert(cs.last.getAs[Long]("tok_end") == n)
+      cs.sliding(2).foreach { case Array(a, b) =>
+        assert(b.getAs[Long]("tok_start") < a.getAs[Long]("tok_end"))
+        case _ => ()
+      }
+    }
+  }
+
+  test("sampleStratified: deterministic, rate-faithful per stratum, weight = 1/rate") {
+    val rates = Map("en" -> 0.8, "de" -> 0.4, "fr" -> 0.4, "es" -> 0.4, "zh" -> 0.2)
+    val a = Assembly.sampleStratified(docs, rates).orderBy("doc_id").collect()
+    val b = Assembly.sampleStratified(docs, rates).orderBy("doc_id").collect()
+    assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList) // no RNG state
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong).toMap
+    rates.foreach { case (lang, rate) =>
+      val n = perLang.getOrElse(lang, 0L)
+      if (n >= 20) { // binomial tolerance: 4 sigma
+        val tol = 4.0 * math.sqrt(n * rate * (1 - rate))
+        assert(math.abs(kept.getOrElse(lang, 0L) - n * rate) <= tol,
+          s"$lang kept ${kept.getOrElse(lang, 0L)} of $n at rate $rate")
+      }
+    }
+    a.foreach(r => assert(math.abs(
+      r.getAs[Double]("weight") * r.getAs[Double]("rate") - 1.0) < 1e-12))
+  }
+
+  test("mixWeights: shares sum to 1 and reweighted shares are uniform") {
+    val m = Assembly.mixWeights(docs).collect()
+    val shareSum = m.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    val target = 1.0 / m.length
+    m.foreach { r =>
+      assert(math.abs(r.getAs[Double]("weight") * r.getAs[Double]("share") - target) < 1e-9)
+    }
+  }
+
+  test("unigramLmScore: common-word text outscores rare-token soup; scores are negative") {
+    val s = spark
+    import s.implicits._
+    val fixture = Seq(
+      (1L, "the cat sat on the mat and the dog sat on the rug"),
+      (2L, "the cat sat on the mat and the dog sat on the rug"),
+      (3L, "zqx vwpk jrtl mnbv qwerty zxcvb plmokn ijnuhb ygvtfc rdxesz")
+    ).toDF("doc_id", "text")
+    val scores = Assembly.unigramLmScore(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logp")).toMap
+    assert(scores.values.forall(_ < 0.0)) // log-probs
+    assert(scores(1L) == scores(2L))      // identical docs score identically
+    assert(scores(1L) > scores(3L))       // fluent beats gibberish
+    // n_words matches the tokenizer
+    val n = Assembly.unigramLmScore(fixture).where(col("doc_id") === 1L)
+      .select("n_words").head().getLong(0)
+    assert(n == 13L)
+  }
+}
