@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.SeriesFrame
 import graft.engine.Eval
-import graft.pipeline.{Assembly, Curation, Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Assembly, Curation, Dedup, Multimodal, Quantize, Similarity, TextStats}
 import graft.store.EventSeriesStore
 
 /**
@@ -389,6 +389,27 @@ object Queries {
       Assembly.unigramLmScore(docs(s, dir))
         .select(col("doc_id"), col("n_words"), dround(col("avg_logp"), 4).as("avg_logp"))
         .orderBy("doc_id")),
+
+    // int8 scalar quantization: corpus min/max in ONE aggregate (no explode),
+    // codes + reconstruction error map-side against literal ranges
+    "p28_sq_quantize" -> ((s, dir) =>
+      Quantize.sqQuantize(embeddings(s, dir), levels = 256, dimOverride = 64)
+        .select(col("vec_id"),
+          element_at(col("codes"), 1).cast("long").as("c1"),
+          element_at(col("codes"), 64).cast("long").as("c64"),
+          dround(col("mse"), 6).as("mse"))
+        .orderBy("vec_id")),
+    // product-quantization ADC shortlist + exact rerank (no oracle —
+    // per-subspace Lloyd; recall + fidelity gates live in QuantizeSpec)
+    "p29_pq_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val cb = Quantize.trainPqCodebooks(emb, m = 16, ksub = 16, iters = 10, sampleN = 2000)
+      Quantize.pqTopKReranked(Quantize.pqEncode(emb, cb), emb.where(col("vec_id") < 10),
+          cb, k = 5, shortlist = 50)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), dround(col("d2"), 4).as("d2"))
+        .orderBy("query_id", "rank")
+    }),
 
     // ---- multimodal plumbing (decode kernel stubbed; Spark-side real)
     "m01_mm_features" -> ((s, dir) => {
@@ -1381,7 +1402,22 @@ object Queries {
         |vc AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
         |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc)
         |SELECT doc_id, count(*) AS n_words, round(avg(ln((c + 1.0) / (t + v))), 4) AS avg_logp
-        |FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same floor(x+0.5) rounding convention as the Spark side — exact replay
+    "p28_sq_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |st AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM e CROSS JOIN dims GROUP BY i),
+        |sc AS (SELECT i, mn, CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END AS s FROM st),
+        |cd AS (SELECT vec_id, i, v[i] AS x, mn, s,
+        |  least(floor((v[i] - mn) * s + 0.5), 255.0) AS code FROM e CROSS JOIN dims JOIN sc USING (i)),
+        |r AS (SELECT vec_id, i, code, x,
+        |  mn + CASE WHEN s > 0 THEN code / s ELSE 0.0 END AS recon FROM cd)
+        |SELECT vec_id,
+        |  CAST(max(CASE WHEN i = 1 THEN code END) AS BIGINT) AS c1,
+        |  CAST(max(CASE WHEN i = 64 THEN code END) AS BIGINT) AS c64,
+        |  round(sum((x - recon) * (x - recon)) / 64, 6) AS mse
+        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin
     // p04 landed as an exact DuckDB replica; p05/p06/p08/p09/p14/p15 remain
     // hash-dependent (xxhash64/SRP/IVF) — no DuckDB twin; rows-only in the
     // driver gate, self-consistency-gated in PipelineSpec.
