@@ -77,7 +77,8 @@ object ScaleBench {
     "p05_minhash_pairs", "p15_minhash_oph", "p06_simhash_pairs", "p11_ngram_jaccard",
     "p12_embed_neardup", "p14_srp_neardup", "p07_cosine_topk", "p09_ivf_topk",
     "p16_contamination", "p17_tfidf_terms", "p18_kmeans_assign",
-    "p19_pii_signals", "p20_vocab", "p21_dedup_clusters")
+    "p19_pii_signals", "p20_vocab", "p21_dedup_clusters",
+    "p23_pack_plan", "p27_unigram_lm", "p28_sq_quantize", "p29_pq_topk")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture
@@ -88,15 +89,22 @@ object ScaleBench {
     spark.read.parquet(s"$dir/documents.parquet").count()
     spark.read.parquet(s"$dir/embeddings.parquet").count()
     val keep = spark.sparkContext.getPersistentRDDs.keySet
+    // single-shot timings are GC/cache-pressure-sensitive (a one-off pause
+    // once measured p15 at 30 s where a re-run shows 2.3 s); best-of-REPS
+    // keeps the ratios about plan shape, not scheduler luck
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     Headline.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir).count()
-      catch { case e: Throwable => System.err.println(s"[scale] $name failed: $e"); -1L }
-      val t = (System.nanoTime() - t0) / 1e9
-      // per-query persists otherwise accumulate and evict each other,
-      // making in-suite numbers order-dependent (see Bench)
-      spark.sparkContext.getPersistentRDDs
-        .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+      val t = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, dir).count()
+        catch { case e: Throwable => System.err.println(s"[scale] $name failed: $e"); -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // per-query persists otherwise accumulate and evict each other,
+        // making in-suite numbers order-dependent (see Bench)
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+        dt
+      }.min
       name -> t
     }
   }

@@ -124,4 +124,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Aggregate".r.findAllMatchIn(plan).size >= 2,
       "expected partial + final aggregation:\n" + plan.take(3000))
   }
+
+  test("packPlan windows per bucket — no single-partition exchange in the offset stage") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq.tabulate(20)(i => (i.toLong, "w " * (i + 1))).toDF("doc_id", "text")
+    val plan = graft.pipeline.Assembly.packPlan(docs, blockTokens = 16, bucketWidth = 4L)
+      .queryExecution.executedPlan.toString
+    // the naive formulation is Window over an Exchange SinglePartition —
+    // the whole corpus through one task; the two-phase prefix sum must not
+    assert(!plan.contains("Exchange SinglePartition"),
+      "global-window prefix sum detected:\n" + plan.take(3000))
+    assert(plan.contains("Window"), plan.take(2000)) // per-bucket window remains
+  }
+
+  test("sq quantization codes/mse are map-side against literal ranges (no join, no explode)") {
+    val sp = spark
+    import sp.implicits._
+    val emb = Seq((0L, Seq(0.0f, 1.0f)), (1L, Seq(4.0f, 5.0f))).toDF("vec_id", "embedding")
+    val out = graft.pipeline.Quantize.sqQuantize(emb, levels = 16, dimOverride = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "codes must not join:\n" + plan.take(3000))
+    assert(!plan.contains("Generate"), "codes must not explode rows:\n" + plan.take(3000))
+  }
+
+  test("pq encode is map-side against literal codebooks (no shuffle, no join)") {
+    val sp = spark
+    import sp.implicits._
+    val emb = Seq((0L, Seq(0.0f, 0.0f, 4.0f, 4.0f)), (1L, Seq(1.0f, 1.0f, 5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = graft.pipeline.Quantize.trainPqCodebooks(emb, m = 2, ksub = 2, iters = 1, sampleN = 2)
+    val plan = graft.pipeline.Quantize.pqEncode(emb, cb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "encode must not shuffle:\n" + plan.take(3000))
+    assert(!plan.contains("Join"), "encode must not join:\n" + plan.take(3000))
+  }
 }
