@@ -94,4 +94,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (quality gate); 8 drops at the PII gate; 4 passes as the first of textB
     assert(out == Seq(1L, 4L), s"got $out")
   }
+
+  test("streaming near-dup pairs match the batch OPH operator; each pair emitted once") {
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("graft-neardup").toString
+    val srcDir = s"$tmp/docs"
+    val ckDir = s"$tmp/ck"
+    val sp = spark
+    import sp.implicits._
+
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "watches from the window and the birds sing in the tall green trees " +
+      "beside the quiet river bank every single morning"
+    val nearA = base.replace("morning", "evening") // one-word change: high jaccard
+    val other = "completely unrelated text about distributed query engines " +
+      "columnar storage formats partition pruning predicate pushdown and " +
+      "whole stage code generation inside modern analytical database systems"
+    val otherCopy = other // exact copy → jaccard 1.0
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+    // batch 1: base + other; batch 2: their near-dups + one unrelated doc
+    Seq((1L, ts(0), base), (2L, ts(1), other))
+      .toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$srcDir/f1")
+    Seq((3L, ts(2), nearA), (4L, ts(3), otherCopy),
+        (5L, ts(4), "short framework note unrelated to either corpus topic here"))
+      .toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$srcDir/f2")
+
+    val src = sp.readStream.schema(graft.streaming.DocPipeline.docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+    val q = graft.streaming.NearDup.nearDupPairs(src, threshold = 0.8,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("near_dup")
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = sp.table("near_dup")
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // exactly-once: no pair appears twice even though near-identical sigs
+    // collide in many bands
+    assert(streamed.map(p => (p._1, p._2)).distinct.size == streamed.size,
+      s"duplicate emissions: $streamed")
+
+    // the batch operator on the union corpus is the reference result
+    val union = Seq((1L, base), (2L, other), (3L, nearA), (4L, otherCopy),
+      (5L, "short framework note unrelated to either corpus topic here"))
+      .toDF("doc_id", "text")
+    val batch = graft.pipeline.Dedup.minhashPairsOph(union, k = 3, numBins = 64,
+        bands = 16, threshold = 0.8)
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(batch.nonEmpty, "fixture must contain batch-detectable near-dups")
+    assert(streamed.toSet == batch.toSet,
+      s"stream $streamed vs batch $batch")
+  }
 }
