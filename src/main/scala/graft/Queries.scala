@@ -440,6 +440,14 @@ object Queries {
         .select(col("doc_id"), col("n_words"), dround(col("avg_logp"), 4).as("avg_logp"))
         .orderBy("doc_id")),
 
+    // substring-level dedup: pairs sharing a contiguous 10-word span, with
+    // the longest shared run (inverted-index join + gaps-and-islands runs)
+    "p30_shared_spans" -> ((s, dir) =>
+      Dedup.sharedSpanPairs(docs(s, dir), spanTokens = 10)
+        .select(col("doc_a"), col("doc_b"), col("shared_grams"),
+          col("max_span_tokens"))
+        .orderBy("doc_a", "doc_b")),
+
     // int8 scalar quantization: corpus min/max in ONE aggregate (no explode),
     // codes + reconstruction error map-side against literal ranges
     "p28_sq_quantize" -> ((s, dir) =>
@@ -1477,6 +1485,25 @@ object Queries {
         |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc)
         |SELECT doc_id, count(*) AS n_words, round(avg(ln((c + 1.0) / (t + v))), 4) AS avg_logp
         |FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p30_shared_spans" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, pos, list_aggregate(w[pos:pos+9], 'string_agg', ' ') AS gram
+        |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 9)) AS pos FROM words WHERE len(w) >= 10)),
+        |keep AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+        |         WHERE df >= 2 AND df <= 100),
+        |pruned AS (SELECT g.* FROM g SEMI JOIN keep USING (gram)),
+        |matched AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos, a.gram
+        |            FROM pruned a JOIN pruned b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |shared AS (SELECT doc_a, doc_b, count(DISTINCT gram) AS shared_grams FROM matched GROUP BY 1, 2),
+        |mp AS (SELECT DISTINCT doc_a, doc_b, pos FROM matched),
+        |runs AS (SELECT doc_a, doc_b, max(run) AS max_run FROM (
+        |  SELECT doc_a, doc_b, grp, count(*) AS run FROM (
+        |    SELECT doc_a, doc_b, pos, pos - row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY pos) AS grp FROM mp)
+        |  GROUP BY 1, 2, 3) GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared_grams, CAST(max_run + 9 AS BIGINT) AS max_span_tokens
+        |FROM shared JOIN runs USING (doc_a, doc_b) ORDER BY doc_a, doc_b""".stripMargin,
     // same floor(x+0.5) rounding convention as the Spark side — exact replay
     "p28_sq_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -237,6 +238,51 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / (col("sizeA") + col("sizeB") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /**
+   * Substring-level duplication: document pairs sharing at least one
+   * contiguous `spanTokens`-word span (the exact-substring signal used to
+   * catch boilerplate and quoted passages that set-based Jaccard dilutes
+   * away on long documents). Emits the distinct shared span-grams and the
+   * longest contiguous shared run in tokens.
+   *
+   * Shape: positional span-grams feed an inverted-index equality join (the
+   * [[ngramJaccardPairs]] pattern — candidates scale with shared-content
+   * density, not corpus²), with grams above `maxDocFreq` documents dropped
+   * as boilerplate before the join. The run-length pass windows over
+   * (doc_a, doc_b) — keyed by pair, never a global sort.
+   */
+  def sharedSpanPairs(docs: DataFrame, spanTokens: Int = 10,
+                      maxDocFreq: Long = 100): DataFrame = {
+    val w = docs.select(col("doc_id"), wordsOf(col("text")).as("_w"))
+      .where(size(col("_w")) >= spanTokens)
+    // (doc_id, pos, gram): gram = the span starting at pos (1-based)
+    val grams = w.select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("_w")) - (spanTokens - 1)),
+          i => concat_ws(" ", slice(col("_w"), i, lit(spanTokens))))).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+      .persist()
+    val keep = grams.select(col("gram"), col("doc_id")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDocFreq)
+    val pruned = grams.join(keep, Seq("gram"), "left_semi")
+    val matched = pruned.as("a").join(pruned.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos"), col("a.gram").as("gram"))
+    val shared = matched.groupBy("doc_a", "doc_b")
+      .agg(countDistinct("gram").as("shared_grams"))
+    // longest run of consecutive matched positions in doc_a: pos - rank is
+    // constant within a run (the classic gaps-and-islands grouping)
+    val pw = Window.partitionBy("doc_a", "doc_b").orderBy("pos")
+    val runs = matched.select(col("doc_a"), col("doc_b"), col("pos")).distinct()
+      .withColumn("grp", col("pos") - row_number().over(pw))
+      .groupBy("doc_a", "doc_b", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_a", "doc_b").agg(max("run").as("max_run"))
+    shared.join(runs, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared_grams"),
+        (col("max_run") + (spanTokens - 1)).as("max_span_tokens"))
   }
 
   /**

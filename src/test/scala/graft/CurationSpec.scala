@@ -160,4 +160,18 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq == Seq(("apple", 3L, 2L), ("banana", 3L, 3L)))
   }
+
+  test("shared spans: a planted 7-word quote yields exactly its span-grams and run length") {
+    // docs 1 and 2 share exactly the 7-word quote; doc 3 is disjoint
+    val quote = "to be or not to be said"
+    val corpus = docsOf(
+      1L -> s"alpha beta gamma $quote delta epsilon",
+      2L -> s"one two $quote three four five six",
+      3L -> "completely different words with no overlap at all whatsoever here")
+    // spanTokens=5 inside a 7-word shared run → 3 span-grams, run of 3
+    val rows = graft.pipeline.Dedup.sharedSpanPairs(corpus, spanTokens = 5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("shared_grams"), r.getAs[Long]("max_span_tokens")))
+    assert(rows.toSeq == Seq((1L, 2L, 3L, 7L)), rows.mkString(","))
+  }
 }
