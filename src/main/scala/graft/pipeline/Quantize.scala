@@ -104,18 +104,26 @@ object Quantize {
     }
   }
 
+  /** The full codebook set as ONE nested literal (m × ksub × dsub doubles).
+    * Unrolling per-subspace/per-centroid expressions instead produces an
+    * m×ksub-wide codegen tree whose janino compile dominates wall time —
+    * a single literal walked by nested HOFs keeps the tree constant-size. */
+  private def codebookLit(cb: Array[Array[Array[Double]]]): Column =
+    typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+
   /** Map-side PQ encode: per subspace, argmin over the literal codebook —
     * the same zero-shuffle shape as [[Similarity.assignCells]]. Adds
     * `codes` (array of m centroid ids, ties to the lowest id). */
   def pqEncode(corpus: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
-    val codeExprs = (0 until m).map { s =>
-      val sub = slice(col("embedding"), s * dsub + 1, dsub)
-      val dists = array(codebooks(s).map(c => dist2(sub, typedLit(c.toSeq))): _*)
+    val cbl = codebookLit(codebooks)
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = slice(col("embedding"), s * dsub + 1, lit(dsub))
+      val dists = transform(element_at(cbl, s + 1), c => dist2(sub, c))
       (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    corpus.withColumn("codes", array(codeExprs: _*))
+    })
+    corpus.withColumn("codes", codes)
   }
 
   /**
@@ -128,10 +136,11 @@ object Quantize {
              codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
-    val dtab = array((0 until m).map { s =>
-      val sub = slice(col("embedding"), s * dsub + 1, dsub)
-      array(codebooks(s).map(c => dist2(sub, typedLit(c.toSeq))): _*)
-    }: _*)
+    val cbl = codebookLit(codebooks)
+    val dtab = transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = slice(col("embedding"), s * dsub + 1, lit(dsub))
+      transform(element_at(cbl, s + 1), c => dist2(sub, c))
+    })
     val qTabs = queries.select(col("vec_id").as("query_id"), dtab.as("dtab"))
     encoded.select(col("vec_id").as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(qTabs))
