@@ -78,7 +78,8 @@ object ScaleBench {
     "p12_embed_neardup", "p14_srp_neardup", "p07_cosine_topk", "p09_ivf_topk",
     "p16_contamination", "p17_tfidf_terms", "p18_kmeans_assign",
     "p19_pii_signals", "p20_vocab", "p21_dedup_clusters",
-    "p23_pack_plan", "p27_unigram_lm", "p28_sq_quantize", "p29_pq_topk")
+    "p23_pack_plan", "p27_unigram_lm", "p28_sq_quantize", "p29_pq_topk",
+    "p30_shared_spans")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

@@ -113,6 +113,43 @@ class AssemblySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("packPlan/chunkPlan invariants hold on random corpora (seeded)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val n = 5 + rnd.nextInt(40)
+      // sparse doc_ids (gaps!) and wildly varying lengths incl. empty text
+      val rows = (0 until n).map { i =>
+        val id = i.toLong * (1 + rnd.nextInt(5)) + rnd.nextInt(3)
+        (id, Seq.fill(rnd.nextInt(30))("w" + rnd.nextInt(9)).mkString(" "))
+      }.distinctBy(_._1)
+      val docs = rows.toDF("doc_id", "text")
+      val block = 8 + rnd.nextInt(50)
+      val bw = 1L + rnd.nextInt(9)
+      val plan = Assembly.packPlan(docs, block, bw).orderBy("doc_id").collect()
+      assert(plan.head.getAs[Long]("tok_start") == 0L)
+      plan.sliding(2).foreach { case Array(a, b) =>
+        assert(b.getAs[Long]("tok_start") ==
+          a.getAs[Long]("tok_start") + a.getAs[Long]("n_tokens"))
+        case _ => ()
+      }
+      val window = 4 + rnd.nextInt(20)
+      val stride = 1 + rnd.nextInt(window)
+      val chunks = Assembly.chunkPlan(docs, window, stride)
+        .orderBy("doc_id", "chunk_idx").collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+      chunks.foreach { case (_, cs) =>
+        val nTok = math.max(cs.last.getAs[Long]("tok_end"), 0L)
+        cs.foreach { c =>
+          assert(c.getAs[Long]("tok_end") - c.getAs[Long]("tok_start") <= window)
+          assert(c.getAs[Long]("tok_start") == c.getAs[Long]("chunk_idx") * stride)
+        }
+        if (nTok > 0) assert(cs.last.getAs[Long]("tok_end") == nTok)
+      }
+    }
+  }
+
   test("unigramLmScore: common-word text outscores rare-token soup; scores are negative") {
     val s = spark
     import s.implicits._
