@@ -375,6 +375,14 @@ object Queries {
           dround(col("containment"), 4).as("containment"))
         .orderBy("doc_id", "bench_id")
     }),
+    // bloom-filter first-pass decontamination (no oracle — probabilistic
+    // membership; recall-1-vs-exact gate lives in CurationSpec)
+    "p31_contamination_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.contaminationBloom(d.where(col("doc_id") % 20 =!= 0),
+          d.where(col("doc_id") % 20 === 0))
+        .orderBy("doc_id")
+    }),
     "p17_tfidf_terms" -> ((s, dir) =>
       Curation.tfidfTopTerms(docs(s, dir), k = 3, totalDocs = 0L)
         .select(col("doc_id"), col("term"), col("tf"), col("df"),

@@ -55,6 +55,39 @@ object Curation {
   }
 
   /**
+   * Bloom-filter decontamination — the scale path for [[contamination]] when
+   * the benchmark n-gram set outgrows a broadcastable join side: a Bloom
+   * filter over the bench n-grams (built with Spark's sketch support, ~10
+   * bits/element at 1% fpp — 1e8 bench grams fit in ~120 MB where the exact
+   * set would be tens of GB) is broadcast inside a membership expression and
+   * the corpus is scanned MAP-SIDE, counting probable bench-gram hits per
+   * doc. No join at all; false positives only inflate the hit count, so a
+   * doc flagged by the exact operator is always flagged here (recall 1 by
+   * construction) — use this as the cheap first pass, then [[contamination]]
+   * on the flagged slice for exact pair attribution.
+   */
+  def contaminationBloom(corpus: DataFrame, bench: DataFrame, n: Int = 3,
+                         minHits: Long = 2L, fpp: Double = 0.01,
+                         expectedGrams: Long = 0L): DataFrame = {
+    val bgrams = bench
+      .select(Dedup.wordsOf(col("text")).as("w"))
+      .select(explode(Dedup.shinglesOf(col("w"), n)).as("gram"))
+    val expected = if (expectedGrams > 0) expectedGrams
+      else math.max(bgrams.count(), 1L)
+    val bloom = bgrams.stat.bloomFilter("gram", expected, fpp)
+    val spark = corpus.sparkSession
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val hit = udf((g: String) => bloomB.value.mightContainString(g))
+    corpus
+      .select(col("doc_id"), Dedup.wordsOf(col("text")).as("w"))
+      .select(col("doc_id"), explode(Dedup.shinglesOf(col("w"), n)).as("gram"))
+      .where(hit(col("gram")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("bloom_hits"))
+      .where(col("bloom_hits") >= minHits)
+  }
+
+  /**
    * TF-IDF top terms per document: tf = in-doc term count, smooth idf =
    * ln((1+N)/(1+df)) + 1, top `k` terms per doc by weight (term-lexicographic
    * tiebreak keeps output deterministic).

@@ -161,6 +161,26 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq(("apple", 3L, 2L), ("banana", 3L, 3L)))
   }
 
+  test("bloom decontamination: every doc the exact scan flags is flagged, hits bound overlap") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.where(col("doc_id") % 20 =!= 0)
+    val bench = docs.where(col("doc_id") % 20 === 0)
+    val exact = Curation.contamination(corpus, bench).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("overlap")).max).toMap
+    val bloom = Curation.contaminationBloom(corpus, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bloom_hits")).toMap
+    // recall 1 by construction: a true bench gram always "mightContain"
+    exact.foreach { case (id, maxOverlap) =>
+      assert(bloom.contains(id), s"exact-flagged doc $id missing from bloom pass")
+      assert(bloom(id) >= maxOverlap,
+        s"doc $id bloom hits ${bloom(id)} < exact overlap $maxOverlap")
+    }
+    // 1% fpp over ~100-gram docs: the cheap pass must not flag everything
+    val corpusN = corpus.count()
+    assert(bloom.size < corpusN, s"bloom pass flagged all $corpusN docs")
+  }
+
   test("shared spans: a planted 7-word quote yields exactly its span-grams and run length") {
     // docs 1 and 2 share exactly the 7-word quote; doc 3 is disjoint
     val quote = "to be or not to be said"
