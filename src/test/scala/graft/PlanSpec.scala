@@ -148,6 +148,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Generate"), "codes must not explode rows:\n" + plan.take(3000))
   }
 
+  test("stratified sampling broadcasts the rate table; the corpus never shuffles") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "en", "a b c"), (2L, "de", "d e f")).toDF("doc_id", "lang", "text")
+    val plan = graft.pipeline.Assembly.sampleStratified(docs, Map("en" -> 0.5, "de" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "rate table must broadcast:\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), "corpus must not shuffle for rates:\n" + plan.take(3000))
+  }
+
+  test("shared-span pair generation is an equality join, never a cartesian product") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w v u t"))
+      .toDF("doc_id", "text")
+    val plan = graft.pipeline.Dedup.sharedSpanPairs(docs, spanTokens = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "span matching must stay an equality join:\n" + plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "span matching must stay an equality join:\n" + plan.take(3000))
+  }
+
   test("pq encode is map-side against literal codebooks (no shuffle, no join)") {
     val sp = spark
     import sp.implicits._
