@@ -248,6 +248,37 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("label"), col("cosine"))
   }
 
+  // --------------------------------------------------- IVF index persistence
+
+  /**
+   * Persist a built IVF index: the cell-assigned corpus lands as Parquet
+   * PARTITIONED BY cell, the centroids as a small sidecar table. The cell
+   * partitioning is the point at serving scale — [[ivfTopK]]'s probe join
+   * filters on cell equality, so a query touching nprobe of nlist cells
+   * reads only those directories (partition pruning), not the corpus.
+   */
+  def writeIndex(corpusWithCells: DataFrame, centroids: Array[(Int, Array[Double])],
+                 path: String): Unit = {
+    val spark = corpusWithCells.sparkSession
+    import spark.implicits._
+    corpusWithCells.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/corpus")
+    centroids.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted IVF index: (cell-partitioned corpus, centroids). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): (DataFrame, Array[(Int, Array[Double])]) = {
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    (corpus, cents)
+  }
+
   /** Pairwise label-centroid cosine similarity matrix (embeddings quality
     * diagnostic). Centroids average per (label, dimension) via posexplode —
     * scalar partial aggregation, so a hot label never materializes all its

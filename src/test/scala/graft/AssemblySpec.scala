@@ -150,6 +150,24 @@ class AssemblySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("degenerate corpora: empty and single-doc inputs don't break any operator") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "lang", "source", "text")
+    assert(Assembly.packPlan(empty.select("doc_id", "text")).count() == 0)
+    assert(Assembly.chunkPlan(empty.select("doc_id", "text")).count() == 0)
+    assert(Assembly.sampleStratified(empty, Map("en" -> 0.5)).count() == 0)
+    assert(Assembly.mixWeights(empty).count() == 0)
+    assert(Assembly.unigramLmScore(empty).count() == 0)
+    val one = Seq((7L, "en", "src0", "just one tiny document here"))
+      .toDF("doc_id", "lang", "source", "text")
+    val p = Assembly.packPlan(one.select("doc_id", "text")).collect()
+    assert(p.length == 1 && p.head.getAs[Long]("tok_start") == 0L)
+    val m = Assembly.mixWeights(one).collect()
+    assert(m.length == 1 && math.abs(m.head.getAs[Double]("weight") - 1.0) < 1e-12)
+  }
+
   test("unigramLmScore: common-word text outscores rare-token soup; scores are negative") {
     val s = spark
     import s.implicits._

@@ -254,4 +254,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall $recall below 0.5 — probe path broken")
   }
+
+  test("IVF index round-trips through cell-partitioned parquet; probe prunes partitions") {
+    val emb = embeddings
+    val queries = emb.where(col("vec_id") < 5)
+    val cents = Similarity.trainCentroids(emb, nlist = 8, iters = 3, sampleN = 2000)
+    val live = Similarity.assignCells(emb, cents)
+    val inMem = Similarity.ivfTopK(live, queries, cents, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    Similarity.writeIndex(live, cents, dir)
+    val (loaded, loadedCents) = Similarity.readIndex(spark, dir)
+    assert(loadedCents.map(_._1).toSeq == cents.map(_._1).toSeq)
+    loadedCents.zip(cents).foreach { case ((_, a), (_, b)) => assert(a.sameElements(b)) }
+    val fromDisk = Similarity.ivfTopK(loaded, queries, cents, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromDisk == inMem, "persisted index must answer identically")
+
+    // the scale point of partitionBy(cell): a cell-equality filter reaches
+    // the scan as a PartitionFilter (probe reads nprobe dirs, not the corpus)
+    val plan = loaded.where(col("cell") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      "cell filter must prune partitions:\n" + plan.take(2000))
+  }
 }
