@@ -77,6 +77,23 @@ object DocPipeline {
         dedupGroup(horizon))
   }
 
+  /**
+   * Corpus-monitoring rollup: per event-time window and predicted language,
+   * document and token counts — the live dashboard over an ingest stream
+   * (language mix drift, volume drops). Language ID and token counting are
+   * the batch expressions unchanged (stateless); the only state is the
+   * watermarked window aggregation, emitted once final (append mode).
+   */
+  def corpusStats(docs: DataFrame, windowLen: String = "1 hour",
+                  watermark: String = "1 hour"): DataFrame =
+    graft.pipeline.TextStats.languageId(docs.withWatermark("ts", watermark))
+      .withColumn("n_tokens",
+        graft.pipeline.TextStats.tokenCount(col("text")).cast("long"))
+      .groupBy(window(col("ts"), windowLen), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .select(col("window.start").as("window_start"), col("lang_pred"),
+        col("n_docs"), col("n_tokens"))
+
   private def dedupGroup(horizon: String)(
       key: String, rows: Iterator[DocEvent],
       state: GroupState[Long]): Iterator[DocEvent] = {

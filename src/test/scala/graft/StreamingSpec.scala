@@ -95,6 +95,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq(1L, 4L), s"got $out")
   }
 
+  test("streaming corpus stats match the batch rollup for finalized windows") {
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("graft-corpusstats").toString
+    val srcDir = s"$tmp/docs"
+    val ckDir = s"$tmp/ck"
+    val sp = spark
+    import sp.implicits._
+
+    val en = "the cat and the dog sat with that for the evening"
+    val de = "der hund und die katze sind mit der nacht nicht fertig"
+    def ts(h: Int, m: Int) = new Timestamp(1700000000000L + (h * 60L + m) * 60000L)
+    // two docs per language in hour 0, one in hour 1, then a late hour-3
+    // doc whose arrival finalizes everything before it
+    Seq((1L, ts(0, 5), en), (2L, ts(0, 25), en), (3L, ts(0, 30), de))
+      .toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$srcDir/f1")
+    Seq((4L, ts(1, 10), de), (5L, ts(3, 30), en))
+      .toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$srcDir/f2")
+
+    val src = sp.readStream.schema(graft.streaming.DocPipeline.docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+    val q = graft.streaming.DocPipeline.corpusStats(src)
+      .writeStream.format("memory").queryName("corpus_stats")
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = sp.table("corpus_stats")
+      .select(unix_timestamp(col("window_start")).as("w"), col("lang_pred"),
+        col("n_docs"), col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin on the union, finalized windows only (hour-3 doc is held
+    // back by the 1h watermark at end of stream)
+    val union = Seq((1L, ts(0, 5), en), (2L, ts(0, 25), en), (3L, ts(0, 30), de),
+      (4L, ts(1, 10), de)).toDF("doc_id", "ts", "text")
+    val batch = graft.pipeline.TextStats.languageId(union)
+      .withColumn("n_tokens", graft.pipeline.TextStats.tokenCount(col("text")).cast("long"))
+      .groupBy(window(col("ts"), "1 hour"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .select(unix_timestamp(col("window.start")).as("w"), col("lang_pred"),
+        col("n_docs"), col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
   test("streaming near-dup pairs match the batch OPH operator; each pair emitted once") {
     import java.sql.Timestamp
     val tmp = Files.createTempDirectory("graft-neardup").toString
