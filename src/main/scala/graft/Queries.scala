@@ -165,6 +165,9 @@ object Queries {
     "g92_pearson_window" -> g("pearson(events.click,events.view,24)"),
     "g93_removeabovepct" -> g("removeAbovePercentile(events.*,95)"),
     "g94_removebelowpct" -> g("removeBelowPercentile(events.*,25)"),
+    "g134_removeabovevalue" -> g("removeAboveValue(events.*,200)"),
+    "g135_removebelowvalue" -> g("removeBelowValue(events.*,50)"),
+    "g136_offset" -> g("offset(events.*,100)"),
     "g95_avgoutsidepct" -> g("averageOutsidePercentile(events.*,95)"),
     "g96_removebetweenpct" -> g("removeBetweenPercentile(events.*,30)"),
     "g97_mostdeviant" -> g("mostDeviant(events.*,2)"),
@@ -985,6 +988,12 @@ object Queries {
         |       FROM (SELECT name, list_sort(list(v) FILTER (WHERE v IS NOT NULL)) AS lst FROM s GROUP BY name))
         |SELECT 'removeAbovePercentile(' || s.name || ', 95)' AS name, s.ts, round(s.v, 4) AS value
         |FROM s JOIN pc ON s.name = pc.name WHERE s.v IS NOT NULL AND s.v <= pc.pv ORDER BY 1, 2""".stripMargin),
+    "g134_removeabovevalue" ->
+      (S + "SELECT 'removeAboveValue(' || name || ', 200)' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL AND v <= 200 ORDER BY name, ts"),
+    "g135_removebelowvalue" ->
+      (S + "SELECT 'removeBelowValue(' || name || ', 50)' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL AND v >= 50 ORDER BY name, ts"),
+    "g136_offset" ->
+      (S + "SELECT 'offset(' || name || ',100)' AS name, ts, round(v + 100, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g94_removebelowpct" ->
       (S + """, pc AS (SELECT name, lst[CAST(ceil((len(lst) - 1) * 25 / 100.0) AS INT) + 1] AS pv
         |       FROM (SELECT name, list_sort(list(v) FILTER (WHERE v IS NOT NULL)) AS lst FROM s GROUP BY name))
