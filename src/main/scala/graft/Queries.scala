@@ -168,6 +168,8 @@ object Queries {
     "g134_removeabovevalue" -> g("removeAboveValue(events.*,200)"),
     "g135_removebelowvalue" -> g("removeBelowValue(events.*,50)"),
     "g136_offset" -> g("offset(events.*,100)"),
+    // zeros count as missing: series that flatten to all-zeros are dropped
+    "g137_removezeroseries" -> g("removeZeroSeries(transformNull(removeBelowValue(events.*,500),0))"),
     "g95_avgoutsidepct" -> g("averageOutsidePercentile(events.*,95)"),
     "g96_removebetweenpct" -> g("removeBetweenPercentile(events.*,30)"),
     "g97_mostdeviant" -> g("mostDeviant(events.*,2)"),
@@ -994,6 +996,11 @@ object Queries {
       (S + "SELECT 'removeBelowValue(' || name || ', 50)' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL AND v >= 50 ORDER BY name, ts"),
     "g136_offset" ->
       (S + "SELECT 'offset(' || name || ',100)' AS name, ts, round(v + 100, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    "g137_removezeroseries" ->
+      (S + """, keep AS (SELECT name FROM s GROUP BY name HAVING max(v) >= 500)
+        |SELECT 'transformNull(removeBelowValue(' || s.name || ', 500),0)' AS name, ts,
+        |  round(CASE WHEN v IS NOT NULL AND v >= 500 THEN v ELSE 0 END, 4) AS value
+        |FROM s JOIN keep USING (name) ORDER BY 1, 2""".stripMargin),
     "g94_removebelowpct" ->
       (S + """, pc AS (SELECT name, lst[CAST(ceil((len(lst) - 1) * 25 / 100.0) AS INT) + 1] AS pv
         |       FROM (SELECT name, list_sort(list(v) FILTER (WHERE v IS NOT NULL)) AS lst FROM s GROUP BY name))
