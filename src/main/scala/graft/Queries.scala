@@ -447,6 +447,17 @@ object Queries {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           dround(col("share"), 4).as("share"), dround(col("weight"), 4).as("weight"))
         .orderBy("source")),
+    // deterministic hash-based train/val/test assignment (stable under
+    // corpus growth — a doc's split never changes as new docs arrive)
+    "p32_train_val_test" -> ((s, dir) =>
+      Assembly.trainValTestSplit(docs(s, dir), trainFrac = 0.9, valFrac = 0.05)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+    // length-bucketed batching plan (log2 buckets bound padding waste at 2x)
+    "p33_length_buckets" -> ((s, dir) =>
+      Assembly.lengthBuckets(docs(s, dir), batchDocs = 32)
+        .select(col("bucket"), col("n_docs"), col("n_tokens"), col("n_batches"))
+        .orderBy("bucket")),
     // add-one-smoothed unigram log-prob quality score from corpus statistics
     "p27_unigram_lm" -> ((s, dir) =>
       Assembly.unigramLmScore(docs(s, dir))
@@ -1500,6 +1511,18 @@ object Queries {
         |  round(n_tokens * 1.0 / total, 4) AS share,
         |  round((1.0 / ns) / (n_tokens * 1.0 / total), 4) AS weight
         |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
+    "p32_train_val_test" ->
+      """SELECT doc_id, CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, ((doc_id % 1000003) * 2654435761) % 1000000007 % 10000 / 10000.0 AS u FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "p33_length_buckets" ->
+      """WITH n AS (SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens <= 0 THEN -1 ELSE length(bin(n_tokens)) - 1 END AS bucket FROM n)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(ceil(count(*) * 1.0 / 32) AS BIGINT) AS n_batches
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "p27_unigram_lm" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w

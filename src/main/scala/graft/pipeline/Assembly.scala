@@ -118,6 +118,45 @@ object Assembly {
           (col("n_tokens") / col("total_tokens"))).as("weight"))
   }
 
+  // ------------------------------------------------------------- splitting
+
+  /**
+   * Deterministic train/validation/test split: the same multiplicative
+   * hash as [[sampleStratified]] maps each doc to [0,1); cut points at
+   * trainFrac and trainFrac+valFrac. Restartable, engine-replayable, and
+   * stable under corpus growth (a doc's split never changes when new docs
+   * arrive — the property random shuffles lack).
+   */
+  def trainValTestSplit(docs: DataFrame, trainFrac: Double = 0.9,
+                        valFrac: Double = 0.05): DataFrame = {
+    require(trainFrac + valFrac <= 1.0, "fractions exceed 1")
+    val u = (((col("doc_id") % 1000003L) * 2654435761L) % 1000000007L % 10000L)
+      .cast("double") / 10000.0
+    docs.withColumn("split",
+      when(u < trainFrac, lit("train"))
+        .when(u < trainFrac + valFrac, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /**
+   * Length-bucketed batching plan: docs grouped by floor(log2(n_tokens))
+   * so batches hold similar-length documents (padding waste bounded by 2×).
+   * Emits per-bucket doc counts, token totals, and the batch count at a
+   * given per-batch doc budget. Pure map-side bucket assignment + one agg.
+   */
+  def lengthBuckets(docs: DataFrame, batchDocs: Int = 32): DataFrame = {
+    val n = nTokens(col("text"))
+    docs.select(col("doc_id"), n.as("n_tokens"))
+      // floor(log2(n)) via binary-string length — exact integer math (a
+      // float log2 rounds 2^k down on one engine and not the other)
+      .withColumn("bucket",
+        when(col("n_tokens") <= 0, lit(-1L))
+          .otherwise((length(bin(col("n_tokens"))) - 1).cast("long")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        ceil(count(lit(1)).cast("double") / batchDocs).cast("long").as("n_batches"))
+  }
+
   // ------------------------------------------------------ unigram LM score
 
   /**

@@ -150,6 +150,37 @@ class AssemblySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("trainValTestSplit: fractions roughly honored; assignments stable under corpus growth") {
+    val d = docs
+    val full = Assembly.trainValTestSplit(d, 0.8, 0.1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val counts = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    val n = full.size
+    assert(math.abs(counts("train").toDouble / n - 0.8) < 0.1, counts.toString)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // the half-corpus assigns identically — growth never reshuffles splits
+    val half = Assembly.trainValTestSplit(d.where(col("doc_id") < 250), 0.8, 0.1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    half.foreach { case (id, s) => assert(full(id) == s, s"doc $id reshuffled") }
+  }
+
+  test("lengthBuckets: bucket is exactly floor(log2(tokens)); counts cover the corpus") {
+    val b = Assembly.lengthBuckets(docs, batchDocs = 32).collect()
+    val totalDocs = b.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs == docs.count())
+    b.foreach { r =>
+      val bucket = r.getAs[Long]("bucket")
+      val nd = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_batches") == math.ceil(nd.toDouble / 32).toLong)
+      if (bucket >= 0) {
+        // every doc in the bucket has tokens in [2^bucket, 2^(bucket+1))
+        val lo = 1L << bucket
+        val avg = r.getAs[Long]("n_tokens").toDouble / nd
+        assert(avg >= lo && avg < 2L * lo, s"bucket $bucket avg $avg out of [$lo, ${2 * lo})")
+      }
+    }
+  }
+
   test("degenerate corpora: empty and single-doc inputs don't break any operator") {
     val s = spark
     import s.implicits._
