@@ -425,9 +425,11 @@ object Queries {
 
     // ---- corpus assembly: packing, chunking, sampling, mixing, LM scoring
     // GPT-style concat-then-chunk packing via a two-phase distributed
-    // prefix sum (per-bucket sums + broadcast bases — no global window)
+    // prefix sum (per-bucket sums + broadcast bases — no global window);
+    // bucketWidth left at the adaptive default to exercise the bounded
+    // driver-fold path the 100 TB deployment runs
     "p23_pack_plan" -> ((s, dir) =>
-      Assembly.packPlan(docs(s, dir), blockTokens = 256, bucketWidth = 64L)
+      Assembly.packPlan(docs(s, dir), blockTokens = 256)
         .select(col("doc_id"), col("n_tokens"), col("tok_start"),
           col("block_first"), col("block_last"))
         .orderBy("doc_id")),
@@ -1513,7 +1515,7 @@ object Queries {
         |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
     "p32_train_val_test" ->
       """SELECT doc_id, CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
-        |FROM (SELECT doc_id, ((doc_id % 1000003) * 2654435761) % 1000000007 % 10000 / 10000.0 AS u FROM documents)
+        |FROM (SELECT doc_id, ((doc_id % 1000003 + 9377) * 22695477) % 1000000007 % 1000000 / 1000000.0 AS u FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "p33_length_buckets" ->
       """WITH n AS (SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens FROM documents),

@@ -405,10 +405,14 @@ object AnalyticsOps {
     * expression there, re-running the whole DFT per ELEMENT (g118 measured
     * 35 s vs 0.7 s for the bare fft at sf0.1). */
   def lowPass(df: DataFrame, cutPercent: Double): DataFrame = {
+    // null-safe: the old HOF propagated a NULL values array; the UDF must too
     val u = udf((v: Seq[Double]) => {
-      val n = v.length
-      val lowCut = math.floor(cutPercent / 200.0 * n).toInt
-      Array.tabulate(n)(i => if (i < lowCut || i >= n - lowCut) v(i) else Double.NaN)
+      if (v == null) null
+      else {
+        val n = v.length
+        val lowCut = math.floor(cutPercent / 200.0 * n).toInt
+        Array.tabulate(n)(i => if (i < lowCut || i >= n - lowCut) v(i) else Double.NaN)
+      }
     })
     df.withColumn("values", u(col("values")))
       .withColumn("name",

@@ -19,6 +19,19 @@ object Assembly {
   private def nTokens(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0)).cast("long")
 
+  /** Hard bound on the (bucket, sum) rows [[packPlan]]'s driver fold may
+    * collect when sizing buckets adaptively. */
+  val MaxPackBuckets: Long = 4096L
+
+  /** Bucket width that caps bucket COUNT at [[MaxPackBuckets]] for ids in
+    * [0, maxDocId]: distinct floor(id/width) values <= maxId/width + 1. */
+  private[pipeline] def adaptiveBucketWidth(maxDocId: Long): Long =
+    math.max(128L, maxDocId / MaxPackBuckets + 1L)
+
+  /** Test hook for the bucket-count bound (the spec lives outside the
+    * pipeline package). */
+  def adaptiveBucketWidthForTest(maxDocId: Long): Long = adaptiveBucketWidth(maxDocId)
+
   // --------------------------------------------------------------- packing
 
   /**
@@ -30,15 +43,26 @@ object Assembly {
    * window (a window without partitionBy collapses to one partition — a
    * non-starter at 1e9 docs): stage 1 aggregates per-bucket token sums
    * (buckets = contiguous doc_id ranges), the driver folds those into
-   * per-bucket base offsets (#buckets rows, bucketWidth sized so this stays
-   * thousands), stage 2 is a per-bucket window cumsum plus the broadcast
-   * base. Identical output to the naive global window.
+   * per-bucket base offsets, stage 2 is a per-bucket window cumsum plus the
+   * broadcast base. Identical output to the naive global window — the result
+   * is bucketWidth-invariant.
+   *
+   * `bucketWidth <= 0` (the default) sizes buckets ADAPTIVELY from one
+   * metadata-scale max(doc_id) aggregate so the driver fold is bounded at
+   * ~[[MaxPackBuckets]] rows no matter the corpus size — a fixed width would
+   * collect ~nDocs/width rows, which melts the driver at 1e9 docs.
    */
-  def packPlan(docs: DataFrame, blockTokens: Int = 256, bucketWidth: Long = 128L): DataFrame = {
+  def packPlan(docs: DataFrame, blockTokens: Int = 256, bucketWidth: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val bw =
+      if (bucketWidth > 0) bucketWidth
+      else {
+        val r = docs.agg(max(col("doc_id"))).head()
+        adaptiveBucketWidth(if (r.isNullAt(0)) 0L else r.getLong(0))
+      }
     val withN = docs.select(col("doc_id"), nTokens(col("text")).as("n_tokens"))
-      .withColumn("bucket", floor(col("doc_id") / bucketWidth))
+      .withColumn("bucket", floor(col("doc_id") / bw))
     val bucketSums = withN.groupBy("bucket").agg(sum("n_tokens").as("bsum"))
       .orderBy("bucket").as[(Long, Long)].collect()
     val bases = bucketSums.scanLeft((Long.MinValue, 0L)) {
@@ -86,11 +110,11 @@ object Assembly {
    * Survivors carry weight = 1/rate for unbiased downstream statistics.
    */
   def sampleStratified(docs: DataFrame, rates: Map[String, Double],
-                       defaultRate: Double = 0.0): DataFrame = {
+                       defaultRate: Double = 0.0, seed: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rateDf = broadcast(rates.toSeq.toDF("lang", "rate"))
-    val u = (((col("doc_id") % 1000003L) * 2654435761L) % 1000000007L % 10000L)
+    val u = (((col("doc_id") % 1000003L + seed) * 2654435761L) % 1000000007L % 10000L)
       .cast("double") / 10000.0
     docs.join(rateDf, Seq("lang"), "left")
       .withColumn("rate", coalesce(col("rate"), lit(defaultRate)))
@@ -121,17 +145,23 @@ object Assembly {
   // ------------------------------------------------------------- splitting
 
   /**
-   * Deterministic train/validation/test split: the same multiplicative
-   * hash as [[sampleStratified]] maps each doc to [0,1); cut points at
-   * trainFrac and trainFrac+valFrac. Restartable, engine-replayable, and
-   * stable under corpus growth (a doc's split never changes when new docs
-   * arrive — the property random shuffles lack).
+   * Deterministic train/validation/test split: a multiplicative hash maps
+   * each doc to [0,1); cut points at trainFrac and trainFrac+valFrac.
+   * Restartable, engine-replayable, and stable under corpus growth (a doc's
+   * split never changes when new docs arrive — the property random shuffles
+   * lack).
+   *
+   * The hash is DELIBERATELY decorrelated from [[sampleStratified]]'s
+   * (different multiplier + per-operator seed, 1e6-value resolution): with
+   * the identical hash, sampling at rate r <= trainFrac followed by this
+   * split put 100% of survivors in 'train' (every sampled doc had u < r)
+   * — the composition a real pipeline runs constantly.
    */
   def trainValTestSplit(docs: DataFrame, trainFrac: Double = 0.9,
-                        valFrac: Double = 0.05): DataFrame = {
+                        valFrac: Double = 0.05, seed: Long = 9377L): DataFrame = {
     require(trainFrac + valFrac <= 1.0, "fractions exceed 1")
-    val u = (((col("doc_id") % 1000003L) * 2654435761L) % 1000000007L % 10000L)
-      .cast("double") / 10000.0
+    val u = (((col("doc_id") % 1000003L + seed) * 22695477L) % 1000000007L % 1000000L)
+      .cast("double") / 1000000.0
     docs.withColumn("split",
       when(u < trainFrac, lit("train"))
         .when(u < trainFrac + valFrac, lit("val"))

@@ -174,7 +174,10 @@ object Curation {
    */
   def piiSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    def cnt(re: String) = size(regexp_extract_all(t, lit(re), lit(0)))
+    // NULL text: regexp_extract_all yields NULL and size(NULL) is -1/NULL —
+    // clamp to 0 so counts stay non-negative and has_pii stays false instead
+    // of poisoning downstream gates with negative sums
+    def cnt(re: String) = greatest(coalesce(size(regexp_extract_all(t, lit(re), lit(0))), lit(0)), lit(0))
     docs
       .withColumn("n_emails", cnt(emailRe))
       .withColumn("n_urls", cnt(urlRe))

@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
  * bounded; skewed buckets (boilerplate text) are handled by AQE skew-join.
  *
  * Lifecycle note: the LSH methods `persist()` their signature table (it
- * feeds both sides of the band self-join). The returned plan references the
- * cache, so eviction is the CALLER's job — in a long-lived server, call
- * `spark.catalog.clearCache()` (or unpersist via the storage API) after
- * consuming the result, or the cached signatures accumulate.
+ * feeds both sides of the band self-join), [[sharedSpanPairs]] its positional
+ * gram table, and [[dedupClusters]] its final label table. Each returned plan
+ * references its cache, so eviction is the CALLER's job — in a long-lived
+ * server, call `spark.catalog.clearCache()` (or unpersist via the storage
+ * API) after consuming the result, or the cached tables accumulate (Bench
+ * sweeps new persists after each query for exactly this reason).
  */
 object Dedup {
 
@@ -298,8 +300,16 @@ object Dedup {
    * constant factors; each round is one shuffle keyed by node id, state is
    * one (id, label) row per node. `docs` supplies ids so singletons label
    * themselves.
+   *
+   * Throws if the propagation has not converged after `maxIters` rounds
+   * (a path-shaped component of diameter > maxIters) — non-converged labels
+   * are silently WRONG, so failing loudly is the only safe exit; raise
+   * `maxIters` for pathological chain-shaped graphs. Caching contract: the
+   * returned plan references the final persisted (id, label) table (one row
+   * per paired doc) — see the object-level lifecycle note; callers done with
+   * the result should evict it.
    */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
@@ -320,6 +330,10 @@ object Dedup {
       it += 1
     }
     und.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters: not converged after $maxIters rounds ($changed labels " +
+          "still moving) — component diameter exceeds maxIters; raise it")
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))

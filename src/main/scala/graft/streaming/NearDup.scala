@@ -23,10 +23,14 @@ case class StreamDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double,
  * Scale design: state lives per (band, bandHash) bucket — the same sharding
  * as the batch band join — holding at most `maxOccupancy` signatures, and is
  * evicted `horizon` past the newest member's event time. A pair colliding in
- * several bands is emitted ONCE: only the lowest-indexed band whose raw
- * signature slices are equal emits, a decision each bucket makes locally
- * from the two full signatures (no cross-bucket coordination, no downstream
- * dedup state).
+ * several bands emits from EVERY colliding bucket and is deduplicated
+ * downstream by `dropDuplicatesWithinWatermark(doc_a, doc_b)`: the earlier
+ * lowest-band-emits rule needed no dedup state, but its cross-bucket
+ * invariant ("the lowest colliding band still holds both docs") breaks
+ * under occupancy/horizon eviction — a higher band would then defer to a
+ * bucket that can no longer emit and the pair was silently lost. Dedup
+ * state is one row per distinct pair within the watermark delay — bounded,
+ * and the misses are gone.
  */
 object NearDup {
 
@@ -37,6 +41,14 @@ object NearDup {
     require(numBins % bands == 0, s"bands $bands must divide numBins $numBins")
     val spark = docs.sparkSession
     import spark.implicits._
+    // Spark's static checker rejects ANY stateful op downstream of
+    // flatMapGroupsWithState ("may emit rows older than the watermark").
+    // Here the emitted pair ts is the just-arrived doc's event time, so a
+    // pair can only be late for the dedup if the DOC already violated the
+    // ingest watermark contract — the case event-time semantics declare
+    // droppable anyway. The flag is Spark's sanctioned opt-in for exactly
+    // this reviewed pattern.
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val rowsPerBand = numBins / bands
     val sigs = docs
       .withWatermark("ts", watermark)
@@ -55,23 +67,12 @@ object NearDup {
       .as[BandedSig]
       .groupByKey(r => (r.band, r.bandHash))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        bucketGroup(rowsPerBand, threshold, horizon, maxOccupancy))
-  }
-
-  /** True iff `band` is the lowest-indexed band where the two signatures'
-    * raw slices are equal — the one bucket allowed to emit this pair. */
-  private def firstCollidingBand(a: Seq[Long], b: Seq[Long], rowsPerBand: Int,
-                                 band: Int): Boolean = {
-    var bb = 0
-    while (bb <= band) {
-      var i = bb * rowsPerBand
-      val end = i + rowsPerBand
-      var eq = true
-      while (i < end && eq) { eq = a(i) == b(i); i += 1 }
-      if (eq) return bb == band
-      bb += 1
-    }
-    false
+        bucketGroup(threshold, horizon, maxOccupancy))
+      // the stateful op's output has no event-time column registered —
+      // re-watermark the pair ts so the dedup state is itself bounded
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+      .as[StreamDupPair]
   }
 
   private def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
@@ -80,7 +81,7 @@ object NearDup {
     m.toDouble / a.length
   }
 
-  private def bucketGroup(rowsPerBand: Int, threshold: Double, horizon: String,
+  private def bucketGroup(threshold: Double, horizon: String,
                           maxOccupancy: Int)(
       key: (Int, Long), rows: Iterator[BandedSig],
       state: GroupState[List[BandedSig]]): Iterator[StreamDupPair] = {
@@ -92,8 +93,7 @@ object NearDup {
     val out = List.newBuilder[StreamDupPair]
     incoming.foreach { r =>
       seen.foreach { e =>
-        if (e.doc_id != r.doc_id &&
-            firstCollidingBand(e.sig, r.sig, rowsPerBand, key._1)) {
+        if (e.doc_id != r.doc_id) {
           val est = estJaccard(e.sig, r.sig)
           if (est >= threshold)
             out += StreamDupPair(math.min(e.doc_id, r.doc_id),

@@ -150,6 +150,36 @@ class AssemblySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("packPlan adaptive bucketWidth: driver fold bounded at MaxPackBuckets for any corpus size") {
+    // the bucket count the driver collects is <= maxId/width + 1
+    Seq(0L, 100L, 1000000L, 1000000000L, Long.MaxValue / 2).foreach { maxId =>
+      val w = Assembly.adaptiveBucketWidthForTest(maxId)
+      assert(w >= 128L)
+      assert(maxId / w + 1 <= Assembly.MaxPackBuckets, s"maxId $maxId width $w")
+    }
+    // the adaptive default produces the identical plan (bucketWidth-invariant)
+    val adaptive = Assembly.packPlan(docs, blockTokens = 128).orderBy("doc_id").collect()
+    val explicit = Assembly.packPlan(docs, blockTokens = 128, bucketWidth = 32L)
+      .orderBy("doc_id").collect()
+    assert(adaptive.map(_.toSeq.toList).toList == explicit.map(_.toSeq.toList).toList)
+  }
+
+  test("sampleStratified then trainValTestSplit: split hash is decorrelated from the sample hash") {
+    // r4 advice: with the identical hash, every sampled doc (u < rate <=
+    // trainFrac) landed in 'train' and val/test were empty
+    val rates = Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.5)
+    val split = Assembly.trainValTestSplit(
+        docs.join(Assembly.sampleStratified(docs, rates).select("doc_id"), "doc_id", "left_semi"),
+        0.8, 0.1)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = split.values.sum
+    assert(n > 100, s"fixture too small: $n")
+    assert(split.keySet == Set("train", "val", "test"),
+      s"sampled corpus must hit all three splits, got $split")
+    assert(math.abs(split("train").toDouble / n - 0.8) < 0.1, split.toString)
+  }
+
   test("trainValTestSplit: fractions roughly honored; assignments stable under corpus growth") {
     val d = docs
     val full = Assembly.trainValTestSplit(d, 0.8, 0.1).collect()
