@@ -42,6 +42,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"oph_sig(array<bigint>, <int literal>), got $other")
       }))
+    ext.injectFunction((FunctionIdentifier("srp_band_keys"),
+      new ExpressionInfo(classOf[SrpBandKeys].getName, "srp_band_keys"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, Literal(bits: Int, IntegerType), Literal(bands: Int, IntegerType),
+                 Literal(dim: Int, IntegerType), Literal(seed: Int, IntegerType)) =>
+          SrpBandKeys(v, bits, bands, dim, seed)
+        case other => throw new IllegalArgumentException(
+          s"srp_band_keys(array<float>, <4 int literals>), got $other")
+      }))
+    ext.injectFunction((FunctionIdentifier("bloom_might_contain_long"),
+      new ExpressionInfo(classOf[BloomMightContainLong].getName, "bloom_might_contain_long"),
+      (args: Seq[Expression]) => args match {
+        case Seq(h, Literal(bytes: Array[Byte], org.apache.spark.sql.types.BinaryType)) =>
+          BloomMightContainLong(h, bytes)
+        case other => throw new IllegalArgumentException(
+          s"bloom_might_contain_long(bigint, <binary literal>), got $other")
+      }))
   }
 }
 
@@ -64,6 +81,14 @@ object SketchExpressions {
 
   def simhashFp(tokenHashes: Column): Column =
     call_function("simhash_fp", tokenHashes)
+
+  def srpBandKeys(embedding: Column, bitsPerBand: Int, nBands: Int,
+                  dim: Int, seed: Int): Column =
+    call_function("srp_band_keys", embedding, lit(bitsPerBand), lit(nBands),
+      lit(dim), lit(seed))
+
+  def bloomMightContainLong(hash64: Column, bloomBytes: Array[Byte]): Column =
+    call_function("bloom_might_contain_long", hash64, lit(bloomBytes))
 
   private[functions] def requireLongArray(e: Expression, fn: String): TypeCheckResult =
     e.dataType match {
@@ -214,6 +239,125 @@ case class OphSig(child: Expression, numBins: Int) extends UnaryExpression {
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Signed-random-projection band keys over a float-embedding column:
+ * key(b) = the `bitsPerBand` sign bits of <v, plane_p> for the band's
+ * planes, the LSH bucketing [[graft.pipeline.Similarity.srpNearDupPairs]]
+ * joins on. Hyperplanes are generated ON EACH EXECUTOR from the (seed, dim)
+ * parameters — a deterministic Gaussian fill identical to the former driver
+ * UDF's — so only four ints travel with the plan, not nPlanes×dim doubles.
+ *
+ * Replaces a Scala UDF whose per-row boxed Seq[Float] sat outside
+ * whole-stage codegen on the corpus-wide signature scan (the same shape the
+ * r3 OPH work eliminated for minhash): this codegen loop reads
+ * ArrayData.getFloat directly — zero boxing, one long[] per row.
+ */
+case class SrpBandKeys(child: Expression, bitsPerBand: Int, nBands: Int,
+                       dim: Int, seed: Int) extends UnaryExpression {
+  private val nPlanes = bitsPerBand * nBands
+
+  @transient private lazy val planes: Array[Array[Double]] = SrpBandKeys.planesFor(nPlanes, dim, seed)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_band_keys"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val keys = new Array[Long](nBands)
+    val lim = math.min(v.numElements(), dim)
+    var p = 0
+    while (p < nPlanes) {
+      val pl = planes(p)
+      var d = 0.0
+      var i = 0
+      while (i < lim) { d += v.getFloat(i) * pl(i); i += 1 }
+      if (d >= 0) keys(p / bitsPerBand) |= (1L << (p % bitsPerBand))
+      p += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // planes regenerate from the seed once per generated-class instance
+      // (init, not per row) — the plan ships four ints, not nPlanes×dim
+      // doubles
+      val pl = ctx.addMutableState("double[][]", "srpPlanes",
+        v => s"$v = graft.functions.SrpBandKeys.planesFor($nPlanes, $dim, $seed);")
+      val keys = ctx.freshName("keys")
+      val lim = ctx.freshName("lim")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val row = ctx.freshName("row")
+      s"""
+         |long[] $keys = new long[$nBands];
+         |int $lim = Math.min($c.numElements(), $dim);
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  double[] $row = $pl[$p];
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $lim; $i++) $d += $c.getFloat($i) * $row[$i];
+         |  if ($d >= 0) $keys[$p / $bitsPerBand] |= (1L << ($p % $bitsPerBand));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SrpBandKeys {
+  /** Deterministic Gaussian hyperplanes — the exact fill order of the former
+    * driver-side generation, so results are bit-stable across releases. */
+  def planesFor(nPlanes: Int, dim: Int, seed: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+}
+
+/**
+ * Bloom-filter membership over a 64-bit hash column against a serialized
+ * `org.apache.spark.util.sketch.BloomFilter` carried as a plan literal (the
+ * same ship-with-the-plan shape as Spark's own runtime-filter
+ * BloomFilterMightContain). The filter deserializes once per executor via
+ * the codegen reference; the per-row check is one virtual call on a
+ * primitive long — no UDF boundary, no boxing, no per-row allocation.
+ */
+case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects bigint, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain_long"
+
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val f = ctx.addReferenceObj("bloomFilter", filter,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      s"${ev.value} = $f.mightContainLong($c);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -57,14 +57,17 @@ object Curation {
   /**
    * Bloom-filter decontamination — the scale path for [[contamination]] when
    * the benchmark n-gram set outgrows a broadcastable join side: a Bloom
-   * filter over the bench n-grams (built with Spark's sketch support, ~10
-   * bits/element at 1% fpp — 1e8 bench grams fit in ~120 MB where the exact
-   * set would be tens of GB) is broadcast inside a membership expression and
-   * the corpus is scanned MAP-SIDE, counting probable bench-gram hits per
-   * doc. No join at all; false positives only inflate the hit count, so a
-   * doc flagged by the exact operator is always flagged here (recall 1 by
-   * construction) — use this as the cheap first pass, then [[contamination]]
-   * on the flagged slice for exact pair attribution.
+   * filter over the xxhash64 of the bench n-grams (built with Spark's sketch
+   * support, ~10 bits/element at 1% fpp — 1e8 bench grams fit in ~120 MB
+   * where the exact set would be tens of GB) ships with the plan inside a
+   * codegen'd membership expression ([[graft.functions.BloomMightContainLong]])
+   * and the corpus is scanned MAP-SIDE, counting probable bench-gram hits
+   * per doc. No join, no UDF boundary: gram → xxhash64 (codegen built-in) →
+   * one primitive-long probe per row. False positives (bloom or hash
+   * collisions) only inflate the hit count, so a doc flagged by the exact
+   * operator is always flagged here (recall 1 by construction) — use this as
+   * the cheap first pass, then [[contamination]] on the flagged slice for
+   * exact pair attribution.
    */
   def contaminationBloom(corpus: DataFrame, bench: DataFrame, n: Int = 3,
                          minHits: Long = 2L, fpp: Double = 0.01,
@@ -74,14 +77,18 @@ object Curation {
       .select(explode(Dedup.shinglesOf(col("w"), n)).as("gram"))
     val expected = if (expectedGrams > 0) expectedGrams
       else math.max(bgrams.count(), 1L)
-    val bloom = bgrams.stat.bloomFilter("gram", expected, fpp)
-    val spark = corpus.sparkSession
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val hit = udf((g: String) => bloomB.value.mightContainString(g))
+    val bloom = bgrams.select(xxhash64(col("gram")).as("g"))
+      .stat.bloomFilter("g", expected, fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
     corpus
       .select(col("doc_id"), Dedup.wordsOf(col("text")).as("w"))
       .select(col("doc_id"), explode(Dedup.shinglesOf(col("w"), n)).as("gram"))
-      .where(hit(col("gram")))
+      .where(graft.functions.SketchExpressions.bloomMightContainLong(
+        xxhash64(col("gram")), bloomBytes))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("bloom_hits"))
       .where(col("bloom_hits") >= minHits)

@@ -204,29 +204,18 @@ object Similarity {
       if (bandsOverride > 0) bandsOverride
       else math.min(64, math.max(1,
         math.ceil(math.log(1.0 - minRecall) / math.log(1.0 - pBand)).toInt))
-    val nPlanes = bitsPerBand * nBands
     val dim = if (dimOverride > 0) dimOverride
       else emb.select(size(col("embedding"))).head.getInt(0)
-    val rnd = new scala.util.Random(42)
-    val planes = Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    // one band key per bitsPerBand sign bits, emitted directly by the
-    // signature fold (sign of <v, plane_p>)
-    val bandUdf = udf((v: Seq[Float]) => {
-      val keys = new Array[Long](nBands)
-      var p = 0
-      while (p < nPlanes) {
-        var d = 0.0; var i = 0
-        val pl = planes(p)
-        val n = math.min(v.length, dim)
-        while (i < n) { d += v(i) * pl(i); i += 1 }
-        if (d >= 0) keys(p / bitsPerBand) |= (1L << (p % bitsPerBand))
-        p += 1
-      }
-      keys
-    })
+    // one band key per bitsPerBand sign bits (sign of <v, plane_p>), emitted
+    // by the native codegen fold [[graft.functions.SrpBandKeys]] — the
+    // former Scala UDF boxed every embedding into a Seq[Float] outside
+    // whole-stage codegen on the corpus-wide scan; hyperplanes regenerate
+    // deterministically from the seed on each executor
+    val bandKeys = graft.functions.SketchExpressions.srpBandKeys(
+      col("embedding"), bitsPerBand, nBands, dim, seed = 42)
     // signatures computed once, reused by both join sides
     val sigs = emb.select(col("vec_id"), col("label"), col("embedding"),
-        norm(col("embedding")).as("nrm"), bandUdf(col("embedding")).as("keys"))
+        norm(col("embedding")).as("nrm"), bandKeys.as("keys"))
       .persist()
     // band join on NARROW rows (ids + key only): a pair can collide in up to
     // nBands bands, so carrying the vectors here would shuffle each one

@@ -172,6 +172,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "span matching must stay an equality join:\n" + plan.take(3000))
   }
 
+  test("srp near-dup signature scan carries no Scala UDF (native band-key codegen)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(3)
+    val emb = Seq.tabulate(30)(i =>
+        (i.toLong, Seq.fill(8)(rnd.nextFloat() - 0.5f), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.pipeline.Similarity.srpNearDupPairs(emb, threshold = 0.9,
+      nOverride = 30L, dimOverride = 8)
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("UDF"), "band keys must be native codegen:\n" + physical.take(3000))
+    // the signature scan is persisted, so the expression lives in the cached
+    // plan — assert on the logical tree, where it is always visible
+    val analyzed = out.queryExecution.analyzed.toString
+    assert(analyzed.contains("srp_band_keys"), analyzed.take(3000))
+  }
+
+  test("bloom decontamination is a pure map-side scan (no join, no Scala UDF)") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq((1L, "a b c d e f"), (2L, "x y z w v u")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val out = graft.pipeline.Curation.contaminationBloom(corpus, bench, minHits = 1L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "bloom pass must not join:\n" + plan.take(3000))
+    assert(!plan.contains("UDF"), "membership must be native codegen:\n" + plan.take(3000))
+    assert(plan.contains("bloom_might_contain_long"), plan.take(3000))
+    // the contaminated doc is flagged, the clean one is not
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("pq encode is map-side against literal codebooks (no shuffle, no join)") {
     val sp = spark
     import sp.implicits._

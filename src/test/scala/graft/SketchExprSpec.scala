@@ -82,6 +82,52 @@ class SketchExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(99L).forall(_ == Long.MaxValue), "empty input must stay all-sentinel")
   }
 
+  private def refSrpKeys(v: Seq[Float], bits: Int, bands: Int, dim: Int, seed: Int): Seq[Long] = {
+    val planes = graft.functions.SrpBandKeys.planesFor(bits * bands, dim, seed)
+    val keys = Array.fill(bands)(0L)
+    for (p <- 0 until bits * bands) {
+      val d = (0 until math.min(v.length, dim)).foldLeft(0.0)((a, i) => a + v(i) * planes(p)(i))
+      if (d >= 0) keys(p / bits) |= (1L << (p % bits))
+    }
+    keys.toSeq
+  }
+
+  test("SrpBandKeys matches the Scala re-derivation (incl. short and empty vectors)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.tabulate(20)(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() - 0.5f))) :+
+      (98L, Seq.fill(3)(rnd.nextFloat() - 0.5f)) :+ (99L, Seq.empty[Float])
+    val df = rows.toDF("id", "v")
+    val got = df.select(col("id"), SketchExpressions.srpBandKeys(col("v"), 4, 3, 8, 42).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (id, v) =>
+      assert(got(id) == refSrpKeys(v, 4, 3, 8, 42), s"srp mismatch for id $id")
+    }
+  }
+
+  test("BloomMightContainLong: recall 1 over inserted hashes; plan stays UDF-free") {
+    val sp = spark
+    import sp.implicits._
+    val members = (1L to 500L).map(i => i * 7919L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(500, 0.01)
+    members.foreach(bloom.putLong)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos); bos.toByteArray }
+    // round-trip through parquet: over a LocalRelation Catalyst folds the
+    // probe away at optimization time and the plan assertions see nothing
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    (members ++ (1L to 500L).map(i => i * 104729L + 13L)).toDF("h")
+      .write.mode("overwrite").parquet(tmp)
+    val hit = spark.read.parquet(tmp)
+      .where(SketchExpressions.bloomMightContainLong(col("h"), bytes))
+    val kept = hit.collect().map(_.getLong(0)).toSet
+    assert(members.forall(kept.contains), "bloom must have no false negatives")
+    assert(kept.size < 700, s"false-positive blowup: ${kept.size}") // fpp sanity
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan.take(500))
+    assert(plan.contains("bloom_might_contain_long"), plan.take(500))
+  }
+
   test("sketch pipeline stages carry no Scala UDF (native codegen end to end)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val words = Dedup.wordsOf(col("text"))
