@@ -211,6 +211,32 @@ object Queries {
     "g131_stacked" -> g("stacked(events.*,'s1')"),
     "g132_hwarea" -> g("holtWintersConfidenceArea(events.click)"),
     "g133_secondyaxis" -> g("secondYAxis(events.*)"),
+    // ---- round-5 oracle expansion: the last SQL-expressible golden-only rows
+    // negative basis so the below-fence keeps the two lowest series (the
+    // driver fixture has no true low outliers at a positive basis)
+    "g138_tukeybelow" -> g("tukeyBelow(events.*,-0.5,2)"),
+    "g139_movingwindow_min" -> g("movingWindow(events.*,'12h','min')"),
+    "g140_scaleafterts" -> g("scaleAfterTimestamp(events.*,2,1705363200)"),
+    // lookup target = the series itself (identity regex rewrite); the new
+    // name templates the looked-up series' last value via %d
+    "g141_aliasquery" -> g("aliasQuery(events.{click,view},'events\\.(.*)','events.\\1','%d hits')"),
+    // marks carry versioned names (k.<major>_<minor>) in DISTINCT majors —
+    // only the latest minor per major anchors an offset; 1_1's data ends at
+    // the timeSlice cut, 2_1 (the newest version) runs to the end, so the
+    // 1_1 metric shifts forward by the gap and 2_1 by zero
+    "g142_timeshiftbymetric" -> g("timeShiftByMetric(group(alias(events.click,'m.1_1'),alias(events.view,'m.2_1')),group(alias(timeSlice(events.click,1704067200,1704672000),'k.1_1'),alias(events.view,'k.2_1')),1)"),
+    // compressPeriodicGaps needs a periodically-gapped input the target
+    // grammar can't synthesize: densify, blank all but every 3rd hour, then
+    // compress — the re-bucketing must land exactly on the kept slots
+    "g143_compressgaps" -> ((s, dir) => {
+      val df = Eval.evalTarget(s, store(dir), "transformNull(events.*,1)")
+      val gapped = df.withColumn("values",
+        transform(col("values"), (v, i) =>
+          when(((col("start") / col("step") + i) % 3) === 0, v).otherwise(lit(Double.NaN))))
+      SeriesFrame.toPoints(graft.engine.ExtOps.compressPeriodicGaps(gapped))
+        .select(col("name"), col("ts"), dround(col("value"), 4).as("value"))
+        .orderBy("name", "ts")
+    }),
 
     // ---- TPC-H-style relational anchors (bench headliners)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -1014,6 +1040,45 @@ object Queries {
         |SELECT 'transformNull(removeBelowValue(' || s.name || ', 500),0)' AS name, ts,
         |  round(CASE WHEN v IS NOT NULL AND v >= 500 THEN v ELSE 0 END, 4) AS value
         |FROM s JOIN keep USING (name) ORDER BY 1, 2""".stripMargin),
+    "g138_tukeybelow" ->
+      (S + """, sc AS (SELECT name, avg(v) AS a FROM s GROUP BY name),
+        |fences AS (SELECT quantile_cont(a, 0.25) AS q1, quantile_cont(a, 0.75) AS q3 FROM sc),
+        |keep AS (SELECT sc.name FROM sc, fences WHERE sc.a < fences.q1 - (-0.5) * (fences.q3 - fences.q1) ORDER BY sc.a ASC, sc.name LIMIT 2)
+        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep ON s.name = keep.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
+    "g139_movingwindow_min" ->
+      (S + """SELECT 'movingWindow(' || name || ',''12h'')' AS name, ts, round(wmin, 4) AS value FROM (
+        |  SELECT name, ts, min(v) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS wmin FROM s)
+        |WHERE ts >= (SELECT t0 FROM b) + 12*3600 AND wmin IS NOT NULL ORDER BY name, ts""".stripMargin),
+    "g140_scaleafterts" ->
+      (S + """SELECT 'scaleAfterTimestamp(' || name || ',2,1705363200)' AS name, ts,
+        |  round(CASE WHEN ts >= 1705363200 THEN v * 2 ELSE v END, 4) AS value
+        |FROM s WHERE v IS NOT NULL ORDER BY name, ts""".stripMargin),
+    // identity lookup: each series' new name is printf('%d hits') of its own
+    // last non-null value (the first-by-name series of the derived target)
+    "g141_aliasquery" ->
+      (S + """, lastv AS (SELECT name, v FROM s WHERE v IS NOT NULL
+        |        QUALIFY row_number() OVER (PARTITION BY name ORDER BY ts DESC) = 1)
+        |SELECT printf('%d hits', CAST(trunc(l.v) AS BIGINT)) AS name, s.ts, round(s.v, 4) AS value
+        |FROM s JOIN lastv l USING (name)
+        |WHERE s.name IN ('events.click', 'events.view') AND s.v IS NOT NULL ORDER BY name, ts""".stripMargin),
+    // mark 1_1's last data point is the slice cut, 1_2's the series end; the
+    // metric carrying 1_1 shifts forward by the timestamp gap, 1_2 by zero
+    "g142_timeshiftbymetric" ->
+      (S + """, pos AS (SELECT
+        |    (SELECT max(ts) FROM s WHERE name = 'events.click' AND v IS NOT NULL AND ts <= 1704672000) AS t11,
+        |    (SELECT max(ts) FROM s WHERE name = 'events.view' AND v IS NOT NULL) AS t12)
+        |SELECT * FROM (
+        |  SELECT 'timeShiftByMetric(m.1_1)' AS name, s.ts + (pos.t12 - pos.t11) AS ts, round(s.v, 4) AS value
+        |  FROM s, pos WHERE s.name = 'events.click' AND s.v IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'timeShiftByMetric(m.2_1)' AS name, s.ts, round(s.v, 4) AS value
+        |  FROM s WHERE s.name = 'events.view' AND s.v IS NOT NULL) ORDER BY name, ts""".stripMargin),
+    // densified grid gapped to every 3rd hour re-buckets at a 3h step whose
+    // slots are exactly the kept hours ('last' consolidation, xff 0)
+    "g143_compressgaps" ->
+      (S + """SELECT 'compressPeriodicGaps(transformNull(' || name || ',1))' AS name, ts,
+        |  round(coalesce(v, 1), 4) AS value
+        |FROM s WHERE ts % 10800 = 0 ORDER BY name, ts""".stripMargin),
     "g94_removebelowpct" ->
       (S + """, pc AS (SELECT name, lst[CAST(ceil((len(lst) - 1) * 25 / 100.0) AS INT) + 1] AS pv
         |       FROM (SELECT name, list_sort(list(v) FILTER (WHERE v IS NOT NULL)) AS lst FROM s GROUP BY name))
