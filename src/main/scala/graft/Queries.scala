@@ -521,6 +521,23 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    // end-to-end ANN serving: IVF probe + PQ-ADC shortlist + exact rerank
+    // over the PERSISTED cell-partitioned index (no oracle — hash/Lloyd
+    // training; recall-vs-brute + partition-pruning gates in PipelineSpec)
+    "p34_ivf_pq_serve" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val cents = Similarity.trainCentroids(emb, nlist = 8, iters = 3, sampleN = 2000)
+      val cb = Quantize.trainPqCodebooks(emb, m = 16, ksub = 16, iters = 10, sampleN = 2000)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index"
+      Similarity.writeIndex(Quantize.pqEncode(Similarity.assignCells(emb, cents), cb), cents, path)
+      val (index, diskCents) = Similarity.readIndex(s, path)
+      Similarity.ivfPqTopK(index, emb.where(col("vec_id") < 10), cb, diskCents,
+          k = 5, nprobe = 5, shortlist = 50)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), dround(col("d2"), 4).as("d2"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- multimodal plumbing (decode kernel stubbed; Spark-side real)
     "m01_mm_features" -> ((s, dir) => {
       val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(docs(s, dir)), dim = 8)

@@ -268,6 +268,82 @@ object Similarity {
     (corpus, cents)
   }
 
+  /**
+   * End-to-end ANN serving over a PERSISTED index — the composition a
+   * 100 TB retrieval deployment actually runs: IVF probe selection →
+   * ADC (code-only) shortlist over the probed cells → exact rerank of the
+   * shortlist. The index is [[writeIndex]] output whose corpus also carries
+   * [[Quantize.pqEncode]] codes.
+   *
+   * Scale shape: probe selection and the per-query ADC distance tables are
+   * computed on the DRIVER (queries are the small side by contract —
+   * q × nlist and q × m × ksub doubles), which turns the probed cells into
+   * LITERAL predicates: both serving scans arrive at the parquet index with
+   * a PartitionFilter and read nprobe directories per query, never the
+   * corpus. The shortlist stage touches only the 8-byte code column; the
+   * float vectors are read once, for the candidates' cells, at rerank.
+   */
+  def ivfPqTopK(index: DataFrame, queries: DataFrame,
+                codebooks: Array[Array[Array[Double]]],
+                centroids: Array[(Int, Array[Double])],
+                k: Int, nprobe: Int, shortlist: Int = 50): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val qs = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    require(qs.nonEmpty, "ivfPqTopK: empty query set")
+    // nearest-nprobe cells per query (driver math over the tiny centroid set)
+    val probes: Seq[(Long, Int)] = qs.toSeq.flatMap { case (qid, qv) =>
+      centroids.map { case (cid, c) =>
+        var d = 0.0; var i = 0
+        val n = math.min(qv.length, c.length)
+        while (i < n) { val t = qv(i) - c(i); d += t * t; i += 1 }
+        (d, cid)
+      }.sortBy(identity).take(nprobe).map { case (_, cid) => (qid, cid) }.toSeq
+    }
+    val allCells = probes.map(_._2).distinct
+    // per-query ADC tables: dtab(s)(j) = ||q_s - codebook(s)(j)||²
+    val dtabs: Map[Long, Seq[Seq[Double]]] = qs.map { case (qid, qv) =>
+      qid -> Seq.tabulate(m)(s => codebooks(s).toSeq.map { cent =>
+        var d = 0.0; var i = 0
+        while (i < dsub) { val t = qv(s * dsub + i) - cent(i); d += t * t; i += 1 }
+        d
+      })
+    }.toMap
+    val qTab = broadcast(probes.map { case (qid, cid) => (qid, cid, dtabs(qid)) }
+      .toDF("query_id", "cell", "dtab"))
+    // stage 1 — ADC shortlist: partition-pruned CODE-ONLY scan of the
+    // probed cells, m table lookups per row, per-query top-`shortlist`
+    val cand = index.select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+      .where(col("cell").isin(allCells: _*))
+      .join(qTab, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx_d2",
+        aggregate(zip_with(col("codes"), col("dtab"),
+          (c, t) => element_at(t, c + 1)), lit(0.0d), (acc, v) => acc + v))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("approx_d2"), col("neighbor_id"))))
+      .where(col("rank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // stage 2 — exact rerank: the float vectors of the probed cells join the
+    // broadcast shortlist (q × shortlist rows), exact L2, top-k
+    val qv = broadcast(qs.toSeq.map { case (qid, v) => (qid, v.toSeq) }.toDF("query_id", "qv"))
+    index.select(col("vec_id").as("neighbor_id"), col("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("nv"))
+      .where(col("cell").isin(allCells: _*))
+      .join(broadcast(cand), "neighbor_id")
+      .join(qv, "query_id")
+      .withColumn("d2",
+        aggregate(zip_with(col("qv"), col("nv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, v) => acc + v))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "d2", "rank")
+  }
+
   /** Pairwise label-centroid cosine similarity matrix (embeddings quality
     * diagnostic). Centroids average per (label, dimension) via posexplode —
     * scalar partial aggregation, so a hot label never materializes all its

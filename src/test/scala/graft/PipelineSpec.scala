@@ -281,4 +281,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       "cell filter must prune partitions:\n" + plan.take(2000))
   }
+
+  test("IVF+PQ serving path: recall vs brute force >= 0.9 at nprobe 3/8; both scans partition-pruned") {
+    // planted-blob corpus — the clustered regime IVF serves; on the driver's
+    // structureless gaussian embeddings probe loss is ~2%/cell BY DESIGN
+    // (measured 0.76@3 ... 0.88@7), which gates nothing about the plumbing
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian() * 5))
+    val emb = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq, i % 8)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = emb.where(col("vec_id") < 10)
+    val cents = Similarity.trainCentroids(emb, nlist = 8, iters = 3, sampleN = 2000)
+    val cb = graft.pipeline.Quantize.trainPqCodebooks(emb, m = 16, ksub = 16,
+      iters = 10, sampleN = 2000)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-index").toString
+    Similarity.writeIndex(
+      graft.pipeline.Quantize.pqEncode(Similarity.assignCells(emb, cents), cb), cents, dir)
+    val (index, diskCents) = Similarity.readIndex(spark, dir)
+    val served = Similarity.ivfPqTopK(index, queries, cb, diskCents,
+      k = 5, nprobe = 3, shortlist = 50)
+    // the serving plan reads the index through partition filters on cell —
+    // the probe's literal cell set, never the whole corpus
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      "serving scans must partition-prune on cell:\n" + plan.take(3000))
+    // recall@5 vs the exact answer (L2 like the serving path)
+    val got = served.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val exact = graft.pipeline.Quantize.pqTopKReranked(
+      graft.pipeline.Quantize.pqEncode(emb, cb), queries, cb, k = 5, shortlist = 10000)
+    val brute = exact.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val hits = brute.toSeq.map { case (q, want) =>
+      want.intersect(got.getOrElse(q, Set.empty)).size.toDouble / want.size }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.9, s"serving recall $recall < 0.9")
+  }
 }
