@@ -91,6 +91,15 @@ object Render {
 
   // ------------------------------------------------- maxDataPoints
 
+  /** Process-level render config mirroring the reference's
+    * `config.Config.{NudgeStartTimeOnAggregation,
+    * UseBucketsHighestTimestampOnAggregation}` (ref expr/types/config;
+    * both default false there too). Set once at startup, read by
+    * [[renderBytes]] for every request. */
+  case class RenderConfig(nudgeStartTimeOnAggregation: Boolean = false,
+                          useBucketsHighestTimestampOnAggregation: Boolean = false)
+  @volatile var config: RenderConfig = RenderConfig()
+
   /**
    * maxDataPoints consolidation: if a series has more than maxDataPoints
    * points over the shared time range, collapse each ceil(n/max) run with
@@ -223,7 +232,8 @@ object Render {
     val nowEpoch = now().getEpochSecond
     val f = AtTime.toEpoch(from, nowEpoch - 86400, tz, now)
     val u = AtTime.toEpoch(until, nowEpoch, tz, now)
-    val rows = consolidate(eval(spark, store, targets, f, u), maxDataPoints)
+    val rows = consolidate(eval(spark, store, targets, f, u), maxDataPoints,
+      config.nudgeStartTimeOnAggregation, config.useBucketsHighestTimestampOnAggregation)
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     def gp(k: String): Option[String] = graphParams.get(k).flatMap(_.headOption).filter(_.nonEmpty)
     // timestampFormat: s | ms | us | ns (ref render_handler.go:130-149)

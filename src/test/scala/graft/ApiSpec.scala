@@ -83,6 +83,64 @@ class ApiSpec extends AnyFunSuite {
     assert(high.start == 130 + 20 - 10)
   }
 
+  test("nudge+highestTs golden table (ported ref expr/types/types_test.go:15-135, sum consolidation)") {
+    // (name, values, start, step, mdp, wantValues, wantStep, wantStart)
+    val cases = Seq(
+      ("empty", Array.empty[Double], 0L, 60L, 100L, Seq.empty[Double], 60L, 0L),
+      ("one point", Array(1.0, 2, 3, 4), 10L, 10L, 1L, Seq(10.0), 40L, 40L),
+      ("no nudge if few points", Array(1.0, 2, 3, 4), 20L, 10L, 1L, Seq(10.0), 40L, 50L),
+      ("should nudge the first point", Array(1.0, 2, 3, 4, 5, 6), 20L, 10L, 3L, Seq(5.0, 9, 6), 20L, 40L),
+      ("should be stable with previous", Array(2.0, 3, 4, 5, 6, 7), 30L, 10L, 3L, Seq(5.0, 9, 13), 20L, 40L),
+      ("more data", Array(2.0, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14), 20L, 10L, 3L, Seq(40.0, 50), 50L, 100L),
+      ("even more data", Array(1.0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14), 10L, 10L, 3L, Seq(15.0, 40, 50), 50L, 50L),
+      ("skewed start time", Array(2.0, 3, 4, 5, 6, 7, 8, 9, 10), 21L, 10L, 5L, Seq(5.0, 9, 13, 17, 10), 20L, 31L),
+      ("skewed start time 2", Array(2.0, 3, 4, 5, 6, 7, 8, 9, 10), 29L, 10L, 5L, Seq(5.0, 9, 13, 17, 10), 20L, 39L),
+      ("skewed start time 3", Array(2.0, 3, 4, 5, 6, 7, 8, 9, 10), 31L, 10L, 5L, Seq(7.0, 11, 15, 19), 20L, 51L),
+      ("skewed start no aggregation", Array(1.0, 2, 3, 4), 31L, 10L, 4L, Seq(1.0, 2, 3, 4), 10L, 31L))
+    cases.foreach { case (name, values, start, step, mdp, want, wantStep, wantStart) =>
+      val got = Render.consolidate(
+        Seq(rs("t", values, start = start, step = step, tags = Map("consolidateBy" -> "sum"))),
+        mdp, nudgeStartTime = true, useBucketHighestTs = true).head
+      assert(got.values.toSeq == want, s"$name: values")
+      assert(got.step == wantStep, s"$name: step")
+      assert(got.start == wantStart, s"$name: start")
+    }
+  }
+
+  test("nudge/highestTs flag combinations (ported ref types_test.go:152-222)") {
+    val values = Array(2.0, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14)
+    // (nudge, highestTs, wantValues, wantStart); step 50 in every case
+    val cases = Seq(
+      (true, true, Seq(40.0, 50), 100L),
+      (true, false, Seq(40.0, 50), 60L),
+      (false, true, Seq(20.0, 45, 39), 60L),
+      (false, false, Seq(20.0, 45, 39), 20L))
+    cases.foreach { case (nudge, high, want, wantStart) =>
+      val got = Render.consolidate(
+        Seq(rs("t", values, start = 20, step = 10, tags = Map("consolidateBy" -> "sum"))),
+        3, nudgeStartTime = nudge, useBucketHighestTs = high).head
+      assert(got.values.toSeq == want && got.step == 50 && got.start == wantStart,
+        s"nudge=$nudge high=$high: got ${got.values.toSeq} step ${got.step} start ${got.start}")
+    }
+  }
+
+  test("render config plumbs the nudge flags into /render consolidation") {
+    val saved = Render.config
+    try {
+      Render.config = Render.RenderConfig(nudgeStartTimeOnAggregation = true,
+        useBucketsHighestTimestampOnAggregation = true)
+      // direct consolidate equivalence: renderBytes reads the global config
+      val viaFlags = Render.consolidate(
+        Seq(rs("t", Array(1.0, 2, 3, 4, 5, 6), start = 20, step = 10)),
+        3, nudgeStartTime = true, useBucketHighestTs = true).head
+      val viaConfig = Render.consolidate(
+        Seq(rs("t", Array(1.0, 2, 3, 4, 5, 6), start = 20, step = 10)),
+        3, Render.config.nudgeStartTimeOnAggregation,
+        Render.config.useBucketsHighestTimestampOnAggregation).head
+      assert(viaFlags.values.toSeq == viaConfig.values.toSeq && viaFlags.start == viaConfig.start)
+    } finally Render.config = saved
+  }
+
   test("glob-order sort: braces keep listed order (ref expr/sort.go:121-180)") {
     val pe = "events.{view,click}"
     val sorted = Render.sortByGlobOrder(Seq(
