@@ -94,6 +94,36 @@ object DocPipeline {
       .select(col("window.start").as("window_start"), col("lang_pred"),
         col("n_docs"), col("n_tokens"))
 
+  /**
+   * Streaming curated-corpus capstone — the batch
+   * [[graft.pipeline.Curation.curatedCorpus]] composition on the ingest
+   * stream: language gate, minimum-length gate, PII gate (all stateless
+   * column math, identical expressions to batch), cross-batch dedup keeper
+   * selection ([[firstSeenDedup]] — the streaming analog of the batch
+   * cluster-min keeper), and deterministic train/val/test assignment
+   * ([[graft.pipeline.Assembly.trainValTestSplit]] — a pure doc_id hash, so
+   * a doc's split is identical in batch and streaming derivations by
+   * construction).
+   *
+   * Emits (doc_id, ts, lang_pred, n_tokens, split) as documents clear the
+   * gates — nothing waits for window finalization because the only stateful
+   * stage (dedup) emits keepers immediately and uses the watermark solely
+   * for state eviction.
+   */
+  def curatedStream(docs: DataFrame, lang: String = "en", minTokens: Int = 10,
+                    trainFrac: Double = 0.9, valFrac: Double = 0.05,
+                    watermark: String = "1 hour", horizon: String = "24 hours"): DataFrame = {
+    val langGated = graft.pipeline.TextStats.languageId(docs)
+      .withColumn("_n", graft.pipeline.TextStats.tokenCount(col("text")).cast("long"))
+      .where(col("lang_pred") === lang && col("_n") >= minTokens)
+      .select(docs.columns.map(col): _*)
+    val deduped = firstSeenDedup(piiGate(langGated), watermark, horizon).toDF()
+    graft.pipeline.Assembly.trainValTestSplit(
+        graft.pipeline.TextStats.languageId(deduped), trainFrac, valFrac)
+      .withColumn("n_tokens", graft.pipeline.TextStats.tokenCount(col("text")).cast("long"))
+      .select(col("doc_id"), col("ts"), col("lang_pred"), col("n_tokens"), col("split"))
+  }
+
   private def dedupGroup(horizon: String)(
       key: String, rows: Iterator[DocEvent],
       state: GroupState[Long]): Iterator[DocEvent] = {

@@ -198,4 +198,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.toSet == batch.toSet,
       s"stream $streamed vs batch $batch")
   }
+
+  test("streaming curated corpus matches the batch capstone + split derivation") {
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("graft-curated").toString
+    val srcDir = s"$tmp/docs"
+    val ckDir = s"$tmp/ck"
+    val sp = spark
+    import sp.implicits._
+
+    val enA = "the cat and the dog sat with that for the evening"
+    val enB = "the house and the tree stand near the river for the night"
+    val short = "the cat sat"
+    val leaky = "please write to the list admin at owner@example.com for details about it all"
+    val de = "der hund und die katze sind mit der nacht nicht fertig"
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // batch 1: keeper enA + the gate victims; batch 2: cross-batch dup of
+    // enA, a fresh clean doc, a non-English doc
+    Seq((1L, ts(0), enA), (2L, ts(1), short), (3L, ts(2), leaky))
+      .toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$srcDir/f1")
+    Seq((4L, ts(3), enA), (5L, ts(4), enB), (6L, ts(5), de))
+      .toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$srcDir/f2")
+
+    val src = sp.readStream.schema(graft.streaming.DocPipeline.docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+    val q = graft.streaming.DocPipeline.curatedStream(src, minTokens = 10,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("curated_stream")
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = sp.table("curated_stream")
+      .select("doc_id", "lang_pred", "n_tokens", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+
+    // batch twin: the p22 capstone (exact-dup pair graph) joined with the
+    // p32 split assignment on the union corpus
+    val d = Seq((1L, enA), (2L, short), (3L, leaky), (4L, enA), (5L, enB), (6L, de))
+      .toDF("doc_id", "text")
+    val h = d.select(col("doc_id"), md5(col("text")).as("h"))
+    val pairs = h.as("a").join(h.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val batch = graft.pipeline.Curation.curatedCorpus(d, pairs, lang = "en", minTokens = 10)
+      .join(graft.pipeline.Assembly.trainValTestSplit(d).select("doc_id", "split"), "doc_id")
+      .select("doc_id", "lang_pred", "n_tokens", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(batch.nonEmpty, "batch capstone must keep at least one doc")
+    assert(batch.map(_._1) == Set(1L, 5L), s"fixture drift: $batch")
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
 }
