@@ -128,6 +128,35 @@ class SketchExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("bloom_might_contain_long"), plan.take(500))
   }
 
+  test("new expressions compile under NO_FALLBACK codegen (broken doGenCode cannot hide)") {
+    val sp = spark
+    import sp.implicits._
+    val saved = (sp.conf.getOption("spark.sql.codegen.fallback"),
+      sp.conf.getOption("spark.sql.codegen.factoryMode"))
+    try {
+      sp.conf.set("spark.sql.codegen.fallback", "false")
+      sp.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-codegen").toString
+      val rnd = new scala.util.Random(17)
+      Seq.tabulate(50)(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+        .toDF("id", "v").write.mode("overwrite").parquet(tmp)
+      val df = sp.read.parquet(tmp)
+      val srp = df.select(col("id"), SketchExpressions.srpBandKeys(col("v"), 4, 3, 8, 42).as("k"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(srp.size == 50 && srp.values.forall(_.length == 3))
+      val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      (1L to 100L).foreach(i => bloom.putLong(i * 31L))
+      val bytes = { val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos); bos.toByteArray }
+      // ids 1..49 are members (49 guaranteed hits); id 0 maps to 0 which was
+      // never inserted — a 1% fpp may or may not admit it
+      val hits = df.where(SketchExpressions.bloomMightContainLong(col("id") * 31L, bytes)).count()
+      assert(hits >= 49L && hits <= 50L, s"hits $hits")
+    } finally {
+      saved._1.fold(sp.conf.unset("spark.sql.codegen.fallback"))(v => sp.conf.set("spark.sql.codegen.fallback", v))
+      saved._2.fold(sp.conf.unset("spark.sql.codegen.factoryMode"))(v => sp.conf.set("spark.sql.codegen.factoryMode", v))
+    }
+  }
+
   test("sketch pipeline stages carry no Scala UDF (native codegen end to end)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val words = Dedup.wordsOf(col("text"))
