@@ -24,10 +24,10 @@ object Bench {
     spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     val catalog = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     // several operators persist intermediates (signatures, shingle tables,
-    // CC labels); left cached they accumulate across the 158-query suite and
-    // evict each other, making in-suite numbers order-dependent (observed
-    // 10x inflation on late queries). Drop each query's NEW persists after
-    // timing it; the shared warm fixtures stay.
+    // CC labels); left cached they accumulate across the full catalog suite
+    // and evict each other, making in-suite numbers order-dependent
+    // (observed 10x inflation on late queries). Drop each query's NEW
+    // persists after timing it; the shared warm fixtures stay.
     val keep = spark.sparkContext.getPersistentRDDs.keySet
     val results = catalog.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>

@@ -528,7 +528,8 @@ object Queries {
       val emb = embeddings(s, dir)
       val cents = Similarity.trainCentroids(emb, nlist = 8, iters = 3, sampleN = 2000)
       val cb = Quantize.trainPqCodebooks(emb, m = 16, ksub = 16, iters = 10, sampleN = 2000)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
       Similarity.writeIndex(Quantize.pqEncode(Similarity.assignCells(emb, cents), cb), cents, path)
       val (index, diskCents) = Similarity.readIndex(s, path)
       Similarity.ivfPqTopK(index, emb.where(col("vec_id") < 10), cb, diskCents,

@@ -98,7 +98,9 @@ object Render {
     * [[renderBytes]] for every request. */
   case class RenderConfig(nudgeStartTimeOnAggregation: Boolean = false,
                           useBucketsHighestTimestampOnAggregation: Boolean = false)
-  @volatile var config: RenderConfig = RenderConfig()
+  @volatile var config: RenderConfig = RenderConfig(
+    sys.props.get("graft.render.nudgeStartTimeOnAggregation").exists(_.toBoolean),
+    sys.props.get("graft.render.useBucketsHighestTimestampOnAggregation").exists(_.toBoolean))
 
   /**
    * maxDataPoints consolidation: if a series has more than maxDataPoints
