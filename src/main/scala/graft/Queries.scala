@@ -441,6 +441,14 @@ object Queries {
       Dedup.dedupClusters(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
         .orderBy("doc_id")
     }),
+    // same clusters via O(log n)-round large-star/small-star contraction —
+    // the scale path when the pair graph's shape is arbitrary (chain-shaped
+    // components defeat round-bounded min-label propagation)
+    "p35_dedup_clusters_star" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupClustersStar(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
+        .orderBy("doc_id")
+    }),
     // end-to-end curation capstone: language + length + PII gates composed
     // with near-dup keeper selection — the pre-tokenization pass
     "p22_curated_corpus" -> ((s, dir) => {
@@ -606,6 +614,32 @@ object Queries {
   private val lagS = "SELECT name, ts, v, lag(v IGNORE NULLS) OVER (PARTITION BY name ORDER BY ts) AS pv FROM s"
   // raw previous point (NaN poisons): nonNegativeDerivative/perSecond semantics
   private val rawLagS = "SELECT name, ts, v, lag(v) OVER (PARTITION BY name ORDER BY ts) AS pv FROM s"
+
+  // connected components over the exact ngram-jaccard pair graph: p11's pair
+  // derivation + transitive min-reachable-id closure. p21 (label propagation)
+  // and p35 (star contraction) compute the identical contract.
+  private val ccSql =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |    FROM words WHERE len(w) >= 3)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b
+      |          FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |          WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5),
+      |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT u, v AS x FROM und
+      |  UNION
+      |  SELECT und.u, reach.x FROM und JOIN reach ON reach.u = und.v),
+      |cc AS (SELECT u AS doc_id, least(u, min(x)) AS cluster_id FROM reach GROUP BY u)
+      |SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+      |FROM documents d LEFT JOIN cc USING (doc_id) ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "g01_sum_series" -> agg1("sumSeries(events.*)", "sum(v)"),
@@ -1519,29 +1553,10 @@ object Queries {
         |WHERE lang.lang_pred = 'en' AND tok.n_tokens >= 10
         |  AND coalesce(cc.cluster_id, d.doc_id) = d.doc_id
         |ORDER BY doc_id""".stripMargin,
-    // p11's pair derivation + transitive min-reachable-id closure
-    "p21_dedup_clusters" ->
-      """WITH RECURSIVE words AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, sh FROM (
-        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |    FROM words WHERE len(w) >= 3)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b
-        |          FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-        |          WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5),
-        |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT u, v AS x FROM und
-        |  UNION
-        |  SELECT und.u, reach.x FROM und JOIN reach ON reach.u = und.v),
-        |cc AS (SELECT u AS doc_id, least(u, min(x)) AS cluster_id FROM reach GROUP BY u)
-        |SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
-        |FROM documents d LEFT JOIN cc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // p11's pair derivation + transitive min-reachable-id closure; the star
+    // variant computes the identical contract, so one oracle serves both
+    "p21_dedup_clusters" -> ccSql,
+    "p35_dedup_clusters_star" -> ccSql,
     "m02_frame_plan" ->
       """SELECT doc_id AS asset_id, CAST(ts_ms / 1000 AS BIGINT) AS frame_idx, CAST(ts_ms AS BIGINT) AS ts_ms
         |FROM (SELECT doc_id, unnest(generate_series(0, least(n_chars * 10, 31000), 1000)) AS ts_ms

@@ -80,7 +80,7 @@ object ScaleBench {
     "p19_pii_signals", "p20_vocab", "p21_dedup_clusters",
     "p23_pack_plan", "p27_unigram_lm", "p28_sq_quantize", "p29_pq_topk",
     "p30_shared_spans", "p31_contamination_bloom", "p32_train_val_test",
-    "p33_length_buckets", "p34_ivf_pq_serve")
+    "p33_length_buckets", "p34_ivf_pq_serve", "p35_dedup_clusters_star")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

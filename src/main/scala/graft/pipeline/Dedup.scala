@@ -313,8 +313,11 @@ object Dedup {
     val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
+    // per-round localCheckpoint: round k's plan nests round k-1's, so
+    // un-truncated lineage deepens every round and the analyzer OOMs the
+    // driver near round ~40 — BEFORE the maxIters guard can fire
     var labels = und.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).persist()
+      .select(col("id"), col("id").as("label")).localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -322,10 +325,9 @@ object Dedup {
         .groupBy(col("u")).agg(min(col("label")).as("nmin"))
       val next = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .where(col("label") < col("old")).count() // materializes `next` too
-      labels.unpersist()
+        .where(col("label") < col("old")).count()
       labels = next
       it += 1
     }
@@ -336,6 +338,69 @@ object Dedup {
           "still moving) — component diameter exceeds maxIters; raise it")
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
+
+  /**
+   * Same contract as [[dedupClusters]] (doc_id, cluster_id = min reachable
+   * id), via alternating large-star / small-star contraction — the
+   * round count is O(log n) for ANY graph shape, so chain-shaped components
+   * (diameter ≫ rounds, where min-label propagation must give up) converge
+   * too. This is the scale path when the pair graph's shape is not known to
+   * be dense-and-tiny; label propagation stays the default because its
+   * per-round cost is lower on the near-dup graphs dedup actually produces.
+   *
+   * Each round: large-star hangs every bigger neighbor of u onto
+   * min(N(u) ∪ {u}), small-star re-hangs the smaller neighbors and u itself
+   * onto the minimum — two groupBy+join shuffles per phase over an edge set
+   * that only shrinks toward one star per component. Edges stay canonically
+   * oriented (u > v) throughout, so convergence (= the edge set is a fixed
+   * point) is one anti-join test per round.
+   *
+   * Each round's result is `localCheckpoint`ed: the round plan references
+   * the previous edge set several times, so un-truncated lineage grows
+   * multiplicatively per round and OOMs the driver during analysis after
+   * ~8 rounds. Checkpointing makes every round start from materialized
+   * blocks (dropped rounds are reclaimed by the context cleaner); on a
+   * cluster with executor churn, prefer a real `checkpoint` dir.
+   */
+  def dedupClustersStar(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"), least(col("doc_a"), col("doc_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIters) {
+      // large-star over the symmetric neighborhood: (v, m) for every v > u
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u >= m keeps u > v
+        .where(col("u") =!= col("v")).distinct()
+      // small-star over the canonical (bigger → smaller) orientation: hang
+      // each smaller neighbor and u itself onto u's minimum neighbor
+      val mins2 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = ls.join(mins2, "u")
+      val next = withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClustersStar: not converged after $maxIters rounds — " +
+          "this bounds O(log n); raise maxIters only for astronomically large n")
+    // at the fixed point every component is a star rooted at its minimum:
+    // non-roots appear exactly once as u, roots/singletons only as v or not
+    // at all, so a left join + coalesce labels everyone
+    val labels = edges.groupBy(col("u")).agg(min(col("v")).as("label"))
+      .withColumnRenamed("u", "doc_id")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 }

@@ -151,6 +151,48 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("star contraction: random graphs match label propagation; empty graph self-labels") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { _ =>
+      val n = 2 + rnd.nextInt(30)
+      val edges = Seq.fill(rnd.nextInt(2 * n)) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val d = (0L until n).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+        else edges.toDF("doc_a", "doc_b")
+      val prop = graft.pipeline.Dedup.dedupClusters(d, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = graft.pipeline.Dedup.dedupClustersStar(d, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop, s"n=$n edges=$edges")
+    }
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val none = graft.pipeline.Dedup.dedupClustersStar(d1, Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("star contraction: a 120-long chain converges in O(log n) rounds where label propagation cannot") {
+    val s = spark
+    import s.implicits._
+    val n = 120L
+    val d = (0L until n).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // label propagation needs diameter rounds: 119 > the default 50 → throws
+    assertThrows[IllegalStateException] {
+      graft.pipeline.Dedup.dedupClusters(d, chain).collect()
+    }
+    // star contraction is round-logarithmic: well inside 15 rounds
+    val star = graft.pipeline.Dedup.dedupClustersStar(d, chain, maxIters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(star.length == n && star.forall(_._2 == 0L))
+  }
+
   test("vocab: counts, doc frequency and the top-N cut are exact") {
     val corpus = docsOf(
       1L -> "apple banana apple",
