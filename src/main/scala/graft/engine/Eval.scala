@@ -219,6 +219,12 @@ object Eval {
     "avg_zero" -> aggFamily("avg_zero"),
     "first" -> aggFamily("first"), "last" -> aggFamily("last"), "current" -> aggFamily("last"),
     "total" -> aggFamily("sum"),
+    // every AvailableSummarizers name also registers a <name>Series alias
+    // (ref aggregate/function.go:30-35, consolidations.go:41)
+    "avgSeries" -> aggFamily("average"), "avg_zeroSeries" -> aggFamily("avg_zero"),
+    "firstSeries" -> aggFamily("first"), "lastSeries" -> aggFamily("last"),
+    "currentSeries" -> aggFamily("last"), "totalSeries" -> aggFamily("sum"),
+    "rangeSeries" -> aggFamily("rangeOf"), "rangeOf" -> aggFamily("rangeOf"),
     "percentileOfSeries" -> ((ctx, fc) => {
       val n = numArg(fc, 1)
       val interp = boolArg(fc, 2, "interpolate")

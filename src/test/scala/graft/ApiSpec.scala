@@ -164,4 +164,14 @@ class ApiSpec extends AnyFunSuite {
     assert(Catalog.functions.contains("sumSeries"))
     assert(Catalog.functions.contains("holtWintersForecast"))
   }
+
+  test("every AvailableSummarizers name registers bare + Series alias (ref aggregate/function.go:30-35)") {
+    val summarizers = Seq("sum", "total", "avg", "average", "avg_zero", "max", "min", "last",
+      "current", "first", "range", "rangeOf", "median", "multiply", "diff", "count", "stddev")
+    val fns = Catalog.functions.toSet
+    for (s <- summarizers) {
+      assert(fns.contains(s), s"missing bare summarizer alias: $s")
+      assert(fns.contains(s + "Series"), s"missing Series alias: ${s}Series")
+    }
+  }
 }
