@@ -449,6 +449,11 @@ object Queries {
       Dedup.dedupClustersStar(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
         .orderBy("doc_id")
     }),
+    // SemDeDup-style semantic dedup: k-means cells block the cosine join,
+    // keeper = no lower-id cell-mate above tau (arXiv:2303.09540)
+    "p36_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(embeddings(s, dir), k = 8, iters = 2, tau = 0.3)
+        .orderBy("vec_id")),
     // end-to-end curation capstone: language + length + PII gates composed
     // with near-dup keeper selection — the pre-tokenization pass
     "p22_curated_corpus" -> ((s, dir) => {
@@ -1488,6 +1493,35 @@ object Queries {
         |    SELECT e.vec_id, c.cluster, pow(list_distance(e.v, c.v), 2) AS d2,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
         |    FROM e CROSS JOIN c2 c) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // p18's two-iteration k-means chain extended with the within-cell
+    // cosine pair join and min-id keeper rule
+    "p36_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
+        |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |u1 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |c1 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c0 c
+        |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u1 GROUP BY cluster) u USING (cluster)),
+        |a2 AS (SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
+        |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |u2 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |c2 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c1 c
+        |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u2 GROUP BY cluster) u USING (cluster)),
+        |af AS (SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
+        |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
+        |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |          FROM e a JOIN af af_a ON a.vec_id = af_a.vec_id
+        |               JOIN af af_b ON af_a.cluster = af_b.cluster
+        |               JOIN e b ON b.vec_id = af_b.vec_id AND a.vec_id < b.vec_id
+        |          WHERE list_cosine_similarity(a.v, b.v) >= 0.3),
+        |dup AS (SELECT vec_b AS vec_id, min(vec_a) AS dup_of FROM pairs GROUP BY vec_b)
+        |SELECT af.vec_id, af.cluster, CAST(dup.dup_of IS NULL AS BIGINT) AS keep, dup.dup_of
+        |FROM af LEFT JOIN dup USING (vec_id) ORDER BY vec_id""".stripMargin,
     "p19_pii_signals" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,

@@ -344,6 +344,42 @@ object Similarity {
       .select("query_id", "neighbor_id", "d2", "rank")
   }
 
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): k-means cells act as the blocking key, pairwise
+   * cosine runs only within a cell, and each document is kept unless a
+   * lower-id cell-mate exceeds `tau`. The keeper rule here is the
+   * deterministic min-id variant (the paper keeps the point farthest from
+   * the centroid; min-id gives the same dedup rate with an exact SQL twin).
+   *
+   * Scale shape: candidate count is Σ|cell|² — with k grown proportionally
+   * to corpus size the expected cell stays constant, so the join is linear
+   * in practice; the only shuffles are the cell-keyed self-join and one
+   * (vec_id)-keyed agg+join for the keeper decision. Arithmetic is double
+   * throughout (cast once) so the threshold comparison is reproducible
+   * against the DuckDB oracle.
+   *
+   * Returns (vec_id, cluster, keep ∈ {0,1}, dup_of = lowest above-τ
+   * cell-mate, null when kept).
+   */
+  def semanticDedup(emb: DataFrame, k: Int = 8, iters: Int = 2, tau: Double = 0.3): DataFrame = {
+    val assigned = Curation.kmeansAssign(emb, k, iters).select(col("vec_id"), col("cluster"))
+    val vecs = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    // norms per row, not per pair (same reasoning as labelBlockedNearDup)
+    val av = assigned.join(vecs, "vec_id").withColumn("nrm", norm(col("v")))
+    val a = av.select(col("cluster"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = av.select(col("cluster"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val dupOf = a.join(b, Seq("cluster"))
+      .where(col("vec_a") < col("vec_b"))
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
+      .groupBy(col("vec_b").as("vec_id")).agg(min(col("vec_a")).as("dup_of"))
+    av.select(col("vec_id"), col("cluster"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull.cast("long"))
+      .select(col("vec_id"), col("cluster"), col("keep"), col("dup_of"))
+  }
+
   /** Pairwise label-centroid cosine similarity matrix (embeddings quality
     * diagnostic). Centroids average per (label, dimension) via posexplode —
     * scalar partial aggregation, so a hot label never materializes all its

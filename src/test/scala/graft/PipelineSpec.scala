@@ -255,6 +255,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"IVF recall $recall below 0.5 — probe path broken")
   }
 
+  test("p36: semantic dedup keeper rule — keep iff no lower-id cell-mate above tau; dup_of is that minimum") {
+    val emb = embeddings
+    val out = Similarity.semanticDedup(emb, k = 8, iters = 2, tau = 0.3)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(rows.size == emb.count(), "every vector gets a verdict")
+    // brute-force reference: in-cell pairs above tau from first principles
+    val cells = rows.map(r => r._1 -> r._2).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    for ((id, cl, keep, dupOf) <- rows) {
+      val smaller = ids.filter(o => o < id && cells(o) == cl && cos(vecs(o), vecs(id)) >= 0.3)
+      if (smaller.isEmpty) assert(keep == 1L && dupOf == -1L, s"vec $id should be kept")
+      else assert(keep == 0L && dupOf == smaller.min, s"vec $id: expected dup_of ${smaller.min}, got $dupOf")
+    }
+    assert(rows.count(_._3 == 0L) > 0, "corpus should contain semantic dups at tau=0.3")
+  }
+
   test("IVF index round-trips through cell-partitioned parquet; probe prunes partitions") {
     val emb = embeddings
     val queries = emb.where(col("vec_id") < 5)
