@@ -449,6 +449,11 @@ object Queries {
       Dedup.dedupClustersStar(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
         .orderBy("doc_id")
     }),
+    // exact-substring span removal: cross-doc duplicate 10-gram spans cut
+    // from every doc but the gram's lowest-id holder (arXiv:2107.06499 §4)
+    "p37_remove_spans" -> ((s, dir) =>
+      Dedup.removeSharedSpans(docs(s, dir), spanTokens = 10)
+        .orderBy("doc_id")),
     // SemDeDup-style semantic dedup: k-means cells block the cosine join,
     // keeper = no lower-id cell-mate above tau (arXiv:2303.09540)
     "p36_semantic_dedup" -> ((s, dir) =>
@@ -1493,6 +1498,21 @@ object Queries {
         |    SELECT e.vec_id, c.cluster, pow(list_distance(e.v, c.v), 2) AS d2,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
         |    FROM e CROSS JOIN c2 c) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "p37_remove_spans" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, pos, list_aggregate(w[pos:pos+9], 'string_agg', ' ') AS gram
+        |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 9)) AS pos FROM words WHERE len(w) >= 10)),
+        |fd AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+        |cut AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 9)) AS pos
+        |        FROM (SELECT g.doc_id, g.pos FROM g JOIN fd USING (gram) WHERE g.doc_id > fd.first_doc)),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w FROM words),
+        |kept AS (SELECT p.doc_id, p.pos, p.w[p.pos] AS word FROM p ANTI JOIN cut USING (doc_id, pos)),
+        |reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text, count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, coalesce(reb.clean_text, '') AS clean_text, coalesce(reb.n_kept, 0) AS n_kept,
+        |       len(w.w) - coalesce(reb.n_kept, 0) AS n_removed
+        |FROM words w LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
     // p18's two-iteration k-means chain extended with the within-cell
     // cosine pair join and min-id keeper rule
     "p36_semantic_dedup" ->

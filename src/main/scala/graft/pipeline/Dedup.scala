@@ -288,6 +288,51 @@ object Dedup {
   }
 
   /**
+   * Exact-substring span REMOVAL — the corpus-rewriting counterpart of
+   * [[sharedSpanPairs]] (which only reports pairs). Every word `spanTokens`-
+   * gram that also occurs in a lower-id document is cut from this document
+   * (all covered token positions dropped; the lowest-id document keeps its
+   * text untouched), and the surviving tokens are re-joined. The
+   * keep-the-first-occurrence rule follows Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better" (arXiv:2107.06499), §4 —
+   * restricted to cross-document duplicates (within-doc repeats survive).
+   *
+   * Scale shape: unlike the pair-reporting path this never joins documents
+   * against each other — gram→min(doc_id) is one agg keyed by gram,
+   * coverage expansion is a bounded ×spanTokens explode, and the kept-token
+   * anti-join and reconstruction are keyed by (doc_id, pos)/doc_id. Every
+   * stage is linear in corpus tokens.
+   *
+   * Returns (doc_id, clean_text, n_kept, n_removed); docs shorter than
+   * `spanTokens` pass through unchanged.
+   */
+  def removeSharedSpans(docs: DataFrame, spanTokens: Int = 10): DataFrame = {
+    val w = docs.select(col("doc_id"), wordsOf(col("text")).as("_w"))
+    val grams = w.where(size(col("_w")) >= spanTokens).select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("_w")) - (spanTokens - 1)),
+          i => concat_ws(" ", slice(col("_w"), i, lit(spanTokens))))).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+    val firstDoc = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    val cut = grams.join(firstDoc, "gram").where(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (spanTokens - 1))).as("pos"))
+      .distinct()
+    val positions = w.select(col("doc_id"), posexplode(col("_w")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("word"))
+    val rebuilt = positions.join(cut, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    // left join back: a doc whose every token was cut still gets a row
+    w.select(col("doc_id"), size(col("_w")).cast("long").as("n_total"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /**
    * Duplicate-cluster formation: connected components over a near-dup pair
    * graph (from [[minhashPairs]]/[[simhashPairs]]/[[ngramJaccardPairs]]),
    * labeling every document with the minimum doc_id reachable in its

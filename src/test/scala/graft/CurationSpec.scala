@@ -236,4 +236,18 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Long]("shared_grams"), r.getAs[Long]("max_span_tokens")))
     assert(rows.toSeq == Seq((1L, 2L, 3L, 7L)), rows.mkString(","))
   }
+
+  test("span removal: the quote is cut from the higher-id doc only; first holder and disjoint doc untouched") {
+    val quote = "to be or not to be said"
+    val corpus = docsOf(
+      1L -> s"alpha beta gamma $quote delta epsilon",
+      2L -> s"one two $quote three four five six",
+      3L -> "completely different words with no overlap at all whatsoever here")
+    val out = graft.pipeline.Dedup.removeSharedSpans(corpus, spanTokens = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed")))).toMap
+    assert(out(1L) == ((s"alpha beta gamma $quote delta epsilon", 12L, 0L)), out(1L).toString)
+    assert(out(2L) == (("one two three four five six", 6L, 7L)), out(2L).toString)
+    assert(out(3L)._3 == 0L, "disjoint doc must lose nothing")
+  }
 }
