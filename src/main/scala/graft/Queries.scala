@@ -449,6 +449,13 @@ object Queries {
       Dedup.dedupClustersStar(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
         .orderBy("doc_id")
     }),
+    // quality-aware keeper: p21's clusters keep their best-quality member
+    // (rounded-score rank, doc_id tiebreak) instead of the lowest id
+    "p38_quality_keeper" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.qualityKeeper(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
+        .orderBy("doc_id")
+    }),
     // exact-substring span removal: cross-doc duplicate 10-gram spans cut
     // from every doc but the gram's lowest-id holder (arXiv:2107.06499 §4)
     "p37_remove_spans" -> ((s, dir) =>
@@ -1498,6 +1505,20 @@ object Queries {
         |    SELECT e.vec_id, c.cluster, pow(list_distance(e.v, c.v), 2) AS d2,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
         |    FROM e CROSS JOIN c2 c) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // ccSql's component labels nested as a subquery + p03's raw metrics
+    // composed into the 0.4/0.3/0.3 score, rounded once, ranked per cluster
+    "p38_quality_keeper" ->
+      (s"""WITH cc AS (SELECT * FROM ($ccSql) t),
+        |q AS (SELECT doc_id, round(greatest(0.0, least(1.0,
+        |    0.4 * least(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) / 100.0, 1.0)
+        |  + 0.3 * (len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0),
+        |        x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','from','that','this'], x))) * 1.0
+        |      / greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)), 1)) * 3.0
+        |  + 0.3 * (1.0 - least((len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / greatest(len(text), 1)) * 5.0, 1.0)))), 4) AS quality_score
+        |  FROM documents)
+        |SELECT cc.doc_id, cc.cluster_id, q.quality_score,
+        |  CAST(row_number() OVER (PARTITION BY cc.cluster_id ORDER BY q.quality_score DESC, cc.doc_id) = 1 AS BIGINT) AS keep
+        |FROM cc JOIN q USING (doc_id) ORDER BY doc_id""").stripMargin,
     "p37_remove_spans" ->
       """WITH words AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w

@@ -448,4 +448,27 @@ object Dedup {
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
+
+  /**
+   * Quality-aware keeper selection: each duplicate cluster keeps its
+   * highest-quality member instead of the lowest doc_id — the rule
+   * production corpora actually want (drop the truncated/boilerplate copy,
+   * keep the clean one). Ranking uses the 1e-4-rounded
+   * [[TextStats.qualityScore]] (so the order is reproducible across
+   * engines), doc_id ascending as the tiebreak.
+   *
+   * One window per cluster over (score, id) — clusters are near-dup groups
+   * and tiny, so the partitioned sort never concentrates load.
+   *
+   * Returns (doc_id, cluster_id, quality_score rounded, keep ∈ {0,1}).
+   */
+  def qualityKeeper(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = dedupClusters(docs, pairs)
+    val q = TextStats.qualityScore(docs).select(col("doc_id"),
+      (round(col("quality_score") * 1e4) / 1e4).as("quality_score"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("quality_score").desc, col("doc_id"))
+    labels.join(q, "doc_id")
+      .withColumn("keep", (row_number().over(w) === 1).cast("long"))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"), col("keep"))
+  }
 }

@@ -250,4 +250,19 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == (("one two three four five six", 6L, 7L)), out(2L).toString)
     assert(out(3L)._3 == 0L, "disjoint doc must lose nothing")
   }
+
+  test("quality keeper: the cleaner duplicate wins its cluster even with the higher doc_id") {
+    val body = "the quick brown fox jumps over the lazy dog and runs far away from home"
+    val corpus = docsOf(
+      1L -> s"$body !!! ??? ;;; ,,, ... !!!",   // same words, punctuation-riddled → lower score
+      2L -> body,                               // clean copy
+      3L -> "an entirely different document about nothing shared with those two")
+    val pairs = graft.pipeline.Dedup.ngramJaccardPairs(corpus, k = 3, threshold = 0.5)
+    val out = graft.pipeline.Dedup.qualityKeeper(corpus, pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("keep")))).toMap
+    assert(out(1L) == ((1L, 0L)), s"noisy dup must lose: ${out(1L)}")
+    assert(out(2L) == ((1L, 1L)), s"clean dup must keep despite higher id: ${out(2L)}")
+    assert(out(3L)._2 == 1L, "singleton keeps itself")
+  }
 }
