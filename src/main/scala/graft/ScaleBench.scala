@@ -80,7 +80,8 @@ object ScaleBench {
     "p19_pii_signals", "p20_vocab", "p21_dedup_clusters",
     "p23_pack_plan", "p27_unigram_lm", "p28_sq_quantize", "p29_pq_topk",
     "p30_shared_spans", "p31_contamination_bloom", "p32_train_val_test",
-    "p33_length_buckets", "p34_ivf_pq_serve", "p35_dedup_clusters_star")
+    "p33_length_buckets", "p34_ivf_pq_serve", "p35_dedup_clusters_star",
+    "p36_semantic_dedup", "p37_remove_spans", "p38_quality_keeper")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture
@@ -95,7 +96,11 @@ object ScaleBench {
     // once measured p15 at 30 s where a re-run shows 2.3 s); best-of-REPS
     // keeps the ratios about plan shape, not scheduler luck
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
-    Headline.map { name =>
+    // SPARK_GRAFT_ONLY=p36,p37 → measure just those rows (same prefix
+    // convention as Verify) — full-headline runs stay the default
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val selected = only.fold(Headline)(ps => Headline.filter(n => ps.exists(n.startsWith)))
+    selected.map { name =>
       val t = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, dir).count()

@@ -172,6 +172,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "span matching must stay an equality join:\n" + plan.take(3000))
   }
 
+  test("span removal never joins documents pairwise: equality joins only, no pair-keyed stage") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w v u t"))
+      .toDF("doc_id", "text")
+    val plan = graft.pipeline.Dedup.removeSharedSpans(docs, spanTokens = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "span removal must stay equality-keyed:\n" + plan.take(3000))
+    assert(!plan.contains("UDF"), "span removal is pure built-in codegen:\n" + plan.take(3000))
+  }
+
+  test("semantic dedup self-join is keyed by cluster, never a cartesian product") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = Seq.tabulate(24)(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() - 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val plan = graft.pipeline.Similarity.semanticDedup(emb, k = 4, iters = 1, tau = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "cosine pairs must block on the k-means cell:\n" + plan.take(3000))
+  }
+
   test("srp near-dup signature scan carries no Scala UDF (native band-key codegen)") {
     val sp = spark
     import sp.implicits._
