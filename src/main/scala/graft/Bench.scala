@@ -29,7 +29,13 @@ object Bench {
     // (observed 10x inflation on late queries). Drop each query's NEW
     // persists after timing it; the shared warm fixtures stay.
     val keep = spark.sparkContext.getPersistentRDDs.keySet
+    val fixture = new graft.store.EventSeriesStore(sfDir).allSeries(spark)
     val results = catalog.map { case (name, fn) =>
+      // untimed fixture re-warm: a heavy query's persists can evict the
+      // shared series cache blocks, and the NEXT timed query then pays the
+      // re-materialization (observed in-suite: g23 16.7 s vs 1.3 s
+      // isolated). A count on the cached frame is ~ms when still resident.
+      fixture.count()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
