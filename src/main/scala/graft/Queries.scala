@@ -406,6 +406,16 @@ object Queries {
           dround(col("containment"), 4).as("containment"))
         .orderBy("doc_id", "bench_id")
     }),
+    // two-phase: bloom flags candidates map-side, the exact pass runs on
+    // the flagged sliver only; recall-1 bloom ⇒ output ≡ p16's, same oracle
+    "p39_contamination_2phase" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.contaminationTwoPhase(d.where(col("doc_id") % 20 =!= 0),
+          d.where(col("doc_id") % 20 === 0))
+        .select(col("doc_id"), col("bench_id"), col("overlap"),
+          dround(col("containment"), 4).as("containment"))
+        .orderBy("doc_id", "bench_id")
+    }),
     // bloom-filter first-pass decontamination (no oracle — probabilistic
     // membership; recall-1-vs-exact gate lives in CurationSpec)
     "p31_contamination_bloom" -> ((s, dir) => {
@@ -635,6 +645,21 @@ object Queries {
   // connected components over the exact ngram-jaccard pair graph: p11's pair
   // derivation + transitive min-reachable-id closure. p21 (label propagation)
   // and p35 (star contraction) compute the identical contract.
+  private val contaminationSql =
+    """WITH words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |    FROM words WHERE len(w) >= 3)),
+      |bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 20 = 0),
+      |bsz AS (SELECT bench_id, count(*) AS bench_sz FROM bench GROUP BY 1),
+      |ov AS (SELECT c.doc_id, b.bench_id, count(*) AS overlap
+      |       FROM sh c JOIN bench b ON c.sh = b.sh WHERE c.doc_id % 20 != 0 GROUP BY 1, 2)
+      |SELECT doc_id, bench_id, overlap, round(overlap * 1.0 / bench_sz, 4) AS containment
+      |FROM ov JOIN bsz USING (bench_id) WHERE overlap >= 2 ORDER BY doc_id, bench_id""".stripMargin
+
   private val ccSql =
     """WITH RECURSIVE words AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
@@ -1457,20 +1482,10 @@ object Queries {
         |  round(topc * 1.0 / n, 4) AS top_word_frac,
         |  round(CASE WHEN nb <= 0 THEN 0 ELSE 1 - db * 1.0 / nb END, 4) AS dup_bigram_frac
         |FROM cnt c JOIN bg USING (doc_id) ORDER BY doc_id""".stripMargin,
-    "p16_contamination" ->
-      """WITH words AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, sh FROM (
-        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |    FROM words WHERE len(w) >= 3)),
-        |bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 20 = 0),
-        |bsz AS (SELECT bench_id, count(*) AS bench_sz FROM bench GROUP BY 1),
-        |ov AS (SELECT c.doc_id, b.bench_id, count(*) AS overlap
-        |       FROM sh c JOIN bench b ON c.sh = b.sh WHERE c.doc_id % 20 != 0 GROUP BY 1, 2)
-        |SELECT doc_id, bench_id, overlap, round(overlap * 1.0 / bench_sz, 4) AS containment
-        |FROM ov JOIN bsz USING (bench_id) WHERE overlap >= 2 ORDER BY doc_id, bench_id""".stripMargin,
+    "p16_contamination" -> contaminationSql,
+    // recall-1 Bloom first pass + exact second pass ≡ the exact pass alone:
+    // the strongest statement of the two-phase contract is the same oracle
+    "p39_contamination_2phase" -> contaminationSql,
     "p17_tfidf_terms" ->
       """WITH ex AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0)) AS term

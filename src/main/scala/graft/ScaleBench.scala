@@ -92,6 +92,7 @@ object ScaleBench {
     spark.read.parquet(s"$dir/documents.parquet").count()
     spark.read.parquet(s"$dir/embeddings.parquet").count()
     val keep = spark.sparkContext.getPersistentRDDs.keySet
+    val fixture = new graft.store.EventSeriesStore(dir).allSeries(spark)
     // single-shot timings are GC/cache-pressure-sensitive (a one-off pause
     // once measured p15 at 30 s where a re-run shows 2.3 s); best-of-REPS
     // keeps the ratios about plan shape, not scheduler luck
@@ -101,6 +102,11 @@ object ScaleBench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
     val selected = only.fold(Headline)(ps => Headline.filter(n => ps.exists(n.startsWith)))
     selected.map { name =>
+      // untimed fixture re-warm between queries (same eviction artifact as
+      // Bench: a heavy query's persists evict the shared series cache and
+      // the next timed query pays the rebuild — the documented g18 7.57 s
+      // in-suite vs 0.60 s isolated reading)
+      fixture.count()
       val t = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, dir).count()

@@ -122,6 +122,24 @@ object Curation {
     aggregate(zip_with(vec, cent, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
 
   /**
+   * Two-phase decontamination — the composition a 100 TB pipeline actually
+   * runs: the map-side Bloom pass ([[contaminationBloom]]) flags candidate
+   * docs with zero joins, then the exact broadcast-join pass
+   * ([[contamination]]) runs only on the flagged sliver. Because the Bloom
+   * pass has recall 1 by construction (false positives only ever inflate
+   * hit counts), the composed output is IDENTICAL to running the exact
+   * pass over the whole corpus — which is exactly what the oracle asserts.
+   * The corpus→flagged semi join is AQE-convertible to broadcast when the
+   * flagged set is small (the common case: contamination is rare).
+   */
+  def contaminationTwoPhase(corpus: DataFrame, bench: DataFrame, n: Int = 3,
+                            minOverlap: Long = 2L, fpp: Double = 0.01): DataFrame = {
+    val flagged = contaminationBloom(corpus, bench, n, minHits = minOverlap, fpp = fpp)
+      .select("doc_id")
+    contamination(corpus.join(flagged, Seq("doc_id"), "left_semi"), bench, n, minOverlap)
+  }
+
+  /**
    * Distributed Lloyd's k-means over the full embedding corpus (unlike
    * [[Similarity.trainCentroids]], which trains on a driver sample for IVF).
    * Deterministic init: the embeddings of the `k` smallest vec_ids. Each

@@ -251,6 +251,21 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L)._3 == 0L, "disjoint doc must lose nothing")
   }
 
+  test("two-phase decontamination equals the exact pass (recall-1 bloom composition)") {
+    val corpus = docsOf(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "a completely unrelated document with none of the benchmark content",
+      3L -> "quick brown fox jumps over the lazy dog is a benchmark sentence")
+    val bench = docsOf(9L -> "quick brown fox jumps over the lazy dog")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"), r.getAs[Long]("overlap"),
+        math.round(r.getAs[Double]("containment") * 1e4))
+    val exact = graft.pipeline.Curation.contamination(corpus, bench).collect().map(key).toSet
+    val two = graft.pipeline.Curation.contaminationTwoPhase(corpus, bench).collect().map(key).toSet
+    assert(exact.nonEmpty, "planted overlap must flag")
+    assert(two == exact, s"two-phase must equal exact: $two vs $exact")
+  }
+
   test("quality keeper: the cleaner duplicate wins its cluster even with the higher doc_id") {
     val body = "the quick brown fox jumps over the lazy dog and runs far away from home"
     val corpus = docsOf(
