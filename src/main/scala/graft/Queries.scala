@@ -471,6 +471,12 @@ object Queries {
     "p37_remove_spans" -> ((s, dir) =>
       Dedup.removeSharedSpans(docs(s, dir), spanTokens = 10)
         .orderBy("doc_id")),
+    // cluster-balanced diversity sampling: every k-means cell capped at a
+    // target size via the deterministic p25 hash at rate target/|cell|
+    "p40_cluster_sample" -> ((s, dir) =>
+      Curation.clusterBalancedSample(embeddings(s, dir), k = 8, iters = 2,
+          targetPerCell = 32L, seed = 1L)
+        .orderBy("vec_id")),
     // SemDeDup-style semantic dedup: k-means cells block the cosine join,
     // keeper = no lower-id cell-mate above tau (arXiv:2303.09540)
     "p36_semantic_dedup" -> ((s, dir) =>
@@ -1549,6 +1555,32 @@ object Queries {
         |SELECT w.doc_id, coalesce(reb.clean_text, '') AS clean_text, coalesce(reb.n_kept, 0) AS n_kept,
         |       len(w.w) - coalesce(reb.n_kept, 0) AS n_removed
         |FROM words w LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the same k-means chain + per-cell counts + the p25 hash draw
+    "p40_cluster_sample" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
+        |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |u1 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |c1 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c0 c
+        |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u1 GROUP BY cluster) u USING (cluster)),
+        |a2 AS (SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
+        |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |u2 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |c2 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c1 c
+        |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u2 GROUP BY cluster) u USING (cluster)),
+        |af AS (SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
+        |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
+        |sz AS (SELECT cluster, count(*) AS cell_n FROM af GROUP BY cluster)
+        |SELECT af.vec_id, af.cluster, sz.cell_n,
+        |  round(least(1.0, 32.0 / sz.cell_n), 4) AS rate,
+        |  CAST(((af.vec_id % 1000003 + 1) * 2654435761) % 1000000007 % 10000 / 10000.0
+        |       < least(1.0, 32.0 / sz.cell_n) AS BIGINT) AS keep
+        |FROM af JOIN sz USING (cluster) ORDER BY vec_id""".stripMargin,
     // p18's two-iteration k-means chain extended with the within-cell
     // cosine pair join and min-id keeper rule
     "p36_semantic_dedup" ->

@@ -174,6 +174,32 @@ object Curation {
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"), col("d").as("dist2"))
   }
 
+  /**
+   * Cluster-balanced (diversity) sampling: cap every k-means cell at
+   * `targetPerCell` members by sampling each cell at rate target/|cell| —
+   * over-represented topics downsample toward uniform cluster mass, the
+   * balancing pass before corpus assembly (cf. the cluster-based sampling
+   * in DoReMi/D4-style data selection). The accept decision reuses
+   * [[Assembly.sampleStratified]]'s deterministic multiplicative hash
+   * (seeded, quantized to 1e4) so the draw is reproducible and
+   * SQL-twinnable. Cell sizes are k rows — broadcast; everything else is
+   * map-side.
+   *
+   * Returns every vector: (vec_id, cluster, cell_n, rate, keep ∈ {0,1}).
+   */
+  def clusterBalancedSample(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                            targetPerCell: Long = 32L, seed: Long = 1L): DataFrame = {
+    val assigned = kmeansAssign(emb, k, iters).select(col("vec_id"), col("cluster"))
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("cell_n"))
+    val u = (((col("vec_id") % 1000003L + seed) * 2654435761L) % 1000000007L % 10000L)
+      .cast("double") / 10000.0
+    assigned.join(broadcast(sizes), "cluster")
+      .withColumn("rate", least(lit(1.0), lit(targetPerCell).cast("double") / col("cell_n")))
+      .withColumn("keep", (u < col("rate")).cast("long"))
+      .select(col("vec_id"), col("cluster"), col("cell_n"),
+        (round(col("rate") * 1e4) / 1e4).as("rate"), col("keep"))
+  }
+
   /** Map-side argmin assignment against a literal centroid array (same shape
     * as Similarity.assignCells; ties break to the lowest cluster index). */
   private def assignTo(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame = {

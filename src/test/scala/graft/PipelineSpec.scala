@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
-import graft.pipeline.{Dedup, Similarity, TextStats}
+import graft.pipeline.{Curation, Dedup, Similarity, TextStats}
 
 /**
  * Self-consistency gates for the hash-dependent pipeline operators that have
@@ -278,6 +278,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       else assert(keep == 0L && dupOf == smaller.min, s"vec $id: expected dup_of ${smaller.min}, got $dupOf")
     }
     assert(rows.count(_._3 == 0L) > 0, "corpus should contain semantic dups at tau=0.3")
+  }
+
+  test("p40: cluster-balanced sampling keeps whole under-target cells and thins over-target ones") {
+    val emb = embeddings
+    val target = 16L
+    val out = Curation.clusterBalancedSample(emb, k = 8, iters = 2, targetPerCell = target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(out.length == emb.count(), "every vector gets a verdict")
+    val byCell = out.groupBy(_._2)
+    for ((cell, rows) <- byCell) {
+      val n = rows.head._3
+      val kept = rows.count(_._5 == 1L)
+      assert(rows.forall(_._3 == n), s"cell $cell: inconsistent cell_n")
+      if (n <= target) assert(kept == n, s"under-target cell $cell must keep all: $kept/$n")
+      else assert(kept < n, s"over-target cell $cell (n=$n) must drop some, kept $kept")
+    }
+    val total = out.count(_._5 == 1L)
+    assert(total < out.length, "an over-represented corpus must thin overall")
   }
 
   test("IVF index round-trips through cell-partitioned parquet; probe prunes partitions") {
