@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.SeriesFrame
 import graft.engine.Eval
 import graft.pipeline.{Assembly, Curation, Dedup, Multimodal, Quantize, Similarity, TextStats}
@@ -313,6 +314,29 @@ object Queries {
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(dround(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+    // gap-based sessionization: per-user event-time windows, a new session
+    // after >6 h idle; the window partitions by user so a 100 TB event log
+    // sessionizes with one shuffle and no global sort
+    "q07_sessions" -> ((s, dir) => {
+      // micro-truncated event time: ts arrives as raw nanos (nanosAsLong)
+      // but DuckDB's TIMESTAMP tops out at µs, so both engines compare in µs
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tus"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val gapUs = 6L * 3600L * 1000000L
+      ev.withColumn("prev", lag("tus", 1).over(w))
+        .withColumn("new_sess",
+          (col("prev").isNull || col("tus") - col("prev") > gapUs).cast("int"))
+        .withColumn("sess_seq", sum("new_sess")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_seq")
+        .agg(min("tus").as("session_start_us"),
+          count(lit(1)).as("n_events"),
+          (max("tus") - min("tus")).as("duration_us"),
+          dround(sum("value"), 2).as("total_value"))
+        .orderBy("user_id", "sess_seq")
     }),
 
     // ---- training-data pipeline operators
@@ -1410,6 +1434,14 @@ object Queries {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q07_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 21600000000 THEN 1 ELSE 0 END AS new_sess
+        |      FROM (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e)),
+        |g AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_seq FROM f)
+        |SELECT user_id, sess_seq, min(tus) AS session_start_us, count(*) AS n_events,
+        |  max(tus) - min(tus) AS duration_us, round(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
 
     "p01_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS dup_count FROM documents GROUP BY 1 ORDER BY 1",
