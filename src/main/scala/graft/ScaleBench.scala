@@ -81,7 +81,8 @@ object ScaleBench {
     "p23_pack_plan", "p27_unigram_lm", "p28_sq_quantize", "p29_pq_topk",
     "p30_shared_spans", "p31_contamination_bloom", "p32_train_val_test",
     "p33_length_buckets", "p34_ivf_pq_serve", "p35_dedup_clusters_star",
-    "p36_semantic_dedup", "p37_remove_spans", "p38_quality_keeper")
+    "p36_semantic_dedup", "p37_remove_spans", "p38_quality_keeper",
+    "p39_contamination_2phase", "p40_cluster_sample", "q07_sessions")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

@@ -70,6 +70,35 @@ object Ingest {
       .outputMode(OutputMode.Append())
       .trigger(trigger)
 
+  /**
+   * Streaming gap-based sessionization via the native `session_window`:
+   * per-user event-time sessions that close after `gap` idle time, each
+   * emitted exactly once when the watermark passes its close (append mode).
+   * The engine MERGES overlapping per-event windows in state — the
+   * streaming analogue of batch q07's lag/cumsum derivation, with state
+   * bounded by (users × open sessions), not history.
+   *
+   * Contract matches batch q07 minus `sess_seq` (an inherently batch
+   * ordinal — it needs the user's total history; derivable downstream by
+   * ordering session_start_us). Boundary note: the batch rule starts a new
+   * session when idle > gap, `session_window` when idle >= gap — the two
+   * differ only for an idle time of exactly `gap` (µs-exact), never hit by
+   * real event data.
+   */
+  def sessionize(events: DataFrame, gap: String = "6 hours",
+                 watermark: String = "12 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"),
+        unix_micros(col("first_ts")).as("session_start_us"),
+        col("n_events"),
+        (unix_micros(col("last_ts")) - unix_micros(col("first_ts"))).as("duration_us"),
+        col("total_value"))
+
   /** Assemble the streamed long points into the canonical dense series
     * frame for a [start, stop) request — the bridge from the streaming sink
     * back into the batch query path. */

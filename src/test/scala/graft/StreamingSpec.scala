@@ -251,4 +251,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.map(_._1) == Set(1L, 5L), s"fixture drift: $batch")
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
+
+  test("streaming sessionization matches the batch q07 derivation for watermark-closed sessions") {
+    val tmp = Files.createTempDirectory("graft-sess").toString
+    val srcDir = s"$tmp/events"
+    val ckDir = s"$tmp/ck"
+    val sp = spark
+    // stage the sf0.001 events with µs timestamps (raw parquet is
+    // TIMESTAMP(NANOS) read as long under nanosAsLong)
+    val raw = sp.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = (raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw
+    }).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.write.mode("overwrite").parquet(srcDir)
+
+    val q = graft.streaming.Ingest.sessionize(
+        graft.streaming.Ingest.eventStream(sp, srcDir))
+      .writeStream.format("memory").queryName("sessions_stream")
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"),
+        math.round(r.getAs[Double]("total_value") * 100))
+    val streamed = sp.table("sessions_stream").collect().map(key).toSet
+
+    // batch twin: q07's lag/cumsum derivation over the same staged source
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 6L * 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val batchAll = sp.read.parquet(srcDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"), col("value"))
+      .withColumn("prev", lag("tus", 1).over(w))
+      .withColumn("new_sess", (col("prev").isNull || col("tus") - col("prev") > gapUs).cast("int"))
+      .withColumn("sess_seq", sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_seq")
+      .agg(min("tus").as("session_start_us"), count(lit(1)).as("n_events"),
+        (max("tus") - min("tus")).as("duration_us"),
+        round(sum("value"), 2).as("total_value"),
+        max("tus").as("last_us"))
+    // only sessions the watermark closed by end-of-stream are emitted:
+    // last event + gap must fall behind (max event time - watermark)
+    val maxUs = batchAll.agg(max("last_us")).head().getLong(0)
+    val closed = batchAll
+      .where(col("last_us") + gapUs < maxUs - 12L * 3600L * 1000000L)
+      .drop("sess_seq", "last_us").collect().map(key).toSet
+    assert(closed.nonEmpty, "fixture must contain watermark-closed sessions")
+    assert(closed.subsetOf(streamed), s"missing closed sessions: ${closed.diff(streamed).take(3)}")
+    // and everything the stream emitted must be a real batch session
+    val all = batchAll.drop("sess_seq", "last_us").collect().map(key).toSet
+    assert(streamed.subsetOf(all), s"stream emitted non-batch sessions: ${streamed.diff(all).take(3)}")
+  }
 }
