@@ -139,28 +139,24 @@ object VecOps {
 
   /** Forward-fill NaN gaps of length <= limit (Inf = unlimited).
     * (ref expr/functions/keepLastValue/function.go) */
+  /** Forward-fill NaN runs with the last seen value, at most `limit`
+    * consecutive points per gap — a PARTIAL prefix for longer gaps,
+    * trailing gap included; negative limit = unlimited
+    * (ref keepLastValue/function.go:66-84, golden: limit 3 over a 4-gap
+    * fills exactly 3). graphite-web instead fills all-or-nothing per gap;
+    * the reference's own tables assert the partial behavior, so that is
+    * the contract here. */
   def keepLastValue(v: Array[Double], limit: Double = Double.PositiveInfinity): Array[Double] = {
     val out = v.clone()
-    var lastVal = Double.NaN
-    var gapStart = -1
+    val unlimited = limit < 0 || limit.isPosInfinity
+    var prev = Double.NaN
+    var missing = 0
     var i = 0
     while (i < out.length) {
       if (isNaN(out(i))) {
-        if (gapStart < 0) gapStart = i
-      } else {
-        if (gapStart >= 0 && !isNaN(lastVal) && (i - gapStart) <= limit) {
-          var j = gapStart
-          while (j < i) { out(j) = lastVal; j += 1 }
-        }
-        gapStart = -1
-        lastVal = out(i)
-      }
+        if ((unlimited || missing < limit) && !isNaN(prev)) { out(i) = prev; missing += 1 }
+      } else { missing = 0; prev = out(i) }
       i += 1
-    }
-    // trailing gap: graphite fills it too when within limit
-    if (gapStart >= 0 && !isNaN(lastVal) && (out.length - gapStart) <= limit) {
-      var j = gapStart
-      while (j < out.length) { out(j) = lastVal; j += 1 }
     }
     out
   }

@@ -65,6 +65,10 @@ object Eval {
   private def numArg(fc: FuncCall, i: Int, name: String = "", default: Option[Double] = None): Double =
     arg(fc, i, name) match {
       case Some(Num(v)) => v
+      // bare or quoted `inf` (any case) — ref pkg/parser/internal.go
+      // doGetIntOrInfArg, used by keepLastValue/interpolate limits
+      case Some(NameExpr(s)) if s.equalsIgnoreCase("inf") => Double.PositiveInfinity
+      case Some(Str(s)) if s.equalsIgnoreCase("inf") => Double.PositiveInfinity
       case Some(Str(s)) => s.toDouble
       case None => default.getOrElse(throw new IllegalArgumentException(s"${fc.name}: missing numeric arg $i"))
       case Some(other) => throw new IllegalArgumentException(s"${fc.name}: bad numeric arg $other")
@@ -326,8 +330,14 @@ object Eval {
     "integral" -> ((ctx, fc) => SeriesOps.integral(seriesArg(ctx, fc))),
     "integralByInterval" -> ((ctx, fc) => SeriesOps.integralByInterval(
       seriesArg(ctx, fc), intervalArg(fc, 1), strArg(fc, 1))),
-    "keepLastValue" -> ((ctx, fc) => SeriesOps.keepLastValue(
-      seriesArg(ctx, fc), numArg(fc, 1, "limit", Some(Double.PositiveInfinity)))),
+    // 2-arg form includes the normalized limit in the name ("inf" or the
+    // int — ref keepLastValue/function.go:56-60); 1-arg form omits it
+    "keepLastValue" -> ((ctx, fc) => {
+      val lim = numArg(fc, 1, "limit", Some(Double.PositiveInfinity))
+      val extra = if (arg(fc, 1, "limit").isEmpty) Nil
+        else Seq(if (lim.isPosInfinity) "inf" else SeriesOps.fmtNum(lim))
+      SeriesOps.keepLastValue(seriesArg(ctx, fc), lim, extra)
+    }),
     "interpolate" -> ((ctx, fc) => SeriesOps.interpolateS(
       seriesArg(ctx, fc), numArg(fc, 1, "limit", Some(Double.PositiveInfinity)))),
     "changed" -> ((ctx, fc) => SeriesOps.changed(seriesArg(ctx, fc))),

@@ -400,8 +400,9 @@ object SeriesOps {
     rewrap(df.withColumn("values", u(col("values"), col("start"), col("step"))),
       "integralByInterval", Seq(s"'$argStr'"), tagValue = Some(argStr))
   }
-  def keepLastValue(df: DataFrame, limit: Double = Double.PositiveInfinity): DataFrame =
-    rewrap(mapVec(df, VecOps.keepLastValue(_, limit)), "keepLastValue")
+  def keepLastValue(df: DataFrame, limit: Double = Double.PositiveInfinity,
+                    nameArgs: Seq[String] = Nil): DataFrame =
+    rewrap(mapVec(df, VecOps.keepLastValue(_, limit)), "keepLastValue", nameArgs)
   def interpolateS(df: DataFrame, limit: Double = Double.PositiveInfinity): DataFrame =
     rewrap(mapVec(df, VecOps.interpolate(_, limit)), "interpolate")
   def changed(df: DataFrame): DataFrame = rewrap(mapVec(df, VecOps.changed), "changed")

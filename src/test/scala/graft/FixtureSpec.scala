@@ -138,6 +138,20 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("changed(metric1)", Seq(0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 1, 1, 1, 0, 1, 0, 0, 1, 1), step = 1)))
   }
 
+  test("keepLastValue limit forms (ref keepLastValue/function_test.go:30-58)") {
+    val in = Seq(md("metric1", Seq(NaN, 2, NaN, NaN, NaN, NaN, 4, 5), step = 1))
+    // limit 3 over a 4-gap fills exactly the first 3 (partial prefix)
+    check("keepLastValue(metric1,3)", in,
+      Seq(md("keepLastValue(metric1,3)", Seq(NaN, 2, 2, 2, 2, NaN, 4, 5), step = 1)))
+    check("keepLastValue(metric1)", in,
+      Seq(md("keepLastValue(metric1)", Seq(NaN, 2, 2, 2, 2, 2, 4, 5), step = 1)))
+    // bare and quoted inf both normalize to ",inf" in the name
+    check("keepLastValue(metric1,inf)", in,
+      Seq(md("keepLastValue(metric1,inf)", Seq(NaN, 2, 2, 2, 2, 2, 4, 5), step = 1)))
+    check("keepLastValue(metric1,'INF')", in,
+      Seq(md("keepLastValue(metric1,inf)", Seq(NaN, 2, 2, 2, 2, 2, 4, 5), step = 1)))
+  }
+
   test("integralByInterval resets each bucket (ref integralByInterval/function_test.go)") {
     check("integralByInterval(metric1,'10s')",
       Seq(md("metric1", Seq(1, 0, 2, 3, 4, 5, 0, 7, 8, 9, 10), step = 2)),

@@ -124,13 +124,18 @@ class KernelsSpec extends AnyFunSuite {
     assertVec(VecOps.integral(Array(1, 2, NaN, 3)), Array(1, 3, NaN, 6))
   }
 
-  test("keepLastValue with limit") {
+  test("keepLastValue with limit (partial prefix fill, ref keepLastValue/function.go:66-84)") {
     assertVec(VecOps.keepLastValue(Array(1, NaN, NaN, 4), Double.PositiveInfinity),
       Array(1, 1, 1, 4))
     assertVec(VecOps.keepLastValue(Array(1, NaN, NaN, 4), 1),
-      Array(1, NaN, NaN, 4)) // gap of 2 > limit 1
+      Array(1, 1, NaN, 4)) // gap of 2, limit 1 → first point fills
     assertVec(VecOps.keepLastValue(Array(NaN, 2, NaN, NaN), 2),
       Array(NaN, 2, 2, 2)) // leading gap not filled; trailing within limit
+    // the reference golden: limit 3 over a 4-gap fills exactly 3
+    assertVec(VecOps.keepLastValue(Array(NaN, 2, NaN, NaN, NaN, NaN, 4, 5), 3),
+      Array(NaN, 2, 2, 2, 2, NaN, 4, 5))
+    assertVec(VecOps.keepLastValue(Array(1, NaN, NaN), -1),
+      Array(1, 1, 1)) // negative limit = unlimited
   }
 
   test("interpolate linear fill") {
