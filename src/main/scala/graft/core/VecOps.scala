@@ -54,9 +54,11 @@ object VecOps {
     out
   }
 
-  /** nonNegativeDerivative scaled to per-second rate. (ref perSecond/function.go) */
-  def perSecond(v: Array[Double], step: Long, maxValue: Double = Double.NaN): Array[Double] = {
-    val d = nonNegativeDerivative(v, maxValue)
+  /** nonNegativeDerivative scaled to per-second rate; same counter-wrap
+    * maxValue / minValue floor semantics. (ref perSecond/function.go:98-117) */
+  def perSecond(v: Array[Double], step: Long, maxValue: Double = Double.NaN,
+                minValue: Double = Double.NaN): Array[Double] = {
+    val d = nonNegativeDerivative(v, maxValue, minValue)
     var i = 0
     while (i < d.length) { d(i) = d(i) / step; i += 1 }
     d

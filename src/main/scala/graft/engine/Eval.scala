@@ -326,7 +326,19 @@ object Eval {
         else Nil
       SeriesOps.nonNegativeDerivative(seriesArg(ctx, fc), maxV, minV, nameArgs)
     }),
-    "perSecond" -> ((ctx, fc) => SeriesOps.perSecond(seriesArg(ctx, fc))),
+    // same maxValue wrap / minValue floor surface and name mask as
+    // nonNegativeDerivative (ref perSecond/function.go:39-87)
+    "perSecond" -> ((ctx, fc) => {
+      val maxV = numArg(fc, 1, "maxValue", Some(Double.NaN))
+      val minV = numArg(fc, 2, "minValue", Some(Double.NaN))
+      require(maxV.isNaN || minV.isNaN || minV < maxV, "minValue must be lower than maxValue")
+      val nameArgs =
+        if (!maxV.isNaN && !minV.isNaN) Seq(SeriesOps.fmtNum(maxV), SeriesOps.fmtNum(minV))
+        else if (!minV.isNaN) Seq("minValue=" + SeriesOps.fmtNum(minV))
+        else if (!maxV.isNaN) Seq(SeriesOps.fmtNum(maxV))
+        else Nil
+      SeriesOps.perSecond(seriesArg(ctx, fc), maxV, minV, nameArgs)
+    }),
     "integral" -> ((ctx, fc) => SeriesOps.integral(seriesArg(ctx, fc))),
     "integralByInterval" -> ((ctx, fc) => SeriesOps.integralByInterval(
       seriesArg(ctx, fc), intervalArg(fc, 1), strArg(fc, 1))),

@@ -389,9 +389,11 @@ object SeriesOps {
                             minValue: Double = Double.NaN, nameArgs: Seq[String] = Nil): DataFrame =
     rewrap(mapVec(df, VecOps.nonNegativeDerivative(_, maxValue, minValue)),
       "nonNegativeDerivative", nameArgs)
-  def perSecond(df: DataFrame): DataFrame = {
-    val u = udf((v: Seq[Double], step: Long) => VecOps.perSecond(v.toArray, step))
-    rewrap(df.withColumn("values", u(col("values"), col("step"))), "perSecond")
+  def perSecond(df: DataFrame, maxValue: Double = Double.NaN,
+                minValue: Double = Double.NaN, nameArgs: Seq[String] = Nil): DataFrame = {
+    val u = udf((v: Seq[Double], step: Long) =>
+      VecOps.perSecond(v.toArray, step, maxValue, minValue))
+    rewrap(df.withColumn("values", u(col("values"), col("step"))), "perSecond", nameArgs)
   }
   def integral(df: DataFrame): DataFrame = rewrap(mapVec(df, VecOps.integral), "integral")
   def integralByInterval(df: DataFrame, interval: Long, argStr: String): DataFrame = {

@@ -152,6 +152,15 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("keepLastValue(metric1,inf)", Seq(NaN, 2, 2, 2, 2, 2, 4, 5), step = 1)))
   }
 
+  test("perSecond maxValue wrap and minValue floor (ref perSecond/function_test.go:36-49)") {
+    check("perSecond(metric1,32)",
+      Seq(md("metric1", Seq(NaN, 1, 2, 3, 4, 30, 0, 32, NaN), step = 1)),
+      Seq(md("perSecond(metric1,32)", Seq(NaN, NaN, 1, 1, 1, 26, 3, 32, NaN), step = 1)))
+    check("perSecond(metric1,minValue=1)",
+      Seq(md("metric1", Seq(NaN, 1, 2, 3, 4, 30, 3, 32, NaN), step = 1)),
+      Seq(md("perSecond(metric1,minValue=1)", Seq(NaN, NaN, 1, 1, 1, 26, 2, 29, NaN), step = 1)))
+  }
+
   test("integralByInterval resets each bucket (ref integralByInterval/function_test.go)") {
     check("integralByInterval(metric1,'10s')",
       Seq(md("metric1", Seq(1, 0, 2, 3, 4, 5, 0, 7, 8, 9, 10), step = 2)),
