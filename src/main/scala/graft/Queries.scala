@@ -834,11 +834,15 @@ object Queries {
         |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep ON s.name = keep.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
     "g40_join_sub" ->
       (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name != 'events.click' AND v IS NOT NULL ORDER BY name, ts"),
+    // int-string names, ZERO-filled counts at every grid ts; a key series
+    // exists iff the key was observed at least once (ref countValues)
     "g41_countvalues" ->
-      (S + """SELECT * FROM (
-        |  SELECT '1.0' AS name, ts, CAST(count(v) AS DOUBLE) AS value FROM s GROUP BY ts HAVING count(v) > 0
+      (S + """, c1 AS (SELECT ts, CAST(count(v) AS DOUBLE) AS value FROM s GROUP BY ts),
+        |c0 AS (SELECT ts, CAST(count(CASE WHEN v IS NULL THEN 1 END) AS DOUBLE) AS value FROM s GROUP BY ts)
+        |SELECT * FROM (
+        |  SELECT '1' AS name, ts, value FROM c1 WHERE (SELECT max(value) FROM c1) > 0
         |  UNION ALL
-        |  SELECT '0.0' AS name, ts, CAST(count(CASE WHEN v IS NULL THEN 1 END) AS DOUBLE) AS value FROM s GROUP BY ts HAVING count(CASE WHEN v IS NULL THEN 1 END) > 0
+        |  SELECT '0' AS name, ts, value FROM c0 WHERE (SELECT max(value) FROM c0) > 0
         |) ORDER BY name, ts""".stripMargin),
     "g47_integral_reset" ->
       (S + """, r AS (SELECT ts, CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS rst FROM s WHERE name = 'events.click'),

@@ -486,7 +486,8 @@ object Eval {
       seriesArg(ctx, fc), seriesArg(ctx, fc, 1), nodeOrTagsFrom(fc, 2), fc.rawArgs)),
     "join" -> ((ctx, fc) => PairOps.joinNames(
       seriesArg(ctx, fc), seriesArg(ctx, fc, 1), strArg(fc, 2, "type", Some("AND")))),
-    "countValues" -> ((ctx, fc) => PairOps.countValues(seriesArg(ctx, fc))),
+    "countValues" -> ((ctx, fc) => PairOps.countValues(seriesArg(ctx, fc),
+      intArg(fc, 1, "valuesLimit", Some(32)))),
 
     // ---- time manipulation (fetch-time shifts)
     "timeShift" -> ((ctx, fc) => {

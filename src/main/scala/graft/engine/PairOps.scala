@@ -179,18 +179,37 @@ object PairOps {
   /** countValues: one output series per distinct value observed, counting
     * occurrences across the input list at each ts.
     * (ref countValues/function.go) */
-  def countValues(df: DataFrame): DataFrame = {
-    val pts = graft.core.SeriesFrame.toPoints(df)
-    val counted = pts.groupBy(col("value"), col("ts"), col("step"))
-      .agg(count(lit(1)).cast("double").as("cnt"))
-    val grid = counted.groupBy(col("value"), col("step"))
-      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"),
-        map_from_entries(collect_list(struct(col("ts"), col("cnt")))).as("m"))
-    grid.select(
-      col("value").cast("string").as("name"),
-      map(lit("name"), col("value").cast("string")).as("tags"),
-      col("t0").as("start"), col("step"),
-      transform(sequence(col("t0"), col("t1"), col("step")),
-        t => coalesce(element_at(col("m"), t), lit(Double.NaN))).as("values"))
+  /** One series per distinct INT-truncated value: per-bucket occurrence
+    * counts, ZERO-filled over the full input grid (not NaN — the reference
+    * zero-initializes each output vector); above `valuesLimit` distinct
+    * values the whole result collapses to one zero series named
+    * `valuesLimitReached` (ref countValues/function.go:30-80). */
+  def countValues(df: DataFrame, valuesLimit: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val geo = df.agg(min(col("start")), max(col("start") + size(col("values")) * col("step")),
+      min(col("step"))).head()
+    if (geo.isNullAt(0)) return graft.engine.Eval.emptyFrame(spark)
+    val t0 = geo.getLong(0); val t1 = geo.getLong(1); val step = geo.getLong(2)
+    def constSeries(name: String): DataFrame = {
+      import spark.implicits._
+      Seq(name).toDF("name").select(col("name"),
+        map(lit("name"), col("name")).as("tags"),
+        lit(t0).as("start"), lit(step).as("step"),
+        transform(sequence(lit(t0), lit(t1 - step), lit(step)), _ => lit(0.0)).as("values"))
+    }
+    val keyed = graft.core.SeriesFrame.toPoints(df)
+      .select(col("value").cast("int").as("key"), col("ts"))
+    // the distinct-key count is a tiny scalar agg; the reference likewise
+    // materializes the key set before deciding the escape hatch
+    if (keyed.select("key").distinct().count() > valuesLimit) return constSeries("valuesLimitReached")
+    keyed.groupBy(col("key"), col("ts")).agg(count(lit(1)).cast("double").as("cnt"))
+      .groupBy(col("key"))
+      .agg(map_from_entries(collect_list(struct(col("ts"), col("cnt")))).as("m"))
+      .select(
+        col("key").cast("string").as("name"),
+        map(lit("name"), col("key").cast("string")).as("tags"),
+        lit(t0).as("start"), lit(step).as("step"),
+        transform(sequence(lit(t0), lit(t1 - step), lit(step)),
+          t => coalesce(element_at(col("m"), t), lit(0.0))).as("values"))
   }
 }

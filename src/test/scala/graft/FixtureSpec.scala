@@ -152,6 +152,25 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("keepLastValue(metric1,inf)", Seq(NaN, 2, 2, 2, 2, 2, 4, 5), step = 1)))
   }
 
+  test("countValues: int keys, zero-filled grid, valuesLimit escape (ref countValues/function_test.go:32-101)") {
+    val in = Seq(
+      md("metric1.foo.bar1.baz", Seq(1, 2, 3, 4, 5), step = 1),
+      md("metric1.foo.bar1.qux", Seq(2, 2, 4, 5, 6), step = 1),
+      md("metric1.foo.bar2.baz", Seq(NaN, 1, 1, 1, 1), step = 1))
+    val expected = Seq(
+      md("1", Seq(1, 1, 1, 1, 1), step = 1),
+      md("2", Seq(1, 2, 0, 0, 0), step = 1),
+      md("3", Seq(0, 0, 1, 0, 0), step = 1),
+      md("4", Seq(0, 0, 1, 1, 0), step = 1),
+      md("5", Seq(0, 0, 0, 1, 1), step = 1),
+      md("6", Seq(0, 0, 0, 0, 1), step = 1))
+    check("countValues(metric1.foo.*.*)", in, expected)
+    check("countValues(metric1.foo.*.*, 7)", in, expected)
+    check("countValues(metric1.foo.*.*,valuesLimit=6)", in, expected)
+    check("countValues(metric1.foo.*.*, 5)", in,
+      Seq(md("valuesLimitReached", Seq(0, 0, 0, 0, 0), step = 1)))
+  }
+
   test("perSecond maxValue wrap and minValue floor (ref perSecond/function_test.go:36-49)") {
     check("perSecond(metric1,32)",
       Seq(md("metric1", Seq(NaN, 1, 2, 3, 4, 30, 0, 32, NaN), step = 1)),
