@@ -319,11 +319,16 @@ object Queries {
     // after >6 h idle; the window partitions by user so a 100 TB event log
     // sessionizes with one shuffle and no global sort
     "q07_sessions" -> ((s, dir) => {
-      // micro-truncated event time: ts arrives as raw nanos (nanosAsLong)
-      // but DuckDB's TIMESTAMP tops out at µs, so both engines compare in µs
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("tus"), col("value"))
+      // micro-truncated event time: ts arrives as raw nanos (nanosAsLong),
+      // as TIMESTAMP_NTZ, or as TIMESTAMP depending on reader config; DuckDB
+      // tops out at µs, so both engines compare in epoch µs
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val tsUs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val ev = raw.select(col("user_id"), col("event_id"),
+        tsUs.as("tus"), col("value"))
       val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
       val gapUs = 6L * 3600L * 1000000L
       ev.withColumn("prev", lag("tus", 1).over(w))

@@ -94,9 +94,12 @@ object Ingest {
         round(sum(col("value")), 2).as("total_value"),
         min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
       .select(col("user_id"),
-        unix_micros(col("first_ts")).as("session_start_us"),
+        // cast absorbs TIMESTAMP_NTZ sources (instant-preserving: session tz
+        // is pinned UTC in GraftSession) — unix_micros requires TIMESTAMP
+        unix_micros(col("first_ts").cast("timestamp")).as("session_start_us"),
         col("n_events"),
-        (unix_micros(col("last_ts")) - unix_micros(col("first_ts"))).as("duration_us"),
+        (unix_micros(col("last_ts").cast("timestamp")) -
+          unix_micros(col("first_ts").cast("timestamp"))).as("duration_us"),
         col("total_value"))
 
   /** Assemble the streamed long points into the canonical dense series

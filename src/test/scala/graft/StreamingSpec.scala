@@ -263,6 +263,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ev = (raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      // TIMESTAMP(NANOS) may surface as NTZ — normalize to TIMESTAMP
+      // (instant-preserving under the UTC session tz)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }).select("event_id", "ts", "user_id", "event_type", "value", "props")
     ev.write.mode("overwrite").parquet(srcDir)
@@ -286,7 +290,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gapUs = 6L * 3600L * 1000000L
     val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     val batchAll = sp.read.parquet(srcDir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"), col("value"))
       .withColumn("prev", lag("tus", 1).over(w))
       .withColumn("new_sess", (col("prev").isNull || col("tus") - col("prev") > gapUs).cast("int"))
       .withColumn("sess_seq", sum("new_sess")
