@@ -36,9 +36,14 @@ object Bench {
       // re-materialization (observed in-suite: g23 16.7 s vs 1.3 s
       // isolated). A count on the cached frame is ~ms when still resident.
       fixture.count()
+      // fail loudly: a swallowed error would REDUCE the published total
+      // (r5 recorded -1 s per failed rep) — breakage must break the bench
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            throw new RuntimeException(s"bench query '$name' failed", e)
+        }
         (System.nanoTime() - t0) / 1e9
       }
       spark.sparkContext.getPersistentRDDs
@@ -48,7 +53,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the stdout line gets truncated in the driver's captured tail (r5's
+    // BENCH json had parsed:null) — persist the same line verbatim
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -238,6 +238,9 @@ object Queries {
         .select(col("name"), col("ts"), dround(col("value"), 4).as("value"))
         .orderBy("name", "ts")
     }),
+    // cumulative = consolidateBy(series,'sum') (ref: functions/cumulative) —
+    // direct row so the alias carries its own oracle instead of riding g125
+    "g144_cumulative" -> g("cumulative(events.*)"),
 
     // ---- TPC-H-style relational anchors (bench headliners)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -323,9 +326,20 @@ object Queries {
       // as TIMESTAMP_NTZ, or as TIMESTAMP depending on reader config; DuckDB
       // tops out at µs, so both engines compare in epoch µs
       val raw = s.read.parquet(s"$dir/events.parquet")
+      // FLOOR division nanos→µs (pmod keeps the remainder non-negative):
+      // `div` truncates toward zero, which diverges from DuckDB's floor by
+      // 1 µs on pre-epoch timestamps. Unexpected ts types THROW — with
+      // ANSI off a silent cast would turn schema drift into NULLs and an
+      // empty sessionization instead of a fast failure.
       val tsUs = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts").cast("timestamp"))
+        case org.apache.spark.sql.types.LongType =>
+          expr("(ts - pmod(ts, 1000)) div 1000")
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(col("ts").cast("timestamp"))
+        case other => throw new IllegalArgumentException(
+          s"q07_sessions: unsupported events.ts type $other — expected " +
+            "LONG (epoch nanos), TIMESTAMP, or TIMESTAMP_NTZ")
       }
       val ev = raw.select(col("user_id"), col("event_id"),
         tsUs.as("tus"), col("value"))
@@ -1212,6 +1226,8 @@ object Queries {
       (S + """SELECT 'compressPeriodicGaps(transformNull(' || name || ',1))' AS name, ts,
         |  round(coalesce(v, 1), 4) AS value
         |FROM s WHERE ts % 10800 = 0 ORDER BY name, ts""".stripMargin),
+    "g144_cumulative" ->
+      (S + "SELECT 'consolidateBy(' || name || ',''sum'')' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g94_removebelowpct" ->
       (S + """, pc AS (SELECT name, lst[CAST(ceil((len(lst) - 1) * 25 / 100.0) AS INT) + 1] AS pv
         |       FROM (SELECT name, list_sort(list(v) FILTER (WHERE v IS NOT NULL)) AS lst FROM s GROUP BY name))

@@ -460,10 +460,19 @@ object Dedup {
    * One window per cluster over (score, id) — clusters are near-dup groups
    * and tiny, so the partitioned sort never concentrates load.
    *
+   * Labels come from [[dedupClustersStar]] by default: the keeper has no
+   * knowledge of the pair graph's shape, so the O(log n)-round contraction
+   * is the safe choice (label propagation's O(diameter) worst case turns a
+   * chain-shaped duplicate graph into a round-count hostage). Both impls
+   * produce identical labels (min reachable id), so swapping `cc` never
+   * changes the output — pass `dedupClusters` when the graph is known
+   * dense-and-tiny and the cheaper per-round cost wins.
+   *
    * Returns (doc_id, cluster_id, quality_score rounded, keep ∈ {0,1}).
    */
-  def qualityKeeper(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val labels = dedupClusters(docs, pairs)
+  def qualityKeeper(docs: DataFrame, pairs: DataFrame,
+      cc: (DataFrame, DataFrame) => DataFrame = dedupClustersStar(_, _)): DataFrame = {
+    val labels = cc(docs, pairs)
     val q = TextStats.qualityScore(docs).select(col("doc_id"),
       (round(col("quality_score") * 1e4) / 1e4).as("quality_score"))
     val w = Window.partitionBy("cluster_id").orderBy(col("quality_score").desc, col("doc_id"))

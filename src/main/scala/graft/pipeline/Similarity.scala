@@ -20,6 +20,14 @@ import org.apache.spark.sql.expressions.Window
  */
 object Similarity {
 
+  /**
+   * Upper bound on the query-frame size [[ivfPqTopK]] will collect to the
+   * driver (probe scores + ADC tables are driver math). 10k queries ×
+   * 8 subspaces × 256 codes ≈ 160 MB of doubles — comfortably inside a
+   * driver heap; anything bigger must batch.
+   */
+  val maxDriverQueries: Int = 10000
+
   /** Codegen'd dot product of two float-array columns. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
@@ -286,7 +294,8 @@ object Similarity {
   def ivfPqTopK(index: DataFrame, queries: DataFrame,
                 codebooks: Array[Array[Array[Double]]],
                 centroids: Array[(Int, Array[Double])],
-                k: Int, nprobe: Int, shortlist: Int = 50): DataFrame = {
+                k: Int, nprobe: Int, shortlist: Int = 50,
+                maxQ: Int = maxDriverQueries): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val m = codebooks.length
@@ -294,6 +303,15 @@ object Similarity {
     val qs = queries.select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
     require(qs.nonEmpty, "ivfPqTopK: empty query set")
+    // the driver computes q × nlist probe scores and q × m × ksub ADC
+    // doubles — fine while queries are the small side BY CONTRACT; enforce
+    // it so a corpus-sized query frame fails fast instead of OOMing the
+    // driver. Above this, batch the queries or move probe+ADC to a
+    // broadcast-join path.
+    require(qs.length <= maxQ,
+      s"ivfPqTopK: ${qs.length} queries exceeds the driver-side contract " +
+        s"($maxQ) — batch the query set or raise maxQ only with driver " +
+        "memory to match")
     // nearest-nprobe cells per query (driver math over the tiny centroid set)
     val probes: Seq[(Long, Int)] = qs.toSeq.flatMap { case (qid, qv) =>
       centroids.map { case (cid, c) =>

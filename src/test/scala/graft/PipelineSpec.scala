@@ -363,5 +363,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       want.intersect(got.getOrElse(q, Set.empty)).size.toDouble / want.size }
     val recall = hits.sum / hits.size
     assert(recall >= 0.9, s"serving recall $recall < 0.9")
+
+    // the driver-side contract is ENFORCED, not assumed: a query frame
+    // bigger than maxQ must fail fast (before any driver math), not OOM
+    // the driver
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(index, emb.limit(11), cb, diskCents,
+        k = 5, nprobe = 3, shortlist = 50, maxQ = 10)
+    }
+    assert(ex.getMessage.contains("driver-side contract"))
+    // at the boundary itself the call succeeds
+    assert(Similarity.ivfPqTopK(index, emb.limit(10), cb, diskCents,
+      k = 5, nprobe = 3, shortlist = 50, maxQ = 10).count() > 0)
   }
 }
