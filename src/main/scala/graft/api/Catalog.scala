@@ -57,19 +57,54 @@ object Catalog {
       .collect().toSeq.map(_.getString(0))
   }
 
-  /** /tags/autoComplete/tags: distinct tag keys, optional prefix filter. */
+  /** One parsed `expr=` tag filter: tag=value, tag!=value, tag=~re,
+    * tag!=~re — the graphite tag-query operators (ref tags_handler.go and
+    * graphite-web's /tags/autoComplete API). */
+  private def exprPredicate(e: String): org.apache.spark.sql.Column = {
+    val (k, op, v) = Seq("!=~", "=~", "!=", "=")
+      .collectFirst { case o if e.contains(o) =>
+        val i = e.indexOf(o); (e.take(i), o, e.drop(i + o.length)) }
+      .getOrElse(throw new IllegalArgumentException(s"bad tag expr: $e"))
+    val tv = element_at(col("tags"), k)
+    op match {
+      case "="   => tv === v
+      case "!="  => tv.isNull || tv =!= v
+      case "=~"  => tv.isNotNull && tv.rlike(v)
+      case "!=~" => tv.isNull || !tv.rlike(v)
+    }
+  }
+
+  private def taggedSeries(spark: SparkSession, store: SeriesStore,
+                           exprs: Seq[String]): DataFrame = {
+    val all = store.fetchAll(spark, Long.MinValue / 4, Long.MaxValue / 4)
+    if (exprs.isEmpty) all
+    else all.where(exprs.map(exprPredicate).reduce(_ && _))
+  }
+
+  /** /tags/autoComplete/tags: distinct tag keys across series matching the
+    * optional `expr=` filters, EXCLUDING keys the filters already name
+    * (graphite-web autocomplete semantics), optional prefix filter. */
   def tagNames(spark: SparkSession, store: SeriesStore,
-               tagPrefix: String = "", limit: Int = 100): Seq[String] = {
-    val tags = store.fetchAll(spark, Long.MinValue / 4, Long.MaxValue / 4)
+               tagPrefix: String = "", limit: Int = 100,
+               exprs: Seq[String] = Nil): Seq[String] = {
+    val inExpr = exprs.flatMap(e => Seq("!=~", "=~", "!=", "=")
+      .collectFirst { case o if e.contains(o) => e.take(e.indexOf(o)) })
+    val tags = taggedSeries(spark, store, exprs)
       .select(explode(map_keys(col("tags"))).as("tag"))
-    val filtered = if (tagPrefix.isEmpty) tags else tags.where(col("tag").startsWith(tagPrefix))
+    val noExprTags =
+      if (inExpr.isEmpty) tags else tags.where(!col("tag").isin(inExpr: _*))
+    val filtered =
+      if (tagPrefix.isEmpty) noExprTags
+      else noExprTags.where(col("tag").startsWith(tagPrefix))
     filtered.distinct().orderBy(col("tag")).limit(limit).collect().toSeq.map(_.getString(0))
   }
 
-  /** /tags/autoComplete/values: distinct values of one tag key. */
+  /** /tags/autoComplete/values: distinct values of one tag key across
+    * series matching the optional `expr=` filters. */
   def tagValues(spark: SparkSession, store: SeriesStore, tag: String,
-                valuePrefix: String = "", limit: Int = 100): Seq[String] = {
-    val vals = store.fetchAll(spark, Long.MinValue / 4, Long.MaxValue / 4)
+                valuePrefix: String = "", limit: Int = 100,
+                exprs: Seq[String] = Nil): Seq[String] = {
+    val vals = taggedSeries(spark, store, exprs)
       .select(element_at(col("tags"), tag).as("v")).where(col("v").isNotNull)
     val filtered = if (valuePrefix.isEmpty) vals else vals.where(col("v").startsWith(valuePrefix))
     filtered.distinct().orderBy(col("v")).limit(limit).collect().toSeq.map(_.getString(0))

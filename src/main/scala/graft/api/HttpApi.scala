@@ -21,7 +21,10 @@ import graft.store.SeriesStore
  * Each request is one Spark action; concurrent requests ride Spark's own
  * scheduler (FAIR pools replace the reference's goroutine limiter).
  */
-class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
+class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
+              maxQueryLength: Int = 0,
+              notFoundStatusCode: Int = 200,
+              requireSuccessAll: Boolean = false) {
 
   @volatile private var server: HttpServer = _
 
@@ -56,23 +59,55 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
   private def handle(f: Params => (String, String))(ex: HttpExchange): Unit =
     handleBytes(p => { val (s, ct) = f(p); (s.getBytes(StandardCharsets.UTF_8), ct) })(ex)
 
+  /** Short-circuit carrying an explicit status — rendered like Go's
+    * `http.Error`: text/plain, message + "\n" (ref http/helper.go:310-362). */
+  private case class HttpError(code: Int, msg: String) extends RuntimeException(msg)
+
+  private def statusText(code: Int): String = code match {
+    case 400 => "Bad Request"
+    case 403 => "Forbidden"
+    case 404 => "Not Found"
+    case 500 => "Internal Server Error"
+    case 502 => "Bad Gateway"
+    case 503 => "Service Unavailable"
+    case 504 => "Gateway Timeout"
+    case _   => "Error"
+  }
+
   private def handleBytes(f: Params => (Array[Byte], String))(ex: HttpExchange): Unit = {
+    def plain(code: Int, msg: String): (Int, Array[Byte]) = {
+      ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+      (code, (msg + "\n").getBytes(StandardCharsets.UTF_8))
+    }
     val out =
       try {
         val (body, ct) = f(params(ex))
-        val suffix = if (ct.startsWith("application/json") || ct.startsWith("text/")) "; charset=utf-8" else ""
-        ex.getResponseHeaders.set("Content-Type", ct + suffix)
+        // success content types are served BARE ("application/json"), the
+        // reference's exact strings (ref http/helper.go:139-146); only the
+        // error surface carries a charset, matching Go's http.Error
+        ex.getResponseHeaders.set("Content-Type", ct)
         (200, body)
       } catch {
-        case e: IllegalArgumentException =>
-          (400, s"""{"error":${quote(e.getMessage)}}""".getBytes(StandardCharsets.UTF_8))
-        case e: Throwable =>
-          (500, s"""{"error":${quote(String.valueOf(e.getMessage))}}""".getBytes(StandardCharsets.UTF_8))
+        // error responses are text/plain message+\n, the reference's
+        // http.Error surface (ref http/helper.go setError/setErrors)
+        case e: HttpError => plain(e.code, e.msg)
+        case e: graft.store.StoreFetchException =>
+          val code = if (e.httpCode == 502 || e.httpCode == 504) 503 else e.httpCode
+          plain(code, e.getMessage)
+        case e: IllegalArgumentException => plain(400, String.valueOf(e.getMessage))
+        case e: graft.parser.Parser.ParseException => plain(400, e.getMessage)
+        case e: Throwable => plain(500, String.valueOf(e.getMessage))
       }
     ex.sendResponseHeaders(out._1, out._2.length)
     val os = ex.getResponseBody
     try os.write(out._2) finally os.close()
   }
+
+  /** Sum-of-lengths query cap shared by every handler
+    * (ref http/helper.go:364-376, config `maxQueryLength`). */
+  private def checkQueryLength(qs: Seq[String]): Unit =
+    if (maxQueryLength > 0 && qs.map(_.length).sum > maxQueryLength)
+      throw HttpError(400, "query length limit exceeded")
 
   private def params(ex: HttpExchange): Params = {
     val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
@@ -111,6 +146,7 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
   private def render(p: Params): (Array[Byte], String) = {
     val targets = p.getOrElse("target", Seq.empty)
     require(targets.nonEmpty, "missing target parameter")
+    checkQueryLength(targets)
     val format = one(p, "format", "json")
     val from = one(p, "from", "-24h"); val until = one(p, "until", "now")
     val mdp = one(p, "maxDataPoints", "0").toLong
@@ -131,9 +167,25 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
       val hit = respCache.get(key)
       if (hit != null && hit._1 > nowMs) return (hit._2, hit._3)
     }
-    val (body, ct) = Render.renderBytes(spark, store, targets,
-      from = from, until = until, maxDataPoints = mdp,
-      format = format, noNullPoints = noNull, tz = tz, graphParams = p)
+    // per-target evaluation with the reference's partial-success policy:
+    // fetch failures mask to empty lists per target; the request errors
+    // only when NOTHING rendered (or requireSuccessAll is set and any
+    // target failed) — then the merged code + "target: message" lines go
+    // out as text/plain (ref render_handler.go:313-368)
+    val nowEpoch = java.time.Instant.now().getEpochSecond
+    val f = AtTime.toEpoch(from, nowEpoch - 86400, tz)
+    val u = AtTime.toEpoch(until, nowEpoch, tz)
+    val (rows0, errors) = Render.evalWithErrors(spark, store, targets, f, u, requireSuccessAll)
+    if (rows0.isEmpty || (errors.nonEmpty && requireSuccessAll)) {
+      val (mc, msgs) = Render.mergeHttpErrors(errors)
+      val code = if (mc == 404) notFoundStatusCode else mc
+      if (code == 400 || code == 403 || code == 404 || code >= 500)
+        throw HttpError(code, if (msgs.isEmpty) statusText(code) else msgs.mkString("\n"))
+    }
+    val rows = Render.consolidate(rows0, mdp,
+      Render.config.nudgeStartTimeOnAggregation,
+      Render.config.useBucketsHighestTimestampOnAggregation)
+    val (body, ct) = Render.formatBytes(rows, format, noNull, tz, p)
     if (useCache) {
       if (respCache.size > 4096) // lazy TTL sweep keeps the map bounded
         respCache.entrySet.removeIf(e => e.getValue._1 <= nowMs)
@@ -159,9 +211,16 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
     * protobuf v2/v3 — the reference serves all of them
     * (ref find_handlers.go:243,301-372). */
   private def find(p: Params): (Array[Byte], String) = {
-    val query = one(p, "query")
-    require(query.nonEmpty, "missing query parameter")
-    val nodes = Catalog.find(spark, store, query)
+    val queries = p.getOrElse("query", Seq.empty).filter(_.nonEmpty)
+    require(queries.nonEmpty, "missing query parameter")
+    checkQueryLength(queries)
+    val query = queries.head
+    // multi-query find merges node lists in query order, dropping duplicate
+    // ids (ref find_handlers.go multi-glob handling)
+    val nodes = queries.flatMap(q => Catalog.find(spark, store, q))
+      .foldLeft(Vector.empty[FindNode]) { (acc, n) =>
+        if (acc.exists(_.id == n.id)) acc else acc :+ n
+      }
     val pairs = nodes.map(n => (n.id, n.leaf))
     def utf8(s: String) = s.getBytes(StandardCharsets.UTF_8)
     one(p, "format", "treejson") match {
@@ -186,21 +245,40 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
   private def expand(p: Params): (String, String) = {
     val query = one(p, "query")
     require(query.nonEmpty, "missing query parameter")
+    checkQueryLength(Seq(query))
     val results = Catalog.expand(spark, store, query).map(quote).mkString("[", ",", "]")
     (s"""{"results":$results}""", "application/json")
   }
 
   /** Top-level /tags[/values]: graphite tag listing, keyed by path suffix
     * like the reference's tagHandler (ref tags_handler.go:92-99). */
+  /** Shared tag-autocomplete body: `expr=` filters apply, and a store
+    * failure is NON-FATAL — masked into an empty result — unless
+    * requireSuccessAll, where the mapped code + root message go out as
+    * text/plain (ref tags_handler.go:104-109). */
+  private def tagsJson(p: Params, values: Boolean): (String, String) = {
+    checkQueryLength(p.getOrElse("query", Seq.empty))
+    val exprs = p.getOrElse("expr", Seq.empty).filter(_.nonEmpty)
+    val res =
+      try {
+        if (values) Catalog.tagValues(spark, store, one(p, "tag"),
+          one(p, "valuePrefix", one(p, "filter")), limitOf(p), exprs)
+        else Catalog.tagNames(spark, store,
+          one(p, "tagPrefix", one(p, "filter")), limitOf(p), exprs)
+      } catch {
+        case e: graft.store.StoreFetchException =>
+          if (requireSuccessAll) throw e
+          Seq.empty[String]
+      }
+    (res.map(quote).mkString("[", ",", "]"), "application/json")
+  }
+
   private def tagsDispatch(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     if (path.endsWith("values"))
-      handle(p => (Catalog.tagValues(spark, store, one(p, "tag"),
-        one(p, "valuePrefix", one(p, "filter")), limitOf(p))
-        .map(quote).mkString("[", ",", "]"), "application/json"))(ex)
+      handle(tagsJson(_, values = true))(ex)
     else if (path.endsWith("tags"))
-      handle(p => (Catalog.tagNames(spark, store, one(p, "tagPrefix", one(p, "filter")), limitOf(p))
-        .map(quote).mkString("[", ",", "]"), "application/json"))(ex)
+      handle(tagsJson(_, values = false))(ex)
     else {
       val body = "Not Found".getBytes(StandardCharsets.UTF_8)
       ex.sendResponseHeaders(404, body.length)
@@ -235,13 +313,9 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081) {
       |    /version/
       |""".stripMargin
 
-  private def tagNames(p: Params): (String, String) =
-    (Catalog.tagNames(spark, store, one(p, "tagPrefix"), one(p, "limit", "100").toInt)
-      .map(quote).mkString("[", ",", "]"), "application/json")
+  private def tagNames(p: Params): (String, String) = tagsJson(p, values = false)
 
-  private def tagValues(p: Params): (String, String) =
-    (Catalog.tagValues(spark, store, one(p, "tag"), one(p, "valuePrefix"), one(p, "limit", "100").toInt)
-      .map(quote).mkString("[", ",", "]"), "application/json")
+  private def tagValues(p: Params): (String, String) = tagsJson(p, values = true)
 
   private def functions(p: Params): (String, String) =
     (Catalog.functions.map(quote).mkString("[", ",", "]"), "application/json")

@@ -33,9 +33,76 @@ object Render {
       collect(df)
     }
 
+  /**
+   * Per-target evaluation with the reference's error bookkeeping
+   * (ref render_handler.go:313-335): store fetch failures are masked into
+   * empty series lists inside the eval (so sibling targets and sibling
+   * arguments still evaluate — divideSeries(a,failed) yields the MISSING
+   * series) and recorded per target. With `requireSuccessAll` the loop
+   * stops at the first target whose failure is not a plain not-found.
+   * Parse/argument errors are NOT masked — they throw, and the HTTP tier
+   * maps them to 400 for the whole request.
+   */
+  def evalWithErrors(spark: SparkSession, store: SeriesStore, targets: Seq[String],
+                     from: Long, until: Long, requireSuccessAll: Boolean = false)
+      : (Seq[RenderedSeries], Seq[(String, graft.store.StoreFetchException)]) = {
+    val errors = Seq.newBuilder[(String, graft.store.StoreFetchException)]
+    val rows = Seq.newBuilder[RenderedSeries]
+    val it = targets.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val t = it.next()
+      val sink = scala.collection.mutable.LinkedHashMap.empty[String, graft.store.StoreFetchException]
+      try {
+        val ctx = Eval.Ctx(spark, store, from, until, fetchErrors = Some(sink))
+        rows ++= collect(Eval.eval(graft.parser.Defines.expand(
+          graft.parser.Parser.parse(t)), ctx))
+      } catch {
+        // a fetch failure surfacing outside the masked path (rewrite
+        // planning, seriesByTag scans) fails this target only
+        case e: graft.store.StoreFetchException => sink.getOrElseUpdate(t, e)
+      }
+      sink.headOption.foreach { case (_, e) =>
+        errors += t -> e
+        if (requireSuccessAll && e.httpCode != 200 && e.httpCode != 404) stop = true
+      }
+    }
+    (rows.result(), errors.result())
+  }
+
+  /**
+   * The reference's error-code merge for multi-target failures
+   * (ref zipper/helper/errors.go:59-121 MergeHttpErrorMap + recalcCode):
+   * plain 404s are skipped, gateway errors collapse to 503, 400 dominates
+   * other 4xx, then 403, otherwise the lowest code wins; the default with
+   * nothing but 404s is 404. Returns (code, "target: message" lines).
+   */
+  def mergeHttpErrors(errors: Seq[(String, graft.store.StoreFetchException)]): (Int, Seq[String]) = {
+    var code = 404
+    val msgs = Seq.newBuilder[String]
+    errors.foreach { case (target, e) =>
+      var c = e.httpCode
+      if (c != 404) {
+        if (c == 502 || c == 504) c = 503
+        msgs += s"$target: ${e.getMessage}"
+        code =
+          if (code == 0 || code == 404) c
+          else if (c >= 400 && c < 500 && code >= 400 && code < 500 &&
+                   (c == 400 || (c == 403 && code != 400))) c
+          else math.min(code, c)
+      }
+    }
+    (code, msgs.result())
+  }
+
   def collect(df: DataFrame): Seq[RenderedSeries] = {
     val cols = df.columns
     val hasPath = cols.contains("pathExpression")
+    // a sortBy*-style function imposed its own series order — keep the
+    // collected order; the implicit glob-order sort applies only to
+    // fetch-ordered results (ref expr/sort.go sorts at fetch, function
+    // output order flows through untouched)
+    val presorted = cols.contains(graft.engine.SeriesOps.PresortedCol)
     val rows = df.collect().toSeq.map { r =>
       RenderedSeries(
         name = r.getAs[String]("name"),
@@ -48,7 +115,7 @@ object Render {
         step = r.getAs[Long]("step"),
         values = r.getAs[scala.collection.Seq[Double]]("values").toArray)
     }
-    sortByGlobOrder(rows)
+    if (presorted) rows else sortByGlobOrder(rows)
   }
 
   /**
@@ -236,6 +303,14 @@ object Render {
     val u = AtTime.toEpoch(until, nowEpoch, tz, now)
     val rows = consolidate(eval(spark, store, targets, f, u), maxDataPoints,
       config.nudgeStartTimeOnAggregation, config.useBucketsHighestTimestampOnAggregation)
+    formatBytes(rows, format, noNullPoints, tz, graphParams)
+  }
+
+  /** Marshal pre-evaluated rows in any supported /render format. */
+  def formatBytes(rows: Seq[RenderedSeries], format: String,
+                  noNullPoints: Boolean = false,
+                  tz: java.time.ZoneId = java.time.ZoneOffset.UTC,
+                  graphParams: Map[String, Seq[String]] = Map.empty): (Array[Byte], String) = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     def gp(k: String): Option[String] = graphParams.get(k).flatMap(_.headOption).filter(_.nonEmpty)
     // timestampFormat: s | ms | us | ns (ref render_handler.go:130-149)

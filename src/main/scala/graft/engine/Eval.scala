@@ -28,8 +28,24 @@ object Eval {
     * distinct. */
   case class Ctx(spark: SparkSession, store: SeriesStore, from: Long, until: Long,
                  fetchMemo: scala.collection.mutable.Map[(String, Long, Long), DataFrame] =
-                   scala.collection.mutable.Map.empty) {
+                   scala.collection.mutable.Map.empty,
+                 fetchErrors: Option[scala.collection.mutable.Map[String, graft.store.StoreFetchException]] = None) {
     def widen(by: Long): Ctx = copy(from = from - by)
+
+    /** Store fetch with the render tier's error masking: when an error sink
+      * is installed, a failed fetch records its error and contributes an
+      * EMPTY series list instead of aborting the target — the reference's
+      * per-request fetch behavior (failed backends yield no data, the error
+      * rides the response-code logic; ref expr.FetchAndEvalExp). Without a
+      * sink (direct engine use) the failure propagates. */
+    def fetch(pathExpr: String): DataFrame =
+      fetchMemo.getOrElseUpdate((pathExpr, from, until),
+        try store.fetch(spark, pathExpr, from, until)
+        catch {
+          case e: graft.store.StoreFetchException if fetchErrors.isDefined =>
+            fetchErrors.get.getOrElseUpdate(pathExpr, e)
+            emptyFrame(spark)
+        })
   }
 
   def evalTarget(spark: SparkSession, store: SeriesStore, target: String,
@@ -44,8 +60,7 @@ object Eval {
   def eval(ast: Ast, ctx: Ctx): DataFrame = ast match {
     case graft.parser.FrameExpr(df, _) => df
     case NameExpr(t) if t.startsWith("seriesByTag(") => RewriteOps.seriesByTag(ctx, t)
-    case NameExpr(t) => ctx.fetchMemo.getOrElseUpdate((t, ctx.from, ctx.until),
-      ctx.store.fetch(ctx.spark, t, ctx.from, ctx.until))
+    case NameExpr(t) => ctx.fetch(t)
     case fc: FuncCall =>
       registry.getOrElse(fc.name,
         throw new IllegalArgumentException(s"unsupported function: ${fc.name}")).apply(ctx, fc)
@@ -107,9 +122,9 @@ object Eval {
     * series-arg chain for its literal instead of running a job to read the
     * tag back (ref aggregate/function.go:70, removeEmptySeries/function.go:43). */
   private def astXff(a: Ast): Option[Double] = a match {
-    case FuncCall(n, args, named) if n == "setXFilesFactor" || n == "xFilesFactor" =>
+    case FuncCall(n, args, named, _) if n == "setXFilesFactor" || n == "xFilesFactor" =>
       named.get("xFilesFactor").orElse(args.lift(1)).collect { case Num(v) => v }
-    case FuncCall(_, args, _) if args.nonEmpty => astXff(args.head)
+    case FuncCall(_, args, _, _) if args.nonEmpty => astXff(args.head)
     case _ => None
   }
 
@@ -122,7 +137,9 @@ object Eval {
     fc.args.drop(startIdx).map {
       case Num(v) => Right(v.toInt)
       case Str(s) => Left(s)
-      case NameExpr(s) => Left(s)
+      // a BARE word is neither an int node nor a quoted tag — reject like
+      // the reference (ref parser GetNodeOrTagArgs → ErrBadType → 400,
+      // e2e pr560 `aliasByNode(a.b.c.d.e, abc)`)
       case other => throw new IllegalArgumentException(s"bad node-or-tag $other")
     }
 
@@ -198,7 +215,8 @@ object Eval {
       case Some(Num(v)) => SeriesOps.asPercentConst(seriesArg(ctx, fc), v)
       case Some(_) if nodes.nonEmpty =>
         SeriesOps.asPercentGroupTotal(seriesArg(ctx, fc), seriesArg(ctx, fc, 1), nodes)
-      case Some(_) => SeriesOps.asPercentTotal(seriesArg(ctx, fc), seriesArg(ctx, fc, 1))
+      case Some(_) => SeriesOps.asPercentTotal(seriesArg(ctx, fc), seriesArg(ctx, fc, 1),
+        align = needAlign(ctx))
     }
   }
 
@@ -736,7 +754,7 @@ object Eval {
     val sp = ctx.spark
     import sp.implicits._
     val (from, until) = genRange(ctx)
-    val n = math.max(((until - from) / step).toInt, 1)
+    val n = math.max(((until - from - 1 + step) / step).toInt, 1) // ceil: the generator covers [from, until) like the reference's (until-from-1+step)/step (ref timeFunction/function.go:48)
     Seq(graft.core.Series(name, Map("name" -> name), from, step.toLong,
       Array.tabulate(n)(i => math.sin((from + i.toLong * step).toDouble) * amplitude))).toDF()
   }
@@ -747,7 +765,7 @@ object Eval {
     val sp = ctx.spark
     import sp.implicits._
     val (from, until) = genRange(ctx)
-    val n = math.max(((until - from) / step).toInt, 1)
+    val n = math.max(((until - from - 1 + step) / step).toInt, 1) // ceil: the generator covers [from, until) like the reference's (until-from-1+step)/step (ref timeFunction/function.go:48)
     val rnd = new scala.util.Random(42)
     val vals = new Array[Double](n)
     var i = 1
@@ -761,7 +779,7 @@ object Eval {
     import sp.implicits._
     val (from, until) =
       if (ctx.from > Long.MinValue / 8) (ctx.from, ctx.until) else (0L, 3600L)
-    val n = math.max(((until - from) / step).toInt, 1)
+    val n = math.max(((until - from - 1 + step) / step).toInt, 1) // ceil: the generator covers [from, until) like the reference's (until-from-1+step)/step (ref timeFunction/function.go:48)
     Seq(graft.core.Series(name, Map("name" -> name), from, step.toLong,
       Array.tabulate(n)(i => (from + i.toLong * step).toDouble))).toDF()
   }

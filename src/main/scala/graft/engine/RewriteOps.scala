@@ -20,10 +20,16 @@ object RewriteOps {
     * substituted. (ref expr/rewrite/applyByNode/function.go:31-77) */
   def applyByNode(ctx: Eval.Ctx, listExpr: Ast, nodeNum: Int, template: String,
                   newName: Option[String]): DataFrame = {
-    val prefixes = Eval.eval(listExpr, ctx)
+    val names = Eval.eval(listExpr, ctx)
       .select(col("name")).distinct().collect().map(_.getString(0))
-      .map(n => n.split('.').take(nodeNum + 1).mkString("."))
-      .distinct.sorted
+    val prefixes = names.map { n =>
+      val segs = n.split('.')
+      // node overflow is a 400, not a silent truncation
+      // (ref rewrite/applyByNode/function.go:60-63 → parser.ErrInvalidArg)
+      if (nodeNum >= segs.length) throw new IllegalArgumentException(
+        s"applyByNode: name=$n: nodeNum must be less than ${segs.length}")
+      segs.take(nodeNum + 1).mkString(".")
+    }.distinct.sorted
     require(prefixes.nonEmpty, "applyByNode: no series matched")
     prefixes.map { p =>
       val t0 = template.replace("%", p)

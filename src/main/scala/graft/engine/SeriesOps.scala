@@ -203,17 +203,31 @@ object SeriesOps {
     * name sort (ref asPercent/function.go seriesAsPercent). The count is one
     * tiny job over series rows (not points); both branches then stay
     * plan-only. */
-  def asPercentTotal(df: DataFrame, totals: DataFrame): DataFrame = {
-    val n = totals.select(col("name")).limit(3).count()
+  def asPercentTotal(df: DataFrame, totals: DataFrame, align: Boolean = false): DataFrame = {
+    // the percentage zips positionally, so both sides must share one grid —
+    // the reference alignSeries()es series+totals together before dividing
+    // (ref asPercent/function.go:60); a timeShifted total would otherwise
+    // pair values from different timestamps. Metadata-gated like every
+    // other align: uniform-step stores with a shared fixture grid skip it.
+    val (d2, t2) =
+      if (!align) (df, totals)
+      else {
+        val both = Align.scaleToCommonStep(
+          df.withColumn("_ap_side", lit(0))
+            .unionByName(totals.withColumn("_ap_side", lit(1)), allowMissingColumns = true))
+        (both.where(col("_ap_side") === 0).drop("_ap_side"),
+          both.where(col("_ap_side") === 1).drop("_ap_side"))
+      }
+    val n = t2.select(col("name")).limit(3).count()
     if (n == 0)
-      rewrap(mapPointwise(df, _ => lit(Double.NaN)), "asPercent", Seq("MISSING"))
+      rewrap(mapPointwise(d2, _ => lit(Double.NaN)), "asPercent", Seq("MISSING"))
     else if (n == 1) {
-      val t1 = totals.select(col("name").as("tName"), col("values").as("tValues"))
-      df.crossJoin(broadcast(t1))
+      val t1 = t2.select(col("name").as("tName"), col("values").as("tValues"))
+      d2.crossJoin(broadcast(t1))
         .withColumn("values", zip_with(col("values"), col("tValues"), pctOf))
         .withColumn("name", concat(lit("asPercent("), col("name"), lit(","), col("tName"), lit(")")))
         .drop("tName", "tValues")
-    } else asPercentPairwise(df, totals)
+    } else asPercentPairwise(d2, t2)
   }
 
   /** Multi-series total: sort both lists by name, pair positionally; the
@@ -269,19 +283,23 @@ object SeriesOps {
   /** divideSeries: every dividend ÷ the single divisor series; 0/NaN divisor →
     * NaN. A multi-series divisor errors like the reference
     * (ref divideSeries/function.go:70, ErrWildcardNotAllowed) — enforced
-    * inside the plan via raise_error, no extra driver action. */
+    * inside the plan via raise_error, no extra driver action. An EMPTY
+    * divisor (failed or matchless fetch) keeps every dividend as an all-NaN
+    * `divideSeries(name,MISSING)` series (ref function.go:55-66). */
   def divideSeries(dividends: DataFrame, divisor: DataFrame): DataFrame = {
     val d1 = divisor.select(struct(col("name"), col("values")).as("s"))
       .agg(min(col("s")).as("s"), count(lit(1)).as("n"))
       .select(
-        when(col("n") =!= 1,
+        when(col("n") > 1,
           raise_error(concat(lit("divideSeries: divisor must reference exactly one series, got "), col("n"))))
+          .when(col("n") === 0, lit("MISSING"))
           .otherwise(col("s.name")).as("divName"),
         col("s.values").as("divValues"))
     dividends.crossJoin(broadcast(d1))
       .withColumn("values",
-        zip_with(col("values"), col("divValues"),
-          (v, d) => when(isnan(d) || d === 0.0, lit(Double.NaN)).otherwise(v / d)))
+        when(col("divValues").isNull, transform(col("values"), _ => lit(Double.NaN)))
+          .otherwise(zip_with(col("values"), col("divValues"),
+            (v, d) => when(isnan(d) || d === 0.0, lit(Double.NaN)).otherwise(v / d))))
       .withColumn("name", concat(lit("divideSeries("), col("name"), lit(","), col("divName"), lit(")")))
       .drop("divName", "divValues")
   }
@@ -626,20 +644,35 @@ object SeriesOps {
 
   def excludeS(df: DataFrame, pattern: String): DataFrame = df.where(!col("name").rlike(pattern))
   def grepS(df: DataFrame, pattern: String): DataFrame = df.where(col("name").rlike(pattern))
-  def limitS(df: DataFrame, n: Int): DataFrame = df.orderBy(col("name")).limit(n)
+  /** limit: first N of the CURRENT series order — a sorted input keeps its
+    * function-imposed order (TakeOrdered over the child sort), an unsorted
+    * fetch takes glob/name order like the reference's fetched-list slice. */
+  def limitS(df: DataFrame, n: Int): DataFrame =
+    if (df.columns.contains(PresortedCol)) df.limit(n)
+    else df.orderBy(col("name")).limit(n)
 
   def unique(df: DataFrame): DataFrame = df.dropDuplicates("name")
 
   // ------------------------------------------------------------ sort / name
 
+  /** Marks a frame as carrying a FUNCTION-imposed series order: the marshal
+    * tier must keep the collected row order instead of re-applying the
+    * implicit glob-order sort, and `limit` must take the first N of THIS
+    * order (the reference's list order just flows through its slice ops —
+    * series order is a first-class result of sortBy*; ref sortBy semantics
+    * + expr/sort.go applying glob order only at fetch). */
+  val PresortedCol = "_presorted"
+  private def markSorted(df: DataFrame): DataFrame =
+    df.withColumn(PresortedCol, lit(true))
+
   def sortByName(df: DataFrame, reverse: Boolean = false): DataFrame =
-    df.orderBy(if (reverse) col("name").desc else col("name").asc)
+    markSorted(df.orderBy(if (reverse) col("name").desc else col("name").asc))
 
   /** sortBy: order by per-series summarized scalar; NaN sorts lowest. */
   def sortBy(df: DataFrame, func: String = "average", reverse: Boolean = false): DataFrame = {
     val raw = vecScalar(v => Kernels.summarizeValues(func, v))(col("values"))
     val s = when(isnan(raw), lit(Double.NegativeInfinity)).otherwise(raw)
-    df.orderBy(if (reverse) s.desc else s.asc, col("name"))
+    markSorted(df.orderBy(if (reverse) s.desc else s.asc, col("name")))
   }
   def sortByTotal(df: DataFrame): DataFrame = sortBy(df, "sum", reverse = true)
   def sortByMaxima(df: DataFrame): DataFrame = sortBy(df, "max", reverse = true)

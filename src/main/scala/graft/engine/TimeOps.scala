@@ -212,13 +212,22 @@ object TimeOps {
 
   // -------------------------------------------------------------- metadata
 
+  /** The reference's ValidAggregateFunctions for consolidateBy —
+    * deliberately narrower than the kernel set ('maximum'/'minimum' are
+    * rejected; ref consolidateBy/function.go:29-38). */
+  private val validConsolidateBy =
+    Set("average", "avg", "max", "min", "sum", "first", "last")
+
   /** consolidateBy: record the output-consolidation function (used by
     * maxDataPoints rendering; ref consolidateBy/function.go). */
-  def consolidateBy(df: DataFrame, func: String): DataFrame =
+  def consolidateBy(df: DataFrame, func: String): DataFrame = {
+    if (!validConsolidateBy.contains(func)) throw new IllegalArgumentException(
+      s"consolidateBy: invalid consolidation function: '$func'")
     df.withColumn("tags", map_concat(
         map_filter(col("tags"), (k, _) => k =!= "consolidateBy"),
         map(lit("consolidateBy"), lit(func))))
       .transform(d => SeriesFrame.rewrap(d, "consolidateBy", Seq(s"'$func'"), Some(s"'$func'")))
+  }
 
   /** setXFilesFactor: record xFilesFactor metadata. (ref setXFilesFactor/function.go) */
   def setXFilesFactor(df: DataFrame, xff: Double): DataFrame =

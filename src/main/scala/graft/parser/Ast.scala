@@ -36,12 +36,19 @@ final case class FrameExpr(df: org.apache.spark.sql.DataFrame, label: String = "
   def print: String = label
 }
 
-final case class FuncCall(name: String, args: Seq[Ast], named: Map[String, Ast]) extends Ast {
+final case class FuncCall(name: String, args: Seq[Ast], named: Map[String, Ast],
+                          raw: String = "") extends Ast {
   def print: String = {
     val pos = args.map(_.print)
     val kw = named.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${v.print}" }
     s"$name(${(pos ++ kw).mkString(",")})"
   }
-  /** Raw printed argument list (naming discipline input). */
-  def rawArgs: String = print.stripPrefix(name + "(").stripSuffix(")")
+  /** Raw argument list for result naming. The parser captures the ORIGINAL
+    * source span, so names preserve the request's spacing and quote style
+    * exactly like the reference's `e.RawArgs()` (ref pkg/parser parser
+    * `expr.argString`) — `diffSeries(time("t"), a)` keeps the space and
+    * double quotes. Synthesized calls (pipes, rewrites) fall back to the
+    * canonical print form. */
+  def rawArgs: String =
+    if (raw.nonEmpty) raw else print.stripPrefix(name + "(").stripSuffix(")")
 }

@@ -33,9 +33,13 @@ object Defines {
         expand(Parser.parse(substitute(defs(fc.name), fc.rawArgs, fc.args, fc.named)), depth + 1)
       case NameExpr(n) if defs.contains(n) =>
         expand(Parser.parse(substitute(defs(n), "", Seq.empty, Map.empty)), depth + 1)
-      case FuncCall(name, args, named) =>
-        FuncCall(name, args.map(a => expand(a, depth + 1)),
-          named.map { case (k, v) => k -> expand(v, depth + 1) })
+      case fc @ FuncCall(name, args, named, raw) =>
+        val newArgs = args.map(a => expand(a, depth + 1))
+        val newNamed = named.map { case (k, v) => k -> expand(v, depth + 1) }
+        // keep the original node (and its raw naming span) when nothing
+        // expanded; a rewritten call can't trust the old source text
+        if (newArgs == args && newNamed == named) fc
+        else FuncCall(name, newArgs, newNamed)
       case other => other
     }
   }

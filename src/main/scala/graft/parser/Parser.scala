@@ -37,9 +37,9 @@ object Parser {
         skipWs()
         val fname = parseIdent()
         skipWs()
-        val (args, named) =
+        val (args, named, _) =
           if (!eof && peek == '(') parseArgs()
-          else (Seq.empty[Ast], Map.empty[String, Ast])
+          else (Seq.empty[Ast], Map.empty[String, Ast], "")
         lhs = FuncCall(fname, lhs +: args, named)
         skipWs()
       }
@@ -99,27 +99,37 @@ object Parser {
       s.substring(start, pos)
     }
 
-    /** Name glob (brace/bracket aware) or function call. */
+    /** Name glob (brace/bracket aware) or function call. A backslash makes
+      * the next char a literal name char and is itself dropped —
+      * `fo\(o\).bar` names the metric `fo(o).bar`, `metric\\a` names
+      * `metric\a` (ref pkg/parser/parser.go:876-901). */
     private def parseNameOrCall(): Ast = {
-      val start = pos
+      val buf = new StringBuilder
       var braces = 0
       var brackets = 0
-      while (!eof && {
+      var done = false
+      while (!eof && !done) {
         val c = peek
-        if (c == '{') { braces += 1; true }
-        else if (c == '}') { if (braces == 0) false else { braces -= 1; true } }
-        else if (c == '[') { brackets += 1; true }
-        else if (c == ']') { if (brackets == 0) false else { brackets -= 1; true } }
-        else if (c == ',') braces > 0 || brackets > 0
-        else if (c == '=')
-          // trailing '=' padding is part of a name (base64 node names);
-          // only `key=value` makes it a separator
-          // (ref pkg/parser/parser.go:921-930)
-          pos + 1 >= s.length || { val n = s.charAt(pos + 1); n == '=' || n == ',' || n == ')' }
-        else if (c == '(' || c == ')' || c == '|' || c.isWhitespace) false
-        else isNameChar(c)
-      }) pos += 1
-      val tok = s.substring(start, pos)
+        if (c == '\\' && pos + 1 < s.length) {
+          buf.append(s.charAt(pos + 1)); pos += 2
+        } else {
+          val take =
+            if (c == '{') { braces += 1; true }
+            else if (c == '}') { if (braces == 0) false else { braces -= 1; true } }
+            else if (c == '[') { brackets += 1; true }
+            else if (c == ']') { if (brackets == 0) false else { brackets -= 1; true } }
+            else if (c == ',') braces > 0 || brackets > 0
+            else if (c == '=')
+              // trailing '=' padding is part of a name (base64 node names);
+              // only `key=value` makes it a separator
+              // (ref pkg/parser/parser.go:921-930)
+              pos + 1 >= s.length || { val n = s.charAt(pos + 1); n == '=' || n == ',' || n == ')' }
+            else if (c == '(' || c == ')' || c == '|' || c.isWhitespace) false
+            else isNameChar(c)
+          if (take) { buf.append(c); pos += 1 } else done = true
+        }
+      }
+      val tok = buf.toString
       if (tok.isEmpty) throw ParseException(s"unexpected char '${peek}'", pos)
       skipWs()
       if (!eof && peek == '(') {
@@ -136,8 +146,8 @@ object Parser {
           } while (!eof && depth > 0)
           NameExpr(tok + s.substring(argStart, pos))
         } else {
-          val (args, named) = parseArgs()
-          FuncCall(tok, args, named)
+          val (args, named, raw) = parseArgs()
+          FuncCall(tok, args, named, raw)
         }
       } else if (tok == "true" || tok == "True") BoolLit(true)
       else if (tok == "false" || tok == "False") BoolLit(false)
@@ -145,14 +155,16 @@ object Parser {
       else NameExpr(tok)
     }
 
-    /** '(' expr (',' expr)* ')' with named args `ident=value`. */
-    def parseArgs(): (Seq[Ast], Map[String, Ast]) = {
+    /** '(' expr (',' expr)* ')' with named args `ident=value`. Also returns
+      * the raw source span between the parens (result-naming input). */
+    def parseArgs(): (Seq[Ast], Map[String, Ast], String) = {
       require(peek == '(')
       pos += 1
+      val rawStart = pos
       val args = Seq.newBuilder[Ast]
       var named = Map.empty[String, Ast]
       skipWs()
-      if (!eof && peek == ')') { pos += 1; return (args.result(), named) }
+      if (!eof && peek == ')') { pos += 1; return (args.result(), named, "") }
       var done = false
       while (!done) {
         skipWs()
@@ -182,7 +194,7 @@ object Parser {
           case c => throw ParseException(s"expected ',' or ')' but got '$c'", pos)
         }
       }
-      (args.result(), named)
+      (args.result(), named, s.substring(rawStart, pos - 1))
     }
   }
 }

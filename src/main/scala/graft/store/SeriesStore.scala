@@ -22,6 +22,15 @@ trait SeriesStore {
   def stepHint: Option[Long] = None
 }
 
+/**
+ * A fetch failure with an upstream HTTP meaning — the analog of the
+ * reference's merry errors carrying HTTPCode through the zipper
+ * (ref zipper/helper/errors.go:31-55). The render tier records these
+ * per-target and masks or propagates them per its success policy.
+ */
+class StoreFetchException(val httpCode: Int, message: String)
+  extends RuntimeException(message)
+
 object SeriesStore {
   /** True when the bound is a real request bound rather than the unbounded
     * sentinel Eval uses for "whole store" evaluation. */

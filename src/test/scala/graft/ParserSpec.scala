@@ -17,20 +17,20 @@ class ParserSpec extends AnyFunSuite {
   }
 
   test("simple function call") {
-    assert(Parser.parse("sum(foo.bar)") == FuncCall("sum", Seq(NameExpr("foo.bar")), Map.empty))
+    assert(Parser.parse("sum(foo.bar)") == FuncCall("sum", Seq(NameExpr("foo.bar")), Map.empty, "foo.bar"))
   }
 
   test("nested calls, numbers, strings, bools") {
     val e = Parser.parse("movingAverage(scale(a.b, -2.5), '1h', true)")
     assert(e == FuncCall("movingAverage", Seq(
-      FuncCall("scale", Seq(NameExpr("a.b"), Num(-2.5)), Map.empty),
-      Str("1h"), BoolLit(true)), Map.empty))
+      FuncCall("scale", Seq(NameExpr("a.b"), Num(-2.5)), Map.empty, "a.b, -2.5"),
+      Str("1h"), BoolLit(true)), Map.empty, "scale(a.b, -2.5), '1h', true"))
   }
 
   test("named args") {
     val e = Parser.parse("aggregate(a.*, 'sum', xFilesFactor=0.5)")
     assert(e == FuncCall("aggregate", Seq(NameExpr("a.*"), Str("sum")),
-      Map("xFilesFactor" -> Num(0.5))))
+      Map("xFilesFactor" -> Num(0.5)), "a.*, 'sum', xFilesFactor=0.5"))
   }
 
   test("pipe syntax folds into nested calls (ref parser.go:676-698)") {
@@ -46,13 +46,13 @@ class ParserSpec extends AnyFunSuite {
 
   test("integer vs name disambiguation") {
     assert(Parser.parse("groupByNode(a.*, 1, 'sum')") ==
-      FuncCall("groupByNode", Seq(NameExpr("a.*"), Num(1), Str("sum")), Map.empty))
+      FuncCall("groupByNode", Seq(NameExpr("a.*"), Num(1), Str("sum")), Map.empty, "a.*, 1, 'sum'"))
     assert(Parser.parse("1xx.count") == NameExpr("1xx.count"))
   }
 
   test("negative node indices") {
     assert(Parser.parse("aliasByNode(a.b.c, -1)") ==
-      FuncCall("aliasByNode", Seq(NameExpr("a.b.c"), Num(-1)), Map.empty))
+      FuncCall("aliasByNode", Seq(NameExpr("a.b.c"), Num(-1)), Map.empty, "a.b.c, -1"))
   }
 
   test("print reconstructs canonical form") {
