@@ -21,6 +21,16 @@ object Parser {
     e
   }
 
+  /** Longest leading expression + unconsumed remainder — the reference
+    * `ParseExpr` contract (ref pkg/parser/parser.go ParseExpr returns
+    * (expr, rem, err)); callers decide whether a remainder is an error,
+    * like the render tier does. */
+  def parsePrefix(input: String): (Ast, String) = {
+    val p = new P(input)
+    val e = p.parsePipe()
+    (e, input.substring(p.pos))
+  }
+
   private final class P(s: String) {
     var pos = 0
     def eof: Boolean = pos >= s.length
@@ -90,7 +100,7 @@ object Parser {
     // braces/brackets are handled by the depth-tracking scan in
     // parseNameOrCall; '=' delimits named args.
     private def isNameChar(c: Char): Boolean =
-      c.isLetterOrDigit || "._-*?:#%$[]{};<>!^~@+/".indexOf(c.toInt) >= 0
+      c.isLetterOrDigit || "._-*?:#%$[]{};<>!^~@+/&".indexOf(c.toInt) >= 0
 
     private def parseIdent(): String = {
       val start = pos

@@ -88,4 +88,132 @@ class ParserSpec extends AnyFunSuite {
     assert(Interval.parse("1mon") == 2592000)
     assert(Interval.parse("30", defaultSign = -1) == -30)
   }
+
+  // ---- reference TestParseExpr corpus, ported case by case
+  // (ref pkg/parser/parser_test.go:42-525). Structural equality on our AST;
+  // rawArgs asserted where the reference pins argString on a direct call
+  // (piped forms synthesize calls, so raw falls back to canonical print).
+
+  test("corpus: names, unicode, trailing '=', metachars (ref parser_test.go:55-70,312-340,425)") {
+    assert(Parser.parse("metric=") == NameExpr("metric="))
+    assert(Parser.parse("métric.ñame") == NameExpr("métric.ñame"))
+    assert(Parser.parse("metric") == NameExpr("metric"))
+    assert(Parser.parse("metric.foo") == NameExpr("metric.foo"))
+    assert(Parser.parse("metric.*.foo") == NameExpr("metric.*.foo"))
+    assert(Parser.parse("foo.{bar,baz}.qux") == NameExpr("foo.{bar,baz}.qux"))
+    assert(Parser.parse("foo.b[0-9].qux") == NameExpr("foo.b[0-9].qux"))
+    assert(Parser.parse("foo.b[0-9]+.qux") == NameExpr("foo.b[0-9]+.qux"))
+    assert(Parser.parse("virt.v1.*.text-match:<foo.bar.qux>") ==
+      NameExpr("virt.v1.*.text-match:<foo.bar.qux>"))
+    assert(Parser.parse("hello&world") == NameExpr("hello&world"))
+  }
+
+  test("corpus: calls, nesting, argString capture (ref parser_test.go:71-106,441-450)") {
+    assert(Parser.parse("func(metric)") ==
+      FuncCall("func", Seq(NameExpr("metric")), Map.empty, "metric"))
+    assert(Parser.parse("func(metric1,metric2,metric3)") ==
+      FuncCall("func", Seq(NameExpr("metric1"), NameExpr("metric2"), NameExpr("metric3")),
+        Map.empty, "metric1,metric2,metric3"))
+    assert(Parser.parse("func1(metric1,func2(metricA, metricB),metric3)") ==
+      FuncCall("func1", Seq(
+        NameExpr("metric1"),
+        FuncCall("func2", Seq(NameExpr("metricA"), NameExpr("metricB")), Map.empty, "metricA, metricB"),
+        NameExpr("metric3")), Map.empty, "metric1,func2(metricA, metricB),metric3"))
+    assert(Parser.parse("func1(\"example blah\")") ==
+      FuncCall("func1", Seq(Str("example blah")), Map.empty, "\"example blah\""))
+  }
+
+  test("corpus: numeric constants incl. scientific notation (ref parser_test.go:107-125)") {
+    assert(Parser.parse("3") == Num(3))
+    assert(Parser.parse("3.1") == Num(3.1))
+    assert(Parser.parse("func1(metric1, 3, 1e2, 2e-3)") ==
+      FuncCall("func1", Seq(NameExpr("metric1"), Num(3), Num(100), Num(0.002)),
+        Map.empty, "metric1, 3, 1e2, 2e-3"))
+    assert(Parser.parse("func1(metric1, -3)") ==
+      FuncCall("func1", Seq(NameExpr("metric1"), Num(-3)), Map.empty, "metric1, -3"))
+    assert(Parser.parse("func1(metric1, -3 , 'foo' )") ==
+      FuncCall("func1", Seq(NameExpr("metric1"), Num(-3), Str("foo")),
+        Map.empty, "metric1, -3 , 'foo' "))
+  }
+
+  test("corpus: string args in both quote styles (ref parser_test.go:126-148)") {
+    assert(Parser.parse("func1(metric1, 'stringconst')") ==
+      FuncCall("func1", Seq(NameExpr("metric1"), Str("stringconst")),
+        Map.empty, "metric1, 'stringconst'"))
+    assert(Parser.parse("func1(metric1, \"stringconst\")") ==
+      FuncCall("func1", Seq(NameExpr("metric1"), Str("stringconst")),
+        Map.empty, "metric1, \"stringconst\""))
+  }
+
+  test("corpus: named args in every position and type (ref parser_test.go:162-310)") {
+    assert(Parser.parse("func(metric, key='value')") ==
+      FuncCall("func", Seq(NameExpr("metric")), Map("key" -> Str("value")),
+        "metric, key='value'"))
+    assert(Parser.parse("func(metric, key=true)") ==
+      FuncCall("func", Seq(NameExpr("metric")), Map("key" -> BoolLit(true)),
+        "metric, key=true"))
+    assert(Parser.parse("func(metric, key=1)") ==
+      FuncCall("func", Seq(NameExpr("metric")), Map("key" -> Num(1)), "metric, key=1"))
+    assert(Parser.parse("func(metric, key=0.1)") ==
+      FuncCall("func", Seq(NameExpr("metric")), Map("key" -> Num(0.1)), "metric, key=0.1"))
+    assert(Parser.parse("func(metric, 1, key='value')") ==
+      FuncCall("func", Seq(NameExpr("metric"), Num(1)), Map("key" -> Str("value")),
+        "metric, 1, key='value'"))
+    assert(Parser.parse("func(metric, key='value', 1)") ==
+      FuncCall("func", Seq(NameExpr("metric"), Num(1)), Map("key" -> Str("value")),
+        "metric, key='value', 1"))
+    assert(Parser.parse("func(metric, key1='value1', key2='value2')") ==
+      FuncCall("func", Seq(NameExpr("metric")),
+        Map("key1" -> Str("value1"), "key2" -> Str("value2")),
+        "metric, key1='value1', key2='value2'"))
+    assert(Parser.parse("func(metric, key2='value2', key1='value1')") ==
+      FuncCall("func", Seq(NameExpr("metric")),
+        Map("key1" -> Str("value1"), "key2" -> Str("value2")),
+        "metric, key2='value2', key1='value1'"))
+  }
+
+  test("corpus: pipes fold argument-first, in any mix (ref parser_test.go:341-424,506-524)") {
+    val inner = FuncCall("func2", Seq(NameExpr("metricA"), NameExpr("metricB")),
+      Map.empty, "metricA, metricB")
+    assert(Parser.parse("func2(metricA, metricB)|func1(metric1,metric3)") ==
+      FuncCall("func1", Seq(inner, NameExpr("metric1"), NameExpr("metric3")), Map.empty))
+    val abn = FuncCall("aliasByNode",
+      Seq(NameExpr("company.server*.applicationInstance.requestsHandled"), Num(1)), Map.empty)
+    val want = FuncCall("movingAverage", Seq(abn, Str("5min")), Map.empty)
+    assert(Parser.parse(
+      "company.server*.applicationInstance.requestsHandled|aliasByNode(1)|movingAverage(\"5min\")")
+      == want)
+    assert(Parser.parse(
+      "aliasByNode(company.server*.applicationInstance.requestsHandled,1)|movingAverage(\"5min\")")
+      == FuncCall("movingAverage", Seq(
+        FuncCall("aliasByNode",
+          Seq(NameExpr("company.server*.applicationInstance.requestsHandled"), Num(1)),
+          Map.empty, "company.server*.applicationInstance.requestsHandled,1"),
+        Str("5min")), Map.empty))
+    assert(Parser.parse("company.server*.applicationInstance.requestsHandled|keepLastValue()") ==
+      FuncCall("keepLastValue",
+        Seq(NameExpr("company.server*.applicationInstance.requestsHandled")), Map.empty))
+    // multiline pipe chain
+    assert(Parser.parse("func1(foo.bar)\n| func2(foo.baz)|\n func3(\n\tfunc4(asdf.zxcv.qwer)\n)") ==
+      FuncCall("func3", Seq(
+        FuncCall("func2", Seq(
+          FuncCall("func1", Seq(NameExpr("foo.bar")), Map.empty, "foo.bar"),
+          NameExpr("foo.baz")), Map.empty),
+        FuncCall("func4", Seq(NameExpr("asdf.zxcv.qwer")), Map.empty, "asdf.zxcv.qwer")),
+        Map.empty))
+  }
+
+  test("corpus: whitespace and newline tolerance (ref parser_test.go:426-505)") {
+    // reference ParseExpr returns (expr, remainder); parsePrefix is our twin
+    val (e1, rem1) = Parser.parsePrefix("foo.bar\n.baz\t")
+    assert(e1 == NameExpr("foo.bar") && rem1.contains(".baz"))
+    assert(Parser.parse("absolute( baz )\n") ==
+      FuncCall("absolute", Seq(NameExpr("baz")), Map.empty, " baz "))
+    assert(Parser.parse("func(metric, true\n)") ==
+      FuncCall("func", Seq(NameExpr("metric"), BoolLit(true)), Map.empty, "metric, true\n"))
+    assert(Parser.parse("foobar(\n)") == FuncCall("foobar", Seq.empty, Map.empty))
+    assert(Parser.parse("foobar(asdf,\n\tzxcv,\n\tqwer\n)") ==
+      FuncCall("foobar", Seq(NameExpr("asdf"), NameExpr("zxcv"), NameExpr("qwer")),
+        Map.empty, "asdf,\n\tzxcv,\n\tqwer\n"))
+  }
 }
