@@ -79,6 +79,7 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
       ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
       (code, (msg + "\n").getBytes(StandardCharsets.UTF_8))
     }
+    extraHeaders.remove()
     val out =
       try {
         val (body, ct) = f(params(ex))
@@ -86,6 +87,7 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
         // reference's exact strings (ref http/helper.go:139-146); only the
         // error surface carries a charset, matching Go's http.Error
         ex.getResponseHeaders.set("Content-Type", ct)
+        extraHeaders.get().foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
         (200, body)
       } catch {
         // error responses are text/plain message+\n, the reference's
@@ -143,6 +145,17 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
   private val cacheTtlSec: Long = sys.env.get("GRAFT_RESPONSE_CACHE_SEC").flatMap(_.toLongOption).getOrElse(60L)
   private val respCache = new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Byte], String)]()
 
+  /** Per-request response headers set from inside a handler (the JDK
+    * handler signature doesn't thread the exchange through); applied by
+    * handleBytes after the handler returns. */
+  private val extraHeaders = new ThreadLocal[List[(String, String)]] {
+    override def initialValue(): List[(String, String)] = Nil
+  }
+
+  /** graphite truthy strings (ref pkg/parser/interval.go:81-89 TruthyBool). */
+  private def truthy(s: String): Boolean =
+    s == "1" || s == "true" || s == "True" || s == "yes" || s == "Yes"
+
   private def render(p: Params): (Array[Byte], String) = {
     val targets = p.getOrElse("target", Seq.empty)
     require(targets.nonEmpty, "missing target parameter")
@@ -156,16 +169,29 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
       if (tzName.isEmpty) java.time.ZoneOffset.UTC
       else try java.time.ZoneId.of(tzName)
       catch { case _: Exception => throw new IllegalArgumentException(s"bad tz: $tzName") }
-    val useCache = cacheTtlSec > 0 && one(p, "noCache") != "true"
-    // the full sorted param map is the key: every render-affecting param
-    // (template, picture params, timestampFormat, jsonp, …) varies the body
-    // (ref responseCacheComputeKey render_handler.go:422-448)
-    val key = p.toSeq.sortBy(_._1)
+    // request-level cache control, reference-exact: noCache is graphite-
+    // truthy, cacheTimeout overrides the TTL in seconds (unparsable values
+    // fall back to the default) — ref render_handler.go:117,46-56
+    val ttlSec = one(p, "cacheTimeout").toLongOption.getOrElse(cacheTtlSec)
+    val useCache = ttlSec > 0 && !truthy(one(p, "noCache"))
+    // the sorted param map is the key — every render-affecting param
+    // (template, picture params, timestampFormat, …) varies the body —
+    // minus the cache-busters the reference strips (noCache, _salt, _ts,
+    // _t; ref cleanupParams render_handler.go:32-43). jsonp stays in OUR
+    // key because we cache the wrapped bytes (the reference caches
+    // pre-wrap and re-wraps on hit).
+    val busters = Set("noCache", "_salt", "_ts", "_t")
+    val key = p.toSeq.filterNot(kv => busters(kv._1)).sortBy(_._1)
       .map { case (k, v) => s"$k=${v.mkString("|")}" }.mkString(" ")
     val nowMs = System.currentTimeMillis()
     if (useCache) {
       val hit = respCache.get(key)
-      if (hit != null && hit._1 > nowMs) return (hit._2, hit._3)
+      if (hit != null && hit._1 > nowMs) {
+        // hit marker like the reference's cache-hit response header
+        // (ref render_handler.go:240-241)
+        extraHeaders.set(("X-Carbonapi-Request-Cached" -> ttlSec.toString) :: extraHeaders.get())
+        return (hit._2, hit._3)
+      }
     }
     // per-target evaluation with the reference's partial-success policy:
     // fetch failures mask to empty lists per target; the request errors
@@ -189,7 +215,7 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     if (useCache) {
       if (respCache.size > 4096) // lazy TTL sweep keeps the map bounded
         respCache.entrySet.removeIf(e => e.getValue._1 <= nowMs)
-      respCache.put(key, (nowMs + cacheTtlSec * 1000, body, ct))
+      respCache.put(key, (nowMs + ttlSec * 1000, body, ct))
     }
     (body, ct)
   }

@@ -224,4 +224,47 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c = getBytes(q + "&noCache=true")
     assert(c._1 == 200 && java.util.Arrays.equals(a._2, c._2)) // same content either way
   }
+
+  private def getCached(pathAndQuery: String): (Int, String, Option[String]) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$pathAndQuery")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body(),
+      Option(resp.headers().firstValue("X-Carbonapi-Request-Cached").orElse(null)))
+  }
+
+  test("response cache hit/miss/TTL contract with maxDataPoints in the key " +
+      "(ref render_handler.go:32-56,117,240)") {
+    // unique maxDataPoints values double as cache-key isolation per case
+    val base = "/render?target=events.click&from=1704067200&until=1706660000"
+
+    // miss then hit: the hit is flagged and byte-identical
+    val m1 = getCached(base + "&maxDataPoints=101")
+    val m2 = getCached(base + "&maxDataPoints=101")
+    assert(m1._1 == 200 && m1._3.isEmpty, "first request must be a miss")
+    assert(m2._1 == 200 && m2._3.contains("60") && m2._2 == m1._2,
+      s"second request must be a flagged hit: ${m2._3}")
+
+    // a DIFFERENT maxDataPoints is a different key — miss, different body
+    val m3 = getCached(base + "&maxDataPoints=7")
+    assert(m3._3.isEmpty && m3._2 != m1._2, "maxDataPoints must vary the key")
+
+    // graphite-truthy noCache forms bypass even a warm entry
+    assert(getCached(base + "&maxDataPoints=101&noCache=1")._3.isEmpty)
+    assert(getCached(base + "&maxDataPoints=101&noCache=yes")._3.isEmpty)
+    // non-truthy noCache value still hits
+    assert(getCached(base + "&maxDataPoints=101&noCache=0")._3.contains("60"))
+
+    // cache-busters are stripped from the key: _salt/_ts/_t still hit
+    assert(getCached(base + "&maxDataPoints=101&_salt=12345")._3.contains("60"))
+    assert(getCached(base + "&maxDataPoints=101&_ts=999&_t=1")._3.contains("60"))
+
+    // cacheTimeout=0 disables caching for that request (no store, no hit)
+    val t1 = getCached(base + "&maxDataPoints=33&cacheTimeout=0")
+    val t2 = getCached(base + "&maxDataPoints=33&cacheTimeout=0")
+    assert(t1._3.isEmpty && t2._3.isEmpty, "cacheTimeout=0 must never cache")
+    // a custom positive cacheTimeout is echoed in the hit marker
+    getCached(base + "&maxDataPoints=34&cacheTimeout=123")
+    assert(getCached(base + "&maxDataPoints=34&cacheTimeout=123")._3.contains("123"))
+  }
 }
