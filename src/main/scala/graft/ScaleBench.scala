@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
  */
 object ScaleBench {
 
-  private val Copies = 10
+  /** Copy factor: 10 by default; SPARK_GRAFT_COPIES=100 runs the 100×
+    * spot-check (the vowel×consonant rotation grid below keeps up to 100
+    * copies pairwise shingle-disjoint). */
+  private val Copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
 
   def generate(spark: SparkSession, baseDir: String, workDir: String): Unit = {
     val done = new java.io.File(s"$workDir/_DONE")
@@ -32,6 +35,13 @@ object ScaleBench {
     val vowelMaps = // copy 0 is the identity; others rotate the vowel set
       Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
         "aeiuo", "eiuoa", "iuoae", "uoaei", "oaeiu")
+    // a second rotation axis over frequent consonants: copy i applies
+    // vowelMaps(i%10) ∘ consMaps(i/10), so all 100 (vowel, consonant)
+    // combinations rewrite words differently — copies 1 and 11 would
+    // otherwise be byte-identical and plant artificial dup clusters
+    val consMaps =
+      Seq("rstln", "stlnr", "tlnrs", "lnrst", "nrstl",
+        "nltsr", "ltsrn", "tsrnl", "srnlt", "rnlts")
 
     def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until Copies).map(i => f(df, i)).reduce(_ unionByName _)
@@ -50,7 +60,8 @@ object ScaleBench {
       if (i == 0) df
       else df
         .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10_000_000L))
-        .withColumn("text", translate(col("text"), "aeiou", vowelMaps(i)))
+        .withColumn("text", translate(translate(col("text"),
+          "aeiou", vowelMaps(i % 10)), "rstln", consMaps(i / 10 % 10)))
     }.write.mode("overwrite").parquet(s"$workDir/documents.parquet")
 
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
@@ -125,7 +136,7 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val workDir = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val workDir = args.lift(1).getOrElse(s"/tmp/graft_sf_x$Copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

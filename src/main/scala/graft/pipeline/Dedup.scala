@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** GRAFT_CC_LOG=1 prints per-round CC progress (edge/moved counts, wall)
+    * to stderr — the ScaleBench instrumentation for the 100× spot-runs. */
+  private val ccLog: Boolean = sys.env.contains("GRAFT_CC_LOG")
+
   /** Exact dedup on md5(text): one row per distinct content, keeper =
     * min(doc_id), plus the duplicate count. */
   def exactGroups(docs: DataFrame): DataFrame =
@@ -366,6 +370,7 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
+      val t0 = System.nanoTime()
       val nbrMin = und.join(labels, und("v") === labels("id"))
         .groupBy(col("u")).agg(min(col("label")).as("nmin"))
       val next = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
@@ -375,6 +380,8 @@ object Dedup {
         .where(col("label") < col("old")).count()
       labels = next
       it += 1
+      if (ccLog) System.err.println(
+        f"[cc] label-prop round $it: moved=$changed wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     und.unpersist()
     if (changed > 0)
@@ -416,6 +423,7 @@ object Dedup {
     var converged = edges.isEmpty
     var it = 0
     while (!converged && it < maxIters) {
+      val t0 = System.nanoTime()
       // large-star over the symmetric neighborhood: (v, m) for every v > u
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy(col("u"))
@@ -431,9 +439,12 @@ object Dedup {
       val next = withM.select(col("v").as("u"), col("m").as("v"))
         .union(withM.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
-      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      val nNext = next.count()
+      converged = nNext == edges.count() && next.exceptAll(edges).isEmpty
       edges = next
       it += 1
+      if (ccLog) System.err.println(
+        f"[cc] star round $it: edges=$nNext wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     if (!converged)
       throw new IllegalStateException(
