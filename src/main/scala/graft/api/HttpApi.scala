@@ -201,6 +201,8 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     val nowEpoch = java.time.Instant.now().getEpochSecond
     val f = AtTime.toEpoch(from, nowEpoch - 86400, tz)
     val u = AtTime.toEpoch(until, nowEpoch, tz)
+    // (ref render_handler.go:249-252 — an empty window is a request error)
+    if (f >= u) throw HttpError(400, "Invalid or empty time range")
     val (rows0, errors) = Render.evalWithErrors(spark, store, targets, f, u, requireSuccessAll)
     if (rows0.isEmpty || (errors.nonEmpty && requireSuccessAll)) {
       val (mc, msgs) = Render.mergeHttpErrors(errors)

@@ -65,4 +65,36 @@ class AlignSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 1)
     assert(out(0).getAs[scala.collection.Seq[Double]]("values") == Seq(12.0, 25.0))
   }
+
+  test("window functions widen the FETCH range before plan construction " +
+      "(the reference's expr.Metrics() pre-pass, ref pkg/parser/parser.go:155-330)") {
+    // a recording store proves the scan request itself moved back — the
+    // scale contract is that widening reaches partition pruning, not a
+    // post-scan re-read
+    val calls = scala.collection.mutable.Buffer.empty[(String, Long, Long)]
+    val store = new graft.store.SeriesStore {
+      override def stepHint: Option[Long] = Some(60L)
+      override def fetch(s: SparkSession, path: String, from: Long, until: Long) = {
+        calls += ((path, from, until))
+        graft.engine.Eval.emptyFrame(s)
+          .withColumn("pathExpression", org.apache.spark.sql.functions.lit(path))
+      }
+      override def fetchAll(s: SparkSession, from: Long, until: Long) =
+        graft.engine.Eval.emptyFrame(s)
+    }
+    val from = 100000L; val until = 120000L
+    graft.engine.Eval.evalTarget(spark, store, "movingAverage(m,'1h')", from, until)
+    assert(calls.exists { case (p, f, _) => p == "m" && f == from - 3600 },
+      s"movingAverage must fetch 1h earlier, got $calls")
+
+    calls.clear()
+    graft.engine.Eval.evalTarget(spark, store, "movingSum(m,30)", from, until)
+    assert(calls.exists { case (p, f, _) => p == "m" && f == from - 30 * 60 },
+      s"point-count windows widen by n*step (stepHint), got $calls")
+
+    calls.clear()
+    graft.engine.Eval.evalTarget(spark, store, "exponentialMovingAverage(m,'30min')", from, until)
+    assert(calls.exists { case (p, f, _) => p == "m" && f < from },
+      s"ema must widen its fetch, got $calls")
+  }
 }

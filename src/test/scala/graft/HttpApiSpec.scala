@@ -51,6 +51,12 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/render")._1 == 400)
   }
 
+  test("/render with an empty or inverted time range is a 400 (ref render_handler.go:249)") {
+    val (c1, b1) = get("/render?target=events.click&from=1704067200&until=1704067200")
+    assert(c1 == 400 && b1 == "Invalid or empty time range\n")
+    assert(get("/render?target=events.click&from=1704070000&until=1704060000")._1 == 400)
+  }
+
   test("/metrics/find treejson and completer") {
     val (code, body) = get("/metrics/find?query=events.*")
     assert(code == 200)
