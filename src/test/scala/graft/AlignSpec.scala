@@ -96,5 +96,20 @@ class AlignSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.engine.Eval.evalTarget(spark, store, "exponentialMovingAverage(m,'30min')", from, until)
     assert(calls.exists { case (p, f, _) => p == "m" && f < from },
       s"ema must widen its fetch, got $calls")
+
+    // holtWinters bootstraps a full season of history (ref holtwinters
+    // Metrics() widening: -7d)
+    calls.clear()
+    graft.engine.Eval.evalTarget(spark, store, "holtWintersForecast(m)", from, until)
+    assert(calls.exists { case (p, f, _) => p == "m" && f <= from - 7 * 86400 },
+      s"holtWintersForecast must fetch a season of bootstrap, got $calls")
+
+    // timeShift fetches the SHIFTED window, same length ('1d' defaults to
+    // the past like the reference's -1 sign)
+    calls.clear()
+    graft.engine.Eval.evalTarget(spark, store, "timeShift(m,'1d')", from, until)
+    assert(calls.exists { case (p, f, u) =>
+      p == "m" && f == from - 86400 && u == until - 86400 },
+      s"timeShift must fetch the shifted window, got $calls")
   }
 }
