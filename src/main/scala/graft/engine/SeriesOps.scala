@@ -620,15 +620,18 @@ object SeriesOps {
   def currentAbove(df: DataFrame, n: Double): DataFrame = filterSeries(df, "last", ">", n)
   def currentBelow(df: DataFrame, n: Double): DataFrame = filterSeries(df, "last", "<", n)
 
-  /** top/bottom-k by per-series scalar → Catalyst TakeOrderedAndProject.
-    * (ref highestLowest/function.go:45-150 — heap-based top-k) */
+  /** top/bottom-k by per-series scalar → Catalyst TakeOrderedAndProject;
+    * both emit ASCENDING metric order like the reference's heap pop
+    * (ref highestLowest/function.go:126-146 "results should be ordered
+    * ascending"), and carry the order marker so the marshal tier keeps it.
+    * highest pays one extra sort over the n surviving rows only. */
   def highest(df: DataFrame, n: Int, func: String = "average"): DataFrame = {
     val s = when(isnan(scalarOf(func)), lit(Double.NegativeInfinity)).otherwise(scalarOf(func))
-    df.orderBy(s.desc, col("name")).limit(n)
+    markSorted(df.orderBy(s.desc, col("name")).limit(n).orderBy(s.asc, col("name")))
   }
   def lowest(df: DataFrame, n: Int, func: String = "average"): DataFrame = {
     val s = when(isnan(scalarOf(func)), lit(Double.PositiveInfinity)).otherwise(scalarOf(func))
-    df.orderBy(s.asc, col("name")).limit(n)
+    markSorted(df.orderBy(s.asc, col("name")).limit(n))
   }
   def mostDeviant(df: DataFrame, n: Int): DataFrame = highest(df, n, "stddev")
 
