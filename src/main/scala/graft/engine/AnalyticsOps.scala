@@ -227,14 +227,20 @@ object AnalyticsOps {
     val scored = df.crossJoin(broadcast(r1))
       .withColumn("_r", u(col("values"), col("refValues")))
       .drop("refValues")
-    val key = direction match {
-      case "abs" => abs(col("_r"))
-      case "pos" => col("_r")
-      case "neg" => -col("_r")
+    // pos/neg KEEP only matching-signed correlations (the reference's
+    // `default: continue` drops the rest — ref pearsonClosest/function.go:
+    // 81-93), and the top-n emit strongest-first, surviving the marshal
+    // tier via the order marker (heap-pop ascending of the standardized
+    // value = strongest correlation first)
+    val (keep, key) = direction match {
+      case "abs" => (lit(true), abs(col("_r")))
+      case "pos" => (col("_r") >= 0, col("_r"))
+      case "neg" => (col("_r") <= 0, -col("_r"))
       case other => throw new IllegalArgumentException(s"pearsonClosest: bad direction $other")
     }
-    scored.where(!isnan(col("_r")))
-      .orderBy(key.desc, col("name")).limit(n).drop("_r")
+    SeriesOps.markSorted(
+      scored.where(!isnan(col("_r")) && keep)
+        .orderBy(key.desc, col("name")).limit(n).drop("_r"))
   }
 
   // ------------------------------------------------------------- selections

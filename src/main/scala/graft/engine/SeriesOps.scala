@@ -665,7 +665,7 @@ object SeriesOps {
     * series order is a first-class result of sortBy*; ref sortBy semantics
     * + expr/sort.go applying glob order only at fetch). */
   val PresortedCol = "_presorted"
-  private def markSorted(df: DataFrame): DataFrame =
+  private[engine] def markSorted(df: DataFrame): DataFrame =
     df.withColumn(PresortedCol, lit(true))
 
   def sortByName(df: DataFrame, reverse: Boolean = false): DataFrame =
