@@ -215,7 +215,8 @@ object Queries {
     // ---- round-5 oracle expansion: the last SQL-expressible golden-only rows
     // negative basis so the below-fence keeps the two lowest series (the
     // driver fixture has no true low outliers at a positive basis)
-    "g138_tukeybelow" -> g("tukeyBelow(events.*,-0.5,2)"),
+    // positive basis: the reference's basis<=0 early exit returns EMPTY
+    "g138_tukeybelow" -> g("tukeyBelow(events.*,0.2,2)"),
     "g139_movingwindow_min" -> g("movingWindow(events.*,'12h','min')"),
     "g140_scaleafterts" -> g("scaleAfterTimestamp(events.*,2,1705363200)"),
     // lookup target = the series itself (identity regex rewrite); the new
@@ -835,11 +836,16 @@ object Queries {
       (S + """SELECT 'stdev(' || name || ',5)' AS name, ts, round(sd, 4) AS value FROM (
         |  SELECT name, ts, stddev_pop(v) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sd FROM s)
         |WHERE sd IS NOT NULL ORDER BY name, ts""".stripMargin),
+    // reference-exact tukey: fences from the POOLED sorted points of every
+    // series (index quantiles sorted[int(0.25*N)]), keep series with >=1
+    // point beyond the fence, top-2 by outlier count
     "g36_tukey_above" ->
-      (S + """, sc AS (SELECT name, avg(v) AS a FROM s GROUP BY name),
-        |fences AS (SELECT quantile_cont(a, 0.25) AS q1, quantile_cont(a, 0.75) AS q3 FROM sc),
-        |keep AS (SELECT sc.name FROM sc, fences WHERE sc.a > fences.q3 + 0.5 * (fences.q3 - fences.q1) ORDER BY sc.a DESC, sc.name LIMIT 2)
-        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep ON s.name = keep.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
+      (S + """, p AS (SELECT list_sort(list(v)) AS l, count(v) AS c FROM s WHERE v IS NOT NULL),
+        |q AS (SELECT l[CAST(floor(0.25*c) AS INT)+1] AS q1, l[CAST(floor(0.75*c) AS INT)+1] AS q3 FROM p),
+        |oc AS (SELECT s.name, count(*) FILTER (WHERE s.v >= q.q3 + 0.5*(q.q3-q.q1)) AS oc
+        |       FROM s, q WHERE s.v IS NOT NULL GROUP BY s.name),
+        |keep AS (SELECT name FROM oc WHERE oc > 0 ORDER BY oc DESC, name LIMIT 2)
+        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep USING (name) WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
     "g37_slo_day" ->
       (S + """SELECT 'slo(' || name || ', 1d, above, 100)' AS name,
         |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts,
@@ -1188,10 +1194,12 @@ object Queries {
         |  round(CASE WHEN v IS NOT NULL AND v >= 500 THEN v ELSE 0 END, 4) AS value
         |FROM s JOIN keep USING (name) ORDER BY 1, 2""".stripMargin),
     "g138_tukeybelow" ->
-      (S + """, sc AS (SELECT name, avg(v) AS a FROM s GROUP BY name),
-        |fences AS (SELECT quantile_cont(a, 0.25) AS q1, quantile_cont(a, 0.75) AS q3 FROM sc),
-        |keep AS (SELECT sc.name FROM sc, fences WHERE sc.a < fences.q1 - (-0.5) * (fences.q3 - fences.q1) ORDER BY sc.a ASC, sc.name LIMIT 2)
-        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep ON s.name = keep.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
+      (S + """, p AS (SELECT list_sort(list(v)) AS l, count(v) AS c FROM s WHERE v IS NOT NULL),
+        |q AS (SELECT l[CAST(floor(0.25*c) AS INT)+1] AS q1, l[CAST(floor(0.75*c) AS INT)+1] AS q3 FROM p),
+        |oc AS (SELECT s.name, count(*) FILTER (WHERE s.v <= q.q1 - 0.2*(q.q3-q.q1)) AS oc
+        |       FROM s, q WHERE s.v IS NOT NULL GROUP BY s.name),
+        |keep AS (SELECT name FROM oc WHERE oc > 0 ORDER BY oc DESC, name LIMIT 2)
+        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep USING (name) WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
     "g139_movingwindow_min" ->
       (S + """SELECT 'movingWindow(' || name || ',''12h'')' AS name, ts, round(wmin, 4) AS value FROM (
         |  SELECT name, ts, min(v) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS wmin FROM s)

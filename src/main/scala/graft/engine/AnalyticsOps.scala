@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Kernels, SeriesFrame, VecOps}
 
@@ -248,20 +249,60 @@ object AnalyticsOps {
   /** tukeyAbove/Below: top-n outliers by Tukey fences (basis-summarized
     * scalar vs IQR over all series). The IQR runs as Spark's exact
     * `percentile` aggregate over one scalar per series. (ref tukey/function.go) */
-  def tukey(df: DataFrame, basis: Double, n: Int, above: Boolean): DataFrame = {
-    val scalar = vecScalar(v => Kernels.summarizeValues("avg", v))(col("values"))
-    val withS = df.withColumn("_s", scalar)
-    val fences = withS.agg(
-      expr("percentile(_s, 0.25)").as("q1"),
-      expr("percentile(_s, 0.75)").as("q3"))
-    val joined = withS.crossJoin(broadcast(fences))
-      .withColumn("_iqr", col("q3") - col("q1"))
-    val kept =
-      if (above) joined.where(col("_s") > col("q3") + lit(basis) * col("_iqr"))
-        .orderBy(col("_s").desc, col("name"))
-      else joined.where(col("_s") < col("q1") - lit(basis) * col("_iqr"))
-        .orderBy(col("_s").asc, col("name"))
-    kept.limit(n).drop("_s", "q1", "q3", "_iqr")
+  /**
+   * tukeyAbove/Below — reference-exact (ref tukey/function.go:40-160):
+   * the fences come from the POOLED sorted points of EVERY series (index
+   * quantiles `sorted[int(0.25*N)]`, not interpolated), a series survives
+   * iff it has at least one point beyond its fence, and the top-n by
+   * outlier count return in ASCENDING count order (heap-pop). `basis <= 0`
+   * returns an empty list like the reference's early exit; ties at the
+   * cutoff break by name (the reference's heap is unstable there). The
+   * optional `interval` windows the counted points per series: positive =
+   * the last k points, negative = everything before the last |k| (ints
+   * count points, interval seconds divide by the series step).
+   *
+   * Scale shape: one explode+global-rank over the REQUEST WINDOW's points
+   * for the two order statistics (driver reads 2 rows), then a map-side
+   * outlier count per series and a TakeOrdered top-n.
+   */
+  def tukey(df: DataFrame, basis: Double, n: Int, above: Boolean,
+            interval: Option[Either[Long, Int]] = None): DataFrame = {
+    require(n >= 1, "tukey: n must be larger or equal to 1")
+    if (basis <= 0) return df.limit(0)
+    val winVals = interval match {
+      case None => col("values")
+      case Some(iv) =>
+        val k: Column = iv match {
+          case Right(pts) => lit(pts.toLong)
+          case Left(secs) => (lit(secs) / col("step")).cast("long")
+        }
+        val len = size(col("values")).cast("long")
+        // (ref function.go:70-84): positive k = last k points, negative k
+        // = all but the last |k|, zero/overflow = the whole range
+        val begin = when(k > 0 && k < len, len - k).otherwise(lit(0L))
+        val end = when(k < 0 && -k < len, len + k).otherwise(len)
+        slice(col("values"), (begin + 1).cast("int"), (end - begin).cast("int"))
+    }
+    val withW = df.withColumn("_w", winVals)
+    val pts = withW.select(explode(col("_w")).as("_v")).where(!isnan(col("_v")))
+    val total = pts.count()
+    if (total == 0) return df.limit(0)
+    val k1 = (0.25 * total).toInt
+    val k3 = (0.75 * total).toInt
+    val ranked = pts.withColumn("_rk",
+      row_number().over(Window.orderBy(col("_v"))))
+    val quart = ranked.where(col("_rk") === k1 + 1 || col("_rk") === k3 + 1)
+      .orderBy(col("_rk")).collect().map(_.getDouble(0))
+    val q1 = quart.head
+    val q3 = quart.last
+    val fence = if (above) q3 + basis * (q3 - q1) else q1 - basis * (q3 - q1)
+    val cnt = size(filter(col("_w"),
+      v => !isnan(v) && (if (above) v >= lit(fence) else v <= lit(fence))))
+    SeriesOps.markSorted(
+      withW.withColumn("_oc", cnt).where(col("_oc") > 0)
+        .orderBy(col("_oc").desc, col("name")).limit(n)
+        .orderBy(col("_oc").asc, col("name"))
+        .drop("_w", "_oc"))
   }
 
   /** averageOutsidePercentile: keep series whose average falls outside the

@@ -143,6 +143,15 @@ object Eval {
       case other => throw new IllegalArgumentException(s"bad node-or-tag $other")
     }
 
+  /** tukey's optional 4th arg: int = a point count, string = an interval
+    * whose seconds divide by the series step (ref tukey/function.go:54-67). */
+  private def tukeyInterval(fc: FuncCall): Option[Either[Long, Int]] =
+    arg(fc, 3, "interval").map {
+      case Num(v) => Right(v.toInt)
+      case Str(s) => Left(Interval.parse(s))
+      case other => throw new IllegalArgumentException(s"tukey: bad interval $other")
+    }
+
   /** Window size arg: Right(points) for ints, Left(seconds) for interval strings. */
   private def windowArg(fc: FuncCall, i: Int): Either[Long, Int] = fc.args(i) match {
     case Num(v) => Right(v.toInt)
@@ -587,9 +596,9 @@ object Eval {
       seriesArg(ctx, fc, 1), seriesArg(ctx, fc), intArg(fc, 2),
       strArg(fc, 3, "direction", Some("abs")))),
     "tukeyAbove" -> ((ctx, fc) => AnalyticsOps.tukey(seriesArg(ctx, fc),
-      numArg(fc, 1), intArg(fc, 2), above = true)),
+      numArg(fc, 1), intArg(fc, 2), above = true, tukeyInterval(fc))),
     "tukeyBelow" -> ((ctx, fc) => AnalyticsOps.tukey(seriesArg(ctx, fc),
-      numArg(fc, 1), intArg(fc, 2), above = false)),
+      numArg(fc, 1), intArg(fc, 2), above = false, tukeyInterval(fc))),
     "averageOutsidePercentile" -> ((ctx, fc) => AnalyticsOps.averageOutsidePercentile(seriesArg(ctx, fc), numArg(fc, 1))),
     "removeBetweenPercentile" -> ((ctx, fc) => AnalyticsOps.removeBetweenPercentile(seriesArg(ctx, fc), numArg(fc, 1))),
     "slo" -> ((ctx, fc) => AnalyticsOps.slo(seriesArg(ctx, fc),
