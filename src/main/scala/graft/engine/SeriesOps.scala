@@ -626,8 +626,13 @@ object SeriesOps {
     * ascending"), and carry the order marker so the marshal tier keeps it.
     * highest pays one extra sort over the n surviving rows only. */
   def highest(df: DataFrame, n: Int, func: String = "average"): DataFrame = {
+    // the reference SKIPS series whose metric computes NaN (function.go:
+    // 109-112) — without the filter an all-NaN series could surface when n
+    // exceeds the valid count; lowest deliberately keeps them (the
+    // reference pushes NaN into its heap there)
     val s = when(isnan(scalarOf(func)), lit(Double.NegativeInfinity)).otherwise(scalarOf(func))
-    markSorted(df.orderBy(s.desc, col("name")).limit(n).orderBy(s.asc, col("name")))
+    markSorted(df.where(!isnan(scalarOf(func)))
+      .orderBy(s.desc, col("name")).limit(n).orderBy(s.asc, col("name")))
   }
   def lowest(df: DataFrame, n: Int, func: String = "average"): DataFrame = {
     val s = when(isnan(scalarOf(func)), lit(Double.PositiveInfinity)).otherwise(scalarOf(func))
