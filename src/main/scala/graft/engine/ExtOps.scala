@@ -287,8 +287,9 @@ object ExtOps {
     // pad every digit run to fixed width → lexicographic == natural
     val u = udf((n: String) => "\\d+".r.replaceAllIn(n, m => f"${BigInt(m.matched)}%020d"))
     val k = u(col("name"))
-    df.withColumn("_nk", k)
-      .orderBy(if (reverse) col("_nk").desc else col("_nk").asc)
-      .drop("_nk")
+    SeriesOps.markSorted(
+      df.withColumn("_nk", k)
+        .orderBy(if (reverse) col("_nk").desc else col("_nk").asc)
+        .drop("_nk"))
   }
 }
