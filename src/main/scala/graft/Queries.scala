@@ -576,6 +576,11 @@ object Queries {
       Assembly.unigramLmScore(docs(s, dir))
         .select(col("doc_id"), col("n_words"), dround(col("avg_logp"), 4).as("avg_logp"))
         .orderBy("doc_id")),
+    // CCNet-style perplexity terciles: head/middle/tail quality buckets
+    "p41_ppl_buckets" -> ((s, dir) =>
+      Assembly.perplexityBuckets(docs(s, dir))
+        .select(col("doc_id"), col("n_words"), col("ppl"), col("bucket"))
+        .orderBy("doc_id")),
 
     // substring-level dedup: pairs sharing a contiguous 10-word span, with
     // the longest shared run (inverted-index join + gaps-and-islands runs)
@@ -1819,6 +1824,22 @@ object Queries {
         |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc)
         |SELECT doc_id, count(*) AS n_words, round(avg(ln((c + 1.0) / (t + v))), 4) AS avg_logp
         |FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same LM as p27; perplexity rounded to 4dp BEFORE the tercile cut so
+    // the bucket boundary is engine-reproducible
+    "p41_ppl_buckets" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
+        |vc AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
+        |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc),
+        |sc AS (SELECT doc_id, count(*) AS n_words, round(avg(ln((c + 1.0) / (t + v))), 4) AS lp
+        |       FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id),
+        |sp AS (SELECT doc_id, n_words, round(exp(-lp), 4) AS ppl FROM sc),
+        |cut AS (SELECT quantile_cont(ppl, 1.0/3) AS c1, quantile_cont(ppl, 2.0/3) AS c2 FROM sp)
+        |SELECT doc_id, n_words, ppl,
+        |  CASE WHEN ppl <= c1 THEN 'head' WHEN ppl <= c2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM sp, cut ORDER BY doc_id""".stripMargin,
     "p30_shared_spans" ->
       """WITH words AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w

@@ -209,4 +209,37 @@ object Assembly {
       .agg(count(lit(1)).as("n_words"),
         avg(log((col("c") + 1.0) / (col("t") + col("v")))).as("avg_logp"))
   }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020, arXiv:1911.00359
+   * §4.3): score every document by language-model perplexity
+   * (exp of the negative mean log-prob — CCNet uses a KenLM 5-gram; the
+   * corpus unigram LM from [[unigramLmScore]] keeps the oracle exact while
+   * preserving the pipeline shape) and split the corpus at the perplexity
+   * TERCILES into `head` (lowest perplexity, most in-domain), `middle`,
+   * `tail` — the buckets CCNet feeds to downstream sampling/filtering.
+   *
+   * Both the per-doc log-prob and the perplexity are rounded to 1e-4
+   * BEFORE the tercile cut so the bucket boundaries are reproducible
+   * across engines (sum order varies the last ulp of the mean).
+   *
+   * Scale shape: the two cut points are one global percentile aggregate
+   * (two doubles to the driver, re-entering the plan as literals); the
+   * bucket label is a map-side comparison. Nothing shuffles beyond
+   * unigramLmScore's own vocab join.
+   */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val scored = unigramLmScore(docs)
+      .withColumn("avg_logp", round(col("avg_logp") * 1e4) / 1e4)
+      .withColumn("ppl", round(exp(-col("avg_logp")) * 1e4) / 1e4)
+    val cuts = scored.agg(
+      expr("percentile(ppl, 1.0/3)").as("c1"),
+      expr("percentile(ppl, 2.0/3)").as("c2")).head()
+    val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
+    scored.withColumn("bucket",
+      when(col("ppl") <= c1, "head")
+        .when(col("ppl") <= c2, "middle")
+        .otherwise("tail"))
+      .select(col("doc_id"), col("n_words"), col("ppl"), col("bucket"))
+  }
 }

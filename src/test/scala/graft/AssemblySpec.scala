@@ -247,4 +247,23 @@ class AssemblySpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("n_words").head().getLong(0)
     assert(n == 13L)
   }
+
+  test("perplexityBuckets: CCNet terciles are balanced and ordered head < middle < tail") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val b = Assembly.perplexityBuckets(docs).cache()
+    val total = b.count()
+    val sizes = b.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set("head", "middle", "tail"), sizes.toString)
+    // terciles: each bucket within a few docs of total/3 (ties at the cut)
+    sizes.values.foreach(s =>
+      assert(math.abs(s - total / 3.0) <= math.max(4, total / 10.0), sizes.toString))
+    // the split is monotone in perplexity: max(head) <= min(middle) <= ...
+    val stats = b.groupBy("bucket")
+      .agg(min("ppl").as("mn"), max("ppl").as("mx")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(stats("head")._2 <= stats("middle")._1)
+    assert(stats("middle")._2 <= stats("tail")._1)
+    b.unpersist()
+  }
 }
