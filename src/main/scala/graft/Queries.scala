@@ -581,6 +581,14 @@ object Queries {
       Assembly.perplexityBuckets(docs(s, dir))
         .select(col("doc_id"), col("n_words"), col("ppl"), col("bucket"))
         .orderBy("doc_id")),
+    // DSIR importance-ranked selection: top-100 docs most like the src1
+    // "trusted domain" under target-vs-raw unigram log-ratio
+    "p42_dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Assembly.dsirSelect(d, d.where(col("source") === "src1"), 100)
+        .select(col("doc_id"), col("n_words"), col("dsir_score"))
+        .orderBy("doc_id")
+    }),
 
     // substring-level dedup: pairs sharing a contiguous 10-word span, with
     // the longest shared run (inverted-index join + gaps-and-islands runs)
@@ -1840,6 +1848,22 @@ object Queries {
         |SELECT doc_id, n_words, ppl,
         |  CASE WHEN ppl <= c1 THEN 'head' WHEN ppl <= c2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM sp, cut ORDER BY doc_id""".stripMargin,
+    "p42_dsir_select" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
+        |rv AS (SELECT word, count(*) AS cr FROM ex GROUP BY word),
+        |rt AS (SELECT sum(cr) AS tr, count(*) AS vr FROM rv),
+        |tex AS (SELECT unnest(w) AS word FROM w WHERE source = 'src1'),
+        |tv AS (SELECT word, count(*) AS ct FROM tex GROUP BY word),
+        |tt AS (SELECT sum(ct) AS tt, count(*) AS vt FROM tv),
+        |sc AS (SELECT doc_id, count(*) AS n_words,
+        |  round(avg(ln((coalesce(ct, 0) + 1.0) / (tt + vt)) - ln((cr + 1.0) / (tr + vr))), 4) AS dsir_score
+        |  FROM ex JOIN rv USING (word) LEFT JOIN tv USING (word) CROSS JOIN rt CROSS JOIN tt
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_words, dsir_score FROM sc
+        |ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin,
     "p30_shared_spans" ->
       """WITH words AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w

@@ -242,4 +242,38 @@ object Assembly {
         .otherwise("tail"))
       .select(col("doc_id"), col("n_words"), col("ppl"), col("bucket"))
   }
+
+  /**
+   * DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+   * importance score = mean log-ratio of target-vs-raw unigram
+   * probabilities (both add-one smoothed over their own vocab), rank the
+   * raw corpus and keep the top-k most target-like documents. The paper
+   * samples hashed n-gram features under Gumbel noise; this deterministic
+   * top-k unigram variant keeps the DuckDB oracle exact while preserving
+   * the selection shape. Scores round to 1e-4 and ties at the cutoff
+   * break by doc_id, so membership is engine-reproducible.
+   *
+   * Scale shape: the raw vocab joins the token stream on its own
+   * distribution (one shuffle); the TARGET vocab is the small curated
+   * side by construction and broadcasts, as do both total rows; the
+   * selection is a TakeOrdered top-k, never a global sort.
+   */
+  def dsirSelect(docs: DataFrame, target: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(Dedup.wordsOf(col("text"))).as("word"))
+    val rawVocab = toks.groupBy("word").agg(count(lit(1)).as("cr"))
+    val rawTot = rawVocab.agg(sum("cr").as("tr"), count(lit(1)).as("vr"))
+    val tgtVocab = target.select(explode(Dedup.wordsOf(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("ct"))
+    val tgtTot = tgtVocab.agg(sum("ct").as("tt"), count(lit(1)).as("vt"))
+    toks.join(rawVocab, "word")
+      .join(broadcast(tgtVocab), Seq("word"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .withColumn("_lr",
+        log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + col("vt"))) -
+          log((col("cr") + 1.0) / (col("tr") + col("vr"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        (round(avg(col("_lr")) * 1e4) / 1e4).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id")).limit(k)
+  }
 }

@@ -266,4 +266,19 @@ class AssemblySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats("middle")._2 <= stats("tail")._1)
     b.unpersist()
   }
+
+  test("dsirSelect: the target domain's own documents are over-represented in the selection") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 50
+    val sel = Assembly.dsirSelect(docs, docs.where(col("source") === "src1"), k).cache()
+    assert(sel.count() == k)
+    // selection lift: src1's share of the selected set must beat its share
+    // of the corpus (the whole point of importance ranking)
+    val selSrc1 = sel.join(docs.select("doc_id", "source"), "doc_id")
+      .where(col("source") === "src1").count()
+    val corpusShare = docs.where(col("source") === "src1").count().toDouble / docs.count()
+    assert(selSrc1.toDouble / k > corpusShare,
+      s"src1 selected $selSrc1/$k vs corpus share $corpusShare")
+    sel.unpersist()
+  }
 }

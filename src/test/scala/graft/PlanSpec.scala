@@ -125,6 +125,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected partial + final aggregation:\n" + plan.take(3000))
   }
 
+  test("dsirSelect: target vocab broadcasts, selection is TakeOrdered (no global sort)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "a b c", "s1"), (2L, "a a d", "s2"), (3L, "b d e", "s1"))
+      .toDF("doc_id", "text", "source")
+    val plan = graft.pipeline.Assembly
+      .dsirSelect(docs, docs.where($"source" === "s1"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "target vocab must broadcast-join the token stream:\n" + plan.take(3000))
+  }
+
   test("packPlan windows per bucket — no single-partition exchange in the offset stage") {
     val sp = spark
     import sp.implicits._
