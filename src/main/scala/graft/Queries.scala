@@ -581,6 +581,14 @@ object Queries {
       Assembly.perplexityBuckets(docs(s, dir))
         .select(col("doc_id"), col("n_words"), col("ppl"), col("bucket"))
         .orderBy("doc_id")),
+    // Gopher rule battery: per-rule 0/1 flags + keep (all integer-count
+    // comparisons — exactly reproducible)
+    "p43_gopher_rules" -> ((s, dir) =>
+      graft.pipeline.TextStats.gopherRules(docs(s, dir))
+        .select(col("doc_id"), col("n_words"), col("r_wc"), col("r_mwl"),
+          col("r_sym"), col("r_bullet"), col("r_ell"), col("r_alpha"),
+          col("r_stop"), col("keep"))
+        .orderBy("doc_id")),
     // DSIR importance-ranked selection: top-100 docs most like the src1
     // "trusted domain" under target-vs-raw unigram log-ratio
     "p42_dsir_select" -> ((s, dir) => {
@@ -1848,6 +1856,35 @@ object Queries {
         |SELECT doc_id, n_words, ppl,
         |  CASE WHEN ppl <= c1 THEN 'head' WHEN ppl <= c2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM sp, cut ORDER BY doc_id""".stripMargin,
+    "p43_gopher_rules" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS rw,
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS cw,
+        |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> len(l) > 0) AS lines
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(rw) AS nw,
+        |  CASE WHEN len(cw) > 0 THEN CAST(list_sum(list_transform(cw, w -> len(w))) AS DOUBLE) / len(cw) ELSE 0.0 END AS mwl,
+        |  len(text) - len(replace(text, '#', '')) AS nhash,
+        |  (len(text) - len(replace(text, '...', ''))) // 3 + (len(text) - len(replace(text, '…', ''))) AS nell,
+        |  greatest(len(lines), 1) AS nl,
+        |  len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS bl,
+        |  len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS el,
+        |  len(list_filter(rw, w -> regexp_matches(w, '\p{L}'))) AS aw,
+        |  len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(cw, s))) AS sh
+        |  FROM base),
+        |f AS (SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        |  CAST(nw >= 50 AND nw <= 100000 AS BIGINT) AS r_wc,
+        |  CAST(mwl >= 3.0 AND mwl <= 10.0 AS BIGINT) AS r_mwl,
+        |  CAST(CAST(nhash AS DOUBLE) < 0.1*nw AND CAST(nell AS DOUBLE) < 0.1*nw AS BIGINT) AS r_sym,
+        |  CAST(CAST(bl AS DOUBLE) < 0.9*nl AS BIGINT) AS r_bullet,
+        |  CAST(CAST(el AS DOUBLE) < 0.3*nl AS BIGINT) AS r_ell,
+        |  CAST(CAST(aw AS DOUBLE) >= 0.8*nw AS BIGINT) AS r_alpha,
+        |  CAST(sh >= 2 AS BIGINT) AS r_stop
+        |  FROM m)
+        |SELECT doc_id, n_words, r_wc, r_mwl, r_sym, r_bullet, r_ell, r_alpha, r_stop,
+        |  CAST(r_wc + r_mwl + r_sym + r_bullet + r_ell + r_alpha + r_stop = 7 AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "p42_dsir_select" ->
       """WITH w AS (SELECT doc_id, source,
         |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w

@@ -129,4 +129,62 @@ object TextStats {
       .withColumn("dup_bigram_frac", col("_r._4"))
       .drop("_r")
   }
+
+  /** Gopher's stop-word list for its "contains at least 2" rule
+    * (Rae et al. 2021, arXiv:2112.11446 §A1.1). */
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) — the
+   * document-level filter battery large-scale text pipelines run before
+   * training. Each rule is a 0/1 flag; `keep` = every rule passes:
+   *   r_wc     : 50 ≤ word count ≤ 100000
+   *   r_mwl    : 3 ≤ mean word length ≤ 10
+   *   r_sym    : '#'/word < 0.1 AND '...'/word < 0.1
+   *   r_bullet : < 90% of non-blank lines start with a bullet
+   *   r_ell    : < 30% of non-blank lines end with an ellipsis
+   *   r_alpha  : ≥ 80% of words contain an alphabetic character
+   *   r_stop   : ≥ 2 distinct Gopher stop words appear
+   *
+   * All pure column math over integer counts (no float accumulation), so
+   * the flags are exactly engine-reproducible and the whole battery is
+   * map-side at any corpus scale.
+   */
+  def gopherRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val rawWords = filter(split(t, "\\s+"), w => length(w) > 0)
+    val nW = size(rawWords)
+    val cleanWords = Dedup.wordsOf(t)
+    val sumLen = aggregate(cleanWords, lit(0L), (a, w) => a + length(w))
+    val meanWl = when(size(cleanWords) > 0,
+      sumLen.cast("double") / size(cleanWords)).otherwise(lit(0.0))
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEll = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3 +
+      (length(t) - length(regexp_replace(t, "…", "")))
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => length(l) > 0)
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l => l.rlike("^[-*•]")))
+    val ellLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$")))
+    val alphaWords = size(filter(rawWords, w => w.rlike("\\p{L}")))
+    val stopHits = size(filter(
+      array(gopherStops.map(lit): _*), s => array_contains(cleanWords, s)))
+    def flag(c: Column): Column = c.cast("long")
+    docs
+      .withColumn("n_words", nW.cast("long"))
+      .withColumn("r_wc", flag(nW >= 50 && nW <= 100000))
+      .withColumn("r_mwl", flag(meanWl >= 3.0 && meanWl <= 10.0))
+      .withColumn("r_sym", flag(
+        nHash.cast("double") < lit(0.1) * nW && nEll.cast("double") < lit(0.1) * nW))
+      .withColumn("r_bullet", flag(
+        bulletLines.cast("double") < lit(0.9) * greatest(nLines, lit(1))))
+      .withColumn("r_ell", flag(
+        ellLines.cast("double") < lit(0.3) * greatest(nLines, lit(1))))
+      .withColumn("r_alpha", flag(
+        alphaWords.cast("double") >= lit(0.8) * nW))
+      .withColumn("r_stop", flag(stopHits >= 2))
+      .withColumn("keep", flag(
+        col("r_wc") + col("r_mwl") + col("r_sym") + col("r_bullet") +
+          col("r_ell") + col("r_alpha") + col("r_stop") === 7))
+  }
 }

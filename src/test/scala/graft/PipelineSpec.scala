@@ -27,6 +27,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("p43: Gopher rules trip on crafted violations and pass clean prose") {
+    val sp = spark
+    import sp.implicits._
+    val clean = ("the quick brown fox jumps over the lazy dog and runs far away " * 5).trim
+    val fixture = Seq(
+      (1L, clean),                                       // passes everything
+      (2L, "tiny doc"),                                  // r_wc (too short)
+      (3L, ("a " * 60).trim),                            // r_mwl (mean len 1)
+      (4L, (clean.split(" ").map("#" + _).mkString(" "))), // r_sym (# per word)
+      (5L, Seq.fill(10)("- item of the list and that").mkString("\n")), // r_bullet
+      (6L, ("7 " * 30 + "42 " * 30).trim),               // r_alpha (no letters)
+      (7L, ("lorem ipsum dolor sit amet " * 12).trim)    // r_stop (no stop words)
+    ).toDF("doc_id", "text")
+    val r = graft.pipeline.TextStats.gopherRules(fixture).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("keep") == 1, "clean prose must keep")
+    assert(r(2L).getAs[Long]("r_wc") == 0)
+    assert(r(3L).getAs[Long]("r_mwl") == 0)
+    assert(r(4L).getAs[Long]("r_sym") == 0)
+    assert(r(5L).getAs[Long]("r_bullet") == 0)
+    assert(r(6L).getAs[Long]("r_alpha") == 0)
+    assert(r(7L).getAs[Long]("r_stop") == 0)
+    assert(Seq(2L, 3L, 4L, 5L, 6L, 7L).forall(r(_).getAs[Long]("keep") == 0))
+  }
+
   test("p05: minhash est_jaccard tracks exact jaccard on every emitted pair; high-sim recall is total") {
     // exact jaccard on the SAME shingle definition (word 3-shingles)
     val sh = docs.select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("sh")).distinct()
