@@ -581,6 +581,19 @@ object Queries {
       Assembly.perplexityBuckets(docs(s, dir))
         .select(col("doc_id"), col("n_words"), col("ppl"), col("bucket"))
         .orderBy("doc_id")),
+    // PCA whitening (no DuckDB oracle — eigendecomposition; identity-
+    // covariance gate in QuantizeSpec): leading whitened components
+    "p44_pca_whiten" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val (mean, w) = graft.pipeline.Quantize.trainWhitening(e)
+      graft.pipeline.Quantize.whiten(e, mean, w)
+        .select(col("vec_id"),
+          dround(element_at(col("white"), 1), 4).as("w0"),
+          dround(element_at(col("white"), 2), 4).as("w1"),
+          dround(element_at(col("white"), 3), 4).as("w2"),
+          dround(element_at(col("white"), 4), 4).as("w3"))
+        .orderBy("vec_id")
+    }),
     // Gopher rule battery: per-rule 0/1 flags + keep (all integer-count
     // comparisons — exactly reproducible)
     "p43_gopher_rules" -> ((s, dir) =>

@@ -177,4 +177,129 @@ object Quantize {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "d2", "rank")
   }
+
+  /**
+   * PCA-whitening training for the embedding/ANN path — the standard
+   * decorrelate-and-equalize preprocessing before product quantization
+   * (the motivation behind OPQ's learned rotation, Ge et al. 2013:
+   * uncorrelated, variance-balanced dimensions make per-subspace codebooks
+   * carry equal information).
+   *
+   * Moments are DISTRIBUTED: each partition accumulates (n, Σx, Σxxᵀ) in
+   * one traversal — the RowMatrix.computeCovariance shape, d + d² doubles
+   * per partition to the driver — and the d×d covariance eigendecomposes
+   * on the driver with cyclic Jacobi rotations (d is small by contract;
+   * this is the one genuinely per-partition-imperative kernel, like the
+   * multimodal batcher). Returns (mean, W) with W = Λ^(-1/2) Uᵀ rows in
+   * descending-eigenvalue order.
+   */
+  def trainWhitening(emb: DataFrame, eps: Double = 1e-8): (Array[Double], Array[Array[Double]]) = {
+    val sp = emb.sparkSession
+    import sp.implicits._
+    val parts = emb.select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        var n = 0L; var d = -1
+        var s: Array[Double] = null
+        var o: Array[Double] = null
+        it.foreach { v =>
+          if (d < 0) { d = v.length; s = new Array[Double](d); o = new Array[Double](d * d) }
+          var i = 0
+          while (i < d) {
+            val vi = v(i).toDouble
+            s(i) += vi
+            var j = 0
+            while (j < d) { o(i * d + j) += vi * v(j).toDouble; j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty else Iterator((n, s, o))
+      }.collect()
+    require(parts.nonEmpty, "trainWhitening: empty corpus")
+    val d = parts.head._2.length
+    var n = 0L
+    val s = new Array[Double](d)
+    val o = new Array[Double](d * d)
+    parts.foreach { case (pn, ps, po) =>
+      n += pn
+      var i = 0
+      while (i < d) { s(i) += ps(i); i += 1 }
+      i = 0
+      while (i < d * d) { o(i) += po(i); i += 1 }
+    }
+    val mean = s.map(_ / n)
+    val cov = Array.tabulate(d, d)((i, j) => o(i * d + j) / n - mean(i) * mean(j))
+    val (evals, evecs) = jacobiEigen(cov)
+    // principal order, whitened: row k of W = u_k / sqrt(λ_k + eps)
+    val order = evals.zipWithIndex.sortBy(-_._1).map(_._2)
+    val w = order.map { k =>
+      val scale = 1.0 / math.sqrt(math.max(evals(k), 0.0) + eps)
+      Array.tabulate(d)(j => evecs(j)(k) * scale)
+    }
+    (mean, w)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (public
+    * textbook algorithm): returns (eigenvalues, eigenvector columns). */
+  private def jacobiEigen(a0: Array[Array[Double]], sweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val den = math.abs(theta) + math.sqrt(theta * theta + 1.0)
+            val t = if (theta == 0.0) 1.0 / den else math.signum(theta) / den
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - sn * aiq
+              a(i)(q) = sn * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - sn * aqi
+              a(q)(i) = sn * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - sn * viq
+              v(i)(q) = sn * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Map-side whitening projection: y = W (x - μ) against literal matrices
+    * (nested-literal HOFs, same codegen shape as [[pqEncode]]'s codebooks —
+    * no shuffle, no join, scan-speed at any corpus size). */
+  def whiten(emb: DataFrame, mean: Array[Double], w: Array[Array[Double]]): DataFrame = {
+    val meanLit = array(mean.map(lit): _*)
+    val wLit = array(w.map(r => array(r.map(lit): _*)): _*)
+    emb.withColumn("white",
+      transform(wLit, row =>
+        aggregate(
+          zip_with(row,
+            zip_with(col("embedding"), meanLit, (x, m) => x.cast("double") - m),
+            (wk, xc) => wk * xc),
+          lit(0.0d), (acc, x) => acc + x)))
+  }
 }

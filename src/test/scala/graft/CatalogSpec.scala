@@ -22,7 +22,8 @@ class CatalogSpec extends AnyFunSuite {
     "p14_srp_neardup",         // random projections — PipelineSpec recall vs exact
     "p29_pq_topk",             // Lloyd codebooks — QuantizeSpec recall + fidelity
     "p31_contamination_bloom", // probabilistic membership — CurationSpec recall 1
-    "p34_ivf_pq_serve")        // IVF+PQ serving — PipelineSpec recall + pruned-plan gates
+    "p34_ivf_pq_serve",        // IVF+PQ serving — PipelineSpec recall + pruned-plan gates
+    "p44_pca_whiten")          // eigendecomposition — QuantizeSpec identity-covariance gate
 
   test("every query has oracle SQL or a documented self-consistency gate") {
     val queries = SparkEntry.queries.keySet

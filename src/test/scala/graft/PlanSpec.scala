@@ -138,6 +138,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "target vocab must broadcast-join the token stream:\n" + plan.take(3000))
   }
 
+  test("whiten projection is map-side against literal matrices (no shuffle, no join)") {
+    val sp = spark
+    import sp.implicits._
+    val emb = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 1.0f)), (2L, Seq(0.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val (mean, w) = graft.pipeline.Quantize.trainWhitening(emb)
+    val plan = graft.pipeline.Quantize.whiten(emb, mean, w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "whitening must not shuffle:\n" + plan.take(3000))
+    assert(!plan.contains("Join"), "whitening must not join:\n" + plan.take(3000))
+  }
+
   test("packPlan windows per bucket — no single-partition exchange in the offset stage") {
     val sp = spark
     import sp.implicits._

@@ -109,4 +109,36 @@ class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(r.getAs[Double]("d2") - t) < 1e-6)
     }
   }
+
+  test("p44: PCA whitening — whitened covariance is the identity (the defining property)") {
+    val (mean, w) = Quantize.trainWhitening(emb)
+    val d = mean.length
+    assert(w.length == d && w.forall(_.length == d))
+    val whitened = Quantize.whiten(emb, mean, w)
+      .select(org.apache.spark.sql.functions.col("white"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = whitened.length
+    // empirical covariance of the whitened vectors
+    val wm = Array.tabulate(d)(i => whitened.map(_(i)).sum / n)
+    var maxOff = 0.0; var maxDiagErr = 0.0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        var c = 0.0
+        whitened.foreach(v => c += (v(i) - wm(i)) * (v(j) - wm(j)))
+        c /= n
+        if (i == j) maxDiagErr = math.max(maxDiagErr, math.abs(c - 1.0))
+        else maxOff = math.max(maxOff, math.abs(c))
+        j += 1
+      }
+      i += 1
+    }
+    // diagonal sits at λ/(λ+ε) per dimension — the ε=1e-8 regularizer
+    // leaves ~ε/λ_min relative drift, so the bound is 1e-5, not exact 1
+    assert(maxDiagErr < 1e-5, s"diagonal drift $maxDiagErr")
+    assert(maxOff < 1e-5, s"off-diagonal correlation $maxOff survived whitening")
+    // whitened mean is ~0 (projection subtracts the training mean)
+    assert(wm.forall(math.abs(_) < 1e-9))
+  }
 }
