@@ -93,7 +93,8 @@ object ScaleBench {
     "p30_shared_spans", "p31_contamination_bloom", "p32_train_val_test",
     "p33_length_buckets", "p34_ivf_pq_serve", "p35_dedup_clusters_star",
     "p36_semantic_dedup", "p37_remove_spans", "p38_quality_keeper",
-    "p39_contamination_2phase", "p40_cluster_sample", "q07_sessions")
+    "p39_contamination_2phase", "p40_cluster_sample", "p41_ppl_buckets",
+    "p42_dsir_select", "p43_gopher_rules", "p44_pca_whiten", "q07_sessions")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture
