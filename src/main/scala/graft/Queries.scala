@@ -242,9 +242,9 @@ object Queries {
     // cumulative = consolidateBy(series,'sum') (ref: functions/cumulative) —
     // direct row so the alias carries its own oracle instead of riding g125
     "g144_cumulative" -> g("cumulative(events.*)"),
-    // alignToFrom buckets anchor at the series start (an hour multiple,
-    // NOT a day multiple — genuinely distinct from g16's epoch alignment)
-    "g145_summarize_align" -> g("summarize(events.*,'1d','max',true)"),
+    // alignToFrom buckets anchor at the series start; the 7h interval does
+    // NOT divide t0, so this genuinely diverges from epoch-floor alignment
+    "g145_summarize_align" -> g("summarize(events.*,'7h','max',true)"),
 
     // ---- TPC-H-style relational anchors (bench headliners)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -1274,8 +1274,8 @@ object Queries {
     "g144_cumulative" ->
       (S + "SELECT 'consolidateBy(' || name || ',''sum'')' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g145_summarize_align" ->
-      (S + """SELECT 'summarize(' || name || ',''1d'',''max'',true)' AS name,
-        |  CAST((SELECT t0 FROM b) + floor((ts - (SELECT t0 FROM b))/86400)*86400 AS BIGINT) AS ts,
+      (S + """SELECT 'summarize(' || name || ',''7h'',''max'',true)' AS name,
+        |  CAST((SELECT t0 FROM b) + floor((ts - (SELECT t0 FROM b))/25200)*25200 AS BIGINT) AS ts,
         |  round(max(v), 4) AS value
         |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
     "g94_removebelowpct" ->
