@@ -309,6 +309,38 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---------------------------------------------------------------- sorting
 
+  test("tukeyAbove/Below: pooled-point fences, windowed forms (ref tukey/function_test.go:27-140)") {
+    val five = Seq(
+      md("metricA", Seq(21, 17, 20, 20, 10, 29), step = 1),
+      md("metricB", Seq(20, 18, 21, 19, 20, 20), step = 1),
+      md("metricC", Seq(19, 19, 21, 17, 23, 20), step = 1),
+      md("metricD", Seq(18, 20, 22, 14, 26, 20), step = 1),
+      md("metricE", Seq(17, 21, 8, 30, 18, 28), step = 1))
+    check("tukeyAbove(metric*,1.5,5)", five, Seq(
+      md("metricA", Seq(21, 17, 20, 20, 10, 29), step = 1),
+      md("metricD", Seq(18, 20, 22, 14, 26, 20), step = 1),
+      md("metricE", Seq(17, 21, 8, 30, 18, 28), step = 1)))
+    check("tukeyAbove(metric*, 3, 5)", five, Seq(
+      md("metricE", Seq(17, 21, 8, 30, 18, 28), step = 1)))
+    check("tukeyBelow(metric*,1.5,5)", five, Seq(
+      md("metricA", Seq(21, 17, 20, 20, 10, 29), step = 1),
+      md("metricE", Seq(17, 21, 8, 30, 18, 28), step = 1)))
+    // windowed form: prefix padding is OUTSIDE the counted window, both the
+    // int-points and interval-string spellings
+    val padded = Seq(
+      md("metricA", Seq(20, 20, 20, 20, 21, 17, 20, 20, 10, 29), step = 1),
+      md("metricB", Seq(20, 20, 20, 20, 20, 18, 21, 19, 20, 20), step = 1),
+      md("metricC", Seq(20, 20, 20, 20, 19, 19, 21, 17, 23, 20), step = 1),
+      md("metricD", Seq(20, 20, 20, 20, 18, 20, 22, 14, 26, 20), step = 1),
+      md("metricE", Seq(20, 20, 20, 20, 17, 21, 8, 30, 18, 28), step = 1))
+    val paddedWant = Seq(
+      md("metricA", Seq(20, 20, 20, 20, 21, 17, 20, 20, 10, 29), step = 1),
+      md("metricD", Seq(20, 20, 20, 20, 18, 20, 22, 14, 26, 20), step = 1),
+      md("metricE", Seq(20, 20, 20, 20, 17, 21, 8, 30, 18, 28), step = 1))
+    check("tukeyAbove(metric*, 1.5, 5, 6)", padded, paddedWant)
+    check("tukeyAbove(metric*,1.5,5,\"6s\")", padded, paddedWant)
+  }
+
   test("sortByTotal / sortByMaxima / sortByMinima / sortBy (ref sortBy/function_test.go)") {
     val abc = Seq(
       md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1),
