@@ -309,6 +309,31 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---------------------------------------------------------------- sorting
 
+  test("pearsonClosest: NaN pairs skipped, self-match allowed (ref pearsonClosest/function_test.go:29-100)") {
+    // metricB's NaN index drops out of the pair sums, leaving perfect
+    // correlation with the reference — it must WIN, not be discarded
+    val one = Seq(
+      md("metricX", Seq(3, 4, 5, 6, 7, 8), step = 1),
+      md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1),
+      md("metricB", Seq(3, Double.NaN, 5, 6, 7, 8), step = 1),
+      md("metricC", Seq(4, 4, 5, 5, 6, 6), step = 1))
+    check("pearsonClosest(metricX,metric[ABC],1,direction='abs')", one, Seq(
+      md("metricB", Seq(3, Double.NaN, 5, 6, 7, 8), step = 1)))
+    val five = Seq(
+      md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1),
+      md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1),
+      md("metricC", Seq(4, 4, 5, 5, 6, 6), step = 1),
+      md("metricD", Seq(4, 4, 5, 5, 6, 6), step = 1),
+      md("metricE", Seq(4, 7, 7, 7, 7, 1), step = 1))
+    check("pearsonClosest(metricC,metric*,2)", five, Seq(
+      md("metricC", Seq(4, 4, 5, 5, 6, 6), step = 1),
+      md("metricD", Seq(4, 4, 5, 5, 6, 6), step = 1)))
+    check("pearsonClosest(metricC,metric*,3)", five, Seq(
+      md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1),
+      md("metricC", Seq(4, 4, 5, 5, 6, 6), step = 1),
+      md("metricD", Seq(4, 4, 5, 5, 6, 6), step = 1)))
+  }
+
   test("tukeyAbove/Below: pooled-point fences, windowed forms (ref tukey/function_test.go:27-140)") {
     val five = Seq(
       md("metricA", Seq(21, 17, 20, 20, 10, 29), step = 1),
