@@ -133,13 +133,17 @@ object PairOps {
     val w = weights.select(key.as("k"), col("values").as("wv"))
     val joined = a.join(w, "k")
       .select(col("start"), col("step"),
-        zip_with(col("av"), col("wv"), (x, y) => x * y).as("prodV"),
-        col("wv"))
+        zip_with(col("av"), col("wv"), (x, y) => x * y).as("prodV"))
     val vecSum = udaf(new VectorAggregator("sum", 0.0))
-    val sumAgg = vecSum(col("start"), col("step"), col("prodV"))
-    val sumW = vecSum(col("start"), col("step"), col("wv"))
+    // the denominator sums EVERY weight series, paired or not — the
+    // reference aggregates `weights` itself, not the paired list
+    // (ref weightedAverage/function.go:110-117: sumProducts over
+    // productList, sumWeights over weights)
+    val num = joined.agg(vecSum(col("start"), col("step"), col("prodV")).as("num"))
+    val den = weights.select(col("start"), col("step"), col("values"))
+      .agg(vecSum(col("start"), col("step"), col("values")).as("den"))
     val outName = s"weightedAverage($rawArgs)"
-    joined.agg(sumAgg.as("num"), sumW.as("den"))
+    num.crossJoin(broadcast(den))
       .select(
         lit(outName).as("name"),
         map(lit("name"), lit(outName)).as("tags"),

@@ -309,6 +309,24 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---------------------------------------------------------------- sorting
 
+  test("weightedAverage: node pairing with unpaired weights still in the denominator " +
+      "(ref weightedAverage/function_test.go:53-72)") {
+    val n = Double.NaN
+    val inputs = Seq(
+      md("metric1.dividend", (1 to 20).map(_.toDouble), step = 1),
+      md("metric2.dividend", Seq(n, 2, n, 4, n, 6, n, 8, n, 10, n, 12, n, 14, n, 16, n, 18, n, 20), step = 1),
+      md("metric3.dividend", Seq(1, 2, n, n, n, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, n, n, n), step = 1),
+      md("metric5.dividend", Seq(1, 2, n, n, n, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, n, n), step = 1),
+      md("metric1.divisor", (1 to 20).map(_.toDouble), step = 1),
+      md("metric3.divisor", Seq(1, 2, n, n, n, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, n, n, n), step = 1),
+      md("metric4.divisor", Seq(1, 2, 3, 4, n, 6, n, n, 9, 10, 11, n, 13, n, n, n, n, 18, 19, 20), step = 1),
+      md("metric5.divisor", Seq(1, 2, n, n, n, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, n, n), step = 1))
+    check("weightedAverage(metric*.dividend, metric*.divisor, 0)", inputs, Seq(
+      md("weightedAverage(metric*.dividend, metric*.divisor, 0)",
+        Seq(0.75, 1.5, 1.5, 2.0, 5.0, 4.5, 7.0, 8.0, 6.75, 7.5, 8.25, 12.0,
+          9.75, 14.0, 15.0, 16.0, 17.0, 12.0, 9.5, 10.0), step = 1)))
+  }
+
   test("pearsonClosest: NaN pairs skipped, self-match allowed (ref pearsonClosest/function_test.go:29-100)") {
     // metricB's NaN index drops out of the pair sums, leaving perfect
     // correlation with the reference — it must WIN, not be discarded
