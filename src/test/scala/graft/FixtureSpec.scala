@@ -309,6 +309,30 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---------------------------------------------------------------- sorting
 
+  test("asPercent pairwise: unmatched tails become MISSING partners (ref asPercent/function_test.go:151-189)") {
+    val n = Double.NaN
+    val shortUsed = Seq(
+      md("Server1.memory.used", Seq(1, 20, 15), step = 1),
+      md("Server2.memory.used", Seq(1, 11, 20), step = 1),
+      md("Server1.memory.total", Seq(4, 40, 25), step = 1),
+      md("Server2.memory.total", Seq(4, 20, 40), step = 1),
+      md("Server3.memory.total", Seq(4, 20, 40), step = 1))
+    check("asPercent(Server{1,2}.memory.used,Server{1,2,3}.memory.total)", shortUsed, Seq(
+      md("asPercent(Server1.memory.used,Server1.memory.total)", Seq(25, 50, 60), step = 1),
+      md("asPercent(Server2.memory.used,Server2.memory.total)", Seq(25, 55, 50), step = 1),
+      md("asPercent(MISSING,Server3.memory.total)", Seq(n, n, n), step = 1)))
+    val shortTotal = Seq(
+      md("Server1.memory.used", Seq(1, 20, 15), step = 1),
+      md("Server2.memory.used", Seq(1, 11, 20), step = 1),
+      md("Server3.memory.used", Seq(1, 11, 20), step = 1),
+      md("Server1.memory.total", Seq(4, 40, 25), step = 1),
+      md("Server2.memory.total", Seq(4, 20, 40), step = 1))
+    check("asPercent(Server{1,2,3}.memory.used,Server{1,2}.memory.total)", shortTotal, Seq(
+      md("asPercent(Server1.memory.used,Server1.memory.total)", Seq(25, 50, 60), step = 1),
+      md("asPercent(Server2.memory.used,Server2.memory.total)", Seq(25, 55, 50), step = 1),
+      md("asPercent(Server3.memory.used,MISSING)", Seq(n, n, n), step = 1)))
+  }
+
   test("weightedAverage: node pairing with unpaired weights still in the denominator " +
       "(ref weightedAverage/function_test.go:53-72)") {
     val n = Double.NaN
