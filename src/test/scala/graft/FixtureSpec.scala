@@ -309,6 +309,23 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---------------------------------------------------------------- sorting
 
+  test("smartSummarize alignTo forms (ref smartSummarize/function_test.go)") {
+    // max per aligned hour over a dense 1s ramp
+    check("smartSummarize(metric1,'1hour','max','hours')",
+      Seq(md("metric1", (0 until 14400).map(_.toDouble), step = 1, start = 0)),
+      Seq(md("smartSummarize(metric1,'1hour','max','hours')",
+        Seq(3599, 7199, 10799, 14399), step = 3600, start = 0)),
+      from = 0, until = 14400, stepHint = Some(1L))
+    // interval SMALLER than the data step: values land in their own buckets
+    // with NaN holes between
+    val t0 = 1410345000L
+    check("smartSummarize(metric1,'6m','sum', 'minutes')",
+      Seq(md("metric1", Seq(2, 4, 6), step = 600, start = t0)),
+      Seq(md("smartSummarize(metric1,'6m','sum','minutes')",
+        Seq(2, 4, Double.NaN, 6, Double.NaN), step = 360, start = t0)),
+      from = t0, until = t0 + 3 * 600, stepHint = Some(600L))
+  }
+
   test("asPercent pairwise: unmatched tails become MISSING partners (ref asPercent/function_test.go:151-189)") {
     val n = Double.NaN
     val shortUsed = Seq(
