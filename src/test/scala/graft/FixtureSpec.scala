@@ -309,6 +309,27 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---------------------------------------------------------------- sorting
 
+  test("groupByNode(s): negative index, no-callback avg, multi-node keys, out-of-range node ignored " +
+      "(ref groupByNode/function_test.go:96-158)") {
+    val four = Seq(
+      md("metric1.foo.bar1.baz", Seq(1, 2, 3, 4, 5), step = 1),
+      md("metric1.foo.bar1.qux", Seq(6, 7, 8, 9, 10), step = 1),
+      md("metric1.foo.bar2.baz", Seq(11, 12, 13, 14, 15), step = 1),
+      md("metric1.foo.bar2.qux", Seq(7, 8, 9, 10, 11), step = 1))
+    check("groupByNode(metric1.foo.*.*,-2,\"sum\")", four, Seq(
+      md("bar1", Seq(7, 9, 11, 13, 15), step = 1),
+      md("bar2", Seq(18, 20, 22, 24, 26), step = 1)))
+    check("groupByNode(metric1.foo.*.*,2)", four, Seq(
+      md("bar1", Seq(3.5, 4.5, 5.5, 6.5, 7.5), step = 1),
+      md("bar2", Seq(9, 10, 11, 12, 13), step = 1)))
+    check("groupByNodes(metric1.foo.*.*,\"sum\",0,1,3)", four, Seq(
+      md("metric1.foo.baz", Seq(12, 14, 16, 18, 20), step = 1),
+      md("metric1.foo.qux", Seq(13, 15, 17, 19, 21), step = 1)))
+    check("groupByNodes(metric1.foo.*.*,\"sum\",0,5,2)", Seq(
+      md("metric1.foo.bar1.baz", Seq(1, 2, 3, 4, 5), step = 1)), Seq(
+      md("metric1.bar1", Seq(1, 2, 3, 4, 5), step = 1)))
+  }
+
   test("smartSummarize alignTo forms (ref smartSummarize/function_test.go)") {
     // max per aligned hour over a dense 1s ramp
     check("smartSummarize(metric1,'1hour','max','hours')",
