@@ -326,9 +326,11 @@ object Eval {
     "isNotNull" -> ((ctx, fc) => SeriesOps.isNonNull(seriesArg(ctx, fc))),
     "transformNull" -> ((ctx, fc) => {
       val dflt = numArg(fc, 1, "default", Some(0))
+      // referenceSeries is usually NAMED — eval the matched ast, not a
+      // positional re-lookup (transformNull(m, default=5, referenceSeries=r))
       arg(fc, 2, "referenceSeries") match {
-        case Some(_) => ExtOps.transformNullRef(seriesArg(ctx, fc), dflt, seriesArg(ctx, fc, 2))
-        case None    => SeriesOps.transformNull(seriesArg(ctx, fc), dflt)
+        case Some(refAst) => ExtOps.transformNullRef(seriesArg(ctx, fc), dflt, eval(refAst, ctx))
+        case None         => SeriesOps.transformNull(seriesArg(ctx, fc), dflt)
       }
     }),
     "removeBelowValue" -> ((ctx, fc) => SeriesOps.removeBelowValue(seriesArg(ctx, fc), numArg(fc, 1))),

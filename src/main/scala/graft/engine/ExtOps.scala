@@ -273,11 +273,16 @@ object ExtOps {
   // value (ref transformNull/function.go, Metrics() extra fetch).
 
   def transformNullRef(df: DataFrame, default: Double, ref: DataFrame): DataFrame = {
-    val r1 = ref.orderBy(col("name")).limit(1).select(col("values").as("refValues"))
+    // the fill mask is the UNION of the reference list: a position fills
+    // when ANY reference series has data there (ref transformNull/
+    // function.go referenceSeries loop ORs presence across the list) —
+    // the per-position non-NaN count collapses the list to one mask row
+    val r1 = SeriesOps.aggregateSeries(ref, "count")
+      .select(col("values").as("refCount"))
     df.crossJoin(broadcast(r1))
-      .withColumn("values", zip_with(col("values"), col("refValues"),
-        (v, r) => when(isnan(v) && !isnan(r), lit(default)).otherwise(v)))
-      .drop("refValues")
+      .withColumn("values", zip_with(col("values"), col("refCount"),
+        (v, c) => when(isnan(v) && !isnan(c) && c > 0, lit(default)).otherwise(v)))
+      .drop("refCount")
       .transform(d => rewrap(d, "transformNull", Seq(SeriesOps.fmtNum(default))))
   }
 

@@ -309,6 +309,17 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---------------------------------------------------------------- sorting
 
+  test("transformNull referenceSeries: fill only where ANY reference series has data " +
+      "(ref transformNull/function_test.go:46-56)") {
+    val n = Double.NaN
+    val inputs = Seq(
+      md("metric1", Seq(1, n, n, n, 4, 12), step = 1),
+      md("metric2.foo", Seq(n, 3, n, 3, n, 12), step = 1),
+      md("metric2.bar", Seq(1, n, n, 3, 4, 12), step = 1))
+    check("transformNull(metric1, default=5, referenceSeries=metric2.*)", inputs, Seq(
+      md("transformNull(metric1,5)", Seq(1, 5, n, 5, 4, 12), step = 1)))
+  }
+
   test("groupByNode(s): negative index, no-callback avg, multi-node keys, out-of-range node ignored " +
       "(ref groupByNode/function_test.go:96-158)") {
     val four = Seq(
