@@ -537,7 +537,13 @@ object Eval {
       })
     }),
     "smartSummarize" -> ((ctx, fc) => TimeOps.smartSummarize(seriesArg(ctx, fc),
-      intervalArg(fc, 1), strArg(fc, 2, "func", Some("sum")), strArg(fc, 3, "alignTo", Some("")),
+      intervalArg(fc, 1), strArg(fc, 2, "func", Some("sum")),
+      // a BOOLEAN alignTo is the legacy alignToFrom form — ignored, and
+      // the name drops it (ref smartSummarize getAlignTo:126-135)
+      arg(fc, 3, "alignTo") match {
+        case Some(BoolLit(_)) => ""
+        case _ => strArg(fc, 3, "alignTo", Some(""))
+      },
       rawInterval = strArg(fc, 1))),
     "fallbackSeries" -> ((ctx, fc) => TimeOps.fallbackSeries(seriesArg(ctx, fc), seriesArg(ctx, fc, 1))),
 

@@ -356,6 +356,12 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("smartSummarize(metric1,'6m','sum','minutes')",
         Seq(2, 4, Double.NaN, 6, Double.NaN), step = 360, start = t0)),
       from = t0, until = t0 + 3 * 600, stepHint = Some(600L))
+    // legacy boolean alignTo is IGNORED and the name drops it
+    check("smartSummarize(metric2,'2minute','sum',alignTo=True)",
+      Seq(md("metric2", Seq(1, 2, 3, 4), step = 60, start = 0)),
+      Seq(md("smartSummarize(metric2,'2minute','sum')",
+        Seq(3, 7), step = 120, start = 0)),
+      from = 0, until = 300, stepHint = Some(60L))
   }
 
   test("asPercent pairwise: unmatched tails become MISSING partners (ref asPercent/function_test.go:151-189)") {
