@@ -309,6 +309,24 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---------------------------------------------------------------- sorting
 
+  test("interpolate: linear fill, gap limit, leading NaNs untouched (ref interpolate/function_test.go:30-130)") {
+    val n = Double.NaN
+    check("interpolate(x1.y1.z1)",
+      Seq(md("x1.y1.z1", Seq(1, 2, 3, 4, n, n, n, 6, 7, 8), step = 1)),
+      Seq(md("interpolate(x1.y1.z1)", Seq(1, 2, 3, 4, 4.5, 5, 5.5, 6, 7, 8), step = 1)))
+    check("interpolate(x1.y1.z1)",
+      Seq(md("x1.y1.z1", Seq(1, 2, 3, 4, 5, n, n, 8, 9, 10), step = 1)),
+      Seq(md("interpolate(x1.y1.z1)", Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10), step = 1)))
+    // limit 2 gaps, run of 3 → untouched
+    check("interpolate(x1.y1.z1, 2)",
+      Seq(md("x1.y1.z1", Seq(1, 2, 3, 4, n, n, n, 6, 7, 8), step = 1)),
+      Seq(md("interpolate(x1.y1.z1)", Seq(1, 2, 3, 4, n, n, n, 6, 7, 8), step = 1)))
+    // nothing before the gap → untouched
+    check("interpolate(x1.y1.z1)",
+      Seq(md("x1.y1.z1", Seq(n, n, n, 1, 2, 3), step = 1)),
+      Seq(md("interpolate(x1.y1.z1)", Seq(n, n, n, 1, 2, 3), step = 1)))
+  }
+
   test("transformNull referenceSeries: fill only where ANY reference series has data " +
       "(ref transformNull/function_test.go:46-56)") {
     val n = Double.NaN
