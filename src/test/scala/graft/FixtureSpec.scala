@@ -309,6 +309,33 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---------------------------------------------------------------- sorting
 
+  test("holtWintersAberration: operator == kernel clamp over the widened window, both clamps hit " +
+      "(ref holtWintersAberration/function.go:79-89)") {
+    // the reference TEST's expected vectors are not portable: its mock
+    // backend serves INCONSISTENT values for the widened and unwidened
+    // fetches of the same range (the value cycle restarts at the request
+    // start), so the asserted numbers encode that inconsistency. Against a
+    // consistent store the portable contract is the clamp identity over
+    // the bands of the bootstrap-widened series — the kernel itself is
+    // pinned by the ported forecast/bands fixtures above.
+    val start = 2678400L; val step = 600L; val pts = 10
+    val boot = 7L * 86400
+    val full = ((boot / step) + pts).toInt
+    val arr = Array.tabulate(full)(i => if (i == full - 3) 100.0 else (i % 10).toDouble)
+    val (f, d) = graft.core.VecOps.holtWinters(arr, step, 86400L)
+    val w = (boot / step).toInt
+    val want = (0 until pts).map { i =>
+      val idx = w + i; val v = arr(idx)
+      val up = f(idx) + 3 * d(idx); val lo = f(idx) - 3 * d(idx)
+      if (v > up) v - up else if (v < lo) v - lo else 0.0
+    }
+    assert(want.exists(_ > 0) && want.exists(_ < 0), "fixture must exercise both clamps")
+    check("holtWintersAberration(metric1)",
+      Seq(md("metric1", arr.toSeq, step = step, start = start - boot)),
+      Seq(md("holtWintersAberration(metric1)", want, step = step, start = start)),
+      from = start, until = start + step * pts, stepHint = Some(step))
+  }
+
   test("interpolate: linear fill, gap limit, leading NaNs untouched (ref interpolate/function_test.go:30-130)") {
     val n = Double.NaN
     check("interpolate(x1.y1.z1)",
