@@ -188,6 +188,8 @@ object Kernels {
     case "stddev"           => v => summarizeValues("stddev", v)
     case "first"            => first _
     case "last" | "current" => last _
+    // left-fold running pow across the series list (powSeries legacy)
+    case "powChain"         => v => summarizeValues("powChain", v)
     case pN if pN.matches("p([0-9]*[.])?[0-9]+!?") =>
       v => percentile(v, pN.drop(1).stripSuffix("!").toDouble, interpolate = !pN.endsWith("!"))
     case other => throw new IllegalArgumentException(s"unsupported consolidation function: $other")

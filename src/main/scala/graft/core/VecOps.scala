@@ -221,7 +221,23 @@ object VecOps {
   def movingWindow(v: Array[Double], n: Int, func: String, xff: Double): Array[Double] = {
     val size = math.max(v.length - n, 0)
     val out = new Array[Double](size)
-    val agg = Kernels.byName(func)
+    // the moving family dispatches to types.Windowed, whose `last` is the RAW
+    // window tail (NaN stays NaN) and whose `diff` subtracts non-NaN values
+    // from a RAW head — both differ from the cross-series Agg* kernels
+    // (ref moving/function.go:214-240, types/windowed.go:146-177); any other
+    // callback silently leaves the zeroed slot (reference switch has no
+    // default), which we mirror for parity
+    val agg: Array[Double] => Double = func match {
+      case "last" => w => w(w.length - 1)
+      case "diff" => w => {
+        var r = w(0); var i = 1
+        while (i < w.length) { if (!Kernels.isNaN(w(i))) r -= w(i); i += 1 }
+        r
+      }
+      case "average" | "avg" | "avg_zero" | "sum" | "min" | "max" | "multiply" |
+           "range" | "stddev" | "count" | "median" => Kernels.byName(func)
+      case _ => _ => 0.0
+    }
     var i = 1
     val buf = new Array[Double](n)
     java.util.Arrays.fill(buf, Double.NaN)

@@ -31,22 +31,30 @@ object Align {
     val lcmU = udf((steps: Seq[Long]) => steps.filter(_ > 0).reduceOption(lcm).getOrElse(1L))
     val stats = df.agg(
       collect_set(col("step")).as("_steps"),
-      min(col("start")).as("_minStart"),
-      max(col("start") + size(col("values")).cast("long") * col("step")).as("_maxStop"))
+      min(col("start")).as("_minStart"))
       .select(
         (if (commonStep > 0) lit(commonStep) else lcmU(col("_steps"))).as("_cs"),
-        col("_minStart"), col("_maxStop"))
+        (col("_minStart") - pmod(col("_minStart"), col("_cs"))).as("_as"))
+    val withCs = df.crossJoin(broadcast(stats))
+    // output length = the longest CONSOLIDATED series, not the common stop
+    // bound: same-step series keep front-pad + raw length, rebucketed series
+    // take 1+(total-1)/stepFactor — then every series NaN-pads to that max
+    // (ref align.go:96-152 maxVals bookkeeping, truncating Go division)
+    val padded = floor((col("start") - col("_as")) / col("step")).cast("long") +
+      size(col("values")).cast("long")
+    val lenCol = when(col("step") === col("_cs"), padded)
+      .otherwise(lit(1L) + floor((padded - lit(1L)) * col("step") / col("_cs")).cast("long"))
+    val maxVals = withCs.select(lenCol.cast("long").as("_n"))
+      .agg(max(col("_n")).as("_maxVals"))
     val rebU = udf((v: Seq[Double], start: Long, step: Long, cs: Long,
-                    minStart: Long, maxStop: Long, consBy: String, xffS: String) => {
-      val alignedStart = minStart - math.floorMod(minStart, cs)
-      val nOut = math.max(math.ceil((maxStop - alignedStart).toDouble / cs).toInt, 0)
+                    alignedStart: Long, maxVals: Int, consBy: String, xffS: String) => {
       val xff = try Option(xffS).map(_.toFloat).getOrElse(0f) catch { case _: NumberFormatException => 0f }
       val fn = Option(consBy).map(_.stripPrefix("'").stripSuffix("'")).getOrElse("average")
-      val out = Array.fill(nOut)(Double.NaN)
+      val out = Array.fill(maxVals)(Double.NaN)
       if (step == cs) {
         val off = ((start - alignedStart) / cs).toInt
         var i = 0
-        while (i < v.length && off + i < nOut) { if (off + i >= 0) out(off + i) = v(i); i += 1 }
+        while (i < v.length && off + i < maxVals) { if (off + i >= 0) out(off + i) = v(i); i += 1 }
       } else {
         // prefix-pad in source-step units so buckets stay phase-aligned,
         // then collapse stepFactor-sized runs with the series' own
@@ -54,7 +62,7 @@ object Align {
         val stepFactor = (cs / step).toInt
         val pad = ((start - alignedStart) / step).toInt
         val total = pad + v.length
-        val nBuckets = math.min((total + stepFactor - 1) / stepFactor, nOut)
+        val nBuckets = math.min(if (total <= 0) 0 else (1 + (total - 1) / stepFactor), maxVals)
         var b = 0
         while (b < nBuckets) {
           val bucket = new Array[Double](stepFactor)
@@ -70,13 +78,13 @@ object Align {
       }
       (alignedStart, cs, out)
     })
-    df.crossJoin(broadcast(stats))
+    withCs.crossJoin(broadcast(maxVals))
       .withColumn("_r", rebU(col("values"), col("start"), col("step"), col("_cs"),
-        col("_minStart"), col("_maxStop"),
+        col("_as"), col("_maxVals").cast("int"),
         element_at(col("tags"), "consolidateBy"), element_at(col("tags"), "xFilesFactor")))
       .withColumn("start", col("_r._1"))
       .withColumn("step", col("_r._2"))
       .withColumn("values", col("_r._3"))
-      .drop("_r", "_cs", "_minStart", "_maxStop", "_steps")
+      .drop("_r", "_cs", "_as", "_maxVals", "_steps")
   }
 }

@@ -180,8 +180,15 @@ object Eval {
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** The alias family keeps the called token VERBATIM in both the output
+    * name and the aggregatedBy tag — `total(a)` → `totalSeries(a)`, never
+    * canonicalized to sum (ref aggregate/function.go:57 callback =
+    * Target minus one "Series"; Kernels/VectorAggregator accept every raw
+    * token). argsLen opts multi-arg forms into the missing-series name
+    * rewrite (ref helper.go:68-82). */
   private def aggFamily(func: String): Impl = (ctx, fc) =>
-    SeriesOps.aggregateNamed(seriesArgsFrom(ctx, fc), func, fc.rawArgs, align = needAlign(ctx))
+    SeriesOps.aggregateNamed(seriesArgsFrom(ctx, fc), func, fc.rawArgs, align = needAlign(ctx),
+      argsLen = fc.args.length)
 
   private def movingFamily(func: String, fnName: String): Impl = (ctx, fc) => {
     // movingWindow(series, window, func, xff); the named forms take xff at 2
@@ -196,8 +203,11 @@ object Eval {
         val widened = eval(fc.args.head, ctx.widen(n.toLong * step))
         SeriesOps.movingWindow(widened, Right(n), func, xff, fnName, n.toString, xffExplicit = xffGiven)
       case Left(seconds) =>
-        val widened = eval(fc.args.head, ctx.widen(seconds))
-        SeriesOps.movingWindow(widened, Left(seconds), func, xff, fnName, s"'${strArg(fc, 1)}'", xffExplicit = xffGiven)
+        // negative string intervals window BACKWARD the same way — the
+        // reference takes the absolute value (ref moving/function.go:112-115)
+        val absSec = math.abs(seconds)
+        val widened = eval(fc.args.head, ctx.widen(absSec))
+        SeriesOps.movingWindow(widened, Left(absSec), func, xff, fnName, s"'${strArg(fc, 1)}'", xffExplicit = xffGiven)
     }
   }
 
@@ -229,16 +239,26 @@ object Eval {
     }
   }
 
+  /** Reject unknown aggregate callbacks at plan time like the reference's
+    * "unsupported consolidation function" error — aggregate() does NOT take
+    * the pNN escape consolidateBy enjoys (ref aggregate/function.go:77 looks
+    * up ConsolidationToFunc directly, consolidations.go:19-39). */
+  private def validConsolidation(f: String): String = {
+    require(graft.core.Kernels.validConsolidations(f),
+      s"unsupported consolidation function $f")
+    f
+  }
+
   val registry: Map[String, Impl] = Map(
     // ---- combine / aggregate (ref expr/functions/aggregate)
     // name = <func>Series(<first arg>); args.head.print survives nested
     // commas where a naive rawArgs split would truncate
     "aggregate" -> ((ctx, fc) => SeriesOps.aggregateNamed(
-      seriesArg(ctx, fc), strArg(fc, 1), fc.args.head.print,
+      seriesArg(ctx, fc), validConsolidation(strArg(fc, 1)), fc.args.head.print,
       numArg(fc, 2, "xFilesFactor", Some(astXff(fc.args.head).getOrElse(0.0))),
       align = needAlign(ctx))),
     "sumSeries" -> aggFamily("sum"), "sum" -> aggFamily("sum"),
-    "averageSeries" -> aggFamily("average"), "avg" -> aggFamily("average"), "average" -> aggFamily("average"),
+    "averageSeries" -> aggFamily("average"), "avg" -> aggFamily("avg"), "average" -> aggFamily("average"),
     "maxSeries" -> aggFamily("max"), "max" -> aggFamily("max"),
     "minSeries" -> aggFamily("min"), "min" -> aggFamily("min"),
     "stddevSeries" -> aggFamily("stddev"), "stddev" -> aggFamily("stddev"),
@@ -246,16 +266,16 @@ object Eval {
     "diffSeries" -> aggFamily("diff"), "diff" -> aggFamily("diff"),
     "multiplySeries" -> aggFamily("multiply"), "multiply" -> aggFamily("multiply"),
     "medianSeries" -> aggFamily("median"), "median" -> aggFamily("median"),
-    "rangeOfSeries" -> aggFamily("rangeOf"), "range" -> aggFamily("rangeOf"),
+    "rangeOfSeries" -> aggFamily("rangeOf"), "range" -> aggFamily("range"),
     "avg_zero" -> aggFamily("avg_zero"),
-    "first" -> aggFamily("first"), "last" -> aggFamily("last"), "current" -> aggFamily("last"),
-    "total" -> aggFamily("sum"),
+    "first" -> aggFamily("first"), "last" -> aggFamily("last"), "current" -> aggFamily("current"),
+    "total" -> aggFamily("total"),
     // every AvailableSummarizers name also registers a <name>Series alias
     // (ref aggregate/function.go:30-35, consolidations.go:41)
-    "avgSeries" -> aggFamily("average"), "avg_zeroSeries" -> aggFamily("avg_zero"),
+    "avgSeries" -> aggFamily("avg"), "avg_zeroSeries" -> aggFamily("avg_zero"),
     "firstSeries" -> aggFamily("first"), "lastSeries" -> aggFamily("last"),
-    "currentSeries" -> aggFamily("last"), "totalSeries" -> aggFamily("sum"),
-    "rangeSeries" -> aggFamily("rangeOf"), "rangeOf" -> aggFamily("rangeOf"),
+    "currentSeries" -> aggFamily("current"), "totalSeries" -> aggFamily("total"),
+    "rangeSeries" -> aggFamily("range"), "rangeOf" -> aggFamily("rangeOf"),
     "percentileOfSeries" -> ((ctx, fc) => {
       val n = numArg(fc, 1)
       val interp = boolArg(fc, 2, "interpolate")
@@ -460,10 +480,19 @@ object Eval {
     "minimumBelow" -> ((ctx, fc) => SeriesOps.minimumBelow(seriesArg(ctx, fc), numArg(fc, 1))),
     "currentAbove" -> ((ctx, fc) => SeriesOps.currentAbove(seriesArg(ctx, fc), numArg(fc, 1))),
     "currentBelow" -> ((ctx, fc) => SeriesOps.currentBelow(seriesArg(ctx, fc), numArg(fc, 1))),
-    "highest" -> ((ctx, fc) => SeriesOps.highest(seriesArg(ctx, fc),
-      intArg(fc, 1, default = Some(1)), strArg(fc, 2, "func", Some("average")))),
-    "lowest" -> ((ctx, fc) => SeriesOps.lowest(seriesArg(ctx, fc),
-      intArg(fc, 1, default = Some(1)), strArg(fc, 2, "func", Some("average")))),
+    // highest/lowest accept (list), (list,n), (list,func) and (list,n,func):
+    // a string where n would be means n=1 + that callback (ref
+    // highestLowest/function.go:60-72 GetIntArg fallback)
+    "highest" -> ((ctx, fc) => fc.args.lift(1) match {
+      case Some(Str(f)) => SeriesOps.highest(seriesArg(ctx, fc), 1, validConsolidation(f))
+      case _ => SeriesOps.highest(seriesArg(ctx, fc),
+        intArg(fc, 1, default = Some(1)), strArg(fc, 2, "func", Some("average")))
+    }),
+    "lowest" -> ((ctx, fc) => fc.args.lift(1) match {
+      case Some(Str(f)) => SeriesOps.lowest(seriesArg(ctx, fc), 1, validConsolidation(f))
+      case _ => SeriesOps.lowest(seriesArg(ctx, fc),
+        intArg(fc, 1, default = Some(1)), strArg(fc, 2, "func", Some("average")))
+    }),
     "highestAverage" -> highestFamily("average"), "lowestAverage" -> lowestFamily("average"),
     "highestMax" -> highestFamily("max"), "highestMin" -> highestFamily("min"),
     "lowestMax" -> lowestFamily("max"), "lowestMin" -> lowestFamily("min"),

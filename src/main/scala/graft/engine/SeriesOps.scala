@@ -69,9 +69,18 @@ object SeriesOps {
         val pts = ordered.select(col("gk"), ordCol.as("_ord"), col("name"), col("start"), col("step"),
             posexplode(col("values")).as(Seq("pos", "value")))
           .withColumn("ts", col("start") + col("pos") * col("step"))
+        // cross-series aggregation uses the Agg* kernel family, NOT the
+        // summarize-bucket kernels: AggDiff NaN-filters before folding where
+        // SummarizeValues("diff") keeps a raw head and NaNs out when every
+        // subtrahend is NaN (ref consolidations.go:19-39 ConsolidationToFunc
+        // vs :233-240); xff gates the point first (ref helper.go:175-181)
         val kernel = udf((vals: Seq[org.apache.spark.sql.Row]) => {
           val sorted = vals.sortBy(r => (r.getInt(0), r.getString(1))).map(_.getDouble(2)).toArray
-          Kernels.summarizeValues(func, sorted, xff.toFloat)
+          var nn = 0
+          var i = 0
+          while (i < sorted.length) { if (!java.lang.Double.isNaN(sorted(i))) nn += 1; i += 1 }
+          if (sorted.length > 0 && nn.toFloat / sorted.length < xff) Double.NaN
+          else Kernels.byName(func)(sorted)
         })
         val perTs = pts.groupBy(col("gk"), col("ts"), col("step"))
           .agg(kernel(collect_list(struct(col("_ord"), col("name"), col("value")))).as("value"))
@@ -91,16 +100,39 @@ object SeriesOps {
     grouped.select((if (implicitGk) base :+ col("gk").as("_gk") else base): _*)
   }
 
-  /** sumSeries / averageSeries / … canonical naming: `fnSeries(rawArgs)`. */
+  /** sumSeries / averageSeries / … canonical naming: `<token>Series(rawArgs)`
+    * where the token is the callback/alias VERBATIM — `aggregate(m,"avg")`
+    * names `avgSeries(m)`, `total(…)` names `totalSeries(…)` (ref
+    * aggregate/function.go:57,80 `target = callback + "Series"`).
+    *
+    * When a multi-arg form fetched fewer series than it has arguments, the
+    * reference rewrites the name to list only the surviving series — graphite-
+    * web drops non-existing metrics from `sumSeries(a,b,missing)` (ref
+    * helper.GetSeriesArgsAndRemoveNonExisting helper.go:68-82). `argsLen` > 1
+    * opts into that rewrite: the surviving names ride a one-row broadcast
+    * cross-join, so the hot single-glob path pays nothing.
+    */
   def aggregateNamed(df: DataFrame, func: String, rawArgs: String, xff: Double = 0.0,
-                     align: Boolean = false): DataFrame =
-    aggregateSeries(df, func, xff, nameFor = _ => lit(s"${canonAgg(func)}Series($rawArgs)"),
-      align = align)
-
-  private def canonAgg(f: String): String = f match {
-    case "avg" | "average" => "average"
-    case "total" => "sum"
-    case x => x
+                     align: Boolean = false, argsLen: Int = 1): DataFrame = {
+    val static = s"${func}Series($rawArgs)"
+    val out = aggregateSeries(df, func, xff, nameFor = _ => lit(static), align = align)
+    if (argsLen <= 1) out
+    else {
+      // survivors in (argument position, name) order; the rewrite fires only
+      // when fewer series than AST arguments came back
+      val ordCol = if (df.columns.contains("_argOrd")) col("_argOrd") else lit(0)
+      val survivors = df.select(ordCol.as("_o"), col("name"))
+        .agg(array_sort(collect_set(struct(col("_o"), col("name")))).as("_sv"))
+        .select(col("_sv"), size(col("_sv")).as("_svn"))
+      val dynName = when(col("_svn") < argsLen && col("_svn") > 0,
+          concat(lit(s"${func}Series("),
+            array_join(transform(col("_sv"), s => s.getField("name")), ","), lit(")")))
+        .otherwise(lit(static))
+      out.crossJoin(broadcast(survivors))
+        .withColumn("name", dynName)
+        .withColumn("tags", map(lit("name"), dynName, lit("aggregatedBy"), lit(func)))
+        .drop("_sv", "_svn")
+    }
   }
 
   /** groupByNode(s): aggregate per dot-node key; `dropNodes` instead keeps
@@ -117,7 +149,10 @@ object SeriesOps {
           !dropNodes.map(d => idx === (if (d >= 0) lit(d) else size(parts) + lit(d)))
             .reduce(_ || _))
         array_join(kept, ".")
-      } else nodeOrTagKey(col("name"), col("tags"), nodes)
+      } else if (nodes.isEmpty) col("name") // WithWildcards with no positions:
+        // every series is its own group, unchanged name + aggregatedBy tag
+        // (ref aggregateWithWildcards/function_test.go:147-177)
+      else nodeOrTagKey(col("name"), col("tags"), nodes)
     aggregateSeries(df, func, groupKey = Some(key), nameFor = identity, align = align)
   }
 
@@ -630,13 +665,17 @@ object SeriesOps {
     // 109-112) — without the filter an all-NaN series could surface when n
     // exceeds the valid count; lowest deliberately keeps them (the
     // reference pushes NaN into its heap there)
+    // n <= 0 returns nothing (ref function.go:102-104)
     val s = when(isnan(scalarOf(func)), lit(Double.NegativeInfinity)).otherwise(scalarOf(func))
+    // result order is DESCENDING metric value — the heap drain fills
+    // results[len(mh)] after each pop, largest first (function.go:126-132;
+    // the ordered test table highestCurrent(metric1,4) wants C(15),A(12),B(1))
     markSorted(df.where(!isnan(scalarOf(func)))
-      .orderBy(s.desc, col("name")).limit(n).orderBy(s.asc, col("name")))
+      .orderBy(s.desc, col("name")).limit(math.max(n, 0)))
   }
   def lowest(df: DataFrame, n: Int, func: String = "average"): DataFrame = {
     val s = when(isnan(scalarOf(func)), lit(Double.PositiveInfinity)).otherwise(scalarOf(func))
-    markSorted(df.orderBy(s.asc, col("name")).limit(n))
+    markSorted(df.orderBy(s.asc, col("name")).limit(math.max(n, 0)))
   }
   def mostDeviant(df: DataFrame, n: Int): DataFrame = highest(df, n, "stddev")
 

@@ -142,7 +142,11 @@ class VectorAggregator(func: String, xff: Double) extends Aggregator[VecAggInput
           case "sum" | "total" => buf.a(i)
           case "average" | "avg" => buf.a(i) / c
           case "avg_zero" => buf.a(i) / buf.tot(i)
-          case "min" | "minimum" | "max" | "maximum" | "multiply" => buf.a(i)
+          case "min" | "minimum" | "max" | "maximum" => buf.a(i)
+          // multiply aborts to NaN when ANY input point is NaN — the
+          // reference never skips NaNs here (ref consolidations.go
+          // SummarizeValues "multiply")
+          case "multiply" => if (c != buf.tot(i)) Double.NaN else buf.a(i)
           case "range" | "rangeOf" => buf.a(i) - buf.b(i)
           case "stddev" =>
             val meanV = buf.a(i) / c

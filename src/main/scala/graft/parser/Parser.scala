@@ -215,8 +215,14 @@ object Parser {
  * `defaultSign` mirrors the reference's context-dependent default direction.
  */
 object Interval {
+  /** Strict graphite interval grammar: `[+-]?(<digits><unit>)+`. Empty
+    * strings, bare signs, missing digits and missing/unknown units all
+    * error, exactly like the reference (ref pkg/parser/interval.go:11-79 —
+    * `Atoi("")` fails, empty unit hits the default case). */
   def parse(str: String, defaultSign: Int = 1): Long = {
     var s = str.trim
+    if (s.isEmpty || s == "-" || s == "+")
+      throw new IllegalArgumentException(s"unknown time units in '$str'")
     var sign = defaultSign
     if (s.startsWith("-")) { sign = -1; s = s.substring(1) }
     else if (s.startsWith("+")) { sign = 1; s = s.substring(1) }
@@ -225,23 +231,24 @@ object Interval {
     while (i < s.length) {
       var j = i
       while (j < s.length && (s.charAt(j).isDigit)) j += 1
-      val num = if (j > i) s.substring(i, j).toLong else 1L
+      if (j == i) throw new IllegalArgumentException(s"missing count in interval '$str'")
+      val num = s.substring(i, j).toLong
       var k = j
-      while (k < s.length && s.charAt(k).isLetter) k += 1
+      while (k < s.length && !s.charAt(k).isDigit) k += 1
       val unit = s.substring(j, k).toLowerCase
       val secs = unit match {
-        case "s" | "sec" | "second" | "seconds" | "" => 1L
+        case "s" | "sec" | "secs" | "second" | "seconds" => 1L
         case "min" | "mins" | "minute" | "minutes" | "m" => 60L
-        case "h" | "hour" | "hours" => 3600L
+        case "h" | "hr" | "hrs" | "hour" | "hours" => 3600L
         case "d" | "day" | "days" => 86400L
-        case "w" | "week" | "weeks" => 604800L
+        case "w" | "wk" | "wks" | "week" | "weeks" => 604800L
         case "mon" | "month" | "months" => 2592000L
-        case "y" | "year" | "years" => 31536000L
+        case "y" | "yr" | "yrs" | "year" | "years" => 31536000L
         case other => throw new IllegalArgumentException(s"unknown interval unit '$other' in '$str'")
       }
-      total += num * secs
-      i = if (k == i) s.length else k
+      total += sign * num * secs
+      i = k
     }
-    sign * total
+    total
   }
 }

@@ -113,14 +113,14 @@ class AlignSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"timeShift must fetch the shifted window, got $calls")
   }
 
-  test("highest/lowest emit ascending metric order and it survives the marshal tier " +
-      "(ref highestLowest/function.go:126-146)") {
+  test("highest drains descending, lowest ascending, and the order survives the marshal tier " +
+      "(ref highestLowest/function.go:126-146 heap fill; ordered table function_test.go:187-200)") {
     val df = frame(
       Series("a", Map("name" -> "a"), 0L, 10L, Array(1.0, 1.0)),
       Series("b", Map("name" -> "b"), 0L, 10L, Array(9.0, 9.0)),
       Series("c", Map("name" -> "c"), 0L, 10L, Array(5.0, 5.0)))
     val hi = graft.api.Render.collect(SeriesOps.highest(df, 2, "max")).map(_.name)
-    assert(hi == Seq("c", "b"), s"top-2 ascending, got $hi") // heap-pop order
+    assert(hi == Seq("b", "c"), s"top-2 descending, got $hi") // results[len(mh)] fill
     val lo = graft.api.Render.collect(SeriesOps.lowest(df, 2, "max")).map(_.name)
     assert(lo == Seq("a", "c"), s"bottom-2 ascending, got $lo")
   }

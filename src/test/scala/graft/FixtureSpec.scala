@@ -1114,4 +1114,320 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ks = run("ksTest2(a1,b.*,4)", in).map(_.name)
     assert(ks == Seq("kolmogorovSmirnovTest2(a1,b.a,4)"), s"got $ks")
   }
+
+  test("aggregate callback table: every consolidation, verbatim naming (ref aggregate/function_test.go:28-290)") {
+    // fixture A (ref :44-47) and B (:128-131) — three series with NaN holes
+    val a = Seq(
+      md("metric1", Seq(1, NaN, 2, 3, 4, 5), step = 1),
+      md("metric2", Seq(2, NaN, 3, NaN, 5, 6), step = 1),
+      md("metric3", Seq(3, NaN, 4, 5, 6, NaN), step = 1))
+    val b = Seq(
+      md("metric1", Seq(1, NaN, 2, 3, 4, 6), step = 1),
+      md("metric2", Seq(2, NaN, 3, NaN, 5, 5), step = 1),
+      md("metric3", Seq(3, NaN, 4, 5, 6, NaN), step = 1))
+    def want(tok: String, vals: Seq[Double]) =
+      Seq(md(s"${tok}Series(metric[123])", vals, step = 1))
+    check("aggregate(metric[123],'avg')", a, want("avg", Seq(2, NaN, 3, 4, 5, 5.5)))
+    check("aggregate(metric[123],'avg_zero')",
+      Seq(md("metric1", Seq(1, NaN, 2, 4, 4, 6), step = 1), a(1), a(2)),
+      want("avg_zero", Seq(2, NaN, 3, 3, 5, 4)))
+    check("aggregate(metric[123],'count')", a, want("count", Seq(3, NaN, 3, 2, 3, 2)))
+    check("aggregate(metric[123],'diff')", a, want("diff", Seq(-4, NaN, -5, -2, -7, -1)))
+    check("aggregate(metric[123],'last')", a, want("last", Seq(3, NaN, 4, 5, 6, 6)))
+    check("aggregate(metric[123],'current')", a, want("current", Seq(3, NaN, 4, 5, 6, 6)))
+    check("aggregate(metric[123],'max')", a, want("max", Seq(3, NaN, 4, 5, 6, 6)))
+    check("aggregate(metric[123],'min')", b, want("min", Seq(1, NaN, 2, 3, 4, 5)))
+    check("aggregate(metric[123],'median')", b, want("median", Seq(2, NaN, 3, 4, 5, 5.5)))
+    check("aggregate(metric[123],'multiply')", b, want("multiply", Seq(6, NaN, 24, NaN, 120, NaN)))
+    check("aggregate(metric[123],'range')", b, want("range", Seq(2, NaN, 2, 2, 2, 1)))
+    check("aggregate(metric[123],'rangeOf')", b, want("rangeOf", Seq(2, NaN, 2, 2, 2, 1)))
+    check("aggregate(metric[123],'sum')", b, want("sum", Seq(6, NaN, 9, 8, 15, 11)))
+    check("aggregate(metric[123],'total')", b, want("total", Seq(6, NaN, 9, 8, 15, 11)))
+    check("stddevSeries(metric[123])", b,
+      want("stddev", Seq(0.816496580927726, NaN, 0.816496580927726, 1, 0.816496580927726, 0.5)))
+    // explicit xFilesFactor third arg gates points below the ratio (:210-244)
+    check("aggregate(metric[123],'avg',0.7)",
+      Seq(md("metric1", Seq(1, NaN, 2, NaN, 4, 5), step = 1), a(1), a(2)),
+      want("avg", Seq(2, NaN, 3, NaN, 5, NaN)))
+    check("aggregate(metric[123],'sum',0.5)",
+      Seq(md("metric1", Seq(1, NaN, 2, 3, 4, NaN), step = 1), b(1), b(2)),
+      want("sum", Seq(6, NaN, 9, 8, 15, NaN)))
+    check("aggregate(metric[123],'max',0.3)",
+      Seq(md("metric1", Seq(1, NaN, 2, NaN, 4, 5), step = 1), a(1), a(2)),
+      want("max", Seq(3, NaN, 4, 5, 6, 6)))
+    // empty fetch → empty result, no error (:34-40)
+    check("aggregate(metric[123],'avg')", Seq.empty, Seq.empty)
+    // unknown callback errors at plan time (ref function.go:77)
+    assertThrows[Exception](run("aggregate(metric[123],'bogus')", a))
+  }
+
+  test("aggregate alias forms: explicit args, zero sum, missing-series name rewrite (ref aggregate/function_test.go:246-353)") {
+    check("stddevSeries(metric1,metric2,metric3)",
+      Seq(md("metric1", Seq(1, 2, 3, 4, 5), step = 1),
+        md("metric2", Seq(2, 4, 6, 8, 10), step = 1),
+        md("metric3", Seq(1, 2, 3, 4, 5), step = 1)),
+      Seq(md("stddevSeries(metric1,metric2,metric3)",
+        Seq(0.4714045207910317, 0.9428090415820634, 1.4142135623730951,
+          1.8856180831641267, 2.357022603955158), step = 1)))
+    check("sum(metric1,metric2)",
+      Seq(md("metric1", Seq(0, -1, 2, -3, 4, 5), step = 1),
+        md("metric2", Seq(0, 1, -2, 3, -4, -5), step = 1)),
+      Seq(md("sumSeries(metric1,metric2)", Seq(0, 0, 0, 0, 0, 0), step = 1)))
+    val three = Seq(
+      md("metric1", Seq(1, 2, 3, 4, 5, NaN), step = 1),
+      md("metric2", Seq(2, 3, NaN, 5, 6, NaN), step = 1),
+      md("metric3", Seq(3, 4, 5, 6, NaN, NaN), step = 1))
+    check("sum(metric1,metric2,metric3)", three,
+      Seq(md("sumSeries(metric1,metric2,metric3)", Seq(6, 9, 8, 15, 11, NaN), step = 1)))
+    // a 4th argument with no data is dropped from the NAME, graphite-web
+    // style (ref helper.GetSeriesArgsAndRemoveNonExisting helper.go:68-82)
+    check("sum(metric1,metric2,metric3,metric4)", three,
+      Seq(md("sumSeries(metric1,metric2,metric3)", Seq(6, 9, 8, 15, 11, NaN), step = 1)))
+    val aFix = Seq(
+      md("metric1", Seq(1, NaN, 2, 3, 4, 5), step = 1),
+      md("metric2", Seq(2, NaN, 3, NaN, 5, 6), step = 1),
+      md("metric3", Seq(3, NaN, 4, 5, 6, NaN), step = 1))
+    check("maxSeries(metric1,metric2,metric3)", aFix,
+      Seq(md("maxSeries(metric1,metric2,metric3)", Seq(3, NaN, 4, 5, 6, 6), step = 1)))
+    check("minSeries(metric1,metric2,metric3)", aFix,
+      Seq(md("minSeries(metric1,metric2,metric3)", Seq(1, NaN, 2, 3, 4, 5), step = 1)))
+    check("averageSeries(metric1,metric2,metric3)", aFix,
+      Seq(md("averageSeries(metric1,metric2,metric3)", Seq(2, NaN, 3, 4, 5, 5.5), step = 1)))
+  }
+
+  test("aggregateWithWildcards table: drop positions per callback, no-position identity (ref aggregateWithWildcards/function_test.go:28-199)") {
+    def s(n: String, v: Seq[Double]) = md(n, v, step = 1)
+    check("aggregateWithWildcards(metric[123].*.*.*,'avg',0)", Seq(
+      s("metric1.foo.bar.baz", Seq(1, NaN, 2, 3, 4, 5)),
+      s("metric2.foo.bar.baz", Seq(2, NaN, 3, NaN, 5, 6)),
+      s("metric3.foo.bar.baz", Seq(3, NaN, 4, 5, 6, NaN))),
+      Seq(s("foo.bar.baz", Seq(2, NaN, 3, 4, 5, 5.5))))
+    check("aggregateWithWildcards(metric[12].*.bar.baz,'diff',1)", Seq(
+      s("metric1.foo.bar.baz", Seq(1, NaN, 2, 3, 4, 5)),
+      s("metric1.foo2.bar.baz", Seq(2, NaN, 3, NaN, 5, 6)),
+      s("metric2.foo.bar.baz", Seq(3, NaN, 4, 5, 6, NaN))),
+      Seq(s("metric1.bar.baz", Seq(-1, NaN, -1, 3, -1, -1)),
+        s("metric2.bar.baz", Seq(3, NaN, 4, 5, 6, NaN))))
+    check("aggregateWithWildcards(metric1.foo.*.*,'max',2)", Seq(
+      s("metric1.foo.bar1.baz1", Seq(1, NaN, 2, 3, 4, 5)),
+      s("metric1.foo.bar2.baz2", Seq(2, NaN, 3, NaN, 5, 6)),
+      s("metric1.foo.bar3.baz1", Seq(3, NaN, 4, 5, 6, NaN)),
+      s("metric1.foo.bar4.baz2", Seq(4, NaN, 5, 6, 7, NaN))),
+      Seq(s("metric1.foo.baz1", Seq(3, NaN, 4, 5, 6, 5)),
+        s("metric1.foo.baz2", Seq(4, NaN, 5, 6, 7, 6))))
+    check("aggregateWithWildcards(metric[12].foo.bar.*,'min',3)", Seq(
+      s("metric1.foo.bar.baz1", Seq(1, NaN, 2, 3, 4, 6)),
+      s("metric1.foo.bar.baz2", Seq(2, NaN, 3, NaN, 5, 5)),
+      s("metric2.foo.bar.baz3", Seq(3, NaN, 4, 5, 6, NaN)),
+      s("metric2.foo.bar.baz4", Seq(4, NaN, 5, 6, 7, NaN))),
+      Seq(s("metric1.foo.bar", Seq(1, NaN, 2, 3, 4, 5)),
+        s("metric2.foo.bar", Seq(3, NaN, 4, 5, 6, NaN))))
+    check("aggregateWithWildcards(metric[123].foo.*.baz,'median',0,3)", Seq(
+      s("metric1.foo.bar1.baz", Seq(1, NaN, 2, 3, 4, 6)),
+      s("metric2.foo.bar1.baz", Seq(2, NaN, 3, NaN, 5, 5)),
+      s("metric3.foo.bar2.baz", Seq(3, NaN, 4, 5, 6, NaN)),
+      s("metric2.foo.bar2.baz", Seq(4, NaN, 5, 6, 7, 8))),
+      Seq(s("foo.bar1", Seq(1.5, NaN, 2.5, 3, 4.5, 5.5)),
+        s("foo.bar2", Seq(3.5, NaN, 4.5, 5.5, 6.5, 8))))
+    check("aggregateWithWildcards(metric1.*.bar.*,'multiply',1,2)", Seq(
+      s("metric1.foo1.bar.baz", Seq(1, NaN, 2, 3, 4, 6)),
+      s("metric1.foo2.bar.baz", Seq(2, NaN, 3, NaN, 5, 5)),
+      s("metric1.foo3.bar.qux", Seq(3, NaN, 4, 5, 6, NaN)),
+      s("metric1.foo4.bar.qux", Seq(4, NaN, 5, 6, 7, NaN))),
+      Seq(s("metric1.baz", Seq(2, NaN, 6, NaN, 20, 30)),
+        s("metric1.qux", Seq(12, NaN, 20, 30, 42, NaN))))
+    check("aggregateWithWildcards({metric1.foo.bar.baz.1,metric2.foo.bar.baz,metric3.foo.bar.baz.1,metric4.foo.bar.baz},'range',0,2)", Seq(
+      s("metric1.foo.bar.baz.1", Seq(1, NaN, 2, 3, 4, 6)),
+      s("metric2.foo.bar.baz", Seq(2, NaN, 3, NaN, 5, 5)),
+      s("metric3.foo.bar.baz.1", Seq(3, NaN, 4, 5, 6, NaN)),
+      s("metric4.foo.bar.baz", Seq(4, NaN, 5, 6, 7, 8))),
+      Seq(s("foo.baz.1", Seq(2, NaN, 2, 2, 2, 0)),
+        s("foo.baz", Seq(2, NaN, 2, 0, 2, 3))))
+    check("aggregateWithWildcards(metric1.*.bar.baz.*,'sum',1,3)", Seq(
+      s("metric1.foo1.bar.baz.qux", Seq(1, NaN, 2, 3, 4, 6)),
+      s("metric1.foo2.bar.baz.quux", Seq(2, NaN, 3, NaN, 5, 5)),
+      s("metric1.foo3.bar.baz.qux", Seq(3, NaN, 4, 5, 6, NaN)),
+      s("metric1.foo4.bar.baz.quux", Seq(4, NaN, 5, 6, 7, 8))),
+      Seq(s("metric1.bar.qux", Seq(4, NaN, 6, 8, 10, 6)),
+        s("metric1.bar.quux", Seq(6, NaN, 8, 6, 12, 13))))
+    // no positions: every series stays its own group, name unchanged
+    check("aggregateWithWildcards(metric1.*.bar.baz.*,'sum')", Seq(
+      s("metric1.foo1.bar.baz.qux", Seq(1, NaN, 2, 3, 4, 6)),
+      s("metric1.foo2.bar.baz.quux", Seq(2, NaN, 3, NaN, 5, 5))),
+      Seq(s("metric1.foo1.bar.baz.qux", Seq(1, NaN, 2, 3, 4, 6)),
+        s("metric1.foo2.bar.baz.quux", Seq(2, NaN, 3, NaN, 5, 5))))
+    check("averageSeriesWithWildcards(metric[12].*.*.*)", Seq(
+      s("metric1.foo.bar.baz", Seq(1, NaN, 2, 3, 4, 5)),
+      s("metric2.foo.bar.baz", Seq(2, NaN, 3, NaN, 5, 6))),
+      Seq(s("metric1.foo.bar.baz", Seq(1, NaN, 2, 3, 4, 5)),
+        s("metric2.foo.bar.baz", Seq(2, NaN, 3, NaN, 5, 6))))
+    check("aggregateWithWildcards(metric[123456].*.*.*,'stddev',0,1,2)", Seq(
+      s("metric1.foo.bar.baz1", Seq(1, NaN, 2, 3, 4, 6)),
+      s("metric2.foo.bar.baz2", Seq(2, NaN, 3, NaN, 5, 5)),
+      s("metric3.foo.bar.baz1", Seq(3, NaN, 4, 5, 6, NaN)),
+      s("metric4.foo.bar.baz2", Seq(4, NaN, 5, 6, 7, 8)),
+      s("metric5.foo.bar.baz1", Seq(5, NaN, 6, 7, 8, 9)),
+      s("metric6.foo.bar.baz2", Seq(6, NaN, 7, 8, 9, 10))),
+      Seq(s("baz1", Seq(1.632993161855452, NaN, 1.632993161855452, 1.632993161855452, 1.632993161855452, 1.5)),
+        s("baz2", Seq(1.632993161855452, NaN, 1.632993161855452, 1, 1.632993161855452, 2.0548046676563256))))
+    // multiply keeps a genuine 0 (only NaN aborts); multi-return sweep
+    check("multiplySeriesWithWildcards(metric1.foo.*.*,1,2)", Seq(
+      s("metric1.foo.bar1.baz", Seq(1, 2, 3, 4, 5)),
+      s("metric1.foo.bar1.qux", Seq(6, 0, 8, 9, 10)),
+      s("metric1.foo.bar2.baz", Seq(11, 12, 13, 14, 15)),
+      s("metric1.foo.bar2.qux", Seq(7, 8, 9, 10, 11)),
+      s("metric1.foo.bar3.baz", Seq(2, 2, 2, 2, 2))),
+      Seq(s("metric1.baz", Seq(22, 48, 78, 112, 150)),
+        s("metric1.qux", Seq(42, 0, 72, 90, 110))))
+    check("sumSeriesWithWildcards(metric1.foo.*.*,1,2)", Seq(
+      s("metric1.foo.bar1.baz", Seq(1, 2, 3, 4, 5)),
+      s("metric1.foo.bar1.qux", Seq(6, 7, 8, 9, 10)),
+      s("metric1.foo.bar2.baz", Seq(11, 12, 13, 14, 15)),
+      s("metric1.foo.bar2.qux", Seq(7, 8, 9, 10, 11))),
+      Seq(s("metric1.baz", Seq(12, 14, 16, 18, 20)),
+        s("metric1.qux", Seq(13, 15, 17, 19, 21))))
+    check("averageSeriesWithWildcards(metric1.foo.*.*,1,2)", Seq(
+      s("metric1.foo.bar1.baz", Seq(1, 2, 3, 4, 5)),
+      s("metric1.foo.bar1.qux", Seq(6, 7, 8, 9, 10)),
+      s("metric1.foo.bar2.baz", Seq(11, 12, 13, 14, 15)),
+      s("metric1.foo.bar2.qux", Seq(7, 8, 9, 10, 11))),
+      Seq(s("metric1.baz", Seq(6, 7, 8, 9, 10)),
+        s("metric1.qux", Seq(6.5, 7.5, 8.5, 9.5, 10.5))))
+    // empty fetch → empty, no error
+    check("multiplySeriesWithWildcards(metric1.foo.*.*,1,2)", Seq.empty, Seq.empty)
+  }
+
+  test("highest/lowest table: descending drain, NaN skip, n-or-func arg forms (ref highestLowest/function_test.go:25-313)") {
+    def s(n: String, v: Seq[Double]) = md(n, v, step = 1)
+    val cur = Seq(s("metricA", Seq(1, 1, 3, 3, 4, 12)), s("metricB", Seq(1, 1, 3, 3, 4, 1)),
+      s("metricC", Seq(1, 1, 3, 3, 4, 15)))
+    val curNaN = s("metric0", Seq(NaN, NaN, NaN, NaN, NaN)) +: cur
+    // highest drains its heap largest-first — ordered assertions
+    check("highestCurrent(metric.*,2)", cur.map(x => x.copy(name = "metric." + x.name.last)),
+      Seq(s("metric.C", Seq(1, 1, 3, 3, 4, 15)), s("metric.A", Seq(1, 1, 3, 3, 4, 12))),
+      ordered = true)
+    check("highestCurrent(metric[0ABC])", curNaN, Seq(s("metricC", Seq(1, 1, 3, 3, 4, 15))))
+    check("highestCurrent(metric[0ABC],1)", curNaN, Seq(s("metricC", Seq(1, 1, 3, 3, 4, 15))))
+    // all-NaN series are SKIPPED by the highest heap even when n covers all
+    check("highestCurrent(metric[0ABC],4)", curNaN,
+      Seq(s("metricC", Seq(1, 1, 3, 3, 4, 15)), s("metricA", Seq(1, 1, 3, 3, 4, 12)),
+        s("metricB", Seq(1, 1, 3, 3, 4, 1))), ordered = true)
+    check("highestAverage(metric[ABC],1)",
+      Seq(s("metricA", Seq(1, 1, 3, 3, 4, 12)), s("metricB", Seq(1, 5, 5, 5, 5, 5)),
+        s("metricC", Seq(1, 1, 3, 3, 4, 10))),
+      Seq(s("metricB", Seq(1, 5, 5, 5, 5, 5))))
+    val mx = Seq(s("metricA", Seq(1, 1, 3, 3, 12, 11)), s("metricB", Seq(1, 1, 3, 3, 4, 1)),
+      s("metricC", Seq(1, 1, 3, 3, 4, 10)))
+    check("highestMax(metric[ABC],1)", mx, Seq(s("metricA", Seq(1, 1, 3, 3, 12, 11))))
+    check("highestMax(metric[ABC],2)", mx,
+      Seq(s("metricA", Seq(1, 1, 3, 3, 12, 11)), s("metricC", Seq(1, 1, 3, 3, 4, 10))), ordered = true)
+    check("highestMin(metric[ABC],1)",
+      Seq(s("metricA", Seq(6, 1, 3, 3, 4, 12)), s("metricB", Seq(2, 5, 5, 5, 5, 5)),
+        s("metricC", Seq(3, 1, 3, 3, 4, 10))),
+      Seq(s("metricB", Seq(2, 5, 5, 5, 5, 5))))
+    // n=0 / negative n → nothing
+    check("highestCurrent(metric[ABC],0)", cur, Seq.empty)
+    check("highest(metric[ABC],0,'max')", mx, Seq.empty)
+    check("highest(metric[ABC],-1,'max')", mx, Seq.empty)
+    // bare-func second arg means n=1 with that callback
+    check("highest(metric[ABC],'max')", mx, Seq(s("metricA", Seq(1, 1, 3, 3, 12, 11))))
+    check("highest(metric[ABC],2,'max')", mx,
+      Seq(s("metricA", Seq(1, 1, 3, 3, 12, 11)), s("metricC", Seq(1, 1, 3, 3, 4, 10))), ordered = true)
+    check("lowest(metric[ABC],'max')", mx, Seq(s("metricB", Seq(1, 1, 3, 3, 4, 1))))
+    check("lowest(metric[ABC],2,'max')", mx,
+      Seq(s("metricB", Seq(1, 1, 3, 3, 4, 1)), s("metricC", Seq(1, 1, 3, 3, 4, 10))), ordered = true)
+    val low = Seq(s("metricB", Seq(1, 1, 3, 3, 4, 1)), s("metricC", Seq(1, 1, 3, 3, 4, 15)),
+      s("metricD", Seq(1, 1, 3, 3, 4, 3)), s("metricA", Seq(1, 1, 3, 3, 4, 12)))
+    check("lowestCurrent(metric[ABCD],3)", low,
+      Seq(s("metricB", Seq(1, 1, 3, 3, 4, 1)), s("metricD", Seq(1, 1, 3, 3, 4, 3)),
+        s("metricA", Seq(1, 1, 3, 3, 4, 12))), ordered = true)
+    check("lowestCurrent(metric[ABCD])", low, Seq(s("metricB", Seq(1, 1, 3, 3, 4, 1))))
+  }
+
+  test("moving family table: preview restamp, NaN windows, interval forms (ref moving/function_test.go:30-258)") {
+    // all-NaN preview: output restamps to from and stays NaN
+    check("movingAverage(metric1,10)", Seq(md("metric1", Seq.fill(15)(NaN), step = 1, start = 10)),
+      Seq(md("movingAverage(metric1,10)", Seq.fill(5)(NaN), step = 1, start = 20)),
+      from = 20, until = 25)
+    // NaN prefix: the window fills as data appears (window INCLUDES the
+    // current point, w.Push starts at index 1)
+    val prefix = Seq(md("metric1", Seq.fill(10)(NaN) ++ (0 to 9).map(_.toDouble), step = 1, start = 10))
+    check("movingAverage(metric1,10)", prefix,
+      Seq(md("movingAverage(metric1,10)", Seq(0, 0.5, 1, 1.5, 2, 2.5, 3, 3.5, 4, 4.5), step = 1, start = 20)),
+      from = 20, until = 30)
+    check("movingMedian(metric1,10)", prefix,
+      Seq(md("movingMedian(metric1,10)", Seq(0, 0.5, 1, 1.5, 2, 2.5, 3, 3.5, 4, 4.5), step = 1, start = 20)),
+      from = 20, until = 30)
+    check("movingMedian(metric1,10)", Seq(md("metric1", Seq.fill(15)(NaN), step = 1, start = 10)),
+      Seq(md("movingMedian(metric1,10)", Seq.fill(5)(NaN), step = 1, start = 20)),
+      from = 20, until = 25)
+    // short store preview: output starts at data start + window, not `from`
+    val long = Seq(md("metric1", (0 to 99).map(_.toDouble), step = 1, start = 600))
+    val w60 = (0 to 39).map(i => i + 30.5)
+    for (w <- Seq("60", "'1min'", "'-1min'")) {
+      check(s"movingAverage(metric1,$w)", long,
+        Seq(md(s"movingAverage(metric1,$w)", w60, step = 1, start = 660)), from = 610, until = 710)
+      check(s"movingMedian(metric1,$w)", long,
+        Seq(md(s"movingMedian(metric1,$w)", w60, step = 1, start = 660)), from = 610, until = 710)
+    }
+    // movingWindow callbacks — name keeps ONLY the window argument
+    def mw(cons: String, vals: Seq[Double], want: Seq[Double]) =
+      check(s"movingWindow(metric1,'3sec'$cons)", Seq(md("metric1", vals, step = 1, start = 607)),
+        Seq(md("movingWindow(metric1,'3sec')", want, step = 1, start = 610)), from = 610, until = 710)
+    mw(",'average'", Seq(1, 2, 3, 1, 2, 3), Seq(2, 2, 2))
+    mw("", Seq(1, 2, 3, 1, 2, 3), Seq(2, 2, 2)) // default callback = average
+    mw(",'avg_zero'", Seq(1, 2, NaN, 1, NaN, 3), Seq(1, 0.3333333333333333, 1.3333333333333333))
+    mw(",'count'", Seq(1, 2, NaN, 1, NaN, 3), Seq(2, 1, 2))
+    mw(",'diff'", Seq(1, 2, 3, 0, NaN, 5), Seq(-1, 3, -5))
+    mw(",'range'", Seq(1, 2, 3, 0, NaN, 5), Seq(3, 3, 5))
+    mw(",'stddev'", Seq(1, 2, 3, 0, NaN, 5), Seq(1.247219128924647, 1.5, 2.5))
+    // moving 'last' is the RAW window tail — a NaN stays NaN
+    mw(",'last'", Seq(1, 2, 3, 0, NaN, 5), Seq(0, NaN, 5))
+    check("movingAverage(metric1,4)",
+      Seq(md("metric1", Seq(1, 1, 1, 1, 2, 2, 2, 4, 6, 4, 6, 8), step = 1, start = 606)),
+      Seq(md("movingAverage(metric1,4)", Seq(1.25, 1.5, 1.75, 2.5, 3.5, 4.0, 5.0, 6.0),
+        step = 1, start = 610)), from = 610, until = 710)
+    // window shorter than the step → all-NaN of the same length
+    check("movingAverage(metric1,'5s')",
+      Seq(md("metric1", Seq(1, 2, 3), step = 10, start = 605)),
+      Seq(md("movingAverage(metric1,'5s')", Seq(NaN, NaN, NaN), step = 10, start = 610)),
+      from = 610, until = 710)
+    // more window points than data → empty series, restamped
+    check("movingAverage(metric1,10)",
+      Seq(md("metric1", Seq(1, 2, 3), step = 30, start = 310)),
+      Seq(md("movingAverage(metric1,10)", Seq.empty[Double], step = 30, start = 610)),
+      from = 610, until = 700)
+    // explicit xFilesFactor third arg gates windows below the ratio
+    check("movingSum(metric1,'3sec',0.5)",
+      Seq(md("metric1", Seq(1, 2, 3, 1, NaN, 2, NaN, 3), step = 1, start = 607)),
+      Seq(md("movingSum(metric1,'3sec')", Seq(6, 4, 3, NaN, 5), step = 1, start = 610)),
+      from = 610, until = 618)
+    check("movingAverage(metric1,4,0.6)",
+      Seq(md("metric1", Seq(1, 1, 1, 1, 2, NaN, 2, 4, NaN, 4, 6, 8), step = 1, start = 606)),
+      Seq(md("movingAverage(metric1,4)", Seq(1.25, 1.3333333333333333, 1.6666666666666667,
+        2.6666666666666665, NaN, 3.3333333333333335, 4.666666666666667, 6), step = 1, start = 610)),
+      from = 610, until = 622)
+    check("movingMax(metric1,2,0.5)",
+      Seq(md("metric1", Seq(1, 2, 3, NaN, NaN, 0), step = 1, start = 608)),
+      Seq(md("movingMax(metric1,2)", Seq(3, 3, NaN, 0), step = 1, start = 610)),
+      from = 610, until = 616)
+    // malformed interval strings error like parser.ErrBadType
+    val six = Seq(md("metric1", Seq(1, 2, 3, 1, 2, 3), step = 1))
+    for (bad <- Seq("''", "'-'", "'+'", "'-s1'"))
+      assertThrows[Exception](run(s"movingWindow(metric1,$bad,'average')", six))
+  }
+
+  test("aggregate aligns mixed steps to the LCM grid sized by the longest consolidated series (ref aggregate/function_test.go:466-508)") {
+    // steps 1 and 2, both starting at ts 1 → commonStep 2, start 0, TWO
+    // points (maxVals bookkeeping, ref align.go:96-152) — not three
+    check("sum(metric1_2,metric2_1)",
+      Seq(md("metric1_2", Seq(1, 3, 5), step = 1, start = 1),
+        md("metric2_1", Seq(1, 5), step = 2, start = 1)),
+      Seq(md("sumSeries(metric1_2,metric2_1)", Seq(2, 9), step = 2, start = 0)))
+    // ragged lengths on one step: the shorter series NaN-pads, sum keeps 4
+    check("sum(metric1,metric2)",
+      Seq(md("metric1", Seq(1, 3, 5, 8), step = 1, start = 1),
+        md("metric2", Seq(1, 5, 7), step = 1, start = 1)),
+      Seq(md("sumSeries(metric1,metric2)", Seq(2, 8, 12, 8), step = 1, start = 1)))
+  }
 }

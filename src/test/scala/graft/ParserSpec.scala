@@ -86,7 +86,12 @@ class ParserSpec extends AnyFunSuite {
     assert(Interval.parse("1w") == 604800)
     assert(Interval.parse("10s") == 10)
     assert(Interval.parse("1mon") == 2592000)
-    assert(Interval.parse("30", defaultSign = -1) == -30)
+    assert(Interval.parse("1hr") == 3600)
+    assert(Interval.parse("2wks") == 1209600)
+    // strict grammar: empty, bare signs, missing digits, unitless numbers
+    // all error (ref interval.go:12-18, Atoi("") failure, empty-unit default)
+    for (bad <- Seq("", "-", "+", "-s1", "30", "1x"))
+      assertThrows[IllegalArgumentException](Interval.parse(bad))
   }
 
   // ---- reference TestParseExpr corpus, ported case by case
