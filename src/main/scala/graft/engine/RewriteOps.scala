@@ -246,11 +246,21 @@ object RewriteOps {
     val specs = parseTagSpecs(target)
     require(specs.nonEmpty, s"seriesByTag: no tag specs in $target")
     val all = ctx.store.fetchAll(ctx.spark, ctx.from, ctx.until)
+    // graphite tagdb semantics: an `=`/`!=` value containing `*` is a
+    // wildcard (any run of characters), not an exact string — `tag2=value*`
+    // matches value21 (graphite-web tags/base.py; exercised by the
+    // reference's sum(seriesByTag('tag2=value*')) tables)
+    def tagGlob(v: String): String =
+      "^" + v.flatMap {
+        case '*' => ".*"
+        case c if "\\^$()+|{}[].?".indexOf(c.toInt) >= 0 => "\\" + c
+        case c => c.toString
+      } + "$"
     specs.foldLeft(all) { case (df, (k, op, v)) =>
       val tagVal = coalesce(element_at(col("tags"), k), lit(""))
       op match {
-        case "="   => df.where(tagVal === v)
-        case "!="  => df.where(tagVal =!= v)
+        case "="   => if (v.contains('*')) df.where(tagVal.rlike(tagGlob(v))) else df.where(tagVal === v)
+        case "!="  => if (v.contains('*')) df.where(!tagVal.rlike(tagGlob(v))) else df.where(tagVal =!= v)
         case "=~"  => df.where(tagVal.rlike(v))
         case "!=~" => df.where(!tagVal.rlike(v))
       }

@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import graft.core.{Glob, Kernels, SeriesFrame, VecOps}
+import graft.core.{Glob, Kernels, Names, SeriesFrame, VecOps}
 
 /**
  * The Graphite operator library over the canonical series frame
@@ -93,9 +93,15 @@ object SeriesOps {
             transform(sequence(col("t0"), col("t1"), col("step")),
               t => coalesce(element_at(col("m"), t), lit(Double.NaN))).as("values"))
       }
+    // output tags mirror the reference's CopyNameArg flow: parse the INNER
+    // name (wrapper stripped) as a tagged path, then stamp aggregatedBy —
+    // `avgSeries(metric[123])` carries name=metric[123], a groupByTags key
+    // `a;t=v` parses its tags back out (ref types.go:621-660, helper.go:162)
+    val tagsU = udf((n: String) =>
+      Names.extractTags(Names.extractName(n)) + ("aggregatedBy" -> func))
     val base = Seq(
       nameFor(col("gk")).as("name"),
-      map(lit("name"), nameFor(col("gk")), lit("aggregatedBy"), lit(func)).as("tags"),
+      tagsU(nameFor(col("gk"))).as("tags"),
       col("start"), col("step"), col("values"))
     grouped.select((if (implicitGk) base :+ col("gk").as("_gk") else base): _*)
   }
@@ -115,7 +121,30 @@ object SeriesOps {
   def aggregateNamed(df: DataFrame, func: String, rawArgs: String, xff: Double = 0.0,
                      align: Boolean = false, argsLen: Int = 1): DataFrame = {
     val static = s"${func}Series($rawArgs)"
-    val out = aggregateSeries(df, func, xff, nameFor = _ => lit(static), align = align)
+    val out0 = aggregateSeries(df, func, xff, nameFor = _ => lit(static), align = align)
+    // aggregating a seriesByTag(...) fetch keeps the tags COMMON to every
+    // input (plus a name fallback), not the parsed wrapper — so
+    // aliasByTags(sum(seriesByTag(…)),'tag2') still resolves
+    // (ref CopyNameArg types.go:628-640, GetCommonTags helper.go:209-222).
+    // The intersection is a per-(key,value) count matched against the series
+    // count — map-side combinable, no per-group list collection.
+    val out =
+      if (!Names.extractName(static).startsWith("seriesByTag(")) out0
+      else {
+        val nRows = df.agg(count(lit(1)).as("_n"))
+        val common = df.select(explode(map_entries(col("tags"))).as("e"))
+          .groupBy(col("e.key").as("k"), col("e.value").as("v")).agg(count(lit(1)).as("c"))
+          .crossJoin(broadcast(nRows)).where(col("c") === col("_n"))
+          .agg(map_from_entries(collect_list(struct(col("k"), col("v")))).as("_ct"))
+        val withName = when(element_at(col("_ct"), "name").isNull,
+            map_concat(col("_ct"), map(lit("name"), col("name"))))
+          .otherwise(col("_ct"))
+        out0.crossJoin(broadcast(common))
+          .withColumn("tags", map_concat(
+            map_filter(withName, (k, _) => k =!= "aggregatedBy"),
+            map(lit("aggregatedBy"), lit(func))))
+          .drop("_ct")
+      }
     if (argsLen <= 1) out
     else {
       // survivors in (argument position, name) order; the rewrite fires only
@@ -128,9 +157,11 @@ object SeriesOps {
           concat(lit(s"${func}Series("),
             array_join(transform(col("_sv"), s => s.getField("name")), ","), lit(")")))
         .otherwise(lit(static))
+      val tagsU = udf((n: String) =>
+        Names.extractTags(Names.extractName(n)) + ("aggregatedBy" -> func))
       out.crossJoin(broadcast(survivors))
         .withColumn("name", dynName)
-        .withColumn("tags", map(lit("name"), dynName, lit("aggregatedBy"), lit(func)))
+        .withColumn("tags", tagsU(dynName))
         .drop("_sv", "_svn")
     }
   }
@@ -179,7 +210,13 @@ object SeriesOps {
     * (missing tags contribute an EMPTY segment, exactly like the
     * reference's `metricTags[tagStr]` zero value). */
   def nodeOrTagKey(name: Column, tags: Column, nts: Seq[Either[String, Int]]): Column = {
-    val parts = split(name, "\\.")
+    // node indexing operates on the INNER metric path — function wrappers
+    // stripped, the seriesByTag call kept whole, braces guarded — exactly
+    // AggKey's ExtractNameTag + dot split (ref helper.go:85-106,
+    // extract.go:69-110): aliasByNode(sumSeries(metric.{a,b}*.b),1,2) keys
+    // on metric.{a,b}*.b, not on the rendered wrapper
+    val innerU = udf((s: String) => Names.extractNameTag(s))
+    val parts = split(innerU(name), "\\.")
     concat_ws(".", nts.map {
       case Right(i) => element_at(parts, if (i >= 0) i + 1 else i)
       case Left(t)  => coalesce(element_at(tags, t), lit(""))

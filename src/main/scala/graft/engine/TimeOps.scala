@@ -128,12 +128,13 @@ object TimeOps {
   /** aliasByTags: rename to selected tag values (node-or-tag addressing).
     * (ref aliasByNode/function.go — shares the implementation) */
   def aliasByTags(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val cols = keys.map {
-      case k if k.forall(c => c.isDigit || c == '-') =>
-        SeriesOps.nodeKey(col("name"), Seq(k.toInt))
-      case tag => coalesce(element_at(col("tags"), tag), lit(""))
+    // same AggKey as aliasByNode: ints index the wrapper-stripped inner
+    // path, anything else reads the tag map (ref aliasByNode/function.go:46)
+    val nts: Seq[Either[String, Int]] = keys.map {
+      case k if k.nonEmpty && k.forall(c => c.isDigit || c == '-') => Right(k.toInt)
+      case tag => Left(tag)
     }
-    df.withColumn("name", concat_ws(".", cols: _*))
+    df.withColumn("name", SeriesOps.nodeOrTagKey(col("name"), col("tags"), nts))
   }
 
   private val unitSystems: Map[String, Seq[(String, Double)]] = Map(

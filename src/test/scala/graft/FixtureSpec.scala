@@ -52,9 +52,12 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val NaN = Double.NaN
 
-  /** MakeMetricData analog. */
-  private def md(name: String, values: Seq[Double], step: Long = 60, start: Long = 0): Series =
-    Series(name, Map("name" -> name), start, step, values.toArray)
+  /** MakeMetricData analog — tags parsed from the (possibly `;k=v`-tagged)
+    * name like the reference's ExtractTags + FixNameTag (types.go:802-805). */
+  private def md(name: String, values: Seq[Double], step: Long = 60, start: Long = 0): Series = {
+    val tags = graft.core.Names.extractTags(graft.core.Names.extractName(name))
+    Series(name, tags + ("name" -> graft.core.Names.extractName(tags("name"))), start, step, values.toArray)
+  }
 
   private val UNBOUNDED = Long.MinValue / 4
 
@@ -1295,6 +1298,79 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
         s("metric1.qux", Seq(6.5, 7.5, 8.5, 9.5, 10.5))))
     // empty fetch → empty, no error
     check("multiplySeriesWithWildcards(metric1.foo.*.*,1,2)", Seq.empty, Seq.empty)
+  }
+
+  test("sortByName table: alphabetical vs natural, reverse forms (ref sortByName/function_test.go:25-155)") {
+    def one(n: String) = md(n, Seq(1.0), step = 1)
+    check("sortByName(metric*)",
+      Seq(md("metricX", Seq(0, 0, 0, 0, 0, 0), step = 1), md("metricA", Seq(0, 1, 0, 0, 0, 0), step = 1),
+        md("metricB", Seq(0, 0, 2, 0, 0, 0), step = 1), md("metricC", Seq(0, 0, 0, 3, 0, 0), step = 1)),
+      Seq(md("metricA", Seq(0, 1, 0, 0, 0, 0), step = 1), md("metricB", Seq(0, 0, 2, 0, 0, 0), step = 1),
+        md("metricC", Seq(0, 0, 0, 3, 0, 0), step = 1), md("metricX", Seq(0, 0, 0, 0, 0, 0), step = 1)),
+      ordered = true)
+    check("sortByName(metric*,natural=true)",
+      Seq(md("metric1", Seq(0, 0, 0, 0, 0, 0), step = 1), md("metric12", Seq(0, 1, 0, 0, 0, 0), step = 1),
+        md("metric1234567890", Seq(0, 0, 0, 5, 0, 0), step = 1), md("metric2", Seq(0, 0, 2, 0, 0, 0), step = 1),
+        md("metric11", Seq(0, 0, 0, 3, 0, 0), step = 1), md("metric", Seq(0, 0, 0, 0, 0, 0), step = 1)),
+      Seq(md("metric", Seq(0, 0, 0, 0, 0, 0), step = 1), md("metric1", Seq(0, 0, 0, 0, 0, 0), step = 1),
+        md("metric2", Seq(0, 0, 2, 0, 0, 0), step = 1), md("metric11", Seq(0, 0, 0, 3, 0, 0), step = 1),
+        md("metric12", Seq(0, 1, 0, 0, 0, 0), step = 1), md("metric1234567890", Seq(0, 0, 0, 5, 0, 0), step = 1)),
+      ordered = true)
+    val foo = Seq(one("metric.foo.x99"), one("metric.foo.x1"), one("metric.foo.x2"), one("metric.foo.x100"))
+    check("sortByName(metric.foo.*)", foo,
+      Seq(one("metric.foo.x1"), one("metric.foo.x100"), one("metric.foo.x2"), one("metric.foo.x99")),
+      ordered = true)
+    check("sortByName(metric.foo.*,true)", foo,
+      Seq(one("metric.foo.x1"), one("metric.foo.x2"), one("metric.foo.x99"), one("metric.foo.x100")),
+      ordered = true)
+    check("sortByName(metric.foo.*,natural=false,reverse=true)", foo,
+      Seq(one("metric.foo.x99"), one("metric.foo.x2"), one("metric.foo.x100"), one("metric.foo.x1")),
+      ordered = true)
+    check("sortByName(metric.foo.*,true,true)", foo,
+      Seq(one("metric.foo.x100"), one("metric.foo.x99"), one("metric.foo.x2"), one("metric.foo.x1")),
+      ordered = true)
+  }
+
+  test("aliasByNode/aliasByTags table: wrapper-stripped nodes, tag keys, common tags (ref aliasByNode/function_test.go:47-183)") {
+    def five(n: String) = md(n, Seq(1, 2, 3, 4, 5), step = 1)
+    // nodes index the regex-rewritten name
+    check("aliasByNode(aliasSub(a.b.c.d.e,'(.*)','0.1.2.@.4'),2)",
+      Seq(md("a.b.c.d.e", Seq(8, 2, 4), step = 1)), Seq(md("2", Seq(8, 2, 4), step = 1)))
+    // nodes index the INNER path of a function-wrapped name
+    check("aliasByNode(aliasSub(transformNull(metric1.foo.bar.ba*,0),'baz','word'),2,3)",
+      Seq(five("metric1.foo.bar.baz")), Seq(five("bar.word")))
+    check("aliasByNode(metric1.foo.bar.baz,1)", Seq(five("metric1.foo.bar.baz")), Seq(five("foo")))
+    check("aliasByNode(metric1.foo.bar.baz,1,3)", Seq(five("metric1.foo.bar.baz")), Seq(five("foo.baz")))
+    check("aliasByNode(metric1.foo.bar.baz,1,-2)", Seq(five("metric1.foo.bar.baz")), Seq(five("foo.bar")))
+    // '=' is legal in rewritten node text
+    check("aliasByNode(metric1.fo*.bar.baz,1,3)", Seq(five("metric1.foo==.bar.baz")), Seq(five("foo==.baz")))
+    // tag keys; a missing tag contributes an empty segment, an out-of-range
+    // node is skipped entirely
+    check("aliasByTags(metric1.*.*.*,'foo')", Seq(five("metric1.foo.bar.baz;foo=bar;baz=bam")),
+      Seq(five("bar")))
+    check("aliasByTags(metric1*,'foo','name')", Seq(five("metric1;foo=bar")), Seq(five("bar.metric1")))
+    check("aliasByTags(base.*,2,'blah','foo',1)", Seq(five("base.metric1;foo=bar;baz=bam")),
+      Seq(five(".bar.metric1")))
+    check("aliasByTags(base.*,2,'baz','foo',1)", Seq(five("base.metric1;foo=bar;baz=bam")),
+      Seq(five("bam.bar.metric1")))
+    // '=' inside tag values survives
+    check("aliasByTags(base.*,2,'baz','foo',1)", Seq(five("base.metric1;foo=bar=;baz=bam==")),
+      Seq(five("bam==.bar=.metric1")))
+    // tags ride through value transforms
+    check("aliasByTags(perSecond(base.*),'name')", Seq(five("base.metric1;foo=bar;baz=bam")),
+      Seq(md("base.metric1", Seq(NaN, 1, 1, 1, 1), step = 1)))
+    // node extraction across an aggregation wrapper keeps the glob arg text
+    check("aliasByNode(sumSeries(metric.{a,b}*.b),1,2)", Seq(
+      md("metric.a1.b", Seq(1, NaN, 2, 3, 4, 5), step = 1),
+      md("metric.b2.b", Seq(2, NaN, 3, NaN, 5, 6), step = 1),
+      md("metric.a3.b", Seq(3, NaN, 4, 5, 6, NaN), step = 1)),
+      Seq(md("{a,b}*.b", Seq(6, NaN, 9, 8, 15, 11), step = 1)))
+    // aggregating a seriesByTag fetch keeps COMMON tags so tag aliasing works
+    check("aliasByTags(sum(seriesByTag('tag2=value*','name=metric')),'tag2','name')", Seq(
+      md("metric;tag1=value1;tag2=value21", Seq(1, NaN, 2, 3, 4, 5), step = 1),
+      md("metric;tag2=value21;tag3=value3", Seq(2, NaN, 3, NaN, 5, 6), step = 1),
+      md("metric;tag2=value21;tag3=value31", Seq(3, NaN, 4, 5, 6, NaN), step = 1)),
+      Seq(md("value21.metric", Seq(6, NaN, 9, 8, 15, 11), step = 1)))
   }
 
   test("highest/lowest table: descending drain, NaN skip, n-or-func arg forms (ref highestLowest/function_test.go:25-313)") {
