@@ -925,7 +925,7 @@ object Queries {
         |JOIN s sc ON sc.name = c.name JOIN s sp ON sp.name = p.name AND sp.ts = sc.ts
         |WHERE sc.v IS NOT NULL AND sp.v IS NOT NULL ORDER BY 1, 2""".stripMargin),
     "g51_reduce" ->
-      (S + """SELECT 'events.asPercent' AS name, a.ts, round(a.v / b.v * 100, 4) AS value
+      (S + """SELECT 'events.reduce.asPercent' AS name, a.ts, round(a.v / b.v * 100, 4) AS value
         |FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.click' AND b.name = 'events.view'
         |WHERE a.v IS NOT NULL AND b.v IS NOT NULL AND b.v != 0 ORDER BY a.ts""".stripMargin),
     "g52_applybynode" -> agg1("sumSeries(events.*)", "sum(v)"),
@@ -941,7 +941,8 @@ object Queries {
     "g58_groupbynode_callback" ->
       (S + s"SELECT split_part(name, '.', 2) AS name, ts, round(coalesce(v, pv), 4) AS value FROM ($lagS) WHERE coalesce(v, pv) IS NOT NULL ORDER BY name, ts"),
     "g59_groupbytags" ->
-      (S + """SELECT CASE WHEN split_part(name, '.', 2) IN ('purchase','signup') THEN 'conv' ELSE 'eng' END AS name,
+      (S + """SELECT CASE WHEN split_part(name, '.', 2) IN ('purchase','signup')
+        |    THEN 'sum;kind=conv' ELSE 'sum;kind=eng' END AS name,
         |  ts, round(sum(v), 4) AS value FROM s GROUP BY 1, ts HAVING count(v) > 0 ORDER BY name, ts""".stripMargin),
     "g60_seriesbytag_kind" ->
       (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE split_part(name, '.', 2) IN ('purchase','signup') AND v IS NOT NULL ORDER BY name, ts"),
@@ -1197,7 +1198,7 @@ object Queries {
     "g87_sloerrorbudget" ->
       (S + """SELECT 'sloErrorBudget(' || name || ', 1d, above, 100, 0.9)' AS name,
         |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts,
-        |  round(avg(CASE WHEN v > 100 THEN 1.0 WHEN v IS NULL THEN NULL ELSE 0.0 END) - 0.9, 4) AS value
+        |  round((avg(CASE WHEN v > 100 THEN 1.0 WHEN v IS NULL THEN NULL ELSE 0.0 END) - 0.9) * 86400, 4) AS value
         |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
     "g88_alias" ->
       (S + "SELECT 'clicks' AS name, ts, round(v, 4) AS value FROM s WHERE name = 'events.click' AND v IS NOT NULL ORDER BY ts"),

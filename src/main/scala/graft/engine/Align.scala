@@ -21,6 +21,62 @@ object Align {
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
   def lcm(a: Long, b: Long): Long = if (a == 0 || b == 0) math.max(a, b) else a / gcd(a, b) * b
 
+  /** One series rebucketed onto (cs, alignedStart) with maxVals slots —
+    * the per-series body of ScaleToCommonStep (ref align.go:96-141). */
+  private[engine] def rebucketOne(v: Seq[Double], start: Long, step: Long, cs: Long,
+                                  alignedStart: Long, maxVals: Int,
+                                  fn: String, xff: Float): Array[Double] = {
+    val out = Array.fill(maxVals)(Double.NaN)
+    if (step == cs) {
+      val off = ((start - alignedStart) / cs).toInt
+      var i = 0
+      while (i < v.length && off + i < maxVals) { if (off + i >= 0) out(off + i) = v(i); i += 1 }
+    } else {
+      val stepFactor = (cs / step).toInt
+      val pad = ((start - alignedStart) / step).toInt
+      val total = pad + v.length
+      val nBuckets = math.min(if (total <= 0) 0 else (1 + (total - 1) / stepFactor), maxVals)
+      var b = 0
+      while (b < nBuckets) {
+        val bucket = new Array[Double](stepFactor)
+        var j = 0
+        while (j < stepFactor) {
+          val src = b * stepFactor + j - pad
+          bucket(j) = if (src >= 0 && src < v.length) v(src) else Double.NaN
+          j += 1
+        }
+        out(b) = Kernels.summarizeValues(fn, bucket, xff)
+        b += 1
+      }
+    }
+    out
+  }
+
+  /** Per-series consolidated length on the (cs, alignedStart) grid. */
+  private def consolidatedLen(start: Long, step: Long, n: Int, cs: Long, alignedStart: Long): Int = {
+    val padded = ((start - alignedStart) / step) + n
+    if (step == cs) padded.toInt else (1 + (padded - 1) * step / cs).toInt
+  }
+
+  /** ConsolidateSeriesByStep for a numerator/denominator pair: LCM step,
+    * floor-aligned start, both padded to the longer consolidated length.
+    * No-op when steps and lengths already agree (ref align.go:382-395). */
+  private[engine] def consolidatePair(v1: Seq[Double], start1: Long, step1: Long, fn1: String,
+                                      v2: Seq[Double], start2: Long, step2: Long, fn2: String)
+      : (Long, Long, Array[Double], Array[Double]) = {
+    if (step1 == step2 && v1.length == v2.length && start1 == start2)
+      return (start1, step1, v1.toArray, v2.toArray)
+    val cs = lcm(step1, step2)
+    val minStart = math.min(start1, start2)
+    val alignedStart = minStart - math.floorMod(minStart, cs)
+    val maxVals = math.max(
+      consolidatedLen(start1, step1, v1.length, cs, alignedStart),
+      consolidatedLen(start2, step2, v2.length, cs, alignedStart))
+    (alignedStart, cs,
+      rebucketOne(v1, start1, step1, cs, alignedStart, maxVals, fn1, 0f),
+      rebucketOne(v2, start2, step2, cs, alignedStart, maxVals, fn2, 0f))
+  }
+
   /**
    * Rebucket every series to `commonStep` (0 = LCM of observed steps) and
    * pad to the common grid. Uniform-step inputs pass through with only

@@ -345,8 +345,14 @@ object AnalyticsOps {
   /** slo(list, interval, method, value): per-bucket fraction of points
     * meeting the predicate. Name: `slo(m, 1d, above, 100)` — spaces, raw
     * unquoted values (ref slo/function.go:108-114). */
-  def slo(df: DataFrame, interval: Long, method: String, value: Double,
-          rawInterval: String = ""): DataFrame = {
+  /** slo / sloErrorBudget: per-bucket (matched / not-null) ratio over
+    * interval-sized buckets anchored at each series' OWN start (never
+    * epoch-aligned), ceil((stop-start)/interval) buckets with NO trailing
+    * pad, all-NaN when the series step exceeds the bucket — and the error
+    * budget is (ratio - objective) * interval, scaled to seconds of budget
+    * (ref slo/function.go:118-205, helper.GetBuckets align.go:213). */
+  private def sloCore(df: DataFrame, interval: Long, method: String, value: Double,
+                      objective: Option[Double]): DataFrame = {
     val pred: Double => Boolean = method match {
       case "above"        => _ > value
       case "aboveOrEqual" => _ >= value
@@ -354,24 +360,70 @@ object AnalyticsOps {
       case "belowOrEqual" => _ <= value
       case other => throw new IllegalArgumentException(s"slo: bad method $other")
     }
+    val u = udf((v: Seq[Double], start: Long, step: Long) => {
+      val span = v.length.toLong * step
+      val buckets = math.max(math.ceil(span.toDouble / interval).toInt, 0)
+      if (step > interval) Array.fill(buckets)(Double.NaN)
+      else {
+        // the reference's time walk: full buckets scale the error budget by
+        // the interval, the trailing PARTIAL bucket by its actual span
+        // (ref slo/function.go:157-198)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var qtyMatched = 0
+        var qtyNotNull = 0
+        var qtyTotal = 0
+        var timeCurrent = start
+        val timeStop = start + span
+        var timeBucketStarts = timeCurrent
+        var timeBucketEnds = timeCurrent + interval
+        def emit(scale: Long): Unit = {
+          val x =
+            if (qtyNotNull == 0) Double.NaN
+            else {
+              val ratio = qtyMatched.toDouble / qtyNotNull
+              objective.fold(ratio)(obj => (ratio - obj) * scale)
+            }
+          out += x
+        }
+        var i = 0
+        var broke = false
+        while (i < v.length && !broke) {
+          qtyTotal += 1
+          val x = v(i)
+          if (!Kernels.isNaN(x)) { qtyNotNull += 1; if (pred(x)) qtyMatched += 1 }
+          timeCurrent += step
+          if (timeCurrent > timeStop) broke = true
+          else if (timeCurrent >= timeBucketEnds) {
+            emit(interval)
+            qtyMatched = 0; qtyNotNull = 0; qtyTotal = 0
+            timeBucketStarts = timeCurrent
+            timeBucketEnds += interval
+          }
+          i += 1
+        }
+        if (qtyTotal > 0) emit(timeCurrent - timeBucketStarts)
+        out.toArray
+      }
+    })
+    df.withColumn("values", u(col("values"), col("start"), col("step")))
+      .withColumn("step", lit(interval))
+  }
+
+  def slo(df: DataFrame, interval: Long, method: String, value: Double,
+          rawInterval: String = ""): DataFrame = {
     val raw = if (rawInterval.nonEmpty) rawInterval else s"${interval}s"
-    val indicator = mapVec(df, v => v.map(x =>
-      if (Kernels.isNaN(x)) Double.NaN else if (pred(x)) 1.0 else 0.0))
-    SeriesOps.summarize(indicator, interval, "avg")
-      .withColumn("name", concat(
-        lit("slo("), regexp_extract(col("name"), "^summarize\\((.*),'[^']*','avg'\\)$", 1),
+    sloCore(df, interval, method, value, None)
+      .withColumn("name", concat(lit("slo("), col("name"),
         lit(s", $raw, $method, ${SeriesOps.fmtNum(value)})")))
   }
 
-  /** sloErrorBudget: slo fraction minus objective; the objective joins the
-    * name args (ref slo/function.go:112). */
   def sloErrorBudget(df: DataFrame, interval: Long, method: String, value: Double,
-                     objective: Double, rawInterval: String = ""): DataFrame =
-    slo(df, interval, method, value, rawInterval)
-      .withColumn("values", transform(col("values"), v => v - lit(objective)))
-      .withColumn("name", concat(lit("sloErrorBudget("),
-        regexp_extract(col("name"), "^slo\\((.*)\\)$", 1),
-        lit(s", ${SeriesOps.fmtNum(objective)})")))
+                     objective: Double, rawInterval: String = ""): DataFrame = {
+    val raw = if (rawInterval.nonEmpty) rawInterval else s"${interval}s"
+    sloCore(df, interval, method, value, Some(objective))
+      .withColumn("name", concat(lit("sloErrorBudget("), col("name"),
+        lit(s", $raw, $method, ${SeriesOps.fmtNum(value)}, ${SeriesOps.fmtNum(objective)})")))
+  }
 
   // ------------------------------------------------------------------- fft
 

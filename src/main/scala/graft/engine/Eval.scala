@@ -289,7 +289,17 @@ object Eval {
     // positional pairing when several); per node-group vs the group's sum or
     // vs a grouped total list
     "asPercent" -> asPercentImpl, "pct" -> asPercentImpl,
-    "divideSeries" -> ((ctx, fc) => SeriesOps.divideSeries(seriesArg(ctx, fc), seriesArg(ctx, fc, 1))),
+    // two-arg: every numerator over the single denominator; one-arg: the
+    // fetch must match exactly two series — first (name order) divided by
+    // second, named after the raw glob (ref divideSeries/function.go:74-88)
+    "divideSeries" -> ((ctx, fc) =>
+      if (fc.args.length >= 2) SeriesOps.divideSeries(seriesArg(ctx, fc), seriesArg(ctx, fc, 1))
+      else {
+        val both = seriesArg(ctx, fc)
+        val ordered = both.orderBy(col("name"))
+        SeriesOps.divideSeries(ordered.limit(1), ordered.offset(1),
+          staticName = Some(s"divideSeries(${fc.rawArgs})"))
+      }),
 
     // ---- grouping
     // node args are node-OR-TAG (ref GetNodeOrTagArgs); the no-callback
@@ -310,8 +320,16 @@ object Eval {
         aggName.matches("p([0-9]*[.])?[0-9]+")
       val df = seriesArg(ctx, fc)
       if (isAgg) SeriesOps.groupByTags(df, aggName, tagKeys, align = needAlign(ctx))
-      else groupByKeyImpl(ctx, df, callback,
-        concat_ws(";", tagKeys.map(t => coalesce(element_at(col("tags"), t), lit(""))): _*))
+      else {
+        // same `<head>;tag=value` key grammar as the aggregate path
+        // (ref groupByTags/function.go:67-85)
+        val head =
+          if (tagKeys.contains("name")) coalesce(element_at(col("tags"), "name"), lit(""))
+          else lit(callback)
+        val rest = tagKeys.distinct.sorted.filter(_ != "name").map(t =>
+          concat(lit(";" + t + "="), coalesce(element_at(col("tags"), t), lit(""))))
+        groupByKeyImpl(ctx, df, callback, concat(head +: rest: _*))
+      }
     }),
     "aggregateWithWildcards" -> ((ctx, fc) => SeriesOps.groupByNodes(
       seriesArg(ctx, fc), strArg(fc, 1), Seq.empty, dropNodes = intsFrom(fc, 2), align = needAlign(ctx))),
@@ -421,12 +439,16 @@ object Eval {
     "exponentialMovingAverage" -> ((ctx, fc) => {
       // widened like movingFamily; string windows quote the interval in the
       // name (ref exponentialMovingAverage/function.go:74-81 strconv.Quote)
+      // negative windows count backwards the same way — only the absolute
+      // value matters (ref function.go:50-53,81-84), the name keeps the sign
       windowArg(fc, 1) match {
-        case Right(n) =>
+        case Right(n0) =>
+          val n = math.abs(n0)
           val step = ctx.store.stepHint.getOrElse(60L)
-          SeriesOps.ema(eval(fc.args.head, ctx.widen(n.toLong * step)), Right(n), n.toString)
+          SeriesOps.ema(eval(fc.args.head, ctx.widen(n.toLong * step)), Right(n), n0.toString)
         case Left(seconds) =>
-          SeriesOps.ema(eval(fc.args.head, ctx.widen(seconds)), Left(seconds), "\"" + strArg(fc, 1) + "\"")
+          SeriesOps.ema(eval(fc.args.head, ctx.widen(math.abs(seconds))),
+            Left(math.abs(seconds)), "\"" + strArg(fc, 1) + "\"")
       }
     }),
     "ewma" -> ((ctx, fc) => SeriesOps.ewma(seriesArg(ctx, fc), numArg(fc, 1))),
@@ -501,7 +523,8 @@ object Eval {
     "mostDeviant" -> ((ctx, fc) => SeriesOps.mostDeviant(seriesArg(ctx, fc), intArg(fc, 1, default = Some(1)))),
     "removeEmptySeries" -> ((ctx, fc) => SeriesOps.removeEmptySeries(
       seriesArg(ctx, fc), numArg(fc, 1, "xFilesFactor", Some(astXff(fc.args.head).getOrElse(0.0))))),
-    "removeZeroSeries" -> ((ctx, fc) => SeriesOps.removeZeroSeries(seriesArg(ctx, fc))),
+    "removeZeroSeries" -> ((ctx, fc) => SeriesOps.removeZeroSeries(seriesArg(ctx, fc),
+      numArg(fc, 1, "xFilesFactor", Some(0.0)))),
     "exclude" -> ((ctx, fc) => SeriesOps.excludeS(seriesArg(ctx, fc), strArg(fc, 1))),
     "grep" -> ((ctx, fc) => SeriesOps.grepS(seriesArg(ctx, fc), strArg(fc, 1))),
     "limit" -> ((ctx, fc) => SeriesOps.limitS(seriesArg(ctx, fc), intArg(fc, 1))),
@@ -518,7 +541,8 @@ object Eval {
     "sortByTotal" -> ((ctx, fc) => SeriesOps.sortByTotal(seriesArg(ctx, fc))),
     "sortByMaxima" -> ((ctx, fc) => SeriesOps.sortByMaxima(seriesArg(ctx, fc))),
     "sortByMinima" -> ((ctx, fc) => SeriesOps.sortByMinima(seriesArg(ctx, fc))),
-    "alias" -> ((ctx, fc) => SeriesOps.alias(seriesArg(ctx, fc), strArg(fc, 1))),
+    "alias" -> ((ctx, fc) => SeriesOps.alias(seriesArg(ctx, fc), strArg(fc, 1),
+      boolArg(fc, 2, "allowFormatStr"))),
     "aliasByMetric" -> ((ctx, fc) => SeriesOps.aliasByMetric(seriesArg(ctx, fc))),
     "aliasByNode" -> ((ctx, fc) => SeriesOps.aliasByNode(seriesArg(ctx, fc), nodeOrTagsFrom(fc, 1))),
     "aliasSub" -> ((ctx, fc) => SeriesOps.aliasSub(seriesArg(ctx, fc), strArg(fc, 1), strArg(fc, 2))),

@@ -245,14 +245,30 @@ object ExtOps {
    * asPercent / sum / multiply — the set the reference ships.
    * (ref reduce/function.go)
    */
+  /** reduceSeries: group on the WRAPPER-STRIPPED name with the reduce node
+    * replaced by `reduce.<fn>` — that replaced string IS the output name —
+    * match the node value against the matcher list and fold pairs with the
+    * reducer; an out-of-range node (after negative wrap) errors, and a
+    * group missing any matcher is silently dropped
+    * (ref reduce/function.go:72-115). */
   def reduceSeries(df: DataFrame, reduceFn: String, reduceNode: Int, matchers: Seq[String]): DataFrame = {
     require(matchers.length >= 2, "reduceSeries needs at least two matchers")
-    val nodeAt = SeriesOps.nodeKey(col("name"), Seq(reduceNode))
-    val key = coalesce(element_at(col("tags"), "_mapKey"), lit(""))
-    val a = df.where(nodeAt === matchers.head)
-      .select(key.as("k"), col("start"), col("step"), col("values").as("va"))
-    val b = df.where(nodeAt === matchers(1))
-      .select(key.as("k"), col("values").as("vb"))
+    val keyU = udf((n: String) => {
+      val nodes = graft.core.Names.extractName(n).split("\\.", -1)
+      val idx = if (reduceNode < 0) reduceNode + nodes.length else reduceNode
+      if (idx < 0 || idx >= nodes.length)
+        throw new IllegalArgumentException(
+          s"reduceNode $reduceNode out of range for metric $n")
+      val key = nodes(idx)
+      nodes(idx) = "reduce." + reduceFn
+      (key, nodes.mkString("."))
+    })
+    val tagged = df.withColumn("_rk", keyU(col("name")))
+    val a = tagged.where(col("_rk._1") === matchers.head)
+      .select(col("_rk._2").as("k"), col("tags"), col("start"), col("step"),
+        col("values").as("va"))
+    val b = tagged.where(col("_rk._1") === matchers(1))
+      .select(col("_rk._2").as("k"), col("values").as("vb"))
     val op: (Column, Column) => Column = reduceFn match {
       case "diffSeries" | "diff"         => (x, y) => x - y
       case "divideSeries" | "divide"     => (x, y) => when(isnan(y) || y === 0.0, lit(Double.NaN)).otherwise(x / y)
@@ -262,8 +278,7 @@ object ExtOps {
       case other => throw new IllegalArgumentException(s"reduceSeries: unsupported reducer $other")
     }
     a.join(b, "k").select(
-      concat(col("k"), lit(s".$reduceFn")).as("name"),
-      map(lit("name"), col("k")).as("tags"),
+      col("k").as("name"), col("tags"),
       col("start"), col("step"),
       zip_with(col("va"), col("vb"), op).as("values"))
   }

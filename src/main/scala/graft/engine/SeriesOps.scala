@@ -187,10 +187,20 @@ object SeriesOps {
     aggregateSeries(df, func, groupKey = Some(key), nameFor = identity, align = align)
   }
 
-  /** groupByTags: aggregate per tag-values key. (ref groupByTags/function.go) */
+  /** groupByTags: aggregate per tag-values key. The group key IS the output
+    * name: the series' name tag when "name" is grouped on, else the callback,
+    * followed by `;tag=value` for every OTHER requested tag in ALPHABETICAL
+    * order — a missing tag still contributes `;tag=`
+    * (ref groupByTags/function.go:52-85). */
   def groupByTags(df: DataFrame, func: String, tagKeys: Seq[String],
                   align: Boolean = false): DataFrame = {
-    val key = concat_ws(";", tagKeys.map(t => coalesce(element_at(col("tags"), t), lit(""))): _*)
+    val sortedTags = tagKeys.distinct.sorted
+    val head =
+      if (tagKeys.contains("name")) coalesce(element_at(col("tags"), "name"), lit(""))
+      else lit(func)
+    val rest = sortedTags.filter(_ != "name").map(t =>
+      concat(lit(";" + t + "="), coalesce(element_at(col("tags"), t), lit(""))))
+    val key = concat(head +: rest: _*)
     aggregateSeries(df, func, groupKey = Some(key), nameFor = identity, align = align)
   }
 
@@ -358,22 +368,54 @@ object SeriesOps {
     * inside the plan via raise_error, no extra driver action. An EMPTY
     * divisor (failed or matchless fetch) keeps every dividend as an all-NaN
     * `divideSeries(name,MISSING)` series (ref function.go:55-66). */
-  def divideSeries(dividends: DataFrame, divisor: DataFrame): DataFrame = {
-    val d1 = divisor.select(struct(col("name"), col("values")).as("s"))
+  /** divideSeries: every numerator over ONE broadcast denominator. Each
+    * pair is step-consolidated and length-padded like the reference's
+    * ConsolidateSeriesByStep (LCM step, floor-aligned start, NaN tail for
+    * ragged lengths — ref divideSeries/function.go:91, align.go:382-395);
+    * 0 or NaN denominators produce NaN. A missing denominator divides by
+    * MISSING → all-NaN (graphite-web compatibility). */
+  def divideSeries(dividends: DataFrame, divisor: DataFrame,
+                   staticName: Option[String] = None): DataFrame = {
+    val d1 = divisor.select(struct(col("name"), col("values"), col("start"), col("step"),
+        element_at(col("tags"), "consolidateBy").as("cons")).as("s"))
       .agg(min(col("s")).as("s"), count(lit(1)).as("n"))
       .select(
         when(col("n") > 1,
           raise_error(concat(lit("divideSeries: divisor must reference exactly one series, got "), col("n"))))
           .when(col("n") === 0, lit("MISSING"))
           .otherwise(col("s.name")).as("divName"),
-        col("s.values").as("divValues"))
-    dividends.crossJoin(broadcast(d1))
-      .withColumn("values",
-        when(col("divValues").isNull, transform(col("values"), _ => lit(Double.NaN)))
-          .otherwise(zip_with(col("values"), col("divValues"),
-            (v, d) => when(isnan(d) || d === 0.0, lit(Double.NaN)).otherwise(v / d))))
-      .withColumn("name", concat(lit("divideSeries("), col("name"), lit(","), col("divName"), lit(")")))
-      .drop("divName", "divValues")
+        col("s.values").as("divValues"), col("s.start").as("divStart"),
+        col("s.step").as("divStep"), col("s.cons").as("divCons"))
+    val pairU = udf((v1: Seq[Double], s1: Long, p1: Long, c1: String,
+                     v2: Seq[Double], s2: Long, p2: Long, c2: String) => {
+      val (start, step, nv, dv) = Align.consolidatePair(
+        v1, s1, p1, Option(c1).map(_.stripPrefix("'").stripSuffix("'")).getOrElse("average"),
+        v2, s2, p2, Option(c2).map(_.stripPrefix("'").stripSuffix("'")).getOrElse("average"))
+      val out = new Array[Double](nv.length)
+      var i = 0
+      while (i < nv.length) {
+        val d = if (i < dv.length) dv(i) else Double.NaN
+        out(i) = if (d == 0.0 || java.lang.Double.isNaN(d)) Double.NaN else nv(i) / d
+        i += 1
+      }
+      (start, step, out)
+    })
+    val named = dividends.crossJoin(broadcast(d1))
+      .withColumn("_r",
+        when(col("divValues").isNull,
+          struct(col("start").as("_1"), col("step").as("_2"),
+            transform(col("values"), _ => lit(Double.NaN)).as("_3")))
+          .otherwise(pairU(col("values"), col("start"), col("step"),
+            element_at(col("tags"), "consolidateBy"),
+            col("divValues"), col("divStart"), col("divStep"), col("divCons"))))
+      .withColumn("start", col("_r._1").cast("long"))
+      .withColumn("step", col("_r._2").cast("long"))
+      .withColumn("values", col("_r._3"))
+    (staticName match {
+      case Some(n) => named.withColumn("name", lit(n))
+      case None => named.withColumn("name",
+        concat(lit("divideSeries("), col("name"), lit(","), col("divName"), lit(")")))
+    }).drop("divName", "divValues", "divStart", "divStep", "divCons", "_r")
   }
 
   // ------------------------------------------------------------- point-wise
@@ -683,14 +725,17 @@ object SeriesOps {
     df.where(cond)
   }
 
+  // Above is STRICT (> n), Below is INCLUSIVE (<= n) — a series sitting
+  // exactly at the threshold passes Below and fails Above
+  // (ref below/function.go:61-66)
   def averageAbove(df: DataFrame, n: Double): DataFrame = filterSeries(df, "average", ">", n)
-  def averageBelow(df: DataFrame, n: Double): DataFrame = filterSeries(df, "average", "<", n)
+  def averageBelow(df: DataFrame, n: Double): DataFrame = filterSeries(df, "average", "<=", n)
   def maximumAbove(df: DataFrame, n: Double): DataFrame = filterSeries(df, "max", ">", n)
-  def maximumBelow(df: DataFrame, n: Double): DataFrame = filterSeries(df, "max", "<", n)
+  def maximumBelow(df: DataFrame, n: Double): DataFrame = filterSeries(df, "max", "<=", n)
   def minimumAbove(df: DataFrame, n: Double): DataFrame = filterSeries(df, "min", ">", n)
-  def minimumBelow(df: DataFrame, n: Double): DataFrame = filterSeries(df, "min", "<", n)
+  def minimumBelow(df: DataFrame, n: Double): DataFrame = filterSeries(df, "min", "<=", n)
   def currentAbove(df: DataFrame, n: Double): DataFrame = filterSeries(df, "last", ">", n)
-  def currentBelow(df: DataFrame, n: Double): DataFrame = filterSeries(df, "last", "<", n)
+  def currentBelow(df: DataFrame, n: Double): DataFrame = filterSeries(df, "last", "<=", n)
 
   /** top/bottom-k by per-series scalar → Catalyst TakeOrderedAndProject;
     * both emit ASCENDING metric order like the reference's heap pop
@@ -723,8 +768,18 @@ object SeriesOps {
       df.where(frac >= lit(xff))
     }
   }
-  def removeZeroSeries(df: DataFrame): DataFrame =
-    df.where(exists(col("values"), v => !isnan(v) && v =!= 0.0))
+  /** removeZeroSeries: zero counts as empty; the optional xFilesFactor is
+    * the required fraction of non-NaN NON-ZERO points, like
+    * removeEmptySeries' (ref removeEmptySeries/function.go shared safeIsNotEmpty). */
+  def removeZeroSeries(df: DataFrame, xff: Double = 0.0): DataFrame =
+    if (xff <= 0) df.where(exists(col("values"), v => !isnan(v) && v =!= 0.0))
+    else {
+      val frac = vecScalar(v => {
+        val nz = v.count(x => !Kernels.isNaN(x) && x != 0.0)
+        if (v.isEmpty) 0.0 else nz.toDouble / v.length
+      })(col("values"))
+      df.where(frac >= lit(xff))
+    }
 
   def excludeS(df: DataFrame, pattern: String): DataFrame = df.where(!col("name").rlike(pattern))
   def grepS(df: DataFrame, pattern: String): DataFrame = df.where(col("name").rlike(pattern))
@@ -762,9 +817,17 @@ object SeriesOps {
   def sortByMaxima(df: DataFrame): DataFrame = sortBy(df, "max", reverse = true)
   def sortByMinima(df: DataFrame): DataFrame = sortBy(df, "min")
 
-  def alias(df: DataFrame, newName: String): DataFrame =
-    df.withColumn("name", lit(newName))
-      .withColumn("tags", map_concat(map_filter(col("tags"), (k, _) => k =!= "name"), map(lit("name"), lit(newName))))
+  /** alias: rename every series; tags (incl. the name tag) are PRESERVED
+    * (ref alias/function.go:54 CopyLinkTags). With allowFormatStr, every
+    * `${expr}` in the template takes the series' own name. */
+  def alias(df: DataFrame, newName: String, allowFormatStr: Boolean = false): DataFrame = {
+    val named =
+      if (allowFormatStr && newName.contains("${expr}")) {
+        val parts = newName.split("\\$\\{expr\\}", -1)
+        concat(parts.init.flatMap(p => Seq(lit(p), col("name"))) :+ lit(parts.last): _*)
+      } else lit(newName)
+    df.withColumn("name", named)
+  }
 
   def aliasByMetric(df: DataFrame): DataFrame =
     df.withColumn("name", element_at(split(col("name"), "\\."), -1))

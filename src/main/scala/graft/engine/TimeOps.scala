@@ -177,7 +177,11 @@ object TimeOps {
 
   /** humanize.ComputeSI analog: scale into [1, 1000) with an SI prefix. */
   private def computeSI(x: Double): (Double, String) = {
-    if (x == 0 || x.isNaN || x.isInfinite) return (x, "")
+    // humanize.ComputeSI: ±0 normalizes to +0 (no "-0.00"), and an infinite
+    // magnitude degrades to NaN (Inf/pow(1000,Inf) = Inf/Inf) — the all-NaN
+    // cactiStyle label is "NaN", never "Infinity"
+    if (x == 0) return (0.0, "")
+    if (x.isNaN || x.isInfinite) return (Double.NaN, "")
     val pos = Seq("", "k", "M", "G", "T", "P", "E", "Z", "Y")
     val neg = Seq("", "m", "µ", "n", "p", "f", "a", "z", "y")
     var v = x; var e = 0

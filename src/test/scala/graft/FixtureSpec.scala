@@ -692,6 +692,14 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     buf.toSeq
   }
 
+  // NOTE: holtWintersAberration/function_test.go's golden vectors are NOT
+  // ported verbatim: its mockbackend returns DIFFERENT data for the widened
+  // and unwidened fetches of the same metric (the unwidened range restarts
+  // the sawtooth at 0), so the expected numbers encode a store inconsistency
+  // no consistent backend can produce. With consistent data the operator
+  // reduces to the band clamp, covered by the clamp-identity test above and
+  // the band goldens below.
+
   test("holtWintersForecast golden vectors incl. bootstrap arg (ref holtWintersForecast/function_test.go)") {
     val startTime = 2678400L; val step = 600L; val points = 10L; val day = 86400L
     check("holtWintersForecast(metric1)",
@@ -1049,9 +1057,12 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     val in = Seq(
       Series("a.load", Map("name" -> "a.load", "dc" -> "east"), 0, 1, Array(1.0, Double.NaN, 3)),
       Series("b.load", Map("name" -> "b.load", "dc" -> "west"), 0, 1, Array(5.0, Double.NaN, 7)))
+    // group keys carry the `<callback>;tag=value` grammar like the aggregate
+    // path (ref groupByTags/function.go:67-85)
     val got = run("groupByTags(*.load,'keepLastValue','dc')", in, stepHint = Some(1))
-    assert(got.map(_.name).sorted == Seq("east", "west"), s"got ${got.map(_.name)}")
-    val east = got.find(_.name == "east").get
+    assert(got.map(_.name).sorted == Seq("keepLastValue;dc=east", "keepLastValue;dc=west"),
+      s"got ${got.map(_.name)}")
+    val east = got.find(_.name == "keepLastValue;dc=east").get
     assert(east.values.toSeq == Seq(1.0, 1.0, 3.0), s"got ${east.values.toSeq}")
   }
 
@@ -1298,6 +1309,384 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
         s("metric1.qux", Seq(6.5, 7.5, 8.5, 9.5, 10.5))))
     // empty fetch → empty, no error
     check("multiplySeriesWithWildcards(metric1.foo.*.*,1,2)", Seq.empty, Seq.empty)
+  }
+
+  test("aliasSub table: $1 and \\1 backrefs, all-occurrence replace on wrapped names (ref aliasSub/function_test.go:25-75)") {
+    val five = Seq(md("metric1.foo.bar.baz", Seq(1, 2, 3, 4, 5), step = 1))
+    check("aliasSub(metric1.foo.bar.baz,'foo','replaced')", five,
+      Seq(md("metric1.replaced.bar.baz", Seq(1, 2, 3, 4, 5), step = 1)))
+    val tcp = Seq(md("metric1.TCP100", Seq(1, 2, 3, 4, 5), step = 1))
+    check("aliasSub(metric1.TCP100,'^.*TCP(\\d+)','$1')", tcp,
+      Seq(md("100", Seq(1, 2, 3, 4, 5), step = 1)))
+    check("aliasSub(metric1.TCP100,'^.*TCP(\\d+)','\\1')", tcp,
+      Seq(md("100", Seq(1, 2, 3, 4, 5), step = 1)))
+    // issue 290: the regex applies to the rendered (wrapped) name
+    check("aliasSub(diffSeries(dns.snake.sql_updated,dns.snake.zone_updated),'dns.([^.]*).zone.','\\1 diff to sql ')",
+      Seq(md("dns.snake.sql_updated", Seq(1, 2, 3, 4, 5), step = 1),
+        md("dns.snake.zone_updated", Seq(0, 0, 0, 0, 0), step = 1)),
+      Seq(md("diffSeries(dns.snake.sql_updated,snake diff to sql updated)", Seq(1, 2, 3, 4, 5), step = 1)))
+  }
+
+  test("legendValue table: plain and si/binary unit systems (ref legendValue/function_test.go:25-102)") {
+    val five = Seq(md("metric1", Seq(1, 2, 3, 4, 5), step = 1))
+    check("legendValue(metric1,'avg')", five, Seq(md("metric1 (avg: 3)", Seq(1, 2, 3, 4, 5), step = 1)))
+    check("legendValue(metric1,'sum')", five, Seq(md("metric1 (sum: 15)", Seq(1, 2, 3, 4, 5), step = 1)))
+    check("legendValue(metric1,'total')", five, Seq(md("metric1 (total: 15)", Seq(1, 2, 3, 4, 5), step = 1)))
+    check("legendValue(metric1,'sum','avg')", five,
+      Seq(md("metric1 (sum: 15) (avg: 3)", Seq(1, 2, 3, 4, 5), step = 1)))
+    val big = Seq(md("metric1", Seq(0, 10000, 20000, -30000, -40000), step = 1))
+    check("legendValue(metric1,'sum','si')", big,
+      Seq(md("metric1 (sum: -40.00K )", Seq(0, 10000, 20000, -30000, -40000), step = 1)))
+    check("legendValue(metric1,'avg','total','si')", big,
+      Seq(md("metric1 (avg: -8.00K ) (total: -40.00K )", Seq(0, 10000, 20000, -30000, -40000), step = 1)))
+    check("legendValue(metric1,'sum','binary')", big,
+      Seq(md("metric1 (sum: -39.06Ki )", Seq(0, 10000, 20000, -30000, -40000), step = 1)))
+    check("legendValue(metric1,'avg','total','binary')", big,
+      Seq(md("metric1 (avg: -7.81Ki ) (total: -39.06Ki )", Seq(0, 10000, 20000, -30000, -40000), step = 1)))
+  }
+
+  test("filterSeries table: every comparison operator (ref filter/function_test.go:25-125)") {
+    val in = Seq(md("metric1", Seq(1.0, NaN, 2.0, 3.0, 4.0, 5.0), step = 1),
+      md("metric2", Seq(2.0, NaN, 3.0, NaN, 5.0, 6.0), step = 1),
+      md("metric3", Seq(3.0, NaN, 4.0, 5.0, 6.0, NaN), step = 1))
+    def f(op: String, n: Int, want: Seq[String]) =
+      assert(run(s"filterSeries(metric[123],'max','$op',$n)", in).map(_.name).sorted == want,
+        s"filterSeries max $op $n")
+    f(">", 5, Seq("metric2", "metric3"))
+    f("=", 5, Seq("metric1"))
+    f("!=", 6, Seq("metric1"))
+    f("<", 6, Seq("metric1"))
+    f(">=", 5, Seq("metric1", "metric2", "metric3"))
+    f("<=", 5, Seq("metric1"))
+  }
+
+  test("reduceSeries table: aliased grouping, out-of-range node errors (ref reduce/function_test.go:45-125)") {
+    check("reduceSeries(group.server*.*,'asPercent',2,'bytes_used','total_bytes')", Seq(
+      md("group.server1.bytes_used", Seq(1.0), step = 1),
+      md("group.server1.total_bytes", Seq(2.0), step = 1),
+      md("group.server2.bytes_used", Seq(3.0), step = 1),
+      md("group.server2.total_bytes", Seq(4.0), step = 1)),
+      Seq(md("group.server1.reduce.asPercent", Seq(50.0), step = 1),
+        md("group.server2.reduce.asPercent", Seq(75.0), step = 1)))
+    // grouping happens on the ALIASED name, not the original name tag
+    check("reduceSeries(group(aliasSub(aliasByNode(servers.us.dc1.host[0-9]*.cpu.raw_used,3,5),'raw_used','cpu.actual'),aliasSub(aliasByNode(servers.us.dc1.host[0-9]*.cpu.raw_total,3,5),'raw_total','cpu.max')),'asPercent',2,'actual','max')",
+      Seq(md("servers.us.dc1.host01.cpu.raw_used", Seq(1.0), step = 1),
+        md("servers.us.dc1.host02.cpu.raw_used", Seq(3.0), step = 1),
+        md("servers.us.dc1.host01.cpu.raw_total", Seq(2.0), step = 1),
+        md("servers.us.dc1.host02.cpu.raw_total", Seq(4.0), step = 1)),
+      Seq(md("host01.cpu.reduce.asPercent", Seq(50.0), step = 1),
+        md("host02.cpu.reduce.asPercent", Seq(75.0), step = 1)))
+    val pair = Seq(md("group.bytes_used", Seq(1.0), step = 1),
+      md("group.total_bytes", Seq(2.0), step = 1))
+    assertThrows[Exception](run("reduceSeries(group.*,'asPercent',4,'bytes_used','total_bytes')", pair))
+    assertThrows[Exception](run("reduceSeries(group.*,'asPercent',-5,'bytes_used','total_bytes')", pair))
+  }
+
+  test("alias table: template substitution, unicode (ref alias/function_test.go:25-100)") {
+    val five = Seq(md("metric1", Seq(1, 2, 3, 4, 5), step = 1))
+    check("alias(metric1,'renamed')", five, Seq(md("renamed", Seq(1, 2, 3, 4, 5), step = 1)))
+    // allowFormatStr=true replaces ${expr} with the series name; an unclosed
+    // template stays verbatim
+    check("alias(metric2,'some format ${expr} str ${expr} and another ${expr',true)",
+      Seq(md("metric2", Seq(1, 2, 3, 4, 5), step = 1)),
+      Seq(md("some format metric2 str metric2 and another ${expr", Seq(1, 2, 3, 4, 5), step = 1)))
+    check("alias(metric2,'Метрика 2')", Seq(md("metric2", Seq(1, 2, 3, 4, 5), step = 1)),
+      Seq(md("Метрика 2", Seq(1, 2, 3, 4, 5), step = 1)))
+  }
+
+  test("substr table: python slice semantics on nodes (ref substr/function_test.go:25-126)") {
+    val in = Seq(md("metric1.foo.bar.baz", Seq(1, 2, 3, 4, 5), step = 1))
+    def sub(args: String, want: String) =
+      check(s"substr(metric1.foo.bar.baz,$args)", in, Seq(md(want, Seq(1, 2, 3, 4, 5), step = 1)))
+    sub("1,3", "foo.bar")
+    sub("-3,-1", "foo.bar")
+    sub("-3", "foo.bar.baz")
+    sub("-6,-1", "metric1.foo.bar")
+    sub("0,-1", "metric1.foo.bar")
+    sub("0,10", "metric1.foo.bar.baz")
+    sub("2,4", "bar.baz")
+    sub("2,6", "bar.baz")
+    sub("-2,-1", "bar")
+  }
+
+  test("fallbackSeries table: empty primary falls back (ref fallbackSeries/function_test.go:25-104)") {
+    val both = Seq(md("metric1", Seq.fill(7)(0.9), step = 1),
+      md("fallbackmetric", Seq.fill(7)(0.7), step = 1))
+    check("fallbackSeries(absentmetric,fallbackmetric)", both,
+      Seq(md("fallbackmetric", Seq.fill(7)(0.7), step = 1)))
+    check("fallbackSeries(metric1,fallbackmetric)", both,
+      Seq(md("metric1", Seq.fill(7)(0.9), step = 1)))
+    // a missing FALLBACK is fine when the primary has data
+    check("fallbackSeries(metric1,nosuch)", both.take(1),
+      Seq(md("metric1", Seq.fill(7)(0.9), step = 1)))
+    // missing second argument errors
+    assertThrows[Exception](run("fallbackSeries(metric*)", both))
+  }
+
+  test("exponentialMovingAverage table: quoted interval names, seeded preview, NaN hold (ref exponentialMovingAverage/function_test.go:25-100)") {
+    // string window: alpha = 2/(seconds+1), name double-quotes the interval
+    check("exponentialMovingAverage(metric1,'30s')",
+      Seq(md("metric1", Seq(2, 4, 6, 8, 12, 14, 16, 18, 20), step = 10, start = 70)),
+      Seq(md("exponentialMovingAverage(metric1,\"30s\")",
+        Seq(4, 4.258065, 4.757544, 5.353832, 6.040681, 6.81225, 7.663073), step = 10, start = 100)),
+      from = 100, until = 160)
+    check("exponentialMovingAverage(empty,3)", Seq.empty, Seq.empty, from = 100, until = 140)
+    // graphite-web's halfNone: an all-NaN seed window seeds at 0, NaN points
+    // emit NaN and hold the state
+    check("exponentialMovingAverage(halfNone,10)",
+      Seq(md("halfNone",
+        Seq.fill(10)(NaN) ++ (0 to 4).map(_.toDouble) ++ Seq(NaN) ++ (5 to 8).map(_.toDouble),
+        step = 1, start = 90)),
+      Seq(md("exponentialMovingAverage(halfNone,10)",
+        Seq(0, 0.0, 0.181818, 0.512397, 0.964688, 1.516563, NaN, 2.149915, 2.849931, 3.604489, 4.403673),
+        step = 1, start = 100)),
+      from = 100, until = 110)
+    // negative interval string: abs for math, sign kept in the name
+    check("exponentialMovingAverage(collectd.test-db0.load.value,'-30s')",
+      Seq(md("collectd.test-db0.load.value", (0 until 60).map(_.toDouble), step = 1, start = 70)),
+      Seq(md("exponentialMovingAverage(collectd.test-db0.load.value,\"-30s\")",
+        (0 to 30).map(i => i + 14.5), step = 1, start = 100)),
+      from = 100, until = 130)
+  }
+
+  test("slo table: bucketed ratio, sub-step interval NaNs (ref slo/function_test.go:25-182)") {
+    val t0 = 1615737710L
+    check("slo(x.y.z,'10sec','above',2)",
+      Seq(md("x.y.z", Seq(1, 2, 3, 4, 5, NaN, NaN, 6, 7, 0, 8), step = 5, start = t0)),
+      Seq(md("slo(x.y.z, 10sec, above, 2)", Seq(0, 1, 1, 1, 0.5, 1), step = 10, start = t0)))
+    check("slo(x.y.z,'4sec','below',6)",
+      Seq(md("x.y.z", Seq(1, 2, 3, 4, 5, 6, 7, 8, 9), step = 5, start = t0)),
+      Seq(md("slo(x.y.z, 4sec, below, 6)", Seq.fill(12)(NaN), step = 4, start = t0)))
+    check("sloErrorBudget(some.data.series,'5sec','aboveOrEqual',2,0.6)",
+      Seq(md("some.data.series",
+        Seq(1, 1.5, 2, 3, 4, NaN, 0, 1, 1.5, 2.1, 1, 2, 3, 4, 5, 1, 2, 3, 4), step = 1, start = t0)),
+      Seq(md("sloErrorBudget(some.data.series, 5sec, aboveOrEqual, 2, 0.6)",
+        Seq(0, -1.75, 1, 0.6), step = 5, start = t0)))
+    check("sloErrorBudget(some.data.series,'4sec','aboveOrEqual',2,0.6)",
+      Seq(md("some.data.series",
+        Seq(1, 1.5, 2, 3, 4, NaN, 0, 1, 1.5, 2.1, 1, 2, 3, 4, 5, 1, 2, 3, 4), step = 5, start = t0)),
+      Seq(md("sloErrorBudget(some.data.series, 4sec, aboveOrEqual, 2, 0.6)",
+        Seq.fill(24)(NaN), step = 4, start = t0)))
+  }
+
+  test("cactiStyle table: si/plain/units forms, padding, all-NaN (ref cactiStyle/function_test.go:25-168)") {
+    def c(target: String, vals: Seq[Double], want: String): Unit =
+      check(target, Seq(md("metric1", vals, step = 1)), Seq(md(want, vals, step = 1)))
+    c("cactiStyle(metric1,'si')",
+      Seq(NaN, 20531.733333333334, 20196.4, 17925.333333333332, 20950.4, 35168.13333333333,
+        19965.866666666665, 24556.4, 22266.4, 58039.86666666667),
+      "metric1 Current:58.04k    Max:58.04k    Min:17.93k")
+    c("cactiStyle(metric1,'si')",
+      Seq(1.432729, 1.434207, 1.404762, 1.414609, 1.399159, 1.411343, 1.406217, 1.407123, 1.392078, NaN),
+      "metric1 Current:1.39    Max:1.43    Min:1.39")
+    c("cactiStyle(metric1,'si','carrot')",
+      Seq(1.432729, 1.434207, 1.404762, 1.414609, 1.399159, 1.411343, 1.406217, 1.407123, 1.392078, NaN),
+      "metric1 Current:1.39 carrot    Max:1.43 carrot    Min:1.39 carrot")
+    c("cactiStyle(metric1,'si')",
+      Seq(NaN, 88364212.53333333, 79008410.93333334, 80312920.0, 69860465.2, 83876830.0,
+        80399148.8, 90481297.46666667, 79628113.73333333, NaN),
+      "metric1 Current:79.63M    Max:90.48M    Min:69.86M")
+    c("cactiStyle(metric1,'si')", Seq(1000), "metric1 Current:1.00k    Max:1.00k    Min:1.00k")
+    c("cactiStyle(metric1)", Seq(1000), "metric1 Current:1000    Max:1000    Min:1000")
+    c("cactiStyle(metric1,units='apples')", Seq(10),
+      "metric1 Current:10 apples    Max:10 apples    Min:10 apples")
+    c("cactiStyle(metric1,'si')", Seq.fill(9)(240.0) :+ NaN,
+      "metric1 Current:240.00    Max:240.00    Min:240.00")
+    // negative zero formats as 0.00; the sign shortens Min's pad by one
+    c("cactiStyle(metric1,'si')", Seq(-1.0, -2.0, -1.0, -3.0, -1.0, -1.0, -0.0, -0.0, -0.0),
+      "metric1 Current:0.00    Max:0.00   Min:-3.00")
+    c("cactiStyle(metric1,'si')", Seq.fill(5)(NaN),
+      "metric1 Current:NaN    Max:NaN    Min:NaN")
+  }
+
+  test("removeEmptySeries/removeZeroSeries xFilesFactor forms (ref removeEmptySeries/function_test.go:25-160)") {
+    val three = Seq(md("metric1", Seq(1, 2, -1, 7, 8, 20, 30, NaN), step = 1),
+      md("metric2", Seq.fill(8)(NaN), step = 1),
+      md("metric3", Seq(0, 0, 0, 0, 0, 0, 0, 0), step = 1))
+    check("removeEmptySeries(metric*)", three,
+      Seq(md("metric1", Seq(1, 2, -1, 7, 8, 20, 30, NaN), step = 1),
+        md("metric3", Seq(0, 0, 0, 0, 0, 0, 0, 0), step = 1)))
+    check("removeZeroSeries(metric*)", three,
+      Seq(md("metric1", Seq(1, 2, -1, 7, 8, 20, 30, NaN), step = 1)))
+    check("removeEmptySeries(metric*,0.00001)", three,
+      Seq(md("metric1", Seq(1, 2, -1, 7, 8, 20, 30, NaN), step = 1),
+        md("metric3", Seq(0, 0, 0, 0, 0, 0, 0, 0), step = 1)))
+    check("removeZeroSeries(metric*,0.000001)", three,
+      Seq(md("metric1", Seq(1, 2, -1, 7, 8, 20, 30, NaN), step = 1)))
+    val five = Seq(md("metric1", Seq(1, 2, -1, 7, 8, 20, 23, 12, 8, NaN), step = 1),
+      md("metric2", Seq(1, 2, -1, 7, 8, 20, 23, 12, NaN, NaN), step = 1),
+      md("metric3", Seq(1, 2, -1, 7, 8, 20, 23, NaN, NaN, NaN), step = 1),
+      md("metric4", Seq.fill(8)(NaN), step = 1),
+      md("metric5", Seq(0, 0, 0, 0, 0, 0, 0, 0), step = 1))
+    check("removeEmptySeries(metric*,0.8)", five,
+      Seq(md("metric1", Seq(1, 2, -1, 7, 8, 20, 23, 12, 8, NaN), step = 1),
+        md("metric2", Seq(1, 2, -1, 7, 8, 20, 23, 12, NaN, NaN), step = 1),
+        md("metric5", Seq(0, 0, 0, 0, 0, 0, 0, 0), step = 1)))
+    check("removeZeroSeries(metric*,0.8)", five,
+      Seq(md("metric1", Seq(1, 2, -1, 7, 8, 20, 23, 12, 8, NaN), step = 1),
+        md("metric2", Seq(1, 2, -1, 7, 8, 20, 23, 12, NaN, NaN), step = 1)))
+    check("removeEmptySeries(metric*,1)",
+      Seq(md("metric1", Seq(1, 2, -1, 7, 8, 20, 23, 12, 8, -2.3), step = 1),
+        md("metric2", Seq(1, 2, -1, 7, 8, 20, 23, 12, 8, NaN), step = 1)),
+      Seq(md("metric1", Seq(1, 2, -1, 7, 8, 20, 23, 12, 8, -2.3), step = 1)))
+    check("removeZeroSeries(metric*,1)",
+      Seq(md("metric1", Seq(1, 2, -1, 7, 8, 20, 23, 12, 8, -2.3), step = 1),
+        md("metric2", Seq(1, 2, -1, 7, 8, 20, 23, 12, 8, 0), step = 1)),
+      Seq(md("metric1", Seq(1, 2, -1, 7, 8, 20, 23, 12, 8, -2.3), step = 1)))
+    check("removeEmptySeries(metric*,0.5)", Seq.empty, Seq.empty)
+    check("removeZeroSeries(metric*,0.5)", Seq.empty, Seq.empty)
+  }
+
+  test("groupByTags table: sorted tag=value keys, name grouping, missing tags (ref groupByTags/function_test.go:31-120)") {
+    val dc = Seq(
+      md("metric1.foo;cpu=cpu1;dc=dc1", Seq(1, NaN, 3, 4, NaN), step = 1),
+      md("metric1.foo;cpu=cpu2;dc=dc1", Seq(6, 7, 8, 9, NaN), step = 1),
+      md("metric1.foo;cpu=cpu3;dc=dc1", Seq(11, 12, 13, 14, NaN), step = 1),
+      md("metric1.foo;cpu=cpu4;dc=dc1", Seq(7, 8, 9, 10, NaN), step = 1))
+    check("groupByTags(metric1.*,'avg','dc')", dc,
+      Seq(md("avg;dc=dc1", Seq(6.25, 9, 8.25, 9.25, NaN), step = 1)))
+    val dcFull = Seq(
+      md("metric1.foo;cpu=cpu1;dc=dc1", Seq(1, 2, 3, 4, 5), step = 1),
+      md("metric1.foo;cpu=cpu2;dc=dc1", Seq(6, 7, 8, 9, 10), step = 1),
+      md("metric1.foo;cpu=cpu3;dc=dc1", Seq(11, 12, 13, 14, 15), step = 1),
+      md("metric1.foo;cpu=cpu4;dc=dc1", Seq(7, 8, 9, 10, 11), step = 1))
+    check("groupByTags(metric1.*,'sum','dc')", dcFull,
+      Seq(md("sum;dc=dc1", Seq(25, 29, 33, 37, 41), step = 1)))
+    // grouping on "name" keys by the name tag instead of the callback
+    check("groupByTags(metric[12].*,'sum','name','dc')", Seq(
+      md("metric1.foo;cpu=cpu1;dc=dc1", Seq(1, 2, 3, 4, 5), step = 1),
+      md("metric1.foo;cpu=cpu2;dc=dc1", Seq(6, 7, 8, 9, 10), step = 1),
+      md("metric2.foo;cpu=cpu3;dc=dc1", Seq(11, 12, 13, 14, 15), step = 1),
+      md("metric2.foo;cpu=cpu4;dc=dc1", Seq(7, 8, 9, 10, 11), step = 1)),
+      Seq(md("metric1.foo;dc=dc1", Seq(7, 9, 11, 13, 15), step = 1),
+        md("metric2.foo;dc=dc1", Seq(18, 20, 22, 24, 26), step = 1)))
+    check("groupByTags(metric1.*,'diff','dc')", Seq(
+      md("metric1.foo;cpu=cpu1;dc=dc1", Seq(1, 2, 3, 4, 5), step = 1),
+      md("metric1.foo;cpu=cpu2;dc=dc1", Seq(6, 7, 8, 9, 10), step = 1)),
+      Seq(md("diff;dc=dc1", Seq(-5, -5, -5, -5, -5), step = 1)))
+    // tag keys come out alphabetically; a missing tag still appears as tag=
+    check("groupByTags(metric1.*,'sum','dc','cpu','rack')", dcFull,
+      Seq(md("sum;cpu=cpu1;dc=dc1;rack=", Seq(1, 2, 3, 4, 5), step = 1),
+        md("sum;cpu=cpu2;dc=dc1;rack=", Seq(6, 7, 8, 9, 10), step = 1),
+        md("sum;cpu=cpu3;dc=dc1;rack=", Seq(11, 12, 13, 14, 15), step = 1),
+        md("sum;cpu=cpu4;dc=dc1;rack=", Seq(7, 8, 9, 10, 11), step = 1)))
+  }
+
+  test("delay table: shift both ways, overflow and empty series (ref delay/function_test.go:27-100)") {
+    check("delay(metric1,3)", Seq(md("metric1", Seq(1, 2, 3, NaN, NaN, NaN, NaN), step = 1)),
+      Seq(md("delay(metric1,3)", Seq(NaN, NaN, NaN, 1, 2, 3, NaN), step = 1)))
+    check("delay(metric1,-3)", Seq(md("metric1", Seq(NaN, NaN, NaN, 1, 2, 3, NaN), step = 1)),
+      Seq(md("delay(metric1,-3)", Seq(1, 2, 3, NaN, NaN, NaN, NaN), step = 1)))
+    check("delay(metric1,0)", Seq(md("metric1", Seq(1, 2, 3, NaN, NaN, NaN, NaN), step = 1)),
+      Seq(md("delay(metric1,0)", Seq(1, 2, 3, NaN, NaN, NaN, NaN), step = 1)))
+    check("delay(metric1,1)", Seq(md("metric1", Seq.empty[Double], step = 1)),
+      Seq(md("delay(metric1,1)", Seq.empty[Double], step = 1)))
+    for (n <- Seq(5, -5, 3, -3))
+      check(s"delay(metric1,$n)", Seq(md("metric1", Seq(1, 2, 3), step = 1)),
+        Seq(md(s"delay(metric1,$n)", Seq(NaN, NaN, NaN), step = 1)))
+  }
+
+  test("above/below family table: strict thresholds on current/average/max/min (ref below/function_test.go:25-140)") {
+    val base = Seq(md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1),
+      md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1),
+      md("metricC", Seq(4, 4, 5, 5, 6, 6), step = 1))
+    // metricD peaks AT the threshold — Above is strict, so only B survives
+    check("currentAbove(metric[ABCD],7)",
+      base :+ md("metricD", Seq(4, 4, 5, 5, 6, 7), step = 1),
+      Seq(md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1)))
+    // current = last NON-NaN value
+    check("currentBelow(metric[ABC],0)",
+      Seq(md("metricA", Seq(0, 0, 0, 0, 0, NaN), step = 1),
+        md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1),
+        md("metricC", Seq(0, 4, 4, 5, 5, 6), step = 1)),
+      Seq(md("metricA", Seq(0, 0, 0, 0, 0, NaN), step = 1)))
+    check("averageAbove(metric[ABC],5)", base, Seq(md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1)))
+    check("averageBelow(metric[ABC],0)",
+      Seq(md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1),
+        md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1),
+        md("metricC", Seq(0, 4, 4, 5, 5, 6), step = 1)),
+      Seq(md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1)))
+    check("maximumAbove(metric[ABC],6)", base, Seq(md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1)))
+    check("maximumBelow(metric[ABC],5)", base, Seq(md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1)))
+    check("minimumAbove(metric[ABC],1)",
+      Seq(md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1),
+        md("metricB", Seq(1, 4, 5, 6, 7, 8), step = 1),
+        md("metricC", Seq(2, 4, 4, 5, 5, 6), step = 1)),
+      Seq(md("metricC", Seq(2, 4, 4, 5, 5, 6), step = 1)))
+    check("minimumBelow(metric[ABC],-2)",
+      Seq(md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1),
+        md("metricB", Seq(-1, 4, 5, 6, 7, 8), step = 1),
+        md("metricC", Seq(-2, 4, 4, 5, 5, 6), step = 1)),
+      Seq(md("metricC", Seq(-2, 4, 4, 5, 5, 6), step = 1)))
+  }
+
+  test("percentileOfSeries table: per-point percentile, interpolate forms, tag fetch (ref percentileOfSeries/function_test.go:28-140)") {
+    check("percentileOfSeries(metric1.empty,4)", Seq.empty, Seq.empty)
+    check("percentileOfSeries(metric1,4)",
+      Seq(md("metric1", Seq(1, 1, 1, 1, 2, 2, 2, 4, 6, 4, 6, 8, NaN), step = 1)),
+      Seq(md("percentileOfSeries(metric1,4)", Seq(1, 1, 1, 1, 2, 2, 2, 4, 6, 4, 6, 8, NaN), step = 1)))
+    val four = Seq(
+      md("metric1.foo.bar1.baz", Seq(1, 2, 3, 4, NaN, NaN), step = 1),
+      md("metric1.foo.bar1.qux", Seq(6, 7, 8, 9, 10, NaN), step = 1),
+      md("metric1.foo.bar2.baz", Seq(11, 12, 13, 14, 15, NaN), step = 1),
+      md("metric1.foo.bar2.qux", Seq(7, 8, 9, 10, 11, NaN), step = 1))
+    check("percentileOfSeries(metric1.foo.*.*,50)", four,
+      Seq(md("percentileOfSeries(metric1.foo.*.*,50)", Seq(7, 8, 9, 10, 11, NaN), step = 1)))
+    check("percentileOfSeries(metric1.foo.*.*,50,interpolate=true)", four,
+      Seq(md("percentileOfSeries(metric1.foo.*.*,50,interpolate=true)",
+        Seq(6.5, 7.5, 8.5, 9.5, 11, NaN), step = 1)))
+    check("percentileOfSeries(metric1.foo.*.*,95,false)", Seq(
+      md("metric1.foo.bar1.qux", Seq(NaN, NaN, NaN, NaN, NaN, NaN), step = 1),
+      md("metric1.foo.bar2.qux", Seq(NaN, NaN, NaN, NaN, NaN, 0), step = 1),
+      md("metric1.foo.bar3.qux", Seq(0, 0, 0, 100500, 100501, 1005002), step = 1),
+      md("metric1.foo.bar4.qux", Seq(NaN, NaN, NaN, NaN, NaN, 0), step = 1),
+      md("metric1.foo.bar5.qux", Seq(NaN, NaN, NaN, NaN, NaN, 0), step = 1)),
+      Seq(md("percentileOfSeries(metric1.foo.*.*,95,false)",
+        Seq(0, 0, 0, 100500, 100501, 1005002), step = 1)))
+    check("percentileOfSeries(seriesByTag('tag2=value*','name=metric'),95,false)", Seq(
+      md("metric;tag1=value1;tag2=value21;tag3=value3", Seq(NaN, NaN, NaN, NaN, NaN, NaN), step = 1),
+      md("metric;tag2=value21", Seq(NaN, NaN, NaN, NaN, NaN, 0), step = 1),
+      md("metric;tag1=value1;tag2=value21a", Seq(0, 0, 0, 100500, 100501, 1005002), step = 1),
+      md("metric;tag1=value1;tag2=value21b", Seq(NaN, NaN, NaN, NaN, NaN, 0), step = 1),
+      md("metric;tag1=value1;tag2=value21c", Seq(NaN, NaN, NaN, NaN, NaN, 0), step = 1)),
+      Seq(md("percentileOfSeries(seriesByTag('tag2=value*','name=metric'),95,false)",
+        Seq(0, 0, 0, 100500, 100501, 1005002), step = 1)))
+  }
+
+  test("divideSeries table: broadcast numerators, 1-arg pair form, ragged and mixed-step pairs (ref divideSeries/function_test.go:25-155)") {
+    // one result per numerator against the single denominator
+    check("divideSeries(metric[12],metric2)",
+      Seq(md("metric1", Seq(1, 2, 3, 4, 5), step = 1), md("metric2", Seq(2, 4, 6, 8, 10), step = 1)),
+      Seq(md("divideSeries(metric1,metric2)", Seq(0.5, 0.5, 0.5, 0.5, 0.5), step = 1),
+        md("divideSeries(metric2,metric2)", Seq(1, 1, 1, 1, 1), step = 1)))
+    // NaN numerator, NaN or zero denominator → NaN
+    check("divideSeries(metric1,metric2)",
+      Seq(md("metric1", Seq(1, NaN, NaN, 3, 4, 12), step = 1),
+        md("metric2", Seq(2, NaN, 3, NaN, 0, 6), step = 1)),
+      Seq(md("divideSeries(metric1,metric2)", Seq(0.5, NaN, NaN, NaN, NaN, 2), step = 1)))
+    // 1-arg form: glob matching exactly two series divides first by second
+    check("divideSeries(metric[12])",
+      Seq(md("metric1", Seq(1, NaN, NaN, 3, 4, 12), step = 1),
+        md("metric2", Seq(2, NaN, 3, NaN, 0, 6), step = 1)),
+      Seq(md("divideSeries(metric[12])", Seq(0.5, NaN, NaN, NaN, NaN, 2), step = 1)))
+    // missing denominator → all-NaN with MISSING in the name, not an error
+    check("divideSeries(metric1,nosuch)",
+      Seq(md("metric1", Seq(1, NaN, NaN, 3, 4, 12), step = 1)),
+      Seq(md("divideSeries(metric1,MISSING)", Seq(NaN, NaN, NaN, NaN, NaN, NaN), step = 1)))
+    // ragged pair: the shorter denominator NaN-pads
+    check("divideSeries(metric1,metric2)",
+      Seq(md("metric1", Seq(1, NaN, NaN, 3, 4, 12, 2), step = 1),
+        md("metric2", Seq(2, NaN, 3, NaN, 0, 6), step = 1)),
+      Seq(md("divideSeries(metric1,metric2)", Seq(0.5, NaN, NaN, NaN, NaN, 2, NaN), step = 1)))
+    check("divideSeries(metric[23])",
+      Seq(md("metric2", Seq(1, NaN, NaN, 3, 4, 12, 2), step = 1),
+        md("metric3", Seq(2, NaN, 3, NaN, 0, 6), step = 1)),
+      Seq(md("divideSeries(metric[23])", Seq(0.5, NaN, NaN, NaN, NaN, 2, NaN), step = 1)))
+    // mixed steps consolidate the finer side onto the LCM grid (average)
+    check("divideSeries(metric3,metric4)",
+      Seq(md("metric3", Seq(1, NaN, NaN, 3, 4, 8, 2, NaN, 3, NaN, 0, 6), step = 5),
+        md("metric4", Seq(2, NaN, 3, NaN, 0, 6), step = 10)),
+      Seq(md("divideSeries(metric3,metric4)", Seq(0.5, NaN, 2, NaN, NaN, 0.5), step = 10)))
   }
 
   test("sortByName table: alphabetical vs natural, reverse forms (ref sortByName/function_test.go:25-155)") {
