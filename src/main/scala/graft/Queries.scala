@@ -776,7 +776,12 @@ object Queries {
     "g03_max_series" -> agg1("maxSeries(events.*)", "max(v)"),
     "g04_min_series" -> agg1("minSeries(events.*)", "min(v)"),
     "g05_count_series" -> agg1("countSeries(events.*)", "CAST(count(v) AS DOUBLE)"),
-    "g06_range_series" -> agg1("rangeOfSeries(events.*)", "max(v) - min(v)"),
+    // standalone rangeOfSeries NaNs slots with <2 contributing points
+    // (ref rangeOfSeries/function.go:69-73) — NULL here drops the row
+    "g06_range_series" -> (S +
+      """SELECT 'rangeOfSeries(events.*)' AS name, ts,
+        |  round(CASE WHEN count(v) >= 2 THEN max(v) - min(v) END, 4) AS value
+        |FROM s GROUP BY ts HAVING count(v) >= 2 ORDER BY ts""".stripMargin),
     "g07_stddev_series" -> agg1("stddevSeries(events.*)", "stddev_pop(v)"),
     "g08_percentile_series" -> agg1("percentileOfSeries(events.*,50,true)", "quantile_cont(v, 0.5)"),
     "g09_absolute" ->
@@ -908,10 +913,15 @@ object Queries {
         |) ORDER BY name, ts""".stripMargin),
     "g47_integral_reset" ->
       (S + """, r AS (SELECT ts, CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS rst FROM s WHERE name = 'events.click'),
-        |j AS (SELECT s.name, s.ts, s.v, sum(r.rst) OVER (PARTITION BY s.name ORDER BY s.ts) AS grp FROM s JOIN r ON s.ts = r.ts)
+        |j AS (SELECT s.name, s.ts, s.v,
+        |        CASE WHEN s.v IS NOT NULL AND r.rst = 1 THEN 1 ELSE 0 END AS erst
+        |      FROM s JOIN r ON s.ts = r.ts),
+        |k AS (SELECT name, ts, v, erst, sum(erst) OVER (PARTITION BY name ORDER BY ts) AS grp FROM j)
         |SELECT 'integralWithReset(' || name || ',isNonNull(events.click))' AS name, ts,
-        |  round(sum(v) OVER (PARTITION BY name, grp ORDER BY ts ROWS UNBOUNDED PRECEDING), 4) AS value
-        |FROM j QUALIFY v IS NOT NULL ORDER BY name, ts""".stripMargin),
+        |  round(CASE WHEN erst = 1 THEN 0 ELSE
+        |    sum(CASE WHEN erst = 0 THEN v END) OVER (PARTITION BY name, grp ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |  END, 4) AS value
+        |FROM k QUALIFY v IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g48_seriesbytag" ->
       (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE regexp_matches(name, 'events.(click|view)') AND v IS NOT NULL ORDER BY name, ts"),
     "g49_aggregateline" ->
@@ -1243,7 +1253,7 @@ object Queries {
         |  SELECT name, ts, min(v) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS wmin FROM s)
         |WHERE ts >= (SELECT t0 FROM b) + 12*3600 AND wmin IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g140_scaleafterts" ->
-      (S + """SELECT 'scaleAfterTimestamp(' || name || ',2,1705363200)' AS name, ts,
+      (S + """SELECT 'scale(' || name || ',2,1705363200)' AS name, ts,
         |  round(CASE WHEN ts >= 1705363200 THEN v * 2 ELSE v END, 4) AS value
         |FROM s WHERE v IS NOT NULL ORDER BY name, ts""".stripMargin),
     // identity lookup: each series' new name is printf('%d hits') of its own

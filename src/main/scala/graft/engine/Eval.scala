@@ -190,6 +190,24 @@ object Eval {
     SeriesOps.aggregateNamed(seriesArgsFrom(ctx, fc), func, fc.rawArgs, align = needAlign(ctx),
       argsLen = fc.args.length)
 
+  /** `scale` and `scaleAfterTimestamp` are one reference function: an
+    * optional integer third arg pivots the scaling, ts==0 means plain scale,
+    * and the output name is always `scale(...)` with the literal third
+    * argument echoed (ref scale/function.go:22,44-56). */
+  private def scaleFamily: Impl = (ctx, fc) => {
+    val factor = numArg(fc, 1)
+    val ts = intArg(fc, 2, default = Some(0))
+    if (ts == 0) SeriesOps.scale(seriesArg(ctx, fc), factor)
+    else {
+      val rawTs = arg(fc, 2).map {
+        case Str(s) => s
+        case NameExpr(s) => s
+        case other => other.print
+      }.getOrElse(ts.toString)
+      ExtOps.scaleAfterTimestamp(seriesArg(ctx, fc), factor, ts.toLong, rawTs)
+    }
+  }
+
   private def movingFamily(func: String, fnName: String): Impl = (ctx, fc) => {
     // movingWindow(series, window, func, xff); the named forms take xff at 2
     // (ref moving/function.go:142-161). With no explicit arg the default is
@@ -266,7 +284,14 @@ object Eval {
     "diffSeries" -> aggFamily("diff"), "diff" -> aggFamily("diff"),
     "multiplySeries" -> aggFamily("multiply"), "multiply" -> aggFamily("multiply"),
     "medianSeries" -> aggFamily("median"), "median" -> aggFamily("median"),
-    "rangeOfSeries" -> aggFamily("rangeOf"), "range" -> aggFamily("range"),
+    // the STANDALONE rangeOfSeries (glue.go:215 wins the duplicate
+    // registration over aggregate's alias) NaNs slots with <2 points
+    // (ref rangeOfSeries/function.go:69-73); bare range keeps the
+    // aggregate summarizer's max-min
+    "rangeOfSeries" -> ((ctx, fc) =>
+      SeriesOps.aggregateNamed(seriesArgsFrom(ctx, fc), "rangeOf2", fc.rawArgs,
+        align = needAlign(ctx), argsLen = fc.args.length, nameToken = Some("rangeOf"))),
+    "range" -> aggFamily("range"),
     "avg_zero" -> aggFamily("avg_zero"),
     "first" -> aggFamily("first"), "last" -> aggFamily("last"), "current" -> aggFamily("current"),
     "total" -> aggFamily("total"),
@@ -343,9 +368,9 @@ object Eval {
     // ---- point-wise transforms
     "absolute" -> ((ctx, fc) => SeriesOps.absolute(seriesArg(ctx, fc))),
     "offset" -> ((ctx, fc) => SeriesOps.offset(seriesArg(ctx, fc), numArg(fc, 1))),
-    "add" -> ((ctx, fc) => SeriesOps.offset(seriesArg(ctx, fc), numArg(fc, 1))),
+    "add" -> ((ctx, fc) => SeriesOps.offset(seriesArg(ctx, fc), numArg(fc, 1), fn = "add")),
     "offsetToZero" -> ((ctx, fc) => SeriesOps.offsetToZero(seriesArg(ctx, fc))),
-    "scale" -> ((ctx, fc) => SeriesOps.scale(seriesArg(ctx, fc), numArg(fc, 1))),
+    "scale" -> scaleFamily, "scaleAfterTimestamp" -> scaleFamily,
     "scaleToSeconds" -> ((ctx, fc) => SeriesOps.scaleToSeconds(seriesArg(ctx, fc), numArg(fc, 1).toLong)),
     "invert" -> ((ctx, fc) => SeriesOps.invert(seriesArg(ctx, fc))),
     "pow" -> ((ctx, fc) => SeriesOps.powS(seriesArg(ctx, fc), numArg(fc, 1))),
@@ -423,8 +448,6 @@ object Eval {
     "delay" -> ((ctx, fc) => SeriesOps.delay(seriesArg(ctx, fc), intArg(fc, 1))),
     "integralWithReset" -> ((ctx, fc) => ExtOps.integralWithReset(seriesArg(ctx, fc), seriesArg(ctx, fc, 1))),
     "compressPeriodicGaps" -> ((ctx, fc) => ExtOps.compressPeriodicGaps(seriesArg(ctx, fc))),
-    "scaleAfterTimestamp" -> ((ctx, fc) => ExtOps.scaleAfterTimestamp(
-      seriesArg(ctx, fc), numArg(fc, 1), intervalArg(fc, 2))),
 
     // ---- windowed
     "movingAverage" -> movingFamily("average", "movingAverage"),

@@ -21,30 +21,46 @@ object ExtOps {
   // ----------------------------------------------------------- sequential
 
   /** integralWithReset: running sum that restarts wherever the resetter
-    * series is non-zero/non-NaN. (ref integralWithReset/function.go) */
+    * series is non-zero/non-NaN. Reference-exact edge semantics
+    * (ref integralWithReset/function.go:41-70): a glob resetter matching
+    * more than one series is an ERROR (ErrWildcardNotAllowed), mismatched
+    * step/length is an error, a NaN input point stays NaN WITHOUT applying
+    * that index's reset, and a reset index outputs 0 — the point's own
+    * value is discarded, not accumulated. */
   def integralWithReset(df: DataFrame, resetter: DataFrame): DataFrame = {
-    // first series in name order — the reference takes the glob's first
-    // result; a bare limit(1) over >1 match would be nondeterministic
-    val r1 = resetter.orderBy(col("name")).limit(1)
-      .select(col("name").as("resetName"), col("values").as("resetValues"))
-    val u = udf((v: Seq[Double], resets: Seq[Double]) => {
+    val r1 = resetter
+      .select(struct(col("name"), col("values"), col("step")).as("s"))
+      .agg(min(col("s")).as("s"), count(lit(1)).as("n"))
+      .select(
+        when(col("n") =!= 1, raise_error(concat(
+            lit("integralWithReset: resetting series must reference exactly one series, got "),
+            col("n")))).otherwise(col("s.name")).as("resetName"),
+        col("s.values").as("resetValues"), col("s.step").as("resetStep"))
+    val u = udf((name: String, v: Seq[Double], step: Long,
+                 rname: String, resets: Seq[Double], rstep: Long) => {
+      if (step != rstep || v.length != resets.length)
+        throw new IllegalArgumentException(
+          s"series $name must have the same length as $rname")
       val out = new Array[Double](v.length)
       var acc = 0.0
       var i = 0
       while (i < v.length) {
-        val rv = if (i < resets.length) resets(i) else Double.NaN
-        if (!Kernels.isNaN(rv) && rv != 0.0) acc = 0.0
         val x = v(i)
         if (Kernels.isNaN(x)) out(i) = Double.NaN
-        else { acc += x; out(i) = acc }
+        else {
+          val rv = resets(i)
+          if (!Kernels.isNaN(rv) && rv != 0.0) acc = 0.0 else acc += x
+          out(i) = acc
+        }
         i += 1
       }
       out
     })
     df.crossJoin(broadcast(r1))
-      .withColumn("values", u(col("values"), col("resetValues")))
+      .withColumn("values", u(col("name"), col("values"), col("step"),
+        col("resetName"), col("resetValues"), col("resetStep")))
       .withColumn("name", concat(lit("integralWithReset("), col("name"), lit(","), col("resetName"), lit(")")))
-      .drop("resetName", "resetValues")
+      .drop("resetName", "resetValues", "resetStep")
   }
 
   /** compressPeriodicGaps: guess the sample period from the first two
@@ -112,12 +128,18 @@ object ExtOps {
 
   /** scaleAfterTimestamp: multiply only points at/after the pivot ts.
     * (ref scale/function.go — scaleAfterTimestamp variant) */
-  def scaleAfterTimestamp(df: DataFrame, factor: Double, pivotTs: Long): DataFrame =
+  /** scale with a pivot timestamp: points at ts >= pivot are scaled, earlier
+    * ones pass through. `scaleAfterTimestamp` is a pure alias of `scale` in
+    * the reference — the OUTPUT name is always `scale(name,factor,rawTs)`
+    * and the tag is `scale` (ref scale/function.go:22,52-56,59). `rawTs`
+    * preserves the request's literal third argument (e.Arg(2).StringValue()). */
+  def scaleAfterTimestamp(df: DataFrame, factor: Double, pivotTs: Long, rawTs: String): DataFrame =
     rewrap(df.withColumn("values",
       transform(col("values"), (v, i) => {
         val ts = col("start") + i.cast("long") * col("step")
         when(ts >= lit(pivotTs), v * lit(factor)).otherwise(v)
-      })), "scaleAfterTimestamp", Seq(SeriesOps.fmtNum(factor), pivotTs.toString))
+      })), "scale", Seq(SeriesOps.fmtNum(factor), rawTs),
+      tagValue = Some(SeriesOps.fmtNum(factor)))
 
   // -------------------------------------------------------------- constant
 

@@ -119,8 +119,9 @@ object SeriesOps {
     * cross-join, so the hot single-glob path pays nothing.
     */
   def aggregateNamed(df: DataFrame, func: String, rawArgs: String, xff: Double = 0.0,
-                     align: Boolean = false, argsLen: Int = 1): DataFrame = {
-    val static = s"${func}Series($rawArgs)"
+                     align: Boolean = false, argsLen: Int = 1,
+                     nameToken: Option[String] = None): DataFrame = {
+    val static = s"${nameToken.getOrElse(func)}Series($rawArgs)"
     val out0 = aggregateSeries(df, func, xff, nameFor = _ => lit(static), align = align)
     // aggregating a seriesByTag(...) fetch keeps the tags COMMON to every
     // input (plus a name fallback), not the parsed wrapper — so
@@ -425,10 +426,12 @@ object SeriesOps {
     df.withColumn("values", transform(col("values"), f))
 
   def absolute(df: DataFrame): DataFrame = rewrap(mapPointwise(df, abs(_)), "absolute")
-  def offset(df: DataFrame, c: Double): DataFrame =
-    rewrap(mapPointwise(df, _ + lit(c)), "offset", Seq(fmtNum(c)))
+  /** offset keeps the CALLED token (`add` or `offset`) in the output name
+    * and tags it with the factor (ref offset/function.go:22,48-50). */
+  def offset(df: DataFrame, c: Double, fn: String = "offset"): DataFrame =
+    rewrap(mapPointwise(df, _ + lit(c)), fn, Seq(fmtNum(c)), tagValue = Some(fmtNum(c)))
   def scale(df: DataFrame, c: Double): DataFrame =
-    rewrap(mapPointwise(df, _ * lit(c)), "scale", Seq(fmtNum(c)))
+    rewrap(mapPointwise(df, _ * lit(c)), "scale", Seq(fmtNum(c)), tagValue = Some(fmtNum(c)))
   /** invert: 1/x with 0 → NaN (ref invert/function.go:33-38). */
   def invert(df: DataFrame): DataFrame =
     rewrap(mapPointwise(df, v => when(v === 0.0, lit(Double.NaN)).otherwise(lit(1.0) / v)), "invert")
@@ -440,7 +443,9 @@ object SeriesOps {
   def logarithm(df: DataFrame, base: Double = 10, explicitBase: Boolean = false): DataFrame =
     rewrap(mapPointwise(df, v => log(base, v)), "logarithm",
       if (explicitBase) Seq(fmtNum(base)) else Nil)
-  def logit(df: DataFrame): DataFrame = rewrap(mapPointwise(df, v => log(v / (lit(1.0) - v))), "logit")
+  /** logit: v==1 is NaN, not +Inf (ref logit/function.go:46-50). */
+  def logit(df: DataFrame): DataFrame = rewrap(mapPointwise(df,
+    v => when(v === 1.0, lit(Double.NaN)).otherwise(log(v / (lit(1.0) - v)))), "logit")
   def sigmoid(df: DataFrame): DataFrame =
     rewrap(mapPointwise(df, v => lit(1.0) / (lit(1.0) + exp(-v))), "sigmoid")
   def squareS(df: DataFrame): DataFrame = rewrap(mapPointwise(df, v => v * v), "pow", Seq("2"))

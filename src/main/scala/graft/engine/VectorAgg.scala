@@ -41,12 +41,12 @@ class VectorAggregator(func: String, xff: Double) extends Aggregator[VecAggInput
 
   private def initA: Double = func match {
     case "min" | "minimum" => Double.PositiveInfinity
-    case "max" | "maximum" | "range" | "rangeOf" => Double.NegativeInfinity
+    case "max" | "maximum" | "range" | "rangeOf" | "rangeOf2" => Double.NegativeInfinity
     case "multiply" => 1.0
     case _ => 0.0
   }
   private def initB: Double = func match {
-    case "range" | "rangeOf" => Double.PositiveInfinity // b = running min
+    case "range" | "rangeOf" | "rangeOf2" => Double.PositiveInfinity // b = running min
     case _ => 0.0
   }
 
@@ -82,7 +82,7 @@ class VectorAggregator(func: String, xff: Double) extends Aggregator[VecAggInput
         case "sum" | "total" | "average" | "avg" | "avg_zero" => buf.a(idx) += x
         case "min" | "minimum" => if (x < buf.a(idx)) buf.a(idx) = x
         case "max" | "maximum" => if (x > buf.a(idx)) buf.a(idx) = x
-        case "range" | "rangeOf" =>
+        case "range" | "rangeOf" | "rangeOf2" =>
           if (x > buf.a(idx)) buf.a(idx) = x
           if (x < buf.b(idx)) buf.b(idx) = x
         case "multiply" => buf.a(idx) *= x
@@ -116,7 +116,7 @@ class VectorAggregator(func: String, xff: Double) extends Aggregator[VecAggInput
         case "sum" | "total" | "average" | "avg" | "avg_zero" => x.a(j) += y.a(i)
         case "min" | "minimum" => if (y.a(i) < x.a(j)) x.a(j) = y.a(i)
         case "max" | "maximum" => if (y.a(i) > x.a(j)) x.a(j) = y.a(i)
-        case "range" | "rangeOf" =>
+        case "range" | "rangeOf" | "rangeOf2" =>
           if (y.a(i) > x.a(j)) x.a(j) = y.a(i)
           if (y.b(i) < x.b(j)) x.b(j) = y.b(i)
         case "multiply" => x.a(j) *= y.a(i)
@@ -148,6 +148,9 @@ class VectorAggregator(func: String, xff: Double) extends Aggregator[VecAggInput
           // SummarizeValues "multiply")
           case "multiply" => if (c != buf.tot(i)) Double.NaN else buf.a(i)
           case "range" | "rangeOf" => buf.a(i) - buf.b(i)
+          // the standalone rangeOfSeries function NaNs any slot with fewer
+          // than two contributing points (ref rangeOfSeries/function.go:69-73)
+          case "rangeOf2" => if (c >= 2) buf.a(i) - buf.b(i) else Double.NaN
           case "stddev" =>
             val meanV = buf.a(i) / c
             math.sqrt(math.max(buf.b(i) / c - meanV * meanV, 0.0))
@@ -166,5 +169,5 @@ class VectorAggregator(func: String, xff: Double) extends Aggregator[VecAggInput
 object VectorAggregator {
   val decomposable: Set[String] = Set(
     "sum", "total", "average", "avg", "avg_zero", "min", "minimum",
-    "max", "maximum", "range", "rangeOf", "multiply", "stddev", "count")
+    "max", "maximum", "range", "rangeOf", "rangeOf2", "multiply", "stddev", "count")
 }

@@ -894,9 +894,19 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("limit", Seq(5, 5, 5), step = 1800, start = 0)), from = 0, until = 3600)
   }
 
-  test("scaleAfterTimestamp multiplies only at/after the pivot") {
+  test("scaleAfterTimestamp multiplies only at/after the pivot and names as scale (ref scale/function.go:52-56)") {
     check("scaleAfterTimestamp(m.x,2,60)", Seq(md("m.x", Seq(1, 2, 3), step = 60)),
-      Seq(md("scaleAfterTimestamp(m.x,2,60)", Seq(1, 4, 6), step = 60)))
+      Seq(md("scale(m.x,2,60)", Seq(1, 4, 6), step = 60)))
+  }
+
+  test("scale with a pivot third arg (ref scale/function_test.go table)") {
+    check("scale(metric1,2.5)", Seq(md("metric1", Seq(1, 2, NaN, 4, 5), step = 1)),
+      Seq(md("scale(metric1,2.5)", Seq(2.5, 5.0, NaN, 10.0, 12.5), step = 1)))
+    // pivot at start+14 over a step-5 grid: indexes 0-2 (ts 0,5,10) pass
+    // through, index 3 (ts 15) onward scales
+    check("scale(x.y.z, -2.5, 14)",
+      Seq(md("x.y.z", Seq(1, -2, -3, 4, NaN, 0, NaN, 5, 6), step = 5)),
+      Seq(md("scale(x.y.z,-2.5,14)", Seq(1, -2, -3, -10, NaN, 0, NaN, -12.5, -15), step = 5)))
   }
 
   test("divideSeries rejects a multi-series divisor (ref ErrWildcardNotAllowed)") {
@@ -1894,5 +1904,93 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("metric1", Seq(1, 3, 5, 8), step = 1, start = 1),
         md("metric2", Seq(1, 5, 7), step = 1, start = 1)),
       Seq(md("sumSeries(metric1,metric2)", Seq(2, 8, 12, 8), step = 1, start = 1)))
+  }
+
+  // ----------------------------------- reference tables, round-6 port batch
+
+  test("absolute reference table (ref absolute/function_test.go)") {
+    check("absolute(metric1)", Seq(md("metric1", Seq(0, -1, 2, -3, 4, 5), step = 1)),
+      Seq(md("absolute(metric1)", Seq(0, 1, 2, 3, 4, 5), step = 1)))
+  }
+
+  test("offset/add reference table: add keeps its own token (ref offset/function_test.go,function.go:48)") {
+    val m1 = md("metric1", Seq(93, 94, 95, NaN, 97, 98, 99, 100, 101), step = 1)
+    val m2 = md("metric2", Seq(193, 194, 195, NaN, 197, 198, 199, 200, 201), step = 1)
+    check("offset(metric1,10)", Seq(m1),
+      Seq(md("offset(metric1,10)", Seq(103, 104, 105, NaN, 107, 108, 109, 110, 111), step = 1)))
+    check("add(metric*,-10)", Seq(m1, m2), Seq(
+      md("add(metric1,-10)", Seq(83, 84, 85, NaN, 87, 88, 89, 90, 91), step = 1),
+      md("add(metric2,-10)", Seq(183, 184, 185, NaN, 187, 188, 189, 190, 191), step = 1)))
+  }
+
+  test("invert reference table incl. negatives (ref invert/function_test.go)") {
+    check("invert(metric1)", Seq(md("metric1", Seq(-4, -2, -1, 0, 1, 2, 4), step = 1)),
+      Seq(md("invert(metric1)", Seq(-0.25, -0.5, -1, NaN, 1, 0.5, 0.25), step = 1)))
+  }
+
+  test("exp / logit / sigmoid reference tables (logit(1) is NaN, ref logit/function.go:46)") {
+    check("exp(metric1)", Seq(md("metric1", Seq(1, 1, 2, NaN, 3, 4, 5, 6, NaN), step = 1)),
+      Seq(md("exp(metric1)", Seq(2.718281828459, 2.718281828459, 7.3890560989307, NaN,
+        20.085536923188, 54.598150033144, 148.41315910258, 403.42879349274, NaN), step = 1)))
+    check("logit(metric1)", Seq(md("metric1", Seq(0.5, NaN, 0.8, 0.25, 0.1, 1), step = 1)),
+      Seq(md("logit(metric1)", Seq(0, NaN, 1.3862943611198908, -1.0986122886681098,
+        -2.197224577336219, NaN), step = 1)))
+    check("sigmoid(metric1)", Seq(md("metric1", Seq(5, 1, NaN, 0, 12, 125, 10.4, 1.1), step = 60)),
+      Seq(md("sigmoid(metric1)", Seq(0.9933071490757153, 0.7310585786300049, NaN, 0.5,
+        0.9999938558253978, 1, 0.9999695684430994, 0.7502601055951177), step = 60)))
+  }
+
+  test("isNonNull over a glob (ref isNotNull/function_test.go)") {
+    check("isNonNull(metric*)",
+      Seq(md("metricFoo", Seq(NaN, -1, NaN, -3, 4, 5), step = 1),
+        md("metricBaz", Seq(1, -1, NaN, -3, 4, 5), step = 1)),
+      Seq(md("isNonNull(metricFoo)", Seq(0, 1, 0, 1, 1, 1), step = 1),
+        md("isNonNull(metricBaz)", Seq(1, 1, 0, 1, 1, 1), step = 1)))
+  }
+
+  test("offsetToZero reference table (ref offsetToZero/function_test.go)") {
+    check("offsetToZero(metric1)",
+      Seq(md("metric1", Seq(93, 94, 95, NaN, 97, 98, 99, 100, 101), step = 1)),
+      Seq(md("offsetToZero(metric1)", Seq(0, 1, 2, NaN, 4, 5, 6, 7, 8), step = 1)))
+  }
+
+  test("minMax reference table incl. the constant-series zero case (ref minMax/function_test.go)") {
+    check("minMax(metric1)", Seq(md("metric1", Seq(10, 20, 30, NaN, 40, 50), step = 1)),
+      Seq(md("minMax(metric1)", Seq(0.0, 0.25, 0.50, NaN, 0.75, 1.0), step = 1)))
+    check("minMax(metric1)", Seq(md("metric1", Seq(10, 10, 10, NaN, 10, 10), step = 1)),
+      Seq(md("minMax(metric1)", Seq(0, 0, 0, NaN, 0, 0), step = 1)))
+  }
+
+  test("rangeOfSeries reference table incl. the empty glob (ref rangeOfSeries/function_test.go)") {
+    assert(run("rangeOfSeries(metric*)", Nil).isEmpty)
+    check("rangeOfSeries(metric*)",
+      Seq(md("metric1", Seq(NaN, NaN, NaN, 3, 4, 12, -10), step = 1),
+        md("metric2", Seq(2, NaN, NaN, 15, 0, 6, 10), step = 1),
+        md("metric3", Seq(1, 2, NaN, 4, 5, 6, 7), step = 1)),
+      Seq(md("rangeOfSeries(metric*)", Seq(1, NaN, NaN, 12, 5, 6, 20), step = 1)))
+  }
+
+  test("integral NaN points stay NaN but the accumulator persists (ref integral/function_test.go)") {
+    check("integral(metric1)", Seq(md("metric1", Seq(1, 0, 2, 3, 4, 5, NaN, 7, 8), step = 1)),
+      Seq(md("integral(metric1)", Seq(1, 1, 3, 6, 10, 15, NaN, 22, 30), step = 1)))
+  }
+
+  test("integralWithReset reference tables (ref integralWithReset/function_test.go)") {
+    // a reset index outputs 0 and DISCARDS that point's value
+    check("integralWithReset(metric[12], reset)",
+      Seq(md("metric1", Seq(1, 1, 3, 5, 8, 13, 21), step = 1),
+        md("metric2", Seq(1, 1, 1, 1, 1, 1, 1), step = 1),
+        md("reset", Seq(0, 0, 0, 1, 1, 0, 0), step = 1)),
+      Seq(md("integralWithReset(metric1,reset)", Seq(1, 2, 5, 0, 0, 13, 34), step = 1),
+        md("integralWithReset(metric2,reset)", Seq(1, 2, 3, 0, 0, 1, 2), step = 1)))
+    // NaN input skips BOTH output and that index's reset; NaN reset = no reset
+    check("integralWithReset(metric1, metric2)",
+      Seq(md("metric1", Seq(1, NaN, NaN, 3, 4, 12, 15), step = 1),
+        md("metric2", Seq(0, NaN, 0, NaN, 0, 6, 0), step = 1)),
+      Seq(md("integralWithReset(metric1,metric2)", Seq(1, NaN, NaN, 4, 8, 0, 15), step = 1)))
+    // a glob resetter matching >1 series is ErrWildcardNotAllowed
+    assertThrows[Exception](run("integralWithReset(a.x, d.*)",
+      Seq(md("a.x", Seq(1, 2), step = 1),
+        md("d.1", Seq(0, 1), step = 1), md("d.2", Seq(0, 0), step = 1))))
   }
 }
