@@ -543,7 +543,12 @@ object Eval {
     "lowestMax" -> lowestFamily("max"), "lowestMin" -> lowestFamily("min"),
     "highestCurrent" -> highestFamily("last"), "lowestCurrent" -> lowestFamily("last"),
     "nPercentile" -> ((ctx, fc) => SeriesOps.nPercentile(seriesArg(ctx, fc), numArg(fc, 1))),
-    "mostDeviant" -> ((ctx, fc) => SeriesOps.mostDeviant(seriesArg(ctx, fc), intArg(fc, 1, default = Some(1)))),
+    // both arg orders: mostDeviant(seriesList, n) -or- mostDeviant(n,
+    // seriesList) (ref mostDeviant/function.go:30-42)
+    "mostDeviant" -> ((ctx, fc) => fc.args.headOption match {
+      case Some(Num(_)) => SeriesOps.mostDeviant(seriesArg(ctx, fc, 1), intArg(fc, 0))
+      case _ => SeriesOps.mostDeviant(seriesArg(ctx, fc), intArg(fc, 1, default = Some(1)))
+    }),
     "removeEmptySeries" -> ((ctx, fc) => SeriesOps.removeEmptySeries(
       seriesArg(ctx, fc), numArg(fc, 1, "xFilesFactor", Some(astXff(fc.args.head).getOrElse(0.0))))),
     "removeZeroSeries" -> ((ctx, fc) => SeriesOps.removeZeroSeries(seriesArg(ctx, fc),

@@ -1993,4 +1993,67 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("a.x", Seq(1, 2), step = 1),
         md("d.1", Seq(0, 1), step = 1), md("d.2", Seq(0, 0), step = 1))))
   }
+
+  test("limit reference table: first N in glob order, n past the end passes all (ref limit/function_test.go)") {
+    val in = Seq(
+      md("metricA", Seq(0, 1, 0, 0, 0, 0), step = 1),
+      md("metricB", Seq(0, 0, 1, 0, 0, 0), step = 1),
+      md("metricC", Seq(0, 0, 0, 1, 0, 0), step = 1),
+      md("metricD", Seq(0, 0, 0, 0, 1, 0), step = 1),
+      md("metricE", Seq(0, 0, 0, 0, 0, 1), step = 1))
+    check("limit(metric*,2)", in, in.take(2))
+    check("limit(metric*,20)", in, in)
+  }
+
+  test("mostDeviant accepts both argument orders (ref mostDeviant/function_test.go)") {
+    val in = Seq(
+      md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1),
+      md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1),
+      md("metricC", Seq(4, 4, 5, 5, 6, 6), step = 1),
+      md("metricD", Seq(4, 4, 5, 5, 6, 6), step = 1),
+      md("metricE", Seq(4, 7, 7, 7, 7, 1), step = 1))
+    val want = Seq(md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1),
+      md("metricE", Seq(4, 7, 7, 7, 7, 1), step = 1))
+    check("mostDeviant(2,metric*)", in, want)
+    check("mostDeviant(metric*,2)", in, want)
+  }
+
+  test("exclude / grep reference tables (ref exclude,grep/function_test.go)") {
+    val in = Seq(
+      md("metricFoo", Seq(1, 1, 1, 1, 1), step = 1),
+      md("metricBar", Seq(2, 2, 2, 2, 2), step = 1),
+      md("metricBaz", Seq(3, 3, 3, 3, 3), step = 1))
+    check("exclude(metric*,\"(Foo|Baz)\")", in,
+      Seq(md("metricBar", Seq(2, 2, 2, 2, 2), step = 1)))
+    check("grep(metric*,\"Bar\")", in,
+      Seq(md("metricBar", Seq(2, 2, 2, 2, 2), step = 1)))
+  }
+
+  test("stdev reference table: partial leading window, all-NaN stays NaN (ref stdev/function_test.go)") {
+    check("stdev(metric1, 2)", Seq(md("metric1", Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9), step = 1)),
+      Seq(md("stdev(metric1,2)", Seq(0.0, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5), step = 1)))
+    check("stdev(metric1, 2)", Seq(md("metric1", Seq(NaN, NaN, NaN, NaN), step = 1)),
+      Seq(md("stdev(metric1,2)", Seq(NaN, NaN, NaN, NaN), step = 1)))
+  }
+
+  test("linearRegression fills gaps from the fit (ref linearRegression/function_test.go)") {
+    check("linearRegression(metric1)",
+      Seq(md("metric1", Seq(1, 2, NaN, NaN, 5, 6), step = 1, start = 123)),
+      Seq(md("linearRegression(metric1)", Seq(1, 2, 3, 4, 5, 6), step = 1, start = 123)))
+  }
+
+  test("unique collapses duplicate names to one series (ref unique/function_test.go)") {
+    // the dup-name WINNER is fetch-order-dependent in the reference; a
+    // distributed frame has no fetch order, so assert the collapse and the
+    // untouched series only
+    val rows = run("unique(metric[1234].foo.bar.baz)", Seq(
+      md("metric1.foo.bar.baz", Seq(1, NaN, 2, 3, 4, 5), step = 1),
+      md("metric2.foo.bar.baz", Seq(2, NaN, 3, NaN, 5, 6), step = 1),
+      md("metric3.foo.bar.baz", Seq(3, NaN, 4, 5, 6, NaN), step = 1),
+      md("metric1.foo.bar.baz", Seq(4, NaN, 5, 6, 7, NaN), step = 1)))
+    assert(rows.map(_.name).sorted ==
+      Seq("metric1.foo.bar.baz", "metric2.foo.bar.baz", "metric3.foo.bar.baz"))
+    val m2 = rows.find(_.name == "metric2.foo.bar.baz").get
+    assert(m2.values(0) == 2 && m2.values(5) == 6)
+  }
 }
