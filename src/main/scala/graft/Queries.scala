@@ -1283,7 +1283,7 @@ object Queries {
         |  round(coalesce(v, 1), 4) AS value
         |FROM s WHERE ts % 10800 = 0 ORDER BY name, ts""".stripMargin),
     "g144_cumulative" ->
-      (S + "SELECT 'consolidateBy(' || name || ',''sum'')' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'consolidateBy(' || name || ',\"sum\")' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g145_summarize_align" ->
       (S + """SELECT 'summarize(' || name || ',''7h'',''max'',true)' AS name,
         |  CAST((SELECT t0 FROM b) + floor((ts - (SELECT t0 FROM b))/25200)*25200 AS BIGINT) AS ts,
@@ -1442,7 +1442,7 @@ object Queries {
     "g124_sinfn" ->
       "SELECT 'wave' AS name, CAST(ts AS BIGINT) AS ts, round(2 * sin(CAST(ts AS DOUBLE)), 4) AS value FROM generate_series(1704067200, 1704073800, 600) t(ts) ORDER BY ts",
     "g125_consolidateby" ->
-      (S + "SELECT 'consolidateBy(' || name || ',''max'')' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'consolidateBy(' || name || ',\"max\")' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g126_verticalline" ->
       "SELECT 'mark' AS name, CAST(ts AS BIGINT) AS ts, CAST(1.0 AS DOUBLE) AS value FROM (VALUES (1704070800), (1704070801)) t(ts) ORDER BY ts",
     // legendValue('count'): count is integral so fmtNum prints a plain int

@@ -435,7 +435,11 @@ object SeriesOps {
   /** invert: 1/x with 0 → NaN (ref invert/function.go:33-38). */
   def invert(df: DataFrame): DataFrame =
     rewrap(mapPointwise(df, v => when(v === 0.0, lit(Double.NaN)).otherwise(lit(1.0) / v)), "invert")
-  def powS(df: DataFrame, c: Double): DataFrame = rewrap(mapPointwise(df, pow(_, lit(c))), "pow", Seq(fmtNum(c)))
+  /** pow: NaN in is NaN out even for exponent 0, where Math.pow would give 1
+    * (ref pow/function.go:53-58). */
+  def powS(df: DataFrame, c: Double): DataFrame = rewrap(mapPointwise(df,
+    v => when(isnan(v), v).otherwise(pow(v, lit(c)))), "pow", Seq(fmtNum(c)),
+    tagValue = Some(fmtNum(c)))
   def squareRoot(df: DataFrame): DataFrame = rewrap(mapPointwise(df, sqrt(_)), "squareRoot")
   def expS(df: DataFrame): DataFrame = rewrap(mapPointwise(df, exp(_)), "exp")
   /** logarithm/log: name carries the base only when the caller gave one

@@ -231,7 +231,10 @@ object TimeOps {
     df.withColumn("tags", map_concat(
         map_filter(col("tags"), (k, _) => k =!= "consolidateBy"),
         map(lit("consolidateBy"), lit(func))))
-      .transform(d => SeriesFrame.rewrap(d, "consolidateBy", Seq(s"'$func'"), Some(s"'$func'")))
+      // output name ALWAYS double-quotes the function, regardless of the
+      // request's quote style, and the tag is the bare name
+      // (ref consolidateBy/function.go:59-62)
+      .transform(d => SeriesFrame.rewrap(d, "consolidateBy", Seq("\"" + func + "\""), Some(func)))
   }
 
   /** setXFilesFactor: record xFilesFactor metadata. (ref setXFilesFactor/function.go) */

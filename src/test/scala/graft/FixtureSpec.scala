@@ -2056,4 +2056,52 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m2 = rows.find(_.name == "metric2.foo.bar.baz").get
     assert(m2.values(0) == 2 && m2.values(5) == 6)
   }
+
+  test("pow reference table: NaN^0 stays NaN (ref pow/function_test.go, function.go:53-58)") {
+    check("pow(metric1,3)", Seq(md("metric1", Seq(5, 1, NaN, 0, 12, 125, 10.4, 1.1), step = 60)),
+      Seq(md("pow(metric1,3)", Seq(125, 1, NaN, 0, 1728, 1953125, 1124.864, 1.331), step = 60)))
+    check("pow(metric1,0)", Seq(md("metric1", Seq(NaN, NaN, NaN), step = 60)),
+      Seq(md("pow(metric1,0)", Seq(NaN, NaN, NaN), step = 60)))
+  }
+
+  test("round reference table: positive/negative/named precision (ref round/function_test.go)") {
+    val in = Seq(md("metric1", Seq(0.5, 2.298, NaN, 91.019, -524.82, 245), step = 1))
+    check("round(metric1, 3)", in,
+      Seq(md("round(metric1,3)", Seq(0.5, 2.298, NaN, 91.019, -524.82, 245), step = 1)))
+    check("round(metric1, 1)", in,
+      Seq(md("round(metric1,1)", Seq(0.5, 2.3, NaN, 91.0, -524.8, 245), step = 1)))
+    val in2 = Seq(md("metric1", Seq(0.5, 2.298, NaN, 91.019, -524.82, 275), step = 1))
+    check("round(metric1, -2)", in2,
+      Seq(md("round(metric1,-2)", Seq(0, 0, NaN, 100, -500, 300), step = 1)))
+    check("round(metric1, precision=-2)", in2,
+      Seq(md("round(metric1,-2)", Seq(0, 0, NaN, 100, -500, 300), step = 1)))
+    check("round(metric1, -10)", in,
+      Seq(md("round(metric1,-10)", Seq(0, 0, NaN, 0, 0, 0), step = 1)))
+  }
+
+  test("toUpperCase/upper at character positions (ref toUpperCase/function_test.go)") {
+    val in = Seq(md("metric.test.foo", Seq(1, 2, 0, 7, 8, 20, 30, NaN), step = 1))
+    val v = Seq(1.0, 2, 0, 7, 8, 20, 30, NaN)
+    check("upper(metric.test.foo)", in, Seq(md("METRIC.TEST.FOO", v, step = 1)))
+    check("upper(metric.test.foo,7)", in, Seq(md("metric.Test.foo", v, step = 1)))
+    check("upper(metric.test.foo,-3)", in, Seq(md("metric.test.Foo", v, step = 1)))
+    check("upper(metric.test.foo,0,7,12)", in, Seq(md("Metric.Test.Foo", v, step = 1)))
+    check("toUpperCase(metric.test.foo)", in, Seq(md("METRIC.TEST.FOO", v, step = 1)))
+  }
+
+  test("aliasByMetric keeps the last node (ref aliasByMetric/function_test.go)") {
+    check("aliasByMetric(metric1.foo.bar.baz)",
+      Seq(md("metric1.foo.bar.baz", Seq(1, 2, 3, 4, 5), step = 1)),
+      Seq(md("baz", Seq(1, 2, 3, 4, 5), step = 1)))
+  }
+
+  test("consolidateBy/cumulative name with DOUBLE quotes whatever the request style (ref consolidateBy/function.go:59)") {
+    val in = Seq(md("metric1", Seq(1, 2, 3, 4, 5), step = 1))
+    for (f <- Seq("sum", "avg", "min", "max", "first", "last"))
+      check(s"consolidateBy(metric1,'$f')", in,
+        Seq(md(s"""consolidateBy(metric1,"$f")""", Seq(1, 2, 3, 4, 5), step = 1)))
+    check("cumulative(metric1)", in,
+      Seq(md("""consolidateBy(metric1,"sum")""", Seq(1, 2, 3, 4, 5), step = 1)))
+    assertThrows[Exception](run("consolidateBy(metric1,'maximum')", in))
+  }
 }
