@@ -1296,13 +1296,18 @@ object Queries {
         |FROM s JOIN pc ON s.name = pc.name WHERE s.v IS NOT NULL AND s.v >= pc.pv ORDER BY 1, 2""".stripMargin),
     "g95_avgoutsidepct" ->
       (S + """, a AS (SELECT name, avg(v) AS av FROM s GROUP BY name),
-        |bands AS (SELECT quantile_cont(av, 0.05) AS lo, quantile_cont(av, 0.95) AS hi FROM a),
-        |keep AS (SELECT name FROM a, bands WHERE av < lo OR av > hi)
+        |r AS (SELECT av, row_number() OVER (ORDER BY av) - 1 AS rn, count(*) OVER () AS n FROM a),
+        |bands AS (SELECT max(CASE WHEN rn = CAST(ceil((n-1)*0.05) AS INT) THEN av END) AS lo,
+        |                 max(CASE WHEN rn = CAST(ceil((n-1)*0.95) AS INT) THEN av END) AS hi FROM r),
+        |keep AS (SELECT name FROM a, bands WHERE NOT (av > lo AND av < hi))
         |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep USING (name)
         |WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
     "g96_removebetweenpct" ->
-      (S + """, bandpts AS (SELECT ts, quantile_cont(v, 0.3) AS lo, quantile_cont(v, 0.7) AS hi FROM s GROUP BY ts),
-        |keep AS (SELECT DISTINCT s.name FROM s JOIN bandpts USING (ts) WHERE s.v IS NOT NULL AND (s.v < lo OR s.v > hi))
+      (S + """, r AS (SELECT ts, v, row_number() OVER (PARTITION BY ts ORDER BY v) - 1 AS rn,
+        |             count(*) OVER (PARTITION BY ts) AS n FROM s WHERE v IS NOT NULL),
+        |bandpts AS (SELECT ts, max(CASE WHEN rn = CAST(ceil((n-1)*0.3) AS INT) THEN v END) AS lo,
+        |                   max(CASE WHEN rn = CAST(ceil((n-1)*0.7) AS INT) THEN v END) AS hi FROM r GROUP BY ts),
+        |keep AS (SELECT DISTINCT s.name FROM s JOIN bandpts USING (ts) WHERE s.v IS NOT NULL AND NOT (s.v > lo AND s.v < hi))
         |SELECT 'removeBetweenPercentile(' || s.name || ', 30)' AS name, s.ts, round(s.v, 4) AS value
         |FROM s JOIN keep USING (name) WHERE s.v IS NOT NULL ORDER BY 1, 2""".stripMargin),
     "g97_mostdeviant" ->
@@ -1432,9 +1437,9 @@ object Queries {
 
     // ---- round-4b: generators pin to the explicit [T0, T0+7200] request
     "g120_constantline" ->
-      "SELECT '42.5' AS name, CAST(ts AS BIGINT) AS ts, CAST(42.5 AS DOUBLE) AS value FROM generate_series(1704067200, 1704074400, 3600) t(ts) ORDER BY ts",
+      "SELECT '42.5' AS name, CAST(ts AS BIGINT) AS ts, CAST(42.5 AS DOUBLE) AS value FROM generate_series(1704067200, 1704074400, 7200) t(ts) ORDER BY ts",
     "g121_threshold" ->
-      "SELECT 'limit' AS name, CAST(ts AS BIGINT) AS ts, CAST(60 AS DOUBLE) AS value FROM generate_series(1704067200, 1704074400, 3600) t(ts) ORDER BY ts",
+      "SELECT 'limit' AS name, CAST(ts AS BIGINT) AS ts, CAST(60 AS DOUBLE) AS value FROM generate_series(1704067200, 1704074400, 7200) t(ts) ORDER BY ts",
     "g122_identity" ->
       "SELECT 'identity(ident)' AS name, CAST(ts AS BIGINT) AS ts, CAST(ts AS DOUBLE) AS value FROM generate_series(1704067200, 1704074340, 60) t(ts) ORDER BY ts",
     "g123_timefn" ->

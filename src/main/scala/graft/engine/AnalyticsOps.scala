@@ -305,33 +305,46 @@ object AnalyticsOps {
         .drop("_w", "_oc"))
   }
 
-  /** averageOutsidePercentile: keep series whose average falls outside the
-    * [n, 100-n] percentile band of all averages. (ref averageOutsidePercentile/function.go) */
+  /** averageOutsidePercentile: keep series whose average falls ON or outside
+    * the [100-n, n] percentile band of all averages — NON-interpolated
+    * percentiles, and a boundary average survives (`!(avg > lo && avg < hi)`)
+    * (ref averageOutsidePercentile/function.go:46-68, Percentile
+    * consolidations.go:90-123). The per-series averages are series-count-
+    * bounded, so one collect_list agg feeds the exact kernel. */
   def averageOutsidePercentile(df: DataFrame, n0: Double): DataFrame = {
-    val n = if (n0 > 50) 100 - n0 else n0
+    val number = if (n0 < 50) 100 - n0 else n0
     val avgC = vecScalar(Kernels.mean)(col("values"))
     val withA = df.withColumn("_a", avgC)
-    val bands = withA.agg(
-      expr(s"percentile(_a, ${n / 100.0})").as("lo"),
-      expr(s"percentile(_a, ${(100 - n) / 100.0})").as("hi"))
+    val bandU = udf((av: Seq[Double]) => {
+      val arr = av.toArray
+      Array(Kernels.percentile(arr, 100 - number, interpolate = false),
+        Kernels.percentile(arr, number, interpolate = false))
+    })
+    val bands = withA.agg(collect_list(col("_a")).as("_avs"))
+      .select(bandU(col("_avs")).as("_b"))
+      .select(element_at(col("_b"), 1).as("lo"), element_at(col("_b"), 2).as("hi"))
     withA.crossJoin(broadcast(bands))
-      .where(col("_a") < col("lo") || col("_a") > col("hi"))
+      .where(!(col("_a") > col("lo") && col("_a") < col("hi")))
       .drop("_a", "lo", "hi")
   }
 
-  /** removeBetweenPercentile: keep series with at least one point outside the
-    * cross-series [n, 100-n] point-wise percentile band.
-    * (ref removeBetweenPercentile/function.go) */
+  /** removeBetweenPercentile: keep series with at least one point ON or
+    * outside the cross-series [100-n, n] point-wise percentile band —
+    * NON-interpolated percentiles (the `!` summarizer suffix), boundary
+    * points survive (`!(v > lo && v < hi)`), per-TIMESTAMP thresholds (the
+    * graphite-web intent; the reference's series-index threshold lookup is a
+    * documented non-reproduced bug, see COMPATIBILITY.md)
+    * (ref removeBetweenPercentile/function.go:50-81). */
   def removeBetweenPercentile(df: DataFrame, n0: Double): DataFrame = {
     val n = if (n0 > 50) 100 - n0 else n0
-    val lowAgg = SeriesOps.aggregateSeries(df, s"p$n")
+    val lowAgg = SeriesOps.aggregateSeries(df, s"p$n!")
       .select(col("values").as("loV"))
-    val highAgg = SeriesOps.aggregateSeries(df, s"p${100 - n}")
+    val highAgg = SeriesOps.aggregateSeries(df, s"p${100 - n}!")
       .select(col("values").as("hiV"))
     df.crossJoin(broadcast(lowAgg)).crossJoin(broadcast(highAgg))
       .where(exists(
         zip_with(col("values"), zip_with(col("loV"), col("hiV"), (l, h) => struct(l.as("l"), h.as("h"))),
-          (v, lh) => !isnan(v) && (v < lh.getField("l") || v > lh.getField("h"))),
+          (v, lh) => !isnan(v) && !(v > lh.getField("l") && v < lh.getField("h"))),
         x => x))
       .drop("loV", "hiV")
       // the reference renames with a space after the comma

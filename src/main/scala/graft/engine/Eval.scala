@@ -834,14 +834,16 @@ object Eval {
 
   /** constantLine: 3-point flat series over the request range.
     * (ref constantLine/function.go) */
+  /** constantLine: exactly TWO points, step = the whole request range, so
+    * the line spans [from, until] (ref constantLine/function.go:36-44). */
   private def constantLine(ctx: Ctx, value: Double): DataFrame = {
     val sp = ctx.spark
     import sp.implicits._
     val name = SeriesOps.fmtNum(value)
     val (from, until) =
       if (ctx.from > Long.MinValue / 8) (ctx.from, ctx.until) else (0L, 7200L)
-    val step = math.max((until - from) / 2, 1L)
-    Seq(graft.core.Series(name, Map("name" -> name), from, step, Array(value, value, value))).toDF()
+    val step = math.max(until - from, 1L)
+    Seq(graft.core.Series(name, Map("name" -> name), from, step, Array(value, value))).toDF()
   }
 
   private def genRange(ctx: Ctx): (Long, Long) =
@@ -858,12 +860,14 @@ object Eval {
   }
 
   /** randomWalk: x(0)=0, x(t)=x(t-1)+U(-0.5,0.5); deterministic seed so runs
-    * are reproducible. (ref randomWalk/function.go:56-58) */
+    * are reproducible. Unlike the other generators, randomWalk FLOORS the
+    * point count — a trailing partial step is dropped and until rounds down
+    * (ref randomWalk/function.go:41-42 size = (until-from)/step). */
   private def randomWalk(ctx: Ctx, name: String, step: Int): DataFrame = {
     val sp = ctx.spark
     import sp.implicits._
     val (from, until) = genRange(ctx)
-    val n = math.max(((until - from - 1 + step) / step).toInt, 1) // ceil: the generator covers [from, until) like the reference's (until-from-1+step)/step (ref timeFunction/function.go:48)
+    val n = math.max(((until - from) / step).toInt, 1)
     val rnd = new scala.util.Random(42)
     val vals = new Array[Double](n)
     var i = 1

@@ -664,7 +664,7 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("generators: constantLine, time, sin, identity, threshold") {
     val got = run("constantLine(42.5)", Nil, from = 0, until = 7200)
     assert(got.map(_.name) == Seq("42.5"))
-    assert(got.head.values.toSeq == Seq(42.5, 42.5, 42.5))
+    assert(got.head.values.toSeq == Seq(42.5, 42.5))
 
     val t = run("time('tick',600)", Nil, from = 0, until = 3000)
     assert(t.head.name == "tick")
@@ -891,7 +891,7 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("color(m.x,'red')", in, Seq(md("m.x", Seq(1, 2), step = 1)))
     check("drawAsInfinite(m.x)", in, Seq(md("drawAsInfinite(m.x)", Seq(1, 2), step = 1)))
     check("threshold(5,'limit','red')", Nil,
-      Seq(md("limit", Seq(5, 5, 5), step = 1800, start = 0)), from = 0, until = 3600)
+      Seq(md("limit", Seq(5, 5), step = 3600, start = 0)), from = 0, until = 3600)
   }
 
   test("scaleAfterTimestamp multiplies only at/after the pivot and names as scale (ref scale/function.go:52-56)") {
@@ -2103,5 +2103,67 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("cumulative(metric1)", in,
       Seq(md("""consolidateBy(metric1,"sum")""", Seq(1, 2, 3, 4, 5), step = 1)))
     assertThrows[Exception](run("consolidateBy(metric1,'maximum')", in))
+  }
+
+  test("constantLine: two points spanning [from,until], string arg parses (ref constantLine/function_test.go,function.go:36-44)") {
+    check("constantLine(42.42)", Nil,
+      Seq(md("42.42", Seq(42.42, 42.42), step = 1, start = 0)), from = 0, until = 1)
+    check("constantLine('42.42')", Nil,
+      Seq(md("42.42", Seq(42.42, 42.42), step = 1, start = 0)), from = 0, until = 1)
+  }
+
+  test("timeFunction/sinFunction emit raw ts/sin(ts) from `from` (ref timeFunction,sinFunction/function_test.go)") {
+    check("timeFunction(\"The.time.series\")", Nil,
+      Seq(md("The.time.series", Seq(1, 61, 121, 181), step = 60, start = 1)),
+      from = 1, until = 241)
+    check("sinFunction(\"The.time.series\")", Nil,
+      Seq(md("The.time.series", Seq(0.8414709848078965, -0.9661177700083929,
+        0.9988152247235795, -0.936451400117644), step = 60, start = 1)),
+      from = 1, until = 241)
+    check("sinFunction(\"The.time.series.2\", 5.0, 10)", Nil,
+      Seq(md("The.time.series.2", Seq(4.207354924039483, -4.9999510327535175,
+        4.18327819268028, -2.0201882266153253, -0.7931133440235449,
+        3.3511458792168733), step = 10, start = 1)),
+      from = 1, until = 61)
+  }
+
+  test("randomWalk: name, step forms, FLOOR point count, until rounds down (ref randomWalk/function_test.go)") {
+    def rw(target: String, until: Long): Seq[Series] = run(target, Nil, from = 0, until = until)
+    val a = rw("randomWalk('foo')", 120)
+    assert(a.size == 1 && a.head.name == "foo" && a.head.step == 60 && a.head.values.length == 2)
+    val b = rw("randomWalk('foo', step=3)", 120)
+    assert(b.head.step == 3 && b.head.values.length == 40)
+    val c = rw("randomWalk('foo', 4)", 120)
+    assert(c.head.step == 4 && c.head.values.length == 30)
+    val d = rw("randomWalk('foo', 5)", 121)
+    assert(d.head.step == 5 && d.head.values.length == 24)
+  }
+
+  test("setXFilesFactor keeps the name and records the tag (ref setXFilesFactor/function_test.go)") {
+    val rows = run("setXFilesFactor(metric1,0.6)", Seq(md("metric1", Seq(1, 2, 3, 4, 5), step = 1)))
+    assert(rows.map(_.name) == Seq("metric1"))
+    assert(rows.head.values.toSeq == Seq(1.0, 2, 3, 4, 5))
+  }
+
+  test("averageOutsidePercentile: non-interpolated band, boundary averages survive (ref averageOutsidePercentile/function_test.go)") {
+    check("averageOutsidePercentile(metric[1234], 30)", Seq(
+      md("metric1", Seq(7, 7, 7, 7, 7, 7), step = 1),
+      md("metric2", Seq(5, 5, 5, 5, 5, 5), step = 1),
+      md("metric3", Seq(10, 10, 10, 10, 10, 10), step = 1),
+      md("metric4", Seq(1, 1, 1, 1, 1, 1), step = 1)), Seq(
+      md("metric2", Seq(5, 5, 5, 5, 5, 5), step = 1),
+      md("metric3", Seq(10, 10, 10, 10, 10, 10), step = 1),
+      md("metric4", Seq(1, 1, 1, 1, 1, 1), step = 1)))
+  }
+
+  test("removeBetweenPercentile: non-interpolated per-ts band, boundary points survive (ref removeBetweenPercentile/function_test.go)") {
+    check("removeBetweenPercentile(metric[1234], 30)", Seq(
+      md("metric1", Seq(7, 7, 7, 7, 7, 7), step = 1),
+      md("metric2", Seq(5, 5, 5, 5, 5, 5), step = 1),
+      md("metric3", Seq(10, 10, 10, 10, 10, 10), step = 1),
+      md("metric4", Seq(1, 1, 1, 1, 1, 1), step = 1)), Seq(
+      md("removeBetweenPercentile(metric2, 30)", Seq(5, 5, 5, 5, 5, 5), step = 1),
+      md("removeBetweenPercentile(metric3, 30)", Seq(10, 10, 10, 10, 10, 10), step = 1),
+      md("removeBetweenPercentile(metric4, 30)", Seq(1, 1, 1, 1, 1, 1), step = 1)))
   }
 }
