@@ -114,7 +114,9 @@ object Queries {
     "g46_timestack" -> g("timeStack(events.click,'1d',0,3)"),
     "g47_integral_reset" -> g("integralWithReset(events.*,isNonNull(events.click))"),
     "g48_seriesbytag" -> g("seriesByTag('name=~events.(click|view)')"),
-    "g49_aggregateline" -> g("aggregateLine(events.*,'avg',true)"),
+    // 'count' keeps the name's embedded value integral, so the Go-side
+    // FormatFloat('g') and DuckDB's bigint cast agree exactly
+    "g49_aggregateline" -> g("aggregateLine(events.*,'count',true)"),
     "g50_heatmap" -> g("heatMap(events.*)"),
     "g51_reduce" -> g("reduceSeries(mapSeries(events.*,0),'asPercent',1,'click','view')"),
     "g52_applybynode" -> g("applyByNode(events.*,0,'sumSeries(%.*)')"),
@@ -925,9 +927,10 @@ object Queries {
     "g48_seriesbytag" ->
       (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE regexp_matches(name, 'events.(click|view)') AND v IS NOT NULL ORDER BY name, ts"),
     "g49_aggregateline" ->
-      (S + """, a AS (SELECT name, avg(v) AS av FROM s GROUP BY name)
-        |SELECT 'aggregateLine(' || s.name || ', ''avg'')' AS name, s.ts, round(a.av, 4) AS value
-        |FROM s JOIN a ON s.name = a.name WHERE a.av IS NOT NULL ORDER BY name, ts""".stripMargin),
+      (S + """, a AS (SELECT name, CAST(count(v) AS DOUBLE) AS av FROM s GROUP BY name)
+        |SELECT 'aggregateLine(' || s.name || ', ' || CAST(CAST(a.av AS BIGINT) AS VARCHAR) || ')' AS name,
+        |  s.ts, round(a.av, 4) AS value
+        |FROM s JOIN a ON s.name = a.name WHERE a.av > 0 ORDER BY name, ts""".stripMargin),
     "g50_heatmap" ->
       (S + """, o AS (SELECT name, row_number() OVER (ORDER BY name) AS rn FROM (SELECT DISTINCT name FROM s))
         |SELECT 'heatMap(' || c.name || ',' || p.name || ')' AS name, sc.ts, round(sc.v - sp.v, 4) AS value

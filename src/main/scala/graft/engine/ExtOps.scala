@@ -144,18 +144,25 @@ object ExtOps {
   // -------------------------------------------------------------- constant
 
   /** aggregateLine: replace each series by a flat line at its summarized
-    * scalar. keepStep keeps the original grid; else 3 points span the range.
-    * (ref aggregateLine/function.go) */
+    * scalar. The NAME embeds the VALUE (`aggregateLine(m, 4.5)`, `None` when
+    * NaN), not the function; keepStep keeps the original grid, else TWO
+    * points span the series with step = its whole length
+    * (ref aggregateLine/function.go:56-80). */
   def aggregateLine(df: DataFrame, func: String = "average", keepStep: Boolean = false): DataFrame = {
     val s = vecScalar(v => Kernels.summarizeValues(func, v))(col("values"))
     val flat =
       if (keepStep) df.withColumn("_s", s)
         .withColumn("values", transform(col("values"), _ => col("_s")))
       else df.withColumn("_s", s)
-        .withColumn("step", greatest((size(col("values")).cast("long") * col("step")) / lit(2L), lit(1L)))
-        .withColumn("values", array(col("_s"), col("_s"), col("_s")))
+        .withColumn("step", greatest(size(col("values")).cast("long") * col("step"), lit(1L)))
+        .withColumn("values", array(col("_s"), col("_s")))
+    // FormatFloat 'g' of the scalar: integers drop the decimal point
+    val fmtS = when(isnan(col("_s")), lit("None"))
+      .when(col("_s") === col("_s").cast("long").cast("double") && abs(col("_s")) < lit(1e15),
+        col("_s").cast("long").cast("string"))
+      .otherwise(col("_s").cast("string"))
     flat.withColumn("name",
-        concat(lit("aggregateLine("), col("name"), lit(s", '$func')")))
+        concat(lit("aggregateLine("), col("name"), lit(", "), fmtS, lit(")")))
       .drop("_s")
   }
 

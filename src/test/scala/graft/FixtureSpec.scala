@@ -2156,6 +2156,74 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       md("metric4", Seq(1, 1, 1, 1, 1, 1), step = 1)))
   }
 
+  test("aggregateLine: value-embedding names, 2-point span, None for NaN, keepStep grid (ref aggregateLine/function_test.go)") {
+    check("aggregateLine(metric[123])", Seq(
+      md("metric1", Seq(1.0, NaN, 2.0, 3.0, 4.0, 5.0), step = 1),
+      md("metric2", Seq(2.0, NaN, 3.0, NaN, 5.0, 6.0), step = 1),
+      md("metric3", Seq(3.0, NaN, 4.0, 5.0, 6.0, NaN), step = 1)), Seq(
+      md("aggregateLine(metric1, 3)", Seq(3, 3), step = 6),
+      md("aggregateLine(metric2, 4)", Seq(4, 4), step = 6),
+      md("aggregateLine(metric3, 4.5)", Seq(4.5, 4.5), step = 6)))
+    check("aggregateLine(metric[12],'avg',true)", Seq(
+      md("metric1", Seq(NaN, NaN, NaN, NaN, NaN, NaN), step = 1),
+      md("metric2", Seq(2.0, 6.0, 3.0, 2.0, 5.0, 6.0), step = 1)), Seq(
+      md("aggregateLine(metric1, None)", Seq(NaN, NaN, NaN, NaN, NaN, NaN), step = 1),
+      md("aggregateLine(metric2, 4)", Seq(4, 4, 4, 4, 4, 4), step = 1)))
+  }
+
+  test("heatMap diffs name-adjacent series (ref heatMap/function_test.go)") {
+    check("heatMap(a.*)", Seq(
+      md("a.a1", Seq(1, 2, 3, 4, 5, 6), step = 1),
+      md("a.a2", Seq(2, NaN, 20, 8, 10, 7), step = 1),
+      md("a.a3", Seq(10, NaN, 3, 17, 10, 90), step = 1)), Seq(
+      md("heatMap(a.a2,a.a1)", Seq(1.0, NaN, 17.0, 4.0, 5.0, 1.0), step = 1),
+      md("heatMap(a.a3,a.a2)", Seq(8.0, NaN, -17.0, 9.0, 0.0, 83.0), step = 1)))
+  }
+
+  test("mapSeries passes series through unchanged (ref mapSeries/function_test.go)") {
+    val in = Seq(
+      md("servers.server1.cpu.valid", Seq(1, 2, 3), step = 1),
+      md("servers.server2.cpu.valid", Seq(6, 7, 8), step = 1),
+      md("servers.server1.cpu.total", Seq(1, 2, 4), step = 1),
+      md("servers.server2.cpu.total", Seq(5, 7, 8), step = 1))
+    check("mapSeries(servers.*.cpu.*, 1)", in, in)
+  }
+
+  test("join reference table: AND/OR/XOR/SUB by name (ref join/function_test.go)") {
+    val m1 = md("metric1", Seq(NaN, -1, NaN, -3, 4, 5), step = 1)
+    val m2 = md("metric2", Seq(1.0, 2, 3, -3, 4, 5), step = 1)
+    assert(run("join(metric1, metric2)", Seq(m1, m2)).isEmpty)
+    check("join(metric1, metric2, \"OR\")", Seq(m1, m2), Seq(m1, m2))
+    check("join(metric1, metric2, \"XOR\")", Seq(m1, m2), Seq(m1, m2))
+    check("join(metric1, metric2, \"SUB\")", Seq(m1, m2), Seq(m1))
+  }
+
+  test("lowPass keeps edge fractions (ref lowPass/function_test.go)") {
+    check("lowPass(metric1,40)", Seq(md("metric1", Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9), step = 1)),
+      Seq(md("lowPass(metric1,40)", Seq(0, 1, NaN, NaN, NaN, NaN, NaN, NaN, 8, 9), step = 1)))
+  }
+
+  test("movingMedian int windows and a window smaller than the step (ref movingMedian/function_test.go)") {
+    // the reference trims the preview window (StartTime += preview, size =
+    // len - windowPoints, ref moving/function.go:200-206); the Go unit test's
+    // NaN-padded full-length expectation is a mock-fetch artifact, so the
+    // store-backed expectation here is the trimmed grid with the same values
+    check("movingMedian(metric1,4)",
+      Seq(md("metric1", Seq(1, 1, 1, 1, 2, 2, 2, 4, 6, 4, 6, 8), step = 1)),
+      Seq(md("movingMedian(metric1,4)", Seq(1, 1.5, 2, 2, 3, 4, 5, 6), step = 1, start = 4)),
+      stepHint = Some(1L))
+    check("movingMedian(metric1,5)",
+      Seq(md("metric1", Seq(1, 1, 1, 1, 2, 2, 2, 4, 6, 4, 6, 8, 1, 2), step = 1)),
+      Seq(md("movingMedian(metric1,5)", Seq(1, 2, 2, 2, 4, 4, 6, 6, 4), step = 1, start = 5)),
+      stepHint = Some(1L))
+    // "5s" window over a 10s step: zero points per window → all NaN, and the
+    // start still shifts by the preview (ref moving/function.go:188-196)
+    check("movingMedian(metric1,\"5s\")",
+      Seq(md("metric1", Seq(1, 2, 3), step = 10)),
+      Seq(md("movingMedian(metric1,'5s')", Seq(NaN, NaN, NaN), step = 10, start = 5)),
+      from = 0, until = 30)
+  }
+
   test("removeBetweenPercentile: non-interpolated per-ts band, boundary points survive (ref removeBetweenPercentile/function_test.go)") {
     check("removeBetweenPercentile(metric[1234], 30)", Seq(
       md("metric1", Seq(7, 7, 7, 7, 7, 7), step = 1),
