@@ -1395,15 +1395,16 @@ object Queries {
         |SELECT 'holtWintersConfidenceLower(events.click)' AS name,
         |  b.t0 + r.i * 3600 AS ts, round(r.fc - 3*r.dv, 4) AS value FROM r, b
         |ORDER BY name, ts""".stripMargin),
-    // same recursion; area = invisible lower band + stacked (upper−lower)
-    // span, both named holtWintersConfidenceArea(...) — the kernel computes
-    // (fc+3dv)-(fc-3dv), associating exactly like the SQL below
+    // same recursion; area = BOTH raw bands renamed
+    // holtWintersConfidenceArea(...) (the lower is an invisible stack base
+    // only at render time; the data surface is the bands verbatim, ref
+    // holtWintersConfidenceArea/function_cairo.go:55-103)
     "g132_hwarea" ->
       (hwRecS + """SELECT 'holtWintersConfidenceArea(events.click)' AS name,
         |  b.t0 + r.i * 3600 AS ts, round(r.fc - 3*r.dv, 4) AS value FROM r, b
         |UNION ALL
         |SELECT 'holtWintersConfidenceArea(events.click)' AS name,
-        |  b.t0 + r.i * 3600 AS ts, round((r.fc + 3*r.dv) - (r.fc - 3*r.dv), 4) AS value FROM r, b
+        |  b.t0 + r.i * 3600 AS ts, round(r.fc + 3*r.dv, 4) AS value FROM r, b
         |ORDER BY name, ts""".stripMargin),
     // g43's direct DFT with the lowPass bin mask: keep the first and last
     // floor(0.15*n) bins, NaN (→ dropped) the middle band

@@ -58,29 +58,24 @@ object AnalyticsOps {
     lower.unionByName(upper)
   }
 
-  /** Confidence area: the two bands renamed holtWintersConfidenceArea(name);
-    * the lower is an invisible stack base and the upper carries upper−lower
-    * stacked on it, so the renderer's cumulative stacker tops out exactly at
-    * the true upper band — the areaBetween shape (subtraction per ref
-    * cairo.go:744-750; carbonapi's own HW area function_cairo.go:55-103
-    * stacks the raw upper band, which overshoots — we keep graphite-web's
-    * intended fill between the bands). */
+  /** Confidence area: BOTH raw bands renamed holtWintersConfidenceArea(name)
+    * — the data surface is the bands verbatim (what carbonapi marshals and
+    * its area test asserts, ref holtWintersConfidenceArea/function_cairo.go:
+    * 55-103 and function_test.go); the lower is tagged as an invisible stack
+    * base and both as stacked, so the renderer reproduces carbonapi's own
+    * area fill. */
   def holtWintersConfidenceArea(df: DataFrame, fromTs: Long, delta: Double, seasonality: Long = 86400L): DataFrame = {
-    val u = udf((v: Seq[Double], step: Long, mode: String) => {
+    val u = udf((v: Seq[Double], step: Long, sign: Double) => {
       val (f, d) = VecOps.holtWinters(v.toArray, step, seasonality)
-      mode match {
-        case "lower" => f.indices.map(i => f(i) - delta * d(i)).toArray
-        // upper − lower with NaN propagation
-        case _ => f.indices.map(i => (f(i) + delta * d(i)) - (f(i) - delta * d(i))).toArray
-      }
+      f.indices.map(i => f(i) + sign * delta * d(i)).toArray
     })
     def mark(d: DataFrame, extra: Map[String, String]): DataFrame =
       d.withColumn("tags", map_concat(
         map_filter(col("tags"), (k, _) => !k.isin(extra.keys.toSeq: _*)),
         typedLit(extra)))
-    val lower = mark(sliceFrom(df.withColumn("values", u(col("values"), col("step"), lit("lower"))), fromTs),
+    val lower = mark(sliceFrom(df.withColumn("values", u(col("values"), col("step"), lit(-1.0))), fromTs),
       Map("stacked" -> "__DEFAULT__", "invisible" -> "1"))
-    val upper = mark(sliceFrom(df.withColumn("values", u(col("values"), col("step"), lit("span"))), fromTs),
+    val upper = mark(sliceFrom(df.withColumn("values", u(col("values"), col("step"), lit(1.0))), fromTs),
       Map("stacked" -> "__DEFAULT__"))
     lower.unionByName(upper)
       .withColumn("name", concat(lit("holtWintersConfidenceArea("), col("name"), lit(")")))

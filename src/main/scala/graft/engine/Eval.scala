@@ -400,8 +400,23 @@ object Eval {
     "removeAboveValue" -> ((ctx, fc) => SeriesOps.removeAboveValue(seriesArg(ctx, fc), numArg(fc, 1))),
     "removeBelowPercentile" -> ((ctx, fc) => SeriesOps.removeBelowPercentile(seriesArg(ctx, fc), numArg(fc, 1))),
     "removeAbovePercentile" -> ((ctx, fc) => SeriesOps.removeAbovePercentile(seriesArg(ctx, fc), numArg(fc, 1))),
-    "timeSlice" -> ((ctx, fc) => SeriesOps.timeSlice(seriesArg(ctx, fc),
-      intervalArg(fc, 1, defaultSign = -1), intervalArg(fc, 2, defaultSign = -1))),
+    // time args go through the full at-time grammar first ("00:03 19700101",
+    // "today-1h"), falling back to a POSITIVE interval treated as an absolute
+    // epoch — the reference's retrocompat path (ref timeSlice/function.go:
+    // 32-41 parseTimeArg); end defaults to "now"
+    "timeSlice" -> ((ctx, fc) => {
+      def timeArg(a: Ast): Long = a match {
+        case Num(v) => v.toLong
+        case other =>
+          val s = other match { case Str(x) => x; case NameExpr(x) => x; case x => x.print }
+          graft.api.AtTime.parse(s).getOrElse(Interval.parse(s, 1))
+      }
+      val startTs = timeArg(arg(fc, 1).getOrElse(
+        throw new IllegalArgumentException("timeSlice: missing start")))
+      val endTs = arg(fc, 2, "endSliceAt").map(timeArg)
+        .getOrElse(java.time.Instant.now().getEpochSecond)
+      SeriesOps.timeSlice(seriesArg(ctx, fc), startTs, endTs)
+    }),
 
     // ---- sequential
     "derivative" -> ((ctx, fc) => SeriesOps.derivative(seriesArg(ctx, fc))),

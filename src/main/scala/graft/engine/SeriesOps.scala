@@ -516,12 +516,18 @@ object SeriesOps {
 
   /** timeSlice: NaN outside [startTs, endTs]; name and tags carry the epoch
     * bounds (ref timeSlice/function.go:67-82). */
+  /** timeSlice: NaN outside [start, end] (both inclusive); tags record the
+    * resolved epoch bounds (ref timeSlice/function.go:67-82 SetTags). */
   def timeSlice(df: DataFrame, startTs: Long, endTs: Long): DataFrame =
     rewrap(df.withColumn("values",
       transform(col("values"), (v, i) => {
         val ts = col("start") + i.cast("long") * col("step")
         when(ts < lit(startTs) || ts > lit(endTs), lit(Double.NaN)).otherwise(v)
       })), "timeSlice", Seq(startTs.toString, endTs.toString))
+      .withColumn("tags", map_concat(
+        map_filter(col("tags"), (k, _) => k =!= "timeSliceStart" && k =!= "timeSliceEnd"),
+        map(lit("timeSliceStart"), lit(startTs.toString),
+            lit("timeSliceEnd"), lit(endTs.toString))))
 
   // ------------------------------------------------------------- sequential
 

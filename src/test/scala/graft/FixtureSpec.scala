@@ -93,7 +93,7 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ------------------------------------------------------------- point-wise
 
-  test("invert / pow / squareRoot / exp (point-wise names + values)") {
+  test("invert / pow / squareRoot / exp (point-wise names + values; ref squareRoot/function_test.go)") {
     val in = Seq(md("metric1", Seq(1, 2, 4, NaN)))
     check("invert(metric1)", in, Seq(md("invert(metric1)", Seq(1, 0.5, 0.25, NaN))))
     check("invert(metric2)", Seq(md("metric2", Seq(0, 5))),
@@ -103,7 +103,7 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("exp(metric1)", in, Seq(md("exp(metric1)", Seq(math.E, math.exp(2), math.exp(4), NaN))))
   }
 
-  test("logarithm names track the optional base (ref logarithm/function.go:52-54)") {
+  test("logarithm names track the optional base (ref logarithm/function_test.go, function.go:52-54)") {
     val in = Seq(md("metric1", Seq(1, 10, 100)))
     check("logarithm(metric1)", in, Seq(md("logarithm(metric1)", Seq(0, 1, 2))))
     check("log(metric1,2)", in,
@@ -745,6 +745,43 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
             6.0258698337471355, 6.630178145979606, 7.6413984841547204, 6.492608523867341,
             5.556775146625346, 4.813280235806231), step, startTime)),
       from = startTime, until = startTime + step * points, tol = 1e-9)
+  }
+
+  test("holtWintersConfidenceArea emits both bands under the area name (ref holtWintersConfidenceArea/function_test.go)") {
+    val startTime = 2678400L; val step = 600L; val points = 10L; val day = 86400L
+    val rows = run("holtWintersConfidenceArea(metric1)",
+      Seq(md("metric1", hwRange(0, (7 * day / step + points) * step, step), step, startTime - 7 * day)),
+      from = startTime, until = startTime + step * points)
+      .sortBy(_.values.head)
+    assert(rows.map(_.name) == Seq("holtWintersConfidenceArea(metric1)", "holtWintersConfidenceArea(metric1)"))
+    val lower = Seq(0.2841206166091448, 1.0581027098774411, 0.3338172102994683, 0.5116859493263242,
+      -0.18199175514936972, 0.2366173792019426, -1.2941554508809152, -0.513426806531049,
+      -0.7970905542723132, 0.09868900726536012)
+    val upper = Seq(8.424944558327624, 9.409422251880809, 10.607070189221787, 10.288439865038768,
+      9.491556863132963, 9.474595784593738, 8.572310478053845, 8.897670449095346,
+      8.941566968508148, 9.409728797779282)
+    rows.head.values.zip(lower).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+    rows(1).values.zip(upper).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+    assert(rows.forall(r => r.start == startTime && r.step == step))
+  }
+
+  test("timeSlice string time args: interval-as-absolute retrocompat and date forms (ref timeSlice/function_test.go)") {
+    val in = Seq(md("metric1", Seq(NaN, 1, 2, 3, NaN, 5, 6, NaN, 7, 8, 9), step = 60))
+    val want = Seq(md("timeSlice(metric1,180,480)",
+      Seq(NaN, NaN, NaN, 3, NaN, 5, 6, NaN, 7, NaN, NaN), step = 60))
+    check("timeSlice(metric1, \"3m\", \"8m\")", in, want, from = 0, until = 660)
+    check("timeSlice(metric1, \"00:03 19700101\", \"00:08 19700101\")", in, want, from = 0, until = 660)
+  }
+
+  test("scaleToSeconds reference table (ref scaleToSeconds/function_test.go)") {
+    check("scaleToSeconds(metric1,5)", Seq(md("metric1", Seq(60, 120, NaN, 120, 120), step = 60)),
+      Seq(md("scaleToSeconds(metric1,5)", Seq(5, 10, NaN, 10, 10), step = 60)))
+  }
+
+  test("identity over an explicit range (ref identity/function_test.go)") {
+    check("identity('The.time.series')", Nil,
+      Seq(md("identity(The.time.series)", Seq(0, 60, 120, 180), step = 60, start = 0)),
+      from = 0, until = 240)
   }
 
   // ------------------------------------------------------------- fft family
@@ -1928,7 +1965,7 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("invert(metric1)", Seq(-0.25, -0.5, -1, NaN, 1, 0.5, 0.25), step = 1)))
   }
 
-  test("exp / logit / sigmoid reference tables (logit(1) is NaN, ref logit/function.go:46)") {
+  test("exp / logit / sigmoid reference tables — logit(1) is NaN (ref exp/function_test.go, logit/function_test.go:46, sigmoid/function_test.go)") {
     check("exp(metric1)", Seq(md("metric1", Seq(1, 1, 2, NaN, 3, 4, 5, 6, NaN), step = 1)),
       Seq(md("exp(metric1)", Seq(2.718281828459, 2.718281828459, 7.3890560989307, NaN,
         20.085536923188, 54.598150033144, 148.41315910258, 403.42879349274, NaN), step = 1)))
@@ -2018,7 +2055,7 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("mostDeviant(metric*,2)", in, want)
   }
 
-  test("exclude / grep reference tables (ref exclude,grep/function_test.go)") {
+  test("exclude / grep reference tables (ref exclude/function_test.go, grep/function_test.go)") {
     val in = Seq(
       md("metricFoo", Seq(1, 1, 1, 1, 1), step = 1),
       md("metricBar", Seq(2, 2, 2, 2, 2), step = 1),
@@ -2095,7 +2132,7 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("baz", Seq(1, 2, 3, 4, 5), step = 1)))
   }
 
-  test("consolidateBy/cumulative name with DOUBLE quotes whatever the request style (ref consolidateBy/function.go:59)") {
+  test("consolidateBy/cumulative name with DOUBLE quotes whatever the request style (ref consolidateBy/function_test.go, cumulative/function_test.go)") {
     val in = Seq(md("metric1", Seq(1, 2, 3, 4, 5), step = 1))
     for (f <- Seq("sum", "avg", "min", "max", "first", "last"))
       check(s"consolidateBy(metric1,'$f')", in,
@@ -2112,7 +2149,7 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("42.42", Seq(42.42, 42.42), step = 1, start = 0)), from = 0, until = 1)
   }
 
-  test("timeFunction/sinFunction emit raw ts/sin(ts) from `from` (ref timeFunction,sinFunction/function_test.go)") {
+  test("timeFunction/sinFunction emit raw ts/sin(ts) from `from` (ref timeFunction/function_test.go, sinFunction/function_test.go)") {
     check("timeFunction(\"The.time.series\")", Nil,
       Seq(md("The.time.series", Seq(1, 61, 121, 181), step = 60, start = 1)),
       from = 1, until = 241)

@@ -73,9 +73,11 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("confidence-area pair fills one polygon between the curves; invisible base draws nothing") {
-    // renderer input as holtWintersConfidenceArea/areaBetween produce it:
-    // invisible stacked lower + stacked (upper-lower) span — pass the span
-    // row FIRST to prove the stack orders the invisible base before it
+    // renderer stack mechanism: invisible stacked base + stacked span —
+    // pass the span row FIRST to prove the stack orders the invisible base
+    // before it (areaBetween feeds this shape; holtWintersConfidenceArea
+    // now carries the RAW bands, so its fill tops at lower+upper exactly
+    // like carbonapi's own renderer)
     val span = series("holtWintersConfidenceArea(m)", Seq(2, 2, 2),
       tags = Map("stacked" -> "__DEFAULT__"))
     val base = series("holtWintersConfidenceArea(m)", Seq(1, 1, 1),
