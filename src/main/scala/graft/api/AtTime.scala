@@ -11,9 +11,16 @@ import graft.parser.Interval
  */
 object AtTime {
 
+  // Go's "01/02/06" layout pivots 2-digit years at 69: 69-99 → 19xx,
+  // 00-68 → 20xx ("08/12/94" is 1994) — Java's plain `yy` would pick 2094
+  private val twoDigitYear = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("MM/dd/")
+    .appendValueReduced(java.time.temporal.ChronoField.YEAR, 2, 2, 1969)
+    .toFormatter()
+
   private val dateFormats = Seq(
     DateTimeFormatter.ofPattern("yyyyMMdd"),
-    DateTimeFormatter.ofPattern("MM/dd/yy"),
+    twoDigitYear,
     DateTimeFormatter.ofPattern("MM/dd/yyyy"))
 
   /** Parse with fallback: on error return `default`.

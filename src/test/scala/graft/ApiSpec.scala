@@ -33,6 +33,39 @@ class ApiSpec extends AnyFunSuite {
     assert(AtTime.toEpoch("garbage", 42L, utc, fixedNow) == 42L)
   }
 
+  test("at-time: the reference TestDateParamToEpoch table in a query timezone (ref date/date_test.go)") {
+    // clock = 16 Aug 1994 15:30 UTC; query tz America/Los_Angeles (UTC-7 PDT)
+    val now94 = () => Instant.ofEpochSecond(777051000L)
+    val la = java.time.ZoneId.of("America/Los_Angeles")
+    def utcHm(y: Int, mo: Int, d: Int, h: Int, mi: Int): Long =
+      java.time.LocalDateTime.of(y, mo, d, h, mi).toEpochSecond(ZoneOffset.UTC)
+    val cases = Seq(
+      "midnight" -> utcHm(1994, 8, 16, 7, 0),
+      "noon" -> utcHm(1994, 8, 16, 19, 0),
+      "teatime" -> utcHm(1994, 8, 16, 23, 0),
+      "tomorrow" -> utcHm(1994, 8, 17, 7, 0),
+      "noon 08/12/94" -> utcHm(1994, 8, 12, 19, 0), // 2-digit year pivots to 19xx
+      "midnight 20060812" -> utcHm(2006, 8, 12, 7, 0),
+      "noon tomorrow" -> utcHm(1994, 8, 17, 19, 0),
+      "17:04 19940812" -> utcHm(1994, 8, 13, 0, 4),
+      "-1day" -> utcHm(1994, 8, 15, 15, 30),
+      "19940812" -> utcHm(1994, 8, 12, 7, 0),
+      "today-2d" -> utcHm(1994, 8, 14, 7, 0),
+      "today-1h" -> utcHm(1994, 8, 16, 6, 0),
+      "yesterday+12h" -> utcHm(1994, 8, 15, 19, 0),
+      "now-1h" -> utcHm(1994, 8, 16, 14, 30),
+      "now+30min" -> utcHm(1994, 8, 16, 16, 0),
+      "noon+3h" -> utcHm(1994, 8, 16, 22, 0),
+      "midnight-30min" -> utcHm(1994, 8, 16, 6, 30),
+      "NOW" -> utcHm(1994, 8, 16, 15, 30),
+      "Today-1h" -> utcHm(1994, 8, 16, 6, 0),
+      "MIDNIGHT" -> utcHm(1994, 8, 16, 7, 0),
+      "01/02/2014" -> utcHm(2014, 1, 2, 8, 0), // PST, UTC-8
+      "noon 08/12/2006" -> utcHm(2006, 8, 12, 19, 0))
+    for ((in, want) <- cases)
+      assert(AtTime.parse(in, la, now94).contains(want), s"parse($in)")
+  }
+
   private def rs(name: String, values: Array[Double], start: Long = 100, step: Long = 10,
                  tags: Map[String, String] = Map.empty, pe: String = "") =
     RenderedSeries(name, tags + ("name" -> name), if (pe.isEmpty) name else pe, start, step, values)
