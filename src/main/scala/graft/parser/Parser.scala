@@ -246,9 +246,14 @@ object Interval {
         case "y" | "yr" | "yrs" | "year" | "years" => 31536000L
         case other => throw new IllegalArgumentException(s"unknown interval unit '$other' in '$str'")
       }
-      total += sign * num * secs
+      try total = Math.addExact(total, Math.multiplyExact(sign.toLong * num, secs))
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(s"interval '$str' out of range") }
       i = k
     }
+    // int32 result range, like the reference (ref pkg/parser/interval.go:75-78)
+    if (total > Int.MaxValue || total < Int.MinValue)
+      throw new IllegalArgumentException(s"interval '$str' out of range")
     total
   }
 }

@@ -221,4 +221,22 @@ class ParserSpec extends AnyFunSuite {
       FuncCall("foobar", Seq(NameExpr("asdf"), NameExpr("zxcv"), NameExpr("qwer")),
         Map.empty, "asdf,\n\tzxcv,\n\tqwer\n"))
   }
+
+  test("interval grammar: the reference TestInterval table incl. the int32 range bound (ref pkg/parser/interval_test.go)") {
+    val ok = Seq(
+      ("1s", 1, 1L), ("2d", 1, 2L * 86400), ("10hours", 1, 10L * 3600),
+      ("7d13h45min21s", 1, 7L * 86400 + 13 * 3600 + 45 * 60 + 21),
+      ("01hours", 1, 3600L), ("2d2d", 1, 4L * 86400),
+      ("1s", -1, -1L), ("10m10s", 1, 610L), ("+2d", -1, 2L * 86400),
+      ("-10hours", -1, -10L * 3600), ("-360h2min", -1, -360L * 3600 - 120),
+      ("68y", 1, 68L * 365 * 86400),
+      ("1hr", 1, 3600L), ("2hrs", 1, 7200L), ("1wk", 1, 604800L),
+      ("2wks", 1, 2L * 604800), ("1yr", 1, 365L * 86400), ("2yrs", 1, 2L * 365 * 86400),
+      ("1hr30min", 1, 5400L))
+    for ((s, sign, want) <- ok)
+      assert(Interval.parse(s, sign) == want, s"Interval.parse($s, $sign)")
+    // the int32 result bound and unit errors (interval.go:75-78)
+    for (bad <- Seq("", "-", "+", "10x10s", "1" + "0" * 100 + "y", "100y", "-100y", "69y"))
+      assertThrows[IllegalArgumentException](Interval.parse(bad, 1))
+  }
 }
