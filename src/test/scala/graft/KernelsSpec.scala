@@ -188,4 +188,32 @@ class KernelsSpec extends AnyFunSuite {
     VecOps.fftInPlace(re, im)
     assertVec(re.map(_ / 4), Array(1, 2, 3, 4))
   }
+
+  test("the reference TestSummarizeValues table verbatim (ref consolidations/consolidations_test.go:10-146)") {
+    val NaN = Double.NaN
+    val cases: Seq[(String, Array[Double], Float, Double)] = Seq(
+      ("sum", Array[Double](), 0f, NaN),
+      ("sum", Array[Double](1, 2, 3), 0f, 6),
+      ("total", Array[Double](1, 2, 3), 0f, 6),
+      ("avg", Array[Double](1, 2, 3, 4), 0f, 2.5),
+      ("avg", Array(1, 2, 3, 4, NaN), 0f, 2.5),
+      ("avg", Array(1, 2, 3, 4, NaN), 0.9f, NaN),
+      ("max", Array[Double](1, 2, 3, 4), 0f, 4),
+      ("min", Array[Double](1, 2, 3, 4), 0f, 1),
+      ("last", Array[Double](1, 2, 3, 4), 0f, 4),
+      ("range", Array[Double](1, 2, 3, 4), 0f, 3),
+      ("median", Array[Double](1, 2, 3, 10, 11), 0f, 3),
+      ("multiply", Array[Double](1, 2, 3, 4), 0f, 24),
+      ("diff", Array[Double](1, 2, 3, 4), 0f, -8),
+      ("count", Array[Double](1, 2, 3, 4), 0f, 4),
+      ("stddev", Array[Double](1, 2, 3, 4), 0f, 1.118033988749895),
+      ("p50", Array[Double](1, 2, 3, 10, 11), 0f, 3),
+      ("sum", Array(NaN, NaN, NaN, NaN), 0f, NaN),
+      ("sum", Array[Double](0, 0, 0, 0, 0), 0f, 0))
+    for ((fn, vals, xff, want) <- cases) {
+      val got = Kernels.summarizeValues(fn, vals, xff)
+      assert((got.isNaN && want.isNaN) || math.abs(got - want) < 1e-12,
+        s"summarizeValues($fn, ${vals.mkString(",")}, $xff) = $got, want $want")
+    }
+  }
 }
