@@ -70,6 +70,19 @@ class ApiSpec extends AnyFunSuite {
                  tags: Map[String, String] = Map.empty, pe: String = "") =
     RenderedSeries(name, tags + ("name" -> name), if (pe.isEmpty) name else pe, start, step, values)
 
+  test("glob-order sort: brace appearance order, then non-matchers in input order; tag fetches lexical (ref expr/sort_test.go)") {
+    val pe = "a.{first,second,third,fourth}.c.d"
+    val in = Seq("a.bronze.c.d", "a.first.c.d", "a.fourth.c.d", "a.gold.c.d",
+      "a.second.c.d", "a.silver.c.d", "a.third.c.d")
+      .map(n => rs(n, Array.empty[Double], pe = pe))
+    assert(Render.sortByGlobOrder(in).map(_.name) == Seq(
+      "a.first.c.d", "a.second.c.d", "a.third.c.d", "a.fourth.c.d",
+      "a.bronze.c.d", "a.gold.c.d", "a.silver.c.d"))
+    val tagged = Seq("a.b.c", "a", "a.d")
+      .map(n => rs(n, Array.empty[Double], pe = "seriesByTag(foo=~a.[bcd])"))
+    assert(Render.sortByGlobOrder(tagged).map(_.name) == Seq("a", "a.b.c", "a.d"))
+  }
+
   test("json marshal: null for NaN, tag ordering (ref MarshalJSON types.go:120-198)") {
     val out = Render.json(Seq(rs("a", Array(1.0, Double.NaN, 2.5))))
     assert(out ==
