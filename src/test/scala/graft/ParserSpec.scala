@@ -239,4 +239,36 @@ class ParserSpec extends AnyFunSuite {
     for (bad <- Seq("", "-", "+", "10x10s", "1" + "0" * 100 + "y", "100y", "-100y", "69y"))
       assertThrows[IllegalArgumentException](Interval.parse(bad, 1))
   }
+
+  test("name extraction: the reference TestExtractName/TestExtractNameTag tables (ref expr/types/extract_test.go)") {
+    val common = Seq(
+      "f" -> "f",
+      "func(f)" -> "f",
+      "foo.bar.baz" -> "foo.bar.baz",
+      "nonNegativeDerivative(foo.bar.baz)" -> "foo.bar.baz",
+      "movingAverage(foo.bar.baz,10)" -> "foo.bar.baz",
+      "scale(scaleToSeconds(nonNegativeDerivative(foo.bar.baz),60),60)" -> "foo.bar.baz",
+      "divideSeries(foo.bar.baz,baz.qux.zot)" -> "foo.bar.baz",
+      "{something}" -> "{something}",
+      "ab=" -> "ab=",
+      "ab=.c" -> "ab=.c",
+      "ab==" -> "ab==",
+      "scale(scaleToSeconds(nonNegativeDerivative(ab==.c),60),60)" -> "ab==.c",
+      "divideSeries(metric[12])" -> "metric[12]",
+      "average(metric{1,2}e,'sum')" -> "metric{1,2}e",
+      "aliasByNode(alias(0.1.2.@.4, 2), 1)" -> "0.1.2.@.4",
+      "aliasByTags(alias(0.1.2.@.4, 2), 1)" -> "0.1.2.@.4",
+      "alias(Количество изменений)" -> "Количество изменений",
+      "some(Количество изменений, Аргумент)" -> "Количество изменений",
+      "seriesByTag('tag2=value*', 'name=metric')" -> "seriesByTag('tag2=value*', 'name=metric')",
+      "sum(seriesByTag('tag2=value*', 'name=metric'))" -> "seriesByTag('tag2=value*', 'name=metric')")
+    for ((in, want) <- common) {
+      assert(graft.core.Names.extractName(in) == want, s"extractName($in)")
+      assert(graft.core.Names.extractNameTag(in) == want, s"extractNameTag($in)")
+    }
+    // the semicolon divergence: the name KEEPS tags, the name TAG drops them
+    assert(graft.core.Names.extractName("sum(metric.name;tag=value)") == "metric.name;tag=value")
+    assert(graft.core.Names.extractNameTag("sum(metric.name;tag=value)") == "metric.name")
+    assert(graft.core.Names.extractNameTag("metric1.foo==.bar.baz") == "metric1.foo==.bar.baz")
+  }
 }
