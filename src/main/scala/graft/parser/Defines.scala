@@ -25,6 +25,8 @@ object Defines {
 
   private val argIdx = """\{\{\s*index\s+\.args\s+(\d+)\s*\}\}""".r
   private val kwarg = """\{\{\s*\.kwargs\.(\w+)\s*\}\}""".r
+  // Go text/template's other kwarg spelling: {{index .kwargs "key"}}
+  private val kwargIdx = """\{\{\s*index\s+\.kwargs\s+"(\w+)"\s*\}\}""".r
 
   def expand(ast: Ast, depth: Int = 0): Ast = {
     if (depth > 16) return ast
@@ -52,7 +54,10 @@ object Defines {
       java.util.regex.Matcher.quoteReplacement(
         if (i < args.length) args(i).print else "")
     })
-    kwarg.replaceAllIn(s2, m =>
+    val s3 = kwarg.replaceAllIn(s2, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        named.get(m.group(1)).map(_.print).getOrElse("")))
+    kwargIdx.replaceAllIn(s3, m =>
       java.util.regex.Matcher.quoteReplacement(
         named.get(m.group(1)).map(_.print).getOrElse("")))
   }

@@ -78,6 +78,27 @@ class ParserSpec extends AnyFunSuite {
     } finally Defines.clear()
   }
 
+  test("define expansion: the reference TestDefineExpand table (ref pkg/parser/define_test.go)") {
+    try {
+      Defines.define("constMetric", "metric.name")
+      Defines.define("perMinute", "perSecond({{.argString}})|scale(60)")
+      Defines.define("funcAlias", "funcOrig({{index .args 0}},{{index .args 1}})")
+      Defines.define("funcAlias2", "funcOrig2({{index .args 0}},{{index .kwargs \"key\"}})")
+      Defines.define("object", "object.*.*.{{index .args 0}}")
+      def x(s: String): String = Defines.expand(Parser.parse(s)).print
+      assert(x("func1(metric1,func2(metricA, metricB),metric3)") ==
+        "func1(metric1,func2(metricA,metricB),metric3)")
+      assert(x("func1(metric1,constMetric(metricA, metricB),metric3)") ==
+        "func1(metric1,metric.name,metric3)")
+      // pipe template folds into nested calls
+      assert(x("func1(metric1,perMinute(metricA),metric3)") ==
+        "func1(metric1,scale(perSecond(metricA),60),metric3)")
+      assert(x("funcAlias(metricA,metricB)") == "funcOrig(metricA,metricB)")
+      assert(x("funcAlias2(metricA,key=\"42\")") == "funcOrig2(metricA,'42')")
+      assert(x("object(9554433)") == "object.*.*.9554433")
+    } finally Defines.clear()
+  }
+
   test("interval parsing (ref pkg/parser/interval.go)") {
     assert(Interval.parse("1h") == 3600)
     assert(Interval.parse("-1d") == -86400)
