@@ -64,6 +64,16 @@ object Eval {
     case fc: FuncCall =>
       registry.getOrElse(fc.name,
         throw new IllegalArgumentException(s"unsupported function: ${fc.name}")).apply(ctx, fc)
+    // a bare constant target: one point spanning the request range
+    // (ref expr/expr.go:166-177)
+    case Num(v) =>
+      val sp = ctx.spark
+      import sp.implicits._
+      val name = Num(v).print
+      val (from, until) =
+        if (ctx.from > Long.MinValue / 8) (ctx.from, ctx.until) else (0L, 3600L)
+      Seq(graft.core.Series(name, Map("name" -> name), from,
+        math.max(until - from, 1L), Array(v))).toDF()
     case other => throw new IllegalArgumentException(s"cannot evaluate $other as a series")
   }
 
@@ -847,8 +857,6 @@ object Eval {
     }
   }
 
-  /** constantLine: 3-point flat series over the request range.
-    * (ref constantLine/function.go) */
   /** constantLine: exactly TWO points, step = the whole request range, so
     * the line spans [from, until] (ref constantLine/function.go:36-44). */
   private def constantLine(ctx: Ctx, value: Double): DataFrame = {

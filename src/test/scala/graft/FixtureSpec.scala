@@ -784,6 +784,72 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       from = 0, until = 240)
   }
 
+  test("eval-level reference cases: mapSeries/reduceSeries, NaN^0 through sum, wildcards, groupByNodes node order (ref expr/expr_test.go TestEvalExpression)") {
+    // reduceSeries drops a group missing a matcher position
+    val devops = Seq(
+      md("devops.service.server1.filter.received.valid.count", Seq(2, 4, 8), step = 1),
+      md("devops.service.server1.filter.received.total.count", Seq(8, 2, 4), step = 1),
+      md("devops.service.server2.filter.received.valid.count", Seq(3, 9, 12), step = 1),
+      md("devops.service.server2.filter.received.total.count", Seq(12, 9, 3), step = 1))
+    check("reduceSeries(mapSeries(devops.service.*.filter.received.*.count,2), \"asPercent\", 5,\"valid\",\"total\")",
+      devops, Seq(
+        md("devops.service.server1.filter.received.reduce.asPercent.count", Seq(25, 200, 200), step = 1),
+        md("devops.service.server2.filter.received.reduce.asPercent.count", Seq(25, 100, 400), step = 1)))
+    check("reduceSeries(mapSeries(devops.service.*.filter.received.*.count,2), \"asPercent\", 5,\"valid\",\"total\")",
+      devops.tail, Seq(
+        md("devops.service.server2.filter.received.reduce.asPercent.count", Seq(25, 100, 400), step = 1)))
+    // NaN^0 stays NaN through pow and drops out of the sum
+    check("sumSeries(pow(devops.*.count, 0))", Seq(
+      md("devops.a.count", Seq(8, 2, 4), step = 1),
+      md("devops.b.count", Seq(3, 9, 12), step = 1),
+      md("devops.c.count", Seq(NaN, NaN, NaN), step = 1)),
+      Seq(md("sumSeries(pow(devops.*.count, 0))", Seq(2, 2, 2), step = 1)))
+    check("multiplySeriesWithWildcards(metric1.foo.*.*,1,2)", Seq(
+      md("metric1.foo.bar1.baz", Seq(1, 2, 3, 4, 5), step = 1),
+      md("metric1.foo.bar2.baz", Seq(11, 12, 13, 14, 15), step = 1),
+      md("metric1.foo.bar3.baz", Seq(2, 2, 2, 2, 2), step = 1)),
+      Seq(md("metric1.baz", Seq(22, 48, 78, 112, 150), step = 1)))
+    check("groupByNode(metric1foo.*.*,0,\"asPercent\")", Seq(
+      md("metric1foo.bar1.baz", Seq(1, 2, 3, 4, 5), step = 1),
+      md("metric1foo.bar1.qux", Seq(6, 7, 8, 9, 10), step = 1),
+      md("metric1foo.bar2.baz", Seq(11, 12, 13, 14, 15), step = 1),
+      md("metric1foo.bar2.qux", Seq(7, 8, 9, 10, 11), step = 1)),
+      Seq(md("metric1foo", Seq(4, 6.896551724137931, 9.09090909090909,
+        10.81081081081081, 12.195121951219512), step = 1)))
+    // output keys follow the NODE LIST order, including reversed
+    val tm = Seq(
+      md("test.metric1.foo1", Seq(0.0), step = 1), md("test.metric1.foo2", Seq(0.0), step = 1),
+      md("test.metric2.foo1", Seq(0.0), step = 1), md("test.metric2.foo2", Seq(0.0), step = 1))
+    check("groupByNodes(test.metric*.foo*,\"keepLastValue\",1,0)", tm, Seq(
+      md("metric1.test", Seq(0.0), step = 1), md("metric2.test", Seq(0.0), step = 1)))
+    check("groupByNodes(test.metric*.foo*,\"keepLastValue\",1,2)", tm, Seq(
+      md("metric1.foo1", Seq(0.0), step = 1), md("metric1.foo2", Seq(0.0), step = 1),
+      md("metric2.foo1", Seq(0.0), step = 1), md("metric2.foo2", Seq(0.0), step = 1)))
+    check("groupByNodes(test.metric*.foo*,\"keepLastValue\",1)", tm, Seq(
+      md("metric1", Seq(0.0), step = 1), md("metric2", Seq(0.0), step = 1)))
+  }
+
+  test("a bare numeric target evaluates to a one-point constant (ref expr/expr_test.go '42')") {
+    val rows = run("42", Nil, from = 0, until = 1)
+    assert(rows.map(_.name) == Seq("42"))
+    assert(rows.head.values.toSeq == Seq(42.0))
+  }
+
+  test("applyByNode newName rewrites through alias (ref expr/expr_test.go TestRewriteExpr)") {
+    val in = Seq(md("metric1", Seq(1, 2, 3), step = 1),
+      md("metric1.count", Seq(7, 8, 9), step = 1))
+    check("applyByNode(metric[1],0,'%.count')", in,
+      Seq(md("metric1.count", Seq(7, 8, 9), step = 1)))
+    check("applyByNode(metric[1],0,'%.count','% count')", in,
+      Seq(md("metric1 count", Seq(7, 8, 9), step = 1)))
+  }
+
+  test("timeFunction honors a custom request range (ref expr/expr_test.go TestEvalCustomFromUntil)") {
+    check("timeFunction(\"footime\")", Nil,
+      Seq(md("footime", Seq(4200.0, 4260.0, 4320.0), step = 60, start = 4200)),
+      from = 4200, until = 4350)
+  }
+
   // ------------------------------------------------------------- fft family
 
   test("fft emits abs+phase components of the true n-point DFT (ref fft/function.go:30-69)") {
