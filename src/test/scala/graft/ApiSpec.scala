@@ -83,6 +83,45 @@ class ApiSpec extends AnyFunSuite {
     assert(Render.sortByGlobOrder(tagged).map(_.name) == Seq("a", "a.b.c", "a.d"))
   }
 
+  test("marshal tables: json, json+noNullPoints, raw, csv (ref expr/types/metricdata_test.go)") {
+    def tagged(name: String, values: Array[Double], start: Long = 100, step: Long = 100) = {
+      val tags = graft.core.Names.extractTags(name)
+      RenderedSeries(name, tags + ("name" -> graft.core.Names.extractName(tags("name"))),
+        name, start, step, values)
+    }
+    val NaN = Double.NaN
+    assert(Render.json(Seq(
+      tagged("metric1", Array(1, 1.5, 2.25, NaN)),
+      tagged("metric2;foo=bar", Array(2, 2.5, 3.25, 4, 5)))) ==
+      """[{"target":"metric1","datapoints":[[1,100],[1.5,200],[2.25,300],[null,400]],"tags":{"name":"metric1"}},""" +
+      """{"target":"metric2;foo=bar","datapoints":[[2,100],[2.5,200],[3.25,300],[4,400],[5,500]],"tags":{"foo":"bar","name":"metric2"}}]""")
+    assert(Render.json(Seq(
+      tagged("metric1", Array(1, 1.5, 2.25, NaN)),
+      tagged("metric2;foo=bar", Array(NaN, 2.5, 3.25, 4, 5)),
+      tagged("metric3;foo=bar", Array(2, NaN, 3.25, 4, 5)),
+      tagged("metric4;foo=bar", Array(NaN, NaN, NaN, NaN, NaN))), noNullPoints = true) ==
+      """[{"target":"metric1","datapoints":[[1,100],[1.5,200],[2.25,300]],"tags":{"name":"metric1"}},""" +
+      """{"target":"metric2;foo=bar","datapoints":[[2.5,200],[3.25,300],[4,400],[5,500]],"tags":{"foo":"bar","name":"metric2"}},""" +
+      """{"target":"metric3;foo=bar","datapoints":[[2,100],[3.25,300],[4,400],[5,500]],"tags":{"foo":"bar","name":"metric3"}},""" +
+      """{"target":"metric4;foo=bar","datapoints":[],"tags":{"foo":"bar","name":"metric4"}}]""")
+    assert(Render.raw(Seq(
+      tagged("metric1", Array(1, 1.5, 2.25, NaN)),
+      tagged("metric2", Array(2, 2.5, 3.25, 4, 5)))) ==
+      "metric1,100,500,100|1,1.5,2.25,None\n" + "metric2,100,600,100|2,2.5,3.25,4,5\n")
+    assert(Render.csv(Seq(
+      tagged("metric1", Array(1, 1.5, 2.25, NaN)),
+      tagged("metric2", Array(2, 2.5, 3.25, 4, 5)))) ==
+      "\"metric1\",1970-01-01 00:01:40,1\n" +
+      "\"metric1\",1970-01-01 00:03:20,1.5\n" +
+      "\"metric1\",1970-01-01 00:05:00,2.25\n" +
+      "\"metric1\",1970-01-01 00:06:40,\n" +
+      "\"metric2\",1970-01-01 00:01:40,2\n" +
+      "\"metric2\",1970-01-01 00:03:20,2.5\n" +
+      "\"metric2\",1970-01-01 00:05:00,3.25\n" +
+      "\"metric2\",1970-01-01 00:06:40,4\n" +
+      "\"metric2\",1970-01-01 00:08:20,5\n")
+  }
+
   test("json marshal: null for NaN, tag ordering (ref MarshalJSON types.go:120-198)") {
     val out = Render.json(Seq(rs("a", Array(1.0, Double.NaN, 2.5))))
     assert(out ==
