@@ -58,6 +58,69 @@ class AlignSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getAs[scala.collection.Seq[Double]]("values") == Seq(5.0))
   }
 
+  test("the reference TestScaleToCommonStep tables (ref expr/helper/helper_test.go:126-225)") {
+    val NaN = Double.NaN
+    def checkAligned(commonStep: Long, in: Seq[Series], want: Map[String, (Long, Long, Seq[Double])]): Unit = {
+      val out = Align.scaleToCommonStep(frame(in: _*), commonStep).collect()
+        .map(r => r.getAs[String]("name") ->
+          ((r.getAs[Long]("start"), r.getAs[Long]("step"), r.getAs[scala.collection.Seq[Double]]("values").toSeq)))
+        .toMap
+      assert(out.keySet == want.keySet)
+      for ((n, (ws, wst, wv)) <- want) {
+        val (gs, gst, gv) = out(n)
+        assert(gs == ws && gst == wst, s"$n: start/step ($gs,$gst) want ($ws,$wst)")
+        assert(gv.length == wv.length, s"$n: ${gv.length} points ($gv), want ${wv.length}")
+        gv.zip(wv).zipWithIndex.foreach { case ((g, w), i) =>
+          assert((g.isNaN && w.isNaN) || math.abs(g - w) < 1e-9, s"$n[$i]: $g != $w") }
+      }
+    }
+    // Normal metrics: LCM step 6, starts floor to the grid, avg consolidation
+    checkAligned(0, Seq(
+      Series("metric1", Map("name" -> "metric1"), 4L, 1L, Array(1, 3, 5, 7, 9, 11, 13, 15, 17).map(_.toDouble)),
+      Series("metric2", Map("name" -> "metric2"), 4L, 2L, Array(1, 2, 3, 4, 5).map(_.toDouble)),
+      Series("metric3", Map("name" -> "metric3"), 3L, 3L, Array(1, 2, 3, 4, 5, 6).map(_.toDouble))),
+      Map(
+        "metric1" -> ((0L, 6L, Seq(2, 10, 17, NaN))),
+        "metric2" -> ((0L, 6L, Seq(1, 3, 5, NaN))),
+        "metric3" -> ((0L, 6L, Seq(1, 2.5, 4.5, 6)))))
+    // per-series consolidation + xFilesFactor against FULL bucket slots
+    checkAligned(0, Seq(
+      Series("metric1", Map("name" -> "metric1", "consolidateBy" -> "sum", "xFilesFactor" -> "0.45"),
+        3L, 1L, Array(NaN, 3, 5, 7, 9, 11, 13, 15, 17)),
+      Series("metric2", Map("name" -> "metric2", "consolidateBy" -> "min", "xFilesFactor" -> "0.45"),
+        4L, 2L, Array(1, 2, 3, 4, 5).map(_.toDouble)),
+      Series("metric3", Map("name" -> "metric3", "consolidateBy" -> "max", "xFilesFactor" -> "0.51"),
+        3L, 3L, Array(1, 2, 3, 4, 5, 6).map(_.toDouble)),
+      Series("metric6", Map("name" -> "metric6"), 0L, 6L, Array(1, 2, 3, 4, 5).map(_.toDouble))),
+      Map(
+        "metric1" -> ((0L, 6L, Seq(NaN, 72, NaN, NaN, NaN))),
+        "metric2" -> ((0L, 6L, Seq(NaN, 2, NaN, NaN, NaN))),
+        "metric3" -> ((0L, 6L, Seq(NaN, 3, 5, NaN, NaN))),
+        "metric6" -> ((0L, 6L, Seq(1, 2, 3, 4, 5)))))
+    // explicit common step 12
+    checkAligned(12, Seq(
+      Series("metric1", Map("name" -> "metric1"), 3L, 1L, Array(NaN, 3, 5, 7, 9, 11, 13, 15, 17)),
+      Series("metric2", Map("name" -> "metric2"), 4L, 2L, Array(1, 2, 3, 4, 5).map(_.toDouble)),
+      Series("metric3", Map("name" -> "metric3"), 3L, 3L, Array(1, 2, 3, 4, 5, 6).map(_.toDouble)),
+      Series("metric6", Map("name" -> "metric6"), 0L, 6L, Array(1, 2, 3, 4, 5).map(_.toDouble))),
+      Map(
+        "metric1" -> ((0L, 12L, Seq(10, NaN, NaN))),
+        "metric2" -> ((0L, 12L, Seq(2.5, 5, NaN))),
+        "metric3" -> ((0L, 12L, Seq(2, 5, NaN))),
+        "metric6" -> ((0L, 12L, Seq(1.5, 3.5, 5)))))
+  }
+
+  test("common tags survive aggregation as the per-key intersection (ref expr/helper/helper_test.go TestGetCommonTags)") {
+    val out = SeriesOps.aggregateNamed(frame(
+      Series("seriesByTag('tag1=value1')", Map("name" -> "m1", "tag1" -> "value1", "tag2" -> "onevalue", "tag3" -> "value3"), 0L, 1L, Array(1.0)),
+      Series("seriesByTag('tag1=value1')", Map("name" -> "m2", "tag1" -> "value1", "tag2" -> "differentvalue", "tag4" -> "value4"), 0L, 1L, Array(2.0))),
+      "sum", "seriesByTag('tag1=value1')").collect()
+    assert(out.length == 1)
+    val tags = out(0).getAs[Map[String, String]]("tags")
+    assert(tags.get("tag1").contains("value1"))
+    assert(!tags.contains("tag2") && !tags.contains("tag3") && !tags.contains("tag4"))
+  }
+
   test("sumSeries over mixed steps folds on the aligned grid") {
     val fine = Series("a", Map("name" -> "a"), 0L, 10L, Array(1, 2, 3, 4, 5, 6).map(_.toDouble))
     val coarse = Series("b", Map("name" -> "b"), 0L, 30L, Array(10.0, 20.0))
