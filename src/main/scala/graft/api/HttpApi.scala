@@ -270,12 +270,35 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     }
   }
 
+  /** /metrics/expand: multi-query, `leavesOnly=1` keeps leaf paths only,
+    * `groupByExpr=1` keys the results by query (object keys sorted like
+    * Go's map marshal), and a path already emitted by an earlier query is
+    * deduped out of later groups
+    * (ref cmd/carbonapi/http/expand_handler.go:127-168). */
   private def expand(p: Params): (String, String) = {
-    val query = one(p, "query")
-    require(query.nonEmpty, "missing query parameter")
-    checkQueryLength(Seq(query))
-    val results = Catalog.expand(spark, store, query).map(quote).mkString("[", ",", "]")
-    (s"""{"results":$results}""", "application/json")
+    val queries = p.getOrElse("query", Seq.empty).filter(_.nonEmpty)
+    require(queries.nonEmpty, "missing query parameter")
+    checkQueryLength(queries)
+    val leavesOnly = one(p, "leavesOnly") == "1"
+    val groupByExpr = one(p, "groupByExpr") == "1"
+    val seen = scala.collection.mutable.Set.empty[String]
+    val groups = queries.map { q =>
+      val paths = Catalog.find(spark, store, q)
+        .filter(n => !leavesOnly || n.leaf)
+        .map(_.id)
+        .filter(seen.add)
+        .sorted
+      q -> paths
+    }
+    val body =
+      if (groupByExpr)
+        groups.sortBy(_._1).map { case (q, ps) =>
+          quote(q) + ":" + ps.map(quote).mkString("[", ",", "]")
+        }.mkString("{\"results\":{", ",", "}}")
+      else
+        groups.flatMap(_._2).sorted.map(quote)
+          .mkString("{\"results\":[", ",", "]}")
+    (body, "application/json")
   }
 
   /** Top-level /tags[/values]: graphite tag listing, keyed by path suffix

@@ -7,7 +7,14 @@ import graft.core.Series
 import graft.engine.{Align, SeriesOps}
 
 /** Mixed-step alignment + aggregation over a real (local) session — the
-  * one behavior the uniform-step fixture store can't exercise. */
+  * one behavior the uniform-step fixture store can't exercise.
+  *
+  * Coverage note: the reference's AlignSeries tables (ref
+  * expr/helper/align_test.go) mutate per-series StartTimes in place as an
+  * aggregation PRE-pass; that intermediate state is not observable here —
+  * its observable (the aggregated grid incl. the maxVals bookkeeping) is
+  * asserted by the aggregate tables in FixtureSpec and the
+  * ScaleToCommonStep tables below, which exercise the same grid math. */
 class AlignSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _

@@ -462,6 +462,25 @@ class E2eScenarioSpec extends AnyFunSuite with BeforeAndAfterAll {
       maxQueryLength = 20)
   }
 
+  test("expand encoder: flat/leavesOnly/groupByExpr with cross-query dedup (ref cmd/carbonapi/http/expand_handler_test.go)") {
+    // leaf structure of the reference table: foo.bar is a branch (because
+    // foo.bar.baz exists), foo.bat and foo.bar.baz are leaves
+    val store = new MockBackendStore(Map(
+      "all" -> MockData(
+        MockSeries("foo.bat", Seq(1.0)),
+        MockSeries("foo.bar.baz", Seq(1.0)))))
+    run(store, Seq(
+      Q("/metrics/expand", Seq("query" -> "foo.ba*"),
+        Expect(200, ctJson, body = Some("""{"results":["foo.bar","foo.bat"]}"""))),
+      Q("/metrics/expand", Seq("query" -> "foo.ba*", "leavesOnly" -> "1"),
+        Expect(200, ctJson, body = Some("""{"results":["foo.bat"]}"""))),
+      Q("/metrics/expand", Seq("query" -> "foo.ba*", "groupByExpr" -> "1"),
+        Expect(200, ctJson, body = Some("""{"results":{"foo.ba*":["foo.bar","foo.bat"]}}"""))),
+      Q("/metrics/expand", Seq("query" -> "foo.ba*", "query" -> "foo.ba*.*", "groupByExpr" -> "1"),
+        Expect(200, ctJson,
+          body = Some("""{"results":{"foo.ba*":["foo.bar","foo.bat"],"foo.ba*.*":["foo.bar.baz"]}}""")))))
+  }
+
   test("e2e render_error: partial success renders, total failure maps the upstream code") {
     // ref testcases/render_error/render_error.yaml (default success policy)
     run(renderErrorStore, Seq(
