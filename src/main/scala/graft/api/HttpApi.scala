@@ -143,7 +143,21 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
   // the TTL skip re-evaluation entirely — ref render_handler.go:172-247,
   // cache.go:22-60). Keyed by the full query shape; `noCache=true` bypasses.
   private val cacheTtlSec: Long = sys.env.get("GRAFT_RESPONSE_CACHE_SEC").flatMap(_.toLongOption).getOrElse(60L)
+  // short-TTL split for "live" queries (small window ending near now) —
+  // disabled by default, exactly like the reference's
+  // responseCache.shortTimeoutSec (ref config/init.go:154-159,295-310 and
+  // render_handler.go:45-65 getCacheTimeout)
+  private[api] val cacheShortSec: Long =
+    sys.env.get("GRAFT_RESPONSE_CACHE_SHORT_SEC").flatMap(_.toLongOption).getOrElse(0L)
+  private[api] val cacheShortDurationSec: Long =
+    sys.env.get("GRAFT_RESPONSE_CACHE_SHORT_DURATION_SEC").flatMap(_.toLongOption).getOrElse(10800L)
+  private[api] val cacheShortUntilOffsetSec: Long =
+    sys.env.get("GRAFT_RESPONSE_CACHE_SHORT_UNTIL_OFFSET_SEC").flatMap(_.toLongOption).getOrElse(120L)
   private val respCache = new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Byte], String)]()
+
+  private def cacheTimeoutFor(p: Params, now: Long, until: Long, durationSec: Long): Long =
+    HttpApi.cacheTimeoutRule(one(p, "cacheTimeout").toLongOption, cacheTtlSec,
+      cacheShortSec, cacheShortDurationSec, cacheShortUntilOffsetSec, now, until, durationSec)
 
   /** Per-request response headers set from inside a handler (the JDK
     * handler signature doesn't thread the exchange through); applied by
@@ -169,10 +183,15 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
       if (tzName.isEmpty) java.time.ZoneOffset.UTC
       else try java.time.ZoneId.of(tzName)
       catch { case _: Exception => throw new IllegalArgumentException(s"bad tz: $tzName") }
+    val nowEpoch = java.time.Instant.now().getEpochSecond
+    val f = AtTime.toEpoch(from, nowEpoch - 86400, tz)
+    val u = AtTime.toEpoch(until, nowEpoch, tz)
+    // (ref render_handler.go:249-252 — an empty window is a request error)
+    if (f >= u) throw HttpError(400, "Invalid or empty time range")
     // request-level cache control, reference-exact: noCache is graphite-
     // truthy, cacheTimeout overrides the TTL in seconds (unparsable values
-    // fall back to the default) — ref render_handler.go:117,46-56
-    val ttlSec = one(p, "cacheTimeout").toLongOption.getOrElse(cacheTtlSec)
+    // fall back to the config rule) — ref render_handler.go:117,46-56
+    val ttlSec = cacheTimeoutFor(p, nowEpoch, u, u - f)
     val useCache = ttlSec > 0 && !truthy(one(p, "noCache"))
     // the sorted param map is the key — every render-affecting param
     // (template, picture params, timestampFormat, …) varies the body —
@@ -198,11 +217,6 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     // only when NOTHING rendered (or requireSuccessAll is set and any
     // target failed) — then the merged code + "target: message" lines go
     // out as text/plain (ref render_handler.go:313-368)
-    val nowEpoch = java.time.Instant.now().getEpochSecond
-    val f = AtTime.toEpoch(from, nowEpoch - 86400, tz)
-    val u = AtTime.toEpoch(until, nowEpoch, tz)
-    // (ref render_handler.go:249-252 — an empty window is a request error)
-    if (f >= u) throw HttpError(400, "Invalid or empty time range")
     val (rows0, errors) = Render.evalWithErrors(spark, store, targets, f, u, requireSuccessAll)
     if (rows0.isEmpty || (errors.nonEmpty && requireSuccessAll)) {
       val (mc, msgs) = Render.mergeHttpErrors(errors)
@@ -370,4 +384,20 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
 
   private def functions(p: Params): (String, String) =
     (Catalog.functions.map(quote).mkString("[", ",", "]"), "application/json")
+}
+
+object HttpApi {
+  /** The reference's response-cache TTL rule: an explicit cacheTimeout
+    * param wins; with the short tier configured, a query whose window is at
+    * most shortDuration long AND ends within shortUntilOffset of now gets
+    * the short TTL, everything else the default
+    * (ref cmd/carbonapi/http/render_handler.go:45-65 getCacheTimeout). */
+  def cacheTimeoutRule(explicit: Option[Long], defaultSec: Long, shortSec: Long,
+                       shortDurationSec: Long, shortUntilOffsetSec: Long,
+                       now: Long, until: Long, durationSec: Long): Long =
+    explicit.getOrElse {
+      if (now == 0 || shortSec == 0 || shortDurationSec == 0) defaultSec
+      else if (durationSec > shortDurationSec || now - until > shortUntilOffsetSec) defaultSec
+      else shortSec
+    }
 }

@@ -83,6 +83,22 @@ class ApiSpec extends AnyFunSuite {
     assert(Render.sortByGlobOrder(tagged).map(_.name) == Seq("a", "a.b.c", "a.d"))
   }
 
+  test("response-cache TTL rule: the reference Test_getCacheTimeout table (ref cmd/carbonapi/http/render_handler_test.go)") {
+    val now = 1636985018L
+    // cacheConfig: short 60, default 300, shortDuration 3h, untilOffset 120
+    def ttl(from: Long, until: Long): Long =
+      graft.api.HttpApi.cacheTimeoutRule(None, 300, 60, 10800, 120, now, until, until - from)
+    assert(ttl(now - 600, now - 120) == 60)
+    assert(ttl(now - 10800, now) == 60)
+    assert(ttl(now - 10800, now - 120) == 60)
+    assert(ttl(now - 10800, now - 121) == 300)
+    assert(ttl(now - 10801, now) == 300)
+    assert(ttl(now - 122, now - 121) == 300)
+    // explicit cacheTimeout always wins; short tier disabled → default
+    assert(graft.api.HttpApi.cacheTimeoutRule(Some(7), 300, 60, 10800, 120, now, now, 60) == 7)
+    assert(graft.api.HttpApi.cacheTimeoutRule(None, 300, 0, 10800, 120, now, now, 60) == 300)
+  }
+
   test("marshal tables: json, json+noNullPoints, raw, csv (ref expr/types/metricdata_test.go)") {
     def tagged(name: String, values: Array[Double], start: Long = 100, step: Long = 100) = {
       val tags = graft.core.Names.extractTags(name)
