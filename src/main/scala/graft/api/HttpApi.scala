@@ -270,7 +270,9 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
         val items = nodes.map { n =>
           s"""{"path":${quote(if (n.leaf) n.id else n.id + ".")},"name":${quote(n.text)},"is_leaf":"${if (n.leaf) 1 else 0}"}"""
         }.mkString("[", ",", "]")
-        (utf8(s"""{"metrics":$items}"""), "application/json")
+        // Go's json.NewEncoder().Encode appends a newline
+        // (ref find_handlers.go:146)
+        (utf8(s"""{"metrics":$items}""" + "\n"), "application/json")
       case "raw" =>
         (WireFormats.findList(pairs), "text/plain")
       case "pickle" =>
@@ -280,7 +282,8 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
         (WireFormats.findProtobufV3(query, pairs), "application/x-protobuf")
       case "protobuf2" | "carbonapi_v2_pb" =>
         (WireFormats.findProtobufV2(query, pairs), "application/x-protobuf")
-      case _ => (utf8(Catalog.treeJson(nodes)), "application/json")
+      // Go's json.NewEncoder().Encode appends a newline (find_handlers.go:100)
+      case _ => (utf8(Catalog.treeJson(nodes) + "\n"), "application/json")
     }
   }
 

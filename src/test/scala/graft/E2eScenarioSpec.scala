@@ -224,7 +224,7 @@ class E2eScenarioSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("e2e find_error: find answers for present metrics; absent ones contribute nothing") {
     // ref testcases/find_error/find_error.yaml (runs over render_error's backend)
-    val findA = """[{"allowChildren":0,"expandable":0,"leaf":1,"id":"a","text":"a","context":{}}]"""
+    val findA = """[{"allowChildren":0,"expandable":0,"leaf":1,"id":"a","text":"a","context":{}}]""" + "\n"
     run(renderErrorStore, Seq(
       Q("/metrics/find", Seq("query" -> "a", "format" -> "json"),
         Expect(200, ctJson, body = Some(findA))),
