@@ -83,6 +83,26 @@ class ApiSpec extends AnyFunSuite {
     assert(Render.sortByGlobOrder(tagged).map(_.name) == Seq("a", "a.b.c", "a.d"))
   }
 
+  test("error-merge: the reference TestMergeHttpErrors table (ref zipper/helper/errors_test.go)") {
+    def merge(errs: (Int, String)*): (Int, Seq[String]) =
+      Render.mergeHttpErrors(errs.zipWithIndex.map { case ((c, m), i) =>
+        s"t$i" -> new graft.store.StoreFetchException(c, m) })
+    assert(merge()._1 == 404)
+    assert(merge((503, "unavailable")) == ((503, Seq("t0: unavailable"))))
+    assert(merge((504, "timeout"), (503, "unavailable"))._1 == 503)
+    assert(merge((503, "unavailable"), (504, "timeout"))._1 == 503)
+    assert(merge((403, "limit"), (504, "timeout"))._1 == 403)
+    assert(merge((504, "timeout"), (403, "limit"))._1 == 403)
+    assert(merge((500, "error"), (403, "limit"))._1 == 403)
+    assert(merge((500, "error"), (504, "timeout"))._1 == 500)
+    assert(merge((504, "timeout"), (500, "error"))._1 == 500)
+    assert(merge((400, "error"), (403, "limit"))._1 == 400)
+    assert(merge((403, "limit"), (400, "error"))._1 == 400)
+    // both messages survive as "target: message" lines, in target order
+    assert(merge((504, "timeout"), (503, "unavailable"))._2 ==
+      Seq("t0: timeout", "t1: unavailable"))
+  }
+
   test("response-cache TTL rule: the reference Test_getCacheTimeout table (ref cmd/carbonapi/http/render_handler_test.go)") {
     val now = 1636985018L
     // cacheConfig: short 60, default 300, shortDuration 3h, untilOffset 120
