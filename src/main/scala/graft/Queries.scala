@@ -599,6 +599,11 @@ object Queries {
           dround(element_at(col("white"), 4), 4).as("w3"))
         .orderBy("vec_id")
     }),
+    // temperature-weighted source mixing: w_s ∝ n_s^0.3 renormalized,
+    // per-doc keep prob min(1, 250·w_s/n_s), deterministic hash draw
+    "p45_source_mix" -> ((s, dir) =>
+      Curation.temperatureMix(docs(s, dir), alpha = 0.3, targetTotal = 250L, seed = 1L)
+        .orderBy("doc_id")),
     // Gopher rule battery: per-rule 0/1 flags + keep (all integer-count
     // comparisons — exactly reproducible)
     "p43_gopher_rules" -> ((s, dir) =>
@@ -1897,6 +1902,17 @@ object Queries {
         |SELECT doc_id, n_words, ppl,
         |  CASE WHEN ppl <= c1 THEN 'head' WHEN ppl <= c2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM sp, cut ORDER BY doc_id""".stripMargin,
+    // same α-smoothed weights + the p25 deterministic hash draw
+    "p45_source_mix" ->
+      """WITH stats AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        |tot AS (SELECT sum(pow(n_s, 0.3)) AS w_tot FROM stats),
+        |j AS (SELECT d.doc_id, d.source, s.n_s,
+        |        least(1.0, 250.0 * pow(s.n_s, 0.3) / t.w_tot / s.n_s) AS rate,
+        |        CAST(((d.doc_id % 1000003 + 1) * 2654435761) % 1000000007 % 10000 AS DOUBLE) / 10000.0 AS u
+        |      FROM documents d JOIN stats s USING (source) CROSS JOIN tot t)
+        |SELECT doc_id, source, n_s, round(rate, 4) AS rate,
+        |  CAST(u < rate AS BIGINT) AS keep
+        |FROM j ORDER BY doc_id""".stripMargin,
     "p43_gopher_rules" ->
       """WITH base AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS rw,

@@ -175,6 +175,36 @@ object Curation {
   }
 
   /**
+   * Temperature-weighted source mixing — the multi-corpus data-recipe step
+   * (GPT-3's dataset weights, arXiv:2005.14165 §2.2; the Pile's α-smoothed
+   * multinomial): per-source sampling weight w_s ∝ n_s^alpha renormalized,
+   * so alpha=1 reproduces natural proportions and alpha→0 flattens toward
+   * uniform source mass; each document keeps with probability
+   * min(1, targetTotal·w_s / n_s), drawn with the same deterministic
+   * quantized doc-id hash as [[clusterBalancedSample]] so the oracle can
+   * replay the draw exactly.
+   *
+   * Scale: the source stats are a |sources|-row agg broadcast back onto
+   * the corpus; the draw is map-side — ONE scan of the corpus, no shuffle.
+   *
+   * Returns every document: (doc_id, source, n_s, rate, keep ∈ {0,1}).
+   */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.3,
+                     targetTotal: Long = 250L, seed: Long = 1L): DataFrame = {
+    val stats = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val wTot = stats.agg(sum(pow(col("n_s"), lit(alpha))).as("w_tot"))
+    val u = (((col("doc_id") % 1000003L + seed) * 2654435761L) % 1000000007L % 10000L)
+      .cast("double") / 10000.0
+    docs.join(broadcast(stats), "source")
+      .crossJoin(broadcast(wTot))
+      .withColumn("rate", least(lit(1.0),
+        lit(targetTotal.toDouble) * pow(col("n_s"), lit(alpha)) / col("w_tot") / col("n_s")))
+      .withColumn("keep", (u < col("rate")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_s"),
+        (round(col("rate") * 1e4) / 1e4).as("rate"), col("keep"))
+  }
+
+  /**
    * Cluster-balanced (diversity) sampling: cap every k-means cell at
    * `targetPerCell` members by sampling each cell at rate target/|cell| —
    * over-represented topics downsample toward uniform cluster mass, the

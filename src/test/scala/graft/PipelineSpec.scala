@@ -323,6 +323,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total < out.length, "an over-represented corpus must thin overall")
   }
 
+  test("p45: temperature mixing — alpha=1 is natural-proportion uniform, alpha=0 flattens source mass") {
+    val d = docs
+    val total = d.count()
+    val nSources = d.select("source").distinct().count()
+    // alpha=1: w_s = n_s/N, so rate = target/N for EVERY doc
+    val nat = Curation.temperatureMix(d, alpha = 1.0, targetTotal = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(nat.length == total)
+    val expect = math.round(100.0 / total * 1e4) / 1e4
+    assert(nat.forall(_._4 == expect), s"alpha=1 rate must be target/N=$expect")
+    // alpha=0: w_s = 1/|S|, so each source's EXPECTED kept mass is equal:
+    // rate_s = target/(|S| n_s); smaller sources get proportionally higher rates
+    val flat = Curation.temperatureMix(d, alpha = 0.0, targetTotal = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val bySrc = flat.groupBy(_._2)
+    for ((_, rows) <- bySrc) {
+      val n = rows.head._3
+      val want = math.min(1.0, 100.0 / (nSources * n))
+      assert(math.abs(rows.head._4 - want) < 1e-3, s"alpha=0 rate ${rows.head._4} want $want")
+    }
+    // keep is the deterministic hash draw: rerunning reproduces it exactly
+    val again = Curation.temperatureMix(d, alpha = 0.0, targetTotal = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(flat.forall(r => again(r._1) == r._5))
+  }
+
   test("IVF index round-trips through cell-partitioned parquet; probe prunes partitions") {
     val emb = embeddings
     val queries = emb.where(col("vec_id") < 5)
