@@ -844,6 +844,11 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(md("metric1 count", Seq(7, 8, 9), step = 1)))
   }
 
+  test("summarize with an out-of-int32-range interval errors (ref summarize/function_test.go TestEvalSummarizeOverflow)") {
+    assertThrows[Exception](run("summarize(metric1,'100y','sum',true)",
+      Seq(md("metric1", Seq(1, 2, 3, 4, 5), step = 1))))
+  }
+
   test("timeFunction honors a custom request range (ref expr/expr_test.go TestEvalCustomFromUntil)") {
     check("timeFunction(\"footime\")", Nil,
       Seq(md("footime", Seq(4200.0, 4260.0, 4320.0), step = 60, start = 4200)),
