@@ -785,12 +785,16 @@ object Eval {
     }),
     "threshold" -> ((ctx, fc) => {
       val base = constantLine(ctx, numArg(fc, 0))
+      // label/color are string-or-bare-name, named or positional (ref
+      // cairo/cairo.go threshold: GetStringNamedOrPosArgDefault)
       val labeled = arg(fc, 1, "label") match {
         case Some(Str(l)) => SeriesOps.alias(base, l)
+        case Some(NameExpr(l)) => SeriesOps.alias(base, l)
         case _ => base
       }
       arg(fc, 2, "color") match {
         case Some(Str(c)) => ExtOps.setOption(labeled, "color", c)
+        case Some(NameExpr(c)) => ExtOps.setOption(labeled, "color", c)
         case _ => labeled
       }
     }),

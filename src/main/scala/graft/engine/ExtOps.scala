@@ -126,8 +126,6 @@ object ExtOps {
       .transform(d => rewrap(d, "compressPeriodicGaps"))
   }
 
-  /** scaleAfterTimestamp: multiply only points at/after the pivot ts.
-    * (ref scale/function.go — scaleAfterTimestamp variant) */
   /** scale with a pivot timestamp: points at ts >= pivot are scaled, earlier
     * ones pass through. `scaleAfterTimestamp` is a pure alias of `scale` in
     * the reference — the OUTPUT name is always `scale(name,factor,rawTs)`

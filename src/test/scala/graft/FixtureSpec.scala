@@ -2213,6 +2213,22 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[Exception](run("consolidateBy(metric1,'maximum')", in))
   }
 
+  test("threshold label/color forms, named and positional (ref cairo/cairo_test.go TestEvalExpressionGraph)") {
+    def n(target: String): Seq[String] =
+      run(target, Nil, from = 0, until = 1).map(_.name)
+    assert(n("threshold(42.42)") == Seq("42.42"))
+    assert(n("threshold(42.42,\"fourty-two\")") == Seq("fourty-two"))
+    assert(n("threshold(42.42,\"fourty-two\",\"blue\")") == Seq("fourty-two"))
+    assert(n("threshold(42.42,label=\"fourty-two\")") == Seq("fourty-two"))
+    assert(n("threshold(42.42,color=\"blue\")") == Seq("42.42"))
+    assert(n("threshold(42.42,label=\"fourty-two-blue\",color=\"blue\")") == Seq("fourty-two-blue"))
+    // the reference's own quirk: a positional bare-name color is LOST when
+    // label is named (GetStringNamedOrPosArgDefault, noted in cairo_test.go)
+    assert(n("threshold(42.42,gold,label=\"fourty-two-aurum\")") == Seq("fourty-two-aurum"))
+    val vals = run("threshold(42.42)", Nil, from = 0, until = 1).head
+    assert(vals.values.toSeq == Seq(42.42, 42.42))
+  }
+
   test("constantLine: two points spanning [from,until], string arg parses (ref constantLine/function_test.go,function.go:36-44)") {
     check("constantLine(42.42)", Nil,
       Seq(md("42.42", Seq(42.42, 42.42), step = 1, start = 0)), from = 0, until = 1)
