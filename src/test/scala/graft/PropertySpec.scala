@@ -111,6 +111,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("VectorAggregator is partition-invariant: any split of the series across partial buffers merges to the sequential answer") {
+    // the map-side-combine correctness claim behind the 100 TB story: the
+    // aggregate of N series must not depend on HOW Spark partitions them
+    import graft.engine.{VecAggInput, VectorAggregator}
+    val rnd = new scala.util.Random(7)
+    val funcs = Seq("sum", "average", "avg_zero", "min", "max", "multiply",
+      "range", "rangeOf2", "stddev", "count")
+    for (trial <- 1 to 40; func <- funcs) {
+      val nSeries = 1 + rnd.nextInt(5)
+      val step = 10L
+      val series = (1 to nSeries).map { _ =>
+        val start = step * rnd.nextInt(4)
+        val n = 1 + rnd.nextInt(8)
+        val vals = Array.fill(n)(if (rnd.nextInt(4) == 0) Double.NaN else rnd.nextInt(100).toDouble)
+        VecAggInput(start, step, vals.toSeq)
+      }
+      val agg = new VectorAggregator(func, 0.0)
+      // sequential: one buffer folds everything in order
+      val seqOut = agg.finish(series.foldLeft(agg.zero)(agg.reduce))
+      // random split: each partition folds its slice, buffers merge in a
+      // shuffled binary tree
+      val parts = series.groupBy(_ => rnd.nextInt(3)).values.toSeq
+      val bufs = rnd.shuffle(parts.map(p => p.foldLeft(agg.zero)(agg.reduce)))
+      val merged = agg.finish(bufs.reduce(agg.merge))
+      assert(merged.start == seqOut.start && merged.step == seqOut.step,
+        s"$func trial $trial: grid (${merged.start},${merged.step}) vs (${seqOut.start},${seqOut.step})")
+      assert(merged.values.length == seqOut.values.length, s"$func trial $trial: lengths")
+      merged.values.zip(seqOut.values).zipWithIndex.foreach { case ((m, s), i) =>
+        assert((m.isNaN && s.isNaN) || math.abs(m - s) < 1e-9 * math.max(1.0, math.abs(s)),
+          s"$func trial $trial [$i]: $m != $s")
+      }
+    }
+  }
+
   test("parser round-trip: parse(print(parse(t))) == parse(t) over a corpus") {
     val corpus = Seq(
       "a.b.c", "host.*.cpu", "host.{a,b}.cpu[0-9]",
