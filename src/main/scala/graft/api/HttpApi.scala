@@ -174,7 +174,13 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     val targets = p.getOrElse("target", Seq.empty)
     require(targets.nonEmpty, "missing target parameter")
     checkQueryLength(targets)
-    val format = one(p, "format", "json")
+    // empty format + truthy rawData/rawdata selects raw (ref
+    // http/helper.go:149-157 getFormat)
+    val format = one(p, "format") match {
+      case "" if truthy(one(p, "rawData")) || truthy(one(p, "rawdata")) => "raw"
+      case "" => "json"
+      case f => f
+    }
     val from = one(p, "from", "-24h"); val until = one(p, "until", "now")
     val mdp = one(p, "maxDataPoints", "0").toLong
     val noNull = one(p, "noNullPoints") == "true"
@@ -278,9 +284,11 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
       case "pickle" =>
         // "we have everything" up to now+60, like the reference
         (WireFormats.findPickle(pairs, System.currentTimeMillis() / 1000 + 60), "application/pickle")
-      case "protobuf" | "protobuf3" | "carbonapi_v3_pb" =>
+      // "protobuf3" maps to the V2 wire form — only "carbonapi_v3_pb"
+      // selects v3 (ref http/helper.go:123-136 knownFormats)
+      case "carbonapi_v3_pb" =>
         (WireFormats.findProtobufV3(query, pairs), "application/x-protobuf")
-      case "protobuf2" | "carbonapi_v2_pb" =>
+      case "protobuf" | "protobuf3" | "carbonapi_v2_pb" =>
         (WireFormats.findProtobufV2(query, pairs), "application/x-protobuf")
       // Go's json.NewEncoder().Encode appends a newline (find_handlers.go:100)
       case _ => (utf8(Catalog.treeJson(nodes) + "\n"), "application/json")

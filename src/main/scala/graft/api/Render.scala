@@ -333,9 +333,11 @@ object Render {
       case "csv"  => (csv(rows).getBytes(utf8), "text/csv")
       case "raw"  => (raw(rows).getBytes(utf8), "text/plain")
       case "pickle" => (WireFormats.pickle(rows), "application/pickle")
-      case "protobuf" | "protobuf3" | "carbonapi_v3_pb" =>
+      // knownFormats quirk: "protobuf3" is the V2 wire form; only
+      // "carbonapi_v3_pb" selects v3 (ref http/helper.go:123-136)
+      case "carbonapi_v3_pb" =>
         (WireFormats.protobufV3(rows), "application/x-protobuf")
-      case "protobuf2" | "carbonapi_v2_pb" =>
+      case "protobuf" | "protobuf3" | "carbonapi_v2_pb" =>
         (WireFormats.protobufV2(rows), "application/x-protobuf")
       case "png" =>
         (Graph.png(rows, Graph.paramsFrom(graphParams, rows.size).copy(tz = tz)), "image/png")

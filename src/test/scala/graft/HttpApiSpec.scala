@@ -141,6 +141,16 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(body, java.nio.charset.StandardCharsets.ISO_8859_1).contains("events.click"))
   }
 
+  test("format quirks: protobuf3 is the V2 wire form; rawData selects raw; protobuf2 is unknown (ref http/helper.go:123-157)") {
+    val (c3, b3, _) = getBytes("/render?target=events.click&from=1704067200&until=1706660000&format=protobuf3")
+    val (c2, b2, _) = getBytes("/render?target=events.click&from=1704067200&until=1706660000&format=carbonapi_v2_pb")
+    assert(c3 == 200 && c2 == 200 && java.util.Arrays.equals(b3, b2),
+      "protobuf3 must serve the same bytes as carbonapi_v2_pb")
+    val (rc, rb) = get("/render?target=events.click&from=1704067200&until=1706660000&rawData=true")
+    assert(rc == 200 && rb.startsWith("events.click,"))
+    assert(get("/render?target=events.click&from=1704067200&until=1706660000&format=protobuf2")._1 == 400)
+  }
+
   test("/info returns per-target retention metadata") {
     val (code, body) = get("/info?target=events.click")
     assert(code == 200)
