@@ -291,7 +291,15 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
       case "protobuf" | "protobuf3" | "carbonapi_v2_pb" =>
         (WireFormats.findProtobufV2(query, pairs), "application/x-protobuf")
       // Go's json.NewEncoder().Encode appends a newline (find_handlers.go:100)
-      case _ => (utf8(Catalog.treeJson(nodes) + "\n"), "application/json")
+      case "" | "treejson" | "json" =>
+        (utf8(Catalog.treeJson(nodes) + "\n"), "application/json")
+      // csv passes ValidFindFormat but has no marshal case in the
+      // reference switch — a 200 with an empty csv body
+      // (ref find_handlers.go:301-372 has no csvFormat arm)
+      case "csv" => (Array.empty[Byte], "text/csv")
+      // unknown or render-only formats are a 400, like !ValidFindFormat
+      // (ref find_handlers.go:217, helper.go:77-98)
+      case other => throw HttpError(400, s"unsupported format: $other")
     }
   }
 
@@ -304,6 +312,11 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     val queries = p.getOrElse("query", Seq.empty).filter(_.nonEmpty)
     require(queries.nonEmpty, "missing query parameter")
     checkQueryLength(queries)
+    // only treejson/json pass ValidExpandFormat (ref helper.go:66-75)
+    one(p, "format") match {
+      case "" | "treejson" | "json" =>
+      case other => throw HttpError(400, s"unsupported format: $other")
+    }
     val leavesOnly = one(p, "leavesOnly") == "1"
     val groupByExpr = one(p, "groupByExpr") == "1"
     val seen = scala.collection.mutable.Set.empty[String]

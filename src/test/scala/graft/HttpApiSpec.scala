@@ -151,6 +151,16 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/render?target=events.click&from=1704067200&until=1706660000&format=protobuf2")._1 == 400)
   }
 
+  test("find/expand format validity: render-only and unknown formats are 400, find csv is an empty 200 (ref helper.go:66-98)") {
+    assert(get("/metrics/find?query=events.*&format=png")._1 == 400)
+    assert(get("/metrics/find?query=events.*&format=nonsense")._1 == 400)
+    val (cc, cb, cct) = getBytes("/metrics/find?query=events.*&format=csv")
+    assert(cc == 200 && cct.startsWith("text/csv") && cb.isEmpty)
+    assert(get("/metrics/expand?query=events.*&format=completer")._1 == 400)
+    assert(get("/metrics/expand?query=events.*&format=treejson")._1 == 200)
+    assert(get("/render?target=events.click&from=1704067200&until=1706660000&format=treejson")._1 == 400)
+  }
+
   test("/info returns per-target retention metadata") {
     val (code, body) = get("/info?target=events.click")
     assert(code == 200)
