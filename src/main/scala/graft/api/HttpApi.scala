@@ -183,7 +183,8 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     }
     val from = one(p, "from", "-24h"); val until = one(p, "until", "now")
     val mdp = one(p, "maxDataPoints", "0").toLong
-    val noNull = one(p, "noNullPoints") == "true"
+    // graphite-truthy, like the reference's parser.TruthyBool (1/true/yes)
+    val noNull = truthy(one(p, "noNullPoints"))
     val tzName = one(p, "tz")
     val tz =
       if (tzName.isEmpty) java.time.ZoneOffset.UTC
@@ -359,7 +360,11 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
           if (requireSuccessAll) throw e
           Seq.empty[String]
       }
-    (res.map(quote).mkString("[", ",", "]"), "application/json")
+    // pretty=1 → Go's json.MarshalIndent(res, "", "\t") shape
+    // (ref tags_handler.go:111-115)
+    if (one(p, "pretty") == "1" && res.nonEmpty)
+      (res.map(s => "\t" + quote(s)).mkString("[\n", ",\n", "\n]"), "application/json")
+    else (res.map(quote).mkString("[", ",", "]"), "application/json")
   }
 
   private def tagsDispatch(ex: HttpExchange): Unit = {

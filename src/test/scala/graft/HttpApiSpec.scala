@@ -161,6 +161,13 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/render?target=events.click&from=1704067200&until=1706660000&format=treejson")._1 == 400)
   }
 
+  test("tags pretty=1 indents like MarshalIndent (ref tags_handler.go:111-115)") {
+    val (c, b) = get("/tags/autoComplete/tags?pretty=1")
+    assert(c == 200 && b.startsWith("[\n\t\"") && b.endsWith("\"\n]"))
+    val (c2, b2) = get("/tags/autoComplete/tags")
+    assert(c2 == 200 && !b2.contains("\n"))
+  }
+
   test("/info returns per-target retention metadata") {
     val (code, body) = get("/info?target=events.click")
     assert(code == 200)
