@@ -260,7 +260,18 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     * protobuf v2/v3 — the reference serves all of them
     * (ref find_handlers.go:243,301-372). */
   private def find(p: Params): (Array[Byte], String) = {
-    val queries = p.getOrElse("query", Seq.empty).filter(_.nonEmpty)
+    val fmt = one(p, "format", "treejson")
+    // completer PREFIX rewrite: "/" → ".", bare/"."/empty → ".*", else
+    // append "*" — the graphite-web completion grammar
+    // (ref find_handlers.go:229-239)
+    val queries0 = p.getOrElse("query", Seq.empty)
+    val queries =
+      if (fmt == "completer")
+        (if (queries0.isEmpty) Seq("") else queries0).map(_.replace("/", ".")).map {
+          case "" | "." => ".*"
+          case q => q + "*"
+        }
+      else queries0.filter(_.nonEmpty)
     require(queries.nonEmpty, "missing query parameter")
     checkQueryLength(queries)
     val query = queries.head
