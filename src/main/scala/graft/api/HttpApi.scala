@@ -174,11 +174,12 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     val targets = p.getOrElse("target", Seq.empty)
     require(targets.nonEmpty, "missing target parameter")
     checkQueryLength(targets)
-    // empty format + truthy rawData/rawdata selects raw (ref
-    // http/helper.go:149-157 getFormat)
+    // empty format + truthy rawData/rawdata selects raw; the bare default
+    // is PNG, like graphite-web (ref http/helper.go:149-157 getFormat,
+    // render_handler.go:120 getFormat(r, pngFormat))
     val format = one(p, "format") match {
       case "" if truthy(one(p, "rawData")) || truthy(one(p, "rawdata")) => "raw"
-      case "" => "json"
+      case "" => "png"
       case f => f
     }
     val from = one(p, "from", "-24h"); val until = one(p, "until", "now")

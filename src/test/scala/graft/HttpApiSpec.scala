@@ -34,11 +34,14 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     (resp.statusCode(), resp.body())
   }
 
-  test("/render json returns datapoints for a real target") {
-    val (code, body) = get("/render?target=sumSeries(events.*)&from=1704067200&until=1706660000")
+  test("/render json returns datapoints for a real target; bare default is png (ref render_handler.go:120)") {
+    val (code, body) = get("/render?target=sumSeries(events.*)&from=1704067200&until=1706660000&format=json")
     assert(code == 200)
     assert(body.contains("\"target\":\"sumSeries(events.*)\""))
     assert(body.contains("\"datapoints\":[["))
+    val (dc, db, dct) = getBytes("/render?target=sumSeries(events.*)&from=1704067200&until=1706660000")
+    assert(dc == 200 && dct.startsWith("image/png"))
+    assert(db.length > 8 && (db(0) & 0xFF) == 0x89 && db(1) == 'P'.toByte)
   }
 
   test("/render csv format") {
@@ -120,7 +123,7 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("/render handles generators unioned with fetches (null pathExpression)") {
-    val (code, body) = get("/render?target=group(events.click,constantLine(5))&from=1704067200&until=1706660000")
+    val (code, body) = get("/render?target=group(events.click,constantLine(5))&from=1704067200&until=1706660000&format=json")
     assert(code == 200, body.take(300))
     assert(body.contains("\"events.click\"") && body.contains("\"target\":\"5\""))
   }
@@ -205,7 +208,7 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("/render timestampFormat scales json timestamps; jsonp wraps; bad format is 400") {
-    val base = "/render?target=events.click&from=1704067200&until=1704070000"
+    val base = "/render?target=events.click&from=1704067200&until=1704070000&format=json"
     val (c1, s) = get(base)
     val (c2, ms) = get(base + "&timestampFormat=ms")
     assert(c1 == 200 && c2 == 200)
