@@ -80,6 +80,10 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
       (code, (msg + "\n").getBytes(StandardCharsets.UTF_8))
     }
     extraHeaders.remove()
+    // per-request id header on every response, success or error
+    // (ref http/helper.go:36 ctxHeaderUUID, set by writeResponse/setError)
+    ex.getResponseHeaders.set("X-CTX-CarbonAPI-UUID",
+      java.util.UUID.randomUUID().toString)
     val out =
       try {
         val (body, ct) = f(params(ex))

@@ -164,6 +164,13 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/render?target=events.click&from=1704067200&until=1706660000&format=treejson")._1 == 400)
   }
 
+  test("every response carries the X-CTX-CarbonAPI-UUID header (ref http/helper.go:36)") {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/version")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.headers().firstValue("X-CTX-CarbonAPI-UUID").isPresent)
+  }
+
   test("tags pretty=1 indents like MarshalIndent (ref tags_handler.go:111-115)") {
     val (c, b) = get("/tags/autoComplete/tags?pretty=1")
     assert(c == 200 && b.startsWith("[\n\t\"") && b.endsWith("\"\n]"))
