@@ -680,7 +680,12 @@ object Queries {
       Multimodal.frameSamplePlan(Multimodal.syntheticAssets(docs(s, dir)))
         .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("ts_ms").cast("long").as("ts_ms"))
-        .orderBy("asset_id", "frame_idx"))
+        .orderBy("asset_id", "frame_idx")),
+    // aspect-preserving integer resize plan for image assets (the sizing
+    // pass before pixels move); the real pixel kernel is spec-gated
+    "m03_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(Multimodal.syntheticAssets(docs(s, dir)), box = 64)
+        .orderBy("asset_id"))
   )
 
   // -------------------------------------------------------------- oracle SQL
@@ -1816,6 +1821,18 @@ object Queries {
         |FROM (SELECT doc_id, unnest(generate_series(0, least(n_chars * 10, 31000), 1000)) AS ts_ms
         |      FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+    // same integer fit math: w*64 // max(w,h) floors identically in both engines
+    "m03_resize_plan" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |    CAST(doc_id % 640 + 32 AS BIGINT) AS width,
+        |    CAST(doc_id % 480 + 32 AS BIGINT) AS height
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT asset_id, width, height,
+        |  CASE WHEN greatest(width, height) <= 64 THEN width
+        |       ELSE greatest(1, width * 64 // greatest(width, height)) END AS out_w,
+        |  CASE WHEN greatest(width, height) <= 64 THEN height
+        |       ELSE greatest(1, height * 64 // greatest(width, height)) END AS out_h
+        |FROM a ORDER BY asset_id""".stripMargin,
     // the stub "decode" is a byte histogram over the UTF-8 payload; the
     // corpus is pure ASCII (verified), so codepoint counts == byte counts
     // and the 32-wide bins of the dim=8 histogram are SQL-countable. f0 =

@@ -126,6 +126,82 @@ object Multimodal {
     }(enc)
   }
 
+  /**
+   * Resize PLAN for image assets: aspect-preserving fit of the declared
+   * (width, height) metadata into a `box`×`box` square, INTEGER math only
+   * (`w*box div max(w,h)`) so the plan is bit-identical across engines —
+   * the sizing pass a 100 TB image corpus runs before any pixel touches an
+   * executor. Non-image modalities are not planned. Pure column math, one
+   * scan, no decode and no shuffle.
+   */
+  def resizePlan(assets: DataFrame, box: Int = 64): DataFrame =
+    assets.where(col("modality") === "image")
+      .withColumn("_m", greatest(col("width"), col("height")).cast("long"))
+      .select(col("asset_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        when(col("_m") <= box, col("width").cast("long"))
+          .otherwise(greatest(lit(1L), expr(s"CAST(width AS BIGINT) * $box div _m"))).as("out_w"),
+        when(col("_m") <= box, col("height").cast("long"))
+          .otherwise(greatest(lit(1L), expr(s"CAST(height AS BIGINT) * $box div _m"))).as("out_h"))
+
+  /** REAL pixel resize for JDK-decodable payloads: AWT bilinear scale to
+    * (w, h), re-encoded as PNG. None when the payload doesn't decode —
+    * callers pass those through untouched (the audio/video stub rule). */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** Batched resize over asset frames: plan dims from the DECODED image
+    * (metadata can lie at 100 TB), same mapPartitions batch shape as
+    * [[extractFeatures]]; non-decodable payloads pass through with
+    * resized=0. */
+  def resizeImages(assets: DataFrame, box: Int = 64, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("modality", StringType),
+      StructField("payload_out", org.apache.spark.sql.types.BinaryType),
+      StructField("out_w", IntegerType),
+      StructField("out_h", IntegerType),
+      StructField("resized", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    assets.select(col("asset_id"), col("modality"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val payload = r.getAs[Array[Byte]]("payload")
+            val modality = r.getString(1)
+            val resizedOpt =
+              if (modality != "image") None
+              else decodeImage(payload, 2).flatMap { case (_, w, h) =>
+                val m = math.max(w, h)
+                val (ow, oh) =
+                  if (m <= box) (w, h)
+                  else (math.max(1, w * box / m), math.max(1, h * box / m))
+                resizeImage(payload, ow, oh).map(b => (b, ow, oh))
+              }
+            resizedOpt match {
+              case Some((b, ow, oh)) => Row(r.getLong(0), modality, b, ow, oh, 1)
+              case None => Row(r.getLong(0), modality, payload, null, null, 0)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Deterministic frame sampling plan for video assets: every `everyMs`
     * milliseconds, capped at `maxFrames` — pure column math, no decode. */
   def frameSamplePlan(assets: DataFrame, everyMs: Long = 1000L, maxFrames: Int = 32): DataFrame =

@@ -199,6 +199,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f3 == Multimodal.decodeImageStub(png, 8).toSeq, "audio modality stays stubbed")
   }
 
+  test("m03: real pixel resize fits decodable images into the box; non-images pass through") {
+    import graft.pipeline.Multimodal
+    // 128x32 gradient PNG → fit into 64x64 is (64, 16)
+    val img = new java.awt.image.BufferedImage(128, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 128) img.setRGB(x, y, (x * 2) << 16)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val textBytes = "definitely not pixels".getBytes("UTF-8")
+
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("modality", StringType),
+      StructField("payload", BinaryType)))
+    val assets = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "image", png),
+        Row(2L, "image", textBytes),
+        Row(3L, "video", png)), schema)
+    val out = Multimodal.resizeImages(assets, box = 64).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the resized payload is itself a decodable PNG with the planned dims
+    assert(out(1L).getInt(5) == 1)
+    assert(out(1L).getInt(3) == 64 && out(1L).getInt(4) == 16, "aspect fit 128x32 → 64x16")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).getAs[Array[Byte]]("payload_out")))
+    assert(back.getWidth == 64 && back.getHeight == 16)
+    // deterministic: same input bytes → same output bytes
+    val again = Multimodal.resizeImages(assets, box = 64).collect().map(r => r.getLong(0) -> r).toMap
+    assert(java.util.Arrays.equals(out(1L).getAs[Array[Byte]]("payload_out"),
+      again(1L).getAs[Array[Byte]]("payload_out")))
+    // pass-throughs keep the original bytes
+    assert(out(2L).getInt(5) == 0 &&
+      java.util.Arrays.equals(out(2L).getAs[Array[Byte]]("payload_out"), textBytes))
+    assert(out(3L).getInt(5) == 0 &&
+      java.util.Arrays.equals(out(3L).getAs[Array[Byte]]("payload_out"), png))
+    // an already-small image is left at its own size
+    val small = Multimodal.resizeImages(assets.where(col("asset_id") === 1L), box = 256).collect()
+    assert(small.head.getInt(3) == 128 && small.head.getInt(4) == 32)
+  }
+
   test("p06: every simhash pair is within the Hamming budget of the full 64-bit fingerprints") {
     val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
     val pairs = Dedup.simhashPairs(docs, maxHammingDistance = 3)
