@@ -95,6 +95,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq(1L, 4L), s"got $out")
   }
 
+  test("streaming multimodal feature extraction matches the batch kernel per asset") {
+    // the mapPartitions batch kernel is deterministic and stateless, so it
+    // lifts to a streaming micro-batch unchanged — gate stream ≡ batch
+    import graft.pipeline.Multimodal
+    val tmp = Files.createTempDirectory("graft-assets").toString
+    val srcDir = s"$tmp/assets"; val ckDir = s"$tmp/ck"
+    val sp = spark
+    import sp.implicits._
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, if (y < 4) 0x000000 else 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val rows = Seq(
+      (1L, "image", png), (2L, "image", "junk bytes".getBytes("UTF-8")),
+      (3L, "audio", "pcm-ish".getBytes("UTF-8")))
+    rows.take(2).toDF("asset_id", "modality", "payload").repartition(1)
+      .write.parquet(s"$srcDir/f1")
+    rows.drop(2).toDF("asset_id", "modality", "payload").repartition(1)
+      .write.parquet(s"$srcDir/f2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("asset_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("modality", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    val src = sp.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q = Multimodal.extractFeatures(src, dim = 8)
+      .writeStream.format("memory").queryName("mm_stream")
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = sp.table("mm_stream").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val batch = Multimodal.extractFeatures(
+      rows.toDF("asset_id", "modality", "payload"), dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(streamed.keySet == Set(1L, 2L, 3L))
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
+
   test("streaming corpus stats match the batch rollup for finalized windows") {
     import java.sql.Timestamp
     val tmp = Files.createTempDirectory("graft-corpusstats").toString
