@@ -285,12 +285,14 @@ object Curation {
    * whose right side is one (doc_id, cluster_id) row per document.
    */
   def curatedCorpus(docs: DataFrame, pairs: DataFrame, lang: String = "en",
-                    minTokens: Int = 10): DataFrame = {
+                    minTokens: Int = 10,
+                    cc: (DataFrame, DataFrame) => DataFrame =
+                      Dedup.dedupClustersStar(_, _)): DataFrame = {
     val gated = piiSignals(TextStats.languageId(docs))
       .withColumn("n_tokens", TextStats.tokenCount(col("text")))
       .where(col("lang_pred") === lang && col("n_tokens") >= minTokens && !col("has_pii"))
     gated
-      .join(Dedup.dedupClusters(docs, pairs), "doc_id")
+      .join(cc(docs, pairs), "doc_id")
       .where(col("cluster_id") === col("doc_id")) // keeper = component min id
       .select(col("doc_id"), col("lang_pred"), col("n_tokens").cast("long").as("n_tokens"))
   }
