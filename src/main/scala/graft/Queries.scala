@@ -604,6 +604,29 @@ object Queries {
     "p45_source_mix" -> ((s, dir) =>
       Curation.temperatureMix(docs(s, dir), alpha = 0.3, targetTotal = 250L, seed = 1L)
         .orderBy("doc_id")),
+    // deterministic training-shard shuffle plan: LCG position, round-robin
+    // shard, per-shard write order + running token offset — the one
+    // hash-by-shard shuffle IS the partitioning the shard writer needs
+    "p46_shard_plan" -> ((s, dir) =>
+      Assembly.shardPlan(docs(s, dir), nShards = 8)
+        .orderBy("doc_id")),
+    // unigram entropy + type/token ratio repetitiveness signals
+    "p47_word_entropy" -> ((s, dir) =>
+      graft.pipeline.TextStats.wordEntropy(docs(s, dir))
+        .select(col("doc_id"), col("n_words"), col("n_types"),
+          dround(col("entropy"), 4).as("entropy"),
+          dround(col("ttr"), 4).as("ttr"))
+        .orderBy("doc_id")),
+    // cross-source k-gram overlap matrix: jaccard + containment per pair
+    "p48_source_overlap" -> ((s, dir) =>
+      Curation.sourceOverlap(docs(s, dir), k = 3)
+        .select(col("src_a"), col("src_b"), col("n_common"), col("sz_a"),
+          col("sz_b"), dround(col("jaccard"), 4).as("jaccard"),
+          dround(col("containment"), 4).as("containment"))
+        .orderBy("src_a", "src_b")),
+    // one distributed BPE merge-count iteration over the vocab table
+    "p49_bpe_pairs" -> ((s, dir) =>
+      Curation.bpePairs(docs(s, dir), topN = 20)),
     // Gopher rule battery: per-rule 0/1 flags + keep (all integer-count
     // comparisons — exactly reproducible)
     "p43_gopher_rules" -> ((s, dir) =>
@@ -1975,6 +1998,53 @@ object Queries {
         |  GROUP BY doc_id)
         |SELECT doc_id, n_words, dsir_score FROM sc
         |ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin,
+    // exact 64-bit LCG replay: both engines do (a*id + c) mod 2^31 in BIGINT
+    "p46_shard_plan" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  (1103515245 * doc_id + 12345) % 2147483648 AS pos
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, pos, pos % 8 AS shard,
+        |  row_number() OVER (PARTITION BY pos % 8 ORDER BY pos, doc_id) AS shard_seq,
+        |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY pos % 8 ORDER BY pos, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "p47_word_entropy" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
+        |vc AS (SELECT doc_id, word, count(*) AS c FROM ex GROUP BY doc_id, word),
+        |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_types,
+        |       sum(c * ln(c)) AS clnc FROM vc GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_types,
+        |  round(ln(n_words) - clnc / n_words, 4) AS entropy,
+        |  round(CAST(n_types AS DOUBLE) / n_words, 4) AS ttr
+        |FROM ag ORDER BY doc_id""".stripMargin,
+    "p48_source_overlap" ->
+      """WITH words AS (
+        |  SELECT source, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (SELECT DISTINCT source, gram FROM (
+        |  SELECT source, unnest(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM words WHERE len(w) >= 3)),
+        |sz AS (SELECT source, count(*) AS sz FROM g GROUP BY source),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) AS jaccard,
+        |  round(CAST(n_common AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment
+        |FROM i JOIN sz sa ON sa.source = i.src_a JOIN sz sb ON sb.source = i.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+    "p49_bpe_pairs" ->
+      """WITH w AS (SELECT
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |v AS (SELECT word, count(*) AS cnt FROM (SELECT unnest(w) AS word FROM w) GROUP BY word),
+        |p AS (SELECT substr(word, i, 2) AS pair, cnt FROM (
+        |  SELECT word, cnt, unnest(generate_series(1, len(word) - 1)) AS i FROM v WHERE len(word) >= 2))
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "p30_shared_spans" ->
       """WITH words AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w

@@ -95,7 +95,8 @@ object ScaleBench {
     "p36_semantic_dedup", "p37_remove_spans", "p38_quality_keeper",
     "p39_contamination_2phase", "p40_cluster_sample", "p41_ppl_buckets",
     "p42_dsir_select", "p43_gopher_rules", "p44_pca_whiten", "p45_source_mix",
-    "q07_sessions")
+    "p46_shard_plan", "p47_word_entropy", "p48_source_overlap",
+    "p49_bpe_pairs", "q07_sessions")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

@@ -276,4 +276,34 @@ object Assembly {
         (round(avg(col("_lr")) * 1e4) / 1e4).as("dsir_score"))
       .orderBy(col("dsir_score").desc, col("doc_id")).limit(k)
   }
+
+  /**
+   * Training-shard shuffle plan — the final step before a corpus is written
+   * out as training shards: give every document a deterministic
+   * pseudo-random position (LCG over doc_id, exact 64-bit integer math so
+   * any engine replays it), assign shards round-robin over the position
+   * space, and lay out each shard's write order plus the running token
+   * offset a sequential shard writer needs.
+   *
+   * Scale shape: the position/shard columns are map-side arithmetic; the
+   * only shuffle is the hash partition by `shard` that the per-shard
+   * sequence/offset window needs — which is exactly the partitioning the
+   * shard writer itself wants, so at 100 TB the plan IS the write: one
+   * shuffle, then each task streams one shard in order. No global sort
+   * anywhere.
+   */
+  def shardPlan(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"shardPlan: nShards must be positive, got $nShards")
+    val pos = pmod(lit(1103515245L) * col("doc_id") + lit(12345L), lit(1L << 31))
+    val w = Window.partitionBy("shard").orderBy(col("pos"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("pos", pos)
+      .withColumn("shard", pmod(col("pos"), lit(nShards.toLong)))
+      .withColumn("shard_seq", row_number().over(w).cast("long"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+  }
 }

@@ -310,4 +310,64 @@ object Curation {
       .orderBy(col("cnt").desc, col("word"))
       .limit(topN)
   }
+
+  /**
+   * Cross-source k-gram overlap matrix — the corpus-level diagnostic a
+   * mixing decision starts from: for every pair of sources, the Jaccard
+   * and containment of their distinct word k-shingle sets. High overlap
+   * between a "curated" and a "raw" source means the mixing weights are
+   * double-counting the same text.
+   *
+   * Scale shape: one distinct over (source, gram) — linear in corpus
+   * tokens — then a self-equi-join on gram whose per-key fan-out is
+   * bounded by the source count (a handful), so the join output stays
+   * O(distinct grams). The per-source set sizes are a |sources|-row
+   * aggregate that broadcasts onto the pair counts.
+   */
+  def sourceOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col("source"), Dedup.wordsOf(col("text")).as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("source"), explode(Dedup.shinglesOf(col("w"), k)).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
+    val a = grams.as("a"); val b = grams.as("b")
+    a.join(b, col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sz_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("sz_b"))), "src_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")))
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("sz_a"), col("sz_b")))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("sz_a"),
+        col("sz_b"), col("jaccard"), col("containment"))
+  }
+
+  /**
+   * One distributed BPE merge-count iteration: from the corpus word
+   * frequencies, count every adjacent character pair weighted by word
+   * count and return the top pairs — the statistic a BPE tokenizer trainer
+   * computes each round (the top-1 pair becomes the next merge). Running
+   * it over the vocab table instead of the token stream is the standard
+   * trick: the pair explosion is over DISTINCT words, corpus size only
+   * enters through the precomputed counts.
+   *
+   * Scale shape: vocab agg (one shuffle, map-side partials), then a
+   * per-word Σ|word| explode of the vocab — tiny relative to the corpus —
+   * and a TakeOrdered top-N. The full-corpus scan happens exactly once.
+   */
+  def bpePairs(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val v = docs.select(explode(Dedup.wordsOf(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    v.where(length(col("word")) >= 2)
+      .select(col("cnt"), explode(
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topN)
+  }
 }

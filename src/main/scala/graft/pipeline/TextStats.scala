@@ -187,4 +187,32 @@ object TextStats {
         col("r_wc") + col("r_mwl") + col("r_sym") + col("r_bullet") +
           col("r_ell") + col("r_alpha") + col("r_stop") === 7))
   }
+
+  /**
+   * Per-document unigram entropy and type/token ratio — the standard
+   * repetitiveness signals (low entropy = spammy/templated text; CCNet and
+   * Gopher both gate on close relatives). H = ln(n) − Σ c·ln(c)/n over the
+   * per-doc word counts, so one aggregation pass computes it without
+   * materializing probabilities.
+   *
+   * Scale shape: explode → two groupBys that both partition by doc_id
+   * (Catalyst reuses the exchange: the (doc_id, word) agg output is
+   * already partitioned by a superset key, and the second agg re-shuffles
+   * only doc_id-sized rows, one count row per distinct word per doc).
+   * Everything is map-side-partial; no joins, no windows.
+   */
+  def wordEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val perWord = docs
+      .select(col("doc_id"), explode(Dedup.wordsOf(col(textCol))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    perWord.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("_clnc"))
+      .withColumn("entropy",
+        log(col("n_words").cast("double")) - col("_clnc") / col("n_words"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_words"))
+      .select(col("doc_id"), col("n_words"), col("n_types"),
+        col("entropy"), col("ttr"))
+  }
 }

@@ -281,4 +281,26 @@ class AssemblySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"src1 selected $selSrc1/$k vs corpus share $corpusShare")
     sel.unpersist()
   }
+
+  test("shardPlan: LCG positions replay exactly, shards partition the corpus, offsets prefix-sum") {
+    val plan = Assembly.shardPlan(docs, nShards = 4).cache()
+    assert(plan.count() == docs.count())
+    // exact LCG replay on a sampled row
+    val r = plan.orderBy("doc_id").head()
+    val id = r.getAs[Long]("doc_id")
+    assert(r.getAs[Long]("pos") == (1103515245L * id + 12345L) % (1L << 31))
+    assert(r.getAs[Long]("shard") == r.getAs[Long]("pos") % 4)
+    // within every shard: seq is 1..n dense and tok_offset is the exact
+    // prefix sum of n_tokens in (pos, doc_id) order
+    plan.orderBy("shard", "pos", "doc_id").collect()
+      .groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+        var expectSeq = 1L; var expectOff = 0L
+        rows.foreach { row =>
+          assert(row.getAs[Long]("shard_seq") == expectSeq)
+          assert(row.getAs[Long]("tok_offset") == expectOff)
+          expectSeq += 1; expectOff += row.getAs[Long]("n_tokens")
+        }
+      }
+    plan.unpersist()
+  }
 }

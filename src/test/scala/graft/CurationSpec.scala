@@ -280,4 +280,49 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((1L, 1L)), s"clean dup must keep despite higher id: ${out(2L)}")
     assert(out(3L)._2 == 1L, "singleton keeps itself")
   }
+
+  test("word entropy: uniform text maxes H at ln(n_types); repeated word collapses it; ttr exact") {
+    val corpus = docsOf(
+      1L -> "a b c d",          // uniform: H = ln 4, ttr = 1
+      2L -> "x x x x",          // degenerate: H = 0, ttr = 1/4
+      3L -> "a a b")            // H = ln 3 - (2 ln 2)/3
+    val out = graft.pipeline.TextStats.wordEntropy(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("entropy"), r.getAs[Double]("ttr")))).toMap
+    assert(out(1L)._1 == 4 && out(1L)._2 == 4 && out(1L)._4 == 1.0)
+    assert(math.abs(out(1L)._3 - math.log(4)) < 1e-12)
+    assert(out(2L)._3 == 0.0 && out(2L)._4 == 0.25)
+    assert(math.abs(out(3L)._3 - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12)
+  }
+
+  test("source overlap: half-shared trigram sets give the closed-form jaccard and containment") {
+    val s = spark
+    import s.implicits._
+    // srcA grams: {a b c, b c d} ; srcB grams: {b c d, c d e} → ∩=1, ∪=3
+    val corpus = Seq(
+      (1L, "a b c d", "srcA"),
+      (2L, "b c d e", "srcB")).toDF("doc_id", "text", "source")
+    val out = Curation.sourceOverlap(corpus, k = 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("src_a") == "srcA" && r.getAs[String]("src_b") == "srcB")
+    assert(r.getAs[Long]("n_common") == 1 && r.getAs[Long]("sz_a") == 2 &&
+      r.getAs[Long]("sz_b") == 2)
+    assert(math.abs(r.getAs[Double]("jaccard") - 1.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("containment") - 0.5) < 1e-12)
+  }
+
+  test("bpe pairs: adjacent pair counts weight by word frequency and the top pair is the merge") {
+    val corpus = docsOf(
+      1L -> "low low lower",
+      2L -> "low newest")
+    // counts: low×3, lower×1, newest×1
+    // 'lo': 4, 'ow': 4, 'we': 1+1, 'er': 1, 'ne': 1, 'ew': 1, 'es': 1, 'st': 1
+    val out = Curation.bpePairs(corpus, topN = 10).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("cnt"))
+    assert(out.take(2).toSet == Set("lo" -> 4L, "ow" -> 4L))
+    assert(out.toMap == Map("lo" -> 4L, "ow" -> 4L, "we" -> 2L, "er" -> 1L,
+      "ne" -> 1L, "ew" -> 1L, "es" -> 1L, "st" -> 1L))
+  }
 }
