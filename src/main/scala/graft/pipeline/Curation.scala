@@ -318,22 +318,27 @@ object Curation {
    * between a "curated" and a "raw" source means the mixing weights are
    * double-counting the same text.
    *
-   * Scale shape: one distinct over (source, gram) — linear in corpus
-   * tokens — then a self-equi-join on gram whose per-key fan-out is
-   * bounded by the source count (a handful), so the join output stays
-   * O(distinct grams). The per-source set sizes are a |sources|-row
-   * aggregate that broadcasts onto the pair counts.
+   * Scale shape: NO self-join — one gram-keyed aggregation collects each
+   * gram's (tiny, |sources|-bounded) source set with map-side-combined
+   * partials, then the pair counts and per-source set sizes are both
+   * in-plan expansions of that aggregate (the gram exchange is identical
+   * on both branches, so Catalyst's ReuseExchange runs it once). Linear
+   * in corpus tokens; everything downstream of the gram agg is
+   * |sources|²-sized.
    */
   def sourceOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
-    val grams = docs
+    val ss = docs
       .select(col("source"), Dedup.wordsOf(col("text")).as("w"))
       .where(size(col("w")) >= k)
       .select(col("source"), explode(Dedup.shinglesOf(col("w"), k)).as("gram"))
-      .distinct()
-    val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
-    val a = grams.as("a"); val b = grams.as("b")
-    a.join(b, col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy("gram").agg(sort_array(collect_set(col("source"))).as("ss"))
+    val sizes = ss.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("sz"))
+    ss.where(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          y => struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_common"))
       .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sz_a"))), "src_a")
       .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("sz_b"))), "src_b")
