@@ -292,9 +292,15 @@ object Assembly {
    * shuffle, then each task streams one shard in order. No global sort
    * anywhere.
    */
+  /** The LCG position column shared by [[shardPlan]] and the streaming
+    * shard assignment — pure 64-bit integer arithmetic, replayable by any
+    * engine (and by the DuckDB oracle). */
+  def shardPos(docId: Column): Column =
+    pmod(lit(1103515245L) * docId + lit(12345L), lit(1L << 31))
+
   def shardPlan(docs: DataFrame, nShards: Int): DataFrame = {
     require(nShards > 0, s"shardPlan: nShards must be positive, got $nShards")
-    val pos = pmod(lit(1103515245L) * col("doc_id") + lit(12345L), lit(1L << 31))
+    val pos = shardPos(col("doc_id"))
     val w = Window.partitionBy("shard").orderBy(col("pos"), col("doc_id"))
     docs
       .select(col("doc_id"),

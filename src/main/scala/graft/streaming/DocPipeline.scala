@@ -124,6 +124,25 @@ object DocPipeline {
       .select(col("doc_id"), col("ts"), col("lang_pred"), col("n_tokens"), col("split"))
   }
 
+  /**
+   * Streaming shard assignment — the stateless half of the batch
+   * [[graft.pipeline.Assembly.shardPlan]]: position and shard are pure
+   * doc_id arithmetic (the same LCG via [[graft.pipeline.Assembly.shardPos]]),
+   * so a streamed document lands in exactly the shard the batch plan puts
+   * it in (gated stream ≡ batch in StreamingSpec). The per-shard
+   * sequence/token-offset columns are write-time bookkeeping a shard
+   * writer assigns as it appends — they depend on arrival order, which a
+   * stream only has at the sink.
+   */
+  def shardAssign(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"shardAssign: nShards must be positive, got $nShards")
+    docs
+      .withColumn("n_tokens",
+        graft.pipeline.TextStats.tokenCount(col("text")).cast("long"))
+      .withColumn("pos", graft.pipeline.Assembly.shardPos(col("doc_id")))
+      .withColumn("shard", pmod(col("pos"), lit(nShards.toLong)))
+  }
+
   private def dedupGroup(horizon: String)(
       key: String, rows: Iterator[DocEvent],
       state: GroupState[Long]): Iterator[DocEvent] = {

@@ -292,6 +292,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
 
+  test("streaming shard assignment matches the batch shard plan per document") {
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("graft-shard").toString
+    val sp = spark
+    import sp.implicits._
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val rows = Seq((1L, ts(0), "alpha beta gamma"), (2L, ts(1), "delta"),
+      (7L, ts(2), "one two three four five"), (1000L, ts(3), "six seven"))
+    rows.toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$tmp/docs/f1")
+
+    val src = sp.readStream.schema(graft.streaming.DocPipeline.docSchema)
+      .parquet(s"$tmp/docs/*")
+    val q = graft.streaming.DocPipeline.shardAssign(src, nShards = 4)
+      .select("doc_id", "n_tokens", "pos", "shard")
+      .writeStream.format("memory").queryName("shard_stream")
+      .option("checkpointLocation", s"$tmp/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = sp.table("shard_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.pipeline.Assembly.shardPlan(
+        rows.map(r => (r._1, r._3)).toDF("doc_id", "text"), nShards = 4)
+      .select("doc_id", "n_tokens", "pos", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.size == 4)
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
   test("streaming sessionization matches the batch q07 derivation for watermark-closed sessions") {
     val tmp = Files.createTempDirectory("graft-sess").toString
     val srcDir = s"$tmp/events"
