@@ -263,4 +263,50 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), "encode must not shuffle:\n" + plan.take(3000))
     assert(!plan.contains("Join"), "encode must not join:\n" + plan.take(3000))
   }
+
+  test("shard plan shuffles exactly once — by shard, the writer's own partitioning") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f"), (10L, "g h i j"))
+      .toDF("doc_id", "text")
+    val plan = graft.pipeline.Assembly.shardPlan(docs, nShards = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "shard plan must not join:\n" + plan.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected the single by-shard exchange, got $exchanges:\n" + plan.take(3000))
+    assert(plan.contains("hashpartitioning(shard"), plan.take(3000))
+  }
+
+  test("word entropy never joins: two doc_id-keyed aggregations only") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "c d")).toDF("doc_id", "text")
+    val plan = graft.pipeline.TextStats.wordEntropy(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "entropy must not join:\n" + plan.take(3000))
+    assert(!plan.contains("Window"), "entropy must not window:\n" + plan.take(3000))
+  }
+
+  test("source overlap has no pairwise document join: gram agg + broadcast size lookups only") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "a b c d", "srcA"), (2L, "b c d e", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val plan = graft.pipeline.Curation.sourceOverlap(docs, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "overlap must stay equality-keyed:\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "the only joins are the broadcast |sources|-row size lookups:\n" + plan.take(3000))
+  }
+
+  test("bpe pair count is a TakeOrdered top-k over the vocab, never a global sort or join") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "low lower"), (2L, "newest")).toDF("doc_id", "text")
+    val plan = graft.pipeline.Curation.bpePairs(docs, topN = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "bpe pairs must not join:\n" + plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
 }
