@@ -627,6 +627,13 @@ object Queries {
     // one distributed BPE merge-count iteration over the vocab table
     "p49_bpe_pairs" -> ((s, dir) =>
       Curation.bpePairs(docs(s, dir), topN = 20)),
+    // add-one bigram LM score: two key-partitioned hash joins, no
+    // corpus-sized broadcast
+    "p50_bigram_lm" -> ((s, dir) =>
+      Assembly.bigramLmScore(docs(s, dir))
+        .select(col("doc_id"), col("n_bigrams"),
+          dround(col("avg_logp"), 4).as("avg_logp"))
+        .orderBy("doc_id")),
     // Gopher rule battery: per-rule 0/1 flags + keep (all integer-count
     // comparisons — exactly reproducible)
     "p43_gopher_rules" -> ((s, dir) =>
@@ -2045,6 +2052,19 @@ object Queries {
         |  SELECT word, cnt, unnest(generate_series(1, len(word) - 1)) AS i FROM v WHERE len(word) >= 2))
         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "p50_bigram_lm" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |v AS (SELECT count(DISTINCT word) AS v FROM (SELECT unnest(w) AS word FROM w)),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM w WHERE len(w) >= 2)),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((cb + 1.0) / (cu + v))), 4) AS avg_logp
+        |FROM bg JOIN bc USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p30_shared_spans" ->
       """WITH words AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w

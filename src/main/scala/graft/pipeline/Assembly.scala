@@ -211,6 +211,40 @@ object Assembly {
   }
 
   /**
+   * Bigram LM quality score with add-one smoothing — the next step from
+   * [[unigramLmScore]] toward CCNet's KenLM n-gram scorer:
+   * P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), V = corpus vocabulary
+   * size, scored as the mean log-prob over a document's bigrams. Documents
+   * with fewer than two words have no bigrams and drop out (same rule in
+   * the oracle).
+   *
+   * Scale shape: the bigram and context tables come from ONE explode of
+   * the token stream via two map-side-partial aggregations; scoring is two
+   * hash joins keyed by (w1, w2) and w1 — both sides partitioned on their
+   * join keys, no broadcast of corpus-sized state (the only broadcast is
+   * the 1-row vocabulary size). Zipf skew on the hottest contexts is the
+   * usual salting candidate at extreme scale; counts stay exact either way.
+   */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), Dedup.wordsOf(col("text")).as("w"))
+    val vocabSize = words.select(explode(col("w")).as("word"))
+      .agg(countDistinct(col("word")).as("v"))
+    val bigr = words.where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = bigr.groupBy("w1").agg(count(lit(1)).as("cu"))
+    bigr.join(bc, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log((col("cb") + 1.0) / (col("cu") + col("v")))).as("avg_logp"))
+  }
+
+  /**
    * CCNet-style perplexity bucketing (Wenzek et al. 2020, arXiv:1911.00359
    * §4.3): score every document by language-model perplexity
    * (exp of the negative mean log-prob — CCNet uses a KenLM 5-gram; the

@@ -282,6 +282,22 @@ class AssemblySpec extends AnyFunSuite with BeforeAndAfterAll {
     sel.unpersist()
   }
 
+  test("bigramLmScore: closed-form add-one bigram probabilities on a planted corpus") {
+    val sp = spark
+    import sp.implicits._
+    // bigrams: doc1 (a,b)(b,a)(a,b), doc2 (a,b) → cb(a,b)=3, cb(b,a)=1,
+    // cu(a)=3, cu(b)=1, V=3 (a, b and doc3's z)
+    val corpus = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = Assembly.bigramLmScore(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logp")))).toMap
+    assert(!out.contains(3L), "a one-word doc has no bigrams")
+    val pAB = math.log(4.0 / 6); val pBA = math.log(2.0 / 4)
+    assert(out(1L)._1 == 3 && math.abs(out(1L)._2 - (2 * pAB + pBA) / 3) < 1e-12)
+    assert(out(2L)._1 == 1 && math.abs(out(2L)._2 - pAB) < 1e-12)
+  }
+
   test("shardPlan: LCG positions replay exactly, shards partition the corpus, offsets prefix-sum") {
     val plan = Assembly.shardPlan(docs, nShards = 4).cache()
     assert(plan.count() == docs.count())
