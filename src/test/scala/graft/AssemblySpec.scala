@@ -227,6 +227,19 @@ class AssemblySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.length == 1 && p.head.getAs[Long]("tok_start") == 0L)
     val m = Assembly.mixWeights(one).collect()
     assert(m.length == 1 && math.abs(m.head.getAs[Double]("weight") - 1.0) < 1e-12)
+    // r6e operators on the same degenerate inputs
+    assert(Assembly.shardPlan(empty.select("doc_id", "text"), 4).count() == 0)
+    assert(Assembly.bigramLmScore(empty).count() == 0)
+    assert(graft.pipeline.TextStats.wordEntropy(empty).count() == 0)
+    assert(graft.pipeline.Curation.sourceOverlap(empty, 3).count() == 0)
+    assert(graft.pipeline.Curation.bpePairs(empty).count() == 0)
+    val sh = Assembly.shardPlan(one.select("doc_id", "text"), 4).collect()
+    assert(sh.length == 1 && sh.head.getAs[Long]("shard_seq") == 1L &&
+      sh.head.getAs[Long]("tok_offset") == 0L)
+    assert(graft.pipeline.Curation.sourceOverlap(one, 3).count() == 0,
+      "one source has no pairs")
+    val we = graft.pipeline.TextStats.wordEntropy(one).head()
+    assert(we.getAs[Double]("ttr") == 1.0, "all-distinct words → ttr 1")
   }
 
   test("unigramLmScore: common-word text outscores rare-token soup; scores are negative") {

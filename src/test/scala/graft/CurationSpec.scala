@@ -296,6 +296,25 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out(3L)._3 - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12)
   }
 
+  test("word entropy: randomized docs match a local reference; 0 ≤ H ≤ ln(n_types)") {
+    val rnd = new scala.util.Random(11)
+    val fixture = (1L to 30L).map { id =>
+      val n = 1 + rnd.nextInt(40)
+      id -> Seq.fill(n)(('a' + rnd.nextInt(5)).toChar.toString).mkString(" ")
+    }
+    val out = graft.pipeline.TextStats.wordEntropy(docsOf(fixture: _*)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    fixture.foreach { case (id, text) =>
+      val counts = text.split(" ").groupBy(identity).view.mapValues(_.length)
+      val n = counts.values.sum
+      val h = math.log(n) - counts.values.map(c => c * math.log(c)).sum / n
+      val r = out(id)
+      assert(math.abs(r.getAs[Double]("entropy") - h) < 1e-9, s"doc $id")
+      assert(r.getAs[Double]("entropy") >= -1e-12 &&
+        r.getAs[Double]("entropy") <= math.log(counts.size) + 1e-12, s"doc $id bounds")
+    }
+  }
+
   test("source overlap: half-shared trigram sets give the closed-form jaccard and containment") {
     val s = spark
     import s.implicits._
