@@ -634,6 +634,10 @@ object Queries {
         .select(col("doc_id"), col("n_bigrams"),
           dround(col("avg_logp"), 4).as("avg_logp"))
         .orderBy("doc_id")),
+    // token-id encoding against the broadcast top-256 vocab (OOV = 0)
+    "p51_token_encode" -> ((s, dir) =>
+      Curation.tokenEncode(docs(s, dir), vocabSize = 256)
+        .orderBy("doc_id")),
     // Gopher rule battery: per-rule 0/1 flags + keep (all integer-count
     // comparisons — exactly reproducible)
     "p43_gopher_rules" -> ((s, dir) =>
@@ -2065,6 +2069,21 @@ object Queries {
         |  round(avg(ln((cb + 1.0) / (cu + v))), 4) AS avg_logp
         |FROM bg JOIN bc USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p51_token_encode" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |vc AS (SELECT word, count(*) AS cnt FROM (SELECT unnest(w) AS word FROM w) GROUP BY word),
+        |top AS (SELECT word, cnt FROM vc ORDER BY cnt DESC, word LIMIT 256),
+        |rk AS (SELECT word, row_number() OVER (ORDER BY cnt DESC, word) AS id FROM top),
+        |ex AS (SELECT doc_id, w[i] AS word, i AS pos FROM (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM w WHERE len(w) >= 1)),
+        |j AS (SELECT doc_id, pos, coalesce(id, 0) AS id FROM ex LEFT JOIN rk USING (word))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  arg_min(id, pos) AS first_id, arg_max(id, pos) AS last_id,
+        |  CAST(sum(id) AS BIGINT) AS id_sum
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p30_shared_spans" ->
       """WITH words AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w

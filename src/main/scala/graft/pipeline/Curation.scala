@@ -364,6 +364,37 @@ object Curation {
    * per-word Σ|word| explode of the vocab — tiny relative to the corpus —
    * and a TakeOrdered top-N. The full-corpus scan happens exactly once.
    */
+  /**
+   * Token-id encoding against the corpus vocabulary — the step between
+   * tokenizer training and sequence packing: the top-`vocabSize` words
+   * (by count, ties by word) get ids 1..V in rank order, everything else
+   * is OOV id 0, and each document reduces to its id-sequence summary
+   * (token/OOV counts, first/last id, id checksum — the columns an
+   * encode-integrity check needs without materializing the arrays).
+   *
+   * Scale shape: the vocab is small BY CONSTRUCTION (a tokenizer vocab is
+   * 32k–256k rows), so the id lookup is a broadcast join onto the exploded
+   * token stream — the corpus never shuffles until the per-doc re-agg,
+   * which partitions by doc_id with map-side partials.
+   */
+  def tokenEncode(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    val ranked = vocab(docs, vocabSize)
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("word"))).cast("long"))
+      .select(col("word"), col("id"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(Dedup.wordsOf(col("text"))).as(Seq("pos", "word")))
+    toks.join(broadcast(ranked), Seq("word"), "left")
+      .withColumn("id", coalesce(col("id"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        min_by(col("id"), col("pos")).as("first_id"),
+        max_by(col("id"), col("pos")).as("last_id"),
+        sum(col("id")).as("id_sum"))
+  }
+
   def bpePairs(docs: DataFrame, topN: Int = 20): DataFrame = {
     val v = docs.select(explode(Dedup.wordsOf(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))

@@ -332,6 +332,18 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getAs[Double]("containment") - 0.5) < 1e-12)
   }
 
+  test("token encode: rank ids, OOV zeros, first/last/checksum on a planted vocab") {
+    // counts: a:3, b:2, c:1 → vocab(2): a=1, b=2; c is OOV
+    val corpus = docsOf(1L -> "b a a", 2L -> "c b a")
+    val out = Curation.tokenEncode(corpus, vocabSize = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("first_id"), r.getAs[Long]("last_id"),
+          r.getAs[Long]("id_sum")))).toMap
+    assert(out(1L) == ((3L, 0L, 2L, 1L, 4L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((3L, 1L, 0L, 1L, 3L)), s"doc2: ${out(2L)}")
+  }
+
   test("bpe pairs: adjacent pair counts weight by word frequency and the top pair is the merge") {
     val corpus = docsOf(
       1L -> "low low lower",
