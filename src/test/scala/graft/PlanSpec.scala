@@ -309,4 +309,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Join"), "bpe pairs must not join:\n" + plan.take(3000))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
+
+  test("bigram LM joins stay equality-keyed (no cartesian, no nested loop)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = graft.pipeline.Assembly.bigramLmScore(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the only nested-loop join allowed is the 1-row vocab-size cross join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"only the 1-row V cross join may nest-loop ($bnlj):\n" + plan.take(3000))
+  }
+
+  test("token encode looks ids up via the broadcast vocab, never a shuffled join of the corpus") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = graft.pipeline.Curation.tokenEncode(docs, vocabSize = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus must not shuffle for the id lookup:\n" + plan.take(3000))
+  }
 }
