@@ -390,6 +390,22 @@ object Queries {
       Dedup.minhashPairsOph(docs(s, dir), k = 3, numBins = 64, bands = 16, threshold = 0.8)
         .select(col("doc_a"), col("doc_b"), dround(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy("doc_a", "doc_b")),
+    // incremental near-dup: persisted OPH index queried by a new batch
+    // (every 7th doc, ids shifted — each must rediscover its original);
+    // no oracle — xxhash64 sketch; ≡ minhashPairsOph + planted-dup gates
+    // in PipelineSpec
+    "p52_neardup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_nd_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Dedup.writeNearDupIndex(d, path)
+      val batch = d.where(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(10_000_000L))
+      Dedup.nearDupAgainstIndex(batch, path, threshold = 0.9)
+        .select(col("new_id"), col("old_id"),
+          dround(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("new_id", "old_id")
+    }),
     "p06_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHammingDistance = 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))

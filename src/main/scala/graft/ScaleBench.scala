@@ -96,7 +96,8 @@ object ScaleBench {
     "p39_contamination_2phase", "p40_cluster_sample", "p41_ppl_buckets",
     "p42_dsir_select", "p43_gopher_rules", "p44_pca_whiten", "p45_source_mix",
     "p46_shard_plan", "p47_word_entropy", "p48_source_overlap",
-    "p49_bpe_pairs", "p50_bigram_lm", "p51_token_encode", "q07_sessions")
+    "p49_bpe_pairs", "p50_bigram_lm", "p51_token_encode",
+    "p52_neardup_incremental", "q07_sessions")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

@@ -127,14 +127,77 @@ object Dedup {
     * numHashes-fold for the same candidate quality (empty bins are
     * rotation-densified, so position-match estimation stays valid). */
   def minhashPairsOph(docs: DataFrame, k: Int = 3, numBins: Int = 64,
-                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
-    val sigs = docs
+                      bands: Int = 16, threshold: Double = 0.8): DataFrame =
+    lshBandPairs(ophSigs(docs, k, numBins).persist(), numBins, bands, threshold)
+
+  /** (doc_id, sig) OPH signatures — shared by the pair join, the persisted
+    * index writer and the incremental query. */
+  private def ophSigs(docs: DataFrame, k: Int, numBins: Int): DataFrame =
+    docs
       .select(col("doc_id"), wordsOf(col("text")).as("_w"))
       .select(col("doc_id"),
         graft.functions.SketchExpressions.ophSig(
           transform(shinglesOf(col("_w"), k), s => xxhash64(s)), numBins).as("sig"))
-      .persist()
-    lshBandPairs(sigs, numBins, bands, threshold)
+
+  /** (doc_id, band, bandHash) rows from a (doc_id, sig) table. */
+  private def bandRows(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))))
+        .as(Seq("band", "bandHash")))
+  }
+
+  /**
+   * Persisted near-dup signature index — the production shape for rolling
+   * corpus ingestion: sign the existing corpus ONCE and write the
+   * signatures plus their band buckets to parquet; each incoming batch is
+   * then checked by [[nearDupAgainstIndex]] without re-signing or
+   * shuffling the corpus. Batch twin of the streaming OPH near-dup
+   * ([[graft.streaming.NearDup]]).
+   */
+  def writeNearDupIndex(docs: DataFrame, dir: String, k: Int = 3,
+                        numBins: Int = 64, bands: Int = 16): Unit = {
+    ophSigs(docs, k, numBins).write.mode("overwrite").parquet(s"$dir/sigs")
+    // band off the persisted signatures, not a second corpus scan
+    val stored = docs.sparkSession.read.parquet(s"$dir/sigs")
+    bandRows(stored, numBins, bands).write.mode("overwrite").parquet(s"$dir/bands")
+  }
+
+  /**
+   * Incremental near-dup query: (new_id, old_id, est_jaccard) for every
+   * new-batch document whose estimated Jaccard against an indexed document
+   * clears `threshold`. Same-id rows are dropped so re-checking the
+   * indexed corpus against itself reports only genuine cross-document
+   * pairs (gated ≡ [[minhashPairsOph]] in PipelineSpec).
+   *
+   * Scale shape: the index is the big side and NEVER moves — the new
+   * batch's band keys and signatures broadcast (a batch is small relative
+   * to the corpus by construction), so the query is two broadcast hash
+   * joins over index scans; candidates scale with true duplicate density.
+   */
+  def nearDupAgainstIndex(newDocs: DataFrame, dir: String, k: Int = 3,
+                          numBins: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSigs = ophSigs(newDocs, k, numBins).persist()
+    val newBands = bandRows(newSigs, numBins, bands)
+      .withColumnRenamed("doc_id", "new_id")
+    val cand = spark.read.parquet(s"$dir/bands")
+      .join(broadcast(newBands), Seq("band", "bandHash"))
+      .select(col("doc_id").as("old_id"), col("new_id"))
+      .where(col("old_id") =!= col("new_id"))
+      .dropDuplicates("old_id", "new_id")
+    spark.read.parquet(s"$dir/sigs")
+      .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
+      .join(broadcast(cand), "old_id")
+      .join(broadcast(newSigs.select(col("doc_id").as("new_id"), col("sig").as("new_sig"))), "new_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("old_sig"), col("new_sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numBins))
+      .where(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("est_jaccard"))
   }
 
   /** Shared LSH tail: band the (doc_id, sig) table, bucket-join for
@@ -149,11 +212,7 @@ object Dedup {
     * verification — the same shape as [[Similarity.srpNearDupPairs]]. */
   private def lshBandPairs(sigs: DataFrame, numHashes: Int, bands: Int,
                            threshold: Double): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val banded = sigs.select(
-        col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))).as(Seq("band", "bandHash")))
+    val banded = bandRows(sigs, numHashes, bands)
     val candIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash") &&
           col("a.doc_id") < col("b.doc_id"))

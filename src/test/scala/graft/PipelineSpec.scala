@@ -469,4 +469,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.ivfPqTopK(index, emb.limit(10), cb, diskCents,
       k = 5, nprobe = 3, shortlist = 50, maxQ = 10).count() > 0)
   }
+
+  test("incremental near-dup vs the persisted index equals the one-shot OPH pair set; planted dups rediscover their originals; disjoint docs stay silent") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-ndidx").toString
+    Dedup.writeNearDupIndex(docs, path)
+    // 1) same corpus, same ids: the index query's canonicalized pair set
+    //    must equal the one-shot in-memory band join's
+    val oneShot = Dedup.minhashPairsOph(docs, threshold = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaIndex = Dedup.nearDupAgainstIndex(docs, path, threshold = 0.8)
+      .select(least(col("new_id"), col("old_id")).as("a"),
+        greatest(col("new_id"), col("old_id")).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == oneShot,
+      s"index query diverges from one-shot: only-index=${viaIndex.diff(oneShot).take(5)} only-oneshot=${oneShot.diff(viaIndex).take(5)}")
+    // 2) planted new batch: shifted copies must each rediscover their
+    //    original at est_jaccard 1.0
+    val batch = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(5_000_000L))
+    val hits = Dedup.nearDupAgainstIndex(batch, path, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val selfHits = hits.filter { case (n, o, _) => n - 5_000_000L == o }
+    val planted = batch.count()
+    assert(selfHits.length == planted,
+      s"only ${selfHits.length} of $planted planted dups rediscovered their original")
+    assert(selfHits.forall(_._3 == 1.0), "identical text must estimate jaccard 1.0")
+    // 3) a shingle-disjoint batch produces nothing
+    val sp = spark
+    import sp.implicits._
+    val disjoint = Seq((9_000_001L, "qqq www eee rrr ttt yyy uuu iii ooo ppp"))
+      .toDF("doc_id", "text")
+    assert(Dedup.nearDupAgainstIndex(disjoint, path, threshold = 0.8).count() == 0)
+  }
 }
