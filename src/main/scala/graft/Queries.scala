@@ -292,6 +292,27 @@ object Queries {
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
     }),
+    // ranked-window-per-group anchor: top-3 orders by revenue per nation —
+    // the window partitions by nation, so at 100 TB each group ranks inside
+    // its own shuffle partition and there is NO global sort anywhere
+    "q08_top_orders_per_nation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      val rev = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_orderkey"))
+        .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+      rev.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("n_name"), col("rk"), col("o_orderkey"), col("revenue"))
+        .orderBy("n_name", "rk")
+    }),
     // five-way join across both fact paths (customer AND supplier must share
     // the nation) — the join-reorder / broadcast-dim stress shape
     "q05_local_supplier_volume" -> ((s, dir) => {
@@ -1565,6 +1586,20 @@ object Queries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q08_top_orders_per_nation" ->
+      """WITH rev AS (
+        |  SELECT n_name, o_orderkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, o_orderkey)
+        |SELECT n_name, rk, o_orderkey, revenue FROM (
+        |  SELECT n_name, o_orderkey, revenue,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, o_orderkey) AS rk
+        |  FROM rev)
+        |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
     "q03_shipping_priority" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
