@@ -292,9 +292,14 @@ object Queries {
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
     }),
-    // ranked-window-per-group anchor: top-3 orders by revenue per nation —
-    // the window partitions by nation, so at 100 TB each group ranks inside
-    // its own shuffle partition and there is NO global sort anywhere
+    // ranked-window-per-group anchor: top-3 orders by revenue per nation.
+    // Two-phase top-k: nation has only ~25 values, so a single
+    // Window.partitionBy(n_name) would shuffle EVERY order onto 25 reducers
+    // and sort each nation's whole order set to keep 3 rows — the
+    // low-cardinality-key scale-killer. Phase 1 salts the key
+    // (hash(o_orderkey) mod 16) so the heavy rank runs over 25×16 groups,
+    // each keeping ≤3 survivors; phase 2 re-ranks the ≤48 survivors per
+    // nation — a window over ≤1200 rows total, regardless of fact size.
     "q08_top_orders_per_nation" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -306,9 +311,15 @@ object Queries {
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), col("o_orderkey"))
         .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-      val w = Window.partitionBy(col("n_name"))
+      val salted = rev.withColumn("_salt", pmod(hash(col("o_orderkey")), lit(16)))
+      val wPartial = Window.partitionBy(col("n_name"), col("_salt"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
-      rev.withColumn("rk", row_number().over(w).cast("long"))
+      val survivors = salted
+        .withColumn("_prk", row_number().over(wPartial))
+        .where(col("_prk") <= 3)
+      val wFinal = Window.partitionBy(col("n_name"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+      survivors.withColumn("rk", row_number().over(wFinal).cast("long"))
         .where(col("rk") <= 3)
         .select(col("n_name"), col("rk"), col("o_orderkey"), col("revenue"))
         .orderBy("n_name", "rk")

@@ -332,4 +332,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"),
       "the corpus must not shuffle for the id lookup:\n" + plan.take(3000))
   }
+
+  test("q08 per-nation top-k is two-phase: the heavy rank runs over salted keys only") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q08_top_orders_per_nation")(spark, "/root/testdata/sf0.001")
+    // sparkPlan: the physical plan before the AQE wrapper, so nodes are collectible
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size == 2, "expected exactly 2 window phases:\n" + plan.toString.take(3000))
+    val partial = windows.filter(_.partitionSpec.size == 2)
+    val fin = windows.filter(_.partitionSpec.size == 1)
+    assert(partial.size == 1,
+      "the full order-grain data must only ever enter a (nation, salt)-partitioned window:\n" +
+        windows.map(_.partitionSpec).mkString("\n"))
+    assert(partial.head.partitionSpec.map(_.toString).exists(_.contains("_salt")),
+      "phase-1 partition keys must include the salt: " + partial.head.partitionSpec)
+    assert(fin.size == 1 && fin.head.partitionSpec.head.toString.contains("n_name"))
+    // the unsalted window must consume only phase-1 survivors (≤3 per salt bucket)
+    assert(fin.head.child.toString.contains("_prk"),
+      "final window must sit above the phase-1 rank filter:\n" + fin.head.child.toString.take(2000))
+  }
 }
