@@ -1,0 +1,144 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Glob
+
+/**
+ * Time-partitioned Parquet series store — the 100 TB scan story for the
+ * batch side, mirroring what the streaming ingest already does
+ * (`streaming/Ingest.scala` partitionBy("day")). The layout shards every
+ * series row at `windowSec` boundaries and writes `partitionBy("pwin")`,
+ * so a [from, until) fetch prunes whole directories before any row is
+ * read — Spark's partition pruning is the engine analog of the
+ * reference's TLD path routing + time-range fetch
+ * (ref pathcache/pathcache.go:18-56, SURVEY §4): route the request to the
+ * slice of the store that can contain it, never scan the rest.
+ *
+ * fetch() returns the same canonical frame as the flat
+ * [[ParquetSeriesStore]]: one row per series covering the requested
+ * range. Reassembly (stitching window shards back into one values array)
+ * groups only the PRUNED rows — the shuffle is proportional to the
+ * requested window, not the store. Missing middle shards (a series with
+ * no row in some window) NaN-fill, so a reassembled series is
+ * value-identical to the flat layout's slice.
+ */
+class TimePartitionedSeriesStore(
+    path: String,
+    windowSec: Long,
+    uniformStep: Option[Long] = None) extends SeriesStore {
+
+  override def stepHint: Option[Long] = uniformStep
+
+  private def pruned(spark: SparkSession, from: Long, until: Long): DataFrame = {
+    val df = spark.read.parquet(path)
+    // partition predicate from the request range: floorDiv keeps negative
+    // timestamps on the correct window (SQL DIV is floor division too)
+    val lo = if (SeriesStore.bounded(from)) Some(Math.floorDiv(from, windowSec)) else None
+    val hi = if (SeriesStore.bounded(until)) Some(Math.floorDiv(until - 1L, windowSec)) else None
+    (lo, hi) match {
+      case (Some(l), Some(h)) => df.where(col("pwin") >= l && col("pwin") <= h)
+      case (Some(l), None)    => df.where(col("pwin") >= l)
+      case (None, Some(h))    => df.where(col("pwin") <= h)
+      case _                  => df
+    }
+  }
+
+  override def fetch(spark: SparkSession, pathExpr: String, from: Long, until: Long): DataFrame = {
+    val named = TimePartitionedSeriesStore.nameFilter(pruned(spark, from, until), pathExpr)
+    TimePartitionedSeriesStore.stitch(
+      SeriesStore.sliceToRange(
+        named.where(col("start") + size(col("values")) * col("step") > from && col("start") < until),
+        from, until))
+      .withColumn("pathExpression", lit(pathExpr))
+  }
+
+  override def fetchAll(spark: SparkSession, from: Long, until: Long): DataFrame =
+    TimePartitionedSeriesStore.stitch(
+      SeriesStore.sliceToRange(
+        pruned(spark, from, until)
+          .where(col("start") + size(col("values")) * col("step") > from && col("start") < until),
+        from, until))
+      .withColumn("pathExpression", lit("*"))
+}
+
+object TimePartitionedSeriesStore {
+
+  /** The glob/exact name predicate shared with the flat store: the literal
+    * prefix pushes to the Parquet reader as StringStartsWith (row-group
+    * pruning on name column stats), the full glob applies as rlike. */
+  private[store] def nameFilter(df: DataFrame, pathExpr: String): DataFrame =
+    if (Glob.isGlob(pathExpr)) {
+      val prefix = Glob.literalPrefix(pathExpr)
+      val rx = df.where(col("name").rlike(Glob.toRegex(pathExpr)))
+      if (prefix.nonEmpty) rx.where(col("name").startsWith(prefix)) else rx
+    } else df.where(col("name") === pathExpr)
+
+  /**
+   * Split canonical series rows at `windowSec` boundaries and write
+   * Parquet partitioned by the window ordinal `pwin = floor(t /
+   * windowSec)`. Each shard keeps the canonical row shape (name, tags,
+   * start, step, values) so readers slice with the same index math as the
+   * flat store. The per-row explode is map-side; the writer's
+   * `partitionBy` is the only data movement.
+   */
+  def write(df: DataFrame, path: String, windowSec: Long): Unit =
+    shard(df, windowSec).write.mode("overwrite").partitionBy("pwin").parquet(path)
+
+  /** The sharding transform behind [[write]], exposed for tests. */
+  def shard(df: DataFrame, windowSec: Long): DataFrame = {
+    val w = lit(windowSec)
+    df
+      .withColumn("_end", col("start") + size(col("values")).cast("long") * col("step"))
+      .withColumn("pwin",
+        explode(sequence(floor(col("start") / w).cast("long"),
+          floor((col("_end") - 1L) / w).cast("long"))))
+      // grid indices of this window's slice: lo = ceil((winStart-start)/step)
+      // clamped to [0, n]; hi = ceil((winEnd-start)/step) clamped likewise
+      .withColumn("_ws", col("pwin") * w)
+      .withColumn("_lo", greatest(lit(0L),
+        -floor((col("start") - col("_ws")) / col("step")).cast("long")))
+      .withColumn("_hi", least(size(col("values")).cast("long"),
+        -floor((col("start") - (col("_ws") + w)) / col("step")).cast("long")))
+      .where(col("_hi") > col("_lo"))
+      .withColumn("values",
+        slice(col("values"), (col("_lo") + 1).cast("int"), (col("_hi") - col("_lo")).cast("int")))
+      .withColumn("start", col("start") + col("_lo") * col("step"))
+      .drop("_end", "_ws", "_lo", "_hi")
+  }
+
+  /**
+   * Reassemble window shards into one row per series: sort shards by
+   * start, concatenate values, NaN-fill any whole-window gap between
+   * shards. Runs AFTER partition pruning + range slicing, so the groupBy
+   * shuffles only the rows of the requested window. Pure HOF column math
+   * per group — no UDF, no collect.
+   */
+  private[store] def stitch(shards: DataFrame): DataFrame = {
+    val acc0: Column = struct(
+      lit(null).cast("long").as("end"),
+      lit(Array.empty[Double]).as("vals"))
+    shards
+      .groupBy(col("name"))
+      .agg(
+        first(col("tags")).as("tags"),
+        first(col("step")).as("step"),
+        min(col("start")).as("start"),
+        array_sort(collect_list(struct(col("start").as("s"), col("values").as("v")))).as("_shards"))
+      .withColumn("values",
+        aggregate(
+          col("_shards"),
+          acc0,
+          (acc, sh) => struct(
+            (sh("s") + size(sh("v")).cast("long") * col("step")).as("end"),
+            concat(
+              acc("vals"),
+              when(acc("end").isNull, lit(Array.empty[Double]))
+                .otherwise(array_repeat(lit(Double.NaN),
+                  ((sh("s") - acc("end")) / col("step")).cast("int"))),
+              sh("v")).as("vals")),
+          acc => acc("vals")))
+      .drop("_shards")
+      .select(col("name"), col("tags"), col("start"), col("step"), col("values"))
+  }
+}

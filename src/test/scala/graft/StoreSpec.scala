@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Series
+import graft.store.{ParquetSeriesStore, TimePartitionedSeriesStore}
+
+/**
+ * Time-partitioned batch store: the sharded layout must be invisible to
+ * readers — a fetch returns exactly the flat store's canonical frame —
+ * while a bounded [from, until) prunes whole partitions before any row
+ * is read (the reference's pathcache TLD-routing analog, SURVEY §4).
+ */
+class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var flatDir: String = _
+  private var partDir: String = _
+  private var flat: ParquetSeriesStore = _
+  private var part: TimePartitionedSeriesStore = _
+
+  // 2 series on a 60 s step spanning 3 windows of 3600 s; one starts
+  // mid-window and one is short (absent from later windows entirely)
+  private def fixture(sp: SparkSession) = {
+    import sp.implicits._
+    Seq(
+      Series("events.click", Map("name" -> "events.click"), 0L, 60L,
+        Array.tabulate(180)(_.toDouble)),                      // [0, 10800)
+      Series("events.view", Map("name" -> "events.view"), 1500L, 60L,
+        Array.tabulate(40)(i => i * 2.0)),                     // [1500, 3900) mid-window start
+      Series("other.metric", Map("name" -> "other.metric"), 3600L, 60L,
+        Array.fill(60)(1.0))                                   // exactly window 1
+    ).toDF()
+  }
+
+  override def beforeAll(): Unit = {
+    spark = graft.core.GraftSession.builder("local[2]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("storespec").toString
+    flatDir = s"$base/flat"; partDir = s"$base/part"
+    fixture(spark).write.mode("overwrite").parquet(flatDir)
+    TimePartitionedSeriesStore.write(fixture(spark), partDir, windowSec = 3600L)
+    flat = new ParquetSeriesStore(flatDir, uniformStep = Some(60L))
+    part = new TimePartitionedSeriesStore(partDir, windowSec = 3600L, uniformStep = Some(60L))
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, Seq[Double])] =
+    df.select("name", "start", "step", "values").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getSeq[Double](3)))
+      .sortBy(_._1).toSeq
+
+  test("partitioned fetch returns the flat store's canonical frame (full range)") {
+    assert(canon(part.fetch(spark, "events.*", 0L, 10800L)) ==
+      canon(flat.fetch(spark, "events.*", 0L, 10800L)))
+  }
+
+  test("partitioned fetch matches flat on a range cutting mid-window and mid-series") {
+    val f = canon(flat.fetch(spark, "*.*", 1800L, 5400L))
+    assert(canon(part.fetch(spark, "*.*", 1800L, 5400L)) == f)
+    assert(f.nonEmpty)
+  }
+
+  test("a missing middle window NaN-fills instead of silently concatenating") {
+    val sp = spark
+    import sp.implicits._
+    // hand-build a sharded layout with window 1 absent for events.gap
+    val dir = java.nio.file.Files.createTempDirectory("gapstore").toString
+    val shards = TimePartitionedSeriesStore.shard(
+      Seq(Series("events.gap", Map.empty[String, String], 0L, 60L,
+        Array.tabulate(180)(_.toDouble))).toDF(), 3600L)
+    shards.where(org.apache.spark.sql.functions.col("pwin") =!= 1L)
+      .write.mode("overwrite").partitionBy("pwin").parquet(dir)
+    val st = new TimePartitionedSeriesStore(dir, 3600L, Some(60L))
+    val Seq((_, start, _, vals)) = canon(st.fetch(spark, "events.gap", 0L, 10800L))
+    assert(start == 0L && vals.size == 180)
+    assert(vals.slice(0, 60) == (0 until 60).map(_.toDouble))
+    assert(vals.slice(60, 120).forall(_.isNaN), "pruned-away window must read as NaN")
+    assert(vals.slice(120, 180) == (120 until 180).map(_.toDouble))
+  }
+
+  test("sharding is lossless: every value lands in exactly one window shard") {
+    val sh = TimePartitionedSeriesStore.shard(fixture(spark), 3600L)
+    import org.apache.spark.sql.functions._
+    // each shard lies inside its window and total value count is preserved
+    val bad = sh.where(col("start") < col("pwin") * 3600L ||
+      col("start") + size(col("values")) * col("step") > (col("pwin") + 1) * 3600L).count()
+    assert(bad == 0L)
+    val total = sh.agg(sum(size(col("values")))).head().getLong(0)
+    assert(total == 180L + 40L + 60L)
+  }
+
+  test("a narrow [from,until) reaches the scan as a partition filter and prunes directories") {
+    val out = part.fetch(spark, "events.*", 3600L, 7200L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(3000))
+    assert("PartitionFilters: \\[[^\\]]*pwin".r.findFirstIn(plan).nonEmpty,
+      "the [from,until) bound must prune on pwin:\n" + plan.take(3000))
+    // structurally: the scan selects only window 1 of the 3 on disk
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = out.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 of 3 partitions, read ${scans.head.selectedPartitions.partitionCount}")
+  }
+
+  test("an unbounded fetchAll still stitches but applies no partition bound") {
+    // Eval's whole-store sentinel (Eval.scala:52) — outside bounded()'s range
+    val rows = canon(part.fetchAll(spark, Long.MinValue / 4, Long.MaxValue / 4))
+    assert(rows.map(_._1) == Seq("events.click", "events.view", "other.metric"))
+    assert(rows.head._4.size == 180)
+  }
+}
