@@ -56,6 +56,17 @@ object Queries {
   /** 2024-01-01T00:00Z — the events table's first hour (TESTDATA.md). */
   private val T0 = 1704067200L
 
+  /** Per-JVM scratch root for p52's near-dup index: a fresh temp dir per
+    * process (no cross-JVM overwrite collisions on a shared fixture), with
+    * per-fixture subpaths keyed by the RAW dir's hash so two dirs that
+    * sanitize to the same name cannot collide. */
+  private lazy val ndIndexRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_nd_idx").toString
+
+  private[graft] def ndIndexPath(sfDir: String): String =
+    s"$ndIndexRoot/${Integer.toHexString(sfDir.hashCode)}_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
   private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
@@ -428,8 +439,7 @@ object Queries {
     // in PipelineSpec
     "p52_neardup_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_nd_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = ndIndexPath(dir)
       Dedup.writeNearDupIndex(d, path)
       val batch = d.where(pmod(col("doc_id"), lit(7)) === 0)
         .withColumn("doc_id", col("doc_id") + lit(10_000_000L))

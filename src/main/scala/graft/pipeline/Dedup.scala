@@ -175,23 +175,47 @@ object Dedup {
    * batch's band keys and signatures broadcast (a batch is small relative
    * to the corpus by construction), so the query is two broadcast hash
    * joins over index scans; candidates scale with true duplicate density.
+   * The smallness contract is ENFORCED, not assumed: a batch above
+   * `maxBroadcastDocs` degrades to shuffle joins instead of OOMing the
+   * driver (a big re-index batch is legitimate, just not broadcastable —
+   * the soft-degrade twin of p34's hard `require`, Similarity.scala).
+   *
+   * Eager: the result materializes (via localCheckpoint — pairs scale
+   * with duplicate density, so it is small) so the cached batch
+   * signatures unpersist before returning; a long-running ingestion
+   * driver calling this per batch leaks nothing.
    */
   def nearDupAgainstIndex(newDocs: DataFrame, dir: String, k: Int = 3,
                           numBins: Int = 64, bands: Int = 16,
-                          threshold: Double = 0.8): DataFrame = {
-    val spark = newDocs.sparkSession
+                          threshold: Double = 0.8,
+                          maxBroadcastDocs: Long = 4_000_000L): DataFrame = {
     val newSigs = ophSigs(newDocs, k, numBins).persist()
+    try {
+      val small = newSigs.count() <= maxBroadcastDocs
+      indexQueryPlan(newSigs, dir, numBins, bands, threshold, broadcastBatch = small)
+        .localCheckpoint(true)
+    } finally newSigs.unpersist()
+  }
+
+  /** The lazy plan behind [[nearDupAgainstIndex]], parameterized on whether
+    * the batch side may broadcast — split out so plan-shape tests can
+    * inspect both join strategies before checkpoint truncation. */
+  private[graft] def indexQueryPlan(newSigs: DataFrame, dir: String,
+                                    numBins: Int, bands: Int, threshold: Double,
+                                    broadcastBatch: Boolean): DataFrame = {
+    val spark = newSigs.sparkSession
+    def batchSide(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
     val newBands = bandRows(newSigs, numBins, bands)
       .withColumnRenamed("doc_id", "new_id")
     val cand = spark.read.parquet(s"$dir/bands")
-      .join(broadcast(newBands), Seq("band", "bandHash"))
+      .join(batchSide(newBands), Seq("band", "bandHash"))
       .select(col("doc_id").as("old_id"), col("new_id"))
       .where(col("old_id") =!= col("new_id"))
       .dropDuplicates("old_id", "new_id")
     spark.read.parquet(s"$dir/sigs")
       .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
-      .join(broadcast(cand), "old_id")
-      .join(broadcast(newSigs.select(col("doc_id").as("new_id"), col("sig").as("new_sig"))), "new_id")
+      .join(batchSide(cand), "old_id")
+      .join(batchSide(newSigs.select(col("doc_id").as("new_id"), col("sig").as("new_sig"))), "new_id")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("old_sig"), col("new_sig"),
             (x, y) => when(x === y, 1).otherwise(0)),

@@ -503,4 +503,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "text")
     assert(Dedup.nearDupAgainstIndex(disjoint, path, threshold = 0.8).count() == 0)
   }
+
+  test("near-dup index query enforces the broadcast contract: above maxBroadcastDocs it degrades to shuffle joins with identical results") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-ndguard").toString
+    Dedup.writeNearDupIndex(docs, path)
+    val batch = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(5_000_000L))
+    val n = batch.count()
+    def pairs(maxB: Long) =
+      Dedup.nearDupAgainstIndex(batch, path, threshold = 0.95, maxBroadcastDocs = maxB)
+        .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at the boundary the broadcast path runs; one past it, the shuffle
+    // path — both must produce the same pair set
+    val atLimit = pairs(n)
+    assert(atLimit.nonEmpty)
+    assert(pairs(n - 1) == atLimit, "shuffle fallback must be result-identical")
+    // plan shapes: the broadcast path hashes the batch side; the fallback
+    // carries NO forced-broadcast hint, so an oversize batch can never be
+    // driver-collected no matter what the size stats say (auto-broadcast
+    // still respects autoBroadcastJoinThreshold, which is the point)
+    val sigs = spark.read.parquet(s"$path/sigs")
+    val bPlan = Dedup.indexQueryPlan(sigs, path, 64, 16, 0.95, broadcastBatch = true)
+      .queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan.take(3000))
+    val sHints = Dedup.indexQueryPlan(sigs, path, 64, 16, 0.95, broadcastBatch = false)
+      .queryExecution.analyzed.toString
+    assert(!sHints.contains("ResolvedHint"),
+      "oversize batch must never carry a broadcast hint:\n" + sHints.take(3000))
+  }
 }
