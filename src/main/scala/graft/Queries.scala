@@ -644,17 +644,21 @@ object Queries {
       Assembly.perplexityBuckets(docs(s, dir))
         .select(col("doc_id"), col("n_words"), col("ppl"), col("bucket"))
         .orderBy("doc_id")),
-    // PCA whitening (no DuckDB oracle — eigendecomposition; identity-
-    // covariance gate in QuantizeSpec): leading whitened components
+    // PCA whitening, ORACLE-checkable form: the whitened norm is basis-
+    // invariant — ||W(x-μ)||² = (x-μ)ᵀ(Σ+εI)⁻¹(x-μ) — so on a 2-d slice
+    // DuckDB can replay it in closed form (2×2 inverse) with NO
+    // eigenvector sign/order convention to match. The Spark side still
+    // runs the real Jacobi train + whiten projection, so a wrong
+    // eigenbasis breaks the hash; per-component identity-covariance
+    // stays gated in QuantizeSpec for the n-d path.
     "p44_pca_whiten" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), slice(col("embedding"), 1, 2).as("embedding"))
       val (mean, w) = graft.pipeline.Quantize.trainWhitening(e)
+      val w0 = element_at(col("white"), 1)
+      val w1 = element_at(col("white"), 2)
       graft.pipeline.Quantize.whiten(e, mean, w)
-        .select(col("vec_id"),
-          dround(element_at(col("white"), 1), 4).as("w0"),
-          dround(element_at(col("white"), 2), 4).as("w1"),
-          dround(element_at(col("white"), 3), 4).as("w2"),
-          dround(element_at(col("white"), 4), 4).as("w3"))
+        .select(col("vec_id"), dround(sqrt(w0 * w0 + w1 * w1), 4).as("maha"))
         .orderBy("vec_id")
     }),
     // temperature-weighted source mixing: w_s ∝ n_s^0.3 renormalized,
@@ -2025,6 +2029,23 @@ object Queries {
         |SELECT doc_id, n_words, ppl,
         |  CASE WHEN ppl <= c1 THEN 'head' WHEN ppl <= c2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM sp, cut ORDER BY doc_id""".stripMargin,
+    // closed-form twin of the Jacobi train + whiten projection on the 2-d
+    // slice: whitened norm = Mahalanobis distance under Σ+εI, a 2×2
+    // inverse — basis-invariant, so no eigenvector convention to match
+    "p44_pca_whiten" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT avg(x) AS mx, avg(y) AS my,
+        |         avg(x*x)-avg(x)*avg(x) + 1e-8 AS a,
+        |         avg(x*y)-avg(x)*avg(y) AS b,
+        |         avg(y*y)-avg(y)*avg(y) + 1e-8 AS c
+        |  FROM e)
+        |SELECT vec_id,
+        |  round(sqrt((c*dx*dx - 2*b*dx*dy + a*dy*dy) / (a*c - b*b)) * 1e4) / 1e4 AS maha
+        |FROM (SELECT vec_id, x - mx AS dx, y - my AS dy, a, b, c FROM e, m)
+        |ORDER BY vec_id""".stripMargin,
     // same α-smoothed weights + the p25 deterministic hash draw
     "p45_source_mix" ->
       """WITH stats AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
