@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.Series
-import graft.store.{ParquetSeriesStore, TimePartitionedSeriesStore}
+import graft.store.{ParquetSeriesStore, TieredSeriesStore, TimePartitionedSeriesStore}
 
 /**
  * Time-partitioned batch store: the sharded layout must be invisible to
@@ -103,6 +103,46 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans.nonEmpty)
     assert(scans.head.selectedPartitions.partitionCount == 1,
       s"expected 1 of 3 partitions, read ${scans.head.selectedPartitions.partitionCount}")
+  }
+
+  test("mixed-retention tiers: a 60s recent tier consolidates onto the 3600s history grid through ScaleToCommonStep, recent winning overlaps") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("tiered").toString
+    // history: 3600s step, [0,10800) — slot 2 present with a STALE value
+    // (99.0) that the recent tier must override, slot 1 of events.view
+    // missing so history itself has a NaN to merge over
+    Seq(
+      Series("events.click", Map("name" -> "events.click"), 0L, 3600L, Array(10.0, 20.0, 99.0)),
+      Series("events.view", Map("name" -> "events.view"), 0L, 3600L, Array(1.0, Double.NaN, Double.NaN))
+    ).toDF().write.mode("overwrite").parquet(s"$base/hist")
+    // recent: 60s step, [7200,10800) — one history-slot of fine data
+    Seq(
+      Series("events.click", Map("name" -> "events.click"), 7200L, 60L,
+        Array.tabulate(60)(_.toDouble)),                      // avg = 29.5
+      Series("events.view", Map("name" -> "events.view"), 7200L, 60L, Array.fill(60)(4.0))
+    ).toDF().write.mode("overwrite").parquet(s"$base/recent")
+    val tiered = new TieredSeriesStore(Seq(
+      new ParquetSeriesStore(s"$base/recent", uniformStep = Some(60L)),
+      new ParquetSeriesStore(s"$base/hist", uniformStep = Some(3600L))))
+    assert(tiered.stepHint.isEmpty, "mixed steps must not claim uniformity")
+    val rows = canon(tiered.fetch(spark, "events.*", 0L, 10800L))
+    assert(rows.map(_._1) == Seq("events.click", "events.view"))
+    // one row per series on the COARSE grid; fine data consolidated by avg
+    assert(rows.forall { case (_, start, step, vals) =>
+      start == 0L && step == 3600L && vals.size == 3 })
+    val click = rows(0)._4
+    assert(click(0) == 10.0 && click(1) == 20.0)
+    assert(click(2) == 29.5, s"recent tier must win the overlap slot, got ${click(2)}")
+    val view = rows(1)._4
+    assert(view(0) == 1.0 && view(1).isNaN && view(2) == 4.0)
+    // end-to-end: a cross-series aggregate evaluates across the tier
+    // boundary on the merged grid
+    val sum = graft.engine.Eval.evalTarget(spark, tiered, "sumSeries(events.*)", 0L, 10800L)
+      .collect()
+    assert(sum.length == 1)
+    val sv = sum.head.getAs[scala.collection.Seq[Double]]("values")
+    assert(sv == Seq(11.0, 20.0, 33.5), s"got $sv")
   }
 
   test("an unbounded fetchAll still stitches but applies no partition bound") {
