@@ -24,9 +24,28 @@ import graft.store.SeriesStore
 class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
               maxQueryLength: Int = 0,
               notFoundStatusCode: Int = 200,
-              requireSuccessAll: Boolean = false) {
+              requireSuccessAll: Boolean = false,
+              concurency: Int = 0,
+              concurencyWaitSec: Long = 30L) {
 
   @volatile private var server: HttpServer = _
+
+  /** Inflight request cap — the reference's `concurency` limiter
+    * (ref limiter/limiter.go:14-51, config `concurency`): ≤0 = unlimited
+    * (NoopLimiter), otherwise the N+1-th concurrent request queues FIFO for
+    * a free slot and 503s after `concurencyWaitSec` (the Go limiter blocks
+    * until ctx.Done → ErrTimeout). Spark's scheduler multiplexes whatever
+    * gets through; this knob bounds how many actions pile up at once. */
+  private[graft] val inflight: Option[java.util.concurrent.Semaphore] =
+    if (concurency > 0) Some(new java.util.concurrent.Semaphore(concurency, true)) else None
+
+  private def limited[A](body: => A): A = inflight match {
+    case None => body
+    case Some(sem) =>
+      if (!sem.tryAcquire(concurencyWaitSec, java.util.concurrent.TimeUnit.SECONDS))
+        throw HttpError(503, "too many requests in flight")
+      try body finally sem.release()
+  }
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -86,7 +105,7 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
       java.util.UUID.randomUUID().toString)
     val out =
       try {
-        val (body, ct) = f(params(ex))
+        val (body, ct) = limited(f(params(ex)))
         // success content types are served BARE ("application/json"), the
         // reference's exact strings (ref http/helper.go:139-146); only the
         // error surface carries a charset, matching Go's http.Error

@@ -310,4 +310,34 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     getCached(base + "&maxDataPoints=34&cacheTimeout=123")
     assert(getCached(base + "&maxDataPoints=34&cacheTimeout=123")._3.contains("123"))
   }
+
+  test("concurency limiter: the N+1-th inflight request waits for a slot and 503s past the wait (ref limiter/limiter.go:14-51)") {
+    val limited = new HttpApi(spark, new EventSeriesStore("/root/testdata/sf0.001"),
+      port = 0, concurency = 1, concurencyWaitSec = 0L)
+    val lport = limited.start()
+    try {
+      def lget(pq: String): Int = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$lport$pq")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      val q = "/render?target=events.click&from=1704067200&until=1706660000&format=json&noCache=1"
+      // free slot: serves normally
+      assert(lget(q) == 200)
+      // hold the single slot from outside, exactly like a slow inflight
+      // render; with a 0s wait the next request must reject, not queue
+      val sem = limited.inflight.get
+      sem.acquire()
+      val (c, b) = {
+        val resp = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$lport$q")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body())
+      }
+      assert(c == 503 && b == "too many requests in flight\n", s"$c $b")
+      // slot freed: the same request serves again (the queue drains)
+      sem.release()
+      assert(lget(q) == 200)
+      // default construction (concurency=0) is the NoopLimiter
+      assert(api.inflight.isEmpty)
+    } finally limited.stop()
+  }
 }
