@@ -50,10 +50,15 @@ object Bench {
         .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision: full-precision doubles made the one-liner
+    // ~7 KB at 207 queries and the driver's captured stdout tail truncated
+    // it (BENCH parsed:null in r5/r6) — 3 decimals is ~40% shorter and
+    // well inside timing noise
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // the stdout line gets truncated in the driver's captured tail (r5's
     // BENCH json had parsed:null) — persist the same line verbatim
