@@ -2102,11 +2102,13 @@ object Queries {
         |  GROUP BY doc_id)
         |SELECT doc_id, n_words, dsir_score FROM sc
         |ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin,
-    // exact 64-bit LCG replay: both engines do (a*id + c) mod 2^31 in BIGINT
+    // exact 64-bit LCG replay: both engines fold the id mod 2^31 BEFORE the
+    // multiply (product stays < 2^62 — no Int64 overflow in either engine,
+    // and the ((x%m)+m)%m form pins negative ids to Spark's pmod residue)
     "p46_shard_plan" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
-        |  (1103515245 * doc_id + 12345) % 2147483648 AS pos
+        |  (1103515245 * ((doc_id % 2147483648 + 2147483648) % 2147483648) + 12345) % 2147483648 AS pos
         |  FROM documents)
         |SELECT doc_id, n_tokens, pos, pos % 8 AS shard,
         |  row_number() OVER (PARTITION BY pos % 8 ORDER BY pos, doc_id) AS shard_seq,

@@ -328,9 +328,13 @@ object Assembly {
    */
   /** The LCG position column shared by [[shardPlan]] and the streaming
     * shard assignment — pure 64-bit integer arithmetic, replayable by any
-    * engine (and by the DuckDB oracle). */
+    * engine (and by the DuckDB oracle). The id folds mod 2³¹ BEFORE the
+    * multiply so the product stays ≤ ~2⁶¹ for every Long doc_id — without
+    * the fold, ids ≳ 8.4e9 overflow Int64, which Spark wraps silently but
+    * an ANSI engine (DuckDB) raises on; pmod also pins negative ids to the
+    * same non-negative residue both engines compute. */
   def shardPos(docId: Column): Column =
-    pmod(lit(1103515245L) * docId + lit(12345L), lit(1L << 31))
+    pmod(lit(1103515245L) * pmod(docId, lit(1L << 31)) + lit(12345L), lit(1L << 31))
 
   def shardPlan(docs: DataFrame, nShards: Int): DataFrame = {
     require(nShards > 0, s"shardPlan: nShards must be positive, got $nShards")

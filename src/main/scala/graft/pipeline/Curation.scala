@@ -352,19 +352,6 @@ object Curation {
   }
 
   /**
-   * One distributed BPE merge-count iteration: from the corpus word
-   * frequencies, count every adjacent character pair weighted by word
-   * count and return the top pairs — the statistic a BPE tokenizer trainer
-   * computes each round (the top-1 pair becomes the next merge). Running
-   * it over the vocab table instead of the token stream is the standard
-   * trick: the pair explosion is over DISTINCT words, corpus size only
-   * enters through the precomputed counts.
-   *
-   * Scale shape: vocab agg (one shuffle, map-side partials), then a
-   * per-word Σ|word| explode of the vocab — tiny relative to the corpus —
-   * and a TakeOrdered top-N. The full-corpus scan happens exactly once.
-   */
-  /**
    * Token-id encoding against the corpus vocabulary — the step between
    * tokenizer training and sequence packing: the top-`vocabSize` words
    * (by count, ties by word) get ids 1..V in rank order, everything else
@@ -395,6 +382,19 @@ object Curation {
         sum(col("id")).as("id_sum"))
   }
 
+  /**
+   * One distributed BPE merge-count iteration: from the corpus word
+   * frequencies, count every adjacent character pair weighted by word
+   * count and return the top pairs — the statistic a BPE tokenizer trainer
+   * computes each round (the top-1 pair becomes the next merge). Running
+   * it over the vocab table instead of the token stream is the standard
+   * trick: the pair explosion is over DISTINCT words, corpus size only
+   * enters through the precomputed counts.
+   *
+   * Scale shape: vocab agg (one shuffle, map-side partials), then a
+   * per-word Σ|word| explode of the vocab — tiny relative to the corpus —
+   * and a TakeOrdered top-N. The full-corpus scan happens exactly once.
+   */
   def bpePairs(docs: DataFrame, topN: Int = 20): DataFrame = {
     val v = docs.select(explode(Dedup.wordsOf(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
