@@ -56,16 +56,19 @@ object Queries {
   /** 2024-01-01T00:00Z — the events table's first hour (TESTDATA.md). */
   private val T0 = 1704067200L
 
-  /** Per-JVM scratch root for p52's near-dup index: a fresh temp dir per
-    * process (no cross-JVM overwrite collisions on a shared fixture), with
-    * per-fixture subpaths keyed by the RAW dir's hash so two dirs that
-    * sanitize to the same name cannot collide. */
-  private lazy val ndIndexRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_nd_idx").toString
+  /** Per-JVM scratch root for persisted-artifact queries (p52's near-dup
+    * index, the g146/g147 store layouts): a fresh temp dir per process (no
+    * cross-JVM overwrite collisions on a shared fixture), with per-fixture
+    * subpaths keyed by the RAW dir's hash so two dirs that sanitize to the
+    * same name cannot collide. */
+  private lazy val scratchRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_scratch").toString
 
-  private[graft] def ndIndexPath(sfDir: String): String =
-    s"$ndIndexRoot/${Integer.toHexString(sfDir.hashCode)}_" +
+  private[graft] def scratchPath(tag: String, sfDir: String): String =
+    s"$scratchRoot/${tag}_${Integer.toHexString(sfDir.hashCode)}_" +
       sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private[graft] def ndIndexPath(sfDir: String): String = scratchPath("nd", sfDir)
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
@@ -258,6 +261,46 @@ object Queries {
     // alignToFrom buckets anchor at the series start; the 7h interval does
     // NOT divide t0, so this genuinely diverges from epoch-floor alignment
     "g145_summarize_align" -> g("summarize(events.*,'7h','max',true)"),
+    // the time-partitioned store layout, driver-oracle-verified: the events
+    // fixture written sharded partitionBy(day) and fetched back through the
+    // pruned scan + shard stitch — a 2-day window must return exactly the
+    // flat fixture's points (layout invisibility; pruning plan-gated in
+    // StoreSpec). Write cost is charged to the query, like p52's index.
+    "g146_partitioned_fetch" -> ((s, dir) => {
+      val path = scratchPath("series_part", dir)
+      graft.store.TimePartitionedSeriesStore.write(
+        store(dir).allSeries(s).select(col("name"), col("tags"), col("start"), col("step"), col("values")),
+        path, windowSec = 86400L)
+      val st = new graft.store.TimePartitionedSeriesStore(path, 86400L, Some(3600L))
+      SeriesFrame.toPoints(st.fetch(s, "events.*", T0 + 5L * 86400, T0 + 7L * 86400))
+        .select(col("name"), col("ts"), dround(col("value"), 4).as("value"))
+        .orderBy("name", "ts")
+    }),
+    // mixed-retention tiers, driver-oracle-verified: history = the fixture
+    // consolidated to 7200s covering the first 14 days, recent = raw 3600s
+    // after the split; the tiered fetch re-buckets the union to the LCM
+    // (7200s) grid — every bucket must equal DuckDB's NaN-skipping 2-hour
+    // average of the hourly sums, across the tier boundary
+    "g147_tiered_fetch" -> ((s, dir) => {
+      import graft.store.{ParquetSeriesStore, SeriesStore, TieredSeriesStore}
+      val base = store(dir).allSeries(s)
+        .select(col("name"), col("tags"), col("start"), col("step"), col("values"))
+      val split = T0 + 14L * 86400
+      val histDir = scratchPath("tier_hist", dir)
+      val recDir = scratchPath("tier_recent", dir)
+      graft.engine.Align.scaleToCommonStep(
+          SeriesStore.sliceToRange(base, Long.MinValue / 4, split), commonStep = 7200L)
+        .select(col("name"), col("tags"), col("start"), col("step"), col("values"))
+        .write.mode("overwrite").parquet(histDir)
+      SeriesStore.sliceToRange(base, split, Long.MaxValue / 4)
+        .write.mode("overwrite").parquet(recDir)
+      val tiered = new TieredSeriesStore(Seq(
+        new ParquetSeriesStore(recDir, Some(3600L)),
+        new ParquetSeriesStore(histDir, Some(7200L))))
+      SeriesFrame.toPoints(tiered.fetch(s, "events.*", Long.MinValue / 4, Long.MaxValue / 4))
+        .select(col("name"), col("ts"), dround(col("value"), 4).as("value"))
+        .orderBy("name", "ts")
+    }),
 
     // ---- TPC-H-style relational anchors (bench headliners)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -1398,6 +1441,19 @@ object Queries {
         |  CAST((SELECT t0 FROM b) + floor((ts - (SELECT t0 FROM b))/25200)*25200 AS BIGINT) AS ts,
         |  round(max(v), 4) AS value
         |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
+    // layout invisibility: the sharded+stitched fetch of [T0+5d, T0+7d)
+    // must be exactly the flat fixture's points in that window
+    "g146_partitioned_fetch" ->
+      (S + """SELECT name, ts, round(v, 4) AS value FROM s
+        |WHERE v IS NOT NULL AND ts >= 1704499200 AND ts < 1704672000
+        |ORDER BY name, ts""".stripMargin),
+    // tier merge on the LCM grid: every 7200s bucket is the NaN-skipping
+    // average of its hourly sums, identically on both sides of the
+    // 14-day retention split
+    "g147_tiered_fetch" ->
+      (S + """, c AS (SELECT name, CAST(floor(ts/7200)*7200 AS BIGINT) AS ts, avg(v) AS v
+        |       FROM s GROUP BY 1, 2 HAVING count(v) > 0)
+        |SELECT name, ts, round(v, 4) AS value FROM c ORDER BY name, ts""".stripMargin),
     "g94_removebelowpct" ->
       (S + """, pc AS (SELECT name, lst[CAST(ceil((len(lst) - 1) * 25 / 100.0) AS INT) + 1] AS pv
         |       FROM (SELECT name, list_sort(list(v) FILTER (WHERE v IS NOT NULL)) AS lst FROM s GROUP BY name))
