@@ -30,6 +30,11 @@ object ScaleBench {
   private val Copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
 
   def generate(spark: SparkSession, baseDir: String, workDir: String): Unit = {
+    generateCore(spark, baseDir, workDir)
+    generateTpch(spark, baseDir, workDir)
+  }
+
+  private def generateCore(spark: SparkSession, baseDir: String, workDir: String): Unit = {
     val done = new java.io.File(s"$workDir/_DONE")
     if (done.exists()) return
     val vowelMaps = // copy 0 is the identity; others rotate the vowel set
@@ -79,6 +84,31 @@ object ScaleBench {
     done.createNewFile()
   }
 
+  /** Fact-table scaling for the relational anchors (q08's per-nation
+    * top-k): Copies× orders/lineitem under key offsets, dimensions
+    * unchanged — so each 25-value nation group grows Copies× while the
+    * kept rows stay 3, exactly the low-cardinality-top-k stress axis.
+    * Separate guard from _DONE so pre-existing work dirs from earlier
+    * rounds regenerate just the relational tables. */
+  private def generateTpch(spark: SparkSession, baseDir: String, workDir: String): Unit = {
+    if (new java.io.File(s"$workDir/orders.parquet/_SUCCESS").exists()) return
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until Copies).map(i => f(df, i)).reduce(_ unionByName _)
+    copies(spark.read.parquet(s"$baseDir/lineitem.parquet")) { (df, i) =>
+      if (i == 0) df
+      else df.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 1_000_000_000L))
+    }.write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
+    copies(spark.read.parquet(s"$baseDir/orders.parquet")) { (df, i) =>
+      if (i == 0) df
+      // same o_custkey → same customers/nations: only the group SIZE grows
+      else df.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1_000_000_000L))
+    }.write.mode("overwrite").parquet(s"$workDir/orders.parquet")
+    Seq("customer", "nation", "region", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$workDir/$t.parquet")
+    }
+  }
+
   /** Headline subset: the scan/agg/window graphite shapes plus every
     * pipeline operator whose growth curve the scale claim rests on. */
   private val Headline = Seq(
@@ -97,7 +127,9 @@ object ScaleBench {
     "p42_dsir_select", "p43_gopher_rules", "p44_pca_whiten", "p45_source_mix",
     "p46_shard_plan", "p47_word_entropy", "p48_source_overlap",
     "p49_bpe_pairs", "p50_bigram_lm", "p51_token_encode",
-    "p52_neardup_incremental", "q07_sessions")
+    "p52_neardup_incremental", "q07_sessions",
+    // r7: the salted two-phase per-nation top-k and the storage-layer rows
+    "q08_top_orders_per_nation", "g146_partitioned_fetch", "g147_tiered_fetch")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

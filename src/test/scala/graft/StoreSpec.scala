@@ -145,6 +145,57 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sv == Seq(11.0, 20.0, 33.5), s"got $sv")
   }
 
+  test("randomized layout equivalence: partitioned and tiered fetches reproduce the flat store under random series, windows and ranges") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    def points(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Double)] =
+      graft.core.SeriesFrame.toPoints(df)
+        .select(col("name"), col("ts"), col("value")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    for (round <- 1 to 4) {
+      val step = Seq(10L, 60L, 300L)(rnd.nextInt(3))
+      // window deliberately NOT a multiple of the step half the time, and
+      // starts may be negative — the floorDiv/ceil index paths must agree
+      val windowSec = step + rnd.nextInt((step * 40).toInt)
+      val series = (1 to 1 + rnd.nextInt(4)).map { i =>
+        val start = (rnd.nextInt(400) - 100) * step
+        val n = 1 + rnd.nextInt(200)
+        Series(s"events.s$i", Map("name" -> s"events.s$i"), start, step,
+          Array.tabulate(n)(j => if (rnd.nextInt(10) == 0) Double.NaN else rnd.nextInt(1000).toDouble))
+      }
+      val base = java.nio.file.Files.createTempDirectory(s"storeprop$round").toString
+      series.toDF().write.mode("overwrite").parquet(s"$base/flat")
+      TimePartitionedSeriesStore.write(series.toDF(), s"$base/part", windowSec)
+      val fl = new ParquetSeriesStore(s"$base/flat", Some(step))
+      val pt = new TimePartitionedSeriesStore(s"$base/part", windowSec, Some(step))
+      // tiered split of the SAME data at a random boundary with overlap:
+      // same step, so the merge must be the identity on the flat points
+      val span = series.map(s => s.start + s.values.length * step).max
+      val cut = series.map(_.start).min + rnd.nextInt(math.max(1, (span / step).toInt)) * step
+      val sliceA = graft.store.SeriesStore.sliceToRange(series.toDF(), Long.MinValue / 4, cut + 5 * step)
+      val sliceB = graft.store.SeriesStore.sliceToRange(series.toDF(), cut, Long.MaxValue / 4)
+      sliceA.write.mode("overwrite").parquet(s"$base/tierA")
+      sliceB.write.mode("overwrite").parquet(s"$base/tierB")
+      val td = new TieredSeriesStore(Seq(
+        new ParquetSeriesStore(s"$base/tierA", Some(step)),
+        new ParquetSeriesStore(s"$base/tierB", Some(step))))
+      // NaN-safe structural equality: boxed-double == is NaN-hostile
+      def bits(s: Seq[(String, Long, Long, Seq[Double])]) =
+        s.map { case (n, st, sp, v) => (n, st, sp, v.map(java.lang.Double.doubleToLongBits)) }
+      for (_ <- 1 to 3) {
+        val a = (rnd.nextInt(500) - 150) * step + rnd.nextInt(step.toInt)
+        val b = a + rnd.nextInt(300) * step + rnd.nextInt(step.toInt)
+        val want = bits(canon(fl.fetch(spark, "events.*", a, b)))
+        assert(bits(canon(pt.fetch(spark, "events.*", a, b))) == want,
+          s"partitioned != flat (round $round step $step window $windowSec range [$a,$b))")
+        assert(points(td.fetch(spark, "events.*", a, b)) == points(fl.fetch(spark, "events.*", a, b)),
+          s"tiered != flat (round $round step $step cut $cut range [$a,$b))")
+      }
+    }
+  }
+
   test("an unbounded fetchAll still stitches but applies no partition bound") {
     // Eval's whole-store sentinel (Eval.scala:52) — outside bounded()'s range
     val rows = canon(part.fetchAll(spark, Long.MinValue / 4, Long.MaxValue / 4))
