@@ -824,7 +824,14 @@ object Queries {
     // pass before pixels move); the real pixel kernel is spec-gated
     "m03_resize_plan" -> ((s, dir) =>
       Multimodal.resizePlan(Multimodal.syntheticAssets(docs(s, dir)), box = 64)
-        .orderBy("asset_id"))
+        .orderBy("asset_id")),
+    // per-frame RMS + zero crossings over the deterministic stub PCM —
+    // audio framing/energy plumbing with the batched kernel shape; the
+    // arithmetic is byte-exact so DuckDB replays it
+    "m04_audio_features" -> ((s, dir) =>
+      Multimodal.audioFeatures(Multimodal.syntheticAssets(docs(s, dir)))
+        .select(col("asset_id"), col("frame_idx"), dround(col("rms"), 4).as("rms"), col("zc"))
+        .orderBy("asset_id", "frame_idx"))
   )
 
   // -------------------------------------------------------------- oracle SQL
@@ -1999,6 +2006,18 @@ object Queries {
         |  CASE WHEN greatest(width, height) <= 64 THEN height
         |       ELSE greatest(1, height * 64 // greatest(width, height)) END AS out_h
         |FROM a ORDER BY asset_id""".stripMargin,
+    // stub PCM = (byte-80)/48 over the UTF-8 payload (ASCII corpus: bytes
+    // == codepoints); 64-sample full frames, RMS + strict sign-product
+    // zero crossings — integer-derived doubles, exact in both engines
+    "m04_audio_features" ->
+      """WITH ch AS (
+        |  SELECT doc_id, list_transform(split(text, ''), x -> CAST(ord(x) - 80 AS DOUBLE)/48) AS s
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |fr AS (SELECT doc_id, unnest(generate_series(0, CAST(len(s) // 64 AS INT) - 1)) AS f, s FROM ch)
+        |SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx,
+        |  round(sqrt(list_aggregate(list_transform(s[f*64+1 : f*64+64], x -> x*x), 'avg')), 4) AS rms,
+        |  CAST(len(list_filter(generate_series(2, 64), i -> s[f*64+i-1] * s[f*64+i] < 0)) AS BIGINT) AS zc
+        |FROM fr ORDER BY asset_id, frame_idx""".stripMargin,
     // the stub "decode" is a byte histogram over the UTF-8 payload; the
     // corpus is pure ASCII (verified), so codepoint counts == byte counts
     // and the 32-wide bins of the dim=8 histogram are SQL-countable. f0 =

@@ -127,6 +127,56 @@ object Multimodal {
   }
 
   /**
+   * STUB audio decode: deterministic PCM from the opaque payload bytes —
+   * sample = (byte - 80) / 48, which spans negative AND positive for
+   * printable-ASCII payloads so zero-crossing counts are non-trivial. A
+   * real deployment swaps this for an audio codec (this container ships
+   * none); everything downstream of the sample array is the real pipeline.
+   */
+  def decodeAudioStub(payload: Array[Byte]): Array[Double] =
+    payload.map(b => ((b & 0xff) - 80) / 48.0)
+
+  /**
+   * Per-frame audio features over the (stub) decoded PCM: frame-RMS and
+   * zero-crossing count per full `frameLen`-sample frame — the framing /
+   * energy pass an audio curation pipeline runs for silence and clipping
+   * detection. Same batched mapPartitions execution shape as
+   * [[extractFeatures]] (the kernel sees `batchSize` payloads at a time,
+   * mirroring arrow-batch `mapInPandas`); map-side only, no shuffle —
+   * frames explode inside the kernel, not through the planner.
+   */
+  def audioFeatures(assets: DataFrame, frameLen: Int = 64, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("rms", DoubleType),
+      StructField("zc", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    assets.where(col("modality") === "audio")
+      .select(col("asset_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // per-batch codec init would happen here in a real kernel
+          batch.iterator.flatMap { r =>
+            val pcm = decodeAudioStub(r.getAs[Array[Byte]]("payload"))
+            val nf = pcm.length / frameLen
+            (0 until nf).iterator.map { f =>
+              val off = f * frameLen
+              var s2 = 0.0; var zc = 0L; var i = 0
+              while (i < frameLen) {
+                val x = pcm(off + i)
+                s2 += x * x
+                if (i > 0 && pcm(off + i - 1) * x < 0) zc += 1
+                i += 1
+              }
+              Row(r.getLong(0), f.toLong, math.sqrt(s2 / frameLen), zc)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /**
    * Resize PLAN for image assets: aspect-preserving fit of the declared
    * (width, height) metadata into a `box`×`box` square, INTEGER math only
    * (`w*box div max(w,h)`) so the plan is bit-identical across engines —

@@ -199,6 +199,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f3 == Multimodal.decodeImageStub(png, 8).toSeq, "audio modality stays stubbed")
   }
 
+  test("m04: audio frame features — planted waveform gives the closed-form rms/zc; short payloads yield no frames; only audio modality runs") {
+    import graft.pipeline.Multimodal
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // alternating bytes 32/128 → samples (32-80)/48 = -1 and (128-80)/48 = 1:
+    // rms exactly 1, a sign flip at every step → 63 crossings per 64-frame
+    val square = Array.tabulate[Byte](128)(i => if (i % 2 == 0) 32.toByte else 128.toByte)
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("modality", StringType),
+      StructField("payload", BinaryType)))
+    val assets = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "audio", square),
+        Row(2L, "audio", Array.fill[Byte](63)(100)),   // < one frame → no rows
+        Row(3L, "image", square)                       // wrong modality → skipped
+      ), schema)
+    val out = Multimodal.audioFeatures(assets, frameLen = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._1).toSet == Set(1L), s"only full-frame audio assets emit: ${out.toSeq}")
+    assert(out.length == 2, "128 samples at frameLen=64 = exactly 2 frames")
+    assert(out.forall { case (_, _, rms, zc) => math.abs(rms - 1.0) < 1e-12 && zc == 63L },
+      s"square wave: rms 1, 63 crossings: ${out.toSeq}")
+    // a constant payload has zero crossings and the closed-form rms
+    val const = spark.createDataFrame(
+      java.util.Arrays.asList(Row(9L, "audio", Array.fill[Byte](64)(104))), schema)
+    val c = Multimodal.audioFeatures(const, frameLen = 64).collect().head
+    assert(c.getLong(3) == 0L && math.abs(c.getDouble(2) - 0.5) < 1e-12) // (104-80)/48 = 0.5
+  }
+
   test("m03: real pixel resize fits decodable images into the box; non-images pass through") {
     import graft.pipeline.Multimodal
     // 128x32 gradient PNG → fit into 64x64 is (64, 16)
