@@ -164,6 +164,19 @@ object Dedup {
     bandRows(stored, numBins, bands).write.mode("overwrite").parquet(s"$dir/bands")
   }
 
+  /** Append a new batch's signatures + band rows to an existing index so
+    * later batches see it — the index grows by parquet append, it never
+    * rewrites (at-least-once on a retried writer: duplicate sig rows only
+    * produce duplicate CANDIDATES, which the query dedups before scoring). */
+  def appendToNearDupIndex(newDocs: DataFrame, dir: String, k: Int = 3,
+                           numBins: Int = 64, bands: Int = 16): Unit = {
+    val sigs = ophSigs(newDocs, k, numBins).persist()
+    try {
+      sigs.write.mode("append").parquet(s"$dir/sigs")
+      bandRows(sigs, numBins, bands).write.mode("append").parquet(s"$dir/bands")
+    } finally sigs.unpersist()
+  }
+
   /**
    * Incremental near-dup query: (new_id, old_id, est_jaccard) for every
    * new-batch document whose estimated Jaccard against an indexed document

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** A document arriving on the ingest stream (the streaming twin of the
@@ -142,6 +142,34 @@ object DocPipeline {
       .withColumn("pos", graft.pipeline.Assembly.shardPos(col("doc_id")))
       .withColumn("shard", pmod(col("pos"), lit(nShards.toLong)))
   }
+
+  /**
+   * Rolling near-dup ingestion against the PERSISTED OPH index — the
+   * streaming twin of the batch p52 path: each micro-batch is checked by
+   * [[graft.pipeline.Dedup.nearDupAgainstIndex]] (index never moves, batch
+   * broadcasts under the size guard), its dup pairs append to `pairsOut`,
+   * and its own signatures append to the index so LATER batches see it.
+   * Initialize the index once with `Dedup.writeNearDupIndex` (an empty
+   * corpus is fine) before starting the stream.
+   *
+   * Delivery: foreachBatch is at-least-once on retry — a replayed batch
+   * can append its pairs and signatures twice. Duplicate signatures only
+   * re-create candidates the query dedups; duplicate PAIR rows are the
+   * caller's dropDuplicates away (exactly-once would key the appends by
+   * batchId, which parquet-without-a-metastore cannot express atomically).
+   */
+  def nearDupIngest(docStream: DataFrame, indexDir: String, pairsOut: String,
+                    checkpoint: String, threshold: Double = 0.9,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pairs = graft.pipeline.Dedup.nearDupAgainstIndex(batch, indexDir, threshold = threshold)
+        pairs.write.mode("append").parquet(pairsOut)
+        graft.pipeline.Dedup.appendToNearDupIndex(batch, indexDir)
+      }
+      .start()
 
   private def dedupGroup(horizon: String)(
       key: String, rows: Iterator[DocEvent],

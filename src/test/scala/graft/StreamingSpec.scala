@@ -383,4 +383,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = batchAll.drop("sess_seq", "last_us").collect().map(key).toSet
     assert(streamed.subsetOf(all), s"stream emitted non-batch sessions: ${streamed.diff(all).take(3)}")
   }
+
+  test("streaming incremental near-dup: each micro-batch queries the persisted index and later batches see earlier ones") {
+    import graft.pipeline.Dedup
+    import graft.streaming.DocPipeline
+    val tmp = Files.createTempDirectory("graft-ndingest").toString
+    val idx = s"$tmp/idx"; val srcDir = s"$tmp/src"
+    val pairsOut = s"$tmp/pairs"; val ck = s"$tmp/ck"
+    val sp = spark
+    import sp.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten eleven"
+    // index bootstrapped ONCE with the base corpus
+    Dedup.writeNearDupIndex(Seq((1L, t1), (2L, t2)).toDF("doc_id", "text"), idx)
+    // two arrivals: 101 duplicates base doc 1; 201 duplicates it again —
+    // 201 must ALSO pair with 101, which only the index append can see
+    Seq((101L, t1)).toDF("doc_id", "text").repartition(1).write.parquet(s"$srcDir/f1")
+    Seq((201L, t1)).toDF("doc_id", "text").repartition(1).write.parquet(s"$srcDir/f2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val src = sp.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q = DocPipeline.nearDupIngest(src, idx, pairsOut, ck, threshold = 0.9)
+    q.awaitTermination(120000)
+    val pairs = sp.read.parquet(pairsOut)
+      .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((101L, 1L), (201L, 1L), (201L, 101L)),
+      s"stream pairs must include the cross-batch rediscovery: $pairs")
+    // the index now holds all four docs: a fresh batch pairs with each copy
+    val fresh = Dedup.nearDupAgainstIndex(Seq((301L, t1)).toDF("doc_id", "text"), idx, threshold = 0.9)
+      .select("old_id").collect().map(_.getLong(0)).toSet
+    assert(fresh == Set(1L, 101L, 201L), s"appended index must serve batch queries too: $fresh")
+  }
 }
