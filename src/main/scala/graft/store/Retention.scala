@@ -1,0 +1,53 @@
+package graft.store
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.engine.Align
+
+/**
+ * Retention rollover — the whisper/carbon retention policy as a batch
+ * maintenance job (graphite stores 60s:1d,3600s:90d style archives; the
+ * reference reads whichever archive covers the request): windows older
+ * than a cutoff move from the fine [[TimePartitionedSeriesStore]] layout
+ * into a coarse one, consolidated to `coarseStep` through the same
+ * ScaleToCommonStep kernel every mixed-step read uses. Reads compose the
+ * two dirs with [[TieredSeriesStore]] (fine tier first), so the rollover
+ * is invisible to queries apart from the intended resolution drop.
+ *
+ * Scale shape: the source scan is partition-pruned to exactly the
+ * windows being rolled (`pwin < beforeWin`), the consolidation is one
+ * broadcast-stats pass + per-row rebucket, and the write is the coarse
+ * store's own partitioning. The only driver-side data is the moved
+ * window list (bounded by windows-per-retention-period, not data).
+ */
+object Retention {
+
+  /**
+   * Roll windows `pwin < beforeWin` of `fineDir` into `coarseDir` at
+   * `coarseStep`, then physically drop the rolled fine partitions.
+   * Returns the moved window ordinals (empty = nothing to do).
+   */
+  def rollover(spark: SparkSession, fineDir: String, coarseDir: String,
+               windowSec: Long, beforeWin: Long, coarseStep: Long): Seq[Long] = {
+    val old = spark.read.parquet(fineDir).where(col("pwin") < beforeWin)
+    val moved = old.select(col("pwin").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (moved.isEmpty) return moved
+    val rolled = Align
+      .scaleToCommonStep(
+        old.select(col("name"), col("tags"), col("start"), col("step"), col("values")),
+        commonStep = coarseStep)
+      .select(col("name"), col("tags"), col("start"), col("step"), col("values"))
+    // scaleToCommonStep pads every series to the frame-wide grid; shards
+    // that are ALL padding would bloat the coarse store with NaN rows
+    TimePartitionedSeriesStore.shard(rolled, windowSec)
+      .where(exists(col("values"), v => !isnan(v)))
+      .write.mode("append").partitionBy("pwin").parquet(coarseDir)
+    // drop the rolled fine partitions — directory-level, like a
+    // metastore DROP PARTITION; the fine store never rewrites live data
+    val root = new org.apache.hadoop.fs.Path(fineDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    moved.foreach { w => fs.delete(new org.apache.hadoop.fs.Path(root, s"pwin=$w"), true) }
+    moved
+  }
+}

@@ -196,6 +196,38 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("retention rollover: old windows consolidate into the coarse store, fine partitions drop, and the tiered read shows the intended resolution") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("retention").toString
+    // 3 days of 60s data for one series; roll days 0-1 to 3600s
+    val fine = Seq(Series("events.m", Map("name" -> "events.m"), 0L, 60L,
+      Array.tabulate(3 * 1440)(_.toDouble))).toDF()
+    graft.store.TimePartitionedSeriesStore.write(fine, s"$base/fine", 86400L)
+    val moved = graft.store.Retention.rollover(spark, s"$base/fine", s"$base/coarse",
+      windowSec = 86400L, beforeWin = 2L, coarseStep = 3600L)
+    assert(moved == Seq(0L, 1L))
+    // the rolled partitions are physically gone from the fine store
+    val fineLeft = spark.read.parquet(s"$base/fine")
+      .select("pwin").distinct().collect().map(_.getInt(0)).toSet
+    assert(fineLeft == Set(2), s"fine store must only keep recent windows: $fineLeft")
+    // idempotence: nothing left below the cutoff
+    assert(graft.store.Retention.rollover(spark, s"$base/fine", s"$base/coarse",
+      86400L, 2L, 3600L).isEmpty)
+    // tiered read (fine first) = the original data consolidated to 3600s
+    // on days 0-1 and avg-of-60 pairs everywhere per the LCM merge
+    val tiered = new TieredSeriesStore(Seq(
+      new TimePartitionedSeriesStore(s"$base/fine", 86400L, Some(60L)),
+      new TimePartitionedSeriesStore(s"$base/coarse", 86400L, Some(3600L))))
+    val rows = canon(tiered.fetch(spark, "events.m", 0L, 3L * 86400))
+    assert(rows.size == 1)
+    val (_, start, step, vals) = rows.head
+    assert(start == 0L && step == 3600L && vals.size == 72)
+    // every hourly bucket = avg of its 60 original minutely values
+    val want = (0 until 72).map(h => (h * 60 until (h + 1) * 60).map(_.toDouble).sum / 60)
+    assert(vals == want, s"first mismatch at ${vals.zip(want).indexWhere(p => p._1 != p._2)}")
+  }
+
   test("an unbounded fetchAll still stitches but applies no partition bound") {
     // Eval's whole-store sentinel (Eval.scala:52) — outside bounded()'s range
     val rows = canon(part.fetchAll(spark, Long.MinValue / 4, Long.MaxValue / 4))
