@@ -311,6 +311,37 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(getCached(base + "&maxDataPoints=34&cacheTimeout=123")._3.contains("123"))
   }
 
+  test("/render serves from the production store composition (partitioned history tier + flat recent tier)") {
+    import graft.core.Series
+    import graft.store.{ParquetSeriesStore, TieredSeriesStore, TimePartitionedSeriesStore}
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("httpstore").toString
+    // history: day-sharded partitioned layout; recent: flat dir
+    TimePartitionedSeriesStore.write(
+      Seq(Series("events.click", Map("name" -> "events.click"), 0L, 3600L,
+        Array.tabulate(24)(h => h + 1.0))).toDF(), s"$base/hist", 86400L)
+    Seq(Series("events.click", Map("name" -> "events.click"), 86400L, 3600L,
+      Array.fill(24)(100.0))).toDF().write.parquet(s"$base/recent")
+    val tiered = new TieredSeriesStore(Seq(
+      new ParquetSeriesStore(s"$base/recent", Some(3600L)),
+      new TimePartitionedSeriesStore(s"$base/hist", 86400L, Some(3600L))))
+    val tApi = new HttpApi(spark, tiered, port = 0)
+    val tPort = tApi.start()
+    try {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$tPort/render?target=sumSeries(events.*)&from=0&until=172800&format=json&noCache=1")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      val body = resp.body()
+      assert(body.contains("\"target\":\"sumSeries(events.*)\""))
+      // a point from each tier round-trips: hour 0 history (1.0), day-2 recent (100.0)
+      assert(body.contains("[1.0,0]") || body.contains("[1,0]"), body.take(400))
+      assert(body.contains(",86400]"), body.take(2000))
+    } finally tApi.stop()
+  }
+
   test("concurency limiter: the N+1-th inflight request waits for a slot and 503s past the wait (ref limiter/limiter.go:14-51)") {
     val limited = new HttpApi(spark, new EventSeriesStore("/root/testdata/sf0.001"),
       port = 0, concurency = 1, concurencyWaitSec = 0L)

@@ -228,6 +228,16 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vals == want, s"first mismatch at ${vals.zip(want).indexWhere(p => p._1 != p._2)}")
   }
 
+  test("tiered fetch pushes the name prefix into EVERY tier's scan and prunes partitioned tiers") {
+    val tiered = new TieredSeriesStore(Seq(flat, part))
+    val plan = tiered.fetch(spark, "events.c*", 3600L, 7200L)
+      .queryExecution.executedPlan.toString
+    val pushes = "StringStartsWith\\(name,events.c".r.findAllIn(plan).length
+    assert(pushes >= 2, s"both tier scans must carry the prefix pushdown ($pushes):\n" + plan.take(3000))
+    assert("PartitionFilters: \\[[^\\]]*pwin".r.findFirstIn(plan).nonEmpty,
+      "the partitioned tier must still prune by window inside the composition:\n" + plan.take(3000))
+  }
+
   test("an unbounded fetchAll still stitches but applies no partition bound") {
     // Eval's whole-store sentinel (Eval.scala:52) — outside bounded()'s range
     val rows = canon(part.fetchAll(spark, Long.MinValue / 4, Long.MaxValue / 4))
