@@ -642,15 +642,24 @@ object Eval {
           eval(fc.args.head, ctx.copy(from = ctx.from + off, until = ctx.until + off)))
       })
     }),
-    "smartSummarize" -> ((ctx, fc) => TimeOps.smartSummarize(seriesArg(ctx, fc),
-      intervalArg(fc, 1), strArg(fc, 2, "func", Some("sum")),
+    "smartSummarize" -> ((ctx, fc) => {
       // a BOOLEAN alignTo is the legacy alignToFrom form — ignored, and
       // the name drops it (ref smartSummarize getAlignTo:126-135)
-      arg(fc, 3, "alignTo") match {
+      val alignTo = arg(fc, 3, "alignTo") match {
         case Some(BoolLit(_)) => ""
         case _ => strArg(fc, 3, "alignTo", Some(""))
-      },
-      rawInterval = strArg(fc, 1))),
+      }
+      // the reference moves the request FROM back to the calendar boundary
+      // BEFORE fetching (function.go:43-51 via expr.Metrics()) — bucket
+      // anchoring then falls out of each series' fetched StartTime
+      val fctx =
+        if (alignTo.nonEmpty && graft.store.SeriesStore.bounded(ctx.from))
+          ctx.copy(from = TimeOps.alignStart(ctx.from, alignTo))
+        else ctx
+      TimeOps.smartSummarize(seriesArg(fctx, fc),
+        intervalArg(fc, 1), strArg(fc, 2, "func", Some("sum")),
+        alignTo, rawInterval = strArg(fc, 1))
+    }),
     "fallbackSeries" -> ((ctx, fc) => TimeOps.fallbackSeries(seriesArg(ctx, fc), seriesArg(ctx, fc, 1))),
 
     // ---- presentation / metadata

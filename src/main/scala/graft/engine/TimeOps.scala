@@ -52,21 +52,24 @@ object TimeOps {
           map(lit("timeShift"), lit(offsetSec.toString), lit("timeShiftUnit"), lit(unitStr))))
     }.reduce(_ unionByName _)
 
-  /** smartSummarize: summarize with buckets aligned to a calendar unit
-    * (year/month/week/day/hour/minute) instead of epoch-multiples.
-    * (ref smartSummarize/function.go, parser.go:983-1021) */
+  /** smartSummarize: summarize into buckets anchored at each series' OWN
+    * start — the calendar alignment comes from the ADJUSTED FETCH, not a
+    * per-series re-anchor (ref smartSummarize/function.go:43-51 moves the
+    * request `from` to StartAlignTo(from) before fetching, then the bucket
+    * loop at :101-115 walks from arg.StartTime; Eval applies the same
+    * pre-fetch alignment, see Eval's smartSummarize case). */
   def smartSummarize(df: DataFrame, interval: Long, func: String, alignTo: String,
                      rawInterval: String = ""): DataFrame = {
     val u = udf((v: Seq[Double], start: Long, step: Long, xf: Double) => {
       val vals = v.toArray
-      val newStart = alignStart(start, alignTo)
       val stop = start + vals.length * step
-      val nOut = math.max(math.ceil((stop - newStart).toDouble / interval).toInt, 0)
+      val nOut = math.max(math.ceil((stop - start).toDouble / interval).toInt, 0)
       val out = new Array[Double](nOut)
       var b = 0
       while (b < nOut) {
-        val bLo = newStart + b * interval
+        val bLo = start + b * interval
         val bHi = bLo + interval
+        // ceil((ts-start)/step) index bounds, clamped (ref :104-110)
         val iLo = math.max(((bLo - start + step - 1) / step).toInt, 0)
         val iHi = math.min(math.ceil((bHi - start).toDouble / step).toInt, vals.length)
         val bucket = if (iHi > iLo) java.util.Arrays.copyOfRange(vals, iLo, iHi) else Array.empty[Double]
@@ -74,7 +77,7 @@ object TimeOps {
         out(b) = Kernels.summarizeValues(func, bucket, xf.toFloat)
         b += 1
       }
-      (newStart, out)
+      (start, out)
     })
     df.withColumn("_r", u(col("values"), col("start"), col("step"), SeriesFrame.xffTag))
       .withColumn("start", col("_r._1"))
@@ -91,15 +94,29 @@ object TimeOps {
   /** Truncate an epoch-seconds start down to a calendar boundary (UTC). */
   private[engine] def alignStart(start: Long, alignTo: String): Long = {
     if (alignTo == null || alignTo.isEmpty) return start
+    // reference StartAlignTo (parser.go:983-1021): strip a leading count
+    // ("1hour" → "hour"), then CASE-SENSITIVE prefix match; week REQUIRES a
+    // trailing weekday digit (Go convention, Sunday=0 — 'weeks4' = align
+    // back to Thursday); anything else is ErrInvalidInterval
+    val a = alignTo.replaceFirst("^[0-9]+", "")
     val zdt = java.time.Instant.ofEpochSecond(start).atZone(java.time.ZoneOffset.UTC)
-    val t = alignTo.toLowerCase match {
+    def day = zdt.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+    val t = a match {
       case s if s.startsWith("y")   => zdt.withDayOfYear(1).toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
       case s if s.startsWith("mon") => zdt.withDayOfMonth(1).toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
-      case s if s.startsWith("w")   => zdt.minusDays(zdt.getDayOfWeek.getValue % 7).toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
-      case s if s.startsWith("d")   => zdt.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+      case s if s.startsWith("w") =>
+        if (!s.last.isDigit)
+          throw new IllegalArgumentException(s"invalid alignTo interval: $alignTo")
+        val dow = s.last - '0'
+        val startDow = zdt.getDayOfWeek.getValue % 7 // java Mon=1..Sun=7 → Go Sun=0..Sat=6
+        val sub = { val d = startDow - dow; if (d < 0) d + 7 else d }
+        day.minusDays(sub)
+      case s if s.startsWith("d")   => day
       case s if s.startsWith("h")   => zdt.withMinute(0).withSecond(0)
       case s if s.startsWith("min") => zdt.withSecond(0)
-      case _                        => zdt
+      case s if s.startsWith("s")   => zdt
+      case _ =>
+        throw new IllegalArgumentException(s"invalid alignTo interval: $alignTo")
     }
     t.toEpochSecond
   }

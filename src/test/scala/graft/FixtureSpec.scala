@@ -412,6 +412,36 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       from = 0, until = 300, stepHint = Some(60L))
   }
 
+  test("smartSummarize alignTo 'weeks<dow>' realigns the FETCH to the weekday (ref TestSmartSummarizeAlignToWeeksThursday + parser.go:983-1021)") {
+    // epoch 0 is a Thursday (Go weekday 4): a request from 174600 (Saturday
+    // 00:30) must fetch from 0 and produce ONE 4h bucket over [0,14400)
+    val ramp = (0 until 14400).map(_.toDouble)
+    def c(f: String, want: Double) =
+      check(s"smartSummarize(metric1,'4hours','$f','weeks4')",
+        Seq(md("metric1", ramp, step = 1, start = 0)),
+        Seq(md(s"smartSummarize(metric1,'4hours','$f','weeks4')",
+          Seq(want), step = 14400, start = 0)),
+        from = 174600, until = 14400, stepHint = Some(1L))
+    c("sum", 103672800.0)
+    c("avg", 7199.5)
+    c("last", 14399.0)
+    c("max", 14399.0)
+    c("min", 0.0)
+    // a leading count strips before the unit match ("1hour" == "hours")
+    check("smartSummarize(metric1,'1hour','max','1hour')",
+      Seq(md("metric1", (0 until 7200).map(_.toDouble), step = 1, start = 0)),
+      Seq(md("smartSummarize(metric1,'1hour','max','1hour')",
+        Seq(3599, 7199), step = 3600, start = 0)),
+      from = 0, until = 7200, stepHint = Some(1L))
+    // week WITHOUT a weekday digit and unknown units are ErrInvalidInterval
+    for (bad <- Seq("weeks", "century"))
+      intercept[IllegalArgumentException] {
+        run(s"smartSummarize(metric1,'1hour','sum','$bad')",
+          Seq(md("metric1", Seq(1.0, 2.0), step = 1, start = 0)),
+          from = 0, until = 2, stepHint = Some(1L))
+      }
+  }
+
   test("asPercent pairwise: unmatched tails become MISSING partners (ref asPercent/function_test.go:151-189)") {
     val n = Double.NaN
     val shortUsed = Seq(
