@@ -401,9 +401,26 @@ object Eval {
       val dflt = numArg(fc, 1, "default", Some(0))
       // referenceSeries is usually NAMED — eval the matched ast, not a
       // positional re-lookup (transformNull(m, default=5, referenceSeries=r))
-      arg(fc, 2, "referenceSeries") match {
+      val filled = arg(fc, 2, "referenceSeries") match {
         case Some(refAst) => ExtOps.transformNullRef(seriesArg(ctx, fc), dflt, eval(refAst, ctx))
         case None         => SeriesOps.transformNull(seriesArg(ctx, fc), dflt)
+      }
+      // defaultOnAbsent: when the series arg matched NOTHING, emit a
+      // constantLine-shaped 2-point default named with the full expression
+      // text (ref transformNull/function.go:44,109-125) — the emptiness
+      // probe is a tiny job, gated on the flag being passed at all
+      if (!boolArg(fc, 3, "defaultOnAbsent") || !filled.isEmpty) filled
+      else {
+        val sp = ctx.spark
+        import sp.implicits._
+        val name = s"transformNull(${fc.rawArgs})"
+        val (from, until) = genRange(ctx)
+        val step = math.max(until - from, 1L)
+        Seq(graft.core.Series(name,
+          graft.core.Names.extractTags(graft.core.Names.extractName(name)) +
+            ("transformNull" -> SeriesOps.fmtNum(dflt)),
+          from, step, Array(dflt, dflt))).toDF()
+          .withColumn("pathExpression", lit(null).cast("string"))
       }
     }),
     "removeBelowValue" -> ((ctx, fc) => SeriesOps.removeBelowValue(seriesArg(ctx, fc), numArg(fc, 1))),

@@ -368,6 +368,17 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       md("transformNull(metric1,5)", Seq(1, 5, n, 5, 4, 12), step = 1)))
   }
 
+  test("transformNull defaultOnAbsent: an unmatched series arg yields a 2-point default named by the expression (ref transformNull/function_test.go:56-61)") {
+    check("transformNull(metric1, default=5, defaultOnAbsent=True)",
+      Seq.empty,
+      Seq(md("transformNull(metric1, default=5, defaultOnAbsent=True)",
+        Seq(5.0, 5.0), step = 2, start = 0)),
+      from = 0, until = 2, stepHint = Some(1L))
+    // without the flag, an unmatched arg stays empty
+    assert(run("transformNull(metric1, default=5)", Seq.empty,
+      from = 0, until = 2, stepHint = Some(1L)).isEmpty)
+  }
+
   test("groupByNode(s): negative index, no-callback avg, multi-node keys, out-of-range node ignored " +
       "(ref groupByNode/function_test.go:96-158)") {
     val four = Seq(
