@@ -822,8 +822,13 @@ object SeriesOps {
   def sortByName(df: DataFrame, reverse: Boolean = false): DataFrame =
     markSorted(df.orderBy(if (reverse) col("name").desc else col("name").asc))
 
-  /** sortBy: order by per-series summarized scalar; NaN sorts lowest. */
+  /** sortBy: order by per-series summarized scalar; NaN sorts lowest. The
+    * func validates EAGERLY with the pNN escape — an unknown name is
+    * ErrInvalidConsolidationFunc, not a silent NaN sort (ref
+    * sortBy/function.go:65 CheckValidConsolidationFunc). */
   def sortBy(df: DataFrame, func: String = "average", reverse: Boolean = false): DataFrame = {
+    require(Kernels.validConsolidations(func) || func.matches("p([0-9]*[.])?[0-9]+"),
+      s"invalid consolidation $func")
     val raw = vecScalar(v => Kernels.summarizeValues(func, v))(col("values"))
     val s = when(isnan(raw), lit(Double.NegativeInfinity)).otherwise(raw)
     markSorted(df.orderBy(if (reverse) s.desc else s.asc, col("name")))

@@ -398,6 +398,16 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("groupByNodes(metric1.foo.*.*,\"sum\",0,5,2)", Seq(
       md("metric1.foo.bar1.baz", Seq(1, 2, 3, 4, 5), step = 1)), Seq(
       md("metric1.bar1", Seq(1, 2, 3, 4, 5), step = 1)))
+    // a bare-number callback is invalid, not a silent no-op
+    // (ref groupByNode/function_test.go:266 Error: ErrInvalidArg)
+    intercept[IllegalArgumentException] {
+      run("groupByNode(metric1.foo.*.*,3,\"4\")", four)
+    }
+    // sortBy with an unknown consolidation errors eagerly
+    // (ref sortBy/function_test.go:154 ErrInvalidConsolidationFunc)
+    intercept[IllegalArgumentException] {
+      run("sortBy(metric1.foo.*.*, 'test')", four)
+    }
   }
 
   test("smartSummarize alignTo forms (ref smartSummarize/function_test.go)") {
