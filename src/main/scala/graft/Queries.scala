@@ -491,6 +491,10 @@ object Queries {
           dround(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy("new_id", "old_id")
     }),
+    // one-row corpus report card: doc/token/source counts, exact dups,
+    // English-doc count — the summary a curation run logs
+    "p53_corpus_report" -> ((s, dir) =>
+      Curation.corpusReport(docs(s, dir))),
     "p06_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHammingDistance = 3)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
@@ -1783,6 +1787,31 @@ object Queries {
         |SELECT doc_id, lang AS lang_pred FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM s)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // same stop-word lang heuristic as p04; dup = beyond-first md5 holders
+    "p53_corpus_report" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t FROM documents),
+        |s AS (
+        |  SELECT doc_id, 'de' AS lang, len(list_filter(t, x -> list_contains(['der','die','das','und','ist','mit','für','nicht'], x))) AS score FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'en', len(list_filter(t, x -> list_contains(['the','and','of','to','is','with','that','for'], x))) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'es', len(list_filter(t, x -> list_contains(['el','la','los','las','es','con','para','por'], x))) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'fr', len(list_filter(t, x -> list_contains(['le','la','les','est','avec','pour','dans','une'], x))) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'zh', len(list_filter(t, x -> list_contains(['的','是','在','了','和','有','我','不'], x))) FROM toks),
+        |pred AS (SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM s)
+        |  WHERE rn = 1),
+        |base AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(*) - count(DISTINCT md5(text)) AS dup_docs
+        |  FROM documents)
+        |SELECT n_docs, n_tokens, n_sources, dup_docs,
+        |  (SELECT count(*) FROM pred WHERE lang = 'en') AS n_en
+        |FROM base""".stripMargin,
     "p13_repetition" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS words

@@ -406,4 +406,27 @@ object Curation {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(topN)
   }
+
+  /**
+   * Corpus report card — the one-row summary every curation run logs:
+   * document/token/source counts, exact-duplicate count (docs beyond the
+   * first holder of each content hash), and English-document count via
+   * the stop-word language heuristic.
+   *
+   * Scale shape: one full-corpus aggregate with map-side partials (the
+   * distinct source/md5 counts are two-phase hash aggs keyed by the
+   * value — no driver-side data) plus the 1-row language count, cross-
+   * joined broadcast. Two scans total, output is a single row.
+   */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val en = TextStats.languageId(docs)
+      .where(col("lang_pred") === "en")
+      .agg(count(lit(1)).as("n_en"))
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextStats.tokenCount(col("text")).cast("long")).as("n_tokens"),
+      countDistinct(col("source")).as("n_sources"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"))
+      .crossJoin(broadcast(en))
+  }
 }

@@ -356,4 +356,19 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toMap == Map("lo" -> 4L, "ow" -> 4L, "we" -> 2L, "er" -> 1L,
       "ne" -> 1L, "ew" -> 1L, "es" -> 1L, "st" -> 1L))
   }
+
+  test("corpus report: counts, exact-dup tally and language mix on a planted corpus") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog", "web"),
+      (2L, "the cat and the dog", "web"),      // exact duplicate of doc 1
+      (3L, "der hund und die katze", "books")
+    ).toDF("doc_id", "text", "source")
+    val r = graft.pipeline.Curation.corpusReport(d).collect().head
+    assert(r.getAs[Long]("n_docs") == 3L && r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("dup_docs") == 1L, "one doc beyond the first holder")
+    assert(r.getAs[Long]("n_tokens") == 15L)
+    assert(r.getAs[Long]("n_en") == 2L, "the German doc must not count as English")
+  }
 }
