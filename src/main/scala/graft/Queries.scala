@@ -719,6 +719,12 @@ object Queries {
     "p46_shard_plan" -> ((s, dir) =>
       Assembly.shardPlan(docs(s, dir), nShards = 8)
         .orderBy("doc_id")),
+    // curriculum-staged shard plan: head/middle/tail write order per shard
+    "p54_curriculum_plan" -> ((s, dir) =>
+      Assembly.curriculumPlan(docs(s, dir), nShards = 8)
+        .select(col("doc_id"), col("n_tokens"), col("bucket"), col("stage"),
+          col("pos"), col("shard"), col("shard_seq"), col("tok_offset"))
+        .orderBy("doc_id")),
     // unigram entropy + type/token ratio repetitiveness signals
     "p47_word_entropy" -> ((s, dir) =>
       graft.pipeline.TextStats.wordEntropy(docs(s, dir))
@@ -2219,6 +2225,34 @@ object Queries {
         |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY pos % 8 ORDER BY pos, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
         |FROM t ORDER BY doc_id""".stripMargin,
+    // p41's tercile CTE + p46's LCG, windows keyed (shard | stage, pos)
+    "p54_curriculum_plan" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
+        |vc AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
+        |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc),
+        |sc AS (SELECT doc_id, round(avg(ln((c + 1.0) / (t + v))), 4) AS lp
+        |       FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id),
+        |sp AS (SELECT doc_id, round(exp(-lp), 4) AS ppl FROM sc),
+        |cut AS (SELECT quantile_cont(ppl, 1.0/3) AS c1, quantile_cont(ppl, 2.0/3) AS c2 FROM sp),
+        |b AS (SELECT doc_id,
+        |  CASE WHEN ppl <= c1 THEN 'head' WHEN ppl <= c2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  CASE WHEN ppl <= c1 THEN 0 WHEN ppl <= c2 THEN 1 ELSE 2 END AS stage
+        |  FROM sp, cut),
+        |t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  (1103515245 * ((doc_id % 2147483648 + 2147483648) % 2147483648) + 12345) % 2147483648 AS pos
+        |  FROM documents),
+        |j AS (SELECT t.doc_id, t.n_tokens, b.bucket, CAST(b.stage AS BIGINT) AS stage,
+        |        t.pos, t.pos % 8 AS shard
+        |      FROM t JOIN b USING (doc_id))
+        |SELECT doc_id, n_tokens, bucket, stage, pos, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY stage, pos, doc_id) AS shard_seq,
+        |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY stage, pos, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |FROM j ORDER BY doc_id""".stripMargin,
     "p47_word_entropy" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w

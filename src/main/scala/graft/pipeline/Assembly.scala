@@ -350,4 +350,36 @@ object Assembly {
         coalesce(sum(col("n_tokens")).over(
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
   }
+
+  /**
+   * Curriculum-ordered shard plan: the [[shardPlan]] assignment with each
+   * shard's write order STAGED easy→hard — CCNet head documents first,
+   * then middle, then tail (curriculum learning over data quality,
+   * Bengio et al. 2009), the deterministic LCG order within a stage.
+   *
+   * Scale shape: [[perplexityBuckets]]' two corpus-vocab aggregates plus
+   * one doc_id-keyed join to attach the stage (map-side partials, never
+   * pairwise), then the SAME single hash-by-shard shuffle shardPlan has —
+   * the per-shard window ordering by (stage, pos) IS the sequential order
+   * the shard writer streams.
+   */
+  def curriculumPlan(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"curriculumPlan: nShards must be positive, got $nShards")
+    val stages = perplexityBuckets(docs).select(col("doc_id"), col("bucket"))
+      .withColumn("stage",
+        when(col("bucket") === "head", 0L)
+          .when(col("bucket") === "middle", 1L).otherwise(2L))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("stage"), col("pos"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(stages, "doc_id")
+      .withColumn("pos", shardPos(col("doc_id")))
+      .withColumn("shard", pmod(col("pos"), lit(nShards.toLong)))
+      .withColumn("shard_seq", row_number().over(w).cast("long"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+  }
 }

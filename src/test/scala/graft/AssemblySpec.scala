@@ -332,4 +332,33 @@ class AssemblySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     plan.unpersist()
   }
+
+  test("curriculumPlan: every shard writes head before middle before tail; within a stage the LCG order holds") {
+    val plan = Assembly.curriculumPlan(docs, nShards = 4).cache()
+    assert(plan.count() == docs.count())
+    // stage is a pure function of bucket
+    assert(plan.where(
+      (col("bucket") === "head" && col("stage") =!= 0L) ||
+      (col("bucket") === "middle" && col("stage") =!= 1L) ||
+      (col("bucket") === "tail" && col("stage") =!= 2L)).count() == 0)
+    // within every shard, shard_seq order is non-decreasing in stage and
+    // (stage, pos, doc_id)-sorted; offsets prefix-sum exactly
+    plan.orderBy("shard", "shard_seq").collect()
+      .groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+        var expectOff = 0L
+        var prev: (Long, Long, Long) = (-1L, -1L, -1L)
+        rows.zipWithIndex.foreach { case (row, i) =>
+          assert(row.getAs[Long]("shard_seq") == i + 1L)
+          assert(row.getAs[Long]("tok_offset") == expectOff)
+          expectOff += row.getAs[Long]("n_tokens")
+          val key = (row.getAs[Long]("stage"), row.getAs[Long]("pos"), row.getAs[Long]("doc_id"))
+          assert(Ordering[(Long, Long, Long)].lt(prev, key),
+            s"write order must be (stage, pos, doc_id)-sorted: $prev !< $key")
+          prev = key
+        }
+      }
+    // both terciles actually appear (the fixture is not degenerate)
+    assert(plan.select("stage").distinct().count() >= 2)
+    plan.unpersist()
+  }
 }
