@@ -129,7 +129,8 @@ object ScaleBench {
     "p49_bpe_pairs", "p50_bigram_lm", "p51_token_encode",
     "p52_neardup_incremental", "q07_sessions",
     // r7: the salted two-phase per-nation top-k and the storage-layer rows
-    "q08_top_orders_per_nation", "g146_partitioned_fetch", "g147_tiered_fetch")
+    "q08_top_orders_per_nation", "g146_partitioned_fetch", "g147_tiered_fetch",
+    "p53_corpus_report", "p54_curriculum_plan")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture
