@@ -91,7 +91,10 @@ object ScaleBench {
     * Separate guard from _DONE so pre-existing work dirs from earlier
     * rounds regenerate just the relational tables. */
   private def generateTpch(spark: SparkSession, baseDir: String, workDir: String): Unit = {
-    if (new java.io.File(s"$workDir/orders.parquet/_SUCCESS").exists()) return
+    // the guard checks the LAST artifact written — a crash mid-generation
+    // must regenerate, not leave a half-written dir that every later run
+    // skips over
+    if (new java.io.File(s"$workDir/part.parquet/_SUCCESS").exists()) return
     def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until Copies).map(i => f(df, i)).reduce(_ unionByName _)
     copies(spark.read.parquet(s"$baseDir/lineitem.parquet")) { (df, i) =>

@@ -35,12 +35,18 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     * (NoopLimiter), otherwise the N+1-th concurrent request queues FIFO for
     * a free slot and 503s after `concurencyWaitSec` (the Go limiter blocks
     * until ctx.Done → ErrTimeout). Spark's scheduler multiplexes whatever
-    * gets through; this knob bounds how many actions pile up at once. */
+    * gets through; this knob bounds how many actions pile up at once.
+    * Only DATA routes (render/find/expand/tags/info — the ones that run
+    * Spark work, the analog of the reference's zipper fetches) take a
+    * slot: /lb_check, /version, /functions and the usage page stay
+    * limiter-free so a saturated engine still answers health probes
+    * instead of being evicted by its load balancer. */
   private[graft] val inflight: Option[java.util.concurrent.Semaphore] =
     if (concurency > 0) Some(new java.util.concurrent.Semaphore(concurency, true)) else None
 
-  private def limited[A](body: => A): A = inflight match {
+  private def limited[A](takeSlot: Boolean)(body: => A): A = inflight match {
     case None => body
+    case Some(_) if !takeSlot => body
     case Some(sem) =>
       if (!sem.tryAcquire(concurencyWaitSec, java.util.concurrent.TimeUnit.SECONDS))
         throw HttpError(503, "too many requests in flight")
@@ -59,11 +65,11 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     server.createContext("/tags", tagsDispatch _)
     server.createContext("/tags/autoComplete/tags", handle(tagNames))
     server.createContext("/tags/autoComplete/values", handle(tagValues))
-    server.createContext("/functions", handle(functions))
-    server.createContext("/version", handle(_ => ("1.0.0-graft", "text/plain")))
-    server.createContext("/lb_check", handle(_ => ("Ok\n", "text/plain")))
-    server.createContext("/_internal/capabilities", handle(capabilities))
-    server.createContext("/", handle(_ => (usageMsg, "text/plain")))
+    server.createContext("/functions", handle(functions, takeSlot = false))
+    server.createContext("/version", handle(_ => ("1.0.0-graft", "text/plain"), takeSlot = false))
+    server.createContext("/lb_check", handle(_ => ("Ok\n", "text/plain"), takeSlot = false))
+    server.createContext("/_internal/capabilities", handle(capabilities, takeSlot = false))
+    server.createContext("/", handle(_ => (usageMsg, "text/plain"), takeSlot = false))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
     server.getAddress.getPort
@@ -75,8 +81,8 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
 
   private type Params = Map[String, Seq[String]]
 
-  private def handle(f: Params => (String, String))(ex: HttpExchange): Unit =
-    handleBytes(p => { val (s, ct) = f(p); (s.getBytes(StandardCharsets.UTF_8), ct) })(ex)
+  private def handle(f: Params => (String, String), takeSlot: Boolean = true)(ex: HttpExchange): Unit =
+    handleBytes(p => { val (s, ct) = f(p); (s.getBytes(StandardCharsets.UTF_8), ct) }, takeSlot)(ex)
 
   /** Short-circuit carrying an explicit status — rendered like Go's
     * `http.Error`: text/plain, message + "\n" (ref http/helper.go:310-362). */
@@ -93,7 +99,7 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     case _   => "Error"
   }
 
-  private def handleBytes(f: Params => (Array[Byte], String))(ex: HttpExchange): Unit = {
+  private def handleBytes(f: Params => (Array[Byte], String), takeSlot: Boolean = true)(ex: HttpExchange): Unit = {
     def plain(code: Int, msg: String): (Int, Array[Byte]) = {
       ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
       (code, (msg + "\n").getBytes(StandardCharsets.UTF_8))
@@ -105,7 +111,7 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
       java.util.UUID.randomUUID().toString)
     val out =
       try {
-        val (body, ct) = limited(f(params(ex)))
+        val (body, ct) = limited(takeSlot)(f(params(ex)))
         // success content types are served BARE ("application/json"), the
         // reference's exact strings (ref http/helper.go:139-146); only the
         // error surface carries a charset, matching Go's http.Error

@@ -109,6 +109,10 @@ object TimeOps {
           throw new IllegalArgumentException(s"invalid alignTo interval: $alignTo")
         val dow = s.last - '0'
         val startDow = zdt.getDayOfWeek.getValue % 7 // java Mon=1..Sun=7 → Go Sun=0..Sat=6
+        // weekday digits 7-9 are accepted and the single +7 correction can
+        // leave sub negative (aligning FORWARD) — deliberately identical to
+        // the reference's arithmetic (parser.go:1004-1008 adds 7 at most
+        // once), not a bug to "fix"
         val sub = { val d = startDow - dow; if (d < 0) d + 7 else d }
         day.minusDays(sub)
       case s if s.startsWith("d")   => day

@@ -39,10 +39,17 @@ object Retention {
         commonStep = coarseStep)
       .select(col("name"), col("tags"), col("start"), col("step"), col("values"))
     // scaleToCommonStep pads every series to the frame-wide grid; shards
-    // that are ALL padding would bloat the coarse store with NaN rows
+    // that are ALL padding would bloat the coarse store with NaN rows.
+    // DYNAMIC partition overwrite makes the move crash-idempotent: a retry
+    // after a failure between this write and the delete below re-rolls the
+    // same windows and REPLACES their coarse partitions instead of
+    // appending duplicates (which the reader's stitch would concatenate);
+    // windows from earlier rollovers are untouched.
     TimePartitionedSeriesStore.shard(rolled, windowSec)
       .where(exists(col("values"), v => !isnan(v)))
-      .write.mode("append").partitionBy("pwin").parquet(coarseDir)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pwin").parquet(coarseDir)
     // drop the rolled fine partitions — directory-level, like a
     // metastore DROP PARTITION; the fine store never rewrites live data
     val root = new org.apache.hadoop.fs.Path(fineDir)

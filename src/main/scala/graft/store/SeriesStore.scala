@@ -36,6 +36,17 @@ object SeriesStore {
     * sentinel Eval uses for "whole store" evaluation. */
   def bounded(t: Long): Boolean = math.abs(t) < Long.MaxValue / 8
 
+  /** The glob/exact name predicate every Parquet-backed store shares: the
+    * glob's literal prefix pushes to the reader as StringStartsWith
+    * (row-group pruning on name column stats — rlike alone can't reach the
+    * scan), the full glob applies as rlike on the survivors. */
+  def nameFilter(df: DataFrame, pathExpr: String): DataFrame =
+    if (Glob.isGlob(pathExpr)) {
+      val prefix = Glob.literalPrefix(pathExpr)
+      val rx = df.where(col("name").rlike(Glob.toRegex(pathExpr)))
+      if (prefix.nonEmpty) rx.where(col("name").startsWith(prefix)) else rx
+    } else df.where(col("name") === pathExpr)
+
   /**
    * Trim every series' values array to the grid positions inside [from,
    * until), re-stamping `start` — a fetch must return the REQUESTED window,
@@ -69,15 +80,7 @@ class ParquetSeriesStore(path: String, uniformStep: Option[Long] = None) extends
   override def stepHint: Option[Long] = uniformStep
 
   override def fetch(spark: SparkSession, pathExpr: String, from: Long, until: Long): DataFrame = {
-    val df = spark.read.parquet(path)
-    val named =
-      if (Glob.isGlob(pathExpr)) {
-        // rlike can't reach the Parquet reader; the glob's literal prefix
-        // pushes as StringStartsWith → row-group pruning on name stats
-        val prefix = Glob.literalPrefix(pathExpr)
-        val rx = df.where(col("name").rlike(Glob.toRegex(pathExpr)))
-        if (prefix.nonEmpty) rx.where(col("name").startsWith(prefix)) else rx
-      } else df.where(col("name") === pathExpr)
+    val named = SeriesStore.nameFilter(spark.read.parquet(path), pathExpr)
     // overlap filter prunes whole series rows (and, with time-partitioned
     // layout, whole partitions) outside the request range
     SeriesStore.sliceToRange(

@@ -2,7 +2,6 @@ package graft.store
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Glob
 
 /**
  * Time-partitioned Parquet series store — the 100 TB scan story for the
@@ -45,7 +44,7 @@ class TimePartitionedSeriesStore(
   }
 
   override def fetch(spark: SparkSession, pathExpr: String, from: Long, until: Long): DataFrame = {
-    val named = TimePartitionedSeriesStore.nameFilter(pruned(spark, from, until), pathExpr)
+    val named = SeriesStore.nameFilter(pruned(spark, from, until), pathExpr)
     TimePartitionedSeriesStore.stitch(
       SeriesStore.sliceToRange(
         named.where(col("start") + size(col("values")) * col("step") > from && col("start") < until),
@@ -64,16 +63,6 @@ class TimePartitionedSeriesStore(
 
 object TimePartitionedSeriesStore {
 
-  /** The glob/exact name predicate shared with the flat store: the literal
-    * prefix pushes to the Parquet reader as StringStartsWith (row-group
-    * pruning on name column stats), the full glob applies as rlike. */
-  private[store] def nameFilter(df: DataFrame, pathExpr: String): DataFrame =
-    if (Glob.isGlob(pathExpr)) {
-      val prefix = Glob.literalPrefix(pathExpr)
-      val rx = df.where(col("name").rlike(Glob.toRegex(pathExpr)))
-      if (prefix.nonEmpty) rx.where(col("name").startsWith(prefix)) else rx
-    } else df.where(col("name") === pathExpr)
-
   /**
    * Split canonical series rows at `windowSec` boundaries and write
    * Parquet partitioned by the window ordinal `pwin = floor(t /
@@ -85,14 +74,22 @@ object TimePartitionedSeriesStore {
   def write(df: DataFrame, path: String, windowSec: Long): Unit =
     shard(df, windowSec).write.mode("overwrite").partitionBy("pwin").parquet(path)
 
+  /** Exact floor-division window ordinal in INTEGER column math — the
+    * double-precision floor(col/w) rounds for |t| beyond 2⁵³ and could
+    * disagree with the reader's Math.floorDiv by ±1 window; (t - pmod) is
+    * an exact multiple of w and SQL `div` is integral, so no double ever
+    * enters. */
+  private def winOf(t: Column, windowSec: Long): Column =
+    call_function("div", t - pmod(t, lit(windowSec)), lit(windowSec))
+
   /** The sharding transform behind [[write]], exposed for tests. */
   def shard(df: DataFrame, windowSec: Long): DataFrame = {
     val w = lit(windowSec)
     df
       .withColumn("_end", col("start") + size(col("values")).cast("long") * col("step"))
       .withColumn("pwin",
-        explode(sequence(floor(col("start") / w).cast("long"),
-          floor((col("_end") - 1L) / w).cast("long"))))
+        explode(sequence(winOf(col("start"), windowSec),
+          winOf(col("_end") - 1L, windowSec))))
       // grid indices of this window's slice: lo = ceil((winStart-start)/step)
       // clamped to [0, n]; hi = ceil((winEnd-start)/step) clamped likewise
       .withColumn("_ws", col("pwin") * w)

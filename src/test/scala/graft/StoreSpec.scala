@@ -214,6 +214,17 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // idempotence: nothing left below the cutoff
     assert(graft.store.Retention.rollover(spark, s"$base/fine", s"$base/coarse",
       86400L, 2L, 3600L).isEmpty)
+    // crash-retry idempotence: a failure BETWEEN the coarse write and the
+    // fine delete replays the whole rollover — simulate by re-rolling from
+    // an untouched copy of the original fine store into the SAME coarse
+    // dir; dynamic partition overwrite must replace, not duplicate
+    val fine2 = s"$base/fine2"
+    graft.store.TimePartitionedSeriesStore.write(fine, fine2, 86400L)
+    val coarseBefore = spark.read.parquet(s"$base/coarse").count()
+    assert(graft.store.Retention.rollover(spark, fine2, s"$base/coarse",
+      86400L, 2L, 3600L) == Seq(0L, 1L))
+    assert(spark.read.parquet(s"$base/coarse").count() == coarseBefore,
+      "a replayed rollover must overwrite its windows, not append duplicates")
     // tiered read (fine first) = the original data consolidated to 3600s
     // on days 0-1 and avg-of-60 pairs everywhere per the LCM merge
     val tiered = new TieredSeriesStore(Seq(
