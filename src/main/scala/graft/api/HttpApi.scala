@@ -19,7 +19,8 @@ import graft.store.SeriesStore
  *   /functions            /version            /lb_check
  *
  * Each request is one Spark action; concurrent requests ride Spark's own
- * scheduler (FAIR pools replace the reference's goroutine limiter).
+ * scheduler (FAIR pools), with the optional `concurency` semaphore
+ * bounding how many data requests run at once (the reference's limiter).
  */
 class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
               maxQueryLength: Int = 0,

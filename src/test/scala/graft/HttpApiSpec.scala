@@ -367,8 +367,34 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       // slot freed: the same request serves again (the queue drains)
       sem.release()
       assert(lget(q) == 200)
+      // health/metadata routes never take a slot: with the slot held,
+      // /lb_check and /version still answer immediately
+      sem.acquire()
+      assert(lget("/lb_check") == 200 && lget("/version") == 200,
+        "health probes must bypass the limiter")
+      sem.release()
       // default construction (concurency=0) is the NoopLimiter
       assert(api.inflight.isEmpty)
+    } finally limited.stop()
+  }
+
+  test("concurency limiter queues: more parallel renders than slots all complete within the wait") {
+    val limited = new HttpApi(spark, new EventSeriesStore("/root/testdata/sf0.001"),
+      port = 0, concurency = 2, concurencyWaitSec = 30L)
+    val lport = limited.start()
+    try {
+      val q = "/render?target=events.click&from=1704067200&until=1706660000&format=json&noCache=1"
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val codes = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence((1 to 6).map(_ => scala.concurrent.Future {
+          client.send(
+            HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$lport$q")).GET().build(),
+            HttpResponse.BodyHandlers.ofString()).statusCode()
+        })), scala.concurrent.duration.Duration(120, "s"))
+      pool.shutdown()
+      assert(codes.forall(_ == 200), s"queued requests must drain, got $codes")
     } finally limited.stop()
   }
 }
