@@ -333,6 +333,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the corpus must not shuffle for the id lookup:\n" + plan.take(3000))
   }
 
+  test("curriculum plan joins stay equality-keyed: no cartesian, only the tercile math's 1-row nested loop") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "the cat sat"), (2L, "a dog ran far"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val plan = graft.pipeline.Assembly.curriculumPlan(docs, nShards = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the unigram-LM tercile math cross-joins two 1-row aggregates (total
+    // tokens + vocab size); nothing corpus-sized may nest-loop
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 2, s"only the 1-row stat joins may nest-loop ($bnlj):\n" + plan.take(3000))
+  }
+
   test("q08 per-nation top-k is two-phase: the heavy rank runs over salted keys only") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q08_top_orders_per_nation")(spark, "/root/testdata/sf0.001")
