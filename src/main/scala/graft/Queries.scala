@@ -61,8 +61,21 @@ object Queries {
     * cross-JVM overwrite collisions on a shared fixture), with per-fixture
     * subpaths keyed by the RAW dir's hash so two dirs that sanitize to the
     * same name cannot collide. */
-  private lazy val scratchRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_scratch").toString
+  private lazy val scratchRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scratch")
+    // the persisted-artifact queries write a partitioned events copy plus
+    // two tier layouts per fixture — multi-GB at the ScaleBench fixtures —
+    // so reclaim the whole root when the JVM exits (best-effort: a kill -9
+    // leaves it, but every normal bench/test run cleans up after itself)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles(); if (kids != null) kids.foreach(rm)
+        p.delete(); ()
+      }
+      rm(dir.toFile)
+    }, "graft-scratch-cleanup"))
+    dir.toString
+  }
 
   private[graft] def scratchPath(tag: String, sfDir: String): String =
     s"$scratchRoot/${tag}_${Integer.toHexString(sfDir.hashCode)}_" +

@@ -71,7 +71,14 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     server.createContext("/lb_check", handle(_ => ("Ok\n", "text/plain"), takeSlot = false))
     server.createContext("/_internal/capabilities", handle(capabilities, takeSlot = false))
     server.createContext("/", handle(_ => (usageMsg, "text/plain"), takeSlot = false))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    // Cached (thread-per-request) executor, matching the reference's Go
+    // net/http goroutine-per-request model: limiter WAITERS park inside
+    // sem.tryAcquire holding only a cheap idle thread, so slot-free routes
+    // (/lb_check, /version) are never queued behind saturated data
+    // requests — a fixed pool starved health probes once `pool size`
+    // requests were running-or-waiting. Actual engine concurrency is still
+    // bounded by the `concurency` semaphore, not by thread count.
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
     server.getAddress.getPort
   }

@@ -29,7 +29,11 @@ object Retention {
    */
   def rollover(spark: SparkSession, fineDir: String, coarseDir: String,
                windowSec: Long, beforeWin: Long, coarseStep: Long): Seq[Long] = {
-    val old = spark.read.parquet(fineDir).where(col("pwin") < beforeWin)
+    // readShardedOrEmpty: a previous rollover may have moved EVERY window,
+    // leaving the fine dir with no parquet files — that must read as
+    // "nothing to roll", not a schema-inference error
+    val old = TimePartitionedSeriesStore.readShardedOrEmpty(spark, fineDir)
+      .where(col("pwin") < beforeWin)
     val moved = old.select(col("pwin").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     if (moved.isEmpty) return moved

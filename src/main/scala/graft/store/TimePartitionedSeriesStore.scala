@@ -30,7 +30,7 @@ class TimePartitionedSeriesStore(
   override def stepHint: Option[Long] = uniformStep
 
   private def pruned(spark: SparkSession, from: Long, until: Long): DataFrame = {
-    val df = spark.read.parquet(path)
+    val df = TimePartitionedSeriesStore.readShardedOrEmpty(spark, path)
     // partition predicate from the request range: floorDiv keeps negative
     // timestamps on the correct window (SQL DIV is floor division too)
     val lo = if (SeriesStore.bounded(from)) Some(Math.floorDiv(from, windowSec)) else None
@@ -62,6 +62,29 @@ class TimePartitionedSeriesStore(
 }
 
 object TimePartitionedSeriesStore {
+
+  /** The sharded layout's row schema, for reading a store that is
+    * currently EMPTY: a retention rollover that moves every window
+    * deletes all `pwin=` partition dirs, and `spark.read.parquet` on a
+    * dir with no data files throws "unable to infer schema" instead of
+    * returning an empty relation. The schema is fixed (SURVEY §1.4), so
+    * an empty store reads as an empty frame. */
+  private[store] val shardedSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "name STRING, tags MAP<STRING,STRING>, start BIGINT, step BIGINT, " +
+        "values ARRAY<DOUBLE>, pwin BIGINT")
+
+  /** Read the sharded dir, or an empty canonical frame when no `pwin=`
+    * partition exists (fresh store, or a fully-rolled fine tier). */
+  private[store] def readShardedOrEmpty(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasShards = fs.exists(root) &&
+      fs.listStatus(root).exists(st => st.isDirectory && st.getPath.getName.startsWith("pwin="))
+    if (hasShards) spark.read.parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shardedSchema)
+  }
 
   /**
    * Split canonical series rows at `windowSec` boundaries and write

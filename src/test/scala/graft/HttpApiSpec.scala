@@ -378,6 +378,43 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally limited.stop()
   }
 
+  test("health probes answer while limiter waiters saturate the server (no fixed-pool starvation)") {
+    // 12 data requests queue on the held slot (more than any fixed pool
+    // size); /lb_check and /version must still answer promptly because
+    // waiters only park an idle thread, they don't consume a bounded pool
+    val limited = new HttpApi(spark, new EventSeriesStore("/root/testdata/sf0.001"),
+      port = 0, concurency = 1, concurencyWaitSec = 20L)
+    val lport = limited.start()
+    try {
+      val q = "/render?target=events.click&from=1704067200&until=1706660000&format=json&noCache=1"
+      val sem = limited.inflight.get
+      sem.acquire() // saturate: every data request now queues for the slot
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val queued = (1 to 12).map(_ => scala.concurrent.Future {
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$lport$q")).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).statusCode()
+      })
+      // give the waiters time to occupy the server, then probe
+      Thread.sleep(500)
+      val t0 = System.nanoTime()
+      val probe = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$lport/lb_check")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val probeSec = (System.nanoTime() - t0) / 1e9
+      assert(probe.statusCode() == 200 && probe.body() == "Ok\n")
+      assert(probeSec < 5.0, s"/lb_check took ${probeSec}s behind 12 queued waiters")
+      sem.release() // drain: the queued requests serialize through the slot
+      val codes = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(queued),
+        scala.concurrent.duration.Duration(120, "s"))
+      pool.shutdown()
+      assert(codes.forall(_ == 200), s"queued requests must drain after release, got $codes")
+    } finally limited.stop()
+  }
+
   test("concurency limiter queues: more parallel renders than slots all complete within the wait") {
     val limited = new HttpApi(spark, new EventSeriesStore("/root/testdata/sf0.001"),
       port = 0, concurency = 2, concurencyWaitSec = 30L)

@@ -239,6 +239,31 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vals == want, s"first mismatch at ${vals.zip(want).indexWhere(p => p._1 != p._2)}")
   }
 
+  test("a fully-rolled fine tier reads as empty: rollover of EVERY window leaves a no-parquet dir that must not break reads") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("retention_all").toString
+    val fine = Seq(Series("events.m", Map("name" -> "events.m"), 0L, 60L,
+      Array.tabulate(2 * 1440)(_.toDouble))).toDF()
+    graft.store.TimePartitionedSeriesStore.write(fine, s"$base/fine", 86400L)
+    // cutoff above the newest window: EVERYTHING rolls, fine dir keeps no
+    // pwin= partitions (only parquet's _SUCCESS-style metadata, no data)
+    assert(graft.store.Retention.rollover(spark, s"$base/fine", s"$base/coarse",
+      86400L, beforeWin = 99L, coarseStep = 3600L) == Seq(0L, 1L))
+    // a second rollover over the emptied dir is a clean no-op, not an
+    // "unable to infer schema" AnalysisException
+    assert(graft.store.Retention.rollover(spark, s"$base/fine", s"$base/coarse",
+      86400L, 99L, 3600L).isEmpty)
+    // and a direct store read over the emptied dir returns no rows
+    val emptied = new TimePartitionedSeriesStore(s"$base/fine", 86400L, Some(60L))
+    assert(emptied.fetch(spark, "events.m", 0L, 2L * 86400).count() == 0L)
+    // the tiered composition still serves everything from the coarse tier
+    val tiered = new TieredSeriesStore(Seq(
+      emptied, new TimePartitionedSeriesStore(s"$base/coarse", 86400L, Some(3600L))))
+    val rows = canon(tiered.fetch(spark, "events.m", 0L, 2L * 86400))
+    assert(rows.size == 1 && rows.head._3 == 3600L && rows.head._4.size == 48)
+  }
+
   test("tiered fetch pushes the name prefix into EVERY tier's scan and prunes partitioned tiers") {
     val tiered = new TieredSeriesStore(Seq(flat, part))
     val plan = tiered.fetch(spark, "events.c*", 3600L, 7200L)
