@@ -289,6 +289,20 @@ object Queries {
         .select(col("name"), col("ts"), dround(col("value"), 4).as("value"))
         .orderBy("name", "ts")
     }),
+    // name-routed + time-partitioned layout (the reference's pathcache TLD
+    // routing analog): a depth-2 route means each event type has its own
+    // partition dirs; the fetch below must equality-route to ONE route's
+    // windows and still read back byte-identical values
+    "g148_routed_fetch" -> ((s, dir) => {
+      val path = scratchPath("series_routed", dir)
+      graft.store.RoutedSeriesStore.write(
+        store(dir).allSeries(s).select(col("name"), col("tags"), col("start"), col("step"), col("values")),
+        path, windowSec = 86400L, routeDepth = 2)
+      val st = new graft.store.RoutedSeriesStore(path, 86400L, routeDepth = 2, Some(3600L))
+      SeriesFrame.toPoints(st.fetch(s, "events.click", T0 + 2L * 86400, T0 + 5L * 86400))
+        .select(col("name"), col("ts"), dround(col("value"), 4).as("value"))
+        .orderBy("name", "ts")
+    }),
     // mixed-retention tiers, driver-oracle-verified: history = the fixture
     // consolidated to 7200s covering the first 14 days, recent = raw 3600s
     // after the split; the tiered fetch re-buckets the union to the LCM
@@ -782,6 +796,32 @@ object Queries {
         .select(col("doc_id"), col("n_words"), col("dsir_score"))
         .orderBy("doc_id")
     }),
+    // Naive-Bayes domain-classifier score (GPT-3-style classifier
+    // filtering, weak labels = source): per-doc log-odds vs the src1
+    // "trusted domain" + prior; pred decided on the ROUNDED score so the
+    // sign boundary replays identically in any engine
+    "p55_nb_domain" -> ((s, dir) =>
+      Assembly.nbDomainScore(docs(s, dir), targetSource = "src1")
+        .select(col("doc_id"), col("n_words"),
+          dround(col("logodds"), 4).as("logodds"),
+          (dround(col("logodds"), 4) > 0).as("pred"))
+        .orderBy("doc_id")),
+    // cross-source unigram drift: smoothed JSD + both KLs per source pair
+    "p56_source_drift" -> ((s, dir) =>
+      Curation.sourceDrift(docs(s, dir))
+        .select(col("src_a"), col("src_b"), col("n_vocab"),
+          dround(col("jsd"), 4).as("jsd"),
+          dround(col("kl_ab"), 4).as("kl_ab"),
+          dround(col("kl_ba"), 4).as("kl_ba"))
+        .orderBy("src_a", "src_b")),
+    // prototype pruning: per-cluster centroid-distance cut over the p18
+    // k-means chain; the closest (most redundant) quarter of each cell
+    // is dropped, distances/cuts rounded before the boundary decision
+    "p57_prototype_prune" -> ((s, dir) =>
+      Curation.prototypePrune(embeddings(s, dir), k = 8, iters = 2, pruneFrac = 0.25)
+        .select(col("vec_id"), col("cluster"), col("dist"), col("cut"),
+          col("keep").cast("long").as("keep"))
+        .orderBy("vec_id")),
 
     // substring-level dedup: pairs sharing a contiguous 10-word span, with
     // the longest shared run (inverted-index join + gaps-and-islands runs)
@@ -1476,6 +1516,14 @@ object Queries {
     "g146_partitioned_fetch" ->
       (S + """SELECT name, ts, round(v, 4) AS value FROM s
         |WHERE v IS NOT NULL AND ts >= 1704499200 AND ts < 1704672000
+        |ORDER BY name, ts""".stripMargin),
+    // layout invisibility again, now under name routing: the depth-2
+    // routed fetch of events.click over [T0+2d, T0+5d) is exactly the
+    // flat fixture's points for that one name and window
+    "g148_routed_fetch" ->
+      (S + """SELECT name, ts, round(v, 4) AS value FROM s
+        |WHERE name = 'events.click' AND v IS NOT NULL
+        |  AND ts >= 1704240000 AND ts < 1704499200
         |ORDER BY name, ts""".stripMargin),
     // tier merge on the LCM grid: every 7200s bucket is the NaN-skipping
     // average of its hourly sums, identically on both sides of the
@@ -2315,6 +2363,71 @@ object Queries {
         |  round(avg(ln((cb + 1.0) / (cu + v))), 4) AS avg_logp
         |FROM bg JOIN bc USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // NB class counts from ONE conditional-sum pass; the sign decision
+    // (pred) uses the rounded score on both sides
+    "p55_nb_domain" ->
+      """WITH w AS (SELECT doc_id, source = 'src1' AS tgt,
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |ex AS (SELECT doc_id, tgt, unnest(w) AS word FROM w),
+        |wc AS (SELECT word, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+        |       count(*) - sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS cr FROM ex GROUP BY word),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM wc),
+        |pri AS (SELECT sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS dt, count(*) AS dall FROM documents),
+        |sc AS (SELECT doc_id, count(*) AS n_words,
+        |  round(ln(dt * 1.0 / (dall - dt)) + sum(ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))), 4) AS logodds
+        |  FROM ex JOIN wc USING (word) CROSS JOIN tot CROSS JOIN pri
+        |  GROUP BY doc_id, dt, dall)
+        |SELECT doc_id, n_words, logodds, logodds > 0 AS pred FROM sc ORDER BY doc_id""".stripMargin,
+    // smoothing spans the full shared vocab, so zero-count words still
+    // contribute (na != nb makes p != q even at count 0)
+    "p56_source_drift" ->
+      """WITH w AS (SELECT source,
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |ex AS (SELECT source, unnest(w) AS word FROM w),
+        |c AS (SELECT word, source, count(*) AS c FROM ex GROUP BY 1, 2),
+        |n AS (SELECT source, sum(c) AS n FROM c GROUP BY source),
+        |vv AS (SELECT count(DISTINCT word) AS v FROM c),
+        |vocab AS (SELECT DISTINCT word FROM c),
+        |pairs AS (SELECT a.source AS src_a, a.n AS na, b.source AS src_b, b.n AS nb
+        |          FROM n a JOIN n b ON a.source < b.source),
+        |f AS (SELECT pr.src_a, pr.src_b, vv.v,
+        |  (coalesce(ca.c, 0) + 1.0) / (pr.na + vv.v) AS p,
+        |  (coalesce(cb.c, 0) + 1.0) / (pr.nb + vv.v) AS q
+        |  FROM vocab g CROSS JOIN pairs pr CROSS JOIN vv
+        |  LEFT JOIN c ca ON ca.word = g.word AND ca.source = pr.src_a
+        |  LEFT JOIN c cb ON cb.word = g.word AND cb.source = pr.src_b)
+        |SELECT src_a, src_b, CAST(any_value(v) AS BIGINT) AS n_vocab,
+        |  round(sum(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q)))), 4) AS jsd,
+        |  round(sum(p * ln(p / q)), 4) AS kl_ab,
+        |  round(sum(q * ln(q / p)), 4) AS kl_ba
+        |FROM f GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+    // the p18 k-means chain verbatim, extended with the rounded distance,
+    // per-cluster quantile cut and the boundary-exact keep flag
+    "p57_prototype_prune" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
+        |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |u1 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |c1 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c0 c
+        |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u1 GROUP BY cluster) u USING (cluster)),
+        |a2 AS (SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
+        |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |u2 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |c2 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c1 c
+        |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u2 GROUP BY cluster) u USING (cluster)),
+        |asg AS (SELECT vec_id, cluster, round(sqrt(d2), 4) AS dist FROM (
+        |    SELECT e.vec_id, c.cluster, pow(list_distance(e.v, c.v), 2) AS d2,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
+        |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
+        |cuts AS (SELECT cluster, round(quantile_cont(dist, 0.25), 4) AS cut FROM asg GROUP BY cluster)
+        |SELECT vec_id, cluster, dist, cut, CAST(dist >= cut AS BIGINT) AS keep
+        |FROM asg JOIN cuts USING (cluster) ORDER BY vec_id""".stripMargin,
     "p51_token_encode" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w

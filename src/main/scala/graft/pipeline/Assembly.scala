@@ -312,6 +312,44 @@ object Assembly {
   }
 
   /**
+   * Naive-Bayes domain-classifier score — the classifier-filtering step of
+   * the GPT-3/CCNet/DataComp pipelines (a linear classifier over unigram
+   * features scores every document's similarity to a trusted domain; docs
+   * are kept by score). Weak labels come from the corpus itself: the
+   * target class is `source === targetSource`, the rest is background.
+   * Add-one-smoothed class likelihoods give the per-doc summed log-odds
+   * plus the class-prior log-ratio — positive means "reads like the
+   * target domain".
+   *
+   * Scale shape: one token explode; ONE vocab-keyed aggregate builds both
+   * class counts simultaneously (a conditional sum, not two passes); the
+   * class totals and doc priors are 1-row broadcasts; scoring is a
+   * word-key-partitioned hash join of the token stream onto the vocab
+   * stats plus a per-doc re-aggregate. The corpus never broadcasts; the
+   * only shuffles are by word and by doc_id.
+   */
+  def nbDomainScore(docs: DataFrame, targetSource: String): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      (col("source") === targetSource).as("tgt"),
+      explode(Dedup.wordsOf(col("text"))).as("word"))
+    val wc = toks.groupBy("word").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cw"))
+      .withColumn("cr", col("cw") - col("ct"))
+    val tot = wc.agg(sum("ct").as("nt"), sum("cr").as("nr"), count(lit(1)).as("v"))
+    val pri = docs.agg(
+      sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("dt"),
+      count(lit(1)).as("dall"))
+    toks.join(wc.select("word", "ct", "cr"), "word")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(pri))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        (first(log(col("dt").cast("double") / (col("dall") - col("dt")))) +
+          sum(log((col("ct") + 1.0) / (col("nt") + col("v"))) -
+              log((col("cr") + 1.0) / (col("nr") + col("v"))))).as("logodds"))
+  }
+
+  /**
    * Training-shard shuffle plan — the final step before a corpus is written
    * out as training shards: give every document a deterministic
    * pseudo-random position (LCG over doc_id, exact 64-bit integer math so

@@ -352,6 +352,74 @@ object Curation {
   }
 
   /**
+   * Cross-source distribution-drift matrix: for every source pair, the
+   * Jensen-Shannon divergence and both KL divergences between their
+   * add-one-smoothed unigram distributions over the SHARED corpus vocab —
+   * the corpus-monitoring counterpart of [[sourceOverlap]]'s set overlap
+   * (set overlap misses a source whose words match but whose frequencies
+   * shifted; JSD is the standard drift alarm between crawl snapshots or
+   * ingest feeds). Smoothing puts both distributions on the full vocab,
+   * so Σp = Σq = 1 exactly and zero-count words still contribute.
+   *
+   * Scale shape: one (word, source)-keyed count aggregate, pivoted per
+   * word into a \|sources\|-entry map; the per-pair contributions are a
+   * map-side explode of vocab × pairs rows against the broadcast pair/
+   * total table (\|S\|²/2 rows) and re-aggregate to \|S\|²/2 output rows.
+   * Bounded by vocab × pairs — for very wide source sets, restrict the
+   * pair list before calling.
+   */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"), explode(Dedup.wordsOf(col("text"))).as("word"))
+    val counts = toks.groupBy("word", "source").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source").agg(sum("c").as("n"))
+    val vocabV = counts.agg(countDistinct("word").as("v"))
+    val byWord = counts.groupBy("word")
+      .agg(map_from_entries(collect_list(struct(col("source"), col("c")))).as("m"))
+    val pairs = totals.as("a").crossJoin(totals.as("b"))
+      .where(col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("a.n").as("na"),
+        col("b.source").as("src_b"), col("b.n").as("nb"))
+    byWord.crossJoin(broadcast(pairs)).crossJoin(broadcast(vocabV))
+      .withColumn("p",
+        (coalesce(element_at(col("m"), col("src_a")), lit(0L)) + 1.0) / (col("na") + col("v")))
+      .withColumn("q",
+        (coalesce(element_at(col("m"), col("src_b")), lit(0L)) + 1.0) / (col("nb") + col("v")))
+      .groupBy("src_a", "src_b")
+      .agg(first(col("v")).as("n_vocab"),
+        sum(lit(0.5) * (col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))) +
+          col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))).as("jsd"),
+        sum(col("p") * log(col("p") / col("q"))).as("kl_ab"),
+        sum(col("q") * log(col("q") / col("p"))).as("kl_ba"))
+  }
+
+  /**
+   * Prototype pruning (the "beyond neural scaling laws" self-supervised
+   * data-pruning recipe, arXiv:2206.14486): cluster the embeddings, score
+   * every example by its distance to its own cluster centroid, and prune
+   * the most PROTOTYPICAL fraction per cluster (closest to the centroid —
+   * the easy, redundant examples); the informative hard margin survives.
+   * The per-cell cut keeps pruning balanced across clusters instead of
+   * emptying the tightest one.
+   *
+   * Distances and cuts round to 4 decimals BEFORE the keep comparison
+   * (like the p41 tercile cut) so the boundary decision replays exactly
+   * in any engine. Scale shape: the k-means chain of [[kmeansAssign]]
+   * (map-side assign, k×dim partial-sum updates) + one k-row cut
+   * aggregate broadcast back onto the assignment — no new shuffle beyond
+   * the chain's own.
+   */
+  def prototypePrune(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                     pruneFrac: Double = 0.25): DataFrame = {
+    val a = kmeansAssign(emb, k, iters)
+      .withColumn("dist", round(sqrt(col("dist2")) * 1e4) / 1e4)
+    val cuts = a.groupBy("cluster")
+      .agg((round(expr(s"percentile(dist, $pruneFrac)") * 1e4) / 1e4).as("cut"))
+    a.join(broadcast(cuts), "cluster")
+      .select(col("vec_id"), col("cluster"), col("dist"), col("cut"),
+        (col("dist") >= col("cut")).as("keep"))
+  }
+
+  /**
    * Token-id encoding against the corpus vocabulary — the step between
    * tokenizer training and sequence packing: the top-`vocabSize` words
    * (by count, ties by word) get ids 1..V in rank order, everything else

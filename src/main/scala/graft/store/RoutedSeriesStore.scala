@@ -1,0 +1,113 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Glob
+
+/**
+ * Name-routed + time-partitioned Parquet series store — the complete
+ * analog of the reference's pathcache TLD routing
+ * (ref pathcache/pathcache.go:18-56: requests are routed to the backend
+ * subset whose known top-level name prefixes can match the query) plus
+ * its time-range fetch: the layout partitions by `troute` (the first
+ * `routeDepth` dot-segments of the series name) and `pwin` (the
+ * [[TimePartitionedSeriesStore]] window ordinal), so a fetch for
+ * `web.host-1.cpu.*` over the last hour touches exactly the `web…`
+ * route dirs of the requested windows and never lists, let alone reads,
+ * the rest of a 100 TB store.
+ *
+ * Route pruning from the glob: the glob's literal prefix `p` (chars
+ * before the first wildcard) constrains the route partition —
+ *  - `p` spans ≥ routeDepth complete segments → equality on the exact
+ *    route value (one directory);
+ *  - shorter `p` → `troute startsWith p`, valid because the route is the
+ *    name cut at a segment boundary at or beyond `p`'s end for every
+ *    name the glob can match;
+ *  - no literal prefix → no route filter (full fan-out, like the
+ *    reference broadcasting to all backends when the cache has no entry).
+ * Both predicates are partition filters: Spark evaluates them against
+ * directory values at planning time.
+ *
+ * Reads reuse the sharded stitch (prune → slice → reassemble), so the
+ * layout is read-invisible: fetch returns the same canonical frame as a
+ * flat [[ParquetSeriesStore]] over the same rows.
+ */
+class RoutedSeriesStore(
+    path: String,
+    windowSec: Long,
+    routeDepth: Int = 1,
+    uniformStep: Option[Long] = None) extends SeriesStore {
+  require(routeDepth >= 1, "routeDepth must be >= 1")
+
+  override def stepHint: Option[Long] = uniformStep
+
+  private def pruned(spark: SparkSession, pathExpr: Option[String],
+                     from: Long, until: Long): DataFrame = {
+    val df = TimePartitionedSeriesStore.readShardedOrEmpty(
+      spark, path, RoutedSeriesStore.routedSchema)
+    val lo = if (SeriesStore.bounded(from)) Some(Math.floorDiv(from, windowSec)) else None
+    val hi = if (SeriesStore.bounded(until)) Some(Math.floorDiv(until - 1L, windowSec)) else None
+    val timed = (lo, hi) match {
+      case (Some(l), Some(h)) => df.where(col("pwin") >= l && col("pwin") <= h)
+      case (Some(l), None)    => df.where(col("pwin") >= l)
+      case (None, Some(h))    => df.where(col("pwin") <= h)
+      case _                  => df
+    }
+    pathExpr.flatMap(RoutedSeriesStore.routePredicate(_, routeDepth))
+      .map(timed.where).getOrElse(timed)
+  }
+
+  override def fetch(spark: SparkSession, pathExpr: String, from: Long, until: Long): DataFrame = {
+    val named = SeriesStore.nameFilter(pruned(spark, Some(pathExpr), from, until), pathExpr)
+    TimePartitionedSeriesStore.stitch(
+      SeriesStore.sliceToRange(
+        named.where(col("start") + size(col("values")) * col("step") > from && col("start") < until),
+        from, until).drop("troute"))
+      .withColumn("pathExpression", lit(pathExpr))
+  }
+
+  override def fetchAll(spark: SparkSession, from: Long, until: Long): DataFrame =
+    TimePartitionedSeriesStore.stitch(
+      SeriesStore.sliceToRange(
+        pruned(spark, None, from, until)
+          .where(col("start") + size(col("values")) * col("step") > from && col("start") < until),
+        from, until).drop("troute"))
+      .withColumn("pathExpression", lit("*"))
+}
+
+object RoutedSeriesStore {
+
+  private[store] val routedSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "name STRING, tags MAP<STRING,STRING>, start BIGINT, step BIGINT, " +
+        "values ARRAY<DOUBLE>, troute STRING, pwin BIGINT")
+
+  /** The route key of a name: its first `depth` dot-segments (the whole
+    * name when it has fewer). Matches the reference's TLD key at depth 1
+    * (ref pathcache/pathcache.go:34-41 cuts at the first dot). */
+  private[store] def routeOf(name: Column, depth: Int): Column =
+    array_join(slice(split(name, "\\."), 1, depth), ".")
+
+  /** Partition predicate on `troute` implied by the glob — see class doc. */
+  private[store] def routePredicate(pathExpr: String, depth: Int): Option[Column] = {
+    val p = Glob.literalPrefix(pathExpr)
+    if (p.isEmpty) None
+    else {
+      // complete segments of the literal prefix: pieces before each dot;
+      // a non-glob expr is all complete segments (it IS the full name)
+      val segs =
+        if (!Glob.isGlob(pathExpr)) pathExpr.split("\\.", -1).toSeq
+        else p.split("\\.", -1).dropRight(1).toSeq // last piece is partial
+      if (segs.length >= depth) Some(col("troute") === segs.take(depth).mkString("."))
+      else Some(col("troute").startsWith(p))
+    }
+  }
+
+  /** Shard at window boundaries, key each shard by its name route, and
+    * write partitioned by (troute, pwin). Map-side except the writer's
+    * own partitioning — identical cost shape to the unrouted layout. */
+  def write(df: DataFrame, path: String, windowSec: Long, routeDepth: Int = 1): Unit =
+    TimePartitionedSeriesStore.shard(df, windowSec)
+      .withColumn("troute", routeOf(col("name"), routeDepth))
+      .write.mode("overwrite").partitionBy("troute", "pwin").parquet(path)
+}

@@ -74,16 +74,19 @@ object TimePartitionedSeriesStore {
       "name STRING, tags MAP<STRING,STRING>, start BIGINT, step BIGINT, " +
         "values ARRAY<DOUBLE>, pwin BIGINT")
 
-  /** Read the sharded dir, or an empty canonical frame when no `pwin=`
-    * partition exists (fresh store, or a fully-rolled fine tier). */
-  private[store] def readShardedOrEmpty(spark: SparkSession, path: String): DataFrame = {
+  /** Read the sharded dir, or an empty canonical frame when no partition
+    * dir exists (fresh store, or a fully-rolled fine tier). The partition
+    * check is any `col=` subdir, covering both the `pwin=` layout and the
+    * routed `troute=`/`pwin=` one. */
+  private[store] def readShardedOrEmpty(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType = shardedSchema): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasShards = fs.exists(root) &&
-      fs.listStatus(root).exists(st => st.isDirectory && st.getPath.getName.startsWith("pwin="))
+      fs.listStatus(root).exists(st => st.isDirectory && st.getPath.getName.contains("="))
     if (hasShards) spark.read.parquet(path)
     else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shardedSchema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /**

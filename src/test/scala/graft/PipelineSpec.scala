@@ -561,4 +561,57 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!sHints.contains("ResolvedHint"),
       "oversize batch must never carry a broadcast hint:\n" + sHints.take(3000))
   }
+
+  test("p55: NB domain classifier separates planted vocabularies and honors the prior") {
+    val sp = spark
+    import sp.implicits._
+    // two disjoint vocabularies: target docs (src1) speak alpha/beta,
+    // background speaks gamma/delta; one ambiguous doc shares both
+    val d = Seq(
+      (1L, "alpha beta alpha beta", "src1"), (2L, "beta alpha beta", "src1"),
+      (3L, "gamma delta gamma", "src0"), (4L, "delta gamma delta delta", "src0"),
+      (5L, "gamma delta gamma gamma", "src0"),
+      (6L, "alpha gamma", "src0")).toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Assembly.nbDomainScore(d, "src1")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > 0 && out(2L) > 0, s"target-vocab docs must score positive: $out")
+    assert(out(3L) < 0 && out(4L) < 0, s"background docs must score negative: $out")
+    // the ambiguous doc's word terms cancel; the prior (2 vs 4 docs) decides
+    assert(out(6L) < 0, s"prior log(2/4) must tip the balanced doc negative: $out")
+  }
+
+  test("p56: drift is zero between identical sources and orders by actual distribution shift") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      (1L, "a a b c", "s1"), (2L, "a a b c", "s2"),        // identical dists
+      (3L, "x y z w", "s3")                                 // disjoint vocab
+    ).toDF("doc_id", "text", "source")
+    val rows = graft.pipeline.Curation.sourceDrift(d)
+      .select("src_a", "src_b", "jsd")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    val bySrc = rows.map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(math.abs(bySrc(("s1", "s2"))) < 1e-12,
+      s"identical unigram dists must have JSD 0: $bySrc")
+    assert(bySrc(("s1", "s3")) > bySrc(("s1", "s2")),
+      s"disjoint vocab must drift more than identical: $bySrc")
+    // JSD is symmetric by construction: both (s1,s3) and (s2,s3) see the
+    // same distributions, so their drift matches to fp noise
+    assert(math.abs(bySrc(("s1", "s3")) - bySrc(("s2", "s3"))) < 1e-9)
+  }
+
+  test("p57: prototype pruning keeps the hard margin and drops the tight core per cluster") {
+    val sp = spark
+    import sp.implicits._
+    // cluster A: 8 nearly-identical vectors + 2 far outliers around the
+    // same centroid; the outliers MUST survive, some core must not
+    val vecs = ((0 until 8).map(i => (i.toLong, Array.fill(4)(1.0f + i * 0.01f))) ++
+      Seq((8L, Array(3.0f, 1f, 1f, 1f)), (9L, Array(-1.0f, 1f, 1f, 1f))))
+      .toDF("vec_id", "embedding")
+    val out = Curation.prototypePrune(vecs, k = 1, iters = 2, pruneFrac = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(8L) && out(9L), s"far outliers are the hard margin and must be kept: $out")
+    assert((0 until 8).count(i => !out(i.toLong)) >= 2,
+      s"the prototypical core must lose ~30%: $out")
+  }
 }

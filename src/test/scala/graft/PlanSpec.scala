@@ -347,6 +347,48 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bnlj <= 2, s"only the 1-row stat joins may nest-loop ($bnlj):\n" + plan.take(3000))
   }
 
+  test("NB domain score joins stay equality-keyed: only the two 1-row stat joins may nest-loop") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "a b a", "src1"), (2L, "b c", "src0"))
+      .toDF("doc_id", "text", "source")
+    val plan = graft.pipeline.Assembly.nbDomainScore(docs, "src1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // class totals + doc priors are the only 1-row cross joins; the token
+    // stream joins the vocab stats by word key, never nest-loops
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 2, s"only the 1-row stat joins may nest-loop ($bnlj):\n" + plan.take(3000))
+  }
+
+  test("source drift never joins the corpus: vocab-keyed aggs + bounded pair/vocab-size cross joins") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "a b a", "s1"), (2L, "b c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val plan = graft.pipeline.Curation.sourceDrift(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // allowed nest-loops: the |S|x|S| pair builder, the pair table onto the
+    // vocab map, and the 1-row vocab size — all broadcast, all bounded
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 3, s"only the bounded stat joins may nest-loop ($bnlj):\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-sized shuffled join exists in this plan:\n" + plan.take(3000))
+  }
+
+  test("prototype prune broadcasts the k-row cut table back onto the assignment") {
+    val sp = spark
+    import sp.implicits._
+    val vecs = (0 until 12).map(i => (i.toLong, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = graft.pipeline.Curation.prototypePrune(vecs, k = 2, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "the cut join must broadcast, not shuffle the assignment:\n" + plan.take(3000))
+  }
+
   test("q08 per-nation top-k is two-phase: the heavy rank runs over salted keys only") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q08_top_orders_per_nation")(spark, "/root/testdata/sf0.001")

@@ -105,6 +105,58 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected 1 of 3 partitions, read ${scans.head.selectedPartitions.partitionCount}")
   }
 
+  test("routed store: name-route + window pruning both reach the scan as partition filters (pathcache TLD analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("routed").toString
+    graft.store.RoutedSeriesStore.write(fixture(spark), dir, windowSec = 3600L)
+    val routed = new graft.store.RoutedSeriesStore(dir, 3600L, routeDepth = 1, Some(60L))
+    // layout invisibility across glob shapes, incl. a mid-window range
+    for ((glob, a, b) <- Seq(("events.*", 0L, 10800L), ("*.*", 1800L, 5400L),
+        ("events.click", 0L, 10800L), ("other.metric", 0L, 10800L)))
+      assert(canon(routed.fetch(spark, glob, a, b)) == canon(flat.fetch(spark, glob, a, b)),
+        s"routed != flat for $glob [$a,$b)")
+    // disk layout: (events × win 0,1,2) + (other × win 1) = 4 partition dirs.
+    // "events.*" over window 1 must touch exactly (events, 1)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }.head
+    val one = scan(routed.fetch(spark, "events.*", 3600L, 7200L))
+    assert(one.selectedPartitions.partitionCount == 1,
+      s"expected 1 of 4 partitions, read ${one.selectedPartitions.partitionCount}")
+    val plan = one.toString
+    assert("PartitionFilters: \\[[^\\]]*troute".r.findFirstIn(plan).nonEmpty,
+      "the glob's literal prefix must prune on troute:\n" + plan.take(3000))
+    assert("PartitionFilters: \\[[^\\]]*pwin".r.findFirstIn(plan).nonEmpty,
+      "the [from,until) bound must still prune on pwin:\n" + plan.take(3000))
+    // an exact name routes by equality: only the `other` dirs survive
+    val eq = scan(routed.fetch(spark, "other.metric", 0L, 10800L))
+    assert(eq.selectedPartitions.partitionCount == 1,
+      s"other.metric must route to its 1 dir, read ${eq.selectedPartitions.partitionCount}")
+    // no literal prefix -> full fan-out over the requested windows
+    val fan = scan(routed.fetch(spark, "*.*", 3600L, 7200L))
+    assert(fan.selectedPartitions.partitionCount == 2,
+      s"*.* over window 1 must read (events,1)+(other,1), read ${fan.selectedPartitions.partitionCount}")
+  }
+
+  test("routed store at depth 2 routes per event type, and a partial literal prefix prunes by startsWith") {
+    val dir = java.nio.file.Files.createTempDirectory("routed2").toString
+    graft.store.RoutedSeriesStore.write(fixture(spark), dir, windowSec = 3600L, routeDepth = 2)
+    val routed = new graft.store.RoutedSeriesStore(dir, 3600L, routeDepth = 2, Some(60L))
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def parts(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+        .head.selectedPartitions.partitionCount
+    // dirs: events.click × {0,1,2}, events.view × {0,1}, other.metric × {1}
+    assert(canon(routed.fetch(spark, "events.cl*", 0L, 10800L)) ==
+      canon(flat.fetch(spark, "events.cl*", 0L, 10800L)))
+    assert(parts(routed.fetch(spark, "events.cl*", 0L, 10800L)) == 3,
+      "partial second segment must startsWith-prune to the events.click dirs")
+    assert(parts(routed.fetch(spark, "events.view", 0L, 10800L)) == 2,
+      "a full literal name must equality-route at depth 2")
+    // depth-2 route with only the FIRST segment literal: 'events.' prefix
+    // keeps both events types, drops other.*
+    assert(parts(routed.fetch(spark, "events.*", 3600L, 7200L)) == 2)
+  }
+
   test("mixed-retention tiers: a 60s recent tier consolidates onto the 3600s history grid through ScaleToCommonStep, recent winning overlaps") {
     val sp = spark
     import sp.implicits._
@@ -162,7 +214,9 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       val series = (1 to 1 + rnd.nextInt(4)).map { i =>
         val start = (rnd.nextInt(400) - 100) * step
         val n = 1 + rnd.nextInt(200)
-        Series(s"events.s$i", Map("name" -> s"events.s$i"), start, step,
+        // two TLDs so the routed layout genuinely splits by route
+        val nm = s"${if (i % 2 == 0) "metrics" else "events"}.s$i"
+        Series(nm, Map("name" -> nm), start, step,
           Array.tabulate(n)(j => if (rnd.nextInt(10) == 0) Double.NaN else rnd.nextInt(1000).toDouble))
       }
       val base = java.nio.file.Files.createTempDirectory(s"storeprop$round").toString
@@ -170,6 +224,8 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       TimePartitionedSeriesStore.write(series.toDF(), s"$base/part", windowSec)
       val fl = new ParquetSeriesStore(s"$base/flat", Some(step))
       val pt = new TimePartitionedSeriesStore(s"$base/part", windowSec, Some(step))
+      graft.store.RoutedSeriesStore.write(series.toDF(), s"$base/routed", windowSec)
+      val rt = new graft.store.RoutedSeriesStore(s"$base/routed", windowSec, 1, Some(step))
       // tiered split of the SAME data at a random boundary with overlap:
       // same step, so the merge must be the identity on the flat points
       val span = series.map(s => s.start + s.values.length * step).max
@@ -190,6 +246,9 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         val want = bits(canon(fl.fetch(spark, "events.*", a, b)))
         assert(bits(canon(pt.fetch(spark, "events.*", a, b))) == want,
           s"partitioned != flat (round $round step $step window $windowSec range [$a,$b))")
+        for (glob <- Seq("events.*", "*.*"))
+          assert(bits(canon(rt.fetch(spark, glob, a, b))) == bits(canon(fl.fetch(spark, glob, a, b))),
+            s"routed != flat for $glob (round $round step $step window $windowSec range [$a,$b))")
         assert(points(td.fetch(spark, "events.*", a, b)) == points(fl.fetch(spark, "events.*", a, b)),
           s"tiered != flat (round $round step $step cut $cut range [$a,$b))")
       }
