@@ -133,7 +133,9 @@ object ScaleBench {
     "p52_neardup_incremental", "q07_sessions",
     // r7: the salted two-phase per-nation top-k and the storage-layer rows
     "q08_top_orders_per_nation", "g146_partitioned_fetch", "g147_tiered_fetch",
-    "p53_corpus_report", "p54_curriculum_plan")
+    "p53_corpus_report", "p54_curriculum_plan",
+    // r8: the routed store and the classifier/drift/pruning operators
+    "g148_routed_fetch", "p55_nb_domain", "p56_source_drift", "p57_prototype_prune")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

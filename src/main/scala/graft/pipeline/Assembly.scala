@@ -350,6 +350,45 @@ object Assembly {
   }
 
   /**
+   * Bounded serving model for [[nbDomainScore]]: the top-k corpus words by
+   * count with their per-word class log-odds, plus the prior log-ratio —
+   * the quantize-for-deployment step every production classifier filter
+   * takes (fastText prunes its vocab the same way). k bounds the driver
+   * collect and the broadcast literal; OOV words score 0. Returns
+   * (word → log-odds, prior).
+   */
+  def nbModelTopK(train: DataFrame, targetSource: String, k: Int = 4096): (Map[String, Double], Double) = {
+    val toks = train.select((col("source") === targetSource).as("tgt"),
+      explode(Dedup.wordsOf(col("text"))).as("word"))
+    val wc = toks.groupBy("word").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cw"))
+      .withColumn("cr", col("cw") - col("ct"))
+    val t = wc.agg(sum("ct"), sum("cr"), count(lit(1))).head()
+    val (nt, nr, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val p = train.agg(
+      sum(when(col("source") === targetSource, 1L).otherwise(0L)), count(lit(1))).head()
+    val prior = math.log(p.getLong(0).toDouble / (p.getLong(1) - p.getLong(0)))
+    val weights = wc.orderBy(col("cw").desc, col("word")).limit(k).collect()
+      .map { r =>
+        r.getString(0) -> (math.log((r.getLong(1) + 1.0) / (nt + v)) -
+          math.log((r.getLong(3) + 1.0) / (nr + v)))
+      }.toMap
+    (weights, prior)
+  }
+
+  /** Score documents with a bounded NB model map-side: one HOF fold over
+    * the token array against the broadcast literal map — no explode, no
+    * join, no per-doc shuffle, so it drops into a streaming pipeline
+    * stateless (see streaming DocPipeline.nbScoreStream). */
+  def nbScoreWithModel(docs: DataFrame, model: Map[String, Double], prior: Double): DataFrame = {
+    val m = typedLit(model)
+    docs.withColumn("nb_logodds",
+      aggregate(Dedup.wordsOf(col("text")), lit(prior),
+        (acc, w) => acc + coalesce(element_at(m, w), lit(0.0))))
+  }
+
+  /**
    * Training-shard shuffle plan — the final step before a corpus is written
    * out as training shards: give every document a deterministic
    * pseudo-random position (LCG over doc_id, exact 64-bit integer math so

@@ -144,6 +144,20 @@ object DocPipeline {
   }
 
   /**
+   * Streaming NB domain scoring — a model trained offline on a static
+   * corpus ([[graft.pipeline.Assembly.nbModelTopK]]: bounded top-k vocab
+   * log-odds + prior) applied to the document stream as a pure map-side
+   * HOF fold. Stateless like the quality/PII gates: no watermark, no
+   * state store, every micro-batch row scores immediately, and the result
+   * equals the batch scoring of the same rows with the same model by
+   * construction (gated in StreamingSpec).
+   */
+  def nbScoreStream(docs: DataFrame, model: Map[String, Double], prior: Double): DataFrame =
+    graft.pipeline.Assembly.nbScoreWithModel(docs, model, prior)
+      .select(col("doc_id"), col("ts"), col("nb_logodds"),
+        (col("nb_logodds") > 0).as("pred"))
+
+  /**
    * Rolling near-dup ingestion against the PERSISTED OPH index — the
    * streaming twin of the batch p52 path: each micro-batch is checked by
    * [[graft.pipeline.Dedup.nearDupAgainstIndex]] (index never moves, batch

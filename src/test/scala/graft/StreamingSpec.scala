@@ -322,6 +322,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
 
+  test("streaming NB scoring with the offline-trained bounded model matches the batch scorer per document") {
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("graft-nbstream").toString
+    val sp = spark
+    import sp.implicits._
+    // offline training corpus: target (src1) speaks alpha/beta
+    val train = Seq(
+      (100L, "alpha beta alpha", "src1"), (101L, "beta beta alpha", "src1"),
+      (102L, "gamma delta", "src0"), (103L, "delta gamma gamma", "src0"))
+      .toDF("doc_id", "text", "source")
+    val (model, prior) = graft.pipeline.Assembly.nbModelTopK(train, "src1", k = 16)
+    assert(model.nonEmpty && model("alpha") > 0 && model("gamma") < 0)
+
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val rows = Seq((1L, ts(0), "alpha beta"), (2L, ts(1), "gamma delta gamma"),
+      (3L, ts(2), "alpha gamma"), (4L, ts(3), "zzz unseen words"))
+    rows.toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$tmp/docs/f1")
+
+    val src = sp.readStream.schema(graft.streaming.DocPipeline.docSchema)
+      .parquet(s"$tmp/docs/*")
+    val q = graft.streaming.DocPipeline.nbScoreStream(src, model, prior)
+      .writeStream.format("memory").queryName("nb_stream")
+      .option("checkpointLocation", s"$tmp/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = sp.table("nb_stream").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3))).toSet
+    val batch = graft.pipeline.Assembly.nbScoreWithModel(
+        rows.map(r => (r._1, r._3)).toDF("doc_id", "text"), model, prior)
+      .select(col("doc_id"), col("nb_logodds"), (col("nb_logodds") > 0).as("pred"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(batch.size == 4)
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // OOV-only docs score exactly the prior
+    assert(streamed.exists { case (id, s, _) => id == 4L && math.abs(s - prior) < 1e-12 })
+  }
+
   test("streaming sessionization matches the batch q07 derivation for watermark-closed sessions") {
     val tmp = Files.createTempDirectory("graft-sess").toString
     val srcDir = s"$tmp/events"
