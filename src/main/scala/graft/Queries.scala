@@ -814,6 +814,13 @@ object Queries {
           dround(col("kl_ab"), 4).as("kl_ab"),
           dround(col("kl_ba"), 4).as("kl_ba"))
         .orderBy("src_a", "src_b")),
+    // token-budget quality selection: keep best-scored docs (unigram-LM
+    // score desc, doc_id asc) while the running token total fits 6000 —
+    // histogram cutoff + tie-group window, never a corpus global sort
+    "p58_token_budget" -> ((s, dir) =>
+      Assembly.tokenBudgetSelect(docs(s, dir), budget = 6000L)
+        .select(col("doc_id"), col("n_words"), col("score"), col("keep"))
+        .orderBy("doc_id")),
     // prototype pruning: per-cluster centroid-distance cut over the p18
     // k-means chain; the closest (most redundant) quarter of each cell
     // is dropped, distances/cuts rounded before the boundary decision
@@ -2403,6 +2410,22 @@ object Queries {
         |  round(sum(p * ln(p / q)), 4) AS kl_ab,
         |  round(sum(q * ln(q / p)), 4) AS kl_ba
         |FROM f GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
+    // the selection is equivalent to a full (score desc, doc_id) running
+    // token sum capped at the budget — integer token math, score rounded
+    // 4dp before ordering, so the window twin is exact
+    "p58_token_budget" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
+        |vc AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
+        |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc),
+        |sc AS (SELECT doc_id, count(*) AS n_words, round(avg(ln((c + 1.0) / (t + v))), 4) AS score
+        |       FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id),
+        |sel AS (SELECT doc_id, n_words, score,
+        |  sum(n_words) OVER (ORDER BY score DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum FROM sc)
+        |SELECT doc_id, n_words, score, CAST(cum <= 6000 AS BIGINT) AS keep
+        |FROM sel ORDER BY doc_id""".stripMargin,
     // the p18 k-means chain verbatim, extended with the rounded distance,
     // per-cluster quantile cut and the boundary-exact keep flag
     "p57_prototype_prune" ->

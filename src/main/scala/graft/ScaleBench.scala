@@ -135,7 +135,8 @@ object ScaleBench {
     "q08_top_orders_per_nation", "g146_partitioned_fetch", "g147_tiered_fetch",
     "p53_corpus_report", "p54_curriculum_plan",
     // r8: the routed store and the classifier/drift/pruning operators
-    "g148_routed_fetch", "p55_nb_domain", "p56_source_drift", "p57_prototype_prune")
+    "g148_routed_fetch", "p55_nb_domain", "p56_source_drift", "p57_prototype_prune",
+    "p58_token_budget")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

@@ -389,6 +389,46 @@ object Assembly {
   }
 
   /**
+   * Token-budget quality selection — "keep the best documents until the
+   * token budget is spent" (the FineWeb-Edu-style final cut): documents
+   * rank by (quality score desc, doc_id asc) and keep while the running
+   * token total fits `budget`. The score is the [[unigramLmScore]]
+   * average log-prob rounded to 4 decimals, so the rank order replays
+   * exactly in any engine.
+   *
+   * Scale shape: NO global sort of the corpus. A score-keyed aggregate
+   * histograms tokens per rounded score (bounded by score RANGE ÷
+   * precision — ~10⁵ buckets for log-probs, independent of corpus size);
+   * the driver prefix-sums the descending histogram to find the cutoff
+   * score; everything strictly above keeps map-side; only the single
+   * cutoff TIE GROUP pays a doc_id-ordered window for the remaining
+   * budget (one score value — degenerate all-equal-score corpora are the
+   * only way it grows, and then the score itself carries no signal).
+   */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    val scored = unigramLmScore(docs)
+      .withColumn("score", round(col("avg_logp") * 1e4) / 1e4)
+      .select(col("doc_id"), col("n_words"), col("score"))
+    val hist = scored.groupBy("score").agg(sum("n_words").as("t")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sortBy(-_._1)
+    var cum = 0L; var cutoff = 0.0; var rem = 0L; var crossed = false
+    for ((s, t) <- hist if !crossed) {
+      if (cum + t <= budget) cum += t
+      else { cutoff = s; rem = budget - cum; crossed = true }
+    }
+    if (!crossed) scored.withColumn("keep", lit(1L))
+    else {
+      val above = scored.where(col("score") > cutoff).withColumn("keep", lit(1L))
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tie = scored.where(col("score") === cutoff)
+        .withColumn("keep", (sum(col("n_words")).over(w) <= rem).cast("long"))
+      val below = scored.where(col("score") < cutoff).withColumn("keep", lit(0L))
+      above.unionByName(tie).unionByName(below)
+    }
+  }
+
+  /**
    * Training-shard shuffle plan — the final step before a corpus is written
    * out as training shards: give every document a deterministic
    * pseudo-random position (LCG over doc_id, exact 64-bit integer math so

@@ -342,6 +342,37 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally tApi.stop()
   }
 
+  test("/render serves from the name-routed store; the scan routes on the glob's literal prefix") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("httproute").toString
+    graft.store.RoutedSeriesStore.write(
+      Seq(
+        graft.core.Series("events.click", Map("name" -> "events.click"), 0L, 3600L,
+          Array.tabulate(24)(h => h + 1.0)),
+        graft.core.Series("other.metric", Map("name" -> "other.metric"), 0L, 3600L,
+          Array.fill(24)(5.0))).toDF(),
+      s"$base/routed", windowSec = 86400L)
+    val routed = new graft.store.RoutedSeriesStore(s"$base/routed", 86400L, 1, Some(3600L))
+    val rApi = new HttpApi(spark, routed, port = 0)
+    val rPort = rApi.start()
+    try {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$rPort/render?target=sumSeries(events.*)&from=0&until=86400&format=json&noCache=1")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      val body = resp.body()
+      assert(body.contains("\"target\":\"sumSeries(events.*)\""))
+      // only the events route contributes: hour 0 is 1.0, not 6.0
+      assert(body.contains("[1.0,0]") || body.contains("[1,0]"), body.take(400))
+      // and the route filter is structural, not just result-level
+      val plan = routed.fetch(spark, "events.*", 0L, 86400L)
+        .queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*troute".r.findFirstIn(plan).nonEmpty, plan.take(2000))
+    } finally rApi.stop()
+  }
+
   test("concurency limiter: the N+1-th inflight request waits for a slot and 503s past the wait (ref limiter/limiter.go:14-51)") {
     val limited = new HttpApi(spark, new EventSeriesStore("/root/testdata/sf0.001"),
       port = 0, concurency = 1, concurencyWaitSec = 0L)

@@ -600,6 +600,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(bySrc(("s1", "s3")) - bySrc(("s2", "s3"))) < 1e-9)
   }
 
+  test("p58: token-budget selection spends the budget on the best-ranked docs, tie-broken by doc_id") {
+    val out = graft.pipeline.Assembly.tokenBudgetSelect(docs, budget = 600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val kept = out.filter(_._4 == 1L)
+    assert(kept.nonEmpty && kept.map(_._2).sum <= 600L, "kept tokens must fit the budget")
+    // equivalence with the straightforward ranking: greedy prefix over
+    // (score desc, doc_id asc) capped at the budget
+    val ranked = out.sortBy { case (id, _, s, _) => (-s, id) }
+    var cum = 0L
+    val expect = ranked.map { case (id, n, _, _) => cum += n; (id, cum <= 600L) }.toMap
+    out.foreach { case (id, _, _, k) =>
+      assert((k == 1L) == expect(id), s"doc $id keep=$k disagrees with the ranked prefix") }
+    // the budget is actually binding at this SF (some doc is excluded)
+    assert(out.exists(_._4 == 0L))
+  }
+
   test("p57: prototype pruning keeps the hard margin and drops the tight core per cluster") {
     val sp = spark
     import sp.implicits._

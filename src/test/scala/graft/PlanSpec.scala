@@ -389,6 +389,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the cut join must broadcast, not shuffle the assignment:\n" + plan.take(3000))
   }
 
+  test("token-budget selection: the only unpartitioned window runs over the score-cutoff tie group, never the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = spark
+    import sp.implicits._
+    // four distinct scores; budget cuts inside the ranking
+    val docs = Seq((1L, "aa bb aa bb aa"), (2L, "cc dd"), (3L, "aa bb cc"),
+      (4L, "ee ff gg hh"), (5L, "aa aa aa")).toDF("doc_id", "text")
+    val out = graft.pipeline.Assembly.tokenBudgetSelect(docs, budget = 8L)
+    val plan = out.queryExecution.sparkPlan
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.size <= 1, "at most the tie-group window may exist:\n" + plan.toString.take(2000))
+    wins.foreach { w =>
+      assert(w.partitionSpec.isEmpty)
+      // the single-partition window must sit above the cutoff equality
+      // filter — i.e. it consumes one score's docs, not the corpus
+      assert(w.child.toString.contains("Filter") && w.child.toString.contains("score"),
+        "tie window must consume only the score-cutoff filter output:\n" + w.child.toString.take(2000))
+    }
+  }
+
   test("q08 per-nation top-k is two-phase: the heavy rank runs over salted keys only") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q08_top_orders_per_nation")(spark, "/root/testdata/sf0.001")
