@@ -10,17 +10,63 @@ case class FindNode(id: String, text: String, leaf: Boolean, allowChildren: Bool
 
 /**
  * The metadata surface: /metrics/find, /metrics/expand, /tags autocomplete.
- * All are DISTINCT-over-names/tags queries against the store scan — the
- * hierarchy derivation (child truncation at the query's depth, leaf flags)
- * runs as column expressions before the collect, so only result nodes reach
- * the driver. (ref cmd/carbonapi/http/find_handlers.go:120-373,
+ * All are queries against the store's (name, tags) CATALOG — a persisted
+ * `_catalog` table or 2-column pruned scan ([[SeriesStore.catalog]]), held
+ * here in a TTL cache, so a find over a 100 TB store reads metadata-sized
+ * bytes and repeat finds within the TTL read nothing at all (the
+ * reference's pathcache, pathcache/pathcache.go:18-56). The hierarchy
+ * derivation (child truncation at the query's depth, leaf flags) runs as
+ * column expressions before the collect, so only result nodes reach the
+ * driver. (ref cmd/carbonapi/http/find_handlers.go:120-373,
  * tags_handler.go:22-128)
  */
 object Catalog {
 
+  /**
+   * TTL for the per-store cached catalog frame — the reference's pathcache
+   * expiry (ref pathcache/pathcache.go:18-28 `expireDelaySec`, example
+   * config value 10 s): within the TTL every find/expand/tags request for
+   * the same store reuses one persisted (name, tags) frame; after it, the
+   * next request re-reads the store's catalog (persisted `_catalog` table
+   * or 2-column pruned scan) and sees new names.
+   */
+  @volatile var ttlSeconds: Long = 10L
+
+  private case class CatEntry(df: DataFrame, builtNanos: Long)
+  private val catCache =
+    scala.collection.concurrent.TrieMap.empty[(SeriesStore, Int), CatEntry]
+
+  /** The store's (name, tags) catalog through the TTL cache. Persisted so
+    * the several actions of one find request (and every request within the
+    * TTL) scan the store at most once. */
+  def cachedCatalog(spark: SparkSession, store: SeriesStore): DataFrame = synchronized {
+    val key = (store, spark.hashCode)
+    val now = System.nanoTime()
+    catCache.get(key) match {
+      case Some(e) if now - e.builtNanos < ttlSeconds * 1000000000L => e.df
+      case prior =>
+        val fresh = store.catalog(spark)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        catCache.put(key, CatEntry(fresh, now))
+        prior.foreach(dropEntry)
+        fresh
+    }
+  }
+
+  /** Best-effort unpersist: the entry's SparkSession may already be
+    * stopped (its blocks died with it) — expiry must not throw then. */
+  private def dropEntry(e: CatEntry): Unit =
+    try e.df.unpersist(false) catch { case _: Exception => () }
+
+  /** Drop every cached catalog (tests; or after an out-of-band store write
+    * the caller wants visible before the TTL lapses). */
+  def invalidateCatalogCache(): Unit = synchronized {
+    catCache.values.foreach(dropEntry)
+    catCache.clear()
+  }
+
   private def names(spark: SparkSession, store: SeriesStore): DataFrame =
-    store.fetchAll(spark, Long.MinValue / 4, Long.MaxValue / 4)
-      .select(col("name")).distinct()
+    cachedCatalog(spark, store).select(col("name")).distinct()
 
   /**
    * /metrics/find?query=GLOB: nodes at the query's depth. A node is a leaf
@@ -74,9 +120,15 @@ object Catalog {
     }
   }
 
+  /** Tags autocomplete consults the store on EVERY request (no TTL frame):
+    * the reference delegates /tags wholesale to the backend per request
+    * (ref tags_handler.go:22-128), so a failing backend must fail the
+    * request — pinned by the tags_error e2e goldens. Still catalog-sized:
+    * the store's catalog scan is the persisted `_catalog` table or the
+    * 2-column pruned scan, never a data fetch. */
   private def taggedSeries(spark: SparkSession, store: SeriesStore,
                            exprs: Seq[String]): DataFrame = {
-    val all = store.fetchAll(spark, Long.MinValue / 4, Long.MaxValue / 4)
+    val all = store.catalog(spark)
     if (exprs.isEmpty) all
     else all.where(exprs.map(exprPredicate).reduce(_ && _))
   }

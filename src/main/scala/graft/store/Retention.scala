@@ -56,9 +56,19 @@ object Retention {
       .partitionBy("pwin").parquet(coarseDir)
     // drop the rolled fine partitions — directory-level, like a
     // metastore DROP PARTITION; the fine store never rewrites live data
+    // coarse catalog gains the rolled names without scanning coarse data
+    // (old catalog ∪ rolled names — catalog-sized work). Names come from
+    // `old`, not `rolled`: same name set, without re-running the
+    // consolidation; and it MUST run before the fine-partition delete
+    // below — both are lazy plans over the files about to disappear
+    TimePartitionedSeriesStore.appendCatalog(spark, coarseDir,
+      old.select(col("name"), col("tags")).dropDuplicates("name"))
     val root = new org.apache.hadoop.fs.Path(fineDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     moved.foreach { w => fs.delete(new org.apache.hadoop.fs.Path(root, s"pwin=$w"), true) }
+    // fine catalog rebuilds from what remains (a 2-column pruned scan of
+    // the small recent tier)
+    TimePartitionedSeriesStore.refreshCatalog(spark, fineDir)
     moved
   }
 }

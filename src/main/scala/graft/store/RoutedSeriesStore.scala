@@ -73,6 +73,12 @@ class RoutedSeriesStore(
           .where(col("start") + size(col("values")) * col("step") > from && col("start") < until),
         from, until).drop("troute"))
       .withColumn("pathExpression", lit("*"))
+
+  /** Persisted `_catalog` when present, else the 2-column pruned scan. */
+  override def catalog(spark: SparkSession): DataFrame =
+    TimePartitionedSeriesStore.readCatalog(spark, path).getOrElse(
+      TimePartitionedSeriesStore.readShardedOrEmpty(spark, path, RoutedSeriesStore.routedSchema)
+        .select(col("name"), col("tags")).dropDuplicates("name"))
 }
 
 object RoutedSeriesStore {
@@ -106,8 +112,10 @@ object RoutedSeriesStore {
   /** Shard at window boundaries, key each shard by its name route, and
     * write partitioned by (troute, pwin). Map-side except the writer's
     * own partitioning — identical cost shape to the unrouted layout. */
-  def write(df: DataFrame, path: String, windowSec: Long, routeDepth: Int = 1): Unit =
+  def write(df: DataFrame, path: String, windowSec: Long, routeDepth: Int = 1): Unit = {
     TimePartitionedSeriesStore.shard(df, windowSec)
       .withColumn("troute", routeOf(col("name"), routeDepth))
       .write.mode("overwrite").partitionBy("troute", "pwin").parquet(path)
+    TimePartitionedSeriesStore.writeCatalog(df.select(col("name"), col("tags")), path)
+  }
 }

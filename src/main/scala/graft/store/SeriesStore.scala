@@ -20,6 +20,18 @@ trait SeriesStore {
   /** Native step of this store if uniform — used by the planner to convert
     * point-count windows into scan-range widening before data is read. */
   def stepHint: Option[Long] = None
+  /**
+   * Distinct (name, tags) across the store — the scan behind the metadata
+   * surface (/metrics/find, /metrics/expand, /tags autoComplete). Never
+   * reads point data: stores override with a 2-column pruned scan (Parquet
+   * column pruning skips the values arrays — the bulk of the store) or a
+   * persisted catalog table, so a find over a 100 TB store touches
+   * metadata-sized bytes. The TTL cache over this lives in
+   * [[graft.api.Catalog]] (ref pathcache/pathcache.go:18-56).
+   */
+  def catalog(spark: SparkSession): DataFrame =
+    fetchAll(spark, Long.MinValue / 4, Long.MaxValue / 4)
+      .select(col("name"), col("tags")).dropDuplicates("name")
 }
 
 /**
@@ -95,6 +107,11 @@ class ParquetSeriesStore(path: String, uniformStep: Option[Long] = None) extends
         .where(col("start") + size(col("values")) * col("step") > from && col("start") < until),
       from, until)
       .withColumn("pathExpression", lit("*"))
+
+  /** 2-column pruned scan: the select precedes the distinct, so the Parquet
+    * ReadSchema is (name, tags) — values arrays are never materialized. */
+  override def catalog(spark: SparkSession): DataFrame =
+    spark.read.parquet(path).select(col("name"), col("tags")).dropDuplicates("name")
 }
 
 /**
@@ -120,6 +137,10 @@ class EventSeriesStore(sfDir: String, step: Long = 3600L) extends SeriesStore {
 
   override def fetchAll(spark: SparkSession, from: Long, until: Long): DataFrame =
     SeriesStore.sliceToRange(allSeries(spark), from, until).withColumn("pathExpression", lit("*"))
+
+  /** The derived frame is already cached per (spark, dir); names off it. */
+  override def catalog(spark: SparkSession): DataFrame =
+    allSeries(spark).select(col("name"), col("tags")).dropDuplicates("name")
 }
 
 object EventSeriesStore {

@@ -38,6 +38,12 @@ class TieredSeriesStore(tiers: Seq[SeriesStore]) extends SeriesStore {
   override def fetchAll(spark: SparkSession, from: Long, until: Long): DataFrame =
     merge(tiers.map(_.fetchAll(spark, from, until)))
 
+  /** Union of the tiers' catalogs — a name exists in the metric tree if it
+    * exists in ANY tier (a fully-rolled fine tier contributes nothing; the
+    * coarse tier still answers for its names). */
+  override def catalog(spark: SparkSession): DataFrame =
+    tiers.map(_.catalog(spark)).reduce(_ unionByName _).dropDuplicates("name")
+
   /** Union tier frames (tier-indexed), align to the common grid, and
     * coalesce same-name rows: per slot, the first tier with a non-NaN
     * value wins. Pure HOF column math after a name-keyed group of the

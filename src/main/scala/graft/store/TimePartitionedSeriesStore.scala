@@ -59,6 +59,14 @@ class TimePartitionedSeriesStore(
           .where(col("start") + size(col("values")) * col("step") > from && col("start") < until),
         from, until))
       .withColumn("pathExpression", lit("*"))
+
+  /** The persisted `_catalog` table when the writer/rollover maintains one
+    * (catalog-sized read — no data partition is listed or opened);
+    * otherwise the 2-column pruned scan over the shards. */
+  override def catalog(spark: SparkSession): DataFrame =
+    TimePartitionedSeriesStore.readCatalog(spark, path).getOrElse(
+      TimePartitionedSeriesStore.readShardedOrEmpty(spark, path)
+        .select(col("name"), col("tags")).dropDuplicates("name"))
 }
 
 object TimePartitionedSeriesStore {
@@ -97,8 +105,55 @@ object TimePartitionedSeriesStore {
    * flat store. The per-row explode is map-side; the writer's
    * `partitionBy` is the only data movement.
    */
-  def write(df: DataFrame, path: String, windowSec: Long): Unit =
+  def write(df: DataFrame, path: String, windowSec: Long): Unit = {
     shard(df, windowSec).write.mode("overwrite").partitionBy("pwin").parquet(path)
+    writeCatalog(df.select(col("name"), col("tags")), path)
+  }
+
+  // ---- persisted name/tag catalog -----------------------------------------
+  // The `_catalog` table under the store root (underscore-prefixed, so the
+  // data reader never lists it as a partition) holds distinct (name, tags).
+  // It is the reference's pathcache content made durable: find/expand/tags
+  // read IT instead of scanning the store (pathcache/pathcache.go:18-56 —
+  // the path→backend index that answers finds without fanning out).
+
+  private[store] def catalogPath(path: String) = s"$path/_catalog"
+
+  /** The persisted catalog, if this store dir has one. */
+  private[store] def readCatalog(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(catalogPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(catalogPath(path)))
+    else None
+  }
+
+  /** (Re)write the catalog from a names frame. Writes to a temp dir and
+    * renames into place, so a concurrent reader sees the old catalog or the
+    * new one, never a half-written dir — and so the input may itself be the
+    * old catalog (union-append), which an in-place overwrite would corrupt. */
+  private[store] def writeCatalog(names: DataFrame, path: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(catalogPath(path))
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_catalog_tmp")
+    names.select(col("name"), col("tags")).dropDuplicates("name")
+      .coalesce(1) // catalog-sized output: one file per store
+      .write.mode("overwrite").parquet(tmp.toString)
+    val fs = dst.getFileSystem(names.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
+
+  /** Add names to the catalog without scanning the store: old catalog ∪
+    * batch, catalog-sized work. Creates the catalog if absent. */
+  private[store] def appendCatalog(spark: SparkSession, path: String, names: DataFrame): Unit = {
+    val add = names.select(col("name"), col("tags"))
+    writeCatalog(readCatalog(spark, path).map(_.unionByName(add)).getOrElse(add), path)
+  }
+
+  /** Rebuild the catalog from the store's current data (2-column pruned
+    * scan) — the post-delete refresh a rollover uses on the fine tier. */
+  private[store] def refreshCatalog(spark: SparkSession, path: String): Unit =
+    writeCatalog(readShardedOrEmpty(spark, path).select(col("name"), col("tags")), path)
 
   /** Exact floor-division window ordinal in INTEGER column math — the
     * double-precision floor(col/w) rounds for |t| beyond 2⁵³ and could

@@ -333,6 +333,90 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the partitioned tier must still prune by window inside the composition:\n" + plan.take(3000))
   }
 
+  test("flat-store catalog is a 2-column pruned scan: the values arrays never enter the metadata read") {
+    val df = flat.catalog(spark)
+    val plan = df.queryExecution.executedPlan.toString
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("name"), plan.take(3000))
+    assert(!read.contains("values"),
+      s"find's metadata scan must prune the point data: $read")
+    assert(df.select("name").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("events.click", "events.view", "other.metric"))
+  }
+
+  test("partitioned store serves its catalog from the persisted _catalog table, not a data scan") {
+    val df = part.catalog(spark)
+    assert(df.inputFiles.nonEmpty && df.inputFiles.forall(_.contains("_catalog")),
+      s"catalog must read the pathcache table: ${df.inputFiles.toSeq}")
+    assert(df.select("name").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("events.click", "events.view", "other.metric"))
+    // the data readers never see the underscore-prefixed catalog dir
+    assert(part.fetch(spark, "*.*", 0L, 10800L).inputFiles.forall(!_.contains("_catalog")))
+  }
+
+  test("rollover keeps both tiers' catalogs truthful and the tiered catalog is their union") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("retcat").toString
+    // one series entirely in old windows, one only recent
+    val fine = Seq(
+      Series("events.old", Map("name" -> "events.old"), 0L, 60L,
+        Array.tabulate(1440)(_.toDouble)),                     // day 0 only
+      Series("events.recent", Map("name" -> "events.recent"), 86400L, 60L,
+        Array.tabulate(1440)(_.toDouble))                      // day 1 only
+    ).toDF()
+    graft.store.TimePartitionedSeriesStore.write(fine, s"$base/fine", 86400L)
+    assert(graft.store.Retention.rollover(spark, s"$base/fine", s"$base/coarse",
+      86400L, beforeWin = 1L, coarseStep = 3600L) == Seq(0L))
+    val fineStore = new TimePartitionedSeriesStore(s"$base/fine", 86400L, Some(60L))
+    val coarseStore = new TimePartitionedSeriesStore(s"$base/coarse", 86400L, Some(3600L))
+    def names(s: graft.store.SeriesStore) =
+      s.catalog(spark).select("name").collect().map(_.getString(0)).sorted.toSeq
+    // fine catalog rebuilt from what remains; coarse gained the rolled name
+    assert(names(fineStore) == Seq("events.recent"), "fine catalog must drop rolled-away names")
+    assert(names(coarseStore) == Seq("events.old"), "coarse catalog must gain rolled names")
+    // both catalogs come from the persisted table, not a data scan
+    assert(fineStore.catalog(spark).inputFiles.forall(_.contains("_catalog")))
+    assert(coarseStore.catalog(spark).inputFiles.forall(_.contains("_catalog")))
+    assert(names(new TieredSeriesStore(Seq(fineStore, coarseStore))) ==
+      Seq("events.old", "events.recent"))
+  }
+
+  test("pathcache TTL: one persisted catalog frame serves every find within the TTL; expiry rebuilds (ref pathcache/pathcache.go:18-56, expireDelaySec)") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ttlcat").toString
+    Seq(Series("events.a", Map("name" -> "events.a"), 0L, 60L, Array(1.0)))
+      .toDF().write.mode("overwrite").parquet(dir)
+    val store = new ParquetSeriesStore(dir)
+    val prevTtl = graft.api.Catalog.ttlSeconds
+    try {
+      graft.api.Catalog.ttlSeconds = 600L
+      graft.api.Catalog.invalidateCatalogCache()
+      def ids() = graft.api.Catalog.find(spark, store, "events.*").map(_.id)
+      assert(ids() == Seq("events.a"))
+      // within the TTL every request reuses the SAME persisted frame — the
+      // store is scanned at most once per TTL window, the pathcache deal
+      val df1 = graft.api.Catalog.cachedCatalog(spark, store)
+      assert(df1 eq graft.api.Catalog.cachedCatalog(spark, store))
+      assert(df1.storageLevel.useMemory, "the cached catalog must be persisted")
+      // a write through this session recaches by path (Spark CacheManager),
+      // so in-session appends are visible immediately — strictly fresher
+      // than the reference's staleness window, never staler
+      Seq(Series("events.b", Map("name" -> "events.b"), 0L, 60L, Array(2.0)))
+        .toDF().write.mode("append").parquet(dir)
+      // TTL 0 = every entry is already expired: the next request rebuilds
+      // (out-of-band writes become visible at most one TTL later)
+      graft.api.Catalog.ttlSeconds = 0L
+      val df3 = graft.api.Catalog.cachedCatalog(spark, store)
+      assert(!(df3 eq df1), "an expired catalog entry must rebuild")
+      assert(ids() == Seq("events.a", "events.b"))
+    } finally {
+      graft.api.Catalog.ttlSeconds = prevTtl
+      graft.api.Catalog.invalidateCatalogCache()
+    }
+  }
+
   test("an unbounded fetchAll still stitches but applies no partition bound") {
     // Eval's whole-store sentinel (Eval.scala:52) — outside bounded()'s range
     val rows = canon(part.fetchAll(spark, Long.MinValue / 4, Long.MaxValue / 4))
