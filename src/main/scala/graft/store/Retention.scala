@@ -19,6 +19,17 @@ import graft.engine.Align
  * broadcast-stats pass + per-row rebucket, and the write is the coarse
  * store's own partitioning. The only driver-side data is the moved
  * window list (bounded by windows-per-retention-period, not data).
+ *
+ * Concurrent readers during the partition drop: a fetch plan built
+ * BEFORE the delete holds the old file listing — executing it after the
+ * delete fails loudly (FAILED_READ_FILE.FILE_NOT_EXIST); the caller's
+ * retry re-plans against the surviving layout and succeeds, and the
+ * tiered read then serves the rolled window from the coarse side (the
+ * coarse write always lands before the fine delete). Deployments that
+ * prefer degradation over retry set `spark.sql.files.ignoreMissingFiles`
+ * (read at execution time): the stale plan then returns the surviving
+ * partitions. Both behaviors are pinned in StoreSpec ("reader racing a
+ * rollover delete").
  */
 object Retention {
 

@@ -417,6 +417,41 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("reader racing a rollover delete: a pre-delete plan fails by default (retry re-plans to the surviving layout); ignoreMissingFiles serves survivors") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("racedel").toString
+    val fine = Seq(
+      Series("events.a", Map("name" -> "events.a"), 0L, 60L,
+        Array.tabulate(2 * 60)(_.toDouble)),                   // windows 0-1
+      Series("events.b", Map("name" -> "events.b"), 3600L, 60L,
+        Array.tabulate(60)(i => i * 2.0))                      // window 1 only
+    ).toDF()
+    graft.store.TimePartitionedSeriesStore.write(fine, s"$base/fine", 3600L)
+    val store = new TimePartitionedSeriesStore(s"$base/fine", 3600L, Some(60L))
+    // both plans list files BEFORE the delete — the rollover race window
+    val racingDefault = store.fetch(spark, "events.*", 0L, 7200L)
+    val racingLenient = store.fetch(spark, "events.*", 0L, 7200L)
+    // rollover's partition drop, mid-"scan"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/fine/pwin=0"), true)
+    // default: the stale plan fails loudly; the caller's retry re-plans
+    // against the post-rollover listing and succeeds
+    intercept[org.apache.spark.SparkException] { racingDefault.collect() }
+    val retried = canon(store.fetch(spark, "events.*", 0L, 7200L))
+    assert(retried.map(_._1) == Seq("events.a", "events.b"))
+    assert(retried.head._2 == 3600L, "retry serves exactly the surviving windows")
+    // lenient: with ignoreMissingFiles (read at execution time) the stale
+    // plan degrades to the surviving partitions instead of failing
+    try {
+      spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+      val lenient = canon(racingLenient)
+      assert(lenient.map(_._1) == Seq("events.a", "events.b"))
+      assert(lenient.head._4.size == 60, "window 0's points are gone; window 1 serves")
+    } finally spark.conf.set("spark.sql.files.ignoreMissingFiles", "false")
+  }
+
   test("an unbounded fetchAll still stitches but applies no partition bound") {
     // Eval's whole-store sentinel (Eval.scala:52) — outside bounded()'s range
     val rows = canon(part.fetchAll(spark, Long.MinValue / 4, Long.MaxValue / 4))
