@@ -829,6 +829,41 @@ object Queries {
         .select(col("vec_id"), col("cluster"), col("dist"), col("cut"),
           col("keep").cast("long").as("keep"))
         .orderBy("vec_id")),
+    // per-source cap (RefinedWeb-style domain balancing): top-10 docs per
+    // source by rounded quality score — the q08 salted two-phase top-k,
+    // never a corpus shuffle onto the 20-value source key
+    "p59_source_cap" -> ((s, dir) => {
+      val scored = graft.pipeline.TextStats.qualityScore(docs(s, dir))
+        .select(col("doc_id"), col("source"),
+          dround(col("quality_score"), 4).as("qscore"))
+      Curation.sourceCap(scored, cap = 10, scoreCol = "qscore")
+        .select(col("source"), col("rk"), col("doc_id"), col("qscore"))
+        .orderBy("source", "rk")
+    }),
+    // epoch-repetition plan (data-constrained scaling): quality terciles →
+    // 3/2/1 epochs, LCG shard per (doc, epoch) instance
+    "p60_epoch_plan" -> ((s, dir) =>
+      Assembly.epochPlan(docs(s, dir), nShards = 8)
+        .orderBy("doc_id", "epoch")),
+    // PII redaction over a deterministic planted payload (the base corpus
+    // is PII-free — p19's counts are all zero on it): every third doc
+    // gains an email/URL/IP/phone, then the chained regexp_replace redacts
+    "p61_pii_redact" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact bob"), col("doc_id"),
+            lit("@mail.example or https://ex.ample/p/"), col("doc_id"),
+            lit(" from 10.0.0.1 call +1 (555) 010-0199")))
+          .otherwise(col("text")))
+      Curation.piiSignals(planted)
+        .withColumn("clean_text", Curation.piiRedact(col("text")))
+        .select(col("doc_id"), col("clean_text"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_urls").cast("long").as("n_urls"),
+          col("n_ipv4").cast("long").as("n_ipv4"),
+          col("n_phones").cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    }),
 
     // substring-level dedup: pairs sharing a contiguous 10-word span, with
     // the longest shared run (inverted-index join + gaps-and-islands runs)
@@ -974,6 +1009,16 @@ object Queries {
       |       FROM sh c JOIN bench b ON c.sh = b.sh WHERE c.doc_id % 20 != 0 GROUP BY 1, 2)
       |SELECT doc_id, bench_id, overlap, round(overlap * 1.0 / bench_sz, 4) AS containment
       |FROM ov JOIN bsz USING (bench_id) WHERE overlap >= 2 ORDER BY doc_id, bench_id""".stripMargin
+
+  /** The heuristic quality score of TextStats.qualityScore in DuckDB terms,
+    * rounded at 4dp (also inlined in p38's oracle). */
+  private val qScoreSql =
+    """round(greatest(0.0, least(1.0,
+      |    0.4 * least(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) / 100.0, 1.0)
+      |  + 0.3 * (len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+      |        x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','from','that','this'], x))) * 1.0
+      |      / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), 1)) * 3.0
+      |  + 0.3 * (1.0 - least((len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / greatest(len(text), 1)) * 5.0, 1.0)))), 4)""".stripMargin
 
   private val ccSql =
     """WITH RECURSIVE words AS (
@@ -2451,6 +2496,40 @@ object Queries {
         |cuts AS (SELECT cluster, round(quantile_cont(dist, 0.25), 4) AS cut FROM asg GROUP BY cluster)
         |SELECT vec_id, cluster, dist, cut, CAST(dist >= cut AS BIGINT) AS keep
         |FROM asg JOIN cuts USING (cluster) ORDER BY vec_id""".stripMargin,
+    "p59_source_cap" ->
+      (s"""WITH q AS (SELECT doc_id, source, $qScoreSql AS qscore FROM documents)
+        |SELECT source, rk, doc_id, qscore FROM (
+        |  SELECT source, doc_id, qscore,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY qscore DESC, doc_id) AS BIGINT) AS rk
+        |  FROM q) WHERE rk <= 10 ORDER BY source, rk""").stripMargin,
+    // the qScoreSql tercile cut (rounded like p57's) + the p46 LCG over
+    // the folded (doc_id, epoch) key
+    "p60_epoch_plan" ->
+      (s"""WITH q AS (SELECT doc_id, $qScoreSql AS score FROM documents),
+        |cut AS (SELECT round(quantile_cont(score, 1.0/3), 4) AS c1,
+        |               round(quantile_cont(score, 2.0/3), 4) AS c2 FROM q),
+        |e AS (SELECT doc_id, score,
+        |        CASE WHEN score > c2 THEN 3 WHEN score > c1 THEN 2 ELSE 1 END AS ne
+        |      FROM q CROSS JOIN cut),
+        |inst AS (SELECT doc_id, score, ne, unnest(generate_series(1, ne)) AS epoch FROM e)
+        |SELECT doc_id, score, CAST(ne AS BIGINT) AS n_epochs, CAST(epoch AS BIGINT) AS epoch,
+        |  ((1103515245 * ((((doc_id % 2147483648 + 2147483648) % 2147483648) * 3 + epoch) % 2147483648) + 12345) % 2147483648) % 8 AS shard
+        |FROM inst ORDER BY doc_id, epoch""").stripMargin,
+    "p61_pii_redact" ->
+      """WITH planted AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' contact bob' || CAST(doc_id AS VARCHAR) || '@mail.example or https://ex.ample/p/' || CAST(doc_id AS VARCHAR) || ' from 10.0.0.1 call +1 (555) 010-0199' ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS clean_text,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(text, '\+?[0-9][0-9() -]{6,}[0-9]')) AS n_phones
+        |FROM planted ORDER BY doc_id""".stripMargin,
     "p51_token_encode" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w

@@ -499,4 +499,49 @@ object Assembly {
         coalesce(sum(col("n_tokens")).over(
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
   }
+
+  /**
+   * Epoch-repetition plan — the data-constrained scaling recipe
+   * (Muennighoff et al. 2023, arXiv:2305.16264: repeating the best data
+   * for a few epochs is near-free when unique tokens run out): documents
+   * cut into quality terciles on the ROUNDED heuristic score (exact
+   * interpolated percentiles, the p41 cut shape), the top tercile
+   * repeated `maxEpochs` times down to 1 for the bottom, and every
+   * (doc, epoch) instance placed on a shard by the replayable LCG over
+   * the folded (doc_id, epoch) key.
+   *
+   * Scale shape: the score is pure map-side column math
+   * ([[TextStats.qualityScore]]); the tercile cut is one aggregate
+   * reduced to two doubles on the driver; the instance explode is
+   * map-side with a bounded factor (≤ maxEpochs); shard assignment is
+   * arithmetic. The only shuffle anywhere is the cut aggregate's — the
+   * instance manifest itself never shuffles.
+   */
+  def epochPlan(docs: DataFrame, nShards: Int, maxEpochs: Int = 3): DataFrame = {
+    require(nShards > 0, s"epochPlan: nShards must be positive, got $nShards")
+    require(maxEpochs >= 1 && maxEpochs <= 3,
+      s"epochPlan: the tercile cut supports 1..3 epochs, got $maxEpochs")
+    val scored = TextStats.qualityScore(docs)
+      .select(col("doc_id"),
+        (round(col("quality_score") * 1e4) / 1e4).as("score"))
+    // cuts round to 4dp (like the p57 prune cut) so the tercile boundary
+    // decision replays exactly in any engine
+    val cuts = scored.agg(
+      (round(expr("percentile(score, 1.0/3)") * 1e4) / 1e4).as("c1"),
+      (round(expr("percentile(score, 2.0/3)") * 1e4) / 1e4).as("c2")).head()
+    val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
+    // epoch key folds like shardPos: (doc_id mod 2^31)*maxEpochs + epoch
+    // stays well under 2^61 after the LCG multiply's own fold
+    val ekey = pmod(col("doc_id"), lit(1L << 31)) * maxEpochs + col("epoch")
+    scored
+      .withColumn("n_epochs",
+        when(col("score") > c2, maxEpochs.toLong)
+          .when(col("score") > c1, math.max(maxEpochs - 1, 1).toLong)
+          .otherwise(1L))
+      .withColumn("epoch", explode(sequence(lit(1L), col("n_epochs"))))
+      .withColumn("pos", shardPos(ekey))
+      .withColumn("shard", pmod(col("pos"), lit(nShards.toLong)))
+      .select(col("doc_id"), col("score"), col("n_epochs"), col("epoch"),
+        col("shard"))
+  }
 }

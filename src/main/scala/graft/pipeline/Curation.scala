@@ -420,6 +420,37 @@ object Curation {
   }
 
   /**
+   * Per-source document cap — the domain-balancing pass web-scale recipes
+   * run after scoring (RefinedWeb-style: no single domain may dominate
+   * the mix): keep at most `cap` documents per source, best first by
+   * (`scoreCol` desc, doc_id asc).
+   *
+   * Scale shape: the same salted two-phase top-k as the q08 anchor — the
+   * heavy ranking window partitions by (source, salt), so the corpus
+   * never shuffles onto the low-cardinality source key; only the
+   * ≤ cap×salts survivors pay the final per-source window. Pass an
+   * already-ROUNDED score column so the rank order replays identically
+   * in any engine.
+   */
+  def sourceCap(scored: DataFrame, cap: Int, salts: Int = 16,
+                scoreCol: String = "quality_score"): DataFrame = {
+    require(cap > 0, s"sourceCap: cap must be positive, got $cap")
+    require(salts > 0, s"sourceCap: salts must be positive, got $salts")
+    val salted = scored.withColumn("_salt", pmod(hash(col("doc_id")), lit(salts)))
+    val wPartial = Window.partitionBy(col("source"), col("_salt"))
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    val survivors = salted
+      .withColumn("_prk", row_number().over(wPartial))
+      .where(col("_prk") <= cap)
+    val wFinal = Window.partitionBy(col("source"))
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    survivors
+      .withColumn("rk", row_number().over(wFinal).cast("long"))
+      .where(col("rk") <= cap)
+      .drop("_salt", "_prk")
+  }
+
+  /**
    * Token-id encoding against the corpus vocabulary — the step between
    * tokenizer training and sequence packing: the top-`vocabSize` words
    * (by count, ties by word) get ids 1..V in rank order, everything else

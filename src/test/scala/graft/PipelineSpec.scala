@@ -630,4 +630,66 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0 until 8).count(i => !out(i.toLong)) >= 2,
       s"the prototypical core must lose ~30%: $out")
   }
+
+  test("p59: source cap keeps exactly the best `cap` docs per source, tie-broken by doc_id; small sources survive whole") {
+    val sp = spark
+    import sp.implicits._
+    // src_a: 6 docs with two tied at the top score; src_b: 2 docs (< cap)
+    val scored = Seq(
+      (1L, "src_a", 0.9), (2L, "src_a", 0.9), (3L, "src_a", 0.7),
+      (4L, "src_a", 0.6), (5L, "src_a", 0.5), (6L, "src_a", 0.4),
+      (7L, "src_b", 0.1), (8L, "src_b", 0.2)
+    ).toDF("doc_id", "source", "qscore")
+    val out = Curation.sourceCap(scored, cap = 3, scoreCol = "qscore")
+      .select("source", "rk", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(out == Seq(
+      ("src_a", 1L, 1L), ("src_a", 2L, 2L), ("src_a", 3L, 3L),
+      ("src_b", 1L, 8L), ("src_b", 2L, 7L)), out.toString)
+  }
+
+  test("p60: epoch plan repeats terciles 3/2/1, assigns bounded shards, and replays deterministically") {
+    val sp = spark
+    import sp.implicits._
+    // token count drives the score: longer docs score higher here
+    val docs = (0 until 30).map(i => (i.toLong, ("w " * (3 * i + 1)).trim))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Assembly.epochPlan(docs, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == (0 until 30).map(_.toLong).toSet, "every doc plans")
+    byDoc.foreach { case (id, rows) =>
+      val ne = rows.head._2
+      assert(ne >= 1L && ne <= 3L)
+      assert(rows.map(_._3).sorted.toSeq == (1L to ne).toSeq,
+        s"doc $id must appear once per epoch 1..$ne")
+    }
+    assert(out.forall(r => r._4 >= 0 && r._4 < 4), "shards bounded by nShards")
+    // top tercile docs (longest) repeat more than bottom ones
+    assert(byDoc(29L).head._2 == 3L && byDoc(0L).head._2 == 1L)
+    // deterministic replay: a second run is row-identical
+    val again = graft.pipeline.Assembly.epochPlan(docs, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("p61: redaction replaces every planted PII span with its type tag and counts agree with the signals") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      (1L, "reach me at jane.doe+x@corp.example or https://c.example/a?b=1 soon"),
+      (2L, "server 192.168.10.42 answered, call +44 20 7946 0958 after noon"),
+      (3L, "plain text with no pii at all")
+    ).toDF("doc_id", "text")
+    val out = Curation.piiSignals(d)
+      .withColumn("clean", Curation.piiRedact(col("text")))
+      .select("doc_id", "clean", "n_emails", "n_urls", "n_ipv4", "n_phones")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    assert(out(1L)._1 == "reach me at <EMAIL> or <URL> soon")
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(2L)._1 == "server <IP> answered, call <PHONE> after noon")
+    assert(out(2L)._4 == 1 && out(2L)._5 == 1)
+    assert(out(3L) == ("plain text with no pii at all", 0, 0, 0, 0))
+  }
 }

@@ -409,6 +409,52 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("source cap is two-phase: the heavy rank runs over (source, salt), never the bare source key") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = spark
+    import sp.implicits._
+    val scored = (0 until 40)
+      .map(i => (i.toLong, s"src${i % 3}", (i % 7).toDouble / 7.0))
+      .toDF("doc_id", "source", "qscore")
+    val plan = graft.pipeline.Curation
+      .sourceCap(scored, cap = 2, scoreCol = "qscore")
+      .queryExecution.sparkPlan
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.size == 2, "expected exactly 2 window phases:\n" + plan.toString.take(3000))
+    val partial = wins.filter(_.partitionSpec.size == 2)
+    val fin = wins.filter(_.partitionSpec.size == 1)
+    assert(partial.size == 1 &&
+      partial.head.partitionSpec.map(_.toString).exists(_.contains("_salt")),
+      "the corpus must only ever enter a (source, salt)-partitioned window:\n" +
+        wins.map(_.partitionSpec).mkString("\n"))
+    assert(fin.size == 1 && fin.head.partitionSpec.head.toString.contains("source"))
+    assert(fin.head.child.toString.contains("_prk"),
+      "final window must consume only phase-1 survivors:\n" + fin.head.child.toString.take(2000))
+  }
+
+  test("epoch plan is map-side after the cut aggregate: no window, no join, no shuffle in the instance manifest") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0 until 30).map(i => (i.toLong, ("w " * (i + 1)).trim))
+      .toDF("doc_id", "text")
+    val plan = graft.pipeline.Assembly.epochPlan(docs, nShards = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "the instance explode must not shuffle:\n" + plan.take(3000))
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("Generate"), "the epoch explode is the manifest's only expansion")
+  }
+
+  test("pii redaction is a pure map-side scan: chained codegen regexp_replace, no join, no shuffle") {
+    val plan = SparkEntry.queries("p61_pii_redact")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the entry's orderBy adds the final sort exchange; nothing else may shuffle
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      "redaction must be map-side up to the output sort:\n" + plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan.take(3000))
+  }
+
   test("q08 per-nation top-k is two-phase: the heavy rank runs over salted keys only") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q08_top_orders_per_nation")(spark, "/root/testdata/sf0.001")
