@@ -27,6 +27,35 @@ object Queries {
     * fixture base (FIXTURES.md §4). */
   private def store(sfDir: String) = new EventSeriesStore(sfDir)
 
+  /**
+   * The store every graphite (gNN) row evaluates against. Default: the
+   * derived event-series fixture. `SPARK_GRAFT_STORE=partitioned|routed`
+   * reruns the ENTIRE graphite catalog against the sharded layouts
+   * instead — one day-windowed write per (JVM, fixture, mode) into the
+   * scratch root, then every fetch is a partition-pruned read. The
+   * layouts are read-invisible (g146/g148's equivalence gates), so the
+   * oracle stays green in any mode; bench records per-mode numbers in
+   * BASELINE.md.
+   */
+  private val storeMode = sys.env.getOrElse("SPARK_GRAFT_STORE", "event")
+  private val gStores =
+    scala.collection.concurrent.TrieMap.empty[String, graft.store.SeriesStore]
+  private def gStore(spark: SparkSession, sfDir: String): graft.store.SeriesStore =
+    gStores.getOrElseUpdate(s"$storeMode@$sfDir@${spark.hashCode}", storeMode match {
+      case "event" => store(sfDir)
+      case mode =>
+        val frame = store(sfDir).allSeries(spark)
+          .select(col("name"), col("tags"), col("start"), col("step"), col("values"))
+        val dir = scratchPath(s"gstore_$mode", sfDir)
+        if (mode == "routed") {
+          graft.store.RoutedSeriesStore.write(frame, dir, 86400L)
+          new graft.store.RoutedSeriesStore(dir, 86400L, 1, Some(3600L))
+        } else {
+          graft.store.TimePartitionedSeriesStore.write(frame, dir, 86400L)
+          new graft.store.TimePartitionedSeriesStore(dir, 86400L, Some(3600L))
+        }
+    })
+
   /** Round like DuckDB does for DOUBLE (`std::round(x*10^n)/10^n`) so both
     * engines produce bit-identical doubles at the comparison boundary —
     * Spark's decimal-exact `round(c, n)` differs on x.xxxx5-straddling
@@ -38,7 +67,7 @@ object Queries {
 
   /** Evaluate a Graphite target and emit the canonical comparison shape. */
   private def g(target: String)(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = Eval.evalTarget(spark, store(sfDir), target)
+    val df = Eval.evalTarget(spark, gStore(spark, sfDir), target)
     SeriesFrame.toPoints(df)
       .select(col("name"), col("ts"), dround(col("value"), 4).as("value"))
       .orderBy("name", "ts")
@@ -47,7 +76,7 @@ object Queries {
   /** Like [[g]] but with an explicit request range — generator functions
     * (constantLine/time/sin/verticalLine) anchor their grid to it. */
   private def gr(target: String, from: Long, until: Long)(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = Eval.evalTarget(spark, store(sfDir), target, from, until)
+    val df = Eval.evalTarget(spark, gStore(spark, sfDir), target, from, until)
     SeriesFrame.toPoints(df)
       .select(col("name"), col("ts"), dround(col("value"), 4).as("value"))
       .orderBy("name", "ts")
@@ -260,7 +289,7 @@ object Queries {
     // grammar can't synthesize: densify, blank all but every 3rd hour, then
     // compress — the re-bucketing must land exactly on the kept slots
     "g143_compressgaps" -> ((s, dir) => {
-      val df = Eval.evalTarget(s, store(dir), "transformNull(events.*,1)")
+      val df = Eval.evalTarget(s, gStore(s, dir), "transformNull(events.*,1)")
       val gapped = df.withColumn("values",
         transform(col("values"), (v, i) =>
           when(((col("start") / col("step") + i) % 3) === 0, v).otherwise(lit(Double.NaN))))
