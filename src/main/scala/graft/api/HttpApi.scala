@@ -27,9 +27,16 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
               notFoundStatusCode: Int = 200,
               requireSuccessAll: Boolean = false,
               concurency: Int = 0,
-              concurencyWaitSec: Long = 30L) {
+              concurencyWaitSec: Long = 30L,
+              expireDelaySec: Long = 10L) {
 
   @volatile private var server: HttpServer = _
+
+  // the reference's pathcache expiry is process-wide config
+  // (ref cmd/carbonapi/carbonapi.example.yaml `expireDelaySec: 10`); the
+  // find/expand catalog cache follows the serving tier's setting the same
+  // way — see Catalog.ttlSeconds
+  Catalog.ttlSeconds = expireDelaySec
 
   /** Inflight request cap — the reference's `concurency` limiter
     * (ref limiter/limiter.go:14-51, config `concurency`): ≤0 = unlimited

@@ -158,6 +158,21 @@ object DocPipeline {
         (col("nb_logodds") > 0).as("pred"))
 
   /**
+   * Streaming PII redaction — the keep-but-scrub policy twin of
+   * [[piiGate]] (which drops): the batch
+   * [[graft.pipeline.Curation.piiRedact]] regexp_replace chain applied
+   * map-side, emitting the scrubbed text plus per-type counts. Stateless
+   * codegen column math, so a streamed document's redaction is
+   * byte-identical to the batch redaction of the same row (gated
+   * stream ≡ batch in StreamingSpec).
+   */
+  def redactStream(docs: DataFrame): DataFrame =
+    graft.pipeline.Curation.piiSignals(docs)
+      .withColumn("clean_text", graft.pipeline.Curation.piiRedact(col("text")))
+      .select(col("doc_id"), col("ts"), col("clean_text"),
+        col("n_emails"), col("n_urls"), col("n_ipv4"), col("n_phones"))
+
+  /**
    * Rolling near-dup ingestion against the PERSISTED OPH index — the
    * streaming twin of the batch p52 path: each micro-batch is checked by
    * [[graft.pipeline.Dedup.nearDupAgainstIndex]] (index never moves, batch

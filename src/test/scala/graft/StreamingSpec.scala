@@ -361,6 +361,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.exists { case (id, s, _) => id == 4L && math.abs(s - prior) < 1e-12 })
   }
 
+  test("streaming PII redaction equals the batch redaction byte-for-byte per document") {
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("graft-redact").toString
+    val sp = spark
+    import sp.implicits._
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val rows = Seq(
+      (1L, ts(0), "mail a.b@c.example and visit https://x.example/y now"),
+      (2L, ts(1), "host 172.16.0.9 phone +1 (202) 555-0147 done"),
+      (3L, ts(2), "nothing sensitive here at all"))
+    rows.toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$tmp/docs/f1")
+
+    val src = sp.readStream.schema(graft.streaming.DocPipeline.docSchema)
+      .parquet(s"$tmp/docs/*")
+    val q = graft.streaming.DocPipeline.redactStream(src)
+      .writeStream.format("memory").queryName("redact_stream")
+      .option("checkpointLocation", s"$tmp/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = sp.table("redact_stream").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getInt(6))).toSet
+    val batch = graft.pipeline.Curation.piiSignals(
+        rows.map(r => (r._1, r._3)).toDF("doc_id", "text"))
+      .withColumn("clean_text", graft.pipeline.Curation.piiRedact(col("text")))
+      .select("doc_id", "clean_text", "n_emails", "n_urls", "n_ipv4", "n_phones")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+    assert(batch.size == 3)
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.exists { case (id, t, _, _, _, _) =>
+      id == 1L && t == "mail <EMAIL> and visit <URL> now" })
+  }
+
   test("streaming sessionization matches the batch q07 derivation for watermark-closed sessions") {
     val tmp = Files.createTempDirectory("graft-sess").toString
     val srcDir = s"$tmp/events"
