@@ -240,7 +240,14 @@ object Queries {
     "g102_invert" -> g("invert(events.*)"),
     "g103_pow" -> g("pow(events.*,2)"),
     "g104_squareroot" -> g("squareRoot(events.*)"),
-    "g105_exp" -> g("exp(scale(events.*,0.01))"),
+    // 0.001: keeps exp outputs ≲ e^3.5 at every driver SF — the 4dp
+    // rounding convention needs |value|·1e4 inside 2^53 (round(x*1e4)/1e4
+    // loses integer precision past it and the engines' nearest-int choices
+    // split; the r8 sf0.1 sweep caught exactly that at 0.01 → outputs
+    // ~2.7e12). 0.001 and not 0.0001: the name canonicalizes through
+    // Double.toString, which E-notates below 1e-3 ("1.0E-4") and would
+    // break the oracle's name construction.
+    "g105_exp" -> g("exp(scale(events.*,0.001))"),
     "g106_log" -> g("logarithm(events.*)"),
     "g107_logit" -> g("logit(scale(events.*,0.001))"),
     "g108_round" -> g("round(scale(events.*,0.333))"),
@@ -874,6 +881,20 @@ object Queries {
     "p60_epoch_plan" -> ((s, dir) =>
       Assembly.epochPlan(docs(s, dir), nShards = 8)
         .orderBy("doc_id", "epoch")),
+    // dedup-aware sampling weights: each near-dup cluster's members share
+    // unit mass (weight = 1/|cluster|) instead of being dropped
+    "p62_dedup_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupWeights(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
+        .orderBy("doc_id")
+    }),
+    // split-leakage audit: heldout (val/test) docs sharing >= 2 distinct
+    // 3-grams with any train doc — the train→eval decontamination twin
+    "p63_split_leakage" -> ((s, dir) =>
+      Assembly.splitLeakage(docs(s, dir), n = 3, minOverlap = 2)
+        .select(col("doc_id"), col("split"), col("n_grams"), col("n_leaked"),
+          col("leaked").cast("long").as("leaked"))
+        .orderBy("doc_id")),
     // PII redaction over a deterministic planted payload (the base corpus
     // is PII-free — p19's counts are all zero on it): every third doc
     // gains an email/URL/IP/phone, then the chained regexp_replace redacts
@@ -1657,12 +1678,16 @@ object Queries {
     "g104_squareroot" ->
       (S + "SELECT 'squareRoot(' || name || ')' AS name, ts, round(sqrt(v), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g105_exp" ->
-      (S + "SELECT 'exp(scale(' || name || ',0.01))' AS name, ts, round(exp(v * 0.01), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'exp(scale(' || name || ',0.001))' AS name, ts, round(exp(v * 0.001), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     // mirror Spark's log(base, x) = ln(x)/ln(base) association
     "g106_log" ->
       (S + "SELECT 'logarithm(' || name || ')' AS name, ts, round(ln(v) / ln(10), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+    // domain guard 0 < x < 1: outside it the engine's logit is NaN (dropped
+    // by convention — incl. the logit(1) r6d rule), while ANSI DuckDB would
+    // RAISE on ln(<=0) instead of dropping (the r8 sf0.1 sweep hit this
+    // once scaled values crossed 1)
     "g107_logit" ->
-      (S + "SELECT 'logit(scale(' || name || ',0.001))' AS name, ts, round(ln((v * 0.001) / (1 - v * 0.001)), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'logit(scale(' || name || ',0.001))' AS name, ts, round(ln((v * 0.001) / (1 - v * 0.001)), 4) AS value FROM s WHERE v IS NOT NULL AND v * 0.001 > 0 AND v * 0.001 < 1 ORDER BY name, ts"),
     // kernel SafeRound = round-half-to-even (math.rint)
     "g108_round" ->
       (S + "SELECT 'round(scale(' || name || ',0.333))' AS name, ts, round(round_even(v * 0.333, 0), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
@@ -2544,6 +2569,31 @@ object Queries {
         |SELECT doc_id, score, CAST(ne AS BIGINT) AS n_epochs, CAST(epoch AS BIGINT) AS epoch,
         |  ((1103515245 * ((((doc_id % 2147483648 + 2147483648) % 2147483648) * 3 + epoch) % 2147483648) + 12345) % 2147483648) % 8 AS shard
         |FROM inst ORDER BY doc_id, epoch""").stripMargin,
+    "p62_dedup_weights" ->
+      (s"""WITH cc AS (SELECT * FROM ($ccSql) t),
+        |sz AS (SELECT cluster_id, count(*) AS n_dups FROM cc GROUP BY cluster_id)
+        |SELECT cc.doc_id, cc.cluster_id, sz.n_dups, round(1.0 / sz.n_dups, 4) AS weight
+        |FROM cc JOIN sz USING (cluster_id) ORDER BY cc.doc_id""").stripMargin,
+    // p32's split hash + the ccSql word/3-gram construction; leakage =
+    // heldout grams ∩ the train DISTINCT-gram set
+    "p63_split_leakage" ->
+      """WITH sp AS (SELECT doc_id, text,
+        |  CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text, ((doc_id % 1000003 + 9377) * 22695477) % 1000000007 % 1000000 / 1000000.0 AS u FROM documents)),
+        |words AS (SELECT doc_id, split, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM sp),
+        |g AS (SELECT DISTINCT doc_id, split, sh FROM (
+        |  SELECT doc_id, split, unnest(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM words WHERE len(w) >= 3)),
+        |tg AS (SELECT DISTINCT sh FROM g WHERE split = 'train'),
+        |hits AS (SELECT g.doc_id, count(*) AS n_leaked FROM g JOIN tg USING (sh)
+        |         WHERE g.split <> 'train' GROUP BY g.doc_id),
+        |ng AS (SELECT doc_id, count(*) AS n_grams FROM g WHERE split <> 'train' GROUP BY doc_id)
+        |SELECT w.doc_id, w.split,
+        |  coalesce(ng.n_grams, 0) AS n_grams,
+        |  coalesce(hits.n_leaked, 0) AS n_leaked,
+        |  CAST(coalesce(hits.n_leaked, 0) >= 2 AS BIGINT) AS leaked
+        |FROM words w LEFT JOIN ng USING (doc_id) LEFT JOIN hits USING (doc_id)
+        |WHERE w.split <> 'train' ORDER BY w.doc_id""".stripMargin,
     "p61_pii_redact" ->
       """WITH planted AS (SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN text || ' contact bob' || CAST(doc_id AS VARCHAR) || '@mail.example or https://ex.ample/p/' || CAST(doc_id AS VARCHAR) || ' from 10.0.0.1 call +1 (555) 010-0199' ELSE text END AS text

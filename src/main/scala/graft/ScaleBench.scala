@@ -136,7 +136,8 @@ object ScaleBench {
     "p53_corpus_report", "p54_curriculum_plan",
     // r8: the routed store and the classifier/drift/pruning operators
     "g148_routed_fetch", "p55_nb_domain", "p56_source_drift", "p57_prototype_prune",
-    "p58_token_budget", "p59_source_cap", "p60_epoch_plan", "p61_pii_redact")
+    "p58_token_budget", "p59_source_cap", "p60_epoch_plan", "p61_pii_redact",
+    "p62_dedup_weights", "p63_split_leakage")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

@@ -445,11 +445,17 @@ object SeriesOps {
   /** logarithm/log: name carries the base only when the caller gave one
     * (ref logarithm/function.go:52-54). */
   def logarithm(df: DataFrame, base: Double = 10, explicitBase: Boolean = false): DataFrame =
-    rewrap(mapPointwise(df, v => log(base, v)), "logarithm",
+    rewrap(mapPointwise(df, v => coalesce(log(base, v), lit(Double.NaN))), "logarithm",
       if (explicitBase) Seq(fmtNum(base)) else Nil)
-  /** logit: v==1 is NaN, not +Inf (ref logit/function.go:46-50). */
+  /** logit: v==1 is NaN, not +Inf (ref logit/function.go:46-50). Out-of-
+    * domain inputs (v ≥ 1 or v ≤ 0) must come out NaN — i.e. an ABSENT
+    * point — like the reference's math.Log(negative); Spark's `log`
+    * returns NULL there instead, and a NULL value slips past the NaN drop
+    * (IsNaN(null) = false), so coalesce NULL back to NaN. Found by the r8
+    * sf0.1 oracle sweep (scaled values crossed 1 only at that SF). */
   def logit(df: DataFrame): DataFrame = rewrap(mapPointwise(df,
-    v => when(v === 1.0, lit(Double.NaN)).otherwise(log(v / (lit(1.0) - v)))), "logit")
+    v => when(v === 1.0, lit(Double.NaN))
+      .otherwise(coalesce(log(v / (lit(1.0) - v)), lit(Double.NaN)))), "logit")
   def sigmoid(df: DataFrame): DataFrame =
     rewrap(mapPointwise(df, v => lit(1.0) / (lit(1.0) + exp(-v))), "sigmoid")
   def squareS(df: DataFrame): DataFrame = rewrap(mapPointwise(df, v => v * v), "pow", Seq("2"))

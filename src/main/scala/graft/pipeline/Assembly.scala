@@ -501,6 +501,38 @@ object Assembly {
   }
 
   /**
+   * Split-leakage audit — the eval-integrity check a pipeline runs after
+   * splitting: which heldout (val/test) documents share at least
+   * `minOverlap` distinct word `n`-grams with ANY train document? The
+   * train→eval twin of benchmark decontamination (p16): a leaked heldout
+   * doc inflates eval scores exactly like a contaminated benchmark.
+   *
+   * Scale shape: the split is the p32 map-side hash; the gram tables are
+   * doc-keyed DISTINCT sets; the only join is gram-keyed equality between
+   * the heldout grams and the train DISTINCT-gram set (the heldout side
+   * is frac-bounded by construction, the train side reduces to one row
+   * per distinct gram) — never a pairwise doc join. The per-doc re-agg
+   * partitions by doc_id with map-side partials.
+   */
+  def splitLeakage(docs: DataFrame, n: Int = 3, minOverlap: Int = 2,
+                   trainFrac: Double = 0.9, valFrac: Double = 0.05): DataFrame = {
+    val split = trainValTestSplit(docs, trainFrac, valFrac)
+      .select(col("doc_id"), col("split"),
+        array_distinct(Dedup.shingles(col("text"), n)).as("_grams"))
+    val trainGrams = split.where(col("split") === "train")
+      .select(explode(col("_grams")).as("gram")).distinct()
+    val held = split.where(col("split") =!= "train")
+    val hits = held
+      .select(col("doc_id"), explode(col("_grams")).as("gram"))
+      .join(trainGrams, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
+    held.select(col("doc_id"), col("split"), size(col("_grams")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_leaked", coalesce(col("n_leaked"), lit(0L)))
+      .withColumn("leaked", col("n_leaked") >= minOverlap)
+  }
+
+  /**
    * Epoch-repetition plan — the data-constrained scaling recipe
    * (Muennighoff et al. 2023, arXiv:2305.16264: repeating the best data
    * for a few epochs is near-free when unique tokens run out): documents

@@ -557,6 +557,26 @@ object Dedup {
   }
 
   /**
+   * Dedup-aware sampling weights — the SemDeDup/D4-style alternative to
+   * dropping duplicates (Abbas et al. 2023 arXiv:2303.09540; Tirumala et
+   * al. 2023 arXiv:2308.12284): every near-dup cluster's members share
+   * unit sampling mass, weight = 1/|cluster|, so epoch sampling sees each
+   * cluster once in expectation and repeated boilerplate stops dominating
+   * the mix while unique text keeps weight 1.
+   *
+   * Scale shape: the [[dedupClustersStar]] chain plus ONE cluster-keyed
+   * count aggregate joined back onto the label table by cluster_id —
+   * equality-keyed, label-table-sized; the corpus text never moves.
+   */
+  def dedupWeights(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = dedupClustersStar(docs, pairs)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_dups"))
+    cc.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_dups"),
+        (round(lit(1.0) / col("n_dups") * 1e4) / 1e4).as("weight"))
+  }
+
+  /**
    * Quality-aware keeper selection: each duplicate cluster keeps its
    * highest-quality member instead of the lowest doc_id — the rule
    * production corpora actually want (drop the truncated/boilerplate copy,

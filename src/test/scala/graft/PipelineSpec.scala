@@ -673,6 +673,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("p62: dedup weights share unit mass inside a near-dup cluster and leave unique docs at 1") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta"),
+      (4L, "one two three four five six seven"),
+      (5L, "red green blue cyan magenta yellow")).toDF("doc_id", "text")
+    val out = Dedup.dedupWeights(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(Seq(1L, 2L, 3L).forall(id => out(id)._1 == 1L && out(id)._2 == 3L),
+      s"the three near-dups must form one cluster rooted at 1: $out")
+    assert(math.abs(out(1L)._3 - 0.3333) < 1e-9, "weight = round(1/3, 4)")
+    assert(out(4L) == (4L, 1L, 1.0) && out(5L) == (5L, 1L, 1.0),
+      s"unique docs keep weight 1: $out")
+  }
+
+  test("p63: split leakage flags heldout docs sharing 3-grams with train under the deterministic split") {
+    val sp = spark
+    import sp.implicits._
+    // split is the p32 hash: ids 0-4 land train, 5 test, 15 val
+    val leak = "quick brown fox jumps over lazy dog tonight"
+    val d = Seq(
+      (0L, leak),
+      (1L, "completely different content one two three four"),
+      (2L, "another train doc with its own words here"),
+      (5L, leak),                                            // copies train 0
+      (15L, "unrelated heldout text nothing shared at all")) // clean
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Assembly.splitLeakage(d, n = 3, minOverlap = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out.keySet == Set(5L, 15L), s"only heldout docs audit: $out")
+    assert(out(5L)._1 == "test" && out(5L)._3 == 6L && out(5L)._4,
+      s"the copied doc shares all 6 grams and is leaked: $out")
+    assert(out(15L)._1 == "val" && out(15L)._3 == 0L && !out(15L)._4)
+  }
+
   test("p61: redaction replaces every planted PII span with its type tag and counts agree with the signals") {
     val sp = spark
     import sp.implicits._
