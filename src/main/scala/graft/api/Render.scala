@@ -25,12 +25,15 @@ case class RenderedSeries(
  */
 object Render {
 
-  /** Evaluate one or more targets over [from, until). */
+  /** Evaluate one or more targets over [from, until). Request-scoped fetch
+    * pins are released once each target's rows are collected. */
   def eval(spark: SparkSession, store: SeriesStore, targets: Seq[String],
            from: Long, until: Long): Seq[RenderedSeries] =
     targets.flatMap { t =>
-      val df = Eval.evalTarget(spark, store, t, from, until)
-      collect(df)
+      val ctx = Eval.Ctx(spark, store, from, until)
+      try collect(Eval.eval(graft.parser.Defines.expand(
+        graft.parser.Parser.parse(t)), ctx))
+      finally ctx.release()
     }
 
   /**
@@ -53,15 +56,15 @@ object Render {
     while (it.hasNext && !stop) {
       val t = it.next()
       val sink = scala.collection.mutable.LinkedHashMap.empty[String, graft.store.StoreFetchException]
+      val ctx = Eval.Ctx(spark, store, from, until, fetchErrors = Some(sink))
       try {
-        val ctx = Eval.Ctx(spark, store, from, until, fetchErrors = Some(sink))
         rows ++= collect(Eval.eval(graft.parser.Defines.expand(
           graft.parser.Parser.parse(t)), ctx))
       } catch {
         // a fetch failure surfacing outside the masked path (rewrite
         // planning, seriesByTag scans) fails this target only
         case e: graft.store.StoreFetchException => sink.getOrElseUpdate(t, e)
-      }
+      } finally ctx.release()
       sink.headOption.foreach { case (_, e) =>
         errors += t -> e
         if (requireSuccessAll && e.httpCode != 200 && e.httpCode != 404) stop = true

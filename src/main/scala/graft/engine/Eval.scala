@@ -29,7 +29,9 @@ object Eval {
   case class Ctx(spark: SparkSession, store: SeriesStore, from: Long, until: Long,
                  fetchMemo: scala.collection.mutable.Map[(String, Long, Long), DataFrame] =
                    scala.collection.mutable.Map.empty,
-                 fetchErrors: Option[scala.collection.mutable.Map[String, graft.store.StoreFetchException]] = None) {
+                 fetchErrors: Option[scala.collection.mutable.Map[String, graft.store.StoreFetchException]] = None,
+                 pinned: scala.collection.mutable.ArrayBuffer[DataFrame] =
+                   scala.collection.mutable.ArrayBuffer.empty) {
     def widen(by: Long): Ctx = copy(from = from - by)
 
     /** Store fetch with the render tier's error masking: when an error sink
@@ -37,15 +39,40 @@ object Eval {
       * EMPTY series list instead of aborting the target — the reference's
       * per-request fetch behavior (failed backends yield no data, the error
       * rides the response-code logic; ref expr.FetchAndEvalExp). Without a
-      * sink (direct engine use) the failure propagates. */
+      * sink (direct engine use) the failure propagates.
+      *
+      * Cold (non-scanCached) stores: the fetched request-sized frame is
+      * persisted, so every ACTION an operator chain runs (minMax's stats
+      * pass, asPercent's align stats, holtWinters' bootstrap) reads the
+      * store once instead of re-running scan+stitch per action — the
+      * reference fetches into per-request memory exactly once
+      * (ref expr/expr.go:30-125). [[release]] drops the pins when the
+      * request's results are collected; Bench/Verify sweep persists per
+      * query anyway. Measured: the partitioned-store graphite sweep read
+      * 2.8× the cached-store wall before this, with multi-action rows
+      * (g63 minMax +6.5 s) carrying most of it. */
     def fetch(pathExpr: String): DataFrame =
       fetchMemo.getOrElseUpdate((pathExpr, from, until),
-        try store.fetch(spark, pathExpr, from, until)
-        catch {
+        try {
+          val df = store.fetch(spark, pathExpr, from, until)
+          if (store.scanCached) df
+          else {
+            val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            pinned += p
+            p
+          }
+        } catch {
           case e: graft.store.StoreFetchException if fetchErrors.isDefined =>
             fetchErrors.get.getOrElseUpdate(pathExpr, e)
             emptyFrame(spark)
         })
+
+    /** Unpin every request-scoped fetch persist. Call AFTER the request's
+      * actions have run (post-collect); dropped pins recompute if re-used. */
+    def release(): Unit = {
+      pinned.foreach(df => try df.unpersist(false) catch { case _: Exception => () })
+      pinned.clear()
+    }
   }
 
   def evalTarget(spark: SparkSession, store: SeriesStore, target: String,

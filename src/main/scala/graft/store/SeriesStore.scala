@@ -32,6 +32,13 @@ trait SeriesStore {
   def catalog(spark: SparkSession): DataFrame =
     fetchAll(spark, Long.MinValue / 4, Long.MaxValue / 4)
       .select(col("name"), col("tags")).dropDuplicates("name")
+  /** True when this store's scan already serves from cached blocks (e.g. a
+    * derived in-memory fixture). For cold stores (Parquet layouts) the
+    * evaluator pins each fetched request-sized frame in request-scoped
+    * storage instead, so multi-action operators (minMax, asPercent,
+    * holtWinters bootstrap) read the store ONCE per request — the
+    * reference always fetches into per-request memory exactly once. */
+  def scanCached: Boolean = false
 }
 
 /**
@@ -141,6 +148,9 @@ class EventSeriesStore(sfDir: String, step: Long = 3600L) extends SeriesStore {
   /** The derived frame is already cached per (spark, dir); names off it. */
   override def catalog(spark: SparkSession): DataFrame =
     allSeries(spark).select(col("name"), col("tags")).dropDuplicates("name")
+
+  /** allSeries is .cache()'d — fetches already serve from memory. */
+  override def scanCached: Boolean = true
 }
 
 object EventSeriesStore {

@@ -44,6 +44,8 @@ class TieredSeriesStore(tiers: Seq[SeriesStore]) extends SeriesStore {
   override def catalog(spark: SparkSession): DataFrame =
     tiers.map(_.catalog(spark)).reduce(_ unionByName _).dropDuplicates("name")
 
+  override def scanCached: Boolean = tiers.forall(_.scanCached)
+
   /** Union tier frames (tier-indexed), align to the common grid, and
     * coalesce same-name rows: per slot, the first tier with a non-NaN
     * value wins. Pure HOF column math after a name-keyed group of the
