@@ -245,7 +245,16 @@ object RewriteOps {
   def seriesByTag(ctx: Eval.Ctx, target: String): DataFrame = {
     val specs = parseTagSpecs(target)
     require(specs.nonEmpty, s"seriesByTag: no tag specs in $target")
-    val all = ctx.store.fetchAll(ctx.spark, ctx.from, ctx.until)
+    // same request-scoped pinning as Ctx.fetch: on a cold store the tag
+    // scan must read once per request, however many actions follow
+    val raw = ctx.store.fetchAll(ctx.spark, ctx.from, ctx.until)
+    val all =
+      if (ctx.store.scanCached) raw
+      else {
+        val p = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ctx.pinned += p
+        p
+      }
     // graphite tagdb semantics: an `=`/`!=` value containing `*` is a
     // wildcard (any run of characters), not an exact string — `tag2=value*`
     // matches value21 (graphite-web tags/base.py; exercised by the
