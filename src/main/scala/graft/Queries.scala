@@ -881,6 +881,22 @@ object Queries {
     "p60_epoch_plan" -> ((s, dir) =>
       Assembly.epochPlan(docs(s, dir), nShards = 8)
         .orderBy("doc_id", "epoch")),
+    // corpus snapshot diff: a deterministic second crawl (every 7th doc
+    // gone, every remaining 5th edited, every 13th re-keyed as new) diffed
+    // against the base — added/removed/changed/unchanged per doc_id
+    "p64_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newSnap = d.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .unionByName(d.where(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Curation.snapshotDiff(d, newSnap).orderBy("doc_id")
+    }),
+    // Zipf spectrum fit over the top-200 words: corpus-health slope/intercept
+    "p65_zipf_fit" -> ((s, dir) =>
+      graft.pipeline.TextStats.zipfFit(docs(s, dir), k = 200)),
     // dedup-aware sampling weights: each near-dup cluster's members share
     // unit mass (weight = 1/|cluster|) instead of being dropped
     "p62_dedup_weights" -> ((s, dir) => {
@@ -2569,6 +2585,28 @@ object Queries {
         |SELECT doc_id, score, CAST(ne AS BIGINT) AS n_epochs, CAST(epoch AS BIGINT) AS epoch,
         |  ((1103515245 * ((((doc_id % 2147483648 + 2147483648) % 2147483648) * 3 + epoch) % 2147483648) + 12345) % 2147483648) % 8 AS shard
         |FROM inst ORDER BY doc_id, epoch""").stripMargin,
+    "p64_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |n AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 13 = 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed'
+        |       WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id""".stripMargin,
+    "p65_zipf_fit" ->
+      """WITH ex AS (SELECT unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0)) AS word FROM documents),
+        |vc AS (SELECT word, count(*) AS cnt FROM ex GROUP BY word),
+        |nt AS (SELECT count(*) AS n_types FROM vc),
+        |top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+        |        FROM vc ORDER BY cnt DESC, word LIMIT 200),
+        |f AS (SELECT count(*) AS k_fit,
+        |        covar_pop(ln(rank), ln(cnt)) / var_pop(ln(rank)) AS s,
+        |        avg(ln(cnt)) AS mc, avg(ln(rank)) AS mr FROM top)
+        |SELECT nt.n_types, f.k_fit, round(s, 4) AS slope, round(mc - s * mr, 4) AS intercept
+        |FROM f CROSS JOIN nt""".stripMargin,
     "p62_dedup_weights" ->
       (s"""WITH cc AS (SELECT * FROM ($ccSql) t),
         |sz AS (SELECT cluster_id, count(*) AS n_dups FROM cc GROUP BY cluster_id)

@@ -420,6 +420,28 @@ object Curation {
   }
 
   /**
+   * Corpus snapshot diff — the bookkeeping an incremental refresh runs
+   * between two crawls: per doc_id, `added` (new snapshot only),
+   * `removed` (old only), `changed` (both, content hash differs) or
+   * `unchanged`. Content identity is the same md5 the exact-dedup chain
+   * keys on, so "changed" means byte-level text change.
+   *
+   * Scale shape: two map-side hash projections + ONE doc_id-keyed full
+   * outer join — text never moves past its hash, and the join is
+   * equality-keyed on the id both snapshots already shard by.
+   */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("_h_old"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("_h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_h_old").isNull, "added")
+          .when(col("_h_new").isNull, "removed")
+          .when(col("_h_old") === col("_h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /**
    * Per-source document cap — the domain-balancing pass web-scale recipes
    * run after scoring (RefinedWeb-style: no single domain may dominate
    * the mix): keep at most `cap` documents per source, best first by

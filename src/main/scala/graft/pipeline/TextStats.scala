@@ -215,4 +215,37 @@ object TextStats {
       .select(col("doc_id"), col("n_words"), col("n_types"),
         col("entropy"), col("ttr"))
   }
+
+  /**
+   * Zipf spectrum fit — the corpus-health statistic (natural text has a
+   * frequency spectrum near slope −1; a broken extraction or synthetic
+   * flood bends it): least-squares slope/intercept of ln(count) over
+   * ln(rank) across the top-`k` words. The fit uses the HEAD of the
+   * spectrum (standard practice — the tail is quantization noise), so
+   * the ranking is a bounded TakeOrdered top-k, never a global sort of
+   * the vocabulary; the regression reduces k rows to one.
+   *
+   * Scale shape: one vocab aggregation with map-side partials → top-k →
+   * closed-form slope = cov(ln r, ln c)/var(ln r) over ≤ k rows.
+   */
+  def zipfFit(docs: DataFrame, k: Int = 200, textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(Dedup.wordsOf(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val nTypes = counts.agg(count(lit(1)).as("n_types"))
+    val top = counts.orderBy(col("cnt").desc, col("word")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("word"))).cast("long"))
+      .withColumn("_lr", log(col("rank").cast("double")))
+      .withColumn("_lc", log(col("cnt").cast("double")))
+    top.agg(
+        count(lit(1)).as("k_fit"),
+        (covar_pop(col("_lr"), col("_lc")) / var_pop(col("_lr"))).as("_slope"),
+        avg(col("_lc")).as("_mc"), avg(col("_lr")).as("_mr"))
+      .crossJoin(broadcast(nTypes))
+      .select(col("n_types"), col("k_fit"),
+        (round(col("_slope") * 1e4) / 1e4).as("slope"),
+        (round((col("_mc") - col("_slope") * col("_mr")) * 1e4) / 1e4).as("intercept"))
+  }
 }

@@ -712,6 +712,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(15L)._1 == "val" && out(15L)._3 == 0L && !out(15L)._4)
   }
 
+  test("p64: snapshot diff classifies added/removed/changed/unchanged by content hash") {
+    val sp = spark
+    import sp.implicits._
+    val old = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four")).toDF("doc_id", "text")
+    val now = Seq((2L, "two"), (3L, "three edited"), (5L, "five")).toDF("doc_id", "text")
+    val out = Curation.snapshotDiff(old, now)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "removed", 5L -> "added"), out.toString)
+  }
+
+  test("p65: zipf fit recovers ~-1 slope on a planted 1/rank spectrum") {
+    val sp = spark
+    import sp.implicits._
+    // word w<i> appears floor(1000/i) times: an exact Zipf head
+    val text = (1 to 30).flatMap(i => Seq.fill(1000 / i)(s"w$i")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val row = graft.pipeline.TextStats.zipfFit(d, k = 30).head()
+    assert(row.getLong(0) == 30L && row.getLong(1) == 30L)
+    val slope = row.getDouble(2)
+    assert(slope > -1.1 && slope < -0.9, s"planted spectrum must fit ~-1: $slope")
+  }
+
   test("p61: redaction replaces every planted PII span with its type tag and counts agree with the signals") {
     val sp = spark
     import sp.implicits._
