@@ -564,6 +564,20 @@ object Assembly {
     val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
     // epoch key folds like shardPos: (doc_id mod 2^31)*maxEpochs + epoch
     // stays well under 2^61 after the LCG multiply's own fold
+    scored.transform(epochAssign(_, c1, c2, nShards, maxEpochs))
+  }
+
+  /**
+   * The stateless half of [[epochPlan]] with the tercile cuts given —
+   * the deployment shape: cuts trained offline on a static corpus, then
+   * any batch OR stream of scored documents assigns epochs/shards
+   * map-side with zero state (gated stream ≡ batch in StreamingSpec,
+   * like the NB model twin). Expects a (doc_id, score) frame with the
+   * score already 4dp-rounded.
+   */
+  def epochAssign(scored: DataFrame, c1: Double, c2: Double,
+                  nShards: Int, maxEpochs: Int = 3): DataFrame = {
+    require(nShards > 0, s"epochAssign: nShards must be positive, got $nShards")
     val ekey = pmod(col("doc_id"), lit(1L << 31)) * maxEpochs + col("epoch")
     scored
       .withColumn("n_epochs",
@@ -573,7 +587,7 @@ object Assembly {
       .withColumn("epoch", explode(sequence(lit(1L), col("n_epochs"))))
       .withColumn("pos", shardPos(ekey))
       .withColumn("shard", pmod(col("pos"), lit(nShards.toLong)))
-      .select(col("doc_id"), col("score"), col("n_epochs"), col("epoch"),
-        col("shard"))
+      .select(scored.columns.map(col) :+ col("n_epochs") :+ col("epoch") :+
+        col("shard"): _*)
   }
 }

@@ -173,6 +173,22 @@ object DocPipeline {
         col("n_emails"), col("n_urls"), col("n_ipv4"), col("n_phones"))
 
   /**
+   * Streaming epoch/shard assignment — the stateless half of the batch
+   * [[graft.pipeline.Assembly.epochPlan]] with tercile cuts trained
+   * offline (the same deployed-model shape as [[nbScoreStream]]): score,
+   * epoch repetition and LCG shard are all map-side column math, so a
+   * streamed document lands on exactly the (epoch, shard) instances the
+   * batch plan gives it (gated stream ≡ batch in StreamingSpec).
+   */
+  def epochAssignStream(docs: DataFrame, c1: Double, c2: Double,
+                        nShards: Int, maxEpochs: Int = 3): DataFrame =
+    graft.pipeline.Assembly.epochAssign(
+      graft.pipeline.TextStats.qualityScore(docs)
+        .select(col("doc_id"), col("ts"),
+          (round(col("quality_score") * 1e4) / 1e4).as("score")),
+      c1, c2, nShards, maxEpochs)
+
+  /**
    * Rolling near-dup ingestion against the PERSISTED OPH index — the
    * streaming twin of the batch p52 path: each micro-batch is checked by
    * [[graft.pipeline.Dedup.nearDupAgainstIndex]] (index never moves, batch

@@ -361,6 +361,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.exists { case (id, s, _) => id == 4L && math.abs(s - prior) < 1e-12 })
   }
 
+  test("streaming epoch/shard assignment with offline cuts equals the batch epoch plan per document") {
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("graft-epoch").toString
+    val sp = spark
+    import sp.implicits._
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // lengths spread the heuristic score across terciles
+    val rows = (0 until 12).map(i => (i.toLong, ts(i), ("w " * (8 * i + 1)).trim))
+    val batchDocs = rows.map(r => (r._1, r._3)).toDF("doc_id", "text")
+    val plan = graft.pipeline.Assembly.epochPlan(batchDocs, nShards = 4)
+    val batch = plan.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // the offline cuts the deployment ships (same computation as the plan)
+    val scored = graft.pipeline.TextStats.qualityScore(batchDocs)
+      .select(col("doc_id"), (round(col("quality_score") * 1e4) / 1e4).as("score"))
+    val cuts = scored.agg(
+      (round(expr("percentile(score, 1.0/3)") * 1e4) / 1e4),
+      (round(expr("percentile(score, 2.0/3)") * 1e4) / 1e4)).head()
+    rows.toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$tmp/docs/f1")
+    val src = sp.readStream.schema(graft.streaming.DocPipeline.docSchema)
+      .parquet(s"$tmp/docs/*")
+    val q = graft.streaming.DocPipeline.epochAssignStream(
+        src, cuts.getDouble(0), cuts.getDouble(1), nShards = 4)
+      .writeStream.format("memory").queryName("epoch_stream")
+      .option("checkpointLocation", s"$tmp/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = sp.table("epoch_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(batch.map(_._1).size == 12 && batch.size > 12,
+      "the tercile repetition must actually multiply instances")
+  }
+
   test("streaming PII redaction equals the batch redaction byte-for-byte per document") {
     import java.sql.Timestamp
     val tmp = Files.createTempDirectory("graft-redact").toString
