@@ -881,6 +881,11 @@ object Queries {
     "p60_epoch_plan" -> ((s, dir) =>
       Assembly.epochPlan(docs(s, dir), nShards = 8)
         .orderBy("doc_id", "epoch")),
+    // token-proportional sample without replacement (Efraimidis–Spirakis
+    // top-k by ln(u)/w, deterministic hash u, 4dp cutoff + doc_id ties)
+    "p66_weighted_sample" -> ((s, dir) =>
+      Assembly.weightedSample(docs(s, dir), k = 50)
+        .orderBy("doc_id")),
     // corpus snapshot diff: a deterministic second crawl (every 7th doc
     // gone, every remaining 5th edited, every 13th re-keyed as new) diffed
     // against the base — added/removed/changed/unchanged per doc_id
@@ -2585,6 +2590,12 @@ object Queries {
         |SELECT doc_id, score, CAST(ne AS BIGINT) AS n_epochs, CAST(epoch AS BIGINT) AS epoch,
         |  ((1103515245 * ((((doc_id % 2147483648 + 2147483648) % 2147483648) * 3 + epoch) % 2147483648) + 12345) % 2147483648) % 8 AS shard
         |FROM inst ORDER BY doc_id, epoch""").stripMargin,
+    "p66_weighted_sample" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  ((doc_id % 1000003 + 4241) * 22695477) % 1000000007 % 1000000 AS raw FROM documents)
+        |SELECT doc_id, n_tokens, round(ln((raw + 0.5) / 1000000.0) / n_tokens, 4) + 0.0 AS skey
+        |FROM t WHERE n_tokens > 0 ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
     "p64_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents),
         |n AS (

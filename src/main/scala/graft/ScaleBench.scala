@@ -137,7 +137,8 @@ object ScaleBench {
     // r8: the routed store and the classifier/drift/pruning operators
     "g148_routed_fetch", "p55_nb_domain", "p56_source_drift", "p57_prototype_prune",
     "p58_token_budget", "p59_source_cap", "p60_epoch_plan", "p61_pii_redact",
-    "p62_dedup_weights", "p63_split_leakage", "p64_snapshot_diff", "p65_zipf_fit")
+    "p62_dedup_weights", "p63_split_leakage", "p64_snapshot_diff", "p65_zipf_fit",
+    "p66_weighted_sample")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

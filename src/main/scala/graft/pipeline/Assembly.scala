@@ -501,6 +501,35 @@ object Assembly {
   }
 
   /**
+   * Weighted sampling without replacement — Efraimidis–Spirakis A-ES
+   * (Inf. Proc. Letters 2006): each item draws u ∈ (0,1) and the top-k by
+   * u^(1/w) are EXACTLY a w-proportional sample without replacement. Here
+   * w = token count (the token-proportional doc sample a per-token corpus
+   * estimate wants), u is the p32-style deterministic multiplicative hash
+   * (restartable, engine-replayable), and the key is the monotone-
+   * equivalent ln(u)/w rounded at 4dp with doc_id tie-break so membership
+   * replays in any engine (the p42 cutoff rule).
+   *
+   * Scale shape: one map-side scan computing (w, key) + a TakeOrdered
+   * top-k — no shuffle, no global sort, no RNG state.
+   */
+  def weightedSample(docs: DataFrame, k: Int, seed: Long = 4241L): DataFrame = {
+    require(k > 0, s"weightedSample: k must be positive, got $k")
+    val raw = ((col("doc_id") % 1000003L + seed) * 22695477L) % 1000000007L % 1000000L
+    val u = (raw.cast("double") + 0.5) / 1000000.0
+    docs
+      .select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      // + 0.0 canonicalizes IEEE -0.0 (a key that rounds to zero) to +0.0
+      // so the comparison hash agrees across engines
+      .withColumn("skey",
+        round(log(u) / col("n_tokens").cast("double") * 1e4) / 1e4 + lit(0.0))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * Split-leakage audit — the eval-integrity check a pipeline runs after
    * splitting: which heldout (val/test) documents share at least
    * `minOverlap` distinct word `n`-grams with ANY train document? The

@@ -712,6 +712,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(15L)._1 == "val" && out(15L)._3 == 0L && !out(15L)._4)
   }
 
+  test("p66: weighted sample is deterministic, k-bounded, and pulls heavy docs with near-certainty") {
+    val sp = spark
+    import sp.implicits._
+    // one 5000-token doc among 60 one-token docs: P(heavy in a w-prop
+    // 10-sample) ≈ 1 − ∏(1 − 5000/(5060−…)) ≈ 1; A-ES realizes that as
+    // the heavy doc's key u^(1/5000) ≈ 1 beating almost any 1-token key
+    val d = ((0L until 60L).map(i => (i, "tok")) :+ (99L, ("w " * 5000).trim))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Assembly.weightedSample(d, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 10)
+    assert(out.exists(_._1 == 99L), s"the 5000-token doc must be sampled: ${out.toSeq}")
+    // replay determinism
+    val again = graft.pipeline.Assembly.weightedSample(d, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == again.toSeq)
+    // keys are valid A-ES log-keys: non-positive, heavier ⇒ closer to 0
+    assert(out.forall(_._3 <= 0.0))
+  }
+
   test("p64: snapshot diff classifies added/removed/changed/unchanged by content hash") {
     val sp = spark
     import sp.implicits._
