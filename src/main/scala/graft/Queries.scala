@@ -1004,6 +1004,11 @@ object Queries {
     // per-frame RMS + zero crossings over the deterministic stub PCM —
     // audio framing/energy plumbing with the batched kernel shape; the
     // arithmetic is byte-exact so DuckDB replays it
+    // video leg of the kernel family: the m02 plan executed through the
+    // payload join + batched frame kernel (stub decode, byte-exact)
+    "m05_video_frames" -> ((s, dir) =>
+      Multimodal.videoFrameFeatures(Multimodal.syntheticAssets(docs(s, dir)))
+        .orderBy("asset_id", "frame_idx")),
     "m04_audio_features" -> ((s, dir) =>
       Multimodal.audioFeatures(Multimodal.syntheticAssets(docs(s, dir)))
         .select(col("asset_id"), col("frame_idx"), dround(col("rms"), 4).as("rms"), col("zc"))
@@ -2232,6 +2237,19 @@ object Queries {
     // stub PCM = (byte-80)/48 over the UTF-8 payload (ASCII corpus: bytes
     // == codepoints); 64-sample full frames, RMS + strict sign-product
     // zero crossings — integer-derived doubles, exact in both engines
+    // corpus is pure ASCII (verified for m01), so ord(char) == payload byte
+    "m05_video_frames" ->
+      """WITH ch AS (SELECT doc_id, list_transform(split(text, ''), x -> ord(x)) AS os,
+        |  len(text) AS L, n_chars * 10 AS dur
+        |  FROM documents WHERE doc_id % 3 = 2 AND len(text) > 0),
+        |fr AS (SELECT doc_id, os, L, unnest(generate_series(0, least(dur, 31000), 1000)) AS ts FROM ch),
+        |px AS (SELECT doc_id, ts,
+        |  list_transform(generate_series(0, 31), j -> os[((((ts // 10) % L) + j) % L) + 1]) AS p
+        |  FROM fr)
+        |SELECT doc_id AS asset_id, CAST(ts // 1000 AS BIGINT) AS frame_idx, CAST(ts AS BIGINT) AS ts_ms,
+        |  round(list_aggregate(p, 'avg'), 4) AS luma_mean,
+        |  CAST(list_aggregate(p, 'max') - list_aggregate(p, 'min') AS BIGINT) AS contrast
+        |FROM px ORDER BY asset_id, frame_idx""".stripMargin,
     "m04_audio_features" ->
       """WITH ch AS (
         |  SELECT doc_id, list_transform(split(text, ''), x -> CAST(ord(x) - 80 AS DOUBLE)/48) AS s

@@ -259,4 +259,52 @@ object Multimodal {
       .select(col("asset_id"), col("duration_ms"),
         sequence(lit(0L), least(col("duration_ms"), lit(everyMs * (maxFrames - 1))), lit(everyMs)).as("frame_ts_ms"))
       .select(col("asset_id"), posexplode(col("frame_ts_ms")).as(Seq("frame_idx", "ts_ms")))
+
+  /** STUB frame decode: the "frame" at ts is `n` payload bytes starting at
+    * (ts/10) mod len, wrapped — deterministic, byte-exact (a real
+    * deployment swaps this for a video codec seek+decode; this container
+    * ships none). Everything around it — the sample plan, the payload
+    * join, the batched kernel — is the real pipeline. */
+  def decodeFrameStub(payload: Array[Byte], tsMs: Long, n: Int = 32): Array[Int] = {
+    val len = payload.length
+    val off = ((tsMs / 10) % len).toInt
+    Array.tabulate(n)(j => payload((off + j) % len) & 0xFF)
+  }
+
+  /**
+   * Execute the [[frameSamplePlan]] — the video leg of the multimodal
+   * kernel family (m01 image, m04 audio): per planned (asset, frame ts),
+   * decode the frame (stub) and emit luma mean + contrast.
+   *
+   * Scale shape: the plan is column math; payloads attach with ONE
+   * asset_id-keyed equality join (frames-per-asset bounded by maxFrames,
+   * so the join output is plan-sized); the pixel work runs in the batched
+   * mapPartitions kernel, map-side.
+   */
+  def videoFrameFeatures(assets: DataFrame, everyMs: Long = 1000L,
+                         maxFrames: Int = 32, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("ts_ms", LongType),
+      StructField("luma_mean", DoubleType),
+      StructField("contrast", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    frameSamplePlan(assets, everyMs, maxFrames)
+      .join(assets.select(col("asset_id"), col("payload"))
+        .where(length(col("payload")) > 0), "asset_id")
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("ts_ms"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // per-batch codec init would happen here in a real kernel
+          batch.map { r =>
+            val px = decodeFrameStub(r.getAs[Array[Byte]]("payload"), r.getLong(2))
+            val mean = px.sum.toDouble / px.length
+            Row(r.getLong(0), r.getLong(1), r.getLong(2),
+              math.round(mean * 1e4) / 1e4, (px.max - px.min).toLong)
+          }
+        }
+      }(enc)
+  }
 }

@@ -228,6 +228,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.getLong(3) == 0L && math.abs(c.getDouble(2) - 0.5) < 1e-12) // (104-80)/48 = 0.5
   }
 
+  test("m05: video frame kernel executes the m02 plan — planted payload gives closed-form luma/contrast; frames cap at the plan bound") {
+    import graft.pipeline.Multimodal
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // payload bytes 0,1,...,99 cycling: frame at ts reads 32 bytes from
+    // (ts/10) mod 100 — frame 0 covers 0..31 (mean 15.5, contrast 31);
+    // frame at ts=1000 starts at offset 0 again (100 % 100)
+    val ramp = Array.tabulate[Byte](100)(i => i.toByte)
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("modality", StringType),
+      StructField("payload", BinaryType), StructField("duration_ms", LongType)))
+    val assets = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "video", ramp, 2500L),                // frames at 0,1000,2000
+        Row(2L, "video", ramp, 200000L),              // capped at maxFrames
+        Row(3L, "image", ramp, 2500L)                 // wrong modality → skipped
+      ), schema)
+    val out = Multimodal.videoFrameFeatures(assets, everyMs = 1000L, maxFrames = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val byAsset = out.groupBy(_._1)
+    assert(byAsset.keySet == Set(1L, 2L), "only video assets emit")
+    assert(byAsset(1L).length == 3 && byAsset(2L).length == 32,
+      s"plan bounds: 3 frames for 2.5 s, maxFrames cap for long videos: ${byAsset.view.mapValues(_.length).toMap}")
+    val f0 = byAsset(1L).find(_._2 == 0L).get
+    assert(f0._4 == 15.5 && f0._5 == 31L, s"ramp frame 0: mean 15.5, contrast 31: $f0")
+    // ts=1000 → offset (1000/10) % 100 = 0: identical to frame 0
+    val f1 = byAsset(1L).find(_._2 == 1L).get
+    assert(f1._4 == f0._4 && f1._5 == f0._5)
+  }
+
   test("m03: real pixel resize fits decodable images into the box; non-images pass through") {
     import graft.pipeline.Multimodal
     // 128x32 gradient PNG → fit into 64x64 is (64, 16)
