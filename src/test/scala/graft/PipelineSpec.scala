@@ -678,6 +678,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("src_b", 1L, 8L), ("src_b", 2L, 7L)), out.toString)
   }
 
+  test("p59: salting is result-invisible — any salt count selects exactly the unsalted top-cap per source (randomized)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 5) {
+      val n = 120 + rnd.nextInt(80)
+      val rows = (0 until n).map { i =>
+        (i.toLong, s"src${rnd.nextInt(4)}",
+          // coarse grid forces plenty of score ties across AND within salts
+          (rnd.nextInt(6) / 10.0))
+      }
+      val scored = rows.toDF("doc_id", "source", "qscore")
+      def run(salts: Int) = Curation.sourceCap(scored, cap = 7, salts = salts, scoreCol = "qscore")
+        .select("source", "rk", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val unsalted = run(1)
+      assert(run(16) == unsalted, s"trial $trial: salts=16 diverged")
+      assert(run(3) == unsalted, s"trial $trial: salts=3 diverged")
+    }
+  }
+
   test("p60: epoch plan repeats terciles 3/2/1, assigns bounded shards, and replays deterministically") {
     val sp = spark
     import sp.implicits._
