@@ -342,6 +342,46 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally tApi.stop()
   }
 
+  test("life of a metric: write → find (catalog) → render → rollover → find and render still serve across the tier boundary") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("lifecycle").toString
+    // 3 days of 60s data; days 0-1 will roll to a 3600s coarse tier
+    graft.store.TimePartitionedSeriesStore.write(
+      Seq(graft.core.Series("events.life", Map("name" -> "events.life"), 0L, 60L,
+        Array.tabulate(3 * 1440)(_.toDouble))).toDF(),
+      s"$base/fine", windowSec = 86400L)
+    val tiered = new graft.store.TieredSeriesStore(Seq(
+      new graft.store.TimePartitionedSeriesStore(s"$base/fine", 86400L, Some(60L)),
+      new graft.store.TimePartitionedSeriesStore(s"$base/coarse", 86400L, Some(3600L))))
+    val api = new HttpApi(spark, tiered, port = 0)
+    val port2 = api.start()
+    def hit(pq: String) = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port2$pq")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    try {
+      graft.api.Catalog.invalidateCatalogCache()
+      // find serves the name from the persisted fine catalog
+      val f1 = hit("/metrics/find?query=events.*")
+      assert(f1.statusCode() == 200 && f1.body().contains("\"events.life\""), f1.body().take(300))
+      // render before rollover: native 60s step
+      val r1 = hit("/render?target=events.life&from=0&until=7200&format=json&noCache=1")
+      assert(r1.statusCode() == 200 && r1.body().contains("[1,60]"), r1.body().take(300))
+      // retention moves days 0-1 into the coarse tier
+      assert(graft.store.Retention.rollover(spark, s"$base/fine", s"$base/coarse",
+        86400L, beforeWin = 2L, coarseStep = 3600L) == Seq(0L, 1L))
+      graft.api.Catalog.invalidateCatalogCache() // out-of-band write: expire now
+      // the name still resolves — the coarse catalog answers for it
+      val f2 = hit("/metrics/find?query=events.*")
+      assert(f2.statusCode() == 200 && f2.body().contains("\"events.life\""), f2.body().take(300))
+      // render after rollover: the rolled window serves consolidated at 3600s
+      val r2 = hit("/render?target=events.life&from=0&until=7200&format=json&noCache=1")
+      assert(r2.statusCode() == 200, r2.body().take(300))
+      // first hourly bucket = avg of minutes 0..59 = 29.5
+      assert(r2.body().contains("[29.5,0]"), r2.body().take(400))
+    } finally { api.stop(); graft.api.Catalog.invalidateCatalogCache() }
+  }
+
   test("/render serves from the name-routed store; the scan routes on the glob's literal prefix") {
     val sp = spark
     import sp.implicits._
