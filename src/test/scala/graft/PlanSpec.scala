@@ -455,6 +455,41 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan.take(3000))
   }
 
+  test("snapshot diff is one doc_id-keyed equality join of hash projections — no cartesian, text never past its md5") {
+    val sp = spark
+    import sp.implicits._
+    val a = (0 until 20).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val b = (5 until 25).map(i => (i.toLong, s"text $i x")).toDF("doc_id", "text")
+    val plan = graft.pipeline.Curation.snapshotDiff(a, b)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"), plan.take(2000))
+    assert("Join FullOuter".r.findFirstIn(plan).nonEmpty ||
+      plan.contains("full_outer") || plan.contains("FullOuter"), plan.take(2000))
+  }
+
+  test("zipf fit and weighted sample rank via bounded top-k, never a global sort surviving to the output") {
+    val sp = spark
+    import sp.implicits._
+    val d = (0 until 50).map(i => (i.toLong, ("w " * (i + 1)).trim)).toDF("doc_id", "text")
+    val zp = graft.pipeline.TextStats.zipfFit(d, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(zp.contains("TakeOrderedAndProject"),
+      "the spectrum head must rank via TakeOrdered:\n" + zp.take(2500))
+    val wp = graft.pipeline.Assembly.weightedSample(d, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(wp.contains("TakeOrderedAndProject"),
+      "the A-ES key rank must be a TakeOrdered top-k:\n" + wp.take(2500))
+    assert(!wp.contains("Exchange rangepartitioning"),
+      "no global sort shuffle in the sample:\n" + wp.take(2500))
+  }
+
+  test("video frame kernel: plan column math + one equality join, no cartesian") {
+    val plan = SparkEntry.queries("m05_video_frames")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"), plan.take(2500))
+    assert(plan.contains("Generate"), "the frame explode is the plan's only expansion")
+  }
+
   test("q08 per-nation top-k is two-phase: the heavy rank runs over salted keys only") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q08_top_orders_per_nation")(spark, "/root/testdata/sf0.001")
