@@ -857,6 +857,11 @@ object Queries {
       Assembly.tokenBudgetSelect(docs(s, dir), budget = 6000L)
         .select(col("doc_id"), col("n_words"), col("score"), col("keep"))
         .orderBy("doc_id")),
+    // classifier calibration audit: per unit bin of the NB log-odds
+    // (clamped ±5), volume + weak-label positive rate + mean score
+    "p67_nb_calibration" -> ((s, dir) =>
+      Assembly.nbCalibration(docs(s, dir), targetSource = "src1", bound = 5)
+        .orderBy("bin")),
     // prototype pruning: per-cluster centroid-distance cut over the p18
     // k-means chain; the closest (most redundant) quarter of each cell
     // is dropped, distances/cuts rounded before the boundary decision
@@ -1085,6 +1090,22 @@ object Queries {
       |       FROM sh c JOIN bench b ON c.sh = b.sh WHERE c.doc_id % 20 != 0 GROUP BY 1, 2)
       |SELECT doc_id, bench_id, overlap, round(overlap * 1.0 / bench_sz, 4) AS containment
       |FROM ov JOIN bsz USING (bench_id) WHERE overlap >= 2 ORDER BY doc_id, bench_id""".stripMargin
+
+  /** The p55 NB domain-score CTE chain (through `sc`: doc_id, n_words,
+    * 4dp-rounded logodds) — shared by the p55 and p67 oracles. */
+  private val nbScoreSql =
+    """WITH w AS (SELECT doc_id, source = 'src1' AS tgt,
+      |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |ex AS (SELECT doc_id, tgt, unnest(w) AS word FROM w),
+      |wc AS (SELECT word, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+      |       count(*) - sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS cr FROM ex GROUP BY word),
+      |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM wc),
+      |pri AS (SELECT sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS dt, count(*) AS dall FROM documents),
+      |sc AS (SELECT doc_id, count(*) AS n_words,
+      |  round(ln(dt * 1.0 / (dall - dt)) + sum(ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))), 4) AS logodds
+      |  FROM ex JOIN wc USING (word) CROSS JOIN tot CROSS JOIN pri
+      |  GROUP BY doc_id, dt, dall)""".stripMargin
 
   /** The heuristic quality score of TextStats.qualityScore in DuckDB terms,
     * rounded at 4dp (also inlined in p38's oracle). */
@@ -2511,19 +2532,19 @@ object Queries {
     // NB class counts from ONE conditional-sum pass; the sign decision
     // (pred) uses the rounded score on both sides
     "p55_nb_domain" ->
-      """WITH w AS (SELECT doc_id, source = 'src1' AS tgt,
-        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
-        |  FROM documents),
-        |ex AS (SELECT doc_id, tgt, unnest(w) AS word FROM w),
-        |wc AS (SELECT word, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
-        |       count(*) - sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS cr FROM ex GROUP BY word),
-        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM wc),
-        |pri AS (SELECT sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS dt, count(*) AS dall FROM documents),
-        |sc AS (SELECT doc_id, count(*) AS n_words,
-        |  round(ln(dt * 1.0 / (dall - dt)) + sum(ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))), 4) AS logodds
-        |  FROM ex JOIN wc USING (word) CROSS JOIN tot CROSS JOIN pri
-        |  GROUP BY doc_id, dt, dall)
-        |SELECT doc_id, n_words, logodds, logodds > 0 AS pred FROM sc ORDER BY doc_id""".stripMargin,
+      (nbScoreSql + "\nSELECT doc_id, n_words, logodds, logodds > 0 AS pred FROM sc ORDER BY doc_id"),
+    // the p55 score CTEs + a doc_id label join + the clamped unit binning
+    "p67_nb_calibration" ->
+      (nbScoreSql +
+        """,
+        |lab AS (SELECT sc.doc_id, sc.logodds, d.source = 'src1' AS pos
+        |        FROM sc JOIN documents d USING (doc_id))
+        |SELECT CAST(least(greatest(floor(logodds), -5), 5) AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+        |  round(avg(logodds), 4) AS mean_logodds,
+        |  round(sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS pos_rate
+        |FROM lab GROUP BY 1 ORDER BY bin""".stripMargin),
     // smoothing spans the full shared vocab, so zero-count words still
     // contribute (na != nb makes p != q even at count 0)
     "p56_source_drift" ->

@@ -350,6 +350,35 @@ object Assembly {
   }
 
   /**
+   * Classifier calibration audit (reliability diagram) — before a score
+   * gates a 100 TB corpus, check it means what it claims: bin each doc's
+   * 4dp-rounded NB log-odds into unit-width bins clamped to ±`bound` and
+   * report per bin the volume, the weak-label positive rate, and the mean
+   * score. A calibrated classifier's pos_rate rises with the bin; a flat
+   * or inverted band is the signal to retrain before filtering.
+   *
+   * Scale shape: the [[nbDomainScore]] chain + one doc_id-keyed label
+   * join + a ≤(2·bound+1)-row aggregation — nothing new moves.
+   */
+  def nbCalibration(docs: DataFrame, targetSource: String, bound: Int = 5): DataFrame = {
+    require(bound > 0, s"nbCalibration: bound must be positive, got $bound")
+    val scored = nbDomainScore(docs, targetSource)
+      .withColumn("logodds", round(col("logodds") * 1e4) / 1e4)
+    scored
+      .join(docs.select(col("doc_id"),
+        (col("source") === targetSource).as("pos")), "doc_id")
+      .withColumn("bin",
+        least(greatest(floor(col("logodds")), lit(-bound.toDouble)),
+          lit(bound.toDouble)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        (round(avg(col("logodds")) * 1e4) / 1e4).as("mean_logodds"))
+      .withColumn("pos_rate",
+        round(col("n_pos").cast("double") / col("n_docs") * 1e4) / 1e4)
+  }
+
+  /**
    * Bounded serving model for [[nbDomainScore]]: the top-k corpus words by
    * count with their per-word class log-odds, plus the prior log-ratio —
    * the quantize-for-deployment step every production classifier filter

@@ -783,6 +783,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(_._3 <= 0.0))
   }
 
+  test("p67: calibration bins are label-consistent on a separable corpus — positive rate rises with the score bin") {
+    val sp = spark
+    import sp.implicits._
+    // src1 speaks alpha/beta, src0 gamma/delta, with a few mixed docs
+    val d = (
+      (0 until 10).map(i => (i.toLong, "alpha beta alpha beta alpha", "src1")) ++
+      (10 until 20).map(i => (i.toLong, "gamma delta gamma delta gamma", "src0")) ++
+      Seq((20L, "alpha gamma", "src0"), (21L, "beta delta", "src1"))
+    ).toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Assembly.nbCalibration(d, "src1", bound = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    // every doc lands in exactly one bin
+    assert(out.values.map(_._1).sum == 22L)
+    // the clamped extremes separate the pure-vocabulary docs
+    assert(out(5L)._3 == 1.0, s"top bin must be all-positive: $out")
+    assert(out(-5L)._3 == 0.0, s"bottom bin must be all-negative: $out")
+    // monotone across populated bins: pos_rate never decreases with bin
+    val rates = out.toSeq.sortBy(_._1).map(_._2._3)
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b },
+      s"pos_rate must be monotone on a separable corpus: $out")
+  }
+
   test("p64: snapshot diff classifies added/removed/changed/unchanged by content hash") {
     val sp = spark
     import sp.implicits._
