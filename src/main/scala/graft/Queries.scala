@@ -394,6 +394,20 @@ object Queries {
 
     // shipping-priority shape: selective dim filter → two fact joins →
     // grouped revenue top-10 (TakeOrdered, not a global sort)
+    // TPC-H Q4's EXISTS shape (order-priority checking): the one anchor
+    // exercising a LEFT SEMI join — the fact side never multiplies
+    "q04_order_priority" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      ord
+        .where(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-04-01"))
+        .join(li.where(col("l_shipdate") > lit("1997-02-01")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
     "q03_shipping_priority" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       val ord = s.read.parquet(s"$dir/orders.parquet")
@@ -1912,6 +1926,13 @@ object Queries {
         |    row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, o_orderkey) AS rk
         |  FROM rev)
         |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1997-02-01')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q03_shipping_priority" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -490,6 +490,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Generate"), "the frame explode is the plan's only expansion")
   }
 
+  test("q04 EXISTS anchors as a LEFT SEMI join — orders never multiply by matching lines") {
+    val plan = SparkEntry.queries("q04_order_priority")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "EXISTS must plan as a semi join:\n" + plan.take(2500))
+    assert(!plan.contains("Cartesian"), plan.take(2500))
+  }
+
   test("q08 per-nation top-k is two-phase: the heavy rank runs over salted keys only") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q08_top_orders_per_nation")(spark, "/root/testdata/sf0.001")
