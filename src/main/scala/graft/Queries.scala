@@ -394,6 +394,19 @@ object Queries {
 
     // shipping-priority shape: selective dim filter → two fact joins →
     // grouped revenue top-10 (TakeOrdered, not a global sort)
+    // NOT EXISTS shape: segment counts of customers with NO order in the
+    // window — the LEFT ANTI join anchor (the semi join's complement)
+    "q09_inactive_customers" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      cust
+        .join(ord.where(col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1998-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_inactive"))
+        .orderBy("c_mktsegment")
+    }),
     // TPC-H Q4's EXISTS shape (order-priority checking): the one anchor
     // exercising a LEFT SEMI join — the fact side never multiplies
     "q04_order_priority" -> ((s, dir) => {
@@ -1926,6 +1939,13 @@ object Queries {
         |    row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, o_orderkey) AS rk
         |  FROM rev)
         |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
+    "q09_inactive_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_inactive
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q04_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

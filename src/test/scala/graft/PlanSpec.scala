@@ -497,6 +497,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Cartesian"), plan.take(2500))
   }
 
+  test("q09 NOT EXISTS anchors as a LEFT ANTI join with the date filter pushed into the order scan") {
+    val plan = SparkEntry.queries("q09_inactive_customers")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), "NOT EXISTS must plan as an anti join:\n" + plan.take(2500))
+    assert(plan.contains("PushedFilters") &&
+      "o_orderdate".r.findFirstIn(plan).nonEmpty, plan.take(2500))
+  }
+
   test("q08 per-nation top-k is two-phase: the heavy rank runs over salted keys only") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q08_top_orders_per_nation")(spark, "/root/testdata/sf0.001")
