@@ -452,6 +452,43 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.files.ignoreMissingFiles", "false")
   }
 
+  test("parallel finds share one catalog build: the store is scanned once however many requests race the cold cache") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("conccat").toString
+    Seq(Series("events.a", Map("name" -> "events.a"), 0L, 60L, Array(1.0)))
+      .toDF().write.mode("overwrite").parquet(dir)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val inner = new ParquetSeriesStore(dir)
+    val counting = new graft.store.SeriesStore {
+      def fetch(s: org.apache.spark.sql.SparkSession, p: String, f: Long, u: Long) =
+        inner.fetch(s, p, f, u)
+      def fetchAll(s: org.apache.spark.sql.SparkSession, f: Long, u: Long) =
+        inner.fetchAll(s, f, u)
+      override def catalog(s: org.apache.spark.sql.SparkSession) = {
+        builds.incrementAndGet(); inner.catalog(s)
+      }
+    }
+    val prevTtl = graft.api.Catalog.ttlSeconds
+    try {
+      graft.api.Catalog.ttlSeconds = 600L
+      graft.api.Catalog.invalidateCatalogCache()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val results = (0 until 16).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call() = graft.api.Catalog.find(spark, counting, "events.*").map(_.id)
+        })
+      }.map(_.get())
+      pool.shutdown()
+      assert(results.forall(_ == Seq("events.a")))
+      assert(builds.get() == 1,
+        s"16 racing finds must share ONE catalog build, saw ${builds.get()}")
+    } finally {
+      graft.api.Catalog.ttlSeconds = prevTtl
+      graft.api.Catalog.invalidateCatalogCache()
+    }
+  }
+
   test("an unbounded fetchAll still stitches but applies no partition bound") {
     // Eval's whole-store sentinel (Eval.scala:52) — outside bounded()'s range
     val rows = canon(part.fetchAll(spark, Long.MinValue / 4, Long.MaxValue / 4))
