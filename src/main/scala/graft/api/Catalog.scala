@@ -42,13 +42,20 @@ object Catalog {
   def cachedCatalog(spark: SparkSession, store: SeriesStore): DataFrame = synchronized {
     val key = (store, spark.hashCode)
     val now = System.nanoTime()
+    val ttlN = ttlSeconds * 1000000000L
+    // opportunistic expiry sweep on every access: expired entries nobody
+    // re-requests (dead stores, one-off fixtures) must not pin their
+    // persisted blocks forever — the reference runs an ApproximateCleaner
+    // for exactly this (ref pathcache/pathcache.go:25)
+    catCache.foreach { case (k, e) =>
+      if (now - e.builtNanos >= ttlN) { dropEntry(e); catCache.remove(k) }
+    }
     catCache.get(key) match {
-      case Some(e) if now - e.builtNanos < ttlSeconds * 1000000000L => e.df
-      case prior =>
+      case Some(e) => e.df // swept above, so present ⇒ within TTL
+      case None =>
         val fresh = store.catalog(spark)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         catCache.put(key, CatEntry(fresh, now))
-        prior.foreach(dropEntry)
         fresh
     }
   }
