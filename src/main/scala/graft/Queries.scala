@@ -2583,7 +2583,7 @@ object Queries {
         |SELECT CAST(least(greatest(floor(logodds), -5), 5) AS BIGINT) AS bin,
         |  count(*) AS n_docs,
         |  sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
-        |  round(avg(logodds), 4) AS mean_logodds,
+        |  round(sum(CAST(round(logodds * 1e4) AS BIGINT)) * 1.0 / count(*)) / 1e4 AS mean_logodds,
         |  round(sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS pos_rate
         |FROM lab GROUP BY 1 ORDER BY bin""".stripMargin),
     // smoothing spans the full shared vocab, so zero-count words still

@@ -180,6 +180,28 @@ object ScaleBench {
     }
   }
 
+  /** The metadata surface's own curve (find over a routed store's
+    * persisted `_catalog`, cold TTL cache): the one surface whose cost
+    * must track NAME CARDINALITY, not data volume — the catalog read is
+    * `_catalog`-sized however big the point data grows. Returns (seconds,
+    * result-node count). The routed store is built once per dir (the
+    * build itself is untimed — ingest-side work). */
+  private def catalogSurface(spark: SparkSession, dir: String): (Double, Long) = {
+    val out = s"/tmp/graft_catbench_${java.lang.Integer.toHexString(dir.hashCode)}"
+    if (!new java.io.File(s"$out/_catalog/_SUCCESS").exists())
+      graft.store.RoutedSeriesStore.write(
+        new graft.store.EventSeriesStore(dir).allSeries(spark), out,
+        windowSec = 86400L, routeDepth = 2)
+    val store = new graft.store.RoutedSeriesStore(out, 86400L, routeDepth = 2, Some(3600L))
+    // warm pass pays codegen/footer reads; the timed pass is a COLD-cache
+    // catalog read (the within-TTL path reads nothing at all)
+    graft.api.Catalog.find(spark, store, "events.*")
+    graft.api.Catalog.invalidateCatalogCache()
+    val t0 = System.nanoTime()
+    val n = graft.api.Catalog.find(spark, store, "events.*").size
+    ((System.nanoTime() - t0) / 1e9, n.toLong)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = args.lift(1).getOrElse(s"/tmp/graft_sf_x$Copies")
@@ -193,6 +215,11 @@ object ScaleBench {
       xs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val ratios = base.map { case (k, v) => k -> (if (v > 0) x10(k) / v else -1.0) }
     println(s"""{"metric":"scaleup_x${Copies}","base":${fmt(base)},"x10":${fmt(x10.toSeq)},"ratio":${fmt(ratios)}}""")
+    if (sys.env.get("SPARK_GRAFT_CATSURFACE").contains("1")) {
+      val (tb, nb) = catalogSurface(spark, baseDir)
+      val (tx, nx) = catalogSurface(spark, workDir)
+      println(f"""{"metric":"catalog_find_x$Copies%d","base_sec":$tb%.3f,"x_sec":$tx%.3f,"ratio":${tx / tb}%.3f,"names_base":$nb%d,"names_x":$nx%d}""")
+    }
     spark.stop()
   }
 }

@@ -32,30 +32,39 @@ object Catalog {
    */
   @volatile var ttlSeconds: Long = 10L
 
-  private case class CatEntry(df: DataFrame, builtNanos: Long)
+  private case class CatEntry(df: DataFrame, builtNanos: Long, ttlNanos: Long)
   private val catCache =
     scala.collection.concurrent.TrieMap.empty[(SeriesStore, Int), CatEntry]
 
   /** The store's (name, tags) catalog through the TTL cache. Persisted so
     * the several actions of one find request (and every request within the
-    * TTL) scan the store at most once. */
-  def cachedCatalog(spark: SparkSession, store: SeriesStore): DataFrame = synchronized {
+    * TTL) scan the store at most once. The TTL is PER CALL (each HttpApi
+    * passes its own `expireDelaySec`), recorded on the entry it builds —
+    * two servers over different stores in one JVM each get their
+    * configured expiry instead of the last-constructed server's
+    * overriding both (ADVICE r8). */
+  def cachedCatalog(spark: SparkSession, store: SeriesStore,
+                    ttlSec: Long = ttlSeconds): DataFrame = synchronized {
     val key = (store, spark.hashCode)
     val now = System.nanoTime()
-    val ttlN = ttlSeconds * 1000000000L
     // opportunistic expiry sweep on every access: expired entries nobody
     // re-requests (dead stores, one-off fixtures) must not pin their
     // persisted blocks forever — the reference runs an ApproximateCleaner
-    // for exactly this (ref pathcache/pathcache.go:25)
+    // for exactly this (ref pathcache/pathcache.go:25). Each entry expires
+    // on the TTL it was built with.
     catCache.foreach { case (k, e) =>
-      if (now - e.builtNanos >= ttlN) { dropEntry(e); catCache.remove(k) }
+      if (now - e.builtNanos >= e.ttlNanos) { dropEntry(e); catCache.remove(k) }
     }
     catCache.get(key) match {
-      case Some(e) => e.df // swept above, so present ⇒ within TTL
-      case None =>
+      // a surviving entry must ALSO satisfy the caller's own freshness
+      // bound: a server configured with a shorter expiry sharing a store
+      // with a longer-TTL one still sees data no staler than ITS TTL
+      case Some(e) if now - e.builtNanos < ttlSec * 1000000000L => e.df
+      case stale =>
+        stale.foreach { e => dropEntry(e); catCache.remove(key) }
         val fresh = store.catalog(spark)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        catCache.put(key, CatEntry(fresh, now))
+        catCache.put(key, CatEntry(fresh, now, ttlSec * 1000000000L))
         fresh
     }
   }
@@ -72,17 +81,19 @@ object Catalog {
     catCache.clear()
   }
 
-  private def names(spark: SparkSession, store: SeriesStore): DataFrame =
-    cachedCatalog(spark, store).select(col("name")).distinct()
+  private def names(spark: SparkSession, store: SeriesStore,
+                    ttlSec: Long): DataFrame =
+    cachedCatalog(spark, store, ttlSec).select(col("name")).distinct()
 
   /**
    * /metrics/find?query=GLOB: nodes at the query's depth. A node is a leaf
    * if a series ends exactly there, and allowChildren if deeper series
    * exist under it (both can hold — e.g. `a.b` and `a.b.c` both stored).
    */
-  def find(spark: SparkSession, store: SeriesStore, query: String): Seq[FindNode] = {
+  def find(spark: SparkSession, store: SeriesStore, query: String,
+           ttlSec: Long = ttlSeconds): Seq[FindNode] = {
     val depth = query.count(_ == '.') + 1
-    val all = names(spark, store)
+    val all = names(spark, store, ttlSec)
     val matched = all
       .withColumn("prefix", concat_ws(".", slice(split(col("name"), "\\."), 1, depth)))
       .where(if (Glob.isGlob(query)) col("prefix").rlike(Glob.toRegex(query))
@@ -100,9 +111,10 @@ object Catalog {
 
   /** /metrics/expand?query=GLOB: all node paths matching the glob at its
     * own depth (no leaf shaping). */
-  def expand(spark: SparkSession, store: SeriesStore, query: String): Seq[String] = {
+  def expand(spark: SparkSession, store: SeriesStore, query: String,
+             ttlSec: Long = ttlSeconds): Seq[String] = {
     val depth = query.count(_ == '.') + 1
-    names(spark, store)
+    names(spark, store, ttlSec)
       .withColumn("prefix", concat_ws(".", slice(split(col("name"), "\\."), 1, depth)))
       .where(if (Glob.isGlob(query)) col("prefix").rlike(Glob.toRegex(query))
              else col("prefix") === query)

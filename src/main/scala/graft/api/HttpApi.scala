@@ -32,11 +32,10 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
 
   @volatile private var server: HttpServer = _
 
-  // the reference's pathcache expiry is process-wide config
-  // (ref cmd/carbonapi/carbonapi.example.yaml `expireDelaySec: 10`); the
-  // find/expand catalog cache follows the serving tier's setting the same
-  // way — see Catalog.ttlSeconds
-  Catalog.ttlSeconds = expireDelaySec
+  // the find/expand catalog cache follows THIS server's expireDelaySec
+  // (ref carbonapi.example.yaml `expireDelaySec: 10`), passed per call so
+  // two servers in one JVM keep their own expiry — a process-global var
+  // here let the last-constructed server override every server's TTL
 
   /** Inflight request cap — the reference's `concurency` limiter
     * (ref limiter/limiter.go:14-51, config `concurency`): ≤0 = unlimited
@@ -78,19 +77,37 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     server.createContext("/lb_check", handle(_ => ("Ok\n", "text/plain"), takeSlot = false))
     server.createContext("/_internal/capabilities", handle(capabilities, takeSlot = false))
     server.createContext("/", handle(_ => (usageMsg, "text/plain"), takeSlot = false))
-    // Cached (thread-per-request) executor, matching the reference's Go
-    // net/http goroutine-per-request model: limiter WAITERS park inside
-    // sem.tryAcquire holding only a cheap idle thread, so slot-free routes
-    // (/lb_check, /version) are never queued behind saturated data
-    // requests — a fixed pool starved health probes once `pool size`
-    // requests were running-or-waiting. Actual engine concurrency is still
-    // bounded by the `concurency` semaphore, not by thread count.
-    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    // Two-tier threading replacing the r8 unbounded cached pool:
+    // the server dispatches on a SMALL dedicated pool that either runs a
+    // slot-free route inline (/lb_check, /version — cheap, never queued
+    // behind data work) or hands a data request off to the BOUNDED data
+    // pool, whose threads park in the limiter (sem.tryAcquire) like the
+    // reference's goroutine-per-request waiters — but capped: a platform
+    // thread costs a real stack, so a request flood beyond `maxDataThreads`
+    // gets an immediate 503 instead of spawning thousands of threads.
+    // Engine concurrency is still the `concurency` semaphore.
+    server.setExecutor(dispatchPool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    dispatchPool.shutdown()
+    dataPool.shutdown()
+  }
+
+  /** Cap on threads parked-or-running in data routes; beyond it new data
+    * requests 503 immediately (the limiter's own wait queue is full). */
+  private val maxDataThreads = 256
+
+  private val dispatchPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+
+  // SynchronousQueue + bounded max: each accepted task gets its own thread
+  // up to the cap, then RejectedExecutionException → 503 at dispatch
+  private val dataPool = new java.util.concurrent.ThreadPoolExecutor(
+    0, maxDataThreads, 60L, java.util.concurrent.TimeUnit.SECONDS,
+    new java.util.concurrent.SynchronousQueue[Runnable]())
 
   // ------------------------------------------------------------- handlers
 
@@ -114,7 +131,21 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     case _   => "Error"
   }
 
-  private def handleBytes(f: Params => (Array[Byte], String), takeSlot: Boolean = true)(ex: HttpExchange): Unit = {
+  private def handleBytes(f: Params => (Array[Byte], String), takeSlot: Boolean = true)(ex: HttpExchange): Unit =
+    if (!takeSlot) respond(f, takeSlot)(ex) // cheap route: run on dispatch
+    else try dataPool.execute(() => respond(f, takeSlot)(ex))
+    catch {
+      case _: java.util.concurrent.RejectedExecutionException =>
+        // data-thread cap reached (or server stopping): answer on the
+        // dispatch thread without touching Spark
+        val body = "too many requests in flight\n".getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+        ex.sendResponseHeaders(503, body.length)
+        val os = ex.getResponseBody
+        try os.write(body) finally os.close()
+    }
+
+  private def respond(f: Params => (Array[Byte], String), takeSlot: Boolean)(ex: HttpExchange): Unit = {
     def plain(code: Int, msg: String): (Int, Array[Byte]) = {
       ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
       (code, (msg + "\n").getBytes(StandardCharsets.UTF_8))
@@ -294,7 +325,7 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     val targets = p.getOrElse("target", Seq.empty)
     require(targets.nonEmpty, "no target specified")
     val step = store.stepHint.getOrElse(60L)
-    val metrics = targets.flatMap(t => Catalog.expand(spark, store, t)).distinct.map { m =>
+    val metrics = targets.flatMap(t => Catalog.expand(spark, store, t, expireDelaySec)).distinct.map { m =>
       s"""{"name":${quote(m)},"consolidationFunc":"average","maxRetention":${step * 10080},""" +
         s""""xFilesFactor":0,"retentions":[{"secondsPerPoint":$step,"numberOfPoints":10080}]}"""
     }
@@ -322,7 +353,7 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     val query = queries.head
     // multi-query find merges node lists in query order, dropping duplicate
     // ids (ref find_handlers.go multi-glob handling)
-    val nodes = queries.flatMap(q => Catalog.find(spark, store, q))
+    val nodes = queries.flatMap(q => Catalog.find(spark, store, q, expireDelaySec))
       .foldLeft(Vector.empty[FindNode]) { (acc, n) =>
         if (acc.exists(_.id == n.id)) acc else acc :+ n
       }
@@ -378,7 +409,7 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     val groupByExpr = one(p, "groupByExpr") == "1"
     val seen = scala.collection.mutable.Set.empty[String]
     val groups = queries.map { q =>
-      val paths = Catalog.find(spark, store, q)
+      val paths = Catalog.find(spark, store, q, expireDelaySec)
         .filter(n => !leavesOnly || n.leaf)
         .map(_.id)
         .filter(seen.add)

@@ -47,6 +47,35 @@ object Glob {
     s => p.matcher(s).matches()
   }
 
+  /** Expand brace alternations into brace-free branch globs
+    * (`{a,b}.web.*` → `a.web.*`, `b.web.*`), capped at `cap` total
+    * branches. Returns None when expansion would exceed the cap —
+    * callers fall back to treating the glob as one opaque branch. A
+    * glob with no (complete) brace group returns itself as the single
+    * branch. Mirrors the reference routing each brace alternative to
+    * its backend subset via per-prefix pathcache matching
+    * (ref pathcache/pathcache.go:34-56). */
+  def expandBraces(glob: String, cap: Int = 64): Option[Seq[String]] = {
+    var branches = Seq(glob)
+    var progress = true
+    while (progress) {
+      progress = false
+      branches = branches.flatMap { b =>
+        val open = b.indexOf('{')
+        val close = if (open < 0) -1 else b.indexOf('}', open)
+        if (close < 0) Seq(b)
+        else {
+          progress = true
+          b.substring(open + 1, close).split(",", -1).toSeq
+            .map(a => b.substring(0, open) + a + b.substring(close + 1))
+        }
+      }
+      // per-round cap: bounds work even for adversarial many-brace globs
+      if (branches.length > cap) return None
+    }
+    Some(branches)
+  }
+
   /** Literal prefix of a glob (chars before the first metacharacter).
     * `rlike` cannot push into a Parquet scan, but `startsWith(prefix)` can
     * (StringStartsWith → row-group pruning on name column statistics). */

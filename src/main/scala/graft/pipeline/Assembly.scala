@@ -337,9 +337,19 @@ object Assembly {
       count(lit(1)).as("cw"))
       .withColumn("cr", col("cw") - col("ct"))
     val tot = wc.agg(sum("ct").as("nt"), sum("cr").as("nr"), count(lit(1)).as("v"))
+    // Guard the prior: if targetSource matches none or all documents the
+    // log-ratio goes to ln(0)/ln(inf) and Spark's non-ANSI semantics would
+    // silently NULL every logodds — fail loudly instead. The guard rides
+    // the 1-row prior frame, so it costs no extra corpus scan.
     val pri = docs.agg(
       sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("dt"),
       count(lit(1)).as("dall"))
+      .select(
+        when(col("dt") > 0 && col("dt") < col("dall"), col("dt"))
+          .otherwise(raise_error(format_string(
+            "nbDomainScore: targetSource must match some but not all documents (dt=%d, dall=%d)",
+            col("dt"), col("dall")))).as("dt"),
+        col("dall"))
     toks.join(wc.select("word", "ct", "cr"), "word")
       .crossJoin(broadcast(tot)).crossJoin(broadcast(pri))
       .groupBy("doc_id")
@@ -373,7 +383,12 @@ object Assembly {
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
-        (round(avg(col("logodds")) * 1e4) / 1e4).as("mean_logodds"))
+        // the summands are already 4dp-rounded, so the mean is exact
+        // integer math: summing the 1e4-scaled longs is partition-order
+        // independent, unlike avg over doubles whose merge-order last
+        // ulp can flip a 0.00005 boundary at the final round
+        (round(sum(round(col("logodds") * 1e4).cast("long")).cast("double") /
+          count(lit(1))) / 1e4).as("mean_logodds"))
       .withColumn("pos_rate",
         round(col("n_pos").cast("double") / col("n_docs") * 1e4) / 1e4)
   }

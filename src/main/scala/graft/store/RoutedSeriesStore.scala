@@ -41,8 +41,18 @@ class RoutedSeriesStore(
 
   override def stepHint: Option[Long] = uniformStep
 
+  // fail fast when the writer persisted a different routeDepth/windowSec:
+  // mismatched troute shapes would make every route predicate silently
+  // select nothing (ADVICE r8)
+  @volatile private var metaChecked = false
+
   private def pruned(spark: SparkSession, pathExpr: Option[String],
                      from: Long, until: Long): DataFrame = {
+    if (!metaChecked) {
+      TimePartitionedSeriesStore.validateMeta(spark, path,
+        Map("routeDepth" -> routeDepth.toString, "windowSec" -> windowSec.toString))
+      metaChecked = true
+    }
     val df = TimePartitionedSeriesStore.readShardedOrEmpty(
       spark, path, RoutedSeriesStore.routedSchema)
     val lo = if (SeriesStore.bounded(from)) Some(Math.floorDiv(from, windowSec)) else None
@@ -94,18 +104,45 @@ object RoutedSeriesStore {
   private[store] def routeOf(name: Column, depth: Int): Column =
     array_join(slice(split(name, "\\."), 1, depth), ".")
 
-  /** Partition predicate on `troute` implied by the glob — see class doc. */
+  /** Partition predicate on `troute` implied by the glob — see class doc.
+    * Brace alternations expand into per-branch predicates first
+    * (`{prod,staging}.web.*` → `troute IN (prod, staging)`), so the most
+    * common multi-env query shape prunes to its branch directories
+    * instead of fanning out; any branch without a literal prefix — or an
+    * over-cap expansion — degrades to full fan-out, matching the
+    * reference broadcasting when the pathcache cannot constrain. */
   private[store] def routePredicate(pathExpr: String, depth: Int): Option[Column] = {
-    val p = Glob.literalPrefix(pathExpr)
+    val branches = Glob.expandBraces(pathExpr).getOrElse(Seq(pathExpr))
+    val keys = branches.map(branchRouteKey(_, depth))
+    if (keys.exists(_.isEmpty)) None
+    else {
+      val ks = keys.flatten.distinct
+      val exact = ks.collect { case Left(r) => r }
+      val prefixes = ks.collect { case Right(p) => p }
+      val eqPred =
+        if (exact.isEmpty) None
+        else if (exact.size == 1) Some(col("troute") === exact.head)
+        else Some(col("troute").isin(exact: _*))
+      val prePred = prefixes.map(p => col("troute").startsWith(p)).reduceOption(_ || _)
+      (eqPred.toSeq ++ prePred.toSeq).reduceOption(_ || _)
+    }
+  }
+
+  /** One brace-free branch's route key: Left(exact route) when the
+    * branch's literal prefix spans >= depth complete segments,
+    * Right(prefix) for a shorter partial prefix, None when the branch
+    * has no literal prefix at all. */
+  private def branchRouteKey(branch: String, depth: Int): Option[Either[String, String]] = {
+    val p = Glob.literalPrefix(branch)
     if (p.isEmpty) None
     else {
       // complete segments of the literal prefix: pieces before each dot;
-      // a non-glob expr is all complete segments (it IS the full name)
+      // a non-glob branch is all complete segments (it IS the full name)
       val segs =
-        if (!Glob.isGlob(pathExpr)) pathExpr.split("\\.", -1).toSeq
+        if (!Glob.isGlob(branch)) branch.split("\\.", -1).toSeq
         else p.split("\\.", -1).dropRight(1).toSeq // last piece is partial
-      if (segs.length >= depth) Some(col("troute") === segs.take(depth).mkString("."))
-      else Some(col("troute").startsWith(p))
+      if (segs.length >= depth) Some(Left(segs.take(depth).mkString(".")))
+      else Some(Right(p))
     }
   }
 
@@ -117,5 +154,8 @@ object RoutedSeriesStore {
       .withColumn("troute", routeOf(col("name"), routeDepth))
       .write.mode("overwrite").partitionBy("troute", "pwin").parquet(path)
     TimePartitionedSeriesStore.writeCatalog(df.select(col("name"), col("tags")), path)
+    TimePartitionedSeriesStore.writeMeta(df.sparkSession, path,
+      Map("layout" -> "routed", "windowSec" -> windowSec.toString,
+        "routeDepth" -> routeDepth.toString))
   }
 }

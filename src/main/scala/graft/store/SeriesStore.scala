@@ -115,10 +115,26 @@ class ParquetSeriesStore(path: String, uniformStep: Option[Long] = None) extends
       from, until)
       .withColumn("pathExpression", lit("*"))
 
-  /** 2-column pruned scan: the select precedes the distinct, so the Parquet
-    * ReadSchema is (name, tags) — values arrays are never materialized. */
+  /** Persisted `_catalog` when the store was written through
+    * [[ParquetSeriesStore.write]] (catalog-sized read — the pathcache
+    * parity every layout now has); else the 2-column pruned scan: the
+    * select precedes the distinct, so the Parquet ReadSchema is
+    * (name, tags) — values arrays are never materialized. */
   override def catalog(spark: SparkSession): DataFrame =
-    spark.read.parquet(path).select(col("name"), col("tags")).dropDuplicates("name")
+    TimePartitionedSeriesStore.readCatalog(spark, path).getOrElse(
+      spark.read.parquet(path).select(col("name"), col("tags")).dropDuplicates("name"))
+}
+
+object ParquetSeriesStore {
+  /** Write canonical series rows as a flat Parquet store WITH the
+    * persisted `_catalog` the partitioned/routed writers maintain — on a
+    * catalog-less flat store every find/tags degrades to a (pruned) full
+    * scan per TTL window; the reference's pathcache covers every backend. */
+  def write(df: DataFrame, path: String): Unit = {
+    df.write.mode("overwrite").parquet(path)
+    TimePartitionedSeriesStore.writeCatalog(
+      df.select(col("name"), col("tags")), path)
+  }
 }
 
 /**

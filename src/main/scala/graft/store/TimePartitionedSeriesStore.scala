@@ -29,7 +29,16 @@ class TimePartitionedSeriesStore(
 
   override def stepHint: Option[Long] = uniformStep
 
+  // fail fast if the writer persisted a different windowSec (wrong pwin
+  // predicates would otherwise return silently wrong/empty slices)
+  @volatile private var metaChecked = false
+
   private def pruned(spark: SparkSession, from: Long, until: Long): DataFrame = {
+    if (!metaChecked) {
+      TimePartitionedSeriesStore.validateMeta(spark, path,
+        Map("windowSec" -> windowSec.toString))
+      metaChecked = true
+    }
     val df = TimePartitionedSeriesStore.readShardedOrEmpty(spark, path)
     // partition predicate from the request range: floorDiv keeps negative
     // timestamps on the correct window (SQL DIV is floor division too)
@@ -108,6 +117,7 @@ object TimePartitionedSeriesStore {
   def write(df: DataFrame, path: String, windowSec: Long): Unit = {
     shard(df, windowSec).write.mode("overwrite").partitionBy("pwin").parquet(path)
     writeCatalog(df.select(col("name"), col("tags")), path)
+    writeMeta(df.sparkSession, path, Map("layout" -> "time", "windowSec" -> windowSec.toString))
   }
 
   // ---- persisted name/tag catalog -----------------------------------------
@@ -131,7 +141,11 @@ object TimePartitionedSeriesStore {
   /** (Re)write the catalog from a names frame. Writes to a temp dir and
     * renames into place, so a concurrent reader sees the old catalog or the
     * new one, never a half-written dir — and so the input may itself be the
-    * old catalog (union-append), which an in-place overwrite would corrupt. */
+    * old catalog (union-append), which an in-place overwrite would corrupt.
+    * The old catalog is renamed ASIDE (not deleted) before the swap and
+    * every rename result is checked: a failed swap restores the old
+    * catalog and throws, so the store never silently loses its catalog
+    * (a missing `_catalog` would downgrade every find to a full scan). */
   private[store] def writeCatalog(names: DataFrame, path: String): Unit = {
     val dst = new org.apache.hadoop.fs.Path(catalogPath(path))
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_catalog_tmp")
@@ -139,8 +153,15 @@ object TimePartitionedSeriesStore {
       .coalesce(1) // catalog-sized output: one file per store
       .write.mode("overwrite").parquet(tmp.toString)
     val fs = dst.getFileSystem(names.sparkSession.sparkContext.hadoopConfiguration)
-    fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    val old = new org.apache.hadoop.fs.Path(s"$path/_catalog_old")
+    fs.delete(old, true)
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(s"writeCatalog: could not move aside $dst")
+    if (!fs.rename(tmp, dst)) {
+      if (fs.exists(old)) fs.rename(old, dst) // best-effort restore
+      throw new java.io.IOException(s"writeCatalog: rename $tmp -> $dst failed")
+    }
+    fs.delete(old, true)
   }
 
   /** Add names to the catalog without scanning the store: old catalog ∪
@@ -154,6 +175,53 @@ object TimePartitionedSeriesStore {
     * scan) — the post-delete refresh a rollover uses on the fine tier. */
   private[store] def refreshCatalog(spark: SparkSession, path: String): Unit =
     writeCatalog(readShardedOrEmpty(spark, path).select(col("name"), col("tags")), path)
+
+  // ---- persisted layout metadata ------------------------------------------
+  // `_store_meta` pins the layout parameters the reader MUST agree on:
+  // a RoutedSeriesStore opened with a different routeDepth than the writer
+  // used would build troute predicates against differently-shaped partition
+  // values and return silently EMPTY fetches; a windowSec mismatch prunes
+  // the wrong pwin dirs the same way. Readers validate once per instance
+  // and fail fast on mismatch. An absent file (hand-built or pre-r9
+  // layout) validates trivially.
+
+  private[store] def metaPath(path: String) = s"$path/_store_meta"
+
+  private[store] def writeMeta(spark: SparkSession, path: String,
+      kv: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(kv.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[store] def readMeta(spark: SparkSession, path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _           => None
+        }).toMap
+      finally in.close()
+    }
+  }
+
+  /** Throw unless every expected layout parameter matches the persisted
+    * metadata (missing keys/file pass — see above). */
+  private[store] def validateMeta(spark: SparkSession, path: String,
+      expect: Map[String, String]): Unit = {
+    val meta = readMeta(spark, path)
+    for ((k, v) <- expect; got <- meta.get(k) if got != v)
+      throw new IllegalStateException(
+        s"store layout mismatch at $path: reader expects $k=$v but the " +
+          s"writer persisted $k=$got — open the store with the writer's value")
+  }
 
   /** Exact floor-division window ordinal in INTEGER column math — the
     * double-precision floor(col/w) rounds for |t| beyond 2⁵³ and could

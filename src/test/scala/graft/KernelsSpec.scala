@@ -101,6 +101,24 @@ class KernelsSpec extends AnyFunSuite {
     assert(Glob.literalPrefix("plain.name") == "plain.name")
   }
 
+  test("glob brace expansion (per-branch route pruning key)") {
+    assert(Glob.expandBraces("{prod,staging}.web.*") ==
+      Some(Seq("prod.web.*", "staging.web.*")))
+    // multiple brace groups expand as a cross product
+    assert(Glob.expandBraces("{a,b}.x.{1,2}") ==
+      Some(Seq("a.x.1", "a.x.2", "b.x.1", "b.x.2")))
+    // braceless / unterminated globs pass through as one branch
+    assert(Glob.expandBraces("events.*") == Some(Seq("events.*")))
+    assert(Glob.expandBraces("ev{ents.*") == Some(Seq("ev{ents.*")))
+    // over-cap expansions bail to None (callers fall back to one branch)
+    val wide = Seq.fill(4)((1 to 10).mkString("{", ",", "}")).mkString(".")
+    assert(Glob.expandBraces(wide, cap = 64).isEmpty)
+    // every branch still matches what the original glob matches
+    val m = Glob.matcher("{prod,staging}.web.*")
+    for (b <- Glob.expandBraces("{prod,staging}.web.*").get)
+      assert(m(b.replace("*", "cpu")), s"branch $b must stay inside the glob")
+  }
+
   // ---- sequential ops (fixtures mirror reference function_test.go tables)
 
   test("derivative (ref derivative/function_test.go)") {

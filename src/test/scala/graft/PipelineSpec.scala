@@ -610,6 +610,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) < 0, s"prior log(2/4) must tip the balanced doc negative: $out")
   }
 
+  test("p55: a targetSource matching all or none of the corpus fails loudly instead of NULLing every score") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq((1L, "alpha beta", "src1"), (2L, "gamma delta", "src1"))
+      .toDF("doc_id", "text", "source")
+    // Spark wraps executor-side raise_error — search the cause chain
+    def chainMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage)).mkString(" | ")
+    // all docs match: log(dt/(dall-dt)) is log-of-division-by-zero — the
+    // r8 shape silently returned all-NULL logodds under non-ANSI semantics
+    val all = intercept[Exception] {
+      graft.pipeline.Assembly.nbDomainScore(d, "src1").collect()
+    }
+    assert(chainMsg(all).contains("targetSource"),
+      s"degenerate all-match must raise the guard, got: ${chainMsg(all)}")
+    // no docs match
+    val none = intercept[Exception] {
+      graft.pipeline.Assembly.nbDomainScore(d, "nope").collect()
+    }
+    assert(chainMsg(none).contains("targetSource"))
+  }
+
   test("p56: drift is zero between identical sources and orders by actual distribution shift") {
     val sp = spark
     import sp.implicits._

@@ -495,4 +495,101 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_._1) == Seq("events.click", "events.view", "other.metric"))
     assert(rows.head._4.size == 180)
   }
+
+  // 3 routes in one window — the multi-env shape brace pruning exists for
+  private def envFixture(sp: SparkSession) = {
+    import sp.implicits._
+    Seq("prod", "staging", "dev").map { env =>
+      Series(s"$env.web.cpu", Map("name" -> s"$env.web.cpu"), 0L, 60L,
+        Array.tabulate(60)(_.toDouble))
+    }.toDF()
+  }
+
+  test("brace-alternation glob prunes to its branch route dirs ({prod,staging}.web.* reads 2 of 3)") {
+    val dir = java.nio.file.Files.createTempDirectory("braceroute").toString
+    graft.store.RoutedSeriesStore.write(envFixture(spark), dir, windowSec = 3600L)
+    val routed = new graft.store.RoutedSeriesStore(dir, 3600L, routeDepth = 1, Some(60L))
+    val flatEnv = {
+      val fdir = java.nio.file.Files.createTempDirectory("braceflat").toString
+      envFixture(spark).write.mode("overwrite").parquet(fdir)
+      new ParquetSeriesStore(fdir, Some(60L))
+    }
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def parts(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+        .head.selectedPartitions.partitionCount
+    // results identical to flat; scan touches exactly the 2 branch dirs
+    val got = routed.fetch(spark, "{prod,staging}.web.*", 0L, 3600L)
+    assert(canon(got) == canon(flatEnv.fetch(spark, "{prod,staging}.web.*", 0L, 3600L)))
+    assert(canon(got).map(_._1).sorted == Seq("prod.web.cpu", "staging.web.cpu"))
+    assert(parts(got) == 2,
+      s"2-branch brace must read 2 of 3 route dirs, read ${parts(got)}")
+    // a brace BEYOND the route depth keeps the exact single-route predicate
+    assert(parts(routed.fetch(spark, "prod.{web,db}.*", 0L, 3600L)) == 1)
+    // branches with no literal prefix degrade to full fan-out (still correct)
+    val fan = routed.fetch(spark, "*.{web,db}.cpu", 0L, 3600L)
+    assert(parts(fan) == 3)
+    assert(canon(fan).map(_._1).sorted ==
+      Seq("dev.web.cpu", "prod.web.cpu", "staging.web.cpu"))
+  }
+
+  test("flat ParquetSeriesStore.write maintains _catalog: find reads catalog-sized bytes, fetch is unaffected") {
+    val dir = java.nio.file.Files.createTempDirectory("flatcat").toString
+    graft.store.ParquetSeriesStore.write(envFixture(spark), dir)
+    val store = new ParquetSeriesStore(dir, Some(60L))
+    // the catalog read touches ONLY the persisted _catalog files
+    val catFiles = store.catalog(spark).inputFiles
+    assert(catFiles.nonEmpty && catFiles.forall(_.contains("_catalog")),
+      s"find over a flat store must read _catalog only, read: ${catFiles.mkString(",")}")
+    // the data read never lists the underscore-prefixed catalog dir
+    val fetched = store.fetch(spark, "prod.web.cpu", 0L, 3600L)
+    assert(fetched.inputFiles.forall(!_.contains("_catalog")))
+    assert(canon(fetched).map(_._1) == Seq("prod.web.cpu"))
+  }
+
+  test("layout metadata fails fast on reader/writer mismatch (routeDepth, windowSec); hand-built stores without _store_meta still read") {
+    val dir = java.nio.file.Files.createTempDirectory("metacheck").toString
+    graft.store.RoutedSeriesStore.write(envFixture(spark), dir, windowSec = 3600L, routeDepth = 1)
+    // wrong depth: troute predicates would silently select nothing — throw
+    val wrongDepth = new graft.store.RoutedSeriesStore(dir, 3600L, routeDepth = 2, Some(60L))
+    val e1 = intercept[IllegalStateException] {
+      wrongDepth.fetch(spark, "prod.web.*", 0L, 3600L).collect()
+    }
+    assert(e1.getMessage.contains("routeDepth"))
+    // wrong window: pwin predicates would prune the wrong dirs — throw
+    val pdir = java.nio.file.Files.createTempDirectory("metawin").toString
+    TimePartitionedSeriesStore.write(envFixture(spark), pdir, windowSec = 3600L)
+    val wrongWin = new TimePartitionedSeriesStore(pdir, 7200L, Some(60L))
+    val e2 = intercept[IllegalStateException] {
+      wrongWin.fetch(spark, "prod.web.*", 0L, 3600L).collect()
+    }
+    assert(e2.getMessage.contains("windowSec"))
+    // matching reader works, and a hand-built layout (no _store_meta)
+    // validates trivially (the gap-store test above relies on this too)
+    val ok = new graft.store.RoutedSeriesStore(dir, 3600L, routeDepth = 1, Some(60L))
+    assert(canon(ok.fetch(spark, "prod.web.*", 0L, 3600L)).map(_._1) == Seq("prod.web.cpu"))
+  }
+
+  test("catalog TTL is per entry: one server's 0s expiry cannot evict another store's long-TTL frame (ADVICE r8)") {
+    val sp = spark
+    import sp.implicits._
+    def mkStore(tag: String) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"ttl$tag").toString
+      Seq(Series(s"$tag.a", Map("name" -> s"$tag.a"), 0L, 60L, Array(1.0)))
+        .toDF().write.mode("overwrite").parquet(dir)
+      new ParquetSeriesStore(dir)
+    }
+    val longStore = mkStore("long"); val shortStore = mkStore("short")
+    try {
+      graft.api.Catalog.invalidateCatalogCache()
+      val longDf = graft.api.Catalog.cachedCatalog(spark, longStore, ttlSec = 600L)
+      // a 0-TTL entry for ANOTHER store expires (and rebuilds) per access…
+      val s1 = graft.api.Catalog.cachedCatalog(spark, shortStore, ttlSec = 0L)
+      val s2 = graft.api.Catalog.cachedCatalog(spark, shortStore, ttlSec = 0L)
+      assert(!(s1 eq s2), "a 0-TTL entry must expire on the next access")
+      // …while the long-TTL store's frame survives every sweep
+      assert(longDf eq graft.api.Catalog.cachedCatalog(spark, longStore, ttlSec = 600L),
+        "another server's short TTL must not expire this store's catalog")
+    } finally graft.api.Catalog.invalidateCatalogCache()
+  }
 }
