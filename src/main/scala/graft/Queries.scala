@@ -934,6 +934,11 @@ object Queries {
     // Zipf spectrum fit over the top-200 words: corpus-health slope/intercept
     "p65_zipf_fit" -> ((s, dir) =>
       graft.pipeline.TextStats.zipfFit(docs(s, dir), k = 200)),
+    // Gopher A1.1 repetition battery: duplicate word/bigram occurrence
+    // fractions + densest-repeated-bigram character coverage, keep cut
+    "p68_repetition" -> ((s, dir) =>
+      graft.pipeline.TextStats.repetitionStats(docs(s, dir))
+        .orderBy("doc_id")),
     // dedup-aware sampling weights: each near-dup cluster's members share
     // unit mass (weight = 1/|cluster|) instead of being dropped
     "p62_dedup_weights" -> ((s, dir) => {
@@ -2698,6 +2703,27 @@ object Queries {
         |        avg(ln(cnt)) AS mc, avg(ln(rank)) AS mr FROM top)
         |SELECT nt.n_types, f.k_fit, round(s, 4) AS slope, round(mc - s * mr, 4) AS intercept
         |FROM f CROSS JOIN nt""".stripMargin,
+    // word and bigram occurrence counts per doc; the top-bigram coverage
+    // maxes the count×chars product so ties cannot depend on engine order
+    "p68_repetition" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS c FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, sum(c) AS n_words, sum(c) - count(*) AS dupw, sum(c * len(word)) AS wchars FROM wc GROUP BY doc_id),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg FROM (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM w WHERE len(w) >= 2)),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c * (len(bg) - 1)) AS topbg FROM bc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(ws.n_words, 0) AS n_words,
+        |  round(coalesce(ws.dupw * 1.0 / ws.n_words, 0), 4) AS dup_word_frac,
+        |  round(coalesce((bs.n2 - bs.d2) * 1.0 / bs.n2, 0), 4) AS dup_bigram_frac,
+        |  round(coalesce(bs.topbg * 1.0 / ws.wchars, 0), 4) AS top_bigram_char_frac,
+        |  CAST(round(coalesce((bs.n2 - bs.d2) * 1.0 / bs.n2, 0), 4) <= 0.5
+        |    AND round(coalesce(bs.topbg * 1.0 / ws.wchars, 0), 4) <= 0.2 AS BIGINT) AS keep
+        |FROM documents d
+        |LEFT JOIN ws ON ws.doc_id = d.doc_id
+        |LEFT JOIN bs ON bs.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "p62_dedup_weights" ->
       (s"""WITH cc AS (SELECT * FROM ($ccSql) t),
         |sz AS (SELECT cluster_id, count(*) AS n_dups FROM cc GROUP BY cluster_id)

@@ -139,7 +139,9 @@ object ScaleBench {
     "p58_token_budget", "p59_source_cap", "p60_epoch_plan", "p61_pii_redact",
     "p62_dedup_weights", "p63_split_leakage", "p64_snapshot_diff", "p65_zipf_fit",
     "p66_weighted_sample", "m05_video_frames", "p67_nb_calibration",
-    "q04_order_priority", "q09_inactive_customers")
+    "q04_order_priority", "q09_inactive_customers",
+    // r9: the within-doc repetition battery
+    "p68_repetition")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

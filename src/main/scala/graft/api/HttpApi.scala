@@ -28,7 +28,8 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
               requireSuccessAll: Boolean = false,
               concurency: Int = 0,
               concurencyWaitSec: Long = 30L,
-              expireDelaySec: Long = 10L) {
+              expireDelaySec: Long = 10L,
+              maxDataThreads: Int = 256) {
 
   @volatile private var server: HttpServer = _
 
@@ -97,9 +98,9 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     dataPool.shutdown()
   }
 
-  /** Cap on threads parked-or-running in data routes; beyond it new data
-    * requests 503 immediately (the limiter's own wait queue is full). */
-  private val maxDataThreads = 256
+  // maxDataThreads (ctor param): cap on threads parked-or-running in data
+  // routes; beyond it new data requests 503 immediately (the limiter's
+  // own wait queue is full)
 
   private val dispatchPool = java.util.concurrent.Executors.newFixedThreadPool(4)
 

@@ -217,6 +217,61 @@ object TextStats {
   }
 
   /**
+   * Within-document repetition battery — the Gopher/MassiveText A1.1
+   * repetition filters (arXiv:2112.11446 Appendix A): templated or
+   * looping generations repeat themselves, and the standard gates are
+   * the fraction of duplicate word occurrences, the fraction of
+   * duplicate word-bigram occurrences, and the character mass covered
+   * by the densest repeated bigram (count × chars / total word chars —
+   * the deterministic variant of Gopher's "top 2-gram character
+   * fraction", argmax taken over the coverage product so ties cannot
+   * depend on engine ordering). `keep` applies the Gopher-style cut:
+   * dup_bigram_frac ≤ 0.5 AND top_bigram_char_frac ≤ 0.2.
+   *
+   * Scale shape: two doc-keyed aggregations ((doc_id, word) and
+   * (doc_id, bigram) counts, both with map-side partials, both linear
+   * in document length — never the O(len²) per-doc HOF scan) reduced to
+   * one row per doc and joined back doc_id-sized. Nothing corpus-global
+   * moves: the whole battery is embarrassingly parallel over documents.
+   */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val wc = docs
+      .select(col("doc_id"), explode(Dedup.wordsOf(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val ws = wc.groupBy("doc_id").agg(
+      sum(col("c")).as("n_words"),
+      (sum(col("c")) - count(lit(1))).as("_dupw"),
+      sum(col("c") * length(col("word"))).as("_wchars"))
+    val bc = docs
+      .select(col("doc_id"), Dedup.wordsOf(col(textCol)).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1)))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val bs = bc.groupBy("doc_id").agg(
+      sum(col("c")).as("_n2"), count(lit(1)).as("_d2"),
+      max(col("c") * (length(col("bg")) - 1)).as("_topbg"))
+    val r4 = (c: Column) => round(c * 1e4) / 1e4
+    docs.select(col("doc_id"))
+      .join(ws, Seq("doc_id"), "left")
+      .join(bs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        r4(coalesce(col("_dupw").cast("double") / col("n_words"), lit(0.0)))
+          .as("dup_word_frac"),
+        r4(coalesce((col("_n2") - col("_d2")).cast("double") / col("_n2"), lit(0.0)))
+          .as("dup_bigram_frac"),
+        r4(coalesce(col("_topbg").cast("double") / col("_wchars"), lit(0.0)))
+          .as("top_bigram_char_frac"))
+      .withColumn("keep",
+        (col("dup_bigram_frac") <= 0.5 && col("top_bigram_char_frac") <= 0.2)
+          .cast("long"))
+  }
+
+  /**
    * Zipf spectrum fit — the corpus-health statistic (natural text has a
    * frequency spectrum near slope −1; a broken extraction or synthetic
    * flood bends it): least-squares slope/intercept of ln(count) over

@@ -486,6 +486,47 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally limited.stop()
   }
 
+  test("data-thread cap: a flood beyond maxDataThreads 503s at dispatch while health probes keep answering (no unbounded thread growth)") {
+    // cap of 2 data threads, both parked on the held limiter slot: the
+    // 3rd+ data request must be rejected IMMEDIATELY (not after the
+    // limiter wait), and /lb_check stays on the dispatch pool throughout
+    val limited = new HttpApi(spark, new EventSeriesStore("/root/testdata/sf0.001"),
+      port = 0, concurency = 1, concurencyWaitSec = 20L, maxDataThreads = 2)
+    val lport = limited.start()
+    try {
+      val q = "/render?target=events.click&from=1704067200&until=1706660000&format=json&noCache=1"
+      val sem = limited.inflight.get
+      sem.acquire() // both data threads will park as limiter waiters
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val parked = (1 to 2).map(_ => scala.concurrent.Future {
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$lport$q")).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).statusCode()
+      })
+      Thread.sleep(500) // let both occupy the capped pool
+      val t0 = System.nanoTime()
+      val rejected = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$lport$q")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val rejSec = (System.nanoTime() - t0) / 1e9
+      assert(rejected.statusCode() == 503 &&
+        rejected.body() == "too many requests in flight\n",
+        s"${rejected.statusCode()} ${rejected.body()}")
+      assert(rejSec < 5.0, s"over-cap request must 503 at dispatch, took ${rejSec}s")
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$lport/lb_check")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+      sem.release() // the two parked waiters drain through the slot
+      val codes = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(parked),
+        scala.concurrent.duration.Duration(120, "s"))
+      pool.shutdown()
+      assert(codes.forall(_ == 200), s"parked requests must drain, got $codes")
+    } finally limited.stop()
+  }
+
   test("concurency limiter queues: more parallel renders than slots all complete within the wait") {
     val limited = new HttpApi(spark, new EventSeriesStore("/root/testdata/sf0.001"),
       port = 0, concurency = 2, concurencyWaitSec = 30L)

@@ -633,6 +633,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chainMsg(none).contains("targetSource"))
   }
 
+  test("p68: repetition battery — duplicate word/bigram fractions and top-bigram coverage, hand-checked") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      (1L, "a a a b"),                    // heavy repetition
+      (2L, "alpha beta gamma delta"),     // all-distinct
+      (3L, "")                            // empty: all-zero, keeps
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.TextStats.repetitionStats(d).orderBy("doc_id").collect()
+    val r1 = out(0)
+    // words [a,a,a,b]: 2 of 4 occurrences are repeats; bigrams
+    // [a a, a a, a b]: 1 of 3 repeats; top bigram "a a" covers
+    // 2 occurrences x 2 chars = all 4 word chars
+    assert(r1.getLong(1) == 4 && r1.getDouble(2) == 0.5)
+    assert(r1.getDouble(3) == 0.3333 && r1.getDouble(4) == 1.0 && r1.getLong(5) == 0L)
+    val r2 = out(1)
+    // no repeats anywhere; densest bigram "gamma delta" = 10 of 19 chars
+    assert(r2.getLong(1) == 4 && r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
+    assert(r2.getDouble(4) == 0.5263 && r2.getLong(5) == 0L)
+    val r3 = out(2)
+    assert(r3.getLong(1) == 0 && r3.getDouble(2) == 0.0 &&
+      r3.getDouble(4) == 0.0 && r3.getLong(5) == 1L)
+  }
+
   test("p56: drift is zero between identical sources and orders by actual distribution shift") {
     val sp = spark
     import sp.implicits._
