@@ -596,6 +596,12 @@ object Queries {
           dround(col("cosine"), 4).as("cosine"))
         .orderBy("query_id", "rank")
     }),
+    // embedding-space benchmark decontamination: exact max cosine of every
+    // train vector vs the broadcast heldout slice (vec_id % 20 == 0) —
+    // the semantic twin of p63's gram-overlap leakage audit
+    "p69_embed_decontam" -> ((s, dir) =>
+      Similarity.embedDecontam(embeddings(s, dir), tau = 0.3)
+        .orderBy("vec_id")),
     "p08_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
     "p09_ivf_topk" -> ((s, dir) => {
@@ -908,6 +914,10 @@ object Queries {
         .select(col("source"), col("rk"), col("doc_id"), col("qscore"))
         .orderBy("source", "rk")
     }),
+    // per-source percentile normalization: fair cross-source cuts via the
+    // histogram two-phase (the corpus never windows on the source key)
+    "p70_source_percentile" -> ((s, dir) =>
+      Curation.sourcePercentile(docs(s, dir)).orderBy("doc_id")),
     // epoch-repetition plan (data-constrained scaling): quality terciles →
     // 3/2/1 epochs, LCG shard per (doc, epoch) instance
     "p60_epoch_plan" -> ((s, dir) =>
@@ -2011,6 +2021,20 @@ object Queries {
         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine FROM (
         |  SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // double-cast BEFORE the multiplies on both engines (float32
+    // list_cosine_similarity flips 4dp boundaries vs Spark's doubles —
+    // caught by the sf0.1 gate); max over identical doubles is
+    // order-independent, so the 4dp round is exact
+    "p69_embed_decontam" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |h AS (SELECT v AS hv, nrm AS hn FROM n WHERE vec_id % 20 = 0),
+        |t AS (SELECT vec_id, v AS tv, nrm AS tn FROM n WHERE vec_id % 20 != 0)
+        |SELECT t.vec_id,
+        |  round(max(list_dot_product(t.tv, h.hv) / (t.tn * h.hn)), 4) AS max_cosine,
+        |  count(*) AS n_heldout,
+        |  CAST(round(max(list_dot_product(t.tv, h.hv) / (t.tn * h.hn)), 4) >= 0.3 AS BIGINT) AS contaminated
+        |FROM t CROSS JOIN h GROUP BY t.vec_id ORDER BY vec_id""".stripMargin,
     "p10_label_centroids" ->
       """WITH c AS (SELECT label, i, avg(embedding[i]) AS v FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g GROUP BY label, i)
         |SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
@@ -2662,6 +2686,14 @@ object Queries {
         |  SELECT source, doc_id, qscore,
         |    CAST(row_number() OVER (PARTITION BY source ORDER BY qscore DESC, doc_id) AS BIGINT) AS rk
         |  FROM q) WHERE rk <= 10 ORDER BY source, rk""").stripMargin,
+    // exact percent_rank semantics: tied docs share the strictly-lower
+    // count; the 4dp quality rounding matches the engine's histogram key
+    "p70_source_percentile" ->
+      (s"""WITH sc AS (SELECT doc_id, source, $qScoreSql AS quality FROM documents)
+        |SELECT doc_id, source, quality,
+        |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 4) AS src_pct,
+        |  CAST(round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 4) >= 0.75 AS BIGINT) AS keep
+        |FROM sc ORDER BY doc_id""").stripMargin,
     // the qScoreSql tercile cut (rounded like p57's) + the p46 LCG over
     // the folded (doc_id, epoch) key
     "p60_epoch_plan" ->

@@ -473,6 +473,43 @@ object Curation {
   }
 
   /**
+   * Per-source score normalization — the fair cross-source cut: one
+   * global quality threshold over-prunes whole domains whose score
+   * distribution sits low (classifier scores are not comparable across
+   * sources — the FineWeb-Edu calibration lesson), so each doc gets its
+   * PERCENTILE WITHIN ITS SOURCE (percent_rank: strictly-lower count /
+   * (n−1)) and budget cuts apply to the normalized rank. `keep` marks
+   * the per-source top quartile.
+   *
+   * Scale shape: the p59 lesson applied to windows — the corpus never
+   * enters a window partitioned by the low-cardinality source key. The
+   * corpus-sized work is a (source, score) hash agg and a hash join
+   * back; only the per-source SCORE HISTOGRAM (≤ 10⁴+1 distinct 4dp
+   * scores per source) passes through the cumulative window. Ties share
+   * one histogram row, so the join back reproduces exact percent_rank
+   * semantics (tied docs share the rank of their first peer).
+   */
+  def sourcePercentile(docs: DataFrame): DataFrame = {
+    val scored = graft.pipeline.TextStats.qualityScore(docs)
+      .select(col("doc_id"), col("source"),
+        (round(col("quality_score") * 1e4) / 1e4).as("quality"))
+    val hist = scored.groupBy("source", "quality").agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy("source").orderBy("quality")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = hist
+      .withColumn("_below", coalesce(sum(col("_c")).over(wCum), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy("source")))
+      .withColumn("src_pct",
+        when(col("_n") > 1,
+          round(col("_below").cast("double") / (col("_n") - 1) * 1e4) / 1e4)
+          .otherwise(lit(0.0)))
+      .select(col("source"), col("quality"), col("src_pct"))
+    scored.join(ranks, Seq("source", "quality"))
+      .withColumn("keep", (col("src_pct") >= 0.75).cast("long"))
+      .select("doc_id", "source", "quality", "src_pct", "keep")
+  }
+
+  /**
    * Token-id encoding against the corpus vocabulary — the step between
    * tokenizer training and sequence packing: the top-`vocabSize` words
    * (by count, ties by word) get ids 1..V in rank order, everything else

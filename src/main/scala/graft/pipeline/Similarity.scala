@@ -58,6 +58,42 @@ object Similarity {
   }
 
   /**
+   * Benchmark decontamination in embedding space — the semantic twin of
+   * the gram-overlap split-leakage audit (Assembly.splitLeakage): before
+   * training, every candidate document's embedding is scored against the
+   * benchmark/eval set and dropped when it is a semantic near-copy of an
+   * eval item (paraphrased contamination that exact n-grams cannot see).
+   * Heldout membership here is the deterministic `vec_id % heldoutMod == 0`
+   * slice; output is each remaining vector's EXACT max cosine against the
+   * whole heldout set plus the `contaminated` flag at `tau`.
+   *
+   * Scale shape: the heldout side is a benchmark — small by nature — so it
+   * broadcasts; the corpus streams through one codegen'd dot-product scan
+   * and the groupBy(vec_id) max is a map-side partial (max is
+   * order-independent, so the result is also hash-deterministic, unlike a
+   * float sum). The corpus never self-joins and never shuffles its
+   * embeddings — only one max row per vector moves.
+   */
+  def embedDecontam(emb: DataFrame, tau: Double, heldoutMod: Long = 20L): DataFrame = {
+    require(heldoutMod >= 2, s"embedDecontam: heldoutMod must be >= 2, got $heldoutMod")
+    // widen to double BEFORE the multiplies: float32 products can flip a
+    // 4dp round boundary vs an oracle computing in double (p69's DuckDB
+    // twin casts the same way, so every product/sum/sqrt is bit-identical)
+    val dv = transform(col("embedding"), _.cast("double"))
+    val held = emb.where(col("vec_id") % heldoutMod === 0)
+      .select(dv.as("hv")).select(col("hv"), norm(col("hv")).as("hn"))
+    val train = emb.where(col("vec_id") % heldoutMod =!= 0)
+      .select(col("vec_id"), dv.as("tv"))
+      .select(col("vec_id"), col("tv"), norm(col("tv")).as("tn"))
+    train.crossJoin(broadcast(held))
+      .withColumn("cos", dot(col("tv"), col("hv")) / (col("tn") * col("hn")))
+      .groupBy("vec_id")
+      .agg((round(max(col("cos")) * 1e4) / 1e4).as("max_cosine"),
+        count(lit(1)).as("n_heldout"))
+      .withColumn("contaminated", (col("max_cosine") >= tau).cast("long"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs, blocked on a partition key (here
    * `label`; in production a coarse-quantizer cell id): the self-join runs
    * per block, so candidate count scales with Σ block² rather than corpus².

@@ -58,12 +58,18 @@ object SeriesStore {
   /** The glob/exact name predicate every Parquet-backed store shares: the
     * glob's literal prefix pushes to the reader as StringStartsWith
     * (row-group pruning on name column stats — rlike alone can't reach the
-    * scan), the full glob applies as rlike on the survivors. */
+    * scan), the full glob applies as rlike on the survivors. Brace
+    * alternations push PER BRANCH — `{prod,staging}.web.*` reaches the
+    * scan as an Or of two StringStartsWith filters instead of losing its
+    * prefix entirely (the bare glob's literal prefix is empty). */
   def nameFilter(df: DataFrame, pathExpr: String): DataFrame =
     if (Glob.isGlob(pathExpr)) {
-      val prefix = Glob.literalPrefix(pathExpr)
       val rx = df.where(col("name").rlike(Glob.toRegex(pathExpr)))
-      if (prefix.nonEmpty) rx.where(col("name").startsWith(prefix)) else rx
+      val prefixes = Glob.expandBraces(pathExpr).getOrElse(Seq(pathExpr))
+        .map(Glob.literalPrefix).distinct
+      if (prefixes.forall(_.nonEmpty))
+        rx.where(prefixes.map(col("name").startsWith).reduce(_ || _))
+      else rx
     } else df.where(col("name") === pathExpr)
 
   /**

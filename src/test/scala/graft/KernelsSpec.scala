@@ -119,6 +119,27 @@ class KernelsSpec extends AnyFunSuite {
       assert(m(b.replace("*", "cpu")), s"branch $b must stay inside the glob")
   }
 
+  test("brace-branch prefixes are SOUND pruning keys: every glob match satisfies some branch's literal prefix") {
+    // tricky cases on purpose: metachars INSIDE braces are literal to the
+    // matcher but wild in the expanded branch, which only ever SHORTENS
+    // the branch prefix — pruning stays a superset of the match set
+    val globs = Seq(
+      "{prod,staging}.web.*", "prod.{web,db}.*", "{a*,b}.c", "{a,b}*",
+      "ev{ents,il}.c*", "{x[1-3],y}.m", "host-{1,2}.cpu.{user,sys}")
+    val names = Seq(
+      "prod.web.cpu", "staging.web.x", "dev.web.cpu", "prod.db.q",
+      "a*.c", "ab.c", "b.c", "a1.c", "axx", "b9", "events.click",
+      "evil.cpu", "x2.m", "x[1-3].m", "y.m", "host-1.cpu.user",
+      "host-2.cpu.sys", "host-3.cpu.user")
+    for (g <- globs) {
+      val m = Glob.matcher(g)
+      val prefixes = Glob.expandBraces(g).getOrElse(Seq(g)).map(Glob.literalPrefix)
+      for (n <- names if m(n))
+        assert(prefixes.exists(p => p.isEmpty || n.startsWith(p)),
+          s"name '$n' matches '$g' but no branch prefix of ${prefixes.mkString("[", ",", "]")} covers it")
+    }
+  }
+
   // ---- sequential ops (fixtures mirror reference function_test.go tables)
 
   test("derivative (ref derivative/function_test.go)") {

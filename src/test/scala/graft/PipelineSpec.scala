@@ -633,6 +633,51 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chainMsg(none).contains("targetSource"))
   }
 
+  test("p70: per-source percentile keeps each source's best docs even when one source scores globally lower") {
+    val sp = spark
+    import sp.implicits._
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    // s1: three docs with clearly distinct quality (token-count term);
+    // s2: two docs, BOTH worse than every s1 doc on the global scale
+    val d = Seq(
+      (1L, words(10, "a"), "s1"), (2L, words(30, "b"), "s1"), (3L, words(60, "c"), "s1"),
+      (4L, words(3, "x"), "s2"), (5L, words(5, "y"), "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Curation.sourcePercentile(d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    val s1 = out.filter(_._2 == "s1").sortBy(_._3)
+    val s2 = out.filter(_._2 == "s2").sortBy(_._3)
+    assert(s1.map(_._4).toSeq == Seq(0.0, 0.5, 1.0), s"s1 pcts: ${s1.mkString(",")}")
+    assert(s2.map(_._4).toSeq == Seq(0.0, 1.0), s"s2 pcts: ${s2.mkString(",")}")
+    // the global-threshold failure mode p70 exists to fix: every s2 score
+    // is below every s1 score, yet each source keeps exactly its best doc
+    assert(s2.map(_._3).max < s1.map(_._3).min)
+    assert(out.filter(_._5 == 1L).map(t => t._2 -> t._1).sorted.toSeq ==
+      Seq("s1" -> s1.last._1, "s2" -> s2.last._1))
+  }
+
+  test("p69: embedding decontamination — planted geometry flags the near-copy, spares the orthogonal") {
+    val sp = spark
+    import sp.implicits._
+    // heldout slice = vec_id % 20 == 0 → ids 0 and 20
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // heldout axis-x
+      (20L, Array(0.0f, 1.0f, 0.0f)),  // heldout axis-y
+      (1L, Array(2.0f, 0.0f, 0.0f)),   // same direction as heldout 0 → cos 1
+      (2L, Array(0.0f, 0.0f, 5.0f)),   // orthogonal to both → cos 0
+      (3L, Array(1.0f, 1.0f, 0.0f))    // 45° to both → cos ≈ 0.7071
+    ).toDF("vec_id", "embedding")
+    val out = graft.pipeline.Similarity.embedDecontam(emb, tau = 0.9)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(_.getLong(2) == 2L), "every row scores against both heldout vectors")
+    val byId = out.map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(3))).toMap
+    assert(byId(1L) == ((1.0, 1L)), s"near-copy must flag: ${byId(1L)}")
+    assert(byId(2L) == ((0.0, 0L)), s"orthogonal must be clean: ${byId(2L)}")
+    assert(byId(3L) == ((0.7071, 0L)), s"45-degree vector: ${byId(3L)}")
+  }
+
   test("p68: repetition battery — duplicate word/bigram fractions and top-bigram coverage, hand-checked") {
     val sp = spark
     import sp.implicits._

@@ -44,6 +44,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("StringStartsWith(name,events.c"), plan.take(2000))
   }
 
+  test("brace-alternation glob pushes per-branch StartsWith filters (no prefix loss)") {
+    // {click,view}'s bare literal prefix is just "events." — per-branch
+    // expansion pushes the full branch prefixes as an Or of StartsWith
+    // the plan string elides long filter lists, so assert the Or + the
+    // first branch (enough to prove the per-branch push happened)
+    val plan = physical("events.{click,view}")
+    assert(plan.contains("Or(StringStartsWith(name,events.click"), plan.take(3000))
+    // correctness untouched: both branches return, the third series doesn't
+    val names = Eval.evalTarget(spark, store, "events.{click,view}")
+      .select("name").collect().map(_.getString(0)).sorted.toSeq
+    assert(names == Seq("events.click", "events.view"))
+  }
+
   test("point-wise transform chains are shuffle-free whole-stage codegen") {
     val plan = physical("scale(absolute(offset(events.*,1)),2)")
     assert(!plan.contains("Exchange"), "point-wise chain must not shuffle:\n" + plan.take(3000))
@@ -430,6 +443,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fin.size == 1 && fin.head.partitionSpec.head.toString.contains("source"))
     assert(fin.head.child.toString.contains("_prk"),
       "final window must consume only phase-1 survivors:\n" + fin.head.child.toString.take(2000))
+  }
+
+  test("source percentile windows only the score histogram: every Window consumes an aggregate, never corpus rows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    val sp = spark
+    import sp.implicits._
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"w$i " * (i % 5 + 1), s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val plan = graft.pipeline.Curation.sourcePercentile(docs)
+      .queryExecution.sparkPlan
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the cumulative histogram window:\n" + plan.toString.take(2000))
+    for (w <- wins) {
+      val aggsBelow = w.child.collect {
+        case a: HashAggregateExec => a
+        case a: ObjectHashAggregateExec => a
+      }
+      assert(aggsBelow.nonEmpty,
+        "the low-cardinality source window must sit ABOVE the (source, quality) " +
+          "histogram aggregate — corpus rows must never enter it:\n" + w.toString.take(2000))
+    }
   }
 
   test("epoch plan is map-side after the cut aggregate: no window, no join, no shuffle in the instance manifest") {
