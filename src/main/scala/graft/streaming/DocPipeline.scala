@@ -158,6 +158,49 @@ object DocPipeline {
         (col("nb_logodds") > 0).as("pred"))
 
   /**
+   * Streaming within-doc repetition battery — the per-doc HOF twin of
+   * the batch [[graft.pipeline.TextStats.repetitionStats]] (which runs
+   * doc-keyed linear aggregations): every metric recomputed as STATELESS
+   * column math over the document's own words array (O(distinct × len)
+   * per doc — fine at stream-document sizes; the batch shape stays
+   * linear for arbitrarily long documents). Both shapes reduce to the
+   * same integer counts, so the fractions are bit-identical and a
+   * streamed row equals the batch row exactly (gated stream ≡ batch in
+   * StreamingSpec).
+   */
+  def repetitionStream(docs: DataFrame): DataFrame = {
+    val r4 = (c: org.apache.spark.sql.Column) => round(c * 1e4) / 1e4
+    docs
+      .withColumn("_w", graft.pipeline.Dedup.wordsOf(col("text")))
+      .withColumn("_bg", when(size(col("_w")) >= 2,
+        transform(sequence(lit(1), size(col("_w")) - 1),
+          i => concat_ws(" ", element_at(col("_w"), i), element_at(col("_w"), i + 1))))
+        .otherwise(array_repeat(lit(""), 0)))
+      .withColumn("n_words", size(col("_w")).cast("long"))
+      .withColumn("dup_word_frac",
+        when(col("n_words") > 0,
+          r4((size(col("_w")) - size(array_distinct(col("_w")))).cast("double") /
+            size(col("_w"))))
+          .otherwise(lit(0.0)))
+      .withColumn("dup_bigram_frac",
+        when(size(col("_bg")) > 0,
+          r4((size(col("_bg")) - size(array_distinct(col("_bg")))).cast("double") /
+            size(col("_bg"))))
+          .otherwise(lit(0.0)))
+      .withColumn("_wchars", aggregate(col("_w"), lit(0L), (a, x) => a + length(x)))
+      .withColumn("_topbg", aggregate(array_distinct(col("_bg")), lit(0L),
+        (a, x) => greatest(a,
+          size(filter(col("_bg"), y => y === x)).cast("long") * (length(x) - 1))))
+      .withColumn("top_bigram_char_frac",
+        when(col("_wchars") > 0, r4(col("_topbg").cast("double") / col("_wchars")))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        (col("dup_bigram_frac") <= 0.5 && col("top_bigram_char_frac") <= 0.2).cast("long"))
+      .select("doc_id", "ts", "n_words", "dup_word_frac", "dup_bigram_frac",
+        "top_bigram_char_frac", "keep")
+  }
+
+  /**
    * Streaming PII redaction — the keep-but-scrub policy twin of
    * [[piiGate]] (which drops): the batch
    * [[graft.pipeline.Curation.piiRedact]] regexp_replace chain applied

@@ -396,6 +396,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the tercile repetition must actually multiply instances")
   }
 
+  test("streaming repetition battery equals the batch doc-keyed aggregation row-for-row") {
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("graft-rep").toString
+    val sp = spark
+    import sp.implicits._
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val rows = Seq(
+      (1L, ts(0), "a a a b"),                          // heavy repetition
+      (2L, ts(1), "alpha beta gamma delta"),           // all distinct
+      (3L, ts(2), "spam spam spam spam spam"),         // one word only
+      (4L, ts(3), ""))                                 // empty
+    rows.toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$tmp/docs/f1")
+    val src = sp.readStream.schema(graft.streaming.DocPipeline.docSchema)
+      .parquet(s"$tmp/docs/*")
+    val q = graft.streaming.DocPipeline.repetitionStream(src)
+      .writeStream.format("memory").queryName("rep_stream")
+      .option("checkpointLocation", s"$tmp/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // the streamed HOF shape and the batch agg shape reduce to the same
+    // integer counts → fractions must be BIT-identical per doc
+    val streamed = sp.table("rep_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getLong(6))).toSet
+    val batch = graft.pipeline.TextStats.repetitionStats(
+        rows.map(r => (r._1, r._3)).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toSet
+    assert(batch.size == 4)
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // the all-one-word doc: 4 of 5 occurrences are dups and the repeated
+    // bigram's coverage product (4 × 8 chars over 20 word chars = 1.6 —
+    // overlaps may exceed 1 by design) must reject it
+    assert(streamed.exists { case (id, n, dw, _, topc, keep) =>
+      id == 3L && n == 5L && dw == 0.8 && topc == 1.6 && keep == 0L })
+  }
+
   test("streaming PII redaction equals the batch redaction byte-for-byte per document") {
     import java.sql.Timestamp
     val tmp = Files.createTempDirectory("graft-redact").toString
