@@ -94,6 +94,55 @@ object Similarity {
   }
 
   /**
+   * Bounded serving model for [[embedDecontam]] — the deployed-filter
+   * shape (same philosophy as Assembly.nbModelTopK): collect the
+   * benchmark/heldout vectors once (driver-bounded by contract — a
+   * benchmark is thousands of rows, and `maxModelVectors` enforces it),
+   * pre-normalized, for map-side scoring anywhere including a stream.
+   */
+  def decontamModel(emb: DataFrame, heldoutMod: Long = 20L,
+                    maxModelVectors: Int = 100000): (Array[Array[Double]], Array[Double]) = {
+    val rows = emb.where(col("vec_id") % heldoutMod === 0)
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+      .limit(maxModelVectors + 1).collect()
+    require(rows.length <= maxModelVectors,
+      s"decontamModel: heldout slice exceeds $maxModelVectors vectors — " +
+        "a serving benchmark must be bounded; raise the cap deliberately")
+    val vs = rows.map(_.getSeq[Double](0).toArray)
+    // RAW vectors + separate norms (not pre-normalized): dividing per
+    // element would break bit-parity with the batch dot/(tn·hn)
+    (vs, vs.map(v => math.sqrt(v.map(x => x * x).sum)))
+  }
+
+  /**
+   * Map-side decontamination scoring against a [[decontamModel]] literal:
+   * max cosine of each row's embedding vs the broadcast-literal benchmark,
+   * plus the `contaminated` flag — NO join, NO shuffle, NO state, so it
+   * drops into a streaming pipeline unchanged (see
+   * `streaming/DocPipeline.decontamStream`). BIT-identical to
+   * [[embedDecontam]] on the same heldout slice: same double dot in the
+   * same element order, same tn·hn product, divide last, max, 4dp round.
+   */
+  def decontamScore(vecs: DataFrame,
+                    model: (Array[Array[Double]], Array[Double]),
+                    tau: Double): DataFrame = {
+    val (hvs, hns) = model
+    require(hvs.nonEmpty, "decontamScore: empty benchmark model")
+    val vecsLit = typedLit(hvs.map(_.toSeq).toSeq)
+    val normsLit = typedLit(hns.toSeq)
+    vecs
+      .withColumn("_tv", transform(col("embedding"), _.cast("double")))
+      .withColumn("_tn", norm(col("_tv")))
+      .withColumn("max_cosine",
+        round(aggregate(sequence(lit(1), lit(hvs.length)), lit(Double.MinValue),
+          (acc, i) => greatest(acc,
+            dot(col("_tv"), element_at(vecsLit, i.cast("int"))) /
+              (col("_tn") * element_at(normsLit, i.cast("int"))))) * 1e4) / 1e4)
+      .withColumn("contaminated", (col("max_cosine") >= tau).cast("long"))
+      .drop("_tv", "_tn")
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs, blocked on a partition key (here
    * `label`; in production a coarse-quantizer cell id): the self-join runs
    * per block, so candidate count scales with Σ block² rather than corpus².

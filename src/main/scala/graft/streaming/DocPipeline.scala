@@ -30,6 +30,12 @@ object DocPipeline {
     StructField("ts", TimestampType),
     StructField("text", StringType)))
 
+  /** Embedding-stream row shape (the ingest-side vector feed). */
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("embedding", ArrayType(FloatType))))
+
   /** File-based document stream (new Parquet files appear under `path`). */
   def docStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(path)
@@ -156,6 +162,22 @@ object DocPipeline {
     graft.pipeline.Assembly.nbScoreWithModel(docs, model, prior)
       .select(col("doc_id"), col("ts"), col("nb_logodds"),
         (col("nb_logodds") > 0).as("pred"))
+
+  /**
+   * Streaming benchmark decontamination at ingest — the admission gate
+   * twin of the batch [[graft.pipeline.Similarity.embedDecontam]]: score
+   * each arriving vector against the FIXED benchmark model (the bounded
+   * [[graft.pipeline.Similarity.decontamModel]] literal, the same
+   * deployed-model shape as [[nbScoreStream]]) and flag semantic
+   * near-copies of eval items before they enter the corpus. Map-side
+   * literal fold — no join, no state — and bit-identical to the batch
+   * scoring of the same row (gated stream ≡ batch in StreamingSpec).
+   */
+  def decontamStream(vecs: DataFrame,
+                     model: (Array[Array[Double]], Array[Double]),
+                     tau: Double): DataFrame =
+    graft.pipeline.Similarity.decontamScore(vecs, model, tau)
+      .select(col("vec_id"), col("ts"), col("max_cosine"), col("contaminated"))
 
   /**
    * Streaming within-doc repetition battery — the per-doc HOF twin of

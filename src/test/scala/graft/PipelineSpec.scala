@@ -657,6 +657,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("s1" -> s1.last._1, "s2" -> s2.last._1))
   }
 
+  test("p68: the HOF (streaming) shape and the agg (batch) shape agree bit-for-bit on random corpora (seeded)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "dddd", "e", "ff")
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(12) // includes empty and single-word docs
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val batch = graft.pipeline.TextStats.repetitionStats(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toSet
+    val hof = graft.streaming.DocPipeline.repetitionStream(
+        df.withColumn("ts", expr("timestamp_seconds(1700000000)"))).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getLong(6))).toSet
+    assert(batch.size == 60)
+    assert(hof == batch,
+      s"shapes disagree on ${(hof diff batch) ++ (batch diff hof)}")
+  }
+
   test("p69: embedding decontamination — planted geometry flags the near-copy, spares the orthogonal") {
     val sp = spark
     import sp.implicits._

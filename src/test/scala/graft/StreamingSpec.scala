@@ -396,6 +396,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the tercile repetition must actually multiply instances")
   }
 
+  test("streaming decontamination gate equals the batch embedDecontam scores bit-for-bit") {
+    val tmp = Files.createTempDirectory("graft-decontam").toString
+    val sp = spark
+    val emb = sp.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val model = graft.pipeline.Similarity.decontamModel(emb, heldoutMod = 20L)
+    assert(model._1.nonEmpty && model._1.length == model._2.length)
+    // stage the non-heldout vectors as an ingest stream
+    emb.where(col("vec_id") % 20 =!= 0)
+      .withColumn("ts", expr("timestamp_seconds(1700000000 + vec_id)"))
+      .select("vec_id", "ts", "embedding")
+      .repartition(1).write.parquet(s"$tmp/vecs/f1")
+    val src = sp.readStream.schema(graft.streaming.DocPipeline.vecSchema)
+      .parquet(s"$tmp/vecs/*")
+    val q = graft.streaming.DocPipeline.decontamStream(src, model, tau = 0.3)
+      .writeStream.format("memory").queryName("decontam_stream")
+      .option("checkpointLocation", s"$tmp/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // literal-fold (stream) and broadcast-join-max (batch) must agree
+    // BIT-for-bit: same double dots in the same element order, same
+    // tn·hn-then-divide association, max is order-independent
+    val streamed = sp.table("decontam_stream").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).toSet
+    val batch = graft.pipeline.Similarity.embedDecontam(emb, tau = 0.3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(3))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream and batch disagree on ${(streamed diff batch) ++ (batch diff streamed)}")
+  }
+
   test("streaming repetition battery equals the batch doc-keyed aggregation row-for-row") {
     import java.sql.Timestamp
     val tmp = Files.createTempDirectory("graft-rep").toString
