@@ -490,9 +490,19 @@ object Curation {
    * semantics (tied docs share the rank of their first peer).
    */
   def sourcePercentile(docs: DataFrame): DataFrame = {
+    // The regex-heavy score chain feeds BOTH branches (histogram and
+    // join-back); the r9 plan audit found the naive version scanned and
+    // re-scored the corpus twice, and ReuseExchange can't dedup it
+    // (column pruning diverges the branches). Persist the 3-column
+    // projection instead — the repo's standard shared-intermediate
+    // pattern (signatures, shingle tables; Bench/Verify sweep per-query
+    // persists): ONE scan + regex pass, and then NO corpus shuffle at
+    // all — the histogram agg moves map-side partials and the join back
+    // broadcasts the histogram-sized rank table.
     val scored = graft.pipeline.TextStats.qualityScore(docs)
       .select(col("doc_id"), col("source"),
         (round(col("quality_score") * 1e4) / 1e4).as("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = scored.groupBy("source", "quality").agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy("source").orderBy("quality")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -504,7 +514,7 @@ object Curation {
           round(col("_below").cast("double") / (col("_n") - 1) * 1e4) / 1e4)
           .otherwise(lit(0.0)))
       .select(col("source"), col("quality"), col("src_pct"))
-    scored.join(ranks, Seq("source", "quality"))
+    scored.join(broadcast(ranks), Seq("source", "quality"))
       .withColumn("keep", (col("src_pct") >= 0.75).cast("long"))
       .select("doc_id", "source", "quality", "src_pct", "keep")
   }

@@ -228,40 +228,47 @@ object TextStats {
    * depend on engine ordering). `keep` applies the Gopher-style cut:
    * dup_bigram_frac ≤ 0.5 AND top_bigram_char_frac ≤ 0.2.
    *
-   * Scale shape: two doc-keyed aggregations ((doc_id, word) and
-   * (doc_id, bigram) counts, both with map-side partials, both linear
-   * in document length — never the O(len²) per-doc HOF scan) reduced to
-   * one row per doc and joined back doc_id-sized. Nothing corpus-global
-   * moves: the whole battery is embarrassingly parallel over documents.
+   * Scale shape: ONE corpus scan emits words and bigrams as a tagged
+   * gram stream (the r9 plan audit found the two-aggregation version
+   * scanned the corpus three times); one (doc_id, kind, gram) count agg
+   * and one doc_id agg — both map-side-partial, both linear in document
+   * length (never the O(len²) per-doc HOF scan) — reduce it to one row
+   * per doc, joined back to a doc_id-only column-pruned scan so empty
+   * docs keep a row. Nothing corpus-global moves: the whole battery is
+   * embarrassingly parallel over documents.
    */
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val wc = docs
-      .select(col("doc_id"), explode(Dedup.wordsOf(col(textCol))).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
-    val ws = wc.groupBy("doc_id").agg(
-      sum(col("c")).as("n_words"),
-      (sum(col("c")) - count(lit(1))).as("_dupw"),
-      sum(col("c") * length(col("word"))).as("_wchars"))
-    val bc = docs
-      .select(col("doc_id"), Dedup.wordsOf(col(textCol)).as("w"))
-      .where(size(col("w")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("w")) - 1),
-          i => concat_ws(" ", element_at(col("w"), i),
-            element_at(col("w"), i + 1)))).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-    val bs = bc.groupBy("doc_id").agg(
-      sum(col("c")).as("_n2"), count(lit(1)).as("_d2"),
-      max(col("c") * (length(col("bg")) - 1)).as("_topbg"))
+    val emptyGrams = array().cast("array<struct<kind:bigint,gram:string>>")
+    val gramCounts = docs
+      .select(col("doc_id"), Dedup.wordsOf(col(textCol)).as("_w"))
+      .select(col("doc_id"), explode(concat(
+        transform(col("_w"), w => struct(lit(0L).as("kind"), w.as("gram"))),
+        when(size(col("_w")) >= 2,
+          transform(sequence(lit(1), size(col("_w")) - 1),
+            i => struct(lit(1L).as("kind"),
+              concat_ws(" ", element_at(col("_w"), i),
+                element_at(col("_w"), i + 1)).as("gram"))))
+          .otherwise(emptyGrams))).as("kg"))
+      .select(col("doc_id"), col("kg.kind").as("kind"), col("kg.gram").as("gram"))
+      .groupBy("doc_id", "kind", "gram").agg(count(lit(1)).as("c"))
+    val isW = col("kind") === 0
+    val stats = gramCounts.groupBy("doc_id").agg(
+      sum(when(isW, col("c")).otherwise(0L)).as("n_words"),
+      sum(when(isW, col("c") - 1).otherwise(0L)).as("_dupw"),
+      sum(when(isW, col("c") * length(col("gram"))).otherwise(0L)).as("_wchars"),
+      sum(when(!isW, col("c")).otherwise(0L)).as("_n2"),
+      sum(when(!isW, 1L).otherwise(0L)).as("_d2"),
+      max(when(!isW, col("c") * (length(col("gram")) - 1))).as("_topbg"))
     val r4 = (c: Column) => round(c * 1e4) / 1e4
     docs.select(col("doc_id"))
-      .join(ws, Seq("doc_id"), "left")
-      .join(bs, Seq("doc_id"), "left")
+      .join(stats, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         r4(coalesce(col("_dupw").cast("double") / col("n_words"), lit(0.0)))
           .as("dup_word_frac"),
+        // single-word docs have _n2 = 0: the 0/0 division NULLs and
+        // coalesces to 0.0, same as the absent-row case
         r4(coalesce((col("_n2") - col("_d2")).cast("double") / col("_n2"), lit(0.0)))
           .as("dup_bigram_frac"),
         r4(coalesce(col("_topbg").cast("double") / col("_wchars"), lit(0.0)))
