@@ -61,8 +61,11 @@ object Assembly {
         val r = docs.agg(max(col("doc_id"))).head()
         adaptiveBucketWidth(if (r.isNullAt(0)) 0L else r.getLong(0))
       }
+    // doc-count-sized shared intermediate: the bucket-sum action and the
+    // final join would otherwise each re-run the token-count scan
     val withN = docs.select(col("doc_id"), nTokens(col("text")).as("n_tokens"))
       .withColumn("bucket", floor(col("doc_id") / bw))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketSums = withN.groupBy("bucket").agg(sum("n_tokens").as("bsum"))
       .orderBy("bucket").as[(Long, Long)].collect()
     val bases = bucketSums.scanLeft((Long.MinValue, 0L)) {
@@ -263,9 +266,12 @@ object Assembly {
    * unigramLmScore's own vocab join.
    */
   def perplexityBuckets(docs: DataFrame): DataFrame = {
+    // doc-count-sized shared intermediate: the tercile-cut action and the
+    // bucket projection would otherwise each re-run the LM score chain
     val scored = unigramLmScore(docs)
       .withColumn("avg_logp", round(col("avg_logp") * 1e4) / 1e4)
       .withColumn("ppl", round(exp(-col("avg_logp")) * 1e4) / 1e4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cuts = scored.agg(
       expr("percentile(ppl, 1.0/3)").as("c1"),
       expr("percentile(ppl, 2.0/3)").as("c2")).head()
@@ -450,9 +456,15 @@ object Assembly {
    * only way it grows, and then the score itself carries no signal).
    */
   def tokenBudgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    // persist the doc-count-sized score projection: the histogram action
+    // plus the three keep branches would otherwise re-run the whole
+    // explode + vocab-join + per-doc-agg chain up to four times (the r9
+    // plan audit's shared-intermediate pattern; Bench/Verify sweep
+    // per-query persists)
     val scored = unigramLmScore(docs)
       .withColumn("score", round(col("avg_logp") * 1e4) / 1e4)
       .select(col("doc_id"), col("n_words"), col("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = scored.groupBy("score").agg(sum("n_words").as("t")).collect()
       .map(r => (r.getDouble(0), r.getLong(1))).sortBy(-_._1)
     var cum = 0L; var cutoff = 0.0; var rem = 0L; var crossed = false
@@ -626,9 +638,12 @@ object Assembly {
     require(nShards > 0, s"epochPlan: nShards must be positive, got $nShards")
     require(maxEpochs >= 1 && maxEpochs <= 3,
       s"epochPlan: the tercile cut supports 1..3 epochs, got $maxEpochs")
+    // doc-count-sized shared intermediate: the cut aggregate and the
+    // epoch assignment would otherwise each re-run the quality regexes
     val scored = TextStats.qualityScore(docs)
       .select(col("doc_id"),
         (round(col("quality_score") * 1e4) / 1e4).as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cuts round to 4dp (like the p57 prune cut) so the tercile boundary
     // decision replays exactly in any engine
     val cuts = scored.agg(

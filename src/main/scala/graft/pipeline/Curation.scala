@@ -410,8 +410,11 @@ object Curation {
    */
   def prototypePrune(emb: DataFrame, k: Int = 8, iters: Int = 2,
                      pruneFrac: Double = 0.25): DataFrame = {
+    // vec-count-sized shared intermediate: the per-cluster cut aggregate
+    // and the keep join would otherwise each re-run the assignment scan
     val a = kmeansAssign(emb, k, iters)
       .withColumn("dist", round(sqrt(col("dist2")) * 1e4) / 1e4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cuts = a.groupBy("cluster")
       .agg((round(expr(s"percentile(dist, $pruneFrac)") * 1e4) / 1e4).as("cut"))
     a.join(broadcast(cuts), "cluster")
