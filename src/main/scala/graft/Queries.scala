@@ -1059,7 +1059,23 @@ object Queries {
     "m04_audio_features" -> ((s, dir) =>
       Multimodal.audioFeatures(Multimodal.syntheticAssets(docs(s, dir)))
         .select(col("asset_id"), col("frame_idx"), dround(col("rms"), 4).as("rms"), col("zc"))
-        .orderBy("asset_id", "frame_idx"))
+        .orderBy("asset_id", "frame_idx")),
+    // perceptual image dedup over planted duplicates: every 30th doc
+    // contributes an exact payload copy (+30M: radius 0) and a same-length
+    // 1-char substitution (+60M: radius <= 2 — one sampled position flips
+    // at most its two gradient bits); organic assets sit at hamming >= 15
+    // on this corpus, so the pair set is exactly the planted family
+    "m06_image_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val seed = d.where(col("doc_id") % 30 === 0 && length(col("text")) >= 12)
+      val planted = d
+        .unionByName(seed.withColumn("doc_id", col("doc_id") + 30000000L))
+        .unionByName(seed.withColumn("doc_id", col("doc_id") + 60000000L)
+          .withColumn("text", concat(substring(col("text"), 1, 10), lit("x"),
+            expr("substring(text, 12)"))))
+      Multimodal.imageNearDupPairs(Multimodal.syntheticAssets(planted))
+        .orderBy("asset_a", "asset_b")
+    })
   )
 
   // -------------------------------------------------------------- oracle SQL
@@ -2328,6 +2344,24 @@ object Queries {
     // stub PCM = (byte-80)/48 over the UTF-8 payload (ASCII corpus: bytes
     // == codepoints); 64-sample full frames, RMS + strict sign-product
     // zero crossings — integer-derived doubles, exact in both engines
+    // the engine's 65-sample positional dHash replayed over the planted
+    // corpus; the quadratic hamming join is the exact-answer oracle the
+    // engine's 4-block banding must reproduce (recall-1 at radius 3)
+    "m06_image_neardup" ->
+      """WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id % 30 = 0 AND len(text) >= 12),
+        |pl AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 30000000, text FROM seed
+        |  UNION ALL SELECT doc_id + 60000000, substr(text, 1, 10) || 'x' || substr(text, 12) FROM seed),
+        |ch AS (SELECT doc_id AS asset_id, text, greatest(len(text), 1) AS n FROM pl WHERE doc_id % 3 = 0),
+        |s AS (SELECT asset_id, i, ord(substr(text, CAST(floor(i * (n - 1) / 64.0) AS BIGINT) + 1, 1)) AS v
+        |      FROM ch CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS i)),
+        |bits AS (SELECT a.asset_id, a.i, CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS b
+        |         FROM s a JOIN s b ON a.asset_id = b.asset_id AND b.i = a.i + 1 WHERE a.i < 64),
+        |pair AS (SELECT a.asset_id AS aa, b.asset_id AS ab,
+        |           sum(CASE WHEN a.b != b.b THEN 1 ELSE 0 END) AS ham
+        |         FROM bits a JOIN bits b ON a.i = b.i AND a.asset_id < b.asset_id GROUP BY 1, 2)
+        |SELECT aa AS asset_a, ab AS asset_b, CAST(ham AS BIGINT) AS hamming
+        |FROM pair WHERE ham <= 3 ORDER BY asset_a, asset_b""".stripMargin,
     // corpus is pure ASCII (verified for m01), so ord(char) == payload byte
     "m05_video_frames" ->
       """WITH ch AS (SELECT doc_id, list_transform(split(text, ''), x -> ord(x)) AS os,

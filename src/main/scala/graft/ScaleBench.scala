@@ -140,8 +140,10 @@ object ScaleBench {
     "p62_dedup_weights", "p63_split_leakage", "p64_snapshot_diff", "p65_zipf_fit",
     "p66_weighted_sample", "m05_video_frames", "p67_nb_calibration",
     "q04_order_priority", "q09_inactive_customers",
-    // r9: repetition battery, embedding decontamination, source percentile
-    "p68_repetition", "p69_embed_decontam", "p70_source_percentile")
+    // r9: repetition battery, embedding decontamination, source percentile,
+    // perceptual image dedup
+    "p68_repetition", "p69_embed_decontam", "p70_source_percentile",
+    "m06_image_neardup")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

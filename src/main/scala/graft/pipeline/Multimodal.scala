@@ -307,4 +307,84 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /**
+   * dHash perceptual signature for image assets — the standard
+   * duplicate-image fingerprint (gradient hash: downsample, then
+   * bit_i = sample_i > sample_{i+1}): `nBits`+1 evenly-spaced samples
+   * over the decoded luminance stream (STUB: the payload bytes stand in
+   * for pixels, same posture as the other mNN kernels — a real
+   * deployment swaps the sampler for the decoded 9×8 grayscale grid),
+   * `nBits` gradient bits, plus 16-bit block keys for banding. Pure
+   * codegen column math — no UDF, no kernel.
+   */
+  def imageDHash(assets: DataFrame, nBits: Int = 64): DataFrame = {
+    require(nBits > 0 && nBits % 16 == 0,
+      s"imageDHash: nBits must pack into 16-bit blocks, got $nBits")
+    val txt = decode(col("payload"), "UTF-8")
+    val n = greatest(length(txt), lit(1))
+    val samples = transform(sequence(lit(0), lit(nBits)),
+      i => ascii(txt.substr(
+        floor(i.cast("double") * (n - 1) / nBits).cast("int") + 1, lit(1))))
+    // materialize the sampling chain through an explode→agg fence BEFORE
+    // the bit/block folds: CollapseProject otherwise re-inlines the whole
+    // decode+substr chain into every element_at reference of the nested
+    // HOFs (~64 × 130 payload decodes per row — the r1b shingle lesson;
+    // measured 115 s at sf0.1 before the fence, ~2 s after). Past the
+    // fence everything downstream is integer array math, harmless to
+    // re-inline. The shuffle carries 65 ints per asset — asset-count-
+    // sized, the natural cost of materializing a signature.
+    val sampled = assets.where(col("modality") === "image")
+      .select(col("asset_id"), posexplode(samples).as(Seq("i", "v")))
+      .groupBy("asset_id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+        x => x("v")).as("_s"))
+    sampled
+      .withColumn("bits", zip_with(
+        slice(col("_s"), 1, nBits), slice(col("_s"), 2, nBits),
+        (a, b) => when(a > b, 1).otherwise(0)))
+      // Horner fold per 16-bit block (no shift-by-column in Spark SQL)
+      .withColumn("blocks", transform(sequence(lit(0), lit(nBits / 16 - 1)),
+        b => aggregate(sequence(lit(15), lit(0), lit(-1)), lit(0L),
+          (acc, j) => acc * 2 +
+            element_at(col("bits"), (b * 16 + j + 1).cast("int")).cast("long"))))
+      .select(col("asset_id"), col("bits"), col("blocks"))
+  }
+
+  /**
+   * Exact-recall near-duplicate image pairs at Hamming radius ≤ 3 over
+   * the [[imageDHash]] signature: band on the four 16-bit blocks
+   * (pigeonhole — ≤3 differing bits leave ≥1 of 4 blocks identical, so
+   * banding is recall-1 at radius 3, the same guarantee as the text
+   * simhash 5-block scheme), then verify candidates with the exact
+   * bit count. Candidate volume scales with block collision density,
+   * never corpus²; everything is equality-keyed joins + column math.
+   */
+  def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"imageNearDupPairs: 4-block banding guarantees recall only for radius <= 3, got $maxHamming")
+    // asset-count-sized shared intermediate: both join sides read it.
+    // Candidates carry only the FOUR packed block longs (hamming =
+    // Σ bit_count(xor) per block — identical to the bitwise compare),
+    // not the 64-int bit arrays: the candidate shuffle is the growth
+    // term at scale and this makes each row 8× smaller.
+    val sig = imageDHash(assets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sig.select(col("asset_id"), col("blocks"),
+      posexplode(col("blocks")).as(Seq("block", "key")))
+    val a = bands.select(col("asset_id").as("asset_a"), col("blocks").as("_pa"),
+      col("block"), col("key"))
+    val b = bands.select(col("asset_id").as("asset_b"), col("blocks").as("_pb"),
+      col("block"), col("key"))
+    a.join(b, Seq("block", "key"))
+      .where(col("asset_a") < col("asset_b"))
+      .select("asset_a", "asset_b", "_pa", "_pb")
+      .dropDuplicates("asset_a", "asset_b")
+      .withColumn("hamming",
+        aggregate(zip_with(col("_pa"), col("_pb"),
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, v) => acc + v))
+      .where(col("hamming") <= maxHamming)
+      .select("asset_a", "asset_b", "hamming")
+  }
 }

@@ -228,6 +228,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.getLong(3) == 0L && math.abs(c.getDouble(2) - 0.5) < 1e-12) // (104-80)/48 = 0.5
   }
 
+  test("m06: image dHash near-dup — exact copy at radius 0, one-char change within radius, banding matches brute force") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.pipeline.Multimodal
+    val base = "the quick brown fox jumps over the lazy dog again and again for luck"
+    val oneChar = base.updated(20, 'x').toString // same length, one byte differs
+    val other = "completely different pixel content with another structure entirely here"
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("modality", StringType),
+      StructField("payload", BinaryType)))
+    def b(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val assets = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0L, "image", b(base)), Row(3L, "image", b(base)),      // exact dup
+        Row(6L, "image", b(oneChar)),                              // near dup
+        Row(9L, "image", b(other)),                                // unrelated
+        Row(1L, "audio", b(base))                                  // wrong modality
+      ), schema)
+    val pairs = Multimodal.imageNearDupPairs(assets, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(p => (p._1, p._2))
+    assert(pairs.exists { case (a, bb, h) => a == 0L && bb == 3L && h == 0L },
+      s"exact payload copy must pair at hamming 0: ${pairs.mkString(",")}")
+    assert(pairs.filter(p => Set(p._1, p._2) == Set(0L, 6L))
+      .forall(_._3 <= 2), "a one-byte same-length change flips at most its 2 gradient bits")
+    assert(!pairs.exists(p => p._1 == 9L || p._2 == 9L), "unrelated image must not pair")
+    assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L), "non-image modality excluded")
+    // recall gate: banding reproduces the quadratic brute force exactly
+    val sig = Multimodal.imageDHash(assets).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val brute = (for {
+      a <- sig.keys; bb <- sig.keys if a < bb
+      h = sig(a).zip(sig(bb)).count { case (x, y) => x != y } if h <= 3
+    } yield (a, bb, h.toLong)).toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.toSeq == brute, s"banding ${pairs.mkString(",")} vs brute ${brute.mkString(",")}")
+  }
+
   test("m05: video frame kernel executes the m02 plan — planted payload gives closed-form luma/contrast; frames cap at the plan bound") {
     import graft.pipeline.Multimodal
     import org.apache.spark.sql.Row
