@@ -396,6 +396,34 @@ object Queries {
     // grouped revenue top-10 (TakeOrdered, not a global sort)
     // NOT EXISTS shape: segment counts of customers with NO order in the
     // window — the LEFT ANTI join anchor (the semi join's complement)
+    // TPC-H Q17's correlated-scalar-subquery shape (small-quantity parts):
+    // decorrelated into a per-part avg over the BRAND-PRUNED lineitems (the
+    // part filter is on part attributes, so pruning first is loss-free) +
+    // a join back; the brand part list broadcasts, the pruned projection is
+    // the shared intermediate (persisted — agg branch + probe branch), and
+    // revenue sums 2-decimal prices as exact cents so partition order can
+    // never move the hash (the p67 integer-sum rule)
+    "q10_small_qty_parts" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val brandParts = s.read.parquet(s"$dir/part.parquet")
+        .where(col("p_brand") === "Brand#4").select(col("p_partkey"))
+      val filtered = li
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cuts = filtered.groupBy("l_partkey")
+        .agg((lit(0.2) * avg(col("l_quantity"))).as("cut"))
+      filtered.join(cuts, "l_partkey")
+        .where(col("l_quantity") < col("cut"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_small"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100)
+            .as("small_rev"),
+          dround(max(col("cut")), 4).as("cut_qty"))
+        .select(col("l_partkey").as("p_partkey"), col("n_small"),
+          col("small_rev"), col("cut_qty"))
+        .orderBy("p_partkey")
+    }),
     "q09_inactive_customers" -> ((s, dir) => {
       val cust = s.read.parquet(s"$dir/customer.parquet")
       val ord = s.read.parquet(s"$dir/orders.parquet")
@@ -1970,6 +1998,18 @@ object Queries {
         |    row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, o_orderkey) AS rk
         |  FROM rev)
         |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
+    // the correlated subquery decorrelated identically; cents-exact sum
+    "q10_small_qty_parts" ->
+      """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+        |f AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        |      FROM lineitem l JOIN bp ON bp.p_partkey = l.l_partkey),
+        |c AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS cut FROM f GROUP BY 1)
+        |SELECT f.l_partkey AS p_partkey, count(*) AS n_small,
+        |  sum(CAST(round(f.l_extendedprice * 100) AS BIGINT)) / 100.0 AS small_rev,
+        |  round(max(c.cut), 4) AS cut_qty
+        |FROM f JOIN c ON c.l_partkey = f.l_partkey
+        |WHERE f.l_quantity < c.cut
+        |GROUP BY f.l_partkey ORDER BY p_partkey""".stripMargin,
     "q09_inactive_customers" ->
       """SELECT c_mktsegment, count(*) AS n_inactive
         |FROM customer

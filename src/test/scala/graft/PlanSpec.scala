@@ -541,6 +541,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "o_orderdate".r.findFirstIn(plan).nonEmpty, plan.take(2500))
   }
 
+  test("q10 correlated subquery decorrelates onto the brand-pruned shared intermediate: broadcast part list, cached projection feeds both branches") {
+    val plan = SparkEntry.queries("q10_small_qty_parts")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the brand part list must broadcast:\n" + plan.take(2500))
+    // the pruned (l_partkey, qty, price) projection is persisted and read
+    // by BOTH the per-part avg branch and the probe branch — the lineitem
+    // parquet scan must not appear twice
+    // (the InMemoryRelation description embeds its build scan per
+    // reference, so raw "Scan parquet" counts over-report — the two
+    // InMemoryTableScans themselves prove the physical scan runs once)
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+      "agg and probe branches must both read the cached projection:\n" + plan.take(3000))
+  }
+
   test("q08 per-nation top-k is two-phase: the heavy rank runs over salted keys only") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q08_top_orders_per_nation")(spark, "/root/testdata/sf0.001")
