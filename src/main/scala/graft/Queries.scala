@@ -737,6 +737,13 @@ object Queries {
       Dedup.dedupClustersStar(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
         .orderBy("doc_id")
     }),
+    // leakage-free split: the p32 hash keyed on the dup-CLUSTER label, so
+    // near-copies can never straddle the train/eval boundary
+    "p72_split_by_cluster" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.splitByCluster(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
+        .orderBy("doc_id")
+    }),
     // quality-aware keeper: p21's clusters keep their best-quality member
     // (rounded-score rank, doc_id tiebreak) instead of the lowest id
     "p38_quality_keeper" -> ((s, dir) => {
@@ -2364,6 +2371,15 @@ object Queries {
     // variant computes the identical contract, so one oracle serves both
     "p21_dedup_clusters" -> ccSql,
     "p35_dedup_clusters_star" -> ccSql,
+    // the p32 multiplicative hash applied to the ccSql cluster label
+    "p72_split_by_cluster" ->
+      (s"""WITH cc AS (SELECT * FROM ($ccSql) t)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, cluster_id,
+        |  ((cluster_id % 1000003 + 9377) * 22695477) % 1000000007 % 1000000 / 1000000.0 AS u
+        |  FROM cc)
+        |ORDER BY doc_id""").stripMargin,
     "m02_frame_plan" ->
       """SELECT doc_id AS asset_id, CAST(ts_ms / 1000 AS BIGINT) AS frame_idx, CAST(ts_ms AS BIGINT) AS ts_ms
         |FROM (SELECT doc_id, unnest(generate_series(0, least(n_chars * 10, 31000), 1000)) AS ts_ms

@@ -502,14 +502,32 @@ object Curation {
     // persists): ONE scan + regex pass, and then NO corpus shuffle at
     // all — the histogram agg moves map-side partials and the join back
     // broadcasts the histogram-sized rank table.
-    val scored = graft.pipeline.TextStats.qualityScore(docs)
+    val scored = scoredQuality(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.join(broadcast(sourcePercentileRanks(scored)), Seq("source", "quality"))
+      .withColumn("keep", (col("src_pct") >= 0.75).cast("long"))
+      .select("doc_id", "source", "quality", "src_pct", "keep")
+  }
+
+  /** The (doc_id, source, 4dp quality) projection behind [[sourcePercentile]]
+    * (also the streaming twin's map-side scoring step). */
+  private[graft] def scoredQuality(docs: DataFrame): DataFrame =
+    graft.pipeline.TextStats.qualityScore(docs)
       .select(col("doc_id"), col("source"),
         (round(col("quality_score") * 1e4) / 1e4).as("quality"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /**
+   * The histogram-sized per-source rank table behind [[sourcePercentile]]
+   * — (source, quality, src_pct). Exposed so the deployment/streaming
+   * shape can train it offline on a static corpus and score a stream
+   * against it (`streaming/DocPipeline.percentileStream`, a stateless
+   * stream-static join). Input is a [[scoredQuality]]-shaped frame.
+   */
+  def sourcePercentileRanks(scored: DataFrame): DataFrame = {
     val hist = scored.groupBy("source", "quality").agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy("source").orderBy("quality")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranks = hist
+    hist
       .withColumn("_below", coalesce(sum(col("_c")).over(wCum), lit(0L)))
       .withColumn("_n", sum(col("_c")).over(Window.partitionBy("source")))
       .withColumn("src_pct",
@@ -517,9 +535,6 @@ object Curation {
           round(col("_below").cast("double") / (col("_n") - 1) * 1e4) / 1e4)
           .otherwise(lit(0.0)))
       .select(col("source"), col("quality"), col("src_pct"))
-    scored.join(broadcast(ranks), Seq("source", "quality"))
-      .withColumn("keep", (col("src_pct") >= 0.75).cast("long"))
-      .select("doc_id", "source", "quality", "src_pct", "keep")
   }
 
   /**

@@ -568,6 +568,30 @@ object Dedup {
    * count aggregate joined back onto the label table by cluster_id —
    * equality-keyed, label-table-sized; the corpus text never moves.
    */
+  /**
+   * Leakage-free train/val/test split — the dedup-aware refinement of
+   * the p32 hash split: a near-duplicate of a training document landing
+   * in val/test leaks training content into evaluation (the
+   * arXiv:2107.06499 measurement), so the split hash keys on each
+   * document's duplicate-CLUSTER label: every member of a cluster lands
+   * in the same split, and singletons (cluster_id = own id) reduce to
+   * exactly the plain p32 assignment.
+   *
+   * Scale shape: the star-CC chain plus the p32 map-side multiplicative
+   * hash on the cluster label — the only addition over p35 is
+   * arithmetic; nothing new moves.
+   */
+  def splitByCluster(docs: DataFrame, pairs: DataFrame, trainFrac: Double = 0.9,
+                     valFrac: Double = 0.05, seed: Long = 9377L): DataFrame = {
+    require(trainFrac + valFrac <= 1.0, "fractions exceed 1")
+    val u = (((col("cluster_id") % 1000003L + seed) * 22695477L) % 1000000007L % 1000000L)
+      .cast("double") / 1000000.0
+    dedupClustersStar(docs, pairs).withColumn("split",
+      when(u < trainFrac, lit("train"))
+        .when(u < trainFrac + valFrac, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   def dedupWeights(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val cc = dedupClustersStar(docs, pairs)
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_dups"))

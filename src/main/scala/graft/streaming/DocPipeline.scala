@@ -180,6 +180,25 @@ object DocPipeline {
       .select(col("vec_id"), col("ts"), col("max_cosine"), col("contaminated"))
 
   /**
+   * Streaming per-source percentile scoring — the deployment shape of
+   * the batch [[graft.pipeline.Curation.sourcePercentile]]: the rank
+   * table is trained OFFLINE on a static corpus
+   * (`Curation.sourcePercentileRanks`) and each arriving doc scores
+   * against it via a stateless STREAM-STATIC join (Structured Streaming
+   * joins a stream to a static frame without state or watermark — the
+   * static side broadcasts). A doc whose exact (source, 4dp quality)
+   * bin was never seen in training gets `src_pct = -1.0` and keep = 0 —
+   * the explicit "model is stale, retrain" signal, same contract
+   * direction as the NB model's OOV → prior.
+   */
+  def percentileStream(docs: DataFrame, ranks: DataFrame): DataFrame =
+    graft.pipeline.Curation.scoredQuality(docs)
+      .join(broadcast(ranks), Seq("source", "quality"), "left")
+      .withColumn("src_pct", coalesce(col("src_pct"), lit(-1.0)))
+      .withColumn("keep", (col("src_pct") >= 0.75).cast("long"))
+      .select("doc_id", "source", "quality", "src_pct", "keep")
+
+  /**
    * Streaming within-doc repetition battery — the per-doc HOF twin of
    * the batch [[graft.pipeline.TextStats.repetitionStats]] (which runs
    * doc-keyed linear aggregations): every metric recomputed as STATELESS

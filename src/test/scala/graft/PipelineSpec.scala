@@ -717,6 +717,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"shapes disagree on ${(hof diff batch) ++ (batch diff hof)}")
   }
 
+  test("p72: cluster-closed split — near-dup members never straddle the train/eval boundary; singletons reduce to p32") {
+    val sp = spark
+    import sp.implicits._
+    // ids chosen so the p32 doc-keyed hash WOULD split the pair (that's
+    // the leak p72 closes); text drives the 3-gram pairs
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, quote), (2L, quote + " iota"),      // near-dup cluster {1, 2}
+      (7L, "one two three four five six seven"),
+      (9L, "eight nine ten eleven twelve thirteen")
+    ).toDF("doc_id", "text")
+    val pairs = graft.pipeline.Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5)
+    val out = graft.pipeline.Dedup.splitByCluster(d, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == 1L && byId(2L)._2 == 1L, s"1,2 must cluster: $out")
+    assert(byId(1L)._3 == byId(2L)._3,
+      s"cluster members must share a split: ${byId(1L)} vs ${byId(2L)}")
+    // singletons: cluster_id = own id → identical to the p32 assignment
+    val p32 = graft.pipeline.Assembly.trainValTestSplit(d.where(col("doc_id").isin(7L, 9L)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId(7L)._3 == p32(7L) && byId(9L)._3 == p32(9L))
+  }
+
   test("p69: embedding decontamination — planted geometry flags the near-copy, spares the orthogonal") {
     val sp = spark
     import sp.implicits._

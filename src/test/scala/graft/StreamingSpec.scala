@@ -396,6 +396,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the tercile repetition must actually multiply instances")
   }
 
+  test("streaming percentile scoring: stream-static join against offline ranks equals batch; unseen bins flag -1") {
+    val tmp = Files.createTempDirectory("graft-pct").toString
+    val sp = spark
+    import sp.implicits._
+    val train = sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ranks = graft.pipeline.Curation.sourcePercentileRanks(
+      graft.pipeline.Curation.scoredQuality(train))
+    // stream the SAME corpus (every bin known) plus one alien doc whose
+    // quality bin cannot exist in training (empty text, novel source)
+    train.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(Seq((999999L, "", "neverseen")).toDF("doc_id", "text", "source"))
+      .withColumn("ts", expr("timestamp_seconds(1700000000 + doc_id)"))
+      .repartition(1).write.parquet(s"$tmp/docs/f1")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType),
+      StructField("ts", TimestampType)))
+    val src = sp.readStream.schema(schema).parquet(s"$tmp/docs/*")
+    val q = graft.streaming.DocPipeline.percentileStream(src, ranks)
+      .writeStream.format("memory").queryName("pct_stream")
+      .option("checkpointLocation", s"$tmp/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = sp.table("pct_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    val batch = graft.pipeline.Curation.sourcePercentile(train).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    assert(batch.nonEmpty)
+    val alien = streamed.find(_._1 == 999999L).get
+    assert(alien._4 == -1.0 && alien._5 == 0L,
+      s"an unseen (source, quality) bin must flag -1 / keep 0: $alien")
+    assert(streamed - alien == batch,
+      s"known bins must score exactly as batch; diff ${((streamed - alien) diff batch) ++ (batch diff (streamed - alien))}")
+  }
+
   test("streaming decontamination gate equals the batch embedDecontam scores bit-for-bit") {
     val tmp = Files.createTempDirectory("graft-decontam").toString
     val sp = spark
