@@ -74,8 +74,22 @@ object Similarity {
    * float sum). The corpus never self-joins and never shuffles its
    * embeddings — only one max row per vector moves.
    */
+  /** Broadcast bound for [[embedDecontam]]'s heldout side — ~1M × 64-d
+    * doubles ≈ 512 MB, the edge of a sane executor broadcast. A real
+    * benchmark is thousands of rows; a heldout slice that scales with
+    * the corpus must go through the cell-blocked scale path instead. */
+  val maxBroadcastVectors: Int = 1 << 20
+
   def embedDecontam(emb: DataFrame, tau: Double, heldoutMod: Long = 20L): DataFrame = {
     require(heldoutMod >= 2, s"embedDecontam: heldoutMod must be >= 2, got $heldoutMod")
+    // guard the broadcast BEFORE it happens (the p52/p34 require-gated
+    // contract): one column-pruned count of the heldout slice
+    val nHeld = emb.where(col("vec_id") % heldoutMod === 0)
+      .select(col("vec_id")).count()
+    require(nHeld <= maxBroadcastVectors,
+      s"embedDecontam: heldout slice has $nHeld vectors (> $maxBroadcastVectors broadcast bound) — " +
+        "a serving benchmark is small by contract; for corpus-scale sides use " +
+        "the cell-blocked path (semanticDedup/IVF) instead of exact max-cosine")
     // widen to double BEFORE the multiplies: float32 products can flip a
     // 4dp round boundary vs an oracle computing in double (p69's DuckDB
     // twin casts the same way, so every product/sum/sqrt is bit-identical)
