@@ -976,6 +976,19 @@ object Queries {
           .withColumn("doc_id", col("doc_id") + 1000000L))
       Curation.snapshotDiff(d, newSnap).orderBy("doc_id")
     }),
+    // PSI score-distribution drift vs the p64 second crawl: per source,
+    // fixed decile bins on [0,1], add-one-smoothed shares over the full
+    // bin grid — the production monitoring gate before a refresh ships
+    "p73_score_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newSnap = d.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .unionByName(d.where(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Curation.scoreDrift(d, newSnap).orderBy("source")
+    }),
     // Zipf spectrum fit over the top-200 words: corpus-health slope/intercept
     "p65_zipf_fit" -> ((s, dir) =>
       graft.pipeline.TextStats.zipfFit(docs(s, dir), k = 200)),
@@ -2814,6 +2827,34 @@ object Queries {
         |  CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed'
         |       WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id""".stripMargin,
+    // PSI over fixed decile bins and the FULL bin grid (empty bins carry
+    // their smoothed term); the CASE repeats the rounded psi expression
+    "p73_score_drift" ->
+      (s"""WITH nd AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text, source
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 13 = 0),
+        |q1 AS (SELECT source, $qScoreSql AS quality FROM documents),
+        |q2 AS (SELECT source, $qScoreSql AS quality FROM nd),
+        |h1 AS (SELECT source, CAST(least(floor(quality * 10), 9) AS BIGINT) AS bin, count(*) AS co FROM q1 GROUP BY 1, 2),
+        |h2 AS (SELECT source, CAST(least(floor(quality * 10), 9) AS BIGINT) AS bin, count(*) AS cn FROM q2 GROUP BY 1, 2),
+        |ab AS (SELECT s.source, b.bin FROM (SELECT DISTINCT source FROM documents) s
+        |       CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b),
+        |j AS (SELECT ab.source, ab.bin, coalesce(h1.co, 0) AS co, coalesce(h2.cn, 0) AS cn
+        |      FROM ab LEFT JOIN h1 ON h1.source = ab.source AND h1.bin = ab.bin
+        |              LEFT JOIN h2 ON h2.source = ab.source AND h2.bin = ab.bin),
+        |t AS (SELECT source, co, cn,
+        |        sum(co) OVER (PARTITION BY source) AS no,
+        |        sum(cn) OVER (PARTITION BY source) AS nn FROM j)
+        |SELECT source, CAST(max(no) AS BIGINT) AS n_old, CAST(max(nn) AS BIGINT) AS n_new,
+        |  round(sum(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
+        |    ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10)))), 4) AS psi,
+        |  CASE WHEN round(sum(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
+        |         ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10)))), 4) < 0.1 THEN 'stable'
+        |       WHEN round(sum(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
+        |         ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10)))), 4) <= 0.25 THEN 'moderate'
+        |       ELSE 'shifted' END AS drift
+        |FROM t GROUP BY source ORDER BY source""").stripMargin,
     "p65_zipf_fit" ->
       """WITH ex AS (SELECT unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0)) AS word FROM documents),
         |vc AS (SELECT word, count(*) AS cnt FROM ex GROUP BY word),

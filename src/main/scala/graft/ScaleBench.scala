@@ -143,7 +143,8 @@ object ScaleBench {
     // r9: repetition battery, embedding decontamination, source percentile,
     // perceptual image dedup
     "p68_repetition", "p69_embed_decontam", "p70_source_percentile",
-    "m06_image_neardup", "q10_small_qty_parts", "p72_split_by_cluster")
+    "m06_image_neardup", "q10_small_qty_parts", "p72_split_by_cluster",
+    "p73_score_drift")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

@@ -538,6 +538,50 @@ object Curation {
   }
 
   /**
+   * Score-distribution drift between two corpus snapshots — PSI
+   * (population stability index), the production model-monitoring
+   * standard (PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 act):
+   * per source, quality scores land in FIXED `bins` equal-width bins on
+   * [0, 1] (fixed bins, not quantiles — no training pass, and the bin
+   * boundary replays exactly in any engine); shares are add-one
+   * smoothed over the FULL bin grid so empty bins contribute finite
+   * terms and the sum is over the same bin set on any engine.
+   *
+   * Scale shape: one scoredQuality scan per snapshot reduced map-side
+   * to a (source, bin) histogram ≤ sources×bins rows; the outer join,
+   * totals window and PSI sum are all histogram-sized. Nothing
+   * corpus-global ever moves.
+   */
+  def scoreDrift(oldDocs: DataFrame, newDocs: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"scoreDrift: bins must be positive, got $bins")
+    def hist(d: DataFrame, cname: String) = scoredQuality(d)
+      .withColumn("bin", least(floor(col("quality") * bins).cast("long"), lit(bins - 1L)))
+      .groupBy("source", "bin").agg(count(lit(1)).as(cname))
+    val allBins = oldDocs.select("source").unionByName(newDocs.select("source"))
+      .distinct()
+      .select(col("source"), explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+    val j = allBins
+      .join(hist(oldDocs, "_co"), Seq("source", "bin"), "left")
+      .join(hist(newDocs, "_cn"), Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"),
+        coalesce(col("_co"), lit(0L)).as("_co"),
+        coalesce(col("_cn"), lit(0L)).as("_cn"))
+    val w = Window.partitionBy("source")
+    j.withColumn("_no", sum(col("_co")).over(w))
+      .withColumn("_nn", sum(col("_cn")).over(w))
+      .withColumn("_pa", (col("_co") + 1.0) / (col("_no") + bins))
+      .withColumn("_pb", (col("_cn") + 1.0) / (col("_nn") + bins))
+      .groupBy(col("source"))
+      .agg(max(col("_no")).as("n_old"), max(col("_nn")).as("n_new"),
+        (round(sum((col("_pa") - col("_pb")) * log(col("_pa") / col("_pb"))) * 1e4) / 1e4)
+          .as("psi"))
+      .withColumn("drift",
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") <= 0.25, "moderate")
+          .otherwise("shifted"))
+  }
+
+  /**
    * Token-id encoding against the corpus vocabulary — the step between
    * tokenizer training and sequence packing: the top-`vocabSize` words
    * (by count, ties by word) get ids 1..V in rank order, everything else

@@ -717,6 +717,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"shapes disagree on ${(hof diff batch) ++ (batch diff hof)}")
   }
 
+  test("p73: PSI drift — identical snapshots read stable (psi ~ 0), a rewritten source reads shifted") {
+    val sp = spark
+    import sp.implicits._
+    def corp(s2text: String) = (
+      (1 to 40).map(i => (i.toLong, s"w$i " * (i % 5 + 2), "s1")) ++
+      (41 to 80).map(i => (i.toLong, s2text * (i % 3 + 1), "s2"))
+    ).toDF("doc_id", "text", "source")
+    val old = corp("tiny ")
+    // s1 unchanged; s2 rewritten to much longer docs → quality bins move
+    val newSnap = old.where(col("source") === "s1").unionByName(
+      corp(("lots of much longer replacement content here " * 4)).where(col("source") === "s2"))
+    val out = graft.pipeline.Curation.scoreDrift(old, newSnap).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getString(4))).toMap
+    assert(out("s1")._1 == 0.0 && out("s1")._2 == "stable",
+      s"identical s1 snapshot must read psi 0: ${out("s1")}")
+    assert(out("s2")._1 > 0.25 && out("s2")._2 == "shifted",
+      s"rewritten s2 must cross the action threshold: ${out("s2")}")
+  }
+
   test("p72: cluster-closed split — near-dup members never straddle the train/eval boundary; singletons reduce to p32") {
     val sp = spark
     import sp.implicits._
