@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run JVM's stdout must pass through UNPREFIXED: the driver
+// parses the last raw stdout line of `sbt run` as one JSON object, and
+// sbt's default logger re-logs forked output with "[info] " prefixes.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3,7 +3,12 @@
 parquet dump from Verify, run its oracle SQL in DuckDB against the same
 testdata tables, compare row counts + sorted-row hashes.
 
-Usage: python3 scripts/local_verify.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/local_verify.py <sfDir> <verifyOutDir> [--round4]
+
+Default is EXACT-repr comparison (no float normalization at all) — the
+same class of check as the driver's hash gate, so a value that only
+matches after defensive rounding fails here too. Pass --round4 for the
+old tolerant mode (round(v, 4) + -0.0 folding) when triaging.
 """
 import json
 import sys
@@ -13,16 +18,19 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+EXACT = "--round4" not in sys.argv
+
 
 def norm_rows(rows, cols):
-    # sort columns by name, round floats defensively, then sort rows
+    # sort columns by name, then sort rows; floats compared at full repr
+    # unless --round4 asked for the defensive rounding
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
+            if isinstance(v, float) and not EXACT:
                 v = round(v, 4)
                 if v == -0.0:
                     v = 0.0
@@ -33,6 +41,7 @@ def norm_rows(rows, cols):
 
 
 def main(sf_dir, out_dir):
+    print(f"mode: {'exact-repr' if EXACT else 'round4 (tolerant)'}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -1143,7 +1143,7 @@ object Queries {
       |""".stripMargin
 
   private def agg1(outName: String, aggExpr: String): String =
-    S + s"SELECT '$outName' AS name, ts, round($aggExpr, 4) AS value FROM s GROUP BY ts HAVING count(v) > 0 ORDER BY ts"
+    S + s"SELECT '$outName' AS name, ts, round(($aggExpr) * 1e4) / 1e4 AS value FROM s GROUP BY ts HAVING count(v) > 0 ORDER BY ts"
 
   /** The Holt-Winters recursion (g42/g117/g132): hourly season, the kernel's
     * exact constants and float association, NaN carried as last-seen. */
@@ -1194,7 +1194,7 @@ object Queries {
       |bsz AS (SELECT bench_id, count(*) AS bench_sz FROM bench GROUP BY 1),
       |ov AS (SELECT c.doc_id, b.bench_id, count(*) AS overlap
       |       FROM sh c JOIN bench b ON c.sh = b.sh WHERE c.doc_id % 20 != 0 GROUP BY 1, 2)
-      |SELECT doc_id, bench_id, overlap, round(overlap * 1.0 / bench_sz, 4) AS containment
+      |SELECT doc_id, bench_id, overlap, round((overlap * 1.0 / bench_sz) * 1e4) / 1e4 AS containment
       |FROM ov JOIN bsz USING (bench_id) WHERE overlap >= 2 ORDER BY doc_id, bench_id""".stripMargin
 
   /** The p55 NB domain-score CTE chain (through `sc`: doc_id, n_words,
@@ -1209,19 +1209,20 @@ object Queries {
       |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM wc),
       |pri AS (SELECT sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS dt, count(*) AS dall FROM documents),
       |sc AS (SELECT doc_id, count(*) AS n_words,
-      |  round(ln(dt * 1.0 / (dall - dt)) + sum(ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))), 4) AS logodds
+      |  round(((CAST(round(ln(dt * 1.0 / (dall - dt)) * 1e6) AS BIGINT)
+      |    + sum(CAST(round((ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))) * 1e6) AS BIGINT))) / 1e6) * 1e4) / 1e4 AS logodds
       |  FROM ex JOIN wc USING (word) CROSS JOIN tot CROSS JOIN pri
       |  GROUP BY doc_id, dt, dall)""".stripMargin
 
   /** The heuristic quality score of TextStats.qualityScore in DuckDB terms,
     * rounded at 4dp (also inlined in p38's oracle). */
   private val qScoreSql =
-    """round(greatest(0.0, least(1.0,
+    """round((greatest(0.0, least(1.0,
       |    0.4 * least(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) / 100.0, 1.0)
       |  + 0.3 * (len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
       |        x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','from','that','this'], x))) * 1.0
       |      / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), 1)) * 3.0
-      |  + 0.3 * (1.0 - least((len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / greatest(len(text), 1)) * 5.0, 1.0)))), 4)""".stripMargin
+      |  + 0.3 * (1.0 - least((len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / greatest(len(text), 1)) * 5.0, 1.0))))) * 1e4) / 1e4""".stripMargin
 
   private val ccSql =
     """WITH RECURSIVE words AS (
@@ -1256,65 +1257,65 @@ object Queries {
     // (ref rangeOfSeries/function.go:69-73) — NULL here drops the row
     "g06_range_series" -> (S +
       """SELECT 'rangeOfSeries(events.*)' AS name, ts,
-        |  round(CASE WHEN count(v) >= 2 THEN max(v) - min(v) END, 4) AS value
+        |  round((CASE WHEN count(v) >= 2 THEN max(v) - min(v) END) * 1e4) / 1e4 AS value
         |FROM s GROUP BY ts HAVING count(v) >= 2 ORDER BY ts""".stripMargin),
     "g07_stddev_series" -> agg1("stddevSeries(events.*)", "stddev_pop(v)"),
     "g08_percentile_series" -> agg1("percentileOfSeries(events.*,50,true)", "quantile_cont(v, 0.5)"),
     "g09_absolute" ->
-      (S + "SELECT 'absolute(offset(' || name || ',-50))' AS name, ts, round(abs(v - 50), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'absolute(offset(' || name || ',-50))' AS name, ts, round((abs(v - 50)) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g10_derivative" ->
-      (S + s"SELECT 'derivative(' || name || ')' AS name, ts, round(v - pv, 4) AS value FROM ($lagS) WHERE v IS NOT NULL AND pv IS NOT NULL ORDER BY name, ts"),
+      (S + s"SELECT 'derivative(' || name || ')' AS name, ts, round((v - pv) * 1e4) / 1e4 AS value FROM ($lagS) WHERE v IS NOT NULL AND pv IS NOT NULL ORDER BY name, ts"),
     "g11_integral" ->
-      (S + "SELECT 'integral(' || name || ')' AS name, ts, round(sum(v) OVER (PARTITION BY name ORDER BY ts ROWS UNBOUNDED PRECEDING), 4) AS value FROM s QUALIFY v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'integral(' || name || ')' AS name, ts, round((sum(v) OVER (PARTITION BY name ORDER BY ts ROWS UNBOUNDED PRECEDING)) * 1e4) / 1e4 AS value FROM s QUALIFY v IS NOT NULL ORDER BY name, ts"),
     "g12_scale" ->
-      (S + "SELECT 'scale(' || name || ',2.5)' AS name, ts, round(v * 2.5, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'scale(' || name || ',2.5)' AS name, ts, round((v * 2.5) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g13_keeplast" ->
-      (S + s"SELECT 'keepLastValue(' || name || ')' AS name, ts, round(coalesce(v, pv), 4) AS value FROM ($lagS) WHERE coalesce(v, pv) IS NOT NULL ORDER BY name, ts"),
+      (S + s"SELECT 'keepLastValue(' || name || ')' AS name, ts, round((coalesce(v, pv)) * 1e4) / 1e4 AS value FROM ($lagS) WHERE coalesce(v, pv) IS NOT NULL ORDER BY name, ts"),
     "g14_moving_avg" ->
-      (S + """SELECT 'movingAverage(' || name || ',6)' AS name, ts, round(wavg, 4) AS value FROM (
+      (S + """SELECT 'movingAverage(' || name || ',6)' AS name, ts, round((wavg) * 1e4) / 1e4 AS value FROM (
         |  SELECT name, ts, avg(v) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS wavg FROM s)
         |WHERE ts >= (SELECT t0 FROM b) + 6*3600 AND wavg IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g15_moving_max" ->
-      (S + """SELECT 'movingMax(' || name || ',12)' AS name, ts, round(wmax, 4) AS value FROM (
+      (S + """SELECT 'movingMax(' || name || ',12)' AS name, ts, round((wmax) * 1e4) / 1e4 AS value FROM (
         |  SELECT name, ts, max(v) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS wmax FROM s)
         |WHERE ts >= (SELECT t0 FROM b) + 12*3600 AND wmax IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g16_summarize_day" ->
       (S + """SELECT 'summarize(' || name || ',''1d'',''sum'')' AS name,
-        |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts, round(sum(v), 4) AS value
+        |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts, round((sum(v)) * 1e4) / 1e4 AS value
         |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
     "g17_aspercent" ->
-      (S + "SELECT 'asPercent(' || name || ')' AS name, ts, round(v / sum(v) OVER (PARTITION BY ts) * 100, 4) AS value FROM s QUALIFY v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'asPercent(' || name || ')' AS name, ts, round((v / sum(v) OVER (PARTITION BY ts) * 100) * 1e4) / 1e4 AS value FROM s QUALIFY v IS NOT NULL ORDER BY name, ts"),
     "g18_groupbynode" ->
-      (S + "SELECT split_part(name, '.', 2) AS name, ts, round(sum(v), 4) AS value FROM s GROUP BY 1, ts HAVING count(v) > 0 ORDER BY name, ts"),
+      (S + "SELECT split_part(name, '.', 2) AS name, ts, round((sum(v)) * 1e4) / 1e4 AS value FROM s GROUP BY 1, ts HAVING count(v) > 0 ORDER BY name, ts"),
     "g19_highest_avg" ->
       (S + """, ranked AS (SELECT name, avg(v) AS a FROM s GROUP BY name ORDER BY a DESC LIMIT 2)
-        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN ranked ON s.name = ranked.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
+        |SELECT s.name, s.ts, round((s.v) * 1e4) / 1e4 AS value FROM s JOIN ranked ON s.name = ranked.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
     "g20_aliasbynode" ->
-      (S + "SELECT split_part(name, '.', 2) AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT split_part(name, '.', 2) AS name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g21_nonneg_derivative" ->
-      (S + s"SELECT 'nonNegativeDerivative(' || name || ')' AS name, ts, round(v - pv, 4) AS value FROM ($rawLagS) WHERE v IS NOT NULL AND pv IS NOT NULL AND v - pv >= 0 ORDER BY name, ts"),
+      (S + s"SELECT 'nonNegativeDerivative(' || name || ')' AS name, ts, round((v - pv) * 1e4) / 1e4 AS value FROM ($rawLagS) WHERE v IS NOT NULL AND pv IS NOT NULL AND v - pv >= 0 ORDER BY name, ts"),
     "g22_persecond" ->
-      (S + s"SELECT 'perSecond(' || name || ')' AS name, ts, round((v - pv) / 3600, 4) AS value FROM ($rawLagS) WHERE v IS NOT NULL AND pv IS NOT NULL AND v - pv >= 0 ORDER BY name, ts"),
+      (S + s"SELECT 'perSecond(' || name || ')' AS name, ts, round(((v - pv) / 3600) * 1e4) / 1e4 AS value FROM ($rawLagS) WHERE v IS NOT NULL AND pv IS NOT NULL AND v - pv >= 0 ORDER BY name, ts"),
     "g23_offsettozero" ->
-      (S + "SELECT 'offsetToZero(' || name || ')' AS name, ts, round(v - min(v) OVER (PARTITION BY name), 4) AS value FROM s QUALIFY v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'offsetToZero(' || name || ')' AS name, ts, round((v - min(v) OVER (PARTITION BY name)) * 1e4) / 1e4 AS value FROM s QUALIFY v IS NOT NULL ORDER BY name, ts"),
     "g24_transformnull" ->
-      (S + "SELECT 'transformNull(' || name || ',0)' AS name, ts, round(coalesce(v, 0), 4) AS value FROM s ORDER BY name, ts"),
+      (S + "SELECT 'transformNull(' || name || ',0)' AS name, ts, round((coalesce(v, 0)) * 1e4) / 1e4 AS value FROM s ORDER BY name, ts"),
     "g25_divideseries" ->
       (S + """, tot AS (SELECT ts, sum(v) AS t FROM s GROUP BY ts HAVING count(v) > 0)
-        |SELECT 'divideSeries(' || s.name || ',sumSeries(events.*))' AS name, s.ts, round(s.v / tot.t, 4) AS value
+        |SELECT 'divideSeries(' || s.name || ',sumSeries(events.*))' AS name, s.ts, round((s.v / tot.t) * 1e4) / 1e4 AS value
         |FROM s JOIN tot ON s.ts = tot.ts WHERE s.name = 'events.click' AND s.v IS NOT NULL AND tot.t != 0 ORDER BY s.ts""".stripMargin),
     "g26_moving_sum_interval" ->
-      (S + """SELECT 'movingSum(' || name || ',''6h'')' AS name, ts, round(wsum, 4) AS value FROM (
+      (S + """SELECT 'movingSum(' || name || ',''6h'')' AS name, ts, round((wsum) * 1e4) / 1e4 AS value FROM (
         |  SELECT name, ts, CASE WHEN count(v) OVER w > 0 THEN sum(v) OVER w END AS wsum FROM s
         |  WINDOW w AS (PARTITION BY name ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
         |WHERE ts >= (SELECT t0 FROM b) + 6*3600 AND wsum IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g27_averageabove" ->
       (S + """, keep AS (SELECT name FROM s GROUP BY name HAVING avg(v) > 57)
-        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep ON s.name = keep.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
+        |SELECT s.name, s.ts, round((s.v) * 1e4) / 1e4 AS value FROM s JOIN keep ON s.name = keep.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
     "g28_sigmoid_scale" ->
-      (S + "SELECT 'sigmoid(scale(' || name || ',0.001))' AS name, ts, round(1 / (1 + exp(-(v * 0.001))), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'sigmoid(scale(' || name || ',0.001))' AS name, ts, round((1 / (1 + exp(-(v * 0.001)))) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g29_interpolate" ->
-      (S + """SELECT 'interpolate(' || name || ')' AS name, ts, round(filled, 4) AS value FROM (
+      (S + """SELECT 'interpolate(' || name || ')' AS name, ts, round((filled) * 1e4) / 1e4 AS value FROM (
         |  SELECT name, ts, coalesce(v,
         |    pval + (nval - pval) * (CAST(ts - pts AS DOUBLE) / (nts - pts))) AS filled
         |  FROM (SELECT name, ts, v,
@@ -1329,29 +1330,29 @@ object Queries {
         |WHERE filled IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g30_hitcount_day" ->
       (S + """SELECT 'hitcount(' || name || ',''1d'')' AS name,
-        |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts, round(sum(v * 3600), 4) AS value
+        |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts, round((sum(v * 3600)) * 1e4) / 1e4 AS value
         |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
 
     "g31_weightedavg" ->
-      (S + """SELECT 'weightedAverage(events.*,events.*,1)' AS name, ts, round(sum(v*v) / sum(v), 4) AS value
+      (S + """SELECT 'weightedAverage(events.*,events.*,1)' AS name, ts, round((sum(v*v) / sum(v)) * 1e4) / 1e4 AS value
         |FROM s GROUP BY ts HAVING count(v) > 0 AND sum(v) != 0 ORDER BY ts""".stripMargin),
     "g32_difflists" ->
       (S + """SELECT * FROM (
-        |  SELECT 'diffSeries(events.click,events.purchase)' AS name, a.ts, round(a.v - b.v, 4) AS value
+        |  SELECT 'diffSeries(events.click,events.purchase)' AS name, a.ts, round((a.v - b.v) * 1e4) / 1e4 AS value
         |  FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.click' AND b.name = 'events.purchase'
         |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL
         |  UNION ALL
-        |  SELECT 'diffSeries(events.error,events.signup)' AS name, a.ts, round(a.v - b.v, 4) AS value
+        |  SELECT 'diffSeries(events.error,events.signup)' AS name, a.ts, round((a.v - b.v) * 1e4) / 1e4 AS value
         |  FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.error' AND b.name = 'events.signup'
         |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL) ORDER BY name, ts""".stripMargin),
     "g33_timeshift" ->
-      (S + "SELECT 'timeShift(' || name || ',''-86400'',false)' AS name, ts + 86400 AS ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'timeShift(' || name || ',''-86400'',false)' AS name, ts + 86400 AS ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g34_smartsummarize" ->
       (S + """SELECT 'smartSummarize(' || name || ',''1d'',''max'',''days'')' AS name,
-        |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts, round(max(v), 4) AS value
+        |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts, round((max(v)) * 1e4) / 1e4 AS value
         |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
     "g35_stdev" ->
-      (S + """SELECT 'stdev(' || name || ',5)' AS name, ts, round(sd, 4) AS value FROM (
+      (S + """SELECT 'stdev(' || name || ',5)' AS name, ts, round((sd) * 1e4) / 1e4 AS value FROM (
         |  SELECT name, ts, stddev_pop(v) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sd FROM s)
         |WHERE sd IS NOT NULL ORDER BY name, ts""".stripMargin),
     // reference-exact tukey: fences from the POOLED sorted points of every
@@ -1363,20 +1364,20 @@ object Queries {
         |oc AS (SELECT s.name, count(*) FILTER (WHERE s.v >= q.q3 + 0.5*(q.q3-q.q1)) AS oc
         |       FROM s, q WHERE s.v IS NOT NULL GROUP BY s.name),
         |keep AS (SELECT name FROM oc WHERE oc > 0 ORDER BY oc DESC, name LIMIT 2)
-        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep USING (name) WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
+        |SELECT s.name, s.ts, round((s.v) * 1e4) / 1e4 AS value FROM s JOIN keep USING (name) WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
     "g37_slo_day" ->
       (S + """SELECT 'slo(' || name || ', 1d, above, 100)' AS name,
         |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts,
-        |  round(avg(CASE WHEN v > 100 THEN 1.0 WHEN v IS NULL THEN NULL ELSE 0.0 END), 4) AS value
+        |  round((avg(CASE WHEN v > 100 THEN 1.0 WHEN v IS NULL THEN NULL ELSE 0.0 END)) * 1e4) / 1e4 AS value
         |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
     "g38_substr" ->
-      (S + "SELECT split_part(name, '.', 2) AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT split_part(name, '.', 2) AS name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g39_pearson_closest" ->
       (S + """, pairs AS (SELECT a.name, corr(a.v, r.v) AS r FROM s a JOIN s r ON a.ts = r.ts AND r.name = 'events.click' GROUP BY a.name),
         |keep AS (SELECT name FROM pairs WHERE r IS NOT NULL ORDER BY abs(r) DESC, name LIMIT 2)
-        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep ON s.name = keep.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
+        |SELECT s.name, s.ts, round((s.v) * 1e4) / 1e4 AS value FROM s JOIN keep ON s.name = keep.name WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
     "g40_join_sub" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name != 'events.click' AND v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE name != 'events.click' AND v IS NOT NULL ORDER BY name, ts"),
     // int-string names, ZERO-filled counts at every grid ts; a key series
     // exists iff the key was observed at least once (ref countValues)
     "g41_countvalues" ->
@@ -1394,25 +1395,25 @@ object Queries {
         |      FROM s JOIN r ON s.ts = r.ts),
         |k AS (SELECT name, ts, v, erst, sum(erst) OVER (PARTITION BY name ORDER BY ts) AS grp FROM j)
         |SELECT 'integralWithReset(' || name || ',isNonNull(events.click))' AS name, ts,
-        |  round(CASE WHEN erst = 1 THEN 0 ELSE
+        |  round((CASE WHEN erst = 1 THEN 0 ELSE
         |    sum(CASE WHEN erst = 0 THEN v END) OVER (PARTITION BY name, grp ORDER BY ts ROWS UNBOUNDED PRECEDING)
-        |  END, 4) AS value
+        |  END) * 1e4) / 1e4 AS value
         |FROM k QUALIFY v IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g48_seriesbytag" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE regexp_matches(name, 'events.(click|view)') AND v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE regexp_matches(name, 'events.(click|view)') AND v IS NOT NULL ORDER BY name, ts"),
     "g49_aggregateline" ->
       (S + """, a AS (SELECT name, CAST(count(v) AS DOUBLE) AS av FROM s GROUP BY name)
         |SELECT 'aggregateLine(' || s.name || ', ' || CAST(CAST(a.av AS BIGINT) AS VARCHAR) || ')' AS name,
-        |  s.ts, round(a.av, 4) AS value
+        |  s.ts, round((a.av) * 1e4) / 1e4 AS value
         |FROM s JOIN a ON s.name = a.name WHERE a.av > 0 ORDER BY name, ts""".stripMargin),
     "g50_heatmap" ->
       (S + """, o AS (SELECT name, row_number() OVER (ORDER BY name) AS rn FROM (SELECT DISTINCT name FROM s))
-        |SELECT 'heatMap(' || c.name || ',' || p.name || ')' AS name, sc.ts, round(sc.v - sp.v, 4) AS value
+        |SELECT 'heatMap(' || c.name || ',' || p.name || ')' AS name, sc.ts, round((sc.v - sp.v) * 1e4) / 1e4 AS value
         |FROM o c JOIN o p ON c.rn = p.rn + 1
         |JOIN s sc ON sc.name = c.name JOIN s sp ON sp.name = p.name AND sp.ts = sc.ts
         |WHERE sc.v IS NOT NULL AND sp.v IS NOT NULL ORDER BY 1, 2""".stripMargin),
     "g51_reduce" ->
-      (S + """SELECT 'events.reduce.asPercent' AS name, a.ts, round(a.v / b.v * 100, 4) AS value
+      (S + """SELECT 'events.reduce.asPercent' AS name, a.ts, round((a.v / b.v * 100) * 1e4) / 1e4 AS value
         |FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.click' AND b.name = 'events.view'
         |WHERE a.v IS NOT NULL AND b.v IS NOT NULL AND b.v != 0 ORDER BY a.ts""".stripMargin),
     "g52_applybynode" -> agg1("sumSeries(events.*)", "sum(v)"),
@@ -1420,66 +1421,66 @@ object Queries {
       (S + """, renamed AS (SELECT CASE WHEN name IN ('events.click','events.error')
         |         THEN 'a.' || split_part(name, '.', 2) ELSE 'b.' || split_part(name, '.', 2) END AS name, ts, v FROM s),
         |tot AS (SELECT split_part(name, '.', 1) AS grp, ts, sum(v) AS t FROM renamed GROUP BY 1, 2)
-        |SELECT 'asPercent(' || r.name || ',None)' AS name, r.ts, round(r.v / tot.t * 100, 4) AS value
+        |SELECT 'asPercent(' || r.name || ',None)' AS name, r.ts, round((r.v / tot.t * 100) * 1e4) / 1e4 AS value
         |FROM renamed r JOIN tot ON split_part(r.name, '.', 1) = tot.grp AND r.ts = tot.ts
         |WHERE r.v IS NOT NULL AND tot.t IS NOT NULL AND tot.t != 0 ORDER BY 1, 2""".stripMargin),
     "g56_aspercent_const" ->
-      (S + "SELECT 'asPercent(' || name || ',240)' AS name, ts, round(v / 240 * 100, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'asPercent(' || name || ',240)' AS name, ts, round((v / 240 * 100) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g58_groupbynode_callback" ->
-      (S + s"SELECT split_part(name, '.', 2) AS name, ts, round(coalesce(v, pv), 4) AS value FROM ($lagS) WHERE coalesce(v, pv) IS NOT NULL ORDER BY name, ts"),
+      (S + s"SELECT split_part(name, '.', 2) AS name, ts, round((coalesce(v, pv)) * 1e4) / 1e4 AS value FROM ($lagS) WHERE coalesce(v, pv) IS NOT NULL ORDER BY name, ts"),
     "g59_groupbytags" ->
       (S + """SELECT CASE WHEN split_part(name, '.', 2) IN ('purchase','signup')
         |    THEN 'sum;kind=conv' ELSE 'sum;kind=eng' END AS name,
-        |  ts, round(sum(v), 4) AS value FROM s GROUP BY 1, ts HAVING count(v) > 0 ORDER BY name, ts""".stripMargin),
+        |  ts, round((sum(v)) * 1e4) / 1e4 AS value FROM s GROUP BY 1, ts HAVING count(v) > 0 ORDER BY name, ts""".stripMargin),
     "g60_seriesbytag_kind" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE split_part(name, '.', 2) IN ('purchase','signup') AND v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE split_part(name, '.', 2) IN ('purchase','signup') AND v IS NOT NULL ORDER BY name, ts"),
     "g62_aggregate_xff" ->
-      (S + """SELECT 'averageSeries(events.*)' AS name, ts, round(avg(v), 4) AS value
+      (S + """SELECT 'averageSeries(events.*)' AS name, ts, round((avg(v)) * 1e4) / 1e4 AS value
         |FROM s GROUP BY ts HAVING count(v) * 1.0 / count(*) >= 0.5 ORDER BY ts""".stripMargin),
     "g63_minmax" ->
       (S + """SELECT 'minMax(' || name || ')' AS name, ts,
-        |  round(CASE WHEN max(v) OVER w = min(v) OVER w THEN 0
-        |             ELSE (v - min(v) OVER w) / (max(v) OVER w - min(v) OVER w) END, 4) AS value
+        |  round((CASE WHEN max(v) OVER w = min(v) OVER w THEN 0
+        |             ELSE (v - min(v) OVER w) / (max(v) OVER w - min(v) OVER w) END) * 1e4) / 1e4 AS value
         |FROM s WINDOW w AS (PARTITION BY name) QUALIFY v IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g64_linreg" ->
       (S + """, f AS (SELECT regr_slope(v, (ts - b.t0) / 3600) AS sl, regr_intercept(v, (ts - b.t0) / 3600) AS ic
         |       FROM s, b WHERE name = 'events.click')
         |SELECT 'linearRegression(events.click)' AS name, s.ts,
-        |  round(f.ic + f.sl * ((s.ts - b.t0) / 3600), 4) AS value
+        |  round((f.ic + f.sl * ((s.ts - b.t0) / 3600)) * 1e4) / 1e4 AS value
         |FROM s, b, f WHERE s.name = 'events.click' ORDER BY s.ts""".stripMargin),
     "g65_delay" ->
-      (S + """SELECT 'delay(' || name || ',3)' AS name, ts, round(pv, 4) AS value FROM (
+      (S + """SELECT 'delay(' || name || ',3)' AS name, ts, round((pv) * 1e4) / 1e4 AS value FROM (
         |  SELECT name, ts, lag(v, 3) OVER (PARTITION BY name ORDER BY ts) AS pv FROM s)
         |WHERE pv IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g66_npercentile" ->
       (S + """, p AS (SELECT name, quantile_cont(v, 0.95) AS pv FROM s WHERE v IS NOT NULL GROUP BY name)
-        |SELECT 'nPercentile(' || s.name || ',95)' AS name, s.ts, round(p.pv, 4) AS value
+        |SELECT 'nPercentile(' || s.name || ',95)' AS name, s.ts, round((p.pv) * 1e4) / 1e4 AS value
         |FROM s JOIN p ON s.name = p.name WHERE p.pv IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g67_lowest_max" ->
       (S + """, keep AS (SELECT name FROM s GROUP BY name ORDER BY max(v) ASC, name LIMIT 2)
-        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep ON s.name = keep.name
+        |SELECT s.name, s.ts, round((s.v) * 1e4) / 1e4 AS value FROM s JOIN keep ON s.name = keep.name
         |WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
     "g68_diff_multiarg" ->
       (S + """SELECT 'diffSeries(transformNull(events.view,0),transformNull(events.click,0),transformNull(events.error,0))' AS name, ts,
-        |  round(coalesce(max(CASE WHEN name = 'events.view' THEN v END), 0)
+        |  round((coalesce(max(CASE WHEN name = 'events.view' THEN v END), 0)
         |      - coalesce(max(CASE WHEN name = 'events.click' THEN v END), 0)
-        |      - coalesce(max(CASE WHEN name = 'events.error' THEN v END), 0), 4) AS value
+        |      - coalesce(max(CASE WHEN name = 'events.error' THEN v END), 0)) * 1e4) / 1e4 AS value
         |FROM s GROUP BY ts ORDER BY ts""".stripMargin),
     "g69_aspercent_list" ->
       (S + """SELECT * FROM (
         |  SELECT 'asPercent(events.click,events.error)' AS name, a.ts,
-        |    round(CASE WHEN b.v = 0 THEN NULL ELSE a.v * 100 / b.v END, 4) AS value
+        |    round((CASE WHEN b.v = 0 THEN NULL ELSE a.v * 100 / b.v END) * 1e4) / 1e4 AS value
         |  FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.click' AND b.name = 'events.error'
         |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL
         |  UNION ALL
         |  SELECT 'asPercent(events.view,events.signup)' AS name, a.ts,
-        |    round(CASE WHEN b.v = 0 THEN NULL ELSE a.v * 100 / b.v END, 4) AS value
+        |    round((CASE WHEN b.v = 0 THEN NULL ELSE a.v * 100 / b.v END) * 1e4) / 1e4 AS value
         |  FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.view' AND b.name = 'events.signup'
         |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL)
         |WHERE value IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g61_aliasbytags" ->
       (S + """SELECT (CASE WHEN split_part(name, '.', 2) IN ('purchase','signup') THEN 'conv' ELSE 'eng' END)
-        |  || '.' || split_part(name, '.', 2) AS name, ts, round(v, 4) AS value
+        |  || '.' || split_part(name, '.', 2) AS name, ts, round((v) * 1e4) / 1e4 AS value
         |FROM s WHERE v IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g57_powseries" ->
       (S + """, piv AS (SELECT ts,
@@ -1490,10 +1491,10 @@ object Queries {
         |  max(CASE WHEN name = 'events.view' THEN coalesce(v * 0.01, 1) ELSE NULL END) AS vw
         |  FROM s GROUP BY ts)
         |SELECT 'powSeries(transformNull(scale(events.*,0.01),1))' AS name, ts,
-        |  round(pow(pow(pow(pow(c, e), p), sg), vw), 4) AS value
+        |  round((pow(pow(pow(pow(c, e), p), sg), vw)) * 1e4) / 1e4 AS value
         |FROM piv ORDER BY ts""".stripMargin),
     "g53_useseriesabove" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name = 'events.view' AND v IS NOT NULL ORDER BY ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE name = 'events.view' AND v IS NOT NULL ORDER BY ts"),
     // Graphite's triple-exponential Holt-Winters (alpha .1, beta .0035,
     // gamma .1, 24-step season) replayed by a recursive CTE: scalar
     // level/trend/last-seen state plus a rolling 24-slot seasonal window
@@ -1521,7 +1522,7 @@ object Queries {
         |    FROM (SELECT x.i AS i2, coalesce(x.v, r.lastseen) AS xv,
         |                 r.ic, r.sl, r.sw FROM r JOIN x ON x.i = r.i + 1) q))
         |SELECT 'holtWintersForecast(events.click)' AS name,
-        |  b.t0 + r.i * 3600 AS ts, round(r.fc, 4) AS value
+        |  b.t0 + r.i * 3600 AS ts, round((r.fc) * 1e4) / 1e4 AS value
         |FROM r, b ORDER BY ts""".stripMargin),
     // the EMA recurrence replayed by a recursive CTE: seed = NaN-skipping
     // mean of the first 10 points (0 when empty), then
@@ -1540,7 +1541,7 @@ object Queries {
         |    CASE WHEN x.v IS NULL THEN NULL ELSE 2.0/11.0*x.v + (1.0 - 2.0/11.0)*r.st END
         |  FROM rec r JOIN x ON x.name = r.name AND x.i = r.i + 1)
         |SELECT 'exponentialMovingAverage(' || rec.name || ',10)' AS name,
-        |  b.t0 + (rec.i + 1) * 3600 AS ts, round(round(rec.outv, 6), 4) AS value
+        |  b.t0 + (rec.i + 1) * 3600 AS ts, round((round(rec.outv, 6)) * 1e4) / 1e4 AS value
         |FROM rec, b WHERE rec.outv IS NOT NULL ORDER BY name, ts""".stripMargin),
     // direct O(N^2) DFT — the series length is not a power of two, so the
     // Spark kernel takes the same naive-DFT path (VecOps.dft non-pow2
@@ -1554,9 +1555,9 @@ object Queries {
         |  sum(src.y * cos((-2*pi()/nn.n) * k.t * src.t)) AS re,
         |  sum(src.y * sin((-2*pi()/nn.n) * k.t * src.t)) AS im
         |  FROM src k, src, nn GROUP BY k.ts)
-        |SELECT 'fft(events.click,abs)' AS name, ts, round(sqrt(re*re + im*im), 4) AS value FROM d
+        |SELECT 'fft(events.click,abs)' AS name, ts, round((sqrt(re*re + im*im)) * 1e4) / 1e4 AS value FROM d
         |UNION ALL
-        |SELECT 'fft(events.click,phase)' AS name, ts, round(atan2(im, re), 4) AS value FROM d
+        |SELECT 'fft(events.click,phase)' AS name, ts, round((atan2(im, re)) * 1e4) / 1e4 AS value FROM d
         |ORDER BY name, ts""".stripMargin),
     // degree-2 least squares in closed form: power sums S0..S4 / moment sums
     // T0..T2 per series, 3x3 normal equations solved by Cramer's rule —
@@ -1578,17 +1579,17 @@ object Queries {
         |  s0*(s2*r - q*s3) - s1*(s1*r - q*s2) + p*(s1*s3 - s2*s2) AS d2
         |  FROM m)
         |SELECT 'polyfit(' || x.name || ',2)' AS name, x.ts,
-        |  round(c.d0/c.det + (c.d1/c.det)*x.i + (c.d2/c.det)*x.i*x.i, 4) AS value
+        |  round((c.d0/c.det + (c.d1/c.det)*x.i + (c.d2/c.det)*x.i*x.i) * 1e4) / 1e4 AS value
         |FROM x JOIN c ON x.name = c.name ORDER BY name, ts""".stripMargin),
     "g46_timestack" ->
       (S + """SELECT * FROM (
-        |  SELECT 'timeShift(events.click,1d,0)' AS name, ts, round(v, 4) AS value
+        |  SELECT 'timeShift(events.click,1d,0)' AS name, ts, round((v) * 1e4) / 1e4 AS value
         |  FROM s WHERE name = 'events.click' AND v IS NOT NULL
         |  UNION ALL
-        |  SELECT 'timeShift(events.click,1d,-86400)' AS name, ts + 86400 AS ts, round(v, 4) AS value
+        |  SELECT 'timeShift(events.click,1d,-86400)' AS name, ts + 86400 AS ts, round((v) * 1e4) / 1e4 AS value
         |  FROM s WHERE name = 'events.click' AND v IS NOT NULL
         |  UNION ALL
-        |  SELECT 'timeShift(events.click,1d,-172800)' AS name, ts + 172800 AS ts, round(v, 4) AS value
+        |  SELECT 'timeShift(events.click,1d,-172800)' AS name, ts + 172800 AS ts, round((v) * 1e4) / 1e4 AS value
         |  FROM s WHERE name = 'events.click' AND v IS NOT NULL
         |) ORDER BY name, ts""".stripMargin),
     "g54_baseline" ->
@@ -1598,54 +1599,54 @@ object Queries {
         |  SELECT name, ts + 259200 AS ts, v FROM s),
         |med AS (SELECT name, ts, quantile_cont(v, 0.5) AS m, count(v) AS c FROM shifted, b
         |        WHERE ts >= b.t0 + 259200 AND ts <= b.t1 + 86400 GROUP BY name, ts)
-        |SELECT 'baseline(' || name || ')' AS name, ts, round(m, 4) AS value FROM med WHERE c > 0 ORDER BY name, ts""".stripMargin),
+        |SELECT 'baseline(' || name || ')' AS name, ts, round((m) * 1e4) / 1e4 AS value FROM med WHERE c > 0 ORDER BY name, ts""".stripMargin),
 
     // ---- round-3 oracle expansion
     "g70_filterseries" ->
       (S + """, keep AS (SELECT name FROM s GROUP BY name HAVING max(v) > 300)
-        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep USING (name)
+        |SELECT s.name, s.ts, round((s.v) * 1e4) / 1e4 AS value FROM s JOIN keep USING (name)
         |WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
     "g71_sortbytotal" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g72_sortbyname_rev" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g73_exclude" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE NOT regexp_matches(name, 'click|view') AND v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE NOT regexp_matches(name, 'click|view') AND v IS NOT NULL ORDER BY name, ts"),
     "g74_grep" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE regexp_matches(name, 'c') AND v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE regexp_matches(name, 'c') AND v IS NOT NULL ORDER BY name, ts"),
     "g75_unique" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name IN ('events.click','events.view') AND v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE name IN ('events.click','events.view') AND v IS NOT NULL ORDER BY name, ts"),
     "g76_join_and" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name IN ('events.view','events.error') AND v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE name IN ('events.view','events.error') AND v IS NOT NULL ORDER BY name, ts"),
     "g77_join_xor" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name IN ('events.click','events.purchase') AND v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE name IN ('events.click','events.purchase') AND v IS NOT NULL ORDER BY name, ts"),
     "g78_join_or" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name != 'events.signup' AND v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE name != 'events.signup' AND v IS NOT NULL ORDER BY name, ts"),
     "g79_sumlists" ->
       (S + """SELECT * FROM (
-        |  SELECT 'sumSeries(events.click,events.purchase)' AS name, a.ts, round(a.v + b.v, 4) AS value
+        |  SELECT 'sumSeries(events.click,events.purchase)' AS name, a.ts, round((a.v + b.v) * 1e4) / 1e4 AS value
         |  FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.click' AND b.name = 'events.purchase'
         |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL
         |  UNION ALL
-        |  SELECT 'sumSeries(events.error,events.signup)' AS name, a.ts, round(a.v + b.v, 4) AS value
+        |  SELECT 'sumSeries(events.error,events.signup)' AS name, a.ts, round((a.v + b.v) * 1e4) / 1e4 AS value
         |  FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.error' AND b.name = 'events.signup'
         |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL) ORDER BY name, ts""".stripMargin),
     "g80_multiplylists" ->
       (S + """SELECT * FROM (
-        |  SELECT 'multiplySeries(events.click,events.purchase)' AS name, a.ts, round(a.v * b.v, 4) AS value
+        |  SELECT 'multiplySeries(events.click,events.purchase)' AS name, a.ts, round((a.v * b.v) * 1e4) / 1e4 AS value
         |  FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.click' AND b.name = 'events.purchase'
         |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL
         |  UNION ALL
-        |  SELECT 'multiplySeries(events.error,events.signup)' AS name, a.ts, round(a.v * b.v, 4) AS value
+        |  SELECT 'multiplySeries(events.error,events.signup)' AS name, a.ts, round((a.v * b.v) * 1e4) / 1e4 AS value
         |  FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.error' AND b.name = 'events.signup'
         |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL) ORDER BY name, ts""".stripMargin),
     "g81_dividelists" ->
       (S + """SELECT * FROM (
-        |  SELECT 'divideSeries(events.click,events.purchase)' AS name, a.ts, round(a.v / b.v, 4) AS value
+        |  SELECT 'divideSeries(events.click,events.purchase)' AS name, a.ts, round((a.v / b.v) * 1e4) / 1e4 AS value
         |  FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.click' AND b.name = 'events.purchase'
         |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL AND b.v != 0
         |  UNION ALL
-        |  SELECT 'divideSeries(events.error,events.signup)' AS name, a.ts, round(a.v / b.v, 4) AS value
+        |  SELECT 'divideSeries(events.error,events.signup)' AS name, a.ts, round((a.v / b.v) * 1e4) / 1e4 AS value
         |  FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.error' AND b.name = 'events.signup'
         |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL AND b.v != 0) ORDER BY name, ts""".stripMargin),
     // ewma closed form: e_k = 0.9^k * (v_1/0.9 + Σ_{j≥2} 0.1·v_j·0.9^{-j})
@@ -1657,10 +1658,10 @@ object Queries {
         |        sum(CASE WHEN rn = 1 THEN 0 ELSE 0.1 * v * pow(0.9, -rn) END)
         |          OVER (PARTITION BY name ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sm
         |      FROM e1)
-        |SELECT 'ewma(' || name || ',0.1)' AS name, ts, round(pow(0.9, rn) * (fv / 0.9 + sm), 4) AS value
+        |SELECT 'ewma(' || name || ',0.1)' AS name, ts, round((pow(0.9, rn) * (fv / 0.9 + sm)) * 1e4) / 1e4 AS value
         |FROM e2 ORDER BY name, ts""".stripMargin),
     "g83_movingmedian" ->
-      (S + """SELECT 'movingMedian(' || name || ',6)' AS name, ts, round(wmed, 4) AS value FROM (
+      (S + """SELECT 'movingMedian(' || name || ',6)' AS name, ts, round((wmed) * 1e4) / 1e4 AS value FROM (
         |  SELECT name, ts, quantile_cont(v, 0.5) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS wmed FROM s)
         |WHERE ts >= (SELECT t0 FROM b) + 6*3600 AND wmed IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g84_changed" ->
@@ -1669,7 +1670,7 @@ object Queries {
         |FROM ($lagS) ORDER BY name, ts""".stripMargin),
     "g85_integralbyinterval" ->
       (S + """SELECT 'integralByInterval(' || name || ',''1d'')' AS name, ts,
-        |  round(sum(v) OVER (PARTITION BY name, CAST(floor(ts/86400) AS BIGINT) ORDER BY ts ROWS UNBOUNDED PRECEDING), 4) AS value
+        |  round((sum(v) OVER (PARTITION BY name, CAST(floor(ts/86400) AS BIGINT) ORDER BY ts ROWS UNBOUNDED PRECEDING)) * 1e4) / 1e4 AS value
         |FROM s QUALIFY v IS NOT NULL ORDER BY name, ts""".stripMargin),
     // max ECDF distance over the last 60 non-null points of each side,
     // evaluated at every sample point (equivalent to the kernel's sort-merge
@@ -1681,42 +1682,42 @@ object Queries {
         |d AS (SELECT max(abs(
         |        (SELECT count(*) FROM xa WHERE xa.v <= u.v) * 1.0 / (SELECT count(*) FROM xa)
         |      - (SELECT count(*) FROM ya WHERE ya.v <= u.v) * 1.0 / (SELECT count(*) FROM ya))) AS ks FROM u)
-        |SELECT 'kolmogorovSmirnovTest2(events.click,events.view,60)' AS name, (SELECT t0 FROM b) AS ts, round(ks, 4) AS value FROM d""".stripMargin),
+        |SELECT 'kolmogorovSmirnovTest2(events.click,events.view,60)' AS name, (SELECT t0 FROM b) AS ts, round((ks) * 1e4) / 1e4 AS value FROM d""".stripMargin),
     "g87_sloerrorbudget" ->
       (S + """SELECT 'sloErrorBudget(' || name || ', 1d, above, 100, 0.9)' AS name,
         |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts,
-        |  round((avg(CASE WHEN v > 100 THEN 1.0 WHEN v IS NULL THEN NULL ELSE 0.0 END) - 0.9) * 86400, 4) AS value
+        |  round(((avg(CASE WHEN v > 100 THEN 1.0 WHEN v IS NULL THEN NULL ELSE 0.0 END) - 0.9) * 86400) * 1e4) / 1e4 AS value
         |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
     "g88_alias" ->
-      (S + "SELECT 'clicks' AS name, ts, round(v, 4) AS value FROM s WHERE name = 'events.click' AND v IS NOT NULL ORDER BY ts"),
+      (S + "SELECT 'clicks' AS name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE name = 'events.click' AND v IS NOT NULL ORDER BY ts"),
     "g89_aliasbymetric" ->
-      (S + "SELECT split_part(name, '.', 2) AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT split_part(name, '.', 2) AS name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g90_touppercase" ->
-      (S + "SELECT upper(substr(name, 1, 1)) || substr(name, 2) AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT upper(substr(name, 1, 1)) || substr(name, 2) AS name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g91_scaletoseconds" ->
-      (S + "SELECT 'scaleToSeconds(' || name || ',60)' AS name, ts, round(v * 60 / 3600, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'scaleToSeconds(' || name || ',60)' AS name, ts, round((v * 60 / 3600) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g92_pearson_window" ->
       (S + """, pr AS (SELECT a.ts, row_number() OVER (ORDER BY a.ts) AS rn,
         |         corr(a.v, y.v) OVER (ORDER BY a.ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS r
         |       FROM s a JOIN s y ON a.ts = y.ts AND a.name = 'events.click' AND y.name = 'events.view')
-        |SELECT 'pearson(events.click,events.view,24)' AS name, ts, round(r, 4) AS value
+        |SELECT 'pearson(events.click,events.view,24)' AS name, ts, round((r) * 1e4) / 1e4 AS value
         |FROM pr WHERE rn >= 24 AND r IS NOT NULL ORDER BY ts""".stripMargin),
     // graphite non-interpolated percentile: sorted[ceil((n-1)*p/100)]
     "g93_removeabovepct" ->
       (S + """, pc AS (SELECT name, lst[CAST(ceil((len(lst) - 1) * 95 / 100.0) AS INT) + 1] AS pv
         |       FROM (SELECT name, list_sort(list(v) FILTER (WHERE v IS NOT NULL)) AS lst FROM s GROUP BY name))
-        |SELECT 'removeAbovePercentile(' || s.name || ', 95)' AS name, s.ts, round(s.v, 4) AS value
+        |SELECT 'removeAbovePercentile(' || s.name || ', 95)' AS name, s.ts, round((s.v) * 1e4) / 1e4 AS value
         |FROM s JOIN pc ON s.name = pc.name WHERE s.v IS NOT NULL AND s.v <= pc.pv ORDER BY 1, 2""".stripMargin),
     "g134_removeabovevalue" ->
-      (S + "SELECT 'removeAboveValue(' || name || ', 200)' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL AND v <= 200 ORDER BY name, ts"),
+      (S + "SELECT 'removeAboveValue(' || name || ', 200)' AS name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL AND v <= 200 ORDER BY name, ts"),
     "g135_removebelowvalue" ->
-      (S + "SELECT 'removeBelowValue(' || name || ', 50)' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL AND v >= 50 ORDER BY name, ts"),
+      (S + "SELECT 'removeBelowValue(' || name || ', 50)' AS name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL AND v >= 50 ORDER BY name, ts"),
     "g136_offset" ->
-      (S + "SELECT 'offset(' || name || ',100)' AS name, ts, round(v + 100, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'offset(' || name || ',100)' AS name, ts, round((v + 100) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g137_removezeroseries" ->
       (S + """, keep AS (SELECT name FROM s GROUP BY name HAVING max(v) >= 500)
         |SELECT 'transformNull(removeBelowValue(' || s.name || ', 500),0)' AS name, ts,
-        |  round(CASE WHEN v IS NOT NULL AND v >= 500 THEN v ELSE 0 END, 4) AS value
+        |  round((CASE WHEN v IS NOT NULL AND v >= 500 THEN v ELSE 0 END) * 1e4) / 1e4 AS value
         |FROM s JOIN keep USING (name) ORDER BY 1, 2""".stripMargin),
     "g138_tukeybelow" ->
       (S + """, p AS (SELECT list_sort(list(v)) AS l, count(v) AS c FROM s WHERE v IS NOT NULL),
@@ -1724,21 +1725,21 @@ object Queries {
         |oc AS (SELECT s.name, count(*) FILTER (WHERE s.v <= q.q1 - 0.2*(q.q3-q.q1)) AS oc
         |       FROM s, q WHERE s.v IS NOT NULL GROUP BY s.name),
         |keep AS (SELECT name FROM oc WHERE oc > 0 ORDER BY oc DESC, name LIMIT 2)
-        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep USING (name) WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
+        |SELECT s.name, s.ts, round((s.v) * 1e4) / 1e4 AS value FROM s JOIN keep USING (name) WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
     "g139_movingwindow_min" ->
-      (S + """SELECT 'movingWindow(' || name || ',''12h'')' AS name, ts, round(wmin, 4) AS value FROM (
+      (S + """SELECT 'movingWindow(' || name || ',''12h'')' AS name, ts, round((wmin) * 1e4) / 1e4 AS value FROM (
         |  SELECT name, ts, min(v) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS wmin FROM s)
         |WHERE ts >= (SELECT t0 FROM b) + 12*3600 AND wmin IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g140_scaleafterts" ->
       (S + """SELECT 'scale(' || name || ',2,1705363200)' AS name, ts,
-        |  round(CASE WHEN ts >= 1705363200 THEN v * 2 ELSE v END, 4) AS value
+        |  round((CASE WHEN ts >= 1705363200 THEN v * 2 ELSE v END) * 1e4) / 1e4 AS value
         |FROM s WHERE v IS NOT NULL ORDER BY name, ts""".stripMargin),
     // identity lookup: each series' new name is printf('%d hits') of its own
     // last non-null value (the first-by-name series of the derived target)
     "g141_aliasquery" ->
       (S + """, lastv AS (SELECT name, v FROM s WHERE v IS NOT NULL
         |        QUALIFY row_number() OVER (PARTITION BY name ORDER BY ts DESC) = 1)
-        |SELECT printf('%d hits', CAST(trunc(l.v) AS BIGINT)) AS name, s.ts, round(s.v, 4) AS value
+        |SELECT printf('%d hits', CAST(trunc(l.v) AS BIGINT)) AS name, s.ts, round((s.v) * 1e4) / 1e4 AS value
         |FROM s JOIN lastv l USING (name)
         |WHERE s.name IN ('events.click', 'events.view') AND s.v IS NOT NULL ORDER BY name, ts""".stripMargin),
     // mark 1_1's last data point is the slice cut, 1_2's the series end; the
@@ -1748,35 +1749,35 @@ object Queries {
         |    (SELECT max(ts) FROM s WHERE name = 'events.click' AND v IS NOT NULL AND ts <= 1704672000) AS t11,
         |    (SELECT max(ts) FROM s WHERE name = 'events.view' AND v IS NOT NULL) AS t12)
         |SELECT * FROM (
-        |  SELECT 'timeShiftByMetric(m.1_1)' AS name, s.ts + (pos.t12 - pos.t11) AS ts, round(s.v, 4) AS value
+        |  SELECT 'timeShiftByMetric(m.1_1)' AS name, s.ts + (pos.t12 - pos.t11) AS ts, round((s.v) * 1e4) / 1e4 AS value
         |  FROM s, pos WHERE s.name = 'events.click' AND s.v IS NOT NULL
         |  UNION ALL
-        |  SELECT 'timeShiftByMetric(m.2_1)' AS name, s.ts, round(s.v, 4) AS value
+        |  SELECT 'timeShiftByMetric(m.2_1)' AS name, s.ts, round((s.v) * 1e4) / 1e4 AS value
         |  FROM s WHERE s.name = 'events.view' AND s.v IS NOT NULL) ORDER BY name, ts""".stripMargin),
     // densified grid gapped to every 3rd hour re-buckets at a 3h step whose
     // slots are exactly the kept hours ('last' consolidation, xff 0)
     "g143_compressgaps" ->
       (S + """SELECT 'compressPeriodicGaps(transformNull(' || name || ',1))' AS name, ts,
-        |  round(coalesce(v, 1), 4) AS value
+        |  round((coalesce(v, 1)) * 1e4) / 1e4 AS value
         |FROM s WHERE ts % 10800 = 0 ORDER BY name, ts""".stripMargin),
     "g144_cumulative" ->
-      (S + "SELECT 'consolidateBy(' || name || ',\"sum\")' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'consolidateBy(' || name || ',\"sum\")' AS name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g145_summarize_align" ->
       (S + """SELECT 'summarize(' || name || ',''7h'',''max'',true)' AS name,
         |  CAST((SELECT t0 FROM b) + floor((ts - (SELECT t0 FROM b))/25200)*25200 AS BIGINT) AS ts,
-        |  round(max(v), 4) AS value
+        |  round((max(v)) * 1e4) / 1e4 AS value
         |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
     // layout invisibility: the sharded+stitched fetch of [T0+5d, T0+7d)
     // must be exactly the flat fixture's points in that window
     "g146_partitioned_fetch" ->
-      (S + """SELECT name, ts, round(v, 4) AS value FROM s
+      (S + """SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s
         |WHERE v IS NOT NULL AND ts >= 1704499200 AND ts < 1704672000
         |ORDER BY name, ts""".stripMargin),
     // layout invisibility again, now under name routing: the depth-2
     // routed fetch of events.click over [T0+2d, T0+5d) is exactly the
     // flat fixture's points for that one name and window
     "g148_routed_fetch" ->
-      (S + """SELECT name, ts, round(v, 4) AS value FROM s
+      (S + """SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s
         |WHERE name = 'events.click' AND v IS NOT NULL
         |  AND ts >= 1704240000 AND ts < 1704499200
         |ORDER BY name, ts""".stripMargin),
@@ -1786,11 +1787,11 @@ object Queries {
     "g147_tiered_fetch" ->
       (S + """, c AS (SELECT name, CAST(floor(ts/7200)*7200 AS BIGINT) AS ts, avg(v) AS v
         |       FROM s GROUP BY 1, 2 HAVING count(v) > 0)
-        |SELECT name, ts, round(v, 4) AS value FROM c ORDER BY name, ts""".stripMargin),
+        |SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM c ORDER BY name, ts""".stripMargin),
     "g94_removebelowpct" ->
       (S + """, pc AS (SELECT name, lst[CAST(ceil((len(lst) - 1) * 25 / 100.0) AS INT) + 1] AS pv
         |       FROM (SELECT name, list_sort(list(v) FILTER (WHERE v IS NOT NULL)) AS lst FROM s GROUP BY name))
-        |SELECT 'removeBelowPercentile(' || s.name || ', 25)' AS name, s.ts, round(s.v, 4) AS value
+        |SELECT 'removeBelowPercentile(' || s.name || ', 25)' AS name, s.ts, round((s.v) * 1e4) / 1e4 AS value
         |FROM s JOIN pc ON s.name = pc.name WHERE s.v IS NOT NULL AND s.v >= pc.pv ORDER BY 1, 2""".stripMargin),
     "g95_avgoutsidepct" ->
       (S + """, a AS (SELECT name, avg(v) AS av FROM s GROUP BY name),
@@ -1798,7 +1799,7 @@ object Queries {
         |bands AS (SELECT max(CASE WHEN rn = CAST(ceil((n-1)*0.05) AS INT) THEN av END) AS lo,
         |                 max(CASE WHEN rn = CAST(ceil((n-1)*0.95) AS INT) THEN av END) AS hi FROM r),
         |keep AS (SELECT name FROM a, bands WHERE NOT (av > lo AND av < hi))
-        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep USING (name)
+        |SELECT s.name, s.ts, round((s.v) * 1e4) / 1e4 AS value FROM s JOIN keep USING (name)
         |WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
     "g96_removebetweenpct" ->
       (S + """, r AS (SELECT ts, v, row_number() OVER (PARTITION BY ts ORDER BY v) - 1 AS rn,
@@ -1806,15 +1807,15 @@ object Queries {
         |bandpts AS (SELECT ts, max(CASE WHEN rn = CAST(ceil((n-1)*0.3) AS INT) THEN v END) AS lo,
         |                   max(CASE WHEN rn = CAST(ceil((n-1)*0.7) AS INT) THEN v END) AS hi FROM r GROUP BY ts),
         |keep AS (SELECT DISTINCT s.name FROM s JOIN bandpts USING (ts) WHERE s.v IS NOT NULL AND NOT (s.v > lo AND s.v < hi))
-        |SELECT 'removeBetweenPercentile(' || s.name || ', 30)' AS name, s.ts, round(s.v, 4) AS value
+        |SELECT 'removeBetweenPercentile(' || s.name || ', 30)' AS name, s.ts, round((s.v) * 1e4) / 1e4 AS value
         |FROM s JOIN keep USING (name) WHERE s.v IS NOT NULL ORDER BY 1, 2""".stripMargin),
     "g97_mostdeviant" ->
       (S + """, keep AS (SELECT name FROM s GROUP BY name ORDER BY stddev_pop(v) DESC NULLS LAST, name LIMIT 2)
-        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep USING (name)
+        |SELECT s.name, s.ts, round((s.v) * 1e4) / 1e4 AS value FROM s JOIN keep USING (name)
         |WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
     "g98_limit" ->
       (S + """, keep AS (SELECT DISTINCT name FROM s ORDER BY name LIMIT 2)
-        |SELECT s.name, s.ts, round(s.v, 4) AS value FROM s JOIN keep USING (name)
+        |SELECT s.name, s.ts, round((s.v) * 1e4) / 1e4 AS value FROM s JOIN keep USING (name)
         |WHERE s.v IS NOT NULL ORDER BY s.name, s.ts""".stripMargin),
 
     // ---- round-4 oracle expansion
@@ -1822,54 +1823,54 @@ object Queries {
     "g99_sumwildcards" -> agg1("events", "sum(v)"),
     "g100_avgwildcards" ->
       (S + """, renamed AS (SELECT CASE WHEN name IN ('events.click','events.error') THEN 'a' ELSE 'b' END AS name, ts, v FROM s)
-        |SELECT name, ts, round(avg(v), 4) AS value FROM renamed GROUP BY name, ts HAVING count(v) > 0 ORDER BY name, ts""".stripMargin),
+        |SELECT name, ts, round((avg(v)) * 1e4) / 1e4 AS value FROM renamed GROUP BY name, ts HAVING count(v) > 0 ORDER BY name, ts""".stripMargin),
     "g101_aggwildcards" -> agg1("events", "max(v)"),
     "g102_invert" ->
-      (S + "SELECT 'invert(' || name || ')' AS name, ts, round(1 / v, 4) AS value FROM s WHERE v IS NOT NULL AND v != 0 ORDER BY name, ts"),
+      (S + "SELECT 'invert(' || name || ')' AS name, ts, round((1 / v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL AND v != 0 ORDER BY name, ts"),
     "g103_pow" ->
-      (S + "SELECT 'pow(' || name || ',2)' AS name, ts, round(pow(v, 2), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'pow(' || name || ',2)' AS name, ts, round((pow(v, 2)) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g104_squareroot" ->
-      (S + "SELECT 'squareRoot(' || name || ')' AS name, ts, round(sqrt(v), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'squareRoot(' || name || ')' AS name, ts, round((sqrt(v)) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g105_exp" ->
-      (S + "SELECT 'exp(scale(' || name || ',0.001))' AS name, ts, round(exp(v * 0.001), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'exp(scale(' || name || ',0.001))' AS name, ts, round((exp(v * 0.001)) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     // mirror Spark's log(base, x) = ln(x)/ln(base) association
     "g106_log" ->
-      (S + "SELECT 'logarithm(' || name || ')' AS name, ts, round(ln(v) / ln(10), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'logarithm(' || name || ')' AS name, ts, round((ln(v) / ln(10)) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     // domain guard 0 < x < 1: outside it the engine's logit is NaN (dropped
     // by convention — incl. the logit(1) r6d rule), while ANSI DuckDB would
     // RAISE on ln(<=0) instead of dropping (the r8 sf0.1 sweep hit this
     // once scaled values crossed 1)
     "g107_logit" ->
-      (S + "SELECT 'logit(scale(' || name || ',0.001))' AS name, ts, round(ln((v * 0.001) / (1 - v * 0.001)), 4) AS value FROM s WHERE v IS NOT NULL AND v * 0.001 > 0 AND v * 0.001 < 1 ORDER BY name, ts"),
+      (S + "SELECT 'logit(scale(' || name || ',0.001))' AS name, ts, round((ln((v * 0.001) / (1 - v * 0.001))) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL AND v * 0.001 > 0 AND v * 0.001 < 1 ORDER BY name, ts"),
     // kernel SafeRound = round-half-to-even (math.rint)
     "g108_round" ->
-      (S + "SELECT 'round(scale(' || name || ',0.333))' AS name, ts, round(round_even(v * 0.333, 0), 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'round(scale(' || name || ',0.333))' AS name, ts, round((round_even(v * 0.333, 0)) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g109_timeslice" ->
-      (S + "SELECT 'timeSlice(' || name || ',1704326400,1704672000)' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL AND ts >= 1704326400 AND ts <= 1704672000 ORDER BY name, ts"),
+      (S + "SELECT 'timeSlice(' || name || ',1704326400,1704672000)' AS name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL AND ts >= 1704326400 AND ts <= 1704672000 ORDER BY name, ts"),
     // row ORDER is invisible to the driver hash (like g71/g72): these verify
     // value pass-through; ordering is golden-gated in the sbt suites
     "g110_sortbymaxima" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g111_sortbyminima" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     // removeBelowValue(700) leaves series with max<700 all-NaN; the trailing
     // transformNull makes removeEmptySeries' drop observable in the points
     "g112_removeempty" ->
       (S + """, keep AS (SELECT name FROM s GROUP BY name HAVING max(v) >= 700)
         |SELECT 'transformNull(removeBelowValue(' || s.name || ', 700),0)' AS name, ts,
-        |  round(CASE WHEN v IS NOT NULL AND v >= 700 THEN v ELSE 0 END, 4) AS value
+        |  round((CASE WHEN v IS NOT NULL AND v >= 700 THEN v ELSE 0 END) * 1e4) / 1e4 AS value
         |FROM s JOIN keep USING (name) ORDER BY 1, 2""".stripMargin),
     "g113_movingmin" ->
-      (S + """SELECT 'movingMin(' || name || ',12)' AS name, ts, round(wmin, 4) AS value FROM (
+      (S + """SELECT 'movingMin(' || name || ',12)' AS name, ts, round((wmin) * 1e4) / 1e4 AS value FROM (
         |  SELECT name, ts, min(v) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS wmin FROM s)
         |WHERE ts >= (SELECT t0 FROM b) + 12*3600 AND wmin IS NOT NULL ORDER BY name, ts""".stripMargin),
     "g114_movingwindow" ->
-      (S + """SELECT 'movingWindow(' || name || ',''6h'')' AS name, ts, round(wmed, 4) AS value FROM (
+      (S + """SELECT 'movingWindow(' || name || ',''6h'')' AS name, ts, round((wmed) * 1e4) / 1e4 AS value FROM (
         |  SELECT name, ts, quantile_cont(v, 0.5) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS wmed FROM s)
         |WHERE ts >= (SELECT t0 FROM b) + 6*3600 AND wmed IS NOT NULL ORDER BY name, ts""".stripMargin),
     // primary glob matches nothing → fallback series passes through unrenamed
     "g115_fallback" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE name = 'events.click' AND v IS NOT NULL ORDER BY ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE name = 'events.click' AND v IS NOT NULL ORDER BY ts"),
     // baseline median (g54's grid) ratioed against the current fetch; NaN
     // current or NaN median → dropped, zero median → 0 (kernel else-branch)
     "g116_baseline_aberration" ->
@@ -1880,7 +1881,7 @@ object Queries {
         |med AS (SELECT name, ts, quantile_cont(v, 0.5) AS m, count(v) AS c FROM shifted, b
         |        WHERE ts >= b.t0 + 259200 AND ts <= b.t1 + 86400 GROUP BY name, ts)
         |SELECT 'baselineAberration(' || med.name || ')' AS name, med.ts,
-        |  round(CASE WHEN med.m = 0 THEN 0 ELSE s.v / med.m END, 4) AS value
+        |  round((CASE WHEN med.m = 0 THEN 0 ELSE s.v / med.m END) * 1e4) / 1e4 AS value
         |FROM med JOIN s ON s.name = med.name AND s.ts = med.ts
         |WHERE med.c > 0 AND s.v IS NOT NULL ORDER BY 1, 2""".stripMargin),
     // g42's recursive Holt-Winters CTE extended with the deviation window:
@@ -1889,10 +1890,10 @@ object Queries {
     // the kernel's exact float association (sign*delta)*d
     "g117_hw_bands" ->
       (hwRecS + """SELECT 'holtWintersConfidenceUpper(events.click)' AS name,
-        |  b.t0 + r.i * 3600 AS ts, round(r.fc + 3*r.dv, 4) AS value FROM r, b
+        |  b.t0 + r.i * 3600 AS ts, round((r.fc + 3*r.dv) * 1e4) / 1e4 AS value FROM r, b
         |UNION ALL
         |SELECT 'holtWintersConfidenceLower(events.click)' AS name,
-        |  b.t0 + r.i * 3600 AS ts, round(r.fc - 3*r.dv, 4) AS value FROM r, b
+        |  b.t0 + r.i * 3600 AS ts, round((r.fc - 3*r.dv) * 1e4) / 1e4 AS value FROM r, b
         |ORDER BY name, ts""".stripMargin),
     // same recursion; area = BOTH raw bands renamed
     // holtWintersConfidenceArea(...) (the lower is an invisible stack base
@@ -1900,10 +1901,10 @@ object Queries {
     // holtWintersConfidenceArea/function_cairo.go:55-103)
     "g132_hwarea" ->
       (hwRecS + """SELECT 'holtWintersConfidenceArea(events.click)' AS name,
-        |  b.t0 + r.i * 3600 AS ts, round(r.fc - 3*r.dv, 4) AS value FROM r, b
+        |  b.t0 + r.i * 3600 AS ts, round((r.fc - 3*r.dv) * 1e4) / 1e4 AS value FROM r, b
         |UNION ALL
         |SELECT 'holtWintersConfidenceArea(events.click)' AS name,
-        |  b.t0 + r.i * 3600 AS ts, round(r.fc + 3*r.dv, 4) AS value FROM r, b
+        |  b.t0 + r.i * 3600 AS ts, round((r.fc + 3*r.dv) * 1e4) / 1e4 AS value FROM r, b
         |ORDER BY name, ts""".stripMargin),
     // g43's direct DFT with the lowPass bin mask: keep the first and last
     // floor(0.15*n) bins, NaN (→ dropped) the middle band
@@ -1915,7 +1916,7 @@ object Queries {
         |  sum(src.y * cos((-2*pi()/nn.n) * k.t * src.t)) AS re,
         |  sum(src.y * sin((-2*pi()/nn.n) * k.t * src.t)) AS im
         |  FROM src k, src, nn GROUP BY k.ts, k.t)
-        |SELECT 'lowPass(fft(events.click,abs),30)' AS name, d.ts, round(sqrt(re*re + im*im), 4) AS value
+        |SELECT 'lowPass(fft(events.click,abs),30)' AS name, d.ts, round((sqrt(re*re + im*im)) * 1e4) / 1e4 AS value
         |FROM d, nn WHERE d.t < floor(0.15 * nn.n) OR d.t >= nn.n - floor(0.15 * nn.n)
         |ORDER BY ts""".stripMargin),
     // forward DFT → low-pass mask (masked bins NaN→0 in the ifft kernel) →
@@ -1935,7 +1936,7 @@ object Queries {
         |  sum(m.y * sin((2*pi()/nn.n) * k.t * m.t)) AS si
         |  FROM src k, m, nn GROUP BY k.ts, k.t)
         |SELECT 'ifft(lowPass(fft(events.click,abs),30))' AS name, inv.ts,
-        |  round(sqrt((sr/nn.n)*(sr/nn.n) + (si/nn.n)*(si/nn.n)), 4) AS value
+        |  round((sqrt((sr/nn.n)*(sr/nn.n) + (si/nn.n)*(si/nn.n))) * 1e4) / 1e4 AS value
         |FROM inv, nn ORDER BY ts""".stripMargin),
 
     // ---- round-4b: generators pin to the explicit [T0, T0+7200] request
@@ -1948,15 +1949,15 @@ object Queries {
     "g123_timefn" ->
       "SELECT 'clock' AS name, CAST(ts AS BIGINT) AS ts, CAST(ts AS DOUBLE) AS value FROM generate_series(1704067200, 1704072600, 1800) t(ts) ORDER BY ts",
     "g124_sinfn" ->
-      "SELECT 'wave' AS name, CAST(ts AS BIGINT) AS ts, round(2 * sin(CAST(ts AS DOUBLE)), 4) AS value FROM generate_series(1704067200, 1704073800, 600) t(ts) ORDER BY ts",
+      "SELECT 'wave' AS name, CAST(ts AS BIGINT) AS ts, round((2 * sin(CAST(ts AS DOUBLE))) * 1e4) / 1e4 AS value FROM generate_series(1704067200, 1704073800, 600) t(ts) ORDER BY ts",
     "g125_consolidateby" ->
-      (S + "SELECT 'consolidateBy(' || name || ',\"max\")' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'consolidateBy(' || name || ',\"max\")' AS name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g126_verticalline" ->
       "SELECT 'mark' AS name, CAST(ts AS BIGINT) AS ts, CAST(1.0 AS DOUBLE) AS value FROM (VALUES (1704070800), (1704070801)) t(ts) ORDER BY ts",
     // legendValue('count'): count is integral so fmtNum prints a plain int
     "g127_legendvalue" ->
       (S + """, c AS (SELECT name, count(v) AS cnt FROM s GROUP BY name)
-        |SELECT s.name || ' (count: ' || c.cnt || ')' AS name, s.ts, round(s.v, 4) AS value
+        |SELECT s.name || ' (count: ' || c.cnt || ')' AS name, s.ts, round((s.v) * 1e4) / 1e4 AS value
         |FROM s JOIN c ON s.name = c.name WHERE s.v IS NOT NULL ORDER BY 1, s.ts""".stripMargin),
     // cactiStyle: per-series %.0f labels left-padded to their common width;
     // current = last non-NaN point
@@ -1970,32 +1971,32 @@ object Queries {
         |         'Min:' || printf('%.0f', mn) AS nl FROM st),
         |w AS (SELECT name, cl, xl, nl, greatest(length(cl), length(xl), length(nl)) AS ml FROM lbl)
         |SELECT s.name || ' ' || lpad(w.cl, CAST(w.ml AS INTEGER), ' ') || lpad(w.xl, CAST(w.ml AS INTEGER), ' ') || lpad(w.nl, CAST(w.ml AS INTEGER), ' ') AS name,
-        |       s.ts, round(s.v, 4) AS value
+        |       s.ts, round((s.v) * 1e4) / 1e4 AS value
         |FROM s JOIN w ON s.name = w.name WHERE s.v IS NOT NULL ORDER BY 1, s.ts""".stripMargin),
     "g129_aliasbybase64" ->
-      (S + "SELECT 'events.click' AS name, ts, round(v, 4) AS value FROM s WHERE name = 'events.click' AND v IS NOT NULL ORDER BY ts"),
+      (S + "SELECT 'events.click' AS name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE name = 'events.click' AND v IS NOT NULL ORDER BY ts"),
     // areaBetween: lower = first-by-name (click) unchanged, upper = view−click
     "g130_areabetween" ->
-      (S + """SELECT 'areaBetween(events.{click,view})' AS name, ts, round(v, 4) AS value
+      (S + """SELECT 'areaBetween(events.{click,view})' AS name, ts, round((v) * 1e4) / 1e4 AS value
         |FROM s WHERE name = 'events.click' AND v IS NOT NULL
         |UNION ALL
-        |SELECT 'areaBetween(events.{click,view})' AS name, a.ts, round(b.v - a.v, 4) AS value
+        |SELECT 'areaBetween(events.{click,view})' AS name, a.ts, round((b.v - a.v) * 1e4) / 1e4 AS value
         |FROM s a JOIN s b ON a.ts = b.ts AND a.name = 'events.click' AND b.name = 'events.view'
         |WHERE a.v IS NOT NULL AND b.v IS NOT NULL
         |ORDER BY name, ts""".stripMargin),
     // stacked() is render metadata only — data and names pass through
     "g131_stacked" ->
-      (S + "SELECT name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     "g133_secondyaxis" ->
-      (S + "SELECT 'secondYAxis(' || name || ')' AS name, ts, round(v, 4) AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'secondYAxis(' || name || ')' AS name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  round((avg(l_quantity)) * 1e4) / 1e4 AS avg_qty,
+        |  round((avg(l_discount)) * 1e4) / 1e4 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_revenue_by_nation" ->
@@ -2026,7 +2027,7 @@ object Queries {
         |c AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS cut FROM f GROUP BY 1)
         |SELECT f.l_partkey AS p_partkey, count(*) AS n_small,
         |  sum(CAST(round(f.l_extendedprice * 100) AS BIGINT)) / 100.0 AS small_rev,
-        |  round(max(c.cut), 4) AS cut_qty
+        |  round((max(c.cut)) * 1e4) / 1e4 AS cut_qty
         |FROM f JOIN c ON c.l_partkey = f.l_partkey
         |WHERE f.l_quantity < c.cut
         |GROUP BY f.l_partkey ORDER BY p_partkey""".stripMargin,
@@ -2084,17 +2085,17 @@ object Queries {
     "p03_quality_metrics" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
-        |  round(len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / greatest(len(text), 1), 4) AS punct_ratio,
-        |  round(len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(len(text), 1), 4) AS digit_ratio,
-        |  round(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+        |  round((len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / greatest(len(text), 1)) * 1e4) / 1e4 AS punct_ratio,
+        |  round((len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(len(text), 1)) * 1e4) / 1e4 AS digit_ratio,
+        |  round((len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
         |        x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','from','that','this'], x))) * 1.0
-        |    / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), 1), 4) AS stopword_ratio
+        |    / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), 1)) * 1e4) / 1e4 AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "p07_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, list_cosine_similarity(q.qv, e.embedding) AS cos
         |           FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id)
-        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine FROM (
+        |SELECT query_id, neighbor_id, rank, round((cos) * 1e4) / 1e4 AS cosine FROM (
         |  SELECT query_id, neighbor_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // double-cast BEFORE the multiplies on both engines (float32
@@ -2107,14 +2108,14 @@ object Queries {
         |h AS (SELECT v AS hv, nrm AS hn FROM n WHERE vec_id % 20 = 0),
         |t AS (SELECT vec_id, v AS tv, nrm AS tn FROM n WHERE vec_id % 20 != 0)
         |SELECT t.vec_id,
-        |  round(max(list_dot_product(t.tv, h.hv) / (t.tn * h.hn)), 4) AS max_cosine,
+        |  round((max(list_dot_product(t.tv, h.hv) / (t.tn * h.hn))) * 1e4) / 1e4 AS max_cosine,
         |  count(*) AS n_heldout,
-        |  CAST(round(max(list_dot_product(t.tv, h.hv) / (t.tn * h.hn)), 4) >= 0.3 AS BIGINT) AS contaminated
+        |  CAST(round((max(list_dot_product(t.tv, h.hv) / (t.tn * h.hn))) * 1e4) / 1e4 >= 0.3 AS BIGINT) AS contaminated
         |FROM t CROSS JOIN h GROUP BY t.vec_id ORDER BY vec_id""".stripMargin,
     "p10_label_centroids" ->
       """WITH c AS (SELECT label, i, avg(embedding[i]) AS v FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g GROUP BY label, i)
         |SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
-        |  round(sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 4) AS cosine
+        |  round((sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v)))) * 1e4) / 1e4 AS cosine
         |FROM c a JOIN c b ON a.i = b.i AND a.label <= b.label GROUP BY a.label, b.label ORDER BY label_a, label_b""".stripMargin,
     "p11_ngram_jaccard" ->
       """WITH words AS (
@@ -2127,12 +2128,12 @@ object Queries {
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+        |SELECT doc_a, doc_b, round((i * 1.0 / (sa.sz + sb.sz - i)) * 1e4) / 1e4 AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "p12_embed_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(a.label AS BIGINT) AS label,
-        |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+        |  round((list_cosine_similarity(a.embedding, b.embedding)) * 1e4) / 1e4 AS cosine
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
     // mirrors TextStats.langMarkers scoring incl. the array_max tiebreak
@@ -2189,9 +2190,9 @@ object Queries {
         |  len(bigrams) AS nb, len(list_distinct(bigrams)) AS db
         |  FROM (SELECT doc_id, list_transform(generate_series(1, len(words) - 1), i -> words[i] || ' ' || words[i+1]) AS bigrams FROM w))
         |SELECT c.doc_id, CAST(n AS BIGINT) AS n_words,
-        |  round(d * 1.0 / n, 4) AS distinct_ratio,
-        |  round(topc * 1.0 / n, 4) AS top_word_frac,
-        |  round(CASE WHEN nb <= 0 THEN 0 ELSE 1 - db * 1.0 / nb END, 4) AS dup_bigram_frac
+        |  round((d * 1.0 / n) * 1e4) / 1e4 AS distinct_ratio,
+        |  round((topc * 1.0 / n) * 1e4) / 1e4 AS top_word_frac,
+        |  round((CASE WHEN nb <= 0 THEN 0 ELSE 1 - db * 1.0 / nb END) * 1e4) / 1e4 AS dup_bigram_frac
         |FROM cnt c JOIN bg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "p16_contamination" -> contaminationSql,
     // recall-1 Bloom first pass + exact second pass ≡ the exact pass alone:
@@ -2207,7 +2208,7 @@ object Queries {
         |sc AS (SELECT doc_id, term, tf, df, tf * (ln((1.0 + n) / (1.0 + df)) + 1.0) AS tfidf,
         |       row_number() OVER (PARTITION BY doc_id ORDER BY tf * (ln((1.0 + n) / (1.0 + df)) + 1.0) DESC, term) AS rank
         |       FROM tf JOIN df USING (term) CROSS JOIN n)
-        |SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf, rank FROM sc WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+        |SELECT doc_id, term, tf, df, round((tfidf) * 1e4) / 1e4 AS tfidf, rank FROM sc WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // mirrors Curation.kmeansAssign exactly: double vectors, init = the 8
     // lowest vec_ids, two Lloyd iterations (assign/update), final assignment;
     // ties break to the lowest cluster index in both engines
@@ -2227,7 +2228,7 @@ object Queries {
         |u2 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
         |c2 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c1 c
         |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u2 GROUP BY cluster) u USING (cluster))
-        |SELECT vec_id, cluster, round(d2, 4) AS dist2 FROM (
+        |SELECT vec_id, cluster, round((d2) * 1e4) / 1e4 AS dist2 FROM (
         |    SELECT e.vec_id, c.cluster, pow(list_distance(e.v, c.v), 2) AS d2,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
         |    FROM e CROSS JOIN c2 c) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
@@ -2235,12 +2236,12 @@ object Queries {
     // composed into the 0.4/0.3/0.3 score, rounded once, ranked per cluster
     "p38_quality_keeper" ->
       (s"""WITH cc AS (SELECT * FROM ($ccSql) t),
-        |q AS (SELECT doc_id, round(greatest(0.0, least(1.0,
+        |q AS (SELECT doc_id, round((greatest(0.0, least(1.0,
         |    0.4 * least(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) / 100.0, 1.0)
         |  + 0.3 * (len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0),
         |        x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','from','that','this'], x))) * 1.0
         |      / greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)), 1)) * 3.0
-        |  + 0.3 * (1.0 - least((len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / greatest(len(text), 1)) * 5.0, 1.0)))), 4) AS quality_score
+        |  + 0.3 * (1.0 - least((len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / greatest(len(text), 1)) * 5.0, 1.0))))) * 1e4) / 1e4 AS quality_score
         |  FROM documents)
         |SELECT cc.doc_id, cc.cluster_id, q.quality_score,
         |  CAST(row_number() OVER (PARTITION BY cc.cluster_id ORDER BY q.quality_score DESC, cc.doc_id) = 1 AS BIGINT) AS keep
@@ -2282,7 +2283,7 @@ object Queries {
         |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
         |sz AS (SELECT cluster, count(*) AS cell_n FROM af GROUP BY cluster)
         |SELECT af.vec_id, af.cluster, sz.cell_n,
-        |  round(least(1.0, 32.0 / sz.cell_n), 4) AS rate,
+        |  round((least(1.0, 32.0 / sz.cell_n)) * 1e4) / 1e4 AS rate,
         |  CAST(((af.vec_id % 1000003 + 1) * 2654435761) % 1000000007 % 10000 / 10000.0
         |       < least(1.0, 32.0 / sz.cell_n) AS BIGINT) AS keep
         |FROM af JOIN sz USING (cluster) ORDER BY vec_id""".stripMargin,
@@ -2441,7 +2442,7 @@ object Queries {
         |  list_transform(generate_series(0, 31), j -> os[((((ts // 10) % L) + j) % L) + 1]) AS p
         |  FROM fr)
         |SELECT doc_id AS asset_id, CAST(ts // 1000 AS BIGINT) AS frame_idx, CAST(ts AS BIGINT) AS ts_ms,
-        |  round(list_aggregate(p, 'avg'), 4) AS luma_mean,
+        |  round((list_aggregate(p, 'avg')) * 1e4) / 1e4 AS luma_mean,
         |  CAST(list_aggregate(p, 'max') - list_aggregate(p, 'min') AS BIGINT) AS contrast
         |FROM px ORDER BY asset_id, frame_idx""".stripMargin,
     "m04_audio_features" ->
@@ -2450,7 +2451,7 @@ object Queries {
         |  FROM documents WHERE doc_id % 3 = 1),
         |fr AS (SELECT doc_id, unnest(generate_series(0, CAST(len(s) // 64 AS INT) - 1)) AS f, s FROM ch)
         |SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx,
-        |  round(sqrt(list_aggregate(list_transform(s[f*64+1 : f*64+64], x -> x*x), 'avg')), 4) AS rms,
+        |  round((sqrt(list_aggregate(list_transform(s[f*64+1 : f*64+64], x -> x*x), 'avg'))) * 1e4) / 1e4 AS rms,
         |  CAST(len(list_filter(generate_series(2, 64), i -> s[f*64+i-1] * s[f*64+i] < 0)) AS BIGINT) AS zc
         |FROM fr ORDER BY asset_id, frame_idx""".stripMargin,
     // the stub "decode" is a byte histogram over the UTF-8 payload; the
@@ -2462,8 +2463,8 @@ object Queries {
         |  greatest(octet_length(encode(text)), 1) AS n FROM documents)
         |SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  round(CAST(CAST(len(list_filter(os, x -> x < 32)) AS REAL) / n AS DOUBLE), 4) AS f0,
-        |  round(CAST(CAST(len(list_filter(os, x -> x >= 224)) AS REAL) / n AS DOUBLE), 4) AS f7
+        |  round((CAST(CAST(len(list_filter(os, x -> x < 32)) AS REAL) / n AS DOUBLE)) * 1e4) / 1e4 AS f0,
+        |  round((CAST(CAST(len(list_filter(os, x -> x >= 224)) AS REAL) / n AS DOUBLE)) * 1e4) / 1e4 AS f7
         |FROM ch ORDER BY asset_id""".stripMargin,
     // naive global-window cumsum — semantically identical to the two-phase
     // distributed prefix sum the Spark side runs
@@ -2489,8 +2490,8 @@ object Queries {
       """WITH r AS (SELECT * FROM (VALUES ('en', 0.9), ('de', 0.5), ('fr', 0.5), ('es', 0.5), ('zh', 0.25)) AS t(lang, rate)),
         |d AS (SELECT doc_id, lang,
         |  ((doc_id % 1000003) * 2654435761) % 1000000007 % 10000 / 10000.0 AS u FROM documents)
-        |SELECT doc_id, d.lang, round(CAST(coalesce(r.rate, 0.0) AS DOUBLE), 4) AS rate,
-        |  round(CAST(1.0 / coalesce(r.rate, 0.0) AS DOUBLE), 4) AS weight
+        |SELECT doc_id, d.lang, round((CAST(coalesce(r.rate, 0.0) AS DOUBLE)) * 1e4) / 1e4 AS rate,
+        |  round((CAST(1.0 / coalesce(r.rate, 0.0) AS DOUBLE)) * 1e4) / 1e4 AS weight
         |FROM d LEFT JOIN r ON d.lang = r.lang
         |WHERE u < coalesce(r.rate, 0.0) ORDER BY doc_id""".stripMargin,
     "p26_mix_weights" ->
@@ -2499,8 +2500,8 @@ object Queries {
         |  FROM documents GROUP BY source),
         |t AS (SELECT sum(n_tokens) AS total, count(*) AS ns FROM s)
         |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  round(n_tokens * 1.0 / total, 4) AS share,
-        |  round((1.0 / ns) / (n_tokens * 1.0 / total), 4) AS weight
+        |  round((n_tokens * 1.0 / total) * 1e4) / 1e4 AS share,
+        |  round(((1.0 / ns) / (n_tokens * 1.0 / total)) * 1e4) / 1e4 AS weight
         |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
     "p32_train_val_test" ->
       """SELECT doc_id, CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
@@ -2521,7 +2522,7 @@ object Queries {
         |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
         |vc AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
         |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc)
-        |SELECT doc_id, count(*) AS n_words, round(avg(ln((c + 1.0) / (t + v))), 4) AS avg_logp
+        |SELECT doc_id, count(*) AS n_words, round((avg(ln((c + 1.0) / (t + v)))) * 1e4) / 1e4 AS avg_logp
         |FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same LM as p27; perplexity rounded to 4dp BEFORE the tercile cut so
     // the bucket boundary is engine-reproducible
@@ -2532,9 +2533,9 @@ object Queries {
         |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
         |vc AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
         |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc),
-        |sc AS (SELECT doc_id, count(*) AS n_words, round(avg(ln((c + 1.0) / (t + v))), 4) AS lp
+        |sc AS (SELECT doc_id, count(*) AS n_words, round((avg(ln((c + 1.0) / (t + v)))) * 1e4) / 1e4 AS lp
         |       FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id),
-        |sp AS (SELECT doc_id, n_words, round(exp(-lp), 4) AS ppl FROM sc),
+        |sp AS (SELECT doc_id, n_words, round((exp(-lp)) * 1e4) / 1e4 AS ppl FROM sc),
         |cut AS (SELECT quantile_cont(ppl, 1.0/3) AS c1, quantile_cont(ppl, 2.0/3) AS c2 FROM sp)
         |SELECT doc_id, n_words, ppl,
         |  CASE WHEN ppl <= c1 THEN 'head' WHEN ppl <= c2 THEN 'middle' ELSE 'tail' END AS bucket
@@ -2564,7 +2565,7 @@ object Queries {
         |        least(1.0, 250.0 * pow(s.n_s, 0.3) / t.w_tot / s.n_s) AS rate,
         |        CAST(((d.doc_id % 1000003 + 1) * 2654435761) % 1000000007 % 10000 AS DOUBLE) / 10000.0 AS u
         |      FROM documents d JOIN stats s USING (source) CROSS JOIN tot t)
-        |SELECT doc_id, source, n_s, round(rate, 4) AS rate,
+        |SELECT doc_id, source, n_s, round((rate) * 1e4) / 1e4 AS rate,
         |  CAST(u < rate AS BIGINT) AS keep
         |FROM j ORDER BY doc_id""".stripMargin,
     "p43_gopher_rules" ->
@@ -2607,7 +2608,7 @@ object Queries {
         |tv AS (SELECT word, count(*) AS ct FROM tex GROUP BY word),
         |tt AS (SELECT sum(ct) AS tt, count(*) AS vt FROM tv),
         |sc AS (SELECT doc_id, count(*) AS n_words,
-        |  round(avg(ln((coalesce(ct, 0) + 1.0) / (tt + vt)) - ln((cr + 1.0) / (tr + vr))), 4) AS dsir_score
+        |  round((avg(ln((coalesce(ct, 0) + 1.0) / (tt + vt)) - ln((cr + 1.0) / (tr + vr)))) * 1e4) / 1e4 AS dsir_score
         |  FROM ex JOIN rv USING (word) LEFT JOIN tv USING (word) CROSS JOIN rt CROSS JOIN tt
         |  GROUP BY doc_id)
         |SELECT doc_id, n_words, dsir_score FROM sc
@@ -2633,9 +2634,9 @@ object Queries {
         |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
         |vc AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
         |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc),
-        |sc AS (SELECT doc_id, round(avg(ln((c + 1.0) / (t + v))), 4) AS lp
+        |sc AS (SELECT doc_id, round((avg(ln((c + 1.0) / (t + v)))) * 1e4) / 1e4 AS lp
         |       FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id),
-        |sp AS (SELECT doc_id, round(exp(-lp), 4) AS ppl FROM sc),
+        |sp AS (SELECT doc_id, round((exp(-lp)) * 1e4) / 1e4 AS ppl FROM sc),
         |cut AS (SELECT quantile_cont(ppl, 1.0/3) AS c1, quantile_cont(ppl, 2.0/3) AS c2 FROM sp),
         |b AS (SELECT doc_id,
         |  CASE WHEN ppl <= c1 THEN 'head' WHEN ppl <= c2 THEN 'middle' ELSE 'tail' END AS bucket,
@@ -2662,8 +2663,8 @@ object Queries {
         |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_types,
         |       sum(c * ln(c)) AS clnc FROM vc GROUP BY doc_id)
         |SELECT doc_id, n_words, n_types,
-        |  round(ln(n_words) - clnc / n_words, 4) AS entropy,
-        |  round(CAST(n_types AS DOUBLE) / n_words, 4) AS ttr
+        |  round((ln(n_words) - clnc / n_words) * 1e4) / 1e4 AS entropy,
+        |  round((CAST(n_types AS DOUBLE) / n_words) * 1e4) / 1e4 AS ttr
         |FROM ag ORDER BY doc_id""".stripMargin,
     "p48_source_overlap" ->
       """WITH words AS (
@@ -2676,8 +2677,8 @@ object Queries {
         |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
         |      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2)
         |SELECT src_a, src_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
-        |  round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) AS jaccard,
-        |  round(CAST(n_common AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment
+        |  round((CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)) * 1e4) / 1e4 AS jaccard,
+        |  round((CAST(n_common AS DOUBLE) / least(sa.sz, sb.sz)) * 1e4) / 1e4 AS containment
         |FROM i JOIN sz sa ON sa.source = i.src_a JOIN sz sb ON sb.source = i.src_b
         |ORDER BY src_a, src_b""".stripMargin,
     "p49_bpe_pairs" ->
@@ -2699,7 +2700,7 @@ object Queries {
         |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
         |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(avg(ln((cb + 1.0) / (cu + v))), 4) AS avg_logp
+        |  round((avg(ln((cb + 1.0) / (cu + v)))) * 1e4) / 1e4 AS avg_logp
         |FROM bg JOIN bc USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // NB class counts from ONE conditional-sum pass; the sign decision
@@ -2716,7 +2717,7 @@ object Queries {
         |  count(*) AS n_docs,
         |  sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
         |  round(sum(CAST(round(logodds * 1e4) AS BIGINT)) * 1.0 / count(*)) / 1e4 AS mean_logodds,
-        |  round(sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS pos_rate
+        |  round((sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e4) / 1e4 AS pos_rate
         |FROM lab GROUP BY 1 ORDER BY bin""".stripMargin),
     // smoothing spans the full shared vocab, so zero-count words still
     // contribute (na != nb makes p != q even at count 0)
@@ -2738,9 +2739,9 @@ object Queries {
         |  LEFT JOIN c ca ON ca.word = g.word AND ca.source = pr.src_a
         |  LEFT JOIN c cb ON cb.word = g.word AND cb.source = pr.src_b)
         |SELECT src_a, src_b, CAST(any_value(v) AS BIGINT) AS n_vocab,
-        |  round(sum(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q)))), 4) AS jsd,
-        |  round(sum(p * ln(p / q)), 4) AS kl_ab,
-        |  round(sum(q * ln(q / p)), 4) AS kl_ba
+        |  round((sum(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q))))) * 1e4) / 1e4 AS jsd,
+        |  round((sum(p * ln(p / q))) * 1e4) / 1e4 AS kl_ab,
+        |  round((sum(q * ln(q / p))) * 1e4) / 1e4 AS kl_ba
         |FROM f GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
     // the selection is equivalent to a full (score desc, doc_id) running
     // token sum capped at the budget — integer token math, score rounded
@@ -2752,7 +2753,7 @@ object Queries {
         |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
         |vc AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
         |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc),
-        |sc AS (SELECT doc_id, count(*) AS n_words, round(avg(ln((c + 1.0) / (t + v))), 4) AS score
+        |sc AS (SELECT doc_id, count(*) AS n_words, round((avg(ln((c + 1.0) / (t + v)))) * 1e4) / 1e4 AS score
         |       FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id),
         |sel AS (SELECT doc_id, n_words, score,
         |  sum(n_words) OVER (ORDER BY score DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum FROM sc)
@@ -2776,11 +2777,11 @@ object Queries {
         |u2 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
         |c2 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c1 c
         |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u2 GROUP BY cluster) u USING (cluster)),
-        |asg AS (SELECT vec_id, cluster, round(sqrt(d2), 4) AS dist FROM (
+        |asg AS (SELECT vec_id, cluster, round((sqrt(d2)) * 1e4) / 1e4 AS dist FROM (
         |    SELECT e.vec_id, c.cluster, pow(list_distance(e.v, c.v), 2) AS d2,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
         |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
-        |cuts AS (SELECT cluster, round(quantile_cont(dist, 0.25), 4) AS cut FROM asg GROUP BY cluster)
+        |cuts AS (SELECT cluster, round((quantile_cont(dist, 0.25)) * 1e4) / 1e4 AS cut FROM asg GROUP BY cluster)
         |SELECT vec_id, cluster, dist, cut, CAST(dist >= cut AS BIGINT) AS keep
         |FROM asg JOIN cuts USING (cluster) ORDER BY vec_id""".stripMargin,
     "p59_source_cap" ->
@@ -2794,15 +2795,15 @@ object Queries {
     "p70_source_percentile" ->
       (s"""WITH sc AS (SELECT doc_id, source, $qScoreSql AS quality FROM documents)
         |SELECT doc_id, source, quality,
-        |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 4) AS src_pct,
-        |  CAST(round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 4) >= 0.75 AS BIGINT) AS keep
+        |  round((percent_rank() OVER (PARTITION BY source ORDER BY quality)) * 1e4) / 1e4 AS src_pct,
+        |  CAST(round((percent_rank() OVER (PARTITION BY source ORDER BY quality)) * 1e4) / 1e4 >= 0.75 AS BIGINT) AS keep
         |FROM sc ORDER BY doc_id""").stripMargin,
     // the qScoreSql tercile cut (rounded like p57's) + the p46 LCG over
     // the folded (doc_id, epoch) key
     "p60_epoch_plan" ->
       (s"""WITH q AS (SELECT doc_id, $qScoreSql AS score FROM documents),
-        |cut AS (SELECT round(quantile_cont(score, 1.0/3), 4) AS c1,
-        |               round(quantile_cont(score, 2.0/3), 4) AS c2 FROM q),
+        |cut AS (SELECT round((quantile_cont(score, 1.0/3)) * 1e4) / 1e4 AS c1,
+        |               round((quantile_cont(score, 2.0/3)) * 1e4) / 1e4 AS c2 FROM q),
         |e AS (SELECT doc_id, score,
         |        CASE WHEN score > c2 THEN 3 WHEN score > c1 THEN 2 ELSE 1 END AS ne
         |      FROM q CROSS JOIN cut),
@@ -2814,7 +2815,7 @@ object Queries {
       """WITH t AS (SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  ((doc_id % 1000003 + 4241) * 22695477) % 1000000007 % 1000000 AS raw FROM documents)
-        |SELECT doc_id, n_tokens, round(ln((raw + 0.5) / 1000000.0) / n_tokens, 4) + 0.0 AS skey
+        |SELECT doc_id, n_tokens, round((ln((raw + 0.5) / 1000000.0) / n_tokens) * 1e4) / 1e4 + 0.0 AS skey
         |FROM t WHERE n_tokens > 0 ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin,
     "p64_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents),
@@ -2847,12 +2848,12 @@ object Queries {
         |        sum(co) OVER (PARTITION BY source) AS no,
         |        sum(cn) OVER (PARTITION BY source) AS nn FROM j)
         |SELECT source, CAST(max(no) AS BIGINT) AS n_old, CAST(max(nn) AS BIGINT) AS n_new,
-        |  round(sum(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
-        |    ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10)))), 4) AS psi,
-        |  CASE WHEN round(sum(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
-        |         ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10)))), 4) < 0.1 THEN 'stable'
-        |       WHEN round(sum(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
-        |         ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10)))), 4) <= 0.25 THEN 'moderate'
+        |  round((sum(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
+        |    ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10))))) * 1e4) / 1e4 AS psi,
+        |  CASE WHEN round((sum(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
+        |         ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10))))) * 1e4) / 1e4 < 0.1 THEN 'stable'
+        |       WHEN round((sum(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
+        |         ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10))))) * 1e4) / 1e4 <= 0.25 THEN 'moderate'
         |       ELSE 'shifted' END AS drift
         |FROM t GROUP BY source ORDER BY source""").stripMargin,
     "p65_zipf_fit" ->
@@ -2864,7 +2865,7 @@ object Queries {
         |f AS (SELECT count(*) AS k_fit,
         |        covar_pop(ln(rank), ln(cnt)) / var_pop(ln(rank)) AS s,
         |        avg(ln(cnt)) AS mc, avg(ln(rank)) AS mr FROM top)
-        |SELECT nt.n_types, f.k_fit, round(s, 4) AS slope, round(mc - s * mr, 4) AS intercept
+        |SELECT nt.n_types, f.k_fit, round((s) * 1e4) / 1e4 AS slope, round((mc - s * mr) * 1e4) / 1e4 AS intercept
         |FROM f CROSS JOIN nt""".stripMargin,
     // word and bigram occurrence counts per doc; the top-bigram coverage
     // maxes the count×chars product so ties cannot depend on engine order
@@ -2878,11 +2879,11 @@ object Queries {
         |bs AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c * (len(bg) - 1)) AS topbg FROM bc GROUP BY doc_id)
         |SELECT d.doc_id,
         |  coalesce(ws.n_words, 0) AS n_words,
-        |  round(coalesce(ws.dupw * 1.0 / ws.n_words, 0), 4) AS dup_word_frac,
-        |  round(coalesce((bs.n2 - bs.d2) * 1.0 / bs.n2, 0), 4) AS dup_bigram_frac,
-        |  round(coalesce(bs.topbg * 1.0 / ws.wchars, 0), 4) AS top_bigram_char_frac,
-        |  CAST(round(coalesce((bs.n2 - bs.d2) * 1.0 / bs.n2, 0), 4) <= 0.5
-        |    AND round(coalesce(bs.topbg * 1.0 / ws.wchars, 0), 4) <= 0.2 AS BIGINT) AS keep
+        |  round((coalesce(ws.dupw * 1.0 / ws.n_words, 0)) * 1e4) / 1e4 AS dup_word_frac,
+        |  round((coalesce((bs.n2 - bs.d2) * 1.0 / bs.n2, 0)) * 1e4) / 1e4 AS dup_bigram_frac,
+        |  round((coalesce(bs.topbg * 1.0 / ws.wchars, 0)) * 1e4) / 1e4 AS top_bigram_char_frac,
+        |  CAST(round((coalesce((bs.n2 - bs.d2) * 1.0 / bs.n2, 0)) * 1e4) / 1e4 <= 0.5
+        |    AND round((coalesce(bs.topbg * 1.0 / ws.wchars, 0)) * 1e4) / 1e4 <= 0.2 AS BIGINT) AS keep
         |FROM documents d
         |LEFT JOIN ws ON ws.doc_id = d.doc_id
         |LEFT JOIN bs ON bs.doc_id = d.doc_id
@@ -2890,7 +2891,7 @@ object Queries {
     "p62_dedup_weights" ->
       (s"""WITH cc AS (SELECT * FROM ($ccSql) t),
         |sz AS (SELECT cluster_id, count(*) AS n_dups FROM cc GROUP BY cluster_id)
-        |SELECT cc.doc_id, cc.cluster_id, sz.n_dups, round(1.0 / sz.n_dups, 4) AS weight
+        |SELECT cc.doc_id, cc.cluster_id, sz.n_dups, round((1.0 / sz.n_dups) * 1e4) / 1e4 AS weight
         |FROM cc JOIN sz USING (cluster_id) ORDER BY cc.doc_id""").stripMargin,
     // p32's split hash + the ccSql word/3-gram construction; leakage =
     // heldout grams ∩ the train DISTINCT-gram set

@@ -333,6 +333,14 @@ object Assembly {
    * word-key-partitioned hash join of the token stream onto the vocab
    * stats plus a per-doc re-aggregate. The corpus never broadcasts; the
    * only shuffles are by word and by doc_id.
+   *
+   * Determinism: each per-word log-odds term is quantized to a 1e6-scaled
+   * long BEFORE the per-doc sum, so the sum is exact integer math — no
+   * partition-merge order can move the result by an ulp and flip a later
+   * 4dp rounding boundary (an unordered double sum did exactly that to
+   * the r8/r9 driver captures of p67). `logodds` is the scaled-long sum
+   * divided by 1e6: a pure function of integers, bit-identical in any
+   * engine that computes the same per-word terms.
    */
   def nbDomainScore(docs: DataFrame, targetSource: String): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -356,13 +364,15 @@ object Assembly {
             "nbDomainScore: targetSource must match some but not all documents (dt=%d, dall=%d)",
             col("dt"), col("dall")))).as("dt"),
         col("dall"))
+    val termQ = round((log((col("ct") + 1.0) / (col("nt") + col("v"))) -
+      log((col("cr") + 1.0) / (col("nr") + col("v")))) * 1e6).cast("long")
+    val priQ = round(
+      log(col("dt").cast("double") / (col("dall") - col("dt"))) * 1e6).cast("long")
     toks.join(wc.select("word", "ct", "cr"), "word")
       .crossJoin(broadcast(tot)).crossJoin(broadcast(pri))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
-        (first(log(col("dt").cast("double") / (col("dall") - col("dt")))) +
-          sum(log((col("ct") + 1.0) / (col("nt") + col("v"))) -
-              log((col("cr") + 1.0) / (col("nr") + col("v"))))).as("logodds"))
+        ((first(priQ) + sum(termQ)).cast("double") / 1e6).as("logodds"))
   }
 
   /**
