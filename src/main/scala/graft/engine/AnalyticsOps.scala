@@ -256,9 +256,15 @@ object AnalyticsOps {
    * the last k points, negative = everything before the last |k| (ints
    * count points, interval seconds divide by the series step).
    *
-   * Scale shape: one explode+global-rank over the REQUEST WINDOW's points
-   * for the two order statistics (driver reads 2 rows), then a map-side
-   * outlier count per series and a TakeOrdered top-n.
+   * Scale shape: the two pooled quartiles are order statistics, selected
+   * from a (value, count) HISTOGRAM — one map-side-partial groupBy over the
+   * exploded request window, a distributed range sort of the histogram
+   * (value-cardinality-sized, never the point set through one partition),
+   * per-partition count offsets (one #partitions-sized collect, which also
+   * yields the total — no separate count job), and a 2-row selection scan.
+   * Then a map-side outlier count per series and a TakeOrdered top-n. The
+   * old shape ranked every pooled point through an unpartitioned window —
+   * a single-task funnel at 100× name cardinality.
    */
   def tukey(df: DataFrame, basis: Double, n: Int, above: Boolean,
             interval: Option[Either[Long, Int]] = None): DataFrame = {
@@ -280,16 +286,30 @@ object AnalyticsOps {
     }
     val withW = df.withColumn("_w", winVals)
     val pts = withW.select(explode(col("_w")).as("_v")).where(!isnan(col("_v")))
-    val total = pts.count()
-    if (total == 0) return df.limit(0)
-    val k1 = (0.25 * total).toInt
-    val k3 = (0.75 * total).toInt
-    val ranked = pts.withColumn("_rk",
-      row_number().over(Window.orderBy(col("_v"))))
-    val quart = ranked.where(col("_rk") === k1 + 1 || col("_rk") === k3 + 1)
-      .orderBy(col("_rk")).collect().map(_.getDouble(0))
-    val q1 = quart.head
-    val q3 = quart.last
+    val hist = pts.groupBy("_v").agg(count(lit(1)).as("_c")).sort("_v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (q1, q3) =
+      try {
+        val partSums = hist.rdd
+          .mapPartitionsWithIndex((i, it) =>
+            Iterator.single((i, it.map(_.getLong(1)).sum)))
+          .collect().sortBy(_._1).map(_._2)
+        val total = partSums.sum
+        if (total == 0) return df.limit(0)
+        // positional quartiles, 1-indexed ranks k+1 in the sorted multiset
+        // (ref function.go:96-101: sort + values[len/4], values[3*len/4])
+        val targets = Array((0.25 * total).toLong + 1, (0.75 * total).toLong + 1)
+        val offsets = partSums.scanLeft(0L)(_ + _)
+        val quart = hist.rdd.mapPartitionsWithIndex { (i, it) =>
+          var cum = offsets(i)
+          it.flatMap { r =>
+            val lo = cum
+            cum += r.getLong(1)
+            targets.filter(t => t > lo && t <= cum).map(t => (t, r.getDouble(0)))
+          }
+        }.collect().toMap
+        (quart(targets(0)), quart(targets(1)))
+      } finally hist.unpersist(false)
     val fence = if (above) q3 + basis * (q3 - q1) else q1 - basis * (q3 - q1)
     val cnt = size(filter(col("_w"),
       v => !isnan(v) && (if (above) v >= lit(fence) else v <= lit(fence))))
@@ -480,10 +500,9 @@ object AnalyticsOps {
       })
       rewrap(absDf.withColumn("values", u(col("values"))), "ifft")
     case Some(p) =>
-      import org.apache.spark.sql.expressions.Window
-      val ai = absDf.withColumn("_i", row_number().over(Window.orderBy(col("name"))))
-      val pi = p.select(col("name").as("pName"), col("values").as("pValues"))
-        .withColumn("_i", row_number().over(Window.orderBy(col("pName"))))
+      val ai = PairOps.indexByName(absDf)
+      val pi = PairOps.indexByName(
+        p.select(col("name").as("pName"), col("values").as("pValues")), "pName")
       val u = udf((a: Seq[Double], ph: Seq[Double]) => {
         val n = a.length
         val re0 = new Array[Double](n); val im0 = new Array[Double](n)

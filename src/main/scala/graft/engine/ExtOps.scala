@@ -179,14 +179,15 @@ object ExtOps {
 
   // --------------------------------------------------------------- heatMap
 
-  /** heatMap: diff of each consecutive pair of series in name order —
-    * series-level lag window (rows = series count, bounded). (ref heatMap/function.go) */
+  /** heatMap: diff of each consecutive pair of series in name order — the
+    * lag is a positional self-join on [[PairOps.indexByName]]'s contiguous
+    * index (the inner join drops the first series, which has no
+    * predecessor), never an unpartitioned lag window. (ref heatMap/function.go) */
   def heatMap(df: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("name"))
-    val withPrev = df
-      .withColumn("prevName", lag(col("name"), 1).over(w))
-      .withColumn("prevValues", lag(col("values"), 1).over(w))
-    withPrev.where(col("prevName").isNotNull)
+    val idx = PairOps.indexByName(df)
+    val prev = idx.select((col("_i") + 1L).as("_i"),
+      col("name").as("prevName"), col("values").as("prevValues"))
+    idx.join(prev, "_i")
       .select(
         concat(lit("heatMap("), col("name"), lit(","), col("prevName"), lit(")")).as("name"),
         col("tags"), col("start"), col("step"),
@@ -241,15 +242,15 @@ object ExtOps {
     * the renderer fills the region between the two curves.
     * (ref cairo.go:728-757) */
   def areaBetween(df: DataFrame, newName: String): DataFrame = {
-    val idx = df.withColumn("_rn", row_number().over(Window.orderBy("name")))
+    val idx = PairOps.indexByName(df)
     def mark(d: DataFrame, extra: Map[String, String]): DataFrame =
       d.withColumn("tags", map_concat(
         map_filter(col("tags"), (k, _) => !k.isin(extra.keys.toSeq: _*)),
         typedLit(extra)))
-    val lower = mark(idx.where(col("_rn") === 1).drop("_rn"),
+    val lower = mark(idx.where(col("_i") === 1).drop("_i"),
       Map("stacked" -> "__DEFAULT__", "invisible" -> "1"))
     val lowerVals = lower.select(col("values").as("_lv"))
-    val upper = mark(idx.where(col("_rn") === 2).drop("_rn"), Map("stacked" -> "__DEFAULT__"))
+    val upper = mark(idx.where(col("_i") === 2).drop("_i"), Map("stacked" -> "__DEFAULT__"))
       .crossJoin(broadcast(lowerVals))
       .withColumn("values", zip_with(col("values"), col("_lv"), (a, b) => a - b))
       .drop("_lv")

@@ -11,15 +11,25 @@ import graft.core.Kernels
  * weightedAverage, and name-set joins.
  *
  * Positional pairing is inherently order-dependent (list order = glob-sorted
- * names, ref expr/sort.go:121-137); the row_number window that realizes it
- * runs over series rows (one row per SERIES, not per point), so the
- * single-partition sort is bounded by series count per list — acceptable
- * where the reference's own semantics force a global order.
+ * names, ref expr/sort.go:121-137). [[indexByName]] realizes that order as a
+ * contiguous index WITHOUT an unpartitioned window, so a 100k-series list
+ * never funnels its packed-array payload through one task.
  */
 object PairOps {
 
-  private def indexByName(df: DataFrame): DataFrame =
-    df.withColumn("_i", row_number().over(Window.orderBy(col("name"))))
+  /** Contiguous 1-based position of each row in global `orderCol` order —
+    * a distributed range sort, then zipWithIndex (per-partition offsets
+    * cost one lightweight count job). Same positional semantics as a
+    * row_number over an unpartitioned window, but the rows stay range-
+    * partitioned, and the `WindowExec: No Partition Defined` warning class
+    * stays out of the logs where a REAL unpartitioned window could hide. */
+  private[engine] def indexByName(df: DataFrame, orderCol: String = "name"): DataFrame = {
+    val sorted = df.sort(orderCol)
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    sorted.sparkSession.createDataFrame(indexed,
+      sorted.schema.add("_i", org.apache.spark.sql.types.LongType, nullable = false))
+  }
 
   private def binOp(func: String): (Column, Column) => Column = func match {
     case "sum" | "add"      => (x, y) => x + y

@@ -316,15 +316,16 @@ object SeriesOps {
   /** Multi-series total: sort both lists by name, pair positionally; the
     * unmatched tail of either side surfaces as asPercent(x,MISSING) /
     * asPercent(MISSING,x) all-NaN series (ref seriesAsPercent, len>1 branch).
-    * The row_number window runs over series rows, bounded by list size. */
+    * Positional index via [[PairOps.indexByName]] — no unpartitioned window. */
   def asPercentPairwise(df: DataFrame, totals: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ai = df.select(col("name").as("aName"), col("tags").as("aTags"),
-        col("start").as("aStart"), col("step").as("aStep"), col("values").as("aValues"))
-      .withColumn("_i", row_number().over(Window.orderBy(col("aName"))))
-    val ti = totals.select(col("name").as("tName"), col("start").as("tStart"),
-        col("step").as("tStep"), col("values").as("tValues"))
-      .withColumn("_i", row_number().over(Window.orderBy(col("tName"))))
+    val ai = PairOps.indexByName(
+      df.select(col("name").as("aName"), col("tags").as("aTags"),
+        col("start").as("aStart"), col("step").as("aStep"), col("values").as("aValues")),
+      "aName")
+    val ti = PairOps.indexByName(
+      totals.select(col("name").as("tName"), col("start").as("tStart"),
+        col("step").as("tStep"), col("values").as("tValues")),
+      "tName")
     asPercentJoinOut(ai.join(ti, Seq("_i"), "full_outer"))
   }
 

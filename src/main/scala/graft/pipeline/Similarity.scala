@@ -57,6 +57,12 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Broadcast bound for [[embedDecontam]]'s heldout side — ~1M × 64-d
+    * doubles ≈ 512 MB, the edge of a sane executor broadcast. A real
+    * benchmark is thousands of rows; a heldout slice that scales with
+    * the corpus must go through the cell-blocked scale path instead. */
+  val maxBroadcastVectors: Int = 1 << 20
+
   /**
    * Benchmark decontamination in embedding space — the semantic twin of
    * the gram-overlap split-leakage audit (Assembly.splitLeakage): before
@@ -74,12 +80,6 @@ object Similarity {
    * float sum). The corpus never self-joins and never shuffles its
    * embeddings — only one max row per vector moves.
    */
-  /** Broadcast bound for [[embedDecontam]]'s heldout side — ~1M × 64-d
-    * doubles ≈ 512 MB, the edge of a sane executor broadcast. A real
-    * benchmark is thousands of rows; a heldout slice that scales with
-    * the corpus must go through the cell-blocked scale path instead. */
-  val maxBroadcastVectors: Int = 1 << 20
-
   def embedDecontam(emb: DataFrame, tau: Double, heldoutMod: Long = 20L): DataFrame = {
     require(heldoutMod >= 2, s"embedDecontam: heldoutMod must be >= 2, got $heldoutMod")
     // guard the broadcast BEFORE it happens (the p52/p34 require-gated

@@ -260,6 +260,23 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code == 200 && body.contains("supported requests"))
   }
 
+  test("stop() then start() serves requests again (pools are per-start, not per-instance)") {
+    val api2 = new HttpApi(spark, new EventSeriesStore("/root/testdata/sf0.001"), port = 0)
+    val p1 = api2.start()
+    try {
+      def getAt(p: Int, path: String): Int = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(getAt(p1, "/lb_check") == 200)
+      api2.stop()
+      val p2 = api2.start()
+      // both a dispatch-inline route and a data-pool route must work on
+      // the restarted server — a terminated executor hangs or 503s both
+      assert(getAt(p2, "/lb_check") == 200)
+      assert(getAt(p2, "/metrics/find?query=events.*&format=json") == 200)
+    } finally api2.stop()
+  }
+
   test("response cache serves identical bytes for a repeated request; noCache bypasses") {
     val q = "/render?target=sumSeries(events.*)&from=1704067200&until=1706660000"
     val a = getBytes(q); val b = getBytes(q)

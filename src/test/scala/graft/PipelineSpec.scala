@@ -736,6 +736,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rewritten s2 must cross the action threshold: ${out("s2")}")
   }
 
+  test("p73: a source present only in the NEW snapshot still gets a drift row (grid = old ∪ new)") {
+    val sp = spark
+    import sp.implicits._
+    val old = (1 to 20).map(i => (i.toLong, s"w$i " * 5, "s1"))
+      .toDF("doc_id", "text", "source")
+    val newSnap = old.unionByName(
+      (21 to 40).map(i => (i.toLong, "brand new source content here " * 3, "sNew"))
+        .toDF("doc_id", "text", "source"))
+    val out = graft.pipeline.Curation.scoreDrift(old, newSnap).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    assert(out.keySet == Set("s1", "sNew"), s"new-only source must appear: ${out.keySet}")
+    val (nOld, nNew, drift) = out("sNew")
+    assert(nOld == 0L && nNew == 20L, s"sNew counts: $nOld/$nNew")
+    // all mass moved from the smoothing prior to one bin — maximal drift
+    assert(drift == "shifted", s"a source born after the snapshot is a shift by definition: $drift")
+  }
+
   test("p72: cluster-closed split — near-dup members never straddle the train/eval boundary; singletons reduce to p32") {
     val sp = spark
     import sp.implicits._
