@@ -158,16 +158,28 @@ object Catalog {
   def tagNames(spark: SparkSession, store: SeriesStore,
                tagPrefix: String = "", limit: Int = 100,
                exprs: Seq[String] = Nil): Seq[String] = {
+    tagNamesFrame(spark, store, tagPrefix, exprs)
+      .limit(limit).collect().toSeq.map(_.getString(0))
+  }
+
+  /** The distinct-tag frame behind [[tagNames]], exposed so PlanSpec can
+    * assert the prefix pushdown. The prefix and expr-key exclusion apply
+    * INSIDE the array filter, BELOW the explode: on a tag-heavy catalog
+    * the generate never materializes non-matching keys as rows, so the
+    * distinct shuffle sees only candidate tags (was: explode everything,
+    * then filter the rows). */
+  private[graft] def tagNamesFrame(spark: SparkSession, store: SeriesStore,
+                                   tagPrefix: String, exprs: Seq[String]): DataFrame = {
     val inExpr = exprs.flatMap(e => Seq("!=~", "=~", "!=", "=")
       .collectFirst { case o if e.contains(o) => e.take(e.indexOf(o)) })
-    val tags = taggedSeries(spark, store, exprs)
-      .select(explode(map_keys(col("tags"))).as("tag"))
-    val noExprTags =
-      if (inExpr.isEmpty) tags else tags.where(!col("tag").isin(inExpr: _*))
-    val filtered =
-      if (tagPrefix.isEmpty) noExprTags
-      else noExprTags.where(col("tag").startsWith(tagPrefix))
-    filtered.distinct().orderBy(col("tag")).limit(limit).collect().toSeq.map(_.getString(0))
+    val keyPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column = k => {
+      val p = if (tagPrefix.isEmpty) lit(true) else k.startsWith(tagPrefix)
+      val e = if (inExpr.isEmpty) lit(true) else !k.isin(inExpr: _*)
+      p && e
+    }
+    taggedSeries(spark, store, exprs)
+      .select(explode(filter(map_keys(col("tags")), keyPred)).as("tag"))
+      .distinct().orderBy(col("tag"))
   }
 
   /** /tags/autoComplete/values: distinct values of one tag key across

@@ -575,4 +575,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fin.head.child.toString.contains("_prk"),
       "final window must sit above the phase-1 rank filter:\n" + fin.head.child.toString.take(2000))
   }
+
+  test("tags autocomplete prefix pushdown: the prefix filters keys INSIDE the generate, not rows above it") {
+    import org.apache.spark.sql.execution.GenerateExec
+    val frame = graft.api.Catalog.tagNamesFrame(spark, store, "na", Nil)
+    val plan = frame.queryExecution.sparkPlan
+    val gens = plan.collect { case g: GenerateExec => g }
+    assert(gens.size == 1, "expected one generate:\n" + plan.toString.take(2000))
+    val gen = gens.head.generator.toString
+    assert(gen.contains("filter(map_keys") && gen.contains("StartsWith"),
+      "prefix must filter the key array below the explode: " + gen)
+    // and no row-level StartsWith filter survives above the generate
+    val above = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("StartsWith") => f
+    }
+    assert(above.isEmpty, "prefix must not re-filter exploded rows: " + above.mkString)
+    // semantics unchanged: only the prefix-matching key comes back
+    assert(frame.collect().map(_.getString(0)).toSeq == Seq("name"))
+  }
 }
