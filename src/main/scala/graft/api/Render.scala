@@ -25,16 +25,20 @@ case class RenderedSeries(
  */
 object Render {
 
-  /** Evaluate one or more targets over [from, until). Request-scoped fetch
-    * pins are released once each target's rows are collected. */
+  /** Evaluate one or more targets over [from, until). ONE request-scoped
+    * context spans every target, so the batched leaf prefetch (and the
+    * fetch memo) is shared across targets — a 10-panel dashboard reads the
+    * store once, not 10 times; pins release after the last collect. */
   def eval(spark: SparkSession, store: SeriesStore, targets: Seq[String],
-           from: Long, until: Long): Seq[RenderedSeries] =
-    targets.flatMap { t =>
-      val ctx = Eval.Ctx(spark, store, from, until)
-      try collect(Eval.eval(graft.parser.Defines.expand(
-        graft.parser.Parser.parse(t)), ctx))
-      finally ctx.release()
-    }
+           from: Long, until: Long): Seq[RenderedSeries] = {
+    val asts = targets.map(t =>
+      graft.parser.Defines.expand(graft.parser.Parser.parse(t)))
+    val ctx = Eval.Ctx(spark, store, from, until)
+    try {
+      ctx.prefetch(asts.flatMap(Eval.fetchLeaves))
+      asts.flatMap(a => collect(Eval.eval(a, ctx)))
+    } finally ctx.release()
+  }
 
   /**
    * Per-target evaluation with the reference's error bookkeeping
@@ -51,25 +55,37 @@ object Render {
       : (Seq[RenderedSeries], Seq[(String, graft.store.StoreFetchException)]) = {
     val errors = Seq.newBuilder[(String, graft.store.StoreFetchException)]
     val rows = Seq.newBuilder[RenderedSeries]
-    val it = targets.iterator
-    var stop = false
-    while (it.hasNext && !stop) {
-      val t = it.next()
-      val sink = scala.collection.mutable.LinkedHashMap.empty[String, graft.store.StoreFetchException]
-      val ctx = Eval.Ctx(spark, store, from, until, fetchErrors = Some(sink))
-      try {
-        rows ++= collect(Eval.eval(graft.parser.Defines.expand(
-          graft.parser.Parser.parse(t)), ctx))
-      } catch {
-        // a fetch failure surfacing outside the masked path (rewrite
-        // planning, seriesByTag scans) fails this target only
-        case e: graft.store.StoreFetchException => sink.getOrElseUpdate(t, e)
-      } finally ctx.release()
-      sink.headOption.foreach { case (_, e) =>
-        errors += t -> e
-        if (requireSuccessAll && e.httpCode != 200 && e.httpCode != 404) stop = true
+    // one base context spans the request: the batched prefetch and fetch
+    // memo are shared, each target gets its own error sink via copy (the
+    // memo/pin buffers are constructor params, so copies share them).
+    // A target that fails to PARSE contributes no leaves here — the parse
+    // error surfaces on its own target below, exactly as before.
+    val base = Eval.Ctx(spark, store, from, until)
+    try {
+      base.prefetch(targets.flatMap(t =>
+        try Eval.fetchLeaves(graft.parser.Defines.expand(graft.parser.Parser.parse(t)))
+        catch { case scala.util.control.NonFatal(_) => Nil }))
+      val it = targets.iterator
+      var stop = false
+      while (it.hasNext && !stop) {
+        val t = it.next()
+        val sink = scala.collection.mutable.LinkedHashMap.empty[String, graft.store.StoreFetchException]
+        val ctx = base.copy(fetchErrors = Some(sink))
+        try {
+          rows ++= collect(Eval.eval(graft.parser.Defines.expand(
+            graft.parser.Parser.parse(t)), ctx))
+        } catch {
+          // a fetch failure surfacing outside the masked path (rewrite
+          // planning, seriesByTag scans, a poisoned shared batch) fails
+          // this target only
+          case e: graft.store.StoreFetchException => sink.getOrElseUpdate(t, e)
+        }
+        sink.headOption.foreach { case (_, e) =>
+          errors += t -> e
+          if (requireSuccessAll && e.httpCode != 200 && e.httpCode != 404) stop = true
+        }
       }
-    }
+    } finally base.release()
     (rows.result(), errors.result())
   }
 

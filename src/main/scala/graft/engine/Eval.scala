@@ -73,11 +73,58 @@ object Eval {
       pinned.foreach(df => try df.unpersist(false) catch { case _: Exception => () })
       pinned.clear()
     }
+
+    /**
+     * Batch-prefetch a request's plain fetch leaves into ONE store scan —
+     * the reference batches all of a request's leaves into one zipper
+     * round-trip (ref expr/expr.go:36-96); per-pattern scans cost k
+     * parquet scans per request instead (measured 5.9–7.0× slower at 10
+     * targets on the routed/flat layouts — BASELINE.md r10 "multi-target
+     * scan batching"). The batched frame is pinned request-scoped and
+     * each leaf's memo entry is a pathExpression view of it, so [[fetch]]
+     * serves from memory. Cold stores only (a scan-cached store's
+     * per-pattern fetch is already a memory filter); leaves later fetched
+     * at a SHIFTED range (timeShift/moving widen) miss the memo by key
+     * and fetch normally. Any prefetch failure falls back silently to
+     * per-pattern fetching, keeping error masking on the per-pattern
+     * path; an action-time store failure inside the shared batch fails
+     * every target of the request — the same blast radius as the
+     * reference's single fan-out.
+     */
+    def prefetch(patterns: Seq[String]): Unit = {
+      val todo = patterns.distinct.filterNot(p =>
+        p.startsWith("seriesByTag(") || fetchMemo.contains((p, from, until)))
+      if (store.scanCached || todo.size < 2) return
+      try {
+        val batched = store.fetchMulti(spark, todo, from, until)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned += batched
+        todo.foreach { p =>
+          fetchMemo((p, from, until)) =
+            batched.where(col("pathExpression") === lit(p))
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   def evalTarget(spark: SparkSession, store: SeriesStore, target: String,
-                 from: Long = Long.MinValue / 4, until: Long = Long.MaxValue / 4): DataFrame =
-    eval(graft.parser.Defines.expand(Parser.parse(target)), Ctx(spark, store, from, until))
+                 from: Long = Long.MinValue / 4, until: Long = Long.MaxValue / 4): DataFrame = {
+    val ast = graft.parser.Defines.expand(Parser.parse(target))
+    val ctx = Ctx(spark, store, from, until)
+    ctx.prefetch(fetchLeaves(ast))
+    eval(ast, ctx)
+  }
+
+  /** Plain fetch leaves of an AST — the patterns a request pulls at the
+    * request range. Over-collection is safe: a leaf only ever fetched at a
+    * shifted range (or a rewrite template never fetched literally) just
+    * adds one matcher to the batched scan that tags nothing. */
+  def fetchLeaves(ast: Ast): Seq[String] = ast match {
+    case NameExpr(t) if !t.startsWith("seriesByTag(") => Seq(t)
+    case fc: FuncCall =>
+      (fc.args ++ fc.named.values).flatMap(fetchLeaves).distinct
+    case _ => Nil
+  }
 
   /** Empty canonical frame (for rewrites that match nothing). */
   def emptyFrame(spark: SparkSession): DataFrame =

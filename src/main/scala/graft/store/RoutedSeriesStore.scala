@@ -47,7 +47,14 @@ class RoutedSeriesStore(
   @volatile private var metaChecked = false
 
   private def pruned(spark: SparkSession, pathExpr: Option[String],
-                     from: Long, until: Long): DataFrame = {
+                     from: Long, until: Long): DataFrame =
+    prunedBy(spark,
+      pathExpr.flatMap(RoutedSeriesStore.routePredicate(_, routeDepth)), from, until)
+
+  /** Time-pruned scan with an explicit (possibly multi-pattern) route
+    * predicate — None = full route fan-out. */
+  private def prunedBy(spark: SparkSession, route: Option[Column],
+                       from: Long, until: Long): DataFrame = {
     if (!metaChecked) {
       TimePartitionedSeriesStore.validateMeta(spark, path,
         Map("routeDepth" -> routeDepth.toString, "windowSec" -> windowSec.toString))
@@ -63,8 +70,7 @@ class RoutedSeriesStore(
       case (None, Some(h))    => df.where(col("pwin") <= h)
       case _                  => df
     }
-    pathExpr.flatMap(RoutedSeriesStore.routePredicate(_, routeDepth))
-      .map(timed.where).getOrElse(timed)
+    route.map(timed.where).getOrElse(timed)
   }
 
   override def fetch(spark: SparkSession, pathExpr: String, from: Long, until: Long): DataFrame = {
@@ -83,6 +89,29 @@ class RoutedSeriesStore(
           .where(col("start") + size(col("values")) * col("step") > from && col("start") < until),
         from, until).drop("troute"))
       .withColumn("pathExpression", lit("*"))
+
+  /** Batched: one scan pruned to the UNION of every pattern's route dirs
+    * (any pattern without a literal route prefix = full fan-out, like the
+    * reference broadcasting an uncached query to all backends), the OR of
+    * the per-pattern name predicates, one stitch, per-pattern tagging. */
+  override def fetchMulti(spark: SparkSession, pathExprs0: Seq[String],
+                          from: Long, until: Long): DataFrame = {
+    require(pathExprs0.nonEmpty, "fetchMulti: no patterns")
+    val pathExprs = pathExprs0.distinct
+    if (pathExprs.size == 1) return fetch(spark, pathExprs.head, from, until)
+    val preds = pathExprs.map(RoutedSeriesStore.routePredicate(_, routeDepth))
+    val route = if (preds.forall(_.isDefined)) Some(preds.flatten.reduce(_ || _)) else None
+    val base = prunedBy(spark, route, from, until)
+    val pre = SeriesStore.prefixDisjunction(pathExprs).map(base.where).getOrElse(base)
+    val named = pre.where(
+      pathExprs.map(p => SeriesStore.nameMatch(col("name"), p)).reduce(_ || _))
+    SeriesStore.tagByPattern(
+      TimePartitionedSeriesStore.stitch(
+        SeriesStore.sliceToRange(
+          named.where(col("start") + size(col("values")) * col("step") > from && col("start") < until),
+          from, until).drop("troute")),
+      pathExprs)
+  }
 
   /** Persisted `_catalog` when present, else the 2-column pruned scan. */
   override def catalog(spark: SparkSession): DataFrame =

@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Glob, SeriesFrame}
 
@@ -39,6 +39,22 @@ trait SeriesStore {
     * holtWinters bootstrap) read the store ONCE per request — the
     * reference always fetches into per-request memory exactly once. */
   def scanCached: Boolean = false
+
+  /**
+   * Batched multi-target fetch — every leaf pattern of a render in ONE
+   * backend round-trip (the reference batches all of a request's leaves
+   * into one zipper fan-out, ref expr/expr.go:36-96). The result is the
+   * exact union of per-pattern [[fetch]] frames: a series matching k
+   * patterns appears k times, each tagged with its `pathExpression`.
+   * Default: per-pattern fetch unioned (one scan subtree per pattern);
+   * Parquet layouts override with a single OR-pruned scan — see
+   * BASELINE.md "multi-target scan batching" for the measured win.
+   */
+  def fetchMulti(spark: SparkSession, pathExprs: Seq[String],
+                 from: Long, until: Long): DataFrame = {
+    require(pathExprs.nonEmpty, "fetchMulti: no patterns")
+    pathExprs.distinct.map(fetch(spark, _, from, until)).reduce(_ unionByName _)
+  }
 }
 
 /**
@@ -71,6 +87,35 @@ object SeriesStore {
         rx.where(prefixes.map(col("name").startsWith).reduce(_ || _))
       else rx
     } else df.where(col("name") === pathExpr)
+
+  /** Boolean form of [[nameFilter]]'s exact predicate for ONE pattern —
+    * composable into the OR a batched multi-pattern scan needs. */
+  def nameMatch(nameCol: Column, pathExpr: String): Column =
+    if (Glob.isGlob(pathExpr)) nameCol.rlike(Glob.toRegex(pathExpr))
+    else nameCol === pathExpr
+
+  /** Parquet-pushable prefix disjunction over every brace branch of every
+    * pattern — the multi-pattern analog of nameFilter's StartsWith conjunct.
+    * None when any branch lacks a literal prefix (a leading wildcard means
+    * full fan-out, same as the single-pattern path). */
+  private[store] def prefixDisjunction(pathExprs: Seq[String]): Option[Column] = {
+    val prefixes = pathExprs
+      .flatMap(p => Glob.expandBraces(p).getOrElse(Seq(p)).map(Glob.literalPrefix))
+      .distinct
+    if (prefixes.nonEmpty && prefixes.forall(_.nonEmpty))
+      Some(prefixes.map(col("name").startsWith).reduce(_ || _))
+    else None
+  }
+
+  /** Tag each series row of a batched scan with EVERY pattern it matches
+    * (array-filter + explode: a series matching k patterns fans out to k
+    * rows, exactly what k per-pattern fetches would return — series-count-
+    * sized work, the point data is never duplicated at scan time). */
+  private[store] def tagByPattern(df: DataFrame, pathExprs: Seq[String]): DataFrame = {
+    val tags = array(pathExprs.map(p =>
+      when(nameMatch(col("name"), p), lit(p)).otherwise(lit(null).cast("string"))): _*)
+    df.withColumn("pathExpression", explode(filter(tags, x => x.isNotNull)))
+  }
 
   /**
    * Trim every series' values array to the grid positions inside [from,
@@ -120,6 +165,25 @@ class ParquetSeriesStore(path: String, uniformStep: Option[Long] = None) extends
         .where(col("start") + size(col("values")) * col("step") > from && col("start") < until),
       from, until)
       .withColumn("pathExpression", lit("*"))
+
+  /** Batched: ONE scan filtered by the OR of every pattern's predicate
+    * (prefix disjunction stays parquet-pushable), matched rows tagged per
+    * pattern — versus one scan subtree per pattern in the default. */
+  override def fetchMulti(spark: SparkSession, pathExprs0: Seq[String],
+                          from: Long, until: Long): DataFrame = {
+    require(pathExprs0.nonEmpty, "fetchMulti: no patterns")
+    val pathExprs = pathExprs0.distinct
+    if (pathExprs.size == 1) return fetch(spark, pathExprs.head, from, until)
+    val base = spark.read.parquet(path)
+    val pre = SeriesStore.prefixDisjunction(pathExprs).map(base.where).getOrElse(base)
+    val named = pre.where(
+      pathExprs.map(p => SeriesStore.nameMatch(col("name"), p)).reduce(_ || _))
+    SeriesStore.tagByPattern(
+      SeriesStore.sliceToRange(
+        named.where(col("start") + size(col("values")) * col("step") > from && col("start") < until),
+        from, until),
+      pathExprs)
+  }
 
   /** Persisted `_catalog` when the store was written through
     * [[ParquetSeriesStore.write]] (catalog-sized read — the pathcache

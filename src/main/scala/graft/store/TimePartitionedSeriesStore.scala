@@ -69,6 +69,27 @@ class TimePartitionedSeriesStore(
         from, until))
       .withColumn("pathExpression", lit("*"))
 
+  /** Batched: one pwin-pruned scan, the OR of every pattern's name
+    * predicate, ONE stitch over the deduplicated matching series (k
+    * overlapping patterns stitch a shared series once, not k times), then
+    * per-pattern tagging on the stitched series rows. */
+  override def fetchMulti(spark: SparkSession, pathExprs0: Seq[String],
+                          from: Long, until: Long): DataFrame = {
+    require(pathExprs0.nonEmpty, "fetchMulti: no patterns")
+    val pathExprs = pathExprs0.distinct
+    if (pathExprs.size == 1) return fetch(spark, pathExprs.head, from, until)
+    val base = pruned(spark, from, until)
+    val pre = SeriesStore.prefixDisjunction(pathExprs).map(base.where).getOrElse(base)
+    val named = pre.where(
+      pathExprs.map(p => SeriesStore.nameMatch(col("name"), p)).reduce(_ || _))
+    SeriesStore.tagByPattern(
+      TimePartitionedSeriesStore.stitch(
+        SeriesStore.sliceToRange(
+          named.where(col("start") + size(col("values")) * col("step") > from && col("start") < until),
+          from, until)),
+      pathExprs)
+  }
+
   /** The persisted `_catalog` table when the writer/rollover maintains one
     * (catalog-sized read — no data partition is listed or opened);
     * otherwise the 2-column pruned scan over the shards. */

@@ -414,9 +414,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val wins = plan.collect { case w: WindowExec => w }
     assert(wins.size <= 1, "at most the tie-group window may exist:\n" + plan.toString.take(2000))
     wins.foreach { w =>
-      assert(w.partitionSpec.isEmpty)
-      // the single-partition window must sit above the cutoff equality
-      // filter — i.e. it consumes one score's docs, not the corpus
+      // keyed by score (single-valued inside the tie frame — an honest
+      // partition key, not an unpartitioned window)
+      assert(w.partitionSpec.map(_.toString).exists(_.contains("score")),
+        "tie window must partition by the score key: " + w.partitionSpec)
+      // the window must sit above the cutoff equality filter — i.e. it
+      // consumes one score's docs, not the corpus
       assert(w.child.toString.contains("Filter") && w.child.toString.contains("score"),
         "tie window must consume only the score-cutoff filter output:\n" + w.child.toString.take(2000))
     }

@@ -592,4 +592,28 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         "another server's short TTL must not expire this store's catalog")
     } finally graft.api.Catalog.invalidateCatalogCache()
   }
+
+  test("fetchMulti batched scan == per-pattern union on every layout, incl. overlapping and no-prefix patterns") {
+    val routedDir = java.nio.file.Files.createTempDirectory("routedmulti").toString
+    graft.store.RoutedSeriesStore.write(fixture(spark), routedDir, windowSec = 3600L)
+    val routed = new graft.store.RoutedSeriesStore(routedDir, 3600L, routeDepth = 1, Some(60L))
+    // overlapping patterns (events.click matches 3 of them), a brace glob,
+    // an exact name, and a no-literal-prefix wildcard forcing full fan-out
+    val patterns = Seq("events.*", "events.cl*", "events.click",
+      "{events,other}.*", "*.metric")
+    def canonTagged(df: org.apache.spark.sql.DataFrame) =
+      df.select("pathExpression", "name", "start", "step", "values").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getSeq[Double](4)))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    for (store <- Seq[graft.store.SeriesStore](flat, part, routed);
+         (a, b) <- Seq((0L, 10800L), (1800L, 5400L))) {
+      val union = patterns.map(store.fetch(spark, _, a, b)).reduce(_ unionByName _)
+      assert(canonTagged(store.fetchMulti(spark, patterns, a, b)) == canonTagged(union),
+        s"fetchMulti != per-pattern union for ${store.getClass.getSimpleName} [$a,$b)")
+    }
+    // a single pattern falls back to the plain fetch shape
+    assert(canonTagged(routed.fetchMulti(spark, Seq("events.*"), 0L, 10800L)) ==
+      canonTagged(routed.fetch(spark, "events.*", 0L, 10800L)))
+  }
 }
