@@ -403,6 +403,28 @@ object Queries {
     // the shared intermediate (persisted — agg branch + probe branch), and
     // revenue sums 2-decimal prices as exact cents so partition order can
     // never move the hash (the p67 integer-sum rule)
+    // TPC-H Q11's HAVING-scalar shape (important-stock selection): parts
+    // whose revenue share beats a corpus-wide threshold — the scalar
+    // subquery decorrelates onto the ALREADY-AGGREGATED per-part frame
+    // (total = sum of the group sums), so lineitem scans exactly once and
+    // the threshold rides a broadcast 1-row cross join; cents-exact
+    "q11_revenue_share_parts" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val perPart = li
+        .select(col("l_partkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("_cents"))
+        .groupBy("l_partkey").agg(sum(col("_cents")).as("_rev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = perPart.agg(sum(col("_rev")).as("_total"))
+      perPart.crossJoin(broadcast(total))
+        .where(col("_rev") * 1000L > col("_total"))
+        .select(col("l_partkey").as("p_partkey"),
+          (col("_rev").cast("double") / 100).as("revenue"),
+          (round((col("_rev").cast("double") / col("_total")) * 1e4) / 1e4)
+            .as("share"))
+        .orderBy(col("revenue").desc, col("p_partkey"))
+    }),
     "q10_small_qty_parts" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       val brandParts = s.read.parquet(s"$dir/part.parquet")
@@ -992,6 +1014,16 @@ object Queries {
     // Zipf spectrum fit over the top-200 words: corpus-health slope/intercept
     "p65_zipf_fit" -> ((s, dir) =>
       graft.pipeline.TextStats.zipfFit(docs(s, dir), k = 200)),
+    // tokenizer fertility audit: per-source token volume, OOV rate vs the
+    // top-256 vocab, chars/token, tokens/doc — the tokenizer-fit report
+    "p74_tokenizer_fertility" -> ((s, dir) =>
+      Curation.tokenizerFertility(docs(s, dir), vocabSize = 256)
+        .orderBy("source")),
+    // memorization-exposure audit: per doc, distinct 5-grams, corpus-unique
+    // (df=1) grams, unique fraction + review flag — the privacy risk rank
+    "p75_memorization_audit" -> ((s, dir) =>
+      graft.pipeline.TextStats.memorizationAudit(docs(s, dir), k = 5, tau = 0.5)
+        .orderBy("doc_id")),
     // Gopher A1.1 repetition battery: duplicate word/bigram occurrence
     // fractions + densest-repeated-bigram character coverage, keep cut
     "p68_repetition" -> ((s, dir) =>
@@ -2020,6 +2052,17 @@ object Queries {
         |  FROM rev)
         |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
     // the correlated subquery decorrelated identically; cents-exact sum
+    // Q11 HAVING-scalar shape: the global threshold is the sum of the
+    // per-part group sums (one lineitem pass), cents-exact on both engines
+    "q11_revenue_share_parts" ->
+      """WITH pp AS (SELECT l_partkey,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS c
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(c) AS tc FROM pp)
+        |SELECT l_partkey AS p_partkey, c / 100.0 AS revenue,
+        |  round((c * 1.0 / tc) * 1e4) / 1e4 AS share
+        |FROM pp CROSS JOIN t WHERE c * 1000 > tc
+        |ORDER BY revenue DESC, p_partkey""".stripMargin,
     "q10_small_qty_parts" ->
       """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
         |f AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
@@ -2869,6 +2912,43 @@ object Queries {
         |        avg(ln(cnt)) AS mc, avg(ln(rank)) AS mr FROM top)
         |SELECT nt.n_types, f.k_fit, round((s) * 1e4) / 1e4 AS slope, round((mc - s * mr) * 1e4) / 1e4 AS intercept
         |FROM f CROSS JOIN nt""".stripMargin,
+    // same top-256 vocab CTE as p51; membership via LEFT JOIN, stats per
+    // source with the absent/empty-source coalesce mirrored from the engine
+    "p74_tokenizer_fertility" ->
+      """WITH w AS (SELECT doc_id, source, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM documents),
+        |ex AS (SELECT source, unnest(w) AS word FROM w),
+        |vc AS (SELECT word, count(*) AS cnt FROM ex GROUP BY word),
+        |top AS (SELECT word FROM vc ORDER BY cnt DESC, word LIMIT 256),
+        |st AS (SELECT source, count(*) AS n_tokens,
+        |         sum(CASE WHEN top.word IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |         sum(len(ex.word)) AS chars
+        |       FROM ex LEFT JOIN top ON ex.word = top.word GROUP BY source),
+        |dc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT dc.source, dc.n_docs,
+        |  coalesce(st.n_tokens, 0) AS n_tokens,
+        |  CAST(coalesce(st.n_oov, 0) AS BIGINT) AS n_oov,
+        |  round((coalesce(st.n_oov * 1.0 / st.n_tokens, 0)) * 1e4) / 1e4 AS oov_rate,
+        |  round((coalesce(st.chars * 1.0 / st.n_tokens, 0)) * 1e4) / 1e4 AS chars_per_token,
+        |  round((coalesce(st.n_tokens * 1.0 / dc.n_docs, 0)) * 1e4) / 1e4 AS tokens_per_doc
+        |FROM dc LEFT JOIN st USING (source) ORDER BY dc.source""".stripMargin,
+    // distinct 5-gram shingles per doc (the ccSql/p30 slice construction),
+    // df from the gram group, review flag on the ROUNDED fraction
+    "p75_memorization_audit" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4), i -> list_aggregate(w[i:i+4], 'string_agg', ' '))) AS sh
+        |  FROM w WHERE len(w) >= 5)),
+        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+        |pd AS (SELECT sh.doc_id, count(*) AS n_grams,
+        |         sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique
+        |       FROM sh JOIN df USING (sh) GROUP BY sh.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(pd.n_grams, 0) AS n_grams,
+        |  CAST(coalesce(pd.n_unique, 0) AS BIGINT) AS n_unique,
+        |  round((coalesce(pd.n_unique * 1.0 / pd.n_grams, 0)) * 1e4) / 1e4 AS unique_frac,
+        |  CAST(round((coalesce(pd.n_unique * 1.0 / pd.n_grams, 0)) * 1e4) / 1e4 > 0.5
+        |    AND coalesce(pd.n_grams, 0) > 0 AS BIGINT) AS review
+        |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // word and bigram occurrence counts per doc; the top-bigram coverage
     // maxes the count×chars product so ties cannot depend on engine order
     "p68_repetition" ->

@@ -613,6 +613,45 @@ object Curation {
   }
 
   /**
+   * Tokenizer fertility audit per source — before a tokenizer gates a
+   * 100 TB run, check how it spends its budget on each slice of the mix:
+   * per source, the token volume, the OOV rate against the top-`vocabSize`
+   * corpus vocabulary, characters per token, and tokens per document. A
+   * source with an outlier OOV rate or chars/token is under-served by the
+   * vocab (its text fragments into rare tokens) — the signal to retrain
+   * the tokenizer or reweight the mix BEFORE the training run pays for it.
+   *
+   * Scale shape: the vocab is [[vocab]]'s bounded aggregate broadcast as a
+   * membership flag onto the exploded token stream; the token stats and
+   * doc counts are two map-side-partial hash aggs on the ≤|sources| key,
+   * joined at source cardinality. The corpus scans once per agg and never
+   * shuffles at token grain.
+   */
+  def tokenizerFertility(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    val r4 = (c: Column) => round(c * 1e4) / 1e4
+    val v = vocab(docs, vocabSize).select(col("word"), lit(1L).as("_inv"))
+    val toks = docs.select(col("source"),
+      explode(Dedup.wordsOf(col("text"))).as("word"))
+    val stats = toks.join(broadcast(v), Seq("word"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(length(col("word")).cast("long")).as("_chars"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(stats, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        // all-word-less sources 0/0-NULL and coalesce to 0, same as absent
+        r4(coalesce(col("n_oov").cast("double") / col("n_tokens"), lit(0.0)))
+          .as("oov_rate"),
+        r4(coalesce(col("_chars").cast("double") / col("n_tokens"), lit(0.0)))
+          .as("chars_per_token"),
+        r4(coalesce(col("n_tokens").cast("double") / col("n_docs"), lit(0.0)))
+          .as("tokens_per_doc"))
+  }
+
+  /**
    * One distributed BPE merge-count iteration: from the corpus word
    * frequencies, count every adjacent character pair weighted by word
    * count and return the top pairs — the statistic a BPE tokenizer trainer

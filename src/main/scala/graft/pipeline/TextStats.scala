@@ -310,4 +310,41 @@ object TextStats {
         (round(col("_slope") * 1e4) / 1e4).as("slope"),
         (round((col("_mc") - col("_slope") * col("_mr")) * 1e4) / 1e4).as("intercept"))
   }
+
+  /**
+   * Memorization-exposure audit — the privacy/copyright risk scan a corpus
+   * runs before release: a word `k`-gram occurring in exactly ONE document
+   * is text a model can only reproduce by memorizing that document. Per
+   * doc: distinct k-gram count, how many are corpus-unique (df = 1), the
+   * unique fraction, and the review flag at `tau` — the doc-level ranking
+   * that feeds manual review or downweighting.
+   *
+   * Scale shape: distinct (doc, gram) projection (Dedup.shingles is
+   * already distinct-per-doc), ONE gram-keyed shuffle where a
+   * gram-partitioned window counts df in place (no second corpus scan, no
+   * join back), then a doc-keyed map-side-partial re-agg; gram-less short
+   * docs keep a row via the doc_id left join. Linear in gram volume.
+   */
+  def memorizationAudit(docs: DataFrame, k: Int = 5, tau: Double = 0.5,
+                        textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"memorizationAudit: k must be >= 1, got $k")
+    // materialize the words array BEFORE shingling — the shingle lambda
+    // slices the outer array, and an unmaterialized one re-runs the whole
+    // regex+split chain per element (the documented Dedup.shinglesOf trap)
+    val g = docs.select(col("doc_id"), Dedup.wordsOf(col(textCol)).as("_w"))
+      .select(col("doc_id"), explode(Dedup.shinglesOf(col("_w"), k)).as("gram"))
+    val withDf = g.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+    val perDoc = withDf.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        (round(coalesce(col("n_unique").cast("double") / col("n_grams"), lit(0.0))
+          * 1e4) / 1e4).as("unique_frac"))
+      .withColumn("review",
+        (col("unique_frac") > tau && col("n_grams") > 0).cast("long"))
+  }
 }

@@ -736,6 +736,51 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rewritten s2 must cross the action threshold: ${out("s2")}")
   }
 
+  test("p74: tokenizer fertility flags the OOV-heavy source; empty-text sources keep a zeroed row") {
+    val sp = spark
+    import sp.implicits._
+    // vocabSize=2 over a corpus where 'aa' and 'bb' dominate; srcRare
+    // speaks entirely out-of-vocab, srcEmpty has no words at all
+    val d = (
+      (1 to 10).map(i => (i.toLong, "aa bb aa bb", "srcCommon")) ++
+      Seq((11L, "zz yy xx ww", "srcRare"), (12L, "...", "srcEmpty"))
+    ).toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Curation.tokenizerFertility(d, vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(6))).toMap
+    assert(out("srcCommon") == ((10L, 40L, 0L, 0.0, 4.0)), s"common: ${out("srcCommon")}")
+    val (nd, nt, noov, rate, tpd) = out("srcRare")
+    assert(nd == 1L && nt == 4L && noov == 4L && rate == 1.0 && tpd == 4.0,
+      s"rare source must read 100% OOV: ${out("srcRare")}")
+    assert(out("srcEmpty") == ((1L, 0L, 0L, 0.0, 0.0)),
+      s"wordless source must zero, not NULL: ${out("srcEmpty")}")
+    // chars_per_token: srcCommon words are all 2 chars
+    val cpt = graft.pipeline.Curation.tokenizerFertility(d, vocabSize = 2)
+      .where(col("source") === "srcCommon").collect().head.getDouble(5)
+    assert(cpt == 2.0, s"chars/token: $cpt")
+  }
+
+  test("p75: memorization audit — corpus-unique grams flag the one-of-a-kind doc, shared text stays clean") {
+    val sp = spark
+    import sp.implicits._
+    val boiler = "one two three four five six"            // 2 shared 5-grams
+    val d = Seq(
+      (1L, boiler), (2L, boiler),                          // df=2 everywhere
+      (3L, "alpha beta gamma delta epsilon zeta"),         // all grams unique
+      (4L, boiler + " unique tail here"),                  // mixed
+      (5L, "too short")                                    // no 5-grams
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.TextStats.memorizationAudit(d, k = 5, tau = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out(1L)._2 == 0L && out(1L)._4 == 0L, s"boilerplate doc must be clean: ${out(1L)}")
+    assert(out(3L) == ((2L, 2L, 1.0, 1L)), s"all-unique doc must flag: ${out(3L)}")
+    // doc 4 shares its first 2 grams with the boilerplate (df=3), its last
+    // 3 grams (crossing into 'unique tail here') are df=1
+    assert(out(4L)._1 == 5L && out(4L)._2 == 3L && out(4L)._4 == 1L, s"mixed: ${out(4L)}")
+    assert(out(5L) == ((0L, 0L, 0.0, 0L)), s"gram-less doc must keep a zero row: ${out(5L)}")
+  }
+
   test("p73: a source present only in the NEW snapshot still gets a drift row (grid = old ∪ new)") {
     val sp = spark
     import sp.implicits._

@@ -559,6 +559,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "agg and probe branches must both read the cached projection:\n" + plan.take(3000))
   }
 
+  test("q11 HAVING-scalar decorrelates onto the per-part aggregate: the threshold is a broadcast 1-row join over the cached group sums, lineitem scans once") {
+    val plan = SparkEntry.queries("q11_revenue_share_parts")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the 1-row total rides a broadcast nested-loop cross join
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the scalar threshold must broadcast:\n" + plan.take(2500))
+    // the per-part cents aggregate is persisted and read by BOTH the
+    // total branch and the probe branch — lineitem never scans twice
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+      "total and probe must both read the cached per-part aggregate:\n" + plan.take(3000))
+  }
+
+  test("p75 memorization audit counts gram df in a gram-PARTITIONED window — no unpartitioned window, no second corpus scan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "one two three four five six"),
+      (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val plan = graft.pipeline.TextStats.memorizationAudit(docs).queryExecution.sparkPlan
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.size == 1 && wins.head.partitionSpec.nonEmpty &&
+      wins.head.partitionSpec.head.toString.contains("gram"),
+      "df must come from one gram-keyed window: " + wins.map(_.partitionSpec))
+  }
+
   test("q08 per-nation top-k is two-phase: the heavy rank runs over salted keys only") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q08_top_orders_per_nation")(spark, "/root/testdata/sf0.001")
