@@ -144,7 +144,11 @@ object ScaleBench {
     // perceptual image dedup
     "p68_repetition", "p69_embed_decontam", "p70_source_percentile",
     "m06_image_neardup", "q10_small_qty_parts", "p72_split_by_cluster",
-    "p73_score_drift")
+    "p73_score_drift",
+    // r10: tukey's histogram-CDF rewrite (the r9 perf-weak row), the
+    // fertility/memorization audits, the Q11 HAVING-scalar anchor
+    "g36_tukey_above", "p74_tokenizer_fertility", "p75_memorization_audit",
+    "q11_revenue_share_parts")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

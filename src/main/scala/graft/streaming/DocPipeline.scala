@@ -199,6 +199,27 @@ object DocPipeline {
       .select("doc_id", "source", "quality", "src_pct", "keep")
 
   /**
+   * Streaming tokenizer-fertility monitor — the ingest twin of the batch
+   * [[graft.pipeline.Curation.tokenizerFertility]] report: each arriving
+   * document's token/OOV/char counts against the OFFLINE-trained vocab (a
+   * bounded literal array, the same deployed-model shape as
+   * [[nbScoreStream]]'s map). Stateless map-side HOF math — no explode,
+   * no join, no state; the per-source report is the sink's aggregation.
+   * Summing the emitted integer counts per source reproduces the batch
+   * p74 row EXACTLY (same integers → same 4dp ratios; gated stream ≡
+   * batch in StreamingSpec).
+   */
+  def fertilityStream(docs: DataFrame, vocabWords: Seq[String]): DataFrame = {
+    val vlit = array(vocabWords.map(lit): _*)
+    docs
+      .withColumn("_w", graft.pipeline.Dedup.wordsOf(col("text")))
+      .select(col("doc_id"), col("ts"), col("source"),
+        size(col("_w")).cast("long").as("n_tokens"),
+        size(filter(col("_w"), x => !array_contains(vlit, x))).cast("long").as("n_oov"),
+        aggregate(col("_w"), lit(0L), (a, x) => a + length(x)).as("n_chars"))
+  }
+
+  /**
    * Streaming within-doc repetition battery — the per-doc HOF twin of
    * the batch [[graft.pipeline.TextStats.repetitionStats]] (which runs
    * doc-keyed linear aggregations): every metric recomputed as STATELESS

@@ -322,6 +322,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
 
+  test("streaming fertility monitor: per-source aggregation of the streamed rows reproduces the batch p74 report") {
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("graft-fertstream").toString
+    val sp = spark
+    import sp.implicits._
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val rows = Seq(
+      (1L, ts(0), "aa bb aa bb", "srcCommon"), (2L, ts(1), "aa bb", "srcCommon"),
+      (3L, ts(2), "zz yy xx", "srcRare"), (4L, ts(3), "...", "srcEmpty"))
+    rows.toDF("doc_id", "ts", "text", "source")
+      .repartition(1).write.parquet(s"$tmp/docs/f1")
+    val static = rows.map(r => (r._1, r._3, r._4)).toDF("doc_id", "text", "source")
+    // offline vocab training, bounded literal deployment — same shape as NB
+    val vocabWords = graft.pipeline.Curation.vocab(static, 2)
+      .collect().map(_.getString(0)).toSeq
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType)))
+    val src = sp.readStream.schema(schema).parquet(s"$tmp/docs/*")
+    val q = graft.streaming.DocPipeline.fertilityStream(src, vocabWords)
+      .writeStream.format("memory").queryName("fert_stream")
+      .option("checkpointLocation", s"$tmp/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // the sink-side per-source report: same integer sums -> same 4dp ratios
+    val r4 = (c: org.apache.spark.sql.Column) => round(c * 1e4) / 1e4
+    val report = sp.table("fert_stream").groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_oov").as("n_oov"), sum("n_chars").as("_chars"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_oov"),
+        r4(coalesce(col("n_oov").cast("double") / col("n_tokens"), lit(0.0))).as("oov_rate"),
+        r4(coalesce(col("_chars").cast("double") / col("n_tokens"), lit(0.0))).as("chars_per_token"),
+        r4(coalesce(col("n_tokens").cast("double") / col("n_docs"), lit(0.0))).as("tokens_per_doc"))
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.pipeline.Curation.tokenizerFertility(static, vocabSize = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(report == batch, s"stream report $report vs batch $batch")
+  }
+
   test("streaming NB scoring with the offline-trained bounded model matches the batch scorer per document") {
     import java.sql.Timestamp
     val tmp = Files.createTempDirectory("graft-nbstream").toString
