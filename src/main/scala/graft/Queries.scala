@@ -403,6 +403,39 @@ object Queries {
     // the shared intermediate (persisted — agg branch + probe branch), and
     // revenue sums 2-decimal prices as exact cents so partition order can
     // never move the hash (the p67 integer-sum rule)
+    // point-in-time feature join (feature-store correctness): each purchase
+    // is a training example; its feature is the latest view value by the
+    // same user AT-OR-BEFORE the purchase — the as-of composition is one
+    // user-keyed shuffle + running last(ignoreNulls), never a range join;
+    // oracle = DuckDB's NATIVE ASOF LEFT JOIN (independent implementation)
+    "q12_pit_features" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val tsUs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("(ts - pmod(ts, 1000)) div 1000")
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(col("ts").cast("timestamp"))
+        case other => throw new IllegalArgumentException(
+          s"q12_pit_features: unsupported events.ts type $other")
+      }
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), tsUs.as("tus"))
+      // dedupe features per (user, ts): as-of over duplicate timestamps
+      // would be engine-dependent — keep the max-event_id view's value
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("tus"))
+        .agg(max_by(col("value"), col("event_id")).as("view_value"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("example_id"), col("user_id"),
+          col("tus"), col("value").as("label"))
+      Assembly.asofJoin(buys, views, "user_id", "tus")
+        .select(col("example_id"), col("user_id"), col("label"),
+          col("asof.view_value").as("feat_view_value"),
+          expr("(tus - asof.asof_ts) div 1000000").as("feat_age_sec"))
+        .orderBy("example_id")
+    }),
     // TPC-H Q11's HAVING-scalar shape (important-stock selection): parts
     // whose revenue share beats a corpus-wide threshold — the scalar
     // subquery decorrelates onto the ALREADY-AGGREGATED per-part frame
@@ -2052,6 +2085,18 @@ object Queries {
         |  FROM rev)
         |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
     // the correlated subquery decorrelated identically; cents-exact sum
+    // the oracle is DuckDB's NATIVE ASOF LEFT JOIN — a fully independent
+    // as-of implementation against the engine's tag+window composition
+    "q12_pit_features" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tus FROM events),
+        |v AS (SELECT user_id, tus, arg_max(value, event_id) AS view_value
+        |      FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+        |b AS (SELECT event_id AS example_id, user_id, tus, value AS label
+        |      FROM ev WHERE event_type = 'purchase')
+        |SELECT b.example_id, b.user_id, b.label, v.view_value AS feat_view_value,
+        |  (b.tus - v.tus) // 1000000 AS feat_age_sec
+        |FROM b ASOF LEFT JOIN v ON b.user_id = v.user_id AND b.tus >= v.tus
+        |ORDER BY b.example_id""".stripMargin,
     // Q11 HAVING-scalar shape: the global threshold is the sum of the
     // per-part group sums (one lineitem pass), cents-exact on both engines
     "q11_revenue_share_parts" ->

@@ -692,4 +692,42 @@ object Assembly {
       .select(scored.columns.map(col) :+ col("n_epochs") :+ col("epoch") :+
         col("shard"): _*)
   }
+
+  /**
+   * Point-in-time (as-of) join — the label-leakage-safe feature join every
+   * training-set builder needs (feature-store "point-in-time correctness":
+   * a training example at time t may only see feature values from ≤ t):
+   * for each left row, attach the single right row with the LARGEST
+   * right ts ≤ left ts on the same key, or NULLs when nothing precedes it.
+   *
+   * Spark has no native as-of join, and the naive range-join rewrite
+   * (`l JOIN r ON key AND r.ts <= l.ts` + max-per-example) multiplies each
+   * example by its ENTIRE feature history — quadratic per key at corpus
+   * scale. This composes it as the merge a feature store actually runs:
+   * tag both sides, ONE key-partitioned shuffle, sort each key's rows by
+   * (ts, side) — right rows first at equal ts, so the semantics are the
+   * inclusive `>=` of DuckDB/pandas ASOF — and carry the latest feature
+   * struct forward with a running `last(ignoreNulls)` frame. Linear in
+   * rows, zero joins, one shuffle.
+   *
+   * `right` must be unique per (key, ts) — dedupe upstream; duplicate
+   * feature timestamps would make ANY as-of result engine-dependent.
+   * Right's payload arrives as one `asof` struct column (its ts as
+   * `asof.asof_ts`); left rows with no preceding feature get a NULL
+   * struct, the LEFT-join contract.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    val rPayload = right.columns.filter(c => c != key && c != ts)
+    val r = right.select(col(key), col(ts).as("_ts"), lit(0).as("_kind"),
+      struct((col(ts).as("asof_ts") +: rPayload.map(col)): _*).as("_feat"))
+    val l = left.withColumn("_ts", col(ts)).withColumn("_kind", lit(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col("_ts"), col("_kind"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_asof", last(col("_feat"), ignoreNulls = true).over(w))
+      .where(col("_kind") === 1)
+      .select(left.columns.map(col) :+ col("_asof").as("asof"): _*)
+  }
 }

@@ -736,6 +736,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rewritten s2 must cross the action threshold: ${out("s2")}")
   }
 
+  test("q12: asofJoin attaches the latest feature at-or-before each example, NULL before any feature exists") {
+    val sp = spark
+    import sp.implicits._
+    val feats = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (2L, 150L, 5.0))
+      .toDF("user_id", "tus", "view_value")
+    val labels = Seq(
+      (10L, 1L, 50L),    // before any feature -> NULL
+      (11L, 1L, 100L),   // equal ts -> INCLUSIVE (>= semantics): 10.0
+      (12L, 1L, 199L),   // between features -> 10.0
+      (13L, 1L, 5000L),  // after all -> 20.0
+      (14L, 3L, 100L))   // keyless user -> NULL
+      .toDF("example_id", "user_id", "tus")
+    val out = graft.pipeline.Assembly.asofJoin(labels, feats, "user_id", "tus")
+      .select(col("example_id"), col("asof.view_value"), col("asof.asof_ts"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getDouble(1), r.getLong(2))))).toMap
+    assert(out(10L).isEmpty, s"pre-feature example must be NULL: ${out(10L)}")
+    assert(out(11L).contains((10.0, 100L)), s"equal ts is inclusive: ${out(11L)}")
+    assert(out(12L).contains((10.0, 100L)), s"between: ${out(12L)}")
+    assert(out(13L).contains((20.0, 200L)), s"latest wins: ${out(13L)}")
+    assert(out(14L).isEmpty, s"unseen key must be NULL: ${out(14L)}")
+  }
+
   test("p74: tokenizer fertility flags the OOV-heavy source; empty-text sources keep a zeroed row") {
     val sp = spark
     import sp.implicits._

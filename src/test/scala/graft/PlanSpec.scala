@@ -584,6 +584,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "df must come from one gram-keyed window: " + wins.map(_.partitionSpec))
   }
 
+  test("q12 point-in-time join is JOIN-FREE: one user-keyed window over the tagged union, never a range join") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("q12_pit_features")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val s = plan.toString
+    // the naive rewrite multiplies each example by its feature history —
+    // no join node of any kind may appear
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin") &&
+      !s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      "as-of must compose join-free:\n" + s.take(2500))
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.forall(_.partitionSpec.exists(_.toString.contains("user_id"))),
+      "the as-of carry-forward must run user-keyed: " + wins.map(_.partitionSpec))
+  }
+
   test("q08 per-nation top-k is two-phase: the heavy rank runs over salted keys only") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q08_top_orders_per_nation")(spark, "/root/testdata/sf0.001")
