@@ -2610,7 +2610,7 @@ object Queries {
         |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
         |vc AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
         |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc)
-        |SELECT doc_id, count(*) AS n_words, round((avg(ln((c + 1.0) / (t + v)))) * 1e4) / 1e4 AS avg_logp
+        |SELECT doc_id, count(*) AS n_words, round(((sum(CAST(round(ln((c + 1.0) / (t + v)) * 1e6) AS BIGINT)) * 1.0 / count(*)) / 1e6) * 1e4) / 1e4 AS avg_logp
         |FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same LM as p27; perplexity rounded to 4dp BEFORE the tercile cut so
     // the bucket boundary is engine-reproducible
@@ -2621,7 +2621,7 @@ object Queries {
         |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
         |vc AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
         |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc),
-        |sc AS (SELECT doc_id, count(*) AS n_words, round((avg(ln((c + 1.0) / (t + v)))) * 1e4) / 1e4 AS lp
+        |sc AS (SELECT doc_id, count(*) AS n_words, round(((sum(CAST(round(ln((c + 1.0) / (t + v)) * 1e6) AS BIGINT)) * 1.0 / count(*)) / 1e6) * 1e4) / 1e4 AS lp
         |       FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id),
         |sp AS (SELECT doc_id, n_words, round((exp(-lp)) * 1e4) / 1e4 AS ppl FROM sc),
         |cut AS (SELECT quantile_cont(ppl, 1.0/3) AS c1, quantile_cont(ppl, 2.0/3) AS c2 FROM sp)
@@ -2696,7 +2696,7 @@ object Queries {
         |tv AS (SELECT word, count(*) AS ct FROM tex GROUP BY word),
         |tt AS (SELECT sum(ct) AS tt, count(*) AS vt FROM tv),
         |sc AS (SELECT doc_id, count(*) AS n_words,
-        |  round((avg(ln((coalesce(ct, 0) + 1.0) / (tt + vt)) - ln((cr + 1.0) / (tr + vr)))) * 1e4) / 1e4 AS dsir_score
+        |  round(((sum(CAST(round((ln((coalesce(ct, 0) + 1.0) / (tt + vt)) - ln((cr + 1.0) / (tr + vr))) * 1e6) AS BIGINT)) * 1.0 / count(*)) / 1e6) * 1e4) / 1e4 AS dsir_score
         |  FROM ex JOIN rv USING (word) LEFT JOIN tv USING (word) CROSS JOIN rt CROSS JOIN tt
         |  GROUP BY doc_id)
         |SELECT doc_id, n_words, dsir_score FROM sc
@@ -2722,7 +2722,7 @@ object Queries {
         |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
         |vc AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
         |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc),
-        |sc AS (SELECT doc_id, round((avg(ln((c + 1.0) / (t + v)))) * 1e4) / 1e4 AS lp
+        |sc AS (SELECT doc_id, round(((sum(CAST(round(ln((c + 1.0) / (t + v)) * 1e6) AS BIGINT)) * 1.0 / count(*)) / 1e6) * 1e4) / 1e4 AS lp
         |       FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id),
         |sp AS (SELECT doc_id, round((exp(-lp)) * 1e4) / 1e4 AS ppl FROM sc),
         |cut AS (SELECT quantile_cont(ppl, 1.0/3) AS c1, quantile_cont(ppl, 2.0/3) AS c2 FROM sp),
@@ -2749,9 +2749,9 @@ object Queries {
         |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
         |vc AS (SELECT doc_id, word, count(*) AS c FROM ex GROUP BY doc_id, word),
         |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_types,
-        |       sum(c * ln(c)) AS clnc FROM vc GROUP BY doc_id)
+        |       sum(CAST(round(c * ln(c) * 1e6) AS BIGINT)) AS clncq FROM vc GROUP BY doc_id)
         |SELECT doc_id, n_words, n_types,
-        |  round((ln(n_words) - clnc / n_words) * 1e4) / 1e4 AS entropy,
+        |  round((ln(n_words) - (clncq * 1.0 / 1e6) / n_words) * 1e4) / 1e4 AS entropy,
         |  round((CAST(n_types AS DOUBLE) / n_words) * 1e4) / 1e4 AS ttr
         |FROM ag ORDER BY doc_id""".stripMargin,
     "p48_source_overlap" ->
@@ -2788,7 +2788,7 @@ object Queries {
         |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
         |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round((avg(ln((cb + 1.0) / (cu + v)))) * 1e4) / 1e4 AS avg_logp
+        |  round(((sum(CAST(round(ln((cb + 1.0) / (cu + v)) * 1e6) AS BIGINT)) * 1.0 / count(*)) / 1e6) * 1e4) / 1e4 AS avg_logp
         |FROM bg JOIN bc USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // NB class counts from ONE conditional-sum pass; the sign decision
@@ -2827,9 +2827,9 @@ object Queries {
         |  LEFT JOIN c ca ON ca.word = g.word AND ca.source = pr.src_a
         |  LEFT JOIN c cb ON cb.word = g.word AND cb.source = pr.src_b)
         |SELECT src_a, src_b, CAST(any_value(v) AS BIGINT) AS n_vocab,
-        |  round((sum(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q))))) * 1e4) / 1e4 AS jsd,
-        |  round((sum(p * ln(p / q))) * 1e4) / 1e4 AS kl_ab,
-        |  round((sum(q * ln(q / p))) * 1e4) / 1e4 AS kl_ba
+        |  round((sum(CAST(round(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q))) * 1e12) AS BIGINT)) * 1.0 / 1e12) * 1e4) / 1e4 AS jsd,
+        |  round((sum(CAST(round(p * ln(p / q) * 1e12) AS BIGINT)) * 1.0 / 1e12) * 1e4) / 1e4 AS kl_ab,
+        |  round((sum(CAST(round(q * ln(q / p) * 1e12) AS BIGINT)) * 1.0 / 1e12) * 1e4) / 1e4 AS kl_ba
         |FROM f GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
     // the selection is equivalent to a full (score desc, doc_id) running
     // token sum capped at the budget — integer token math, score rounded
@@ -2841,7 +2841,7 @@ object Queries {
         |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
         |vc AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
         |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc),
-        |sc AS (SELECT doc_id, count(*) AS n_words, round((avg(ln((c + 1.0) / (t + v)))) * 1e4) / 1e4 AS score
+        |sc AS (SELECT doc_id, count(*) AS n_words, round(((sum(CAST(round(ln((c + 1.0) / (t + v)) * 1e6) AS BIGINT)) * 1.0 / count(*)) / 1e6) * 1e4) / 1e4 AS score
         |       FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id),
         |sel AS (SELECT doc_id, n_words, score,
         |  sum(n_words) OVER (ORDER BY score DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum FROM sc)
@@ -2938,8 +2938,8 @@ object Queries {
         |        sum(co) OVER (PARTITION BY source) AS no,
         |        sum(cn) OVER (PARTITION BY source) AS nn FROM j)
         |SELECT source, CAST(max(no) AS BIGINT) AS n_old, CAST(max(nn) AS BIGINT) AS n_new,
-        |  round((sum(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
-        |    ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10))))) * 1e4) / 1e4 AS psi,
+        |  round((sum(CAST(round(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
+        |    ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10))) * 1e12) AS BIGINT)) * 1.0 / 1e12) * 1e4) / 1e4 AS psi,
         |  CASE WHEN round((sum(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
         |         ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10))))) * 1e4) / 1e4 < 0.1 THEN 'stable'
         |       WHEN round((sum(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
@@ -2950,13 +2950,17 @@ object Queries {
       """WITH ex AS (SELECT unnest(list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0)) AS word FROM documents),
         |vc AS (SELECT word, count(*) AS cnt FROM ex GROUP BY word),
         |nt AS (SELECT count(*) AS n_types FROM vc),
-        |top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+        |top AS (SELECT CAST(round(ln(row_number() OVER (ORDER BY cnt DESC, word)) * 1e6) AS BIGINT) AS x,
+        |               CAST(round(ln(cnt) * 1e6) AS BIGINT) AS y
         |        FROM vc ORDER BY cnt DESC, word LIMIT 200),
-        |f AS (SELECT count(*) AS k_fit,
-        |        covar_pop(ln(rank), ln(cnt)) / var_pop(ln(rank)) AS s,
-        |        avg(ln(cnt)) AS mc, avg(ln(rank)) AS mr FROM top)
-        |SELECT nt.n_types, f.k_fit, round((s) * 1e4) / 1e4 AS slope, round((mc - s * mr) * 1e4) / 1e4 AS intercept
-        |FROM f CROSS JOIN nt""".stripMargin,
+        |f AS (SELECT count(*) AS k_fit, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sxx FROM top),
+        |g AS (SELECT k_fit, sx, sy,
+        |        CAST(k_fit * sxy - sx * sy AS DOUBLE) / CAST(k_fit * sxx - sx * sx AS DOUBLE) AS s
+        |      FROM f)
+        |SELECT nt.n_types, g.k_fit, round((s) * 1e4) / 1e4 AS slope,
+        |  round((sy * 1.0 / k_fit / 1e6 - s * (sx * 1.0 / k_fit / 1e6)) * 1e4) / 1e4 AS intercept
+        |FROM g CROSS JOIN nt""".stripMargin,
     // same top-256 vocab CTE as p51; membership via LEFT JOIN, stats per
     // source with the absent/empty-source coalesce mirrored from the engine
     "p74_tokenizer_fertility" ->

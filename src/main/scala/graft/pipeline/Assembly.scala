@@ -200,17 +200,25 @@ object Assembly {
    * Plan shape: one vocab aggregation (map-side partial then shuffle on
    * word — Zipf-bounded), one shuffle join of exploded tokens against the
    * vocab, one per-doc re-aggregation. No driver-side loops.
+   *
+   * Determinism: the per-word log-prob quantizes to a 1e6-scaled long
+   * BEFORE the per-doc mean, so the sum is exact integer math — an
+   * unordered double sum can move by an ulp with partition-merge order
+   * and flip a downstream 4dp rounding boundary (the class that held
+   * p67's driver hash red for two rounds). `avg_logp` is then a pure
+   * function of integers, bit-identical in any engine.
    */
   def unigramLmScore(docs: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"), Dedup.wordsOf(col("text")).as("w"))
     val toks = words.select(col("doc_id"), explode(col("w")).as("word"))
     val vocab = toks.groupBy("word").agg(count(lit(1)).as("c"))
     val totals = vocab.agg(sum("c").as("t"), count(lit(1)).as("v"))
+    val termQ = round(log((col("c") + 1.0) / (col("t") + col("v"))) * 1e6).cast("long")
     toks.join(vocab, "word")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
-        avg(log((col("c") + 1.0) / (col("t") + col("v")))).as("avg_logp"))
+        (sum(termQ).cast("double") / count(lit(1)) / 1e6).as("avg_logp"))
   }
 
   /**
@@ -240,11 +248,14 @@ object Assembly {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bc = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val cu = bigr.groupBy("w1").agg(count(lit(1)).as("cu"))
+    // per-bigram term quantized to a 1e6-scaled long before the mean —
+    // same order-independence contract as unigramLmScore
+    val termQ = round(log((col("cb") + 1.0) / (col("cu") + col("v"))) * 1e6).cast("long")
     bigr.join(bc, Seq("w1", "w2")).join(cu, Seq("w1"))
       .crossJoin(broadcast(vocabSize))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        avg(log((col("cb") + 1.0) / (col("cu") + col("v")))).as("avg_logp"))
+        (sum(termQ).cast("double") / count(lit(1)) / 1e6).as("avg_logp"))
   }
 
   /**
@@ -308,12 +319,16 @@ object Assembly {
     toks.join(rawVocab, "word")
       .join(broadcast(tgtVocab), Seq("word"), "left")
       .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
-      .withColumn("_lr",
+      // per-word log-ratio quantized to a 1e6-scaled long before the mean
+      // — the p67/p27 order-independence contract (an unordered double sum
+      // can flip the 4dp score at a boundary with partition-merge order)
+      .withColumn("_lrq", round((
         log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + col("vt"))) -
-          log((col("cr") + 1.0) / (col("tr") + col("vr"))))
+          log((col("cr") + 1.0) / (col("tr") + col("vr")))) * 1e6).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
-        (round(avg(col("_lr")) * 1e4) / 1e4).as("dsir_score"))
+        (round((sum(col("_lrq")).cast("double") / count(lit(1)) / 1e6) * 1e4) / 1e4)
+          .as("dsir_score"))
       .orderBy(col("dsir_score").desc, col("doc_id")).limit(k)
   }
 

@@ -384,12 +384,22 @@ object Curation {
         (coalesce(element_at(col("m"), col("src_a")), lit(0L)) + 1.0) / (col("na") + col("v")))
       .withColumn("q",
         (coalesce(element_at(col("m"), col("src_b")), lit(0L)) + 1.0) / (col("nb") + col("v")))
+      // per-word contributions quantize to 1e12-scaled longs before the
+      // vocab-wide sums (terms are ~1e-4 each, so 1e6 would lose real
+      // precision; 1e12 keeps ≥6 significant digits per term and the sum
+      // stays < 2^63 up to ~1e8-word vocabularies) — exact integer math,
+      // immune to partition-merge order (the p67 4dp-boundary class)
+      .withColumn("_jq", round((lit(0.5) *
+        (col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))) +
+         col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))) * 1e12)
+        .cast("long"))
+      .withColumn("_abq", round((col("p") * log(col("p") / col("q"))) * 1e12).cast("long"))
+      .withColumn("_baq", round((col("q") * log(col("q") / col("p"))) * 1e12).cast("long"))
       .groupBy("src_a", "src_b")
       .agg(first(col("v")).as("n_vocab"),
-        sum(lit(0.5) * (col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))) +
-          col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))).as("jsd"),
-        sum(col("p") * log(col("p") / col("q"))).as("kl_ab"),
-        sum(col("q") * log(col("q") / col("p"))).as("kl_ba"))
+        (sum(col("_jq")).cast("double") / 1e12).as("jsd"),
+        (sum(col("_abq")).cast("double") / 1e12).as("kl_ab"),
+        (sum(col("_baq")).cast("double") / 1e12).as("kl_ba"))
   }
 
   /**
@@ -571,10 +581,14 @@ object Curation {
       .withColumn("_nn", sum(col("_cn")).over(w))
       .withColumn("_pa", (col("_co") + 1.0) / (col("_no") + bins))
       .withColumn("_pb", (col("_cn") + 1.0) / (col("_nn") + bins))
+      // per-bin PSI contribution quantized to a 1e12-scaled long before
+      // the sum (the p67 order-independence contract)
+      .withColumn("_psiq",
+        round(((col("_pa") - col("_pb")) * log(col("_pa") / col("_pb"))) * 1e12)
+          .cast("long"))
       .groupBy(col("source"))
       .agg(max(col("_no")).as("n_old"), max(col("_nn")).as("n_new"),
-        (round(sum((col("_pa") - col("_pb")) * log(col("_pa") / col("_pb"))) * 1e4) / 1e4)
-          .as("psi"))
+        (round((sum(col("_psiq")).cast("double") / 1e12) * 1e4) / 1e4).as("psi"))
       .withColumn("drift",
         when(col("psi") < 0.1, "stable")
           .when(col("psi") <= 0.25, "moderate")

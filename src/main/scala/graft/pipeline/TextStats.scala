@@ -208,9 +208,14 @@ object TextStats {
     perWord.groupBy("doc_id")
       .agg(sum(col("c")).as("n_words"),
         count(lit(1)).as("n_types"),
-        sum(col("c").cast("double") * log(col("c").cast("double"))).as("_clnc"))
+        // per-type c·ln(c) quantized to a 1e6-scaled long before the sum —
+        // exact integer math, immune to partition-merge order (the p67
+        // 4dp-boundary class)
+        sum(round(col("c").cast("double") * log(col("c").cast("double")) * 1e6)
+          .cast("long")).as("_clncq"))
       .withColumn("entropy",
-        log(col("n_words").cast("double")) - col("_clnc") / col("n_words"))
+        log(col("n_words").cast("double")) -
+          (col("_clncq").cast("double") / 1e6) / col("n_words"))
       .withColumn("ttr", col("n_types").cast("double") / col("n_words"))
       .select(col("doc_id"), col("n_words"), col("n_types"),
         col("entropy"), col("ttr"))
@@ -295,20 +300,29 @@ object TextStats {
       .select(explode(Dedup.wordsOf(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
     val nTypes = counts.agg(count(lit(1)).as("n_types"))
+    // the regression runs on 1e6-quantized ln(rank)/ln(count) longs with
+    // EXACT integer sums (n·Σxy − Σx·Σy etc. stay < 2^63 for k ≤ 200), so
+    // slope/intercept are pure functions of integers — covar_pop/var_pop
+    // over doubles summed in partition order could flip the 4dp round
     val top = counts.orderBy(col("cnt").desc, col("word")).limit(k)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("word"))).cast("long"))
-      .withColumn("_lr", log(col("rank").cast("double")))
-      .withColumn("_lc", log(col("cnt").cast("double")))
+      .withColumn("_x", round(log(col("rank").cast("double")) * 1e6).cast("long"))
+      .withColumn("_y", round(log(col("cnt").cast("double")) * 1e6).cast("long"))
     top.agg(
         count(lit(1)).as("k_fit"),
-        (covar_pop(col("_lr"), col("_lc")) / var_pop(col("_lr"))).as("_slope"),
-        avg(col("_lc")).as("_mc"), avg(col("_lr")).as("_mr"))
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"), sum(col("_x") * col("_x")).as("_sxx"))
+      .withColumn("_slope",
+        (col("k_fit") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+          (col("k_fit") * col("_sxx") - col("_sx") * col("_sx")).cast("double"))
       .crossJoin(broadcast(nTypes))
       .select(col("n_types"), col("k_fit"),
         (round(col("_slope") * 1e4) / 1e4).as("slope"),
-        (round((col("_mc") - col("_slope") * col("_mr")) * 1e4) / 1e4).as("intercept"))
+        (round((col("_sy").cast("double") / col("k_fit") / 1e6 -
+          col("_slope") * (col("_sx").cast("double") / col("k_fit") / 1e6)) * 1e4) / 1e4)
+          .as("intercept"))
   }
 
   /**

@@ -307,8 +307,10 @@ class AssemblySpec extends AnyFunSuite with BeforeAndAfterAll {
         ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logp")))).toMap
     assert(!out.contains(3L), "a one-word doc has no bigrams")
     val pAB = math.log(4.0 / 6); val pBA = math.log(2.0 / 4)
-    assert(out(1L)._1 == 3 && math.abs(out(1L)._2 - (2 * pAB + pBA) / 3) < 1e-12)
-    assert(out(2L)._1 == 1 && math.abs(out(2L)._2 - pAB) < 1e-12)
+    // tolerance 1e-5: per-bigram terms quantize to 1e6-scaled longs
+    // before the mean (order-independent integer sum — the p67 class)
+    assert(out(1L)._1 == 3 && math.abs(out(1L)._2 - (2 * pAB + pBA) / 3) < 1e-5)
+    assert(out(2L)._1 == 1 && math.abs(out(2L)._2 - pAB) < 1e-5)
   }
 
   test("shardPlan: LCG positions replay exactly, shards partition the corpus, offsets prefix-sum") {

@@ -290,10 +290,13 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("n_words"), r.getAs[Long]("n_types"),
           r.getAs[Double]("entropy"), r.getAs[Double]("ttr")))).toMap
+    // tolerance 1e-5: the engine quantizes each c·ln(c) term to a
+    // 1e6-scaled long (order-independent integer sum — the p67 class),
+    // so closed-form floats match to ~1e-6, not machine epsilon
     assert(out(1L)._1 == 4 && out(1L)._2 == 4 && out(1L)._4 == 1.0)
-    assert(math.abs(out(1L)._3 - math.log(4)) < 1e-12)
-    assert(out(2L)._3 == 0.0 && out(2L)._4 == 0.25)
-    assert(math.abs(out(3L)._3 - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12)
+    assert(math.abs(out(1L)._3 - math.log(4)) < 1e-5)
+    assert(math.abs(out(2L)._3) < 1e-5 && out(2L)._4 == 0.25)
+    assert(math.abs(out(3L)._3 - (math.log(3) - 2 * math.log(2) / 3)) < 1e-5)
   }
 
   test("word entropy: randomized docs match a local reference; 0 ≤ H ≤ ln(n_types)") {
@@ -309,9 +312,10 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       val n = counts.values.sum
       val h = math.log(n) - counts.values.map(c => c * math.log(c)).sum / n
       val r = out(id)
-      assert(math.abs(r.getAs[Double]("entropy") - h) < 1e-9, s"doc $id")
-      assert(r.getAs[Double]("entropy") >= -1e-12 &&
-        r.getAs[Double]("entropy") <= math.log(counts.size) + 1e-12, s"doc $id bounds")
+      // 1e-5 tolerance: per-term 1e6 quantization (see above)
+      assert(math.abs(r.getAs[Double]("entropy") - h) < 1e-5, s"doc $id")
+      assert(r.getAs[Double]("entropy") >= -1e-5 &&
+        r.getAs[Double]("entropy") <= math.log(counts.size) + 1e-5, s"doc $id bounds")
     }
   }
 
