@@ -2307,13 +2307,13 @@ object Queries {
         |a1 AS (SELECT vec_id, cluster FROM (
         |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
         |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
-        |u1 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |u1 AS (SELECT a.cluster, dims.i, sum(CAST(round(e.v[dims.i] * 1e7) AS BIGINT)) * 1.0 / count(*) / 1e7 AS m FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
         |c1 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c0 c
         |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u1 GROUP BY cluster) u USING (cluster)),
         |a2 AS (SELECT vec_id, cluster FROM (
         |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
         |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
-        |u2 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |u2 AS (SELECT a.cluster, dims.i, sum(CAST(round(e.v[dims.i] * 1e7) AS BIGINT)) * 1.0 / count(*) / 1e7 AS m FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
         |c2 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c1 c
         |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u2 GROUP BY cluster) u USING (cluster))
         |SELECT vec_id, cluster, round((d2) * 1e4) / 1e4 AS dist2 FROM (
@@ -2357,13 +2357,13 @@ object Queries {
         |a1 AS (SELECT vec_id, cluster FROM (
         |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
         |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
-        |u1 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |u1 AS (SELECT a.cluster, dims.i, sum(CAST(round(e.v[dims.i] * 1e7) AS BIGINT)) * 1.0 / count(*) / 1e7 AS m FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
         |c1 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c0 c
         |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u1 GROUP BY cluster) u USING (cluster)),
         |a2 AS (SELECT vec_id, cluster FROM (
         |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
         |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
-        |u2 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |u2 AS (SELECT a.cluster, dims.i, sum(CAST(round(e.v[dims.i] * 1e7) AS BIGINT)) * 1.0 / count(*) / 1e7 AS m FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
         |c2 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c1 c
         |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u2 GROUP BY cluster) u USING (cluster)),
         |af AS (SELECT vec_id, cluster FROM (
@@ -2384,13 +2384,13 @@ object Queries {
         |a1 AS (SELECT vec_id, cluster FROM (
         |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
         |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
-        |u1 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |u1 AS (SELECT a.cluster, dims.i, sum(CAST(round(e.v[dims.i] * 1e7) AS BIGINT)) * 1.0 / count(*) / 1e7 AS m FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
         |c1 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c0 c
         |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u1 GROUP BY cluster) u USING (cluster)),
         |a2 AS (SELECT vec_id, cluster FROM (
         |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
         |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
-        |u2 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |u2 AS (SELECT a.cluster, dims.i, sum(CAST(round(e.v[dims.i] * 1e7) AS BIGINT)) * 1.0 / count(*) / 1e7 AS m FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
         |c2 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c1 c
         |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u2 GROUP BY cluster) u USING (cluster)),
         |af AS (SELECT vec_id, cluster FROM (
@@ -2856,13 +2856,13 @@ object Queries {
         |a1 AS (SELECT vec_id, cluster FROM (
         |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
         |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
-        |u1 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |u1 AS (SELECT a.cluster, dims.i, sum(CAST(round(e.v[dims.i] * 1e7) AS BIGINT)) * 1.0 / count(*) / 1e7 AS m FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
         |c1 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c0 c
         |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u1 GROUP BY cluster) u USING (cluster)),
         |a2 AS (SELECT vec_id, cluster FROM (
         |    SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
         |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
-        |u2 AS (SELECT a.cluster, dims.i, avg(e.v[dims.i]) AS m FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
+        |u2 AS (SELECT a.cluster, dims.i, sum(CAST(round(e.v[dims.i] * 1e7) AS BIGINT)) * 1.0 / count(*) / 1e7 AS m FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims GROUP BY 1, 2),
         |c2 AS (SELECT c.cluster, coalesce(u.v, c.v) AS v FROM c1 c
         |       LEFT JOIN (SELECT cluster, list(m ORDER BY i) AS v FROM u2 GROUP BY cluster) u USING (cluster)),
         |asg AS (SELECT vec_id, cluster, round((sqrt(d2)) * 1e4) / 1e4 AS dist FROM (

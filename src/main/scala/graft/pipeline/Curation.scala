@@ -161,9 +161,16 @@ object Curation {
     while (it < iters) {
       val assigned = assignTo(vecs, cents)
       // k×dim partial sums: posexplode to scalar (cluster, dim) cells so a
-      // hot cluster never concentrates whole vectors on one reducer
+      // hot cluster never concentrates whole vectors on one reducer.
+      // Each component quantizes to a 1e7-scaled long before the sum (the
+      // p67 order-independence contract — an unordered double avg can move
+      // by an ulp with partition-merge order, shift a centroid, and flip a
+      // downstream 4dp distance boundary); 1e7 keeps the sum < 2^63 even
+      // at ~1e9 members/cluster and costs ~1e-8 per-component fidelity
       val upd = assigned.select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy(col("cluster"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"), col("i"))
+        .agg((sum(round(col("x") * 1e7).cast("long")).cast("double") /
+          count(lit(1)) / 1e7).as("m"))
         .collect()
       val next = cents.map(_.clone())
       upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
