@@ -65,6 +65,14 @@ object Queries {
     round(c * scale) / scale
   }
 
+  /** Order-independent money sum: each term quantizes to exact cents (the
+    * TPC-H-ish columns are 2dp at heart, so this is lossless on raw prices
+    * and ≤half-cent-per-row on discounted products) and the sum is integer
+    * math — an unordered double sum can move by an ulp with partition-merge
+    * order and flip the final 2dp round (the p67 class, money edition). */
+  private def centsSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(c * 100).cast("long")).cast("double") / 100
+
   /** Evaluate a Graphite target and emit the canonical comparison shape. */
   private def g(target: String)(spark: SparkSession, sfDir: String): DataFrame = {
     val df = Eval.evalTarget(spark, gStore(spark, sfDir), target)
@@ -370,11 +378,15 @@ object Queries {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
+          // quantities are integral, so their double sum is already exact;
+          // prices/discounts quantize to cents before summing (order-
+          // independent integer math — the p67 class, money edition)
           dround(sum(col("l_quantity")), 2).as("sum_qty"),
-          dround(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          centsSum(col("l_extendedprice")).as("sum_base_price"),
+          centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
           dround(avg(col("l_quantity")), 4).as("avg_qty"),
-          dround(avg(col("l_discount")), 4).as("avg_disc"),
+          dround(sum(round(col("l_discount") * 100).cast("long")).cast("double")
+            / count(lit(1)) / 100, 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -387,7 +399,7 @@ object Queries {
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -515,7 +527,7 @@ object Queries {
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
           col("o_orderpriority"))
-        .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
     }),
@@ -537,7 +549,7 @@ object Queries {
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), col("o_orderkey"))
-        .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       val salted = rev.withColumn("_salt", pmod(hash(col("o_orderkey")), lit(16)))
       val wPartial = Window.partitionBy(col("n_name"), col("_salt"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -570,7 +582,7 @@ object Queries {
         .join(broadcast(reg.where(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -580,7 +592,7 @@ object Queries {
       li.where(col("l_shipdate") >= lit("1996-01-01") &&
           col("l_shipdate") < lit("1997-01-01") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(dround(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(centsSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
     // gap-based sessionization: per-user event-time windows, a new session
@@ -619,7 +631,7 @@ object Queries {
         .agg(min("tus").as("session_start_us"),
           count(lit(1)).as("n_events"),
           (max("tus") - min("tus")).as("duration_us"),
-          dround(sum("value"), 2).as("total_value"))
+          centsSum(col("value")).as("total_value"))
         .orderBy("user_id", "sess_seq")
     }),
 
@@ -2058,14 +2070,14 @@ object Queries {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
         |  round((avg(l_quantity)) * 1e4) / 1e4 AS avg_qty,
-        |  round((avg(l_discount)) * 1e4) / 1e4 AS avg_disc,
+        |  round(((sum(CAST(round(l_discount * 100) AS BIGINT)) * 1.0 / count(*)) / 100) * 1e4) / 1e4 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_revenue_by_nation" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
+      """SELECT n_name, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue, count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -2073,7 +2085,7 @@ object Queries {
     "q08_top_orders_per_nation" ->
       """WITH rev AS (
         |  SELECT n_name, o_orderkey,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
@@ -2135,7 +2147,7 @@ object Queries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q03_shipping_priority" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -2143,7 +2155,7 @@ object Queries {
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
     "q05_local_supplier_volume" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
+      """SELECT n_name, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue, count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -2153,7 +2165,7 @@ object Queries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q06_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_items
+      """SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0 AS revenue, count(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
@@ -2163,7 +2175,7 @@ object Queries {
         |      FROM (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e)),
         |g AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_seq FROM f)
         |SELECT user_id, sess_seq, min(tus) AS session_start_us, count(*) AS n_events,
-        |  max(tus) - min(tus) AS duration_us, round(sum(value), 2) AS total_value
+        |  max(tus) - min(tus) AS duration_us, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
         |FROM g GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
 
     "p01_dedup_exact" ->
