@@ -125,6 +125,25 @@ object Queries {
   private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  /** Event time normalized to epoch µs (shared by q07/q12/q13): ts arrives
+    * as raw nanos (nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP depending on
+    * reader config; DuckDB tops out at µs, so both engines compare in µs.
+    * FLOOR division nanos→µs (pmod keeps the remainder non-negative —
+    * `div` alone truncates toward zero and diverges from DuckDB's floor by
+    * 1 µs pre-epoch). Unexpected ts types THROW: with ANSI off a silent
+    * cast would turn schema drift into NULLs instead of a fast failure. */
+  private def eventTsUs(raw: DataFrame, who: String): org.apache.spark.sql.Column =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("(ts - pmod(ts, 1000)) div 1000")
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp"))
+      case other => throw new IllegalArgumentException(
+        s"$who: unsupported events.ts type $other — expected " +
+          "LONG (epoch nanos), TIMESTAMP, or TIMESTAMP_NTZ")
+    }
+
   // ----------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -415,6 +434,38 @@ object Queries {
     // the shared intermediate (persisted — agg branch + probe branch), and
     // revenue sums 2-decimal prices as exact cents so partition order can
     // never move the hash (the p67 integer-sum rule)
+    // trailing-window aggregate features (the other half of the q12
+    // feature-store pair): per purchase, the same user's view count and
+    // cents-exact value sum over the PRECEDING 24 h. The range join runs
+    // BUCKETED — each probe explodes into its 2 covering day-bins and
+    // joins on (user, bin) EQUALITY, so candidates are two days of one
+    // user's views, never the user's whole history per probe (the naive
+    // `v.ts BETWEEN b.ts-24h AND b.ts` join degenerates to per-user
+    // all-pairs on a hot user)
+    "q13_window_features" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val ev = raw.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), eventTsUs(raw, "q13_window_features").as("tus"))
+      val dayUs = 86400000000L
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("tus").as("vtus"),
+          round(col("value") * 100).cast("long").as("_vc"))
+        .withColumn("bin", expr(s"vtus div $dayUs"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("example_id"), col("user_id"),
+          col("tus"), col("value").as("label"))
+      val probes = buys.withColumn("bin",
+        explode(array(expr(s"tus div $dayUs") - 1, expr(s"tus div $dayUs"))))
+      val m = probes.join(views, Seq("user_id", "bin"))
+        .where(col("vtus") >= col("tus") - dayUs && col("vtus") < col("tus"))
+        .groupBy("example_id")
+        .agg(count(lit(1)).as("n_views_24h"), sum(col("_vc")).as("_cents"))
+      buys.join(m, Seq("example_id"), "left")
+        .select(col("example_id"), col("user_id"), col("label"),
+          coalesce(col("n_views_24h"), lit(0L)).as("n_views_24h"),
+          (coalesce(col("_cents"), lit(0L)).cast("double") / 100).as("view_value_24h"))
+        .orderBy("example_id")
+    }),
     // point-in-time feature join (feature-store correctness): each purchase
     // is a training example; its feature is the latest view value by the
     // same user AT-OR-BEFORE the purchase — the as-of composition is one
@@ -422,18 +473,8 @@ object Queries {
     // oracle = DuckDB's NATIVE ASOF LEFT JOIN (independent implementation)
     "q12_pit_features" -> ((s, dir) => {
       val raw = s.read.parquet(s"$dir/events.parquet")
-      val tsUs = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          expr("(ts - pmod(ts, 1000)) div 1000")
-        case org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType =>
-          unix_micros(col("ts").cast("timestamp"))
-        case other => throw new IllegalArgumentException(
-          s"q12_pit_features: unsupported events.ts type $other")
-      }
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), tsUs.as("tus"))
+      val ev = raw.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), eventTsUs(raw, "q12_pit_features").as("tus"))
       // dedupe features per (user, ts): as-of over duplicate timestamps
       // would be engine-dependent — keep the max-event_id view's value
       val views = ev.where(col("event_type") === "view")
@@ -599,27 +640,9 @@ object Queries {
     // after >6 h idle; the window partitions by user so a 100 TB event log
     // sessionizes with one shuffle and no global sort
     "q07_sessions" -> ((s, dir) => {
-      // micro-truncated event time: ts arrives as raw nanos (nanosAsLong),
-      // as TIMESTAMP_NTZ, or as TIMESTAMP depending on reader config; DuckDB
-      // tops out at µs, so both engines compare in epoch µs
       val raw = s.read.parquet(s"$dir/events.parquet")
-      // FLOOR division nanos→µs (pmod keeps the remainder non-negative):
-      // `div` truncates toward zero, which diverges from DuckDB's floor by
-      // 1 µs on pre-epoch timestamps. Unexpected ts types THROW — with
-      // ANSI off a silent cast would turn schema drift into NULLs and an
-      // empty sessionization instead of a fast failure.
-      val tsUs = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          expr("(ts - pmod(ts, 1000)) div 1000")
-        case org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType =>
-          unix_micros(col("ts").cast("timestamp"))
-        case other => throw new IllegalArgumentException(
-          s"q07_sessions: unsupported events.ts type $other — expected " +
-            "LONG (epoch nanos), TIMESTAMP, or TIMESTAMP_NTZ")
-      }
       val ev = raw.select(col("user_id"), col("event_id"),
-        tsUs.as("tus"), col("value"))
+        eventTsUs(raw, "q07_sessions").as("tus"), col("value"))
       val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
       val gapUs = 6L * 3600L * 1000000L
       ev.withColumn("prev", lag("tus", 1).over(w))
@@ -2097,6 +2120,22 @@ object Queries {
         |  FROM rev)
         |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
     // the correlated subquery decorrelated identically; cents-exact sum
+    // the oracle is the NAIVE range join — an independent implementation
+    // against the engine's bucketed (user, day-bin) equality join
+    "q13_window_features" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tus FROM events),
+        |b AS (SELECT event_id AS example_id, user_id, tus, value AS label
+        |      FROM ev WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, tus, value FROM ev WHERE event_type = 'view'),
+        |m AS (SELECT b.example_id, count(*) AS n_views_24h,
+        |        sum(CAST(round(v.value * 100) AS BIGINT)) AS cents
+        |      FROM b JOIN v ON v.user_id = b.user_id
+        |        AND v.tus >= b.tus - 86400000000 AND v.tus < b.tus
+        |      GROUP BY 1)
+        |SELECT b.example_id, b.user_id, b.label,
+        |  coalesce(m.n_views_24h, 0) AS n_views_24h,
+        |  coalesce(m.cents, 0) / 100.0 AS view_value_24h
+        |FROM b LEFT JOIN m USING (example_id) ORDER BY b.example_id""".stripMargin,
     // the oracle is DuckDB's NATIVE ASOF LEFT JOIN — a fully independent
     // as-of implementation against the engine's tag+window composition
     "q12_pit_features" ->

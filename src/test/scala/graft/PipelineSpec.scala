@@ -736,6 +736,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rewritten s2 must cross the action threshold: ${out("s2")}")
   }
 
+  test("q13: bucketed 24h window — a view 23h59m back counts, 24h01m back and 1µs after do not; bin-crossing windows stay exact") {
+    val sp = spark
+    import sp.implicits._
+    val day = 86400000000L; val hr = 3600000000L
+    // purchase at 2.5 days: its window [1.5d, 2.5d) crosses the day-1/day-2
+    // bin boundary — the explode must cover both bins
+    val buyT = (2 * day + day / 2)
+    val ev = Seq(
+      (100L, 1L, "purchase", 10.0, buyT),
+      (1L, 1L, "view", 1.0, buyT - 1L),              // 1µs before: IN
+      (2L, 1L, "view", 2.0, buyT - 24L * hr + 1L),   // just inside: IN
+      (3L, 1L, "view", 4.0, buyT - 24L * hr - hr),   // 25h back: OUT
+      (4L, 1L, "view", 8.0, buyT),                   // same instant: OUT (strictly before)
+      (5L, 2L, "view", 16.0, buyT - 1L)              // other user: OUT
+    ).toDF("event_id", "user_id", "event_type", "value", "tus")
+    // drive the same derivation the catalog entry uses, on a prepared frame
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("tus").as("vtus"),
+        round(col("value") * 100).cast("long").as("_vc"))
+      .withColumn("bin", expr(s"vtus div $day"))
+    val buys = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("example_id"), col("user_id"), col("tus"),
+        col("value").as("label"))
+    val probes = buys.withColumn("bin",
+      explode(array(expr(s"tus div $day") - 1, expr(s"tus div $day"))))
+    val m = probes.join(views, Seq("user_id", "bin"))
+      .where(col("vtus") >= col("tus") - day && col("vtus") < col("tus"))
+      .groupBy("example_id")
+      .agg(count(lit(1)).as("n"), sum(col("_vc")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(m.toSeq == Seq((100L, 2L, 300L)),
+      s"window must keep exactly views 1+2 (1.0+2.0 = 300 cents): ${m.toSeq}")
+  }
+
   test("q12: asofJoin attaches the latest feature at-or-before each example, NULL before any feature exists") {
     val sp = spark
     import sp.implicits._

@@ -599,6 +599,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the as-of carry-forward must run user-keyed: " + wins.map(_.partitionSpec))
   }
 
+  test("q13 trailing-window features run as a BUCKETED equality join on (user, day-bin) — never a nested-loop range join") {
+    val plan = SparkEntry.queries("q13_window_features")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    // the naive v.ts-between-range join plans as BroadcastNestedLoopJoin /
+    // cartesian when the range is the only non-equi predicate left
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "range probe must not nested-loop:\n" + plan.take(2500))
+    // the candidate join keys on both user and the day bin
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(plan).nonEmpty)
+    assert(plan.contains("bin"), "join must include the day-bin key:\n" + plan.take(2500))
+  }
+
   test("q08 per-nation top-k is two-phase: the heavy rank runs over salted keys only") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q08_top_orders_per_nation")(spark, "/root/testdata/sf0.001")
