@@ -361,4 +361,59 @@ object TextStats {
       .withColumn("review",
         (col("unique_frac") > tau && col("n_grams") > 0).cast("long"))
   }
+
+  /** Offline k-gram presence index for the streaming novelty gate: the
+    * corpus's DISTINCT word k-grams persisted as one parquet column. */
+  def writeGramIndex(docs: DataFrame, dir: String, k: Int = 5,
+                     textCol: String = "text"): Unit =
+    docs.select(Dedup.wordsOf(col(textCol)).as("_w"))
+      .select(explode(Dedup.shinglesOf(col("_w"), k)).as("gram"))
+      .distinct()
+      .write.mode("overwrite").parquet(dir)
+
+  /**
+   * Novelty of an arriving batch against the persisted gram index — the
+   * ingest admission signal ("have we already trained on this text?"):
+   * per doc, distinct k-grams, how many the index KNOWS, and the novel
+   * fraction. A refresh crawl full of novel_frac ≈ 0 docs is re-crawl
+   * churn, not new data.
+   *
+   * Scale shape (the p52 contract): the index is the big side and NEVER
+   * moves — the batch's grams broadcast onto one index scan; the per-doc
+   * re-agg is batch-sized. Gram-less docs keep a zeroed row.
+   */
+  def noveltyAgainstIndex(batch: DataFrame, indexDir: String, k: Int = 5,
+                          textCol: String = "text"): DataFrame = {
+    val idx = batch.sparkSession.read.parquet(indexDir).select("gram")
+    val g = batch.select(col("doc_id"), Dedup.wordsOf(col(textCol)).as("_w"))
+      .select(col("doc_id"), explode(Dedup.shinglesOf(col("_w"), k)).as("gram"))
+    // the known-count is an INNER join so the small batch side can build
+    // the broadcast hash table while the index streams (a left join pins
+    // the preserved batch side to the streamed position). countDistinct
+    // keeps the count correct even if an at-least-once replay ever left
+    // duplicate gram rows in the index (the join would multiply them)
+    val nAll = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val nKnown = broadcast(g).join(idx, Seq("gram"))
+      .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_known"))
+    batch.select(col("doc_id"))
+      .join(nAll, Seq("doc_id"), "left").join(nKnown, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        (round(coalesce((col("n_grams") - coalesce(col("n_known"), lit(0L)))
+          .cast("double") / col("n_grams"), lit(0.0)) * 1e4) / 1e4).as("novel_frac"))
+  }
+
+  /** Append a batch's UNSEEN grams to the index (left-anti against the
+    * current index, so the index stays a distinct-gram set and later
+    * batches see earlier ones — the p52 incremental-index contract). */
+  def appendToGramIndex(batch: DataFrame, indexDir: String, k: Int = 5,
+                        textCol: String = "text"): Unit = {
+    val idx = batch.sparkSession.read.parquet(indexDir).select("gram")
+    batch.select(Dedup.wordsOf(col(textCol)).as("_w"))
+      .select(explode(Dedup.shinglesOf(col("_w"), k)).as("gram"))
+      .distinct()
+      .join(idx, Seq("gram"), "left_anti")
+      .write.mode("append").parquet(indexDir)
+  }
 }

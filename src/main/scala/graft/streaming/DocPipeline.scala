@@ -308,6 +308,33 @@ object DocPipeline {
    * caller's dropDuplicates away (exactly-once would key the appends by
    * batchId, which parquet-without-a-metastore cannot express atomically).
    */
+  /**
+   * Streaming novelty gate at ingest — the deployment twin of the batch
+   * [[graft.pipeline.TextStats.memorizationAudit]] family: each arriving
+   * document scores its k-gram novelty against the PERSISTED gram index
+   * (trained offline via `TextStats.writeGramIndex`), then its unseen
+   * grams append to the index so later batches see earlier ones — the
+   * same incremental-index contract as [[nearDupIngest]]. A refresh crawl
+   * full of novel_frac ≈ 0 docs is re-crawl churn, not new data.
+   *
+   * Delivery: foreachBatch is at-least-once on retry — a replayed batch
+   * can re-append grams if the left-anti append itself died mid-write;
+   * readers stay correct because the known-count is a countDistinct over
+   * matched grams, immune to duplicate index rows.
+   */
+  def noveltyIngest(docStream: DataFrame, indexDir: String, scoresOut: String,
+                    checkpoint: String, k: Int = 5,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.pipeline.TextStats.noveltyAgainstIndex(batch, indexDir, k)
+          .write.mode("append").parquet(scoresOut)
+        graft.pipeline.TextStats.appendToGramIndex(batch, indexDir, k)
+      }
+      .start()
+
   def nearDupIngest(docStream: DataFrame, indexDir: String, pairsOut: String,
                     checkpoint: String, threshold: Double = 0.9,
                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =

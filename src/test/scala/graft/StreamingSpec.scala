@@ -677,4 +677,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("old_id").collect().map(_.getLong(0)).toSet
     assert(fresh == Set(1L, 101L, 201L), s"appended index must serve batch queries too: $fresh")
   }
+
+  test("streaming novelty gate: re-crawled text scores 0 against the index, novel text 1, and later batches see earlier appends") {
+    import graft.pipeline.TextStats
+    import graft.streaming.DocPipeline
+    val tmp = Files.createTempDirectory("graft-novelty").toString
+    val idx = s"$tmp/idx"; val srcDir = s"$tmp/src"
+    val out = s"$tmp/scores"; val ck = s"$tmp/ck"
+    val sp = spark
+    import sp.implicits._
+    val known = "alpha beta gamma delta epsilon zeta eta theta"
+    val fresh = "one two three four five six seven eight"
+    TextStats.writeGramIndex(Seq((1L, known)).toDF("doc_id", "text"), idx)
+    // batch 1: a re-crawl of the known doc + a genuinely novel doc;
+    // batch 2: a re-crawl of BATCH 1's novel doc — only the index append
+    // can make it read as seen
+    Seq((101L, known), (102L, fresh)).toDF("doc_id", "text")
+      .repartition(1).write.parquet(s"$srcDir/f1")
+    Seq((201L, fresh)).toDF("doc_id", "text")
+      .repartition(1).write.parquet(s"$srcDir/f2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val src = sp.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q = DocPipeline.noveltyIngest(src, idx, out, ck)
+    q.awaitTermination(120000)
+    val scores = sp.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(scores(101L) == ((4L, 4L, 0.0)), s"re-crawl must read fully known: ${scores(101L)}")
+    assert(scores(102L) == ((4L, 0L, 1.0)), s"novel doc must read fully novel: ${scores(102L)}")
+    assert(scores(201L) == ((4L, 4L, 0.0)),
+      s"batch 2's re-crawl of batch 1's doc must see the appended grams: ${scores(201L)}")
+  }
 }
