@@ -1082,6 +1082,11 @@ object Queries {
     // Zipf spectrum fit over the top-200 words: corpus-health slope/intercept
     "p65_zipf_fit" -> ((s, dir) =>
       graft.pipeline.TextStats.zipfFit(docs(s, dir), k = 200)),
+    // exact heavy hitters via the Misra-Gries TypedImperativeAggregate +
+    // candidate recount: the one-pass bounded-memory scale path whose
+    // recounted output equals the full groupBy exactly
+    "p76_heavy_hitters" -> ((s, dir) =>
+      Curation.heavyHitters(docs(s, dir), minFrac = 0.03, k = 64)),
     // tokenizer fertility audit: per-source token volume, OOV rate vs the
     // top-256 vocab, chars/token, tokens/doc — the tokenizer-fit report
     "p74_tokenizer_fertility" -> ((s, dir) =>
@@ -3012,6 +3017,17 @@ object Queries {
         |SELECT nt.n_types, g.k_fit, round((s) * 1e4) / 1e4 AS slope,
         |  round((sy * 1.0 / k_fit / 1e6 - s * (sx * 1.0 / k_fit / 1e6)) * 1e4) / 1e4 AS intercept
         |FROM g CROSS JOIN nt""".stripMargin,
+    // the MG sketch is a pass-1 CANDIDATE generator; the recounted output
+    // is exactly the frequency-threshold query, so the oracle is the plain
+    // full-vocabulary count — identical answers, different scale shapes
+    "p76_heavy_hitters" ->
+      """WITH w AS (SELECT list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM documents),
+        |ex AS (SELECT unnest(w) AS word FROM w),
+        |n AS (SELECT count(*) AS n FROM ex),
+        |vc AS (SELECT word, count(*) AS cnt FROM ex GROUP BY word)
+        |SELECT word, cnt FROM vc CROSS JOIN n
+        |WHERE cnt >= greatest(1, CAST(ceil(n * 0.03) AS BIGINT))
+        |ORDER BY cnt DESC, word""".stripMargin,
     // same top-256 vocab CTE as p51; membership via LEFT JOIN, stats per
     // source with the absent/empty-source coalesce mirrored from the engine
     "p74_tokenizer_fertility" ->

@@ -59,6 +59,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"bloom_might_contain_long(bigint, <binary literal>), got $other")
       }))
+    // aggregate functions returned bare are wrapped in AggregateExpression
+    // by the analyzer, exactly like the built-in registry's entries
+    ext.injectFunction((FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
+      (args: Seq[Expression]) => args match {
+        case Seq(w, Literal(kk: Int, IntegerType)) => MisraGriesTopK(w, kk)
+        case other => throw new IllegalArgumentException(
+          s"mg_topk(string, <int literal>), got $other")
+      }))
   }
 }
 

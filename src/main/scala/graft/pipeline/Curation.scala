@@ -634,6 +634,40 @@ object Curation {
   }
 
   /**
+   * Exact corpus heavy hitters via a one-pass sketch + targeted recount —
+   * the standard two-phase recipe for frequent items at a scale where the
+   * full vocabulary shuffle is the cost: pass 1 runs the Misra–Gries
+   * [[graft.functions.MisraGriesTopK]] aggregate (bounded k−1-counter
+   * partials, merged on one reducer — k-sized rows move, never the vocab)
+   * together with the exact token total; pass 2 recounts ONLY the
+   * candidates (a broadcast-sized list) and keeps those at or above
+   * `ceil(N·minFrac)`. Because MG provably retains every item with true
+   * frequency > N/k, `minFrac·k > 1` makes the candidate set a SUPERSET
+   * of the answer and the recount makes the output EXACT — identical to
+   * the full groupBy, at candidate cost.
+   */
+  def heavyHitters(docs: DataFrame, minFrac: Double = 0.03, k: Int = 64,
+                   textCol: String = "text"): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, s"heavyHitters: bad minFrac $minFrac")
+    require(minFrac * k > 1,
+      s"heavyHitters: need minFrac*k > 1 for the MG superset guarantee " +
+        s"(got $minFrac * $k = ${minFrac * k})")
+    val toks = docs.select(explode(Dedup.wordsOf(col(textCol))).as("word"))
+    val head = toks.agg(
+      call_function("mg_topk", col("word"), lit(k)).as("cand"),
+      count(lit(1)).as("n")).head()
+    val n = head.getLong(1)
+    val thresh = math.max(1L, math.ceil(n * minFrac).toLong)
+    val cands = head.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val sp = docs.sparkSession
+    import sp.implicits._
+    toks.join(broadcast(cands.toDF("word")), "word")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= thresh)
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
+  /**
    * Tokenizer fertility audit per source — before a tokenizer gates a
    * 100 TB run, check how it spends its budget on each slice of the mix:
    * per source, the token volume, the OOV rate against the top-`vocabSize`

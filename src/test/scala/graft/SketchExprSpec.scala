@@ -157,6 +157,44 @@ class SketchExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("MisraGriesTopK: the MG guarantees hold under forced multi-partition partial merges") {
+    val sp = spark
+    import sp.implicits._
+    // adversarial mix: 3 true heavy hitters spread across partitions,
+    // drowned in 500 distinct singletons + a mid-band of 20 words × 8
+    val rows = (
+      Seq.fill(300)("hh1") ++ Seq.fill(200)("hh2") ++ Seq.fill(120)("hh3") ++
+      (1 to 20).flatMap(i => Seq.fill(8)(s"mid$i")) ++
+      (1 to 500).map(i => s"rare$i")
+    )
+    val n = rows.size.toLong
+    val k = 24
+    // repartition(8) forces per-partition MG buffers through
+    // serialize/deserialize and the subtract-merge path (buffer cap 23
+    // < the ~70 distinct values per partition)
+    val df = scala.util.Random.shuffle(rows).toDF("word").repartition(8)
+    val est = df.agg(call_function("mg_topk", col("word"), lit(k)).as("c"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size <= k - 1, s"buffer bound violated: ${est.size}")
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // every item with true freq > N/k must be present
+    exact.filter(_._2 > n / k).keys.foreach(w =>
+      assert(est.contains(w), s"true heavy hitter $w missing from $est"))
+    // est(x) <= true(x) <= est(x) + N/k for everything reported
+    est.foreach { case (w, e) =>
+      val t = exact(w)
+      assert(e <= t && t <= e + n / k, s"$w: est $e vs true $t (N/k = ${n / k})")
+    }
+    // and the two-phase recount equals the plain groupBy exactly
+    val docs = Seq((1L, rows.mkString(" "))).toDF("doc_id", "text")
+    val out = graft.pipeline.Curation.heavyHitters(docs, minFrac = 0.05, k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = exact.filter(_._2 >= math.ceil(n * 0.05).toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    assert(out == want, s"recount must equal the full groupBy: $out vs $want")
+  }
+
   test("sketch pipeline stages carry no Scala UDF (native codegen end to end)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val words = Dedup.wordsOf(col("text"))
