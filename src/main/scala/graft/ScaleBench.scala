@@ -148,7 +148,8 @@ object ScaleBench {
     // r10: tukey's histogram-CDF rewrite (the r9 perf-weak row), the
     // fertility/memorization audits, the Q11 HAVING-scalar anchor
     "g36_tukey_above", "p74_tokenizer_fertility", "p75_memorization_audit",
-    "q11_revenue_share_parts", "q12_pit_features", "q13_window_features")
+    "q11_revenue_share_parts", "q12_pit_features", "q13_window_features",
+    "p76_heavy_hitters")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture
