@@ -793,6 +793,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(14L).isEmpty, s"unseen key must be NULL: ${out(14L)}")
   }
 
+  test("q12 property: asofJoin equals a sequential reference over randomized keys/timestamps/collisions") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    // right side distinct per (key, ts) BY CONTRACT; left ts values
+    // deliberately collide with right ts values to exercise the
+    // inclusive boundary
+    val feats0 = (1 to 120).map(_ => (rnd.nextInt(6).toLong,
+      rnd.nextInt(40).toLong * 10L, rnd.nextInt(1000).toDouble))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val labels = (1 to 200).map(i => (i.toLong, rnd.nextInt(8).toLong,
+      rnd.nextInt(450).toLong))
+    val out = graft.pipeline.Assembly.asofJoin(
+        labels.toDF("example_id", "user_id", "tus"),
+        feats0.toDF("user_id", "tus", "v"), "user_id", "tus")
+      .select(col("example_id"), col("asof.asof_ts"), col("asof.v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+    labels.foreach { case (id, u, t) =>
+      val want = feats0.filter(f => f._1 == u && f._2 <= t)
+        .sortBy(_._2).lastOption.map(f => (f._2, f._3))
+      assert(out(id) == want, s"example $id (user $u, ts $t): ${out(id)} vs $want")
+    }
+  }
+
   test("p74: tokenizer fertility flags the OOV-heavy source; empty-text sources keep a zeroed row") {
     val sp = spark
     import sp.implicits._

@@ -195,6 +195,39 @@ class SketchExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == want, s"recount must equal the full groupBy: $out vs $want")
   }
 
+  test("MisraGriesTopK property: bounds hold over randomized zipf-ish streams, k, and partitioning") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    (1 to 6).foreach { trial =>
+      val k = 8 + rnd.nextInt(40)
+      val parts = 1 + rnd.nextInt(7)
+      // zipf-ish: item i drawn with weight ~ 1/(i+1)
+      val universe = 30 + rnd.nextInt(200)
+      val weights = (0 until universe).map(i => 1.0 / (i + 1))
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val total = cum.last
+      val rows = (1 to (500 + rnd.nextInt(2000))).map { _ =>
+        val u = rnd.nextDouble() * total
+        s"w${cum.indexWhere(_ >= u)}"
+      }
+      val n = rows.size.toLong
+      val est = rows.toDF("word").repartition(parts)
+        .agg(call_function("mg_topk", col("word"), lit(k)).as("c"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(est.size <= k - 1, s"trial $trial: size ${est.size} > ${k - 1}")
+      exact.filter(_._2 > n / k).keys.foreach(w =>
+        assert(est.contains(w), s"trial $trial (k=$k, parts=$parts): lost HH $w"))
+      est.foreach { case (w, e) =>
+        val t = exact(w)
+        assert(e <= t && t <= e + n / k,
+          s"trial $trial: $w est $e true $t bound ${n / k}")
+      }
+    }
+  }
+
   test("sketch pipeline stages carry no Scala UDF (native codegen end to end)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val words = Dedup.wordsOf(col("text"))
