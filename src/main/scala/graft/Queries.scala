@@ -434,6 +434,29 @@ object Queries {
     // the shared intermediate (persisted — agg branch + probe branch), and
     // revenue sums 2-decimal prices as exact cents so partition order can
     // never move the hash (the p67 integer-sum rule)
+    // TPC-H Q19's disjunctive-predicate shape (promo revenue): OR of
+    // brand/size/quantity conjunctions. The part-side disjuncts pre-filter
+    // the dimension BEFORE the broadcast join (Catalyst pushes the
+    // OR-of-ANDs into the parquet scan — the one optimizer surface the
+    // other anchors don't exercise); the mixed quantity conjuncts apply
+    // post-join; revenue is cents-exact
+    "q14_disjunctive_promo" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val part = s.read.parquet(s"$dir/part.parquet")
+      def b1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 10)
+      def b2 = col("p_brand") === "Brand#2" && col("p_size").between(5, 20)
+      def b3 = col("p_brand") === "Brand#3" && col("p_size").between(15, 40)
+      val pp = part.where(b1 || b2 || b3)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      li.join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        .where((b1 && col("l_quantity").between(1, 15)) ||
+               (b2 && col("l_quantity").between(10, 30)) ||
+               (b3 && col("l_quantity").between(20, 45)))
+        .groupBy(col("p_brand"))
+        .agg(centsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
     // trailing-window aggregate features (the other half of the q12
     // feature-store pair): per purchase, the same user's view count and
     // cents-exact value sum over the PRECEDING 24 h. The range join runs
@@ -2125,6 +2148,15 @@ object Queries {
         |  FROM rev)
         |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
     // the correlated subquery decorrelated identically; cents-exact sum
+    "q14_disjunctive_promo" ->
+      """SELECT p_brand,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40 AND l_quantity BETWEEN 20 AND 45)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // the oracle is the NAIVE range join — an independent implementation
     // against the engine's bucketed (user, day-bin) equality join
     "q13_window_features" ->

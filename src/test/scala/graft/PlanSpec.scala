@@ -611,6 +611,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("bin"), "join must include the day-bin key:\n" + plan.take(2500))
   }
 
+  test("q14 disjunctive predicates: the OR-of-ANDs reaches the part scan's PushedFilters and the join broadcasts") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = SparkEntry.queries("q14_disjunctive_promo")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val partScan = plan.collect { case f: FileSourceScanExec
+      if f.toString.contains("p_brand") => f }
+    assert(partScan.nonEmpty, "no part scan found:\n" + plan.toString.take(2000))
+    val pushed = partScan.head.toString
+    assert("PushedFilters: \\[[^\\]]*Or".r.findFirstIn(pushed).nonEmpty,
+      "the brand/size disjunction must push into the part scan:\n" + pushed.take(2500))
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      "the pruned part list must broadcast:\n" + plan.toString.take(2000))
+  }
+
   test("q08 per-nation top-k is two-phase: the heavy rank runs over salted keys only") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = SparkEntry.queries("q08_top_orders_per_nation")(spark, "/root/testdata/sf0.001")
