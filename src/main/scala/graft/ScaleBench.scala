@@ -149,7 +149,7 @@ object ScaleBench {
     // fertility/memorization audits, the Q11 HAVING-scalar anchor
     "g36_tukey_above", "p74_tokenizer_fertility", "p75_memorization_audit",
     "q11_revenue_share_parts", "q12_pit_features", "q13_window_features",
-    "p76_heavy_hitters")
+    "p76_heavy_hitters", "q14_disjunctive_promo")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture
