@@ -40,9 +40,13 @@ object FetchBench {
     val names = routed.catalog(spark).select("name").orderBy("name")
       .limit(k).collect().map(_.getString(0)).toSeq
     require(names.size >= 2, s"need >= 2 series at $sfDir, got ${names.size}")
-    // exact + prefix-glob per name (so k names yield up to 2k targets, the
-    // Grafana-dashboard shape: mostly concrete targets, some wildcards)
-    val patterns = (names ++ names.map(n => n.take(n.length - 1) + "*")).take(k)
+    // exact + progressively shorter prefix-globs per name (so k names
+    // yield up to 4k distinct targets — the Grafana-dashboard shape:
+    // mostly concrete targets, some wildcards)
+    val patterns = (names ++
+      (1 to 3).flatMap(cut => names.collect {
+        case n if n.length > cut => n.take(n.length - cut) + "*"
+      })).distinct.take(k)
     val from = 1704067200L
     val until = from + 14L * 86400L
 
