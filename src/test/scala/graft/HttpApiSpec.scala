@@ -3,6 +3,7 @@ package graft
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.api.HttpApi
@@ -258,6 +259,50 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("/ serves the usage message") {
     val (code, body) = get("/")
     assert(code == 200 && body.contains("supported requests"))
+  }
+
+  test("multi-target render over a COLD routed store serves through the batched prefetch and matches per-target renders") {
+    // the shared HttpApi uses the scan-cached event store, where prefetch
+    // deliberately skips — this spins a server over the ROUTED layout so
+    // the full HTTP path (parse → prefetch → eval → marshal) exercises
+    // the one-scan batch, and cross-checks it against single-target
+    // requests (which also prefetch-skip: one leaf each)
+    val dir = java.nio.file.Files.createTempDirectory("httproutedpf").toString
+    val frame = new EventSeriesStore("/root/testdata/sf0.001").allSeries(spark)
+      .select(col("name"), col("tags"), col("start"), col("step"), col("values"))
+    graft.store.RoutedSeriesStore.write(frame, dir, 86400L)
+    val routed = new graft.store.RoutedSeriesStore(dir, 86400L, 1, Some(3600L))
+    val api2 = new HttpApi(spark, routed, port = 0)
+    val p = api2.start()
+    try {
+      def getAt(path: String): (Int, String) = {
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      val targets = Seq("sumSeries(events.*)", "events.click", "events.view",
+        "divideSeries(events.click,events.view)")
+      val range = "from=1704067200&until=1704100000&format=json&noCache=true"
+      val (code, multi) = getAt("/render?" +
+        targets.map(t => s"target=${java.net.URLEncoder.encode(t, "UTF-8")}").mkString("&") +
+        s"&$range")
+      assert(code == 200, multi.take(300))
+      targets.foreach { t =>
+        val (c1, single) = getAt(
+          s"/render?target=${java.net.URLEncoder.encode(t, "UTF-8")}&$range")
+        assert(c1 == 200, single.take(300))
+        // every series of the single-target response appears verbatim in
+        // the multi-target (prefetched) response
+        // series objects are {"target":…,"datapoints":[…],"tags":{…}} —
+        // split on the object opener (lookahead keeps objects intact)
+        val objs = single.stripPrefix("[").stripSuffix("]")
+          .split("(?=\\{\"target\")").toSeq.filter(_.nonEmpty).map(_.stripSuffix(","))
+        assert(objs.nonEmpty, s"$t returned no series: ${single.take(200)}")
+        objs.foreach(o => assert(multi.contains(o),
+          s"prefetched multi-target render diverges for $t:\n$o\nvs ${multi.take(500)}"))
+      }
+    } finally api2.stop()
   }
 
   test("stop() then start() serves requests again (pools are per-start, not per-instance)") {
