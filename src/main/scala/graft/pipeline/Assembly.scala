@@ -733,6 +733,12 @@ object Assembly {
    */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
     val rPayload = right.columns.filter(c => c != key && c != ts)
+    // the sides meet in a unionByName: a shared payload/marker name would
+    // silently merge two unrelated columns instead of failing
+    val clash = (rPayload ++ Seq("_ts", "_kind", "_feat", "asof"))
+      .filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"asofJoin: left columns collide with right payload/markers: ${clash.mkString(", ")} — rename before joining")
     val r = right.select(col(key), col(ts).as("_ts"), lit(0).as("_kind"),
       struct((col(ts).as("asof_ts") +: rPayload.map(col)): _*).as("_feat"))
     val l = left.withColumn("_ts", col(ts)).withColumn("_kind", lit(1))
