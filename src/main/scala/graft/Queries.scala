@@ -1105,6 +1105,12 @@ object Queries {
     // Zipf spectrum fit over the top-200 words: corpus-health slope/intercept
     "p65_zipf_fit" -> ((s, dir) =>
       graft.pipeline.TextStats.zipfFit(docs(s, dir), k = 200)),
+    // quality-signal ensemble: heuristic quality + NB domain log-odds +
+    // unigram-LM log-prob fused by exact corpus percentile rank — a doc
+    // must look good to all three signal families to rank high
+    "p77_quality_ensemble" -> ((s, dir) =>
+      Assembly.qualityEnsemble(docs(s, dir), targetSource = "src1", tau = 0.5)
+        .orderBy("doc_id")),
     // exact heavy hitters via the Misra-Gries TypedImperativeAggregate +
     // candidate recount: the one-pass bounded-memory scale path whose
     // recounted output equals the full groupBy exactly
@@ -3049,6 +3055,32 @@ object Queries {
         |SELECT nt.n_types, g.k_fit, round((s) * 1e4) / 1e4 AS slope,
         |  round((sy * 1.0 / k_fit / 1e6 - s * (sx * 1.0 / k_fit / 1e6)) * 1e4) / 1e4 AS intercept
         |FROM g CROSS JOIN nt""".stripMargin,
+    // the p55 NB chain + an L-prefixed copy of the p27 LM chain (distinct
+    // CTE names) + the heuristic quality; percent_rank ties share the
+    // strictly-smaller rank on both engines, and the fused keep compares
+    // the ROUNDED mean
+    "p77_quality_ensemble" ->
+      (nbScoreSql +
+        """,
+        |lw AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |lex AS (SELECT doc_id, unnest(w) AS word FROM lw),
+        |lvc AS (SELECT word, count(*) AS c FROM lex GROUP BY word),
+        |ltt AS (SELECT sum(c) AS t, count(*) AS v FROM lvc),
+        |lmsc AS (SELECT doc_id,
+        |  round(((sum(CAST(round(ln((c + 1.0) / (t + v)) * 1e6) AS BIGINT)) * 1.0 / count(*)) / 1e6) * 1e4) / 1e4 AS s
+        |  FROM lex JOIN lvc USING (word) CROSS JOIN ltt GROUP BY doc_id),
+        |qs AS (SELECT doc_id, """.stripMargin + qScoreSql + """ AS s FROM documents),
+        |qr AS (SELECT doc_id, percent_rank() OVER (ORDER BY s) AS q_rank FROM qs),
+        |nbr AS (SELECT doc_id, percent_rank() OVER (ORDER BY logodds) AS nb_rank FROM sc),
+        |lmr AS (SELECT doc_id, percent_rank() OVER (ORDER BY s) AS lm_rank FROM lmsc),
+        |fz AS (SELECT qr.doc_id, q_rank, nb_rank, lm_rank,
+        |         round(((q_rank + nb_rank + lm_rank) / 3) * 1e4) / 1e4 AS fused
+        |       FROM qr JOIN nbr USING (doc_id) JOIN lmr USING (doc_id))
+        |SELECT doc_id, q_rank, nb_rank, lm_rank, fused,
+        |  CAST(fused >= 0.5 AS BIGINT) AS keep
+        |FROM fz ORDER BY doc_id""".stripMargin),
     // the MG sketch is a pass-1 CANDIDATE generator; the recounted output
     // is exactly the frequency-threshold query, so the oracle is the plain
     // full-vocabulary count — identical answers, different scale shapes

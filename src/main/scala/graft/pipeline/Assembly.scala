@@ -709,6 +709,62 @@ object Assembly {
   }
 
   /**
+   * Quality-signal ensemble ranking — production corpora gate on SEVERAL
+   * quality signals, not one (FineWeb-Edu's classifier atop heuristics,
+   * DataComp's filter ensembles): fuse the heuristic quality score, the
+   * NB domain log-odds, and the unigram-LM log-prob by EXACT corpus
+   * percentile rank (scales and calibrations differ across signals;
+   * ranks compose), average the three ranks, and keep documents whose
+   * fused rank clears `tau`. A doc must look good to ALL THREE families
+   * (surface heuristics, domain classifier, language model) to rank high.
+   *
+   * Scale shape: three existing score chains, each persisted doc-count-
+   * sized (the shared-intermediate rule — the histogram action and the
+   * rank join-back would re-run the chain); per signal the corpus
+   * reduces to a ≤10⁴-row 4dp-score histogram and ONLY the histogram
+   * enters the ordered cumulative window (the p70 pattern; the single
+   * bounded frame is keyed so the no-partition-window ban holds); ranks
+   * broadcast back by score. The fusion is map-side arithmetic.
+   * Determinism: every input score is 4dp-rounded integer-backed (post
+   * r10 quantization), ranks are exact rationals below/(n−1), and the
+   * fused mean is a fixed-order 3-term expression — no data-dependent
+   * float sums anywhere.
+   */
+  def qualityEnsemble(docs: DataFrame, targetSource: String,
+                      tau: Double = 0.5): DataFrame = {
+    val r4 = (c: org.apache.spark.sql.Column) => round(c * 1e4) / 1e4
+    def rankOf(scored0: DataFrame, rankName: String): DataFrame = {
+      val scored = scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hist = scored.groupBy("score").agg(count(lit(1)).as("_c"))
+        .withColumn("_g", lit(1))
+      val w = Window.partitionBy("_g").orderBy("score")
+      val ranks = hist
+        .withColumn("_below", coalesce(sum(col("_c")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("_n", sum(col("_c")).over(
+          Window.partitionBy("_g")))
+        // percent_rank semantics: strictly-smaller count / (n-1), ties
+        // share the rank; a 1-doc corpus ranks 0
+        .select(col("score"),
+          when(col("_n") > 1,
+            col("_below").cast("double") / (col("_n") - 1)).otherwise(lit(0.0))
+            .as(rankName))
+      scored.join(broadcast(ranks), "score").select(col("doc_id"), col(rankName))
+    }
+    val q = rankOf(Curation.scoredQuality(docs)
+      .select(col("doc_id"), col("quality").as("score")), "q_rank")
+    val nb = rankOf(nbDomainScore(docs, targetSource)
+      .select(col("doc_id"), r4(col("logodds")).as("score")), "nb_rank")
+    val lm = rankOf(unigramLmScore(docs)
+      .select(col("doc_id"), r4(col("avg_logp")).as("score")), "lm_rank")
+    q.join(nb, "doc_id").join(lm, "doc_id")
+      .withColumn("fused",
+        r4((col("q_rank") + col("nb_rank") + col("lm_rank")) / 3))
+      .withColumn("keep", (col("fused") >= tau).cast("long"))
+      .select("doc_id", "q_rank", "nb_rank", "lm_rank", "fused", "keep")
+  }
+
+  /**
    * Point-in-time (as-of) join — the label-leakage-safe feature join every
    * training-set builder needs (feature-store "point-in-time correctness":
    * a training example at time t may only see feature values from ≤ t):

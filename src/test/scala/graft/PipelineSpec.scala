@@ -736,6 +736,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rewritten s2 must cross the action threshold: ${out("s2")}")
   }
 
+  test("p77: the ensemble demands ALL THREE signals — a doc strong on two but weak on one ranks below an all-rounder") {
+    val sp = spark
+    import sp.implicits._
+    // target-domain vocabulary = alpha/beta (NB signal); common fluent
+    // words = the stopword-heavy long text (heuristic + LM signals)
+    val good = "the alpha beta of alpha and beta in the alpha beta " * 4
+    val offDomain = "the one of two and three in the four five " * 4  // fluent but wrong domain
+    val gibberish = "alpha beta zzq xqv wvx qqz alpha beta"           // on-domain but low quality/LM
+    val d = Seq(
+      (1L, good, "src1"), (2L, good + "the alpha", "src1"),
+      (3L, offDomain, "src0"), (4L, gibberish, "src0"),
+      (5L, offDomain + " six", "src0"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Assembly.qualityEnsemble(d, "src1")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(4), r.getLong(5))).toMap
+    // the all-rounders beat both one-dimensional docs (on a 5-doc corpus
+    // rank granularity is 0.25, so the weaker all-rounder may TIE the
+    // fluent off-domain doc — never fall below it)
+    assert(out(1L)._1 >= out(3L)._1 && out(1L)._1 > out(4L)._1,
+      s"all-three-signals doc must not rank below partial docs: $out")
+    assert(out(2L)._1 > out(3L)._1 && out(2L)._1 > out(4L)._1, s"$out")
+    // fused is a mean of exact ranks in [0, 1]
+    out.values.foreach { case (f, _) => assert(f >= 0.0 && f <= 1.0) }
+  }
+
   test("q13: bucketed 24h window — a view 23h59m back counts, 24h01m back and 1µs after do not; bin-crossing windows stay exact") {
     val sp = spark
     import sp.implicits._
