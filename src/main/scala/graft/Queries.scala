@@ -2889,7 +2889,9 @@ object Queries {
     // (pred) uses the rounded score on both sides
     "p55_nb_domain" ->
       (nbScoreSql + "\nSELECT doc_id, n_words, logodds, logodds > 0 AS pred FROM sc ORDER BY doc_id"),
-    // the p55 score CTEs + a doc_id label join + the clamped unit binning
+    // the p55 score CTEs + a doc_id label join + the clamped unit binning;
+    // mean/rate reported as 1e4-scaled BIGINTs — integers only in the
+    // compared rows, so no float repr can flip the driver hash
     "p67_nb_calibration" ->
       (nbScoreSql +
         """,
@@ -2898,8 +2900,8 @@ object Queries {
         |SELECT CAST(least(greatest(floor(logodds), -5), 5) AS BIGINT) AS bin,
         |  count(*) AS n_docs,
         |  sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
-        |  round(sum(CAST(round(logodds * 1e4) AS BIGINT)) * 1.0 / count(*)) / 1e4 AS mean_logodds,
-        |  round((sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e4) / 1e4 AS pos_rate
+        |  CAST(round(sum(CAST(round(logodds * 1e4) AS BIGINT)) * 1.0 / count(*)) AS BIGINT) AS mean_logodds_x1e4,
+        |  CAST(round((sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e4) AS BIGINT) AS pos_rate_x1e4
         |FROM lab GROUP BY 1 ORDER BY bin""".stripMargin),
     // smoothing spans the full shared vocab, so zero-count words still
     // contribute (na != nb makes p != q even at count 0)
@@ -3011,7 +3013,10 @@ object Queries {
         |       WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id""".stripMargin,
     // PSI over fixed decile bins and the FULL bin grid (empty bins carry
-    // their smoothed term); the CASE repeats the rounded psi expression
+    // their smoothed term); the CASE repeats the QUANTIZED psi expression
+    // (the same 1e12-scaled integer sum the psi column uses) so the
+    // classification can never diverge from the reported psi at a
+    // 0.1/0.25 boundary
     "p73_score_drift" ->
       (s"""WITH nd AS (
         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text, source
@@ -3034,10 +3039,10 @@ object Queries {
         |SELECT source, CAST(max(no) AS BIGINT) AS n_old, CAST(max(nn) AS BIGINT) AS n_new,
         |  round((sum(CAST(round(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
         |    ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10))) * 1e12) AS BIGINT)) * 1.0 / 1e12) * 1e4) / 1e4 AS psi,
-        |  CASE WHEN round((sum(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
-        |         ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10))))) * 1e4) / 1e4 < 0.1 THEN 'stable'
-        |       WHEN round((sum(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
-        |         ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10))))) * 1e4) / 1e4 <= 0.25 THEN 'moderate'
+        |  CASE WHEN round((sum(CAST(round(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
+        |         ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10))) * 1e12) AS BIGINT)) * 1.0 / 1e12) * 1e4) / 1e4 < 0.1 THEN 'stable'
+        |       WHEN round((sum(CAST(round(((co + 1.0) / (no + 10) - (cn + 1.0) / (nn + 10)) *
+        |         ln(((co + 1.0) / (no + 10)) / ((cn + 1.0) / (nn + 10))) * 1e12) AS BIGINT)) * 1.0 / 1e12) * 1e4) / 1e4 <= 0.25 THEN 'moderate'
         |       ELSE 'shifted' END AS drift
         |FROM t GROUP BY source ORDER BY source""").stripMargin,
     "p65_zipf_fit" ->
@@ -3130,7 +3135,8 @@ object Queries {
         |    AND coalesce(pd.n_grams, 0) > 0 AS BIGINT) AS review
         |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // word and bigram occurrence counts per doc; the top-bigram coverage
-    // maxes the count×chars product so ties cannot depend on engine order
+    // maxes the count×chars product so ties cannot depend on engine order;
+    // fractions reported as 1e4-scaled BIGINTs (integer-only compared rows)
     "p68_repetition" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM documents),
         |wc AS (SELECT doc_id, word, count(*) AS c FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2),
@@ -3141,11 +3147,11 @@ object Queries {
         |bs AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c * (len(bg) - 1)) AS topbg FROM bc GROUP BY doc_id)
         |SELECT d.doc_id,
         |  coalesce(ws.n_words, 0) AS n_words,
-        |  round((coalesce(ws.dupw * 1.0 / ws.n_words, 0)) * 1e4) / 1e4 AS dup_word_frac,
-        |  round((coalesce((bs.n2 - bs.d2) * 1.0 / bs.n2, 0)) * 1e4) / 1e4 AS dup_bigram_frac,
-        |  round((coalesce(bs.topbg * 1.0 / ws.wchars, 0)) * 1e4) / 1e4 AS top_bigram_char_frac,
-        |  CAST(round((coalesce((bs.n2 - bs.d2) * 1.0 / bs.n2, 0)) * 1e4) / 1e4 <= 0.5
-        |    AND round((coalesce(bs.topbg * 1.0 / ws.wchars, 0)) * 1e4) / 1e4 <= 0.2 AS BIGINT) AS keep
+        |  CAST(round((coalesce(ws.dupw * 1.0 / ws.n_words, 0)) * 1e4) AS BIGINT) AS dup_word_frac_x1e4,
+        |  CAST(round((coalesce((bs.n2 - bs.d2) * 1.0 / bs.n2, 0)) * 1e4) AS BIGINT) AS dup_bigram_frac_x1e4,
+        |  CAST(round((coalesce(bs.topbg * 1.0 / ws.wchars, 0)) * 1e4) AS BIGINT) AS top_bigram_char_frac_x1e4,
+        |  CAST(CAST(round((coalesce((bs.n2 - bs.d2) * 1.0 / bs.n2, 0)) * 1e4) AS BIGINT) <= 5000
+        |    AND CAST(round((coalesce(bs.topbg * 1.0 / ws.wchars, 0)) * 1e4) AS BIGINT) <= 2000 AS BIGINT) AS keep
         |FROM documents d
         |LEFT JOIN ws ON ws.doc_id = d.doc_id
         |LEFT JOIN bs ON bs.doc_id = d.doc_id

@@ -400,6 +400,12 @@ object Assembly {
    *
    * Scale shape: the [[nbDomainScore]] chain + one doc_id-keyed label
    * join + a ≤(2·bound+1)-row aggregation — nothing new moves.
+   *
+   * The reported mean/rate columns are 1e4-scaled BIGINTs
+   * (`mean_logodds_x1e4`, `pos_rate_x1e4`): every compared value is an
+   * integer, so no float representation, rounding mode, or libm build
+   * can perturb a downstream comparison (divide by 1e4 at the consumer
+   * when a display double is wanted).
    */
   def nbCalibration(docs: DataFrame, targetSource: String, bound: Int = 5): DataFrame = {
     require(bound > 0, s"nbCalibration: bound must be positive, got $bound")
@@ -418,10 +424,10 @@ object Assembly {
         // integer math: summing the 1e4-scaled longs is partition-order
         // independent, unlike avg over doubles whose merge-order last
         // ulp can flip a 0.00005 boundary at the final round
-        (round(sum(round(col("logodds") * 1e4).cast("long")).cast("double") /
-          count(lit(1))) / 1e4).as("mean_logodds"))
-      .withColumn("pos_rate",
-        round(col("n_pos").cast("double") / col("n_docs") * 1e4) / 1e4)
+        round(sum(round(col("logodds") * 1e4).cast("long")).cast("double") /
+          count(lit(1))).cast("long").as("mean_logodds_x1e4"))
+      .withColumn("pos_rate_x1e4",
+        round(col("n_pos").cast("double") / col("n_docs") * 1e4).cast("long"))
   }
 
   /**

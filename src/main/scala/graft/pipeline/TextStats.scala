@@ -233,6 +233,11 @@ object TextStats {
    * depend on engine ordering). `keep` applies the Gopher-style cut:
    * dup_bigram_frac ≤ 0.5 AND top_bigram_char_frac ≤ 0.2.
    *
+   * The three fraction columns are reported as 1e4-scaled BIGINTs
+   * (`*_x1e4`): integers only in the output, so no float representation
+   * or libm build can perturb a comparison; the keep cut compares the
+   * scaled integers (≤ 5000 / ≤ 2000 ≡ the 4dp ≤ 0.5 / ≤ 0.2 cut).
+   *
    * Scale shape: ONE corpus scan emits words and bigrams as a tagged
    * gram stream (the r9 plan audit found the two-aggregation version
    * scanned the corpus three times); one (doc_id, kind, gram) count agg
@@ -264,22 +269,22 @@ object TextStats {
       sum(when(!isW, col("c")).otherwise(0L)).as("_n2"),
       sum(when(!isW, 1L).otherwise(0L)).as("_d2"),
       max(when(!isW, col("c") * (length(col("gram")) - 1))).as("_topbg"))
-    val r4 = (c: Column) => round(c * 1e4) / 1e4
+    val x4 = (c: Column) => round(c * 1e4).cast("long")
     docs.select(col("doc_id"))
       .join(stats, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
-        r4(coalesce(col("_dupw").cast("double") / col("n_words"), lit(0.0)))
-          .as("dup_word_frac"),
+        x4(coalesce(col("_dupw").cast("double") / col("n_words"), lit(0.0)))
+          .as("dup_word_frac_x1e4"),
         // single-word docs have _n2 = 0: the 0/0 division NULLs and
         // coalesces to 0.0, same as the absent-row case
-        r4(coalesce((col("_n2") - col("_d2")).cast("double") / col("_n2"), lit(0.0)))
-          .as("dup_bigram_frac"),
-        r4(coalesce(col("_topbg").cast("double") / col("_wchars"), lit(0.0)))
-          .as("top_bigram_char_frac"))
+        x4(coalesce((col("_n2") - col("_d2")).cast("double") / col("_n2"), lit(0.0)))
+          .as("dup_bigram_frac_x1e4"),
+        x4(coalesce(col("_topbg").cast("double") / col("_wchars"), lit(0.0)))
+          .as("top_bigram_char_frac_x1e4"))
       .withColumn("keep",
-        (col("dup_bigram_frac") <= 0.5 && col("top_bigram_char_frac") <= 0.2)
+        (col("dup_bigram_frac_x1e4") <= 5000L && col("top_bigram_char_frac_x1e4") <= 2000L)
           .cast("long"))
   }
 

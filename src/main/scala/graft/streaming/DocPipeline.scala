@@ -231,7 +231,7 @@ object DocPipeline {
    * StreamingSpec).
    */
   def repetitionStream(docs: DataFrame): DataFrame = {
-    val r4 = (c: org.apache.spark.sql.Column) => round(c * 1e4) / 1e4
+    val x4 = (c: org.apache.spark.sql.Column) => round(c * 1e4).cast("long")
     docs
       .withColumn("_w", graft.pipeline.Dedup.wordsOf(col("text")))
       .withColumn("_bg", when(size(col("_w")) >= 2,
@@ -239,27 +239,28 @@ object DocPipeline {
           i => concat_ws(" ", element_at(col("_w"), i), element_at(col("_w"), i + 1))))
         .otherwise(array_repeat(lit(""), 0)))
       .withColumn("n_words", size(col("_w")).cast("long"))
-      .withColumn("dup_word_frac",
+      .withColumn("dup_word_frac_x1e4",
         when(col("n_words") > 0,
-          r4((size(col("_w")) - size(array_distinct(col("_w")))).cast("double") /
+          x4((size(col("_w")) - size(array_distinct(col("_w")))).cast("double") /
             size(col("_w"))))
-          .otherwise(lit(0.0)))
-      .withColumn("dup_bigram_frac",
+          .otherwise(lit(0L)))
+      .withColumn("dup_bigram_frac_x1e4",
         when(size(col("_bg")) > 0,
-          r4((size(col("_bg")) - size(array_distinct(col("_bg")))).cast("double") /
+          x4((size(col("_bg")) - size(array_distinct(col("_bg")))).cast("double") /
             size(col("_bg"))))
-          .otherwise(lit(0.0)))
+          .otherwise(lit(0L)))
       .withColumn("_wchars", aggregate(col("_w"), lit(0L), (a, x) => a + length(x)))
       .withColumn("_topbg", aggregate(array_distinct(col("_bg")), lit(0L),
         (a, x) => greatest(a,
           size(filter(col("_bg"), y => y === x)).cast("long") * (length(x) - 1))))
-      .withColumn("top_bigram_char_frac",
-        when(col("_wchars") > 0, r4(col("_topbg").cast("double") / col("_wchars")))
-          .otherwise(lit(0.0)))
+      .withColumn("top_bigram_char_frac_x1e4",
+        when(col("_wchars") > 0, x4(col("_topbg").cast("double") / col("_wchars")))
+          .otherwise(lit(0L)))
       .withColumn("keep",
-        (col("dup_bigram_frac") <= 0.5 && col("top_bigram_char_frac") <= 0.2).cast("long"))
-      .select("doc_id", "ts", "n_words", "dup_word_frac", "dup_bigram_frac",
-        "top_bigram_char_frac", "keep")
+        (col("dup_bigram_frac_x1e4") <= 5000L &&
+          col("top_bigram_char_frac_x1e4") <= 2000L).cast("long"))
+      .select("doc_id", "ts", "n_words", "dup_word_frac_x1e4", "dup_bigram_frac_x1e4",
+        "top_bigram_char_frac_x1e4", "keep")
   }
 
   /**

@@ -706,12 +706,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val df = docs.toDF("doc_id", "text")
     val batch = graft.pipeline.TextStats.repetitionStats(df).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getLong(5))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
     val hof = graft.streaming.DocPipeline.repetitionStream(
         df.withColumn("ts", expr("timestamp_seconds(1700000000)"))).collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4),
-        r.getDouble(5), r.getLong(6))).toSet
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSet
     assert(batch.size == 60)
     assert(hof == batch,
       s"shapes disagree on ${(hof diff batch) ++ (batch diff hof)}")
@@ -962,16 +962,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r1 = out(0)
     // words [a,a,a,b]: 2 of 4 occurrences are repeats; bigrams
     // [a a, a a, a b]: 1 of 3 repeats; top bigram "a a" covers
-    // 2 occurrences x 2 chars = all 4 word chars
-    assert(r1.getLong(1) == 4 && r1.getDouble(2) == 0.5)
-    assert(r1.getDouble(3) == 0.3333 && r1.getDouble(4) == 1.0 && r1.getLong(5) == 0L)
+    // 2 occurrences x 2 chars = all 4 word chars (x1e4-scaled longs)
+    assert(r1.getLong(1) == 4 && r1.getLong(2) == 5000L)
+    assert(r1.getLong(3) == 3333L && r1.getLong(4) == 10000L && r1.getLong(5) == 0L)
     val r2 = out(1)
     // no repeats anywhere; densest bigram "gamma delta" = 10 of 19 chars
-    assert(r2.getLong(1) == 4 && r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
-    assert(r2.getDouble(4) == 0.5263 && r2.getLong(5) == 0L)
+    assert(r2.getLong(1) == 4 && r2.getLong(2) == 0L && r2.getLong(3) == 0L)
+    assert(r2.getLong(4) == 5263L && r2.getLong(5) == 0L)
     val r3 = out(2)
-    assert(r3.getLong(1) == 0 && r3.getDouble(2) == 0.0 &&
-      r3.getDouble(4) == 0.0 && r3.getLong(5) == 1L)
+    assert(r3.getLong(1) == 0 && r3.getLong(2) == 0L &&
+      r3.getLong(4) == 0L && r3.getLong(5) == 1L)
   }
 
   test("p56: drift is zero between identical sources and orders by actual distribution shift") {
@@ -1157,12 +1157,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((20L, "alpha gamma", "src0"), (21L, "beta delta", "src1"))
     ).toDF("doc_id", "text", "source")
     val out = graft.pipeline.Assembly.nbCalibration(d, "src1", bound = 5)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
     // every doc lands in exactly one bin
     assert(out.values.map(_._1).sum == 22L)
-    // the clamped extremes separate the pure-vocabulary docs
-    assert(out(5L)._3 == 1.0, s"top bin must be all-positive: $out")
-    assert(out(-5L)._3 == 0.0, s"bottom bin must be all-negative: $out")
+    // the clamped extremes separate the pure-vocabulary docs (x1e4 rate)
+    assert(out(5L)._3 == 10000L, s"top bin must be all-positive: $out")
+    assert(out(-5L)._3 == 0L, s"bottom bin must be all-negative: $out")
     // monotone across populated bins: pos_rate never decreases with bin
     val rates = out.toSeq.sortBy(_._1).map(_._2._3)
     assert(rates.zip(rates.tail).forall { case (a, b) => a <= b },

@@ -533,19 +533,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the streamed HOF shape and the batch agg shape reduce to the same
     // integer counts → fractions must be BIT-identical per doc
     val streamed = sp.table("rep_stream").collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4),
-        r.getDouble(5), r.getLong(6))).toSet
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSet
     val batch = graft.pipeline.TextStats.repetitionStats(
         rows.map(r => (r._1, r._3)).toDF("doc_id", "text")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getLong(5))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
     assert(batch.size == 4)
     assert(streamed == batch, s"stream $streamed vs batch $batch")
     // the all-one-word doc: 4 of 5 occurrences are dups and the repeated
     // bigram's coverage product (4 × 8 chars over 20 word chars = 1.6 —
-    // overlaps may exceed 1 by design) must reject it
+    // overlaps may exceed 1 by design; x1e4 = 16000) must reject it
     assert(streamed.exists { case (id, n, dw, _, topc, keep) =>
-      id == 3L && n == 5L && dw == 0.8 && topc == 1.6 && keep == 0L })
+      id == 3L && n == 5L && dw == 8000L && topc == 16000L && keep == 0L })
   }
 
   test("streaming PII redaction equals the batch redaction byte-for-byte per document") {
