@@ -1131,6 +1131,12 @@ object Queries {
     "p68_repetition" -> ((s, dir) =>
       graft.pipeline.TextStats.repetitionStats(docs(s, dir))
         .orderBy("doc_id")),
+    // shard lineage manifest (data versioning): per p46 shard, volumes,
+    // doc-id range, order-independent md5-fold content checksum, config
+    // fingerprint — the "reproduce shard 17" audit record
+    "p78_shard_manifest" -> ((s, dir) =>
+      Assembly.shardManifest(docs(s, dir), nShards = 8, configTag = "v1")
+        .orderBy("shard")),
     // dedup-aware sampling weights: each near-dup cluster's members share
     // unit mass (weight = 1/|cluster|) instead of being dropped
     "p62_dedup_weights" -> ((s, dir) => {
@@ -3156,6 +3162,21 @@ object Queries {
         |LEFT JOIN ws ON ws.doc_id = d.doc_id
         |LEFT JOIN bs ON bs.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // p46's LCG shard + a 60-bit md5-prefix doc hash folded mod 1e9+7 and
+    // summed per shard (order-independent integer math on both engines);
+    // the config fingerprint is the md5 of the same canonical string
+    "p78_shard_manifest" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  (1103515245 * ((doc_id % 2147483648 + 2147483648) % 2147483648) + 12345) % 2147483648 % 8 AS shard,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || text), 1, 15))::BIGINT % 1000000007 AS h
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |  CAST(sum(h) % 1000000007 AS BIGINT) AS checksum,
+        |  ('0x' || substr(md5('v1|nShards=8'), 1, 15))::BIGINT AS config_fp
+        |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
     "p62_dedup_weights" ->
       (s"""WITH cc AS (SELECT * FROM ($ccSql) t),
         |sz AS (SELECT cluster_id, count(*) AS n_dups FROM cc GROUP BY cluster_id)

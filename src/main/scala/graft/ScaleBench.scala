@@ -112,6 +112,55 @@ object ScaleBench {
     }
   }
 
+  /** Row-multiplied events variant for the as-of / trailing-window
+    * feature anchors (q12/q13): the standard grid suffixes `event_type`
+    * per copy, so those queries' view/purchase cores never see more rows
+    * per user — the corpus grows along an axis their joins don't stress.
+    * This axis multiplies the ROWS INSIDE each key: copy i keeps
+    * user/event_type and shifts ts by i seconds (keeping (user, ts)
+    * distinct across copies, so q12's per-(user, ts) feature dedup keeps
+    * every copy), so each user's view history and purchase probe set both
+    * grow Copies× — the one user-keyed shuffle and the 2-bin candidate
+    * bound are what actually gets measured. */
+  private def generateRowMult(spark: SparkSession, baseDir: String, workDir: String): Unit = {
+    if (new java.io.File(s"$workDir/events.parquet/_SUCCESS").exists()) return
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    val shifted = (0 until Copies).map { i =>
+      if (i == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 100_000_000L))
+        .withColumn("ts", ev.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => // epoch nanos
+            col("ts") + lit(i.toLong * 1_000_000_000L)
+          case _ => col("ts") + expr(s"INTERVAL '$i' SECOND")
+        })
+        .withColumn("value", col("value") * lit(1.0 + i * 0.01))
+    }.reduce(_ unionByName _)
+    shifted.write.mode("overwrite").parquet(s"$workDir/events.parquet")
+  }
+
+  /** The q12/q13 pair on one events dir: lean warm-up (the rowmult dir
+    * carries only events.parquet), best-of-reps timing, persist sweep. */
+  private def runRowMult(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    val qs = Seq("q12_pit_features", "q13_window_features")
+    spark.read.parquet(s"$dir/events.parquet").count() // untimed scan warm
+    qs.foreach(q => SparkEntry.queries(q)(spark, dir).count()) // codegen warm
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    qs.map { name =>
+      val t = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, dir).count()
+        catch { case e: Throwable => System.err.println(s"[scale] $name failed: $e"); -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+        dt
+      }.min
+      name -> t
+    }
+  }
+
   /** Headline subset: the scan/agg/window graphite shapes plus every
     * pipeline operator whose growth curve the scale claim rests on. */
   private val Headline = Seq(
@@ -149,7 +198,10 @@ object ScaleBench {
     // fertility/memorization audits, the Q11 HAVING-scalar anchor
     "g36_tukey_above", "p74_tokenizer_fertility", "p75_memorization_audit",
     "q11_revenue_share_parts", "q12_pit_features", "q13_window_features",
-    "p76_heavy_hitters", "q14_disjunctive_promo")
+    "p76_heavy_hitters", "q14_disjunctive_promo",
+    // r11: the 3-fact-join anchor (the heaviest driver-capture row, never
+    // curved before — fact side grows, customer/nation dims fixed)
+    "q02_revenue_by_nation")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture
@@ -218,6 +270,19 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_ROWMULT").contains("1")) {
+      // the q12/q13 per-key row-growth axis (see generateRowMult)
+      val rmDir = s"${workDir}_rowmult"
+      generateRowMult(spark, baseDir, rmDir)
+      val base = runRowMult(spark, baseDir)
+      val big = runRowMult(spark, rmDir).toMap
+      def fmtR(xs: Seq[(String, Double)]) =
+        xs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val ratios = base.map { case (k, v) => k -> (if (v > 0) big(k) / v else -1.0) }
+      println(s"""{"metric":"rowmult_x${Copies}","base":${fmtR(base)},"x":${fmtR(big.toSeq)},"ratio":${fmtR(ratios)}}""")
+      spark.stop()
+      return
+    }
     generate(spark, baseDir, workDir)
     val base = runAll(spark, baseDir)
     val x10 = runAll(spark, workDir).toMap

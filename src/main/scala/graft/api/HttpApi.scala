@@ -139,16 +139,24 @@ class HttpApi(spark: SparkSession, store: SeriesStore, port: Int = 8081,
 
   private def handleBytes(f: Params => (Array[Byte], String), takeSlot: Boolean = true)(ex: HttpExchange): Unit =
     if (!takeSlot) respond(f, takeSlot)(ex) // cheap route: run on dispatch
-    else try dataPool.execute(() => respond(f, takeSlot)(ex))
-    catch {
-      case _: java.util.concurrent.RejectedExecutionException =>
-        // data-thread cap reached (or server stopping): answer on the
-        // dispatch thread without touching Spark
-        val body = "too many requests in flight\n".getBytes(StandardCharsets.UTF_8)
-        ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
-        ex.sendResponseHeaders(503, body.length)
-        val os = ex.getResponseBody
-        try os.write(body) finally os.close()
+    else {
+      // snapshot: server.stop(0) does not wait for in-flight exchanges, so
+      // a dispatch thread can land here after stop() nulled the field —
+      // a null pool takes the same 503 path as a saturated one
+      val pool = dataPool
+      try {
+        if (pool == null) throw new java.util.concurrent.RejectedExecutionException("stopped")
+        pool.execute(() => respond(f, takeSlot)(ex))
+      } catch {
+        case _: java.util.concurrent.RejectedExecutionException =>
+          // data-thread cap reached (or server stopping): answer on the
+          // dispatch thread without touching Spark
+          val body = "too many requests in flight\n".getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+          ex.sendResponseHeaders(503, body.length)
+          val os = ex.getResponseBody
+          try os.write(body) finally os.close()
+      }
     }
 
   private def respond(f: Params => (Array[Byte], String), takeSlot: Boolean)(ex: HttpExchange): Unit = {

@@ -71,14 +71,32 @@ object Render {
         val t = it.next()
         val sink = scala.collection.mutable.LinkedHashMap.empty[String, graft.store.StoreFetchException]
         val ctx = base.copy(fetchErrors = Some(sink))
-        try {
+        def evalOnce(): Unit =
           rows ++= collect(Eval.eval(graft.parser.Defines.expand(
             graft.parser.Parser.parse(t)), ctx))
-        } catch {
+        try evalOnce()
+        catch {
           // a fetch failure surfacing outside the masked path (rewrite
           // planning, seriesByTag scans, a poisoned shared batch) fails
-          // this target only
-          case e: graft.store.StoreFetchException => sink.getOrElseUpdate(t, e)
+          // this target only. An ACTION-time store failure arrives
+          // wrapped in SparkException layers — unwrap the cause chain
+          case e0: Throwable if storeCause(e0).isDefined =>
+            // the failure may live inside the ONE shared prefetch scan
+            // (action-time errors bypass fetch()-time masking, and the
+            // persisted batch materializes whole on its first action, so
+            // it would fail EVERY target). Drop the batch memo entries
+            // once and retry this target per-pattern: masking then
+            // isolates the failure to the patterns (and targets) that
+            // actually touch the failing data, restoring the pre-batching
+            // blast radius at the cost of per-pattern scans for the
+            // remainder of this request
+            if (base.dropPrefetch()) {
+              try evalOnce()
+              catch {
+                case r0: Throwable if storeCause(r0).isDefined =>
+                  sink.getOrElseUpdate(t, storeCause(r0).get)
+              }
+            } else sink.getOrElseUpdate(t, storeCause(e0).get)
         }
         sink.headOption.foreach { case (_, e) =>
           errors += t -> e
@@ -87,6 +105,24 @@ object Render {
       }
     } finally base.release()
     (rows.result(), errors.result())
+  }
+
+  /** The [[graft.store.StoreFetchException]] in `e`'s cause chain, if
+    * any — a store failure raised inside a Spark task reaches the driver
+    * wrapped (SparkException, sometimes several layers); a driver-side
+    * one is the exception itself. Bounded walk guards cause cycles. */
+  private def storeCause(e: Throwable): Option[graft.store.StoreFetchException] = {
+    var c: Throwable = e
+    var hops = 0
+    while (c != null && hops < 16) {
+      c match {
+        case s: graft.store.StoreFetchException => return Some(s)
+        case _ => ()
+      }
+      c = c.getCause
+      hops += 1
+    }
+    None
   }
 
   /**

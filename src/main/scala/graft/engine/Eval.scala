@@ -31,6 +31,8 @@ object Eval {
                    scala.collection.mutable.Map.empty,
                  fetchErrors: Option[scala.collection.mutable.Map[String, graft.store.StoreFetchException]] = None,
                  pinned: scala.collection.mutable.ArrayBuffer[DataFrame] =
+                   scala.collection.mutable.ArrayBuffer.empty,
+                 prefetched: scala.collection.mutable.ArrayBuffer[(String, Long, Long)] =
                    scala.collection.mutable.ArrayBuffer.empty) {
     def widen(by: Long): Ctx = copy(from = from - by)
 
@@ -87,9 +89,9 @@ object Eval {
      * at a SHIFTED range (timeShift/moving widen) miss the memo by key
      * and fetch normally. Any prefetch failure falls back silently to
      * per-pattern fetching, keeping error masking on the per-pattern
-     * path; an action-time store failure inside the shared batch fails
-     * every target of the request — the same blast radius as the
-     * reference's single fan-out.
+     * path; an ACTION-time store failure inside the shared batch is
+     * handled by evalWithErrors via [[dropPrefetch]] + per-target retry,
+     * so the per-pattern isolation contract survives batching.
      */
     def prefetch(patterns: Seq[String]): Unit = {
       val todo = patterns.distinct.filterNot(p =>
@@ -100,10 +102,29 @@ object Eval {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         pinned += batched
         todo.foreach { p =>
-          fetchMemo((p, from, until)) =
-            batched.where(col("pathExpression") === lit(p))
+          val key = (p, from, until)
+          fetchMemo(key) = batched.where(col("pathExpression") === lit(p))
+          prefetched += key
         }
       } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+    /** Drop every batched-prefetch memo entry so later fetches go back to
+      * the per-pattern path — the isolation fallback [[graft.api.Render]]
+      * evalWithErrors takes when an ACTION-time store failure surfaces
+      * inside the one shared batch scan (which would otherwise poison
+      * every target of the request, where per-pattern fetches confine the
+      * failure to targets referencing the failing pattern). Returns
+      * whether there was a prefetch to drop, i.e. whether a retry can
+      * behave differently. The poisoned batch pin stays in [[pinned]] —
+      * nothing references it again and [[release]] drops it. */
+    def dropPrefetch(): Boolean = {
+      if (prefetched.isEmpty) false
+      else {
+        prefetched.foreach(fetchMemo.remove)
+        prefetched.clear()
+        true
+      }
     }
   }
 

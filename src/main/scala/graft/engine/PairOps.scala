@@ -22,10 +22,19 @@ object PairOps {
     * cost one lightweight count job). Same positional semantics as a
     * row_number over an unpartitioned window, but the rows stay range-
     * partitioned, and the `WindowExec: No Partition Defined` warning class
-    * stays out of the logs where a REAL unpartitioned window could hide. */
+    * stays out of the logs where a REAL unpartitioned window could hide.
+    *
+    * The sorted RDD is cached: zipWithIndex's eager offset-count job
+    * populates the cache, so the upstream plan (possibly an expensive
+    * store-read chain) executes ONCE per call instead of once for the
+    * count and again per downstream action. RDD-level persists are
+    * reference-tracked by the ContextCleaner, so the cache frees itself
+    * when the derived frame is garbage collected — no explicit unpersist
+    * hook needed from lazy callers. */
   private[engine] def indexByName(df: DataFrame, orderCol: String = "name"): DataFrame = {
     val sorted = df.sort(orderCol)
-    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val cached = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = cached.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
     sorted.sparkSession.createDataFrame(indexed,
       sorted.schema.add("_i", org.apache.spark.sql.types.LongType, nullable = false))

@@ -31,11 +31,17 @@ object RewriteOps {
       segs.take(nodeNum + 1).mkString(".")
     }.distinct.sorted
     require(prefixes.nonEmpty, "applyByNode: no series matched")
-    prefixes.map { p =>
+    val rewritten = prefixes.map { p =>
       val t0 = template.replace("%", p)
       val t = newName.fold(t0)(nn => s"""alias($t0,'${nn.replace("%", p)}')""")
-      Eval.eval(Parser.parse(t), ctx)
-    }.reduce(_ unionByName _)
+      Parser.parse(t)
+    }
+    // the rewritten targets' leaves were invisible to the render-level
+    // prefetch (only the template was); batch them into ONE store scan
+    // before the per-prefix evals, like the render tier does for its own
+    // leaves — k prefixes cost one OR-pruned read, not k
+    ctx.prefetch(rewritten.flatMap(Eval.fetchLeaves))
+    rewritten.map(Eval.eval(_, ctx)).reduce(_ unionByName _)
   }
 
   /** useSeriesAbove / aboveSeries: keep names whose max > value, regex-rename,
@@ -49,7 +55,11 @@ object RewriteOps {
     val re = search.r
     val renamed = names.map(n => re.replaceAllIn(n, SeriesOps.toJavaBackrefs(replace))).distinct
     if (renamed.isEmpty) Eval.emptyFrame(ctx.spark)
-    else renamed.map(n => ctx.store.fetch(ctx.spark, n, ctx.from, ctx.until)).reduce(_ unionByName _)
+    // one OR-pruned batch scan for all renamed metrics (fetchMulti ≡
+    // per-pattern union, StoreSpec-gated) instead of one scan per name;
+    // deliberately store-direct like the per-name version was — a refetch
+    // failure propagates rather than masking into empty series
+    else ctx.store.fetchMulti(ctx.spark, renamed, ctx.from, ctx.until)
   }
 
   /** aliasQuery: regex-derive a lookup target per series, template its last
@@ -70,6 +80,9 @@ object RewriteOps {
       if (lookups.isEmpty) Map.empty
       else {
         import org.apache.spark.sql.expressions.Window
+        // regex-derived lookup targets are invisible to the render-level
+        // prefetch — batch their leaves into one scan before evaluating
+        ctx.prefetch(lookups.flatMap(t => Eval.fetchLeaves(Parser.parse(t))))
         lookups.map(t => Eval.eval(Parser.parse(t), ctx)
             .select(org.apache.spark.sql.functions.lit(t).as("_q"), col("name"), col("values")))
           .reduce(_ unionByName _)

@@ -560,6 +560,47 @@ object Assembly {
   }
 
   /**
+   * Shard lineage manifest — the data-versioning record a corpus build
+   * publishes so "reproduce shard 17" is answerable months later: per
+   * [[shardPlan]] shard, the row/token volume, the doc-id range, and an
+   * ORDER-INDEPENDENT content checksum (each doc folds to a 60-bit md5
+   * prefix of `doc_id  text`, reduced mod 1e9+7 and summed), all
+   * stamped with a config fingerprint (md5 of the canonical config
+   * string). Same corpus + same config ⇒ byte-identical manifest; any
+   * doc edit/add/drop flips EXACTLY its shard's checksum; a config
+   * change re-keys the run. md5 (not xxhash64) keeps the checksum
+   * engine-portable — any ANSI engine reproduces it for an audit.
+   *
+   * Scale shape: one corpus scan, map-side hash arithmetic, ONE
+   * nShards-row aggregation — the manifest is shard-count-sized however
+   * big the corpus grows, and checksum terms fold per row so nothing
+   * corpus-global ever moves. Exactness bound: the pre-mod sum stays
+   * inside 2^63 for < ~9.2e9 docs per shard (the g105 rule — documented,
+   * not silently assumed; size nShards so shards stay under it).
+   */
+  def shardManifest(docs: DataFrame, nShards: Int, configTag: String): DataFrame = {
+    require(nShards > 0, s"shardManifest: nShards must be positive, got $nShards")
+    val M = 1000000007L
+    val cfg = s"$configTag|nShards=$nShards"
+    val docHash = conv(substring(
+      md5(concat_ws("\u0001", col("doc_id"), col("text"))), 1, 15), 16, 10)
+      .cast("long")
+    docs
+      .select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        pmod(shardPos(col("doc_id")), lit(nShards.toLong)).as("shard"),
+        pmod(docHash, lit(M)).as("_h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        pmod(sum(col("_h")), lit(M)).as("checksum"))
+      .withColumn("config_fp",
+        conv(substring(md5(lit(cfg)), 1, 15), 16, 10).cast("long"))
+  }
+
+  /**
    * Curriculum-ordered shard plan: the [[shardPlan]] assignment with each
    * shard's write order STAGED easy→hard — CCNet head documents first,
    * then middle, then tail (curriculum learning over data quality,
@@ -731,6 +772,12 @@ object Assembly {
    * enters the ordered cumulative window (the p70 pattern; the single
    * bounded frame is keyed so the no-partition-window ban holds); ranks
    * broadcast back by score. The fusion is map-side arithmetic.
+   *
+   * Eager: the fused result materializes (via localCheckpoint — one
+   * narrow row per doc) so the three persisted score chains unpersist
+   * before returning; a long-lived caller (HTTP tier, repeated pipeline
+   * use) does not accumulate three cached corpus-scale frames per call
+   * (the [[Dedup]] eager-op pattern).
    * Determinism: every input score is 4dp-rounded integer-backed (post
    * r10 quantization), ranks are exact rationals below/(n−1), and the
    * fused mean is a fixed-order 3-term expression — no data-dependent
@@ -739,8 +786,10 @@ object Assembly {
   def qualityEnsemble(docs: DataFrame, targetSource: String,
                       tau: Double = 0.5): DataFrame = {
     val r4 = (c: org.apache.spark.sql.Column) => round(c * 1e4) / 1e4
+    val pinned = scala.collection.mutable.Buffer.empty[DataFrame]
     def rankOf(scored0: DataFrame, rankName: String): DataFrame = {
       val scored = scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += scored
       val hist = scored.groupBy("score").agg(count(lit(1)).as("_c"))
         .withColumn("_g", lit(1))
       val w = Window.partitionBy("_g").orderBy("score")
@@ -757,17 +806,21 @@ object Assembly {
             .as(rankName))
       scored.join(broadcast(ranks), "score").select(col("doc_id"), col(rankName))
     }
-    val q = rankOf(Curation.scoredQuality(docs)
-      .select(col("doc_id"), col("quality").as("score")), "q_rank")
-    val nb = rankOf(nbDomainScore(docs, targetSource)
-      .select(col("doc_id"), r4(col("logodds")).as("score")), "nb_rank")
-    val lm = rankOf(unigramLmScore(docs)
-      .select(col("doc_id"), r4(col("avg_logp")).as("score")), "lm_rank")
-    q.join(nb, "doc_id").join(lm, "doc_id")
-      .withColumn("fused",
-        r4((col("q_rank") + col("nb_rank") + col("lm_rank")) / 3))
-      .withColumn("keep", (col("fused") >= tau).cast("long"))
-      .select("doc_id", "q_rank", "nb_rank", "lm_rank", "fused", "keep")
+    try {
+      val q = rankOf(Curation.scoredQuality(docs)
+        .select(col("doc_id"), col("quality").as("score")), "q_rank")
+      val nb = rankOf(nbDomainScore(docs, targetSource)
+        .select(col("doc_id"), r4(col("logodds")).as("score")), "nb_rank")
+      val lm = rankOf(unigramLmScore(docs)
+        .select(col("doc_id"), r4(col("avg_logp")).as("score")), "lm_rank")
+      q.join(nb, "doc_id").join(lm, "doc_id")
+        .withColumn("fused",
+          r4((col("q_rank") + col("nb_rank") + col("lm_rank")) / 3))
+        .withColumn("keep", (col("fused") >= tau).cast("long"))
+        .select("doc_id", "q_rank", "nb_rank", "lm_rank", "fused", "keep")
+        .localCheckpoint(true)
+    } finally pinned.foreach(df =>
+      try df.unpersist(false) catch { case _: Exception => () })
   }
 
   /**

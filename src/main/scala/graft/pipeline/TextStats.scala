@@ -301,6 +301,10 @@ object TextStats {
    * closed-form slope = cov(ln r, ln c)/var(ln r) over ≤ k rows.
    */
   def zipfFit(docs: DataFrame, k: Int = 200, textCol: String = "text"): DataFrame = {
+    // the exact-integer normal equations below (k·Σxy − Σx·Σy over
+    // 1e6-scaled lns) stay inside 2^63 only for k ≤ 200 — enforce the
+    // documented bound rather than silently overflowing on a larger k
+    require(k >= 2 && k <= 200, s"zipfFit: k must be in [2, 200], got $k")
     val counts = docs
       .select(explode(Dedup.wordsOf(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))

@@ -604,4 +604,39 @@ class E2eScenarioSpec extends AnyFunSuite with BeforeAndAfterAll {
         pre = _.failAll = Some((503, "Service Unavailable")))),
       requireSuccessAll = true)
   }
+
+  test("poisoned shared prefetch batch: evalWithErrors retries per-pattern, failing only the failing target") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, udf}
+    // the shared fan-out scan "contains" a backend that dies at ACTION
+    // time: plan construction succeeds, then the persisted batch throws
+    // from inside a task (the typed error arrives wrapped in
+    // SparkException layers) — without the dropPrefetch fallback every
+    // target of the request would fail
+    var batchCalls = 0
+    val store = new MockBackendStore(Map(
+      "ok1" -> MockData(MockSeries("ok1", Seq(1, 2, 3))),
+      "ok2" -> MockData(MockSeries("ok2", Seq(4, 5, 6))),
+      "bad" -> MockFail(503, "Service Unavailable"))) {
+      override def fetchMulti(spark: SparkSession, pathExprs: Seq[String],
+                              from: Long, until: Long): DataFrame = {
+        batchCalls += 1
+        val poison = udf((n: String) => {
+          if (n != null)
+            throw new graft.store.StoreFetchException(503, "batch backend down")
+          true
+        }).asNondeterministic()
+        pathExprs.filter(_.startsWith("ok")).map(fetch(spark, _, from, until))
+          .reduce(_ unionByName _).where(poison(col("name")))
+      }
+    }
+    val (rows, errs) = graft.api.Render.evalWithErrors(
+      spark, store, Seq("ok1", "bad", "ok2"), 0, 1000)
+    assert(batchCalls == 1, s"prefetch must have batched once, got $batchCalls")
+    // the good targets survive the poisoned batch via the per-pattern retry
+    assert(rows.map(_.name).toSet == Set("ok1", "ok2"), rows.map(_.name).toString)
+    // only the genuinely failing backend's target records an error
+    assert(errs.map(_._1) == Seq("bad"), errs.toString)
+    assert(errs.head._2.httpCode == 503)
+  }
 }

@@ -736,6 +736,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rewritten s2 must cross the action threshold: ${out("s2")}")
   }
 
+  test("p73: drift bands near the 0.1 boundary — the class always equals the classification of the reported quantized psi") {
+    val sp = spark
+    import sp.implicits._
+    // rewrite every m-th s2 doc: m=10 lands just ABOVE the stable/moderate
+    // boundary (psi 0.137), m=13 just BELOW it (psi 0.0877) — both within
+    // float-sum noise of 0.1 had the engine classified on the raw sum
+    def corp(rewrite: Long => Boolean) = (
+      (1 to 40).map(i => (i.toLong, s"w$i " * (i % 5 + 2), "s1")) ++
+      (41 to 80).map { i =>
+        val txt = if (rewrite(i.toLong))
+          "lots of much longer replacement content here " * 2
+        else "tiny " * (i % 3 + 1)
+        (i.toLong, txt, "s2")
+      }).toDF("doc_id", "text", "source")
+    val old = corp(_ => false)
+    val bands = scala.collection.mutable.Set[String]()
+    for (m <- Seq(5, 10, 13)) {
+      val rows = graft.pipeline.Curation.scoreDrift(old, corp(_ % m == 0))
+        .collect().map(r => (r.getString(0), r.getDouble(3), r.getString(4)))
+      rows.foreach { case (src, psi, drift) =>
+        val expect = if (psi < 0.1) "stable"
+                     else if (psi <= 0.25) "moderate" else "shifted"
+        assert(drift == expect, s"m=$m $src: psi=$psi classified $drift")
+        bands += drift
+      }
+    }
+    assert(bands == Set("stable", "moderate", "shifted"),
+      s"the sweep must exercise all three bands: $bands")
+  }
+
   test("p77: the ensemble demands ALL THREE signals — a doc strong on two but weak on one ranks below an all-rounder") {
     val sp = spark
     import sp.implicits._
@@ -1167,6 +1197,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rates = out.toSeq.sortBy(_._1).map(_._2._3)
     assert(rates.zip(rates.tail).forall { case (a, b) => a <= b },
       s"pos_rate must be monotone on a separable corpus: $out")
+  }
+
+  test("p78: shard manifest is order-independent, localizes an edit to its shard, and re-keys on config change") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, s"doc number $i " * (i % 4 + 1)))
+      .toDF("doc_id", "text")
+    val m1 = graft.pipeline.Assembly.shardManifest(docs, 4, "v1")
+      .orderBy("shard").collect().map(_.toSeq.toList)
+    assert(m1.length == 4 && m1.map(_(1).asInstanceOf[Long]).sum == 40L)
+    // partition layout and row order must not move a single byte
+    val m2 = graft.pipeline.Assembly.shardManifest(
+        docs.repartition(7).orderBy(desc("doc_id")), 4, "v1")
+      .orderBy("shard").collect().map(_.toSeq.toList)
+    assert(m1.toSeq == m2.toSeq, "manifest must be partition/order independent")
+    // one edited doc flips EXACTLY its shard's checksum
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 17L, lit("seventeen rewritten")).otherwise(col("text")))
+    val m3 = graft.pipeline.Assembly.shardManifest(edited, 4, "v1")
+      .orderBy("shard").collect().map(_.toSeq.toList)
+    val changed = m1.zip(m3).filter { case (a, b) => a(5) != b(5) } // checksum col
+    assert(changed.size == 1, s"exactly one shard's checksum must change: $changed")
+    assert(m1.zip(m3).forall { case (a, b) => a(1) == b(1) },
+      "an edit (not add/drop) keeps every shard's doc count")
+    // a config change re-keys the run but not the content checksums
+    val m4 = graft.pipeline.Assembly.shardManifest(docs, 4, "v2")
+      .orderBy("shard").collect().map(_.toSeq.toList)
+    assert(m1.zip(m4).forall { case (a, b) => a(5) == b(5) && a(6) != b(6) },
+      "config change must flip config_fp only")
   }
 
   test("p64: snapshot diff classifies added/removed/changed/unchanged by content hash") {

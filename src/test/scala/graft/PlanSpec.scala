@@ -663,4 +663,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // semantics unchanged: only the prefix-matching key comes back
     assert(frame.collect().map(_.getString(0)).toSeq == Seq("name"))
   }
+
+  test("applyByNode batches its rewritten targets into ONE fetchMulti scan (not one store read per prefix)") {
+    var multiCalls = Vector.empty[Seq[String]]
+    val counting = new MockBackendStore(Map(
+      "a.one.m" -> MockData(MockSeries("a.one.m", Seq(1, 2, 3))),
+      "a.two.m" -> MockData(MockSeries("a.two.m", Seq(4, 5, 6))))) {
+      override def fetchMulti(spark: SparkSession, pathExprs: Seq[String],
+                              from: Long, until: Long) = {
+        multiCalls :+= pathExprs
+        super.fetchMulti(spark, pathExprs, from, until)
+      }
+    }
+    val out = Eval.evalTarget(spark, counting,
+        "applyByNode(a.*.m, 1, \"sumSeries(%.m)\")")
+      .select("name").collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("sumSeries(a.one.m)", "sumSeries(a.two.m)"), out.toSeq)
+    // two prefixes → one batched store read carrying both rewritten leaves
+    assert(multiCalls.size == 1, s"expected one fetchMulti, got $multiCalls")
+    assert(multiCalls.head.toSet == Set("a.one.m", "a.two.m"), multiCalls.toString)
+  }
+
+  test("aliasQuery batches its regex-derived lookup targets into ONE fetchMulti scan") {
+    var multiCalls = Vector.empty[Seq[String]]
+    val counting = new MockBackendStore(Map(
+      "cpu.one.load" -> MockData(MockSeries("cpu.one.load", Seq(1, 2))),
+      "cpu.two.load" -> MockData(MockSeries("cpu.two.load", Seq(3, 4))),
+      "rate.one" -> MockData(MockSeries("rate.one", Seq(10, 20))),
+      "rate.two" -> MockData(MockSeries("rate.two", Seq(30, 40))))) {
+      override def fetchMulti(spark: SparkSession, pathExprs: Seq[String],
+                              from: Long, until: Long) = {
+        multiCalls :+= pathExprs
+        super.fetchMulti(spark, pathExprs, from, until)
+      }
+    }
+    val out = Eval.evalTarget(spark, counting,
+        "aliasQuery(cpu.*.load, 'cpu\\.([^.]+)\\.load', 'rate.\\1', 'q %d')")
+      .select("name").collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("q 20", "q 40"), out.toSeq)
+    assert(multiCalls.size == 1, s"expected one fetchMulti, got $multiCalls")
+    assert(multiCalls.head.toSet == Set("rate.one", "rate.two"), multiCalls.toString)
+  }
 }
