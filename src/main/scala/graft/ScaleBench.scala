@@ -140,17 +140,23 @@ object ScaleBench {
   }
 
   /** The q12/q13 pair on one events dir: lean warm-up (the rowmult dir
-    * carries only events.parquet), best-of-reps timing, persist sweep. */
+    * carries only events.parquet), best-of-reps timing, persist sweep.
+    * Timed action is toRdd.count(), NOT Dataset.count(): count() lets
+    * Catalyst prune every feature column, which deletes the as-of window
+    * and the bucketed join body — the exact work this axis exists to
+    * measure. toRdd executes the full physical plan (all output columns,
+    * including the catalog entry's determinism orderBy — present equally
+    * at 1× and N×, so the ratio still isolates growth). */
   private def runRowMult(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     val qs = Seq("q12_pit_features", "q13_window_features")
     spark.read.parquet(s"$dir/events.parquet").count() // untimed scan warm
-    qs.foreach(q => SparkEntry.queries(q)(spark, dir).count()) // codegen warm
+    qs.foreach(q => SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()) // codegen warm
     val keep = spark.sparkContext.getPersistentRDDs.keySet
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     qs.map { name =>
       val t = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, dir).count()
+        try SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
         catch { case e: Throwable => System.err.println(s"[scale] $name failed: $e"); -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs

@@ -354,15 +354,25 @@ object Dedup {
    * density, not corpus²), with grams above `maxDocFreq` documents dropped
    * as boilerplate before the join. The run-length pass windows over
    * (doc_a, doc_b) — keyed by pair, never a global sort.
+   *
+   * Spans are keyed INTERNALLY by a 64-bit xxhash fingerprint of the
+   * token-slice (the same convention as [[ngramJaccardPairs]]' hashed
+   * shingles and Lee et al.'s suffix-array fingerprints): a 10-word span
+   * STRING is ~60 bytes and dominated the r11 100× profile (the persisted
+   * index and both join shuffles carried ~10× the corpus text); the
+   * fingerprint is 8 bytes and never materializes the span text at all.
+   * A fingerprint collision (p ≈ 2⁻⁶⁴ per gram pair) could overcount
+   * shared_grams by one — the string-exact DuckDB oracle gates equality
+   * at both SFs every round, so a collision in test data cannot hide.
    */
   def sharedSpanPairs(docs: DataFrame, spanTokens: Int = 10,
                       maxDocFreq: Long = 100): DataFrame = {
     val w = docs.select(col("doc_id"), wordsOf(col("text")).as("_w"))
       .where(size(col("_w")) >= spanTokens)
-    // (doc_id, pos, gram): gram = the span starting at pos (1-based)
+    // (doc_id, pos, gram): gram = the fingerprint of the span at pos (1-based)
     val grams = w.select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("_w")) - (spanTokens - 1)),
-          i => concat_ws(" ", slice(col("_w"), i, lit(spanTokens))))).as(Seq("p0", "gram")))
+          i => xxhash64(slice(col("_w"), i, lit(spanTokens))))).as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
       .persist()
     val keep = grams.select(col("gram"), col("doc_id")).distinct()
