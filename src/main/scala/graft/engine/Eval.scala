@@ -92,6 +92,18 @@ object Eval {
      * path; an ACTION-time store failure inside the shared batch is
      * handled by evalWithErrors via [[dropPrefetch]] + per-target retry,
      * so the per-pattern isolation contract survives batching.
+     *
+     * Concurrency decision (r11): the batch is REQUEST-scoped on
+     * purpose — two concurrent renders over the same store+window each
+     * materialize their own batch rather than sharing one. Sharing would
+     * need cross-request refcounting of the pin (release() currently
+     * drops exactly what this request created) and a (store, patterns,
+     * range) cache key whose hit rate is low outside same-window
+     * dashboard bursts; the metadata path, where racing requests DO
+     * collide constantly, already shares via the Catalog TTL cache. The
+     * cost is one extra scan per racing request, bounded by the request
+     * count; the gate is StoreSpec's 12-way racing-render spec (correct
+     * results, zero leaked pins).
      */
     def prefetch(patterns: Seq[String]): Unit = {
       val todo = patterns.distinct.filterNot(p =>

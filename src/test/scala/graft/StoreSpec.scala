@@ -616,4 +616,30 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canonTagged(routed.fetchMulti(spark, Seq("events.*"), 0L, 10800L)) ==
       canonTagged(routed.fetch(spark, "events.*", 0L, 10800L)))
   }
+
+  test("concurrent renders on one cold store: per-request prefetch batches stay correct and release cleanly under a 12-way race") {
+    // the prefetch batch is REQUEST-scoped by design (documented in
+    // Eval.Ctx.prefetch): two racing renders each pin their own batch —
+    // no cross-request refcounting, release() stays trivially correct.
+    // This gate pins what the design owes: identical results under the
+    // race and zero leaked pins afterwards
+    val targets = Seq("sumSeries(events.*)", "scale(other.metric, 2)",
+      "maxSeries(events.cl*, other.*)")
+    def render() = graft.api.Render.eval(spark, flat, targets, 0L, 10800L)
+      .map(r => (r.name, r.start, r.step, r.values.toSeq)).sortBy(_._1)
+    val sequential = render()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val raced = (1 to 12).map(_ => scala.concurrent.Future(render()))
+    val all = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(raced),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(all.forall(_ == sequential),
+      "a racing render must return exactly the sequential result")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"request pins must all release: $leaked")
+  }
 }
