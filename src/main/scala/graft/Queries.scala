@@ -1137,6 +1137,19 @@ object Queries {
     "p78_shard_manifest" -> ((s, dir) =>
       Assembly.shardManifest(docs(s, dir), nShards = 8, configTag = "v1")
         .orderBy("shard")),
+    // shard-level change report between the p64 crawl snapshots: which
+    // shards must re-publish (checksum diff), with doc/token deltas
+    "p79_manifest_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newSnap = d.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .unionByName(d.where(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Assembly.manifestDiff(d, newSnap, nShards = 8, configTag = "v1")
+        .orderBy("shard")
+    }),
     // dedup-aware sampling weights: each near-dup cluster's members share
     // unit mass (weight = 1/|cluster|) instead of being dropped
     "p62_dedup_weights" -> ((s, dir) => {
@@ -1363,6 +1376,20 @@ object Queries {
       |        x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','from','that','this'], x))) * 1.0
       |      / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), 1)) * 3.0
       |  + 0.3 * (1.0 - least((len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / greatest(len(text), 1)) * 5.0, 1.0))))) * 1e4) / 1e4""".stripMargin
+
+  /** Per-shard manifest aggregation over a (doc_id, text) relation `rel` —
+    * the p78 shape (LCG shard, md5-fold checksum mod 1e9+7), reused by the
+    * p79 diff for both snapshots. */
+  private def manifestSql(rel: String): String =
+    s"""SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(h) % 1000000007 AS BIGINT) AS checksum
+       |FROM (SELECT doc_id,
+       |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+       |  (1103515245 * ((doc_id % 2147483648 + 2147483648) % 2147483648) + 12345) % 2147483648 % 8 AS shard,
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || text), 1, 15))::BIGINT % 1000000007 AS h
+       |  FROM $rel)
+       |GROUP BY shard""".stripMargin
 
   private val ccSql =
     """WITH RECURSIVE words AS (
@@ -3162,6 +3189,23 @@ object Queries {
         |LEFT JOIN ws ON ws.doc_id = d.doc_id
         |LEFT JOIN bs ON bs.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // both p64 snapshots reduced to the p78 manifest shape, full-outer
+    // joined on shard: status by checksum equality + volume deltas
+    "p79_manifest_diff" ->
+      (s"""WITH nd AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+        |om AS (${manifestSql("documents")}),
+        |nm AS (${manifestSql("nd")})
+        |SELECT coalesce(om.shard, nm.shard) AS shard,
+        |  CASE WHEN om.checksum IS NULL THEN 'new'
+        |       WHEN nm.checksum IS NULL THEN 'gone'
+        |       WHEN om.checksum = nm.checksum THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  coalesce(nm.n_docs, 0) - coalesce(om.n_docs, 0) AS doc_delta,
+        |  coalesce(nm.n_tokens, 0) - coalesce(om.n_tokens, 0) AS token_delta
+        |FROM om FULL OUTER JOIN nm ON om.shard = nm.shard ORDER BY shard""").stripMargin,
     // p46's LCG shard + a 60-bit md5-prefix doc hash folded mod 1e9+7 and
     // summed per shard (order-independent integer math on both engines);
     // the config fingerprint is the md5 of the same canonical string

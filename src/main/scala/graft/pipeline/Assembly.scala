@@ -601,6 +601,36 @@ object Assembly {
   }
 
   /**
+   * Manifest diff — the shard-level change report between two corpus
+   * builds under the SAME config: full-outer join of the two
+   * [[shardManifest]]s on shard, status by checksum equality
+   * (unchanged / changed / new / gone), plus doc and token deltas. With
+   * shardManifest's edit-locality this answers "which shards must
+   * re-publish after this refresh" from metadata alone — no second pass
+   * over document bytes beyond the manifest builds themselves.
+   *
+   * Scale shape: two manifest builds (each one corpus scan reduced
+   * map-side to nShards rows) and an nShards-row full-outer join — the
+   * diff itself never exceeds shard cardinality.
+   */
+  def manifestDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   nShards: Int, configTag: String): DataFrame = {
+    val om = shardManifest(oldDocs, nShards, configTag)
+      .select(col("shard"), col("n_docs").as("_od"),
+        col("n_tokens").as("_ot"), col("checksum").as("_oc"))
+    val nm = shardManifest(newDocs, nShards, configTag)
+      .select(col("shard"), col("n_docs").as("_nd"),
+        col("n_tokens").as("_nt"), col("checksum").as("_nc"))
+    om.join(nm, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("_oc").isNull, "new").when(col("_nc").isNull, "gone")
+          .when(col("_oc") === col("_nc"), "unchanged")
+          .otherwise("changed").as("status"),
+        (coalesce(col("_nd"), lit(0L)) - coalesce(col("_od"), lit(0L))).as("doc_delta"),
+        (coalesce(col("_nt"), lit(0L)) - coalesce(col("_ot"), lit(0L))).as("token_delta"))
+  }
+
+  /**
    * Curriculum-ordered shard plan: the [[shardPlan]] assignment with each
    * shard's write order STAGED easy→hard — CCNet head documents first,
    * then middle, then tail (curriculum learning over data quality,

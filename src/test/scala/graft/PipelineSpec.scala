@@ -1228,6 +1228,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "config change must flip config_fp only")
   }
 
+  test("p79: manifest diff reports new/gone/changed/unchanged shard statuses with volume deltas") {
+    val sp = spark
+    import sp.implicits._
+    // the LCG shard mod 4 reduces to (doc_id + 1) % 4 (multiplier and
+    // increment are both 1 mod 4) — pick ids per shard directly
+    def shardOf(id: Long) = (id + 1) % 4
+    val byShard = (1L to 60L).groupBy(shardOf)
+    val olds = (byShard(0L) ++ byShard(1L) ++ byShard(2L)).map(i => (i, s"text $i"))
+    val news = (byShard(1L).map(i => (i, s"text $i")) ++
+      byShard(2L).map(i => (i, if (i == byShard(2L).head) s"edited $i" else s"text $i")) ++
+      byShard(3L).map(i => (i, s"text $i")))
+    val out = graft.pipeline.Assembly.manifestDiff(
+        olds.toSeq.toDF("doc_id", "text"), news.toSeq.toDF("doc_id", "text"), 4, "v1")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.view.mapValues(_._1).toMap ==
+      Map(0L -> "gone", 1L -> "unchanged", 2L -> "changed", 3L -> "new"), out.toString)
+    assert(out(3L)._2 == byShard(3L).size.toLong &&
+      out(0L)._2 == -byShard(0L).size.toLong &&
+      out(1L)._2 == 0L && out(2L)._2 == 0L, s"doc deltas: $out")
+  }
+
   test("p64: snapshot diff classifies added/removed/changed/unchanged by content hash") {
     val sp = spark
     import sp.implicits._
