@@ -578,26 +578,38 @@ object Assembly {
    * inside 2^63 for < ~9.2e9 docs per shard (the g105 rule — documented,
    * not silently assumed; size nShards so shards stay under it).
    */
+  /** Checksum modulus for [[shardManifest]] — folded per term so the
+    * shard sum is exact integer math on any engine. */
+  val ManifestMod: Long = 1000000007L
+
+  /** Per-doc manifest checksum term: a 60-bit md5 prefix of
+    * doc_id \u0001 text folded mod [[ManifestMod]] (the separator keeps
+    * (1, "2x") and (12, "x") distinct). Shared by the batch manifest and
+    * the streaming twin so a streamed corpus folds to the same sums. */
+  def manifestTerm(docId: Column, text: Column): Column =
+    pmod(conv(substring(
+      md5(concat_ws("\u0001", docId, text)), 1, 15), 16, 10).cast("long"),
+      lit(ManifestMod))
+
+  /** md5-prefix fingerprint of the canonical config string. */
+  def configFingerprint(configTag: String, nShards: Int): Column =
+    conv(substring(md5(lit(s"$configTag|nShards=$nShards")), 1, 15), 16, 10)
+      .cast("long")
+
   def shardManifest(docs: DataFrame, nShards: Int, configTag: String): DataFrame = {
     require(nShards > 0, s"shardManifest: nShards must be positive, got $nShards")
-    val M = 1000000007L
-    val cfg = s"$configTag|nShards=$nShards"
-    val docHash = conv(substring(
-      md5(concat_ws("\u0001", col("doc_id"), col("text"))), 1, 15), 16, 10)
-      .cast("long")
     docs
       .select(col("doc_id"),
         TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
         pmod(shardPos(col("doc_id")), lit(nShards.toLong)).as("shard"),
-        pmod(docHash, lit(M)).as("_h"))
+        manifestTerm(col("doc_id"), col("text")).as("_h"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"),
-        pmod(sum(col("_h")), lit(M)).as("checksum"))
-      .withColumn("config_fp",
-        conv(substring(md5(lit(cfg)), 1, 15), 16, 10).cast("long"))
+        pmod(sum(col("_h")), lit(ManifestMod)).as("checksum"))
+      .withColumn("config_fp", configFingerprint(configTag, nShards))
   }
 
   /**

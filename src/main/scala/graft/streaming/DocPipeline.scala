@@ -230,6 +230,36 @@ object DocPipeline {
    * streamed row equals the batch row exactly (gated stream ≡ batch in
    * StreamingSpec).
    */
+  /**
+   * Streaming shard-manifest maintenance — the
+   * [[graft.pipeline.Assembly.shardManifest]] lineage record kept LIVE at
+   * ingest: the same LCG shard key and md5-fold checksum term, maintained
+   * by a stateful shard-keyed streaming aggregation (complete output
+   * mode — the state and every emitted table are nShards-row-sized, so
+   * "complete" costs shard cardinality, not corpus). Checksum terms are
+   * pre-folded mod [[graft.pipeline.Assembly.ManifestMod]] and the
+   * running sum folds once more in the projection, so after ANY prefix
+   * of micro-batches the emitted manifest equals the batch manifest of
+   * the documents ingested so far (sum-mod is a commutative monoid —
+   * arrival order and batch boundaries cannot move a byte; gated
+   * stream ≡ batch in StreamingSpec).
+   */
+  def manifestStream(docs: DataFrame, nShards: Int, configTag: String): DataFrame = {
+    val A = graft.pipeline.Assembly
+    docs
+      .select(col("doc_id"),
+        graft.pipeline.TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        pmod(A.shardPos(col("doc_id")), lit(nShards.toLong)).as("shard"),
+        A.manifestTerm(col("doc_id"), col("text")).as("_h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        pmod(sum(col("_h")), lit(A.ManifestMod)).as("checksum"))
+      .withColumn("config_fp", A.configFingerprint(configTag, nShards))
+  }
+
   def repetitionStream(docs: DataFrame): DataFrame = {
     val x4 = (c: org.apache.spark.sql.Column) => round(c * 1e4).cast("long")
     docs

@@ -548,6 +548,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       id == 3L && n == 5L && dw == 8000L && topc == 16000L && keep == 0L })
   }
 
+  test("streaming shard manifest: the complete-mode table after all micro-batches equals the batch manifest byte-for-byte") {
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("graft-manifest").toString
+    val sp = spark
+    import sp.implicits._
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val rows1 = (1L to 25L).map(i => (i, ts(i.toInt), s"alpha beta doc $i " * ((i % 3) + 1).toInt))
+    val rows2 = (26L to 50L).map(i => (i, ts(i.toInt), s"gamma delta doc $i"))
+    rows1.toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$tmp/docs/f1")
+    rows2.toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$tmp/docs/f2")
+    val src = sp.readStream.schema(graft.streaming.DocPipeline.docSchema)
+      .option("maxFilesPerTrigger", 1) // one micro-batch per file
+      .parquet(s"$tmp/docs/*")
+    val q = graft.streaming.DocPipeline.manifestStream(src, 4, "v1")
+      .writeStream.format("memory").queryName("manifest_stream")
+      .option("checkpointLocation", s"$tmp/ck")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // complete mode: the memory table IS the running manifest after the
+    // last micro-batch — sum-mod is a commutative monoid, so it must be
+    // byte-identical to the batch manifest over the union
+    val streamed = sp.table("manifest_stream").collect()
+      .map(_.toSeq.toList).sortBy(_.head.asInstanceOf[Long].toString).toList
+    val batch = graft.pipeline.Assembly.shardManifest(
+        (rows1 ++ rows2).map(r => (r._1, r._3)).toDF("doc_id", "text"), 4, "v1")
+      .orderBy("shard").collect().map(_.toSeq.toList).toList
+    assert(streamed.size == 4 && streamed == batch,
+      s"stream $streamed vs batch $batch")
+  }
+
   test("streaming PII redaction equals the batch redaction byte-for-byte per document") {
     import java.sql.Timestamp
     val tmp = Files.createTempDirectory("graft-redact").toString
