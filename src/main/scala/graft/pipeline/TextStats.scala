@@ -353,9 +353,15 @@ object TextStats {
     require(k >= 1, s"memorizationAudit: k must be >= 1, got $k")
     // materialize the words array BEFORE shingling — the shingle lambda
     // slices the outer array, and an unmaterialized one re-runs the whole
-    // regex+split chain per element (the documented Dedup.shinglesOf trap)
+    // regex+split chain per element (the documented Dedup.shinglesOf trap).
+    // The gram itself is reduced to a 64-bit xxhash fingerprint BEFORE the
+    // df window (the p30/r11 convention): the gram-keyed shuffle carries
+    // 8 bytes per row instead of a ~k-word string, and only counts leave
+    // this chain. A collision (p ≈ 2⁻⁶⁴ per gram pair) could merge two
+    // grams' df — the string-exact DuckDB oracle gates equality per round.
     val g = docs.select(col("doc_id"), Dedup.wordsOf(col(textCol)).as("_w"))
-      .select(col("doc_id"), explode(Dedup.shinglesOf(col("_w"), k)).as("gram"))
+      .select(col("doc_id"), explode(Dedup.shinglesOf(col("_w"), k)).as("_gs"))
+      .select(col("doc_id"), xxhash64(col("_gs")).as("gram"))
     val withDf = g.withColumn("df", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
     val perDoc = withDf.groupBy("doc_id")
