@@ -719,9 +719,16 @@ object Assembly {
    */
   def splitLeakage(docs: DataFrame, n: Int = 3, minOverlap: Int = 2,
                    trainFrac: Double = 0.9, valFrac: Double = 0.05): DataFrame = {
+    // words materialized before shingling (the Dedup.shinglesOf trap), and
+    // grams reduced to 64-bit fingerprints before the distinct + join (the
+    // p30/r11 convention — the train-gram index and the probe join carry
+    // 8 bytes per gram, and only counts leave this chain; the string-exact
+    // oracle gates equality per round)
     val split = trainValTestSplit(docs, trainFrac, valFrac)
+      .select(col("doc_id"), col("split"), col("text"))
+      .withColumn("_w", Dedup.wordsOf(col("text")))
       .select(col("doc_id"), col("split"),
-        array_distinct(Dedup.shingles(col("text"), n)).as("_grams"))
+        transform(Dedup.shinglesOf(col("_w"), n), g => xxhash64(g)).as("_grams"))
     val trainGrams = split.where(col("split") === "train")
       .select(explode(col("_grams")).as("gram")).distinct()
     val held = split.where(col("split") =!= "train")
