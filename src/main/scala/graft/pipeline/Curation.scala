@@ -334,10 +334,15 @@ object Curation {
    * |sources|²-sized.
    */
   def sourceOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
+    // grams reduced to 64-bit fingerprints before the corpus-wide gram
+    // agg (the p30/r11 convention): the one big shuffle carries 8-byte
+    // keys, and only per-source-pair counts leave the chain; the
+    // string-exact DuckDB oracle gates equality per round
     val ss = docs
       .select(col("source"), Dedup.wordsOf(col("text")).as("w"))
       .where(size(col("w")) >= k)
-      .select(col("source"), explode(Dedup.shinglesOf(col("w"), k)).as("gram"))
+      .select(col("source"),
+        explode(transform(Dedup.shinglesOf(col("w"), k), g => xxhash64(g))).as("gram"))
       .groupBy("gram").agg(sort_array(collect_set(col("source"))).as("ss"))
     val sizes = ss.select(explode(col("ss")).as("source"))
       .groupBy("source").agg(count(lit(1)).as("sz"))
