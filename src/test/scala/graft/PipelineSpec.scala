@@ -1228,6 +1228,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "config change must flip config_fp only")
   }
 
+  test("p78: manifest invariance on random corpora (seeded) — permutation/partitioning never moves a byte, any single edit localizes") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "bb", "seven", "dddd", "x", "yzw", "qq")
+    for (trial <- 1 to 3) {
+      val n = 30 + rnd.nextInt(40)
+      val rows = (1 to n).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val docs = rows.toDF("doc_id", "text")
+      val m1 = graft.pipeline.Assembly.shardManifest(docs, 4, "v1")
+        .orderBy("shard").collect().map(_.toSeq.toList).toList
+      val m2 = graft.pipeline.Assembly.shardManifest(
+          rnd.shuffle(rows).toDF("doc_id", "text").repartition(1 + rnd.nextInt(9)), 4, "v1")
+        .orderBy("shard").collect().map(_.toSeq.toList).toList
+      assert(m1 == m2, s"trial $trial: layout moved the manifest")
+      val victim = rows(rnd.nextInt(n))._1
+      val m3 = graft.pipeline.Assembly.shardManifest(
+          docs.withColumn("text", when(col("doc_id") === victim,
+            concat(col("text"), lit(" edited"))).otherwise(col("text"))), 4, "v1")
+        .orderBy("shard").collect().map(_.toSeq.toList).toList
+      val changed = m1.zip(m3).count { case (a, b) => a(5) != b(5) }
+      assert(changed == 1, s"trial $trial: edit of doc $victim changed $changed shards")
+    }
+  }
+
   test("p79: manifest diff reports new/gone/changed/unchanged shard statuses with volume deltas") {
     val sp = spark
     import sp.implicits._

@@ -664,6 +664,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frame.collect().map(_.getString(0)).toSeq == Seq("name"))
   }
 
+  test("p78 shard manifest: pruned 2-column scan, map-side partial agg, ONE nShards-key exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.Assembly.shardManifest(docs, 8, "v1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "manifest must scan only (doc_id, text):\n" + plan.take(2000))
+    assert(plan.contains("partial_sum") && plan.contains("partial_count"),
+      "checksum/count terms must fold map-side before the shard exchange:\n" + plan.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"one shard-keyed shuffle expected, got $exchanges:\n" + plan.take(2000))
+  }
+
   test("applyByNode batches its rewritten targets into ONE fetchMulti scan (not one store read per prefix)") {
     var multiCalls = Vector.empty[Seq[String]]
     val counting = new MockBackendStore(Map(
