@@ -206,8 +206,9 @@ object ScaleBench {
     "q11_revenue_share_parts", "q12_pit_features", "q13_window_features",
     "p76_heavy_hitters", "q14_disjunctive_promo",
     // r11: the 3-fact-join anchor (the heaviest driver-capture row, never
-    // curved before — fact side grows, customer/nation dims fixed)
-    "q02_revenue_by_nation")
+    // curved before — fact side grows, customer/nation dims fixed), plus
+    // the lineage manifest family
+    "q02_revenue_by_nation", "p78_shard_manifest", "p79_manifest_diff")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture
@@ -227,6 +228,13 @@ object ScaleBench {
     // convention as Verify) — full-headline runs stay the default
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
     val selected = only.fold(Headline)(ps => Headline.filter(n => ps.exists(n.startsWith)))
+    // rows whose body Dataset.count() would DELETE via column pruning (the
+    // manifest's md5+token fold reduces to a doc_id-only scan; the as-of
+    // window and bucketed-join feature columns vanish the same way) are
+    // timed with toRdd.count() — the full physical plan, all columns.
+    // Everything else keeps count() for cross-round comparability.
+    val forceFullEval = Set("p78_shard_manifest", "p79_manifest_diff",
+      "q12_pit_features", "q13_window_features")
     selected.map { name =>
       // untimed fixture re-warm between queries (same eviction artifact as
       // Bench: a heavy query's persists evict the shared series cache and
@@ -235,7 +243,10 @@ object ScaleBench {
       fixture.count()
       val t = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, dir).count()
+        try {
+          val df = SparkEntry.queries(name)(spark, dir)
+          if (forceFullEval(name)) df.queryExecution.toRdd.count() else df.count()
+        }
         catch { case e: Throwable => System.err.println(s"[scale] $name failed: $e"); -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // per-query persists otherwise accumulate and evict each other,
