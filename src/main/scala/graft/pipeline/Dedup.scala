@@ -327,6 +327,12 @@ object Dedup {
       .persist()
     val sh = hashed.select(col("doc_id"), explode(col("shs")).as("sh"))
     val sizes = hashed.select(col("doc_id"), size(col("shs")).as("setSize"))
+    // df filter stays a reduced-aggregate + left_semi probe ON PURPOSE
+    // (r11 audit): the p75-style df window would fold the two sh-keyed
+    // exchanges into one, but it SORTS the full gram stream and both
+    // self-join sides recompute it (no reuse under a broadcast side) —
+    // measured a wash at sf0.1 and strictly worse at scale, where the
+    // agg side is duplicate-reduced before it moves
     val filtered = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq && col("df") >= 2),
       "sh", "left_semi")
