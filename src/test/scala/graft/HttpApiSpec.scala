@@ -475,6 +475,39 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally rApi.stop()
   }
 
+  test("/render applyByNode over a cold routed store: rewritten targets batch into one scan and the result is exact") {
+    val sp = spark
+    import sp.implicits._
+    val base = java.nio.file.Files.createTempDirectory("httprewrite").toString
+    graft.store.RoutedSeriesStore.write(
+      Seq(
+        graft.core.Series("app.one.m", Map("name" -> "app.one.m"), 0L, 3600L,
+          Array.tabulate(24)(h => h + 1.0)),
+        graft.core.Series("app.two.m", Map("name" -> "app.two.m"), 0L, 3600L,
+          Array.tabulate(24)(h => (h + 1) * 10.0))).toDF(),
+      s"$base/routed", windowSec = 86400L)
+    val routed = new graft.store.RoutedSeriesStore(s"$base/routed", 86400L, 1, Some(3600L))
+    val api = new HttpApi(spark, routed, port = 0)
+    val port = api.start()
+    try {
+      val target = java.net.URLEncoder.encode(
+        "applyByNode(app.*.m, 1, \"sumSeries(%.m)\")", "UTF-8")
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/render?target=$target&from=0&until=86400&format=json&noCache=1")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body().take(300))
+      val body = resp.body()
+      // both rewritten targets evaluate against the cold store (their
+      // leaves ride ONE batched fetchMulti scan — PlanSpec gates the
+      // scan count; this pins the HTTP-tier integration + values)
+      assert(body.contains("\"target\":\"sumSeries(app.one.m)\""), body.take(600))
+      assert(body.contains("\"target\":\"sumSeries(app.two.m)\""), body.take(600))
+      assert(body.contains("[1.0,0]") || body.contains("[1,0]"), body.take(600))
+      assert(body.contains("[10.0,0]") || body.contains("[10,0]"), body.take(600))
+    } finally api.stop()
+  }
+
   test("concurency limiter: the N+1-th inflight request waits for a slot and 503s past the wait (ref limiter/limiter.go:14-51)") {
     val limited = new HttpApi(spark, new EventSeriesStore("/root/testdata/sf0.001"),
       port = 0, concurency = 1, concurencyWaitSec = 0L)
