@@ -1377,6 +1377,25 @@ object Queries {
       |      / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), 1)) * 3.0
       |  + 0.3 * (1.0 - least((len(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / greatest(len(text), 1)) * 5.0, 1.0))))) * 1e4) / 1e4""".stripMargin
 
+  /** Integer tercile cuts over a CTE `sp(..., ppl)` with 4dp-rounded ppl:
+    * floor(quantile_cont·1e4) via exact order-statistic arithmetic
+    * (cut = a + (b−a)·rem div 3 over the 1e4-scaled longs) — mirrors
+    * `Assembly.tercileCutsX1e4`, so a boundary doc classifies identically
+    * on any engine (quantile_cont's double interpolation flipped one doc
+    * at sf0.001). Emits CTEs `spq` (sp + q) and `cf` (c1f, c2f). */
+  private val tercileCutSql =
+    """spq AS (SELECT sp.*, CAST(round(ppl * 1e4) AS BIGINT) AS q FROM sp),
+      |ordq AS (SELECT q, row_number() OVER (ORDER BY q) - 1 AS rk FROM spq),
+      |nn AS (SELECT count(*) AS c FROM spq),
+      |cutq AS (SELECT
+      |    max(CASE WHEN rk = (c-1)//3 THEN q END) AS a1,
+      |    max(CASE WHEN rk = least((c-1)//3 + 1, c-1) THEN q END) AS b1,
+      |    max(CASE WHEN rk = (2*(c-1))//3 THEN q END) AS a2,
+      |    max(CASE WHEN rk = least((2*(c-1))//3 + 1, c-1) THEN q END) AS b2,
+      |    max((c-1)%3) AS r1, max((2*(c-1))%3) AS r2
+      |  FROM ordq CROSS JOIN nn),
+      |cf AS (SELECT a1 + ((b1-a1)*r1)//3 AS c1f, a2 + ((b2-a2)*r2)//3 AS c2f FROM cutq)""".stripMargin
+
   /** Per-shard manifest aggregation over a (doc_id, text) relation `rel` —
     * the p78 shape (LCG shard, md5-fold checksum mod 1e9+7), reused by the
     * p79 diff for both snapshots. */
@@ -2739,11 +2758,12 @@ object Queries {
         |tt AS (SELECT sum(c) AS t, count(*) AS v FROM vc)
         |SELECT doc_id, count(*) AS n_words, round(((sum(CAST(round(ln((c + 1.0) / (t + v)) * 1e6) AS BIGINT)) * 1.0 / count(*)) / 1e6) * 1e4) / 1e4 AS avg_logp
         |FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // same LM as p27; perplexity rounded to 4dp BEFORE the tercile cut so
-    // the bucket boundary is engine-reproducible
+    // same LM as p27; perplexity rounded to 4dp BEFORE the tercile cut,
+    // and the cut itself is exact integer order-statistic math (see
+    // tercileCutSql) so a boundary doc classifies identically anywhere
     "p41_ppl_buckets" ->
-      """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+      (s"""WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'), x -> len(x) > 0) AS w
         |  FROM documents),
         |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
         |vc AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
@@ -2751,10 +2771,10 @@ object Queries {
         |sc AS (SELECT doc_id, count(*) AS n_words, round(((sum(CAST(round(ln((c + 1.0) / (t + v)) * 1e6) AS BIGINT)) * 1.0 / count(*)) / 1e6) * 1e4) / 1e4 AS lp
         |       FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id),
         |sp AS (SELECT doc_id, n_words, round((exp(-lp)) * 1e4) / 1e4 AS ppl FROM sc),
-        |cut AS (SELECT quantile_cont(ppl, 1.0/3) AS c1, quantile_cont(ppl, 2.0/3) AS c2 FROM sp)
+        |$tercileCutSql
         |SELECT doc_id, n_words, ppl,
-        |  CASE WHEN ppl <= c1 THEN 'head' WHEN ppl <= c2 THEN 'middle' ELSE 'tail' END AS bucket
-        |FROM sp, cut ORDER BY doc_id""".stripMargin,
+        |  CASE WHEN q <= c1f THEN 'head' WHEN q <= c2f THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM spq, cf ORDER BY doc_id""").stripMargin,
     // closed-form twin of the Jacobi train + whiten projection on the 2-d
     // slice: whitened norm = Mahalanobis distance under Σ+εI, a 2×2
     // inverse — basis-invariant, so no eigenvector convention to match
@@ -2843,8 +2863,8 @@ object Queries {
         |FROM t ORDER BY doc_id""".stripMargin,
     // p41's tercile CTE + p46's LCG, windows keyed (shard | stage, pos)
     "p54_curriculum_plan" ->
-      """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
+      (s"""WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'), x -> len(x) > 0) AS w
         |  FROM documents),
         |ex AS (SELECT doc_id, unnest(w) AS word FROM w),
         |vc AS (SELECT word, count(*) AS c FROM ex GROUP BY word),
@@ -2852,13 +2872,13 @@ object Queries {
         |sc AS (SELECT doc_id, round(((sum(CAST(round(ln((c + 1.0) / (t + v)) * 1e6) AS BIGINT)) * 1.0 / count(*)) / 1e6) * 1e4) / 1e4 AS lp
         |       FROM ex JOIN vc USING (word) CROSS JOIN tt GROUP BY doc_id),
         |sp AS (SELECT doc_id, round((exp(-lp)) * 1e4) / 1e4 AS ppl FROM sc),
-        |cut AS (SELECT quantile_cont(ppl, 1.0/3) AS c1, quantile_cont(ppl, 2.0/3) AS c2 FROM sp),
+        |$tercileCutSql,
         |b AS (SELECT doc_id,
-        |  CASE WHEN ppl <= c1 THEN 'head' WHEN ppl <= c2 THEN 'middle' ELSE 'tail' END AS bucket,
-        |  CASE WHEN ppl <= c1 THEN 0 WHEN ppl <= c2 THEN 1 ELSE 2 END AS stage
-        |  FROM sp, cut),
+        |  CASE WHEN q <= c1f THEN 'head' WHEN q <= c2f THEN 'middle' ELSE 'tail' END AS bucket,
+        |  CASE WHEN q <= c1f THEN 0 WHEN q <= c2f THEN 1 ELSE 2 END AS stage
+        |  FROM spq, cf),
         |t AS (SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  (1103515245 * ((doc_id % 2147483648 + 2147483648) % 2147483648) + 12345) % 2147483648 AS pos
         |  FROM documents),
         |j AS (SELECT t.doc_id, t.n_tokens, b.bucket, CAST(b.stage AS BIGINT) AS stage,
@@ -2868,7 +2888,7 @@ object Queries {
         |  row_number() OVER (PARTITION BY shard ORDER BY stage, pos, doc_id) AS shard_seq,
         |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY stage, pos, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
-        |FROM j ORDER BY doc_id""".stripMargin,
+        |FROM j ORDER BY doc_id""").stripMargin,
     "p47_word_entropy" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
@@ -2998,8 +3018,18 @@ object Queries {
         |    SELECT e.vec_id, c.cluster, pow(list_distance(e.v, c.v), 2) AS d2,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY pow(list_distance(e.v, c.v), 2), c.cluster) AS rn
         |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
-        |cuts AS (SELECT cluster, round((quantile_cont(dist, 0.25)) * 1e4) / 1e4 AS cut FROM asg GROUP BY cluster)
-        |SELECT vec_id, cluster, dist, cut, CAST(dist >= cut AS BIGINT) AS keep
+        |h AS (SELECT cluster, CAST(round(dist * 1e4) AS BIGINT) AS dq, count(*) AS c FROM asg GROUP BY 1, 2),
+        |hh AS (SELECT cluster, dq,
+        |         sum(c) OVER (PARTITION BY cluster ORDER BY dq) AS cum,
+        |         sum(c) OVER (PARTITION BY cluster) AS n FROM h),
+        |sel AS (SELECT cluster,
+        |    min(CASE WHEN cum >= ((n-1)*2500)//10000 + 1 THEN dq END) AS a,
+        |    min(CASE WHEN cum >= least(((n-1)*2500)//10000 + 1, n-1) + 1 THEN dq END) AS b,
+        |    max(((n-1)*2500)%10000) AS rem
+        |  FROM hh GROUP BY cluster),
+        |cuts AS (SELECT cluster, a + ((b-a)*rem + 9999)//10000 AS cutq FROM sel)
+        |SELECT vec_id, cluster, dist, cutq * 1.0 / 1e4 AS cut,
+        |  CAST(CAST(round(dist * 1e4) AS BIGINT) >= cutq AS BIGINT) AS keep
         |FROM asg JOIN cuts USING (cluster) ORDER BY vec_id""".stripMargin,
     "p59_source_cap" ->
       (s"""WITH q AS (SELECT doc_id, source, $qScoreSql AS qscore FROM documents)

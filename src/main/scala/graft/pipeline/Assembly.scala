@@ -276,20 +276,68 @@ object Assembly {
    * bucket label is a map-side comparison. Nothing shuffles beyond
    * unigramLmScore's own vocab join.
    */
+  /**
+   * Exact interpolated-tercile cuts over a 1e4-scaled LONG column,
+   * floored to the integer grid: returns (floor(q⅓·1e4), floor(q⅔·1e4))
+   * as PURE INTEGER math — rank r = (n−1)·p splits into (n−1)·num/3 +
+   * rem/3, so the interpolated cut a + (b−a)·rem/3 floors to
+   * a + (b−a)·rem div 3 with a, b the two order statistics around r.
+   * A 4dp-grid value v then satisfies v ≤ cut ⟺ v·1e4 ≤ floor(cut·1e4),
+   * so bucket membership is a pure function of integers — no engine's
+   * float interpolation order can flip a boundary doc (the r11 sf0.001
+   * sweep caught Spark and DuckDB disagreeing in the last ulp of the
+   * double cut, moving one doc across the head/middle line).
+   *
+   * Selection runs on a distributed (value, count) histogram with
+   * per-partition offsets (the tukey r10 machinery): value-cardinality-
+   * sized and range-sorted — never the corpus through one partition,
+   * never a value-sized driver collect (the #partitions offset array and
+   * ≤4 matched rows are all that reach the driver). Spark's builtin
+   * `percentile` agg would pool every value into executor memory.
+   */
+  private[pipeline] def tercileCutsX1e4(vals: DataFrame, qCol: String): (Long, Long) = {
+    val hist = vals.groupBy(col(qCol)).agg(count(lit(1)).as("_c")).sort(qCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partSums = hist.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.map(_.getLong(1)).sum)))
+        .collect().sortBy(_._1).map(_._2)
+      val n = partSums.sum
+      require(n > 0, "tercileCutsX1e4: empty input")
+      def at(num: Long): (Long, Long) = (((n - 1) * num) / 3, ((n - 1) * num) % 3)
+      val (i1, r1) = at(1); val (i2, r2) = at(2)
+      // 1-indexed ranks of the order statistics the two cuts interpolate
+      val wanted = Seq(i1, math.min(i1 + 1, n - 1), i2, math.min(i2 + 1, n - 1))
+        .map(_ + 1).distinct
+      val offsets = partSums.scanLeft(0L)(_ + _)
+      val found = hist.rdd.mapPartitionsWithIndex { (i, it) =>
+        var cum = offsets(i)
+        it.flatMap { r =>
+          val lo = cum
+          cum += r.getLong(1)
+          wanted.filter(t => t > lo && t <= cum).map(t => (t, r.getLong(0)))
+        }
+      }.collect().toMap
+      val (a1, b1) = (found(i1 + 1), found(math.min(i1 + 1, n - 1) + 1))
+      val (a2, b2) = (found(i2 + 1), found(math.min(i2 + 1, n - 1) + 1))
+      (a1 + (b1 - a1) * r1 / 3, a2 + (b2 - a2) * r2 / 3)
+    } finally hist.unpersist(false)
+  }
+
   def perplexityBuckets(docs: DataFrame): DataFrame = {
     // doc-count-sized shared intermediate: the tercile-cut action and the
     // bucket projection would otherwise each re-run the LM score chain
     val scored = unigramLmScore(docs)
       .withColumn("avg_logp", round(col("avg_logp") * 1e4) / 1e4)
       .withColumn("ppl", round(exp(-col("avg_logp")) * 1e4) / 1e4)
+      .withColumn("_q", round(col("ppl") * 1e4).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cuts = scored.agg(
-      expr("percentile(ppl, 1.0/3)").as("c1"),
-      expr("percentile(ppl, 2.0/3)").as("c2")).head()
-    val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
+    // exact integer cuts (see tercileCutsX1e4) — the double-interpolated
+    // percentile classified boundary docs differently per engine
+    val (c1f, c2f) = tercileCutsX1e4(scored.select(col("_q")), "_q")
     scored.withColumn("bucket",
-      when(col("ppl") <= c1, "head")
-        .when(col("ppl") <= c2, "middle")
+      when(col("_q") <= c1f, "head")
+        .when(col("_q") <= c2f, "middle")
         .otherwise("tail"))
       .select(col("doc_id"), col("n_words"), col("ppl"), col("bucket"))
   }
@@ -769,8 +817,12 @@ object Assembly {
       .select(col("doc_id"),
         (round(col("quality_score") * 1e4) / 1e4).as("score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // cuts round to 4dp (like the p57 prune cut) so the tercile boundary
-    // decision replays exactly in any engine
+    // cuts round to 4dp; UNLIKE the p41/p57 cuts this rounded form is
+    // boundary-safe by construction: a tercile's interpolation fraction
+    // is 0, 1/3 or 2/3, so cut·1e4's fractional part is never .5 and a
+    // last-ulp engine difference cannot flip the round (the p41 failure
+    // needed the UNROUNDED cut; a quartile's .5 fraction needed p57's
+    // integer rewrite)
     val cuts = scored.agg(
       (round(expr("percentile(score, 1.0/3)") * 1e4) / 1e4).as("c1"),
       (round(expr("percentile(score, 2.0/3)") * 1e4) / 1e4).as("c2")).head()

@@ -423,25 +423,51 @@ object Curation {
    * The per-cell cut keeps pruning balanced across clusters instead of
    * emptying the tightest one.
    *
-   * Distances and cuts round to 4 decimals BEFORE the keep comparison
-   * (like the p41 tercile cut) so the boundary decision replays exactly
-   * in any engine. Scale shape: the k-means chain of [[kmeansAssign]]
-   * (map-side assign, k×dim partial-sum updates) + one k-row cut
-   * aggregate broadcast back onto the assignment — no new shuffle beyond
-   * the chain's own.
+   * Distances round to 4 decimals and the per-cluster cut is EXACT
+   * INTEGER quantile math over the 1e4-scaled longs (r11 — the p41
+   * sf0.001 sweep proved the two engines' float quantile interpolation
+   * can differ in the last ulp, which a rounded cut then amplifies
+   * across a boundary): rank r = (n−1)·pq/10⁴ splits into integer + rem,
+   * the two order statistics come off a cluster-keyed cumulative
+   * histogram, and the published cut is the smallest 4dp grid value ≥
+   * the exact quantile (cutq = a + ceil((b−a)·rem/10⁴)), so
+   * `keep = dist ≥ cut` is a pure function of integers and
+   * self-consistent with the emitted cut column on any engine.
+   *
+   * Scale shape: the k-means chain of [[kmeansAssign]] (map-side assign,
+   * k×dim partial-sum updates) + a (cluster, 4dp-dist) histogram whose
+   * windows are value-cardinality-bounded (the p70 argument — the
+   * corpus never windows row-wise), and a k-row cut broadcast back onto
+   * the assignment — no new shuffle beyond the chain's own.
    */
   def prototypePrune(emb: DataFrame, k: Int = 8, iters: Int = 2,
                      pruneFrac: Double = 0.25): DataFrame = {
+    val pq = math.round(pruneFrac * 10000).toInt
+    require(pq >= 0 && pq <= 10000 && math.abs(pruneFrac * 10000 - pq) < 1e-9,
+      s"prototypePrune: pruneFrac must be a 4-decimal fraction in [0,1], got $pruneFrac")
     // vec-count-sized shared intermediate: the per-cluster cut aggregate
     // and the keep join would otherwise each re-run the assignment scan
     val a = kmeansAssign(emb, k, iters)
       .withColumn("dist", round(sqrt(col("dist2")) * 1e4) / 1e4)
+      .withColumn("_dq", round(col("dist") * 1e4).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cuts = a.groupBy("cluster")
-      .agg((round(expr(s"percentile(dist, $pruneFrac)") * 1e4) / 1e4).as("cut"))
+    val h = a.groupBy(col("cluster"), col("_dq")).agg(count(lit(1)).as("_c"))
+    val hh = h
+      .withColumn("_cum", sum(col("_c")).over(
+        Window.partitionBy("cluster").orderBy("_dq")))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy("cluster")))
+    val rank = expr(s"((_n - 1) * $pq) div 10000")
+    val rem = expr(s"((_n - 1) * $pq) % 10000")
+    val cuts = hh.groupBy("cluster").agg(
+        min(when(col("_cum") >= rank + 1, col("_dq"))).as("_a"),
+        min(when(col("_cum") >= least(rank + 1, col("_n") - 1) + 1, col("_dq"))).as("_b"),
+        first(rem).as("_rem"))
+      .select(col("cluster"),
+        expr("_a + ((_b - _a) * _rem + 9999) div 10000").as("_cutq"))
     a.join(broadcast(cuts), "cluster")
-      .select(col("vec_id"), col("cluster"), col("dist"), col("cut"),
-        (col("dist") >= col("cut")).as("keep"))
+      .select(col("vec_id"), col("cluster"), col("dist"),
+        (col("_cutq").cast("double") / 1e4).as("cut"),
+        (col("_dq") >= col("_cutq")).as("keep"))
   }
 
   /**
