@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Differential fuzzer for the boundary-sensitive catalog rows.
+
+Generates seeded random document corpora (perturbed resamples of
+/root/testdata/sf0.001 — doc counts, text lengths and score spreads all
+vary, so quantile cuts, bin edges and keep thresholds land on fresh
+boundaries every seed), runs `graft.Verify` on each with a
+boundary-sensitive query subset, and gates against DuckDB exactly like
+the driver. The p41/p54 interpolated-tercile flip (r11) was exactly the
+class this catches: green at the fixed SFs, red on the one corpus that
+put a doc on the cut.
+
+Usage: python3 tools/fuzz_gate.py [nSeeds] [querySubset]
+Defaults: 5 seeds; the cut/bin/threshold rows.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+
+BASE = "/root/testdata/sf0.001"
+SENSITIVE = ("p41,p54,p57,p58,p59,p60,p67,p68,p70,p73,p77,p78,p79,"
+             "p33,p43,p66")
+
+
+def gen_corpus(seed: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    # deterministic perturbation: resample with a seed-keyed LCG filter
+    # (varies n), duplicate a seed-dependent slice (plants dup/tie mass),
+    # and append a few synthetic extreme docs (empty-ish, one-word, long)
+    con.execute(f"""
+      COPY (
+        WITH base AS (SELECT * FROM '{BASE}/documents.parquet'
+                      WHERE (doc_id * 2654435761 + {seed}) % 1000000007 % 10
+                            < 6 + {seed} % 4),
+        dup AS (SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+                FROM base WHERE doc_id % (7 + {seed} % 5) = 0),
+        extra AS (
+          SELECT * FROM (VALUES
+            (200001, 'one', 'en', 'src1', 3),
+            (200002, repeat('tie tie tie ', 3 + {seed} % 3), 'en', 'src2', 36),
+            (200003, repeat('zz qq ww ee rr ', 40), 'en', 'src0', 600))
+            t(doc_id, text, lang, source, n_chars))
+        SELECT * FROM base UNION ALL SELECT * FROM dup
+        UNION ALL SELECT * FROM extra
+      ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)""")
+    # the sensitive subset also touches embeddings (p57) — resample those
+    con.execute(f"""
+      COPY (SELECT * FROM '{BASE}/embeddings.parquet'
+            WHERE (vec_id * 2654435761 + {seed}) % 1000000007 % 10
+                  < 6 + {seed} % 4)
+      TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)""")
+    # remaining tables: passthrough links so Verify's fixture reads resolve
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"):
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    con.close()
+
+
+def main() -> int:
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    subset = sys.argv[2] if len(sys.argv) > 2 else SENSITIVE
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    failures = 0
+    for seed in range(1, n_seeds + 1):
+        sf_dir = f"/tmp/graft_fuzz/corpus_{seed}"
+        out_dir = f"/tmp/graft_fuzz/out_{seed}"
+        gen_corpus(seed, sf_dir)
+        env = dict(os.environ, SPARK_GRAFT_ONLY=subset)
+        r = subprocess.run(
+            ["sbt", "-batch", f'set run/envVars := Map("SPARK_GRAFT_ONLY" -> "{subset}")',
+             f"runMain graft.Verify {sf_dir} {out_dir}"],
+            cwd=repo, env=env, capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"seed {seed}: Verify FAILED\n{r.stdout[-2000:]}")
+            failures += 1
+            continue
+        g = subprocess.run(
+            [sys.executable, f"{repo}/tools/gate.py", out_dir, sf_dir, subset],
+            capture_output=True, text=True)
+        line = (g.stdout.strip().splitlines() or ["<no output>"])[-1]
+        print(f"seed {seed}: {line}")
+        if g.returncode != 0 or " 0 failing" not in line:
+            print(g.stdout[-3000:])
+            failures += 1
+    print(f"fuzz: {n_seeds - failures}/{n_seeds} seeds clean")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
