@@ -22,7 +22,7 @@ import duckdb
 
 BASE = "/root/testdata/sf0.001"
 SENSITIVE = ("p41,p54,p57,p58,p59,p60,p67,p68,p70,p73,p77,p78,p79,"
-             "p33,p43,p66")
+             "p33,p43,p66,q07,q12,q13")
 
 
 def gen_corpus(seed: int, out_dir: str) -> None:
@@ -53,6 +53,31 @@ def gen_corpus(seed: int, out_dir: str) -> None:
             WHERE (vec_id * 2654435761 + {seed}) % 1000000007 % 10
                   < 6 + {seed} % 4)
       TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)""")
+    # events variant for the as-of / window / session rows: resample, then
+    # PLANT exact-timestamp collisions — a seed-dependent slice of views
+    # is snapped onto purchase timestamps of the same user, exercising
+    # q12's inclusive `asof <=` boundary and its per-(user, ts) feature
+    # dedup, and q13's exclusive right endpoint, on fresh rows every seed
+    con.execute(f"""
+      COPY (
+        WITH base AS (SELECT * FROM '{BASE}/events.parquet'
+                      WHERE (event_id * 2654435761 + {seed}) % 1000000007 % 10
+                            < 6 + {seed} % 4),
+        buy AS (SELECT user_id, ts,
+                       row_number() OVER (ORDER BY event_id) AS rn
+                FROM base WHERE event_type = 'purchase'),
+        snap AS (
+          SELECT b.event_id + 900000000 AS event_id, b.ts0 AS ts, b.user_id,
+                 b.event_type, b.value, b.props
+          FROM (SELECT e.*, e.ts AS _ets, bu.ts AS ts0,
+                       row_number() OVER (PARTITION BY e.event_id
+                                          ORDER BY bu.rn) AS pick
+                FROM base e JOIN buy bu USING (user_id)
+                WHERE e.event_type = 'view'
+                  AND (e.event_id + {seed}) % 11 = 0) b
+          WHERE b.pick = 1)
+        SELECT * FROM base UNION ALL SELECT * FROM snap
+      ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)""")
     # remaining tables: passthrough links so Verify's fixture reads resolve
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events"):
