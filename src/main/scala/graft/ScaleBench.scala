@@ -208,7 +208,8 @@ object ScaleBench {
     // r11: the 3-fact-join anchor (the heaviest driver-capture row, never
     // curved before — fact side grows, customer/nation dims fixed), plus
     // the lineage manifest family
-    "q02_revenue_by_nation", "p78_shard_manifest", "p79_manifest_diff")
+    "q02_revenue_by_nation", "p78_shard_manifest", "p79_manifest_diff",
+    "p77_quality_ensemble")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture
