@@ -1514,10 +1514,20 @@ object Queries {
         |               wp AS (PARTITION BY name ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |               wf AS (PARTITION BY name ORDER BY ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)))
         |WHERE filled IS NOT NULL ORDER BY name, ts""".stripMargin),
+    // buckets anchored so the LAST bucket ends at each series' stop
+    // (ref hitcount walks back from stop; newStart = stop − k·interval) —
+    // calendar floor(ts/86400) only agreed while the fixture started at
+    // midnight (the r11 fuzzer caught the divergence on a shifted corpus)
     "g30_hitcount_day" ->
-      (S + """SELECT 'hitcount(' || name || ',''1d'')' AS name,
-        |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts, round((sum(v * 3600)) * 1e4) / 1e4 AS value
-        |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
+      (S + """, r AS (SELECT name, ts, v,
+        |        min(ts) OVER (PARTITION BY name) AS t0,
+        |        max(ts) OVER (PARTITION BY name) + 3600 AS stp FROM s),
+        |r2 AS (SELECT name, ts, v,
+        |        stp - ((stp - t0 + 86399)//86400) * 86400 AS ns FROM r)
+        |SELECT 'hitcount(' || name || ',''1d'')' AS name,
+        |  CAST(ns + ((ts - ns)//86400) * 86400 AS BIGINT) AS ts,
+        |  round((sum(v * 3600)) * 1e4) / 1e4 AS value
+        |FROM r2 GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
 
     "g31_weightedavg" ->
       (S + """SELECT 'weightedAverage(events.*,events.*,1)' AS name, ts, round((sum(v*v) / sum(v)) * 1e4) / 1e4 AS value
@@ -1743,7 +1753,8 @@ object Queries {
         |  FROM src k, src, nn GROUP BY k.ts)
         |SELECT 'fft(events.click,abs)' AS name, ts, round((sqrt(re*re + im*im)) * 1e4) / 1e4 AS value FROM d
         |UNION ALL
-        |SELECT 'fft(events.click,phase)' AS name, ts, round((atan2(im, re)) * 1e4) / 1e4 AS value FROM d
+        |SELECT 'fft(events.click,phase)' AS name, ts,
+        |  round((atan2(im, re)) * 1e4) / 1e4 + 0.0 AS value FROM d
         |ORDER BY name, ts""".stripMargin),
     // degree-2 least squares in closed form: power sums S0..S4 / moment sums
     // T0..T2 per series, 3x3 normal equations solved by Cramer's rule —
@@ -1837,15 +1848,22 @@ object Queries {
         |  WHERE a.v IS NOT NULL AND b.v IS NOT NULL AND b.v != 0) ORDER BY name, ts""".stripMargin),
     // ewma closed form: e_k = 0.9^k * (v_1/0.9 + Σ_{j≥2} 0.1·v_j·0.9^{-j})
     // over the per-series non-null sequence (NaN holds state in the kernel)
+    // the recursion e' = a*x + (1-a)*e replayed EXACTLY like the kernel
+    // (the old closed form pow(0.9,-rn)*sm lost ~rn digits of precision
+    // and the r11 fuzzer caught it flipping a 4dp boundary; `(1.0-0.1)`
+    // not `0.9` — they are adjacent doubles and the kernel computes the
+    // subtraction)
     "g82_ewma" ->
-      (S + """, e1 AS (SELECT name, ts, v, row_number() OVER w AS rn, first_value(v) OVER w AS fv
-        |        FROM s WHERE v IS NOT NULL WINDOW w AS (PARTITION BY name ORDER BY ts)),
-        |e2 AS (SELECT name, ts, rn, fv,
-        |        sum(CASE WHEN rn = 1 THEN 0 ELSE 0.1 * v * pow(0.9, -rn) END)
-        |          OVER (PARTITION BY name ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sm
-        |      FROM e1)
-        |SELECT 'ewma(' || name || ',0.1)' AS name, ts, round((pow(0.9, rn) * (fv / 0.9 + sm)) * 1e4) / 1e4 AS value
-        |FROM e2 ORDER BY name, ts""".stripMargin),
+      (S.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, e1 AS (SELECT name, ts, v, row_number() OVER (PARTITION BY name ORDER BY ts) AS rn
+        |        FROM s WHERE v IS NOT NULL),
+        |rec AS (
+        |  SELECT name, rn, ts, v AS e FROM e1 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e1.name, e1.rn, e1.ts, 0.1 * e1.v + (1.0 - 0.1) * r.e
+        |  FROM rec r JOIN e1 ON e1.name = r.name AND e1.rn = r.rn + 1)
+        |SELECT 'ewma(' || name || ',0.1)' AS name, ts, round((e) * 1e4) / 1e4 AS value
+        |FROM rec ORDER BY name, ts""".stripMargin),
     "g83_movingmedian" ->
       (S + """SELECT 'movingMedian(' || name || ',6)' AS name, ts, round((wmed) * 1e4) / 1e4 AS value FROM (
         |  SELECT name, ts, quantile_cont(v, 0.5) OVER (PARTITION BY name ORDER BY ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS wmed FROM s)
@@ -1869,11 +1887,20 @@ object Queries {
         |        (SELECT count(*) FROM xa WHERE xa.v <= u.v) * 1.0 / (SELECT count(*) FROM xa)
         |      - (SELECT count(*) FROM ya WHERE ya.v <= u.v) * 1.0 / (SELECT count(*) FROM ya))) AS ks FROM u)
         |SELECT 'kolmogorovSmirnovTest2(events.click,events.view,60)' AS name, (SELECT t0 FROM b) AS ts, round((ks) * 1e4) / 1e4 AS value FROM d""".stripMargin),
+    // buckets anchored at each series' own START (ref GetBuckets), and the
+    // trailing PARTIAL bucket scales the budget by its actual span, not the
+    // full interval (ref slo walk; r11 fuzzer caught both on a corpus whose
+    // series neither started at midnight nor spanned whole days)
     "g87_sloerrorbudget" ->
-      (S + """SELECT 'sloErrorBudget(' || name || ', 1d, above, 100, 0.9)' AS name,
-        |  CAST(floor(ts/86400)*86400 AS BIGINT) AS ts,
-        |  round(((avg(CASE WHEN v > 100 THEN 1.0 WHEN v IS NULL THEN NULL ELSE 0.0 END) - 0.9) * 86400) * 1e4) / 1e4 AS value
-        |FROM s GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
+      (S + """, r AS (SELECT name, ts, v,
+        |        min(ts) OVER (PARTITION BY name) AS t0,
+        |        max(ts) OVER (PARTITION BY name) + 3600 AS stp FROM s),
+        |rb AS (SELECT name, v, stp,
+        |        CAST(t0 + ((ts - t0)//86400) * 86400 AS BIGINT) AS bs FROM r)
+        |SELECT 'sloErrorBudget(' || name || ', 1d, above, 100, 0.9)' AS name, bs AS ts,
+        |  round(((avg(CASE WHEN v > 100 THEN 1.0 WHEN v IS NULL THEN NULL ELSE 0.0 END) - 0.9)
+        |    * least(86400, max(stp) - bs)) * 1e4) / 1e4 AS value
+        |FROM rb GROUP BY name, bs HAVING count(v) > 0 ORDER BY name, bs""".stripMargin),
     "g88_alias" ->
       (S + "SELECT 'clicks' AS name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE name = 'events.click' AND v IS NOT NULL ORDER BY ts"),
     "g89_aliasbymetric" ->
