@@ -1913,7 +1913,7 @@ object Queries {
       (S + """, pr AS (SELECT a.ts, row_number() OVER (ORDER BY a.ts) AS rn,
         |         corr(a.v, y.v) OVER (ORDER BY a.ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS r
         |       FROM s a JOIN s y ON a.ts = y.ts AND a.name = 'events.click' AND y.name = 'events.view')
-        |SELECT 'pearson(events.click,events.view,24)' AS name, ts, round((r) * 1e4) / 1e4 AS value
+        |SELECT 'pearson(events.click,events.view,24)' AS name, ts, round((r) * 1e4) / 1e4 + 0.0 AS value
         |FROM pr WHERE rn >= 24 AND r IS NOT NULL ORDER BY ts""".stripMargin),
     // graphite non-interpolated percentile: sorted[ceil((n-1)*p/100)]
     "g93_removeabovepct" ->
@@ -2048,13 +2048,13 @@ object Queries {
       (S + "SELECT 'exp(scale(' || name || ',0.001))' AS name, ts, round((exp(v * 0.001)) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     // mirror Spark's log(base, x) = ln(x)/ln(base) association
     "g106_log" ->
-      (S + "SELECT 'logarithm(' || name || ')' AS name, ts, round((ln(v) / ln(10)) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
+      (S + "SELECT 'logarithm(' || name || ')' AS name, ts, round((ln(v) / ln(10)) * 1e4) / 1e4 + 0.0 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
     // domain guard 0 < x < 1: outside it the engine's logit is NaN (dropped
     // by convention — incl. the logit(1) r6d rule), while ANSI DuckDB would
     // RAISE on ln(<=0) instead of dropping (the r8 sf0.1 sweep hit this
     // once scaled values crossed 1)
     "g107_logit" ->
-      (S + "SELECT 'logit(scale(' || name || ',0.001))' AS name, ts, round((ln((v * 0.001) / (1 - v * 0.001))) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL AND v * 0.001 > 0 AND v * 0.001 < 1 ORDER BY name, ts"),
+      (S + "SELECT 'logit(scale(' || name || ',0.001))' AS name, ts, round((ln((v * 0.001) / (1 - v * 0.001))) * 1e4) / 1e4 + 0.0 AS value FROM s WHERE v IS NOT NULL AND v * 0.001 > 0 AND v * 0.001 < 1 ORDER BY name, ts"),
     // kernel SafeRound = round-half-to-even (math.rint)
     "g108_round" ->
       (S + "SELECT 'round(scale(' || name || ',0.333))' AS name, ts, round((round_even(v * 0.333, 0)) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
@@ -2925,7 +2925,7 @@ object Queries {
         |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_types,
         |       sum(CAST(round(c * ln(c) * 1e6) AS BIGINT)) AS clncq FROM vc GROUP BY doc_id)
         |SELECT doc_id, n_words, n_types,
-        |  round((ln(n_words) - (clncq * 1.0 / 1e6) / n_words) * 1e4) / 1e4 AS entropy,
+        |  round((ln(n_words) - (clncq * 1.0 / 1e6) / n_words) * 1e4) / 1e4 + 0.0 AS entropy,
         |  round((CAST(n_types AS DOUBLE) / n_words) * 1e4) / 1e4 AS ttr
         |FROM ag ORDER BY doc_id""".stripMargin,
     "p48_source_overlap" ->
