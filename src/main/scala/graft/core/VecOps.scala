@@ -351,40 +351,60 @@ object VecOps {
   /** Holt-Winters triple exponential smoothing forecast with Graphite's fixed
     * parameters alpha=0.1, beta=0.0035, gamma=0.1 and 1-day seasonality in
     * steps. Returns (forecast, deviation) arrays.
-    * (ref expr/holtwinters/hw.go:36-127) */
+    *
+    * NaN-gap semantics follow the reference exactly (ref
+    * expr/holtwinters/hw.go:80-90): a missing actual BREAKS the recurrence —
+    * the gap row records a NaN intercept, zero slope/seasonal/deviation
+    * slots, and carries the previous nextPred as its own prediction; the
+    * first dense row after a gap restarts the intercept from its own actual.
+    * seasonLength is floored at 2 (ref hw.go:48-50). Row 0 runs the full
+    * update formulas (not a shortcut), so slope(0)/seasonal(0) carry the
+    * reference's last-ulp residues. (ref expr/holtwinters/hw.go:36-127) */
   def holtWinters(v: Array[Double], step: Long, seasonality: Long = 86400L): (Array[Double], Array[Double]) = {
     val alpha = 0.1; val beta = 0.0035; val gamma = 0.1
-    val seasonLen = math.max((seasonality / step).toInt, 1)
+    val seasonLen = math.max((seasonality / step).toInt, 2)
     val n = v.length
-    val forecast = new Array[Double](n)
-    val deviation = new Array[Double](n)
-    var intercept = 0.0; var slope = 0.0
-    val seasonal = new Array[Double](n)
-    val dev = new Array[Double](n)
-    def seasonalIdx(i: Int): Double = { val j = i - seasonLen; if (j >= 0) seasonal(j) else 0.0 }
-    def devIdx(i: Int): Double = { val j = i - seasonLen; if (j >= 0) dev(j) else 0.0 }
+    val intercepts = new Array[Double](n)
+    val slopes = new Array[Double](n)
+    val seasonals = new Array[Double](n)
+    val predictions = new Array[Double](n)
+    val deviations = new Array[Double](n)
+    def seasonalIdx(i: Int): Double = { val j = i - seasonLen; if (j >= 0) seasonals(j) else 0.0 }
+    def devIdx(i: Int): Double = { val j = i - seasonLen; if (j >= 0) deviations(j) else 0.0 }
+    var nextPred = Double.NaN
     var i = 0
-    var lastSeen = 0.0
     while (i < n) {
-      val raw = v(i)
-      val x = if (isNaN(raw)) lastSeen else { lastSeen = raw; raw }
-      if (i == 0) {
-        intercept = x
-        forecast(i) = x
+      val actual = v(i)
+      if (isNaN(actual)) {
+        intercepts(i) = Double.NaN
+        slopes(i) = 0.0
+        seasonals(i) = 0.0
+        predictions(i) = nextPred
+        deviations(i) = 0.0
+        nextPred = Double.NaN
       } else {
-        val lastIntercept = intercept
-        val lastSlope = slope
-        val pred = lastIntercept + lastSlope + seasonalIdx(i)
-        forecast(i) = pred
-        intercept = alpha * (x - seasonalIdx(i)) + (1 - alpha) * (lastIntercept + lastSlope)
-        slope = beta * (intercept - lastIntercept) + (1 - beta) * lastSlope
-        seasonal(i) = gamma * (x - intercept) + (1 - gamma) * seasonalIdx(i)
-        dev(i) = gamma * math.abs(x - pred) + (1 - gamma) * devIdx(i)
+        var lastIntercept = actual; var lastSlope = 0.0; var prediction = actual
+        if (i > 0) {
+          lastIntercept = intercepts(i - 1)
+          lastSlope = slopes(i - 1)
+          if (isNaN(lastIntercept)) lastIntercept = actual
+          prediction = nextPred
+        }
+        val lastSeasonal = seasonalIdx(i)
+        val nextLastSeasonal = seasonalIdx(i + 1)
+        val lastSeasonalDev = devIdx(i)
+        val intercept = alpha * (actual - lastSeasonal) + (1 - alpha) * (lastIntercept + lastSlope)
+        val slope = beta * (intercept - lastIntercept) + (1 - beta) * lastSlope
+        val seasonal = gamma * (actual - intercept) + (1 - gamma) * lastSeasonal
+        nextPred = intercept + slope + nextLastSeasonal
+        val predZ = if (isNaN(prediction)) 0.0 else prediction
+        val deviation = gamma * math.abs(actual - predZ) + (1 - gamma) * lastSeasonalDev
+        intercepts(i) = intercept; slopes(i) = slope; seasonals(i) = seasonal
+        predictions(i) = prediction; deviations(i) = deviation
       }
-      deviation(i) = dev(i)
       i += 1
     }
-    (forecast, deviation)
+    (predictions, deviations)
   }
 
   /** Mask points whose predicate on value fails → NaN. */

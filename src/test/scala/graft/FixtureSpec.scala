@@ -816,6 +816,66 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.start == startTime && r.step == step))
   }
 
+  test("holtWinters NaN gaps break the recurrence like the reference (ref expr/holtwinters/hw.go:80-90)") {
+    // step == seasonality exercises the forced seasonLength minimum of 2
+    // (ref hw.go:48-50): seasonalIdx at i=2 must read seasonals(0), not
+    // seasonals(1).
+    val v = Array(1.0, NaN, 2.0, NaN, NaN, 3.0)
+    val (p, d) = graft.core.VecOps.holtWinters(v, step = 86400L, seasonality = 86400L)
+    // i=0 dense: prediction seeds as the first actual, deviation 0
+    assert(p(0) == 1.0 && d(0) == 0.0)
+    // i=1 gap: carries i=0's nextPred (finite), zero deviation slot
+    assert(!p(1).isNaN && d(1) == 0.0)
+    // i=2 dense-after-gap: nextPred was reset to NaN at the gap, so this
+    // row's prediction is NaN and its deviation treats the prediction as 0
+    assert(p(2).isNaN)
+    assert(math.abs(d(2) - 0.1 * 2.0) < 1e-15)
+    // i=3 gap after dense: carries i=2's nextPred (finite)
+    assert(!p(3).isNaN && d(3) == 0.0)
+    // i=4 second consecutive gap: nextPred is NaN now
+    assert(p(4).isNaN && d(4) == 0.0)
+    // i=5 dense after a 2-gap: prediction NaN, deviation from predZ=0 with
+    // lastSeasonalDev = deviations(3) = 0
+    assert(p(5).isNaN)
+    assert(math.abs(d(5) - 0.1 * 3.0) < 1e-15)
+    // exact replay of the restart at i=2: intercept restarts from its own
+    // actual (NaN lastIntercept -> actual), slope resumes from the gap
+    // row's zero slot, lastSeasonal = seasonals(0) (seasonLen forced to 2)
+    val ic0 = 0.1 * (1.0 - 0.0) + (1 - 0.1) * (1.0 + 0.0)
+    val se0 = 0.1 * (1.0 - ic0) + (1 - 0.1) * 0.0
+    val ic2 = 0.1 * (2.0 - se0) + (1 - 0.1) * (2.0 + 0.0)
+    val sl2 = 0.0035 * (ic2 - 2.0) + (1 - 0.0035) * 0.0
+    // nextPred(2) = ic2 + sl2 + seasonals(1), and the gap row zeroed
+    // seasonals(1); p(3) carries it verbatim
+    assert(p(3) == ic2 + sl2 + 0.0)
+    // i=1's carried prediction is i=0's nextPred = ic0 + sl0 + seasonals(-1)=0
+    val sl0 = 0.0035 * (ic0 - 1.0) + (1 - 0.0035) * 0.0
+    assert(p(1) == ic0 + sl0 + 0.0)
+  }
+
+  test("holtWinters gapped sawtooth: bands are NaN exactly where the prediction is (operator-level)") {
+    val startTime = 2678400L; val step = 600L; val points = 10L; val day = 86400L
+    // dense bootstrap, then a 2-point hole inside the requested window
+    val vals = hwRange(0, (7 * day / step + points) * step, step).toArray
+    val n = vals.length
+    vals(n - 7) = NaN; vals(n - 6) = NaN
+    val rows = run("holtWintersConfidenceBands(metric1)",
+      Seq(md("metric1", vals.toSeq, step, startTime - 7 * day)),
+      from = startTime, until = startTime + step * points)
+    assert(rows.size == 2)
+    // the break: first hole point carries the previous nextPred (finite
+    // band), the second is NaN, and the first dense point after the hole is
+    // NaN (prediction lost); the recurrence then resumes
+    rows.foreach { r =>
+      val w = r.values
+      assert(!w(2).isNaN, "dense point before the gap has a prediction")
+      assert(!w(3).isNaN, "first gap point carries the prior prediction")
+      assert(w(4).isNaN, "second consecutive gap point has no prediction")
+      assert(w(5).isNaN, "first dense point after the gap has no prediction")
+      assert(!w(6).isNaN && !w(9).isNaN, "recurrence resumes after the gap")
+    }
+  }
+
   test("timeSlice string time args: interval-as-absolute retrocompat and date forms (ref timeSlice/function_test.go)") {
     val in = Seq(md("metric1", Seq(NaN, 1, 2, 3, NaN, 5, 6, NaN, 7, 8, 9), step = 60))
     val want = Seq(md("timeSlice(metric1,180,480)",
