@@ -1430,7 +1430,7 @@ object Queries {
        |FROM (SELECT doc_id,
        |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
        |  (1103515245 * ((doc_id % 2147483648 + 2147483648) % 2147483648) + 12345) % 2147483648 % 8 AS shard,
-       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || text), 1, 15))::BIGINT % 1000000007 AS h
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || CASE WHEN text IS NULL THEN chr(2) ELSE chr(1) || text END), 1, 15))::BIGINT % 1000000007 AS h
        |  FROM $rel)
        |GROUP BY shard""".stripMargin
 
@@ -3278,7 +3278,7 @@ object Queries {
       """WITH t AS (SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  (1103515245 * ((doc_id % 2147483648 + 2147483648) % 2147483648) + 12345) % 2147483648 % 8 AS shard,
-        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || text), 1, 15))::BIGINT % 1000000007 AS h
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || CASE WHEN text IS NULL THEN chr(2) ELSE chr(1) || text END), 1, 15))::BIGINT % 1000000007 AS h
         |  FROM documents)
         |SELECT shard, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,

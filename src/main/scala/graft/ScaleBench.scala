@@ -154,16 +154,19 @@ object ScaleBench {
     val keep = spark.sparkContext.getPersistentRDDs.keySet
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     qs.map { name =>
-      val t = (1 to reps).map { _ =>
+      // failed reps excluded from best-of; all-fail → -1 sentinel (see
+      // runAll)
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
-        catch { case e: Throwable => System.err.println(s"[scale] $name failed: $e"); -1L }
+        val ok =
+          try { SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable => System.err.println(s"[scale] $name failed: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
-        dt
-      }.min
-      name -> t
+        if (ok) Some(dt) else None
+      }
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
   }
 
@@ -242,21 +245,27 @@ object ScaleBench {
       // the next timed query pays the rebuild — the documented g18 7.57 s
       // in-suite vs 0.60 s isolated reading)
       fixture.count()
-      val t = (1 to reps).map { _ =>
+      // a failed rep contributes NO timing — recording elapsed-to-exception
+      // would let a fast failure publish itself as the best-of number; if
+      // every rep fails, the -1 sentinel rides into the emitted JSON where
+      // a ratio consumer can't miss it (stderr alone is droppable)
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try {
-          val df = SparkEntry.queries(name)(spark, dir)
-          if (forceFullEval(name)) df.queryExecution.toRdd.count() else df.count()
-        }
-        catch { case e: Throwable => System.err.println(s"[scale] $name failed: $e"); -1L }
+        val ok =
+          try {
+            val df = SparkEntry.queries(name)(spark, dir)
+            if (forceFullEval(name)) df.queryExecution.toRdd.count() else df.count()
+            true
+          }
+          catch { case e: Throwable => System.err.println(s"[scale] $name failed: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         // per-query persists otherwise accumulate and evict each other,
         // making in-suite numbers order-dependent (see Bench)
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
-        dt
-      }.min
-      name -> t
+        if (ok) Some(dt) else None
+      }
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
   }
 

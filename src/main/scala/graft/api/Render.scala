@@ -34,7 +34,7 @@ object Render {
     val asts = targets.map(t =>
       graft.parser.Defines.expand(graft.parser.Parser.parse(t)))
     val ctx = Eval.Ctx(spark, store, from, until)
-    try {
+    try ctx.tracked {
       ctx.prefetch(asts.flatMap(Eval.fetchLeaves))
       asts.flatMap(a => collect(Eval.eval(a, ctx)))
     } finally ctx.release()
@@ -61,7 +61,7 @@ object Render {
     // A target that fails to PARSE contributes no leaves here — the parse
     // error surfaces on its own target below, exactly as before.
     val base = Eval.Ctx(spark, store, from, until)
-    try {
+    try base.tracked {
       base.prefetch(targets.flatMap(t =>
         try Eval.fetchLeaves(graft.parser.Defines.expand(graft.parser.Parser.parse(t)))
         catch { case scala.util.control.NonFatal(_) => Nil }))

@@ -33,8 +33,19 @@ object Eval {
                  pinned: scala.collection.mutable.ArrayBuffer[DataFrame] =
                    scala.collection.mutable.ArrayBuffer.empty,
                  prefetched: scala.collection.mutable.ArrayBuffer[(String, Long, Long)] =
+                   scala.collection.mutable.ArrayBuffer.empty,
+                 rddPins: scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]] =
                    scala.collection.mutable.ArrayBuffer.empty) {
     def widen(by: Long): Ctx = copy(from = from - by)
+
+    /** Run `body` with this context's [[rddPins]] installed as the
+      * thread's RDD-pin sink: operator-internal RDD persists created
+      * inside (PairOps.indexByName's sorted cache) register here and
+      * [[release]] drops them at request end, instead of lingering until
+      * an arbitrary ContextCleaner GC and pressuring the block store
+      * invisibly to the request-scoped pin accounting. Saves/restores any
+      * enclosing sink, so nested evals stay correct. */
+    def tracked[T](body: => T): T = Eval.withRddPins(rddPins)(body)
 
     /** Store fetch with the render tier's error masking: when an error sink
       * is installed, a failed fetch records its error and contributes an
@@ -74,6 +85,8 @@ object Eval {
     def release(): Unit = {
       pinned.foreach(df => try df.unpersist(false) catch { case _: Exception => () })
       pinned.clear()
+      rddPins.foreach(r => try r.unpersist(false) catch { case _: Exception => () })
+      rddPins.clear()
     }
 
     /**
@@ -140,12 +153,36 @@ object Eval {
     }
   }
 
+  /** Thread-local sink for operator-internal RDD persists (see
+    * [[Ctx.tracked]]). Null when no request context is installed — then
+    * [[trackRdd]] is a no-op and the persist falls back to
+    * ContextCleaner GC reclamation (direct engine/test use). */
+  private val currentRddPins =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]]
+
+  /** Register an operator-internal RDD persist with the active request's
+    * pin buffer, if one is installed on this thread. */
+  private[graft] def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    val b = currentRddPins.get()
+    if (b != null) b += rdd
+  }
+
+  private[engine] def withRddPins[T](
+      buf: scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]])(body: => T): T = {
+    val prev = currentRddPins.get()
+    currentRddPins.set(buf)
+    try body
+    finally { if (prev == null) currentRddPins.remove() else currentRddPins.set(prev) }
+  }
+
   def evalTarget(spark: SparkSession, store: SeriesStore, target: String,
                  from: Long = Long.MinValue / 4, until: Long = Long.MaxValue / 4): DataFrame = {
     val ast = graft.parser.Defines.expand(Parser.parse(target))
     val ctx = Ctx(spark, store, from, until)
-    ctx.prefetch(fetchLeaves(ast))
-    eval(ast, ctx)
+    ctx.tracked {
+      ctx.prefetch(fetchLeaves(ast))
+      eval(ast, ctx)
+    }
   }
 
   /** Plain fetch leaves of an AST — the patterns a request pulls at the

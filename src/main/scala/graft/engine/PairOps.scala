@@ -27,13 +27,15 @@ object PairOps {
     * The sorted RDD is cached: zipWithIndex's eager offset-count job
     * populates the cache, so the upstream plan (possibly an expensive
     * store-read chain) executes ONCE per call instead of once for the
-    * count and again per downstream action. RDD-level persists are
-    * reference-tracked by the ContextCleaner, so the cache frees itself
-    * when the derived frame is garbage collected — no explicit unpersist
-    * hook needed from lazy callers. */
+    * count and again per downstream action. The persist registers with
+    * the active request's RDD-pin buffer (Eval.trackRdd), so a render
+    * releases it at request end; without an installed request context
+    * (direct engine/test use) it falls back to ContextCleaner GC
+    * reclamation when the derived frame is garbage collected. */
   private[engine] def indexByName(df: DataFrame, orderCol: String = "name"): DataFrame = {
     val sorted = df.sort(orderCol)
     val cached = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Eval.trackRdd(cached)
     val indexed = cached.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
     sorted.sparkSession.createDataFrame(indexed,

@@ -632,11 +632,27 @@ object Assembly {
 
   /** Per-doc manifest checksum term: a 60-bit md5 prefix of
     * doc_id \u0001 text folded mod [[ManifestMod]] (the separator keeps
-    * (1, "2x") and (12, "x") distinct). Shared by the batch manifest and
-    * the streaming twin so a streamed corpus folds to the same sums. */
+    * (1, "2x") and (12, "x") distinct). A NULL text participates with the
+    * distinct marker \u0002 instead of being silently skipped (concat_ws
+    * would drop the column while SQL `||` would NULL the whole term —
+    * either way a null-text doc vanishes from the checksum on one engine
+    * only); \u0002-for-null keeps it distinct from empty text and folds
+    * identically on both engines. Shared by the batch manifest and the
+    * streaming twin so a streamed corpus folds to the same sums.
+    *
+    * Collision contract: the checksum is DRIFT-evidence, not
+    * tamper-evidence. An edited doc's new term equals its old term with
+    * probability ~1/mod = 1e-9 (the edit then goes unseen), and distinct
+    * docs birthday-collide on terms at ~n^2/(2*mod) — ~1e-3 odds of SOME
+    * same-term pair at ~45k docs/shard — which is harmless for the sum
+    * (terms add, they don't key anything) but means the fold must not be
+    * repurposed as a per-doc identity. A tamper-evident record would need
+    * a second independent fold or the full 128-bit digest. */
   def manifestTerm(docId: Column, text: Column): Column =
     pmod(conv(substring(
-      md5(concat_ws("\u0001", docId, text)), 1, 15), 16, 10).cast("long"),
+      md5(concat(docId.cast("string"),
+        when(text.isNull, lit("\u0002"))
+          .otherwise(concat(lit("\u0001"), text)))), 1, 15), 16, 10).cast("long"),
       lit(ManifestMod))
 
   /** md5-prefix fingerprint of the canonical config string. */

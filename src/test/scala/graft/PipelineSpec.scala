@@ -1255,6 +1255,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("p78: null-text docs participate in the checksum, distinct from empty text (manifestTerm null marker)") {
+    val sp = spark
+    import sp.implicits._
+    val base = (1 to 20).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Assembly.shardManifest(df, 4, "v1")
+        .orderBy("shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toList
+    val m1 = manifest(base)
+    // null the text of one doc: its shard's checksum must CHANGE (the doc
+    // still contributes a term), its doc count must not
+    val nulled = base.withColumn("text",
+      when(col("doc_id") === 7L, lit(null: String)).otherwise(col("text")))
+    val m2 = manifest(nulled)
+    assert(m1.map(_._2) == m2.map(_._2), "nulling text keeps every doc counted")
+    assert(m1.zip(m2).count { case (a, b) => a._3 != b._3 } == 1,
+      "a null-text doc must still move exactly its shard's checksum")
+    // null text and empty text are distinct corpus states
+    val emptied = base.withColumn("text",
+      when(col("doc_id") === 7L, lit("")).otherwise(col("text")))
+    val m3 = manifest(emptied)
+    assert(m2 != m3, "null text must not collide with empty text")
+    // the term itself is non-null for null text
+    val term = base.where(col("doc_id") === 1L)
+      .select(graft.pipeline.Assembly.manifestTerm(col("doc_id"), lit(null: String)))
+      .collect()(0)
+    assert(!term.isNullAt(0), "manifestTerm(nullText) must produce a term")
+  }
+
   test("p79: manifest diff reports new/gone/changed/unchanged shard statuses with volume deltas") {
     val sp = spark
     import sp.implicits._

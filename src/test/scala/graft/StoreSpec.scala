@@ -642,4 +642,16 @@ class StoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"request pins must all release: $leaked")
   }
+
+  test("positional ops release their internal RDD cache at request end (indexByName pin accounting)") {
+    // PairOps.indexByName persists the sorted RDD; inside a render that
+    // persist must register with the request's rddPins and release with
+    // the request, not linger until a ContextCleaner GC (ADVICE r11).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = graft.api.Render.eval(spark, flat,
+      Seq("divideSeriesLists(events.*, events.*)"), 0L, 10800L)
+    assert(rows.nonEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"indexByName caches must release with the request: $leaked")
+  }
 }

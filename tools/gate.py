@@ -69,6 +69,10 @@ def main():
         if r != "ok": print(f"{name}: {r}")
     n_ok = sum(1 for r in results.values() if r == "ok")
     print(f"== {n_ok}/{len(results)} ok, {fails} failing ==")
+    if not results:
+        # a filter that matches nothing must not read as a pass
+        print(f"== NO QUERIES MATCHED filter {only} ==")
+        sys.exit(2)
     sys.exit(1 if fails else 0)
 
 if __name__ == "__main__":
