@@ -1155,6 +1155,21 @@ object Queries {
       Assembly.manifestDiff(d, newSnap, nShards = 8, configTag = "v1")
         .orderBy("shard")
     }),
+    // backfill/repair planner (the p79 consumer): minimal per-shard repair
+    // between two snapshots — retire the shards the refresh dropped
+    // (shards 0-1 here), rebuild the drifted ones (2-3 get text edits),
+    // skip the untouched rest; rebuild cost = new-side volumes, priority =
+    // write-cost rank among rebuilds
+    "p80_backfill_plan" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val shard = pmod(Assembly.shardPos(col("doc_id")), lit(8L))
+      val newSnap = d.where(shard >= 2)
+        .withColumn("text",
+          when(shard.isin(2L, 3L) && col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      Assembly.backfillPlan(d, newSnap, nShards = 8, configTag = "v1")
+        .orderBy("shard")
+    }),
     // dedup-aware sampling weights: each near-dup cluster's members share
     // unit mass (weight = 1/|cluster|) instead of being dropped
     "p62_dedup_weights" -> ((s, dir) => {
@@ -3271,6 +3286,37 @@ object Queries {
         |  coalesce(nm.n_docs, 0) - coalesce(om.n_docs, 0) AS doc_delta,
         |  coalesce(nm.n_tokens, 0) - coalesce(om.n_tokens, 0) AS token_delta
         |FROM om FULL OUTER JOIN nm ON om.shard = nm.shard ORDER BY shard""").stripMargin,
+    // the p78 manifest shape on both snapshots (retire = shard only in old,
+    // none = checksums equal, else rebuild), rebuild cost = new-side
+    // volumes, priority = row_number among rebuilds by cost desc
+    "p80_backfill_plan" ->
+      (s"""WITH nd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN sh IN (2,3) AND doc_id % 3 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM (SELECT doc_id, text,
+        |        (1103515245 * ((doc_id % 2147483648 + 2147483648) % 2147483648) + 12345) % 2147483648 % 8 AS sh
+        |        FROM documents)
+        |  WHERE sh >= 2),
+        |om AS (${manifestSql("documents")}),
+        |nm AS (${manifestSql("nd")}),
+        |j AS (
+        |  SELECT coalesce(om.shard, nm.shard) AS shard,
+        |    CASE WHEN nm.checksum IS NULL THEN 'retire'
+        |         WHEN om.checksum IS NOT NULL AND om.checksum = nm.checksum THEN 'none'
+        |         ELSE 'rebuild' END AS action,
+        |    coalesce(nm.n_docs, 0) AS nd_docs, coalesce(nm.n_tokens, 0) AS nd_tokens
+        |  FROM om FULL OUTER JOIN nm ON om.shard = nm.shard),
+        |p AS (
+        |  SELECT shard, action,
+        |    CASE WHEN action = 'rebuild' THEN nd_docs ELSE 0 END AS rebuild_docs,
+        |    CASE WHEN action = 'rebuild' THEN nd_tokens ELSE 0 END AS rebuild_tokens
+        |  FROM j)
+        |SELECT shard, action, rebuild_docs, rebuild_tokens,
+        |  CASE WHEN action = 'rebuild' THEN row_number() OVER (
+        |    PARTITION BY action
+        |    ORDER BY rebuild_tokens DESC, rebuild_docs DESC, shard)
+        |  ELSE 0 END AS priority
+        |FROM p ORDER BY shard""").stripMargin,
     // p46's LCG shard + a 60-bit md5-prefix doc hash folded mod 1e9+7 and
     // summed per shard (order-independent integer math on both engines);
     // the config fingerprint is the md5 of the same canonical string

@@ -211,7 +211,7 @@ object ScaleBench {
     // r11: the 3-fact-join anchor (the heaviest driver-capture row, never
     // curved before — fact side grows, customer/nation dims fixed), plus
     // the lineage manifest family
-    "q02_revenue_by_nation", "p78_shard_manifest", "p79_manifest_diff",
+    "q02_revenue_by_nation", "p78_shard_manifest", "p79_manifest_diff", "p80_backfill_plan",
     "p77_quality_ensemble")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
@@ -237,7 +237,7 @@ object ScaleBench {
     // window and bucketed-join feature columns vanish the same way) are
     // timed with toRdd.count() — the full physical plan, all columns.
     // Everything else keeps count() for cross-round comparability.
-    val forceFullEval = Set("p78_shard_manifest", "p79_manifest_diff",
+    val forceFullEval = Set("p78_shard_manifest", "p79_manifest_diff", "p80_backfill_plan",
       "q12_pit_features", "q13_window_features")
     selected.map { name =>
       // untimed fixture re-warm between queries (same eviction artifact as

@@ -707,6 +707,53 @@ object Assembly {
   }
 
   /**
+   * Backfill/repair planner — the [[manifestDiff]] consumer: given two
+   * corpus builds under the same config, the MINIMAL per-shard repair
+   * plan a publisher executes. A shard whose checksum moved (or that is
+   * new) is `rebuild` with its cost = the NEW build's volumes (a shard
+   * republishes whole — the manifest proves drift, not which doc moved);
+   * a shard present only in the old build is `retire` (delete, zero write
+   * cost); an unchanged shard is `none`. `priority` ranks the rebuilds
+   * 1..k by descending write cost (tokens, then docs, then shard for
+   * determinism) — the order a budget-bounded repair job should take
+   * them — and is 0 for non-rebuilds.
+   *
+   * Scale shape: two [[shardManifest]] builds (each ONE corpus scan
+   * folded map-side to nShards rows), an nShards-row full-outer join,
+   * and one rank window over those nShards rows (constant-key partition
+   * is bounded by shard cardinality BY CONTRACT — the same bounded-frame
+   * idiom as the score histograms). The plan never exceeds shard
+   * cardinality however big either corpus grows.
+   */
+  def backfillPlan(oldDocs: DataFrame, newDocs: DataFrame,
+                   nShards: Int, configTag: String): DataFrame = {
+    val om = shardManifest(oldDocs, nShards, configTag)
+      .select(col("shard"), col("checksum").as("_oc"))
+    val nm = shardManifest(newDocs, nShards, configTag)
+      .select(col("shard"), col("n_docs").as("_nd"),
+        col("n_tokens").as("_nt"), col("checksum").as("_nc"))
+    val planned = om.join(nm, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("_nc").isNull, "retire")
+          .when(col("_oc").isNotNull && col("_oc") === col("_nc"), "none")
+          .otherwise("rebuild").as("action"),
+        col("_nd"), col("_nt"))
+      .select(col("shard"), col("action"),
+        when(col("action") === "rebuild", coalesce(col("_nd"), lit(0L)))
+          .otherwise(lit(0L)).as("rebuild_docs"),
+        when(col("action") === "rebuild", coalesce(col("_nt"), lit(0L)))
+          .otherwise(lit(0L)).as("rebuild_tokens"))
+    // rank within the rebuild partition so priorities stay contiguous
+    // 1..k whatever the other actions' volumes are; the action key keeps
+    // the window partition-bounded (≤ nShards rows per action)
+    val w = Window.partitionBy("action")
+      .orderBy(desc("rebuild_tokens"), desc("rebuild_docs"), col("shard"))
+    planned
+      .withColumn("priority",
+        when(col("action") === "rebuild", row_number().over(w)).otherwise(lit(0)))
+  }
+
+  /**
    * Curriculum-ordered shard plan: the [[shardPlan]] assignment with each
    * shard's write order STAGED easy→hard — CCNet head documents first,
    * then middle, then tail (curriculum learning over data quality,

@@ -1305,6 +1305,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       out(1L)._2 == 0L && out(2L)._2 == 0L, s"doc deltas: $out")
   }
 
+  test("p80: backfill plan retires gone shards, rebuilds drifted/new ones with cost-ranked priorities, skips the rest") {
+    val sp = spark
+    import sp.implicits._
+    // same LCG-mod-4 trick as the p79 spec: shard = (doc_id + 1) % 4
+    def shardOf(id: Long) = (id + 1) % 4
+    val byShard = (1L to 60L).groupBy(shardOf)
+    // shard 0 exists only in old (retire), shard 1 unchanged (none),
+    // shard 2 edited (rebuild), shard 3 only in new (rebuild)
+    val olds = (byShard(0L) ++ byShard(1L) ++ byShard(2L)).map(i => (i, s"text $i"))
+    val news = (byShard(1L).map(i => (i, s"text $i")) ++
+      byShard(2L).map(i => (i, if (i == byShard(2L).head) s"edited longer $i" else s"text $i")) ++
+      byShard(3L).map(i => (i, s"text $i")))
+    val out = graft.pipeline.Assembly.backfillPlan(
+        olds.toSeq.toDF("doc_id", "text"), news.toSeq.toDF("doc_id", "text"), 4, "v1")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    assert(out.view.mapValues(_._1).toMap ==
+      Map(0L -> "retire", 1L -> "none", 2L -> "rebuild", 3L -> "rebuild"), out.toString)
+    // non-rebuild actions carry zero cost and priority 0
+    assert(out(0L) == ("retire", 0L, 0L, 0) && out(1L) == ("none", 0L, 0L, 0), out.toString)
+    // rebuild cost = NEW-side volumes (the shard republishes whole)
+    assert(out(2L)._2 == byShard(2L).size.toLong && out(3L)._2 == byShard(3L).size.toLong)
+    assert(out(2L)._3 > 0L && out(3L)._3 > 0L)
+    // priorities are contiguous 1..k among rebuilds, ordered by token cost
+    // desc (shard 2 has one 3-word doc over shard 3's all-2-word docs and
+    // both have 15 docs, so shard 2 outranks 3)
+    assert(Set(out(2L)._4, out(3L)._4) == Set(1, 2), out.toString)
+    assert(out(2L)._3 > out(3L)._3 && out(2L)._4 == 1, out.toString)
+    // empty diff → all none, nothing to do
+    val idle = graft.pipeline.Assembly.backfillPlan(
+        olds.toSeq.toDF("doc_id", "text"), olds.toSeq.toDF("doc_id", "text"), 4, "v1")
+      .collect()
+    assert(idle.forall(r => r.getString(1) == "none" && r.getInt(4) == 0))
+  }
+
   test("p64: snapshot diff classifies added/removed/changed/unchanged by content hash") {
     val sp = spark
     import sp.implicits._

@@ -676,6 +676,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"one shard-keyed shuffle expected, got $exchanges:\n" + plan.take(2000))
   }
 
+  test("p80 backfill plan: two pruned manifest scans, shard-keyed exchanges only, no corpus-sized window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.Assembly.backfillPlan(
+        docs, docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0), 8, "v1")
+      .queryExecution.executedPlan.toString
+    // both manifest builds prune to (doc_id, text)
+    val scans = "ReadSchema: struct<doc_id:bigint,text:string>".r.findAllIn(plan).size
+    assert(scans == 2, s"two pruned manifest scans expected, got $scans:\n" + plan.take(2000))
+    // checksum terms fold map-side before the shard exchanges
+    assert(plan.contains("partial_sum"),
+      "manifest terms must fold map-side:\n" + plan.take(2000))
+    // every exchange is keyed on shard-cardinality data (shard or action):
+    // corpus rows never shuffle on anything else, and the priority window
+    // runs on the metadata-sized join result
+    val exchanges = "Exchange hashpartitioning\\((shard|action)".r.findAllIn(plan).size
+    val allExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == allExchanges && allExchanges >= 2,
+      s"all hash exchanges must key on shard/action ($exchanges of $allExchanges):\n" + plan.take(3000))
+    assert(!plan.contains("WindowExec: No Partition Defined"),
+      "priority window must be partition-bounded")
+  }
+
   test("applyByNode batches its rewritten targets into ONE fetchMulti scan (not one store read per prefix)") {
     var multiCalls = Vector.empty[Seq[String]]
     val counting = new MockBackendStore(Map(
