@@ -605,6 +605,71 @@ class E2eScenarioSpec extends AnyFunSuite with BeforeAndAfterAll {
       requireSuccessAll = true)
   }
 
+  test("layout invisibility at the HTTP surface: render/find/tags responses are byte-identical over flat, partitioned and routed layouts") {
+    // the unit sweeps prove every gNN row layout-invisible at the catalog
+    // level; this closes the integration gap — the FULL HTTP tier (parse →
+    // prefetch → eval → marshal) over the same corpus written to all three
+    // parquet layouts must answer every byte the same
+    val sp = spark
+    import sp.implicits._
+    val vals: Long => Array[Double] = seed =>
+      (0 until 10).map(i =>
+        if ((i + seed) % 7 == 0) Double.NaN
+        else ((i * 7 + seed * 13) % 10).toDouble).toArray
+    val rows = Seq(
+      ("web.srv1.cpu", 1L), ("web.srv1.mem", 2L), ("web.srv2.cpu", 3L),
+      ("db.srv1.cpu;dc=east;role=db", 4L), ("db.srv2.cpu;dc=west;role=db", 5L))
+      .map { case (n, s) =>
+        graft.core.Series(n, MockSeries(n, Nil).tags,
+          start = 0L, step = 60L, values = vals(s))
+      }
+    val df = rows.toDF()
+    val base = java.nio.file.Files.createTempDirectory("graft_e2e_layout").toString
+    graft.store.ParquetSeriesStore.write(df, s"$base/flat")
+    graft.store.TimePartitionedSeriesStore.write(df, s"$base/part", windowSec = 300L)
+    graft.store.RoutedSeriesStore.write(df, s"$base/routed", windowSec = 300L, routeDepth = 1)
+    val stores: Seq[(String, graft.store.SeriesStore)] = Seq(
+      "flat" -> new graft.store.ParquetSeriesStore(s"$base/flat"),
+      "partitioned" -> new graft.store.TimePartitionedSeriesStore(s"$base/part", 300L),
+      "routed" -> new graft.store.RoutedSeriesStore(s"$base/routed", 300L, routeDepth = 1))
+    val queries = Seq(
+      "/render" -> Seq("format" -> "json", "from" -> "0", "until" -> "600",
+        "target" -> "sumSeries(web.*.cpu)", "target" -> "movingAverage(web.srv1.*,3)"),
+      "/render" -> Seq("format" -> "json", "from" -> "0", "until" -> "600",
+        "target" -> "groupByNode(*.*.cpu, 0, 'avg')"),
+      "/render" -> Seq("format" -> "csv", "from" -> "0", "until" -> "600",
+        "target" -> "seriesByTag('role=db')"),
+      "/metrics/find" -> Seq("format" -> "treejson", "query" -> "web.*"),
+      "/tags/autoComplete/tags" -> Seq("expr" -> "role=db"),
+      "/tags/autoComplete/values" -> Seq("expr" -> "role=db", "tag" -> "dc"))
+    val responses = stores.map { case (label, store) =>
+      val api = new HttpApi(spark, store, 0)
+      val port = api.start()
+      try label -> queries.map { case (path, params) =>
+        val qs = params.map { case (k, v) => k + "=" + URLEncoder.encode(v, "UTF-8") }
+          .mkString("&")
+        val resp = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path?$qs")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200, s"$label $path: ${resp.statusCode()} ${resp.body().take(300)}")
+        resp.body()
+      } finally api.stop()
+    }
+    val (refLabel, refBodies) = responses.head
+    // the comparison must not pass vacuously on empty bodies
+    assert(refBodies(0).contains("datapoints") && refBodies(0).contains("sumSeries(web.*.cpu)"),
+      "render must return data: " + refBodies(0).take(300))
+    assert(refBodies(3).contains("srv1"), "find must list children: " + refBodies(3).take(300))
+    assert(refBodies(5).contains("east") && refBodies(5).contains("west"),
+      "tag values must resolve: " + refBodies(5))
+    responses.tail.foreach { case (label, bodies) =>
+      bodies.zip(refBodies).zipWithIndex.foreach { case ((b, rb), i) =>
+        assert(b == rb,
+          s"$label diverges from $refLabel on ${queries(i)._1}?${queries(i)._2}: ${b.take(300)} vs ${rb.take(300)}")
+      }
+    }
+  }
+
   test("poisoned shared prefetch batch: evalWithErrors retries per-pattern, failing only the failing target") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.{col, udf}
