@@ -21,8 +21,13 @@ import sys
 import duckdb
 
 BASE = "/root/testdata/sf0.001"
-SENSITIVE = ("p41,p54,p57,p58,p59,p60,p67,p68,p70,p73,p77,p78,p79,"
-             "p33,p43,p66,q07,q12,q13")
+# every row with a cut/bin/tie/rank the resamples can move: quantile cuts
+# (p41/p54/p57/p58/p60), bin edges (p33/p70/p73), keep thresholds
+# (p43/p59/p66/p77), gate compositions + cluster ranks (p22/p38/p72),
+# the salted per-nation top-k (q08, driven by the orders resample), the
+# as-of/window boundaries (q12/q13), and the manifest family (p78-p80)
+SENSITIVE = ("p41,p54,p57,p58,p59,p60,p67,p68,p70,p73,p77,p78,p79,p80,"
+             "p22,p38,p72,q08,p33,p43,p66,q07,q12,q13")
 
 
 def gen_corpus(seed: int, out_dir: str) -> None:
@@ -42,7 +47,14 @@ def gen_corpus(seed: int, out_dir: str) -> None:
           SELECT * FROM (VALUES
             (200001, 'one', 'en', 'src1', 3),
             (200002, repeat('tie tie tie ', 3 + {seed} % 3), 'en', 'src2', 36),
-            (200003, repeat('zz qq ww ee rr ', 40), 'en', 'src0', 600))
+            (200003, repeat('zz qq ww ee rr ', 40), 'en', 'src0', 600),
+            -- pathological shapes the resamples can't reach: empty doc,
+            -- whitespace-only doc, one max-length token, single unicode
+            -- word (zero-token and one-token corners of every ratio/cut)
+            (200004, '', 'en', 'src3', 0),
+            (200005, '  \t  ', 'en', 'src1', 5),
+            (200006, repeat('a', 3000 + {seed} % 100), 'en', 'src2', 3000),
+            (200007, 'naïve', 'fr', 'src0', 5))
             t(doc_id, text, lang, source, n_chars))
         SELECT * FROM base UNION ALL SELECT * FROM dup
         UNION ALL SELECT * FROM extra
@@ -78,6 +90,14 @@ def gen_corpus(seed: int, out_dir: str) -> None:
           WHERE b.pick = 1)
         SELECT * FROM base UNION ALL SELECT * FROM snap
       ) TO '{out_dir}/events.parquet' (FORMAT PARQUET)""")
+    # orders resample so q08's salted per-nation top-k sees fresh tie
+    # structure every seed (customer/nation stay intact — only the group
+    # contents vary)
+    con.execute(f"""
+      COPY (SELECT * FROM '{BASE}/orders.parquet'
+            WHERE (o_orderkey * 2654435761 + {seed}) % 1000000007 % 10
+                  < 6 + {seed} % 4)
+      TO '{out_dir}/orders.parquet' (FORMAT PARQUET)""")
     # remaining tables: passthrough links so Verify's fixture reads resolve
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events"):
