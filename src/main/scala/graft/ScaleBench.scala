@@ -139,6 +139,49 @@ object ScaleBench {
     shifted.write.mode("overwrite").parquet(s"$workDir/events.parquet")
   }
 
+  /** Signals-constant document growth for the vocab-keyed scorers (p77):
+    * the standard grid's vowel/consonant rotation grows the VOCABULARY
+    * with the corpus, so p77's 100× curve mixes two axes — more docs AND
+    * ~60× more distinct words through its LM/NB vocab aggregates. This
+    * axis multiplies docs with text UNCHANGED (doc_id offset only):
+    * vocab cardinality, score spread and therefore the 4dp histogram
+    * window sizes stay fixed while the doc-keyed scans and shuffles grow
+    * Copies× — isolating the rank-window cost the ensemble's scale claim
+    * rests on. Duplicate texts are fine here: the ensemble scores, it
+    * does not dedup. */
+  private def generateDocMult(spark: SparkSession, baseDir: String, workDir: String): Unit = {
+    if (new java.io.File(s"$workDir/documents.parquet/_SUCCESS").exists()) return
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    (0 until Copies).map { i =>
+      if (i == 0) docs
+      else docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10_000_000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+  }
+
+  /** p77 on one documents dir (docmult axis): untimed scan+codegen warm,
+    * best-of-reps, persist sweep — the rowmult harness shape. */
+  private def runDocMult(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    val qs = Seq("p77_quality_ensemble")
+    spark.read.parquet(s"$dir/documents.parquet").count() // untimed scan warm
+    qs.foreach(q => SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()) // codegen warm
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    qs.map { name =>
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable => System.err.println(s"[scale] $name failed: $e"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keep.contains(id)) rdd.unpersist(false) }
+        if (ok) Some(dt) else None
+      }
+      name -> (if (times.isEmpty) -1.0 else times.min)
+    }
+  }
+
   /** The q12/q13 pair on one events dir: lean warm-up (the rowmult dir
     * carries only events.parquet), best-of-reps timing, persist sweep.
     * Timed action is toRdd.count(), NOT Dataset.count(): count() lets
@@ -297,6 +340,19 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_DOCMULT").contains("1")) {
+      // the p77 signals-constant doc-growth axis (see generateDocMult)
+      val dmDir = s"${workDir}_docmult"
+      generateDocMult(spark, baseDir, dmDir)
+      val base = runDocMult(spark, baseDir)
+      val big = runDocMult(spark, dmDir).toMap
+      def fmtD(xs: Seq[(String, Double)]) =
+        xs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val ratios = base.map { case (k, v) => k -> (if (v > 0) big(k) / v else -1.0) }
+      println(s"""{"metric":"docmult_x${Copies}","base":${fmtD(base)},"x":${fmtD(big.toSeq)},"ratio":${fmtD(ratios)}}""")
+      spark.stop()
+      return
+    }
     if (sys.env.get("SPARK_GRAFT_ROWMULT").contains("1")) {
       // the q12/q13 per-key row-growth axis (see generateRowMult)
       val rmDir = s"${workDir}_rowmult"
