@@ -27,7 +27,11 @@ BASE = "/root/testdata/sf0.001"
 # the salted per-nation top-k (q08, driven by the orders resample), the
 # as-of/window boundaries (q12/q13), and the manifest family (p78-p80)
 SENSITIVE = ("p41,p54,p57,p58,p59,p60,p67,p68,p70,p73,p77,p78,p79,p80,"
-             "p22,p38,p72,q08,p33,p43,p66,q07,q12,q13")
+             "p22,p38,p72,q08,p33,p43,p66,q07,q12,q13,"
+             # the events resample punches fresh holes in the hourly grid
+             # every seed — a live differential gate on the Holt-Winters
+             # NaN-break recurrence (r12 port)
+             "g42,g117,g132")
 
 
 def gen_corpus(seed: int, out_dir: str) -> None:
