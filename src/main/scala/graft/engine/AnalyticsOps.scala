@@ -158,7 +158,15 @@ object AnalyticsOps {
         }
         if (singular) null else Array.tabulate(n)(r => m(r)(n) / m(r)(r))
       }
-      if (coef == null) Array.fill(ys.length + extra)(Double.NaN)
+      // reference split (polyfit/function.go:81-99): < 2 usable points →
+      // the series stays, all-NaN; ≥ 2 points but a singular normal
+      // matrix (fewer distinct points than degree+1) → the series is
+      // DROPPED from the result (the gonum Inverse error `continue`).
+      // null marks the drop; the filter below removes it.
+      val usable = ys.count(y => !Kernels.isNaN(y))
+      if (coef == null) {
+        if (usable < 2) Array.fill(ys.length + extra)(Double.NaN) else null
+      }
       else (0 until ys.length + extra).map { x =>
         var acc = 0.0
         var p = n - 1
@@ -168,7 +176,8 @@ object AnalyticsOps {
     })
     // the offset arg extends the fitted curve past the input range
     // (ref polyfit/function.go:70-72)
-    rewrap(df.withColumn("values", u(col("values"), col("step"))), "polyfit", nameArgs)
+    rewrap(df.withColumn("values", u(col("values"), col("step")))
+      .where(col("values").isNotNull), "polyfit", nameArgs)
   }
 
   // ------------------------------------------------------ windowed statistics

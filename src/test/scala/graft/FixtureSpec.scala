@@ -304,6 +304,24 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       tol = 1e-9)
   }
 
+  test("polyfit degenerate inputs: <2 points keeps an all-NaN series, singular fit drops the series (ref polyfit/function.go:81-99)") {
+    // one usable point: the series survives, all-NaN (the reference's
+    // len(nonNulls) < 2 early-out)
+    check("polyfit(metric1)",
+      Seq(md("metric1", Seq(NaN, 5.0, NaN, NaN), step = 1)),
+      Seq(md("polyfit(metric1)", Seq(NaN, NaN, NaN, NaN), step = 1)))
+    // two points under a quadratic: the normal matrix is singular — the
+    // reference's gonum Inverse errors and the series is OMITTED
+    val rows = run("polyfit(metric1,2)",
+      Seq(md("metric1", Seq(1.0, NaN, 2.0, NaN), step = 1)))
+    assert(rows.isEmpty, s"singular fit must drop the series: $rows")
+    // a healthy sibling in the same list still fits
+    val mixed = run("polyfit(metric*,2)",
+      Seq(md("metricA", Seq(1.0, NaN, 2.0, NaN), step = 1),
+        md("metricB", Seq(1.0, 2.0, 4.0, 8.0), step = 1)))
+    assert(mixed.map(_.name) == Seq("polyfit(metricB,2)"), mixed.map(_.name).toString)
+  }
+
   test("stdev over trailing window (ref stdev/function.go)") {
     check("stdev(metric1,2)",
       Seq(md("metric1", Seq(1, 3, 5, 7), step = 1)),
