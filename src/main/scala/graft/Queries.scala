@@ -288,7 +288,10 @@ object Queries {
     "g116_baseline_aberration" -> g("baselineAberration(events.*,'1d',1,4)"),
     "g117_hw_bands" -> g("holtWintersConfidenceBands(events.click)"),
     "g118_lowpass" -> g("lowPass(fft(events.click,'abs'),30)"),
-    "g119_ifft" -> g("ifft(lowPass(fft(events.click,'abs'),30))"),
+    // the with-phase reconstruction: masked abs bins read 0, phase restores
+    // the kept bins' complex values (the raw no-phase form would all-NaN:
+    // lowPass's NaN band poisons IFFTReal — ref ifft/function.go:67)
+    "g119_ifft" -> g("ifft(lowPass(fft(events.click,'abs'),30),fft(events.click,'phase'))"),
     // ---- round-4b: generators, render-metadata setters, stacking data
     "g120_constantline" -> gr("constantLine(42.5)", T0, T0 + 7200),
     "g121_threshold" -> gr("threshold(60,'limit')", T0, T0 + 7200),
@@ -1725,9 +1728,11 @@ object Queries {
         |  max(CASE WHEN name = 'events.signup' THEN coalesce(v * 0.01, 1) ELSE NULL END) AS sg,
         |  max(CASE WHEN name = 'events.view' THEN coalesce(v * 0.01, 1) ELSE NULL END) AS vw
         |  FROM s GROUP BY ts)
-        |SELECT 'powSeries(transformNull(scale(events.*,0.01),1))' AS name, ts,
-        |  round((pow(pow(pow(pow(c, e), p), sg), vw)) * 1e4) / 1e4 AS value
-        |FROM piv ORDER BY ts""".stripMargin),
+        |SELECT name, ts, value FROM (
+        |  SELECT 'powSeries(transformNull(scale(events.*,0.01),1))' AS name, ts,
+        |    round((CASE WHEN isinf(pow(pow(pow(pow(c, e), p), sg), vw)) THEN NULL
+        |                ELSE pow(pow(pow(pow(c, e), p), sg), vw) END) * 1e4) / 1e4 AS value
+        |  FROM piv) WHERE value IS NOT NULL ORDER BY ts""".stripMargin),
     "g53_useseriesabove" ->
       (S + "SELECT name, ts, round((v) * 1e4) / 1e4 AS value FROM s WHERE name = 'events.view' AND v IS NOT NULL ORDER BY ts"),
     // Graphite's triple-exponential Holt-Winters (alpha .1, beta .0035,
@@ -1770,10 +1775,11 @@ object Queries {
         |  sum(src.y * cos((-2*pi()/nn.n) * k.t * src.t)) AS re,
         |  sum(src.y * sin((-2*pi()/nn.n) * k.t * src.t)) AS im
         |  FROM src k, src, nn GROUP BY k.ts)
-        |SELECT 'fft(events.click,abs)' AS name, ts, round((sqrt(re*re + im*im)) * 1e4) / 1e4 AS value FROM d
+        |, gap AS (SELECT count(*) AS g FROM s WHERE name = 'events.click' AND v IS NULL)
+        |SELECT 'fft(events.click,abs)' AS name, ts, round((sqrt(re*re + im*im)) * 1e4) / 1e4 AS value FROM d WHERE (SELECT g FROM gap) = 0
         |UNION ALL
         |SELECT 'fft(events.click,phase)' AS name, ts,
-        |  round((atan2(im, re)) * 1e4) / 1e4 + 0.0 AS value FROM d
+        |  round((atan2(im, re)) * 1e4) / 1e4 + 0.0 AS value FROM d WHERE (SELECT g FROM gap) = 0
         |ORDER BY name, ts""".stripMargin),
     // degree-2 least squares in closed form: power sums S0..S4 / moment sums
     // T0..T2 per series, 3x3 normal equations solved by Cramer's rule —
@@ -1895,17 +1901,36 @@ object Queries {
       (S + """SELECT 'integralByInterval(' || name || ',''1d'')' AS name, ts,
         |  round((sum(v) OVER (PARTITION BY name, CAST(floor(ts/86400) AS BIGINT) ORDER BY ts ROWS UNBOUNDED PRECEDING)) * 1e4) / 1e4 AS value
         |FROM s QUALIFY v IS NOT NULL ORDER BY name, ts""".stripMargin),
-    // max ECDF distance over the last 60 non-null points of each side,
-    // evaluated at every sample point (equivalent to the kernel's sort-merge
-    // when the two samples share no exactly-equal value)
+    // rolling NR two-sample KS p-value (ref kolmogorovSmirnovTest2 + the
+    // vendored go-onlinestats/kstest.go): per grid point i >= 60 the window
+    // is the trailing 60 grid slots (NULL slots stripped), D = max over the
+    // union of window values of |F1 - F2| (the tie-advancing walk evaluates
+    // exactly these candidates), p = Q_KS(sqrt(n1*n2/(n1+n2)) * D)
     "g86_kstest2" ->
-      (S + """, xa AS (SELECT v FROM (SELECT v, row_number() OVER (ORDER BY ts DESC) AS r FROM s WHERE name = 'events.click' AND v IS NOT NULL) WHERE r <= 60),
-        |ya AS (SELECT v FROM (SELECT v, row_number() OVER (ORDER BY ts DESC) AS r FROM s WHERE name = 'events.view' AND v IS NOT NULL) WHERE r <= 60),
-        |u AS (SELECT v FROM xa UNION SELECT v FROM ya),
-        |d AS (SELECT max(abs(
-        |        (SELECT count(*) FROM xa WHERE xa.v <= u.v) * 1.0 / (SELECT count(*) FROM xa)
-        |      - (SELECT count(*) FROM ya WHERE ya.v <= u.v) * 1.0 / (SELECT count(*) FROM ya))) AS ks FROM u)
-        |SELECT 'kolmogorovSmirnovTest2(events.click,events.view,60)' AS name, (SELECT t0 FROM b) AS ts, round((ks) * 1e4) / 1e4 AS value FROM d""".stripMargin),
+      (S + """, ga AS (SELECT ts, v, CAST((ts - (SELECT t0 FROM b))/3600 AS INT) AS i FROM s WHERE name = 'events.click'),
+        |gb AS (SELECT v, CAST((ts - (SELECT t0 FROM b))/3600 AS INT) AS i FROM s WHERE name = 'events.view'),
+        |wa AS (SELECT i, ts, list(v) OVER (ORDER BY i ROWS BETWEEN 59 PRECEDING AND CURRENT ROW) AS la FROM ga),
+        |wb AS (SELECT i, list(v) OVER (ORDER BY i ROWS BETWEEN 59 PRECEDING AND CURRENT ROW) AS lb FROM gb),
+        |w AS (SELECT wa.i, wa.ts,
+        |        list_filter(wa.la, x -> x IS NOT NULL) AS xa,
+        |        list_filter(wb.lb, x -> x IS NOT NULL) AS ya
+        |      FROM wa JOIN wb ON wa.i = wb.i WHERE wa.i >= 60),
+        |c AS (SELECT i, ts, xa, ya, len(xa) AS n1, len(ya) AS n2,
+        |             unnest(list_distinct(list_concat(xa, ya))) AS t
+        |      FROM w WHERE len(xa) > 0 AND len(ya) > 0),
+        |d AS (SELECT i, any_value(ts) AS ts,
+        |             sqrt(1.0*any_value(n1)*any_value(n2)/(any_value(n1)+any_value(n2)))
+        |               * max(abs(len(list_filter(xa, x -> x <= t))*1.0/n1
+        |                       - len(list_filter(ya, x -> x <= t))*1.0/n2)) AS z
+        |      FROM c GROUP BY i),
+        |p AS (SELECT ts, CASE WHEN z = 0 THEN 1.0
+        |        WHEN z < 1.18 THEN 1.0 - 2.25675833419102515
+        |          * sqrt(-ln(exp(-1.23370055013616983/(z*z))))
+        |          * (exp(-1.23370055013616983/(z*z)) + pow(exp(-1.23370055013616983/(z*z)), 9)
+        |             + pow(exp(-1.23370055013616983/(z*z)), 25) + pow(exp(-1.23370055013616983/(z*z)), 49))
+        |        ELSE 2.0*(exp(-2.0*z*z) - pow(exp(-2.0*z*z), 4) + pow(exp(-2.0*z*z), 9)) END AS pv
+        |      FROM d)
+        |SELECT 'kolmogorovSmirnovTest2(events.click,events.view,60)' AS name, ts, round((pv) * 1e4) / 1e4 AS value FROM p ORDER BY ts""".stripMargin),
     // buckets anchored at each series' own START (ref GetBuckets), and the
     // trailing PARTIAL bucket scales the budget by its actual span, not the
     // full interval (ref slo walk; r11 fuzzer caught both on a corpus whose
@@ -2073,7 +2098,9 @@ object Queries {
     // RAISE on ln(<=0) instead of dropping (the r8 sf0.1 sweep hit this
     // once scaled values crossed 1)
     "g107_logit" ->
-      (S + "SELECT 'logit(scale(' || name || ',0.001))' AS name, ts, round((ln((v * 0.001) / (1 - v * 0.001))) * 1e4) / 1e4 + 0.0 AS value FROM s WHERE v IS NOT NULL AND v * 0.001 > 0 AND v * 0.001 < 1 ORDER BY name, ts"),
+      // v = 0 emits -Infinity exactly like Go's math.Log(0) (engine twin in
+      // SeriesOps.logit); negatives and v >= 1 stay NaN-dropped
+      (S + "SELECT 'logit(scale(' || name || ',0.001))' AS name, ts, CASE WHEN v * 0.001 = 0 THEN CAST('-infinity' AS DOUBLE) ELSE round((ln((v * 0.001) / (1 - v * 0.001))) * 1e4) / 1e4 + 0.0 END AS value FROM s WHERE v IS NOT NULL AND v * 0.001 >= 0 AND v * 0.001 < 1 ORDER BY name, ts"),
     // kernel SafeRound = round-half-to-even (math.rint)
     "g108_round" ->
       (S + "SELECT 'round(scale(' || name || ',0.333))' AS name, ts, round((round_even(v * 0.333, 0)) * 1e4) / 1e4 AS value FROM s WHERE v IS NOT NULL ORDER BY name, ts"),
@@ -2152,11 +2179,16 @@ object Queries {
         |  sum(src.y * cos((-2*pi()/nn.n) * k.t * src.t)) AS re,
         |  sum(src.y * sin((-2*pi()/nn.n) * k.t * src.t)) AS im
         |  FROM src k, src, nn GROUP BY k.ts, k.t)
+        |, gap AS (SELECT count(*) AS g FROM s WHERE name = 'events.click' AND v IS NULL)
         |SELECT 'lowPass(fft(events.click,abs),30)' AS name, d.ts, round((sqrt(re*re + im*im)) * 1e4) / 1e4 AS value
-        |FROM d, nn WHERE d.t < floor(0.15 * nn.n) OR d.t >= nn.n - floor(0.15 * nn.n)
+        |FROM d, nn WHERE (d.t < floor(0.15 * nn.n) OR d.t >= nn.n - floor(0.15 * nn.n))
+        |  AND (SELECT g FROM gap) = 0
         |ORDER BY ts""".stripMargin),
-    // forward DFT → low-pass mask (masked bins NaN→0 in the ifft kernel) →
-    // inverse DFT, output |IDFT| — mirrors VecOps.dft's non-pow2 direct path
+    // forward DFT → low-pass mask (masked abs bins read 0 on the WITH-phase
+    // ifft path) → phase restores the kept bins via mag*cos/sin(atan2) — the
+    // EXACT formula the Spark kernel runs, mirrored literally so both
+    // engines share the same transcendental chain — → inverse DFT, |IDFT|.
+    // A grid gap all-NaNs both engines (the raw-NaN fft convention).
     "g119_ifft" ->
       (S + """, src AS (SELECT ts, coalesce(v, 0) AS y, CAST((ts - b.t0)/3600 AS DOUBLE) AS t
         |       FROM s, b WHERE name = 'events.click'),
@@ -2165,15 +2197,20 @@ object Queries {
         |  sum(src.y * cos((-2*pi()/nn.n) * k.t * src.t)) AS re,
         |  sum(src.y * sin((-2*pi()/nn.n) * k.t * src.t)) AS im
         |  FROM src k, src, nn GROUP BY k.ts, k.t),
-        |m AS (SELECT d.t, CASE WHEN d.t < floor(0.15 * nn.n) OR d.t >= nn.n - floor(0.15 * nn.n)
-        |        THEN sqrt(re*re + im*im) ELSE 0 END AS y FROM d, nn),
+        |m AS (SELECT d.t,
+        |  CASE WHEN d.t < floor(0.15 * nn.n) OR d.t >= nn.n - floor(0.15 * nn.n)
+        |       THEN sqrt(re*re + im*im) * cos(atan2(im, re)) ELSE 0 END AS mr,
+        |  CASE WHEN d.t < floor(0.15 * nn.n) OR d.t >= nn.n - floor(0.15 * nn.n)
+        |       THEN sqrt(re*re + im*im) * sin(atan2(im, re)) ELSE 0 END AS mi
+        |  FROM d, nn),
         |inv AS (SELECT k.ts,
-        |  sum(m.y * cos((2*pi()/nn.n) * k.t * m.t)) AS sr,
-        |  sum(m.y * sin((2*pi()/nn.n) * k.t * m.t)) AS si
-        |  FROM src k, m, nn GROUP BY k.ts, k.t)
-        |SELECT 'ifft(lowPass(fft(events.click,abs),30))' AS name, inv.ts,
+        |  sum(m.mr * cos((2*pi()/nn.n) * k.t * m.t) - m.mi * sin((2*pi()/nn.n) * k.t * m.t)) AS sr,
+        |  sum(m.mr * sin((2*pi()/nn.n) * k.t * m.t) + m.mi * cos((2*pi()/nn.n) * k.t * m.t)) AS si
+        |  FROM src k, m, nn GROUP BY k.ts, k.t),
+        |gap AS (SELECT count(*) AS g FROM s WHERE name = 'events.click' AND v IS NULL)
+        |SELECT 'ifft(lowPass(fft(events.click,abs),30),fft(events.click,phase))' AS name, inv.ts,
         |  round((sqrt((sr/nn.n)*(sr/nn.n) + (si/nn.n)*(si/nn.n))) * 1e4) / 1e4 AS value
-        |FROM inv, nn ORDER BY ts""".stripMargin),
+        |FROM inv, nn WHERE (SELECT g FROM gap) = 0 ORDER BY ts""".stripMargin),
 
     // ---- round-4b: generators pin to the explicit [T0, T0+7200] request
     "g120_constantline" ->

@@ -153,11 +153,11 @@ object Kernels {
                                  while (i < values.length) { val x = values(i); if (!isNaN(x)) { r -= x; total += 1 }; i += 1 }
                                  r
       case "count"            => notNans.toDouble
-      // left-fold exponentiation across the series list in name order
-      // (ref powSeries/function.go — legacy running binary pow)
+      // left-fold exponentiation across the series list in name order;
+      // a ±Inf FINAL result folds to NaN (ref powSeries/function.go:73-75)
       case "powChain"         => var r = values(0); var i = 1
-                                 while (i < values.length) { r = math.pow(r, values(i)); i += 1 }
-                                 r
+                                 while (i < values.length) { r = goPow(r, values(i)); i += 1 }
+                                 if (java.lang.Double.isInfinite(r)) Double.NaN else r
       case "stddev"           => stddev(values)
       case "first"            => values(0)
       // "pN" interpolates; "pN!" takes the upper sample (the reference's
@@ -202,6 +202,16 @@ object Kernels {
 
   /** Banker's rounding to `precision` decimal digits (ref helper.SafeRound,
     * expr/helper/helper.go:225-231 uses math.RoundToEven). */
+  /** Go math.Pow's documented special cases diverge from Java's Math.pow
+    * on exactly three inputs: Go checks `y == 0 || x == 1` FIRST (so
+    * Pow(1, NaN) = 1 where Java gives NaN) and returns 1 for
+    * Pow(-1, ±Inf) (Java: NaN). powSeries folds through raw Go Pow, so
+    * NaN exponents reach these cases. (ref powSeries/function.go:63-70) */
+  def goPow(x: Double, y: Double): Double =
+    if (y == 0.0 || x == 1.0) 1.0
+    else if (x == -1.0 && java.lang.Double.isInfinite(y)) 1.0
+    else math.pow(x, y)
+
   def safeRound(v: Double, precision: Int): Double = {
     if (isNaN(v)) return v
     val scale = math.pow(10, precision)

@@ -482,7 +482,11 @@ object AnalyticsOps {
   def fft(df: DataFrame, mode: String = ""): DataFrame = {
     def component(kind: String): DataFrame = {
       val u = udf((v: Seq[Double]) => {
-        val re0 = v.toArray.map(x => if (Kernels.isNaN(x)) 0.0 else x)
+        // raw values, NaN included: FFTReal(a.Values) lets one gap poison
+        // every output bin to NaN, exactly like the reference — a gapped
+        // series transforms to all-NaN, i.e. an empty render
+        // (ref fft/function.go:56 passes a.Values unfiltered)
+        val re0 = v.toArray
         val (re, im) = VecOps.dft(re0, new Array[Double](re0.length), invert = false)
         if (kind == "abs") Array.tabulate(re.length)(i => math.hypot(re(i), im(i)))
         else Array.tabulate(re.length)(i => math.atan2(im(i), re(i)))
@@ -503,7 +507,9 @@ object AnalyticsOps {
   def ifft(absDf: DataFrame, phaseDf: Option[DataFrame]): DataFrame = phaseDf match {
     case None =>
       val u = udf((v: Seq[Double]) => {
-        val re0 = v.toArray.map(x => if (Kernels.isNaN(x)) 0.0 else x)
+        // raw values: IFFTReal(a.Values) — a gap poisons every output bin
+        // (ref ifft/function.go:67, same convention as fft)
+        val re0 = v.toArray
         val (re, im) = VecOps.dft(re0, new Array[Double](re0.length), invert = true)
         Array.tabulate(re.length)(i => math.hypot(re(i), im(i)))
       })
@@ -512,22 +518,35 @@ object AnalyticsOps {
       val ai = PairOps.indexByName(absDf)
       val pi = PairOps.indexByName(
         p.select(col("name").as("pName"), col("values").as("pValues")), "pName")
-      val u = udf((a: Seq[Double], ph: Seq[Double]) => {
+      val u = udf((a: Seq[Double], ph: Seq[Double], hasPhase: Boolean) => {
         val n = a.length
         val re0 = new Array[Double](n); val im0 = new Array[Double](n)
         var i = 0
         while (i < n) {
-          val mag = if (Kernels.isNaN(a(i))) 0.0 else a(i)
-          val an = if (i < ph.length && !Kernels.isNaN(ph(i))) ph(i) else 0.0
-          re0(i) = mag * math.cos(an); im0(i) = mag * math.sin(an)
+          // NaN magnitudes read as 0 on the WITH-phase path only
+          // (ref ifft/function.go:55-60); the phase is used RAW — a NaN
+          // phase slot poisons the whole IFFT exactly like
+          // cmplx.Rect(v, NaN). A phase array shorter than the abs array
+          // would panic in the reference; we read missing slots as 0.
+          if (hasPhase) {
+            val mag = if (Kernels.isNaN(a(i))) 0.0 else a(i)
+            val an = if (i < ph.length) ph(i) else 0.0
+            re0(i) = mag * math.cos(an); im0(i) = mag * math.sin(an)
+          } else re0(i) = a(i) // no partner: the reference's IFFTReal fallback, raw
           i += 1
         }
         val (re, im) = VecOps.dft(re0, im0, invert = true)
         Array.tabulate(n)(i2 => math.hypot(re(i2), im(i2)))
       })
-      ai.join(pi, "_i")
-        .withColumn("values", u(col("values"), col("pValues")))
-        .withColumn("name", concat(lit("ifft("), col("name"), lit(","), col("pName"), lit(")")))
+      // LEFT join: an abs series beyond the phase list's length falls back
+      // to the no-phase transform instead of dropping
+      // (ref ifft/function.go:52 `if len(phaseSeriesList) > j`)
+      ai.join(pi, Seq("_i"), "left")
+        .withColumn("values",
+          u(col("values"), coalesce(col("pValues"), array()), col("pName").isNotNull))
+        .withColumn("name", when(col("pName").isNotNull,
+            concat(lit("ifft("), col("name"), lit(","), col("pName"), lit(")")))
+          .otherwise(concat(lit("ifft("), col("name"), lit(")"))))
         .drop("_i", "pName", "pValues")
   }
 
@@ -554,31 +573,71 @@ object AnalyticsOps {
         concat(lit("lowPass("), col("name"), lit(s",${SeriesOps.fmtNum(cutPercent)})")))
   }
 
-  /** kolmogorovSmirnovTest2: 2-sample KS statistic over the trailing
-    * windowSize points of the two series. (ref kolmogorovSmirnovTest2/function.go) */
+  // --- two-sample KS p-value, Numerical-Recipes form (the vendored
+  // go-onlinestats/kstest.go the reference calls): D = max ECDF distance
+  // with tie groups advanced whole, p = Q_KS(sqrt(n1*n2/(n1+n2)) * D).
+  private def pks(z: Double): Double = {
+    if (z == 0.0) 0.0
+    else if (z < 1.18) {
+      val y = math.exp(-1.23370055013616983 / (z * z))
+      2.25675833419102515 * math.sqrt(-math.log(y)) *
+        (y + math.pow(y, 9) + math.pow(y, 25) + math.pow(y, 49))
+    } else {
+      val x = math.exp(-2.0 * z * z)
+      1.0 - 2.0 * (x - math.pow(x, 4) + math.pow(x, 9))
+    }
+  }
+  private def qks(z: Double): Double = {
+    if (z == 0.0) 1.0
+    else if (z < 1.18) 1.0 - pks(z)
+    else {
+      val x = math.exp(-2.0 * z * z)
+      2.0 * (x - math.pow(x, 4) + math.pow(x, 9))
+    }
+  }
+  private[engine] def ksPValue(s1: Array[Double], s2: Array[Double]): Double = {
+    // the vendored KS sorts then strips leading NaNs (Go sorts NaN first)
+    // = drop NaNs; an all-NaN window panics in the reference (a 500) —
+    // we return NaN so the point just goes missing
+    val d1 = s1.filter(d => !Kernels.isNaN(d)).sorted
+    val d2 = s2.filter(d => !Kernels.isNaN(d)).sorted
+    val n1 = d1.length; val n2 = d2.length
+    if (n1 == 0 || n2 == 0) return Double.NaN
+    var j1 = 0; var j2 = 0; var fn1 = 0.0; var fn2 = 0.0; var d = 0.0
+    while (j1 < n1 && j2 < n2) {
+      val v1 = d1(j1); val v2 = d2(j2)
+      if (v1 <= v2) while (j1 < n1 && v1 == d1(j1)) { j1 += 1; fn1 = j1.toDouble / n1 }
+      if (v2 <= v1) while (j2 < n2 && v2 == d2(j2)) { j2 += 1; fn2 = j2.toDouble / n2 }
+      val dt = math.abs(fn2 - fn1)
+      if (dt > d) d = dt
+    }
+    val en = math.sqrt(n1.toDouble * n2 / (n1.toDouble + n2))
+    qks(en * d)
+  }
+
+  /** kolmogorovSmirnovTest2: rolling 2-sample KS test. Per point i the
+    * window is the trailing windowSize GRID points (NaN slots included,
+    * stripped inside the test); points before the window fills (i <
+    * windowSize, so the first series point is never in any window) are
+    * NaN; the emitted value is the NR p-value, not the D statistic.
+    * (ref kolmogorovSmirnovTest2/function.go:66-80 + the vendored
+    * go-onlinestats/kstest.go) */
   def ksTest2(a: DataFrame, b: DataFrame, windowSize: Int): DataFrame = {
     val bi = b.orderBy(col("name")).limit(1).select(col("values").as("valuesB"), col("name").as("nameB"))
     val u = udf((x: Seq[Double], y: Seq[Double]) => {
-      val xa = x.toArray.filter(d => !Kernels.isNaN(d)).takeRight(windowSize).sorted
-      val ya = y.toArray.filter(d => !Kernels.isNaN(d)).takeRight(windowSize).sorted
-      if (xa.isEmpty || ya.isEmpty) Double.NaN
-      else {
-        // max ECDF distance via sort-merge
-        var i = 0; var j = 0; var d = 0.0
-        while (i < xa.length && j < ya.length) {
-          if (xa(i) <= ya(j)) i += 1 else j += 1
-          val diff = math.abs(i.toDouble / xa.length - j.toDouble / ya.length)
-          if (diff > d) d = diff
-        }
-        d
+      val xa = x.toArray; val ya = y.toArray
+      Array.tabulate(xa.length) { i =>
+        if (i < windowSize) Double.NaN
+        else ksPValue(
+          java.util.Arrays.copyOfRange(xa, i - windowSize + 1, i + 1),
+          java.util.Arrays.copyOfRange(ya,
+            math.min(i - windowSize + 1, ya.length), math.min(i + 1, ya.length)))
       }
     })
     a.crossJoin(broadcast(bi))
-      .select(
-        concat(lit("kolmogorovSmirnovTest2("), col("name"), lit(","), col("nameB"),
-          lit(s",$windowSize)")).as("name"),
-        col("tags"), col("start"), col("step"),
-        array(u(col("values"), col("valuesB"))).as("values"))
-      .withColumn("step", lit(1L))
+      .withColumn("values", u(col("values"), col("valuesB")))
+      .withColumn("name", concat(lit("kolmogorovSmirnovTest2("), col("name"),
+        lit(","), col("nameB"), lit(s",$windowSize)")))
+      .drop("valuesB", "nameB")
   }
 }

@@ -775,7 +775,7 @@ object Eval {
     "diffSeriesLists" -> seriesListsFamily("diff", "diffSeries"),
     "multiplySeriesLists" -> seriesListsFamily("multiply", "multiplySeries"),
     "powSeriesLists" -> seriesListsFamily("pow", "powSeries"),
-    "powSeries" -> ((ctx, fc) => SeriesOps.aggregateSeries(seriesArg(ctx, fc), "powChain",
+    "powSeries" -> ((ctx, fc) => SeriesOps.aggregateSeries(seriesArgsFrom(ctx, fc), "powChain",
       nameFor = _ => lit(s"powSeries(${fc.rawArgs})"), align = needAlign(ctx))),
     "divideSeriesLists" -> seriesListsFamily("divide", "divideSeries"),
     "weightedAverage" -> ((ctx, fc) => PairOps.weightedAverage(

@@ -49,6 +49,25 @@ object SeriesOps {
     // single distributed plan instead of a per-group driver loop
     val implicitGk = groupKey.isEmpty && df.columns.contains("_gk")
     val key = groupKey.getOrElse(if (implicitGk) col("_gk") else lit(""))
+    // powChain folds NaN THROUGH Go's pow (goPow: 1^NaN = 1) instead of
+    // skipping it, so a series that simply lacks a grid slot must still
+    // contribute a NaN to the fold — pad every series to the group's
+    // common [t0, t1) range before the explode (ref powSeries/function.go:
+    // 51-61 pads the shorter value arrays with NaN to the longest length;
+    // we align by ts, the distributed superset of its index alignment)
+    val dfp = if (func == "powChain") {
+      val b = df.groupBy(key.as("_bk")).agg(min(col("start")).as("_t0"),
+        max(col("start") + size(col("values")).cast("long") * col("step")).as("_t1"))
+      df.join(broadcast(b), key === col("_bk"))
+        .withColumn("values", concat(
+          array_repeat(lit(Double.NaN),
+            ((col("start") - col("_t0")) / col("step")).cast("int")),
+          col("values"),
+          array_repeat(lit(Double.NaN),
+            ((col("_t1") - col("start")) / col("step") - size(col("values")).cast("long")).cast("int"))))
+        .withColumn("start", col("_t0"))
+        .drop("_bk", "_t0", "_t1")
+    } else df
     val grouped =
       if (VectorAggregator.decomposable(func)) {
         val agg = udaf(new VectorAggregator(func, xff))
@@ -64,8 +83,8 @@ object SeriesOps {
         // (ref helper.GetSeriesArgs concatenates args in order; NaN-skipping
         // kernels make dropped absent points equivalent to the reference's
         // NaN padding).
-        val ordered = df.withColumn("gk", key)
-        val ordCol = if (df.columns.contains("_argOrd")) col("_argOrd") else lit(0)
+        val ordered = dfp.withColumn("gk", key)
+        val ordCol = if (dfp.columns.contains("_argOrd")) col("_argOrd") else lit(0)
         val pts = ordered.select(col("gk"), ordCol.as("_ord"), col("name"), col("start"), col("step"),
             posexplode(col("values")).as(Seq("pos", "value")))
           .withColumn("ts", col("start") + col("pos") * col("step"))
@@ -456,9 +475,17 @@ object SeriesOps {
     * sf0.1 oracle sweep (scaled values crossed 1 only at that SF). */
   def logit(df: DataFrame): DataFrame = rewrap(mapPointwise(df,
     v => when(v === 1.0, lit(Double.NaN))
-      .otherwise(coalesce(log(v / (lit(1.0) - v)), lit(Double.NaN)))), "logit")
+      // Go math.Log(0) is -Inf, not NaN: logit(0) must come out -Inf like
+      // the reference (JSON nulls it, but pickle/pb and downstream
+      // functions see the difference); Spark's log NULLs zero and
+      // negatives alike, so split the two cases explicitly
+      .when(v === 0.0, lit(Double.NegativeInfinity))
+      .otherwise(coalesce(log(v / (lit(1.0) - v)), lit(Double.NaN)))), "logit",
+    // the reference tags logit="logit", not the usual "1" (function.go:44)
+    tagValue = Some("logit"))
   def sigmoid(df: DataFrame): DataFrame =
-    rewrap(mapPointwise(df, v => lit(1.0) / (lit(1.0) + exp(-v))), "sigmoid")
+    rewrap(mapPointwise(df, v => lit(1.0) / (lit(1.0) + exp(-v))), "sigmoid",
+      tagValue = Some("sigmoid"))
   def squareS(df: DataFrame): DataFrame = rewrap(mapPointwise(df, v => v * v), "pow", Seq("2"))
 
   /** scaleToSeconds: v * seconds/step. (ref scaleToSeconds/function.go) */

@@ -85,7 +85,8 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(g.values.length == w.values.length,
         s"$target ${g.name}: ${g.values.length} points, want ${w.values.length} (got ${g.values.mkString(",")})")
       g.values.zip(w.values).zipWithIndex.foreach { case ((gv, wv), i) =>
-        val ok = (gv.isNaN && wv.isNaN) || math.abs(gv - wv) <= tol * math.max(1.0, math.abs(wv))
+        val ok = (gv.isNaN && wv.isNaN) || gv == wv ||
+          math.abs(gv - wv) <= tol * math.max(1.0, math.abs(wv))
         assert(ok, s"$target ${g.name}[$i]: $gv != $wv")
       }
     }
@@ -280,6 +281,57 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
         md("metric2", Seq(99, 65, 79, 75, 87, 81), step = 1)),
       Seq(md("pearson(metric1,metric2,6)",
         Seq(NaN, NaN, NaN, NaN, NaN, 0.5298089018901744), step = 1)))
+  }
+
+  test("ksTest2: rolling NR p-value, NaN prefix, NaN-stripped windows, ties (ref kolmogorovSmirnovTest2/function.go + go-onlinestats/kstest.go)") {
+    // window 3 over disjoint trends: D grows to 1 as the windows separate
+    check("ksTest2(metric1,metric2,3)",
+      Seq(md("metric1", Seq(1, 2, 3, 4, 5, 6), step = 1),
+        md("metric2", Seq(6, 5, 4, 3, 2, 1), step = 1)),
+      Seq(md("kolmogorovSmirnovTest2(metric1,metric2,3)",
+        Seq(NaN, NaN, NaN, 0.9962551923793987, 0.9962551923793987, 0.09956184831478034), step = 1)),
+      tol = 1e-12)
+    // NaN gaps strip inside the window (the vendored KS sorts NaN first and
+    // drops them) and exact ties advance whole groups in the ECDF walk
+    check("kolmogorovSmirnovTest2(metric1,metric2,3)",
+      Seq(md("metric1", Seq(1, 1, 2, NaN, 2, 9), step = 1),
+        md("metric2", Seq(1, 3, NaN, 3, 2, 2), step = 1)),
+      Seq(md("kolmogorovSmirnovTest2(metric1,metric2,3)",
+        Seq(NaN, NaN, NaN, 0.2699996716773546, 0.9639452436648751, 0.9250856809941741), step = 1)),
+      tol = 1e-12)
+    // identical windows: D = 0 -> qks(0) = 1 exactly
+    check("ksTest2(metric1,metric2,3)",
+      Seq(md("metric1", Seq(5, 5, 5, 5, 5), step = 1),
+        md("metric2", Seq(5, 5, 5, 5, 5), step = 1)),
+      Seq(md("kolmogorovSmirnovTest2(metric1,metric2,3)",
+        Seq(NaN, NaN, NaN, 1.0, 1.0), step = 1)),
+      tol = 1e-12)
+  }
+
+  test("powSeries: running pow, Go Pow special cases, Inf folds to NaN (ref powSeries/function_test.go)") {
+    // the reference's own golden: 9^0 = 1, 0^10 = 0, 5^NaN = NaN,
+    // 312.1^234.2 overflows to +Inf and folds to NaN
+    check("powSeries(collectd.test-db1.load.value, collectd.test-db2.load.value)",
+      Seq(md("collectd.test-db1.load.value", Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 0, 312.1), step = 1),
+        md("collectd.test-db2.load.value", Seq(1, 3, 5, 7, NaN, 6, 4, 8, 0, 10, 234.2), step = 1)),
+      Seq(md("powSeries(collectd.test-db1.load.value, collectd.test-db2.load.value)",
+        Seq(1.0, 8.0, 243.0, 16384.0, NaN, 46656.0, 2401.0, 16777216.0, 1.0, 0.0, NaN), step = 1)))
+    // length mismatch pads the short side with NaN (both directions)
+    check("powSeries(collectd.test-db3.load.value, collectd.test-db4.load.value)",
+      Seq(md("collectd.test-db3.load.value", Seq(1, 2, 666), step = 1),
+        md("collectd.test-db4.load.value", Seq(1, 2), step = 1)),
+      Seq(md("powSeries(collectd.test-db3.load.value, collectd.test-db4.load.value)",
+        Seq(1.0, 4.0, NaN), step = 1)))
+    check("powSeries(collectd.test-db5.load.value, collectd.test-db6.load.value)",
+      Seq(md("collectd.test-db5.load.value", Seq(1, 2), step = 1),
+        md("collectd.test-db6.load.value", Seq(1, 2, 666), step = 1)),
+      Seq(md("powSeries(collectd.test-db5.load.value, collectd.test-db6.load.value)",
+        Seq(1.0, 4.0, NaN), step = 1)))
+    // Go Pow checks x == 1 before the NaN case: 1^NaN = 1 (Java: NaN)
+    check("powSeries(metricA,metricB)",
+      Seq(md("metricA", Seq(1, 2), step = 1),
+        md("metricB", Seq(NaN, 3), step = 1)),
+      Seq(md("powSeries(metricA,metricB)", Seq(1.0, 8.0), step = 1)))
   }
 
   test("nPercentile flat line at the interpolated percentile (ref nPercentile/function_test.go)") {
@@ -2172,9 +2224,40 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("logit(metric1)", Seq(md("metric1", Seq(0.5, NaN, 0.8, 0.25, 0.1, 1), step = 1)),
       Seq(md("logit(metric1)", Seq(0, NaN, 1.3862943611198908, -1.0986122886681098,
         -2.197224577336219, NaN), step = 1)))
+    // logit(0) = Go math.Log(0) = -Inf (NOT NaN); negatives and >1 stay NaN
+    check("logit(metric1)", Seq(md("metric1", Seq(0.0, -0.5, 2.0), step = 1)),
+      Seq(md("logit(metric1)", Seq(Double.NegativeInfinity, NaN, NaN), step = 1)))
     check("sigmoid(metric1)", Seq(md("metric1", Seq(5, 1, NaN, 0, 12, 125, 10.4, 1.1), step = 60)),
       Seq(md("sigmoid(metric1)", Seq(0.9933071490757153, 0.7310585786300049, NaN, 0.5,
         0.9999938558253978, 1, 0.9999695684430994, 0.7502601055951177), step = 60)))
+  }
+
+  test("ifft: with-phase pairing, short-phase fallback to IFFTReal, raw-NaN poisoning (ref ifft/function.go:49-72)") {
+    // two abs series, ONE phase series: index pairing gives m1 the phase,
+    // m2 falls back to the no-phase transform instead of dropping
+    check("ifft(m*,p1)",
+      Seq(md("m1", Seq(1, 2, 3, 4), step = 1), md("m2", Seq(2, 0, 0, 0), step = 1),
+        md("p1", Seq(0, 0.5, 1, 1.5), step = 1)),
+      Seq(md("ifft(m1,p1)", Seq(2.2016449932104116, 0.6574708938217931,
+          0.6233704075498845, 1.3534772560482085), step = 1),
+        md("ifft(m2)", Seq(0.5, 0.5, 0.5, 0.5), step = 1)),
+      tol = 1e-12)
+    // bare no-phase over dense values
+    check("ifft(m1)", Seq(md("m1", Seq(1, 2, 3, 4), step = 1)),
+      Seq(md("ifft(m1)", Seq(2.5, 0.7071067811865476, 0.5, 0.7071067811865474), step = 1)),
+      tol = 1e-12)
+    // a single gap poisons EVERY output bin — fft and no-phase ifft feed
+    // raw values to the transform (ref fft/function.go:56, ifft:67)
+    check("ifft(m1)", Seq(md("m1", Seq(1, NaN, 3, 4), step = 1)),
+      Seq(md("ifft(m1)", Seq(NaN, NaN, NaN, NaN), step = 1)))
+    check("fft(m1,'abs')", Seq(md("m1", Seq(1, NaN, 3, 4), step = 1)),
+      Seq(md("fft(m1,abs)", Seq(NaN, NaN, NaN, NaN), step = 1)))
+    // with-phase: NaN ABS reads 0 (ref ifft:55-60) — gap in the abs side
+    // does NOT poison when a phase partner exists
+    check("ifft(m1,p1)",
+      Seq(md("m1", Seq(2, NaN, 0, 0), step = 1), md("p1", Seq(0, 0, 0, 0), step = 1)),
+      Seq(md("ifft(m1,p1)", Seq(0.5, 0.5, 0.5, 0.5), step = 1)),
+      tol = 1e-12)
   }
 
   test("isNonNull over a glob (ref isNotNull/function_test.go)") {
