@@ -156,8 +156,23 @@ object RewriteOps {
       .withColumn("values", col("_r._2"))
       .drop("copies", "_r")
     val fn = if (isAberration) "baselineAberration" else "baseline"
+    // the absent/min-avg gates evaluate on the BASELINE MEDIANS, not the
+    // aberration ratios (ref baselines/function.go:107-138: totalSum /
+    // totalNotAbsent accumulate r.Values[i] BEFORE the division overwrites
+    // it), and the min-avg gate is skipped when every slot is absent
+    // (totalNotAbsent == 0 keeps the all-NaN series)
+    val gatedBase =
+      if (Kernels.isNaN(maxAbsentPercent) && Kernels.isNaN(minAvgLimit)) base
+      else {
+        val absent = SeriesFrame.vecScalar(v =>
+          if (v.isEmpty) 100.0 else 100.0 * v.count(Kernels.isNaN) / v.length)(col("values"))
+        val avgC = SeriesFrame.vecScalar(Kernels.mean)(col("values"))
+        val r1 = if (Kernels.isNaN(maxAbsentPercent)) base else base.where(absent <= lit(maxAbsentPercent))
+        if (Kernels.isNaN(minAvgLimit)) r1
+        else r1.where(avgC >= lit(minAvgLimit) || isnan(avgC))
+      }
     val result =
-      if (!isAberration) base
+      if (!isAberration) gatedBase
       else {
         val cur = Eval.eval(listExpr, ctx)
           .select(col("name"), col("start").as("curStart"), col("values").as("curValues"))
@@ -170,20 +185,11 @@ object RewriteOps {
             else if (b(i) != 0.0 && !Kernels.isNaN(b(i))) c / b(i)
             else b(i)
           }.toArray)
-        base.join(cur, "name")
+        gatedBase.join(cur, "name")
           .withColumn("values", abU(col("values"), col("start"), col("step"), col("curValues"), col("curStart")))
           .drop("curValues", "curStart")
       }
-    val gated =
-      if (Kernels.isNaN(maxAbsentPercent) && Kernels.isNaN(minAvgLimit)) result
-      else {
-        val absent = SeriesFrame.vecScalar(v =>
-          if (v.isEmpty) 100.0 else 100.0 * v.count(Kernels.isNaN) / v.length)(col("values"))
-        val avgC = SeriesFrame.vecScalar(Kernels.mean)(col("values"))
-        val r1 = if (Kernels.isNaN(maxAbsentPercent)) result else result.where(absent <= lit(maxAbsentPercent))
-        if (Kernels.isNaN(minAvgLimit)) r1 else r1.where(avgC >= lit(minAvgLimit))
-      }
-    SeriesFrame.rewrap(gated, fn)
+    SeriesFrame.rewrap(result, fn)
   }
 
   /**

@@ -2232,6 +2232,36 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
         0.9999938558253978, 1, 0.9999695684430994, 0.7502601055951177), step = 60)))
   }
 
+  test("baseline/baselineAberration: shifted-median, gates evaluate on the baseline medians (ref baselines/function.go:63-141)") {
+    val in = Seq(md("metric1", Seq(10, 20, 30, 40, 50, 60), step = 1))
+    // window [4,6): shifts i=1 (-2s) and i=2 (-4s) contribute [30,40] and
+    // [10,20]; per-slot interpolated median = [20, 30]
+    check("baseline(metric1,'2s',1,3)", in,
+      Seq(md("baseline(metric1)", Seq(20, 30), start = 4, step = 1)),
+      from = 4, until = 6)
+    // aberration = current / baseline = [50/20, 60/30]
+    check("baselineAberration(metric1,'2s',1,3)", in,
+      Seq(md("baselineAberration(metric1)", Seq(2.5, 2.0), start = 4, step = 1)),
+      from = 4, until = 6)
+    // minAvg gates on the BASELINE median average (25), not the aberration
+    // ratios (avg ~2.25): minAvg 26 drops the series in BOTH forms
+    assert(run("baseline(metric1,'2s',1,3,100,26)", in, from = 4, until = 6).isEmpty)
+    assert(run("baselineAberration(metric1,'2s',1,3,100,26)", in, from = 4, until = 6).isEmpty)
+    check("baselineAberration(metric1,'2s',1,3,100,25)", in,
+      Seq(md("baselineAberration(metric1)", Seq(2.5, 2.0), start = 4, step = 1)),
+      from = 4, until = 6)
+    // an all-absent baseline: maxAbsentPercent drops it, but minAvg alone
+    // KEEPS it (the reference skips the avg check when totalNotAbsent == 0)
+    val gappy = Seq(md("metric2", Seq(NaN, NaN, NaN, NaN, 50, 60), step = 1))
+    assert(run("baseline(metric2,'2s',1,3,50)", gappy, from = 4, until = 6).isEmpty)
+    check("baseline(metric2,'2s',1,3)", gappy,
+      Seq(md("baseline(metric2)", Seq(NaN, NaN), start = 4, step = 1)),
+      from = 4, until = 6)
+    check("baseline(metric2,'2s',1,3,100,999)", gappy,
+      Seq(md("baseline(metric2)", Seq(NaN, NaN), start = 4, step = 1)),
+      from = 4, until = 6)
+  }
+
   test("ifft: with-phase pairing, short-phase fallback to IFFTReal, raw-NaN poisoning (ref ifft/function.go:49-72)") {
     // two abs series, ONE phase series: index pairing gives m1 the phase,
     // m2 falls back to the no-phase transform instead of dropping
