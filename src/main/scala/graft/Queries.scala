@@ -1644,8 +1644,14 @@ object Queries {
         |SELECT 'aggregateLine(' || s.name || ', ' || CAST(CAST(a.av AS BIGINT) AS VARCHAR) || ')' AS name,
         |  s.ts, round((a.av) * 1e4) / 1e4 AS value
         |FROM s JOIN a ON s.name = a.name WHERE a.av > 0 ORDER BY name, ts""".stripMargin),
+    // pairing order = ascending weight over the first 5 all-series-dense
+    // slots, name-stable (ref heatMap/helpers.go:36-88)
     "g50_heatmap" ->
-      (S + """, o AS (SELECT name, row_number() OVER (ORDER BY name) AS rn FROM (SELECT DISTINCT name FROM s))
+      (S + """, slots AS (SELECT ts FROM s GROUP BY ts
+        |         HAVING count(v) = (SELECT count(DISTINCT name) FROM s) ORDER BY ts LIMIT 5),
+        |w AS (SELECT name, sum(v) AS w FROM s JOIN slots USING (ts) GROUP BY name),
+        |o AS (SELECT s0.name, row_number() OVER (ORDER BY coalesce(w.w, 0), s0.name) AS rn
+        |      FROM (SELECT DISTINCT name FROM s) s0 LEFT JOIN w USING (name))
         |SELECT 'heatMap(' || c.name || ',' || p.name || ')' AS name, sc.ts, round((sc.v - sp.v) * 1e4) / 1e4 AS value
         |FROM o c JOIN o p ON c.rn = p.rn + 1
         |JOIN s sc ON sc.name = c.name JOIN s sp ON sp.name = p.name AND sp.ts = sc.ts

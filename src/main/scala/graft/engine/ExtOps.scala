@@ -184,7 +184,24 @@ object ExtOps {
     * index (the inner join drops the first series, which has no
     * predecessor), never an unpartitioned lag window. (ref heatMap/function.go) */
   def heatMap(df: DataFrame): DataFrame = {
-    val idx = PairOps.indexByName(df)
+    // pairing order = ASCENDING WEIGHT, where weight = each series' sum
+    // over the first 5 slots at which EVERY series is non-NaN; ties (and
+    // the no-common-slot case, pointsFound == 0) keep name order — the
+    // reference's stable sort over the fetch-ordered list
+    // (ref heatMap/helpers.go:36-88, function.go:37-43)
+    val pts = df.select(col("name"), posexplode(col("values")).as(Seq("pos", "v")))
+    val nS = df.agg(count(lit(1)).as("_n"))
+    val slots = pts.groupBy(col("pos"))
+      .agg(sum(when(isnan(col("v")), 1).otherwise(0)).as("_nabs"), count(lit(1)).as("_cnt"))
+      .join(broadcast(nS))
+      .where(col("_nabs") === 0 && col("_cnt") === col("_n"))
+      .orderBy(col("pos")).limit(5).select("pos")
+    val weights = pts.join(broadcast(slots), "pos")
+      .groupBy(col("name")).agg(sum(col("v")).as("_w"))
+    val idx = PairOps.indexByOrder(
+      df.join(weights, Seq("name"), "left")
+        .withColumn("_w", coalesce(col("_w"), lit(0.0))),
+      Seq("_w", "name"))
     val prev = idx.select((col("_i") + 1L).as("_i"),
       col("name").as("prevName"), col("values").as("prevValues"))
     idx.join(prev, "_i")

@@ -32,8 +32,14 @@ object PairOps {
     * releases it at request end; without an installed request context
     * (direct engine/test use) it falls back to ContextCleaner GC
     * reclamation when the derived frame is garbage collected. */
-  private[engine] def indexByName(df: DataFrame, orderCol: String = "name"): DataFrame = {
-    val sorted = df.sort(orderCol)
+  private[engine] def indexByName(df: DataFrame, orderCol: String = "name"): DataFrame =
+    indexByOrder(df, Seq(orderCol))
+
+  /** indexByName generalized to a composite sort key (heatMap orders by
+    * (weight, name) — the reference's stable weight sort over the
+    * name-ordered list). */
+  private[engine] def indexByOrder(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    val sorted = df.sort(orderCols.map(col): _*)
     val cached = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Eval.trackRdd(cached)
     val indexed = cached.zipWithIndex.map { case (r, i) =>

@@ -733,7 +733,16 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       md("m.a", Seq(1, 2, 3, 4), step = 1),
       md("m.b", Seq(5, 6, 7, 8), step = 1)))
     assert(got.map(_.name) == Seq("kolmogorovSmirnovTest2(m.a,m.b,4)"))
-    assert(got.head.values.toSeq == Seq(1.0)) // disjoint samples → D = 1
+    // rolling output: the first computed index is i = windowSize, so a
+    // window as long as the series is all-NaN (ref function.go:66-80)
+    assert(got.head.values.length == 4 && got.head.values.forall(_.isNaN))
+    // one more point: i=4 window = values[1..4], disjoint samples -> D = 1,
+    // p = qks(sqrt(2)) for n1 = n2 = 4
+    val got5 = run("ksTest2(m.a,m.b,4)", Seq(
+      md("m.a", Seq(1, 2, 3, 4, 2), step = 1),
+      md("m.b", Seq(5, 6, 7, 8, 6), step = 1)))
+    assert(math.abs(got5.head.values.last - 0.03663105270711935) < 1e-12,
+      got5.head.values.mkString(","))
   }
 
   // ----------------------------------------------------- timeStack / naming
@@ -2544,6 +2553,22 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       md("a.a3", Seq(10, NaN, 3, 17, 10, 90), step = 1)), Seq(
       md("heatMap(a.a2,a.a1)", Seq(1.0, NaN, 17.0, 4.0, 5.0, 1.0), step = 1),
       md("heatMap(a.a3,a.a2)", Seq(8.0, NaN, -17.0, 9.0, 0.0, 83.0), step = 1)))
+    // the reference's golden has weight order == name order, so it can't
+    // catch a name-order shortcut: pairing is by ASCENDING WEIGHT (sum over
+    // the first 5 slots where every series is non-NaN — pos 0 excluded by
+    // m1's gap here), stable on name (ref heatMap/helpers.go:36-88)
+    check("heatMap(m*)", Seq(
+      md("m1", Seq(NaN, 2, 2, 100), step = 1),
+      md("m2", Seq(0, 1, 1, 0), step = 1),
+      md("m3", Seq(9, 9, 0, 0), step = 1)), Seq(
+      md("heatMap(m3,m2)", Seq(9.0, 8.0, -1.0, 0.0), step = 1),
+      md("heatMap(m1,m3)", Seq(NaN, -7.0, 2.0, 100.0), step = 1)))
+    // no slot is dense across every series -> pointsFound == 0 keeps the
+    // incoming name order
+    check("heatMap(x*)", Seq(
+      md("x1", Seq(NaN, 5), step = 1),
+      md("x2", Seq(2, NaN), step = 1)), Seq(
+      md("heatMap(x2,x1)", Seq(NaN, NaN), step = 1)))
   }
 
   test("mapSeries passes series through unchanged (ref mapSeries/function_test.go)") {
