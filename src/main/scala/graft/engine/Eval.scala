@@ -752,9 +752,9 @@ object Eval {
       if (natural) ExtOps.sortByNameNatural(seriesArg(ctx, fc), reverse)
       else SeriesOps.sortByName(seriesArg(ctx, fc), reverse)
     }),
-    "sortByTotal" -> ((ctx, fc) => SeriesOps.sortByTotal(seriesArg(ctx, fc))),
-    "sortByMaxima" -> ((ctx, fc) => SeriesOps.sortByMaxima(seriesArg(ctx, fc))),
-    "sortByMinima" -> ((ctx, fc) => SeriesOps.sortByMinima(seriesArg(ctx, fc))),
+    "sortByTotal" -> ((ctx, fc) => SeriesOps.sortByTotal(seriesArg(ctx, fc), boolArg(fc, 2, "reverse"))),
+    "sortByMaxima" -> ((ctx, fc) => SeriesOps.sortByMaxima(seriesArg(ctx, fc), boolArg(fc, 2, "reverse"))),
+    "sortByMinima" -> ((ctx, fc) => SeriesOps.sortByMinima(seriesArg(ctx, fc), boolArg(fc, 2, "reverse"))),
     "alias" -> ((ctx, fc) => SeriesOps.alias(seriesArg(ctx, fc), strArg(fc, 1),
       boolArg(fc, 2, "allowFormatStr"))),
     "aliasByMetric" -> ((ctx, fc) => SeriesOps.aliasByMetric(seriesArg(ctx, fc))),

@@ -863,13 +863,19 @@ object SeriesOps {
   def sortBy(df: DataFrame, func: String = "average", reverse: Boolean = false): DataFrame = {
     require(Kernels.validConsolidations(func) || func.matches("p([0-9]*[.])?[0-9]+"),
       s"invalid consolidation $func")
-    val raw = vecScalar(v => Kernels.summarizeValues(func, v))(col("values"))
+    // per-series xFilesFactor reaches the summarizer like the reference's
+    // SummarizeValues(aggFuncName, a.Values, a.XFilesFactor)
+    val su = udf((v: Seq[Double], xf: Double) =>
+      Kernels.summarizeValues(func, v.toArray, xf.toFloat))
+    val raw = su(col("values"), SeriesFrame.xffTag)
     val s = when(isnan(raw), lit(Double.NegativeInfinity)).otherwise(raw)
     markSorted(df.orderBy(if (reverse) s.desc else s.asc, col("name")))
   }
-  def sortByTotal(df: DataFrame): DataFrame = sortBy(df, "sum", reverse = true)
-  def sortByMaxima(df: DataFrame): DataFrame = sortBy(df, "max", reverse = true)
-  def sortByMinima(df: DataFrame): DataFrame = sortBy(df, "min")
+  // each shorthand takes the same optional `reverse` (positional arg 2) and
+  // flips its own default direction (ref sortBy/function.go:39-71)
+  def sortByTotal(df: DataFrame, reverse: Boolean = false): DataFrame = sortBy(df, "sum", reverse = !reverse)
+  def sortByMaxima(df: DataFrame, reverse: Boolean = false): DataFrame = sortBy(df, "max", reverse = !reverse)
+  def sortByMinima(df: DataFrame, reverse: Boolean = false): DataFrame = sortBy(df, "min", reverse = reverse)
 
   /** alias: rename every series; tags (incl. the name tag) are PRESERVED
     * (ref alias/function.go:54 CopyLinkTags). With allowFormatStr, every

@@ -654,6 +654,13 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1),
       md("metricC", Seq(4, 4, 5, 5, 6, 6), step = 1))
     check("sortByMinima(metric*)", mins, mins, ordered = true)
+    // the shorthands take the same positional `reverse` (arg 2) and flip
+    // their own default direction (ref sortBy/function.go:39-50)
+    check("sortByMaxima(metric*,'average',true)", maxes, Seq(
+      md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1),
+      md("metricB", Seq(5, 5, 5, 5, 5, 5), step = 1),
+      md("metricC", Seq(2, 2, 10, 5, 2, 2), step = 1)), ordered = true)
+    check("sortByMinima(metric*,'average',true)", mins, mins.reverse, ordered = true)
     val avgs = Seq(
       md("metricA", Seq(0, 0, 0, 0, 0, 0), step = 1),
       md("metricB", Seq(3, 4, 5, 6, 7, 8), step = 1),
