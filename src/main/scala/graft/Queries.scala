@@ -1299,6 +1299,20 @@ object Queries {
             expr("substring(text, 12)"))))
       Multimodal.imageNearDupPairs(Multimodal.syntheticAssets(planted))
         .orderBy("asset_a", "asset_b")
+    }),
+    // the audio twin of m06: planted exact + one-char-perturbed duplicates
+    // over the AUDIO modality class (doc_id % 3 == 1); the energy-delta
+    // signature is integer-exact so the oracle replays it bit-for-bit
+    "m07_audio_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val seed = d.where(col("doc_id") % 30 === 1 && length(col("text")) >= 12)
+      val planted = d
+        .unionByName(seed.withColumn("doc_id", col("doc_id") + 30000000L))
+        .unionByName(seed.withColumn("doc_id", col("doc_id") + 60000000L)
+          .withColumn("text", concat(substring(col("text"), 1, 10), lit("x"),
+            expr("substring(text, 12)"))))
+      Multimodal.audioNearDupPairs(Multimodal.syntheticAssets(planted))
+        .orderBy("asset_a", "asset_b")
     })
   )
 
@@ -2754,6 +2768,31 @@ object Queries {
         |      FROM ch CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS i)),
         |bits AS (SELECT a.asset_id, a.i, CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS b
         |         FROM s a JOIN s b ON a.asset_id = b.asset_id AND b.i = a.i + 1 WHERE a.i < 64),
+        |pair AS (SELECT a.asset_id AS aa, b.asset_id AS ab,
+        |           sum(CASE WHEN a.b != b.b THEN 1 ELSE 0 END) AS ham
+        |         FROM bits a JOIN bits b ON a.i = b.i AND a.asset_id < b.asset_id GROUP BY 1, 2)
+        |SELECT aa AS asset_a, ab AS asset_b, CAST(ham AS BIGINT) AS hamming
+        |FROM pair WHERE ham <= 3 ORDER BY asset_a, asset_b""".stripMargin,
+    // the audio energy-delta hash replayed per-char: d = ord - 80, segment
+    // g = i*65 div n, bit = cross-multiplied integer mean-energy compare —
+    // the exact arithmetic the engine runs, then the exact radius-3 pairs
+    "m07_audio_neardup" ->
+      """WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id % 30 = 1 AND len(text) >= 12),
+        |pl AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 30000000, text FROM seed
+        |  UNION ALL SELECT doc_id + 60000000, substr(text, 1, 10) || 'x' || substr(text, 12) FROM seed),
+        |ch AS (SELECT doc_id AS asset_id, list_transform(split(text, ''), x -> CAST(ord(x) - 80 AS BIGINT)) AS os,
+        |       CAST(len(text) AS BIGINT) AS n FROM pl WHERE doc_id % 3 = 1 AND len(text) > 0),
+        |cs AS (SELECT asset_id, n, os[CAST(i + 1 AS BIGINT)] AS d, i
+        |       FROM (SELECT asset_id, os, n, unnest(generate_series(0, n - 1)) AS i FROM ch)),
+        |en AS (SELECT asset_id, CAST(i * 65 // n AS INT) AS g, sum(d * d) AS s, count(*) AS c
+        |       FROM cs GROUP BY 1, 2),
+        |grid AS (SELECT a.asset_id, g.g FROM (SELECT DISTINCT asset_id FROM en) a
+        |         CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS g) g),
+        |den AS (SELECT grid.asset_id, grid.g, coalesce(en.s, 0) AS s, coalesce(en.c, 0) AS c
+        |        FROM grid LEFT JOIN en ON en.asset_id = grid.asset_id AND en.g = grid.g),
+        |bits AS (SELECT a.asset_id, a.g AS i, CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS b
+        |         FROM den a JOIN den b ON a.asset_id = b.asset_id AND b.g = a.g + 1 WHERE a.g < 64),
         |pair AS (SELECT a.asset_id AS aa, b.asset_id AS ab,
         |           sum(CASE WHEN a.b != b.b THEN 1 ELSE 0 END) AS ham
         |         FROM bits a JOIN bits b ON a.i = b.i AND a.asset_id < b.asset_id GROUP BY 1, 2)

@@ -387,4 +387,82 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
       .select("asset_a", "asset_b", "hamming")
   }
+
+  /**
+   * Segment-energy-delta hash for (stub-decoded) audio — the audio twin of
+   * [[imageDHash]], linking the audio family to the dedup story the way
+   * m06 does for images. The PCM splits into nBits+1 equal-span segments;
+   * bit k = 1 iff segment k+1's MEAN energy exceeds segment k's (the
+   * sign-of-energy-delta sub-fingerprint of Haitsma–Kalker 2002-style
+   * audio fingerprinting; segment-normalized framing keeps the signature
+   * length-adaptive). The comparison is INTEGER-exact end to end: stub
+   * samples are ((byte)-80)/48, so comparing mean((x/48)^2) reduces to
+   * cross-multiplied integer sums of (code-80)^2 — s2*c1 > s1*c2 with
+   * s <= n*175^2 and c <= n keeps the product under 2^63 for any doc
+   * below ~3e6 chars. No float enters the signature, so the DuckDB
+   * oracle replays it bit-for-bit. Pure codegen column math: one
+   * split-explode (the m06 fence — substr-per-char would re-decode the
+   * payload per char), one (asset, segment) partial agg, map-side folds.
+   */
+  def audioEnergyHash(assets: DataFrame, nBits: Int = 64): DataFrame = {
+    require(nBits > 0 && nBits % 16 == 0,
+      s"audioEnergyHash: nBits must pack into 16-bit blocks, got $nBits")
+    val nSeg = nBits + 1
+    val txt = decode(col("payload"), "UTF-8")
+    val chars = assets.where(col("modality") === "audio" && length(txt) > 0)
+      .select(col("asset_id"), length(txt).cast("long").as("n"),
+        posexplode(split(txt, "")).as(Seq("i", "ch")))
+      .where(length(col("ch")) === 1)
+      .select(col("asset_id"), col("n"),
+        expr(s"CAST(i AS BIGINT) * $nSeg div n").cast("int").as("seg"),
+        (ascii(col("ch")).cast("long") - 80).as("d"))
+    val segs = chars.groupBy(col("asset_id"), col("seg"))
+      .agg(sum(col("d") * col("d")).as("s"), count(lit(1)).as("c"))
+    val dense = segs.groupBy("asset_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("seg"), struct(col("s"), col("c"))))).as("m"))
+      .withColumn("_e", transform(sequence(lit(0), lit(nBits)),
+        g => coalesce(element_at(col("m"), g),
+          struct(lit(0L).as("s"), lit(0L).as("c")))))
+    dense
+      .withColumn("bits", zip_with(
+        slice(col("_e"), 1, nBits), slice(col("_e"), 2, nBits),
+        (a, b) => when(b("s") * a("c") > a("s") * b("c"), 1).otherwise(0)))
+      .withColumn("blocks", transform(sequence(lit(0), lit(nBits / 16 - 1)),
+        b => aggregate(sequence(lit(15), lit(0), lit(-1)), lit(0L),
+          (acc, j) => acc * 2 +
+            element_at(col("bits"), (b * 16 + j + 1).cast("int")).cast("long"))))
+      .select(col("asset_id"), col("bits"), col("blocks"))
+  }
+
+  /**
+   * Exact-recall near-duplicate AUDIO pairs at Hamming radius <= 3 over the
+   * [[audioEnergyHash]] signature — the same 4x16-bit pigeonhole banding +
+   * exact-verify contract as [[imageNearDupPairs]] (<= 3 differing bits
+   * leave >= 1 of 4 blocks identical). Candidates carry the four packed
+   * block longs only; volume scales with block collision density, never
+   * corpus².
+   */
+  def audioNearDupPairs(assets: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"audioNearDupPairs: 4-block banding guarantees recall only for radius <= 3, got $maxHamming")
+    val sig = audioEnergyHash(assets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sig.select(col("asset_id"), col("blocks"),
+      posexplode(col("blocks")).as(Seq("block", "key")))
+    val a = bands.select(col("asset_id").as("asset_a"), col("blocks").as("_pa"),
+      col("block"), col("key"))
+    val b = bands.select(col("asset_id").as("asset_b"), col("blocks").as("_pb"),
+      col("block"), col("key"))
+    a.join(b, Seq("block", "key"))
+      .where(col("asset_a") < col("asset_b"))
+      .select("asset_a", "asset_b", "_pa", "_pb")
+      .dropDuplicates("asset_a", "asset_b")
+      .withColumn("hamming",
+        aggregate(zip_with(col("_pa"), col("_pb"),
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, v) => acc + v))
+      .where(col("hamming") <= maxHamming)
+      .select("asset_a", "asset_b", "hamming")
+  }
 }

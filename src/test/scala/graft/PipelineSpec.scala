@@ -266,6 +266,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSeq == brute, s"banding ${pairs.mkString(",")} vs brute ${brute.mkString(",")}")
   }
 
+  test("m07: audio energy-delta hash near-dup — exact copy at radius 0, one-char change within radius, banding matches brute force") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.pipeline.Multimodal
+    val base = "the quick brown fox jumps over the lazy dog again and again for luck"
+    val oneChar = base.updated(20, 'x').toString
+    val other = "completely different waveform content with another structure entirely"
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("modality", StringType),
+      StructField("payload", BinaryType)))
+    def b(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val assets = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "audio", b(base)), Row(4L, "audio", b(base)),      // exact dup
+        Row(7L, "audio", b(oneChar)),                              // near dup
+        Row(10L, "audio", b(other)),                               // unrelated
+        Row(0L, "image", b(base)),                                 // wrong modality
+        Row(13L, "audio", Array.emptyByteArray)                    // empty: no signature
+      ), schema)
+    val pairs = Multimodal.audioNearDupPairs(assets, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(p => (p._1, p._2))
+    assert(pairs.exists { case (a, bb, h) => a == 1L && bb == 4L && h == 0L },
+      s"exact payload copy must pair at hamming 0: ${pairs.mkString(",")}")
+    assert(pairs.filter(p => Set(p._1, p._2) == Set(1L, 7L))
+      .forall(_._3 <= 2), "a one-char change moves one segment's energy -> at most its 2 delta bits")
+    assert(!pairs.exists(p => p._1 == 10L || p._2 == 10L), "unrelated audio must not pair")
+    assert(!pairs.exists(p => p._1 == 0L || p._2 == 0L), "non-audio modality excluded")
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L), "empty payload emits no signature")
+    // recall gate: banding reproduces the quadratic brute force exactly
+    val sig = Multimodal.audioEnergyHash(assets).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(!sig.contains(13L))
+    val brute = (for {
+      a <- sig.keys; bb <- sig.keys if a < bb
+      h = sig(a).zip(sig(bb)).count { case (x, y) => x != y } if h <= 3
+    } yield (a, bb, h.toLong)).toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.toSeq == brute, s"banding ${pairs.mkString(",")} vs brute ${brute.mkString(",")}")
+  }
+
   test("m05: video frame kernel executes the m02 plan — planted payload gives closed-form luma/contrast; frames cap at the plan bound") {
     import graft.pipeline.Multimodal
     import org.apache.spark.sql.Row
