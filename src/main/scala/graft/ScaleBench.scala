@@ -255,7 +255,9 @@ object ScaleBench {
     // curved before — fact side grows, customer/nation dims fixed), plus
     // the lineage manifest family
     "q02_revenue_by_nation", "p78_shard_manifest", "p79_manifest_diff", "p80_backfill_plan",
-    "p77_quality_ensemble")
+    "p77_quality_ensemble",
+    // r12: the audio perceptual-dedup twin
+    "m07_audio_neardup")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

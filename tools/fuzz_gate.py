@@ -31,7 +31,13 @@ SENSITIVE = ("p41,p54,p57,p58,p59,p60,p67,p68,p70,p73,p77,p78,p79,p80,"
              # the events resample punches fresh holes in the hourly grid
              # every seed — a live differential gate on the Holt-Winters
              # NaN-break recurrence (r12 port)
-             "g42,g117,g132")
+             "g42,g117,g132,"
+             # the perceptual-dedup signatures: the doc resample +
+             # pathological text corners (empty/whitespace docs, the
+             # non-ASCII 'naïve' — Spark ascii(chr(239)) = 239 = DuckDB
+             # ord, verified codepoint-based on both engines) hit the
+             # sampling and segment-boundary math every seed (r12)
+             "m06,m07")
 
 
 def gen_corpus(seed: int, out_dir: str) -> None:
