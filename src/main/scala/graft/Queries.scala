@@ -460,6 +460,44 @@ object Queries {
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
     }),
+    // TPC-H Q21 shape (suppliers who kept orders waiting): late lines of
+    // the ONLY-late supplier in multi-supplier 'F' orders. The classic
+    // form is a fact self-SEMI-join (another supplier exists) composed
+    // with a fact self-ANTI-join (no OTHER supplier late) — the oracle
+    // runs that literal EXISTS + NOT EXISTS pair. The Spark plan is the
+    // AGGREGATION REWRITE a 100 TB engine wants instead: lineitem scans
+    // ONCE, one (orderkey, suppkey) partial agg + one orderkey agg derive
+    // supplier-count / late-supplier-count per order, so both existence
+    // tests become column predicates and the only fact-fact shuffle is
+    // the natural orderkey equijoin against the filtered orders
+    // ("late" = shipped > 60 days after order date; this lineitem has no
+    // commit/receipt dates)
+    "q15_waiting_suppliers" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      val perSupp = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+          .otherwise(0L)).as("late_lines"))
+        .withColumn("is_late", when(col("late_lines") > 0, 1L).otherwise(0L))
+      val perOrder = perSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("nsupp"), sum(col("is_late")).as("nlate"),
+          max(when(col("is_late") === 1L, col("l_suppkey"))).as("late_supp"),
+          max(when(col("is_late") === 1L, col("late_lines"))).as("late_supp_lines"))
+      perOrder.where(col("nsupp") > 1 && col("nlate") === 1L)
+        .groupBy(col("late_supp"))
+        .agg(sum(col("late_supp_lines")).as("numwait"))
+        .join(broadcast(sup), col("late_supp") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name").as("nation"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
     // trailing-window aggregate features (the other half of the q12
     // feature-store pair): per purchase, the same user's view count and
     // cents-exact value sum over the PRECEDING 24 h. The range join runs
@@ -2322,6 +2360,26 @@ object Queries {
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40 AND l_quantity BETWEEN 20 AND 45)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // the oracle is the LITERAL Q21 shape — fact self-SEMI (EXISTS another
+    // supplier) + self-ANTI (NOT EXISTS another LATE supplier) — an
+    // independent implementation against the engine's aggregation rewrite
+    "q15_waiting_suppliers" ->
+      """SELECT s_name, n_name AS nation, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
     // the oracle is the NAIVE range join — an independent implementation
     // against the engine's bucketed (user, day-bin) equality join
     "q13_window_features" ->

@@ -256,8 +256,8 @@ object ScaleBench {
     // the lineage manifest family
     "q02_revenue_by_nation", "p78_shard_manifest", "p79_manifest_diff", "p80_backfill_plan",
     "p77_quality_ensemble",
-    // r12: the audio perceptual-dedup twin
-    "m07_audio_neardup")
+    // r12: the audio perceptual-dedup twin + the Q21 multi-EXISTS anchor
+    "m07_audio_neardup", "q15_waiting_suppliers")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

@@ -571,6 +571,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "total and probe must both read the cached per-part aggregate:\n" + plan.take(3000))
   }
 
+  test("q15 Q21-shape runs as the aggregation rewrite: lineitem scans ONCE (the oracle's EXISTS/NOT-EXISTS self-joins never appear), dims broadcast") {
+    val df = SparkEntry.queries("q15_waiting_suppliers")(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize the adaptive plan so the string form is the real one
+    // AQE's string repeats the tree under "== Initial Plan ==" — grade the
+    // final plan only
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val liScans = "lineitem\\.parquet".r.findAllIn(s).length
+    assert(liScans == 1,
+      s"the existence tests must fold into per-order aggregates, not self-joins: $liScans lineitem scan refs\n" + s.take(2500))
+    assert(!s.contains("SortMergeJoin") || "SortMergeJoin".r.findAllIn(s).length <= 1,
+      "only the natural orderkey equijoin may shuffle facts:\n" + s.take(2500))
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 2,
+      "supplier and nation must broadcast:\n" + s.take(2500))
+  }
+
   test("p75 memorization audit counts gram df in a gram-PARTITIONED window — no unpartitioned window, no second corpus scan") {
     import org.apache.spark.sql.execution.window.WindowExec
     val sp = spark
