@@ -1623,9 +1623,15 @@ object Queries {
         |  round((sum(v * 3600)) * 1e4) / 1e4 AS value
         |FROM r2 GROUP BY name, 2 HAVING count(v) > 0 ORDER BY name, 2""".stripMargin),
 
+    // a zero weight sum is the reference's RAW v[0]/v[1] = +Inf (num is a
+    // sum of squares); DuckDB NULLs double/0, so synthesize it; 0/0 = NaN
+    // drops on both engines
     "g31_weightedavg" ->
-      (S + """SELECT 'weightedAverage(events.*,events.*,1)' AS name, ts, round((sum(v*v) / sum(v)) * 1e4) / 1e4 AS value
-        |FROM s GROUP BY ts HAVING count(v) > 0 AND sum(v) != 0 ORDER BY ts""".stripMargin),
+      (S + """SELECT 'weightedAverage(events.*,events.*,1)' AS name, ts,
+        |  CASE WHEN sum(v) = 0 THEN CAST('infinity' AS DOUBLE)
+        |       ELSE round((sum(v*v) / sum(v)) * 1e4) / 1e4 END AS value
+        |FROM s GROUP BY ts
+        |HAVING count(v) > 0 AND NOT (sum(v) = 0 AND sum(v*v) = 0) ORDER BY ts""".stripMargin),
     "g32_difflists" ->
       (S + """SELECT * FROM (
         |  SELECT 'diffSeries(events.click,events.purchase)' AS name, a.ts, round((a.v - b.v) * 1e4) / 1e4 AS value

@@ -175,8 +175,18 @@ object PairOps {
         lit(outName).as("name"),
         map(lit("name"), lit(outName)).as("tags"),
         col("num.start").as("start"), col("num.step").as("step"),
+        // the final combine is the RAW IEEE division v[0]/v[1]
+        // (ref function.go:118 + helper.go:182): a zero weight sum emits
+        // ±Inf (JSON nulls it; pickle/pb and downstream ops see Inf),
+        // 0/0 and NaN/0 are NaN. Spark's `/` NULLs EVERY zero divisor in
+        // non-ANSI mode (doubles included — and NULL must never reach a
+        // values array), so the zero-denominator cases are spelled out
         zip_with(col("num.values"), col("den.values"),
-          (n, d) => when(isnan(d) || d === 0.0, lit(Double.NaN)).otherwise(n / d)).as("values"))
+          (n, d) => when(isnan(d), lit(Double.NaN))
+            .when(d === 0.0 && n > 0.0, lit(Double.PositiveInfinity))
+            .when(d === 0.0 && n < 0.0, lit(Double.NegativeInfinity))
+            .when(d === 0.0, lit(Double.NaN))
+            .otherwise(n / d)).as("values"))
   }
 
   /** join(listA, listB, type): set operation on series NAMES.

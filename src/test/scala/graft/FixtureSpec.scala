@@ -85,8 +85,10 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(g.values.length == w.values.length,
         s"$target ${g.name}: ${g.values.length} points, want ${w.values.length} (got ${g.values.mkString(",")})")
       g.values.zip(w.values).zipWithIndex.foreach { case ((gv, wv), i) =>
+        // an infinite expectation must match EXACTLY — tol * Inf = Inf
+        // would accept any finite value
         val ok = (gv.isNaN && wv.isNaN) || gv == wv ||
-          math.abs(gv - wv) <= tol * math.max(1.0, math.abs(wv))
+          (!wv.isInfinite && math.abs(gv - wv) <= tol * math.max(1.0, math.abs(wv)))
         assert(ok, s"$target ${g.name}[$i]: $gv != $wv")
       }
     }
@@ -573,6 +575,16 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       md("weightedAverage(metric*.dividend, metric*.divisor, 0)",
         Seq(0.75, 1.5, 1.5, 2.0, 5.0, 4.5, 7.0, 8.0, 6.75, 7.5, 8.25, 12.0,
           9.75, 14.0, 15.0, 16.0, 17.0, 12.0, 9.5, 10.0), step = 1)))
+    // a zero weight sum (canceling weights) is the reference's RAW
+    // v[0]/v[1]: ±Inf, no divide-by-zero guard in function.go:118;
+    // 0/0 stays NaN
+    check("weightedAverage(m*.dividend, m*.divisor, 0)",
+      Seq(md("m1.dividend", Seq(5.0, -5.0, 0.0, 1.0), step = 1),
+        md("m1.divisor", Seq(1.0, 1.0, 0.0, 2.0), step = 1),
+        md("m2.dividend", Seq(0.0, 0.0, 0.0, 0.0), step = 1),
+        md("m2.divisor", Seq(-1.0, -1.0, 0.0, 1.0), step = 1)),
+      Seq(md("weightedAverage(m*.dividend, m*.divisor, 0)",
+        Seq(Double.PositiveInfinity, Double.NegativeInfinity, NaN, 2.0 / 3), step = 1)))
   }
 
   test("pearsonClosest: NaN pairs skipped, self-match allowed (ref pearsonClosest/function_test.go:29-100)") {
