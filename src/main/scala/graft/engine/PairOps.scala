@@ -53,7 +53,14 @@ object PairOps {
     case "diff" | "subtract" => (x, y) => x - y
     case "multiply"         => (x, y) => x * y
     case "divide"           => (x, y) => when(y === 0.0, lit(Double.NaN)).otherwise(x / y)
-    case "pow"              => (x, y) => pow(x, y)
+    // Go math.Pow special cases (1^anything = 1, x^0 = 1, (-1)^±Inf = 1)
+    // checked before Java's NaN rules — NaN never reaches this op (the
+    // caller NaN-gates like ref seriesList/function.go:171-173), but ±Inf
+    // values can (logit(0) = -Inf)
+    case "pow"              => (x, y) =>
+      when(y === 0.0 || x === 1.0, lit(1.0))
+        .when(x === -1.0 && abs(y) === lit(Double.PositiveInfinity), lit(1.0))
+        .otherwise(pow(x, y))
     case "max"              => (x, y) => when(x >= y, x).otherwise(y)
     case "min"              => (x, y) => when(x <= y, x).otherwise(y)
     case other => throw new IllegalArgumentException(s"seriesLists: bad func $other")
