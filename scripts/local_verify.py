@@ -21,6 +21,31 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 EXACT = "--round4" not in sys.argv
 
 
+def type_kind(t):
+    """Coarse numeric-kind class for the oracle-vs-spark type lint."""
+    t = str(t).upper()
+    if t.startswith("DECIMAL") or t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if "INT" in t:  # TINYINT..BIGINT, HUGEINT, unsigned variants
+        return "int"
+    if t == "BOOLEAN":
+        return "bool"
+    return "other"
+
+
+def type_lint(s_cols, s_types, o_cols, o_types):
+    """Fail on HUGEINT oracle output columns (the r12 p67/p68 root cause:
+    pandas/Arrow render HUGEINT as float64, flipping a type-sensitive hash
+    while fetchall() stays blind) and on int-vs-float kind mismatches."""
+    errs = [f"oracle col {c} is {t} (un-CAST aggregate?)"
+            for c, t in zip(o_cols, o_types) if "HUGEINT" in str(t).upper()]
+    smap = dict(zip(s_cols, s_types))
+    for c, t in zip(o_cols, o_types):
+        if c in smap and {type_kind(smap[c]), type_kind(t)} == {"int", "float"}:
+            errs.append(f"col {c} kind mismatch spark={smap[c]} oracle={t}")
+    return errs
+
+
 def norm_rows(rows, cols):
     # sort columns by name, then sort rows; floats compared at full repr
     # unless --round4 asked for the defensive rounding
@@ -49,11 +74,13 @@ def main(sf_dir, out_dir):
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got_cols = [d[0] for d in con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").description]
-            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
-            want_rel = con.execute(sql)
-            want_cols = [d[0] for d in want_rel.description]
+            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = list(got_rel.columns)
+            got_types = [str(t) for t in got_rel.types]
+            got = got_rel.fetchall()
+            want_rel = con.sql(sql)
+            want_cols = list(want_rel.columns)
+            want_types = [str(t) for t in want_rel.types]
             want = want_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}")
@@ -61,6 +88,11 @@ def main(sf_dir, out_dir):
             continue
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(want_cols)}")
+            fail += 1
+            continue
+        lint = type_lint(got_cols, got_types, want_cols, want_types)
+        if lint:
+            print(f"FAIL {name}: TYPE " + "; ".join(lint))
             fail += 1
             continue
         g = norm_rows(got, got_cols)

@@ -3148,7 +3148,7 @@ object Queries {
         |        FROM sc JOIN documents d USING (doc_id))
         |SELECT CAST(least(greatest(floor(logodds), -5), 5) AS BIGINT) AS bin,
         |  count(*) AS n_docs,
-        |  sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  CAST(round(sum(CAST(round(logodds * 1e4) AS BIGINT)) * 1.0 / count(*)) AS BIGINT) AS mean_logodds_x1e4,
         |  CAST(round((sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1e4) AS BIGINT) AS pos_rate_x1e4
         |FROM lab GROUP BY 1 ORDER BY bin""".stripMargin),
@@ -3405,7 +3405,7 @@ object Queries {
         |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
         |bs AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c * (len(bg) - 1)) AS topbg FROM bc GROUP BY doc_id)
         |SELECT d.doc_id,
-        |  coalesce(ws.n_words, 0) AS n_words,
+        |  CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
         |  CAST(round((coalesce(ws.dupw * 1.0 / ws.n_words, 0)) * 1e4) AS BIGINT) AS dup_word_frac_x1e4,
         |  CAST(round((coalesce((bs.n2 - bs.d2) * 1.0 / bs.n2, 0)) * 1e4) AS BIGINT) AS dup_bigram_frac_x1e4,
         |  CAST(round((coalesce(bs.topbg * 1.0 / ws.wchars, 0)) * 1e4) AS BIGINT) AS top_bigram_char_frac_x1e4,

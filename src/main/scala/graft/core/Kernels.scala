@@ -200,8 +200,6 @@ object Kernels {
     "min", "minimum", "multiply", "range", "rangeOf", "sum", "total", "stddev",
     "first", "last", "current")
 
-  /** Banker's rounding to `precision` decimal digits (ref helper.SafeRound,
-    * expr/helper/helper.go:225-231 uses math.RoundToEven). */
   /** Go math.Pow's documented special cases diverge from Java's Math.pow
     * on exactly three inputs: Go checks `y == 0 || x == 1` FIRST (so
     * Pow(1, NaN) = 1 where Java gives NaN) and returns 1 for
@@ -212,6 +210,8 @@ object Kernels {
     else if (x == -1.0 && java.lang.Double.isInfinite(y)) 1.0
     else math.pow(x, y)
 
+  /** Banker's rounding to `precision` decimal digits (ref helper.SafeRound,
+    * expr/helper/helper.go:225-231 uses math.RoundToEven). */
   def safeRound(v: Double, precision: Int): Double = {
     if (isNaN(v)) return v
     val scale = math.pow(10, precision)

@@ -200,13 +200,14 @@ object AnalyticsOps {
     rewrap(df.withColumn("values", u(col("values"))), "stdev", Seq(points.toString))
   }
 
-  /** pearson(a, b, windowSize): trailing-window correlation of the first
-    * series of each argument; NaN until the window is full, named
-    * pearson(a,b,w). (ref pearson/function.go:54-73) */
-  def pearsonWindow(a: DataFrame, b: DataFrame, windowSize: Int): DataFrame = {
-    // first series in name order — a bare limit(1) over a >1-series glob
-    // would pick nondeterministically
-    val bi = b.orderBy(col("name")).limit(1).select(col("values").as("valuesB"), col("name").as("nameB"))
+  /** pearson(a, b, windowSize): trailing-window correlation of two series;
+    * NaN until the window is full, named pearson(a,b,w). EITHER argument
+    * matching 0 or >1 series is ErrWildcardNotAllowed, like the reference
+    * (ref pearson/function.go:43-45,54-73). */
+  def pearsonWindow(a0: DataFrame, b: DataFrame, windowSize: Int): DataFrame = {
+    val a = SeriesOps.requireOneSeries(a0, "pearson")
+    val bi = SeriesOps.requireOneSeries(b, "pearson")
+      .select(col("values").as("valuesB"), col("name").as("nameB"))
     val u = udf((x: Seq[Double], y: Seq[Double]) => {
       val xa = x.toArray; val ya = y.toArray
       xa.indices.map { i =>
@@ -227,7 +228,10 @@ object AnalyticsOps {
     * series. The reference is ONE series (broadcast); ranking is
     * orderBy+limit → TakeOrderedAndProject. (ref pearsonClosest/function.go) */
   def pearsonClosest(df: DataFrame, ref: DataFrame, n: Int, direction: String = "abs"): DataFrame = {
-    val r1 = ref.orderBy(col("name")).limit(1).select(col("values").as("refValues"))
+    // the reference series must match exactly one series — 0 or >1 is
+    // ErrWildcardNotAllowed (ref pearsonClosest/function.go:43-45)
+    val r1 = SeriesOps.requireOneSeries(ref, "pearsonClosest")
+      .select(col("values").as("refValues"))
     val u = udf((a: Seq[Double], b: Seq[Double]) => VecOps.pearson(a.toArray, b.toArray))
     val scored = df.crossJoin(broadcast(r1))
       .withColumn("_r", u(col("values"), col("refValues")))
@@ -620,10 +624,13 @@ object AnalyticsOps {
     * stripped inside the test); points before the window fills (i <
     * windowSize, so the first series point is never in any window) are
     * NaN; the emitted value is the NR p-value, not the D statistic.
-    * (ref kolmogorovSmirnovTest2/function.go:66-80 + the vendored
-    * go-onlinestats/kstest.go) */
-  def ksTest2(a: DataFrame, b: DataFrame, windowSize: Int): DataFrame = {
-    val bi = b.orderBy(col("name")).limit(1).select(col("values").as("valuesB"), col("name").as("nameB"))
+    * EITHER argument matching 0 or >1 series is ErrWildcardNotAllowed
+    * (ref kolmogorovSmirnovTest2/function.go:43-45,66-80 + the vendored
+    * go-onlinestats/kstest.go). */
+  def ksTest2(a0: DataFrame, b: DataFrame, windowSize: Int): DataFrame = {
+    val a = SeriesOps.requireOneSeries(a0, "kolmogorovSmirnovTest2")
+    val bi = SeriesOps.requireOneSeries(b, "kolmogorovSmirnovTest2")
+      .select(col("values").as("valuesB"), col("name").as("nameB"))
     val u = udf((x: Seq[Double], y: Seq[Double]) => {
       val xa = x.toArray; val ya = y.toArray
       Array.tabulate(xa.length) { i =>

@@ -189,10 +189,19 @@ object PairOps {
         // non-ANSI mode (doubles included — and NULL must never reach a
         // values array), so the zero-denominator cases are spelled out
         zip_with(col("num.values"), col("den.values"),
-          (n, d) => when(isnan(d), lit(Double.NaN))
-            .when(d === 0.0 && n > 0.0, lit(Double.PositiveInfinity))
-            .when(d === 0.0 && n < 0.0, lit(Double.NegativeInfinity))
-            .when(d === 0.0, lit(Double.NaN))
+          // NaN guards come first: Spark's comparison semantics order NaN
+          // above every number (NaN > 0.0 is TRUE), so a bare `n > 0.0`
+          // branch would send NaN/0 to +Inf instead of NaN
+          (n, d) => when(isnan(d) || isnan(n), lit(Double.NaN))
+            .when(d === 0.0 && n === 0.0, lit(Double.NaN))
+            .when(d === 0.0,
+              // raw IEEE honors the zero DIVISOR's sign too (n/-0.0 = -Inf
+              // for n > 0). Spark `===` folds -0.0 into 0.0 and there is no
+              // raw-bits accessor, but Math.pow(±0.0, -1) = ±Inf recovers
+              // the sign without `/`'s null-on-zero
+              when(signum(n) * signum(pow(d, lit(-1.0))) > 0,
+                lit(Double.PositiveInfinity))
+                .otherwise(lit(Double.NegativeInfinity)))
             .otherwise(n / d)).as("values"))
   }
 

@@ -253,6 +253,29 @@ object SeriesOps {
     }: _*)
   }
 
+  /** Exactly-one-series guard (ref types.ErrWildcardNotAllowed,
+    * expr/types/types.go:21-22): collapses a series frame to ONE row,
+    * raising at runtime when the argument matched 0 or >1 series — the
+    * reference errors on `len(arg) != 1` at pearson/function.go:43,
+    * kolmogorovSmirnovTest2/function.go:44 and pearsonClosest/function.go:44.
+    * `first` (not min) because tags is a MapType, which Spark cannot order;
+    * the n==1 guard makes first deterministic. The count folds map-side —
+    * one row crosses the wire. */
+  private[engine] def requireOneSeries(df: DataFrame, op: String): DataFrame = {
+    // the guard rides on EVERY output column: a caller that projects only
+    // `values` (pearsonClosest) would otherwise let Catalyst prune the one
+    // column carrying the raise_error and skip the check entirely
+    def guarded(c: Column) = when(col("n") =!= 1, raise_error(concat(
+      lit(s"$op: found wildcard where series expected (matched "),
+      col("n"), lit(" series)")))).otherwise(c)
+    df.select(struct(col("name"), col("tags"), col("start"), col("step"), col("values")).as("s"))
+      .agg(first(col("s")).as("s"), count(lit(1)).as("n"))
+      .select(
+        guarded(col("s.name")).as("name"), guarded(col("s.tags")).as("tags"),
+        guarded(col("s.start")).as("start"), guarded(col("s.step")).as("step"),
+        guarded(col("s.values")).as("values"))
+  }
+
   /** asPercent with no total: each point as % of the per-ts sum over all
     * series. The total is ONE aggregated row → broadcast join back, zero
     * extra shuffle of the big side. (ref asPercent/function.go:40-250 mode 1) */

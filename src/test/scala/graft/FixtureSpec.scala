@@ -1442,18 +1442,34 @@ class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
       md("g2", Seq(100.0, 100), step = 1)), stepHint = Some(1))
   }
 
-  test("pearson/ksTest2 pick the FIRST series of a multi-series second arg by name") {
-    // b.* matches two series; the kept comparator must be b.a (name order),
-    // regardless of store row order — limit(1) without a sort would be
-    // nondeterministic
+  test("pearson/ksTest2/pearsonClosest error on wildcard args (ref ErrWildcardNotAllowed, types.go:21-22)") {
+    // the reference errors when a single-series argument matches 0 or >1
+    // series (pearson/function.go:43-45, kolmogorovSmirnovTest2/
+    // function.go:43-45, pearsonClosest/function.go:43-45) — a silent
+    // first-by-name pick would hand back a plausible-but-wrong answer
     val in = Seq(
       md("a1", Seq(1.0, 2, 3, 4), step = 1),
       md("b.z", Seq(9.0, 9, 9, 9), step = 1),
       md("b.a", Seq(1.0, 2, 3, 4), step = 1))
-    val names = run("pearson(a1,b.*,2)", in).map(_.name)
-    assert(names == Seq("pearson(a1,b.a,2)"), s"got $names")
-    val ks = run("ksTest2(a1,b.*,4)", in).map(_.name)
-    assert(ks == Seq("kolmogorovSmirnovTest2(a1,b.a,4)"), s"got $ks")
+    def wildcardError(q: String): Unit = try {
+      val r = run(q, in)
+      fail(s"$q returned ${r.map(_.name)} instead of erroring")
+    } catch {
+      case e: org.scalatest.exceptions.TestFailedException => throw e
+      case e: Throwable =>
+        val msg = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+          .take(8).map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+        assert(msg.contains("found wildcard where series expected"), s"$q -> $e")
+    }
+    wildcardError("pearson(a1,b.*,2)")          // >1 on the second arg
+    wildcardError("pearson(b.*,a1,2)")          // >1 on the first arg
+    wildcardError("ksTest2(a1,b.*,4)")
+    wildcardError("ksTest2(b.*,a1,4)")
+    wildcardError("pearsonClosest(b.*,a1,1)")   // >1 reference series
+    // exactly-one matches still work end to end
+    assert(run("pearson(a1,b.a,2)", in).map(_.name) == Seq("pearson(a1,b.a,2)"))
+    assert(run("ksTest2(a1,b.a,4)", in).map(_.name)
+      == Seq("kolmogorovSmirnovTest2(a1,b.a,4)"))
   }
 
   test("aggregate callback table: every consolidation, verbatim naming (ref aggregate/function_test.go:28-290)") {

@@ -42,6 +42,15 @@ SENSITIVE = ("p41,p54,p57,p58,p59,p60,p67,p68,p70,p73,p77,p78,p79,p80,"
 
 def gen_corpus(seed: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    # out_dir persists in /tmp across runs: an older run's passthrough
+    # SYMLINK (e.g. orders.parquet -> the golden testdata) must be removed
+    # before COPY, or DuckDB follows it and silently overwrites the golden
+    # parquet. Unlink every COPY target (and stale symlinks generally)
+    # up front.
+    for t in ("documents", "embeddings", "events", "orders"):
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.lexists(dst):
+            os.unlink(dst)
     con = duckdb.connect()
     # deterministic perturbation: resample with a seed-keyed LCG filter
     # (varies n), duplicate a seed-dependent slice (plants dup/tie mass),

@@ -25,6 +25,33 @@ def norm_cell(v):
     if isinstance(v, bool): return str(int(v))
     return str(v)
 
+def type_kind(t):
+    """Coarse numeric-kind class for the oracle-vs-spark type lint."""
+    t = str(t).upper()
+    if t.startswith("DECIMAL") or t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if "INT" in t:  # TINYINT..BIGINT, HUGEINT, unsigned variants
+        return "int"
+    if t == "BOOLEAN":
+        return "bool"
+    return "other"
+
+
+def type_lint(s_cols, s_types, o_cols, o_types):
+    """The r12 lesson: DuckDB types bare sum() as HUGEINT, which pandas/Arrow
+    render as float64 ('5.0' vs BIGINT '5') — flipping any type- or
+    format-sensitive driver hash while fetchall() (both Python int) passes.
+    Fail on any HUGEINT oracle output column, and on any int-vs-float kind
+    mismatch between the oracle result and the Spark parquet dump."""
+    errs = [f"oracle col {c} is {t} (un-CAST aggregate?)"
+            for c, t in zip(o_cols, o_types) if "HUGEINT" in str(t).upper()]
+    smap = dict(zip(s_cols, s_types))
+    for c, t in zip(o_cols, o_types):
+        if c in smap and {type_kind(smap[c]), type_kind(t)} == {"int", "float"}:
+            errs.append(f"col {c} kind mismatch spark={smap[c]} oracle={t}")
+    return errs
+
+
 def table_hash(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
@@ -49,15 +76,20 @@ def main():
         if not os.path.isdir(spark_dir):
             results[name] = "MISSING spark dump"; fails += 1; continue
         files = glob.glob(os.path.join(spark_dir, "*.parquet"))
-        sq = con.execute(f"SELECT * FROM read_parquet({files!r})")
-        s_cols = [d[0] for d in sq.description]; s_rows = sq.fetchall()
+        sq = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        s_cols = list(sq.columns); s_types = [str(t) for t in sq.types]
+        s_rows = sq.fetchall()
         try:
-            oq = con.execute(oracle[name])
-            o_cols = [d[0] for d in oq.description]; o_rows = oq.fetchall()
+            oq = con.sql(oracle[name])
+            o_cols = list(oq.columns); o_types = [str(t) for t in oq.types]
+            o_rows = oq.fetchall()
         except Exception as e:
             results[name] = f"ORACLE ERROR: {e}"; fails += 1; continue
         if sorted(s_cols) != sorted(o_cols):
             results[name] = f"SCHEMA spark={sorted(s_cols)} oracle={sorted(o_cols)}"; fails += 1; continue
+        lint = type_lint(s_cols, s_types, o_cols, o_types)
+        if lint:
+            results[name] = "TYPE " + "; ".join(lint); fails += 1; continue
         if len(s_rows) != len(o_rows):
             results[name] = f"ROWS spark={len(s_rows)} oracle={len(o_rows)}"; fails += 1; continue
         sh, oh = table_hash(s_rows, s_cols), table_hash(o_rows, o_cols)
