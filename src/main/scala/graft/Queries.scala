@@ -498,6 +498,79 @@ object Queries {
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(10)
     }),
+    // TPC-H Q13-family rollup anchor: revenue by (nation, order year)
+    // under GROUP BY ROLLUP — the grouping-sets Expand is the one
+    // optimizer surface no other anchor exercises. Scale shape: the fact
+    // pre-aggregates per ORDER before any join (map-side partial + one
+    // orderkey exchange), so the Expand's 3× row multiplication applies
+    // to order-cardinality rows, never raw lineitems; nation broadcasts;
+    // subtotal rows disambiguate via 'ALL' sentinels (n_name / o_year are
+    // never null in the data, so the sentinel is unambiguous)
+    "q16_rollup_revenue" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long").as("_cents"))
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("_cents")).as("cents"), count(lit(1)).as("nl"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("oy"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      perOrder.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("oy"))
+        .agg((sum(col("cents")).cast("double") / 100).as("revenue"),
+          sum(col("nl")).as("n_lines"))
+        .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("oy").cast("string"), lit("ALL")).as("o_year"),
+          col("revenue"), col("n_lines"))
+        .orderBy("nation", "o_year")
+    }),
+    // TPC-H Q8's many-way star join with selective dims (market share):
+    // per order year, the revenue share of one supplier nation within
+    // PROMO-part revenue sold to ASIA-region customers. Join-order test
+    // under AQE: the selective part filter broadcasts INTO the lineitem
+    // scan first (shrinks the fact ~6× before anything shuffles),
+    // supplier + both nation lookups + region broadcast, and the only
+    // fact-fact exchanges are the natural orderkey and custkey equijoins.
+    // Cents stay exact integers to the output; the share is one IEEE
+    // division of two exact longs (deterministic on both engines)
+    "q17_market_share" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long").as("_cents"))
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .where(col("p_type") === "PROMO").select(col("p_partkey"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val natS = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("oy"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      // ASIA nation keys: nation ⋈ region collapses to a broadcast list
+      val natC = s.read.parquet(s"$dir/nation.parquet")
+      val reg = s.read.parquet(s"$dir/region.parquet").where(col("r_name") === "ASIA")
+      val asiaKeys = natC.join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaKeys), col("c_nationkey") === col("cn_key"))
+        .groupBy(col("oy"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", col("_cents")).otherwise(0L)).as("nat_cents"),
+          sum(col("_cents")).as("tot_cents"))
+        .select(col("oy").cast("long").as("o_year"), col("nat_cents"), col("tot_cents"),
+          (col("nat_cents").cast("double") / col("tot_cents")).as("mkt_share"))
+        .orderBy("o_year")
+    }),
     // trailing-window aggregate features (the other half of the q12
     // feature-store pair): per purchase, the same user's view count and
     // cents-exact value sum over the PRECEDING 24 h. The range join runs
@@ -2386,6 +2459,49 @@ object Queries {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    // the oracle rolls up the flat line-level join directly — an
+    // independent implementation against the engine's per-order
+    // pre-aggregation; sums CAST to BIGINT (the p67 HUGEINT rule)
+    "q16_rollup_revenue" ->
+      """WITH po AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS cents,
+        |    count(*) AS nl
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT n_name, year(o_orderdate) AS oy, cents, nl
+        |  FROM po JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(CAST(oy AS VARCHAR), 'ALL') AS o_year,
+        |  sum(cents) / 100.0 AS revenue,
+        |  CAST(sum(nl) AS BIGINT) AS n_lines
+        |FROM j GROUP BY ROLLUP(n_name, oy) ORDER BY 1, 2""".stripMargin,
+    // the oracle runs the literal flat 8-table star join; the engine's
+    // broadcast-first shrink order never appears in the SQL
+    "q17_market_share" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |j AS (
+        |  SELECT year(o_orderdate) AS oy, n2.n_name AS supp_nation, cents
+        |  FROM li
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01')
+        |SELECT CAST(oy AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS BIGINT) AS nat_cents,
+        |  CAST(sum(cents) AS BIGINT) AS tot_cents,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(cents) AS DOUBLE) AS mkt_share
+        |FROM j GROUP BY oy ORDER BY 1""".stripMargin,
     // the oracle is the NAIVE range join — an independent implementation
     // against the engine's bucketed (user, day-bin) equality join
     "q13_window_features" ->

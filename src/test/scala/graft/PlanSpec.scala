@@ -586,6 +586,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "supplier and nation must broadcast:\n" + s.take(2500))
   }
 
+  test("q16 rollup: ONE Expand over order-cardinality rows (fact pre-aggregated per order before any join), nation broadcast") {
+    val df = SparkEntry.queries("q16_rollup_revenue")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Expand".r.findAllIn(s).length == 1,
+      "rollup must plan exactly one Expand:\n" + s.take(2500))
+    // the Expand consumes an already-joined, already order-aggregated
+    // stream — lineitem appears exactly once, and the per-ORDER aggregate
+    // (keyed by l_orderkey — a key the rollup itself never groups by)
+    // proves the fact pre-aggregation happened below the joins
+    assert("lineitem\\.parquet".r.findAllIn(s).length == 1,
+      "lineitem must scan once:\n" + s.take(2500))
+    assert(s.contains("HashAggregate(keys=[l_orderkey"),
+      "the fact must pre-aggregate per order before joining:\n" + s.take(2500))
+    assert(s.contains("BroadcastHashJoin"), "nation must broadcast:\n" + s.take(2500))
+  }
+
+  test("q17 star join: selective part filter reaches the part scan and broadcasts into lineitem; dims broadcast; no cartesian") {
+    val df = SparkEntry.queries("q17_market_share")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("lineitem\\.parquet".r.findAllIn(s).length == 1,
+      "lineitem must scan once:\n" + s.take(2500))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "every join must stay equality-keyed:\n" + s.take(2500))
+    // the p_type disjunct must be pushed into the part parquet scan, not
+    // filtered above the join
+    assert(s.contains("PushedFilters: [IsNotNull(p_type), EqualTo(p_type,PROMO)]") ||
+      s.contains("EqualTo(p_type,PROMO)"),
+      "p_type filter must reach the part scan:\n" + s.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(s).length >= 4,
+      "part, supplier, both nation lookups and the region-filtered key list must broadcast:\n" + s.take(2500))
+  }
+
   test("p75 memorization audit counts gram df in a gram-PARTITIONED window — no unpartitioned window, no second corpus scan") {
     import org.apache.spark.sql.execution.window.WindowExec
     val sp = spark
