@@ -284,7 +284,32 @@ object ScaleBench {
     // Everything else keeps count() for cross-round comparability.
     val forceFullEval = Set("p78_shard_manifest", "p79_manifest_diff", "p80_backfill_plan",
       "q12_pit_features", "q13_window_features")
-    selected.map { name =>
+    // p52's catalog row times index build + probe TOGETHER; the curve
+    // wants them apart — the build is ingest-side work amortized over
+    // every later batch, the probe is the steady-state per-batch cost
+    // (r13). Measured into separate synthetic rows on a split-off index
+    // path so the catalog row's own index stays untouched.
+    val p52Split: Seq[(String, Double)] =
+      if (selected.contains("p52_neardup_incremental")) {
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val path = Queries.ndIndexPath(dir) + "_split"
+        // untimed warm pass on a 50-doc sample: the suite warm-up covers
+        // scans but not the OPH/band codegen, and the FIRST build would
+        // otherwise absorb the compile and invert the base-vs-x ratio
+        graft.pipeline.Dedup.writeNearDupIndex(d.limit(50), path + "_warm")
+        graft.pipeline.Dedup.nearDupAgainstIndex(d.limit(50), path + "_warm",
+          threshold = 0.9).count()
+        val t0 = System.nanoTime()
+        graft.pipeline.Dedup.writeNearDupIndex(d, path)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val batch = d.where(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10_000_000L))
+        val t1 = System.nanoTime()
+        graft.pipeline.Dedup.nearDupAgainstIndex(batch, path, threshold = 0.9).count()
+        val tProbe = (System.nanoTime() - t1) / 1e9
+        Seq("p52_index_build" -> tBuild, "p52_index_probe" -> tProbe)
+      } else Nil
+    p52Split ++ selected.map { name =>
       // untimed fixture re-warm between queries (same eviction artifact as
       // Bench: a heavy query's persists evict the shared series cache and
       // the next timed query pays the rebuild — the documented g18 7.57 s

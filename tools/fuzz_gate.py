@@ -126,7 +126,85 @@ def gen_corpus(seed: int, out_dir: str) -> None:
     con.close()
 
 
+def gen_mm_corpus(mode: str, out_dir: str) -> None:
+    """10× multimodal pathological corpora (r13): the banding
+    collision-density claim's two worst cases. 'identical' repeats every
+    base doc 10× with UNCHANGED text — every copy family lands in the same
+    band buckets, max collision density (the pair set goes quadratic IN THE
+    FAMILY, by design — candidates track true duplicate mass). 'distinct'
+    appends a per-(copy, doc) unique token — zero cross-copy collisions.
+    The copy offset is divisible by 30 so copies keep their modality class
+    (doc_id % 3) and their planted-seed membership (doc_id % 30), and stays
+    under the +30M planted-dup id space. m06/m07's oracles replay the same
+    construction in SQL, so gate.py checks the full pair set both ways."""
+    os.makedirs(out_dir, exist_ok=True)
+    for t in ("documents",):
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.lexists(dst):
+            os.unlink(dst)
+    con = duckdb.connect()
+    uniq = ("CASE WHEN i > 0 THEN text || ' uq' || CAST(i AS VARCHAR) "
+            "|| '_' || CAST(doc_id AS VARCHAR) ELSE text END"
+            if mode == "distinct" else "text")
+    con.execute(f"""
+      COPY (
+        WITH c AS (SELECT unnest(generate_series(0, 9)) AS i)
+        SELECT doc_id + i * 3000000 AS doc_id, {uniq} AS text,
+               lang, source, n_chars
+        FROM '{BASE}/documents.parquet' CROSS JOIN c
+      ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.lexists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    con.close()
+
+
+def run_gate(repo: str, sf_dir: str, out_dir: str, subset: str, label: str) -> bool:
+    """Run Verify + gate.py on one corpus; True = clean."""
+    try:
+        r = subprocess.run(
+            ["sbt", "-batch", f'set run/envVars := Map("SPARK_GRAFT_ONLY" -> "{subset}")',
+             f"runMain graft.Verify {sf_dir} {out_dir}"],
+            cwd=repo, capture_output=True, text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        print(f"{label}: Verify TIMED OUT (1800s)")
+        return False
+    if r.returncode != 0:
+        print(f"{label}: Verify FAILED\n{r.stdout[-2000:]}")
+        return False
+    try:
+        g = subprocess.run(
+            [sys.executable, f"{repo}/tools/gate.py", out_dir, sf_dir, subset],
+            capture_output=True, text=True, timeout=600)
+    except subprocess.TimeoutExpired:
+        print(f"{label}: gate TIMED OUT (600s)")
+        return False
+    line = (g.stdout.strip().splitlines() or ["<no output>"])[-1]
+    print(f"{label}: {line}")
+    if g.returncode != 0:
+        print(g.stdout[-3000:])
+        return False
+    return True
+
+
+def main_mm() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    failures = 0
+    for mode in ("identical", "distinct"):
+        sf_dir = f"/tmp/graft_fuzz/mm_{mode}"
+        gen_mm_corpus(mode, sf_dir)
+        if not run_gate(repo, sf_dir, f"/tmp/graft_fuzz/mm_out_{mode}",
+                        "m06,m07", f"mm_{mode}"):
+            failures += 1
+    print(f"mm fuzz: {2 - failures}/2 corpora clean")
+    return 1 if failures else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "mm":
+        return main_mm()
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     subset = sys.argv[2] if len(sys.argv) > 2 else SENSITIVE
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
