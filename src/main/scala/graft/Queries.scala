@@ -1284,6 +1284,51 @@ object Queries {
       Assembly.backfillPlan(d, newSnap, nShards = 8, configTag = "v1")
         .orderBy("shard")
     }),
+    // split lineage manifest: the p78 contract over the train/val/test
+    // family — per split, volumes, id range, order-independent checksum,
+    // full-config fingerprint (tag + fractions + seed)
+    "p81_split_manifest" -> ((s, dir) =>
+      Assembly.splitManifest(docs(s, dir), configTag = "v1")
+        .orderBy("split")),
+    // split transition matrix between the p64 crawl snapshots under the
+    // p32 hash split: surviving docs can never move (assignment is a pure
+    // doc_id hash), so the matrix is the diagonal plus new/gone rows —
+    // the artifact PROVES the stability claim instead of asserting it
+    "p82_split_moves" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newSnap = d.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .unionByName(d.where(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      def assign(df: DataFrame) = Assembly.trainValTestSplit(df)
+        .select(col("doc_id"), col("split"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Assembly.splitMoves(assign(d), assign(newSnap))
+        .orderBy("split_from", "split_to")
+    }),
+    // cluster-closed split churn: the refresh's deletions and edits rewire
+    // the near-dup pair graph (members vanish, min-id labels shift,
+    // clusters merge/split), so p72 splits genuinely MOVE docs across the
+    // train/eval boundary — this matrix is the eval-contamination audit
+    // the hash split never needs
+    "p83_cluster_split_moves" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val newSnap = d.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .unionByName(d.where(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      def assign(df: DataFrame) =
+        Dedup.splitByCluster(df, Dedup.ngramJaccardPairs(df, k = 3, threshold = 0.5))
+          .join(df.select(col("doc_id"),
+            TextStats.tokenCount(col("text")).cast("long").as("n_tokens")), "doc_id")
+          .select(col("doc_id"), col("split"), col("n_tokens"))
+      Assembly.splitMoves(assign(d), assign(newSnap))
+        .orderBy("split_from", "split_to")
+    }),
     // dedup-aware sampling weights: each near-dup cluster's members share
     // unit mass (weight = 1/|cluster|) instead of being dropped
     "p62_dedup_weights" -> ((s, dir) => {
@@ -1577,10 +1622,44 @@ object Queries {
        |  FROM $rel)
        |GROUP BY shard""".stripMargin
 
-  private val ccSql =
-    """WITH RECURSIVE words AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w
-      |  FROM documents),
+  /** Per-doc p32 hash-split assignment with token counts over an arbitrary
+    * relation — the oracle twin of `Assembly.trainValTestSplit` +
+    * `TextStats.tokenCount`, shared by the split lineage rows. */
+  private def hashAssignSql(rel: String): String =
+    s"""SELECT doc_id,
+       |  CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split,
+       |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, text,
+       |      ((doc_id % 1000003 + 9377) * 22695477) % 1000000007 % 1000000 / 1000000.0 AS u
+       |      FROM $rel)""".stripMargin
+
+  /** The p64 crawl-refresh derivation (deletions + edits + arrivals) —
+    * the snapshot the manifest/diff/split-churn rows compare against. */
+  private val ndSnapshotSql: String =
+    """SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
+  /** The (split_from, split_to) transition matrix over two per-doc
+    * assignment CTEs named oa/na, each (doc_id, split, n_tokens). */
+  private val splitMovesTailSql: String =
+    """j AS (
+      |  SELECT coalesce(oa.split, 'absent') AS split_from,
+      |    coalesce(na.split, 'absent') AS split_to,
+      |    coalesce(na.n_tokens, oa.n_tokens) AS n_tokens
+      |  FROM oa FULL OUTER JOIN na ON oa.doc_id = na.doc_id)
+      |SELECT split_from, split_to, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(split_from <> split_to AND split_from <> 'absent' AND split_to <> 'absent' AS BIGINT) AS moved
+      |FROM j GROUP BY split_from, split_to ORDER BY split_from, split_to""".stripMargin
+
+  /** The p11 pair derivation + transitive min-reachable-id closure over an
+    * arbitrary relation — `ccSql` is the `documents` instance; the split
+    * lineage rows (p83) run it once per corpus snapshot. */
+  private def ccSqlFor(rel: String) =
+    s"""WITH RECURSIVE words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'), x -> len(x) > 0) AS w
+      |  FROM $rel),
       |sh AS (
       |  SELECT DISTINCT doc_id, sh FROM (
       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
@@ -1598,7 +1677,9 @@ object Queries {
       |  SELECT und.u, reach.x FROM und JOIN reach ON reach.u = und.v),
       |cc AS (SELECT u AS doc_id, least(u, min(x)) AS cluster_id FROM reach GROUP BY u)
       |SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
-      |FROM documents d LEFT JOIN cc USING (doc_id) ORDER BY doc_id""".stripMargin
+      |FROM $rel d LEFT JOIN cc USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  private val ccSql = ccSqlFor("documents")
 
   val oracleSql: Map[String, String] = Map(
     "g01_sum_series" -> agg1("sumSeries(events.*)", "sum(v)"),
@@ -3579,6 +3660,57 @@ object Queries {
         |    ORDER BY rebuild_tokens DESC, rebuild_docs DESC, shard)
         |  ELSE 0 END AS priority
         |FROM p ORDER BY shard""").stripMargin,
+    // the p78 manifest contract keyed by the p32 hash split instead of the
+    // LCG shard; config_fp fingerprints the FULL split config string
+    "p81_split_manifest" ->
+      (s"""WITH a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split,
+        |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || CASE WHEN text IS NULL THEN chr(2) ELSE chr(1) || text END), 1, 15))::BIGINT % 1000000007 AS h
+        |  FROM (SELECT doc_id, text,
+        |        ((doc_id % 1000003 + 9377) * 22695477) % 1000000007 % 1000000 / 1000000.0 AS u
+        |        FROM documents))
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |  CAST(sum(h) % 1000000007 AS BIGINT) AS checksum,
+        |  ('0x' || substr(md5('v1|train=0.9|val=0.05|seed=9377'), 1, 15))::BIGINT AS config_fp
+        |FROM a GROUP BY split ORDER BY split""").stripMargin,
+    // doc-keyed full-outer join of the two snapshots' hash-split
+    // assignments: surviving docs keep their split (pure doc_id hash), so
+    // every both-present cell is diagonal — moved is 0 everywhere
+    "p82_split_moves" ->
+      (s"""WITH nd AS ($ndSnapshotSql),
+        |oa AS (${hashAssignSql("documents")}),
+        |na AS (${hashAssignSql("nd")}),
+        |$splitMovesTailSql""").stripMargin,
+    // the same matrix over the CLUSTER-CLOSED split: splits key on the
+    // ccSql min-reachable-id label, which the refresh's deletions/edits
+    // rewire — off-diagonal both-present cells are genuine split churn
+    "p83_cluster_split_moves" ->
+      (s"""WITH nd AS ($ndSnapshotSql),
+        |occ AS (SELECT * FROM (${ccSqlFor("documents")}) t),
+        |ncc AS (SELECT * FROM (${ccSqlFor("nd")}) t),
+        |oa AS (
+        |  SELECT c.doc_id,
+        |    CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split,
+        |    tk.n_tokens
+        |  FROM (SELECT doc_id,
+        |        ((cluster_id % 1000003 + 9377) * 22695477) % 1000000007 % 1000000 / 1000000.0 AS u
+        |        FROM occ) c
+        |  JOIN (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM documents) tk
+        |    ON tk.doc_id = c.doc_id),
+        |na AS (
+        |  SELECT c.doc_id,
+        |    CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split,
+        |    tk.n_tokens
+        |  FROM (SELECT doc_id,
+        |        ((cluster_id % 1000003 + 9377) * 22695477) % 1000000007 % 1000000 / 1000000.0 AS u
+        |        FROM ncc) c
+        |  JOIN (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM nd) tk
+        |    ON tk.doc_id = c.doc_id),
+        |$splitMovesTailSql""").stripMargin,
     // p46's LCG shard + a 60-bit md5-prefix doc hash folded mod 1e9+7 and
     // summed per shard (order-independent integer math on both engines);
     // the config fingerprint is the md5 of the same canonical string

@@ -160,16 +160,25 @@ object Assembly {
    * split put 100% of survivors in 'train' (every sampled doc had u < r)
    * — the composition a real pipeline runs constantly.
    */
-  def trainValTestSplit(docs: DataFrame, trainFrac: Double = 0.9,
-                        valFrac: Double = 0.05, seed: Long = 9377L): DataFrame = {
+  /** The p32 split assignment as a column: a multiplicative-LCG uniform on
+    * `key` cut at the train/val fractions. Shared by [[trainValTestSplit]]
+    * (key = doc_id), `Dedup.splitByCluster` (key = cluster_id) and the
+    * split lineage manifest — one definition so the manifest can never
+    * drift from the assignment it audits. */
+  def splitLabel(key: Column, trainFrac: Double, valFrac: Double,
+                 seed: Long): Column = {
     require(trainFrac + valFrac <= 1.0, "fractions exceed 1")
-    val u = (((col("doc_id") % 1000003L + seed) * 22695477L) % 1000000007L % 1000000L)
+    val u = (((key % 1000003L + seed) * 22695477L) % 1000000007L % 1000000L)
       .cast("double") / 1000000.0
-    docs.withColumn("split",
-      when(u < trainFrac, lit("train"))
-        .when(u < trainFrac + valFrac, lit("val"))
-        .otherwise(lit("test")))
+    when(u < trainFrac, lit("train"))
+      .when(u < trainFrac + valFrac, lit("val"))
+      .otherwise(lit("test"))
   }
+
+  def trainValTestSplit(docs: DataFrame, trainFrac: Double = 0.9,
+                        valFrac: Double = 0.05, seed: Long = 9377L): DataFrame =
+    docs.withColumn("split",
+      splitLabel(col("doc_id"), trainFrac, valFrac, seed))
 
   /**
    * Length-bucketed batching plan: docs grouped by floor(log2(n_tokens))
@@ -751,6 +760,82 @@ object Assembly {
     planned
       .withColumn("priority",
         when(col("action") === "rebuild", row_number().over(w)).otherwise(lit(0)))
+  }
+
+  /**
+   * Split lineage manifest — the [[shardManifest]] contract applied to the
+   * train/val/test SPLIT family: per split, volumes, doc-id range, the
+   * order-independent md5-fold content checksum, and a fingerprint of the
+   * full split config (tag + fractions + seed). The versioned, diffable
+   * record of "which split did each doc land in, under which config" —
+   * publish one per corpus build and two builds' manifests answer whether
+   * an eval set silently changed under a refresh.
+   *
+   * `splitOf` defaults to the p32 doc_id hash ([[splitLabel]]); pass the
+   * cluster-closed assignment (`Dedup.splitByCluster`'s `split` column
+   * joined back) through a custom `splitOf` to audit that family instead.
+   *
+   * Scale shape: identical to [[shardManifest]] — one corpus scan,
+   * map-side split hash + checksum terms, ONE 3-row aggregation. The
+   * manifest is split-cardinality-sized however big the corpus grows.
+   */
+  def splitManifest(docs: DataFrame, configTag: String,
+                    trainFrac: Double = 0.9, valFrac: Double = 0.05,
+                    seed: Long = 9377L): DataFrame = {
+    val cfg = s"$configTag|train=$trainFrac|val=$valFrac|seed=$seed"
+    docs
+      .select(splitLabel(col("doc_id"), trainFrac, valFrac, seed).as("split"),
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        manifestTerm(col("doc_id"), col("text")).as("_h"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        pmod(sum(col("_h")), lit(ManifestMod)).as("checksum"))
+      .withColumn("config_fp",
+        conv(substring(md5(lit(cfg)), 1, 15), 16, 10).cast("long"))
+  }
+
+  /**
+   * Doc-level split transition matrix between two corpus builds: given the
+   * per-doc assignments of an old and a new build (any `(doc_id, split,
+   * n_tokens)` frames — the p32 hash split, the cluster-closed p72 split,
+   * or mixed configs), the (split_from, split_to) matrix with doc counts
+   * and token volumes. Docs present in only one build land in the
+   * `absent` row/column; `moved` flags the off-diagonal both-present
+   * cells — the "did the refresh move doc X across the train/eval
+   * boundary" answer, aggregated. For the p32 hash split the moved cells
+   * are empty BY CONSTRUCTION (assignment depends only on doc_id);
+   * for the cluster-closed split a refresh that merges two near-dup
+   * clusters genuinely moves the smaller cluster's docs — the event this
+   * matrix exists to surface (eval contamination via silent split churn).
+   *
+   * Token volumes are new-side where the doc survives (what a trainer
+   * consumes now), old-side for `gone` docs (what left).
+   *
+   * Scale shape: two map-side assignment scans and ONE doc_id-keyed
+   * full-outer join (linear in corpus size, the natural equijoin), folded
+   * map-side to a ≤ (|splits|+1)² matrix. Nothing pairwise, nothing
+   * corpus-global.
+   */
+  def splitMoves(oldAssign: DataFrame, newAssign: DataFrame): DataFrame = {
+    val o = oldAssign.select(col("doc_id"), col("split").as("_os"),
+      col("n_tokens").as("_ot"))
+    val n = newAssign.select(col("doc_id"), col("split").as("_ns"),
+      col("n_tokens").as("_nt"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("_os"), lit("absent")).as("split_from"),
+        coalesce(col("_ns"), lit("absent")).as("split_to"),
+        coalesce(col("_nt"), col("_ot")).as("n_tokens"))
+      .groupBy("split_from", "split_to")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("moved",
+        (col("split_from") =!= col("split_to") &&
+          col("split_from") =!= "absent" && col("split_to") =!= "absent")
+          .cast("long"))
   }
 
   /**

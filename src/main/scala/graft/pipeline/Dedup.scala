@@ -598,15 +598,9 @@ object Dedup {
    * arithmetic; nothing new moves.
    */
   def splitByCluster(docs: DataFrame, pairs: DataFrame, trainFrac: Double = 0.9,
-                     valFrac: Double = 0.05, seed: Long = 9377L): DataFrame = {
-    require(trainFrac + valFrac <= 1.0, "fractions exceed 1")
-    val u = (((col("cluster_id") % 1000003L + seed) * 22695477L) % 1000000007L % 1000000L)
-      .cast("double") / 1000000.0
+                     valFrac: Double = 0.05, seed: Long = 9377L): DataFrame =
     dedupClustersStar(docs, pairs).withColumn("split",
-      when(u < trainFrac, lit("train"))
-        .when(u < trainFrac + valFrac, lit("val"))
-        .otherwise(lit("test")))
-  }
+      Assembly.splitLabel(col("cluster_id"), trainFrac, valFrac, seed))
 
   def dedupWeights(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val cc = dedupClustersStar(docs, pairs)

@@ -1380,6 +1380,107 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(idle.forall(r => r.getString(1) == "none" && r.getInt(4) == 0))
   }
 
+  test("p81: split manifest covers the corpus, localizes an edit to its split, re-keys on ANY config field") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 60L).map(i => (i, s"doc number $i " * (i % 4 + 1).toInt))
+      .toDF("doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame, tag: String = "v1",
+                 train: Double = 0.9, value: Double = 0.05) =
+      graft.pipeline.Assembly.splitManifest(df, tag, train, value)
+        .orderBy("split").collect().map(_.toSeq.toList).toList
+    val m1 = manifest(docs)
+    // ids 5,28,51 hash test; 15,38 val; the rest train — all three splits
+    // populated, volumes partition the corpus exactly
+    assert(m1.map(_(0)) == List("test", "train", "val"), m1.toString)
+    assert(m1.map(_(1).asInstanceOf[Long]).sum == 60L)
+    assert(m1.map(_(1)) == List(3L, 55L, 2L), m1.toString)
+    // partition/order invariance (the p78 contract)
+    val m2 = manifest(docs.repartition(7).orderBy(desc("doc_id")))
+    assert(m1 == m2, "manifest must be partition/order independent")
+    // an edited doc flips EXACTLY its split's checksum (doc 5 is test)
+    val m3 = manifest(docs.withColumn("text",
+      when(col("doc_id") === 5L, lit("rewritten")).otherwise(col("text"))))
+    val changed = m1.zip(m3).filter { case (a, b) => a(5) != b(5) }
+    assert(changed.map(_._1(0)) == List("test"), changed.toString)
+    // any config field re-keys config_fp and nothing else: tag, fractions
+    val mTag = manifest(docs, tag = "v2")
+    val mFrac = manifest(docs, train = 0.8)
+    assert(m1.zip(mTag).forall { case (a, b) => a(5) == b(5) && a(6) != b(6) },
+      "tag change must flip config_fp only")
+    assert(m1.map(_(6)).distinct.size == 1 &&
+      mTag.map(_(6)) != m1.map(_(6)) && mFrac.map(_(6)) != m1.map(_(6)) &&
+      mTag.map(_(6)) != mFrac.map(_(6)),
+      "each config must carry its own fingerprint")
+  }
+
+  test("p82: hash-split transition matrix is diagonal + new/gone — a refresh can never move a surviving doc") {
+    val sp = spark
+    import sp.implicits._
+    val olds = (1L to 60L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    // refresh: edit doc 3 (train stays train — text is irrelevant to the
+    // hash), delete doc 5 (test → absent), add doc 100
+    val news = olds.where(col("doc_id") =!= 5L)
+      .withColumn("text", when(col("doc_id") === 3L, lit("edited much longer text here"))
+        .otherwise(col("text")))
+      .unionByName(Seq((100L, "fresh arrival")).toDF("doc_id", "text"))
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Assembly.trainValTestSplit(df)
+        .select(col("doc_id"), col("split"),
+          graft.pipeline.TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val out = graft.pipeline.Assembly.splitMoves(assign(olds), assign(news))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // zero moved cells: every both-present doc stays on the diagonal
+    assert(out.forall { case (_, (_, _, moved)) => moved == 0L }, out.toString)
+    assert(out.keys.forall { case (f, t) => f == t || f == "absent" || t == "absent" },
+      s"hash split must never move a surviving doc: $out")
+    // the refresh events land in the absent row/column
+    assert(out(("test", "absent"))._1 == 1L, out.toString)   // doc 5 gone
+    assert(out(("absent", "train"))._1 == 1L, out.toString)  // doc 100 new
+    // diagonal counts: all 55 train survive, 2 val, 2 surviving test (28,51)
+    assert(out(("train", "train"))._1 == 55L && out(("val", "val"))._1 == 2L
+      && out(("test", "test"))._1 == 2L, out.toString)
+    // token volumes are NEW-side for survivors: doc 3's edit shows up
+    // ("doc number i" = 3 tokens each; the edit is 5 tokens, +2)
+    assert(out(("train", "train"))._2 == 55L * 3L + 2L, out.toString)
+  }
+
+  test("p83: cluster-closed split moves docs when a refresh deletes the cluster's min (label shifts, split re-hashes)") {
+    val sp = spark
+    import sp.implicits._
+    // docs 5 and 6 share identical text → one cluster labeled 5 → both
+    // split as hash(5) = test; the others are unique singletons
+    val dupText = "alpha beta gamma delta epsilon"
+    val olds = (Seq((5L, dupText), (6L, dupText)) ++
+      (1L to 4L).map(i => (i, s"unique text number $i word$i end$i")))
+      .toDF("doc_id", "text")
+    // refresh deletes doc 5: doc 6 becomes its own cluster (label 6) →
+    // split re-hashes to hash(6) = train — a genuine test→train move
+    val news = olds.where(col("doc_id") =!= 5L)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Dedup.splitByCluster(df,
+          graft.pipeline.Dedup.ngramJaccardPairs(df, k = 3, threshold = 0.5))
+        .join(df.select(col("doc_id"),
+          graft.pipeline.TextStats.tokenCount(col("text")).cast("long").as("n_tokens")), "doc_id")
+        .select(col("doc_id"), col("split"), col("n_tokens"))
+    // closure sanity on the old side: 5 and 6 share a split (the p72
+    // leakage-free contract)
+    val oldSplits = assign(olds).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(oldSplits(5L) == "test" && oldSplits(6L) == "test", oldSplits.toString)
+    val out = graft.pipeline.Assembly.splitMoves(assign(olds), assign(news))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(4)))
+      .toMap
+    // the deletion of the cluster min MOVES the surviving member
+    assert(out(("test", "train")) == ((1L, 1L)), out.toString)
+    assert(out(("test", "absent"))._1 == 1L, out.toString) // doc 5 itself
+    // the untouched singletons stay put
+    assert(out(("train", "train"))._1 == 4L && out(("train", "train"))._2 == 0L,
+      out.toString)
+  }
+
   test("p64: snapshot diff classifies added/removed/changed/unchanged by content hash") {
     val sp = spark
     import sp.implicits._

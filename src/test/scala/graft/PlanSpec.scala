@@ -747,6 +747,46 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "priority window must be partition-bounded")
   }
 
+  test("p81 split manifest: one pruned 2-column scan, map-side partial agg, split-key exchange only") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.Assembly.splitManifest(docs, "v1")
+      .queryExecution.executedPlan.toString
+    val scans = "ReadSchema: struct<doc_id:bigint,text:string>".r.findAllIn(plan).size
+    assert(scans == 1, s"one pruned manifest scan expected, got $scans:\n" + plan.take(2000))
+    assert(plan.contains("partial_sum"),
+      "checksum/token terms must fold map-side:\n" + plan.take(2000))
+    val exchanges = "Exchange hashpartitioning\\(split".r.findAllIn(plan).size
+    val allExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == allExchanges && allExchanges == 1,
+      s"the only exchange is the 3-row split agg ($exchanges of $allExchanges):\n" +
+        plan.take(3000))
+  }
+
+  test("p82 split moves: two pruned scans, ONE doc_id equijoin, matrix-key agg — nothing pairwise") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Assembly.trainValTestSplit(df)
+        .select(col("doc_id"), col("split"),
+          graft.pipeline.TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val plan = graft.pipeline.Assembly.splitMoves(
+        assign(docs), assign(docs.where(col("doc_id") % 2 === 0)))
+      .queryExecution.executedPlan.toString
+    val scans = "ReadSchema: struct<doc_id:bigint,text:string>".r.findAllIn(plan).size
+    assert(scans == 2, s"two pruned assignment scans expected, got $scans:\n" + plan.take(2000))
+    // the full-outer doc_id equijoin is the only corpus-sized shuffle; the
+    // matrix agg keys on (split_from, split_to) and folds map-side
+    val keyed = "Exchange hashpartitioning\\((doc_id|split_from)".r.findAllIn(plan).size
+    val allExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(keyed == allExchanges && allExchanges >= 2,
+      s"exchanges must key on doc_id or the matrix ($keyed of $allExchanges):\n" +
+        plan.take(3000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "split moves must never go pairwise:\n" + plan.take(2000))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "matrix agg must fold map-side:\n" + plan.take(2000))
+  }
+
   test("applyByNode batches its rewritten targets into ONE fetchMulti scan (not one store read per prefix)") {
     var multiCalls = Vector.empty[Seq[String]]
     val counting = new MockBackendStore(Map(
