@@ -571,6 +571,37 @@ object Queries {
           (col("nat_cents").cast("double") / col("tot_cents")).as("mkt_share"))
         .orderBy("o_year")
     }),
+    // TPC-H Q18's aggregate-subquery semi join (large-volume customers),
+    // rewritten scan-once: the literal SQL reads lineitem TWICE (the
+    // HAVING subquery and the outer per-order sum); the engine computes
+    // the per-order quantity aggregate ONCE — map-side partials into the
+    // natural orderkey exchange — and the HAVING survivors are
+    // order-cardinality BY THE QUERY'S OWN SELECTIVITY CONTRACT (the
+    // threshold exists to pick outlier orders), so the tiny filtered agg
+    // broadcasts into orders and the joined result into customer: the
+    // fact table never re-joins and never re-aggregates. Quantities are
+    // integer-valued doubles → the sum is exact on both engines; the
+    // top-100 sort is total (price desc, orderkey) so the limit is
+    // deterministic
+    "q18_large_orders" -> ((s, dir) => {
+      val perOrder = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .where(col("total_qty") > 250)
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_timestamp(col("o_orderdate")).as("o_orderdate_s"),
+          (round(col("o_totalprice") * 1e4) / 1e4).as("o_totalprice"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"))
+      broadcast(perOrder)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate_s"), col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    }),
     // trailing-window aggregate features (the other half of the q12
     // feature-store pair): per purchase, the same user's view count and
     // cents-exact value sum over the PRECEDING 24 h. The range join runs
@@ -2583,6 +2614,22 @@ object Queries {
         |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(cents) AS DOUBLE) AS mkt_share
         |FROM j GROUP BY oy ORDER BY 1""".stripMargin,
+    // the LITERAL Q18 shape: IN over a GROUP BY + HAVING subquery plus a
+    // second outer aggregation — DuckDB scans lineitem twice where the
+    // engine's rewrite aggregates once and broadcasts the survivors
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  epoch(o_orderdate)::BIGINT AS o_orderdate_s,
+        |  round(o_totalprice * 1e4) / 1e4 AS o_totalprice,
+        |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY round(o_totalprice * 1e4) / 1e4 DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     // the oracle is the NAIVE range join — an independent implementation
     // against the engine's bucketed (user, day-bin) equality join
     "q13_window_features" ->

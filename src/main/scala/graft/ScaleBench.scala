@@ -257,7 +257,10 @@ object ScaleBench {
     "q02_revenue_by_nation", "p78_shard_manifest", "p79_manifest_diff", "p80_backfill_plan",
     "p77_quality_ensemble",
     // r12: the audio perceptual-dedup twin + the Q21 multi-EXISTS anchor
-    "m07_audio_neardup", "q15_waiting_suppliers")
+    "m07_audio_neardup", "q15_waiting_suppliers",
+    // r13: the rollup/star-join anchors and the split lineage family
+    "q16_rollup_revenue", "q17_market_share", "q18_large_orders",
+    "p81_split_manifest", "p82_split_moves", "p83_cluster_split_moves")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture
@@ -283,7 +286,11 @@ object ScaleBench {
     // timed with toRdd.count() — the full physical plan, all columns.
     // Everything else keeps count() for cross-round comparability.
     val forceFullEval = Set("p78_shard_manifest", "p79_manifest_diff", "p80_backfill_plan",
-      "q12_pit_features", "q13_window_features")
+      "q12_pit_features", "q13_window_features",
+      // the split manifests/matrices and the rollup/star anchors reduce to
+      // tiny aggregates whose sum/avg expressions count() would prune away
+      "p81_split_manifest", "p82_split_moves", "p83_cluster_split_moves",
+      "q16_rollup_revenue", "q17_market_share")
     // p52's catalog row times index build + probe TOGETHER; the curve
     // wants them apart — the build is ingest-side work amortized over
     // every later batch, the probe is the steady-state per-batch cost

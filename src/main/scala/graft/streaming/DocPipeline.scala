@@ -260,6 +260,19 @@ object DocPipeline {
       .withColumn("config_fp", A.configFingerprint(configTag, nShards))
   }
 
+  /** Streaming twin of `Assembly.splitManifest` (p81): the split lineage
+    * record kept live as documents arrive. Same monoid argument as
+    * [[manifestStream]] — count/sum/min/max and the mod-folded checksum
+    * terms are commutative monoids, so the complete-mode table after any
+    * micro-batch cut equals the batch manifest byte for byte. The batch
+    * plan is pure column ops + one streaming-legal aggregation, so the
+    * twin IS the batch definition (parity by construction); state and
+    * every emitted table are 3 rows. */
+  def splitManifestStream(docs: DataFrame, configTag: String,
+                          trainFrac: Double = 0.9, valFrac: Double = 0.05,
+                          seed: Long = 9377L): DataFrame =
+    graft.pipeline.Assembly.splitManifest(docs, configTag, trainFrac, valFrac, seed)
+
   def repetitionStream(docs: DataFrame): DataFrame = {
     val x4 = (c: org.apache.spark.sql.Column) => round(c * 1e4).cast("long")
     docs

@@ -620,6 +620,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "part, supplier, both nation lookups and the region-filtered key list must broadcast:\n" + s.take(2500))
   }
 
+  test("q18 Q18-shape scans lineitem ONCE (the oracle's IN-subquery reads it twice) and broadcasts the HAVING survivors") {
+    val df = SparkEntry.queries("q18_large_orders")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("lineitem\\.parquet".r.findAllIn(s).length == 1,
+      "lineitem must scan once — the per-order agg serves the HAVING filter AND the output:\n" + s.take(2500))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "every join must stay equality-keyed:\n" + s.take(2500))
+    // the tiny filtered aggregate broadcasts into orders, and that result
+    // into customer — the fact side never shuffles past its own agg
+    assert("BroadcastHashJoin".r.findAllIn(s).length == 2,
+      "survivor-side broadcasts expected into orders and customer:\n" + s.take(2500))
+    assert(s.contains("TakeOrderedAndProject"),
+      "the top-100 must run as TakeOrdered, not a global sort:\n" + s.take(2500))
+  }
+
   test("p75 memorization audit counts gram df in a gram-PARTITIONED window — no unpartitioned window, no second corpus scan") {
     import org.apache.spark.sql.execution.window.WindowExec
     val sp = spark

@@ -579,6 +579,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream $streamed vs batch $batch")
   }
 
+  test("streaming split manifest: the complete-mode lineage table equals the batch split manifest byte-for-byte") {
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("graft-splitmanifest").toString
+    val sp = spark
+    import sp.implicits._
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // 1..60 populates all three splits (5,28,51 test; 15,38 val)
+    val rows1 = (1L to 30L).map(i => (i, ts(i.toInt), s"alpha beta doc $i " * ((i % 3) + 1).toInt))
+    val rows2 = (31L to 60L).map(i => (i, ts(i.toInt), s"gamma delta doc $i"))
+    rows1.toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$tmp/docs/f1")
+    rows2.toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$tmp/docs/f2")
+    val src = sp.readStream.schema(graft.streaming.DocPipeline.docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/docs/*")
+    val q = graft.streaming.DocPipeline.splitManifestStream(src, "v1")
+      .writeStream.format("memory").queryName("split_manifest_stream")
+      .option("checkpointLocation", s"$tmp/ck")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = sp.table("split_manifest_stream").collect()
+      .map(_.toSeq.toList).sortBy(_.head.asInstanceOf[String]).toList
+    val batch = graft.pipeline.Assembly.splitManifest(
+        (rows1 ++ rows2).map(r => (r._1, r._3)).toDF("doc_id", "text"), "v1")
+      .orderBy("split").collect().map(_.toSeq.toList).toList
+    assert(streamed.size == 3 && streamed == batch,
+      s"stream $streamed vs batch $batch")
+  }
+
   test("streaming PII redaction equals the batch redaction byte-for-byte per document") {
     import java.sql.Timestamp
     val tmp = Files.createTempDirectory("graft-redact").toString
