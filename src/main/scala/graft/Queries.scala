@@ -1360,6 +1360,23 @@ object Queries {
       Assembly.splitMoves(assign(d), assign(newSnap))
         .orderBy("split_from", "split_to")
     }),
+    // boolean retrieval over the persisted term index: AND of three terms,
+    // answered from ≤3 of 64 pruned postings partitions — never a corpus
+    // scan; relevance = summed term frequency
+    "p84_term_search" -> ((s, dir) => {
+      val path = scratchPath("ti", dir)
+      TextStats.writeTermIndex(docs(s, dir), path)
+      TextStats.searchTermIndex(s, path, Seq("window", "scan", "merge"))
+        .orderBy("doc_id")
+    }),
+    // OR mode with one impossible term: matched-term counts stay per-doc
+    // and the absent term contributes nothing (the missing-posting path)
+    "p85_term_search_or" -> ((s, dir) => {
+      val path = scratchPath("ti", dir)
+      TextStats.writeTermIndex(docs(s, dir), path)
+      TextStats.searchTermIndex(s, path, Seq("dup", "zzzyx"), mode = "or")
+        .orderBy("doc_id")
+    }),
     // dedup-aware sampling weights: each near-dup cluster's members share
     // unit mass (weight = 1/|cluster|) instead of being dropped
     "p62_dedup_weights" -> ((s, dir) => {
@@ -3758,6 +3775,21 @@ object Queries {
         |  JOIN (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM nd) tk
         |    ON tk.doc_id = c.doc_id),
         |$splitMovesTailSql""").stripMargin,
+    // exact per-doc term frequencies filtered to the query terms — the
+    // index answers FROM POSTINGS what this computes by corpus scan
+    "p84_term_search" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM documents),
+        |tc AS (SELECT doc_id, word, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2),
+        |q AS (SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS n_hits
+        |      FROM tc WHERE word IN ('window', 'scan', 'merge') GROUP BY doc_id)
+        |SELECT doc_id, n_hits FROM q WHERE n_terms = 3 ORDER BY doc_id""".stripMargin,
+    "p85_term_search_or" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM documents),
+        |tc AS (SELECT doc_id, word, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS n_hits
+        |FROM tc WHERE word IN ('dup', 'zzzyx') GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // p46's LCG shard + a 60-bit md5-prefix doc hash folded mod 1e9+7 and
     // summed per shard (order-independent integer math on both engines);
     // the config fingerprint is the md5 of the same canonical string

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -430,5 +430,61 @@ object TextStats {
       .distinct()
       .join(idx, Seq("gram"), "left_anti")
       .write.mode("append").parquet(indexDir)
+  }
+
+  // ----------------------------------------------------- boolean retrieval
+
+  /**
+   * Persisted term inverted index — boolean retrieval over the corpus:
+   * the postings table (term, doc_id, tf) hash-bucketed into `buckets`
+   * partition directories, so a k-term query prunes to ≤ k of `buckets`
+   * dirs BEFORE any read. The curation-time "every doc mentioning X and Y"
+   * without a corpus scan (no analog in the reference — carbonapi's
+   * find/expand index paths, `pkg/parser/` + pathcache, index series
+   * NAMES; this indexes corpus CONTENT).
+   *
+   * Scale shape: the build is one corpus scan + one (term, doc_id)
+   * aggregate with map-side partials; the one shuffle is the write's own
+   * bucket partitioning. At query time the index is the big side and
+   * never moves (the p52 incremental-index contract) — cost tracks the
+   * QUERY terms' document frequency, never corpus size. Size `buckets` so
+   * one directory stays scannable (~vocab/buckets terms each).
+   */
+  def writeTermIndex(docs: DataFrame, dir: String, buckets: Int = 64,
+                     textCol: String = "text"): Unit =
+    docs.select(col("doc_id"), explode(Dedup.wordsOf(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /**
+   * Boolean retrieval against the persisted index: mode `and` returns
+   * docs containing EVERY query term (relevance = summed tf), `or` docs
+   * containing ANY (with how many distinct terms matched). The query
+   * terms' buckets are computed driver-side (k values — bounded by the
+   * query, the documented collect contract) and land in the scan as
+   * partition-pruning literals; the term equality disjunction pushes into
+   * the parquet row groups.
+   */
+  def searchTermIndex(spark: SparkSession, indexDir: String,
+                      terms: Seq[String], mode: String = "and",
+                      buckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "searchTermIndex: empty query")
+    val q = terms.distinct
+    import spark.implicits._
+    val bucketVals = spark.createDataset(q).toDF("term")
+      .select(pmod(hash(col("term")), lit(buckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(indexDir)
+      .where(col("bucket").isin(bucketVals: _*) && col("term").isin(q: _*))
+    val hits = idx.groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("n_terms"), sum(col("tf")).as("n_hits"))
+    mode match {
+      case "and" => hits.where(col("n_terms") === q.size)
+        .select(col("doc_id"), col("n_hits"))
+      case "or" => hits.select(col("doc_id"), col("n_terms"), col("n_hits"))
+      case other => throw new IllegalArgumentException(
+        s"searchTermIndex: bad mode $other")
+    }
   }
 }

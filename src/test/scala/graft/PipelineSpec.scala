@@ -1481,6 +1481,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.toString)
   }
 
+  test("p84/p85: boolean retrieval equals the corpus scan and reads only the query terms' postings partitions") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ti").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta"),
+      (3L, "beta gamma delta"),
+      (4L, "epsilon zeta"),
+      (5L, "alpha gamma gamma beta")).toDF("doc_id", "text")
+    graft.pipeline.TextStats.writeTermIndex(docs, dir, buckets = 16)
+    val and = graft.pipeline.TextStats.searchTermIndex(sp, dir,
+      Seq("alpha", "beta", "gamma"), buckets = 16)
+    val got = and.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    // doc 2 lacks gamma, doc 3 lacks alpha; relevance = summed tf
+    assert(got == List((1L, 4L), (5L, 4L)), got.toString)
+    val or = graft.pipeline.TextStats.searchTermIndex(sp, dir,
+        Seq("delta", "zzq"), mode = "or", buckets = 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // the absent term contributes nothing; delta matches doc 3 only
+    assert(or == List((3L, 1L, 1L)), or.toString)
+    // the AND scan reads at most the 3 query terms' bucket partitions
+    val scans = and.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty, "expected a parquet scan of the index")
+    val nParts = scans.head.selectedPartitions.partitionCount
+    assert(nParts <= 3, s"query must prune to <= 3 bucket dirs, read $nParts")
+    assert(scans.head.toString.contains("PartitionFilters"),
+      "bucket literals must reach the scan as partition filters")
+  }
+
   test("p64: snapshot diff classifies added/removed/changed/unchanged by content hash") {
     val sp = spark
     import sp.implicits._
