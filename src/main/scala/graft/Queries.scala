@@ -1377,6 +1377,26 @@ object Queries {
       TextStats.searchTermIndex(s, path, Seq("dup", "zzzyx"), mode = "or")
         .orderBy("doc_id")
     }),
+    // merge-on-read maintenance: the p64 refresh lands as ONE delta-sized
+    // segment append + a changed-docs tombstone table — the corpus-sized
+    // seg-0 postings are never rewritten, and the query over
+    // (index + delta + tombstones) must equal a full rebuild on the
+    // refreshed corpus (the oracle scans the refreshed corpus directly)
+    "p86_term_search_refresh" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = scratchPath("tim", dir)
+      TextStats.writeTermIndex(d, path)
+      val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" rev2")))
+      val added = d.where(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      TextStats.appendToTermIndex(edited.unionByName(added), path, seg = 1L)
+      val tomb = d.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(Long.MaxValue).as("before_seg"))
+        .unionByName(edited.select(col("doc_id"), lit(1L).as("before_seg")))
+      TextStats.searchTermIndexMoR(s, path, tomb, Seq("window", "scan", "merge"))
+        .orderBy("doc_id")
+    }),
     // dedup-aware sampling weights: each near-dup cluster's members share
     // unit mass (weight = 1/|cluster|) instead of being dropped
     "p62_dedup_weights" -> ((s, dir) => {
@@ -3790,6 +3810,16 @@ object Queries {
         |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2)
         |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS n_hits
         |FROM tc WHERE word IN ('dup', 'zzzyx') GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the refreshed corpus scanned DIRECTLY — the engine must reproduce
+    // this from seg-0 postings + one delta segment + tombstones
+    "p86_term_search_refresh" ->
+      (s"""WITH nd AS ($ndSnapshotSql),
+        |w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'), x -> len(x) > 0) AS w FROM nd),
+        |tc AS (SELECT doc_id, word, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2),
+        |q AS (SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS n_hits
+        |      FROM tc WHERE word IN ('window', 'scan', 'merge') GROUP BY doc_id)
+        |SELECT doc_id, n_hits FROM q WHERE n_terms = 3 ORDER BY doc_id""").stripMargin,
     // p46's LCG shard + a 60-bit md5-prefix doc hash folded mod 1e9+7 and
     // summed per shard (order-independent integer math on both engines);
     // the config fingerprint is the md5 of the same canonical string

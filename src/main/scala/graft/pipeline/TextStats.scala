@@ -452,10 +452,64 @@ object TextStats {
    */
   def writeTermIndex(docs: DataFrame, dir: String, buckets: Int = 64,
                      textCol: String = "text"): Unit =
+    postings(docs, seg = 0L, buckets, textCol)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  private def postings(docs: DataFrame, seg: Long, buckets: Int,
+                       textCol: String): DataFrame =
     docs.select(col("doc_id"), explode(Dedup.wordsOf(col(textCol))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("seg", lit(seg))
       .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /**
+   * Merge-on-read index maintenance (the Lucene/Delta segment contract —
+   * parquet can't delete rows, so a refresh NEVER rewrites the index):
+   * new and edited docs append their postings as a higher segment;
+   * deletions and edits record a tombstone `(doc_id, before_seg)` meaning
+   * "doc_id's postings in segments < before_seg are dead". A refresh
+   * costs work proportional to the CHANGED docs; the corpus-sized seg-0
+   * postings are never touched. Periodic compaction (rewrite alive
+   * postings as a new seg 0) is an offline janitor, not a query-path
+   * concern.
+   */
+  def appendToTermIndex(docs: DataFrame, dir: String, seg: Long,
+                        buckets: Int = 64, textCol: String = "text"): Unit = {
+    require(seg > 0L, "appendToTermIndex: appended segments start at 1")
+    postings(docs, seg, buckets, textCol)
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+  }
+
+  /** Retrieval over a maintained index: [[searchTermIndex]] plus the
+    * tombstone anti-join. `tombstones` is (doc_id, before_seg) — refresh-
+    * sized by nature (only CHANGED docs have one), so it broadcasts; the
+    * anti-join keys on doc_id with the segment range as the join residual,
+    * applied only to the ≤ k pruned postings partitions. */
+  def searchTermIndexMoR(spark: SparkSession, indexDir: String,
+                         tombstones: DataFrame, terms: Seq[String],
+                         mode: String = "and", buckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "searchTermIndexMoR: empty query")
+    val q = terms.distinct
+    import spark.implicits._
+    val bucketVals = spark.createDataset(q).toDF("term")
+      .select(pmod(hash(col("term")), lit(buckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val t = tombstones.select(col("doc_id").as("_tid"), col("before_seg"))
+    val alive = spark.read.parquet(indexDir)
+      .where(col("bucket").isin(bucketVals: _*) && col("term").isin(q: _*))
+      .join(broadcast(t),
+        col("doc_id") === col("_tid") && col("seg") < col("before_seg"),
+        "left_anti")
+    val hits = alive.groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("n_terms"), sum(col("tf")).as("n_hits"))
+    mode match {
+      case "and" => hits.where(col("n_terms") === q.size)
+        .select(col("doc_id"), col("n_hits"))
+      case "or" => hits.select(col("doc_id"), col("n_terms"), col("n_hits"))
+      case other => throw new IllegalArgumentException(
+        s"searchTermIndexMoR: bad mode $other")
+    }
+  }
 
   /**
    * Boolean retrieval against the persisted index: mode `and` returns

@@ -1514,6 +1514,47 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bucket literals must reach the scan as partition filters")
   }
 
+  test("p86: merge-on-read index (delta segment + tombstones) answers queries identically to a full rebuild") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tim").toString
+    val olds = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta"),       // will be edited to gain gamma
+      (3L, "alpha beta gamma"), // will be deleted
+      (4L, "delta epsilon")).toDF("doc_id", "text")
+    graft.pipeline.TextStats.writeTermIndex(olds, dir, buckets = 16)
+    // refresh: edit 2, delete 3, add 5
+    val edited = Seq((2L, "alpha beta gamma gamma")).toDF("doc_id", "text")
+    val added = Seq((5L, "gamma beta alpha")).toDF("doc_id", "text")
+    graft.pipeline.TextStats.appendToTermIndex(
+      edited.unionByName(added), dir, seg = 1L, buckets = 16)
+    val tomb = Seq((3L, Long.MaxValue), (2L, 1L)).toDF("doc_id", "before_seg")
+    val mor = graft.pipeline.TextStats.searchTermIndexMoR(sp, dir, tomb,
+        Seq("alpha", "beta", "gamma"), buckets = 16)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    // the ground truth: a full rebuild over the refreshed corpus
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-tim2").toString
+    val newCorpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma gamma"),
+      (4L, "delta epsilon"),
+      (5L, "gamma beta alpha")).toDF("doc_id", "text")
+    graft.pipeline.TextStats.writeTermIndex(newCorpus, rebuilt, buckets = 16)
+    val full = graft.pipeline.TextStats.searchTermIndex(sp, rebuilt,
+        Seq("alpha", "beta", "gamma"), buckets = 16)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(mor == full, s"merge-on-read $mor vs rebuild $full")
+    // the edit is visible (doc 2 gained gamma, tf 4), the deleted doc is
+    // gone, the addition is present
+    assert(mor == List((1L, 3L), (2L, 4L), (5L, 3L)), mor.toString)
+    // the refresh wrote only the CHANGED docs' postings: seg 1 carries
+    // exactly the edited + added docs
+    val seg1 = sp.read.parquet(dir).where(col("seg") === 1L)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(seg1 == Set(2L, 5L), seg1.toString)
+  }
+
   test("p64: snapshot diff classifies added/removed/changed/unchanged by content hash") {
     val sp = spark
     import sp.implicits._
