@@ -480,6 +480,23 @@ object TextStats {
       .write.mode("append").partitionBy("bucket").parquet(dir)
   }
 
+  /** The offline janitor completing the merge-on-read lifecycle: rewrite
+    * the ALIVE postings (tombstones applied across every segment) as a
+    * fresh seg-0 index at `outDir`, after which the tombstone table is
+    * empty. One full index scan + the broadcast tombstone anti-join +
+    * the write's own bucket partitioning — run it when the delta segments
+    * or tombstone list grow past taste; queries never wait for it. */
+  def compactTermIndex(spark: SparkSession, indexDir: String,
+                       tombstones: DataFrame, outDir: String): Unit = {
+    val t = tombstones.select(col("doc_id").as("_tid"), col("before_seg"))
+    spark.read.parquet(indexDir)
+      .join(broadcast(t),
+        col("doc_id") === col("_tid") && col("seg") < col("before_seg"),
+        "left_anti")
+      .withColumn("seg", lit(0L))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+  }
+
   /** Retrieval over a maintained index: [[searchTermIndex]] plus the
     * tombstone anti-join. `tombstones` is (doc_id, before_seg) — refresh-
     * sized by nature (only CHANGED docs have one), so it broadcasts; the

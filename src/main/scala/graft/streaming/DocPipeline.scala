@@ -379,6 +379,28 @@ object DocPipeline {
       }
       .start()
 
+  /** Streaming maintenance of the p84/p86 term index: each micro-batch
+    * appends its postings as segment batchId + 1 (seg 0 is the offline
+    * build), so arriving documents become searchable between batches and
+    * the segment numbering stays consistent with the merge-on-read
+    * tombstone contract. Batch-sized work per trigger (the index never
+    * rewrites); at-least-once replay re-appends a batch's postings —
+    * exactly-once callers dedup via the checkpointed batchId segment
+    * (replays reuse the SAME seg, so a tombstone (doc, seg) cut or a
+    * distinct-on-(term,doc,seg) read heals duplicates — documented, same
+    * contract as the near-dup pairs sink). */
+  def termIndexIngest(docStream: DataFrame, indexDir: String,
+                      checkpoint: String, buckets: Int = 64,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.TextStats.appendToTermIndex(
+          batch, indexDir, seg = batchId + 1L, buckets = buckets)
+      }
+      .start()
+
   def nearDupIngest(docStream: DataFrame, indexDir: String, pairsOut: String,
                     checkpoint: String, threshold: Double = 0.9,
                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =

@@ -1553,6 +1553,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val seg1 = sp.read.parquet(dir).where(col("seg") === 1L)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(seg1 == Set(2L, 5L), seg1.toString)
+    // compaction: alive postings rewritten as a fresh seg 0 — the same
+    // query with EMPTY tombstones returns the same answer, the dead
+    // postings are physically gone, every row is seg 0 again
+    val compacted = java.nio.file.Files.createTempDirectory("graft-tim3").toString
+    graft.pipeline.TextStats.compactTermIndex(sp, dir, tomb, compacted)
+    val noTomb = Seq.empty[(Long, Long)].toDF("doc_id", "before_seg")
+    val afterCompact = graft.pipeline.TextStats.searchTermIndexMoR(sp, compacted,
+        noTomb, Seq("alpha", "beta", "gamma"), buckets = 16)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(afterCompact == mor, s"compaction moved the answer: $afterCompact vs $mor")
+    val segs = sp.read.parquet(compacted).select("seg").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(segs == Set(0L), segs.toString)
+    assert(sp.read.parquet(compacted).where(col("doc_id") === 3L).count() == 0L,
+      "the deleted doc's postings must be physically gone after compaction")
   }
 
   test("p64: snapshot diff classifies added/removed/changed/unchanged by content hash") {

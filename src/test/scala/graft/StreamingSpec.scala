@@ -608,6 +608,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream $streamed vs batch $batch")
   }
 
+  test("streaming term-index ingest: arriving docs become searchable and the maintained index equals a full rebuild") {
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("graft-tii").toString
+    val sp = spark
+    import sp.implicits._
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // offline build over the initial corpus
+    val initial = Seq((1L, "alpha beta gamma"), (2L, "alpha delta"))
+      .toDF("doc_id", "text")
+    graft.pipeline.TextStats.writeTermIndex(initial, s"$tmp/idx", buckets = 16)
+    // two arriving files → two micro-batches appended as segments 1, 2
+    val rows1 = Seq((3L, ts(1), "gamma beta alpha extra"))
+    val rows2 = Seq((4L, ts(2), "alpha beta gamma gamma"))
+    rows1.toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$tmp/docs/f1")
+    rows2.toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$tmp/docs/f2")
+    val src = sp.readStream.schema(graft.streaming.DocPipeline.docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/docs/*")
+    val q = graft.streaming.DocPipeline.termIndexIngest(
+      src.select(col("doc_id"), col("text")), s"$tmp/idx", s"$tmp/ck", buckets = 16)
+    q.awaitTermination(120000)
+    // the maintained index answers like a rebuild over everything seen
+    val got = graft.pipeline.TextStats.searchTermIndex(sp, s"$tmp/idx",
+        Seq("alpha", "beta", "gamma"), buckets = 16)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val rebuilt = Files.createTempDirectory("graft-tii2").toString
+    graft.pipeline.TextStats.writeTermIndex(
+      initial.unionByName(
+        (rows1 ++ rows2).map(r => (r._1, r._3)).toDF("doc_id", "text")),
+      rebuilt, buckets = 16)
+    val full = graft.pipeline.TextStats.searchTermIndex(sp, rebuilt,
+        Seq("alpha", "beta", "gamma"), buckets = 16)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == full, s"maintained $got vs rebuild $full")
+    assert(got == List((1L, 3L), (3L, 3L), (4L, 4L)), got.toString)
+    // each micro-batch landed as its own segment (batchId + 1)
+    val segDocs = sp.read.parquet(s"$tmp/idx")
+      .select("seg", "doc_id").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(segDocs == Set(0L -> 1L, 0L -> 2L, 1L -> 3L, 2L -> 4L), segDocs.toString)
+  }
+
   test("streaming PII redaction equals the batch redaction byte-for-byte per document") {
     import java.sql.Timestamp
     val tmp = Files.createTempDirectory("graft-redact").toString
