@@ -602,6 +602,27 @@ object Queries {
         .orderBy(desc("o_totalprice"), col("o_orderkey"))
         .limit(100)
     }),
+    // NOT-IN anchor (never-ordered parts): SQL's three-valued NOT IN is
+    // the one join shape that degenerates at scale — Spark plans a
+    // null-aware anti join only when the subquery side broadcasts, and
+    // falls back to BroadcastNestedLoopJoin otherwise (a corpus-sized
+    // nested loop). The engine decomposes the semantics scale-safe:
+    // (1) a NULL probe never qualifies (isNotNull filter); (2) ANY NULL
+    // in the subquery empties the result — a 1-row has-null aggregate
+    // broadcast as a filter flag; (3) what remains is a plain LEFT ANTI
+    // equijoin, hash-partitioned, never a nested loop
+    "q19_never_ordered_parts" -> ((s, dir) => {
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_type"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .where(year(col("o_orderdate")) === 1995).select(col("o_orderkey"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val sub = li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey"))
+      graft.core.SqlOps.notIn(part, col("p_partkey"), sub, col("l_partkey"))
+        .orderBy("p_partkey")
+    }),
     // trailing-window aggregate features (the other half of the q12
     // feature-store pair): per purchase, the same user's view count and
     // cents-exact value sum over the PRECEDING 24 h. The range join runs
@@ -2667,6 +2688,14 @@ object Queries {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY round(o_totalprice * 1e4) / 1e4 DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+    // the LITERAL three-valued NOT IN — DuckDB evaluates the SQL-standard
+    // semantics the engine's decomposition must reproduce
+    "q19_never_ordered_parts" ->
+      """SELECT p_partkey, p_type FROM part
+        |WHERE p_partkey NOT IN (
+        |  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1995)
+        |ORDER BY p_partkey""".stripMargin,
     // the oracle is the NAIVE range join — an independent implementation
     // against the engine's bucketed (user, day-bin) equality join
     "q13_window_features" ->

@@ -1570,6 +1570,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the deleted doc's postings must be physically gone after compaction")
   }
 
+  test("SqlOps.notIn reproduces three-valued NOT IN: null probe excluded, any subquery null empties, empty subquery keeps all") {
+    val sp = spark
+    import sp.implicits._
+    val probe = Seq(Some(1L), Some(2L), Some(3L), None).toDF("k")
+    def run(sub: Seq[Option[Long]]): List[Long] =
+      graft.core.SqlOps.notIn(probe, col("k"), sub.toDF("s"), col("s"))
+        .orderBy("k").collect().map(_.getLong(0)).toList
+    // the plain case: 2 is in, null probe never qualifies
+    assert(run(Seq(Some(2L), Some(9L))) == List(1L, 3L))
+    // ANY subquery null → UNKNOWN for every unmatched probe → empty
+    assert(run(Seq(Some(2L), None)) == Nil)
+    // empty subquery → NOT IN () is true for every non-null probe
+    assert(run(Seq.empty) == List(1L, 2L, 3L))
+  }
+
   test("p64: snapshot diff classifies added/removed/changed/unchanged by content hash") {
     val sp = spark
     import sp.implicits._

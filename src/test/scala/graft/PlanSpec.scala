@@ -636,6 +636,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the top-100 must run as TakeOrdered, not a global sort:\n" + s.take(2500))
   }
 
+  test("q19 NOT-IN decomposition: hash LEFT ANTI on the key, the only nested loop is the 1-row null-flag broadcast") {
+    val df = SparkEntry.queries("q19_never_ordered_parts")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(s.contains("LeftAnti"),
+      "the NOT IN must run as a LEFT ANTI equijoin:\n" + s.take(2500))
+    assert(!s.contains("CartesianProduct"),
+      "no cartesian anywhere:\n" + s.take(2500))
+    // Spark's literal NOT IN falls back to a corpus-sized
+    // BroadcastNestedLoopJoin when the subquery can't broadcast — the
+    // decomposition's only nested loop is the 1-row has-null flag
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(s).length
+    assert(bnlj <= 1, s"only the 1-row flag may nest-loop ($bnlj):\n" + s.take(2500))
+  }
+
   test("p75 memorization audit counts gram df in a gram-PARTITIONED window — no unpartitioned window, no second corpus scan") {
     import org.apache.spark.sql.execution.window.WindowExec
     val sp = spark
