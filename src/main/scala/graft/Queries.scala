@@ -1398,6 +1398,22 @@ object Queries {
       TextStats.searchTermIndex(s, path, Seq("dup", "zzzyx"), mode = "or")
         .orderBy("doc_id")
     }),
+    // BM25 ranked retrieval over the same persisted index: contributions
+    // quantize to 1e6-scaled integers before the per-doc sum (association-
+    // proof), top-10 by (rounded score desc, doc_id) — a total order
+    "p87_bm25_topk" -> ((s, dir) => {
+      val path = scratchPath("ti", dir)
+      TextStats.writeTermIndex(docs(s, dir), path)
+      TextStats.bm25TopK(s, path, Seq("window", "scan", "merge"), k = 10)
+    }),
+    // hybrid lexical+semantic retrieval: the p87 BM25 arm and the p07
+    // cosine arm fused by reciprocal-rank fusion over vec_id 7's embedding
+    "p88_hybrid_rrf" -> ((s, dir) => {
+      val path = scratchPath("ti", dir)
+      TextStats.writeTermIndex(docs(s, dir), path)
+      Similarity.hybridRrfTopK(s, path, Seq("window", "scan", "merge"),
+        embeddings(s, dir), queryVecId = 7L, k = 10, pool = 20)
+    }),
     // merge-on-read maintenance: the p64 refresh lands as ONE delta-sized
     // segment append + a changed-docs tombstone table — the corpus-sized
     // seg-0 postings are never rewritten, and the query over
@@ -3839,6 +3855,62 @@ object Queries {
         |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2)
         |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS n_hits
         |FROM tc WHERE word IN ('dup', 'zzzyx') GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // exact BM25 replay (k1=1.2, b=0.75) with the engine's own operation
+    // order: idf and tf-norm per (term, doc), 1e6-quantized BEFORE the
+    // per-doc sum, the same two-step output rounding
+    "p87_bm25_topk" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM documents),
+        |tc AS (SELECT doc_id, word, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tc GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |hits AS (SELECT doc_id, word, tf FROM tc WHERE word IN ('window', 'scan', 'merge')),
+        |dfs AS (SELECT word, count(*) AS df FROM hits GROUP BY word),
+        |c AS (SELECT h.doc_id,
+        |  CAST(round(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+        |    * (h.tf * 2.2 / (h.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl * st.n_docs AS DOUBLE) / st.total_tokens)))
+        |    * 1e6) AS BIGINT) AS c
+        |  FROM hits h JOIN dfs ON h.word = dfs.word
+        |  JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN st)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  round(CAST(sum(c) AS DOUBLE) / 1e6 * 1e4) / 1e4 AS score
+        |FROM c GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // the p87 BM25 CTE ranked to 20, the p07-style cosine top-20 for
+    // vec_id 7, full-outer fused by 1/(60+rank) in the engine's fixed
+    // two-term order, 1e6-quantized
+    "p88_hybrid_rrf" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM documents),
+        |tc AS (SELECT doc_id, word, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tc GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |hits AS (SELECT doc_id, word, tf FROM tc WHERE word IN ('window', 'scan', 'merge')),
+        |dfs AS (SELECT word, count(*) AS df FROM hits GROUP BY word),
+        |c AS (SELECT h.doc_id,
+        |  CAST(round(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+        |    * (h.tf * 2.2 / (h.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl * st.n_docs AS DOUBLE) / st.total_tokens)))
+        |    * 1e6) AS BIGINT) AS c
+        |  FROM hits h JOIN dfs ON h.word = dfs.word
+        |  JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN st),
+        |bm AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE) / 1e6 * 1e4) / 1e4 AS score
+        |       FROM c GROUP BY doc_id),
+        |bmr AS (SELECT doc_id, bm_rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS bm_rank FROM bm)
+        |  WHERE bm_rank <= 20),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+        |cosr AS (SELECT doc_id, cos_rank FROM (
+        |  SELECT e.vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY list_cosine_similarity(qv.qe, e.embedding) DESC, e.vec_id) AS cos_rank
+        |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id != 7)
+        |  WHERE cos_rank <= 20),
+        |f AS (SELECT coalesce(bmr.doc_id, cosr.doc_id) AS doc_id, bm_rank, cos_rank,
+        |  CAST(round((coalesce(1.0 / (bm_rank + 60), 0.0)
+        |            + coalesce(1.0 / (cos_rank + 60), 0.0)) * 1e6) AS BIGINT) AS rrf_x1e6
+        |  FROM bmr FULL OUTER JOIN cosr ON bmr.doc_id = cosr.doc_id)
+        |SELECT doc_id, coalesce(bm_rank, 0) AS bm_rank,
+        |  coalesce(cos_rank, 0) AS cos_rank, rrf_x1e6
+        |FROM f ORDER BY rrf_x1e6 DESC, doc_id LIMIT 10""".stripMargin,
     // the refreshed corpus scanned DIRECTLY — the engine must reproduce
     // this from seg-0 postings + one delta segment + tombstones
     "p86_term_search_refresh" ->

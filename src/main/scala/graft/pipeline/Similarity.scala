@@ -37,6 +37,44 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /**
+   * Hybrid lexical + semantic retrieval by reciprocal-rank fusion
+   * (Cormack et al. 2009, the standard BM25 × dense fusion): the BM25
+   * top-`pool` and the cosine top-`pool` for one query fuse by
+   * rrf = Σ 1/(kRrf + rank), a doc missing from one list contributing 0.
+   * The fused score is emitted 1e6-scaled integer (1/(k+r) sums in a
+   * FIXED two-term expression order — deterministic IEEE on any engine);
+   * ranks key on already-quantized inputs (BM25's 4dp score, the exact
+   * double cosine), doc_id breaking every tie, so the fusion is total.
+   *
+   * Scale shape: both arms are their own measured operators (pruned
+   * postings + TakeOrdered; broadcast query × one corpus scan); the
+   * fusion itself is a full-outer join + arithmetic over two ≤pool-row
+   * frames — the rank windows run on LIMIT-bounded frames
+   * (bounded-by-contract, like the score histograms).
+   */
+  def hybridRrfTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                    terms: Seq[String], emb: DataFrame, queryVecId: Long,
+                    k: Int = 10, pool: Int = 20, kRrf: Int = 60): DataFrame = {
+    val bm = TextStats.bm25TopK(spark, indexDir, terms, k = pool)
+      .select(col("doc_id"), col("score"))
+    val wb = Window.orderBy(desc("score"), col("doc_id")) // ≤pool rows by limit
+    val bmR = bm.withColumn("bm_rank", row_number().over(wb).cast("long"))
+      .select(col("doc_id"), col("bm_rank"))
+    val cosR = bruteForceTopK(emb, emb.where(col("vec_id") === queryVecId), k = pool)
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("cos_rank"))
+    bmR.join(cosR, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_x1e6", round((
+        coalesce(lit(1.0) / (col("bm_rank") + kRrf), lit(0.0)) +
+          coalesce(lit(1.0) / (col("cos_rank") + kRrf), lit(0.0))) * 1e6).cast("long"))
+      .select(col("doc_id"),
+        coalesce(col("bm_rank"), lit(0L)).as("bm_rank"),
+        coalesce(col("cos_rank"), lit(0L)).as("cos_rank"),
+        col("rrf_x1e6"))
+      .orderBy(desc("rrf_x1e6"), col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * Brute-force cosine top-k: for each query vector, the k nearest corpus
    * vectors (excluding itself). Queries are broadcast; ranking is a window
    * per query id (k small → rank+filter ≈ top-k heap under AQE).

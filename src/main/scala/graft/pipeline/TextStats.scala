@@ -451,9 +451,19 @@ object TextStats {
    * one directory stays scannable (~vocab/buckets terms each).
    */
   def writeTermIndex(docs: DataFrame, dir: String, buckets: Int = 64,
-                     textCol: String = "text"): Unit =
+                     textCol: String = "text"): Unit = {
     postings(docs, seg = 0L, buckets, textCol)
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    // ranking sidecars: per-doc length (Σ tf) and the 1-row corpus stats —
+    // doc-cardinality metadata, derived from the postings just written so
+    // the corpus never scans twice
+    val p = docs.sparkSession.read.parquet(dir)
+    val dl = p.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$dir.doclen")
+    docs.sparkSession.read.parquet(s"$dir.doclen")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+      .write.mode("overwrite").parquet(s"$dir.stats")
+  }
 
   private def postings(docs: DataFrame, seg: Long, buckets: Int,
                        textCol: String): DataFrame =
@@ -478,6 +488,56 @@ object TextStats {
     require(seg > 0L, "appendToTermIndex: appended segments start at 1")
     postings(docs, seg, buckets, textCol)
       .write.mode("append").partitionBy("bucket").parquet(dir)
+  }
+
+  /**
+   * BM25 ranked retrieval over the persisted index (Robertson et al.,
+   * k1 = 1.2, b = 0.75): score every doc matching ANY query term,
+   * top-k by score. Per-(term, doc) contributions are deterministic
+   * doubles (idf and tf-norm are pure functions of (df, tf, dl, N,
+   * total_tokens)); each contribution quantizes to a 1e-6-scaled integer
+   * BEFORE the per-doc sum, so aggregation order can never move the score
+   * (the p67 integer-sum rule), and the top-k order is total
+   * (rounded score desc, doc_id).
+   *
+   * Scale shape: postings pruned to ≤ k buckets as in [[searchTermIndex]];
+   * df is counted on the pruned postings (k rows, broadcast back); dl is
+   * the doc-length sidecar joined on doc_id (metadata-sized equijoin);
+   * corpus stats ride a 1-row broadcast; the top-k is TakeOrdered. The
+   * dl·N product stays under 2^63 for dl·N < 9.2e18 (e.g. 10^4-token docs
+   * in a 10^13-doc corpus) — the g105 bound rule, documented not assumed.
+   */
+  def bm25TopK(spark: SparkSession, indexDir: String, terms: Seq[String],
+               k: Int = 10, buckets: Int = 64,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: empty query")
+    val q = terms.distinct
+    import spark.implicits._
+    val bucketVals = spark.createDataset(q).toDF("term")
+      .select(pmod(hash(col("term")), lit(buckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val hits = spark.read.parquet(indexDir)
+      .where(col("bucket").isin(bucketVals: _*) && col("term").isin(q: _*))
+      .select(col("term"), col("doc_id"), col("tf"))
+    val dfs = hits.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$indexDir.doclen")
+    val stats = spark.read.parquet(s"$indexDir.stats")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * (col("dl") * col("n_docs")).cast("double") / col("total_tokens")))
+    hits
+      .join(broadcast(dfs), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("_c", round(idf * norm * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("_c")).as("_s"))
+      .select(col("doc_id"), col("n_terms"),
+        (round(col("_s").cast("double") / 1e6 * 1e4) / 1e4).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
   }
 
   /** The offline janitor completing the merge-on-read lifecycle: rewrite

@@ -1585,6 +1585,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(Seq.empty) == List(1L, 2L, 3L))
   }
 
+  test("p87/p88: BM25 ranks by tf and idf as Robertson intends; RRF puts a both-arms doc above single-arm peers") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm").toString
+    // 'rare' appears in one doc, 'common' in all — idf separates them;
+    // doc 2 repeats 'common' — tf separates 2 from 3 within a term
+    val docs = Seq(
+      (1L, "rare common filler filler"),
+      (2L, "common common common filler"),
+      (3L, "common filler filler filler"),
+      (4L, "filler filler filler filler")).toDF("doc_id", "text")
+    graft.pipeline.TextStats.writeTermIndex(docs, dir, buckets = 16)
+    val bm = graft.pipeline.TextStats.bm25TopK(sp, dir,
+        Seq("rare", "common"), k = 4, buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // doc 1 holds the rare term → top; doc 2's tf beats doc 3; 4 matches nothing
+    assert(bm.map(_._1) == List(1L, 2L, 3L), bm.toString)
+    assert(bm.head._2 == 2L, s"doc 1 matches both terms: $bm")
+    assert(bm.forall(_._3 > 0.0), bm.toString)
+    // the fused catalog row on the real corpus: rrf-descending, every row
+    // carries at least one real rank, a both-arms doc outranks a
+    // same-rank single-arm doc (1/(60+r)+1/(60+r') > either alone)
+    val hybrid = graft.SparkEntry.queries("p88_hybrid_rrf")(sp, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hybrid.length == 10 && hybrid.map(_._4).toList == hybrid.map(_._4).sortBy(-_).toList,
+      s"fused output must be rrf-descending: ${hybrid.toList}")
+    assert(hybrid.forall(h => h._2 > 0L || h._3 > 0L), hybrid.toList.toString)
+  }
+
   test("p64: snapshot diff classifies added/removed/changed/unchanged by content hash") {
     val sp = spark
     import sp.implicits._
