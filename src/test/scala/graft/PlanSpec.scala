@@ -651,6 +651,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bnlj <= 1, s"only the 1-row flag may nest-loop ($bnlj):\n" + s.take(2500))
   }
 
+  test("p87 BM25 serves from pruned postings: bucket partition filters, 1-row stats broadcast, TakeOrdered top-k") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bmplan").toString
+    val docs = (1L to 50L).map(i => (i, s"alpha beta w$i filler text number $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.TextStats.writeTermIndex(docs, dir, buckets = 16)
+    val df = graft.pipeline.TextStats.bm25TopK(sp, dir,
+      Seq("alpha", "beta"), k = 5, buckets = 16)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    val idxScans = scans.filter(_.toString.contains("PartitionFilters: [bucket"))
+    assert(idxScans.nonEmpty, "postings scan must carry bucket partition filters:\n" +
+      scans.map(_.toString.take(400)).mkString("\n"))
+    assert(idxScans.head.selectedPartitions.partitionCount <= 2,
+      s"2 query terms must prune to <= 2 bucket dirs, read ${idxScans.head.selectedPartitions.partitionCount}")
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      "the top-k must run as TakeOrdered, not a global sort:\n" + s.take(2000))
+  }
+
   test("p75 memorization audit counts gram df in a gram-PARTITIONED window — no unpartitioned window, no second corpus scan") {
     import org.apache.spark.sql.execution.window.WindowExec
     val sp = spark
