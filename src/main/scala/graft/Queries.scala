@@ -1398,6 +1398,14 @@ object Queries {
       TextStats.searchTermIndex(s, path, Seq("dup", "zzzyx"), mode = "or")
         .orderBy("doc_id")
     }),
+    // exact phrase search from the positional postings — the 3-term fold
+    // exercises two join steps; the corpus text is never scanned
+    "p89_phrase_search" -> ((s, dir) => {
+      val path = scratchPath("ti", dir)
+      TextStats.writeTermIndex(docs(s, dir), path)
+      TextStats.phraseSearch(s, path, Seq("table", "scan", "merge"))
+        .orderBy("doc_id")
+    }),
     // BM25 ranked retrieval over the same persisted index: contributions
     // quantize to 1e6-scaled integers before the per-doc sum (association-
     // proof), top-10 by (rounded score desc, doc_id) — a total order
@@ -3855,6 +3863,15 @@ object Queries {
         |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2)
         |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS n_hits
         |FROM tc WHERE word IN ('dup', 'zzzyx') GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the phrase counted by direct adjacency scan over the word arrays —
+    // the positional index must reproduce it without touching text
+    "p89_phrase_search" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM documents),
+        |o AS (SELECT doc_id,
+        |  len(list_filter(generate_series(1, len(w) - 2), i -> w[i] = 'table' AND w[i+1] = 'scan' AND w[i+2] = 'merge')) AS n_occur
+        |  FROM w WHERE len(w) >= 3)
+        |SELECT doc_id, CAST(n_occur AS BIGINT) AS n_occur
+        |FROM o WHERE n_occur > 0 ORDER BY doc_id""".stripMargin,
     // exact BM25 replay (k1=1.2, b=0.75) with the engine's own operation
     // order: idf and tf-norm per (term, doc), 1e6-quantized BEFORE the
     // per-doc sum, the same two-step output rounding

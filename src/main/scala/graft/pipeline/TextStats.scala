@@ -465,10 +465,16 @@ object TextStats {
       .write.mode("overwrite").parquet(s"$dir.stats")
   }
 
+  /** Positional postings: tf plus the sorted in-doc positions (tf-sized
+    * per row — the standard positional-index payload), enabling phrase
+    * queries without ever scanning text. */
   private def postings(docs: DataFrame, seg: Long, buckets: Int,
                        textCol: String): DataFrame =
-    docs.select(col("doc_id"), explode(Dedup.wordsOf(col(textCol))).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    docs.select(col("doc_id"),
+        posexplode(Dedup.wordsOf(col(textCol))).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("seg", lit(seg))
       .withColumn("bucket", pmod(hash(col("term")), lit(buckets)))
 
@@ -488,6 +494,43 @@ object TextStats {
     require(seg > 0L, "appendToTermIndex: appended segments start at 1")
     postings(docs, seg, buckets, textCol)
       .write.mode("append").partitionBy("bucket").parquet(dir)
+  }
+
+  /**
+   * Exact phrase search from the positional postings — no text scan: the
+   * phrase's terms read from their ≤ |phrase| pruned buckets, and the
+   * start-position set folds left to right (a start survives term i iff
+   * term i sits at start + i). Repeated phrase terms just read the same
+   * posting twice; `n_occur` counts the surviving starts.
+   *
+   * Scale shape: |phrase| − 1 doc_id equijoins between QUERY-df-sized
+   * posting slices (each join shrinks the candidate set — the rarest
+   * term's df bounds everything after it); position checks are per-row
+   * array ops over tf-sized payloads. The corpus never scans.
+   */
+  def phraseSearch(spark: SparkSession, indexDir: String,
+                   phrase: Seq[String], buckets: Int = 64): DataFrame = {
+    require(phrase.size >= 2, "phraseSearch: need at least 2 terms")
+    import spark.implicits._
+    val q = phrase.distinct
+    val bucketVals = spark.createDataset(q).toDF("term")
+      .select(pmod(hash(col("term")), lit(buckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(indexDir)
+      .where(col("bucket").isin(bucketVals: _*) && col("term").isin(q: _*))
+      .select(col("term"), col("doc_id"), col("positions"))
+    var acc = idx.where(col("term") === phrase.head)
+      .select(col("doc_id"), col("positions").as("starts"))
+    for ((t, i) <- phrase.zipWithIndex.drop(1)) {
+      val p = idx.where(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"_p$i"))
+      acc = acc.join(p, "doc_id")
+        .withColumn("starts",
+          filter(col("starts"), s => array_contains(col(s"_p$i"), s + lit(i))))
+        .where(size(col("starts")) > 0)
+        .drop(s"_p$i")
+    }
+    acc.select(col("doc_id"), size(col("starts")).cast("long").as("n_occur"))
   }
 
   /**

@@ -1614,6 +1614,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hybrid.forall(h => h._2 > 0L || h._3 > 0L), hybrid.toList.toString)
   }
 
+  test("p89: phrase search counts overlapping occurrences, handles repeated terms, and never matches reversed order") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ph").toString
+    val docs = Seq(
+      (1L, "a b a b a b"),   // 'a b' × 3
+      (2L, "b a"),           // reversed — no match
+      (3L, "x x x"),         // 'x x' × 2: overlapping starts both count
+      (4L, "a c b"),         // gap — no match
+      (5L, "start a b")).toDF("doc_id", "text")
+    graft.pipeline.TextStats.writeTermIndex(docs, dir, buckets = 16)
+    def phrase(ts: String*) =
+      graft.pipeline.TextStats.phraseSearch(sp, dir, ts, buckets = 16)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(phrase("a", "b") == List((1L, 3L), (5L, 1L)))
+    assert(phrase("x", "x") == List((3L, 2L)))
+    assert(phrase("b", "a") == List((1L, 2L), (2L, 1L)))
+    assert(phrase("a", "c", "b") == List((4L, 1L)))
+    assert(phrase("c", "a") == Nil)
+  }
+
   test("p64: snapshot diff classifies added/removed/changed/unchanged by content hash") {
     val sp = spark
     import sp.implicits._
