@@ -673,6 +673,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the top-k must run as TakeOrdered, not a global sort:\n" + s.take(2000))
   }
 
+  test("p89 phrase search reads only the phrase terms' postings partitions and joins hash-keyed") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-phplan").toString
+    val docs = (1L to 50L).map(i => (i, s"alpha beta w$i filler text number $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.TextStats.writeTermIndex(docs, dir, buckets = 16)
+    val df = graft.pipeline.TextStats.phraseSearch(sp, dir,
+      Seq("alpha", "beta"), buckets = 16)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .filter(_.toString.contains("PartitionFilters: [bucket"))
+    assert(scans.nonEmpty, "postings scans must carry bucket partition filters")
+    assert(scans.forall(_.selectedPartitions.partitionCount <= 2),
+      s"2 phrase terms must prune to <= 2 bucket dirs: ${scans.map(_.selectedPartitions.partitionCount)}")
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "the fold joins must stay doc_id-equality-keyed:\n" + s.take(2000))
+  }
+
   test("p75 memorization audit counts gram df in a gram-PARTITIONED window — no unpartitioned window, no second corpus scan") {
     import org.apache.spark.sql.execution.window.WindowExec
     val sp = spark
