@@ -1058,6 +1058,10 @@ object Queries {
     "p36_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(embeddings(s, dir), k = 8, iters = 2, tau = 0.3)
         .orderBy("vec_id")),
+    // per-doc provenance audit: every gate's verdict + keeper + split +
+    // shard + the final in_corpus conjunction — "why is doc X in (or out)"
+    "p90_doc_provenance" -> ((s, dir) =>
+      Curation.docProvenance(docs(s, dir)).orderBy("doc_id")),
     // end-to-end curation capstone: language + length + PII gates composed
     // with near-dup keeper selection — the pre-tokenization pass
     "p22_curated_corpus" -> ((s, dir) => {
@@ -3086,6 +3090,47 @@ object Queries {
         |FROM ex GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
     // p04's language scoring + p02's token count + p19's PII predicates +
     // p21's connected-components keeper, composed
+    // the p22 gate CTEs re-used (incl. the 'und' zero-token case and the
+    // argmax's lang-DESC tiebreak), the keeper as an md5-partition window,
+    // the p32/p46 hashes inline
+    "p90_doc_provenance" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t FROM documents),
+        |sc AS (
+        |  SELECT doc_id, 'de' AS lang, len(list_filter(t, x -> list_contains(['der','die','das','und','ist','mit','für','nicht'], x))) AS score FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'en', len(list_filter(t, x -> list_contains(['the','and','of','to','is','with','that','for'], x))) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'es', len(list_filter(t, x -> list_contains(['el','la','los','las','es','con','para','por'], x))) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'fr', len(list_filter(t, x -> list_contains(['le','la','les','est','avec','pour','dans','une'], x))) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 'zh', len(list_filter(t, x -> list_contains(['的','是','在','了','和','有','我','不'], x))) FROM toks),
+        |tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+        |lang AS (SELECT s.doc_id,
+        |  CASE WHEN tok.n_tokens = 0 THEN 'und' ELSE s.lang END AS lang_pred
+        |  FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM sc) s
+        |  JOIN tok ON tok.doc_id = s.doc_id WHERE s.rn = 1),
+        |pii AS (SELECT doc_id, CAST(
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
+        |    AND len(regexp_extract_all(text, 'https?://[^\s]+')) = 0
+        |    AND len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) = 0
+        |    AND len(regexp_extract_all(text, '\+?[0-9][0-9() -]{6,}[0-9]')) = 0 AS BIGINT) AS pii_clean
+        |  FROM documents),
+        |k AS (SELECT doc_id, CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS exact_keeper FROM documents),
+        |base AS (SELECT doc_id,
+        |  CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split,
+        |  CAST((1103515245 * ((doc_id % 2147483648 + 2147483648) % 2147483648) + 12345) % 2147483648 % 8 AS BIGINT) AS shard
+        |  FROM (SELECT doc_id, ((doc_id % 1000003 + 9377) * 22695477) % 1000000007 % 1000000 / 1000000.0 AS u FROM documents))
+        |SELECT base.doc_id, lang.lang_pred, tok.n_tokens, pii.pii_clean,
+        |  k.exact_keeper, base.split, base.shard,
+        |  CAST(lang.lang_pred = 'en' AND tok.n_tokens >= 10
+        |    AND pii.pii_clean = 1 AND k.exact_keeper = 1 AS BIGINT) AS in_corpus
+        |FROM base JOIN lang ON lang.doc_id = base.doc_id
+        |JOIN tok ON tok.doc_id = base.doc_id
+        |JOIN pii ON pii.doc_id = base.doc_id
+        |JOIN k ON k.doc_id = base.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
     "p22_curated_corpus" ->
       """WITH RECURSIVE toks AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t FROM documents),

@@ -305,6 +305,39 @@ object Curation {
   }
 
   /**
+   * Per-document provenance record — the "why is doc X in (or out of) the
+   * training corpus" audit row a data-recipe debugger asks for: every
+   * gate's verdict (language, length, PII), the exact-dup keeper
+   * decision, the doc's split and shard destinations, and the final
+   * `in_corpus` flag as exactly the gate conjunction. Uses the EXACT
+   * content-hash keeper (the p01 rule) so the audit stays map-side gates
+   * plus ONE hash-keyed aggregate — when the near-dup keeper's verdict is
+   * the question, p22/p38 are its own outputs.
+   *
+   * Scale shape: language/PII/length gates are codegen'd column math;
+   * the keeper is one md5-keyed window (dup groups are tiny by nature);
+   * split and shard are pure hashes of doc_id. One corpus scan, one
+   * content-hash exchange, doc-sized output.
+   */
+  def docProvenance(docs: DataFrame, lang: String = "en", minTokens: Int = 10,
+                    nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("_h"))
+    piiSignals(TextStats.languageId(docs))
+      .withColumn("n_tokens", TextStats.tokenCount(col("text")).cast("long"))
+      .withColumn("_h", md5(col("text")))
+      .withColumn("exact_keeper",
+        (col("doc_id") === min(col("doc_id")).over(w)).cast("long"))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        (!col("has_pii")).cast("long").as("pii_clean"),
+        col("exact_keeper"),
+        Assembly.splitLabel(col("doc_id"), 0.9, 0.05, 9377L).as("split"),
+        pmod(Assembly.shardPos(col("doc_id")), lit(nShards.toLong)).as("shard"))
+      .withColumn("in_corpus",
+        (col("lang_pred") === lang && col("n_tokens") >= minTokens &&
+          col("pii_clean") === 1L && col("exact_keeper") === 1L).cast("long"))
+  }
+
+  /**
    * Corpus vocabulary statistics (the word-frequency table BPE/unigram
    * tokenizer training starts from): per normalized word, total occurrences
    * and document frequency, top `topN` by count. One aggregation with

@@ -1635,6 +1635,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(phrase("c", "a") == Nil)
   }
 
+  test("p90: provenance flags each doc for exactly its own reason and carries its split/shard") {
+    val sp = spark
+    import sp.implicits._
+    val en = "the quick and brown fox of the meadow is with that fur for winter"
+    val docs = Seq(
+      (1L, en),                                    // everything green
+      (2L, en),                                    // exact dup of 1 → keeper 0
+      (3L, "der hund ist mit der katze und nicht für das haus der die das"), // German
+      (4L, "the and of"),                          // too short
+      (5L, en + " mail me a.b@c.example please")   // PII
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Curation.docProvenance(docs)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out(1L)._1 == "en" && out(1L)._7 == 1L, out(1L).toString)
+    // each rejection is attributable to exactly one gate
+    assert(out(2L)._4 == 0L && out(2L)._1 == "en" && out(2L)._3 == 1L
+      && out(2L)._7 == 0L, s"dup must fail only the keeper: ${out(2L)}")
+    assert(out(3L)._1 == "de" && out(3L)._4 == 1L && out(3L)._7 == 0L,
+      s"German must fail only language: ${out(3L)}")
+    assert(out(4L)._2 < 10L && out(4L)._1 == "en" && out(4L)._7 == 0L,
+      s"short must fail only length: ${out(4L)}")
+    assert(out(5L)._3 == 0L && out(5L)._1 == "en" && out(5L)._7 == 0L,
+      s"PII must fail only the clean gate: ${out(5L)}")
+    // split/shard are the p32/p46 hashes of doc_id (1 → train; shard LCG
+    // mod 8 reduces to known constants for small ids)
+    assert(out(1L)._5 == "train", out(1L).toString)
+    def shardOf(id: Long) = ((1103515245L * id + 12345L) % 2147483648L) % 8L
+    assert((1L to 5L).forall(i => out(i)._6 == shardOf(i)),
+      out.view.mapValues(_._6).toMap.toString)
+  }
+
   test("p64: snapshot diff classifies added/removed/changed/unchanged by content hash") {
     val sp = spark
     import sp.implicits._

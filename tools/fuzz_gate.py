@@ -42,7 +42,7 @@ SENSITIVE = ("p41,p54,p57,p58,p59,p60,p67,p68,p70,p73,p77,p78,p79,p80,"
              # min-label deletions every resample), the term-index family
              # (postings/tombstones over empty/whitespace/non-ASCII docs),
              # and the BM25/RRF rank math (fresh df/dl/tie structure)
-             "p81,p82,p83,p84,p85,p86,p87,p88,p89,q18,q19")
+             "p81,p82,p83,p84,p85,p86,p87,p88,p89,p90,q18,q19")
 
 
 def gen_corpus(seed: int, out_dir: str) -> None:
