@@ -132,6 +132,24 @@ object Queries {
   private def ensureTermIndex(s: SparkSession, dir: String, path: String): Unit =
     if (builtTermIndexes.add(path)) TextStats.writeTermIndex(docs(s, dir), path)
 
+  /** The same build-once contract for the exact n-gram-Jaccard pair SET —
+    * the artifact every dedup consumer (clusters, keeper, weights,
+    * cluster-closed split, curated corpus) reads in a production pipeline:
+    * pairs are computed ONCE per corpus build and persisted; the six
+    * consumer rows read the artifact instead of re-deriving the inverted
+    * index each. p11 stays the LIVE pair computation (it is the measured
+    * operator), and p83 keeps full recompute on both snapshots (it is the
+    * declared full-recompute churn baseline). */
+  private val builtPairSets =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def ensureNgramPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("pairs", dir)
+    if (builtPairSets.add(path))
+      Dedup.ngramJaccardPairs(docs(s, dir), k = 3, threshold = 0.5)
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
   private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
@@ -1017,7 +1035,7 @@ object Queries {
     // pair graph (p11), every doc labeled with its component's min doc_id
     "p21_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.dedupClusters(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
+      Dedup.dedupClusters(d, ensureNgramPairs(s, dir))
         .orderBy("doc_id")
     }),
     // same clusters via O(log n)-round large-star/small-star contraction —
@@ -1025,21 +1043,21 @@ object Queries {
     // components defeat round-bounded min-label propagation)
     "p35_dedup_clusters_star" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.dedupClustersStar(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
+      Dedup.dedupClustersStar(d, ensureNgramPairs(s, dir))
         .orderBy("doc_id")
     }),
     // leakage-free split: the p32 hash keyed on the dup-CLUSTER label, so
     // near-copies can never straddle the train/eval boundary
     "p72_split_by_cluster" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.splitByCluster(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
+      Dedup.splitByCluster(d, ensureNgramPairs(s, dir))
         .orderBy("doc_id")
     }),
     // quality-aware keeper: p21's clusters keep their best-quality member
     // (rounded-score rank, doc_id tiebreak) instead of the lowest id
     "p38_quality_keeper" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.qualityKeeper(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
+      Dedup.qualityKeeper(d, ensureNgramPairs(s, dir))
         .orderBy("doc_id")
     }),
     // exact-substring span removal: cross-doc duplicate 10-gram spans cut
@@ -1066,7 +1084,7 @@ object Queries {
     // with near-dup keeper selection — the pre-tokenization pass
     "p22_curated_corpus" -> ((s, dir) => {
       val d = docs(s, dir)
-      Curation.curatedCorpus(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
+      Curation.curatedCorpus(d, ensureNgramPairs(s, dir))
         .orderBy("doc_id")
     }),
 
@@ -1462,7 +1480,7 @@ object Queries {
     // unit mass (weight = 1/|cluster|) instead of being dropped
     "p62_dedup_weights" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.dedupWeights(d, Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.5))
+      Dedup.dedupWeights(d, ensureNgramPairs(s, dir))
         .orderBy("doc_id")
     }),
     // split-leakage audit: heldout (val/test) docs sharing >= 2 distinct
