@@ -1668,6 +1668,60 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.view.mapValues(_._6).toMap.toString)
   }
 
+  test("retrieval family: randomized differential — index answers equal direct computation on seeded corpora") {
+    val sp = spark
+    import sp.implicits._
+    val vocab = Vector("alpha", "bb", "seven", "dddd", "x", "yzw", "qq", "zort")
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 25 + rnd.nextInt(25)
+      val rows = (1 to n).map { i =>
+        (i.toLong, Seq.fill(2 + rnd.nextInt(16))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val words: Map[Long, Seq[String]] = rows.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-prop$trial").toString
+      graft.pipeline.TextStats.writeTermIndex(rows.toDF("doc_id", "text"), dir, buckets = 16)
+      // AND: every doc holding all query terms, relevance = summed tf
+      val q = Seq("alpha", "x")
+      val andTruth = words.collect { case (id, w) if q.forall(w.contains) =>
+        (id, q.map(t => w.count(_ == t).toLong).sum) }.toList.sorted
+      val andGot = graft.pipeline.TextStats.searchTermIndex(sp, dir, q, buckets = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      assert(andGot == andTruth, s"trial $trial AND: $andGot vs $andTruth")
+      // phrase: adjacency occurrences, overlapping included
+      val ph = Seq("bb", "bb")
+      val phTruth = words.collect { case (id, w) =>
+        (id, w.indices.dropRight(1).count(i => w(i) == "bb" && w(i + 1) == "bb").toLong) }
+        .filter(_._2 > 0).toList.sorted
+      val phGot = graft.pipeline.TextStats.phraseSearch(sp, dir, ph, buckets = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      assert(phGot == phTruth, s"trial $trial phrase: $phGot vs $phTruth")
+      // BM25: the exact same arithmetic replayed in plain Scala (same JVM
+      // double ops, same 1e6 quantization, same output rounding)
+      val nDocs = n.toLong
+      val totalTokens = words.values.map(_.size.toLong).sum
+      val hitsByDoc = words.toSeq.flatMap { case (id, w) =>
+        q.flatMap { t => val tf = w.count(_ == t).toLong
+          if (tf > 0) Some((t, id, tf)) else None } }
+      val dfOf = hitsByDoc.groupBy(_._1).map { case (t, xs) => t -> xs.size.toLong }
+      val scores = hitsByDoc.groupBy(_._2).map { case (id, xs) =>
+        val s = xs.map { case (t, _, tf) =>
+          val dl = words(id).size.toLong
+          val idf = math.log(1.0 + (nDocs - dfOf(t) + 0.5) / (dfOf(t) + 0.5))
+          val norm = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl * nDocs).toDouble / totalTokens))
+          math.round(idf * norm * 1e6)
+        }.sum
+        (id, xs.size.toLong, math.round(s.toDouble / 1e6 * 1e4) / 1e4)
+      }
+      val k = 5
+      val bmTruth = scores.toList.sortBy { case (id, _, sc) => (-sc, id) }.take(k)
+        .map { case (id, nt, sc) => (id, nt, sc) }
+      val bmGot = graft.pipeline.TextStats.bm25TopK(sp, dir, q, k = k, buckets = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      assert(bmGot == bmTruth, s"trial $trial bm25: $bmGot vs $bmTruth")
+    }
+  }
+
   test("p64: snapshot diff classifies added/removed/changed/unchanged by content hash") {
     val sp = spark
     import sp.implicits._
