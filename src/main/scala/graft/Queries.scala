@@ -1606,6 +1606,19 @@ object Queries {
     // the audio twin of m06: planted exact + one-char-perturbed duplicates
     // over the AUDIO modality class (doc_id % 3 == 1); the energy-delta
     // signature is integer-exact so the oracle replays it bit-for-bit
+    // video near-dup: the m06/m07 banding contract over the frame-gradient
+    // signature, planted exact + one-char-edited copies in the video class
+    "m08_video_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val seed = d.where(col("doc_id") % 30 === 2 && length(col("text")) >= 12)
+      val planted = d
+        .unionByName(seed.withColumn("doc_id", col("doc_id") + 30000000L))
+        .unionByName(seed.withColumn("doc_id", col("doc_id") + 60000000L)
+          .withColumn("text", concat(substring(col("text"), 1, 10), lit("x"),
+            expr("substring(text, 12)"))))
+      Multimodal.videoNearDupPairs(Multimodal.syntheticAssets(planted))
+        .orderBy("asset_a", "asset_b")
+    }),
     "m07_audio_neardup" -> ((s, dir) => {
       val d = docs(s, dir)
       val seed = d.where(col("doc_id") % 30 === 1 && length(col("text")) >= 12)
@@ -3249,6 +3262,27 @@ object Queries {
     // the audio energy-delta hash replayed per-char: d = ord - 80, segment
     // g = i*65 div n, bit = cross-multiplied integer mean-energy compare —
     // the exact arithmetic the engine runs, then the exact radius-3 pairs
+    // the frame-gradient signature replayed bit for bit: same offset rule,
+    // same integer frame sums, exact hamming over all pairs — the banded
+    // engine join must reproduce the full radius-3 pair set (recall 1)
+    "m08_video_neardup" ->
+      """WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id % 30 = 2 AND len(text) >= 12),
+        |pl AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 30000000, text FROM seed
+        |  UNION ALL SELECT doc_id + 60000000, substr(text, 1, 10) || 'x' || substr(text, 12) FROM seed),
+        |ch AS (SELECT doc_id AS asset_id, list_transform(split(text, ''), x -> CAST(ord(x) AS BIGINT)) AS os,
+        |       CAST(len(text) AS BIGINT) AS L FROM pl WHERE doc_id % 3 = 2 AND len(text) > 0),
+        |sm AS (SELECT asset_id, g,
+        |  list_aggregate(list_transform(generate_series(0, 31),
+        |    j -> os[(((((g * (L * 10)) // 64) // 10) % L) + j) % L + 1]), 'sum') AS s
+        |  FROM (SELECT asset_id, os, L, unnest(generate_series(0, 64)) AS g FROM ch)),
+        |bits AS (SELECT a.asset_id, a.g AS i, CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS b
+        |         FROM sm a JOIN sm b ON a.asset_id = b.asset_id AND b.g = a.g + 1 WHERE a.g < 64),
+        |pair AS (SELECT a.asset_id AS aa, b.asset_id AS ab,
+        |           sum(CASE WHEN a.b != b.b THEN 1 ELSE 0 END) AS ham
+        |         FROM bits a JOIN bits b ON a.i = b.i AND a.asset_id < b.asset_id GROUP BY 1, 2)
+        |SELECT aa AS asset_a, ab AS asset_b, CAST(ham AS BIGINT) AS hamming
+        |FROM pair WHERE ham <= 3 ORDER BY asset_a, asset_b""".stripMargin,
     "m07_audio_neardup" ->
       """WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id % 30 = 1 AND len(text) >= 12),
         |pl AS (SELECT doc_id, text FROM documents

@@ -262,7 +262,7 @@ object ScaleBench {
     "q16_rollup_revenue", "q17_market_share", "q18_large_orders",
     "p81_split_manifest", "p82_split_moves", "p83_cluster_split_moves",
     "p84_term_search", "p85_term_search_or", "p86_term_search_refresh",
-    "q19_never_ordered_parts", "p87_bm25_topk", "p88_hybrid_rrf", "p89_phrase_search", "p90_doc_provenance")
+    "q19_never_ordered_parts", "p87_bm25_topk", "p88_hybrid_rrf", "p89_phrase_search", "p90_doc_provenance", "m08_video_neardup")
 
   private def runAll(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     new graft.store.EventSeriesStore(dir).allSeries(spark).count() // warm fixture

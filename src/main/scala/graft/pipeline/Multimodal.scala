@@ -443,6 +443,78 @@ object Multimodal {
    * block longs only; volume scales with block collision density, never
    * corpus².
    */
+  /**
+   * Perceptual VIDEO fingerprint — the frame-gradient signature closing
+   * the modality triple (m06 image dHash, m07 audio energy deltas):
+   * `nBits`+1 frames sampled evenly across the asset's stub duration
+   * (the m02/m05 convention — ts g·dur/64, frame pixels via the same
+   * offset rule as [[decodeFrameStub]]), each frame reduced to its
+   * INTEGER pixel sum, bit_i = sum(frame i+1) > sum(frame i). Integer
+   * end to end — no float in the signature — and pure codegen column
+   * math behind one explode→agg fence (the m06 CollapseProject lesson:
+   * the code array materializes ONCE per asset; the 65×32 element_at
+   * folds then read the materialized array, never the decode chain).
+   */
+  def videoFrameHash(assets: DataFrame, nBits: Int = 64): DataFrame = {
+    require(nBits > 0 && nBits % 16 == 0,
+      s"videoFrameHash: nBits must pack into 16-bit blocks, got $nBits")
+    val txt = decode(col("payload"), "UTF-8")
+    val chars = assets.where(col("modality") === "video" && length(txt) > 0)
+      .select(col("asset_id"), posexplode(split(txt, "")).as(Seq("i", "ch")))
+      .where(length(col("ch")) === 1)
+      .select(col("asset_id"), col("i"), ascii(col("ch")).cast("long").as("v"))
+    val arr = chars.groupBy("asset_id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+        x => x("v")).as("os"),
+        count(lit(1)).as("L"))
+    // frame g's stub offset: ((g·L·10 / 64) / 10) mod L — all-positive
+    // exact integer math (≤ 64·3000·10 ≈ 2e6, double-exact, cast = floor)
+    val frameSums = transform(sequence(lit(0), lit(nBits)), g => {
+      val off = pmod(((g.cast("long") * col("L") * 10L) / lit(nBits.toLong))
+        .cast("long")./(lit(10L)).cast("long"), col("L"))
+      aggregate(sequence(lit(0), lit(31)), lit(0L),
+        (acc, j) => acc + element_at(col("os"),
+          (pmod(off + j, col("L")) + 1).cast("int")))
+    })
+    arr
+      .withColumn("_s", frameSums)
+      .withColumn("bits", zip_with(
+        slice(col("_s"), 1, nBits), slice(col("_s"), 2, nBits),
+        (a, b) => when(b > a, 1).otherwise(0)))
+      .withColumn("blocks", transform(sequence(lit(0), lit(nBits / 16 - 1)),
+        b => aggregate(sequence(lit(15), lit(0), lit(-1)), lit(0L),
+          (acc, j) => acc * 2 +
+            element_at(col("bits"), (b * 16 + j + 1).cast("int")).cast("long"))))
+      .select(col("asset_id"), col("bits"), col("blocks"))
+  }
+
+  /** Exact-recall near-duplicate VIDEO pairs at Hamming radius <= 3 over
+    * the [[videoFrameHash]] signature — the identical 4x16-bit pigeonhole
+    * banding + exact-verify contract as [[imageNearDupPairs]] and
+    * [[audioNearDupPairs]]. */
+  def videoNearDupPairs(assets: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"videoNearDupPairs: 4-block banding guarantees recall only for radius <= 3, got $maxHamming")
+    val sig = videoFrameHash(assets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sig.select(col("asset_id"), col("blocks"),
+      posexplode(col("blocks")).as(Seq("block", "key")))
+    val a = bands.select(col("asset_id").as("asset_a"), col("blocks").as("_pa"),
+      col("block"), col("key"))
+    val b = bands.select(col("asset_id").as("asset_b"), col("blocks").as("_pb"),
+      col("block"), col("key"))
+    a.join(b, Seq("block", "key"))
+      .where(col("asset_a") < col("asset_b"))
+      .select("asset_a", "asset_b", "_pa", "_pb")
+      .dropDuplicates("asset_a", "asset_b")
+      .withColumn("hamming",
+        aggregate(zip_with(col("_pa"), col("_pb"),
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, v) => acc + v))
+      .where(col("hamming") <= maxHamming)
+      .select("asset_a", "asset_b", "hamming")
+  }
+
   def audioNearDupPairs(assets: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"audioNearDupPairs: 4-block banding guarantees recall only for radius <= 3, got $maxHamming")

@@ -305,6 +305,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSeq == brute, s"banding ${pairs.mkString(",")} vs brute ${brute.mkString(",")}")
   }
 
+  test("m08: video frame-gradient hash near-dup — exact copy at radius 0, banding matches brute force, modality/empty excluded") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.pipeline.Multimodal
+    val base = "the quick brown fox jumps over the lazy dog again and again for luck"
+    val oneChar = base.updated(20, 'x').toString
+    val other = "completely different framestream content with another structure entirely"
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("modality", StringType),
+      StructField("payload", BinaryType)))
+    def b(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val assets = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(2L, "video", b(base)), Row(5L, "video", b(base)),      // exact dup
+        Row(8L, "video", b(oneChar)),                              // near dup
+        Row(11L, "video", b(other)),                               // unrelated
+        Row(1L, "audio", b(base)),                                 // wrong modality
+        Row(14L, "video", Array.emptyByteArray)                    // empty: no signature
+      ), schema)
+    val pairs = Multimodal.videoNearDupPairs(assets, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(p => (p._1, p._2))
+    assert(pairs.exists { case (a, bb, h) => a == 2L && bb == 5L && h == 0L },
+      s"exact payload copy must pair at hamming 0: ${pairs.mkString(",")}")
+    assert(!pairs.exists(p => p._1 == 11L || p._2 == 11L), "unrelated video must not pair")
+    assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L), "non-video modality excluded")
+    assert(!pairs.exists(p => p._1 == 14L || p._2 == 14L), "empty payload emits no signature")
+    // recall gate: banding reproduces the quadratic brute force exactly
+    val sig = Multimodal.videoFrameHash(assets).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(!sig.contains(14L) && !sig.contains(1L))
+    val brute = (for {
+      a <- sig.keys; bb <- sig.keys if a < bb
+      h = sig(a).zip(sig(bb)).count { case (x, y) => x != y } if h <= 3
+    } yield (a, bb, h.toLong)).toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.toSeq == brute, s"banding ${pairs.mkString(",")} vs brute ${brute.mkString(",")}")
+    // the one-char edit shifts MANY frame windows (frames overlap the
+    // edit position across the whole stub duration), so unlike m07 it may
+    // exceed radius 3 — assert only that the exact-dup edge and brute
+    // equality hold; the radius behavior is the signature's own contract
+    assert(sig(2L) == sig(5L), "identical payloads must hash identically")
+  }
+
   test("m05: video frame kernel executes the m02 plan — planted payload gives closed-form luma/contrast; frames cap at the plan bound") {
     import graft.pipeline.Multimodal
     import org.apache.spark.sql.Row

@@ -37,7 +37,7 @@ SENSITIVE = ("p41,p54,p57,p58,p59,p60,p67,p68,p70,p73,p77,p78,p79,p80,"
              # non-ASCII 'naïve' — Spark ascii(chr(239)) = 239 = DuckDB
              # ord, verified codepoint-based on both engines) hit the
              # sampling and segment-boundary math every seed (r12)
-             "m06,m07,"
+             "m06,m07,m08,"
              # r13: the split lineage matrices (fresh cluster shapes and
              # min-label deletions every resample), the term-index family
              # (postings/tombstones over empty/whitespace/non-ASCII docs),
@@ -201,7 +201,7 @@ def main_mm() -> int:
         sf_dir = f"/tmp/graft_fuzz/mm_{mode}"
         gen_mm_corpus(mode, sf_dir)
         if not run_gate(repo, sf_dir, f"/tmp/graft_fuzz/mm_out_{mode}",
-                        "m06,m07", f"mm_{mode}"):
+                        "m06,m07,m08", f"mm_{mode}"):
             failures += 1
     print(f"mm fuzz: {2 - failures}/2 corpora clean")
     return 1 if failures else 0
