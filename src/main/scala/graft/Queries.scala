@@ -127,10 +127,18 @@ object Queries {
     * scratch path, which embeds the sf dir, so distinct corpora (fuzz
     * seeds, scale copies) always get their own build. p86 keeps its OWN
     * path ("tim") because it mutates segments. */
-  private val builtTermIndexes =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val builtTermIndexes = scala.collection.mutable.HashSet[String]()
+  // mark built only AFTER the write succeeds: Verify catches per-query
+  // failures and keeps going, so an optimistic pre-add would make every
+  // later consumer of the same corpus skip the rebuild and read a missing
+  // or half-written dir. The monitor also closes the check-then-read race.
   private def ensureTermIndex(s: SparkSession, dir: String, path: String): Unit =
-    if (builtTermIndexes.add(path)) TextStats.writeTermIndex(docs(s, dir), path)
+    builtTermIndexes.synchronized {
+      if (!builtTermIndexes.contains(path)) {
+        TextStats.writeTermIndex(docs(s, dir), path)
+        builtTermIndexes.add(path)
+      }
+    }
 
   /** The same build-once contract for the exact n-gram-Jaccard pair SET —
     * the artifact every dedup consumer (clusters, keeper, weights,
@@ -140,13 +148,17 @@ object Queries {
     * index each. p11 stays the LIVE pair computation (it is the measured
     * operator), and p83 keeps full recompute on both snapshots (it is the
     * declared full-recompute churn baseline). */
-  private val builtPairSets =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val builtPairSets = scala.collection.mutable.HashSet[String]()
   private def ensureNgramPairs(s: SparkSession, dir: String): DataFrame = {
     val path = scratchPath("pairs", dir)
-    if (builtPairSets.add(path))
-      Dedup.ngramJaccardPairs(docs(s, dir), k = 3, threshold = 0.5)
-        .write.mode("overwrite").parquet(path)
+    // build-then-mark under the monitor, same contract as ensureTermIndex
+    builtPairSets.synchronized {
+      if (!builtPairSets.contains(path)) {
+        Dedup.ngramJaccardPairs(docs(s, dir), k = 3, threshold = 0.5)
+          .write.mode("overwrite").parquet(path)
+        builtPairSets.add(path)
+      }
+    }
     s.read.parquet(path)
   }
 

@@ -454,15 +454,77 @@ object TextStats {
                      textCol: String = "text"): Unit = {
     postings(docs, seg = 0L, buckets, textCol)
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
-    // ranking sidecars: per-doc length (Σ tf) and the 1-row corpus stats —
+    // ranking sidecar: per-doc length (Σ tf), SEGMENTED like the postings
+    // (seg 0 here, append-only deltas from [[appendToTermIndex]]) —
     // doc-cardinality metadata, derived from the postings just written so
-    // the corpus never scans twice
+    // the corpus never scans twice. The 1-row corpus stats (n_docs,
+    // total_tokens) are deliberately NOT persisted: they depend on the
+    // tombstone set, which exists only at query time, so [[bm25TopK]]
+    // folds them from the alive doclen per query (a 2-column agg over a
+    // frame the query already scans for the dl join).
     val p = docs.sparkSession.read.parquet(dir)
-    val dl = p.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    dl.write.mode("overwrite").parquet(s"$dir.doclen")
-    docs.sparkSession.read.parquet(s"$dir.doclen")
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-      .write.mode("overwrite").parquet(s"$dir.stats")
+    p.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .withColumn("seg", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir.doclen")
+    writeIndexMeta(docs.sparkSession, dir, buckets)
+  }
+
+  /** The index's self-describing bucket count (`$dir.meta`, 1 row): every
+    * reader resolves the count FROM THE INDEX, so a caller-supplied value
+    * that disagrees with the layout can never silently prune the wrong
+    * partition dirs — the caller's `buckets` arg is only a fallback for
+    * pre-meta indexes. */
+  private def writeIndexMeta(spark: SparkSession, dir: String, buckets: Int): Unit = {
+    import spark.implicits._
+    Seq(buckets).toDF("buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir.meta")
+  }
+
+  private[graft] def indexBuckets(spark: SparkSession, dir: String,
+                                  fallback: Int): Int =
+    try spark.read.parquet(s"$dir.meta").select("buckets").head().getInt(0)
+    catch { case _: org.apache.spark.sql.AnalysisException => fallback }
+
+  /** Alive doclen rows: the same tombstone semantics as the postings
+    * ((doc_id, before_seg) kills rows with seg < before_seg). Under the
+    * maintenance contract (every edit appends AND tombstones its prior
+    * segments — the same rule that keeps the postings duplicate-free)
+    * exactly one row per alive doc survives. */
+  private def aliveDoclen(spark: SparkSession, dir: String,
+                          tombstones: Option[DataFrame]): DataFrame = {
+    val dl = spark.read.parquet(s"$dir.doclen")
+    tombstones.fold(dl) { tb =>
+      val t = tb.select(col("doc_id").as("_tid"), col("before_seg"))
+      dl.join(broadcast(t),
+        col("doc_id") === col("_tid") && col("seg") < col("before_seg"),
+        "left_anti")
+    }.select(col("doc_id"), col("dl"))
+  }
+
+  /** The shared query-side scan: the query terms' buckets computed
+    * driver-side (k values — bounded by the query, the documented collect
+    * contract) land in the scan as partition-pruning literals; the term
+    * equality disjunction pushes into the parquet row groups; tombstones
+    * (refresh-sized by nature — only CHANGED docs have one) broadcast into
+    * a left-anti keyed on doc_id with the segment range as the residual,
+    * applied only to the pruned slices. The bucket count resolves from the
+    * index's own meta sidecar, never trusted from the caller. */
+  private def prunedAlivePostings(spark: SparkSession, indexDir: String,
+                                  q: Seq[String], buckets: Int,
+                                  tombstones: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
+    val b = indexBuckets(spark, indexDir, buckets)
+    val bucketVals = spark.createDataset(q).toDF("term")
+      .select(pmod(hash(col("term")), lit(b)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(indexDir)
+      .where(col("bucket").isin(bucketVals: _*) && col("term").isin(q: _*))
+    tombstones.fold(idx) { tb =>
+      val t = tb.select(col("doc_id").as("_tid"), col("before_seg"))
+      idx.join(broadcast(t),
+        col("doc_id") === col("_tid") && col("seg") < col("before_seg"),
+        "left_anti")
+    }
   }
 
   /** Positional postings: tf plus the sorted in-doc positions (tf-sized
@@ -492,8 +554,21 @@ object TextStats {
   def appendToTermIndex(docs: DataFrame, dir: String, seg: Long,
                         buckets: Int = 64, textCol: String = "text"): Unit = {
     require(seg > 0L, "appendToTermIndex: appended segments start at 1")
-    postings(docs, seg, buckets, textCol)
-      .write.mode("append").partitionBy("bucket").parquet(dir)
+    val b = indexBuckets(docs.sparkSession, dir, buckets)
+    // batch-sized persist: the postings feed BOTH the index append and the
+    // doclen delta — without it the batch shingles + aggregates twice
+    val p = postings(docs, seg, b, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      p.write.mode("append").partitionBy("bucket").parquet(dir)
+      // the ranking sidecar rides the SAME merge-on-read contract as the
+      // postings: the batch docs' dl rows append at this segment (delta-
+      // sized, nothing rewrites); edited docs' stale rows die by the same
+      // tombstone the caller records for their postings
+      p.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        .withColumn("seg", lit(seg))
+        .write.mode("append").parquet(s"$dir.doclen")
+    } finally p.unpersist(false)
   }
 
   /**
@@ -509,15 +584,11 @@ object TextStats {
    * array ops over tf-sized payloads. The corpus never scans.
    */
   def phraseSearch(spark: SparkSession, indexDir: String,
-                   phrase: Seq[String], buckets: Int = 64): DataFrame = {
+                   phrase: Seq[String], buckets: Int = 64,
+                   tombstones: Option[DataFrame] = None): DataFrame = {
     require(phrase.size >= 2, "phraseSearch: need at least 2 terms")
-    import spark.implicits._
     val q = phrase.distinct
-    val bucketVals = spark.createDataset(q).toDF("term")
-      .select(pmod(hash(col("term")), lit(buckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val idx = spark.read.parquet(indexDir)
-      .where(col("bucket").isin(bucketVals: _*) && col("term").isin(q: _*))
+    val idx = prunedAlivePostings(spark, indexDir, q, buckets, tombstones)
       .select(col("term"), col("doc_id"), col("positions"))
     var acc = idx.where(col("term") === phrase.head)
       .select(col("doc_id"), col("positions").as("starts"))
@@ -543,28 +614,30 @@ object TextStats {
    * (the p67 integer-sum rule), and the top-k order is total
    * (rounded score desc, doc_id).
    *
-   * Scale shape: postings pruned to ≤ k buckets as in [[searchTermIndex]];
-   * df is counted on the pruned postings (k rows, broadcast back); dl is
-   * the doc-length sidecar joined on doc_id (metadata-sized equijoin);
-   * corpus stats ride a 1-row broadcast; the top-k is TakeOrdered. The
-   * dl·N product stays under 2^63 for dl·N < 9.2e18 (e.g. 10^4-token docs
-   * in a 10^13-doc corpus) — the g105 bound rule, documented not assumed.
+   * Scale shape: postings pruned to ≤ k buckets as in [[searchTermIndex]],
+   * tombstones applied by the shared broadcast anti-join (so a merge-on-
+   * read-maintained index ranks appended docs and never ranks deleted
+   * ones); df is counted on the alive pruned postings (k rows, broadcast
+   * back); dl is the alive doc-length sidecar joined on doc_id; the 1-row
+   * corpus stats fold from the SAME alive doclen at query time (the only
+   * tombstone-exact place — a 2-col columnar agg over a frame the query
+   * already reads) and ride a 1-row broadcast; the top-k is TakeOrdered.
+   * The dl·N product stays under 2^63 for dl·N < 9.2e18 (e.g. 10^4-token
+   * docs in a 10^13-doc corpus) — the g105 bound rule, documented not
+   * assumed.
    */
   def bm25TopK(spark: SparkSession, indexDir: String, terms: Seq[String],
                k: Int = 10, buckets: Int = 64,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               tombstones: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "bm25TopK: empty query")
     val q = terms.distinct
-    import spark.implicits._
-    val bucketVals = spark.createDataset(q).toDF("term")
-      .select(pmod(hash(col("term")), lit(buckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val hits = spark.read.parquet(indexDir)
-      .where(col("bucket").isin(bucketVals: _*) && col("term").isin(q: _*))
+    val hits = prunedAlivePostings(spark, indexDir, q, buckets, tombstones)
       .select(col("term"), col("doc_id"), col("tf"))
     val dfs = hits.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"$indexDir.doclen")
-    val stats = spark.read.parquet(s"$indexDir.stats")
+    val dl = aliveDoclen(spark, indexDir, tombstones)
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") * lit(k1 + 1.0) /
@@ -586,11 +659,18 @@ object TextStats {
   /** The offline janitor completing the merge-on-read lifecycle: rewrite
     * the ALIVE postings (tombstones applied across every segment) as a
     * fresh seg-0 index at `outDir`, after which the tombstone table is
-    * empty. One full index scan + the broadcast tombstone anti-join +
-    * the write's own bucket partitioning — run it when the delta segments
-    * or tombstone list grow past taste; queries never wait for it. */
+    * empty. The ranking sidecars travel too — the alive doclen rows
+    * rewrite at seg 0 and the meta sidecar carries the bucket count — so
+    * the compacted output is a full drop-in for a fresh
+    * [[writeTermIndex]] build, [[bm25TopK]] included. One full index scan
+    * + the broadcast tombstone anti-join + the write's own bucket
+    * partitioning (the doclen pass is doc-cardinality metadata) — run it
+    * when the delta segments or tombstone list grow past taste; queries
+    * never wait for it. */
   def compactTermIndex(spark: SparkSession, indexDir: String,
                        tombstones: DataFrame, outDir: String): Unit = {
+    require(outDir != indexDir,
+      "compactTermIndex: outDir must be a fresh location (the scan reads indexDir)")
     val t = tombstones.select(col("doc_id").as("_tid"), col("before_seg"))
     spark.read.parquet(indexDir)
       .join(broadcast(t),
@@ -598,6 +678,10 @@ object TextStats {
         "left_anti")
       .withColumn("seg", lit(0L))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+    aliveDoclen(spark, indexDir, Some(tombstones))
+      .withColumn("seg", lit(0L))
+      .write.mode("overwrite").parquet(s"$outDir.doclen")
+    writeIndexMeta(spark, outDir, indexBuckets(spark, indexDir, 64))
   }
 
   /** Retrieval over a maintained index: [[searchTermIndex]] plus the
@@ -610,16 +694,7 @@ object TextStats {
                          mode: String = "and", buckets: Int = 64): DataFrame = {
     require(terms.nonEmpty, "searchTermIndexMoR: empty query")
     val q = terms.distinct
-    import spark.implicits._
-    val bucketVals = spark.createDataset(q).toDF("term")
-      .select(pmod(hash(col("term")), lit(buckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val t = tombstones.select(col("doc_id").as("_tid"), col("before_seg"))
-    val alive = spark.read.parquet(indexDir)
-      .where(col("bucket").isin(bucketVals: _*) && col("term").isin(q: _*))
-      .join(broadcast(t),
-        col("doc_id") === col("_tid") && col("seg") < col("before_seg"),
-        "left_anti")
+    val alive = prunedAlivePostings(spark, indexDir, q, buckets, Some(tombstones))
     val hits = alive.groupBy("doc_id")
       .agg(countDistinct(col("term")).as("n_terms"), sum(col("tf")).as("n_hits"))
     mode match {
@@ -645,13 +720,8 @@ object TextStats {
                       buckets: Int = 64): DataFrame = {
     require(terms.nonEmpty, "searchTermIndex: empty query")
     val q = terms.distinct
-    import spark.implicits._
-    val bucketVals = spark.createDataset(q).toDF("term")
-      .select(pmod(hash(col("term")), lit(buckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val idx = spark.read.parquet(indexDir)
-      .where(col("bucket").isin(bucketVals: _*) && col("term").isin(q: _*))
-    val hits = idx.groupBy("doc_id")
+    val hits = prunedAlivePostings(spark, indexDir, q, buckets, None)
+      .groupBy("doc_id")
       .agg(countDistinct(col("term")).as("n_terms"), sum(col("tf")).as("n_hits"))
     mode match {
       case "and" => hits.where(col("n_terms") === q.size)

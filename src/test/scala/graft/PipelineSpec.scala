@@ -1612,6 +1612,70 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the deleted doc's postings must be physically gone after compaction")
   }
 
+  test("bm25/phrase over (write + append + edit + delete tombstones) equal a full rebuild; compacted dir is a ranking drop-in; meta overrides a wrong bucket arg") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bmor").toString
+    val olds = Seq(
+      (1L, "alpha beta gamma alpha beta gamma"),
+      (2L, "alpha beta filler filler"),        // edited: gains the phrase
+      (3L, "alpha beta gamma filler"),         // deleted
+      (4L, "delta epsilon filler")).toDF("doc_id", "text")
+    graft.pipeline.TextStats.writeTermIndex(olds, dir, buckets = 16)
+    val edited = Seq((2L, "alpha beta gamma alpha")).toDF("doc_id", "text")
+    val added = Seq((5L, "gamma alpha beta gamma beta")).toDF("doc_id", "text")
+    graft.pipeline.TextStats.appendToTermIndex(
+      edited.unionByName(added), dir, seg = 1L, buckets = 16)
+    val tomb = Seq((3L, Long.MaxValue), (2L, 1L)).toDF("doc_id", "before_seg")
+    // ground truth: a fresh build over the refreshed corpus
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-bmor2").toString
+    graft.pipeline.TextStats.writeTermIndex(Seq(
+      (1L, "alpha beta gamma alpha beta gamma"),
+      (2L, "alpha beta gamma alpha"),
+      (4L, "delta epsilon filler"),
+      (5L, "gamma alpha beta gamma beta")).toDF("doc_id", "text"), rebuilt, buckets = 16)
+    val q = Seq("alpha", "gamma")
+    def bmOf(d: String, tb: Option[org.apache.spark.sql.DataFrame]) =
+      graft.pipeline.TextStats.bm25TopK(sp, d, q, k = 10, buckets = 16,
+          tombstones = tb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val morBm = bmOf(dir, Some(tomb))
+    val fullBm = bmOf(rebuilt, None)
+    // scores too, not just membership: df, dl, n_docs, total_tokens must
+    // all reflect the refreshed corpus — the appended doc ranks (the old
+    // inner-dl-join silently dropped it), the deleted doc does not, the
+    // edit ranks with its NEW length and the re-folded corpus stats
+    assert(morBm == fullBm, s"bm25 over MoR $morBm vs rebuild $fullBm")
+    assert(morBm.exists(_._1 == 5L) && !morBm.exists(_._1 == 3L), morBm.toString)
+    val ph = Seq("alpha", "beta", "gamma")
+    def phOf(d: String, tb: Option[org.apache.spark.sql.DataFrame]) =
+      graft.pipeline.TextStats.phraseSearch(sp, d, ph, buckets = 16,
+          tombstones = tb)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(phOf(dir, Some(tomb)) == phOf(rebuilt, None),
+      s"phrase over MoR ${phOf(dir, Some(tomb))} vs rebuild ${phOf(rebuilt, None)}")
+    // the edited doc's phrase occurrence comes from the DELTA segment
+    assert(phOf(dir, Some(tomb)).exists(_._1 == 2L), phOf(dir, Some(tomb)).toString)
+    // the compacted index is a full ranking drop-in: sidecars travel, so
+    // bm25 works on it with no tombstones and identical scores
+    val compacted = java.nio.file.Files.createTempDirectory("graft-bmor3").toString
+    graft.pipeline.TextStats.compactTermIndex(sp, dir, tomb, compacted)
+    assert(bmOf(compacted, None) == fullBm,
+      s"bm25 over compacted ${bmOf(compacted, None)} vs rebuild $fullBm")
+    // the meta sidecar is authoritative: a caller passing the WRONG bucket
+    // count still gets the right answer (pre-meta behavior silently pruned
+    // the wrong partition dirs and returned incomplete results)
+    assert(bmOf(rebuilt, None) ==
+      graft.pipeline.TextStats.bm25TopK(sp, rebuilt, q, k = 10, buckets = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList)
+    val wrongB = graft.pipeline.TextStats.searchTermIndex(sp, rebuilt, q,
+        buckets = 7)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toList
+    assert(wrongB == graft.pipeline.TextStats.searchTermIndex(sp, rebuilt, q,
+        buckets = 16)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toList, wrongB.toString)
+  }
+
   test("SqlOps.notIn reproduces three-valued NOT IN: null probe excluded, any subquery null empties, empty subquery keeps all") {
     val sp = spark
     import sp.implicits._
