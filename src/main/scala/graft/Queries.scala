@@ -1488,6 +1488,44 @@ object Queries {
       TextStats.searchTermIndexMoR(s, path, tomb, Seq("window", "scan", "merge"))
         .orderBy("doc_id")
     }),
+    // BM25 over a MAINTAINED index: the p86 refresh (delta segment +
+    // tombstones), then ranked retrieval — df, dl and the corpus stats all
+    // reflect the refreshed corpus (appended docs rank, deleted ones
+    // don't, edits rank at their new length); the oracle replays BM25 on
+    // the refreshed snapshot directly
+    "p92_bm25_refresh" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = scratchPath("bmm", dir)
+      TextStats.writeTermIndex(d, path)
+      val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" rev2")))
+      val added = d.where(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      TextStats.appendToTermIndex(edited.unionByName(added), path, seg = 1L)
+      val tomb = d.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(Long.MaxValue).as("before_seg"))
+        .unionByName(edited.select(col("doc_id"), lit(1L).as("before_seg")))
+      TextStats.bm25TopK(s, path, Seq("window", "scan", "merge"), k = 10,
+        tombstones = Some(tomb))
+    }),
+    // exact phrase search over the same maintained index — the positional
+    // fold runs on alive postings across both segments
+    "p93_phrase_refresh" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = scratchPath("phm", dir)
+      TextStats.writeTermIndex(d, path)
+      val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" rev2")))
+      val added = d.where(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      TextStats.appendToTermIndex(edited.unionByName(added), path, seg = 1L)
+      val tomb = d.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(Long.MaxValue).as("before_seg"))
+        .unionByName(edited.select(col("doc_id"), lit(1L).as("before_seg")))
+      TextStats.phraseSearch(s, path, Seq("table", "scan", "merge"),
+          tombstones = Some(tomb))
+        .orderBy("doc_id")
+    }),
     // dedup-aware sampling weights: each near-dup cluster's members share
     // unit mass (weight = 1/|cluster|) instead of being dropped
     "p62_dedup_weights" -> ((s, dir) => {
@@ -4039,7 +4077,7 @@ object Queries {
         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
         |cosr AS (SELECT doc_id, cos_rank FROM (
         |  SELECT e.vec_id AS doc_id,
-        |    row_number() OVER (ORDER BY list_cosine_similarity(qv.qe, e.embedding) DESC, e.vec_id) AS cos_rank
+        |    row_number() OVER (ORDER BY CAST(round(list_cosine_similarity(qv.qe, e.embedding) * 1e6) AS BIGINT) DESC, e.vec_id) AS cos_rank
         |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id != 7)
         |  WHERE cos_rank <= 20),
         |f AS (SELECT coalesce(bmr.doc_id, cosr.doc_id) AS doc_id, bm_rank, cos_rank,
@@ -4059,6 +4097,38 @@ object Queries {
         |q AS (SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS n_hits
         |      FROM tc WHERE word IN ('window', 'scan', 'merge') GROUP BY doc_id)
         |SELECT doc_id, n_hits FROM q WHERE n_terms = 3 ORDER BY doc_id""").stripMargin,
+    // the p87 BM25 replay over the REFRESHED snapshot — the engine must
+    // reproduce it from seg-0 + one delta segment + tombstones, with df,
+    // dl, n_docs and total_tokens all reflecting the refreshed corpus
+    "p92_bm25_refresh" ->
+      (s"""WITH nd AS ($ndSnapshotSql),
+        |w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'), x -> len(x) > 0) AS w FROM nd),
+        |tc AS (SELECT doc_id, word, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tc GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |hits AS (SELECT doc_id, word, tf FROM tc WHERE word IN ('window', 'scan', 'merge')),
+        |dfs AS (SELECT word, count(*) AS df FROM hits GROUP BY word),
+        |c AS (SELECT h.doc_id,
+        |  CAST(round(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+        |    * (h.tf * 2.2 / (h.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl * st.n_docs AS DOUBLE) / st.total_tokens)))
+        |    * 1e6) AS BIGINT) AS c
+        |  FROM hits h JOIN dfs ON h.word = dfs.word
+        |  JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN st)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  round(CAST(sum(c) AS DOUBLE) / 1e6 * 1e4) / 1e4 AS score
+        |FROM c GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""").stripMargin,
+    // the p89 adjacency scan over the REFRESHED snapshot — the positional
+    // index must reproduce it across both segments with tombstones applied
+    "p93_phrase_refresh" ->
+      (s"""WITH nd AS ($ndSnapshotSql),
+        |w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'), x -> len(x) > 0) AS w FROM nd),
+        |o AS (SELECT doc_id,
+        |  len(list_filter(generate_series(1, len(w) - 2), i -> w[i] = 'table' AND w[i+1] = 'scan' AND w[i+2] = 'merge')) AS n_occur
+        |  FROM w WHERE len(w) >= 3)
+        |SELECT doc_id, CAST(n_occur AS BIGINT) AS n_occur
+        |FROM o WHERE n_occur > 0 ORDER BY doc_id""").stripMargin,
     // p46's LCG shard + a 60-bit md5-prefix doc hash folded mod 1e9+7 and
     // summed per shard (order-independent integer math on both engines);
     // the config fingerprint is the md5 of the same canonical string

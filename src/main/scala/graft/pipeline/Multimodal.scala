@@ -363,29 +363,46 @@ object Multimodal {
   def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"imageNearDupPairs: 4-block banding guarantees recall only for radius <= 3, got $maxHamming")
-    // asset-count-sized shared intermediate: both join sides read it.
-    // Candidates carry only the FOUR packed block longs (hamming =
-    // Σ bit_count(xor) per block — identical to the bitwise compare),
-    // not the 64-int bit arrays: the candidate shuffle is the growth
-    // term at scale and this makes each row 8× smaller.
-    val sig = imageDHash(assets)
+    bandedHammingPairs(imageDHash(assets), maxHamming)
+  }
+
+  /** The shared pigeonhole band-join behind the three modality near-dup
+    * operators: the signature table (asset-count-sized — both join sides
+    * read it, so it persists for the join's duration) explodes into its
+    * four 16-bit blocks, equal blocks propose candidates, the exact
+    * Hamming verify keeps <= maxHamming. Candidates carry only the FOUR
+    * packed block longs (hamming = Σ bit_count(xor) per block — identical
+    * to the bitwise compare), not the 64-int bit arrays: the candidate
+    * shuffle is the growth term at scale and this makes each row 8×
+    * smaller.
+    *
+    * Eager: the pair set materializes via localCheckpoint (collision-
+    * bounded — it tracks band collision density, never corpus²) so the
+    * signature persist releases before returning; a long-lived server
+    * accumulates NO cache residue across calls (the r11 p77 lesson, same
+    * contract as Dedup.nearDupAgainstIndex). */
+  private def bandedHammingPairs(signatures: DataFrame, maxHamming: Int): DataFrame = {
+    val sig = signatures
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sig.select(col("asset_id"), col("blocks"),
-      posexplode(col("blocks")).as(Seq("block", "key")))
-    val a = bands.select(col("asset_id").as("asset_a"), col("blocks").as("_pa"),
-      col("block"), col("key"))
-    val b = bands.select(col("asset_id").as("asset_b"), col("blocks").as("_pb"),
-      col("block"), col("key"))
-    a.join(b, Seq("block", "key"))
-      .where(col("asset_a") < col("asset_b"))
-      .select("asset_a", "asset_b", "_pa", "_pb")
-      .dropDuplicates("asset_a", "asset_b")
-      .withColumn("hamming",
-        aggregate(zip_with(col("_pa"), col("_pb"),
-          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-          lit(0L), (acc, v) => acc + v))
-      .where(col("hamming") <= maxHamming)
-      .select("asset_a", "asset_b", "hamming")
+    try {
+      val bands = sig.select(col("asset_id"), col("blocks"),
+        posexplode(col("blocks")).as(Seq("block", "key")))
+      val a = bands.select(col("asset_id").as("asset_a"), col("blocks").as("_pa"),
+        col("block"), col("key"))
+      val b = bands.select(col("asset_id").as("asset_b"), col("blocks").as("_pb"),
+        col("block"), col("key"))
+      a.join(b, Seq("block", "key"))
+        .where(col("asset_a") < col("asset_b"))
+        .select("asset_a", "asset_b", "_pa", "_pb")
+        .dropDuplicates("asset_a", "asset_b")
+        .withColumn("hamming",
+          aggregate(zip_with(col("_pa"), col("_pb"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+            lit(0L), (acc, v) => acc + v))
+        .where(col("hamming") <= maxHamming)
+        .select("asset_a", "asset_b", "hamming")
+        .localCheckpoint(true)
+    } finally sig.unpersist(false)
   }
 
   /**
@@ -495,46 +512,12 @@ object Multimodal {
   def videoNearDupPairs(assets: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"videoNearDupPairs: 4-block banding guarantees recall only for radius <= 3, got $maxHamming")
-    val sig = videoFrameHash(assets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sig.select(col("asset_id"), col("blocks"),
-      posexplode(col("blocks")).as(Seq("block", "key")))
-    val a = bands.select(col("asset_id").as("asset_a"), col("blocks").as("_pa"),
-      col("block"), col("key"))
-    val b = bands.select(col("asset_id").as("asset_b"), col("blocks").as("_pb"),
-      col("block"), col("key"))
-    a.join(b, Seq("block", "key"))
-      .where(col("asset_a") < col("asset_b"))
-      .select("asset_a", "asset_b", "_pa", "_pb")
-      .dropDuplicates("asset_a", "asset_b")
-      .withColumn("hamming",
-        aggregate(zip_with(col("_pa"), col("_pb"),
-          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-          lit(0L), (acc, v) => acc + v))
-      .where(col("hamming") <= maxHamming)
-      .select("asset_a", "asset_b", "hamming")
+    bandedHammingPairs(videoFrameHash(assets), maxHamming)
   }
 
   def audioNearDupPairs(assets: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"audioNearDupPairs: 4-block banding guarantees recall only for radius <= 3, got $maxHamming")
-    val sig = audioEnergyHash(assets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sig.select(col("asset_id"), col("blocks"),
-      posexplode(col("blocks")).as(Seq("block", "key")))
-    val a = bands.select(col("asset_id").as("asset_a"), col("blocks").as("_pa"),
-      col("block"), col("key"))
-    val b = bands.select(col("asset_id").as("asset_b"), col("blocks").as("_pb"),
-      col("block"), col("key"))
-    a.join(b, Seq("block", "key"))
-      .where(col("asset_a") < col("asset_b"))
-      .select("asset_a", "asset_b", "_pa", "_pb")
-      .dropDuplicates("asset_a", "asset_b")
-      .withColumn("hamming",
-        aggregate(zip_with(col("_pa"), col("_pb"),
-          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-          lit(0L), (acc, v) => acc + v))
-      .where(col("hamming") <= maxHamming)
-      .select("asset_a", "asset_b", "hamming")
+    bandedHammingPairs(audioEnergyHash(assets), maxHamming)
   }
 }

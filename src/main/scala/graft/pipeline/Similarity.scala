@@ -43,8 +43,11 @@ object Similarity {
    * rrf = Σ 1/(kRrf + rank), a doc missing from one list contributing 0.
    * The fused score is emitted 1e6-scaled integer (1/(k+r) sums in a
    * FIXED two-term expression order — deterministic IEEE on any engine);
-   * ranks key on already-quantized inputs (BM25's 4dp score, the exact
-   * double cosine), doc_id breaking every tie, so the fusion is total.
+   * BOTH rank keys are quantized (BM25's 4dp score; the cosine rounds to
+   * a 1e6-scaled integer BEFORE the rank window, pool selection included —
+   * a raw-double key could rank-flip across engines on a last-ulp
+   * difference between the fold here and an oracle's own cosine), doc_id
+   * breaking every tie, so the fusion is total.
    *
    * Scale shape: both arms are their own measured operators (pruned
    * postings + TakeOrdered; broadcast query × one corpus scan); the
@@ -60,8 +63,19 @@ object Similarity {
     val wb = Window.orderBy(desc("score"), col("doc_id")) // ≤pool rows by limit
     val bmR = bm.withColumn("bm_rank", row_number().over(wb).cast("long"))
       .select(col("doc_id"), col("bm_rank"))
-    val cosR = bruteForceTopK(emb, emb.where(col("vec_id") === queryVecId), k = pool)
-      .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("cos_rank"))
+    // the cosine arm inline (not [[bruteForceTopK]]): the rank key must be
+    // the QUANTIZED cosine so pool membership and order are engine-stable
+    val qv = emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val wc = Window.orderBy(desc("cos_q"), col("doc_id")) // ≤pool rows by limit
+    val cosR = emb.crossJoin(broadcast(qv))
+      .where(col("vec_id") =!= queryVecId)
+      .select(col("vec_id").as("doc_id"),
+        round(dot(col("qv"), col("embedding")) /
+          (col("qn") * norm(col("embedding"))) * 1e6).cast("long").as("cos_q"))
+      .orderBy(desc("cos_q"), col("doc_id")).limit(pool)
+      .withColumn("cos_rank", row_number().over(wc).cast("long"))
+      .select(col("doc_id"), col("cos_rank"))
     bmR.join(cosR, Seq("doc_id"), "full_outer")
       .withColumn("rrf_x1e6", round((
         coalesce(lit(1.0) / (col("bm_rank") + kRrf), lit(0.0)) +
