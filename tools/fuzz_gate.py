@@ -207,9 +207,44 @@ def main_mm() -> int:
     return 1 if failures else 0
 
 
+def main_mor(n_seeds: int) -> int:
+    """Merge-on-read lifecycle differential (r14): a seeded sequence of
+    random append/edit/delete batches against one term index, every
+    retrieval consumer (boolean AND/OR, BM25, phrase) compared — scores
+    included — against a fresh rebuild of the final corpus state, and
+    again after compaction. The differential runs in-JVM (graft.MoRFuzz:
+    exit 0 = identical); this mode supplies fresh corpora per seed, so
+    segment histories, tombstone layouts and delta-only term structure
+    all vary."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    failures = 0
+    for seed in range(1, n_seeds + 1):
+        sf_dir = f"/tmp/graft_fuzz/corpus_{seed}"
+        gen_corpus(seed, sf_dir)
+        try:
+            r = subprocess.run(
+                ["sbt", "-batch", f"runMain graft.MoRFuzz {sf_dir} {seed}"],
+                cwd=repo, capture_output=True, text=True, timeout=1800)
+        except subprocess.TimeoutExpired:
+            print(f"mor seed {seed}: TIMED OUT (1800s)")
+            failures += 1
+            continue
+        tail = [l for l in r.stdout.splitlines() if "[morfuzz" in l]
+        print(f"mor seed {seed}: " +
+              (tail[-1] if tail else "<no morfuzz output>"))
+        if r.returncode != 0:
+            print(r.stdout[-3000:])
+            print(r.stderr[-2000:])
+            failures += 1
+    print(f"mor fuzz: {n_seeds - failures}/{n_seeds} seeds clean")
+    return 1 if failures else 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "mm":
         return main_mm()
+    if len(sys.argv) > 1 and sys.argv[1] == "mor":
+        return main_mor(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     subset = sys.argv[2] if len(sys.argv) > 2 else SENSITIVE
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
