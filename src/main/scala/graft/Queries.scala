@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.SeriesFrame
 import graft.engine.Eval
-import graft.pipeline.{Assembly, Curation, Dedup, Multimodal, Quantize, Similarity, TextStats}
+import graft.pipeline.{Assembly, Curation, Dedup, Multimodal, PairMaintenance, Quantize, Similarity, TextStats}
 import graft.store.EventSeriesStore
 
 /**
@@ -1425,6 +1425,48 @@ object Queries {
             TextStats.tokenCount(col("text")).cast("long").as("n_tokens")), "doc_id")
           .select(col("doc_id"), col("split"), col("n_tokens"))
       Assembly.splitMoves(assign(d), assign(newSnap))
+        .orderBy("split_from", "split_to")
+    }),
+    // the p83 matrix computed INCREMENTALLY — the declared scale path to
+    // p83's full-recompute baseline: the refresh appends one shingle-index
+    // segment + tombstones, the pair set refreshes from the blast radius
+    // (changed docs + the df-boundary ripple), CC re-runs only on touched
+    // components stitched onto the untouched labels. Same oracle as p83:
+    // the incremental assignment must equal the full recompute exactly.
+    "p91_incremental_split_moves" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" rev2")))
+      val added = d.where(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val changed = edited.unionByName(added).select("doc_id", "text")
+      val deletedIds = d.where(col("doc_id") % 7 === 0).select("doc_id")
+      // old-build artifacts: the persisted pair set + its labels
+      val oldPairs = ensureNgramPairs(s, dir)
+      val oldCC = Dedup.dedupClustersStar(d, oldPairs).localCheckpoint(true)
+      val path = scratchPath("shx", dir)
+      PairMaintenance.writeShingleIndex(d, path)
+      PairMaintenance.appendToShingleIndex(changed, path, seg = 1L)
+      val noTomb = d.select(col("doc_id"), lit(0L).as("before_seg")).limit(0)
+      val tomb = deletedIds.select(col("doc_id"),
+          lit(Long.MaxValue).as("before_seg"))
+        .unionByName(edited.select(col("doc_id"), lit(1L).as("before_seg")))
+      val (newCC, _) = PairMaintenance.incrementalClusters(s, path,
+        oldPairs, oldCC, changedIds = changed.select("doc_id"),
+        removedIds = deletedIds, tombstonesOld = noTomb,
+        tombstonesNew = tomb, refreshSegFrom = 1L)
+      val newSnap = d.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .unionByName(d.where(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      def assignOf(cc: DataFrame, corpus: DataFrame) = cc
+        .withColumn("split", Assembly.splitLabel(col("cluster_id"), 0.9, 0.05, 9377L))
+        .join(corpus.select(col("doc_id"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tokens")), "doc_id")
+        .select(col("doc_id"), col("split"), col("n_tokens"))
+      Assembly.splitMoves(assignOf(oldCC, d), assignOf(newCC, newSnap))
         .orderBy("split_from", "split_to")
     }),
     // boolean retrieval over the persisted term index: AND of three terms,
@@ -3985,6 +4027,32 @@ object Queries {
     // ccSql min-reachable-id label, which the refresh's deletions/edits
     // rewire — off-diagonal both-present cells are genuine split churn
     "p83_cluster_split_moves" ->
+      (s"""WITH nd AS ($ndSnapshotSql),
+        |occ AS (SELECT * FROM (${ccSqlFor("documents")}) t),
+        |ncc AS (SELECT * FROM (${ccSqlFor("nd")}) t),
+        |oa AS (
+        |  SELECT c.doc_id,
+        |    CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split,
+        |    tk.n_tokens
+        |  FROM (SELECT doc_id,
+        |        ((cluster_id % 1000003 + 9377) * 22695477) % 1000000007 % 1000000 / 1000000.0 AS u
+        |        FROM occ) c
+        |  JOIN (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM documents) tk
+        |    ON tk.doc_id = c.doc_id),
+        |na AS (
+        |  SELECT c.doc_id,
+        |    CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split,
+        |    tk.n_tokens
+        |  FROM (SELECT doc_id,
+        |        ((cluster_id % 1000003 + 9377) * 22695477) % 1000000007 % 1000000 / 1000000.0 AS u
+        |        FROM ncc) c
+        |  JOIN (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM nd) tk
+        |    ON tk.doc_id = c.doc_id),
+        |$splitMovesTailSql""").stripMargin,
+    // p91 shares p83's ground truth VERBATIM: the oracle is the full
+    // recompute on both snapshots — the incremental engine path must land
+    // on the identical matrix
+    "p91_incremental_split_moves" ->
       (s"""WITH nd AS ($ndSnapshotSql),
         |occ AS (SELECT * FROM (${ccSqlFor("documents")}) t),
         |ncc AS (SELECT * FROM (${ccSqlFor("nd")}) t),

@@ -1,0 +1,260 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental maintenance of the exact n-gram-Jaccard pair set and its
+ * connected-component labels — the scale path behind the p83 full-recompute
+ * churn baseline: a corpus refresh should cost work proportional to its
+ * BLAST RADIUS (changed docs + the df-boundary ripple), never a fresh
+ * all-pairs pass over the corpus.
+ *
+ * The persisted artifact is a hashed-shingle postings index riding the
+ * exact merge-on-read contract as [[TextStats]]' term index (Lucene/Delta
+ * segments over parquet): `(sh, doc_id, seg)` bucket-partitioned by
+ * `pmod(sh, buckets)`, a `(doc_id, set_size, seg)` sidecar, a 1-row meta
+ * sidecar carrying the bucket count, and `(doc_id, before_seg)` tombstones
+ * killing a doc's rows in earlier segments. A refresh appends the changed
+ * docs' postings as a new segment and records tombstones — the
+ * corpus-sized seg-0 postings never rewrite.
+ *
+ * EXACTNESS (the property the p91 oracle gates): a pair of two UNCHANGED
+ * docs can still change under [[Dedup.ngramJaccardPairs]]' semantics,
+ * because a shared gram's document frequency may cross the `[2, maxDocFreq]`
+ * eligibility boundary when changed/removed docs add or drop occurrences.
+ * [[incrementalClusters]] therefore computes each delta gram's df under the
+ * OLD and NEW tombstone states, finds the boundary-CROSSING grams, and
+ * widens the recompute set to every alive doc containing one — the exact
+ * dependency closure, so the refreshed pair set equals a full recompute
+ * gram-for-gram. CC then re-runs ONLY on the touched components (old
+ * components holding any seed doc), stitched back onto the untouched
+ * labels — a component with no dropped pair, no new pair and no member
+ * churn cannot change its min-id label.
+ *
+ * Scale shape per refresh: the postings index scans (columnar, pruned to
+ * 3 narrow columns, no corpus text) feed broadcast semi-joins against
+ * delta-sized id/gram sets; the only shuffles are the delta-gram df folds
+ * and the probe-partner intersection aggregate, all keyed and bounded by
+ * the blast radius; the star-CC iteration runs on the touched subgraph
+ * only. All small sides (changed ids, delta grams, crossing grams, seeds,
+ * touched labels, sub-corpus ids) are refresh-blast-radius-bounded by
+ * contract — the p86 broadcast rule.
+ *
+ * No analog in the reference (carbonapi has no corpus dedup surface); the
+ * construction follows the published MoR segment model and the r13 term
+ * index.
+ */
+object PairMaintenance {
+
+  private def writeMeta(spark: SparkSession, dir: String, buckets: Int,
+                        k: Int): Unit = {
+    import spark.implicits._
+    Seq((buckets, k)).toDF("buckets", "k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir.meta")
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$dir.meta").select("buckets", "k").head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Hashed distinct k-shingle postings for one batch at one segment. */
+  private def postings(docs: DataFrame, seg: Long, buckets: Int,
+                       k: Int): DataFrame =
+    docs.select(col("doc_id"), Dedup.wordsOf(col("text")).as("_w"))
+      .select(col("doc_id"),
+        explode(transform(Dedup.shinglesOf(col("_w"), k),
+          s => xxhash64(s))).as("sh"))
+      .withColumn("seg", lit(seg))
+      .withColumn("bucket", pmod(col("sh"), lit(buckets.toLong)).cast("int"))
+
+  /** Per-doc distinct-shingle set size for one batch at one segment. */
+  private def sizes(docs: DataFrame, seg: Long, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        size(Dedup.shinglesOf(Dedup.wordsOf(col("text")), k))
+          .cast("long").as("set_size"))
+      .withColumn("seg", lit(seg))
+
+  def writeShingleIndex(docs: DataFrame, dir: String, k: Int = 3,
+                        buckets: Int = 64): Unit = {
+    postings(docs, seg = 0L, buckets, k)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    sizes(docs, seg = 0L, k).write.mode("overwrite").parquet(s"$dir.sizes")
+    writeMeta(docs.sparkSession, dir, buckets, k)
+  }
+
+  /** Delta-sized segment append — the changed docs' postings and set
+    * sizes; the caller records tombstones for edited/deleted docs exactly
+    * as with [[TextStats.appendToTermIndex]]. */
+  def appendToShingleIndex(docs: DataFrame, dir: String, seg: Long): Unit = {
+    require(seg > 0L, "appendToShingleIndex: appended segments start at 1")
+    val (buckets, k) = readMeta(docs.sparkSession, dir)
+    postings(docs, seg, buckets, k)
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+    sizes(docs, seg, k).write.mode("append").parquet(s"$dir.sizes")
+  }
+
+  private def aliveUnder(rows: DataFrame, tombstones: DataFrame): DataFrame = {
+    val t = tombstones.select(col("doc_id").as("_tid"), col("before_seg"))
+    rows.join(broadcast(t),
+      col("doc_id") === col("_tid") && col("seg") < col("before_seg"),
+      "left_anti")
+  }
+
+  /**
+   * The incremental refresh: new `(doc_id, cluster_id)` labels and the
+   * refreshed exact pair set, equal to a full
+   * [[Dedup.ngramJaccardPairs]] + [[Dedup.dedupClustersStar]] recompute
+   * over the refreshed corpus.
+   *
+   * Inputs: `indexDir` — the shingle index AFTER the refresh's segment
+   * append; `oldPairs`/`oldCC` — the previous build's persisted pair set
+   * and labels; `changedIds` — edited + added doc ids (1-col `doc_id`);
+   * `removedIds` — deleted doc ids; `tombstonesOld`/`tombstonesNew` — the
+   * index tombstone state before/after the refresh (old is empty for a
+   * fresh seg-0 build); `refreshSegFrom` — the first segment this refresh
+   * appended (the OLD corpus state is `seg < refreshSegFrom` under the old
+   * tombstones — newly appended rows are invisible to it).
+   *
+   * Returns (newCC, newPairs) — both are the artifacts the next refresh
+   * consumes, closing the loop.
+   */
+  def incrementalClusters(spark: SparkSession, indexDir: String,
+                          oldPairs: DataFrame, oldCC: DataFrame,
+                          changedIds: DataFrame, removedIds: DataFrame,
+                          tombstonesOld: DataFrame, tombstonesNew: DataFrame,
+                          refreshSegFrom: Long,
+                          threshold: Double = 0.5,
+                          maxDocFreq: Long = 1000): (DataFrame, DataFrame) = {
+    val idx = spark.read.parquet(indexDir).select("sh", "doc_id", "seg")
+    val aliveOld = aliveUnder(idx.where(col("seg") < refreshSegFrom),
+      tombstonesOld)
+    val aliveNew = aliveUnder(idx, tombstonesNew)
+
+    // 1) delta grams: every gram whose df could have moved — grams of any
+    //    changed or removed doc, ANY segment (old text included: the index
+    //    still holds tombstoned rows)
+    val deltaIds = broadcast(changedIds.select(col("doc_id"))
+      .unionByName(removedIds.select(col("doc_id"))).distinct())
+    val deltaGrams = idx.join(deltaIds, Seq("doc_id"), "left_semi")
+      .select("sh").distinct()
+
+    // 2) df under both tombstone states, restricted to the delta grams;
+    //    eligibility = df in [2, maxDocFreq] (ngramJaccardPairs' inter
+    //    filter); a flip is a CROSSING gram
+    def dfOf(alive: DataFrame, name: String) =
+      alive.join(broadcast(deltaGrams), Seq("sh"), "left_semi")
+        .groupBy("sh").agg(count(lit(1)).as(name))
+    val eligible = (c: org.apache.spark.sql.Column) =>
+      c >= 2L && c <= maxDocFreq
+    val crossing = dfOf(aliveOld, "df_old")
+      .join(dfOf(aliveNew, "df_new"), Seq("sh"), "full_outer")
+      .where(eligible(coalesce(col("df_old"), lit(0L))) =!=
+        eligible(coalesce(col("df_new"), lit(0L))))
+      .select("sh")
+
+    // 3) blast radius: changed docs plus every ALIVE doc holding a
+    //    crossing gram (their unchanged pairs can change through the df
+    //    boundary alone)
+    val expandedIds = aliveNew.join(broadcast(crossing), Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+    val probeIds = broadcast(changedIds.select(col("doc_id"))
+      .unionByName(expandedIds).distinct())
+    val dropIds = broadcast(probeIds.unionByName(
+      removedIds.select(col("doc_id"))).distinct())
+
+    // 4) recompute the probe docs' pairs against the index: probe grams →
+    //    df-eligible grams → partner hits → per-pair intersection counts →
+    //    Jaccard with sizes from the sidecar
+    val probeGrams = aliveNew.join(probeIds, Seq("doc_id"), "left_semi")
+      .select(col("sh"), col("doc_id").as("_pid"))
+    val probeDf = aliveNew
+      .join(broadcast(probeGrams.select("sh").distinct()), Seq("sh"), "left_semi")
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(eligible(col("df")))
+      .select("sh")
+    val hits = aliveNew.join(broadcast(probeDf), Seq("sh"), "left_semi")
+      .select(col("sh"), col("doc_id").as("_oid"))
+    val inter = probeGrams
+      .join(broadcast(probeDf), Seq("sh"), "left_semi")
+      .join(hits, "sh")
+      .where(col("_pid") =!= col("_oid"))
+      .groupBy(least(col("_pid"), col("_oid")).as("doc_a"),
+        greatest(col("_pid"), col("_oid")).as("doc_b"))
+      .agg(count(lit(1)).as("_raw"))
+      // a probe-probe pair accumulates BOTH probe directions: each common
+      // gram lands twice under the canonical key, unchanged partners once
+      .join(probeIds.select(col("doc_id").as("doc_a"),
+        lit(1L).as("_aProbe")), Seq("doc_a"), "left")
+      .join(probeIds.select(col("doc_id").as("doc_b"),
+        lit(1L).as("_bProbe")), Seq("doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        when(col("_aProbe").isNotNull && col("_bProbe").isNotNull,
+          (col("_raw") / 2L).cast("long")).otherwise(col("_raw")).as("inter"))
+    val szAll = aliveUnder(spark.read.parquet(s"$indexDir.sizes"), tombstonesNew)
+      .select(col("doc_id"), col("set_size"))
+    val newPairsRecomputed = inter
+      .join(szAll.select(col("doc_id").as("doc_a"), col("set_size").as("_sa")), "doc_a")
+      .join(szAll.select(col("doc_id").as("doc_b"), col("set_size").as("_sb")), "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("_sa") + col("_sb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+    // 5) the refreshed pair artifact: old pairs not touching the blast
+    //    radius + the recomputed radius pairs
+    val da = dropIds.select(col("doc_id").as("doc_a"))
+    val db = dropIds.select(col("doc_id").as("doc_b"))
+    val keptPairs = oldPairs
+      .join(da, Seq("doc_a"), "left_anti")
+      .join(db, Seq("doc_b"), "left_anti")
+    // the using-column joins above rotate the key columns to the front —
+    // pin the artifact's (doc_a, doc_b, jaccard) order for positional readers
+    val newPairs = keptPairs.unionByName(newPairsRecomputed)
+      .select("doc_a", "doc_b", "jaccard")
+
+    // 6) CC only on the touched components: seeds = blast radius + every
+    //    endpoint of a dropped old pair + every endpoint of a recomputed
+    //    pair (merges pull their partner components in; splits need the
+    //    orphaned partners relabelled)
+    val droppedOld = oldPairs
+      .join(da, Seq("doc_a"), "left_semi")
+      .unionByName(oldPairs.join(db, Seq("doc_b"), "left_semi"))
+    val seeds = broadcast(dropIds.select("doc_id")
+      .unionByName(droppedOld.select(col("doc_a").as("doc_id")))
+      .unionByName(droppedOld.select(col("doc_b").as("doc_id")))
+      .unionByName(newPairsRecomputed.select(col("doc_a").as("doc_id")))
+      .unionByName(newPairsRecomputed.select(col("doc_b").as("doc_id")))
+      .distinct())
+    val touched = broadcast(oldCC.join(seeds, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct())
+    // sub-corpus: touched components' surviving members + added docs
+    // (changed ids with no old label)
+    val subDocs = oldCC.join(touched, Seq("cluster_id"), "left_semi")
+      .select("doc_id")
+      .join(broadcast(removedIds.select("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(changedIds.select("doc_id")
+        .join(oldCC.select("doc_id"), Seq("doc_id"), "left_anti"))
+      .distinct()
+    // a kept pair has both endpoints in one old component, so doc_a alone
+    // decides membership; recomputed pairs are in by construction
+    val subPairs = keptPairs
+      .join(oldCC.select(col("doc_id").as("doc_a"), col("cluster_id")), "doc_a")
+      .join(touched, Seq("cluster_id"), "left_semi")
+      .select("doc_a", "doc_b", "jaccard")
+      .unionByName(newPairsRecomputed)
+    // constraint-stripping re-wrap (blast-radius-sized, one deserialization
+    // boundary): the composed join/filter constraints riding subDocs/
+    // subPairs survive the star loop's localCheckpoints (LogicalRDD keeps
+    // origin constraints) and trip Catalyst's union constraint rewrite
+    // ("key not found: u#N") inside dedupClustersStar's symmetric union
+    def strip(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    val subCC = Dedup.dedupClustersStar(strip(subDocs), strip(subPairs))
+      .localCheckpoint(true)
+    val untouched = oldCC.join(touched, Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    (untouched.unionByName(subCC.select("doc_id", "cluster_id")), newPairs)
+  }
+}

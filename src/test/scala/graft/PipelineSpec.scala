@@ -1676,6 +1676,84 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("doc_id").collect().map(_.getLong(0)).toList, wrongB.toString)
   }
 
+  test("incremental cluster maintenance equals full recompute: bridge-delete splits, edit merges, adds attach, df-crossing ripples to unchanged pairs") {
+    val sp = spark
+    import sp.implicits._
+    val P = graft.pipeline.PairMaintenance
+    val D = graft.pipeline.Dedup
+
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    def ccOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def check(olds: Seq[(Long, String)], edits: Seq[(Long, String)],
+              adds: Seq[(Long, String)], dels: Seq[Long],
+              maxDf: Long): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pm").toString + "/idx"
+      val oldDocs = olds.toDF("doc_id", "text")
+      // the artifact contract: oldPairs/oldCC arrive PERSISTED (parquet
+      // from the previous build) — materialize the live plans like a
+      // caller reading them back would
+      val oldPairs = D.ngramJaccardPairs(oldDocs, k = 3, threshold = 0.5,
+        maxDocFreq = maxDf).localCheckpoint(true)
+      val oldCC = D.dedupClustersStar(oldDocs, oldPairs).localCheckpoint(true)
+      P.writeShingleIndex(oldDocs, dir, k = 3, buckets = 16)
+      P.appendToShingleIndex((edits ++ adds).toDF("doc_id", "text"), dir, seg = 1L)
+      val noTomb = Seq.empty[(Long, Long)].toDF("doc_id", "before_seg")
+      val tomb = (dels.map((_, Long.MaxValue)) ++ edits.map(e => (e._1, 1L)))
+        .toDF("doc_id", "before_seg")
+      val (incCC, incPairs) = P.incrementalClusters(sp, dir,
+        oldPairs, oldCC,
+        changedIds = (edits ++ adds).map(_._1).toDF("doc_id"),
+        removedIds = dels.toDF("doc_id"),
+        tombstonesOld = noTomb, tombstonesNew = tomb, refreshSegFrom = 1L,
+        threshold = 0.5, maxDocFreq = maxDf)
+      val editIds = edits.map(_._1).toSet
+      val newCorpus = (olds.filterNot(d => dels.contains(d._1) ||
+        editIds.contains(d._1)) ++ edits ++ adds).toDF("doc_id", "text")
+      val fullPairs = D.ngramJaccardPairs(newCorpus, k = 3, threshold = 0.5,
+        maxDocFreq = maxDf)
+      assert(pairsOf(incPairs) == pairsOf(fullPairs),
+        s"pairs: inc=${pairsOf(incPairs)} full=${pairsOf(fullPairs)}")
+      assert(ccOf(incCC) == ccOf(D.dedupClustersStar(newCorpus, fullPairs)),
+        s"cc: inc=${ccOf(incCC)} full=${ccOf(D.dedupClustersStar(newCorpus, fullPairs))}")
+    }
+
+    // A: chain 1-2-3 (2 is the bridge), identical pair {5,6}, singleton 7.
+    // Refresh: delete the bridge (split), edit 7 into the {5,6} cluster
+    // (merge), add 8 as a near-dup of 1 (attach).
+    check(
+      olds = Seq(
+        (1L, "w1 w2 w3 w4 w5"), (2L, "w2 w3 w4 w5 w6"), (3L, "w3 w4 w5 w6 w7"),
+        (5L, "x1 x2 x3"), (6L, "x1 x2 x3"), (7L, "z1 z2 z3")),
+      edits = Seq((7L, "x1 x2 x3")),
+      adds = Seq((8L, "w1 w2 w3 w4 w5")),
+      dels = Seq(2L),
+      maxDf = 10L)
+    // B: the df-boundary ripple — {10,11} identical (each gram df=2,
+    // eligible at maxDf=2); the refresh ADDS a third copy, pushing the
+    // grams to df=3 > maxDf: the UNCHANGED pair (10,11) must vanish, and
+    // only the crossing-gram expansion can see that
+    check(
+      olds = Seq((10L, "q1 q2 q3 q4 q5"), (11L, "q1 q2 q3 q4 q5"),
+        (20L, "m1 m2 m3 m4")),
+      edits = Seq.empty,
+      adds = Seq((12L, "q1 q2 q3 q4 q5")),
+      dels = Seq.empty,
+      maxDf = 2L)
+    // C: the reverse crossing — three copies (df=3, ineligible, no pairs);
+    // deleting one drops df to 2: the two UNCHANGED survivors must PAIR UP
+    check(
+      olds = Seq((30L, "r1 r2 r3 r4 r5"), (31L, "r1 r2 r3 r4 r5"),
+        (32L, "r1 r2 r3 r4 r5"), (40L, "s1 s2 s3 s4")),
+      edits = Seq.empty,
+      adds = Seq.empty,
+      dels = Seq(32L),
+      maxDf = 2L)
+  }
+
   test("SqlOps.notIn reproduces three-valued NOT IN: null probe excluded, any subquery null empties, empty subquery keeps all") {
     val sp = spark
     import sp.implicits._
