@@ -1494,6 +1494,16 @@ object Queries {
       TextStats.phraseSearch(s, path, Seq("table", "scan", "merge"))
         .orderBy("doc_id")
     }),
+    // prefix retrieval (term LIKE 'sc%'): all bucket dirs scan, but the
+    // pushed StartsWith + term-sorted row groups skip everything outside
+    // the prefix range — the documented trade-off vs a second
+    // range-partitioned index (see prefixSearchTermIndex)
+    "p94_prefix_search" -> ((s, dir) => {
+      val path = scratchPath("ti", dir)
+      ensureTermIndex(s, dir, path)
+      TextStats.prefixSearchTermIndex(s, path, "sc")
+        .orderBy("doc_id")
+    }),
     // BM25 ranked retrieval over the same persisted index: contributions
     // quantize to 1e6-scaled integers before the per-doc sum (association-
     // proof), top-10 by (rounded score desc, doc_id) — a total order
@@ -4099,6 +4109,14 @@ object Queries {
         |  FROM w WHERE len(w) >= 3)
         |SELECT doc_id, CAST(n_occur AS BIGINT) AS n_occur
         |FROM o WHERE n_occur > 0 ORDER BY doc_id""".stripMargin,
+    // the prefix family counted by corpus scan — the index answers it
+    // from pushed StartsWith over term-sorted row groups
+    "p94_prefix_search" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM documents),
+        |tc AS (SELECT doc_id, word, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS n_hits
+        |FROM tc WHERE word LIKE 'sc%' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // exact BM25 replay (k1=1.2, b=0.75) with the engine's own operation
     // order: idf and tf-norm per (term, doc), 1e6-quantized BEFORE the
     // per-doc sum, the same two-step output rounding

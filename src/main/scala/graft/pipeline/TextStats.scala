@@ -452,7 +452,14 @@ object TextStats {
    */
   def writeTermIndex(docs: DataFrame, dir: String, buckets: Int = 64,
                      textCol: String = "text"): Unit = {
+    // term-sorted within each written file: hash bucketing scatters a
+    // PREFIX range across every bucket dir, so [[prefixSearchTermIndex]]
+    // can't partition-prune — instead the local sort clusters each file's
+    // row groups by term, and parquet min/max stats skip the groups a
+    // pushed StartsWith can't match (the range-pruning a sorted layout
+    // buys without a second index)
     postings(docs, seg = 0L, buckets, textCol)
+      .sortWithinPartitions("bucket", "term")
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
     // ranking sidecar: per-doc length (Σ tf), SEGMENTED like the postings
     // (seg 0 here, append-only deltas from [[appendToTermIndex]]) —
@@ -560,7 +567,8 @@ object TextStats {
     val p = postings(docs, seg, b, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      p.write.mode("append").partitionBy("bucket").parquet(dir)
+      p.sortWithinPartitions("bucket", "term")
+        .write.mode("append").partitionBy("bucket").parquet(dir)
       // the ranking sidecar rides the SAME merge-on-read contract as the
       // postings: the batch docs' dl rows append at this segment (delta-
       // sized, nothing rewrites); edited docs' stale rows die by the same
@@ -677,6 +685,7 @@ object TextStats {
         col("doc_id") === col("_tid") && col("seg") < col("before_seg"),
         "left_anti")
       .withColumn("seg", lit(0L))
+      .sortWithinPartitions("bucket", "term")
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
     aliveDoclen(spark, indexDir, Some(tombstones))
       .withColumn("seg", lit(0L))
@@ -704,6 +713,42 @@ object TextStats {
       case other => throw new IllegalArgumentException(
         s"searchTermIndexMoR: bad mode $other")
     }
+  }
+
+  /**
+   * Prefix (`term LIKE 'foo%'`) retrieval over the persisted index — the
+   * find/expand analog for corpus CONTENT (the reference's glob grammar,
+   * `pkg/parser/parser.go:701-715`, serves series NAMES from its own
+   * index; content terms get the same leading-literal contract). Hash
+   * bucketing destroys prefix locality, so this is the DOCUMENTED
+   * trade-off decision: prefix queries scan every bucket directory, but
+   * the scan ships `StartsWith(term, prefix)` into the parquet reader,
+   * and because [[writeTermIndex]] sorts each file by term, row-group
+   * min/max stats skip everything outside the prefix range — measured at
+   * ~flat query cost on the 100× corpus (ScaleBench p94 rows) without a
+   * second range-partitioned index to maintain. A sorted-term index
+   * variant would buy directory-level pruning at the cost of a second
+   * full artifact and a skewed write (Zipfian term mass); the row-group
+   * path wins until a profile says otherwise.
+   *
+   * Returns (doc_id, n_terms, n_hits): distinct matching terms and summed
+   * tf per doc, tombstone-aware like the other consumers.
+   */
+  def prefixSearchTermIndex(spark: SparkSession, indexDir: String,
+                            prefix: String,
+                            tombstones: Option[DataFrame] = None): DataFrame = {
+    require(prefix.nonEmpty, "prefixSearchTermIndex: empty prefix")
+    val idx = spark.read.parquet(indexDir)
+      .where(col("term").startsWith(prefix))
+    val alive = tombstones.fold(idx) { tb =>
+      val t = tb.select(col("doc_id").as("_tid"), col("before_seg"))
+      idx.join(broadcast(t),
+        col("doc_id") === col("_tid") && col("seg") < col("before_seg"),
+        "left_anti")
+    }
+    alive.groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("n_hits"))
   }
 
   /**

@@ -693,6 +693,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the fold joins must stay doc_id-equality-keyed:\n" + s.take(2000))
   }
 
+  test("p94 prefix search pushes StartsWith into the parquet reader and answers from postings only") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pfplan").toString
+    val docs = (1L to 50L).map(i => (i, s"scan scatter w$i filler text number $i"))
+      .toDF("doc_id", "text")
+    graft.pipeline.TextStats.writeTermIndex(docs, dir, buckets = 16)
+    val df = graft.pipeline.TextStats.prefixSearchTermIndex(sp, dir, "sc")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty, "expected a parquet scan of the index")
+    // the prefix predicate must reach the reader (row-group min/max stats
+    // skip non-matching term ranges thanks to the term-sorted write)
+    assert(scans.exists(_.toString.contains("StringStartsWith(term,sc)")),
+      "StartsWith must be a pushed filter:\n" +
+        scans.map(_.toString.take(500)).mkString("\n"))
+    // correctness: both terms start with 'sc', every doc matches twice
+    val got = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 50 && got.forall(r => r._2 == 2L && r._3 == 2L),
+      got.take(5).mkString(", "))
+  }
+
   test("p75 memorization audit counts gram df in a gram-PARTITIONED window — no unpartitioned window, no second corpus scan") {
     import org.apache.spark.sql.execution.window.WindowExec
     val sp = spark
