@@ -162,6 +162,38 @@ object Queries {
     s.read.parquet(path)
   }
 
+  /** p91's standard refresh delta (the p83/p86 convention) — edited
+    * (%5 among the %7-survivors), added (%13, shifted ids), deleted (%7). */
+  private def refreshDelta(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+      .withColumn("text", concat(col("text"), lit(" rev2")))
+    val added = d.where(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val deletedIds = d.where(col("doc_id") % 7 === 0).select("doc_id")
+    (edited, added, deletedIds)
+  }
+
+  /** Build-once guard for p91's maintained shingle index: the index and
+    * its refresh segment are the PREVIOUS build's artifacts (production
+    * reads them from storage) — one write per corpus, the row measures
+    * the incremental computation they feed. Same contract as
+    * ensureTermIndex: mark built only after the writes succeed. */
+  private val builtShingleIdx = scala.collection.mutable.HashSet[String]()
+  private def ensureRefreshedShingleIndex(s: SparkSession, dir: String): String = {
+    val path = scratchPath("shx", dir)
+    builtShingleIdx.synchronized {
+      if (!builtShingleIdx.contains(path)) {
+        val d = docs(s, dir)
+        val (edited, added, _) = refreshDelta(d)
+        PairMaintenance.writeShingleIndex(d, path)
+        PairMaintenance.appendToShingleIndex(
+          edited.unionByName(added).select("doc_id", "text"), path, seg = 1L)
+        builtShingleIdx.add(path)
+      }
+    }
+    path
+  }
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
   private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
@@ -1435,18 +1467,14 @@ object Queries {
     // the incremental assignment must equal the full recompute exactly.
     "p91_incremental_split_moves" -> ((s, dir) => {
       val d = docs(s, dir)
-      val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
-        .withColumn("text", concat(col("text"), lit(" rev2")))
-      val added = d.where(col("doc_id") % 13 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val (edited, added, deletedIds) = refreshDelta(d)
       val changed = edited.unionByName(added).select("doc_id", "text")
-      val deletedIds = d.where(col("doc_id") % 7 === 0).select("doc_id")
-      // old-build artifacts: the persisted pair set + its labels
+      // old-build artifacts: the persisted pair set + its labels + the
+      // maintained shingle index (index build + segment append shared
+      // once per corpus — they belong to the PREVIOUS build)
       val oldPairs = ensureNgramPairs(s, dir)
       val oldCC = Dedup.dedupClustersStar(d, oldPairs).localCheckpoint(true)
-      val path = scratchPath("shx", dir)
-      PairMaintenance.writeShingleIndex(d, path)
-      PairMaintenance.appendToShingleIndex(changed, path, seg = 1L)
+      val path = ensureRefreshedShingleIndex(s, dir)
       val noTomb = d.select(col("doc_id"), lit(0L).as("before_seg")).limit(0)
       val tomb = deletedIds.select(col("doc_id"),
           lit(Long.MaxValue).as("before_seg"))

@@ -335,9 +335,81 @@ object ScaleBench {
         graft.pipeline.TextStats.searchTermIndex(spark, path,
           Seq("window", "scan", "merge")).count()
         val tQuery = (System.nanoTime() - t1) / 1e9
-        Seq("p84_index_build" -> tBuild, "p84_index_query" -> tQuery)
+        // the r14 query-only arms over the SAME one-time build: the
+        // catalog rows p87/p89/p94 time build + query together, the flat
+        // claim is about the steady state
+        val t2 = System.nanoTime()
+        graft.pipeline.TextStats.bm25TopK(spark, path,
+          Seq("window", "scan", "merge"), k = 10).count()
+        val tBm = (System.nanoTime() - t2) / 1e9
+        val t3 = System.nanoTime()
+        graft.pipeline.TextStats.phraseSearch(spark, path,
+          Seq("table", "scan", "merge")).count()
+        val tPh = (System.nanoTime() - t3) / 1e9
+        val t4 = System.nanoTime()
+        graft.pipeline.TextStats.prefixSearchTermIndex(spark, path, "sc").count()
+        val tPre = (System.nanoTime() - t4) / 1e9
+        Seq("p84_index_build" -> tBuild, "p84_index_query" -> tQuery,
+          "p87_bm25_query" -> tBm, "p89_phrase_query" -> tPh,
+          "p94_prefix_query" -> tPre)
       } else Nil
-    p52Split ++ p84Split ++ selected.map { name =>
+    // p91's catalog row times the OLD build + the refresh together; the
+    // scale claim is refresh-only (the old artifacts are the previous
+    // build's outputs) — timed against p83's full recompute row
+    val p91Split: Seq[(String, Double)] =
+      if (selected.contains("p83_cluster_split_moves")) {
+        import org.apache.spark.sql.functions._
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val path = Queries.ndIndexPath(dir) + "_shx_split"
+        val oldPairs = graft.pipeline.Dedup
+          .ngramJaccardPairs(d, k = 3, threshold = 0.5).localCheckpoint(true)
+        val oldCC = graft.pipeline.Dedup.dedupClustersStar(d, oldPairs)
+          .localCheckpoint(true)
+        graft.pipeline.PairMaintenance.writeShingleIndex(d, path)
+        val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+          .withColumn("text", concat(col("text"), lit(" rev2")))
+        val added = d.where(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        val changed = edited.unionByName(added).select("doc_id", "text")
+        val deletedIds = d.where(col("doc_id") % 7 === 0).select("doc_id")
+        val noTomb = d.select(col("doc_id"), lit(0L).as("before_seg")).limit(0)
+        val tomb = deletedIds.select(col("doc_id"),
+            lit(Long.MaxValue).as("before_seg"))
+          .unionByName(edited.select(col("doc_id"), lit(1L).as("before_seg")))
+        val t0 = System.nanoTime()
+        graft.pipeline.PairMaintenance.appendToShingleIndex(changed, path, seg = 1L)
+        val (newCC, newPairs) = graft.pipeline.PairMaintenance
+          .incrementalClusters(spark, path, oldPairs, oldCC,
+            changed.select("doc_id"), deletedIds, noTomb, tomb,
+            refreshSegFrom = 1L)
+        newPairs.count(); newCC.count()
+        val tRefresh = (System.nanoTime() - t0) / 1e9
+        // the ~1%-churn arm — the production steady state: refresh cost
+        // must track CHURN, not corpus (the ~25% arm above deliberately
+        // matches p83's refresh convention for the apples-to-apples row)
+        val editedS = d.where(col("doc_id") % 97 === 0)
+          .withColumn("text", concat(col("text"), lit(" rev2")))
+        val addedS = d.where(col("doc_id") % 101 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+        val changedS = editedS.unionByName(addedS).select("doc_id", "text")
+        val deletedS = d.where(col("doc_id") % 89 === 0).select("doc_id")
+        val tombS = deletedS.select(col("doc_id"),
+            lit(Long.MaxValue).as("before_seg"))
+          .unionByName(editedS.select(col("doc_id"), lit(1L).as("before_seg")))
+        val pathS = Queries.ndIndexPath(dir) + "_shx_small"
+        graft.pipeline.PairMaintenance.writeShingleIndex(d, pathS)
+        val t1 = System.nanoTime()
+        graft.pipeline.PairMaintenance.appendToShingleIndex(changedS, pathS, seg = 1L)
+        val (ccS, prS) = graft.pipeline.PairMaintenance
+          .incrementalClusters(spark, pathS, oldPairs, oldCC,
+            changedS.select("doc_id"), deletedS, noTomb, tombS,
+            refreshSegFrom = 1L)
+        prS.count(); ccS.count()
+        val tSmall = (System.nanoTime() - t1) / 1e9
+        Seq("p91_incremental_refresh" -> tRefresh,
+          "p91_small_refresh" -> tSmall)
+      } else Nil
+    p52Split ++ p84Split ++ p91Split ++ selected.map { name =>
       // untimed fixture re-warm between queries (same eviction artifact as
       // Bench: a heavy query's persists evict the shared series cache and
       // the next timed query pays the rebuild — the documented g18 7.57 s

@@ -127,57 +127,82 @@ object PairMaintenance {
                           refreshSegFrom: Long,
                           threshold: Double = 0.5,
                           maxDocFreq: Long = 1000): (DataFrame, DataFrame) = {
+    // alive-ness under either tombstone state as per-row FLAGS from one
+    // broadcast tombstone fold (dead iff seg < max(before_seg) over the
+    // doc's tombstones) — so one index scan can serve both states, instead
+    // of one anti-join scan per state per consumer
+    val bo = tombstonesOld.groupBy("doc_id")
+      .agg(max(col("before_seg")).as("_bo"))
+    val bn = tombstonesNew.groupBy("doc_id")
+      .agg(max(col("before_seg")).as("_bn"))
     val idx = spark.read.parquet(indexDir).select("sh", "doc_id", "seg")
-    val aliveOld = aliveUnder(idx.where(col("seg") < refreshSegFrom),
-      tombstonesOld)
-    val aliveNew = aliveUnder(idx, tombstonesNew)
+      .join(broadcast(bo), Seq("doc_id"), "left")
+      .join(broadcast(bn), Seq("doc_id"), "left")
+      .withColumn("_aliveOld", col("seg") < refreshSegFrom &&
+        col("seg") >= coalesce(col("_bo"), lit(0L)))
+      .withColumn("_aliveNew", col("seg") >= coalesce(col("_bn"), lit(0L)))
+      .select("sh", "doc_id", "_aliveOld", "_aliveNew")
 
-    // 1) delta grams: every gram whose df could have moved — grams of any
-    //    changed or removed doc, ANY segment (old text included: the index
-    //    still holds tombstoned rows)
+    // every small frame below materializes EAGERLY (localCheckpoint):
+    // they are referenced 2-4 times each, and a lazy plan would re-run
+    // the full index scans feeding them once per reference (measured 35 s
+    // → the fix; the frames are churn-gram-df-mass-bounded by contract).
+    // The whole refresh costs FOUR narrow index scans — delta grams, the
+    // delta grams' posting slice, the probe docs' grams, the probe grams'
+    // posting slice — every aggregate and join after a scan runs on a
+    // materialized restricted slice, never a rescan. Gram-cardinality
+    // joins carry NO broadcast hint — sizes are known after
+    // materialization, AQE picks broadcast exactly when they fit.
+
+    // scan 1) delta grams: every gram whose df could have moved — grams of
+    //    any changed or removed doc, ANY segment (old text included: the
+    //    index still holds tombstoned rows)
     val deltaIds = broadcast(changedIds.select(col("doc_id"))
-      .unionByName(removedIds.select(col("doc_id"))).distinct())
+      .unionByName(removedIds.select(col("doc_id"))).distinct()
+      .localCheckpoint(true))
     val deltaGrams = idx.join(deltaIds, Seq("doc_id"), "left_semi")
-      .select("sh").distinct()
+      .select("sh").distinct().localCheckpoint(true)
 
-    // 2) df under both tombstone states, restricted to the delta grams;
-    //    eligibility = df in [2, maxDocFreq] (ngramJaccardPairs' inter
-    //    filter); a flip is a CROSSING gram
-    def dfOf(alive: DataFrame, name: String) =
-      alive.join(broadcast(deltaGrams), Seq("sh"), "left_semi")
-        .groupBy("sh").agg(count(lit(1)).as(name))
+    // scan 2) the delta grams' full posting slice: df under both states
+    //    and the crossing-gram holders all derive from this one frame.
+    //    Eligibility = df in [2, maxDocFreq] (ngramJaccardPairs' inter
+    //    filter); a flip is a CROSSING gram.
+    val deltaHits = idx.join(deltaGrams, Seq("sh"), "left_semi")
+      .localCheckpoint(true)
     val eligible = (c: org.apache.spark.sql.Column) =>
       c >= 2L && c <= maxDocFreq
-    val crossing = dfOf(aliveOld, "df_old")
-      .join(dfOf(aliveNew, "df_new"), Seq("sh"), "full_outer")
-      .where(eligible(coalesce(col("df_old"), lit(0L))) =!=
-        eligible(coalesce(col("df_new"), lit(0L))))
+    val crossing = deltaHits.groupBy("sh")
+      .agg(sum(col("_aliveOld").cast("long")).as("df_old"),
+        sum(col("_aliveNew").cast("long")).as("df_new"))
+      .where(eligible(col("df_old")) =!= eligible(col("df_new")))
       .select("sh")
 
-    // 3) blast radius: changed docs plus every ALIVE doc holding a
-    //    crossing gram (their unchanged pairs can change through the df
-    //    boundary alone)
-    val expandedIds = aliveNew.join(broadcast(crossing), Seq("sh"), "left_semi")
+    // blast radius: changed docs plus every ALIVE doc holding a crossing
+    // gram (their unchanged pairs can change through the df boundary
+    // alone) — derived from the slice, not a rescan
+    val expandedIds = deltaHits.where(col("_aliveNew"))
+      .join(crossing, Seq("sh"), "left_semi")
       .select("doc_id").distinct()
     val probeIds = broadcast(changedIds.select(col("doc_id"))
-      .unionByName(expandedIds).distinct())
+      .unionByName(expandedIds).distinct().localCheckpoint(true))
     val dropIds = broadcast(probeIds.unionByName(
-      removedIds.select(col("doc_id"))).distinct())
+      removedIds.select(col("doc_id"))).distinct().localCheckpoint(true))
 
-    // 4) recompute the probe docs' pairs against the index: probe grams →
-    //    df-eligible grams → partner hits → per-pair intersection counts →
-    //    Jaccard with sizes from the sidecar
-    val probeGrams = aliveNew.join(probeIds, Seq("doc_id"), "left_semi")
-      .select(col("sh"), col("doc_id").as("_pid"))
-    val probeDf = aliveNew
-      .join(broadcast(probeGrams.select("sh").distinct()), Seq("sh"), "left_semi")
-      .groupBy("sh").agg(count(lit(1)).as("df"))
+    // scan 3 + 4) recompute the probe docs' pairs against the index:
+    //    probe grams, then the probe grams' posting slice; df-eligibility
+    //    and partner hits both derive from the slice
+    val probeGrams = idx.where(col("_aliveNew"))
+      .join(probeIds, Seq("doc_id"), "left_semi")
+      .select(col("sh"), col("doc_id").as("_pid")).localCheckpoint(true)
+    val hits0 = idx.where(col("_aliveNew"))
+      .join(probeGrams.select("sh").distinct(), Seq("sh"), "left_semi")
+      .select(col("sh"), col("doc_id").as("_oid")).localCheckpoint(true)
+    val probeDf = hits0.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(eligible(col("df")))
-      .select("sh")
-    val hits = aliveNew.join(broadcast(probeDf), Seq("sh"), "left_semi")
-      .select(col("sh"), col("doc_id").as("_oid"))
+      .select("sh").localCheckpoint(true)
+    val hits = hits0.join(probeDf, Seq("sh"), "left_semi")
     val inter = probeGrams
-      .join(broadcast(probeDf), Seq("sh"), "left_semi")
+      .join(probeDf, Seq("sh"), "left_semi")
       .join(hits, "sh")
       .where(col("_pid") =!= col("_oid"))
       .groupBy(least(col("_pid"), col("_oid")).as("doc_a"),
@@ -201,6 +226,7 @@ object PairMaintenance {
         (col("_sa") + col("_sb") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      .localCheckpoint(true)
 
     // 5) the refreshed pair artifact: old pairs not touching the blast
     //    radius + the recomputed radius pairs
@@ -226,9 +252,9 @@ object PairMaintenance {
       .unionByName(droppedOld.select(col("doc_b").as("doc_id")))
       .unionByName(newPairsRecomputed.select(col("doc_a").as("doc_id")))
       .unionByName(newPairsRecomputed.select(col("doc_b").as("doc_id")))
-      .distinct())
+      .distinct().localCheckpoint(true))
     val touched = broadcast(oldCC.join(seeds, Seq("doc_id"), "left_semi")
-      .select("cluster_id").distinct())
+      .select("cluster_id").distinct().localCheckpoint(true))
     // sub-corpus: touched components' surviving members + added docs
     // (changed ids with no old label)
     val subDocs = oldCC.join(touched, Seq("cluster_id"), "left_semi")
