@@ -104,6 +104,26 @@ object Quantize {
     }
   }
 
+  /** Persist the trained codebooks next to the IVF-PQ index (m × ksub ×
+    * dsub doubles — a few KB): the piece that makes the serving path a
+    * pure read-from-artifacts deployment, no retraining at startup. */
+  def writeCodebooks(spark: org.apache.spark.sql.SparkSession,
+                     codebooks: Array[Array[Array[Double]]],
+                     path: String): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (subs, s) =>
+      subs.zipWithIndex.map { case (cent, j) => (s, j, cent.toSeq) }
+    }.toSeq.toDF("m", "j", "vals").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(path).select("m", "j", "vals").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+
   /** The full codebook set as ONE nested literal (m × ksub × dsub doubles).
     * Unrolling per-subspace/per-centroid expressions instead produces an
     * m×ksub-wide codegen tree whose janino compile dominates wall time —

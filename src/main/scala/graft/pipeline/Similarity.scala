@@ -89,6 +89,46 @@ object Similarity {
   }
 
   /**
+   * The SERVING composition over persisted artifacts only — what a
+   * deployed retrieval endpoint runs per request: the BM25 arm from the
+   * term index + sidecars ([[TextStats.bm25TopK]], pruned postings), the
+   * vector arm from the IVF-PQ index + codebooks ([[ivfPqTopK]], probe →
+   * ADC shortlist → exact rerank), fused by the [[hybridRrfTopK]] RRF
+   * expression (1e6-scaled integer, total order). Nothing trains or scans
+   * a corpus at request time; both arms read partition-pruned slices of
+   * their indexes, so request cost tracks the query, not the corpus.
+   */
+  def hybridServeTopK(spark: org.apache.spark.sql.SparkSession,
+                      termIndexDir: String, terms: Seq[String],
+                      ivfPath: String, codebooksPath: String,
+                      queryVec: Array[Float], k: Int = 10, pool: Int = 20,
+                      nprobe: Int = 4, kRrf: Int = 60): DataFrame = {
+    import spark.implicits._
+    val bm = TextStats.bm25TopK(spark, termIndexDir, terms, k = pool)
+      .select(col("doc_id"), col("score"))
+    val wb = Window.orderBy(desc("score"), col("doc_id")) // ≤pool rows by limit
+    val bmR = bm.withColumn("bm_rank", row_number().over(wb).cast("long"))
+      .select(col("doc_id"), col("bm_rank"))
+    val (index, cents) = readIndex(spark, ivfPath)
+    val cb = Quantize.readCodebooks(spark, codebooksPath)
+    val annR = ivfPqTopK(index,
+        Seq((-1L, queryVec.toSeq)).toDF("vec_id", "embedding"),
+        cb, cents, k = pool, nprobe = nprobe)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("ann_rank"))
+    bmR.join(annR, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_x1e6", round((
+        coalesce(lit(1.0) / (col("bm_rank") + kRrf), lit(0.0)) +
+          coalesce(lit(1.0) / (col("ann_rank") + kRrf), lit(0.0))) * 1e6).cast("long"))
+      .select(col("doc_id"),
+        coalesce(col("bm_rank"), lit(0L)).as("bm_rank"),
+        coalesce(col("ann_rank"), lit(0L)).as("ann_rank"),
+        col("rrf_x1e6"))
+      .orderBy(desc("rrf_x1e6"), col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * Brute-force cosine top-k: for each query vector, the k nearest corpus
    * vectors (excluding itself). Queries are broadcast; ranking is a window
    * per query id (k small → rank+filter ≈ top-k heap under AQE).
