@@ -154,21 +154,36 @@ object PairMaintenance {
     // joins carry NO broadcast hint — sizes are known after
     // materialization, AQE picks broadcast exactly when they fit.
 
+    // the gram-keyed slices below scale with the churn's gram-DF MASS —
+    // delta-bounded in production, but a pathological churn (every copy
+    // of a duplicated family touched) can approach index size, so they
+    // materialize eagerly to DISK_ONLY (no unroll heap — a localCheckpoint
+    // OOM'd the 100× sweep) and unpersist before return (every consumer
+    // below is itself eager, so nothing re-reads them afterwards)
+    def diskEager(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      p.count(); p
+    }
+    val bigSlices = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def slice(df: DataFrame): DataFrame = {
+      val p = diskEager(df); bigSlices += p; p
+    }
+    try {
+
     // scan 1) delta grams: every gram whose df could have moved — grams of
     //    any changed or removed doc, ANY segment (old text included: the
     //    index still holds tombstoned rows)
     val deltaIds = broadcast(changedIds.select(col("doc_id"))
       .unionByName(removedIds.select(col("doc_id"))).distinct()
       .localCheckpoint(true))
-    val deltaGrams = idx.join(deltaIds, Seq("doc_id"), "left_semi")
-      .select("sh").distinct().localCheckpoint(true)
+    val deltaGrams = slice(idx.join(deltaIds, Seq("doc_id"), "left_semi")
+      .select("sh").distinct())
 
     // scan 2) the delta grams' full posting slice: df under both states
     //    and the crossing-gram holders all derive from this one frame.
     //    Eligibility = df in [2, maxDocFreq] (ngramJaccardPairs' inter
     //    filter); a flip is a CROSSING gram.
-    val deltaHits = idx.join(deltaGrams, Seq("sh"), "left_semi")
-      .localCheckpoint(true)
+    val deltaHits = slice(idx.join(deltaGrams, Seq("sh"), "left_semi"))
     val eligible = (c: org.apache.spark.sql.Column) =>
       c >= 2L && c <= maxDocFreq
     val crossing = deltaHits.groupBy("sh")
@@ -191,15 +206,15 @@ object PairMaintenance {
     // scan 3 + 4) recompute the probe docs' pairs against the index:
     //    probe grams, then the probe grams' posting slice; df-eligibility
     //    and partner hits both derive from the slice
-    val probeGrams = idx.where(col("_aliveNew"))
+    val probeGrams = slice(idx.where(col("_aliveNew"))
       .join(probeIds, Seq("doc_id"), "left_semi")
-      .select(col("sh"), col("doc_id").as("_pid")).localCheckpoint(true)
-    val hits0 = idx.where(col("_aliveNew"))
+      .select(col("sh"), col("doc_id").as("_pid")))
+    val hits0 = slice(idx.where(col("_aliveNew"))
       .join(probeGrams.select("sh").distinct(), Seq("sh"), "left_semi")
-      .select(col("sh"), col("doc_id").as("_oid")).localCheckpoint(true)
-    val probeDf = hits0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .select(col("sh"), col("doc_id").as("_oid")))
+    val probeDf = slice(hits0.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(eligible(col("df")))
-      .select("sh").localCheckpoint(true)
+      .select("sh"))
     val hits = hits0.join(probeDf, Seq("sh"), "left_semi")
     val inter = probeGrams
       .join(probeDf, Seq("sh"), "left_semi")
@@ -281,6 +296,10 @@ object PairMaintenance {
       .localCheckpoint(true)
     val untouched = oldCC.join(touched, Seq("cluster_id"), "left_anti")
       .select("doc_id", "cluster_id")
+    // the returned frames reference only inputs and the eager checkpoints
+    // above — the disk slices can release now, whatever the caller does
     (untouched.unionByName(subCC.select("doc_id", "cluster_id")), newPairs)
+    } finally bigSlices.foreach(df =>
+      try df.unpersist(false) catch { case _: Exception => () })
   }
 }

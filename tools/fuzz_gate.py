@@ -42,7 +42,12 @@ SENSITIVE = ("p41,p54,p57,p58,p59,p60,p67,p68,p70,p73,p77,p78,p79,p80,"
              # min-label deletions every resample), the term-index family
              # (postings/tombstones over empty/whitespace/non-ASCII docs),
              # and the BM25/RRF rank math (fresh df/dl/tie structure)
-             "p81,p82,p83,p84,p85,p86,p87,p88,p89,p90,q18,q19")
+             "p81,p82,p83,p84,p85,p86,p87,p88,p89,p90,q18,q19,"
+             # r14: the maintained-index ranking rows (BM25/phrase over
+             # delta segments + tombstones), prefix retrieval, and the
+             # incremental split-churn matrix (fresh blast radii and
+             # df-crossing structure every resample)
+             "p91,p92,p93,p94")
 
 
 def gen_corpus(seed: int, out_dir: str) -> None:
