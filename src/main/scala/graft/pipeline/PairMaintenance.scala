@@ -95,6 +95,25 @@ object PairMaintenance {
     sizes(docs, seg, k).write.mode("append").parquet(s"$dir.sizes")
   }
 
+  /** The offline janitor (the [[TextStats.compactTermIndex]] twin):
+    * rewrite the ALIVE postings and set-size sidecar as a fresh seg-0
+    * index at `outDir`, carrying the meta sidecar — a full drop-in for a
+    * fresh [[writeShingleIndex]] build, after which the tombstone table
+    * is empty and the next [[incrementalClusters]] refresh starts clean. */
+  def compactShingleIndex(spark: SparkSession, indexDir: String,
+                          tombstones: DataFrame, outDir: String): Unit = {
+    require(outDir != indexDir,
+      "compactShingleIndex: outDir must be a fresh location (the scan reads indexDir)")
+    aliveUnder(spark.read.parquet(indexDir), tombstones)
+      .withColumn("seg", lit(0L))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+    aliveUnder(spark.read.parquet(s"$indexDir.sizes"), tombstones)
+      .withColumn("seg", lit(0L))
+      .write.mode("overwrite").parquet(s"$outDir.sizes")
+    val (b, k) = readMeta(spark, indexDir)
+    writeMeta(spark, outDir, b, k)
+  }
+
   private def aliveUnder(rows: DataFrame, tombstones: DataFrame): DataFrame = {
     val t = tombstones.select(col("doc_id").as("_tid"), col("before_seg"))
     rows.join(broadcast(t),

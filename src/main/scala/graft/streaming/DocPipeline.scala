@@ -401,6 +401,25 @@ object DocPipeline {
       }
       .start()
 
+  /** Streaming maintenance of the p91 shingle index — the
+    * [[termIndexIngest]] contract applied to the pair-maintenance
+    * artifact: each micro-batch appends its hashed-shingle postings and
+    * set-size rows as segment batchId + 1, so arriving documents join the
+    * next incremental pair refresh without an offline rebuild. Same
+    * at-least-once semantics (replays reuse the SAME seg — a tombstone
+    * cut heals duplicates). */
+  def shingleIndexIngest(docStream: DataFrame, indexDir: String,
+                         checkpoint: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.PairMaintenance.appendToShingleIndex(
+          batch, indexDir, seg = batchId + 1L)
+      }
+      .start()
+
   def nearDupIngest(docStream: DataFrame, indexDir: String, pairsOut: String,
                     checkpoint: String, threshold: Double = 0.9,
                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =

@@ -1752,6 +1752,53 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       adds = Seq.empty,
       dels = Seq(32L),
       maxDf = 2L)
+
+    // D: generation 2 over a COMPACTED index — the janitor output is a
+    // drop-in: refresh, compact (tombstones applied, seg 0 again), then a
+    // SECOND refresh on the compacted index must equal the full recompute
+    // on the doubly-refreshed corpus (pair set and labels)
+    {
+      val root = java.nio.file.Files.createTempDirectory("graft-pm2").toString
+      val dir1 = s"$root/idx1"; val dir2 = s"$root/idx2"
+      val olds = Seq(
+        (1L, "w1 w2 w3 w4 w5"), (2L, "w2 w3 w4 w5 w6"), (3L, "w3 w4 w5 w6 w7"),
+        (5L, "x1 x2 x3"), (6L, "x1 x2 x3"), (7L, "z1 z2 z3"))
+      val oldDocs = olds.toDF("doc_id", "text")
+      val pairs0 = D.ngramJaccardPairs(oldDocs, k = 3, threshold = 0.5,
+        maxDocFreq = 10L).localCheckpoint(true)
+      val cc0 = D.dedupClustersStar(oldDocs, pairs0).localCheckpoint(true)
+      P.writeShingleIndex(oldDocs, dir1, k = 3, buckets = 16)
+      val ch1 = Seq((7L, "x1 x2 x3"), (8L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+      P.appendToShingleIndex(ch1, dir1, seg = 1L)
+      val noTomb = Seq.empty[(Long, Long)].toDF("doc_id", "before_seg")
+      val tomb1 = Seq((2L, Long.MaxValue), (7L, 1L)).toDF("doc_id", "before_seg")
+      val (cc1, pairs1) = P.incrementalClusters(sp, dir1, pairs0, cc0,
+        changedIds = Seq(7L, 8L).toDF("doc_id"),
+        removedIds = Seq(2L).toDF("doc_id"),
+        tombstonesOld = noTomb, tombstonesNew = tomb1, refreshSegFrom = 1L,
+        threshold = 0.5, maxDocFreq = 10L)
+      val cc1m = cc1.localCheckpoint(true); val pairs1m = pairs1.localCheckpoint(true)
+      P.compactShingleIndex(sp, dir1, tomb1, dir2)
+      // generation 2 over dir2: delete 8, edit 3 into the x-cluster, add 9
+      val ch2 = Seq((3L, "x1 x2 x3"), (9L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+      P.appendToShingleIndex(ch2, dir2, seg = 1L)
+      val tomb2 = Seq((8L, Long.MaxValue), (3L, 1L)).toDF("doc_id", "before_seg")
+      val (cc2, pairs2) = P.incrementalClusters(sp, dir2, pairs1m, cc1m,
+        changedIds = Seq(3L, 9L).toDF("doc_id"),
+        removedIds = Seq(8L).toDF("doc_id"),
+        tombstonesOld = noTomb, tombstonesNew = tomb2, refreshSegFrom = 1L,
+        threshold = 0.5, maxDocFreq = 10L)
+      val corpus2 = Seq(
+        (1L, "w1 w2 w3 w4 w5"), (3L, "x1 x2 x3"),
+        (5L, "x1 x2 x3"), (6L, "x1 x2 x3"), (7L, "x1 x2 x3"),
+        (9L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+      val full2 = D.ngramJaccardPairs(corpus2, k = 3, threshold = 0.5,
+        maxDocFreq = 10L)
+      assert(pairsOf(pairs2) == pairsOf(full2),
+        s"gen-2 pairs: inc=${pairsOf(pairs2)} full=${pairsOf(full2)}")
+      assert(ccOf(cc2) == ccOf(D.dedupClustersStar(corpus2, full2)),
+        s"gen-2 cc: inc=${ccOf(cc2)}")
+    }
   }
 
   test("SqlOps.notIn reproduces three-valued NOT IN: null probe excluded, any subquery null empties, empty subquery keeps all") {

@@ -608,6 +608,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream $streamed vs batch $batch")
   }
 
+  test("streaming shingle-index ingest: arriving docs join the next incremental pair refresh, equal to a full recompute") {
+    import java.sql.Timestamp
+    val tmp = Files.createTempDirectory("graft-sii").toString
+    val sp = spark
+    import sp.implicits._
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val initial = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "x1 x2 x3"))
+      .toDF("doc_id", "text")
+    graft.pipeline.PairMaintenance.writeShingleIndex(initial, s"$tmp/idx",
+      k = 3, buckets = 16)
+    // two arriving files → segments 1, 2 (a near-dup of 1 and of 2)
+    val rows1 = Seq((3L, ts(1), "w1 w2 w3 w4 w5"))
+    val rows2 = Seq((4L, ts(2), "x1 x2 x3"))
+    rows1.toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$tmp/docs/f1")
+    rows2.toDF("doc_id", "ts", "text").repartition(1).write.parquet(s"$tmp/docs/f2")
+    val src = sp.readStream.schema(graft.streaming.DocPipeline.docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/docs/*")
+    val q = graft.streaming.DocPipeline.shingleIndexIngest(
+      src.select(col("doc_id"), col("text")), s"$tmp/idx", s"$tmp/ck")
+    q.awaitTermination(120000)
+    // the maintained index drives the incremental refresh: old artifacts
+    // from the initial build, arrivals as the changed set, no deletions
+    val oldPairs = graft.pipeline.Dedup.ngramJaccardPairs(initial, k = 3,
+      threshold = 0.5).localCheckpoint(true)
+    val oldCC = graft.pipeline.Dedup.dedupClustersStar(initial, oldPairs)
+      .localCheckpoint(true)
+    val noTomb = Seq.empty[(Long, Long)].toDF("doc_id", "before_seg")
+    val (cc, pairs) = graft.pipeline.PairMaintenance.incrementalClusters(
+      sp, s"$tmp/idx", oldPairs, oldCC,
+      changedIds = Seq(3L, 4L).toDF("doc_id"),
+      removedIds = Seq.empty[Long].toDF("doc_id"),
+      tombstonesOld = noTomb, tombstonesNew = noTomb, refreshSegFrom = 1L)
+    val all = initial.unionByName(
+      (rows1 ++ rows2).map(r => (r._1, r._3)).toDF("doc_id", "text"))
+    val fullPairs = graft.pipeline.Dedup.ngramJaccardPairs(all, k = 3,
+      threshold = 0.5)
+    def ps(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ps(pairs) == ps(fullPairs), s"${ps(pairs)} vs ${ps(fullPairs)}")
+    def cs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cs(cc) == cs(graft.pipeline.Dedup.dedupClustersStar(all, fullPairs)))
+    // each micro-batch landed as its own segment, sizes sidecar included
+    val segs = sp.read.parquet(s"$tmp/idx").select("seg").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(segs == Set(0L, 1L, 2L), segs.toString)
+    val szSegs = sp.read.parquet(s"$tmp/idx.sizes").select("seg").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(szSegs == Set(0L, 1L, 2L), szSegs.toString)
+  }
+
   test("streaming term-index ingest: arriving docs become searchable and the maintained index equals a full rebuild") {
     import java.sql.Timestamp
     val tmp = Files.createTempDirectory("graft-tii").toString
