@@ -178,6 +178,28 @@ object Queries {
     * reads them from storage) — one write per corpus, the row measures
     * the incremental computation they feed. Same contract as
     * ensureTermIndex: mark built only after the writes succeed. */
+  /** The same previous-build-artifact contract for the MAINTAINED term
+    * index the three refresh rows (p86 boolean, p92 BM25, p93 phrase)
+    * query: ONE base build + ONE deterministic delta append per corpus —
+    * the rows differ only in their tombstone frames and consumers, so
+    * rebuilding the identical index three times measured ingest three
+    * times over (the r13 ensureTermIndex rationale, refresh edition). */
+  private val builtRefreshedTermIdx = scala.collection.mutable.HashSet[String]()
+  private def ensureRefreshedTermIndex(s: SparkSession, dir: String): String = {
+    val path = scratchPath("tim", dir)
+    builtRefreshedTermIdx.synchronized {
+      if (!builtRefreshedTermIdx.contains(path)) {
+        val d = docs(s, dir)
+        val (edited, added, _) = refreshDelta(d)
+        TextStats.writeTermIndex(d, path)
+        TextStats.appendToTermIndex(
+          edited.unionByName(added).select("doc_id", "text"), path, seg = 1L)
+        builtRefreshedTermIdx.add(path)
+      }
+    }
+    path
+  }
+
   private val builtShingleIdx = scala.collection.mutable.HashSet[String]()
   private def ensureRefreshedShingleIndex(s: SparkSession, dir: String): String = {
     val path = scratchPath("shx", dir)
@@ -1555,14 +1577,9 @@ object Queries {
     // refreshed corpus (the oracle scans the refreshed corpus directly)
     "p86_term_search_refresh" -> ((s, dir) => {
       val d = docs(s, dir)
-      val path = scratchPath("tim", dir)
-      TextStats.writeTermIndex(d, path)
-      val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
-        .withColumn("text", concat(col("text"), lit(" rev2")))
-      val added = d.where(col("doc_id") % 13 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-      TextStats.appendToTermIndex(edited.unionByName(added), path, seg = 1L)
-      val tomb = d.where(col("doc_id") % 7 === 0)
+      val path = ensureRefreshedTermIndex(s, dir)
+      val (edited, _, deletedIds) = refreshDelta(d)
+      val tomb = deletedIds
         .select(col("doc_id"), lit(Long.MaxValue).as("before_seg"))
         .unionByName(edited.select(col("doc_id"), lit(1L).as("before_seg")))
       TextStats.searchTermIndexMoR(s, path, tomb, Seq("window", "scan", "merge"))
@@ -1575,14 +1592,9 @@ object Queries {
     // the refreshed snapshot directly
     "p92_bm25_refresh" -> ((s, dir) => {
       val d = docs(s, dir)
-      val path = scratchPath("bmm", dir)
-      TextStats.writeTermIndex(d, path)
-      val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
-        .withColumn("text", concat(col("text"), lit(" rev2")))
-      val added = d.where(col("doc_id") % 13 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-      TextStats.appendToTermIndex(edited.unionByName(added), path, seg = 1L)
-      val tomb = d.where(col("doc_id") % 7 === 0)
+      val path = ensureRefreshedTermIndex(s, dir)
+      val (edited, _, deletedIds) = refreshDelta(d)
+      val tomb = deletedIds
         .select(col("doc_id"), lit(Long.MaxValue).as("before_seg"))
         .unionByName(edited.select(col("doc_id"), lit(1L).as("before_seg")))
       TextStats.bm25TopK(s, path, Seq("window", "scan", "merge"), k = 10,
@@ -1592,14 +1604,9 @@ object Queries {
     // fold runs on alive postings across both segments
     "p93_phrase_refresh" -> ((s, dir) => {
       val d = docs(s, dir)
-      val path = scratchPath("phm", dir)
-      TextStats.writeTermIndex(d, path)
-      val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
-        .withColumn("text", concat(col("text"), lit(" rev2")))
-      val added = d.where(col("doc_id") % 13 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-      TextStats.appendToTermIndex(edited.unionByName(added), path, seg = 1L)
-      val tomb = d.where(col("doc_id") % 7 === 0)
+      val path = ensureRefreshedTermIndex(s, dir)
+      val (edited, _, deletedIds) = refreshDelta(d)
+      val tomb = deletedIds
         .select(col("doc_id"), lit(Long.MaxValue).as("before_seg"))
         .unionByName(edited.select(col("doc_id"), lit(1L).as("before_seg")))
       TextStats.phraseSearch(s, path, Seq("table", "scan", "merge"),
