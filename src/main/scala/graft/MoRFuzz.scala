@@ -126,6 +126,10 @@ object MoRFuzz {
       T.phraseSearch(spark, d, Seq("e2", "fuzzterm2"), tombstones = tb)
     def ph3Q(d: String, tb: Option[DataFrame]) =
       T.phraseSearch(spark, d, Seq("added4", "alpha", "window"), tombstones = tb)
+    // prefix family: "fuzzterm" prefixes every edit segment's marker term,
+    // so the alive set spans all four segments under the tombstones
+    def preQ(d: String, tb: Option[DataFrame]) =
+      T.prefixSearchTermIndex(spark, d, "fuzzterm", tombstones = tb)
 
     val noTomb = Seq.empty[(Long, Long)].toDF("doc_id", "before_seg")
     check("boolean AND", andQ(dir, tomb), andQ(rebuilt, noTomb))
@@ -135,6 +139,7 @@ object MoRFuzz {
     check("bm25 delta-terms", bmDeltaQ(dir, Some(tomb)), bmDeltaQ(rebuilt, None))
     check("phrase edit-suffix", phQ(dir, Some(tomb)), phQ(rebuilt, None))
     check("phrase added-doc", ph3Q(dir, Some(tomb)), ph3Q(rebuilt, None))
+    check("prefix fuzzterm*", preQ(dir, Some(tomb)), preQ(rebuilt, None))
 
     // the janitor: compacted output must be a drop-in with EMPTY tombstones
     val compacted = s"$scratch/compacted"
@@ -142,6 +147,7 @@ object MoRFuzz {
     check("compacted AND", andQ(compacted, noTomb), andQ(rebuilt, noTomb))
     check("compacted bm25", bmQ(compacted, None), bmQ(rebuilt, None))
     check("compacted phrase", phQ(compacted, None), phQ(rebuilt, None))
+    check("compacted prefix", preQ(compacted, None), preQ(rebuilt, None))
 
     spark.stop()
     if (failures > 0) {

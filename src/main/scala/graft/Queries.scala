@@ -1554,6 +1554,15 @@ object Queries {
       TextStats.prefixSearchTermIndex(s, path, "sc")
         .orderBy("doc_id")
     }),
+    // full glob grammar over content terms (the find/expand analog): the
+    // literal prefix pushes as StartsWith, the anchored regex is the
+    // residual — chars-class + star exercised here, braces in the spec
+    "p95_glob_search" -> ((s, dir) => {
+      val path = scratchPath("ti", dir)
+      ensureTermIndex(s, dir, path)
+      TextStats.globSearchTermIndex(s, path, "sc[ae]n*")
+        .orderBy("doc_id")
+    }),
     // BM25 ranked retrieval over the same persisted index: contributions
     // quantize to 1e6-scaled integers before the per-doc sum (association-
     // proof), top-10 by (rounded score desc, doc_id) — a total order
@@ -4152,6 +4161,15 @@ object Queries {
         |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2)
         |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS n_hits
         |FROM tc WHERE word LIKE 'sc%' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the glob family replayed by corpus scan: terms are dot-free (wordsOf
+    // strips punctuation) so the grammar's [^.]* within-node star and a
+    // plain .* coincide — the oracle uses the engine's exact regex
+    "p95_glob_search" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM documents),
+        |tc AS (SELECT doc_id, word, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS n_hits
+        |FROM tc WHERE regexp_full_match(word, 'sc[ae]n[^.]*') GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // exact BM25 replay (k1=1.2, b=0.75) with the engine's own operation
     // order: idf and tf-norm per (term, doc), 1e6-quantized BEFORE the
     // per-doc sum, the same two-step output rounding

@@ -752,6 +752,39 @@ object TextStats {
   }
 
   /**
+   * Glob term retrieval — the reference's full glob grammar
+   * (`pkg/parser/parser.go:701-715`: `*`, `?`, `[a-z]`, `{a,b}`, ported
+   * in [[graft.core.Glob]]) applied to corpus CONTENT terms. Terms are
+   * dot-free by construction ([[Dedup.wordsOf]] strips punctuation), so
+   * the grammar's within-node `[^.]*` semantics coincide with `.*` here.
+   * The glob's literal prefix pushes into the parquet reader as a
+   * StartsWith (term-sorted row groups skip non-matching ranges, the
+   * [[prefixSearchTermIndex]] path); the full anchored regex runs as the
+   * residual filter on the surviving rows. A prefix-less glob
+   * (`{a,b}...`, leading `*`) degrades to the documented all-row-groups
+   * scan — same trade-off decision as the prefix operator.
+   */
+  def globSearchTermIndex(spark: SparkSession, indexDir: String,
+                          glob: String,
+                          tombstones: Option[DataFrame] = None): DataFrame = {
+    require(glob.nonEmpty, "globSearchTermIndex: empty glob")
+    val prefix = graft.core.Glob.literalPrefix(glob)
+    val rx = graft.core.Glob.toRegex(glob)
+    val base = spark.read.parquet(indexDir)
+    val pruned = if (prefix.nonEmpty) base.where(col("term").startsWith(prefix)) else base
+    val idx = pruned.where(col("term").rlike(rx))
+    val alive = tombstones.fold(idx) { tb =>
+      val t = tb.select(col("doc_id").as("_tid"), col("before_seg"))
+      idx.join(broadcast(t),
+        col("doc_id") === col("_tid") && col("seg") < col("before_seg"),
+        "left_anti")
+    }
+    alive.groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("n_hits"))
+  }
+
+  /**
    * Boolean retrieval against the persisted index: mode `and` returns
    * docs containing EVERY query term (relevance = summed tf), `or` docs
    * containing ANY (with how many distinct terms matched). The query

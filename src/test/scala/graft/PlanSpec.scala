@@ -714,6 +714,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.length == 50 && got.forall(r => r._2 == 2L && r._3 == 2L),
       got.take(5).mkString(", "))
+    // the glob operator on the same index: prefix pushes, regex residual
+    // filters — 'sc?n*' matches scan only (scatter fails the ?-then-n)
+    val g1 = graft.pipeline.TextStats.globSearchTermIndex(sp, dir, "sc?n*")
+    assert(g1.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .exists(_.toString.contains("StringStartsWith(term,sc)")),
+      "glob's literal prefix must push as StartsWith")
+    val got1 = g1.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got1.length == 50 && got1.forall(r => r._2 == 1L && r._3 == 1L),
+      got1.take(5).mkString(", "))
+    // brace alternation with NO literal prefix: full scan, still correct
+    val got2 = graft.pipeline.TextStats
+      .globSearchTermIndex(sp, dir, "{scan,scatter}")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got2.length == 50 && got2.forall(r => r._2 == 2L && r._3 == 2L),
+      got2.take(5).mkString(", "))
   }
 
   test("p75 memorization audit counts gram df in a gram-PARTITIONED window — no unpartitioned window, no second corpus scan") {
