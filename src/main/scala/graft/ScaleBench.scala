@@ -349,9 +349,12 @@ object ScaleBench {
         val t4 = System.nanoTime()
         graft.pipeline.TextStats.prefixSearchTermIndex(spark, path, "sc").count()
         val tPre = (System.nanoTime() - t4) / 1e9
+        val t5 = System.nanoTime()
+        graft.pipeline.TextStats.globSearchTermIndex(spark, path, "sc[ae]n*").count()
+        val tGlob = (System.nanoTime() - t5) / 1e9
         Seq("p84_index_build" -> tBuild, "p84_index_query" -> tQuery,
           "p87_bm25_query" -> tBm, "p89_phrase_query" -> tPh,
-          "p94_prefix_query" -> tPre)
+          "p94_prefix_query" -> tPre, "p95_glob_query" -> tGlob)
       } else Nil
     // p91's catalog row times the OLD build + the refresh together; the
     // scale claim is refresh-only (the old artifacts are the previous

@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
  *   /search?q=w1+w2&k=10                     → BM25 top-k        (p87 path)
  *   /search?q=w1+w2&mode=hybrid&vec=f,f,...  → BM25 × IVF-PQ RRF (p88+p34)
  *   /search?phrase=w1+w2+w3                  → exact phrase      (p89 path)
+ *   /search?glob=sc[ae]n*&k=10               → glob terms        (p95 path)
  *   /lb_check
  *
  * Each request is one Spark action over partition-pruned index slices —
@@ -69,6 +70,17 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
   private def search(p: Map[String, String]): String = {
     val k = p.getOrElse("k", "10").toInt
     require(k > 0 && k <= 1000, s"k out of range: $k")
+    p.get("glob") match {
+      case Some(g) =>
+        val rows = graft.pipeline.TextStats
+          .globSearchTermIndex(spark, termIndexDir, g)
+          .orderBy(org.apache.spark.sql.functions.desc("n_hits"),
+            org.apache.spark.sql.functions.col("doc_id"))
+          .limit(k).collect()
+        return rows.map(r => s"""{"doc_id":${r.getLong(0)},"n_terms":${r.getLong(1)},"n_hits":${r.getLong(2)}}""")
+          .mkString("""{"results":[""", ",", "]}")
+      case None => ()
+    }
     p.get("phrase") match {
       case Some(ph) =>
         val terms = ph.split("[+ ]").filter(_.nonEmpty).toSeq

@@ -96,6 +96,19 @@ class SearchApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"hybrid request latency: $latencyMs%.0f ms (sf0.001, cold plans)")
   }
 
+  test("/search glob equals the direct globSearchTermIndex call") {
+    val (code, body) = get("/search?glob=sc%5Bae%5Dn*&k=100")
+    assert(code == 200, body)
+    import org.apache.spark.sql.functions.desc
+    val direct = graft.pipeline.TextStats
+      .globSearchTermIndex(spark, tiDir, "sc[ae]n*")
+      .orderBy(desc("n_hits"), col("doc_id")).limit(100).collect()
+      .map(r => s"""{"doc_id":${r.getLong(0)},"n_terms":${r.getLong(1)},"n_hits":${r.getLong(2)}}""")
+      .mkString("""{"results":[""", ",", "]}")
+    assert(body == direct)
+    assert(body.contains("\"doc_id\""), s"glob must hit at sf0.001: $body")
+  }
+
   test("errors are 400 with a JSON body; /lb_check stays up") {
     assert(get("/search?k=5")._1 == 400)
     assert(get("/search?q=a&mode=bogus")._1 == 400)
