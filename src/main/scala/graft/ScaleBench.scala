@@ -390,7 +390,10 @@ object ScaleBench {
         // the ~1%-churn arm — the production steady state: refresh cost
         // must track CHURN, not corpus (the ~25% arm above deliberately
         // matches p83's refresh convention for the apples-to-apples row)
-        val editedS = d.where(col("doc_id") % 97 === 0)
+        // %89 guard mirrors refreshDelta's edit/delete exclusion: an id in
+        // BOTH sets would append seg-1 postings instantly dead under the
+        // MaxValue tombstone, inflating the append and skewing the churn
+        val editedS = d.where(col("doc_id") % 97 === 0 && col("doc_id") % 89 =!= 0)
           .withColumn("text", concat(col("text"), lit(" rev2")))
         val addedS = d.where(col("doc_id") % 101 === 0)
           .withColumn("doc_id", col("doc_id") + 2000000L)

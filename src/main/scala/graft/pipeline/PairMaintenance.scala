@@ -38,8 +38,11 @@ import org.apache.spark.sql.functions._
  * and the probe-partner intersection aggregate, all keyed and bounded by
  * the blast radius; the star-CC iteration runs on the touched subgraph
  * only. All small sides (changed ids, delta grams, crossing grams, seeds,
- * touched labels, sub-corpus ids) are refresh-blast-radius-bounded by
- * contract — the p86 broadcast rule.
+ * touched labels, sub-corpus ids) are refresh-blast-radius-bounded in
+ * production, but only the genuinely delta-sized ones carry a broadcast
+ * HINT; the radius-derived sets materialize eagerly and let AQE broadcast
+ * them when they actually fit (a pathological churn can grow them toward
+ * index size, where a forced broadcast would OOM the driver).
  *
  * No analog in the reference (carbonapi has no corpus dedup surface); the
  * construction follows the published MoR segment model and the r13 term
@@ -217,10 +220,17 @@ object PairMaintenance {
     val expandedIds = deltaHits.where(col("_aliveNew"))
       .join(crossing, Seq("sh"), "left_semi")
       .select("doc_id").distinct()
-    val probeIds = broadcast(changedIds.select(col("doc_id"))
-      .unionByName(expandedIds).distinct().localCheckpoint(true))
-    val dropIds = broadcast(probeIds.unionByName(
-      removedIds.select(col("doc_id"))).distinct().localCheckpoint(true))
+    // NO broadcast hint on the blast-radius id sets (probeIds/dropIds and
+    // seeds/touched below): delta-sized in production, but a pathological
+    // churn can pull the crossing-gram holder set toward index size, and a
+    // forced broadcast then OOMs the driver instead of degrading to a
+    // shuffle join. They are eager localCheckpoints, so AQE knows their
+    // true size and broadcasts exactly when they fit — same policy as the
+    // gram-keyed joins.
+    val probeIds = changedIds.select(col("doc_id"))
+      .unionByName(expandedIds).distinct().localCheckpoint(true)
+    val dropIds = probeIds.unionByName(
+      removedIds.select(col("doc_id"))).distinct().localCheckpoint(true)
 
     // scan 3 + 4) recompute the probe docs' pairs against the index:
     //    probe grams, then the probe grams' posting slice; df-eligibility
@@ -281,14 +291,14 @@ object PairMaintenance {
     val droppedOld = oldPairs
       .join(da, Seq("doc_a"), "left_semi")
       .unionByName(oldPairs.join(db, Seq("doc_b"), "left_semi"))
-    val seeds = broadcast(dropIds.select("doc_id")
+    val seeds = dropIds.select("doc_id")
       .unionByName(droppedOld.select(col("doc_a").as("doc_id")))
       .unionByName(droppedOld.select(col("doc_b").as("doc_id")))
       .unionByName(newPairsRecomputed.select(col("doc_a").as("doc_id")))
       .unionByName(newPairsRecomputed.select(col("doc_b").as("doc_id")))
-      .distinct().localCheckpoint(true))
-    val touched = broadcast(oldCC.join(seeds, Seq("doc_id"), "left_semi")
-      .select("cluster_id").distinct().localCheckpoint(true))
+      .distinct().localCheckpoint(true)
+    val touched = oldCC.join(seeds, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct().localCheckpoint(true)
     // sub-corpus: touched components' surviving members + added docs
     // (changed ids with no old label)
     val subDocs = oldCC.join(touched, Seq("cluster_id"), "left_semi")
