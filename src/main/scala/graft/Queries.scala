@@ -212,6 +212,42 @@ object Queries {
     path
   }
 
+  /** The embeddings twin of [[refreshDelta]] — p96's standard vector
+    * refresh: re-embedded (%5 among the %7 survivors, deterministically
+    * perturbed so cell assignment can move), added (%13, shifted ids and
+    * offset vectors), deleted (%7). */
+  private def embRefreshDelta(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val edited = e.where(col("vec_id") % 7 =!= 0 && col("vec_id") % 5 === 0)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(1.5f)).cast("float")))
+    val added = e.where(col("vec_id") % 13 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x + lit(0.25f)).cast("float")))
+    val deletedIds = e.where(col("vec_id") % 7 === 0).select("vec_id")
+    (edited, added, deletedIds)
+  }
+
+  /** Previous-build artifacts for the p96 MoR vector index (the
+    * ensureRefreshedTermIndex contract, ANN edition): ONE base IVF-PQ
+    * build — centroids + codebooks trained once, persisted next to the
+    * index — plus ONE delta segment appended against the EXISTING
+    * quantizers. The row measures the tombstone-aware serve they feed. */
+  private def ensureRefreshedIvfIndex(s: SparkSession, dir: String): String = {
+    val path = scratchPath("ivfm", dir)
+    buildOnce(path) {
+      val emb = embeddings(s, dir)
+      val cents = Similarity.trainCentroids(emb, nlist = 8, iters = 3, sampleN = 2000)
+      val cb = Quantize.trainPqCodebooks(emb, m = 16, ksub = 16, iters = 10, sampleN = 2000)
+      Similarity.writeIndex(
+        Quantize.pqEncode(Similarity.assignCells(emb, cents), cb), cents, path)
+      Quantize.writeCodebooks(s, cb, s"$path/codebooks")
+      val (edited, added, _) = embRefreshDelta(emb)
+      Similarity.appendToIvfIndex(edited.unionByName(added), path, cb, seg = 1L)
+    }
+    path
+  }
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
   private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
@@ -1559,6 +1595,14 @@ object Queries {
       TextStats.globSearchTermIndex(s, path, "sc[ae]n*")
         .orderBy("doc_id")
     }),
+    // term autocomplete (the tags/autoComplete symmetry for corpus
+    // content): top-10 terms under a prefix ranked by doc frequency —
+    // the p94 pruned scan feeding a vocabulary-sized agg + TakeOrdered
+    "p97_complete_terms" -> ((s, dir) => {
+      val path = scratchPath("ti", dir)
+      ensureTermIndex(s, dir, path)
+      TextStats.completeTerms(s, path, "sc", k = 10)
+    }),
     // BM25 ranked retrieval over the same persisted index: contributions
     // quantize to 1e6-scaled integers before the per-doc sum (association-
     // proof), top-10 by (rounded score desc, doc_id) — a total order
@@ -1694,6 +1738,35 @@ object Queries {
       val (index, diskCents) = Similarity.readIndex(s, path)
       Similarity.ivfPqTopK(index, emb.where(col("vec_id") < 10), cb, diskCents,
           k = 5, nprobe = 5, shortlist = 50)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), dround(col("d2"), 4).as("d2"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ANN serving over a MAINTAINED vector index — the p34 serve path on
+    // the p92-style refresh: the base IVF-PQ index absorbed the vector
+    // refresh as ONE delta segment (assigned to the EXISTING centroids /
+    // codebooks — no retraining) + tombstones; the tombstone-aware probe
+    // must rank appended vectors, never rank deleted ones, and see each
+    // edited vector exactly once at its new position (no oracle —
+    // hash/Lloyd training; MoR≡re-encode parity + recall + generation-2
+    // gates in PipelineSpec)
+    "p96_ivf_pq_refresh" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val path = ensureRefreshedIvfIndex(s, dir)
+      val (edited, _, deletedIds) = embRefreshDelta(emb)
+      val tomb = deletedIds.select(col("vec_id"),
+          lit(Long.MaxValue).as("before_seg"))
+        .unionByName(edited.select(col("vec_id"), lit(1L).as("before_seg")))
+      val (index, cents) = Similarity.readIndex(s, path)
+      val cb = Quantize.readCodebooks(s, s"$path/codebooks")
+      // query set = the refreshed corpus's first alive vectors (edited ids
+      // query with their NEW embedding — the post-refresh serving reality)
+      val queries = emb.where(col("vec_id") < 10 &&
+          col("vec_id") % 7 =!= 0 && col("vec_id") % 5 =!= 0)
+        .unionByName(edited.where(col("vec_id") < 10))
+      Similarity.ivfPqTopK(index, queries, cb, cents,
+          k = 5, nprobe = 5, shortlist = 50, tombstones = Some(tomb))
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), dround(col("d2"), 4).as("d2"))
         .orderBy("query_id", "rank")
@@ -4166,6 +4239,13 @@ object Queries {
         |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2)
         |SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS n_hits
         |FROM tc WHERE regexp_full_match(word, 'sc[ae]n[^.]*') GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // autocomplete replay: distinct (doc, word) under the prefix → df per
+    // word → top-10 by (df desc, term) — the same total order as the engine
+    "p97_complete_terms" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM documents),
+        |td AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(w) AS word FROM w))
+        |SELECT word AS term, count(*) AS df FROM td WHERE word LIKE 'sc%'
+        |GROUP BY 1 ORDER BY df DESC, term LIMIT 10""".stripMargin,
     // exact BM25 replay (k1=1.2, b=0.75) with the engine's own operation
     // order: idf and tf-norm per (term, doc), 1e6-quantized BEFORE the
     // per-doc sum, the same two-step output rounding

@@ -2,8 +2,10 @@ package graft.api
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
+import scala.util.control.NonFatal
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
 
 /**
  * The corpus-retrieval serving front-end — the §2.10 endpoint over the
@@ -18,18 +20,70 @@ import org.apache.spark.sql.SparkSession
  *   /search?q=w1+w2&mode=hybrid&vec=f,f,...  → BM25 × IVF-PQ RRF (p88+p34)
  *   /search?phrase=w1+w2+w3                  → exact phrase      (p89 path)
  *   /search?glob=sc[ae]n*&k=10               → glob terms        (p95 path)
+ *   /search?complete=pref&k=10               → term autocomplete (p97 path)
  *   /lb_check
  *
  * Each request is one Spark action over partition-pruned index slices —
  * request cost tracks the query (terms' df, nprobe cells), never the
  * corpus, the property the p84/p87 ScaleBench query arms measure.
+ *
+ * MAINTAINED indexes: a merge-on-read-refreshed index (delta segments +
+ * tombstones) serves correctly only when the server knows the tombstones —
+ * an edited doc otherwise has live rows in BOTH its old and new segments
+ * (BM25 sums both tf rows AND row-multiplies the doclen join: score
+ * INFLATION, not staleness) and deleted docs keep ranking. So the server
+ * takes the tombstone artifacts at construction and REFUSES to start over
+ * a multi-segment index with none configured (a pure-append history
+ * passes an empty tombstone table; alternatively serve the compacted
+ * index, which is seg-0-only by construction).
  */
 class SearchApi(spark: SparkSession, termIndexDir: String,
-                ivfPath: String, codebooksPath: String, port: Int = 0) {
+                ivfPath: String, codebooksPath: String, port: Int = 0,
+                termTombstonesPath: Option[String] = None,
+                ivfTombstonesPath: Option[String] = None) {
 
   @volatile private var server: HttpServer = _
 
+  // tombstones read ONCE (refresh-sized by contract, eagerly pinned):
+  // every request reuses the materialized frame instead of re-reading
+  private lazy val termTombstones: Option[DataFrame] =
+    termTombstonesPath.map(p => spark.read.parquet(p)
+      .select(col("doc_id"), col("before_seg")).localCheckpoint(true))
+  private lazy val ivfTombstones: Option[DataFrame] =
+    ivfTombstonesPath.map(p => spark.read.parquet(p)
+      .select(col("vec_id"), col("before_seg")).localCheckpoint(true))
+
+  // the hybrid arm's expected query-vector dimension, from the persisted
+  // codebooks (m subspaces × dsub dims) — read once, used to fail a
+  // mis-sized vec= parameter fast instead of deep inside the probe math
+  private lazy val vecDim: Int = {
+    val cb = graft.pipeline.Quantize.readCodebooks(spark, codebooksPath)
+    cb.length * cb(0)(0).length
+  }
+
+  private def maxSegOrZero(read: => DataFrame): Long =
+    try {
+      val df = read
+      if (!df.columns.contains("seg")) 0L
+      else df.agg(max(col("seg"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+
   def start(): Int = {
+    // fail LOUDLY at startup, not silently per query: a multi-segment
+    // index without tombstones configured cannot be served correctly
+    require(termTombstones.isDefined ||
+      maxSegOrZero(spark.read.parquet(s"$termIndexDir.doclen")) == 0L,
+      s"SearchApi: term index $termIndexDir has delta segments but no " +
+        "termTombstonesPath configured — pass the tombstone artifact " +
+        "(empty for a pure-append history) or serve the compacted index")
+    require(ivfTombstones.isDefined ||
+      maxSegOrZero(spark.read.parquet(s"$ivfPath/corpus")) == 0L,
+      s"SearchApi: IVF index $ivfPath has delta segments but no " +
+        "ivfTombstonesPath configured — pass the tombstone artifact " +
+        "(empty for a pure-append history) or serve the compacted index")
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/search", handle(search))
     server.createContext("/lb_check", handle(_ => "Ok\n"))
@@ -41,11 +95,13 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
   def stop(): Unit = if (server != null) server.stop(0)
 
   private def handle(f: Map[String, String] => String)(ex: HttpExchange): Unit = {
+    // NonFatal only: a VirtualMachineError (OOM) must propagate and kill
+    // the worker rather than be masked as a 500 from an undefined state
     val (code, body) =
       try (200, f(query(ex)))
       catch {
         case e: IllegalArgumentException => (400, s"""{"error":${q(e.getMessage)}}""")
-        case e: Throwable => (500, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
+        case NonFatal(e) => (500, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
       }
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -67,13 +123,32 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
+  // untrusted numeric parameters are range-checked BEFORE they size any
+  // limit/window/collect (the k rule applied uniformly)
+  private def boundedInt(p: Map[String, String], name: String,
+                         default: Int, lo: Int, hi: Int): Int = {
+    val v = p.get(name).map(_.toInt).getOrElse(default)
+    require(v >= lo && v <= hi, s"$name out of range [$lo, $hi]: $v")
+    v
+  }
+
   private def search(p: Map[String, String]): String = {
-    val k = p.getOrElse("k", "10").toInt
-    require(k > 0 && k <= 1000, s"k out of range: $k")
+    val k = boundedInt(p, "k", 10, 1, 1000)
+    p.get("complete") match {
+      case Some(pref) =>
+        val rows = graft.pipeline.TextStats
+          .completeTerms(spark, termIndexDir, pref, k = k,
+            tombstones = termTombstones)
+          .collect()
+        return rows.map(r => s"""{"term":${q(r.getString(0))},"df":${r.getLong(1)}}""")
+          .mkString("""{"results":[""", ",", "]}")
+      case None => ()
+    }
     p.get("glob") match {
       case Some(g) =>
         val rows = graft.pipeline.TextStats
-          .globSearchTermIndex(spark, termIndexDir, g)
+          .globSearchTermIndex(spark, termIndexDir, g,
+            tombstones = termTombstones)
           .orderBy(org.apache.spark.sql.functions.desc("n_hits"),
             org.apache.spark.sql.functions.col("doc_id"))
           .limit(k).collect()
@@ -85,7 +160,8 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
       case Some(ph) =>
         val terms = ph.split("[+ ]").filter(_.nonEmpty).toSeq
         val rows = graft.pipeline.TextStats
-          .phraseSearch(spark, termIndexDir, terms)
+          .phraseSearch(spark, termIndexDir, terms,
+            tombstones = termTombstones)
           .orderBy(org.apache.spark.sql.functions.desc("n_occur"),
             org.apache.spark.sql.functions.col("doc_id"))
           .limit(k).collect()
@@ -93,21 +169,27 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
           .mkString("""{"results":[""", ",", "]}")
       case None =>
         val terms = p.getOrElse("q", "").split("[+ ]").filter(_.nonEmpty).toSeq
-        require(terms.nonEmpty, "missing q or phrase parameter")
+        require(terms.nonEmpty, "missing q, phrase, glob or complete parameter")
         p.getOrElse("mode", "bm25") match {
           case "bm25" =>
             val rows = graft.pipeline.TextStats
-              .bm25TopK(spark, termIndexDir, terms, k = k).collect()
+              .bm25TopK(spark, termIndexDir, terms, k = k,
+                tombstones = termTombstones).collect()
             rows.map(r => s"""{"doc_id":${r.getLong(0)},"n_terms":${r.getLong(1)},"score":${r.getDouble(2)}}""")
               .mkString("""{"results":[""", ",", "]}")
           case "hybrid" =>
             val vec = p.getOrElse("vec", "")
             require(vec.nonEmpty, "hybrid mode needs vec=f,f,...")
             val qv = vec.split(",").map(_.trim.toFloat)
-            val pool = p.getOrElse("pool", "20").toInt
+            require(qv.length == vecDim,
+              s"vec has ${qv.length} dims, index expects $vecDim")
+            val pool = boundedInt(p, "pool", 20, 1, 1000)
+            val nprobe = boundedInt(p, "nprobe", 4, 1, 64)
             val rows = graft.pipeline.Similarity.hybridServeTopK(spark,
               termIndexDir, terms, ivfPath, codebooksPath, qv,
-              k = k, pool = pool).collect()
+              k = k, pool = pool, nprobe = nprobe,
+              termTombstones = termTombstones,
+              ivfTombstones = ivfTombstones).collect()
             rows.map(r => s"""{"doc_id":${r.getLong(0)},"bm_rank":${r.getLong(1)},"ann_rank":${r.getLong(2)},"rrf_x1e6":${r.getLong(3)}}""")
               .mkString("""{"results":[""", ",", "]}")
           case other => throw new IllegalArgumentException(s"bad mode: $other")

@@ -102,9 +102,12 @@ object Similarity {
                       termIndexDir: String, terms: Seq[String],
                       ivfPath: String, codebooksPath: String,
                       queryVec: Array[Float], k: Int = 10, pool: Int = 20,
-                      nprobe: Int = 4, kRrf: Int = 60): DataFrame = {
+                      nprobe: Int = 4, kRrf: Int = 60,
+                      termTombstones: Option[DataFrame] = None,
+                      ivfTombstones: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val bm = TextStats.bm25TopK(spark, termIndexDir, terms, k = pool)
+    val bm = TextStats.bm25TopK(spark, termIndexDir, terms, k = pool,
+        tombstones = termTombstones)
       .select(col("doc_id"), col("score"))
     val wb = Window.orderBy(desc("score"), col("doc_id")) // ≤pool rows by limit
     val bmR = bm.withColumn("bm_rank", row_number().over(wb).cast("long"))
@@ -113,7 +116,7 @@ object Similarity {
     val cb = Quantize.readCodebooks(spark, codebooksPath)
     val annR = ivfPqTopK(index,
         Seq((-1L, queryVec.toSeq)).toDF("vec_id", "embedding"),
-        cb, cents, k = pool, nprobe = nprobe)
+        cb, cents, k = pool, nprobe = nprobe, tombstones = ivfTombstones)
       .select(col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("ann_rank"))
     bmR.join(annR, Seq("doc_id"), "full_outer")
@@ -444,16 +447,108 @@ object Similarity {
    * partitioning is the point at serving scale — [[ivfTopK]]'s probe join
    * filters on cell equality, so a query touching nprobe of nlist cells
    * reads only those directories (partition pruning), not the corpus.
+   *
+   * Rows carry a `seg` column (0 for the base build) so the index rides
+   * the same merge-on-read segment contract as the term index:
+   * [[appendToIvfIndex]] adds higher segments, `(vec_id, before_seg)`
+   * tombstones kill earlier rows, [[compactIvfIndex]] /
+   * [[retrainIvfIndex]] are the janitors.
    */
   def writeIndex(corpusWithCells: DataFrame, centroids: Array[(Int, Array[Double])],
                  path: String): Unit = {
     val spark = corpusWithCells.sparkSession
     import spark.implicits._
-    corpusWithCells.write.mode("overwrite")
+    corpusWithCells.withColumn("seg", lit(0L)).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/corpus")
     centroids.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  // ------------------------------------------- IVF index MoR maintenance
+  //
+  // The vector twin of TextStats.appendToTermIndex/compactTermIndex: a
+  // corpus refresh must cost work proportional to the CHANGED vectors,
+  // never a retrain + re-encode + rewrite of the whole index. The
+  // published practice this follows: an IVF index adds new vectors by
+  // assigning them against the EXISTING coarse quantizer and codebooks
+  // (Faiss's IndexIVF add-after-train contract; Jégou et al. 2011 §IV —
+  // the quantizer is trained once, additions only quantize), deletions
+  // are tombstones merged at query time, and centroid drift is repaired
+  // by a periodic offline re-train + re-encode pass over the alive rows
+  // (the FreshDiskANN split: a fast in-place delta path plus a periodic
+  // consolidation rebuild, Singh et al. 2021, arXiv:2105.09613).
+
+  /** Alive index rows under `(vec_id, before_seg)` tombstones — the same
+    * broadcast anti-join contract as the term index (tombstones are
+    * refresh-sized by nature: only CHANGED vectors have one). */
+  private def aliveVecs(rows: DataFrame, tombstones: Option[DataFrame]): DataFrame =
+    tombstones.fold(rows) { tb =>
+      val t = tb.select(col("vec_id").as("_tid"), col("before_seg"))
+      rows.join(broadcast(t),
+        col("vec_id") === col("_tid") && col("seg") < col("before_seg"),
+        "left_anti")
+    }
+
+  /**
+   * Delta-sized segment append: the new/edited vectors assign to the
+   * index's EXISTING centroids (read from the sidecar) and encode with
+   * the EXISTING codebooks — no training, no rewrite; the appended files
+   * land inside the same cell=N partition dirs, so probe-time partition
+   * pruning is unchanged. The caller records tombstones for edited /
+   * deleted ids exactly as with [[graft.pipeline.TextStats.appendToTermIndex]].
+   */
+  def appendToIvfIndex(newVecs: DataFrame, path: String,
+                       codebooks: Array[Array[Array[Double]]],
+                       seg: Long): Unit = {
+    require(seg > 0L, "appendToIvfIndex: appended segments start at 1")
+    val spark = newVecs.sparkSession
+    val (_, cents) = readIndex(spark, path)
+    Quantize.pqEncode(assignCells(newVecs, cents), codebooks)
+      .withColumn("seg", lit(seg))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
+  /** The cheap janitor: rewrite the ALIVE rows as a fresh seg-0 index at
+    * `outDir`, centroids and codebooks unchanged — a drop-in after which
+    * the tombstone table is empty. One index scan + the broadcast
+    * tombstone anti-join + the write's own cell partitioning. Use
+    * [[retrainIvfIndex]] instead when the appended mass has drifted the
+    * cell balance (the consolidation half of the FreshDiskANN split). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      tombstones: DataFrame, outDir: String): Unit = {
+    require(outDir != path,
+      "compactIvfIndex: outDir must be a fresh location (the scan reads path)")
+    import spark.implicits._
+    aliveVecs(spark.read.parquet(s"$path/corpus"), Some(tombstones))
+      .withColumn("seg", lit(0L))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/corpus")
+    val cents = spark.read.parquet(s"$path/centroids")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+  }
+
+  /**
+   * The retrain janitor — the documented policy for centroid drift: when
+   * appended segments have shifted the data distribution (cells overfull,
+   * recall sagging), re-train the coarse quantizer AND the PQ codebooks on
+   * the alive corpus, re-assign, re-encode, and write a fresh seg-0 index.
+   * Returns the new codebooks for the caller to persist
+   * ([[Quantize.writeCodebooks]]) next to the new index. This is the ONLY
+   * full-rebuild-cost path in the lifecycle, and it runs offline — queries
+   * keep serving the old index + deltas until the swap.
+   */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      tombstones: DataFrame, outDir: String,
+                      nlist: Int, m: Int = 8, ksub: Int = 16,
+                      iters: Int = 5, sampleN: Int = 10000): Array[Array[Array[Double]]] = {
+    require(outDir != path,
+      "retrainIvfIndex: outDir must be a fresh location (the scan reads path)")
+    val alive = aliveVecs(spark.read.parquet(s"$path/corpus"), Some(tombstones))
+      .select(col("vec_id"), col("embedding"))
+    val cents = trainCentroids(alive, nlist, iters, sampleN)
+    val cb = Quantize.trainPqCodebooks(alive, m, ksub, iters, sampleN)
+    writeIndex(Quantize.pqEncode(assignCells(alive, cents), cb), cents, outDir)
+    cb
   }
 
   /** Load a persisted IVF index: (cell-partitioned corpus, centroids). */
@@ -486,7 +581,8 @@ object Similarity {
                 codebooks: Array[Array[Array[Double]]],
                 centroids: Array[(Int, Array[Double])],
                 k: Int, nprobe: Int, shortlist: Int = 50,
-                maxQ: Int = maxDriverQueries): DataFrame = {
+                maxQ: Int = maxDriverQueries,
+                tombstones: Option[DataFrame] = None): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val m = codebooks.length
@@ -523,10 +619,15 @@ object Similarity {
     }.toMap
     val qTab = broadcast(probes.map { case (qid, cid) => (qid, cid, dtabs(qid)) }
       .toDF("query_id", "cell", "dtab"))
+    // the alive view of the probed cells: partition pruning FIRST, then
+    // the broadcast tombstone anti-join on the pruned slice — on a
+    // merge-on-read-maintained index an edited vector has rows in both
+    // its old and new segments, and without the anti-join the SAME
+    // neighbor_id would rank twice (old codes and new codes)
+    val pruned = aliveVecs(index.where(col("cell").isin(allCells: _*)), tombstones)
     // stage 1 — ADC shortlist: partition-pruned CODE-ONLY scan of the
     // probed cells, m table lookups per row, per-query top-`shortlist`
-    val cand = index.select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
-      .where(col("cell").isin(allCells: _*))
+    val cand = pruned.select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
       .join(qTab, "cell")
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("approx_d2",
@@ -539,9 +640,8 @@ object Similarity {
     // stage 2 — exact rerank: the float vectors of the probed cells join the
     // broadcast shortlist (q × shortlist rows), exact L2, top-k
     val qv = broadcast(qs.toSeq.map { case (qid, v) => (qid, v.toSeq) }.toDF("query_id", "qv"))
-    index.select(col("vec_id").as("neighbor_id"), col("cell"),
+    pruned.select(col("vec_id").as("neighbor_id"), col("cell"),
         transform(col("embedding"), x => x.cast("double")).as("nv"))
-      .where(col("cell").isin(allCells: _*))
       .join(broadcast(cand), "neighbor_id")
       .join(qv, "query_id")
       .withColumn("d2",

@@ -752,6 +752,41 @@ object TextStats {
   }
 
   /**
+   * Term autocomplete over the persisted index — the content-side twin of
+   * the reference's tags/autoComplete + find/expand surface (carbonapi
+   * completes series-name nodes and tag values from its own catalog,
+   * `pkg/parser/parser.go:701-715` glob machinery; this completes corpus
+   * CONTENT terms): the top-k terms matching a prefix, ranked by ALIVE
+   * document frequency (df desc, term — a total order).
+   *
+   * Scale shape: the [[prefixSearchTermIndex]] scan (pushed StartsWith +
+   * term-sorted row-group skipping) feeds a term-keyed agg whose
+   * cardinality is the matching VOCABULARY slice, not the corpus; the
+   * result is top-k via TakeOrdered. Tombstone-aware like every other
+   * index consumer, so a maintained index never completes a deleted
+   * doc's last term with a stale df.
+   */
+  def completeTerms(spark: SparkSession, indexDir: String, prefix: String,
+                    k: Int = 10,
+                    tombstones: Option[DataFrame] = None): DataFrame = {
+    require(prefix.nonEmpty, "completeTerms: empty prefix")
+    val idx = spark.read.parquet(indexDir)
+      .where(col("term").startsWith(prefix))
+    val alive = tombstones.fold(idx) { tb =>
+      val t = tb.select(col("doc_id").as("_tid"), col("before_seg"))
+      idx.join(broadcast(t),
+        col("doc_id") === col("_tid") && col("seg") < col("before_seg"),
+        "left_anti")
+    }
+    // alive postings are unique per (term, doc) under the maintenance
+    // contract (same as bm25TopK's df), so count(*) IS the doc frequency
+    alive.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("term"))
+      .limit(k)
+  }
+
+  /**
    * Glob term retrieval — the reference's full glob grammar
    * (`pkg/parser/parser.go:701-715`: `*`, `?`, `[a-z]`, `{a,b}`, ported
    * in [[graft.core.Glob]]) applied to corpus CONTENT terms. Terms are

@@ -648,6 +648,125 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       k = 5, nprobe = 3, shortlist = 50, maxQ = 10).count() > 0)
   }
 
+  test("IVF-PQ merge-on-read lifecycle: refreshed index serves exactly like a same-quantizer re-encode; recall holds; compaction is a drop-in; retrain janitor recovers drift") {
+    // planted-blob corpus, same regime as the p34 serving gate
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian() * 5))
+    def blob(id: Long, c: Int, jitter: Double): (Long, Seq[Float], Int) =
+      (id, centers(c).map(x => (x + rnd.nextGaussian() * jitter).toFloat).toSeq, c)
+    val base = (0 until 400).map(i => blob(i.toLong, i % 8, 0.3))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.trainCentroids(base, nlist = 8, iters = 3, sampleN = 2000)
+    val cb = graft.pipeline.Quantize.trainPqCodebooks(base, m = 16, ksub = 16,
+      iters = 10, sampleN = 2000)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-mor").toString
+    Similarity.writeIndex(
+      graft.pipeline.Quantize.pqEncode(Similarity.assignCells(base, cents), cb), cents, dir)
+
+    // the refresh: edits RELOCATE vectors to a different blob (cell moves),
+    // adds land in fresh blobs, deletes take a modulus class out
+    val edited = base.where(col("vec_id") % 7 =!= 0 && col("vec_id") % 5 === 0)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(-1.0f)).cast("float")))
+    val added = (0 until 40).map(i => blob(10000L + i, (i + 3) % 8, 0.3))
+      .toDF("vec_id", "embedding", "label")
+    val deletedIds = base.where(col("vec_id") % 7 === 0).select("vec_id")
+    Similarity.appendToIvfIndex(edited.unionByName(added), dir, cb, seg = 1L)
+    val tomb = deletedIds.select(col("vec_id"), lit(Long.MaxValue).as("before_seg"))
+      .unionByName(edited.select(col("vec_id"), lit(1L).as("before_seg")))
+    val refreshed = base.where(col("vec_id") % 7 =!= 0 && col("vec_id") % 5 =!= 0)
+      .unionByName(edited).unionByName(added)
+    val queries = refreshed.where(col("vec_id") < 12 || col("vec_id") >= 10000L && col("vec_id") < 10004L)
+
+    def served(d: String, tb: Option[org.apache.spark.sql.DataFrame],
+               b: Array[Array[Array[Double]]] = cb) = {
+      val (idx, dc) = Similarity.readIndex(spark, d)
+      Similarity.ivfPqTopK(idx, queries, b, dc, k = 5, nprobe = 4,
+        shortlist = 50, tombstones = tb)
+    }
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(3),
+        math.round(r.getDouble(2) * 1e6))).toSet
+
+    // 1) MoR parity: (index + delta + tombstones) must serve EXACTLY like a
+    //    fresh re-encode of the refreshed corpus under the SAME quantizers —
+    //    assignment and PQ encode are deterministic functions of (vec, cents, cb)
+    val reDir = java.nio.file.Files.createTempDirectory("ivfpq-re").toString
+    Similarity.writeIndex(
+      graft.pipeline.Quantize.pqEncode(Similarity.assignCells(refreshed, cents), cb),
+      cents, reDir)
+    val mor = served(dir, Some(tomb))
+    assert(key(mor) == key(served(reDir, None)),
+      "MoR serve must equal the same-quantizer re-encode serve")
+    // deleted ids never rank; each neighbor appears at most once per query
+    val morRows = mor.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // deleted = BASE ids %7==0 (appended 10000+ ids are alive whatever
+    // their modulus)
+    assert(morRows.forall(r => !(r._2 < 10000L && r._2 % 7 == 0)),
+      "deleted vectors must not rank")
+    assert(morRows.distinct.length == morRows.length,
+      "an edited vector must rank once, not once per segment")
+
+    // 2) recall on the refreshed corpus >= the fresh-build gate (0.9)
+    val brute = graft.pipeline.Quantize.pqTopKReranked(
+      graft.pipeline.Quantize.pqEncode(refreshed, cb), queries, cb, k = 5,
+      shortlist = 10000)
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet)
+    val want = topSets(brute); val got = topSets(mor)
+    val hits = want.toSeq.map { case (q, w) =>
+      w.intersect(got.getOrElse(q, Set.empty)).size.toDouble / w.size }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.9, s"post-refresh recall $recall < 0.9")
+
+    // 3) the serve plan still partition-prunes on cell THROUGH the
+    //    tombstone anti-join
+    val plan = mor.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      "tombstone-aware serve must keep cell pruning:\n" + plan.take(3000))
+
+    // 4) generation 2: compact (drop-in, empty tombstones), refresh AGAIN,
+    //    and the second MoR serve equals the re-encode of the gen-2 corpus
+    val cDir = java.nio.file.Files.createTempDirectory("ivfpq-compact").toString
+    Similarity.compactIvfIndex(spark, dir, tomb, cDir)
+    assert(key(served(cDir, None)) == key(served(reDir, None)),
+      "compacted index must serve identically with empty tombstones")
+    val edited2 = refreshed.where(col("vec_id") % 11 === 0)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x + lit(2.5f)).cast("float")))
+    Similarity.appendToIvfIndex(edited2, cDir, cb, seg = 1L)
+    val tomb2 = edited2.select(col("vec_id"), lit(1L).as("before_seg"))
+    val gen2 = refreshed.where(col("vec_id") % 11 =!= 0).unionByName(edited2)
+    val re2Dir = java.nio.file.Files.createTempDirectory("ivfpq-re2").toString
+    Similarity.writeIndex(
+      graft.pipeline.Quantize.pqEncode(Similarity.assignCells(gen2, cents), cb),
+      cents, re2Dir)
+    // gen-2 queries: drop the ids edited2 moved (their stored position no
+    // longer matches the query vector, which is fine but not the parity point)
+    assert(key(served(cDir, Some(tomb2))) == key(served(re2Dir, None)),
+      "generation-2 MoR serve must equal the gen-2 re-encode serve")
+
+    // 5) the retrain janitor: fresh quantizers over the alive rows — recall
+    //    on the refreshed corpus must still meet the fresh-build gate
+    val rDir = java.nio.file.Files.createTempDirectory("ivfpq-retrain").toString
+    val cb2 = Similarity.retrainIvfIndex(spark, dir, tomb, rDir,
+      nlist = 8, m = 16, ksub = 16, iters = 3, sampleN = 2000)
+    val retrained = served(rDir, None, cb2)
+    val brute2 = graft.pipeline.Quantize.pqTopKReranked(
+      graft.pipeline.Quantize.pqEncode(refreshed, cb2), queries, cb2, k = 5,
+      shortlist = 10000)
+    val want2 = topSets(brute2); val got2 = topSets(retrained)
+    val hits2 = want2.toSeq.map { case (q, w) =>
+      w.intersect(got2.getOrElse(q, Set.empty)).size.toDouble / w.size }
+    val recall2 = hits2.sum / hits2.size
+    assert(recall2 >= 0.9, s"post-retrain recall $recall2 < 0.9")
+  }
+
   test("incremental near-dup vs the persisted index equals the one-shot OPH pair set; planted dups rediscover their originals; disjoint docs stay silent") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files.createTempDirectory("graft-ndidx").toString

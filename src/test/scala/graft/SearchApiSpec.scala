@@ -17,22 +17,25 @@ class SearchApiSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var spark: SparkSession = _
   private var api: SearchApi = _
   private var port: Int = _
+  private var root: String = _
   private var tiDir: String = _
   private var ivfDir: String = _
   private var cbDir: String = _
+  private var cents: Array[(Int, Array[Double])] = _
+  private var cb: Array[Array[Array[Double]]] = _
   private val client = HttpClient.newHttpClient()
   private val sf = "/root/testdata/sf0.001"
 
   override def beforeAll(): Unit = {
     spark = graft.core.GraftSession.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val root = java.nio.file.Files.createTempDirectory("graft-serve").toString
+    root = java.nio.file.Files.createTempDirectory("graft-serve").toString
     tiDir = s"$root/ti"; ivfDir = s"$root/ivf"; cbDir = s"$root/cb"
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     graft.pipeline.TextStats.writeTermIndex(docs, tiDir)
-    val cents = graft.pipeline.Similarity.trainCentroids(emb, nlist = 8, iters = 3, sampleN = 2000)
-    val cb = graft.pipeline.Quantize.trainPqCodebooks(emb, m = 16, ksub = 16, iters = 10, sampleN = 2000)
+    cents = graft.pipeline.Similarity.trainCentroids(emb, nlist = 8, iters = 3, sampleN = 2000)
+    cb = graft.pipeline.Quantize.trainPqCodebooks(emb, m = 16, ksub = 16, iters = 10, sampleN = 2000)
     graft.pipeline.Similarity.writeIndex(
       graft.pipeline.Quantize.pqEncode(
         graft.pipeline.Similarity.assignCells(emb, cents), cb), cents, ivfDir)
@@ -115,5 +118,147 @@ class SearchApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/search?q=a&mode=hybrid")._1 == 400) // missing vec
     val (c, b) = get("/lb_check")
     assert(c == 200 && b == "Ok\n")
+  }
+
+  test("untrusted numeric/vector parameters are range-checked before they size anything") {
+    assert(get("/search?q=a&k=0")._1 == 400)
+    assert(get("/search?q=a&k=100000000")._1 == 400)
+    val vec3 = "0.1,0.2,0.3" // index expects 64 dims
+    assert(get(s"/search?q=a&mode=hybrid&vec=$vec3")._1 == 400)
+    val vec64 = Array.fill(64)("0.1").mkString(",")
+    assert(get(s"/search?q=a&mode=hybrid&vec=$vec64&pool=100000000")._1 == 400)
+    assert(get(s"/search?q=a&mode=hybrid&vec=$vec64&nprobe=999")._1 == 400)
+    assert(get("/search?q=a&k=notanint")._1 == 400)
+  }
+
+  test("/search complete equals the direct completeTerms call (term autocomplete)") {
+    val (code, body) = get("/search?complete=sc&k=8")
+    assert(code == 200, body)
+    val direct = graft.pipeline.TextStats.completeTerms(spark, tiDir, "sc", k = 8)
+      .collect()
+      .map(r => s"""{"term":"${r.getString(0)}","df":${r.getLong(1)}}""")
+      .mkString("""{"results":[""", ",", "]}")
+    assert(body == direct, s"served $body vs direct $direct")
+    assert(body.contains("\"term\""), s"prefix sc must complete at sf0.001: $body")
+  }
+
+  test("a maintained (multi-segment) index refuses to serve without tombstones; serves correctly with them") {
+    import org.apache.spark.sql.functions.{concat, lit, transform => atransform}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the standard refresh: edited (%5 of the %7 survivors), added (%13,
+    // shifted ids), deleted (%7) — docs and vectors move in lockstep
+    val editedD = docs.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+      .withColumn("text", concat(col("text"), lit(" rev2")))
+    val addedD = docs.where(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val deletedD = docs.where(col("doc_id") % 7 === 0).select("doc_id")
+    val ti2 = s"$root/ti2"
+    graft.pipeline.TextStats.writeTermIndex(docs, ti2)
+    graft.pipeline.TextStats.appendToTermIndex(
+      editedD.unionByName(addedD).select("doc_id", "text"), ti2, seg = 1L)
+    val tomb = deletedD.select(col("doc_id"), lit(Long.MaxValue).as("before_seg"))
+      .unionByName(editedD.select(col("doc_id"), lit(1L).as("before_seg")))
+    val tombDir = s"$root/tomb"
+    tomb.write.mode("overwrite").parquet(tombDir)
+
+    val editedE = emb.where(col("vec_id") % 7 =!= 0 && col("vec_id") % 5 === 0)
+      .withColumn("embedding", atransform(col("embedding"), x => (x * lit(1.5f)).cast("float")))
+    val addedE = emb.where(col("vec_id") % 13 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val deletedE = emb.where(col("vec_id") % 7 === 0).select("vec_id")
+    val ivf2 = s"$root/ivf2"
+    graft.pipeline.Similarity.writeIndex(
+      graft.pipeline.Quantize.pqEncode(
+        graft.pipeline.Similarity.assignCells(emb, cents), cb), cents, ivf2)
+    graft.pipeline.Similarity.appendToIvfIndex(
+      editedE.unionByName(addedE), ivf2, cb, seg = 1L)
+    val ivfTomb = deletedE.select(col("vec_id"), lit(Long.MaxValue).as("before_seg"))
+      .unionByName(editedE.select(col("vec_id"), lit(1L).as("before_seg")))
+    val ivfTombDir = s"$root/ivftomb"
+    ivfTomb.write.mode("overwrite").parquet(ivfTombDir)
+
+    // 1) the refusal: a multi-segment index with no tombstones configured
+    //    must fail AT STARTUP (the r14 silent-score-inflation hole)
+    val bare = new SearchApi(spark, ti2, ivf2, cbDir, port = 0)
+    val ex = intercept[IllegalArgumentException] { bare.start() }
+    assert(ex.getMessage.contains("tombstone"))
+
+    // 2) with the tombstone artifacts configured, every route equals the
+    //    tombstone-aware engine composition — and bm25 equals a FULL
+    //    REBUILD over the refreshed corpus (the ground truth)
+    val api2 = new SearchApi(spark, ti2, ivf2, cbDir, port = 0,
+      termTombstonesPath = Some(tombDir), ivfTombstonesPath = Some(ivfTombDir))
+    val port2 = api2.start()
+    def get2(pq: String): (Int, String) = {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port2$pq")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    try {
+      def fmt(rows: Array[org.apache.spark.sql.Row]): String =
+        rows.map(r => s"""{"doc_id":${r.getLong(0)},"n_terms":${r.getLong(1)},"score":${r.getDouble(2)}}""")
+          .mkString("""{"results":[""", ",", "]}")
+      val (c1, served) = get2("/search?q=window+scan+merge&k=10")
+      assert(c1 == 200, served)
+      val direct = fmt(graft.pipeline.TextStats.bm25TopK(spark, ti2,
+        Seq("window", "scan", "merge"), k = 10,
+        tombstones = Some(tomb)).collect())
+      assert(served == direct, s"maintained serve $served vs direct $direct")
+      val refreshedDocs = docs.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 =!= 0)
+        .unionByName(editedD).unionByName(addedD)
+      val tiRebuilt = s"$root/ti2_rebuilt"
+      graft.pipeline.TextStats.writeTermIndex(refreshedDocs, tiRebuilt)
+      val rebuilt = fmt(graft.pipeline.TextStats.bm25TopK(spark, tiRebuilt,
+        Seq("window", "scan", "merge"), k = 10).collect())
+      assert(served == rebuilt,
+        s"maintained serve $served must equal the full-rebuild truth $rebuilt")
+
+      // the hybrid arm over BOTH maintained indexes
+      val qv = emb.where(col("vec_id") === 3L).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val vecParam = qv.map(_.toString).mkString(",")
+      val (c2, hybrid) = get2(s"/search?q=window+scan+merge&mode=hybrid&k=10&vec=$vecParam")
+      assert(c2 == 200, hybrid)
+      val hybridDirect = graft.pipeline.Similarity.hybridServeTopK(spark, ti2,
+          Seq("window", "scan", "merge"), ivf2, cbDir, qv, k = 10,
+          termTombstones = Some(tomb), ivfTombstones = Some(ivfTomb)).collect()
+        .map(r => s"""{"doc_id":${r.getLong(0)},"bm_rank":${r.getLong(1)},"ann_rank":${r.getLong(2)},"rrf_x1e6":${r.getLong(3)}}""")
+        .mkString("""{"results":[""", ",", "]}")
+      assert(hybrid == hybridDirect, s"maintained hybrid $hybrid vs $hybridDirect")
+
+      // autocomplete over the maintained index: dfs reflect the refresh
+      val (c3, comp) = get2("/search?complete=sc&k=8")
+      assert(c3 == 200, comp)
+      val compDirect = graft.pipeline.TextStats.completeTerms(spark, ti2, "sc",
+          k = 8, tombstones = Some(tomb)).collect()
+        .map(r => s"""{"term":"${r.getString(0)}","df":${r.getLong(1)}}""")
+        .mkString("""{"results":[""", ",", "]}")
+      assert(comp == compDirect)
+    } finally api2.stop()
+  }
+
+  test("racing mixed requests equal their serial answers (the HttpApi 12-way gate, search edition)") {
+    val reqs = Seq(
+      "/search?q=window+scan+merge&k=5",
+      "/search?q=dup+alpha&k=7",
+      "/search?phrase=table+scan+merge&k=50",
+      "/search?glob=sc%5Bae%5Dn*&k=50",
+      "/search?complete=sc&k=8")
+    val want = reqs.map(r => r -> get(r)).toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+    try {
+      val futs = (0 until 36).map { i =>
+        val r = reqs(i % reqs.size)
+        pool.submit(new java.util.concurrent.Callable[(String, (Int, String))] {
+          def call(): (String, (Int, String)) = r -> get(r)
+        })
+      }
+      futs.foreach { f =>
+        val (r, got) = f.get(180, java.util.concurrent.TimeUnit.SECONDS)
+        assert(got == want(r), s"racing $r diverged: $got vs ${want(r)}")
+      }
+    } finally pool.shutdown()
   }
 }
