@@ -74,6 +74,18 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // round-over-round evidence: bench_out.json is overwritten per run,
+    // which destroyed the per-query history the regression audit needs
+    // (r14 verdict) — so every run ALSO appends its full line (stamped
+    // with wall-clock) to bench_history.jsonl, which only ever grows
+    try {
+      val stamped = json.patch(1,
+        "\"at\":\"" + java.time.Instant.now().toString + "\",", 0)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+        (stamped + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Exception => () } // best-effort: never fail the bench
     spark.stop()
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"queries_full":"$out","sf":"$sfDir"}""")
   }

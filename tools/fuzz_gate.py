@@ -245,9 +245,42 @@ def main_mor(n_seeds: int) -> int:
     return 1 if failures else 0
 
 
+def main_pairs(n_seeds: int) -> int:
+    """Shingle-index pair-set/cluster lifecycle differential (r15): three
+    seeded edit/delete/add generations against one maintained shingle
+    index, each refreshed with incrementalClusters over the PREVIOUS
+    generation's own outputs (compaction between gens 2 and 3), compared
+    pair-for-pair and label-for-label against a full recompute
+    (graft.PairFuzz: exit 0 = identical)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    failures = 0
+    for seed in range(1, n_seeds + 1):
+        sf_dir = f"/tmp/graft_fuzz/corpus_{seed}"
+        gen_corpus(seed, sf_dir)
+        try:
+            r = subprocess.run(
+                ["sbt", "-batch", f"runMain graft.PairFuzz {sf_dir} {seed}"],
+                cwd=repo, capture_output=True, text=True, timeout=1800)
+        except subprocess.TimeoutExpired:
+            print(f"pairs seed {seed}: TIMED OUT (1800s)")
+            failures += 1
+            continue
+        tail = [l for l in r.stdout.splitlines() if "[pairfuzz" in l]
+        print(f"pairs seed {seed}: " +
+              (tail[-1] if tail else "<no pairfuzz output>"))
+        if r.returncode != 0:
+            print(r.stdout[-3000:])
+            print(r.stderr[-2000:])
+            failures += 1
+    print(f"pairs fuzz: {n_seeds - failures}/{n_seeds} seeds clean")
+    return 1 if failures else 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "mm":
         return main_mm()
+    if len(sys.argv) > 1 and sys.argv[1] == "pairs":
+        return main_pairs(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
     if len(sys.argv) > 1 and sys.argv[1] == "mor":
         return main_mor(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
