@@ -47,7 +47,11 @@ SENSITIVE = ("p41,p54,p57,p58,p59,p60,p67,p68,p70,p73,p77,p78,p79,p80,"
              # delta segments + tombstones), prefix retrieval, and the
              # incremental split-churn matrix (fresh blast radii and
              # df-crossing structure every resample)
-             "p91,p92,p93,p94,p95")
+             "p91,p92,p93,p94,p95,"
+             # r15: term autocomplete (fresh prefix-vocabulary df/tie
+             # structure every resample; p96 has no oracle — its lifecycle
+             # runs under `fuzz_gate pairs` + the PipelineSpec gates)
+             "p97")
 
 
 def gen_corpus(seed: int, out_dir: str) -> None:
