@@ -23,6 +23,7 @@ class CatalogSpec extends AnyFunSuite {
     "p29_pq_topk",             // Lloyd codebooks — QuantizeSpec recall + fidelity
     "p31_contamination_bloom", // probabilistic membership — CurationSpec recall 1
     "p34_ivf_pq_serve",        // IVF+PQ serving — PipelineSpec recall + pruned-plan gates
+    "p96_ivf_pq_refresh",      // maintained IVF+PQ — PipelineSpec MoR≡re-encode + recall + gen-2 + retrain gates
     "p52_neardup_incremental") // persisted OPH index — PipelineSpec ≡ minhashPairsOph + planted-dup gates
   // p44 left this list in r7: the whitened norm is basis-invariant, so the
   // 2-d slice has a closed-form DuckDB twin (2×2 (Σ+εI)⁻¹ Mahalanobis);
