@@ -43,6 +43,7 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
                 ivfTombstonesPath: Option[String] = None) {
 
   @volatile private var server: HttpServer = _
+  @volatile private var pool: java.util.concurrent.ExecutorService = _
 
   // tombstones read ONCE (refresh-sized by contract, eagerly pinned):
   // every request reuses the materialized frame instead of re-reading
@@ -87,12 +88,19 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/search", handle(search))
     server.createContext("/lb_check", handle(_ => "Ok\n"))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    // the worker pool is NON-daemon: without an explicit shutdown a JVM
+    // that stopped the server still never exits (caught by the r15
+    // ScaleBench servearm run hanging its forked JVM)
+    if (pool != null) pool.shutdown()
+  }
 
   private def handle(f: Map[String, String] => String)(ex: HttpExchange): Unit = {
     // NonFatal only: a VirtualMachineError (OOM) must propagate and kill
