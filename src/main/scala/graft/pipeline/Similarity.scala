@@ -551,6 +551,39 @@ object Similarity {
     cb
   }
 
+  /**
+   * Per-cell occupancy and drift diagnostics over a (possibly maintained)
+   * IVF index — the MEASURABLE retrain trigger behind [[retrainIvfIndex]]'s
+   * documented policy: one row per cell with `n_alive`, `n_appended`
+   * (alive rows in delta segments) and `mean_d2` (mean squared L2 of
+   * alive vectors to their assigned centroid, 4dp). Appended mass that no
+   * longer fits the trained quantizer shows up as rising `mean_d2` and/or
+   * appended rows concentrating in few cells; when either passes taste
+   * (e.g. appended fraction or mean_d2 ratio vs the base build), schedule
+   * the offline consolidation pass — the FreshDiskANN delta/consolidate
+   * split (arXiv:2105.09613).
+   *
+   * Scale shape: ONE column-pruned index scan, a map-side dist2 against
+   * the literal centroid array, an nlist-row aggregate with map-side
+   * partials — no joins, no vector shuffle; output is cell-cardinality-
+   * sized whatever the corpus.
+   */
+  def ivfCellStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                   tombstones: Option[DataFrame] = None): DataFrame = {
+    val (corpusDf, cents) = readIndex(spark, path)
+    require(cents.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "ivfCellStats: centroid ids must be consecutive 0..nlist-1")
+    val alive = aliveVecs(corpusDf, tombstones)
+    alive
+      .withColumn("_d2",
+        dist2(col("embedding"), element_at(centroidArray(cents), col("cell") + 1)))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_alive"),
+        sum((col("seg") > 0).cast("long")).as("n_appended"),
+        (round(avg(col("_d2")) * 1e4) / 1e4).as("mean_d2"))
+      .orderBy("cell")
+  }
+
   /** Load a persisted IVF index: (cell-partitioned corpus, centroids). */
   def readIndex(spark: org.apache.spark.sql.SparkSession,
                 path: String): (DataFrame, Array[(Int, Array[Double])]) = {

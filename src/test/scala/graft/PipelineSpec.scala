@@ -767,6 +767,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall2 >= 0.9, s"post-retrain recall $recall2 < 0.9")
   }
 
+  test("ivfCellStats: appended drift raises mean_d2 in its cells and counts as delta mass; tombstoning it restores the base profile") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian() * 5))
+    val base = (0 until 200).map { i =>
+      (i.toLong, centers(i % 8).map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq, i % 8)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.trainCentroids(base, nlist = 8, iters = 3, sampleN = 2000)
+    val cb = graft.pipeline.Quantize.trainPqCodebooks(base, m = 16, ksub = 16,
+      iters = 5, sampleN = 2000)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-cellstats").toString
+    Similarity.writeIndex(
+      graft.pipeline.Quantize.pqEncode(Similarity.assignCells(base, cents), cb), cents, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val before = Similarity.ivfCellStats(spark, dir)
+    val beforeRows = before.collect()
+    assert(beforeRows.map(_.getLong(1)).sum == 200L, "all base vectors counted")
+    assert(beforeRows.forall(_.getLong(2) == 0L), "no delta mass on a fresh build")
+    val maxBaseD2 = beforeRows.map(_.getDouble(3)).max
+
+    // drifted delta: far from every trained centroid (10× the blob radius)
+    val drifted = (0 until 30).map { i =>
+      (10000L + i, centers(i % 8).map(x => (x * 10.0 + rnd.nextGaussian()).toFloat).toSeq, 9)
+    }.toDF("vec_id", "embedding", "label")
+    Similarity.appendToIvfIndex(drifted, dir, cb, seg = 1L)
+    val afterRows = Similarity.ivfCellStats(spark, dir).collect()
+    assert(afterRows.map(_.getLong(1)).sum == 230L)
+    assert(afterRows.map(_.getLong(2)).sum == 30L, "delta mass counted per cell")
+    assert(afterRows.map(_.getDouble(3)).max > maxBaseD2 * 5,
+      "drifted mass must raise its cells' mean_d2 — the retrain trigger")
+
+    // tombstoning the drifted rows restores the base profile exactly
+    val tomb = drifted.select(col("vec_id"), lit(Long.MaxValue).as("before_seg"))
+    assert(key(Similarity.ivfCellStats(spark, dir, Some(tomb))) == key(before),
+      "tombstone-filtered stats must equal the pre-append profile")
+  }
+
   test("incremental near-dup vs the persisted index equals the one-shot OPH pair set; planted dups rediscover their originals; disjoint docs stay silent") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files.createTempDirectory("graft-ndidx").toString

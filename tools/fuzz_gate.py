@@ -280,11 +280,45 @@ def main_pairs(n_seeds: int) -> int:
     return 1 if failures else 0
 
 
+
+def main_ivf(n_seeds: int) -> int:
+    """IVF-PQ vector-index MoR lifecycle differential (r15): seeded random
+    re-embed/delete/add segments against one maintained index, the
+    tombstone-aware serve compared exactly (ids/ranks/rerank distances)
+    against a same-quantizer re-encode of the live corpus, post-compaction
+    and post-compaction-append included (graft.VecFuzz: exit 0 =
+    identical)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    failures = 0
+    for seed in range(1, n_seeds + 1):
+        sf_dir = f"/tmp/graft_fuzz/corpus_{seed}"
+        gen_corpus(seed, sf_dir)
+        try:
+            r = subprocess.run(
+                ["sbt", "-batch", f"runMain graft.VecFuzz {sf_dir} {seed}"],
+                cwd=repo, capture_output=True, text=True, timeout=1800)
+        except subprocess.TimeoutExpired:
+            print(f"ivf seed {seed}: TIMED OUT (1800s)")
+            failures += 1
+            continue
+        tail = [l for l in r.stdout.splitlines() if "[vecfuzz" in l]
+        print(f"ivf seed {seed}: " +
+              (tail[-1] if tail else "<no vecfuzz output>"))
+        if r.returncode != 0:
+            print(r.stdout[-3000:])
+            print(r.stderr[-2000:])
+            failures += 1
+    print(f"ivf fuzz: {n_seeds - failures}/{n_seeds} seeds clean")
+    return 1 if failures else 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "mm":
         return main_mm()
     if len(sys.argv) > 1 and sys.argv[1] == "pairs":
         return main_pairs(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
+    if len(sys.argv) > 1 and sys.argv[1] == "ivf":
+        return main_ivf(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
     if len(sys.argv) > 1 and sys.argv[1] == "mor":
         return main_mor(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
