@@ -420,6 +420,30 @@ object DocPipeline {
       }
       .start()
 
+  /** Streaming maintenance of the p96 IVF-PQ vector index — the
+    * [[termIndexIngest]] contract applied to ANN: each micro-batch of
+    * arriving embeddings appends as segment batchId + 1, assigned to the
+    * index's EXISTING centroids and encoded with the persisted codebooks
+    * (read once at stream start — the add-after-train contract, so the
+    * stream never trains). Arriving vectors are probe-visible between
+    * batches; re-embeds/deletes record tombstones exactly as in batch
+    * maintenance, and the same at-least-once replay contract applies
+    * (replays reuse the checkpointed batchId's segment). */
+  def ivfIndexIngest(vecStream: DataFrame, indexPath: String,
+                     codebooksPath: String, checkpoint: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val cb = graft.pipeline.Quantize.readCodebooks(
+      vecStream.sparkSession, codebooksPath)
+    vecStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.Similarity.appendToIvfIndex(
+          batch, indexPath, cb, seg = batchId + 1L)
+      }
+      .start()
+  }
+
   def nearDupIngest(docStream: DataFrame, indexDir: String, pairsOut: String,
                     checkpoint: String, threshold: Double = 0.9,
                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =

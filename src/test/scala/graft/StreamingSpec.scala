@@ -702,6 +702,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(segDocs == Set(0L -> 1L, 0L -> 2L, 1L -> 3L, 2L -> 4L), segDocs.toString)
   }
 
+  test("streaming IVF-index ingest: arriving vectors become probe-visible and the maintained index serves exactly like a same-quantizer re-encode") {
+    val tmp = Files.createTempDirectory("graft-ivfing").toString
+    val sp = spark
+    import sp.implicits._
+    val S = graft.pipeline.Similarity
+    val Q = graft.pipeline.Quantize
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    def blob(id: Long, c: Int) =
+      (id, centers(c).map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq, c)
+    val initial = (0 until 80).map(i => blob(i.toLong, i % 4))
+      .toDF("vec_id", "embedding", "label")
+    val cents = S.trainCentroids(initial, nlist = 4, iters = 3, sampleN = 2000)
+    val cb = Q.trainPqCodebooks(initial, m = 4, ksub = 8, iters = 5, sampleN = 2000)
+    S.writeIndex(Q.pqEncode(S.assignCells(initial, cents), cb), cents, s"$tmp/ivf")
+    Q.writeCodebooks(sp, cb, s"$tmp/cb")
+    // two arriving files → segments 1, 2 (vectors in fresh blob corners)
+    val rows1 = (100 until 105).map(i => blob(i.toLong, i % 4))
+    val rows2 = (200 until 206).map(i => blob(i.toLong, (i + 1) % 4))
+    rows1.toDF("vec_id", "embedding", "label").repartition(1)
+      .write.parquet(s"$tmp/vecs/f1")
+    rows2.toDF("vec_id", "embedding", "label").repartition(1)
+      .write.parquet(s"$tmp/vecs/f2")
+    val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    val src = sp.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/vecs/*")
+    val q = graft.streaming.DocPipeline.ivfIndexIngest(
+      src, s"$tmp/ivf", s"$tmp/cb", s"$tmp/ck")
+    q.awaitTermination(120000)
+    // the maintained index serves EXACTLY like a same-quantizer re-encode
+    // over everything seen (pure appends — no tombstones needed)
+    val all = initial.unionByName(
+      (rows1 ++ rows2).toDF("vec_id", "embedding", "label"))
+    val reDir = s"$tmp/re"
+    S.writeIndex(Q.pqEncode(S.assignCells(all, cents), cb), cents, reDir)
+    val queries = all.where(col("vec_id").isin(0L, 1L, 100L, 201L))
+    def serve(d: String) = {
+      val (idx, dc) = S.readIndex(sp, d)
+      S.ivfPqTopK(idx, queries, cb, dc, k = 3, nprobe = 2, shortlist = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3),
+          math.round(r.getDouble(2) * 1e6))).toSet
+    }
+    assert(serve(s"$tmp/ivf") == serve(reDir),
+      "streamed index must serve identically to the re-encode")
+    // each micro-batch landed as its own segment (batchId + 1)
+    val segVecs = sp.read.parquet(s"$tmp/ivf/corpus")
+      .select("seg", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(segVecs.filter(_._1 == 1L).map(_._2) == rows1.map(_._1).toSet ||
+      segVecs.filter(_._1 == 2L).map(_._2) == rows1.map(_._1).toSet,
+      s"each batch must land as one segment: $segVecs")
+    assert(segVecs.filter(_._1 == 0L).map(_._2) == (0L until 80L).toSet)
+    assert(segVecs.count(_._1 > 0L) == 11, segVecs.toString)
+  }
+
   test("streaming PII redaction equals the batch redaction byte-for-byte per document") {
     import java.sql.Timestamp
     val tmp = Files.createTempDirectory("graft-redact").toString
