@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions.{col, max}
  *   /search?phrase=w1+w2+w3                  → exact phrase      (p89 path)
  *   /search?glob=sc[ae]n*&k=10               → glob terms        (p95 path)
  *   /search?complete=pref&k=10               → term autocomplete (p97 path)
+ *   /status                                  → index-health snapshot
  *   /lb_check
  *
  * Each request is one Spark action over partition-pruned index slices —
@@ -62,6 +63,29 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
     cb.length * cb(0)(0).length
   }
 
+  /** Index-health snapshot for operators (the /info symmetry for the
+    * corpus surface), computed ONCE on first request — a mounted server's
+    * artifacts are immutable, so segments/counts cannot drift under it.
+    * Metadata-cheap: parquet row counts + distinct-seg scans, never a
+    * vector or postings read. */
+  private lazy val statusJson: String = {
+    def segsOf(df: DataFrame): Seq[Long] =
+      if (!df.columns.contains("seg")) Seq(0L)
+      else df.select("seg").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val dl = spark.read.parquet(s"$termIndexDir.doclen")
+    val termSegs = segsOf(dl)
+    val corpus = spark.read.parquet(s"$ivfPath/corpus")
+    val ivfSegs = segsOf(corpus)
+    val nlist = spark.read.parquet(s"$ivfPath/centroids").count()
+    def arr(xs: Seq[Long]) = xs.mkString("[", ",", "]")
+    s"""{"term_index":{"buckets":${graft.pipeline.TextStats.indexBuckets(spark, termIndexDir, 64)},""" +
+      s""""segments":${arr(termSegs)},"doclen_rows":${dl.count()},""" +
+      s""""tombstones":${termTombstones.map(_.count()).getOrElse(0L)}},""" +
+      s""""ivf_index":{"nlist":$nlist,"segments":${arr(ivfSegs)},""" +
+      s""""rows":${corpus.count()},""" +
+      s""""tombstones":${ivfTombstones.map(_.count()).getOrElse(0L)}}}"""
+  }
+
   private def maxSegOrZero(read: => DataFrame): Long =
     try {
       val df = read
@@ -87,6 +111,7 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
         "(empty for a pure-append history) or serve the compacted index")
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/search", handle(search))
+    server.createContext("/status", handle(_ => statusJson))
     server.createContext("/lb_check", handle(_ => "Ok\n"))
     pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     server.setExecutor(pool)

@@ -112,6 +112,15 @@ class SearchApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(body.contains("\"doc_id\""), s"glob must hit at sf0.001: $body")
   }
 
+  test("/status reports the index-health snapshot (fresh artifacts: seg 0 only, no tombstones)") {
+    val (code, body) = get("/status")
+    assert(code == 200, body)
+    assert(body.contains("\"segments\":[0]"), body)
+    assert(body.contains("\"tombstones\":0"), body)
+    assert(body.contains("\"buckets\":64"), body)
+    assert(body.contains("\"nlist\":8"), body)
+  }
+
   test("errors are 400 with a JSON body; /lb_check stays up") {
     assert(get("/search?k=5")._1 == 400)
     assert(get("/search?q=a&mode=bogus")._1 == 400)
@@ -236,6 +245,12 @@ class SearchApiSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => s"""{"term":"${r.getString(0)}","df":${r.getLong(1)}}""")
         .mkString("""{"results":[""", ",", "]}")
       assert(comp == compDirect)
+
+      // /status sees the maintained shape: two segments, live tombstones
+      val (c4, status) = get2("/status")
+      assert(c4 == 200, status)
+      assert(status.contains("\"segments\":[0,1]"), status)
+      assert(!status.contains("\"tombstones\":0"), status)
     } finally api2.stop()
   }
 
