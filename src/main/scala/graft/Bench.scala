@@ -66,27 +66,72 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // the per-query map is ~7 KB at 229 queries and the driver's captured
     // stdout tail is ~2.2 KB — any line embedding it truncates and records
     // parsed:null (r5-r8). The full map goes ONLY to the file; stdout gets
     // exactly one short machine-parseable line, printed LAST.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // the history lives NEXT TO the bench output (or where
+    // SPARK_GRAFT_BENCH_HISTORY points) — a cwd-relative literal silently
+    // scattered history files when a run launched from another directory
+    val histPath = sys.env.get("SPARK_GRAFT_BENCH_HISTORY")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val outAbs = java.nio.file.Paths.get(out).toAbsolutePath
+        outAbs.getParent.resolve("bench_history.jsonl")
+      }
+    // variance flag (r15 verdict): any row reading >2x its quietest
+    // committed history value (same sf, and by >0.5s absolute so ms-scale
+    // rows can't trip on noise) gets NAMED in the run record — an
+    // unexplained in-suite spread like g146's 1.3->11.5s must never again
+    // need a human diffing history lines to notice
+    val histMin: Map[String, Double] = try {
+      if (java.nio.file.Files.exists(histPath)) {
+        import scala.jdk.CollectionConverters._
+        val re = """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+        java.nio.file.Files.readAllLines(histPath).asScala
+          .filter(_.contains(s""""sf":"$sfDir""""))
+          .flatMap { line =>
+            val i = line.indexOf("\"queries\":{")
+            if (i < 0) Nil
+            else {
+              val j = line.indexOf('}', i)
+              re.findAllMatchIn(line.substring(i + 11, j))
+                .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+            }
+          }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      } else Map.empty
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] WARNING: could not read history $histPath: $e")
+      Map.empty
+    }
+    val flagged = results.filter { case (n, v) =>
+      histMin.get(n).exists(m => v > 2 * m && v - m > 0.5)
+    }
+    val flagsJson = flagged.map { case (n, v) =>
+      s""""$n":{"now":${f3(v)},"hist_min":${f3(histMin(n))}}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"variance_flags":$flagsJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // round-over-round evidence: bench_out.json is overwritten per run,
     // which destroyed the per-query history the regression audit needs
     // (r14 verdict) — so every run ALSO appends its full line (stamped
-    // with wall-clock) to bench_history.jsonl, which only ever grows
+    // with wall-clock) to the history, which only ever grows
     try {
       val stamped = json.patch(1,
         "\"at\":\"" + java.time.Instant.now().toString + "\",", 0)
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+      java.nio.file.Files.write(histPath,
         (stamped + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
-    } catch { case _: Exception => () } // best-effort: never fail the bench
+    } catch { case e: Exception =>
+      // never fail the bench over evidence bookkeeping, but never lose
+      // the signal silently either
+      System.err.println(s"[bench] WARNING: failed to append history $histPath: $e")
+    }
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"queries_full":"$out","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"flagged":${flagged.size},"queries_full":"$out","sf":"$sfDir"}""")
   }
 }

@@ -86,15 +86,17 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
       s""""tombstones":${ivfTombstones.map(_.count()).getOrElse(0L)}}}"""
   }
 
-  private def maxSegOrZero(read: => DataFrame): Long =
-    try {
-      val df = read
-      if (!df.columns.contains("seg")) 0L
-      else df.agg(max(col("seg"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-    } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+  // ONLY the absent-`seg`-column case reads as segment 0 (a legacy
+  // single-segment artifact). A missing or unreadable artifact must NOT
+  // be caught here — the read happens in the caller, so a broken doclen
+  // sidecar or IVF corpus fails start() loudly instead of silently
+  // passing the multi-segment refusal gate and erroring per-request
+  private def maxSegOrZero(df: DataFrame): Long =
+    if (!df.columns.contains("seg")) 0L
+    else df.agg(max(col("seg"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
 
   def start(): Int = {
     // fail LOUDLY at startup, not silently per query: a multi-segment

@@ -427,8 +427,18 @@ object DocPipeline {
     * (read once at stream start — the add-after-train contract, so the
     * stream never trains). Arriving vectors are probe-visible between
     * batches; re-embeds/deletes record tombstones exactly as in batch
-    * maintenance, and the same at-least-once replay contract applies
-    * (replays reuse the checkpointed batchId's segment). */
+    * maintenance.
+    *
+    * At-least-once replay heals by IDEMPOTENCE, not serve-time dedup:
+    * unlike the term-index read contract (which can distinct on
+    * (term, doc, seg)), [[graft.pipeline.Similarity.ivfPqTopK]] has no
+    * dedup pass — a same-seg duplicate row would rank the SAME
+    * neighbor_id twice after a stream restart. So a replayed batch
+    * checks its checkpointed segment first and re-appends ONLY when the
+    * segment has no committed rows. Parquet's job commit is
+    * all-or-nothing at the output-committer level (a failed append
+    * leaves nothing visible), so `segment present` ⇒ the prior attempt
+    * committed fully and the replay is a no-op. */
   def ivfIndexIngest(vecStream: DataFrame, indexPath: String,
                      codebooksPath: String, checkpoint: String,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
@@ -438,10 +448,22 @@ object DocPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.pipeline.Similarity.appendToIvfIndex(
-          batch, indexPath, cb, seg = batchId + 1L)
+        ivfIngestBatch(batch, indexPath, cb, seg = batchId + 1L)
       }
       .start()
+  }
+
+  /** One idempotent IVF ingest step (the [[ivfIndexIngest]] batch body,
+    * factored so the replay contract is directly testable): appends the
+    * batch as `seg` unless that segment already has committed rows. */
+  private[graft] def ivfIngestBatch(batch: DataFrame, indexPath: String,
+                                    cb: Array[Array[Array[Double]]],
+                                    seg: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val already = batch.sparkSession.read.parquet(s"$indexPath/corpus")
+      .where(col("seg") === seg).limit(1).count() > 0
+    if (!already)
+      graft.pipeline.Similarity.appendToIvfIndex(batch, indexPath, cb, seg = seg)
   }
 
   def nearDupIngest(docStream: DataFrame, indexDir: String, pairsOut: String,

@@ -762,6 +762,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"each batch must land as one segment: $segVecs")
     assert(segVecs.filter(_._1 == 0L).map(_._2) == (0L until 80L).toSet)
     assert(segVecs.count(_._1 > 0L) == 11, segVecs.toString)
+    // at-least-once REPLAY is a no-op: re-running a committed batch with
+    // its checkpointed segment must not re-append (ivfPqTopK has no dedup
+    // pass — a same-seg duplicate would rank the same neighbor twice)
+    graft.streaming.DocPipeline.ivfIngestBatch(
+      rows1.toDF("vec_id", "embedding", "label"), s"$tmp/ivf", cb, seg = 1L)
+    graft.streaming.DocPipeline.ivfIngestBatch(
+      rows2.toDF("vec_id", "embedding", "label"), s"$tmp/ivf", cb, seg = 2L)
+    assert(sp.read.parquet(s"$tmp/ivf/corpus").count() == 91L,
+      "replayed batches must not duplicate their segment's rows")
+    assert(serve(s"$tmp/ivf") == serve(reDir),
+      "post-replay serve must still equal the re-encode")
   }
 
   test("streaming PII redaction equals the batch redaction byte-for-byte per document") {
