@@ -242,6 +242,9 @@ object Queries {
       Similarity.writeIndex(
         Quantize.pqEncode(Similarity.assignCells(emb, cents), cb), cents, path)
       Quantize.writeCodebooks(s, cb, s"$path/codebooks")
+      // meta BEFORE the delta append: base_mean_d2 is the FRESH build's
+      // drift baseline (the ivfMaintenanceAdvice denominator)
+      Similarity.writeIndexMeta(s, path, cb)
       val (edited, added, _) = embRefreshDelta(emb)
       Similarity.appendToIvfIndex(edited.unionByName(added), path, cb, seg = 1L)
     }

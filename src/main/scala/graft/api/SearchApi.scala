@@ -39,9 +39,16 @@ import org.apache.spark.sql.functions.{col, max}
  * index, which is seg-0-only by construction).
  */
 class SearchApi(spark: SparkSession, termIndexDir: String,
-                ivfPath: String, codebooksPath: String, port: Int = 0,
+                ivfPath: String, codebooksPath: String = null, port: Int = 0,
                 termTombstonesPath: Option[String] = None,
                 ivfTombstonesPath: Option[String] = None) {
+
+  // codebooks default to INSIDE the index dir (compact/retrain write them
+  // there — a self-contained mount needs zero extra configuration); an
+  // explicit external path stays supported and is fingerprint-checked at
+  // startup against the index meta either way
+  private val cbPath: String =
+    Option(codebooksPath).getOrElse(s"$ivfPath/codebooks")
 
   @volatile private var server: HttpServer = _
   @volatile private var pool: java.util.concurrent.ExecutorService = _
@@ -59,7 +66,7 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
   // codebooks (m subspaces × dsub dims) — read once, used to fail a
   // mis-sized vec= parameter fast instead of deep inside the probe math
   private lazy val vecDim: Int = {
-    val cb = graft.pipeline.Quantize.readCodebooks(spark, codebooksPath)
+    val cb = graft.pipeline.Quantize.readCodebooks(spark, cbPath)
     cb.length * cb(0)(0).length
   }
 
@@ -111,6 +118,11 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
       s"SearchApi: IVF index $ivfPath has delta segments but no " +
         "ivfTombstonesPath configured — pass the tombstone artifact " +
         "(empty for a pure-append history) or serve the compacted index")
+    // code↔codebook pairing verified at startup when the index carries a
+    // meta fingerprint: a retrained index mounted with the OLD codebooks
+    // would decode wrong distances with no per-request error
+    graft.pipeline.Similarity.requireCodebookMatch(spark, ivfPath,
+      graft.pipeline.Quantize.readCodebooks(spark, cbPath))
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/search", handle(search))
     server.createContext("/status", handle(_ => statusJson))
@@ -221,7 +233,7 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
             val pool = boundedInt(p, "pool", 20, 1, 1000)
             val nprobe = boundedInt(p, "nprobe", 4, 1, 64)
             val rows = graft.pipeline.Similarity.hybridServeTopK(spark,
-              termIndexDir, terms, ivfPath, codebooksPath, qv,
+              termIndexDir, terms, ivfPath, cbPath, qv,
               k = k, pool = pool, nprobe = nprobe,
               termTombstones = termTombstones,
               ivfTombstones = ivfTombstones).collect()

@@ -124,6 +124,26 @@ object Quantize {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
 
+  /** Deterministic content fingerprint of a codebook set (shape + every
+    * coefficient's exact bits) — the code↔codebook compatibility check:
+    * PQ codes are meaningless against any codebooks but the ones that
+    * encoded them, and a wrong mount decodes to wrong distances with no
+    * error. The IVF index meta sidecar stores this at build time and the
+    * serve paths verify it (the term-index `$dir.meta` lesson applied to
+    * vectors — r15 verdict). */
+  def codebookFingerprint(cb: Array[Array[Array[Double]]]): Long = {
+    var h = 1125899906842597L
+    h = h * 31 + cb.length
+    cb.foreach { subs =>
+      h = h * 31 + subs.length
+      subs.foreach { cent =>
+        h = h * 31 + cent.length
+        cent.foreach(v => h = h * 31 + java.lang.Double.doubleToLongBits(v))
+      }
+    }
+    h
+  }
+
   /** The full codebook set as ONE nested literal (m × ksub × dsub doubles).
     * Unrolling per-subspace/per-centroid expressions instead produces an
     * m×ksub-wide codegen tree whose janino compile dominates wall time —

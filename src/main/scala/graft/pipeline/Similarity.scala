@@ -114,6 +114,7 @@ object Similarity {
       .select(col("doc_id"), col("bm_rank"))
     val (index, cents) = readIndex(spark, ivfPath)
     val cb = Quantize.readCodebooks(spark, codebooksPath)
+    requireCodebookMatch(spark, ivfPath, cb)
     val annR = ivfPqTopK(index,
         Seq((-1L, queryVec.toSeq)).toDF("vec_id", "embedding"),
         cb, cents, k = pool, nprobe = nprobe, tombstones = ivfTombstones)
@@ -514,17 +515,29 @@ object Similarity {
     * the tombstone table is empty. One index scan + the broadcast
     * tombstone anti-join + the write's own cell partitioning. Use
     * [[retrainIvfIndex]] instead when the appended mass has drifted the
-    * cell balance (the consolidation half of the FreshDiskANN split). */
+    * cell balance (the consolidation half of the FreshDiskANN split).
+    *
+    * The output is SELF-CONTAINED (r15 verdict): the codebooks sidecar
+    * and the meta fingerprint travel with the compacted index, so a
+    * caller can mount `outDir` with zero extra configuration — a stale
+    * `codebooksPath` pointing at the old dir stays correct only by
+    * accident here, but after a retrain it would decode codes against
+    * the wrong codebooks (wrong distances, no error), exactly the silent
+    * class the fingerprint check kills. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       tombstones: DataFrame, outDir: String): Unit = {
     require(outDir != path,
       "compactIvfIndex: outDir must be a fresh location (the scan reads path)")
-    import spark.implicits._
     aliveVecs(spark.read.parquet(s"$path/corpus"), Some(tombstones))
       .withColumn("seg", lit(0L))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/corpus")
     val cents = spark.read.parquet(s"$path/centroids")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    if (dirExists(spark, s"$path/codebooks")) {
+      val cb = Quantize.readCodebooks(spark, s"$path/codebooks")
+      Quantize.writeCodebooks(spark, cb, s"$outDir/codebooks")
+      writeIndexMeta(spark, outDir, cb)
+    }
   }
 
   /**
@@ -532,10 +545,13 @@ object Similarity {
    * appended segments have shifted the data distribution (cells overfull,
    * recall sagging), re-train the coarse quantizer AND the PQ codebooks on
    * the alive corpus, re-assign, re-encode, and write a fresh seg-0 index.
-   * Returns the new codebooks for the caller to persist
-   * ([[Quantize.writeCodebooks]]) next to the new index. This is the ONLY
-   * full-rebuild-cost path in the lifecycle, and it runs offline — queries
-   * keep serving the old index + deltas until the swap.
+   * The new codebooks persist INSIDE `outDir` (`$outDir/codebooks` + the
+   * meta fingerprint), so the retrained index is a self-contained mount —
+   * and a mount that still points at the OLD codebooks fails loudly on
+   * the fingerprint instead of decoding wrong distances silently. Also
+   * returned for callers composing further encodes. This is the ONLY
+   * full-rebuild-cost path in the lifecycle, and it runs offline —
+   * queries keep serving the old index + deltas until the swap.
    */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       tombstones: DataFrame, outDir: String,
@@ -548,8 +564,116 @@ object Similarity {
     val cents = trainCentroids(alive, nlist, iters, sampleN)
     val cb = Quantize.trainPqCodebooks(alive, m, ksub, iters, sampleN)
     writeIndex(Quantize.pqEncode(assignCells(alive, cents), cb), cents, outDir)
+    Quantize.writeCodebooks(spark, cb, s"$outDir/codebooks")
+    writeIndexMeta(spark, outDir, cb)
     cb
   }
+
+  private def dirExists(spark: org.apache.spark.sql.SparkSession,
+                        p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Alive-corpus weighted mean squared distance to assigned centroids —
+    * the scalar drift profile [[ivfMaintenanceAdvice]] compares against
+    * the build-time baseline in the meta sidecar. */
+  def overallMeanD2(spark: org.apache.spark.sql.SparkSession, path: String,
+                    tombstones: Option[DataFrame] = None): Double = {
+    val r = ivfCellStats(spark, path, tombstones)
+      .agg(sum(col("n_alive")).as("n"),
+        sum(col("n_alive") * col("mean_d2")).as("w")).head()
+    if (r.isNullAt(0) || r.getLong(0) == 0L) 0.0
+    else r.getDouble(1) / r.getLong(0)
+  }
+
+  /** The index meta sidecar (`$path/meta`): the codebook fingerprint the
+    * corpus codes were encoded with (the code↔codebook compatibility
+    * check — [[Quantize.codebookFingerprint]]) and the build-time
+    * `base_mean_d2` drift baseline. Written at build / compact / retrain;
+    * serve paths verify the fingerprint when the sidecar exists (legacy
+    * dirs without one keep working). */
+  def writeIndexMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+                     codebooks: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    Seq((Quantize.codebookFingerprint(codebooks), overallMeanD2(spark, path)))
+      .toDF("codebook_fp", "base_mean_d2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** (codebook_fp, base_mean_d2) from the meta sidecar, None for a legacy
+    * dir without one. */
+  def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Option[(Long, Double)] =
+    if (!dirExists(spark, s"$path/meta")) None
+    else {
+      val r = spark.read.parquet(s"$path/meta")
+        .select("codebook_fp", "base_mean_d2").head()
+      Some((r.getLong(0), r.getDouble(1)))
+    }
+
+  /** Fail-loudly guard on the code↔codebook pairing: when the index has
+    * a meta sidecar, the mounted codebooks MUST fingerprint-match the
+    * codes (after a retrain, the old codebooks silently decode to wrong
+    * distances — the exact class `$dir.meta` kills on the term side). */
+  def requireCodebookMatch(spark: org.apache.spark.sql.SparkSession,
+                           ivfPath: String,
+                           codebooks: Array[Array[Array[Double]]]): Unit =
+    readIndexMeta(spark, ivfPath).foreach { case (fp, _) =>
+      require(Quantize.codebookFingerprint(codebooks) == fp,
+        s"codebooks do not match the codes in $ivfPath (fingerprint " +
+          s"mismatch) — after a retrain, mount $ivfPath/codebooks; " +
+          "decoding against foreign codebooks returns wrong distances " +
+          "with no error")
+    }
+
+  /** The automated consolidation policy over [[ivfCellStats]] — the
+    * decision half of the FreshDiskANN delta/consolidate split
+    * (arXiv:2105.09613 §4: a fast in-place delta path plus a periodic
+    * consolidation chosen by measured state, not taste):
+    *
+    *   - `retrain` when the appended mass no longer fits the trained
+    *     quantizer — alive mean_d2 has risen past `d2RatioMax` × the
+    *     build-time baseline (quantizer drift: recall sags because
+    *     probes miss the true cells), or appended rows exceed
+    *     `appendedFracMax` of the alive corpus (enough new mass that the
+    *     trained centroids no longer represent the distribution).
+    *   - `compact` when dead rows (tombstoned edits/deletes) exceed
+    *     `deadFracMax` of the stored rows — serve cost scans them and
+    *     the anti-join grows, but the quantizer is still right.
+    *   - `none` otherwise: keep appending deltas.
+    *
+    * Cost: one [[ivfCellStats]] pass (column-pruned scan, map-side dist2,
+    * nlist-row agg) + a metadata row count. The baseline comes from the
+    * meta sidecar; a legacy dir without one reads ratio 1.0 (drift
+    * undetectable — documented, not guessed). */
+  def ivfMaintenanceAdvice(spark: org.apache.spark.sql.SparkSession,
+                           path: String, tombstones: Option[DataFrame] = None,
+                           appendedFracMax: Double = 0.25,
+                           deadFracMax: Double = 0.25,
+                           d2RatioMax: Double = 1.5): IvfAdvice = {
+    val r = ivfCellStats(spark, path, tombstones)
+      .agg(sum(col("n_alive")).as("n"), sum(col("n_appended")).as("a"),
+        sum(col("n_alive") * col("mean_d2")).as("w")).head()
+    val nAlive = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val nApp = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val meanD2 = if (nAlive > 0) r.getDouble(2) / nAlive else 0.0
+    val total = spark.read.parquet(s"$path/corpus").count()
+    val deadFrac = if (total > 0) 1.0 - nAlive.toDouble / total else 0.0
+    val appFrac = if (nAlive > 0) nApp.toDouble / nAlive else 0.0
+    val d2Ratio = readIndexMeta(spark, path).map(_._2).filter(_ > 0)
+      .map(meanD2 / _).getOrElse(1.0)
+    val action =
+      if (d2Ratio > d2RatioMax || appFrac > appendedFracMax) "retrain"
+      else if (deadFrac > deadFracMax) "compact"
+      else "none"
+    IvfAdvice(action, appFrac, deadFrac, d2Ratio)
+  }
+
+  /** [[ivfMaintenanceAdvice]]'s verdict: `action` ∈ none/compact/retrain
+    * plus the measured fractions that chose it. */
+  case class IvfAdvice(action: String, appendedFraction: Double,
+                       deadFraction: Double, d2Ratio: Double)
 
   /**
    * Per-cell occupancy and drift diagnostics over a (possibly maintained)

@@ -806,6 +806,75 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "tombstone-filtered stats must equal the pre-append profile")
   }
 
+  test("ivfMaintenanceAdvice: measured state chooses none/compact/retrain; compacted and retrained dirs are self-contained and fingerprint-guarded") {
+    val sp = spark
+    import sp.implicits._
+    val Q = graft.pipeline.Quantize
+    val rnd = new scala.util.Random(29)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian() * 5))
+    def blob(id: Long, c: Int): (Long, Seq[Float], Int) =
+      (id, centers(c).map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq, c)
+    val base = (0 until 200).map(i => blob(i.toLong, i % 8))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.trainCentroids(base, nlist = 8, iters = 3, sampleN = 2000)
+    val cb = Q.trainPqCodebooks(base, m = 16, ksub = 16, iters = 5, sampleN = 2000)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-advice").toString
+    Similarity.writeIndex(
+      Q.pqEncode(Similarity.assignCells(base, cents), cb), cents, dir)
+    Q.writeCodebooks(spark, cb, s"$dir/codebooks")
+    Similarity.writeIndexMeta(spark, dir, cb)
+
+    // fresh build: keep appending deltas
+    assert(Similarity.ivfMaintenanceAdvice(spark, dir).action == "none")
+
+    // a small in-distribution delta: still none (the steady-state refresh)
+    val small = (0 until 20).map(i => blob(20000L + i, i % 8))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.appendToIvfIndex(small, dir, cb, seg = 1L)
+    val a1 = Similarity.ivfMaintenanceAdvice(spark, dir)
+    assert(a1.action == "none", a1.toString)
+
+    // heavy deletes: dead rows past the gate, quantizer still right → compact
+    val tombDel = base.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), lit(Long.MaxValue).as("before_seg"))
+    val a2 = Similarity.ivfMaintenanceAdvice(spark, dir, Some(tombDel))
+    assert(a2.action == "compact", a2.toString)
+    assert(a2.deadFraction > 0.25 && a2.d2Ratio < 1.5, a2.toString)
+
+    // drifted appended mass: both retrain triggers fire (appended fraction
+    // AND alive mean_d2 risen past the build-time baseline)
+    val drifted = (0 until 80).map { i =>
+      (30000L + i, centers(i % 8).map(x => (x * 10.0 + rnd.nextGaussian()).toFloat).toSeq, 9)
+    }.toDF("vec_id", "embedding", "label")
+    Similarity.appendToIvfIndex(drifted, dir, cb, seg = 2L)
+    val a3 = Similarity.ivfMaintenanceAdvice(spark, dir)
+    assert(a3.action == "retrain", a3.toString)
+    assert(a3.d2Ratio > 1.5 && a3.appendedFraction > 0.25, a3.toString)
+
+    // compact is SELF-CONTAINED: codebooks + meta travel; profile clean again
+    val tombAll = drifted.select(col("vec_id"), lit(Long.MaxValue).as("before_seg"))
+    val cDir = java.nio.file.Files.createTempDirectory("ivf-advice-c").toString
+    Similarity.compactIvfIndex(spark, dir, tombAll, cDir)
+    val cbC = Q.readCodebooks(spark, s"$cDir/codebooks")
+    Similarity.requireCodebookMatch(spark, cDir, cbC) // must not throw
+    assert(Q.codebookFingerprint(cbC) == Q.codebookFingerprint(cb),
+      "compaction must carry the encoding codebooks unchanged")
+    assert(Similarity.ivfMaintenanceAdvice(spark, cDir).action == "none")
+
+    // retrain is SELF-CONTAINED: new codebooks persist inside outDir and
+    // fingerprint-match the new codes; the OLD codebooks fail LOUDLY
+    val rDir = java.nio.file.Files.createTempDirectory("ivf-advice-r").toString
+    Similarity.retrainIvfIndex(spark, dir, tombAll, rDir,
+      nlist = 8, m = 16, ksub = 16, iters = 3, sampleN = 2000)
+    Similarity.requireCodebookMatch(spark, rDir,
+      Q.readCodebooks(spark, s"$rDir/codebooks")) // must not throw
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.requireCodebookMatch(spark, rDir, cb)
+    }
+    assert(ex.getMessage.contains("fingerprint"), ex.getMessage)
+    assert(Similarity.ivfMaintenanceAdvice(spark, rDir).action == "none")
+  }
+
   test("incremental near-dup vs the persisted index equals the one-shot OPH pair set; planted dups rediscover their originals; disjoint docs stay silent") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files.createTempDirectory("graft-ndidx").toString

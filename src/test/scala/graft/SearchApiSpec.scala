@@ -254,6 +254,76 @@ class SearchApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally api2.stop()
   }
 
+  test("compacted and retrained IVF dirs mount with zero extra configuration; a mismatched codebook mount fails loudly at startup") {
+    import org.apache.spark.sql.functions.{lit, transform => atransform}
+    val S = graft.pipeline.Similarity
+    val Q = graft.pipeline.Quantize
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // a maintained index that carries its OWN codebooks + meta fingerprint
+    val ivf3 = s"$root/ivf3"
+    S.writeIndex(Q.pqEncode(S.assignCells(emb, cents), cb), cents, ivf3)
+    Q.writeCodebooks(spark, cb, s"$ivf3/codebooks")
+    S.writeIndexMeta(spark, ivf3, cb)
+    val editedE = emb.where(col("vec_id") % 5 === 0)
+      .withColumn("embedding", atransform(col("embedding"), x => (x * lit(1.5f)).cast("float")))
+    S.appendToIvfIndex(editedE, ivf3, cb, seg = 1L)
+    val tomb = editedE.select(col("vec_id"), lit(1L).as("before_seg"))
+
+    val qv = emb.where(col("vec_id") === 7L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val vecParam = qv.map(_.toString).mkString(",")
+    def hybridVia(p: Int): (Int, String) = {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$p/search?q=window+scan+merge&mode=hybrid&k=10&vec=$vecParam")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    def fmt(rows: Array[org.apache.spark.sql.Row]): String =
+      rows.map(r => s"""{"doc_id":${r.getLong(0)},"bm_rank":${r.getLong(1)},"ann_rank":${r.getLong(2)},"rrf_x1e6":${r.getLong(3)}}""")
+        .mkString("""{"results":[""", ",", "]}")
+
+    // 1) COMPACT: codebooks read from inside the dir (no codebooksPath),
+    //    and the served answer equals the maintained (index + tombstones)
+    //    composition — compaction is a transparent drop-in
+    val ivf3c = s"$root/ivf3c"
+    S.compactIvfIndex(spark, ivf3, tomb, ivf3c)
+    val apiC = new SearchApi(spark, tiDir, ivf3c, port = 0)
+    val portC = apiC.start()
+    try {
+      val (cc, servedC) = hybridVia(portC)
+      assert(cc == 200, servedC)
+      val maintained = fmt(S.hybridServeTopK(spark, tiDir,
+        Seq("window", "scan", "merge"), ivf3, s"$ivf3/codebooks", qv, k = 10,
+        ivfTombstones = Some(tomb)).collect())
+      assert(servedC == maintained,
+        s"compacted mount $servedC must equal the maintained serve $maintained")
+    } finally apiC.stop()
+
+    // 2) RETRAIN: the new codebooks persist inside outDir; a zero-config
+    //    mount serves, equal to the direct composition over the new dir
+    val ivf3r = s"$root/ivf3r"
+    S.retrainIvfIndex(spark, ivf3, tomb, ivf3r,
+      nlist = 8, m = 16, ksub = 16, iters = 3, sampleN = 2000)
+    val apiR = new SearchApi(spark, tiDir, ivf3r, port = 0)
+    val portR = apiR.start()
+    try {
+      val (cr, servedR) = hybridVia(portR)
+      assert(cr == 200, servedR)
+      val direct = fmt(S.hybridServeTopK(spark, tiDir,
+        Seq("window", "scan", "merge"), ivf3r, s"$ivf3r/codebooks", qv,
+        k = 10).collect())
+      assert(servedR == direct)
+      assert(servedR.contains("\"doc_id\""), servedR)
+    } finally apiR.stop()
+
+    // 3) the OLD codebooks against the retrained codes REFUSE at startup
+    //    (wrong distances would otherwise serve silently)
+    val bad = new SearchApi(spark, tiDir, ivf3r, cbDir, port = 0)
+    val ex = intercept[IllegalArgumentException] { bad.start() }
+    assert(ex.getMessage.contains("fingerprint"), ex.getMessage)
+  }
+
   test("racing mixed requests equal their serial answers (the HttpApi 12-way gate, search edition)") {
     val reqs = Seq(
       "/search?q=window+scan+merge&k=5",
