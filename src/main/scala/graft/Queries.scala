@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.SeriesFrame
 import graft.engine.Eval
-import graft.pipeline.{Assembly, Curation, Dedup, Multimodal, PairMaintenance, Quantize, Similarity, TextStats}
+import graft.pipeline.{Assembly, Curation, Dedup, Multimodal, PairMaintenance, Quantize, Refresh, Similarity, TextStats}
 import graft.store.EventSeriesStore
 
 /**
@@ -294,6 +294,50 @@ object Queries {
         .write.mode("overwrite").parquet(recDir)
     }
     (histDir, recDir)
+  }
+
+  /** The orchestrated artifact root (graft.pipeline.Refresh): ONE base
+    * build + ONE delta-driven refresh per corpus, all three indexes +
+    * tombstones + pairs/clusters + manifest maintained by the SINGLE
+    * entry point. The orchestrated corpus is docs ⋈ embeddings (the
+    * orchestrator's contract pairs each doc with its embedding; at sf0.1
+    * only a subset of docs carries one — the oracle replays the same
+    * join). Same previous-build-artifact convention as
+    * ensureRefreshedTermIndex. */
+  private def ensureOrchestratedRoot(s: SparkSession, dir: String): String = {
+    val root = scratchPath("orch", dir)
+    buildOnce(root) {
+      val e = embeddings(s, dir).select(col("vec_id").as("doc_id"), col("embedding"))
+      val d = docs(s, dir).join(e, "doc_id")
+        .select("doc_id", "text", "embedding")
+      Refresh.buildAll(s, d.select("doc_id", "text"),
+        d.select(col("doc_id").as("vec_id"), col("embedding")), root,
+        nlist = 8, m = 16, ksub = 16, trainIters = 3, sampleN = 2000)
+      val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" rev2")))
+        .withColumn("embedding",
+          transform(col("embedding"), x => (x * lit(1.5f)).cast("float")))
+      val added = d.where(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("embedding",
+          transform(col("embedding"), x => (x + lit(0.25f)).cast("float")))
+      val deleted = d.where(col("doc_id") % 7 === 0).select("doc_id")
+      Refresh.refreshCorpus(s, root, edited, added, deleted)
+    }
+    root
+  }
+
+  /** The orchestrated CONSOLIDATION (Refresh.consolidate) of the refreshed
+    * root above — compacts/retrains every index into a fresh root with
+    * empty tombstones; p99 serves from it with zero tombstone config. */
+  private def ensureConsolidatedRoot(s: SparkSession, dir: String): String = {
+    val src = ensureOrchestratedRoot(s, dir)
+    val root = scratchPath("orchc", dir)
+    buildOnce(root) {
+      Refresh.consolidate(s, src, root,
+        nlist = 8, m = 16, ksub = 16, trainIters = 3, sampleN = 2000)
+    }
+    root
   }
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
@@ -1805,6 +1849,30 @@ object Queries {
         .orderBy("query_id", "rank")
     }),
 
+    // the corpus-refresh ORCHESTRATOR (Refresh.refreshCorpus): one delta
+    // drives term + shingle + IVF indexes with tombstones derived from the
+    // SAME delta, plus incremental pairs/clusters and the manifest. The
+    // consumer here is BM25 over the orchestrator-maintained term index
+    // using the orchestrator's OWN tombstone artifact — it must equal a
+    // full rebuild on the refreshed corpus (the oracle replays BM25 over
+    // the refreshed snapshot directly; IVF/pairs coherence is gated in
+    // RefreshSpec + the refresh fuzzer)
+    "p98_orchestrated_refresh" -> ((s, dir) => {
+      val root = ensureOrchestratedRoot(s, dir)
+      TextStats.bm25TopK(s, s"$root/term_index",
+        Seq("window", "scan", "merge"), k = 10,
+        tombstones = Some(s.read.parquet(s"$root/term_tombstones")))
+    }),
+    // the orchestrated CONSOLIDATION: Refresh.consolidate compacts (or,
+    // when the measured advice says the quantizer drifted, retrains) every
+    // index into a fresh root with EMPTY tombstones — serving it with zero
+    // tombstone configuration must still equal the refreshed-corpus truth
+    "p99_consolidated_serve" -> ((s, dir) => {
+      val root = ensureConsolidatedRoot(s, dir)
+      TextStats.bm25TopK(s, s"$root/term_index",
+        Seq("window", "scan", "merge"), k = 10)
+    }),
+
     // ---- multimodal plumbing (decode kernel stubbed; Spark-side real)
     "m01_mm_features" -> ((s, dir) => {
       val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(docs(s, dir)), dim = 8)
@@ -2047,6 +2115,28 @@ object Queries {
     """SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
       |  FROM documents WHERE doc_id % 7 <> 0
       |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
+  /** The p87/p92 BM25 replay body over a preceding CTE named `nd`
+    * (doc_id, text) — shared by the hand-maintained (p92) and
+    * orchestrator-maintained (p98/p99) refresh rows. */
+  private val bm25RefreshTailSql: String =
+    s"""w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'), x -> len(x) > 0) AS w FROM nd),
+      |tc AS (SELECT doc_id, word, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tc GROUP BY doc_id),
+      |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+      |hits AS (SELECT doc_id, word, tf FROM tc WHERE word IN ('window', 'scan', 'merge')),
+      |dfs AS (SELECT word, count(*) AS df FROM hits GROUP BY word),
+      |c AS (SELECT h.doc_id,
+      |  CAST(round(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+      |    * (h.tf * 2.2 / (h.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl * st.n_docs AS DOUBLE) / st.total_tokens)))
+      |    * 1e6) AS BIGINT) AS c
+      |  FROM hits h JOIN dfs ON h.word = dfs.word
+      |  JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN st)
+      |SELECT doc_id, count(*) AS n_terms,
+      |  round(CAST(sum(c) AS DOUBLE) / 1e6 * 1e4) / 1e4 AS score
+      |FROM c GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   /** The (split_from, split_to) transition matrix over two per-doc
     * assignment CTEs named oa/na, each (doc_id, split, n_tokens). */
@@ -4350,23 +4440,27 @@ object Queries {
     // dl, n_docs and total_tokens all reflecting the refreshed corpus
     "p92_bm25_refresh" ->
       (s"""WITH nd AS ($ndSnapshotSql),
-        |w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', ' ', 'g')), '\\s+'), x -> len(x) > 0) AS w FROM nd),
-        |tc AS (SELECT doc_id, word, count(*) AS tf
-        |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tc GROUP BY doc_id),
-        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
-        |hits AS (SELECT doc_id, word, tf FROM tc WHERE word IN ('window', 'scan', 'merge')),
-        |dfs AS (SELECT word, count(*) AS df FROM hits GROUP BY word),
-        |c AS (SELECT h.doc_id,
-        |  CAST(round(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-        |    * (h.tf * 2.2 / (h.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl * st.n_docs AS DOUBLE) / st.total_tokens)))
-        |    * 1e6) AS BIGINT) AS c
-        |  FROM hits h JOIN dfs ON h.word = dfs.word
-        |  JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN st)
-        |SELECT doc_id, count(*) AS n_terms,
-        |  round(CAST(sum(c) AS DOUBLE) / 1e6 * 1e4) / 1e4 AS score
-        |FROM c GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 10""").stripMargin,
+        |$bm25RefreshTailSql""").stripMargin,
+    // the p92 BM25 replay over the ORCHESTRATED refresh's corpus: the
+    // orchestrated corpus is docs ⋈ embeddings (every doc carries its
+    // embedding by the Refresh contract), then the standard %5/%7/%13
+    // delta — the engine must reproduce it from the orchestrator's term
+    // artifacts (p98: index + delta segment + its tombstone table;
+    // p99: the consolidated index alone)
+    "p98_orchestrated_refresh" ->
+      (s"""WITH nd0 AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN embeddings e ON d.doc_id = e.vec_id),
+        |nd AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM nd0 WHERE doc_id % 7 <> 0
+        |  UNION ALL SELECT doc_id + 1000000, text FROM nd0 WHERE doc_id % 13 = 0),
+        |$bm25RefreshTailSql""").stripMargin,
+    "p99_consolidated_serve" ->
+      (s"""WITH nd0 AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN embeddings e ON d.doc_id = e.vec_id),
+        |nd AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM nd0 WHERE doc_id % 7 <> 0
+        |  UNION ALL SELECT doc_id + 1000000, text FROM nd0 WHERE doc_id % 13 = 0),
+        |$bm25RefreshTailSql""").stripMargin,
     // the p89 adjacency scan over the REFRESHED snapshot — the positional
     // index must reproduce it across both segments with tombstones applied
     "p93_phrase_refresh" ->

@@ -84,13 +84,28 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
     val corpus = spark.read.parquet(s"$ivfPath/corpus")
     val ivfSegs = segsOf(corpus)
     val nlist = spark.read.parquet(s"$ivfPath/centroids").count()
+    // cross-artifact consistency invariant (the orchestrated-refresh
+    // contract, graft.pipeline.Refresh): BOTH indexes must have seen the
+    // SAME refresh history — equal segment sets AND equal tombstone
+    // content fingerprints (tombstones derive from one shared delta). A
+    // doc edited in the term index but not re-embedded shows up here as
+    // consistent:false instead of ranking fresh BM25 against a stale
+    // vector silently.
+    val termFp = termTombstones
+      .map(graft.pipeline.Refresh.tombstoneFingerprint).getOrElse(0L)
+    val ivfFp = ivfTombstones
+      .map(graft.pipeline.Refresh.tombstoneFingerprint).getOrElse(0L)
+    val consistent = termSegs == ivfSegs && termFp == ivfFp
     def arr(xs: Seq[Long]) = xs.mkString("[", ",", "]")
     s"""{"term_index":{"buckets":${graft.pipeline.TextStats.indexBuckets(spark, termIndexDir, 64)},""" +
       s""""segments":${arr(termSegs)},"doclen_rows":${dl.count()},""" +
-      s""""tombstones":${termTombstones.map(_.count()).getOrElse(0L)}},""" +
+      s""""tombstones":${termTombstones.map(_.count()).getOrElse(0L)},""" +
+      s""""tombstone_fp":$termFp},""" +
       s""""ivf_index":{"nlist":$nlist,"segments":${arr(ivfSegs)},""" +
       s""""rows":${corpus.count()},""" +
-      s""""tombstones":${ivfTombstones.map(_.count()).getOrElse(0L)}}}"""
+      s""""tombstones":${ivfTombstones.map(_.count()).getOrElse(0L)},""" +
+      s""""tombstone_fp":$ivfFp},""" +
+      s""""consistent":$consistent}"""
   }
 
   // ONLY the absent-`seg`-column case reads as segment 0 (a legacy

@@ -312,6 +312,38 @@ def main_ivf(n_seeds: int) -> int:
     return 1 if failures else 0
 
 
+def main_refresh(n_seeds: int) -> int:
+    """Cross-index orchestrated-refresh differential (r16): one seeded
+    random delta stream drives the term + shingle + IVF indexes through
+    Refresh.refreshCorpus each generation (consolidation before gen 3),
+    and /search over the maintained artifact set is compared
+    byte-for-byte against /search over a full rebuild of the current
+    corpus state, every generation (graft.RefreshFuzz: exit 0 =
+    identical)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    failures = 0
+    for seed in range(1, n_seeds + 1):
+        sf_dir = f"/tmp/graft_fuzz/corpus_{seed}"
+        gen_corpus(seed, sf_dir)
+        try:
+            r = subprocess.run(
+                ["sbt", "-batch", f"runMain graft.RefreshFuzz {sf_dir} {seed}"],
+                cwd=repo, capture_output=True, text=True, timeout=1800)
+        except subprocess.TimeoutExpired:
+            print(f"refresh seed {seed}: TIMED OUT (1800s)")
+            failures += 1
+            continue
+        tail = [l for l in r.stdout.splitlines() if "[refreshfuzz" in l]
+        print(f"refresh seed {seed}: " +
+              (tail[-1] if tail else "<no refreshfuzz output>"))
+        if r.returncode != 0:
+            print(r.stdout[-3000:])
+            print(r.stderr[-2000:])
+            failures += 1
+    print(f"refresh fuzz: {n_seeds - failures}/{n_seeds} seeds clean")
+    return 1 if failures else 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "mm":
         return main_mm()
@@ -319,6 +351,8 @@ def main() -> int:
         return main_pairs(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
     if len(sys.argv) > 1 and sys.argv[1] == "ivf":
         return main_ivf(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
+    if len(sys.argv) > 1 and sys.argv[1] == "refresh":
+        return main_refresh(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
     if len(sys.argv) > 1 and sys.argv[1] == "mor":
         return main_mor(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
