@@ -1688,6 +1688,16 @@ object Queries {
       ensureTermIndex(s, dir, path)
       TextStats.bm25TopK(s, path, Seq("window", "scan", "merge"), k = 10)
     }),
+    // BATCHED multi-query BM25 (the fetchMulti lesson applied to the
+    // retrieval tier): two queries answered from ONE pruned postings pass;
+    // each query's rows must equal its solo bm25TopK answer exactly
+    "p100_bm25_batch" -> ((s, dir) => {
+      val path = scratchPath("ti", dir)
+      ensureTermIndex(s, dir, path)
+      TextStats.bm25TopKBatch(s, path, Seq(
+        (0L, Seq("window", "scan", "merge")), (1L, Seq("table", "scan"))),
+        k = 10)
+    }),
     // hybrid lexical+semantic retrieval: the p87 BM25 arm and the p07
     // cosine arm fused by reciprocal-rank fusion over vec_id 7's embedding
     "p88_hybrid_rrf" -> ((s, dir) => {
@@ -4390,6 +4400,32 @@ object Queries {
         |  round(CAST(sum(c) AS DOUBLE) / 1e6 * 1e4) / 1e4 AS score
         |FROM c GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // the p87 BM25 replay batched: the request frame joins the shared
+    // (term, doc, tf) slice, df counted ONCE per term, per-query top-10
+    // by the same (score desc, doc_id) total order
+    "p100_bm25_batch" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0) AS w FROM documents),
+        |tc AS (SELECT doc_id, word, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tc GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+        |q AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'window'), (CAST(0 AS BIGINT), 'scan'), (CAST(0 AS BIGINT), 'merge'),
+        |                            (CAST(1 AS BIGINT), 'table'), (CAST(1 AS BIGINT), 'scan')) t(query_id, word)),
+        |dfs AS (SELECT word, count(*) AS df FROM tc
+        |        WHERE word IN ('window', 'scan', 'merge', 'table') GROUP BY word),
+        |hits AS (SELECT q.query_id, tc.doc_id, tc.word, tc.tf FROM tc JOIN q ON tc.word = q.word),
+        |c AS (SELECT h.query_id, h.doc_id,
+        |  CAST(round(ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+        |    * (h.tf * 2.2 / (h.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dl * st.n_docs AS DOUBLE) / st.total_tokens)))
+        |    * 1e6) AS BIGINT) AS c
+        |  FROM hits h JOIN dfs ON h.word = dfs.word
+        |  JOIN dl ON dl.doc_id = h.doc_id CROSS JOIN st),
+        |s AS (SELECT query_id, doc_id, count(*) AS n_terms,
+        |  round(CAST(sum(c) AS DOUBLE) / 1e6 * 1e4) / 1e4 AS score
+        |  FROM c GROUP BY query_id, doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM s)
+        |SELECT query_id, doc_id, n_terms, score FROM r WHERE rn <= 10
+        |ORDER BY query_id, score DESC, doc_id""".stripMargin,
     // the p87 BM25 CTE ranked to 20, the p07-style cosine top-20 for
     // vec_id 7, full-outer fused by 1/(60+rank) in the engine's fixed
     // two-term order, 1e6-quantized

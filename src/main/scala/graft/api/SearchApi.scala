@@ -17,12 +17,18 @@ import org.apache.spark.sql.functions.{col, max}
  * not documents).
  *
  *   /search?q=w1+w2&k=10                     → BM25 top-k        (p87 path)
+ *   /search?bulk=q1;q2;...&k=10              → batched BM25      (p100 path)
  *   /search?q=w1+w2&mode=hybrid&vec=f,f,...  → BM25 × IVF-PQ RRF (p88+p34)
  *   /search?phrase=w1+w2+w3                  → exact phrase      (p89 path)
  *   /search?glob=sc[ae]n*&k=10               → glob terms        (p95 path)
  *   /search?complete=pref&k=10               → term autocomplete (p97 path)
  *   /status                                  → index-health snapshot
  *   /lb_check
+ *
+ * Admission: /search requests past `maxInflight` concurrent answers get an
+ * immediate 429 (the reference's limiter.go analog); 200-bodies cache for
+ * `cacheTtlSec` keyed on the raw query (immutable artifacts — entries can
+ * never be stale, the TTL only bounds memory).
  *
  * Each request is one Spark action over partition-pruned index slices —
  * request cost tracks the query (terms' df, nprobe cells), never the
@@ -41,7 +47,8 @@ import org.apache.spark.sql.functions.{col, max}
 class SearchApi(spark: SparkSession, termIndexDir: String,
                 ivfPath: String, codebooksPath: String = null, port: Int = 0,
                 termTombstonesPath: Option[String] = None,
-                ivfTombstonesPath: Option[String] = None) {
+                ivfTombstonesPath: Option[String] = None,
+                maxInflight: Int = 16, cacheTtlSec: Int = 60) {
 
   // codebooks default to INSIDE the index dir (compact/retrain write them
   // there — a self-contained mount needs zero extra configuration); an
@@ -49,6 +56,27 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
   // startup against the index meta either way
   private val cbPath: String =
     Option(codebooksPath).getOrElse(s"$ivfPath/codebooks")
+
+  // /search admission control (the reference's limiter.go:14-51 analog,
+  // which the graphite HttpApi already carries as `concurency`): the
+  // worker pool fronts an unbounded HttpServer backlog, so without a
+  // limiter a burst queues Spark actions without bound — excess requests
+  // get an immediate 429 instead. /status and /lb_check are exempt (a
+  // load balancer must always see health).
+  private val inflight = new java.util.concurrent.Semaphore(maxInflight)
+
+  // TTL response cache keyed on the raw query string (the reference's
+  // render cache symmetry, render_handler.go:230-247). The mounted
+  // artifacts are immutable, so entries can never be STALE — the TTL and
+  // entry cap only bound memory. 200-bodies only; hits serve without a
+  // limiter permit (no Spark action runs).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+  private val cacheHitCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private val cacheMaxEntries = 256
+
+  /** Served-from-cache count (observable for specs and /status). */
+  private[graft] def cacheHits: Long = cacheHitCounter.get()
 
   @volatile private var server: HttpServer = _
   @volatile private var pool: java.util.concurrent.ExecutorService = _
@@ -121,6 +149,9 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
     }
 
   def start(): Int = {
+    require(maxInflight >= 0 && cacheTtlSec >= 0,
+      s"SearchApi: maxInflight/cacheTtlSec must be non-negative, got " +
+        s"$maxInflight/$cacheTtlSec")
     // fail LOUDLY at startup, not silently per query: a multi-segment
     // index without tombstones configured cannot be served correctly
     require(termTombstones.isDefined ||
@@ -139,8 +170,9 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
     graft.pipeline.Similarity.requireCodebookMatch(spark, ivfPath,
       graft.pipeline.Quantize.readCodebooks(spark, cbPath))
     server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext("/search", handle(search))
-    server.createContext("/status", handle(_ => statusJson))
+    server.createContext("/search", handleLimited(search))
+    server.createContext("/status", handle(_ =>
+      statusJson.dropRight(1) + s""","cache_hits":${cacheHitCounter.get()}}"""))
     server.createContext("/lb_check", handle(_ => "Ok\n"))
     pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     server.setExecutor(pool)
@@ -157,14 +189,51 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
   }
 
   private def handle(f: Map[String, String] => String)(ex: HttpExchange): Unit = {
+    val (code, body) = run(f, ex)
+    respond(ex, code, body)
+  }
+
+  /** The /search wrapper: cache lookup → admission control → compute →
+    * cache fill. A cache hit costs no permit and no Spark job; a full
+    * limiter answers 429 immediately instead of queueing another action. */
+  private def handleLimited(f: Map[String, String] => String)(ex: HttpExchange): Unit = {
+    val key = String.valueOf(ex.getRequestURI.getRawQuery)
+    if (cacheTtlSec > 0) {
+      val e = cache.get(key)
+      if (e != null && e._1 > System.nanoTime()) {
+        cacheHitCounter.incrementAndGet()
+        respond(ex, 200, e._2)
+        return
+      }
+    }
+    if (!inflight.tryAcquire()) {
+      respond(ex, 429,
+        s"""{"error":"too many concurrent requests (limit $maxInflight)"}""")
+      return
+    }
+    val (code, body) =
+      try run(f, ex)
+      finally inflight.release()
+    if (code == 200 && cacheTtlSec > 0) {
+      // crude cap: the artifacts are immutable, so a full clear only costs
+      // recomputation — no eviction bookkeeping on the request path
+      if (cache.size >= cacheMaxEntries) cache.clear()
+      cache.put(key, (System.nanoTime() + cacheTtlSec * 1000000000L, body))
+    }
+    respond(ex, code, body)
+  }
+
+  private def run(f: Map[String, String] => String,
+                  ex: HttpExchange): (Int, String) =
     // NonFatal only: a VirtualMachineError (OOM) must propagate and kill
     // the worker rather than be masked as a 500 from an undefined state
-    val (code, body) =
-      try (200, f(query(ex)))
-      catch {
-        case e: IllegalArgumentException => (400, s"""{"error":${q(e.getMessage)}}""")
-        case NonFatal(e) => (500, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
-      }
+    try (200, f(query(ex)))
+    catch {
+      case e: IllegalArgumentException => (400, s"""{"error":${q(e.getMessage)}}""")
+      case NonFatal(e) => (500, s"""{"error":${q(String.valueOf(e.getMessage))}}""")
+    }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length.toLong)
@@ -196,6 +265,28 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
 
   private def search(p: Map[String, String]): String = {
     val k = boundedInt(p, "k", 10, 1, 1000)
+    p.get("bulk") match {
+      case Some(b) =>
+        // batched multi-query BM25: N queries, ONE pruned postings pass
+        // (TextStats.bm25TopKBatch) — the fetchMulti lesson applied to
+        // the retrieval tier instead of N sequential /search round-trips
+        val qs = b.split(";").toSeq
+          .map(_.split("[+ ]").filter(_.nonEmpty).toSeq)
+        require(qs.nonEmpty && qs.forall(_.nonEmpty),
+          "bulk needs q1;q2;... with non-empty queries")
+        require(qs.size <= 100, s"bulk: at most 100 queries, got ${qs.size}")
+        val rows = graft.pipeline.TextStats.bm25TopKBatch(spark, termIndexDir,
+          qs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, k = k,
+          tombstones = termTombstones).collect()
+        val byQ = rows.groupBy(_.getLong(0))
+        return qs.indices.map { i =>
+          val rs = byQ.getOrElse(i.toLong, Array.empty[org.apache.spark.sql.Row])
+            .map(r => s"""{"doc_id":${r.getLong(1)},"n_terms":${r.getLong(2)},"score":${r.getDouble(3)}}""")
+            .mkString("[", ",", "]")
+          s"""{"query":$i,"results":$rs}"""
+        }.mkString("""{"batches":[""", ",", "]}")
+      case None => ()
+    }
     p.get("complete") match {
       case Some(pref) =>
         val rows = graft.pipeline.TextStats

@@ -664,6 +664,62 @@ object TextStats {
       .limit(k)
   }
 
+  /**
+   * Batched multi-query BM25 — the fetchMulti lesson applied to retrieval
+   * (the reference batches every render leaf into one backend round-trip,
+   * ref `expr/expr.go:36-96`; a retrieval tier should batch the same way):
+   * N queries answered from ONE pruned postings read and ONE doclen read
+   * instead of N sequential index scans. Per-query semantics are EXACTLY
+   * [[bm25TopK]]'s — same integer-quantized contributions, same rounded
+   * score, same (score desc, doc_id) total order per query.
+   *
+   * Scale shape: the postings scan prunes to the UNION of the queries'
+   * term buckets (df is a property of the term alone, counted once on
+   * that slice); the per-query fan-out is a broadcast join against the
+   * q×terms request frame; the only extra shuffle vs a single query is
+   * the (query_id, doc_id) aggregate, and the final top-k is a
+   * query-partitioned window over score-bounded groups.
+   */
+  def bm25TopKBatch(spark: SparkSession, indexDir: String,
+                    queries: Seq[(Long, Seq[String])], k: Int = 10,
+                    buckets: Int = 64, k1: Double = 1.2, b: Double = 0.75,
+                    tombstones: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "bm25TopKBatch: empty query set")
+    require(queries.forall(_._2.nonEmpty), "bm25TopKBatch: empty query")
+    val allTerms = queries.flatMap(_._2).distinct
+    val hits = prunedAlivePostings(spark, indexDir, allTerms, buckets, tombstones)
+      .select(col("term"), col("doc_id"), col("tf"))
+    val dfs = hits.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = aliveDoclen(spark, indexDir, tombstones)
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    val qTerms = broadcast(queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * (col("dl") * col("n_docs")).cast("double") / col("total_tokens")))
+    hits
+      .join(qTerms, "term")
+      .join(broadcast(dfs), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("_c", round(idf * norm * 1e6).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("_c")).as("_s"))
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        (round(col("_s").cast("double") / 1e6 * 1e4) / 1e4).as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(desc("score"), col("doc_id"))))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "n_terms", "score")
+      .orderBy(col("query_id"), desc("score"), col("doc_id"))
+  }
+
   /** The offline janitor completing the merge-on-read lifecycle: rewrite
     * the ALIVE postings (tombstones applied across every segment) as a
     * fresh seg-0 index at `outDir`, after which the tombstone table is

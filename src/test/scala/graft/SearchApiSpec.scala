@@ -254,6 +254,53 @@ class SearchApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally api2.stop()
   }
 
+  test("/search?bulk= answers N queries from one batched pass, each equal to its solo bm25TopK answer") {
+    val (code, body) = get("/search?bulk=window+scan+merge;table+scan&k=5")
+    assert(code == 200, body)
+    def solo(terms: Seq[String]): String = graft.pipeline.TextStats
+      .bm25TopK(spark, tiDir, terms, k = 5).collect()
+      .map(r => s"""{"doc_id":${r.getLong(0)},"n_terms":${r.getLong(1)},"score":${r.getDouble(2)}}""")
+      .mkString("[", ",", "]")
+    val want = s"""{"batches":[{"query":0,"results":${solo(Seq("window", "scan", "merge"))}},""" +
+      s"""{"query":1,"results":${solo(Seq("table", "scan"))}}]}"""
+    assert(body == want, s"bulk $body vs $want")
+    assert(get("/search?bulk=;&k=5")._1 == 400)
+  }
+
+  test("admission control: a zero-permit server 429s /search but keeps /lb_check and /status up; the TTL cache serves repeats byte-identically") {
+    def via(p: Int, pq: String): (Int, String) = {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p$pq")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    val closed = new SearchApi(spark, tiDir, ivfDir, cbDir, port = 0,
+      maxInflight = 0, cacheTtlSec = 0)
+    val p2 = closed.start()
+    try {
+      val (c, b) = via(p2, "/search?q=window&k=5")
+      assert(c == 429, s"$c $b")
+      assert(b.contains("too many concurrent"), b)
+      assert(via(p2, "/lb_check")._1 == 200, "health must bypass the limiter")
+      assert(via(p2, "/status")._1 == 200, "status must bypass the limiter")
+    } finally closed.stop()
+
+    val caching = new SearchApi(spark, tiDir, ivfDir, cbDir, port = 0,
+      cacheTtlSec = 600)
+    val p3 = caching.start()
+    try {
+      val first = via(p3, "/search?q=window+scan+merge&k=5")
+      val h0 = caching.cacheHits
+      val second = via(p3, "/search?q=window+scan+merge&k=5")
+      assert(first == second, "cache hit must be byte-identical")
+      assert(caching.cacheHits == h0 + 1, "second request must be a cache hit")
+      // a cached answer equals an uncached server's answer
+      assert(second._2 == get("/search?q=window+scan+merge&k=5")._2)
+      val (sc, status) = via(p3, "/status")
+      assert(sc == 200 && status.contains("\"cache_hits\":"), status)
+    } finally caching.stop()
+  }
+
   test("compacted and retrained IVF dirs mount with zero extra configuration; a mismatched codebook mount fails loudly at startup") {
     import org.apache.spark.sql.functions.{lit, transform => atransform}
     val S = graft.pipeline.Similarity
