@@ -531,7 +531,9 @@ object ScaleBench {
     val cb = Q.trainPqCodebooks(emb, m = 16, ksub = 16, iters = 10, sampleN = 2000)
     S.writeIndex(Q.pqEncode(S.assignCells(emb, cents), cb), cents, ivf)
     Q.writeCodebooks(spark, cb, cbp)
-    val api = new graft.api.SearchApi(spark, ti, ivf, cbp)
+    // cache OFF: the arm measures request compute, and with the TTL cache
+    // on (the serving default) every post-warm rep would time a map lookup
+    val api = new graft.api.SearchApi(spark, ti, ivf, cbp, cacheTtlSec = 0)
     val port = api.start()
     val qv = emb.where(col("vec_id") === 7L).select("embedding")
       .head().getSeq[Float](0).toArray
@@ -552,10 +554,133 @@ object ScaleBench {
       "serve_hybrid" -> s"/search?q=window+scan+merge&mode=hybrid&k=10&vec=$vecParam",
       "serve_glob" -> "/search?glob=sc%5Bae%5Dn*&k=10",
       "serve_complete" -> "/search?complete=sc&k=10")
-    try routes.map { case (n, pq) =>
-      hit(pq) // untimed warm pass (plan compile, footer reads)
-      n -> (1 to 3).map(_ => hit(pq)).min
+    // the batching claim, measured (r15 ask #7): 10 distinct bm25 queries
+    // as ONE bulk request (one pruned postings pass) vs 10 round-trips
+    val tenQueries = Seq("window", "scan", "merge", "table",
+      "window+scan", "scan+merge", "merge+table", "table+window",
+      "window+merge", "scan+table")
+    val bulkPq = s"/search?bulk=${tenQueries.mkString(";")}&k=10"
+    val seqPqs = tenQueries.map(q => s"/search?q=$q&k=10")
+    try {
+      val base = routes.map { case (n, pq) =>
+        hit(pq) // untimed warm pass (plan compile, footer reads)
+        n -> (1 to 3).map(_ => hit(pq)).min
+      }
+      hit(bulkPq); seqPqs.foreach(hit) // warm both shapes
+      val bulk = (1 to 3).map(_ => hit(bulkPq)).min
+      val seq = (1 to 3).map(_ => seqPqs.map(hit).sum).min
+      base ++ Seq("serve_bulk10" -> bulk, "serve_seq10" -> seq)
     } finally api.stop()
+  }
+
+  /** The COMPOSED orchestrated refresh vs the full artifact rebuild
+    * (Refresh.refreshCorpus vs Refresh.buildAll on the refreshed corpus) —
+    * the r15 verdict's composed-refresh arm: the delta path must track the
+    * CHANGE, the rebuild the corpus. The base build is untimed (it is the
+    * previous round's artifact). */
+  private def refreshArm(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val R = graft.pipeline.Refresh
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val d = spark.read.parquet(s"$dir/documents.parquet").join(e, "doc_id")
+      .select("doc_id", "text", "embedding").localCheckpoint(true)
+    val root = Queries.ndIndexPath(dir) + "_orch_arm"
+    R.buildAll(spark, d.select("doc_id", "text"),
+      d.select(col("doc_id").as("vec_id"), col("embedding")), root,
+      nlist = 8, m = 16, ksub = 16, trainIters = 3, sampleN = 2000)
+    val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+      .withColumn("text", concat(col("text"), lit(" rev2")))
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(1.5f)).cast("float")))
+    val added = d.where(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x + lit(0.25f)).cast("float")))
+    val removed = d.where(col("doc_id") % 7 === 0).select("doc_id")
+    val t0 = System.nanoTime()
+    R.refreshCorpus(spark, root, edited, added, removed)
+    val tRefresh = (System.nanoTime() - t0) / 1e9
+    val refreshed = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 =!= 0)
+      .unionByName(edited).unionByName(added).localCheckpoint(true)
+    val t1 = System.nanoTime()
+    R.buildAll(spark, refreshed.select("doc_id", "text"),
+      refreshed.select(col("doc_id").as("vec_id"), col("embedding")),
+      root + "_rebuild", nlist = 8, m = 16, ksub = 16, trainIters = 3,
+      sampleN = 2000)
+    val tRebuild = (System.nanoTime() - t1) / 1e9
+    Seq("orch_refresh" -> tRefresh, "orch_rebuild" -> tRebuild)
+  }
+
+  /** The retrain-policy recall arm (r15 ask #4): recall on a fresh index,
+    * recall SAG after a planted out-of-distribution drift lands as delta
+    * segments, the measured advice firing `retrain`, and recall RECOVERY
+    * after the retrain janitor runs. Truth per state is the exact top-k
+    * (ADC with an everything-sized shortlist reranks exactly). */
+  private def driftArm(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val S = graft.pipeline.Similarity
+    val Q = graft.pipeline.Quantize
+    val sp = spark
+    import sp.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val n = emb.count()
+    val path = Queries.ndIndexPath(dir) + "_drift_ivf"
+    val cents = S.trainCentroids(emb, nlist = 8, iters = 3, sampleN = 2000)
+    val cb = Q.trainPqCodebooks(emb, m = 16, ksub = 16, iters = 10, sampleN = 2000)
+    S.writeIndex(Q.pqEncode(S.assignCells(emb, cents), cb), cents, path)
+    Q.writeCodebooks(spark, cb, s"$path/codebooks")
+    S.writeIndexMeta(spark, path, cb)
+    // the drift: ~40% of corpus size in a TIGHT cluster far outside the
+    // trained distribution — the worst case for stale quantizers: every
+    // drifted vector lands in the same few cells and their PQ codes
+    // collapse toward one extreme codeword (ADC distances go flat, the
+    // shortlist can no longer separate true neighbors)
+    val drifted = emb.limit((n / 5 * 2).toInt)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(0.05f) + lit(25.0f)).cast("float")))
+      .localCheckpoint(true)
+    def recall(idx: DataFrame, dcents: Array[(Int, Array[Double])],
+               dcb: Array[Array[Array[Double]]], corpus: DataFrame,
+               queries: DataFrame): Double = {
+      val got = S.ivfPqTopK(idx, queries, dcb, dcents, k = 5, nprobe = 2,
+          shortlist = 50)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      val truth = Q.pqTopKReranked(Q.pqEncode(corpus, dcb), queries, dcb,
+          k = 5, shortlist = n.toInt * 2)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet)
+      val hits = truth.toSeq.map { case (q, w) =>
+        w.intersect(got.getOrElse(q, Set.empty)).size.toDouble / w.size }
+      hits.sum / hits.size
+    }
+    val qBase = emb.where(col("vec_id") < 8)
+    // drift-weighted query mix: the sag is what the arm measures, and a
+    // production corpus that drifted 40% sees mostly drifted queries
+    val qDrift = emb.where(col("vec_id") < 4).unionByName(drifted.limit(12))
+    val (idx0, dc0) = S.readIndex(spark, path)
+    val rFresh = recall(idx0, dc0, cb, emb, qBase)
+    S.appendToIvfIndex(drifted, path, cb, seg = 1L)
+    val (idx1, dc1) = S.readIndex(spark, path)
+    val corpus1 = emb.unionByName(drifted)
+    val rDrift = recall(idx1, dc1, cb, corpus1, qDrift)
+    val advice = S.ivfMaintenanceAdvice(spark, path)
+    val rDir = path + "_retrained"
+    val noTomb = emb.select(col("vec_id"), lit(0L).as("before_seg")).limit(0)
+    val cb2 = S.retrainIvfIndex(spark, path, noTomb, rDir,
+      nlist = 8, m = 16, ksub = 16, iters = 10, sampleN = 2000)
+    val (idx2, dc2) = S.readIndex(spark, rDir)
+    val rRetrained = recall(idx2, dc2, cb2, corpus1, qDrift)
+    f"""{"metric":"driftarm","recall_fresh":$rFresh%.3f,""" +
+      f""""recall_drifted":$rDrift%.3f,"advice":"${advice.action}",""" +
+      f""""d2_ratio":${advice.d2Ratio}%.3f,"appended_fraction":${advice.appendedFraction}%.3f,""" +
+      f""""recall_retrained":$rRetrained%.3f}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -587,6 +712,27 @@ object ScaleBench {
         xs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
       val ratios = base.map { case (k, v) => k -> (if (v > 0) big(k) / v else -1.0) }
       println(s"""{"metric":"rowmult_x${Copies}","base":${fmtR(base)},"x":${fmtR(big.toSeq)},"ratio":${fmtR(ratios)}}""")
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_REFRESHARM").contains("1")) {
+      // the composed orchestrated refresh vs the full artifact rebuild,
+      // at 1× and Copies× (see refreshArm)
+      generateCore(spark, baseDir, workDir)
+      val base = refreshArm(spark, baseDir)
+      val big = refreshArm(spark, workDir).toMap
+      def fmtO(xs: Seq[(String, Double)]) =
+        xs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val ratios = base.map { case (k, v) => k -> (if (v > 0) big(k) / v else -1.0) }
+      println(s"""{"metric":"refresharm_x${Copies}","base":${fmtO(base)},"x":${fmtO(big.toSeq)},"ratio":${fmtO(ratios)}}""")
+      spark.stop()
+      return
+    }
+    if (sys.env.get("SPARK_GRAFT_DRIFTARM").contains("1")) {
+      // recall sag under planted drift + recovery after the measured
+      // retrain policy fires (see driftArm); runs on the base dir — the
+      // claim is a recall property, not a scale curve
+      println(driftArm(spark, baseDir))
       spark.stop()
       return
     }
