@@ -296,32 +296,45 @@ object Queries {
     (histDir, recDir)
   }
 
+  /** The canonical %5/%7/%13 corpus delta over a (doc_id, text, embedding)
+    * frame — ONE definition shared by the orchestrated catalog rows,
+    * ScaleBench's refreshArm and RefreshSpec (five hand copies otherwise;
+    * the p98/p99 oracle SQL mirrors these exact constants). */
+  private[graft] def corpusRefreshDelta(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+      .withColumn("text", concat(col("text"), lit(" rev2")))
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(1.5f)).cast("float")))
+    val added = d.where(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x + lit(0.25f)).cast("float")))
+    val removed = d.where(col("doc_id") % 7 === 0).select("doc_id")
+    (edited, added, removed)
+  }
+
+  /** The orchestrated corpus: docs ⋈ embeddings (the orchestrator's
+    * contract pairs each doc with its embedding; at sf0.1 only a subset
+    * of docs carries one — the oracle replays the same join). */
+  private[graft] def orchCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .join(embeddings(s, dir).select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id")
+      .select("doc_id", "text", "embedding")
+
   /** The orchestrated artifact root (graft.pipeline.Refresh): ONE base
     * build + ONE delta-driven refresh per corpus, all three indexes +
     * tombstones + pairs/clusters + manifest maintained by the SINGLE
-    * entry point. The orchestrated corpus is docs ⋈ embeddings (the
-    * orchestrator's contract pairs each doc with its embedding; at sf0.1
-    * only a subset of docs carries one — the oracle replays the same
-    * join). Same previous-build-artifact convention as
+    * entry point. Same previous-build-artifact convention as
     * ensureRefreshedTermIndex. */
   private def ensureOrchestratedRoot(s: SparkSession, dir: String): String = {
     val root = scratchPath("orch", dir)
     buildOnce(root) {
-      val e = embeddings(s, dir).select(col("vec_id").as("doc_id"), col("embedding"))
-      val d = docs(s, dir).join(e, "doc_id")
-        .select("doc_id", "text", "embedding")
+      val d = orchCorpus(s, dir)
       Refresh.buildAll(s, d.select("doc_id", "text"),
         d.select(col("doc_id").as("vec_id"), col("embedding")), root,
         nlist = 8, m = 16, ksub = 16, trainIters = 3, sampleN = 2000)
-      val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
-        .withColumn("text", concat(col("text"), lit(" rev2")))
-        .withColumn("embedding",
-          transform(col("embedding"), x => (x * lit(1.5f)).cast("float")))
-      val added = d.where(col("doc_id") % 13 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L)
-        .withColumn("embedding",
-          transform(col("embedding"), x => (x + lit(0.25f)).cast("float")))
-      val deleted = d.where(col("doc_id") % 7 === 0).select("doc_id")
+      val (edited, added, deleted) = corpusRefreshDelta(d)
       Refresh.refreshCorpus(s, root, edited, added, deleted)
     }
     root

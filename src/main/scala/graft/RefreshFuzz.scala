@@ -76,6 +76,10 @@ object RefreshFuzz {
     R.buildAll(spark, corpusDf.select("doc_id", "text"),
       corpusDf.select(col("doc_id").as("vec_id"), col("embedding")), root,
       nlist = 8, m = 16, ksub = 16, trainIters = 3, sampleN = 2000)
+    // ids removed in EARLIER generations — later adds resurrect some of
+    // them (the tombstone-must-cap-at-its-segment corner: a re-added doc
+    // must rank again in every consumer)
+    val removedEver = scala.collection.mutable.ArrayBuffer[Long]()
 
     val client = java.net.http.HttpClient.newHttpClient()
     def get(port: Int, pq: String): (Int, String) = {
@@ -172,16 +176,21 @@ object RefreshFuzz {
         !editSet.contains(id) && h(id * 17 + gen * 13 + seed) % 10 == 7)
       val nAdds = (3 + h(gen * 101 + seed) % 5).toInt
       val adds = (0 until nAdds).map { i =>
-        val id = 9000000L + gen * 10000L + i
+        val id =
+          if (i % 3 == 1 && removedEver.nonEmpty) // RE-ADD a removed id
+            removedEver((h(gen * 7 + i + seed) % removedEver.size).toInt)
+          else 9000000L + gen * 10000L + i
         val payload =
           if (i % 2 == 0 && alive.nonEmpty) // exact clone: dup/tie mass
             m(alive((h(id + seed) % alive.size).toInt))
           else (s"fresh doc $id words scan merge window tie",
             pseudoVec(id * 7 + gen))
         (id, payload)
-      }
+      }.distinctBy(_._1).filterNot { case (id, _) => m.contains(id) }
       R.refreshCorpus(spark, root, edited = df(edits), added = df(adds),
         removedIds = dels.toDF("doc_id"))
+      removedEver ++= dels
+      removedEver --= adds.map(_._1)
       edits.foreach { case (id, p) => m(id) = p }
       dels.foreach(m.remove)
       adds.foreach { case (id, p) => m(id) = p }

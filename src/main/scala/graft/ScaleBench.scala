@@ -581,23 +581,12 @@ object ScaleBench {
   private def refreshArm(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     val R = graft.pipeline.Refresh
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id").as("doc_id"), col("embedding"))
-    val d = spark.read.parquet(s"$dir/documents.parquet").join(e, "doc_id")
-      .select("doc_id", "text", "embedding").localCheckpoint(true)
+    val d = Queries.orchCorpus(spark, dir).localCheckpoint(true)
     val root = Queries.ndIndexPath(dir) + "_orch_arm"
     R.buildAll(spark, d.select("doc_id", "text"),
       d.select(col("doc_id").as("vec_id"), col("embedding")), root,
       nlist = 8, m = 16, ksub = 16, trainIters = 3, sampleN = 2000)
-    val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
-      .withColumn("text", concat(col("text"), lit(" rev2")))
-      .withColumn("embedding",
-        transform(col("embedding"), x => (x * lit(1.5f)).cast("float")))
-    val added = d.where(col("doc_id") % 13 === 0)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
-      .withColumn("embedding",
-        transform(col("embedding"), x => (x + lit(0.25f)).cast("float")))
-    val removed = d.where(col("doc_id") % 7 === 0).select("doc_id")
+    val (edited, added, removed) = Queries.corpusRefreshDelta(d)
     val t0 = System.nanoTime()
     R.refreshCorpus(spark, root, edited, added, removed)
     val tRefresh = (System.nanoTime() - t0) / 1e9

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import scala.util.control.NonFatal
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, max}
+import org.apache.spark.sql.functions.col
 
 /**
  * The corpus-retrieval serving front-end — the §2.10 endpoint over the
@@ -136,17 +136,12 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
       s""""consistent":$consistent}"""
   }
 
-  // ONLY the absent-`seg`-column case reads as segment 0 (a legacy
-  // single-segment artifact). A missing or unreadable artifact must NOT
-  // be caught here — the read happens in the caller, so a broken doclen
+  // the ONE segment-resolution rule, shared with the orchestrator's
+  // skew gate: reads happen at the call sites, so a broken doclen
   // sidecar or IVF corpus fails start() loudly instead of silently
   // passing the multi-segment refusal gate and erroring per-request
   private def maxSegOrZero(df: DataFrame): Long =
-    if (!df.columns.contains("seg")) 0L
-    else df.agg(max(col("seg"))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
+    graft.pipeline.Refresh.maxSegOrZero(df)
 
   def start(): Int = {
     require(maxInflight >= 0 && cacheTtlSec >= 0,
@@ -174,7 +169,13 @@ class SearchApi(spark: SparkSession, termIndexDir: String,
     server.createContext("/status", handle(_ =>
       statusJson.dropRight(1) + s""","cache_hits":${cacheHitCounter.get()}}"""))
     server.createContext("/lb_check", handle(_ => "Ok\n"))
-    pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // MORE worker threads than permits, or the limiter is dead code: with
+    // a pool smaller than maxInflight, tryAcquire can never see a full
+    // semaphore and excess requests queue unboundedly in the pool's own
+    // queue — the exact failure the 429 exists to prevent. The extra
+    // threads also serve cache hits and 429s while every permit is busy.
+    pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, maxInflight + 4))
     server.setExecutor(pool)
     server.start()
     server.getAddress.getPort

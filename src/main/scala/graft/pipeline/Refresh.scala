@@ -89,6 +89,13 @@ object Refresh {
                trainIters: Int = 5, sampleN: Int = 10000,
                pairThreshold: Double = 0.5): CorpusArtifacts = {
     val a = CorpusArtifacts(root)
+    // a fresh root only: re-building in place would append a duplicate
+    // manifest row and leave stale pairs/clusters VERSIONS from the old
+    // lifecycle alive, which the next refresh's latestVersion would then
+    // consume as its base — silent wrong pairs, no error
+    require(!dirExists(spark, a.manifestPath),
+      s"buildAll: $root already carries an artifact set (manifest " +
+        "present) — build into a fresh root")
     val docs = documents.select(col("doc_id"), col("text"))
     TextStats.writeTermIndex(docs, a.termIndexDir, buckets = buckets)
     PairMaintenance.writeShingleIndex(docs, a.shingleIndexDir, k = shingleK,
@@ -101,12 +108,12 @@ object Refresh {
     Quantize.writeCodebooks(spark, cb, s"${a.ivfPath}/codebooks")
     Similarity.writeIndexMeta(spark, a.ivfPath, cb)
     // empty cumulative tombstones, correctly typed
-    emptyTombstones(docs, "doc_id").write.mode("overwrite")
+    emptyTombstones(spark, "doc_id").write.mode("overwrite")
       .parquet(a.termTombstonesPath)
-    emptyTombstones(docs, "doc_id").write.mode("overwrite")
+    emptyTombstones(spark, "doc_id").write.mode("overwrite")
       .parquet(a.shingleTombstonesPath)
-    emptyTombstones(emb.withColumnRenamed("vec_id", "doc_id"), "vec_id")
-      .write.mode("overwrite").parquet(a.ivfTombstonesPath)
+    emptyTombstones(spark, "vec_id").write.mode("overwrite")
+      .parquet(a.ivfTombstonesPath)
     // the exact near-dup pair set + star-CC labels, version 0
     val pairs = Dedup.ngramJaccardPairs(docs, k = shingleK,
       threshold = pairThreshold)
@@ -118,8 +125,15 @@ object Refresh {
     a
   }
 
-  private def emptyTombstones(like: DataFrame, idName: String): DataFrame =
-    like.select(col("doc_id").as(idName), lit(0L).as("before_seg")).limit(0)
+  private def emptyTombstones(spark: SparkSession, idName: String): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF(idName, "before_seg")
+  }
+
+  private def dirExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
 
   /**
    * One delta in, all artifacts out. `edited` and `added` are
@@ -132,15 +146,29 @@ object Refresh {
    *   2. shingle index — changed docs' shingles + sizes append as segment N
    *   3. IVF index — changed vectors assign/encode against the EXISTING
    *      quantizers (read from inside the index dir) and append as segment N
-   *   4. three tombstone tables — (edited → before_seg N, removed →
-   *      Long.MaxValue) appended to each cumulative artifact
+   *   4. three tombstone tables — every edited AND removed id gets
+   *      (id, before_seg = N) appended to each cumulative artifact.
+   *      Removals deliberately do NOT use Long.MaxValue (the single-refresh
+   *      convention of the hand-maintained rows): a MaxValue tombstone is
+   *      forever, so a document removed at refresh N and RE-ADDED at
+   *      refresh M > N would have its new rows silently killed by the
+   *      stale tombstone in every consumer. `before_seg = N` means "dead
+   *      strictly before this refresh" — a removal kills everything the
+   *      corpus held, and a later re-add (seg M ≥ N) survives it.
    *   5. pairs + clusters — [[PairMaintenance.incrementalClusters]] over the
    *      previous version's artifacts, written as version N
    *   6. manifest — one row (LAST: its presence implies 1-5 committed)
    *
-   * Precondition (checked, fails loudly): the three indexes agree on their
-   * max segment — a caller that refreshed one index out-of-band has already
-   * broken coherence, and appending more segments would bury the skew.
+   * Preconditions (checked, fail loudly): the three indexes agree on their
+   * max segment and none exceeds the manifest — a caller that refreshed
+   * one index out-of-band has already broken coherence, and appending more
+   * segments would bury the skew; and the delta's three id sets are
+   * pairwise disjoint — an id both removed and re-added within ONE refresh
+   * has no well-defined order. `added` ids must be NEW to the corpus (an
+   * id that is still alive belongs in `edited` — "adding" it would leave
+   * two alive rows and the doc would rank twice); the corpus-membership
+   * half is the caller's contract, not re-checked here, because verifying
+   * it costs a corpus-sized scan per refresh.
    */
   def refreshCorpus(spark: SparkSession, root: String,
                     edited: DataFrame, added: DataFrame,
@@ -148,15 +176,24 @@ object Refresh {
                     pairThreshold: Double = 0.5,
                     maxDocFreq: Long = 1000): RefreshReport = {
     val a = CorpusArtifacts(root)
-    val termSeg = maxSeg(spark.read.parquet(s"${a.termIndexDir}.doclen"))
-    val shingleSeg = maxSeg(spark.read.parquet(a.shingleIndexDir))
-    val ivfSeg = maxSeg(spark.read.parquet(s"${a.ivfPath}/corpus"))
-    require(termSeg == shingleSeg && shingleSeg == ivfSeg,
+    val termSeg = maxSegOrZero(spark.read.parquet(s"${a.termIndexDir}.doclen"))
+    val shingleSeg = maxSegOrZero(spark.read.parquet(a.shingleIndexDir))
+    val ivfSeg = maxSegOrZero(spark.read.parquet(s"${a.ivfPath}/corpus"))
+    // the NEXT segment comes from the append-only MANIFEST, not from
+    // committed index content: an all-delete refresh appends zero rows
+    // everywhere, so content-derived numbering would reuse its segment
+    // (and its pairs/clusters version) on the next refresh. Index maxSegs
+    // can therefore LAG the manifest (empty appends) but must never
+    // exceed it, and must agree with each other.
+    val manifestSeg = maxSegOrZero(spark.read.parquet(a.manifestPath))
+    require(termSeg == shingleSeg && shingleSeg == ivfSeg &&
+      termSeg <= manifestSeg,
       s"refreshCorpus: artifact segment skew under $root — term=$termSeg " +
-        s"shingle=$shingleSeg ivf=$ivfSeg; one index was refreshed " +
-        "out-of-band and serving it would skew silently (fresh BM25 with " +
-        "a stale vector). Rebuild or consolidate before refreshing.")
-    val seg = termSeg + 1L
+        s"shingle=$shingleSeg ivf=$ivfSeg manifest=$manifestSeg; one " +
+        "index was refreshed out-of-band and serving it would skew " +
+        "silently (fresh BM25 with a stale vector). Rebuild or " +
+        "consolidate before refreshing.")
+    val seg = manifestSeg + 1L
 
     // the delta, pinned once: every consumer below derives from these
     // exact frames (a lazy re-read of a mutating source between appends
@@ -166,6 +203,14 @@ object Refresh {
     val ad = added.select(col("doc_id"), col("text"), col("embedding"))
       .localCheckpoint(true)
     val rm = removedIds.select(col("doc_id")).localCheckpoint(true)
+    val overlap = ed.select("doc_id").intersect(ad.select("doc_id"))
+      .unionByName(ed.select("doc_id").intersect(rm))
+      .unionByName(ad.select("doc_id").intersect(rm))
+      .limit(1).collect()
+    require(overlap.isEmpty,
+      s"refreshCorpus: delta id sets overlap (e.g. doc ${overlap.headOption
+        .map(_.getLong(0)).getOrElse(-1L)}) — edited/added/removed must be " +
+        "pairwise disjoint within one refresh")
     val changedDocs = ed.unionByName(ad).select("doc_id", "text")
     val changedVecs = ed.unionByName(ad)
       .select(col("doc_id").as("vec_id"), col("embedding"))
@@ -183,10 +228,13 @@ object Refresh {
     Similarity.requireCodebookMatch(spark, a.ivfPath, cb)
     Similarity.appendToIvfIndex(changedVecs, a.ivfPath, cb, seg = seg)
 
-    // 4) tombstones — ONE derivation, appended to all three artifacts
-    val deltaTombs = ed.select(col("doc_id"), lit(seg).as("before_seg"))
-      .unionByName(rm.select(col("doc_id"),
-        lit(Long.MaxValue).as("before_seg")))
+    // 4) tombstones — ONE derivation, appended to all three artifacts.
+    // before_seg = seg for removals TOO (not Long.MaxValue): "dead
+    // strictly before this refresh", so a later RE-ADD of a removed id
+    // lands at a higher segment and survives — a forever-tombstone would
+    // silently kill the returning document in every consumer
+    val deltaTombs = ed.select("doc_id").unionByName(rm)
+      .select(col("doc_id"), lit(seg).as("before_seg"))
       .localCheckpoint(true)
     deltaTombs.write.mode("append").parquet(a.termTombstonesPath)
     deltaTombs.write.mode("append").parquet(a.shingleTombstonesPath)
@@ -248,12 +296,12 @@ object Refresh {
         Similarity.compactIvfIndex(spark, a.ivfPath, ivfTombs, out.ivfPath)
         Quantize.readCodebooks(spark, s"${out.ivfPath}/codebooks")
       }
-    emptyTombstones(termTombs, "doc_id").write.mode("overwrite")
+    emptyTombstones(spark, "doc_id").write.mode("overwrite")
       .parquet(out.termTombstonesPath)
-    emptyTombstones(shingleTombs, "doc_id").write.mode("overwrite")
+    emptyTombstones(spark, "doc_id").write.mode("overwrite")
       .parquet(out.shingleTombstonesPath)
-    emptyTombstones(ivfTombs.withColumnRenamed("vec_id", "doc_id"), "vec_id")
-      .write.mode("overwrite").parquet(out.ivfTombstonesPath)
+    emptyTombstones(spark, "vec_id").write.mode("overwrite")
+      .parquet(out.ivfTombstonesPath)
     val prevV = latestVersion(spark, s"$root/pairs")
     spark.read.parquet(a.pairsPath(prevV))
       .write.mode("overwrite").parquet(out.pairsPath(0L))
@@ -275,12 +323,17 @@ object Refresh {
     vs.max
   }
 
-  private def maxSeg(df: DataFrame): Long =
+  /** The ONE segment-resolution rule (shared with [[graft.api.SearchApi]]'s
+    * startup gate): only the absent-`seg`-column case reads as segment 0
+    * (a legacy single-segment artifact); read errors propagate — a broken
+    * artifact must fail loudly, never pass as "segment 0". */
+  def maxSegOrZero(df: DataFrame): Long =
     if (!df.columns.contains("seg")) 0L
     else df.agg(max(col("seg"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
+
 
   private def writeManifestRow(spark: SparkSession, a: CorpusArtifacts,
                                seg: Long, nEdited: Long, nAdded: Long,

@@ -455,15 +455,28 @@ object DocPipeline {
 
   /** One idempotent IVF ingest step (the [[ivfIndexIngest]] batch body,
     * factored so the replay contract is directly testable): appends the
-    * batch as `seg` unless that segment already has committed rows. */
+    * batch as `seg` when the segment is absent; a fully committed segment
+    * makes the replay a no-op; a PARTIALLY visible segment (a prior
+    * attempt died mid job-commit, or a v2 committer's per-task commits
+    * landed a subset) fails LOUDLY — re-appending would duplicate rows
+    * ivfPqTopK cannot heal, and skipping would silently drop the rest of
+    * the batch forever. Recovery from a partial segment is the janitor:
+    * tombstone-free compact of segs < N + a re-run of the batch. */
   private[graft] def ivfIngestBatch(batch: DataFrame, indexPath: String,
                                     cb: Array[Array[Array[Double]]],
                                     seg: Long): Unit = {
     import org.apache.spark.sql.functions.col
-    val already = batch.sparkSession.read.parquet(s"$indexPath/corpus")
-      .where(col("seg") === seg).limit(1).count() > 0
-    if (!already)
+    val existing = batch.sparkSession.read.parquet(s"$indexPath/corpus")
+      .where(col("seg") === seg).count()
+    if (existing == 0L)
       graft.pipeline.Similarity.appendToIvfIndex(batch, indexPath, cb, seg = seg)
+    else {
+      val expect = batch.count()
+      require(existing == expect,
+        s"ivfIngestBatch: segment $seg is PARTIALLY committed ($existing " +
+          s"of $expect rows) — a prior attempt died mid-commit; compact " +
+          "the index below this segment and re-run the batch")
+    }
   }
 
   def nearDupIngest(docStream: DataFrame, indexDir: String, pairsOut: String,

@@ -24,18 +24,10 @@ class RefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var corpus0: DataFrame = _   // (doc_id, text, embedding), build state
   private var refreshed: DataFrame = _ // the post-delta truth
 
-  private def delta(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val edited = d.where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
-      .withColumn("text", concat(col("text"), lit(" rev2")))
-      .withColumn("embedding",
-        transform(col("embedding"), x => (x * lit(1.5f)).cast("float")))
-    val added = d.where(col("doc_id") % 13 === 0)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
-      .withColumn("embedding",
-        transform(col("embedding"), x => (x + lit(0.25f)).cast("float")))
-    val removed = d.where(col("doc_id") % 7 === 0).select("doc_id")
-    (edited, added, removed)
-  }
+  // the canonical %5/%7/%13 delta — ONE definition (Queries), shared with
+  // the p98/p99 catalog rows and ScaleBench's refreshArm
+  private def delta(d: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    Queries.corpusRefreshDelta(d)
 
   override def beforeAll(): Unit = {
     spark = graft.core.GraftSession.builder("local[4]", 8).getOrCreate()
@@ -196,6 +188,61 @@ class RefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("segment skew"), ex.getMessage)
   }
 
+  test("a doc removed in refresh N and re-added in refresh N+1 ranks again (delete tombstones cap at their segment, never forever)") {
+    val sp = spark
+    import sp.implicits._
+    // a small corpus whose first doc has searchable words
+    val d0 = corpus0.where(size(split(col("text"), "\\s+")) > 3)
+      .orderBy("doc_id").limit(60).localCheckpoint(true)
+    val doomed = d0.orderBy("doc_id").limit(1).localCheckpoint(true)
+    val doomedId = doomed.head().getLong(0)
+    val words = doomed.head().getString(1).toLowerCase.split("\\s+")
+      .filter(_.matches("[a-z0-9]{2,}")).take(2).toSeq
+    assert(words.size == 2, s"fixture doc $doomedId needs 2 clean words")
+    val root2 = java.nio.file.Files.createTempDirectory("refresh-readd").toString + "/r"
+    Refresh.buildAll(spark, d0.select("doc_id", "text"),
+      d0.select(col("doc_id").as("vec_id"), col("embedding")), root2,
+      nlist = 4, m = 16, ksub = 8, trainIters = 2, sampleN = 2000)
+    val a2 = Refresh.CorpusArtifacts(root2)
+    val none = d0.limit(0)
+    def hits(): Set[Long] = TextStats.searchTermIndexMoR(spark,
+        a2.termIndexDir, spark.read.parquet(a2.termTombstonesPath), words,
+        mode = "or")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits().contains(doomedId), "fixture doc must match its own words")
+    // refresh 1: REMOVE the doc
+    Refresh.refreshCorpus(spark, root2, none, none,
+      doomed.select("doc_id"))
+    assert(!hits().contains(doomedId), "removed doc must not rank")
+    // refresh 2: RE-ADD the same doc — a Long.MaxValue delete tombstone
+    // would kill these seg-2 rows forever; before_seg = seg must not
+    Refresh.refreshCorpus(spark, root2, none, doomed, none.select("doc_id"))
+    assert(hits().contains(doomedId), "re-added doc must rank again")
+    // and the ANN side re-serves it too: its own embedding finds it
+    val (idx, cents) = Similarity.readIndex(spark, a2.ivfPath)
+    val cb = Quantize.readCodebooks(spark, s"${a2.ivfPath}/codebooks")
+    val nn = Similarity.ivfPqTopK(idx,
+        doomed.select(col("doc_id").as("vec_id"), col("embedding")),
+        cb, cents, k = 3, nprobe = 4, shortlist = 50,
+        tombstones = Some(spark.read.parquet(a2.ivfTombstonesPath)))
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!nn.contains(doomedId), "self excluded by contract") // sanity
+    // serve with the re-added doc as a NEIGHBOR of a nearby query
+    val q2 = d0.where(col("doc_id") =!= doomedId).limit(1)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val nn2 = Similarity.ivfPqTopK(idx, q2, cb, cents, k = 60, nprobe = 4,
+        shortlist = 200,
+        tombstones = Some(spark.read.parquet(a2.ivfTombstonesPath)))
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(nn2.contains(doomedId),
+      "re-added vector must be probe-visible again")
+    // a delta that both removes and re-adds the same id REFUSES
+    val ex = intercept[IllegalArgumentException] {
+      Refresh.refreshCorpus(spark, root2, none, doomed, doomed.select("doc_id"))
+    }
+    assert(ex.getMessage.contains("disjoint"), ex.getMessage)
+  }
+
   test("consolidate: every consumer over the fresh root equals the refreshed-corpus truth with ZERO tombstone configuration") {
     val outRoot = java.nio.file.Files.createTempDirectory("refresh-cons").toString + "/c"
     val out = Refresh.consolidate(spark, root, outRoot,
@@ -227,7 +274,15 @@ class RefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out.pairsPath(0L)).count() ==
       spark.read.parquet(a.pairsPath(report.seg)).count())
     // a further orchestrated refresh lands on the consolidated root
-    val (e2, ad2, rm2) = delta(refreshed)
+    // (hand-rolled delta: the canonical one would re-shift refresh-1's
+    // added ids onto ids that are still ALIVE here — the duplicate-doc
+    // hazard the disjointness/new-ids contract exists to prevent)
+    val e2 = refreshed.where(col("doc_id") % 3 === 0)
+      .withColumn("text", concat(col("text"), lit(" rev3")))
+    val ad2 = refreshed.where(col("doc_id") % 11 === 1)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+    val rm2 = refreshed.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 11 === 2)
+      .select("doc_id")
     val r2 = Refresh.refreshCorpus(spark, outRoot, e2, ad2, rm2)
     assert(r2.seg == 1L)
   }
