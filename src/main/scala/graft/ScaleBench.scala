@@ -627,10 +627,14 @@ object ScaleBench {
     // drifted vector lands in the same few cells and their PQ codes
     // collapse toward one extreme codeword (ADC distances go flat, the
     // shortlist can no longer separate true neighbors)
+    // scale 0.3 keeps within-cluster variance meaningful (a fully
+    // degenerate cluster makes the exact top-5 a n_drifted-way near-tie
+    // that NO shortlist can match — the measurement would then read
+    // tie-resolution noise, not quantizer quality)
     val drifted = emb.limit((n / 5 * 2).toInt)
       .withColumn("vec_id", col("vec_id") + 5000000L)
       .withColumn("embedding",
-        transform(col("embedding"), x => (x * lit(0.05f) + lit(25.0f)).cast("float")))
+        transform(col("embedding"), x => (x * lit(0.3f) + lit(15.0f)).cast("float")))
       .localCheckpoint(true)
     def recall(idx: DataFrame, dcents: Array[(Int, Array[Double])],
                dcb: Array[Array[Array[Double]]], corpus: DataFrame,
@@ -662,8 +666,14 @@ object ScaleBench {
     val advice = S.ivfMaintenanceAdvice(spark, path)
     val rDir = path + "_retrained"
     val noTomb = emb.select(col("vec_id"), lit(0L).as("before_seg")).limit(0)
+    // sampleN must COVER the drifted ids: train sampling is ordered by
+    // vec_id, and the drift's high ids sort last — a corpus-sized sample
+    // makes the retrain actually see the new distribution (the
+    // deterministic id-ordered sample's recency blindness is a real
+    // production hazard, recorded in BASELINE)
     val cb2 = S.retrainIvfIndex(spark, path, noTomb, rDir,
-      nlist = 8, m = 16, ksub = 16, iters = 10, sampleN = 2000)
+      nlist = 8, m = 16, ksub = 16, iters = 10,
+      sampleN = (n + drifted.count()).toInt)
     val (idx2, dc2) = S.readIndex(spark, rDir)
     val rRetrained = recall(idx2, dc2, cb2, corpus1, qDrift)
     f"""{"metric":"driftarm","recall_fresh":$rFresh%.3f,""" +
