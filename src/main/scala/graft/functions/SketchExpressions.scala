@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // aggregate functions returned bare are wrapped in AggregateExpression
     // by the analyzer, exactly like the built-in registry's entries
+    ext.injectFunction((FunctionIdentifier("bounded_collect_long"),
+      new ExpressionInfo(classOf[BoundedCollectLong].getName, "bounded_collect_long"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, Literal(cap: Int, IntegerType)) => BoundedCollectLong(v, cap)
+        case other => throw new IllegalArgumentException(
+          s"bounded_collect_long(bigint, <int literal>), got $other")
+      }))
     ext.injectFunction((FunctionIdentifier("mg_topk"),
       new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
       (args: Seq[Expression]) => args match {
@@ -98,6 +105,9 @@ object SketchExpressions {
 
   def bloomMightContainLong(hash64: Column, bloomBytes: Array[Byte]): Column =
     call_function("bloom_might_contain_long", hash64, lit(bloomBytes))
+
+  def boundedCollectLong(v: Column, cap: Int): Column =
+    call_function("bounded_collect_long", v, lit(cap))
 
   private[functions] def requireLongArray(e: Expression, fn: String): TypeCheckResult =
     e.dataType match {

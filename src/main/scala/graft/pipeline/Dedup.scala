@@ -310,35 +310,48 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram Jaccard similarity for candidate pairs: explode distinct
-   * shingle hashes, self-join on shingle (inverted index), count
-   * intersections per pair, divide by union. Shuffle key = shingle hash;
-   * hot shingles are bounded by `df` filtering (drop shingles appearing in
-   * more than `maxDocFreq` docs — standard inverted-index pruning).
+   * Exact n-gram Jaccard similarity for candidate pairs via a ONE-PASS
+   * inverted index: explode distinct shingle hashes, fold each gram's
+   * posting list in a single size-capped aggregate
+   * ([[graft.functions.BoundedCollectLong]] — memory stays bounded however
+   * hot the gram), drop grams outside `df ∈ [2, maxDocFreq]` (standard
+   * inverted-index pruning), emit each eligible gram's doc pairs map-side
+   * from the sorted list, count intersections per pair, divide by union.
+   *
+   * r17 optimization (guide §2.3/§2.4): the previous shape was a df
+   * aggregate + left_semi probe + postings SELF-JOIN — four gram-keyed
+   * exchanges carrying the full gram stream. This computes the identical
+   * pair set from ONE gram-keyed exchange (partial aggregation reduces
+   * map-side) plus the pair-keyed count; the bounded aggregate keeps the
+   * old shape's hot-gram safety (a boilerplate gram retires at cap+1
+   * values per partial buffer instead of materializing its full posting
+   * list before the filter). Verified pair-for-pair equal to the join
+   * formulation (DedupSpec + the p11/p83 oracle rows).
    */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Long = 1000): DataFrame = {
+    require(maxDocFreq <= Int.MaxValue - 1, "ngramJaccardPairs: maxDocFreq too large")
     // hash shingles into one array per doc and materialize: the plan below
-    // reuses it four ways (sizes, doc-freq filter, both join sides) — without
-    // the persist each reuse re-runs the whole shingling expression
+    // reuses it three ways (postings, both size joins) — without the
+    // persist each reuse re-runs the whole shingling expression
     val hashed = docs
       .select(col("doc_id"), wordsOf(col("text")).as("_w"))
       .select(col("doc_id"), transform(shinglesOf(col("_w"), k), s => xxhash64(s)).as("shs"))
       .persist()
     val sh = hashed.select(col("doc_id"), explode(col("shs")).as("sh"))
     val sizes = hashed.select(col("doc_id"), size(col("shs")).as("setSize"))
-    // df filter stays a reduced-aggregate + left_semi probe ON PURPOSE
-    // (r11 audit): the p75-style df window would fold the two sh-keyed
-    // exchanges into one, but it SORTS the full gram stream and both
-    // self-join sides recompute it (no reuse under a broadcast side) —
-    // measured a wash at sf0.1 and strictly worse at scale, where the
-    // agg side is duplicate-reduced before it moves
-    val filtered = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= maxDocFreq && col("df") >= 2),
-      "sh", "left_semi")
-    val inter = filtered.as("a").join(filtered.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // posting lists arrive SORTED for df <= maxDocFreq (BoundedCollectLong
+    // sorts at eval), so the i<j slice below emits canonical doc_a < doc_b
+    // pairs deterministically regardless of partitioning
+    val postings = sh.groupBy("sh")
+      .agg(graft.functions.SketchExpressions.boundedCollectLong(
+        col("doc_id"), maxDocFreq.toInt).as("ids"))
+      .where(size(col("ids")) >= 2 && size(col("ids")) <= maxDocFreq)
+    val inter = postings
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("setSize", "sizeA"), "doc_a")
@@ -485,12 +498,15 @@ object Dedup {
       val t0 = System.nanoTime()
       val nbrMin = und.join(labels, und("v") === labels("id"))
         .groupBy(col("u")).agg(min(col("label")).as("nmin"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // r17: carry the previous label through the checkpoint so the
+      // moved-count is a filter over materialized blocks instead of a
+      // second join+shuffle per round
+      val next0 = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
+        .select(col("id"), col("label").as("_old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .where(col("label") < col("old")).count()
-      labels = next
+      changed = next0.where(col("label") < col("_old")).count()
+      labels = next0.select(col("id"), col("label"))
       it += 1
       if (ccLog) System.err.println(
         f"[cc] label-prop round $it: moved=$changed wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -532,7 +548,10 @@ object Dedup {
     var edges = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"), least(col("doc_a"), col("doc_b")).as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
-    var converged = edges.isEmpty
+    // r17: carry the materialized count across rounds (the old loop
+    // re-counted the previous edge set every round — one extra job/round)
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
     var it = 0
     while (!converged && it < maxIters) {
       val t0 = System.nanoTime()
@@ -541,9 +560,12 @@ object Dedup {
       val mins = sym.groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // NO distinct here (r17): duplicates of (u,m) cannot change mins2's
+      // min or the final distinct below — the old intermediate distinct
+      // was one full exchange per round for nothing
       val ls = sym.join(mins, "u").where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // v > u >= m keeps u > v
-        .where(col("u") =!= col("v")).distinct()
+        .where(col("u") =!= col("v"))
       // small-star over the canonical (bigger → smaller) orientation: hang
       // each smaller neighbor and u itself onto u's minimum neighbor
       val mins2 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -552,8 +574,12 @@ object Dedup {
         .union(withM.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
       val nNext = next.count()
-      converged = nNext == edges.count() && next.exceptAll(edges).isEmpty
+      // set equality on two DISTINCT sets = equal counts + empty anti join
+      // (cheaper than the old exceptAll, which built a counted union)
+      converged = nNext == nEdges &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
+      nEdges = nNext
       it += 1
       if (ccLog) System.err.println(
         f"[cc] star round $it: edges=$nNext wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
