@@ -246,7 +246,8 @@ object Assembly {
    * usual salting candidate at extreme scale; counts stay exact either way.
    */
   def bigramLmScore(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"), Dedup.wordsOf(col("text")).as("w"))
+    // same spreading rationale as unigramLmScore (r17)
+    val words = Par.spread(docs).select(col("doc_id"), Dedup.wordsOf(col("text")).as("w"))
     val vocabSize = words.select(explode(col("w")).as("word"))
       .agg(countDistinct(col("word")).as("v"))
     val bigr = words.where(size(col("w")) >= 2)

@@ -34,8 +34,9 @@ object Curation {
    * and each corpus doc's n-grams join map-side against the (small) bench
    * set. Output is proportional to actual contamination, not corpus size.
    */
-  def contamination(corpus: DataFrame, bench: DataFrame, n: Int = 3,
+  def contamination(corpus0: DataFrame, bench: DataFrame, n: Int = 3,
                     minOverlap: Long = 2L): DataFrame = {
+    val corpus = Par.spread(corpus0) // gram explode + integer counts (r17)
     // words materialized before shingling (see Dedup.shinglesOf: an inline
     // wordsOf would re-run the regex chain once per array element);
     // shinglesOf is already distinct per doc
@@ -69,9 +70,10 @@ object Curation {
    * the cheap first pass, then [[contamination]] on the flagged slice for
    * exact pair attribution.
    */
-  def contaminationBloom(corpus: DataFrame, bench: DataFrame, n: Int = 3,
+  def contaminationBloom(corpus0: DataFrame, bench: DataFrame, n: Int = 3,
                          minHits: Long = 2L, fpp: Double = 0.01,
                          expectedGrams: Long = 0L): DataFrame = {
+    val corpus = Par.spread(corpus0) // map-side bloom probe battery (r17)
     val bgrams = bench
       .select(Dedup.wordsOf(col("text")).as("w"))
       .select(explode(Dedup.shinglesOf(col("w"), n)).as("gram"))
@@ -153,8 +155,14 @@ object Curation {
    * Returns (vec_id, cluster, dist2 to final centroid).
    */
   def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val vecs = emb.select(col("vec_id"),
+    // per-row distance math + 1e7-quantized centroid folds (r17 spread).
+    // vecs is read by iters+2 actions (init take, per-iteration centroid
+    // folds, final assignment) — persist so the scan+cast+spread runs once,
+    // not once per action (same caller-evicts contract as the Dedup LSH
+    // signature tables; Bench/Verify sweep new persists per query).
+    val vecs = Par.spread(emb).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
+      .persist()
     var cents: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     var it = 0
@@ -371,7 +379,7 @@ object Curation {
     // agg (the p30/r11 convention): the one big shuffle carries 8-byte
     // keys, and only per-source-pair counts leave the chain; the
     // string-exact DuckDB oracle gates equality per round
-    val ss = docs
+    val ss = Par.spread(docs)
       .select(col("source"), Dedup.wordsOf(col("text")).as("w"))
       .where(size(col("w")) >= k)
       .select(col("source"),

@@ -113,7 +113,7 @@ object Dedup {
     // an unpersisted plan would re-shingle + re-hash the corpus per side
     // (and double the codegen'd expression tree). One row per doc — tiny
     // relative to the corpus text it replaces.
-    val sigs = docs
+    val sigs = Par.spread(docs)
       .select(col("doc_id"), wordsOf(col("text")).as("_w"))
       .select(col("doc_id"), minhashFromWords(col("_w"), k, numHashes).as("sig"))
       .persist()
@@ -133,7 +133,7 @@ object Dedup {
   /** (doc_id, sig) OPH signatures — shared by the pair join, the persisted
     * index writer and the incremental query. */
   private def ophSigs(docs: DataFrame, k: Int, numBins: Int): DataFrame =
-    docs
+    Par.spread(docs)
       .select(col("doc_id"), wordsOf(col("text")).as("_w"))
       .select(col("doc_id"),
         graft.functions.SketchExpressions.ophSig(
@@ -291,7 +291,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHammingDistance: Int = 3): DataFrame = {
     require(maxHammingDistance <= 3,
       s"simhashPairs: 5-block pair keys guarantee recall only for radius <= 3, got $maxHammingDistance")
-    val fp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
+    val fp = Par.spread(docs).select(col("doc_id"), simhash(col("text")).as("fp"))
     val widths = Seq(13, 13, 13, 13, 12)
     val offsets = widths.scanLeft(0)(_ + _)
     def block(b: Int) =
@@ -334,7 +334,7 @@ object Dedup {
     // hash shingles into one array per doc and materialize: the plan below
     // reuses it three ways (postings, both size joins) — without the
     // persist each reuse re-runs the whole shingling expression
-    val hashed = docs
+    val hashed = Par.spread(docs)
       .select(col("doc_id"), wordsOf(col("text")).as("_w"))
       .select(col("doc_id"), transform(shinglesOf(col("_w"), k), s => xxhash64(s)).as("shs"))
       .persist()
@@ -436,7 +436,7 @@ object Dedup {
    * `spanTokens` pass through unchanged.
    */
   def removeSharedSpans(docs: DataFrame, spanTokens: Int = 10): DataFrame = {
-    val w = docs.select(col("doc_id"), wordsOf(col("text")).as("_w"))
+    val w = Par.spread(docs).select(col("doc_id"), wordsOf(col("text")).as("_w"))
     val grams = w.where(size(col("_w")) >= spanTokens).select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("_w")) - (spanTokens - 1)),
           i => concat_ws(" ", slice(col("_w"), i, lit(spanTokens))))).as(Seq("p0", "gram")))

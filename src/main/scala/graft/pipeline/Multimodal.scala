@@ -334,7 +334,9 @@ object Multimodal {
     // fence everything downstream is integer array math, harmless to
     // re-inline. The shuffle carries 65 ints per asset — asset-count-
     // sized, the natural cost of materializing a signature.
-    val sampled = assets.where(col("modality") === "image")
+    // signature math is per-row/integer — spread a single-split local
+    // input across the cores (r17; Par.spread is a no-op at scale)
+    val sampled = Par.spread(assets).where(col("modality") === "image")
       .select(col("asset_id"), posexplode(samples).as(Seq("i", "v")))
       .groupBy("asset_id")
       .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
@@ -426,7 +428,7 @@ object Multimodal {
       s"audioEnergyHash: nBits must pack into 16-bit blocks, got $nBits")
     val nSeg = nBits + 1
     val txt = decode(col("payload"), "UTF-8")
-    val chars = assets.where(col("modality") === "audio" && length(txt) > 0)
+    val chars = Par.spread(assets).where(col("modality") === "audio" && length(txt) > 0)
       .select(col("asset_id"), length(txt).cast("long").as("n"),
         posexplode(split(txt, "")).as(Seq("i", "ch")))
       .where(length(col("ch")) === 1)
@@ -476,7 +478,7 @@ object Multimodal {
     require(nBits > 0 && nBits % 16 == 0,
       s"videoFrameHash: nBits must pack into 16-bit blocks, got $nBits")
     val txt = decode(col("payload"), "UTF-8")
-    val chars = assets.where(col("modality") === "video" && length(txt) > 0)
+    val chars = Par.spread(assets).where(col("modality") === "video" && length(txt) > 0)
       .select(col("asset_id"), posexplode(split(txt, "")).as(Seq("i", "ch")))
       .where(length(col("ch")) === 1)
       .select(col("asset_id"), col("i"), ascii(col("ch")).cast("long").as("v"))

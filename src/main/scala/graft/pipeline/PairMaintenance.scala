@@ -187,25 +187,32 @@ object PairMaintenance {
       p.count(); p
     }
     val bigSlices = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    def slice(df: DataFrame): DataFrame = {
-      val p = diskEager(df); bigSlices += p; p
+    val sc = spark.sparkContext
+    def slice(df: DataFrame, tag: String): DataFrame = {
+      sc.setJobDescription(s"incrementalClusters: $tag")
+      val p = try diskEager(df) finally sc.setJobDescription(null)
+      bigSlices += p; p
+    }
+    def labeled[T](tag: String)(f: => T): T = {
+      sc.setJobDescription(s"incrementalClusters: $tag")
+      try f finally sc.setJobDescription(null)
     }
     try {
 
-    // scan 1) delta grams: every gram whose df could have moved — grams of
-    //    any changed or removed doc, ANY segment (old text included: the
-    //    index still holds tombstoned rows)
-    val deltaIds = broadcast(changedIds.select(col("doc_id"))
+    // scans 1+2) delta grams (every gram whose df could have moved — grams
+    //    of any changed or removed doc, ANY segment: the index still holds
+    //    tombstoned rows) flowing STRAIGHT into their full posting slice.
+    //    r17: deltaGrams is referenced exactly once, so it rides inside the
+    //    deltaHits job instead of paying its own eager materialization —
+    //    df under both states and the crossing-gram holders all derive
+    //    from this one frame. Eligibility = df in [2, maxDocFreq]
+    //    (ngramJaccardPairs' inter filter); a flip is a CROSSING gram.
+    val deltaIds = labeled("deltaIds")(broadcast(changedIds.select(col("doc_id"))
       .unionByName(removedIds.select(col("doc_id"))).distinct()
-      .localCheckpoint(true))
-    val deltaGrams = slice(idx.join(deltaIds, Seq("doc_id"), "left_semi")
-      .select("sh").distinct())
-
-    // scan 2) the delta grams' full posting slice: df under both states
-    //    and the crossing-gram holders all derive from this one frame.
-    //    Eligibility = df in [2, maxDocFreq] (ngramJaccardPairs' inter
-    //    filter); a flip is a CROSSING gram.
-    val deltaHits = slice(idx.join(deltaGrams, Seq("sh"), "left_semi"))
+      .localCheckpoint(true)))
+    val deltaGrams = idx.join(deltaIds, Seq("doc_id"), "left_semi")
+      .select("sh").distinct()
+    val deltaHits = slice(idx.join(deltaGrams, Seq("sh"), "left_semi"), "deltaHits")
     val eligible = (c: org.apache.spark.sql.Column) =>
       c >= 2L && c <= maxDocFreq
     val crossing = deltaHits.groupBy("sh")
@@ -227,23 +234,26 @@ object PairMaintenance {
     // shuffle join. They are eager localCheckpoints, so AQE knows their
     // true size and broadcasts exactly when they fit — same policy as the
     // gram-keyed joins.
-    val probeIds = changedIds.select(col("doc_id"))
-      .unionByName(expandedIds).distinct().localCheckpoint(true)
-    val dropIds = probeIds.unionByName(
-      removedIds.select(col("doc_id"))).distinct().localCheckpoint(true)
+    val probeIds = labeled("probeIds")(changedIds.select(col("doc_id"))
+      .unionByName(expandedIds).distinct().localCheckpoint(true))
+    val dropIds = labeled("dropIds")(probeIds.unionByName(
+      removedIds.select(col("doc_id"))).distinct().localCheckpoint(true))
 
     // scan 3 + 4) recompute the probe docs' pairs against the index:
     //    probe grams, then the probe grams' posting slice; df-eligibility
     //    and partner hits both derive from the slice
     val probeGrams = slice(idx.where(col("_aliveNew"))
       .join(probeIds, Seq("doc_id"), "left_semi")
-      .select(col("sh"), col("doc_id").as("_pid")))
+      .select(col("sh"), col("doc_id").as("_pid")), "probeGrams")
     val hits0 = slice(idx.where(col("_aliveNew"))
       .join(probeGrams.select("sh").distinct(), Seq("sh"), "left_semi")
-      .select(col("sh"), col("doc_id").as("_oid")))
-    val probeDf = slice(hits0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .select(col("sh"), col("doc_id").as("_oid")), "hits0")
+    // r17: probeDf stays LAZY — both consumers re-derive it with one cheap
+    // aggregate over the already-materialized hits0 slice, which is less
+    // than the eager persist+count job the old slice() paid
+    val probeDf = hits0.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(eligible(col("df")))
-      .select("sh"))
+      .select("sh")
     val hits = hits0.join(probeDf, Seq("sh"), "left_semi")
     val inter = probeGrams
       .join(probeDf, Seq("sh"), "left_semi")
@@ -263,14 +273,14 @@ object PairMaintenance {
           (col("_raw") / 2L).cast("long")).otherwise(col("_raw")).as("inter"))
     val szAll = aliveUnder(spark.read.parquet(s"$indexDir.sizes"), tombstonesNew)
       .select(col("doc_id"), col("set_size"))
-    val newPairsRecomputed = inter
+    val newPairsRecomputed = labeled("newPairsRecomputed")(inter
       .join(szAll.select(col("doc_id").as("doc_a"), col("set_size").as("_sa")), "doc_a")
       .join(szAll.select(col("doc_id").as("doc_b"), col("set_size").as("_sb")), "doc_b")
       .withColumn("jaccard", col("inter").cast("double") /
         (col("_sa") + col("_sb") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .localCheckpoint(true)
+      .localCheckpoint(true))
 
     // 5) the refreshed pair artifact: old pairs not touching the blast
     //    radius + the recomputed radius pairs
@@ -291,14 +301,18 @@ object PairMaintenance {
     val droppedOld = oldPairs
       .join(da, Seq("doc_a"), "left_semi")
       .unionByName(oldPairs.join(db, Seq("doc_b"), "left_semi"))
+    // r17: seeds is referenced exactly once (by touched) — it rides inside
+    // touched's checkpoint job instead of paying its own; every seed source
+    // is either an input, an eager checkpoint (dropIds/newPairsRecomputed)
+    // or a cheap semi-join over oldPairs (droppedOld)
     val seeds = dropIds.select("doc_id")
       .unionByName(droppedOld.select(col("doc_a").as("doc_id")))
       .unionByName(droppedOld.select(col("doc_b").as("doc_id")))
       .unionByName(newPairsRecomputed.select(col("doc_a").as("doc_id")))
       .unionByName(newPairsRecomputed.select(col("doc_b").as("doc_id")))
-      .distinct().localCheckpoint(true)
-    val touched = oldCC.join(seeds, Seq("doc_id"), "left_semi")
-      .select("cluster_id").distinct().localCheckpoint(true)
+      .distinct()
+    val touched = labeled("touched")(oldCC.join(seeds, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct().localCheckpoint(true))
     // sub-corpus: touched components' surviving members + added docs
     // (changed ids with no old label)
     val subDocs = oldCC.join(touched, Seq("cluster_id"), "left_semi")
@@ -321,8 +335,8 @@ object PairMaintenance {
     // ("key not found: u#N") inside dedupClustersStar's symmetric union
     def strip(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
-    val subCC = Dedup.dedupClustersStar(strip(subDocs), strip(subPairs))
-      .localCheckpoint(true)
+    val subCC = labeled("subCC")(Dedup.dedupClustersStar(strip(subDocs), strip(subPairs))
+      .localCheckpoint(true))
     val untouched = oldCC.join(touched, Seq("cluster_id"), "left_anti")
       .select("doc_id", "cluster_id")
     // the returned frames reference only inputs and the eager checkpoints

@@ -202,9 +202,14 @@ object Quantize {
    * m=16/ksub=16 vs 0.40 for direct ADC top-5 — rerank buys back nearly all
    * the quantization loss for a candidates×dim-sized join.
    */
-  def pqTopKReranked(encoded: DataFrame, queries: DataFrame,
+  def pqTopKReranked(encoded0: DataFrame, queries: DataFrame,
                      codebooks: Array[Array[Array[Double]]], k: Int,
                      shortlist: Int = 50): DataFrame = {
+    // both the ADC scan and the rerank join read `encoded` — persist so the
+    // m×ksub argmin encode expression runs once per row, not once per
+    // consumer (r17; same caller-evicts contract as the Dedup signature
+    // tables — Bench/Verify sweep new persists per query)
+    val encoded = encoded0.persist()
     val cand = pqTopK(encoded, queries, codebooks, shortlist)
       .select("query_id", "neighbor_id")
     val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))

@@ -141,7 +141,7 @@ object Similarity {
     // per-ROW norms: corpus norms would otherwise be recomputed once per query
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn"))
-    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+    val scored = Par.spread(corpus).select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
         norm(col("embedding")).as("cn"))
       .crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -260,7 +260,7 @@ object Similarity {
   def labelBlockedNearDup(emb: DataFrame, threshold: Double): DataFrame = {
     // norms precomputed per ROW: inlining cosine() in the join recomputes
     // each vector's norm once per candidate pair (block-size× the work)
-    val normed = emb.select(col("label"), col("vec_id"), col("embedding"),
+    val normed = Par.spread(emb).select(col("label"), col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     val a = normed.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = normed.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -417,7 +417,7 @@ object Similarity {
     val bandKeys = graft.functions.SketchExpressions.srpBandKeys(
       col("embedding"), bitsPerBand, nBands, dim, seed = 42)
     // signatures computed once, reused by both join sides
-    val sigs = emb.select(col("vec_id"), col("label"), col("embedding"),
+    val sigs = Par.spread(emb).select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"), bandKeys.as("keys"))
       .persist()
     // band join on NARROW rows (ids + key only): a pair can collide in up to

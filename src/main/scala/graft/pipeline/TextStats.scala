@@ -31,7 +31,9 @@ object TextStats {
     val toks = filter(split(lower(t), "\\s+"), x => length(x) > 0)
     val nTok = size(toks)
     val nChar = length(t)
-    docs
+    // pure per-row map over regex-heavy expressions — spread a
+    // single-split input across the cores (Par.spread: no-op at scale)
+    Par.spread(docs)
       .withColumn("n_chars_m", nChar)
       .withColumn("n_tokens", nTok)
       .withColumn("mean_word_len",
@@ -249,7 +251,7 @@ object TextStats {
    */
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val emptyGrams = array().cast("array<struct<kind:bigint,gram:string>>")
-    val gramCounts = docs
+    val gramCounts = Par.spread(docs)
       .select(col("doc_id"), Dedup.wordsOf(col(textCol)).as("_w"))
       .select(col("doc_id"), explode(concat(
         transform(col("_w"), w => struct(lit(0L).as("kind"), w.as("gram"))),
@@ -359,7 +361,7 @@ object TextStats {
     // 8 bytes per row instead of a ~k-word string, and only counts leave
     // this chain. A collision (p ≈ 2⁻⁶⁴ per gram pair) could merge two
     // grams' df — the string-exact DuckDB oracle gates equality per round.
-    val g = docs.select(col("doc_id"), Dedup.wordsOf(col(textCol)).as("_w"))
+    val g = Par.spread(docs).select(col("doc_id"), Dedup.wordsOf(col(textCol)).as("_w"))
       .select(col("doc_id"), explode(Dedup.shinglesOf(col("_w"), k)).as("_gs"))
       .select(col("doc_id"), xxhash64(col("_gs")).as("gram"))
     val withDf = g.withColumn("df", count(lit(1)).over(
