@@ -1640,8 +1640,20 @@ object Queries {
           .join(df.select(col("doc_id"),
             TextStats.tokenCount(col("text")).cast("long").as("n_tokens")), "doc_id")
           .select(col("doc_id"), col("split"), col("n_tokens"))
-      Assembly.splitMoves(assign(d), assign(newSnap))
-        .orderBy("split_from", "split_to")
+      // the two snapshots' pair+CC chains are independent until splitMoves
+      // — overlap their driver-blocking star-CC loops on two threads
+      // (guide §2.6; r17). Results are unchanged: each chain is the same
+      // deterministic computation, just not serialized behind the other.
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fa = Future(assign(d))
+        val fb = Future(assign(newSnap))
+        Assembly.splitMoves(Await.result(fa, Duration.Inf),
+            Await.result(fb, Duration.Inf))
+          .orderBy("split_from", "split_to")
+      }
     }),
     // the p83 matrix computed INCREMENTALLY — the declared scale path to
     // p83's full-recompute baseline: the refresh appends one shingle-index

@@ -1039,7 +1039,9 @@ object Assembly {
     val pinned = scala.collection.mutable.Buffer.empty[DataFrame]
     def rankOf(scored0: DataFrame, rankName: String): DataFrame = {
       val scored = scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned += scored
+      // rankOf now runs on three concurrent driver threads — guard the
+      // shared pin list
+      pinned.synchronized { pinned += scored }
       val hist = scored.groupBy("score").agg(count(lit(1)).as("_c"))
         .withColumn("_g", lit(1))
       val w = Window.partitionBy("_g").orderBy("score")
@@ -1057,12 +1059,27 @@ object Assembly {
       scored.join(broadcast(ranks), "score").select(col("doc_id"), col(rankName))
     }
     try {
-      val q = rankOf(Curation.scoredQuality(docs)
+      // the three signal chains are independent until the final join — run
+      // them as concurrent driver-submitted jobs (guide §2.6: actions are
+      // only sequential because the driver calls them sequentially; each
+      // chain's tail otherwise leaves the executor idle). localCheckpoint
+      // materializes each rank table eagerly inside its future; the final
+      // join then reads three tiny materialized frames.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fq = Future(rankOf(Curation.scoredQuality(docs)
         .select(col("doc_id"), col("quality").as("score")), "q_rank")
-      val nb = rankOf(nbDomainScore(docs, targetSource)
+        .localCheckpoint(true))
+      val fnb = Future(rankOf(nbDomainScore(docs, targetSource)
         .select(col("doc_id"), r4(col("logodds")).as("score")), "nb_rank")
-      val lm = rankOf(unigramLmScore(docs)
+        .localCheckpoint(true))
+      val flm = Future(rankOf(unigramLmScore(docs)
         .select(col("doc_id"), r4(col("avg_logp")).as("score")), "lm_rank")
+        .localCheckpoint(true))
+      val q = Await.result(fq, Duration.Inf)
+      val nb = Await.result(fnb, Duration.Inf)
+      val lm = Await.result(flm, Duration.Inf)
       q.join(nb, "doc_id").join(lm, "doc_id")
         .withColumn("fused",
           r4((col("q_rank") + col("nb_rank") + col("lm_rank")) / 3))
