@@ -218,9 +218,14 @@ object Assembly {
    * function of integers, bit-identical in any engine.
    */
   def unigramLmScore(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"), Dedup.wordsOf(col("text")).as("w"))
+    // r17: the tokenized frame feeds the vocab aggregate AND the scoring
+    // join, and the vocab feeds the totals AND the join — persist both so
+    // the regex+split chain and the word-keyed aggregate each run ONCE
+    // (vocab is Zipf-bounded, tiny state at any scale; same caller-evicts
+    // contract as the Dedup signature tables)
+    val words = docs.select(col("doc_id"), Dedup.wordsOf(col("text")).as("w")).persist()
     val toks = words.select(col("doc_id"), explode(col("w")).as("word"))
-    val vocab = toks.groupBy("word").agg(count(lit(1)).as("c"))
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("c")).persist()
     val totals = vocab.agg(sum("c").as("t"), count(lit(1)).as("v"))
     val termQ = round(log((col("c") + 1.0) / (col("t") + col("v"))) * 1e6).cast("long")
     toks.join(vocab, "word")
@@ -246,8 +251,12 @@ object Assembly {
    * usual salting candidate at extreme scale; counts stay exact either way.
    */
   def bigramLmScore(docs: DataFrame): DataFrame = {
-    // same spreading rationale as unigramLmScore (r17)
+    // same spreading rationale as unigramLmScore (r17); words feeds the
+    // vocab count and THREE bigram-stream references — persist it so the
+    // regex+split chain runs once, not four times (spills gracefully at
+    // scale; recompute is the expensive part per guide §5)
     val words = Par.spread(docs).select(col("doc_id"), Dedup.wordsOf(col("text")).as("w"))
+      .persist()
     val vocabSize = words.select(explode(col("w")).as("word"))
       .agg(countDistinct(col("word")).as("v"))
     val bigr = words.where(size(col("w")) >= 2)
@@ -368,11 +377,16 @@ object Assembly {
    * selection is a TakeOrdered top-k, never a global sort.
    */
   def dsirSelect(docs: DataFrame, target: DataFrame, k: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(Dedup.wordsOf(col("text"))).as("word"))
-    val rawVocab = toks.groupBy("word").agg(count(lit(1)).as("cr"))
+    // r17: the tokenized frame feeds the raw-vocab aggregate AND the
+    // scoring join; each vocab feeds its totals AND the join — persist
+    // the words frame + both vocab-sized aggregates so the regex chain
+    // and the word-keyed shuffles run once each
+    val wd = docs.select(col("doc_id"), Dedup.wordsOf(col("text")).as("_w")).persist()
+    val toks = wd.select(col("doc_id"), explode(col("_w")).as("word"))
+    val rawVocab = toks.groupBy("word").agg(count(lit(1)).as("cr")).persist()
     val rawTot = rawVocab.agg(sum("cr").as("tr"), count(lit(1)).as("vr"))
     val tgtVocab = target.select(explode(Dedup.wordsOf(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("ct"))
+      .groupBy("word").agg(count(lit(1)).as("ct")).persist()
     val tgtTot = tgtVocab.agg(sum("ct").as("tt"), count(lit(1)).as("vt"))
     toks.join(rawVocab, "word")
       .join(broadcast(tgtVocab), Seq("word"), "left")
@@ -416,13 +430,18 @@ object Assembly {
    * engine that computes the same per-word terms.
    */
   def nbDomainScore(docs: DataFrame, targetSource: String): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    // r17: the token stream feeds the class-count aggregate AND the
+    // scoring join, and wc feeds the totals AND the join — persist the
+    // tokenized frame + the vocab-sized class counts so each computes once
+    val w0 = docs.select(col("doc_id"),
       (col("source") === targetSource).as("tgt"),
-      explode(Dedup.wordsOf(col("text"))).as("word"))
+      Dedup.wordsOf(col("text")).as("_w")).persist()
+    val toks = w0.select(col("doc_id"), col("tgt"), explode(col("_w")).as("word"))
     val wc = toks.groupBy("word").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cw"))
       .withColumn("cr", col("cw") - col("ct"))
+      .persist()
     val tot = wc.agg(sum("ct").as("nt"), sum("cr").as("nr"), count(lit(1)).as("v"))
     // Guard the prior: if targetSource matches none or all documents the
     // log-ratio goes to ln(0)/ln(inf) and Spark's non-ANSI semantics would

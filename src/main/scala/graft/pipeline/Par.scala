@@ -21,6 +21,9 @@ import org.apache.spark.sql.DataFrame
  */
 object Par {
   def spread(df: DataFrame): DataFrame = {
+    // streaming frames can't be inspected via .rdd (and micro-batch
+    // partitioning is the source's business) — pass them through untouched
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
