@@ -74,9 +74,13 @@ object Curation {
                          minHits: Long = 2L, fpp: Double = 0.01,
                          expectedGrams: Long = 0L): DataFrame = {
     val corpus = Par.spread(corpus0) // map-side bloom probe battery (r17)
+    // bench grams feed the sizing count AND the bloom build — persist so
+    // the bench-side shingling runs once (a benchmark is small by
+    // contract; r17, same caller-evicts convention as the LSH tables)
     val bgrams = bench
       .select(Dedup.wordsOf(col("text")).as("w"))
       .select(explode(Dedup.shinglesOf(col("w"), n)).as("gram"))
+      .persist()
     val expected = if (expectedGrams > 0) expectedGrams
       else math.max(bgrams.count(), 1L)
     val bloom = bgrams.select(xxhash64(col("gram")).as("g"))
