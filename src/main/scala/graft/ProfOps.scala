@@ -38,12 +38,16 @@ object ProfOps {
       }
     })
     def dumpJobs(tag: String, minSec: Double = 0.15): Unit = {
+      var n = 0
+      var tot = 0.0
       val it = jobLog.iterator()
       while (it.hasNext) {
         val line = it.next()
         val secs = line.split("\\s+")(2).dropRight(1).toDouble
+        n += 1; tot += secs
         if (secs >= minSec) println(s"[jobs:$tag] $line")
       }
+      println(f"[jobs:$tag] TOTAL $n jobs, $tot%.2fs summed wall")
       jobLog.clear()
     }
 
@@ -83,7 +87,7 @@ object ProfOps {
               oldPairs, oldCC, changedIds = changed.select("doc_id"),
               removedIds = deletedIds, tombstonesOld = noTomb,
               tombstonesNew = tomb, refreshSegFrom = 1L))
-          if (rep == 2) dumpJobs(s"r$rep-inc")
+          if (rep == 2) dumpJobs(s"r$rep-inc", minSec = 0.05)
           val newSnap = d.where(col("doc_id") % 7 =!= 0)
             .withColumn("text",
               when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))

@@ -1635,9 +1635,11 @@ object Queries {
             .otherwise(col("text")))
         .unionByName(d.where(col("doc_id") % 13 === 0)
           .withColumn("doc_id", col("doc_id") + 1000000L))
+      // r18: spread the tokenCount side (map-heavy scan of a one-row-group
+      // input; no-op on a many-split production corpus)
       def assign(df: DataFrame) =
         Dedup.splitByCluster(df, Dedup.ngramJaccardPairs(df, k = 3, threshold = 0.5))
-          .join(df.select(col("doc_id"),
+          .join(graft.pipeline.Par.spread(df).select(col("doc_id"),
             TextStats.tokenCount(col("text")).cast("long").as("n_tokens")), "doc_id")
           .select(col("doc_id"), col("split"), col("n_tokens"))
       // the two snapshots' pair+CC chains are independent until splitMoves
@@ -1675,6 +1677,22 @@ object Queries {
       val tomb = deletedIds.select(col("doc_id"),
           lit(Long.MaxValue).as("before_seg"))
         .unionByName(edited.select(col("doc_id"), lit(1L).as("before_seg")))
+      // (spread on the tokenCount side measured NEGATIVE here — the
+      // repartition exchange ships the full text and the two assignment
+      // chains already overlap the cores; tried and reverted, r18)
+      def assignOf(cc: DataFrame, corpus: DataFrame) = cc
+        .withColumn("split", Assembly.splitLabel(col("cluster_id"), 0.9, 0.05, 9377L))
+        .join(corpus.select(col("doc_id"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tokens")), "doc_id")
+        .select(col("doc_id"), col("split"), col("n_tokens"))
+      // r18 (guide §2.6): the OLD snapshot's assignment (a full-corpus
+      // tokenCount scan) is independent of the incremental refresh — run
+      // it on a concurrent driver thread so it back-fills executors while
+      // incrementalClusters' control-plane steps leave them idle
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fOld = Future(assignOf(oldCC, d).localCheckpoint(true))
       val (newCC, _) = PairMaintenance.incrementalClusters(s, path,
         oldPairs, oldCC, changedIds = changed.select("doc_id"),
         removedIds = deletedIds, tombstonesOld = noTomb,
@@ -1685,12 +1703,8 @@ object Queries {
             .otherwise(col("text")))
         .unionByName(d.where(col("doc_id") % 13 === 0)
           .withColumn("doc_id", col("doc_id") + 1000000L))
-      def assignOf(cc: DataFrame, corpus: DataFrame) = cc
-        .withColumn("split", Assembly.splitLabel(col("cluster_id"), 0.9, 0.05, 9377L))
-        .join(corpus.select(col("doc_id"),
-          TextStats.tokenCount(col("text")).cast("long").as("n_tokens")), "doc_id")
-        .select(col("doc_id"), col("split"), col("n_tokens"))
-      Assembly.splitMoves(assignOf(oldCC, d), assignOf(newCC, newSnap))
+      Assembly.splitMoves(Await.result(fOld, Duration.Inf),
+          assignOf(newCC, newSnap))
         .orderBy("split_from", "split_to")
     }),
     // boolean retrieval over the persisted term index: AND of three terms,

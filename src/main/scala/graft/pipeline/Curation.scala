@@ -307,7 +307,11 @@ object Curation {
                     minTokens: Int = 10,
                     cc: (DataFrame, DataFrame) => DataFrame =
                       Dedup.dedupClustersStar(_, _)): DataFrame = {
-    val gated = piiSignals(TextStats.languageId(docs))
+    // r18: the gate battery (language id + 4 PII regexes + tokenCount) is
+    // the heaviest map-side work in the pass — spread it so a one-row-group
+    // local input doesn't run it on a single core (Par.spread no-ops when
+    // the scan already has enough splits)
+    val gated = piiSignals(TextStats.languageId(Par.spread(docs)))
       .withColumn("n_tokens", TextStats.tokenCount(col("text")))
       .where(col("lang_pred") === lang && col("n_tokens") >= minTokens && !col("has_pii"))
     gated

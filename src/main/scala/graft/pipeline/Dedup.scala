@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /**
  * Large-scale document deduplication operators over a `documents` table
@@ -28,6 +29,82 @@ object Dedup {
   /** GRAFT_CC_LOG=1 prints per-round CC progress (edge/moved counts, wall)
     * to stderr — the ScaleBench instrumentation for the 100× spot-runs. */
   private val ccLog: Boolean = sys.env.contains("GRAFT_CC_LOG")
+
+  /** Size gate for the CC driver fallback (r18): a pair graph whose
+    * materialized canonical edge count is at or below this resolves its
+    * labels with an in-memory union-find instead of iterating distributed
+    * star/label-prop rounds — each distributed round on a tiny edge set is
+    * pure control-plane cost (~3 exchanges + per-round plan analysis,
+    * measured ~0.45 s/round on a 400-edge blast-radius subgraph), where
+    * the driver fold is milliseconds. Same bounded-driver-fold contract as
+    * packPlan's bucket bases and trainCentroids' sample: the collected
+    * state is capped (≤ ~16 B/edge primitive, default 1M edges), labels
+    * are bit-identical (min reachable id is unique), and graphs above the
+    * cap keep the distributed loop untouched — at 100 TB a real dup graph
+    * takes that path, exactly like AQE picking a broadcast only when the
+    * side fits. Tunable per deployment via `graft.cc.maxDriverEdges`. */
+  private def maxDriverEdges(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.cc.maxDriverEdges").map(_.toLong)
+      .getOrElse(1000000L)
+
+  /** Exact min-reachable-id labels over a collected edge list: union-find
+    * with path compression, then min doc_id per component. Returns one
+    * (doc_id, label) row per edge ENDPOINT (singletons resolve through the
+    * caller's left join + coalesce, as with the distributed loops). */
+  private def driverCcLabels(spark: org.apache.spark.sql.SparkSession,
+                             edgeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val idx = new java.util.HashMap[Long, Integer](edgeRows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]
+    def nodeOf(id: Long): Int = {
+      val got = idx.get(id)
+      if (got != null) got.intValue()
+      else { val i = ids.length; idx.put(id, i); ids += id; i }
+    }
+    val us = new Array[Int](edgeRows.length)
+    val vs = new Array[Int](edgeRows.length)
+    var e = 0
+    while (e < edgeRows.length) {
+      us(e) = nodeOf(edgeRows(e).getLong(0))
+      vs(e) = nodeOf(edgeRows(e).getLong(1))
+      e += 1
+    }
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    e = 0
+    while (e < edgeRows.length) {
+      val ra = find(us(e)); val rb = find(vs(e))
+      if (ra != rb) parent(rb) = ra
+      e += 1
+    }
+    val minOf = new Array[Long](ids.length)
+    java.util.Arrays.fill(minOf, Long.MaxValue)
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      if (ids(i) < minOf(r)) minOf(r) = ids(i)
+      i += 1
+    }
+    val rows = new Array[org.apache.spark.sql.Row](ids.length)
+    i = 0
+    while (i < ids.length) {
+      rows(i) = org.apache.spark.sql.Row(ids(i), minOf(find(i)))
+      i += 1
+    }
+    if (ccLog) System.err.println(
+      s"[cc] driver union-find: nodes=${ids.length} edges=${edgeRows.length}")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("label", LongType, nullable = false)))
+    val slices = math.max(1, ids.length / 500000)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, slices), schema)
+  }
 
   /** Exact dedup on md5(text): one row per distinct content, keeper =
     * min(doc_id), plus the duplicate count. */
@@ -487,11 +564,28 @@ object Dedup {
     val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
+    // r18 small-graph gate (see [[maxDriverEdges]]): the count materializes
+    // the persist the first round would have paid anyway; a graph that fits
+    // collects once and labels resolve in-memory instead of per-round jobs
+    val nUnd = und.count()
+    if (nUnd > 0 && nUnd <= 2 * maxDriverEdges(docs.sparkSession)) {
+      val collected = und.collect()
+      und.unpersist()
+      val labels = driverCcLabels(docs.sparkSession, collected)
+      return docs.select(col("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    }
     // per-round localCheckpoint: round k's plan nests round k-1's, so
     // un-truncated lineage deepens every round and the analyzer OOMs the
-    // driver near round ~40 — BEFORE the maxIters guard can fire
+    // driver near round ~40 — BEFORE the maxIters guard can fire.
+    // r18: LAZY checkpoints — the moved-count below is each round's first
+    // action, so it materializes the checkpoint in the SAME job (the old
+    // eager checkpoint + separate count paid two scheduler round-trips per
+    // round; at near-dup blast-radius sizes the per-job control-plane
+    // overhead IS the round cost)
     var labels = und.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+      .select(col("id"), col("id").as("label")).localCheckpoint(false)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -504,7 +598,7 @@ object Dedup {
       val next0 = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
         .select(col("id"), col("label").as("_old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next0.where(col("label") < col("_old")).count()
       labels = next0.select(col("id"), col("label"))
       it += 1
@@ -545,12 +639,26 @@ object Dedup {
    * cluster with executor churn, prefer a real `checkpoint` dir.
    */
   def dedupClustersStar(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // r18: LAZY checkpoints throughout the loop — the count that follows
+    // each checkpoint is its first action, so materialization and count
+    // share ONE job (the eager checkpoint + count pair cost two scheduler
+    // round-trips per round, pure control-plane overhead on blast-radius-
+    // sized edge sets)
     var edges = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"), least(col("doc_a"), col("doc_b")).as("v"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(false)
     // r17: carry the materialized count across rounds (the old loop
     // re-counted the previous edge set every round — one extra job/round)
     var nEdges = edges.count()
+    // r18 small-graph gate (see [[maxDriverEdges]]): a pair graph that fits
+    // the driver collects once and labels resolve by union-find — each
+    // distributed star round on a tiny edge set is pure control-plane cost
+    if (nEdges > 0 && nEdges <= maxDriverEdges(docs.sparkSession)) {
+      val labels = driverCcLabels(docs.sparkSession, edges.collect())
+      return docs.select(col("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    }
     var converged = nEdges == 0L
     var it = 0
     while (!converged && it < maxIters) {
@@ -572,7 +680,7 @@ object Dedup {
       val withM = ls.join(mins2, "u")
       val next = withM.select(col("v").as("u"), col("m").as("v"))
         .union(withM.select(col("u"), col("m").as("v")))
-        .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+        .where(col("u") =!= col("v")).distinct().localCheckpoint(false)
       val nNext = next.count()
       // set equality on two DISTINCT sets = equal counts + empty anti join
       // (cheaper than the old exceptAll, which built a counted union)

@@ -149,21 +149,12 @@ object PairMaintenance {
                           refreshSegFrom: Long,
                           threshold: Double = 0.5,
                           maxDocFreq: Long = 1000): (DataFrame, DataFrame) = {
+    require(maxDocFreq <= Int.MaxValue - 1,
+      "incrementalClusters: maxDocFreq too large")
     // alive-ness under either tombstone state as per-row FLAGS from one
     // broadcast tombstone fold (dead iff seg < max(before_seg) over the
     // doc's tombstones) — so one index scan can serve both states, instead
     // of one anti-join scan per state per consumer
-    val bo = tombstonesOld.groupBy("doc_id")
-      .agg(max(col("before_seg")).as("_bo"))
-    val bn = tombstonesNew.groupBy("doc_id")
-      .agg(max(col("before_seg")).as("_bn"))
-    val idx = spark.read.parquet(indexDir).select("sh", "doc_id", "seg")
-      .join(broadcast(bo), Seq("doc_id"), "left")
-      .join(broadcast(bn), Seq("doc_id"), "left")
-      .withColumn("_aliveOld", col("seg") < refreshSegFrom &&
-        col("seg") >= coalesce(col("_bo"), lit(0L)))
-      .withColumn("_aliveNew", col("seg") >= coalesce(col("_bn"), lit(0L)))
-      .select("sh", "doc_id", "_aliveOld", "_aliveNew")
 
     // every small frame below materializes EAGERLY (localCheckpoint):
     // they are referenced 2-4 times each, and a lazy plan would re-run
@@ -199,6 +190,27 @@ object PairMaintenance {
     }
     try {
 
+    // r18: BOTH tombstone folds materialize in ONE job and broadcast from
+    // the checkpoint — the folds are tombstone-table-sized, but their lazy
+    // plans re-ran the caller's tombstone derivations (corpus-projection
+    // scans) inside EVERY job that touches the index or the sizes sidecar
+    // (~8 embedded rescans per refresh before this)
+    val tombF = labeled("tombFold")(
+      tombstonesOld.select(col("doc_id"), col("before_seg"), lit(0).as("_w"))
+        .unionByName(tombstonesNew.select(col("doc_id"), col("before_seg"),
+          lit(1).as("_w")))
+        .groupBy("doc_id", "_w").agg(max(col("before_seg")).as("_b"))
+        .localCheckpoint(true))
+    val bo = tombF.where(col("_w") === 0).select(col("doc_id"), col("_b").as("_bo"))
+    val bn = tombF.where(col("_w") === 1).select(col("doc_id"), col("_b").as("_bn"))
+    val idx = spark.read.parquet(indexDir).select("sh", "doc_id", "seg")
+      .join(broadcast(bo), Seq("doc_id"), "left")
+      .join(broadcast(bn), Seq("doc_id"), "left")
+      .withColumn("_aliveOld", col("seg") < refreshSegFrom &&
+        col("seg") >= coalesce(col("_bo"), lit(0L)))
+      .withColumn("_aliveNew", col("seg") >= coalesce(col("_bn"), lit(0L)))
+      .select("sh", "doc_id", "_aliveOld", "_aliveNew")
+
     // scans 1+2) delta grams (every gram whose df could have moved — grams
     //    of any changed or removed doc, ANY segment: the index still holds
     //    tombstoned rows) flowing STRAIGHT into their full posting slice.
@@ -207,9 +219,11 @@ object PairMaintenance {
     //    df under both states and the crossing-gram holders all derive
     //    from this one frame. Eligibility = df in [2, maxDocFreq]
     //    (ngramJaccardPairs' inter filter); a flip is a CROSSING gram.
-    val deltaIds = labeled("deltaIds")(broadcast(changedIds.select(col("doc_id"))
-      .unionByName(removedIds.select(col("doc_id"))).distinct()
-      .localCheckpoint(true)))
+    // r18: deltaIds is referenced exactly once (the semi-join below) and
+    // carries an explicit broadcast hint — it rides inside the deltaHits
+    // job instead of paying its own eager-checkpoint job
+    val deltaIds = broadcast(changedIds.select(col("doc_id"))
+      .unionByName(removedIds.select(col("doc_id"))).distinct())
     val deltaGrams = idx.join(deltaIds, Seq("doc_id"), "left_semi")
       .select("sh").distinct()
     val deltaHits = slice(idx.join(deltaGrams, Seq("sh"), "left_semi"), "deltaHits")
@@ -234,44 +248,71 @@ object PairMaintenance {
     // shuffle join. They are eager localCheckpoints, so AQE knows their
     // true size and broadcasts exactly when they fit — same policy as the
     // gram-keyed joins.
-    val probeIds = labeled("probeIds")(changedIds.select(col("doc_id"))
-      .unionByName(expandedIds).distinct().localCheckpoint(true))
-    val dropIds = labeled("dropIds")(probeIds.unionByName(
-      removedIds.select(col("doc_id"))).distinct().localCheckpoint(true))
+    // r18: probeIds and dropIds (dropIds ⊇ probeIds ∪ removedIds) share ONE
+    // materialization job — a probe flag per blast-radius id — instead of
+    // two sequential checkpoints over overlapping unions
+    val radius = labeled("radiusIds")(changedIds.select(col("doc_id"))
+      .withColumn("_p", lit(1L))
+      .unionByName(expandedIds.withColumn("_p", lit(1L)))
+      .unionByName(removedIds.select(col("doc_id")).withColumn("_p", lit(0L)))
+      .groupBy("doc_id").agg(max(col("_p")).as("_p"))
+      .localCheckpoint(true))
+    val probeIds = radius.where(col("_p") === 1L).select("doc_id")
+    val dropIds = radius.select("doc_id")
 
-    // scan 3 + 4) recompute the probe docs' pairs against the index:
-    //    probe grams, then the probe grams' posting slice; df-eligibility
-    //    and partner hits both derive from the slice
-    val probeGrams = slice(idx.where(col("_aliveNew"))
+    // scan 3 + 4) recompute the blast radius' pairs against the index:
+    //    probe grams, then the probe grams' posting slice. r18: both scans
+    //    ride ONE eager job — the probe-gram distinct is a subquery of the
+    //    posting-slice job (the old shape materialized the probe grams as
+    //    their own persist+count job and DISK_ONLY copy first)
+    val probeSh = idx.where(col("_aliveNew"))
       .join(probeIds, Seq("doc_id"), "left_semi")
-      .select(col("sh"), col("doc_id").as("_pid")), "probeGrams")
+      .select("sh").distinct()
+    // each posting row carries its probe flag (the radius join is
+    // blast-radius-sized; a doc outside the radius is never a probe)
     val hits0 = slice(idx.where(col("_aliveNew"))
-      .join(probeGrams.select("sh").distinct(), Seq("sh"), "left_semi")
-      .select(col("sh"), col("doc_id").as("_oid")), "hits0")
-    // r17: probeDf stays LAZY — both consumers re-derive it with one cheap
-    // aggregate over the already-materialized hits0 slice, which is less
-    // than the eager persist+count job the old slice() paid
-    val probeDf = hits0.groupBy("sh").agg(count(lit(1)).as("df"))
-      .where(eligible(col("df")))
-      .select("sh")
-    val hits = hits0.join(probeDf, Seq("sh"), "left_semi")
-    val inter = probeGrams
-      .join(probeDf, Seq("sh"), "left_semi")
-      .join(hits, "sh")
-      .where(col("_pid") =!= col("_oid"))
-      .groupBy(least(col("_pid"), col("_oid")).as("doc_a"),
-        greatest(col("_pid"), col("_oid")).as("doc_b"))
-      .agg(count(lit(1)).as("_raw"))
-      // a probe-probe pair accumulates BOTH probe directions: each common
-      // gram lands twice under the canonical key, unchanged partners once
-      .join(probeIds.select(col("doc_id").as("doc_a"),
-        lit(1L).as("_aProbe")), Seq("doc_a"), "left")
-      .join(probeIds.select(col("doc_id").as("doc_b"),
-        lit(1L).as("_bProbe")), Seq("doc_b"), "left")
-      .select(col("doc_a"), col("doc_b"),
-        when(col("_aProbe").isNotNull && col("_bProbe").isNotNull,
-          (col("_raw") / 2L).cast("long")).otherwise(col("_raw")).as("inter"))
-    val szAll = aliveUnder(spark.read.parquet(s"$indexDir.sizes"), tombstonesNew)
+      .join(probeSh, Seq("sh"), "left_semi")
+      .join(radius, Seq("doc_id"), "left")
+      .select(col("sh"), col("doc_id").as("_oid"),
+        coalesce(col("_p"), lit(0L)).as("_p")), "hits0")
+    // r18: the probe-pair intersection counts via the r17 one-pass bounded
+    // posting lists (the ngramJaccardPairs shape): fold each gram's full
+    // alive posting list AND its probe sublist in one size-capped
+    // aggregate — the [2, maxDocFreq] size filter on the full list IS the
+    // old probe-df eligibility (both sublists are ≤ cap whenever the gram
+    // survives, so both arrive sorted) — then emit the gram's pairs
+    // MAP-SIDE: probe×probe i<j pairs plus probe×partner pairs, each
+    // exactly once, never partner×partner (those pairs live in keptPairs).
+    // Replaces the probeGrams ⋈ probeDf ⋈ hits join web: two gram-keyed
+    // shuffle joins, the probe-probe double-count correction and the
+    // post-aggregate probe filter all disappear; per-gram work stays
+    // p·d like the join shape (NOT d²/2 — at a production blast radius
+    // p ≪ d and the full pair explode would dwarf the old join).
+    def fslice(x: org.apache.spark.sql.Column, start: org.apache.spark.sql.Column,
+               length: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.slice(x, start, length)
+    val inter = hits0.groupBy("sh")
+      .agg(graft.functions.SketchExpressions.boundedCollectLong(
+          col("_oid"), maxDocFreq.toInt).as("ids"),
+        graft.functions.SketchExpressions.boundedCollectLong(
+          when(col("_p") === 1L, col("_oid")), maxDocFreq.toInt).as("pids"))
+      .where(size(col("ids")) >= 2 && size(col("ids")) <= maxDocFreq)
+      .select(explode(flatten(concat(
+        transform(col("pids"), (a, i) =>
+          transform(fslice(col("pids"), i + lit(2), size(col("pids"))),
+            b => struct(a.as("doc_a"), b.as("doc_b")))),
+        transform(col("pids"), a =>
+          transform(array_except(col("ids"), col("pids")),
+            b => struct(least(a, b).as("doc_a"), greatest(a, b).as("doc_b"))))
+      ))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    // same alive rule as the index flags, from the same checkpointed fold
+    // (alive iff seg >= max(before_seg)): the old aliveUnder anti-join
+    // re-ran the caller's tombstone derivation per consumer
+    val szAll = spark.read.parquet(s"$indexDir.sizes")
+      .join(broadcast(bn), Seq("doc_id"), "left")
+      .where(col("seg") >= coalesce(col("_bn"), lit(0L)))
       .select(col("doc_id"), col("set_size"))
     val newPairsRecomputed = labeled("newPairsRecomputed")(inter
       .join(szAll.select(col("doc_id").as("doc_a"), col("set_size").as("_sa")), "doc_a")
@@ -335,8 +376,12 @@ object PairMaintenance {
     // ("key not found: u#N") inside dedupClustersStar's symmetric union
     def strip(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
-    val subCC = labeled("subCC")(Dedup.dedupClustersStar(strip(subDocs), strip(subPairs))
-      .localCheckpoint(true))
+    // r18: no eager checkpoint on the CC result — the star loop inside is
+    // eager (its rounds are checkpoint+count jobs), but the returned
+    // label-join tail references only the loop's final checkpointed edge
+    // set and the strip()-RDD inputs, so it rides the CALLER's one action
+    // instead of paying a materialization job here
+    val subCC = labeled("subCC")(Dedup.dedupClustersStar(strip(subDocs), strip(subPairs)))
     val untouched = oldCC.join(touched, Seq("cluster_id"), "left_anti")
       .select("doc_id", "cluster_id")
     // the returned frames reference only inputs and the eager checkpoints

@@ -183,14 +183,44 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = 120L
     val d = (0L until n).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    // label propagation needs diameter rounds: 119 > the default 50 → throws
-    assertThrows[IllegalStateException] {
-      graft.pipeline.Dedup.dedupClusters(d, chain).collect()
+    // force the DISTRIBUTED loops: the r18 small-graph gate would otherwise
+    // resolve this tiny chain by driver union-find (always convergent) and
+    // the round-count semantics below are exactly what this spec gates
+    spark.conf.set("graft.cc.maxDriverEdges", "0")
+    try {
+      // label propagation needs diameter rounds: 119 > the default 50 → throws
+      assertThrows[IllegalStateException] {
+        graft.pipeline.Dedup.dedupClusters(d, chain).collect()
+      }
+      // star contraction is round-logarithmic: well inside 15 rounds
+      val star = graft.pipeline.Dedup.dedupClustersStar(d, chain, maxIters = 15)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(star.length == n && star.forall(_._2 == 0L))
+    } finally spark.conf.unset("graft.cc.maxDriverEdges")
+  }
+
+  test("small-graph gate: driver union-find labels equal the distributed loops' on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 5) {
+      val n = 2 + rnd.nextInt(40)
+      val d = (0L until n.toLong).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val edges = (1 to rnd.nextInt(60)).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+        else edges.toDF("doc_a", "doc_b")
+      // gated run (default conf): small graphs take the union-find path
+      val gated = graft.pipeline.Dedup.dedupClustersStar(d, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // forced distributed star on the identical input
+      spark.conf.set("graft.cc.maxDriverEdges", "0")
+      val dist = try graft.pipeline.Dedup.dedupClustersStar(d, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("graft.cc.maxDriverEdges")
+      assert(gated == dist, s"n=$n edges=$edges")
     }
-    // star contraction is round-logarithmic: well inside 15 rounds
-    val star = graft.pipeline.Dedup.dedupClustersStar(d, chain, maxIters = 15)
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-    assert(star.length == n && star.forall(_._2 == 0L))
   }
 
   test("vocab: counts, doc frequency and the top-N cut are exact") {
