@@ -141,6 +141,33 @@ object ProfOps {
           if (rep == 2) dumpJobs(s"r$rep", minSec = 0.10)
           sweep()
         }
+      // phase split per catalog row: plan BUILD (driver Scala), analysis,
+      // optimization, physical planning, then the action — where does a
+      // ~0.17 s g-row actually spend?
+      case g if g.startsWith("gp:") =>
+        val names = g.drop(3).split(",").map(_.trim)
+        new graft.store.EventSeriesStore(sfDir).allSeries(spark).count()
+        SparkEntry.entry(spark).count()
+        for (name <- names; rep <- 1 to 3) {
+          val fn = SparkEntry.queries(name)
+          jobLog.clear()
+          val t0 = System.nanoTime()
+          val df = fn(spark, sfDir)
+          val t1 = System.nanoTime()
+          df.queryExecution.assertAnalyzed()
+          val t2 = System.nanoTime()
+          df.queryExecution.optimizedPlan
+          val t3 = System.nanoTime()
+          df.queryExecution.executedPlan
+          val t4 = System.nanoTime()
+          val n = df.count()
+          val t5 = System.nanoTime()
+          println(f"[prof] $name%-28s rep$rep build=${(t1 - t0) / 1e9}%.3f " +
+            f"analyze=${(t2 - t1) / 1e9}%.3f optimize=${(t3 - t2) / 1e9}%.3f " +
+            f"plan=${(t4 - t3) / 1e9}%.3f exec=${(t5 - t4) / 1e9}%.3f rows=$n")
+          if (rep == 3) dumpJobs(s"$name-r$rep", minSec = 0.0)
+          sweep()
+        }
       case other => println(s"unknown GRAFT_PROF=$other")
     }
     spark.stop()

@@ -32,20 +32,46 @@ object PairOps {
     * releases it at request end; without an installed request context
     * (direct engine/test use) it falls back to ContextCleaner GC
     * reclamation when the derived frame is garbage collected. */
-  private[engine] def indexByName(df: DataFrame, orderCol: String = "name"): DataFrame =
-    indexByOrder(df, Seq(orderCol))
+  private[engine] def indexByName(df: DataFrame, orderCol: String = "name",
+                                  knownSize: Option[Long] = None): DataFrame =
+    indexByOrder(df, Seq(orderCol), knownSize)
 
   /** indexByName generalized to a composite sort key (heatMap orders by
     * (weight, name) — the reference's stable weight sort over the
-    * name-ordered list). */
-  private[engine] def indexByOrder(df: DataFrame, orderCols: Seq[String]): DataFrame = {
-    val sorted = df.sort(orderCols.map(col): _*)
-    val cached = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Eval.trackRdd(cached)
-    val indexed = cached.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    sorted.sparkSession.createDataFrame(indexed,
-      sorted.schema.add("_i", org.apache.spark.sql.types.LongType, nullable = false))
+    * name-ordered list).
+    *
+    * r18 small-list gate: a list at or below `graft.series.maxWindowIndex`
+    * rows (default 100k — series COUNT, never points) indexes with a lazy
+    * single-task row_number window instead: the zipWithIndex path costs a
+    * range-sampling job + an offset-count job + an RDD round-trip out of
+    * codegen per call, which dominates sub-second requests, while a one-
+    * task sort of ≤100k narrow series rows is microseconds. The gate fires
+    * ONLY when the caller already knows the list size (`knownSize`) —
+    * counting here would re-execute a possibly expensive upstream chain
+    * once for the count and again under the lazy window (measured:
+    * heatMap's weight chain doubled, 0.48 → 1.1 s); size-blind callers
+    * keep the upstream-executes-once zipWithIndex cache. Lists above the
+    * gate keep the distributed sort + zipWithIndex so a 100k+-series list
+    * never funnels its packed-array payload through one window task. */
+  private[engine] def indexByOrder(df: DataFrame, orderCols: Seq[String],
+                                   knownSize: Option[Long] = None): DataFrame = {
+    val maxWin = df.sparkSession.conf.getOption("graft.series.maxWindowIndex")
+      .map(_.toLong).getOrElse(100000L)
+    if (knownSize.exists(_ <= maxWin)) {
+      // constant partition key: single-task like an unpartitioned window,
+      // but the `WindowExec: No Partition Defined` warning class stays out
+      // of the logs where a REAL unpartitioned window could hide
+      val w = Window.partitionBy(lit(0)).orderBy(orderCols.map(col): _*)
+      df.withColumn("_i", row_number().over(w).cast("long"))
+    } else {
+      val sorted = df.sort(orderCols.map(col): _*)
+      val cached = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Eval.trackRdd(cached)
+      val indexed = cached.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
+      sorted.sparkSession.createDataFrame(indexed,
+        sorted.schema.add("_i", org.apache.spark.sql.types.LongType, nullable = false))
+    }
   }
 
   private def binOp(func: String): (Column, Column) => Column = func match {
@@ -80,10 +106,14 @@ object PairOps {
     val op = binOp(func)
     val hasDefault = !default.isNaN
     val defStr = graft.engine.SeriesOps.fmtNum(default)
-    // two series-row count jobs total (series cardinality, not points):
-    // they drive emptiness, the single-right broadcast and size matching
-    val na = a.select(col("name")).count()
-    val nb = b.select(col("name")).count()
+    // ONE series-row count job total (series cardinality, not points; r18
+    // — was two): it drives emptiness, the single-right broadcast, size
+    // matching AND the indexByName small-list gates below
+    val cnts = a.select(lit(0).as("_s")).unionByName(b.select(lit(1).as("_s")))
+      .groupBy("_s").agg(count(lit(1)).as("_c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val na = cnts.getOrElse(0, 0L)
+    val nb = cnts.getOrElse(1, 0L)
     def constantMode(single: DataFrame, constLeft: Boolean): DataFrame = {
       // ref :95-128 — the name quirk is reference-exact: both sides of the
       // name are the surviving series' own name
@@ -104,9 +134,11 @@ object PairOps {
       else b.select(col("name"), col("tags"), col("start"), col("step"), col("values"))
     val sizeMatch = nb == 1 || na == nb
     val useMatching = matchingOpt.getOrElse(!sizeMatch)
-    val ai = indexByName(a).select(col("_i"), col("name").as("nameA"), col("tags"),
+    val ai = indexByName(a, knownSize = Some(na)).select(col("_i"),
+      col("name").as("nameA"), col("tags"),
       col("start"), col("step"), col("values").as("valuesA"))
-    val bi = indexByName(b).select(col("_i"), col("name").as("nameB"), col("values").as("valuesB"))
+    val bi = indexByName(b, knownSize = Some(nb)).select(col("_i"),
+      col("name").as("nameB"), col("values").as("valuesB"))
     val paired =
       if (useMatching) {
         val j = ai.drop("_i").join(bi.drop("_i"), col("nameA") === col("nameB"), "left")
@@ -135,9 +167,15 @@ object PairOps {
     * xff defaults to each left series' own xFilesFactor tag. */
   def aggregateSeriesLists(a: DataFrame, b: DataFrame, func: String, rawArgs: String,
                            xff: Option[Double]): DataFrame = {
-    val ai = indexByName(a).select(col("_i"), col("tags"),
-      col("start"), col("step"), col("values").as("valuesA"))
-    val bi = indexByName(b).select(col("_i"), col("values").as("valuesB"))
+    // one fused series-row count (r18) feeds both small-list index gates
+    val cnts = a.select(lit(0).as("_s")).unionByName(b.select(lit(1).as("_s")))
+      .groupBy("_s").agg(count(lit(1)).as("_c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ai = indexByName(a, knownSize = Some(cnts.getOrElse(0, 0L)))
+      .select(col("_i"), col("tags"),
+        col("start"), col("step"), col("values").as("valuesA"))
+    val bi = indexByName(b, knownSize = Some(cnts.getOrElse(1, 0L)))
+      .select(col("_i"), col("values").as("valuesB"))
     val xffCol = xff.map(lit).getOrElse(
       coalesce(element_at(col("tags"), "xFilesFactor").cast("double"), lit(0.0)))
     val u = udf((va: Seq[Double], vb: Seq[Double], xf: Double) =>
