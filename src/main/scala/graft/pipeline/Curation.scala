@@ -140,9 +140,53 @@ object Curation {
    */
   def contaminationTwoPhase(corpus: DataFrame, bench: DataFrame, n: Int = 3,
                             minOverlap: Long = 2L, fpp: Double = 0.01): DataFrame = {
-    val flagged = contaminationBloom(corpus, bench, n, minHits = minOverlap, fpp = fpp)
-      .select("doc_id")
-    contamination(corpus.join(flagged, Seq("doc_id"), "left_semi"), bench, n, minOverlap)
+    // r18 (guide §6: don't scan to size a sketch / §5 reuse): the composed
+    // pass shingles the benchmark ONCE into a persisted (bench_id, gram)
+    // table that serves all three bench-side reads — the bloom sizing
+    // count, the bloom build, and the exact pass's broadcast join side
+    // (previously the bloom phase shingled the bench twice and the exact
+    // phase a third time). Corpus-side shape unchanged: one map-side bloom
+    // scan, then the exact pass over the flagged sliver only.
+    // same caller-evicts convention as contaminationBloom's bench-gram
+    // persist (Bench/Verify sweep new persists per query); the returned
+    // plan's broadcast side reads it, so the operator cannot drop it itself
+    // without materializing the result
+    val bg = bench
+      .select(col("doc_id").as("bench_id"), Dedup.wordsOf(col("text")).as("w"))
+      .select(col("bench_id"), explode(Dedup.shinglesOf(col("w"), n)).as("gram"))
+      .persist()
+    locally {
+      val expected = math.max(bg.count(), 1L)
+      val bloom = bg.select(xxhash64(col("gram")).as("g"))
+        .stat.bloomFilter("g", expected, fpp)
+      val bloomBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      }
+      val flagged = Par.spread(corpus)
+        .select(col("doc_id"), Dedup.wordsOf(col("text")).as("w"))
+        .select(col("doc_id"), explode(Dedup.shinglesOf(col("w"), n)).as("gram"))
+        .where(graft.functions.SketchExpressions.bloomMightContainLong(
+          xxhash64(col("gram")), bloomBytes))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("bloom_hits"))
+        .where(col("bloom_hits") >= minOverlap)
+        .select("doc_id")
+      val b = bg.join(
+        bg.groupBy("bench_id").agg(count(lit(1)).as("bench_sz")), "bench_id")
+      // recall-1 composition (see scaladoc): identical to the exact pass
+      // over the whole corpus, which is exactly what the oracle asserts
+      Par.spread(corpus.join(flagged, Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"), Dedup.wordsOf(col("text")).as("w"))
+        .select(col("doc_id"), explode(Dedup.shinglesOf(col("w"), n)).as("gram"))
+        .join(broadcast(b), "gram")
+        .groupBy(col("doc_id"), col("bench_id"), col("bench_sz"))
+        .agg(count(lit(1)).as("overlap"))
+        .where(col("overlap") >= minOverlap)
+        .select(col("doc_id"), col("bench_id"), col("overlap"),
+          (col("overlap").cast("double") / col("bench_sz")).as("containment"))
+    }
   }
 
   /**
