@@ -132,6 +132,18 @@ object Bench {
       System.err.println(s"[bench] WARNING: failed to append history $histPath: $e")
     }
     spark.stop()
+    // r18 (r17 verdict item 5): a SECOND compact machine line carrying the
+    // ten worst per-query deltas vs committed history, so the driver's
+    // automated regression audit has per-query signal without embedding
+    // the full ~7 KB map in stdout (which truncated the tail in r5-r8).
+    // The one-line total contract is unchanged and still printed LAST.
+    val worst = results.toSeq
+      .flatMap { case (n, v) => histMin.get(n).map(m => (n, v, m)) }
+      .sortBy { case (_, v, m) => -(v / math.max(m, 1e-9)) }
+      .take(10)
+      .map { case (n, v, m) => s""""$n":{"now":${f3(v)},"hist_min":${f3(m)}}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"flags","flagged":${flagged.size},"worst":$worst}""")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","nq":${results.size},"flagged":${flagged.size},"queries_full":"$out","sf":"$sfDir"}""")
   }
 }

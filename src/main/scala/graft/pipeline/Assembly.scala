@@ -1055,12 +1055,16 @@ object Assembly {
   def qualityEnsemble(docs: DataFrame, targetSource: String,
                       tau: Double = 0.5): DataFrame = {
     val r4 = (c: org.apache.spark.sql.Column) => round(c * 1e4) / 1e4
-    val pinned = scala.collection.mutable.Buffer.empty[DataFrame]
+    // leave-nothing-pinned contract (r18, ADVICE r17): the finally releases
+    // EVERY persist this call created — a before/after snapshot of the
+    // block-store catches the scorer-internal persists too (unigramLmScore's
+    // words/vocab, nbDomainScore's w0/wc), which the old per-rankOf pin list
+    // missed, and the snapshot diff has no shared mutable buffer for the
+    // three concurrent chains to race on
+    val sc = docs.sparkSession.sparkContext
+    val pinsBefore = sc.getPersistentRDDs.keySet
     def rankOf(scored0: DataFrame, rankName: String): DataFrame = {
       val scored = scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // rankOf now runs on three concurrent driver threads — guard the
-      // shared pin list
-      pinned.synchronized { pinned += scored }
       val hist = scored.groupBy("score").agg(count(lit(1)).as("_c"))
         .withColumn("_g", lit(1))
       val w = Window.partitionBy("_g").orderBy("score")
@@ -1105,8 +1109,13 @@ object Assembly {
         .withColumn("keep", (col("fused") >= tau).cast("long"))
         .select("doc_id", "q_rank", "nb_rank", "lm_rank", "fused", "keep")
         .localCheckpoint(true)
-    } finally pinned.foreach(df =>
-      try df.unpersist(false) catch { case _: Exception => () })
+    } finally sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      // checkpointed RDDs are excluded: the three rank tables and the
+      // returned frame ARE their materialized blocks (truncated lineage
+      // cannot recompute); they reclaim via ContextCleaner GC as before
+      if (!pinsBefore.contains(id) && !rdd.isCheckpointed)
+        try rdd.unpersist(false) catch { case _: Exception => () }
+    }
   }
 
   /**

@@ -228,6 +228,44 @@ class SketchExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("BoundedCollectLong: cap/cap+1 boundary, overflow marker, sortedness, null skip — across partitionings") {
+    val s = spark
+    import s.implicits._
+    val cap = 5
+    // groups: exactly cap (kept, sorted), cap+1 and far beyond (overflow
+    // marker: EXACTLY cap+1 values, contents partitioning-dependent —
+    // callers MUST size-filter), 1 and 2 (kept), plus null inputs (skipped)
+    val rows =
+      (1 to cap).map(i => ("atCap", Some(i * 7L - 3))) ++
+      (1 to cap + 1).map(i => ("overByOne", Some(i.toLong))) ++
+      (1 to 50).map(i => ("hot", Some(100L - i))) ++
+      Seq(("single", Some(42L)), ("pair", Some(9L)), ("pair", Some(2L)),
+        ("withNulls", Some(5L)), ("withNulls", None), ("withNulls", Some(1L)))
+    for (nPart <- Seq(1, 3, 7)) {
+      val df = rows.toDF("k", "v").repartition(nPart)
+      val got = df.groupBy("k")
+        .agg(SketchExpressions.boundedCollectLong(col("v"), cap).as("ids"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      // at-cap group survives the size filter and arrives SORTED
+      assert(got("atCap") == (1 to cap).map(i => i * 7L - 3).sorted, s"nPart=$nPart")
+      // overflow groups retire at exactly cap+1 buffered values — the
+      // documented marker (memory stays bounded however hot the gram);
+      // every retained value is from the group, but WHICH ones is
+      // partitioning-dependent, so only the size contract is asserted
+      assert(got("overByOne").length == cap + 1, s"nPart=$nPart")
+      assert(got("hot").length == cap + 1, s"nPart=$nPart")
+      assert(got("hot").forall(v => v >= 50L && v <= 99L), s"nPart=$nPart")
+      assert(got("single") == Seq(42L) && got("pair") == Seq(2L, 9L), s"nPart=$nPart")
+      // nulls never collect (the conditional-collect contract the r18
+      // incrementalClusters probe-sublist aggregate relies on)
+      assert(got("withNulls") == Seq(1L, 5L), s"nPart=$nPart")
+      // the caller-side pruning rule: size-filter keeps exactly the
+      // df <= cap groups
+      val kept = got.filter(_._2.length <= cap).keySet
+      assert(kept == Set("atCap", "single", "pair", "withNulls"), s"nPart=$nPart")
+    }
+  }
+
   test("sketch pipeline stages carry no Scala UDF (native codegen end to end)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val words = Dedup.wordsOf(col("text"))
