@@ -21,6 +21,13 @@ object PlanDump {
     val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before")
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional session-conf overrides (diagnostics only — e.g. force the
+    // distributed paths past the r18 size gates to dump the BEFORE shape):
+    // SPARK_GRAFT_CONF="graft.cc.maxDriverEdges=0,graft.series.maxWindowIndex=0"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val catalog = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     catalog.foreach { case (name, fn) =>

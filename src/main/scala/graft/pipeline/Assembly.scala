@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
  * Scale notes (100 TB): everything here is either map-side (chunking,
  * sampling, LM scoring after a vocab-sized shuffle) or a two-phase
  * distributed prefix sum (packing) — no global single-partition windows.
+ *
+ * Lifecycle note (the [[Dedup]] convention): the scorers whose plans reuse
+ * an intermediate (unigram/bigram LM token+vocab frames, nbDomainScore's
+ * class-count frames, dsirSelect's word frames) `persist()` it, and the
+ * returned plan references the cache — eviction is the CALLER's job
+ * (Bench/Verify sweep new persists per query; [[qualityEnsemble]] releases
+ * its whole call delta in a finally). A long-lived service looping a bare
+ * scorer must evict between calls or the corpus-scale caches accumulate.
  */
 object Assembly {
 

@@ -256,6 +256,16 @@ object Similarity {
    * Embedding-cosine near-duplicate pairs, blocked on a partition key (here
    * `label`; in production a coarse-quantizer cell id): the self-join runs
    * per block, so candidate count scales with Σ block² rather than corpus².
+   *
+   * SCALE CONTRACT (r18, explicit): this is the EXACT small-block variant —
+   * per-block work is quadratic in block size by construction, so the
+   * caller owns the block-size bound (a production coarse quantizer tunes
+   * cell size exactly like an IVF nlist; a label column with a few huge
+   * blocks makes this operator quadratic, full stop). For unbounded or
+   * unknown block shapes the scale path is [[srpNearDupPairs]] (p14),
+   * whose banding keeps candidates ∝ true duplicate density. AQE skew-join
+   * splits oversized block PARTITIONS but cannot cap a single block's pair
+   * count.
    */
   def labelBlockedNearDup(emb: DataFrame, threshold: Double): DataFrame = {
     // norms precomputed per ROW: inlining cosine() in the join recomputes
